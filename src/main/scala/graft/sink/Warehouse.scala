@@ -1,0 +1,55 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.schema.ColumnMappings
+
+/** Warehouse-shaping + sink (reference `snowflake_connector.py:166-316`;
+  * operators S3/S4/S9/S10/P7/P8/E3 in SURVEY.md §2).
+  *
+  * The reference's manual chunk loop (50k-row chunks, a dead
+  * `parallel_threads` knob — `snowflake_connector.py:206-238`) is replaced by
+  * Spark's partitioned parallel write: every partition is an independent
+  * writer task, so "chunking" and "parallelism" fall out of partition count.
+  */
+object Warehouse {
+
+  /** P7: canonical → physical names (`constants.py:57-68`); unmapped columns
+    * pass through (reference `map_to_snowflake_columns`, `constants.py:88-102`). */
+  def renameToWarehouse(df: DataFrame): DataFrame =
+    df.withColumnsRenamed(ColumnMappings.warehouseColumnMap)
+
+  /** P8: connector name normalization — uppercase, space/hyphen → underscore,
+    * strip double-quotes (`snowflake_connector.py:203`, `:276`). */
+  def normalizeNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(
+      _.toUpperCase.replace(' ', '_').replace('-', '_').replace("\"", "")): _*)
+
+  /** S9+S10: lineage metadata. The rebuild records real per-row lineage via
+    * `input_file_name()` where the reference hardcodes a literal
+    * (`snowflake_connector.py:299`); pass `sourceFile=Some(lit)` for parity. */
+  def withMetadata(df: DataFrame, sourceFile: Option[String] = None): DataFrame = {
+    val src: Column = sourceFile.map(lit).getOrElse(input_file_name())
+    val withSrc =
+      if (df.columns.map(_.toUpperCase).contains("SOURCE_FILE")) df
+      else df.withColumn("SOURCE_FILE", src)
+    withSrc.withColumn("LOAD_DATE", current_timestamp())
+  }
+
+  /** S4 composition: canonical clean frame → physical warehouse frame.
+    * The reference's string→date normalization step (E3,
+    * `snowflake_connector.py:282-287`) is a no-op here because dates are
+    * typed `DateType` at validation time (parse-once, SURVEY.md §1.2). */
+  def toWarehouse(df: DataFrame, sourceFile: Option[String] = None): DataFrame =
+    withMetadata(normalizeNames(renameToWarehouse(df)), sourceFile)
+
+  /** S3: partitioned parallel write. `COUNTRY` partitioning gives the
+    * per-country views partition pruning on their final filter; at 100 TB the
+    * country cardinality (~200) keeps file counts sane while each partition
+    * still splits across many tasks. */
+  def write(df: DataFrame, path: String, partitionByCountry: Boolean = true,
+            mode: String = "append"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionByCountry) w.partitionBy("COUNTRY") else w).parquet(path)
+  }
+}
