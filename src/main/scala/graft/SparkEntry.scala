@@ -1,13 +1,330 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingIngest
+
+/** Driver contract — one `queries` entry per operator of SURVEY.md §2 plus
+  * the training-data-pipeline extensions, each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible (oracle-less entries get the driver's
+  * rows-only check and are verified by ScalaTest instead).
+  *
+  * Determinism rules (SURVEY.md §5.4): every query ends in a total-order
+  * sort; aggregates over doubles go through exact decimal arithmetic and are
+  * surfaced as doubles; "today" is the fixed literal 1998-12-01; int-typed
+  * derived values are cast to long to match DuckDB's BIGINT.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val asOf: Column = lit("1998-12-01").cast("date")
+
+  /** Exact sum: decimal arithmetic, double surface. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // ------------------------------------------------------------ query bodies
+
+  private def latestOrderPerCustomer(o: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  }
+
+  private def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val latest = latestOrderPerCustomer(t(spark, dir, "orders"))
+    latest
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("n_name"),
+        (year(asOf) - year(col("o_orderdate"))).cast("long").as("age_years"),
+        when(datediff(asOf, col("o_orderdate").cast("date")) > 30, true)
+          .otherwise(false).as("stale"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    flagship(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- parity operators (SURVEY.md §2) ----
+    "q_w1_latest_order" -> ((s, dir) =>
+      latestOrderPerCustomer(t(s, dir, "orders"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))),
+
+    "q_a1_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderstatus").as("status")).distinct()
+        .filter(col("status").isNotNull && col("status") =!= "")
+        .orderBy(col("status"))),
+
+    "q_u1_union_by_name" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val evens = c.filter(col("c_custkey") % 2 === 0).select(col("c_custkey"), col("c_name"))
+      val odds = c.filter(col("c_custkey") % 2 === 1).select(col("c_custkey"), col("c_acctbal"))
+      evens.unionByName(odds, allowMissingColumns = true).orderBy(col("c_custkey"))
+    }),
+
+    "q_p3_coalesce" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        coalesce(when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")),
+          col("c_name")).as("resolved"))
+        .orderBy(col("c_custkey"))),
+
+    "q_p6_validity_filter" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus")).isNotNull
+          && col("o_orderpriority").isNotNull && col("o_orderpriority") =!= "")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_e1_date_roundtrip" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        // zero-padded formats: an unpadded "7/4/1996" compacts to only 6
+        // digits and is (faithfully) invalid under the reference parser
+        GraftFunctions.parse_date(date_format(col("o_orderdate"), "MM/dd/yyyy")).as("d_slash"),
+        GraftFunctions.parse_date(date_format(col("o_orderdate"), "MM-dd-yyyy")).as("d_dash"),
+        GraftFunctions.parse_date(date_format(col("o_orderdate"), "Mddyyyy")).as("d_compact"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_e4_e5_derived" -> ((s, dir) => {
+      val consul = when(col("o_orderstatus") === "O", lit(null).cast("date"))
+        .otherwise(col("o_orderdate").cast("date"))
+      t(s, dir, "orders").select(col("o_orderkey"),
+        (year(asOf) - year(col("o_orderdate"))).cast("long").as("age_years"),
+        when(datediff(asOf, consul) > 30, true).otherwise(false).as("stale"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_agg_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        (dsum(col("l_discount"), 4) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_join_nation_revenue" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_view_flagship" -> ((s, dir) => flagship(s, dir)),
+
+    // ---- training-data-pipeline extensions ----
+    "q_dedup_exact" -> ((s, dir) => {
+      val key5 = array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " ").as("key5")
+      Dedup.exactGroups(t(s, dir, "documents").select(key5, col("doc_id")),
+        Seq("key5"), "doc_id")
+        .orderBy(col("key5"))
+    }),
+
+    "q_text_stats" -> ((s, dir) =>
+      TextAnalysis.withQualityColumns(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("n_chars_actual").cast("long").as("n_chars_actual"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_punct").cast("long").as("n_punct"),
+          col("n_stopwords").cast("long").as("n_stopwords"),
+          col("mean_token_len"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.withLangId(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.withFingerprint(t(s, dir, "documents"))
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.2)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("idA"), col("idB"))),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 12)
+        .orderBy(col("idA"), col("idB"))),
+
+    "q_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, exact = true)
+        .orderBy(col("idA"), col("idB"))),
+
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 16), emb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_sim_topk_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshCosineTopK(emb.filter(col("vec_id") < 16), emb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_multimodal_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.asMediaRecords(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          size(col("frame_offsets")).cast("long").as("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_stream_hourly" -> ((s, dir) =>
+      StreamingIngest.runWindowedEventAgg(s, s"$dir/events.parquet",
+        s"events_windowed_${streamCounter.incrementAndGet()}")
+        .orderBy(col("window_start"), col("event_type"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_w1_latest_order" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_a1_distinct" ->
+      "SELECT DISTINCT o_orderstatus AS status FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus <> '' ORDER BY status",
+
+    "q_u1_union_by_name" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_p3_coalesce" ->
+      "SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), c_name) AS resolved FROM customer ORDER BY c_custkey",
+
+    "q_p6_validity_filter" ->
+      "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE NULLIF(o_orderstatus, 'O') IS NOT NULL AND o_orderpriority IS NOT NULL AND o_orderpriority <> '' ORDER BY o_orderkey",
+
+    "q_e1_date_roundtrip" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d_slash, CAST(o_orderdate AS DATE) AS d_dash, CAST(o_orderdate AS DATE) AS d_compact FROM orders ORDER BY o_orderkey",
+
+    "q_e4_e5_derived" ->
+      """SELECT o_orderkey,
+        |  CAST(year(DATE '1998-12-01') - year(o_orderdate) AS BIGINT) AS age_years,
+        |  CASE WHEN date_diff('day', CASE WHEN o_orderstatus = 'O' THEN NULL ELSE CAST(o_orderdate AS DATE) END, DATE '1998-12-01') > 30 THEN TRUE ELSE FALSE END AS stale
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_view_flagship" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, n_name,
+        |  CAST(year(DATE '1998-12-01') - year(o_orderdate) AS BIGINT) AS age_years,
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') > 30 THEN TRUE ELSE FALSE END AS stale
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) o
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rn = 1 AND n_name = 'NATION_3' ORDER BY o_custkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT key5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM (
+        |  SELECT doc_id, array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
+        |  FROM documents) t
+        |GROUP BY key5 ORDER BY key5""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by|from|that|this)\b')) AS BIGINT) AS n_stopwords,
+        |  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |       THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
+        |       ELSE 0.0 END AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 512 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(LEAST(8, octet_length(encode(text)) // 100 + 1) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Embedding similarity oracles use explicit double-precision list math
+    // (NOT list_cosine_similarity, which computes in float32 and diverges in
+    // the 7th decimal) — verified bit-identical to Spark's sequential
+    // zip_with/aggregate double summation.
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.2
+        |ORDER BY idA, idB""".stripMargin,
+
+    "q_sim_topk" ->
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 16) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q_text_langid / q_text_fingerprint / q_dedup_minhash / q_dedup_simhash /
+    // q_sim_topk_lsh: not ANSI-expressible (engine-specific hash functions /
+    // approximate-by-design) → driver rows-only check + ScalaTest oracles in
+    // OperatorsSpec.
+  )
 }

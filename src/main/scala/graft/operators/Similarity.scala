@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns — the
+  * similarity-search extension (SURVEY.md §7.1.9).
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force baseline — broadcast the (small) query set
+  *    against the corpus, one narrow pass + one shuffle for the per-query
+  *    top-k window. Exact; cost O(|Q|·|corpus|), the right plan when |Q| is
+  *    bounded (the broadcast side) no matter how large the corpus.
+  *  - [[lshCosineTopK]]: scale path — random-hyperplane signatures bucket
+  *    both sides; only bucket-mates are scored. Sub-linear candidate sets,
+  *    recall tested against the brute-force oracle in SimilaritySpec.
+  *
+  * All arithmetic is double-precision with a fixed (sequential) accumulation
+  * order, so results are deterministic and oracle-comparable.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product / norm over float-array columns —
+    * native codegen'd Catalyst expressions operating straight on Tungsten
+    * ArrayData ([[graft.expr.FloatVecDot]]): no per-element boxing (a Scala
+    * UDF pays Seq[Float] conversion per call) and no interpreted lambda (a
+    * zip_with/aggregate HOF pays per-element interpretation). Accumulation
+    * order (left-to-right, double) is part of the contract: the DuckDB
+    * oracles reproduce it bit-for-bit. */
+  def dot(a: Column, b: Column): Column =
+    graft.expr.VectorExpressions.float_vec_dot(a, b)
+  def l2norm(v: Column): Column =
+    graft.expr.VectorExpressions.float_vec_norm(v)
+
+  /** Cosine similarity between two array<float> columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, cosine) — cosine rounded to 6dp
+    * so double-summation-order differences vs other engines can't flip a
+    * hash comparison. Self-matches excluded. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<float>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  // ------------------------------------------------- hyperplane LSH buckets
+
+  val SignatureBits = 16
+  val Bands = 4
+  private val RowsPerBand = SignatureBits / Bands
+
+  /** Deterministic random hyperplanes (seed 7), dim x bits — cached per dim
+    * so executors build them once, not per row. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def hyperplanes(dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(dim, d => {
+      val rnd = new scala.util.Random(7)
+      Array.fill(SignatureBits)(Array.fill(d)(rnd.nextGaussian()))
+    })
+
+  /** Per-row signature bits → (band, bucket) rows. Signature via one compact
+    * UDF (tight loop over dim×bits); banding via expressions. */
+  def withHyperplaneBands(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val planes = hyperplanes(v.length)
+      var sig = 0L
+      var i = 0
+      while (i < SignatureBits) {
+        var s = 0.0; var j = 0
+        val p = planes(i)
+        while (j < v.length) { s += p(j) * v(j); j += 1 }
+        if (s > 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+    val withSig = df.withColumn("__sig", sigUdf(col(vecCol)))
+    val chunks = array((0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("__sig"), j * RowsPerBand)
+          .bitwiseAND(lit((1L << RowsPerBand) - 1)).as("bucket"))
+    }: _*)
+    withSig.select(df.columns.map(col) :+ explode(chunks).as("bb"): _*)
+      .select(df.columns.map(col) :+ col("bb.band") :+ col("bb.bucket"): _*)
+  }
+
+  /** LSH-bucketed approximate top-k: score only bucket-mates. Same output
+    * shape as [[cosineTopK]]; recall < 1 by construction, measured in tests. */
+  def lshCosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<float>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val qb = withHyperplaneBands(q, "qv", "query_id")
+    val cb = withHyperplaneBands(c, "cv", "neighbor_id")
+    val cands = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
+    val scored = cands.withColumn("cosine",
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

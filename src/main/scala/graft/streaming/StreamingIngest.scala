@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming extension (SURVEY.md §2.9/§7.1.9): the reference is
+  * strictly batch; this adds the streaming ingest+aggregate shape a
+  * continuous pipeline needs — file-source stream, event-time watermark,
+  * tumbling-window aggregation.
+  *
+  * At scale the same plan runs over a Kafka/file stream with checkpointing;
+  * locally the memory sink + `processAllAvailable` drives it synchronously
+  * for tests and the correctness harness.
+  */
+object StreamingIngest {
+
+  /** Tumbling-window counts/sums per event type. Returns the *streaming*
+    * DataFrame (caller attaches the sink). */
+  def windowedEventAgg(events: DataFrame, window_ : String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        cast_sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Exact decimal sum surfaced as double — deterministic across engines. */
+  private def cast_sum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Normalize a nanosecond-precision `ts` read as Long (via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — Spark has no native
+    * TIMESTAMP(NANOS) support) into a microsecond timestamp. Integer
+    * division: nanos exceed 2^53, double math would corrupt them. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+
+  /** Run the windowed aggregation over a parquet path as a bounded stream;
+    * returns the final result as a batch DataFrame. */
+  def runWindowedEventAgg(spark: SparkSession, parquetPath: String,
+                          queryName: String = "events_windowed"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    // The file stream source requires a directory (or glob) — suffix a "*"
+    // so a single-file path becomes a glob over its parent directory.
+    val streamPath = if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(streamPath))
+    val q = windowedEventAgg(stream)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

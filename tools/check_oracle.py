@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB correctness gate.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir under <verifyOutDir> (written by graft.Verify):
+  - read the Spark result parquet,
+  - run the matching oracle SQL (oracle_sql.json) in DuckDB over views of
+    the same source parquet tables,
+  - compare row count, column names (sorted), and a value hash computed
+    over rows sorted by all columns (column order = sorted names).
+Queries without oracle SQL get a rows-only report.
+"""
+import sys, os, json, glob, math
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def frame_fingerprint(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.sha256()
+    for r in canon_rows:
+        h.update(("\x1f".join(r) + "\x1e").encode())
+    return h.hexdigest(), len(rows)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    results = {}
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        try:
+            rel = con.execute(
+                f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+            spark_cols = [d[0] for d in rel.description]
+            spark_rows = rel.fetchall()
+        except Exception as e:
+            results[name] = {"status": "SPARK_READ_FAIL", "err": str(e)}
+            continue
+        if name not in oracles:
+            results[name] = {"status": "ROWS_ONLY", "rows": len(spark_rows)}
+            continue
+        try:
+            orel = con.execute(oracles[name])
+            o_cols = [d[0] for d in orel.description]
+            o_rows = orel.fetchall()
+        except Exception as e:
+            results[name] = {"status": "ORACLE_SQL_FAIL", "err": str(e)[:500]}
+            continue
+        if sorted(spark_cols) != sorted(o_cols):
+            results[name] = {"status": "SCHEMA_MISMATCH",
+                             "spark": sorted(spark_cols), "oracle": sorted(o_cols)}
+            continue
+        sh, sn = frame_fingerprint(spark_rows, spark_cols)
+        oh, on = frame_fingerprint(o_rows, o_cols)
+        if sn != on:
+            results[name] = {"status": "ROWCOUNT_MISMATCH", "spark": sn, "oracle": on}
+        elif sh != oh:
+            # find first differing row for debugging
+            order_s = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+            order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
+            srows = sorted(tuple(canon(r[i]) for i in order_s) for r in spark_rows)
+            orows = sorted(tuple(canon(r[i]) for i in order_o) for r in o_rows)
+            diff = next(((a, b) for a, b in zip(srows, orows) if a != b), None)
+            results[name] = {"status": "HASH_MISMATCH", "rows": sn,
+                             "first_diff": {"spark": diff[0], "oracle": diff[1]} if diff else None,
+                             "cols_sorted": sorted(spark_cols)}
+        else:
+            results[name] = {"status": "MATCH", "rows": sn}
+
+    ok = sum(1 for r in results.values() if r["status"] == "MATCH")
+    rows_only = sum(1 for r in results.values() if r["status"] == "ROWS_ONLY")
+    bad = {k: v for k, v in results.items()
+           if v["status"] not in ("MATCH", "ROWS_ONLY")}
+    print(json.dumps(results, indent=2, default=str))
+    print(f"\n== {ok} MATCH, {rows_only} ROWS_ONLY, {len(bad)} PROBLEMS ==")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
