@@ -98,6 +98,19 @@ object SparkEntry {
         GraftFunctions.parse_date(date_format(col("o_orderdate"), "Mddyyyy")).as("d_compact"))
         .orderBy(col("o_orderkey"))),
 
+    // E2: the validation split — deterministically corrupt every 7th date
+    // and check both channels (error message + nulled value) of one parse.
+    "q_e2_validation_split" -> ((s, dir) => {
+      val raw = when(col("o_orderkey") % 7 === 0,
+          concat(lit("13"), date_format(col("o_orderdate"), "ddyyyy")))
+        .otherwise(date_format(col("o_orderdate"), "MMddyyyy"))
+      val parsed = GraftFunctions.parse_date_struct(raw)
+      t(s, dir, "orders").select(col("o_orderkey"),
+        parsed.getField("error").as("validation_error"),
+        parsed.getField("value").as("parsed"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_e4_e5_derived" -> ((s, dir) => {
       val consul = when(col("o_orderstatus") === "O", lit(null).cast("date"))
         .otherwise(col("o_orderdate").cast("date"))
@@ -228,6 +241,12 @@ object SparkEntry {
 
     "q_e1_date_roundtrip" ->
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d_slash, CAST(o_orderdate AS DATE) AS d_dash, CAST(o_orderdate AS DATE) AS d_compact FROM orders ORDER BY o_orderkey",
+
+    "q_e2_validation_split" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'Invalid month: 13 (must be between 1 and 12)' END AS validation_error,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE CAST(o_orderdate AS DATE) END AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_e4_e5_derived" ->
       """SELECT o_orderkey,

@@ -42,6 +42,45 @@ object StreamingIngest {
       case _ => df
     }
 
+  /** Streaming variant of the reference's own ETL (ingest → harmonize →
+    * validate → warehouse/quarantine): a file-source CSV stream of one
+    * layout, harmonized per micro-batch and split via `foreachBatch` into
+    * appended warehouse parquet and quarantine CSV. Checkpointed — restart
+    * resumes at the last committed batch, which is the exactly-once story a
+    * continuous 100 TB ingest needs (per-layout streams run in parallel).
+    *
+    * `sourceColumns` is the layout's header (streaming sources need a
+    * declared schema; all-string, matching the batch path's semantics). */
+  def streamingEtl(spark: SparkSession, csvDir: String,
+                   sourceColumns: Seq[String], outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import graft.ingest.Harmonizer
+    import graft.validate.Validator
+    import graft.sink.Warehouse
+    val schema = StructType(sourceColumns.map(StructField(_, StringType, nullable = true)))
+    val raw = spark.readStream.option("header", "true").schema(schema).csv(csvDir)
+    // Lineage must be captured in the streaming plan: input_file_name() is
+    // empty once foreachBatch detaches the batch from the file source.
+    val harmonized = Harmonizer
+      .harmonizeWith(raw, Some(Harmonizer.countryFromFileName))
+      .withColumn("Source_File", input_file_name())
+    harmonized.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val validated = Validator.validate(batch.toDF())
+        val annotated = validated.annotated.persist()
+        try {
+          validated.quarantine.write.mode("append").option("header", "true")
+            .csv(s"$outDir/invalid_records")
+          Warehouse.write(Warehouse.toWarehouse(validated.validRecords),
+            s"$outDir/warehouse", mode = "append")
+        } finally annotated.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+  }
+
   /** Run the windowed aggregation over a parquet path as a bounded stream;
     * returns the final result as a batch DataFrame. */
   def runWindowedEventAgg(spark: SparkSession, parquetPath: String,

@@ -28,13 +28,21 @@ object Validator {
 
   final case class Validated(annotated: DataFrame) {
 
+    /** Non-canonical passthrough columns (e.g. lineage added upstream by a
+      * streaming source, where `input_file_name()` must be captured before
+      * the micro-batch boundary). */
+    private def extraCols: Seq[String] =
+      annotated.columns.filter(c =>
+        !Schemas.canonicalColumns.contains(c) && !c.startsWith("__p_")).toSeq
+
     /** Clean frame: canonical columns with date columns typed `DateType`;
-      * invalid date values nulled (`data_validator.py:174`, `:190`). */
+      * invalid date values nulled (`data_validator.py:174`, `:190`).
+      * Extra (non-canonical) columns pass through untouched. */
     def clean: DataFrame = {
       val cols = Schemas.canonicalColumns.map { c =>
         if (Schemas.dateColumns.contains(c)) col(p(c)).getField("value").as(c)
         else col(c)
-      }
+      } ++ extraCols.map(col)
       annotated.select(cols: _*)
     }
 
@@ -46,12 +54,18 @@ object Validator {
       val frames = Schemas.mandatoryDateColumns.map { c =>
         annotated
           .filter(col(p(c)).getField("error").isNotNull)
-          .select(Schemas.canonicalColumns.map(col) :+
+          .select((Schemas.canonicalColumns ++ extraCols).map(col) :+
             col(p(c)).getField("error").as("Validation_Error") :+
             lit(c).as("Invalid_Field"): _*)
       }
       frames.reduce(_.unionByName(_))
     }
+
+    /** Typed view of the valid records (SURVEY.md §1.4) — the API boundary
+      * where nullability is the business rule: mandatory fields are plain,
+      * optional fields are Options. */
+    def validRecordsTyped: org.apache.spark.sql.Dataset[graft.schema.VaccinationRecord] =
+      validRecords.as(org.apache.spark.sql.Encoders.product[graft.schema.VaccinationRecord])
 
     /** P6 (`data_validator.py:267-281`): mandatory dates present, mandatory
       * strings present and non-empty. */

@@ -133,6 +133,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("typed valid records expose business nullability") {
+    val raw = Harmonizer.loadSourceData(spark, dataDir)
+    val typed = Validator.validate(raw).validRecordsTyped.collect()
+    assert(typed.length == 8)
+    typed.foreach { r =>
+      assert(r.Customer_Name != null && r.Customer_Id != null && r.Open_Date != null)
+    }
+    val mike = typed.find(r => r.Customer_Name == "Mike" && r.Country.contains("AUS")).get
+    assert(mike.DOB.isEmpty) // literal "NULL" string → invalid optional → None
+    assert(mike.Open_Date.toString == "2022-05-11")
+  }
+
+  test("streaming ETL: micro-batches append warehouse + quarantine with checkpoint") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-stream-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    // one layout (the IND header); first file arrives before the stream starts
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(resourcePath("vaccination/IND (1) 1(in).csv")),
+      java.nio.file.Paths.get(s"$inDir/IND_1.csv"))
+    val q = graft.streaming.StreamingIngest.streamingEtl(spark, inDir,
+      Seq("ID", "Name", "DOB", "VaccinationType", "VaccinationDate", "Free or Paid"),
+      outDir)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$outDir/warehouse").count() == 3)
+      // a second file lands mid-stream → incremental micro-batch, appended
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$inDir/NZL_2.csv"),
+        "ID,Name,DOB,VaccinationType,VaccinationDate,Free or Paid\n9,Tui,01/02/1990,ABC,2021-13-13,F\n10,Kea,03/04/1992,XYZ,04/05/2022,P\n".getBytes)
+      q.processAllAvailable()
+      val wh = spark.read.parquet(s"$outDir/warehouse")
+      assert(wh.count() == 4) // Tui quarantined (invalid Open_Date)
+      assert(wh.filter(col("NAME") === "Kea" && col("COUNTRY") === "NZL").count() == 1)
+      val quarantine = spark.read.option("header", "true").csv(s"$outDir/invalid_records")
+      assert(quarantine.filter(col("Customer_Name") === "Tui").count() == 1)
+    } finally q.stop()
+  }
+
   test("warehouse name normalization uppercases and strips") {
     import spark.implicits._
     val df = Seq((1, 2)).toDF("some col", "other-\"col\"")
