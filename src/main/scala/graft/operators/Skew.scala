@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (100 TB posture, SURVEY.md §4): when one group
+  * key holds a disproportionate share of rows, a plain `groupBy` funnels that
+  * key through a single reducer. Salting splits each key across `numSalts`
+  * sub-groups for a partial aggregate, then combines partials — two small
+  * shuffles instead of one skew-bound shuffle.
+  *
+  * For skewed JOINS, adaptive execution already splits oversized partitions
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default); this helper covers
+  * the aggregation case AQE does not.
+  */
+object Skew {
+
+  /** Algebraic aggregate spec: function name, input column, output alias.
+    * Supported: sum, count, min, max (the decomposable aggregates — avg
+    * callers compose sum/count). */
+  final case class AggSpec(func: String, column: String, alias: String)
+
+  /** Two-phase salted aggregation. The salt is derived from
+    * `monotonically_increasing_id`, so rows of a hot key spread uniformly
+    * across reducers regardless of their value distribution. Results are
+    * identical to `df.groupBy(keys).agg(...)` for decomposable aggregates. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[AggSpec],
+                      numSalts: Int = 32): DataFrame = {
+    require(numSalts > 0)
+    val partial: Seq[Column] = aggs.zipWithIndex.map { case (a, i) =>
+      val c = col(a.column)
+      (a.func match {
+        case "sum"   => sum(c)
+        case "count" => count(c)
+        case "min"   => min(c)
+        case "max"   => max(c)
+        case other   => throw new IllegalArgumentException(
+          s"non-decomposable aggregate: $other")
+      }).as(s"__partial_$i")
+    }
+    val combine: Seq[Column] = aggs.zipWithIndex.map { case (a, i) =>
+      val c = col(s"__partial_$i")
+      (a.func match {
+        case "sum" | "count" => sum(c)
+        case "min"           => min(c)
+        case "max"           => max(c)
+      }).as(a.alias)
+    }
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(combine.head, combine.tail: _*)
+  }
+
+  /** Salted broadcast of a hot-key filter: splits `df` on membership of
+    * `keyCol` in `hotKeys` so callers can union a broadcast-joined hot slice
+    * with a shuffle-joined long tail — the manual form of AQE's skew join for
+    * engines/plans where AQE cannot see the skew. */
+  def splitHotKeys(df: DataFrame, keyCol: String, hotKeys: Seq[Any])
+      : (DataFrame, DataFrame) =
+    (df.filter(col(keyCol).isin(hotKeys: _*)),
+     df.filter(!col(keyCol).isin(hotKeys: _*) || col(keyCol).isNull))
+}

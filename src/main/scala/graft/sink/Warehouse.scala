@@ -52,4 +52,20 @@ object Warehouse {
     val w = df.write.mode(mode)
     (if (partitionByCountry) w.partitionBy("COUNTRY") else w).parquet(path)
   }
+
+  /** S3/S4 JDBC variant — the reference's warehouse is a remote SQL store
+    * reached through a connector (`snowflake_connector.py:166-246`); in Spark
+    * the same sink is `format("jdbc")`, and the reference's manual chunk loop
+    * maps onto partitioned writers + `batchsize`. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                properties: java.util.Properties = new java.util.Properties(),
+                mode: String = "append", batchSize: Int = 10000): Unit =
+    df.write.mode(mode)
+      .option("batchsize", batchSize)
+      .jdbc(url, table, properties)
+
+  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+               table: String,
+               properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, properties)
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sink.Warehouse
+
+class SkewAndJdbcSpec extends SparkSpec {
+
+  test("salted aggregation equals plain groupBy on skewed keys") {
+    val orders = spark.read.parquet(s"${testDataDir("0.01")}/orders.parquet")
+    // o_orderstatus is heavily skewed (3 values, 'O'+'F' dominate)
+    val plain = orders.groupBy("o_orderstatus")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+        count(col("o_orderkey")).as("n"),
+        min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+      .orderBy("o_orderstatus").collect()
+    val salted = Skew.saltedAggregate(
+      orders.withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+      Seq("o_orderstatus"),
+      Seq(Skew.AggSpec("sum", "o_totalprice", "total"),
+        Skew.AggSpec("count", "o_orderkey", "n"),
+        Skew.AggSpec("min", "o_orderkey", "lo"),
+        Skew.AggSpec("max", "o_orderkey", "hi")),
+      numSalts = 16)
+      .orderBy("o_orderstatus").collect()
+    assert(plain.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
+  }
+
+  test("hot-key split partitions rows exactly") {
+    val orders = spark.read.parquet(s"${testDataDir("0.01")}/orders.parquet")
+    val (hot, tail) = Skew.splitHotKeys(orders, "o_orderstatus", Seq("O"))
+    assert(hot.count() + tail.count() == orders.count())
+    assert(hot.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSeq == Seq("O"))
+  }
+
+  test("JDBC sink round-trips the warehouse table (embedded Derby)") {
+    val dbPath = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    val url = s"jdbc:derby:$dbPath/wh;create=true"
+    val wh = spark.read.parquet(s"${testDataDir("0.01")}/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .limit(500)
+    Warehouse.writeJdbc(wh, url, "ORDERS_WH", mode = "overwrite", batchSize = 100)
+    val back = Warehouse.readJdbc(spark, url, "ORDERS_WH")
+    assert(back.count() == 500)
+    assert(back.columns.map(_.toLowerCase).sorted.toSeq ==
+      Seq("o_orderdate", "o_orderkey", "o_orderstatus", "o_totalprice"))
+    val a = wh.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
