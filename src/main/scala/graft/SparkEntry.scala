@@ -198,6 +198,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_sim_topk_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+      operators.IvfIndex.topK(emb.filter(col("vec_id") < 16), emb, model,
+        k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val media = Multimodal.asMediaRecords(t(s, dir, "documents"), "doc_id", "text")

@@ -78,6 +78,63 @@ object CountryViews {
   def viewName(country: String): String =
     s"VIEW_${country.replace(' ', '_').toUpperCase}"
 
+  /** S6: the generated view DDL — the reference's Snowflake template
+    * (`view_generator.py:17-65`) re-expressed in Spark SQL over a registered
+    * warehouse table/view, deterministic tie-breaks included. */
+  def viewSql(country: String, warehouseTable: String,
+              asOfSql: String = "current_date()"): String = {
+    val name = viewName(country)
+    s"""CREATE OR REPLACE TEMPORARY VIEW $name AS
+       |WITH RankedCustomers AS (
+       |    SELECT
+       |        CUST_I, NAME, OPEN_DT, CONSUL_DT, VAC_ID, DR_NAME, STATE,
+       |        COUNTRY, DOB, FLAG,
+       |        year($asOfSql) - year(DOB) AS AGE,
+       |        CASE
+       |            WHEN datediff($asOfSql, CONSUL_DT) > 30
+       |            THEN TRUE
+       |            ELSE FALSE
+       |        END AS DAYS_SINCE_CONSUL_GT_30,
+       |        ROW_NUMBER() OVER (
+       |            PARTITION BY CUST_I
+       |            ORDER BY CONSUL_DT DESC NULLS LAST, OPEN_DT DESC NULLS LAST,
+       |                     VAC_ID ASC NULLS LAST, NAME ASC NULLS LAST
+       |        ) AS RowNum
+       |    FROM $warehouseTable
+       |)
+       |SELECT
+       |    CUST_I, NAME, OPEN_DT, CONSUL_DT, VAC_ID, DR_NAME, STATE,
+       |    COUNTRY, DOB, FLAG, AGE, DAYS_SINCE_CONSUL_GT_30
+       |FROM RankedCustomers
+       |WHERE RowNum = 1
+       |AND COUNTRY = '${country.replace("'", "''")}'
+       |""".stripMargin
+  }
+
+  /** S6: render one `VIEW_<C>.sql` file per country (the reference writes
+    * `scripts/dml/generated/VIEW_<C>.sql`, `view_generator.py:66-72`). */
+  def writeViewSqlFiles(countries: Seq[String], warehouseTable: String,
+                        outputDir: String,
+                        asOfSql: String = "current_date()"): Seq[String] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outputDir))
+    countries.map { c =>
+      val path = java.nio.file.Paths.get(outputDir, s"${viewName(c)}.sql")
+      java.nio.file.Files.writeString(path, viewSql(c, warehouseTable, asOfSql))
+      path.toString
+    }
+  }
+
+  /** S7: enumerate `*.sql` in a directory, sort by name, execute each —
+    * mirroring `execute_country_views` (`main.py:107-139`, incl. the
+    * filename sort at `main.py:119`). */
+  def executeViewSqlFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".sql")).map(_.getPath).sorted.toSeq
+    files.foreach(f => spark.sql(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(f))))
+    files
+  }
+
   /** S6+S7: register each country view as a temp view — the Spark-native
     * replacement for generating SQL text files and executing them remotely
     * (`view_generator.py:17-72`, `main.py:107-139`). Views are lazy: the

