@@ -155,6 +155,7 @@ object SparkEntry {
         .select(col("doc_id"),
           col("n_chars_actual").cast("long").as("n_chars_actual"),
           col("n_tokens").cast("long").as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
           col("n_punct").cast("long").as("n_punct"),
           col("n_stopwords").cast("long").as("n_stopwords"),
           col("mean_token_len"))
@@ -299,6 +300,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
         |  CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish,
         |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
         |  CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by|from|that|this)\b')) AS BIGINT) AS n_stopwords,
         |  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
