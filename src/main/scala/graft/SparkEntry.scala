@@ -177,9 +177,11 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("idA"), col("idB"))),
 
+    // maxHamming=6: tight enough that the pair set stays near-linear in
+    // corpus size (<=12 grows ~quadratically on vocabulary-limited text)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 12)
+        maxHamming = 6)
         .orderBy(col("idA"), col("idB"))),
 
     "q_dedup_embedding" -> ((s, dir) =>
