@@ -53,6 +53,51 @@ object Warehouse {
     (if (partitionByCountry) w.partitionBy("COUNTRY") else w).parquet(path)
   }
 
+  /** Incremental merge: combine the existing table with an update batch and
+    * keep, per key, the row ranking first by `orderCols` — the "latest
+    * consultation wins" dedup applied at load time instead of view time, so
+    * continuous ingest doesn't re-rank the full history on every query.
+    * One shuffle on the key, same as the view dedup it amortizes. */
+  def upsertLatest(existing: DataFrame, updates: DataFrame, keyCols: Seq[String],
+                   orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    existing.unionByName(updates, allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Compact a parquet directory to ~`targetMB` output files — small-file
+    * pressure is the classic failure mode of continuous partitioned appends.
+    * Rewrites to a temp dir then swaps, so a crash never leaves the table
+    * truncated. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetMB: Int = 256): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bytes = fs.getContentSummary(p).getLength
+    val files = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    spark.read.parquet(path).repartition(files)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.rename(p, bak)
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
+  }
+
+  /** Persist as a bucketed+sorted managed table: joins and aggregations on
+    * `bucketCols` against tables bucketed the same way need NO shuffle (the
+    * co-location strategy for repeated big-big joins at scale). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int = 16, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** S3/S4 JDBC variant — the reference's warehouse is a remote SQL store
     * reached through a connector (`snowflake_connector.py:166-246`); in Spark
     * the same sink is `format("jdbc")`, and the reference's manual chunk loop

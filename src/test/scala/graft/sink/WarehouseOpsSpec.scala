@@ -1,0 +1,57 @@
+package graft.sink
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class WarehouseOpsSpec extends SparkSpec {
+
+  test("upsertLatest keeps the winning row per key across batches") {
+    import spark.implicits._
+    val existing = Seq(
+      ("C1", "2024-01-01", "v1"), ("C2", "2024-02-01", "v1"),
+    ).toDF("CUST_I", "CONSUL_DT", "payload")
+      .withColumn("CONSUL_DT", col("CONSUL_DT").cast("date"))
+    val updates = Seq(
+      ("C1", "2024-03-01", "v2"), // newer → replaces
+      ("C2", "2023-12-01", "v2"), // older → ignored
+      ("C3", "2024-04-01", "v2"), // new key → inserted
+    ).toDF("CUST_I", "CONSUL_DT", "payload")
+      .withColumn("CONSUL_DT", col("CONSUL_DT").cast("date"))
+    val merged = Warehouse.upsertLatest(existing, updates, Seq("CUST_I"),
+      Seq(col("CONSUL_DT").desc_nulls_last, col("payload").desc))
+      .orderBy("CUST_I").collect()
+    assert(merged.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("C1", "v2"), ("C2", "v1"), ("C3", "v2")))
+  }
+
+  test("compact rewrites many small files into few") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    spark.range(10000).repartition(50).write.parquet(dir)
+    def parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts == 50)
+    Warehouse.compact(spark, dir, targetMB = 256)
+    assert(parts == 1)
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      val orders = spark.read.parquet(s"${testDataDir("0.01")}/orders.parquet")
+      Warehouse.writeBucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "orders_b", Seq("o_custkey"), numBuckets = 8)
+      Warehouse.writeBucketed(orders.select(col("o_custkey"), col("o_orderdate")),
+        "orders_b2", Seq("o_custkey"), numBuckets = 8)
+      val joined = spark.table("orders_b").join(spark.table("orders_b2"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS orders_b2")
+    }
+  }
+}
