@@ -319,6 +319,26 @@ object SparkEntry {
         |  CAST(LEAST(8, octet_length(encode(text)) // 100 + 1) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
 
+    // language-ID: the expression fold (replace when strictly greater over
+    // langs in order de,en,es,fr,zh) is exactly argmax-ties-to-earliest,
+    // which this CASE chain reproduces. Note \b is ASCII-word-boundary in
+    // both Java and RE2, so the CJK markers score 0 in both engines.
+    "q_text_langid" ->
+      """SELECT doc_id, CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr'
+        |  ELSE 'zh' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist)\b')) AS s_de,
+        |  len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is)\b')) AS s_en,
+        |  len(regexp_extract_all(text, '(?i)\b(el|la|los|que|es)\b')) AS s_es,
+        |  len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est)\b')) AS s_fr,
+        |  len(regexp_extract_all(text, '(?i)\b(的|是|了|在|我)\b')) AS s_zh
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
     "q_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events,
