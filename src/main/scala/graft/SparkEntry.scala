@@ -179,6 +179,12 @@ object SparkEntry {
 
     // maxHamming=6: tight enough that the pair set stays near-linear in
     // corpus size (<=12 grows ~quadratically on vocabulary-limited text)
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.2)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("idA"), col("idB"))),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 6)
@@ -318,6 +324,27 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS channels,
         |  CAST(LEAST(8, octet_length(encode(text)) // 100 + 1) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+        |  WHERE len(tk) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT idA, idB, ROUND(CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c), 6) AS jaccard
+        |FROM common
+        |JOIN sizes na ON na.doc_id = idA
+        |JOIN sizes nb ON nb.doc_id = idB
+        |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
+        |ORDER BY idA, idB""".stripMargin,
 
     // language-ID: the expression fold (replace when strictly greater over
     // langs in order de,en,es,fr,zh) is exactly argmax-ties-to-earliest,

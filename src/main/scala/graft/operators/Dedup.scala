@@ -142,6 +142,32 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard pairs via an inverted shingle index: explode
+    * shingles, self-join on the shingle (only pairs sharing ≥1 shingle ever
+    * meet — pairs sharing none have jaccard 0 and can't pass any positive
+    * threshold, so the result is complete), count intersections, derive
+    * |A∪B| = |A|+|B|-|A∩B|. Two hash shuffles (shingle, pair); no quadratic
+    * blowup. At extreme scale, ubiquitous "stop-shingles" (shared by a large
+    * fraction of docs) should be dropped before the join — the standard
+    * index-pruning mitigation for join skew. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0, "threshold must be positive for index completeness")
+    val sh = df.select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("idA"), col("s"))
+    val b = sh.select(col(idCol).as("idB"), col("s"))
+    val common = a.join(b, "s").filter(col("idA") < col("idB"))
+      .groupBy("idA", "idB").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col(idCol).as("idA"), col("n_sh").as("nA")), "idA")
+      .join(sizes.select(col(idCol).as("idB"), col("n_sh").as("nB")), "idB")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("nA") + col("nB") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
   /** Brute-force n-gram Jaccard pairs (reference/oracle path; quadratic —
     * only for validation and small frames). */
   def bruteJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -32,6 +32,17 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("inverted-index Jaccard equals brute-force cross-join exactly") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val brute = Dedup.bruteJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .collect().map(key).toSet
+    val indexed = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .collect().map(key).toSet
+    assert(brute.nonEmpty)
+    assert(indexed == brute)
+  }
+
   test("simhash near-dup pairs verified against direct popcount") {
     val sigs = Dedup.withSimhash(docs.select(col("doc_id"), col("text")))
       .select("doc_id", "simhash").collect()
