@@ -190,9 +190,20 @@ object SparkEntry {
         maxHamming = 6)
         .orderBy(col("idA"), col("idB"))),
 
+    // Headline embedding near-dup: the scale path — hyperplane-LSH bucketed
+    // candidates, exact cosine verify (approximate-by-design → in-JVM
+    // subset/recall spec in OperatorsSpec, no DuckDB oracle).
     "q_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.2, exact = true)
+        threshold = 0.2, exact = false)
+        .orderBy(col("idA"), col("idB"))),
+
+    // Exact all-pairs variant on a bounded slice — quadratic on purpose and
+    // only ever run on a broadcast-sized subset; carries the DuckDB oracle.
+    "q_dedup_embedding_exact" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", threshold = 0.2, exact = true)
         .orderBy(col("idA"), col("idB"))),
 
     "q_sim_topk" -> ((s, dir) => {
@@ -376,13 +387,14 @@ object SparkEntry {
     // (NOT list_cosine_similarity, which computes in float32 and diverges in
     // the 7th decimal) — verified bit-identical to Spark's sequential
     // zip_with/aggregate double summation.
-    "q_dedup_embedding" ->
+    "q_dedup_embedding_exact" ->
       """SELECT a.vec_id AS idA, b.vec_id AS idB,
         |  ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |WHERE a.vec_id < 200 AND b.vec_id < 200
+        |  AND list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.2
         |ORDER BY idA, idB""".stripMargin,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for embedding math — the hot path of the
   * similarity/near-dup operators runs these once per candidate pair, so they
@@ -88,6 +88,56 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** |A ∩ B| for two SORTED, duplicate-free array<long> columns via a linear
+  * merge — the verify step of the set-similarity join runs this once per
+  * candidate pair, where a generic `array_intersect` would build a hash set
+  * per call over boxed elements. Inputs MUST be sorted ascending (the
+  * operator sorts once per document, not per pair). */
+case class SortedLongIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -97,6 +147,10 @@ object VectorExpressions {
 
   def float_vec_norm(v: Column): Column =
     ColumnBridge.column(FloatVecNorm(ColumnBridge.expression(v)))
+
+  def sorted_long_intersect_size(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectSize(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
 
   /** Register for spark.sql use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -83,7 +83,8 @@ object Dedup {
     val ps = perms(k)
     udf { (shingles: Seq[String]) =>
       val sig = Array.fill(k)(Long.MaxValue)
-      shingles.foreach { s =>
+      val safe = if (shingles == null) Seq.empty[String] else shingles
+      safe.foreach { s =>
         val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL
         var i = 0
         while (i < k) {
@@ -142,26 +143,63 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
-  /** EXACT n-gram Jaccard pairs via an inverted shingle index: explode
-    * shingles, self-join on the shingle (only pairs sharing ≥1 shingle ever
-    * meet — pairs sharing none have jaccard 0 and can't pass any positive
-    * threshold, so the result is complete), count intersections, derive
-    * |A∪B| = |A|+|B|-|A∩B|. Two hash shuffles (shingle, pair); no quadratic
-    * blowup. At extreme scale, ubiquitous "stop-shingles" (shared by a large
-    * fraction of docs) should be dropped before the join — the standard
-    * index-pruning mitigation for join skew. */
+  /** EXACT n-gram Jaccard pairs at scale via a PREFIX-FILTERED inverted
+    * index (the AllPairs/PPJoin principle — Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW'07; Xiao et al., PPJoin, WWW'08).
+    *
+    * Shingles get a global total order = (document-frequency ASC, shingle
+    * ASC); each doc indexes only its PREFIX — the first
+    * `|sh| - ceil(t*|sh|) + 1` shingles under that order.
+    *
+    * THEOREM (completeness): if jaccard(A,B) ≥ t, the smallest shared
+    * shingle s = min(A∩B) lies in both prefixes. If s were outside A's
+    * prefix, every shared shingle (all ≥ s in the order) would sit among
+    * A's last `ceil(t*|A|) - 1` shingles, so |A∩B| ≤ ceil(t*|A|) - 1
+    * < t*|A| ≤ t*|A∪B| ≤ |A∩B| — contradiction; symmetrically for B. So a
+    * self-join on prefix shingles alone finds every qualifying pair, and
+    * exact-jaccard verification on the full shingle arrays makes the output
+    * identical to the brute-force cross-join (spec-asserted).
+    *
+    * This is also the skew fix: a stop-shingle shared by half the corpus
+    * has maximal df, sits at the END of the order, and enters a doc's
+    * prefix only when the doc consists almost entirely of such shingles —
+    * the join key fan-out is pruned hardest exactly where the old inverted
+    * index was near-quadratic. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0, "threshold must be positive for index completeness")
-    val sh = df.select(col(idCol), explode(shingles(col(textCol), n)).as("s"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("idA"), col("s"))
-    val b = sh.select(col(idCol).as("idB"), col("s"))
-    val common = a.join(b, "s").filter(col("idA") < col("idB"))
-      .groupBy("idA", "idB").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col(idCol).as("idA"), col("n_sh").as("nA")), "idA")
-      .join(sizes.select(col(idCol).as("idB"), col("n_sh").as("nB")), "idB")
+    // Shingles hash to 64-bit keys immediately: every downstream shuffle —
+    // doc-frequency groupBy, prefix self-join, pair distinct — keys on a
+    // long instead of an n-gram string (2-3x smaller exchanges), and the
+    // per-pair verify is a linear merge over sorted long arrays in a native
+    // codegen expression instead of a per-call hash-set `array_intersect`.
+    // Exactness is modulo 64-bit hash collisions (~|shingles|^2 / 2^64;
+    // the brute-force-equivalence spec would catch one on the fixtures).
+    val withSh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      .select(col("id"),
+        sort_array(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
+    val sh = withSh.select(col("id"), explode(col("sh")).as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val ordered = sh.join(dfreq, "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
+    val prefixLen =
+      (size(col("arr")) - ceil(lit(threshold) * size(col("arr"))) + 1).cast("int")
+    val prefix = ordered
+      .select(col("id"), explode(slice(col("arr"), lit(1), prefixLen)).as("e"))
+      .select(col("id"), col("e.h").as("h"))
+    val cands = prefix.select(col("id").as("idA"), col("h"))
+      .join(prefix.select(col("id").as("idB"), col("h")), "h")
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    val a = withSh.select(col("id").as("idA"), col("sh").as("shA"),
+      size(col("sh")).as("nA"))
+    val b = withSh.select(col("id").as("idB"), col("sh").as("shB"),
+      size(col("sh")).as("nB"))
+    cands.join(a, "idA").join(b, "idB")
+      .withColumn("c",
+        graft.expr.VectorExpressions.sorted_long_intersect_size(col("shA"), col("shB")))
       .withColumn("jaccard",
         col("c").cast("double") / (col("nA") + col("nB") - col("c")))
       .filter(col("jaccard") >= threshold)
@@ -183,10 +221,12 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash UDF over word tokens (frequency-weighted). */
+  /** 64-bit SimHash UDF over word tokens (frequency-weighted). Null token
+    * array (null text upstream) hashes to the empty-document signature 0. */
   val simhashUdf = udf { (toks: Seq[String]) =>
     val acc = new Array[Int](64)
-    toks.foreach { t =>
+    val safe = if (toks == null) Seq.empty[String] else toks
+    safe.foreach { t =>
       val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL |
         (scala.util.hashing.MurmurHash3.stringHash(t, 7919).toLong & 0xffffffffL) << 32
       var j = 0
@@ -202,27 +242,47 @@ object Dedup {
                   out: String = "simhash"): DataFrame =
     df.withColumn(out, simhashUdf(tokens(col(textCol))))
 
-  /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
-    * (guarantees recall for hamming ≤ 3), verified by exact popcount. */
+  /** SimHash near-dup pairs, verified by exact popcount.
+    *
+    * Banding: the 64-bit signature splits into 7 disjoint chunks (widths
+    * 10,9,9,9,9,9,9). By pigeonhole, a pair with hamming ≤ 6 differs in at
+    * most 6 chunks, so it agrees on ≥1 whole chunk — candidate recall is
+    * GUARANTEED for `maxHamming ≤ 6` (pairs beyond 6 surface only if they
+    * happen to share a chunk, with no guarantee).
+    *
+    * Skew guard: candidates come from a group-collect per (band, bucket)
+    * with the same `maxBucket` cap as the MinHash path — a degenerate
+    * bucket (vocabulary-collapsed content hashing to one chunk value) is
+    * dropped rather than exploding quadratically. Each member carries its
+    * full signature through the collect, so hamming verification is
+    * computed straight off the exploded pair (no join back to the corpus),
+    * and the `hamming ≤ maxHamming` cut runs BEFORE the pair-dedup shuffle
+    * so only verified near-dups are ever exchanged. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
     val sigs = withSimhash(df.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), col("simhash"))
-    val chunks = array((0 until 4).map { j =>
+    val widths = Seq(10, 9, 9, 9, 9, 9, 9)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunks = array(widths.indices.map { j =>
       struct(lit(j).as("band"),
-        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+        shiftrightunsigned(col("simhash"), offsets(j))
+          .bitwiseAND(lit((1L << widths(j)) - 1)).as("bucket"))
     }: _*)
-    val bucketed = sigs.select(col(idCol), col("simhash"), explode(chunks).as("bb"))
-      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.bucket"))
-    val a = bucketed.select(col("band"), col("bucket"),
-      col(idCol).as("idA"), col("simhash").as("sigA"))
-    val b = bucketed.select(col("band"), col("bucket"),
-      col(idCol).as("idB"), col("simhash").as("sigB"))
-    a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        bit_count(col("sigA").bitwiseXOR(col("sigB"))).as("hamming"))
-      .distinct()
+    val bucketed = sigs
+      .select(col(idCol).as("id"), col("simhash").as("sig"), explode(chunks).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val grouped = bucketed.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+    grouped
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------------------ embedding near-dup

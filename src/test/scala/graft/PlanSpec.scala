@@ -40,15 +40,33 @@ class PlanSpec extends SparkSpec {
       "expect partial + final window group limits")
   }
 
-  test("embedding pairs: broadcast nested loop, codegen'd vector math") {
+  test("embedding pairs headline: LSH-bucketed equi-join, no quadratic scan") {
     val p = plan("q_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "headline near-dup must not run an all-pairs join — that dies at 100x corpus")
+    assert(p.contains("band") && p.contains("bucket"),
+      "candidates must come from the hyperplane band/bucket equi-join")
+    assert(p.contains("float_vec_dot"), "native expression missing from plan")
+  }
+
+  test("embedding pairs exact variant: broadcast nested loop, in-join threshold") {
+    val p = plan("q_dedup_embedding_exact")
     assert(p.contains("BroadcastNestedLoopJoin"),
       "one side must broadcast; a shuffled cartesian would be strictly worse")
-    assert(p.contains("float_vec_dot"), "native expression missing from plan")
     // the >=threshold cut must run inside the join (pairs never materialize)
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastNestedLoopJoin") && l.contains("float_vec_dot")),
       "similarity threshold must be evaluated in the join condition")
+  }
+
+  test("simhash: capped group-collect candidates, hamming filter before distinct") {
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("collect_list"),
+      "candidates must come from the capped bucket group-collect")
+    // the verify cut must appear as a Filter on hamming, upstream of the
+    // final pair HashAggregate(distinct) — i.e. bit_count runs pre-exchange
+    assert(p.contains("bit_count"), "popcount verify missing from plan")
   }
 
   test("join revenue: dims broadcast, fact tables shuffle-joined") {

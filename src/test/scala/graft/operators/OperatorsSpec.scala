@@ -55,13 +55,47 @@ class OperatorsSpec extends SparkSpec {
       assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == h)
       assert(h <= 12 && a < b)
     }
-    // recall guarantee: 4 x 16-bit chunks guarantee every hamming<=3 pair
+    // recall guarantee: 7 disjoint chunks guarantee every hamming<=6 pair
+    // (pigeonhole: <=6 differing bits can touch at most 6 of 7 chunks)
     val close = for {
       (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
-      if java.lang.Long.bitCount(sa ^ sb) <= 3
+      if java.lang.Long.bitCount(sa ^ sb) <= 6
     } yield (a, b)
     val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     close.foreach(p => assert(found.contains(p), s"missed guaranteed pair $p"))
+  }
+
+  test("embedding LSH near-dup pairs are a subset of exact with identical cosine") {
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, exact = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"LSH returned non-pair $pair")
+      assert(math.abs(exact(pair) - c) < 1e-12, s"cosine mismatch on $pair")
+    }
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    info(s"embedding LSH near-dup recall: $recall (${lsh.size}/${exact.size})")
+    assert(recall >= 0.2, s"recall $recall collapsed — bucketing broken?")
+  }
+
+  test("null/empty text is safe across dedup signatures") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    // none of these may NPE; null text maps to the empty-document signature
+    // (empty STRING differs: split("") is [""], one empty token — fine)
+    val sim = Dedup.withSimhash(df).select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sim(1L) == 0L)
+    val mh = df.select(col("doc_id"),
+        Dedup.minhashSignatureUdf(16)(Dedup.shingles(col("text"), 3)).as("sig"))
+      .collect()
+    assert(mh.length == 3)
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.2).count() >= 0)
   }
 
   test("LSH top-k recall vs brute-force cosine") {
