@@ -24,6 +24,7 @@ object Pipeline {
   final case class Result(
       warehouse: DataFrame,
       quarantineCount: Long,
+      quarantinePath: Option[String],
       validCount: Long,
       countries: Seq[String],
       views: Seq[String])
@@ -35,7 +36,8 @@ object Pipeline {
     val annotated = validated.annotated.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val quarantine = validated.quarantine
-      Validator.saveInvalidRecords(quarantine, s"$outDir/invalid_records")
+      val quarantinePath =
+        Validator.saveInvalidRecords(quarantine, s"$outDir/invalid_records")
       val quarantineCount = quarantine.count()
 
       val valid = validated.validRecords
@@ -45,7 +47,8 @@ object Pipeline {
       val warehouse = spark.read.parquet(s"$outDir/warehouse")
       val countries = CountryViews.distinctCountries(warehouse)
       val views = CountryViews.registerCountryViews(spark, warehouse, countries, asOf)
-      Result(warehouse, quarantineCount, warehouse.count(), countries, views)
+      Result(warehouse, quarantineCount, quarantinePath, warehouse.count(),
+        countries, views)
     } finally annotated.unpersist()
   }
 }

@@ -83,6 +83,21 @@ object Harmonizer {
 
   def headerMatches(header: String): Boolean = header == Schemas.expectedHeader
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** P2 wired into the load path: probe one layout for an embedded `|H|`
+    * header row and WARN (only — never fail) on mismatch, reproducing
+    * `data_validator.py:227-230` + `:37-50`. Returns Some(matched) when an
+    * embedded header exists, None otherwise; the 1-row probe is bounded
+    * driver work per layout, not per file. */
+  def checkEmbeddedHeader(df: DataFrame): Option[Boolean] =
+    extractEmbeddedHeader(df).map { h =>
+      val ok = headerMatches(h)
+      if (!ok) log.warn(
+        s"Header does not match expected format.\nExpected: ${Schemas.expectedHeader}\nReceived: $h")
+      ok
+    }
+
   /** S1/S2: read one CSV layout all-string (`inferSchema=false` reproduces
     * the reference's string-first ingestion, `data_validator.py:141-143`). */
   def readCsv(spark: SparkSession, paths: Seq[String]): DataFrame =
@@ -119,7 +134,9 @@ object Harmonizer {
   def loadGrouped(spark: SparkSession, groups: Map[String, Seq[String]]): DataFrame = {
     require(groups.nonEmpty, "no CSV files found to load")
     val frames = groups.toSeq.sortBy(_._1).map { case (_, paths) =>
-      harmonizeWith(readCsv(spark, paths), Some(countryFromFileName))
+      val raw = readCsv(spark, paths)
+      checkEmbeddedHeader(raw) // P2: warn-only embedded-header layout check
+      harmonizeWith(raw, Some(countryFromFileName))
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }

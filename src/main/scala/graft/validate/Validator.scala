@@ -88,8 +88,22 @@ object Validator {
     Validated(withParsed)
   }
 
-  /** S5: quarantine sink — CSV with header, like the reference's
-    * `data/invalid_records/invalid_records_<ts>.csv` (`data_validator.py:195-216`). */
-  def saveInvalidRecords(quarantine: DataFrame, path: String): Unit =
-    quarantine.write.mode("overwrite").option("header", "true").csv(path)
+  /** S5: quarantine sink — CSV with header, with the reference's timestamped
+    * artifact naming (`data_validator.py:195-216`): each run lands in a fresh
+    * `invalid_records_<yyyyMMdd_HHmmss>` directory under `dir`, so successive
+    * runs ACCUMULATE (a user diffing runs sees one artifact per run, as with
+    * the reference's per-run CSV file) and an empty quarantine writes nothing
+    * (the reference skips empty too). Returns the written path, if any.
+    * `timestamp` is injectable for deterministic tests. */
+  def saveInvalidRecords(quarantine: DataFrame, dir: String,
+                         timestamp: Option[String] = None): Option[String] = {
+    if (quarantine.isEmpty) None
+    else {
+      val ts = timestamp.getOrElse(java.time.LocalDateTime.now.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")))
+      val path = s"$dir/invalid_records_$ts"
+      quarantine.write.mode("errorifexists").option("header", "true").csv(path)
+      Some(path)
+    }
+  }
 }

@@ -34,12 +34,51 @@ class PipelineSpec extends SparkSpec {
 
   test("validation: one quarantined row (invalid mandatory Open_Date)") {
     assert(result.quarantineCount == 1)
-    val q = spark.read.option("header", "true").csv(s"$outDir/invalid_records")
+    // timestamped artifact naming per reference data_validator.py:195-216:
+    // one invalid_records_<yyyyMMdd_HHmmss> directory per run, accumulated
+    val path = result.quarantinePath.get
+    assert(new java.io.File(path).getName.matches("invalid_records_\\d{8}_\\d{6}"))
+    val q = spark.read.option("header", "true").csv(path)
     val row = q.collect().head
     assert(row.getAs[String]("Customer_Name") == "Jonnathan")
     assert(row.getAs[String]("Validation_Error") ==
       "Invalid month: 20 (must be between 1 and 12)")
     assert(row.getAs[String]("Invalid_Field") == "Open_Date")
+  }
+
+  test("quarantine runs accumulate; empty quarantine writes no artifact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
+    val raw = Harmonizer.loadSourceData(spark, dataDir)
+    val v = Validator.validate(raw)
+    val p1 = Validator.saveInvalidRecords(v.quarantine, dir, Some("20260812_000001"))
+    val p2 = Validator.saveInvalidRecords(v.quarantine, dir, Some("20260812_000002"))
+    assert(p1.get.endsWith("invalid_records_20260812_000001"))
+    assert(p2.get.endsWith("invalid_records_20260812_000002"))
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("invalid_records_")) == 2)
+    val empty = v.quarantine.filter(lit(false))
+    assert(Validator.saveInvalidRecords(empty, dir, Some("20260812_000003")).isEmpty)
+  }
+
+  test("P2: mismatched embedded header warns only — rows unaffected") {
+    import spark.implicits._
+    val bad = Seq(
+      ("|H|Wrong|Header|Layout", "x"),
+      ("Alice", "1"), ("Bob", "2"),
+    ).toDF("Name", "ID")
+    // mismatch is reported but load semantics are unchanged (warn-only)
+    assert(Harmonizer.checkEmbeddedHeader(bad).contains(false))
+    assert(Harmonizer.harmonize(bad).count() == 2)
+    val good = Seq(
+      (graft.schema.Schemas.expectedHeader, "x"),
+      ("Alice", "1"),
+    ).toDF("Name", "ID")
+    assert(Harmonizer.checkEmbeddedHeader(good).contains(true))
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val noHeader = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("Name", StringType), StructField("ID", StringType))))
+    assert(Harmonizer.checkEmbeddedHeader(noHeader).isEmpty)
   }
 
   test("valid records: 8 rows, typed dates, physical names") {
