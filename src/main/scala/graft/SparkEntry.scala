@@ -166,9 +166,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Fingerprint: the harness row oracles the ANSI-expressible half (the
+    // canonical normalized form); the engine-specific xxhash64 of it is
+    // determinism/stability-checked in OperatorsSpec.
     "q_text_fingerprint" -> ((s, dir) =>
-      TextAnalysis.withFingerprint(t(s, dir, "documents"))
-        .select(col("doc_id"), col("fingerprint"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintNormalized(col("text")).as("fp_norm"),
+          length(TextAnalysis.fingerprintNormalized(col("text"))).cast("long").as("fp_len"))
         .orderBy(col("doc_id"))),
 
     "q_dedup_minhash" -> ((s, dir) =>
@@ -226,6 +231,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with nprobe = k probes every inverted list, so the result provably
+    // equals exact brute-force top-k — a DuckDB-oracled row proving the whole
+    // IVF machinery (train→assign→probe→rerank) is lossless end-to-end. The
+    // nprobe=4 variant above stays the approximate headline (recall-spec'd).
+    "q_sim_topk_ivf_full" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+      operators.IvfIndex.topK(emb.filter(col("vec_id") < 16), emb, model,
+        k = 10, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val media = Multimodal.asMediaRecords(t(s, dir, "documents"), "doc_id", "text")
@@ -244,6 +261,56 @@ object SparkEntry {
         s"events_windowed_${streamCounter.incrementAndGet()}")
         .orderBy(col("window_start"), col("event_type"))),
   )
+
+  /** Double-precision cosine between two embedding columns in DuckDB list
+    * math — the exact sequential-accumulation form that is bit-identical to
+    * the Spark native expression (NOT list_cosine_similarity: float32). */
+  private def cosineSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Full SQL re-derivation of the hyperplane-LSH top-k: the seed-7 gaussian
+    * planes are data-INDEPENDENT constants, so the oracle embeds them as
+    * literals and recomputes signature bits, band buckets, candidate join,
+    * and the exact cosine rerank — an independent DuckDB implementation of
+    * the whole approximate pipeline, hash-compared end-to-end. Sign bits
+    * agree because the dot products are bit-identical doubles. */
+  private lazy val lshTopkOracleSql: String = {
+    val planes = operators.Similarity.hyperplanesFor(64)
+    val bits = operators.Similarity.SignatureBits
+    val bands = operators.Similarity.Bands
+    val rows = bits / bands
+    val mask = (1 << rows) - 1
+    val sigTerms = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $arr), x -> CAST(x[1] AS DOUBLE) * x[2])) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, $sigTerms AS sig FROM embeddings
+       |),
+       |bucketed AS (
+       |  SELECT vec_id, b.band, (sig >> (b.band * $rows)) & $mask AS bucket
+       |  FROM sigs, (SELECT unnest(range(0, $bands)) AS band) b
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bucketed q JOIN bucketed c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = query_id
+       |  JOIN embeddings c ON c.vec_id = neighbor_id
+       |)
+       |SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_w1_latest_order" ->
@@ -412,9 +479,35 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 16) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    // q_text_langid / q_text_fingerprint / q_dedup_minhash / q_dedup_simhash /
-    // q_sim_topk_lsh: not ANSI-expressible (engine-specific hash functions /
-    // approximate-by-design) → driver rows-only check + ScalaTest oracles in
-    // OperatorsSpec.
+
+    // nprobe = k probes all lists ⇒ provably identical to exact top-k, so
+    // the exact-cosine oracle applies verbatim.
+    "q_sim_topk_ivf_full" ->
+      """SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 16) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_sim_topk_lsh" -> lshTopkOracleSql,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp_norm,
+        |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS fp_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_text_langid has its own oracle above. Still oracle-less by nature:
+    // q_dedup_minhash / q_dedup_simhash (MurmurHash3 signatures — engine-
+    // specific), q_dedup_embedding / q_sim_topk_ivf (approximate headline
+    // variants whose exact siblings q_dedup_embedding_exact /
+    // q_sim_topk_ivf_full carry the hash-matched oracles) → driver rows-only
+    // check + ScalaTest subset/recall oracles in OperatorsSpec.
   )
 }

@@ -69,6 +69,9 @@ object Similarity {
     * so executors build them once, not per row. */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  /** Public (read-only) accessor: the oracle harness re-derives the exact
+    * signature computation in SQL from these data-independent constants. */
+  def hyperplanesFor(dim: Int): Array[Array[Double]] = hyperplanes(dim).map(_.clone())
   private def hyperplanes(dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent(dim, d => {
       val rnd = new scala.util.Random(7)

@@ -69,12 +69,19 @@ object TextAnalysis {
     df.withColumn(out, best.getField("lang"))
   }
 
+  /** Canonical form the fingerprint hashes: lowercased, trimmed, whitespace
+    * runs collapsed to single spaces. Exposed separately because the
+    * normalization IS ANSI-expressible (DuckDB-oracled via
+    * `q_text_fingerprint`) while the 64-bit hash of it is engine-specific
+    * (xxhash64 — determinism/stability spec-checked in OperatorsSpec). */
+  def fingerprintNormalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
   /** 64-bit document fingerprint: polynomial rolling hash over the
     * whitespace-normalized text (content-defined, order-sensitive). Built
     * from Spark's codegen'd xxhash64 over the normalized form — one shuffle-
     * free projection. */
-  def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+  def fingerprint(text: Column): Column = xxhash64(fingerprintNormalized(text))
 
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))

@@ -127,6 +127,13 @@ class OperatorsSpec extends SparkSpec {
       IvfIndex.train(emb, "vec_id", "embedding", k = 16), k = 10, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(ivf == ivf2)
+    // nprobe = k probes every list ⇒ IVF degrades gracefully to EXACT:
+    // row-for-row identical to brute force (ranks, ids, cosines)
+    val full = IvfIndex.topK(queries, emb, model, k = 10, nprobe = 16)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val exactRows = Similarity.cosineTopK(queries, emb, k = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full == exactRows)
   }
 
   test("fingerprint is stable and collision-free on distinct fixture docs") {
