@@ -243,9 +243,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Synthetic PNG/GIF/WAV containers (real magic bytes + header fields,
+    // deterministic in doc_id) are decoded by genuine header parsing; the
+    // oracle recomputes the expected features from doc_id by construction.
     "q_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val media = Multimodal.asMediaRecords(t(s, dir, "documents"), "doc_id", "text")
+      val media = Multimodal.syntheticMediaRecords(t(s, dir, "documents"), "doc_id")
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"),
           col("n_bytes").cast("long").as("n_bytes"),
@@ -394,13 +397,16 @@ object SparkEntry {
         |       ELSE 0.0 END AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Expected features recomputed from doc_id by the synthesis formulas —
+    // the Spark side must recover them by PARSING the container bytes, so a
+    // broken parser (endianness, offset, magic) breaks the hash match.
     "q_multimodal_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
-        |  CAST(64 + (octet_length(encode(text)) * 31) % 512 AS BIGINT) AS height,
-        |  CAST(3 AS BIGINT) AS channels,
-        |  CAST(LEAST(8, octet_length(encode(text)) // 100 + 1) AS BIGINT) AS n_frames
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100 AS BIGINT) AS n_bytes,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 512 WHEN 1 THEN 32 + doc_id % 256 ELSE 8000 + (doc_id % 8) * 1000 END AS BIGINT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 31) % 512 WHEN 1 THEN 32 + (doc_id * 7) % 256 ELSE 16 END AS BIGINT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 1 + doc_id % 2 END AS BIGINT) AS channels,
+        |  CAST(LEAST(8, (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100) // 100 + 1) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_dedup_ngram" ->

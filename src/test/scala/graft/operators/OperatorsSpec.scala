@@ -163,6 +163,33 @@ class OperatorsSpec extends SparkSpec {
       s"text '${r.getAs[String]("text")}'"))
   }
 
+  test("container header parsing: PNG/GIF/WAV/JPEG round-trip, fallback on junk") {
+    // synthetic payloads parse back to their construction parameters
+    for (id <- 0L until 300L) {
+      val bytes = Multimodal.syntheticPayload(id)
+      val (w, h, c) = Multimodal.decodeHeader(bytes).get
+      (id % 3) match {
+        case 0 =>
+          assert(w == 64 + id % 512 && h == 64 + (id * 31) % 512 && c == 3)
+        case 1 =>
+          assert(w == 32 + id % 256 && h == 32 + (id * 7) % 256 && c == 3)
+        case _ =>
+          assert(w == 8000 + (id % 8) * 1000 && h == 16 && c == 1 + id % 2)
+      }
+      assert(bytes.length ==
+        (id % 3 match { case 0 => 33; case 1 => 13; case _ => 44 }) + id % 100)
+    }
+    // JPEG: SOF0 after an APP0 segment — marker scan must skip by length
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0, len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x01, 0x40, 0x02, 0x80, 0x03, 0x01, 0x22, 0x00
+    ).map(_.toByte)
+    assert(Multimodal.decodeHeader(jpeg).contains((640, 320, 3)))
+    // unrecognized bytes fall back to the stub path
+    assert(Multimodal.decodeHeader("not a container".getBytes).isEmpty)
+    assert(Multimodal.decodeHeader(Array.empty[Byte]).isEmpty)
+  }
+
   test("multimodal feature extraction preserves ids and batch shape") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val media = Multimodal.asMediaRecords(docs, "doc_id", "text")
