@@ -150,15 +150,19 @@ object SparkEntry {
         .orderBy(col("key5"))
     }),
 
+    // All six stats project from ONE fused text_profile scan per row.
     "q_text_stats" -> ((s, dir) =>
-      TextAnalysis.withQualityColumns(t(s, dir, "documents"))
+      t(s, dir, "documents")
+        .withColumn("__p", TextAnalysis.profile(col("text")))
         .select(col("doc_id"),
-          col("n_chars_actual").cast("long").as("n_chars_actual"),
-          col("n_tokens").cast("long").as("n_tokens"),
-          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
-          col("n_punct").cast("long").as("n_punct"),
-          col("n_stopwords").cast("long").as("n_stopwords"),
-          col("mean_token_len"))
+          col("__p.n_chars").cast("long").as("n_chars_actual"),
+          coalesce(col("__p.n_tokens"), lit(0)).cast("long").as("n_tokens"),
+          col("__p.n_bpeish").cast("long").as("n_bpeish"),
+          col("__p.n_punct").cast("long").as("n_punct"),
+          col("__p.n_stopwords").cast("long").as("n_stopwords"),
+          when(col("__p.n_tokens") > 0,
+            col("__p.n_nonspace").cast("double") / col("__p.n_tokens"))
+            .otherwise(lit(0.0)).as("mean_token_len"))
         .orderBy(col("doc_id"))),
 
     "q_text_langid" -> ((s, dir) =>

@@ -10,64 +10,49 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count: number of `\S+` runs. */
+  /** The fused single-pass profile struct (see [[graft.expr.TextOps]]): all
+    * quality stats and language scores from ONE scan of the text — at corpus
+    * scale this replaces 7 per-row Java-regex passes, the difference between
+    * IO-bound and regex-bound on the 100 TB hot path. Semantics are
+    * regex-equivalent, property-tested in TextExprPropsSpec. */
+  def profile(text: Column): Column = graft.expr.TextExpressions.text_profile(text)
+
+  /** Whitespace token count: number of elements of split(trim(text), "\s+")
+    * (empty/null → 0), computed from the fused profile. */
   def tokenCount(text: Column): Column =
-    when(trim(text) === "" || text.isNull, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    coalesce(profile(text).getField("n_tokens"), lit(0))
 
   /** BPE-ish token count: word pieces + standalone punctuation, the classic
-    * pre-tokenizer regex shape. Uses codegen'd regexp_count. */
+    * pre-tokenizer shape — a field of the fused single-pass profile. */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
-
-  private val punctRe = "[^.,;:!?]"
-  private val stopwords = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
-    "on", "with", "as", "at", "by", "from", "that", "this")
+    profile(text).getField("n_bpeish")
 
   /** Quality-scoring columns: length, token counts, punctuation density,
     * stopword ratio, mean token length — the standard heuristic filters for
-    * web-scale corpus cleaning. One projection, codegen end-to-end. */
+    * web-scale corpus cleaning. One projection over ONE fused scan; null
+    * text reproduces the regex columns' null/zero mix exactly. */
   def withQualityColumns(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val toks = tokenCount(t)
-    val stopPattern = "(?i)\\b(" + stopwords.mkString("|") + ")\\b"
-    df.withColumn("n_chars_actual", length(t))
-      .withColumn("n_tokens", toks)
-      .withColumn("n_punct", length(regexp_replace(t, punctRe, "")))
-      .withColumn("n_stopwords", regexp_count(t, lit(stopPattern)))
+    val p = profile(col(textCol))
+    val toks = p.getField("n_tokens")
+    df.withColumn("n_chars_actual", p.getField("n_chars"))
+      .withColumn("n_tokens", coalesce(toks, lit(0)))
+      .withColumn("n_punct", p.getField("n_punct"))
+      .withColumn("n_stopwords", p.getField("n_stopwords"))
       .withColumn("mean_token_len",
         when(toks > 0,
-          (length(regexp_replace(t, "\\s+", "")).cast("double") / toks))
+          p.getField("n_nonspace").cast("double") / toks)
           .otherwise(lit(0.0)))
   }
 
-  /** Stopword tables for the n-gram language-ID heuristic. Tiny, broadcast
-    * as literals inside the expression (no join). */
-  private val langMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "es" -> Seq("el", "la", "los", "que", "es"),
-    "fr" -> Seq("le", "la", "les", "et", "est"),
-    "zh" -> Seq("的", "是", "了", "在", "我"))
-
   /** Heuristic language ID: score = marker-word hit count per language,
-    * argmax with deterministic lexicographic tie-break. Pure expression —
-    * a `greatest`/`when` cascade, no UDF. */
+    * argmax with deterministic alphabetical tie-break — the `lang` field of
+    * the fused single-pass profile (marker tables live as constants inside
+    * the expression; no join, no regex). Null text resolves to "de", the
+    * all-zero-tie answer the regex fold produced. */
   def withLangId(df: DataFrame, textCol: String = "text",
-                 out: String = "lang_pred"): DataFrame = {
-    val t = col(textCol)
-    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val pat = "(?i)\\b(" + words.mkString("|") + ")\\b"
-      lang -> regexp_count(t, lit(pat))
-    }
-    // argmax by (score, reversed-lang) so ties pick the alphabetically first
-    val best = scores.map { case (lang, s) =>
-      struct(s.as("score"), lit(lang).as("lang"))
-    }.reduce((a, b) =>
-      when(b.getField("score") > a.getField("score"), b).otherwise(a))
-    df.withColumn(out, best.getField("lang"))
-  }
+                 out: String = "lang_pred"): DataFrame =
+    df.withColumn(out,
+      coalesce(profile(col(textCol)).getField("lang"), lit("de")))
 
   /** Canonical form the fingerprint hashes: lowercased, trimmed, whitespace
     * runs collapsed to single spaces. Exposed separately because the
