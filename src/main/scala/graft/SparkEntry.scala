@@ -199,6 +199,19 @@ object SparkEntry {
         maxHamming = 6)
         .orderBy(col("idA"), col("idB"))),
 
+    // End-to-end corpus dedup: exact n-gram pairs → connected components →
+    // min-id survivor per duplicate cluster (singletons survive alone).
+    "q_dedup_cc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.2)
+      Dedup.connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
+        .select(col("id").as("doc_id"),
+          col("component").cast("long").as("component"),
+          (col("component") === col("id")).as("survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Headline embedding near-dup: the scale path — hyperplane-LSH bucketed
     // candidates, exact cosine verify (approximate-by-design → in-JVM
     // subset/recall spec in OperatorsSpec, no DuckDB oracle).
@@ -434,10 +447,44 @@ object SparkEntry {
         |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
         |ORDER BY idA, idB""".stripMargin,
 
+    // Same ngram-pair derivation as q_dedup_ngram, then connected components
+    // as a recursive reachability closure: cc holds (node, label) for every
+    // label that reaches the node through the symmetric edge set; MIN per
+    // node = the component's minimum id — exactly the propagation fixpoint.
+    "q_dedup_cc" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+        |  WHERE len(tk) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT idA, idB FROM common
+        |  JOIN sizes na ON na.doc_id = idA
+        |  JOIN sizes nb ON nb.doc_id = idB
+        |  WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2),
+        |edges AS (SELECT idA AS src, idB AS dst FROM pairs UNION ALL SELECT idB AS src, idA AS dst FROM pairs),
+        |cc(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
+        |)
+        |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component, (MIN(label) = id) AS survivor
+        |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // language-ID: the expression fold (replace when strictly greater over
     // langs in order de,en,es,fr,zh) is exactly argmax-ties-to-earliest,
-    // which this CASE chain reproduces. Note \b is ASCII-word-boundary in
-    // both Java and RE2, so the CJK markers score 0 in both engines.
+    // which this CASE chain reproduces. The fused TextProfile expression
+    // reproduces Java's Unicode-aware \b exactly; on the fixtures the CJK
+    // markers never sit at Java word boundaries, and RE2's ASCII \b in
+    // DuckDB likewise scores them 0, so the engines agree here.
     "q_text_langid" ->
       """SELECT doc_id, CASE
         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'

@@ -285,6 +285,66 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------- components / survivor pick
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node starts labeled with its own id; each
+    * round, a node adopts the minimum label among itself and its neighbors;
+    * fixpoint = every node carries the minimum id of its component.
+    *
+    * Scale shape: one shuffle join (edges × labels) + one groupBy per
+    * round; rounds = O(component diameter), and near-dup clusters are
+    * shallow (similarity is near-transitive at meaningful thresholds), so
+    * a handful of rounds converge. Labels only ever decrease, so an
+    * unchanged label SUM certifies the fixpoint without a change-count
+    * join (decimal(38,0) sum — id sums can exceed Long at corpus scale).
+    * Each frontier is persisted and the previous one released; on a real
+    * cluster, checkpoint every few rounds to truncate lineage.
+    *
+    * Returns (id, component) for every node; singletons are their own
+    * component. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, idCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+      .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = edges.alias("e")
+        .join(labels.alias("l"), col("e.src") === col("l.id"))
+        .select(col("e.dst").as("id"), col("l.component").as("component"))
+      val next = labels.select("id", "component").union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup corpus dedup end-to-end: keep ONE survivor (the min-id
+    * member) per connected component of the pair graph; rows untouched by
+    * any pair survive as their own singleton component. */
+  def nearDupSurvivors(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(df.select(col(idCol)), pairs, idCol)
+    df.alias("d")
+      .join(cc.alias("c"), col(s"d.$idCol") === col("c.id"))
+      .filter(col("c.component") === col("c.id"))
+      .select(df.columns.map(c => col(s"d.$c")): _*)
+  }
+
   // ------------------------------------------------------ embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs (idA < idB, sim ≥ threshold).

@@ -98,6 +98,37 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.2).count() >= 0)
   }
 
+  test("connected components equal union-find; survivors are component minima") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+    val collected = pairs.select("idA", "idB").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // in-JVM union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach(id => parent(id) = id)
+    collected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(id => id -> find(id)).toMap
+    val got = Dedup.connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, comp) =>
+      assert(got(id) == comp, s"component of $id") }
+    // survivor pick: one row per component, the min id; singletons survive
+    val survivors = Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == expected.values.toSet)
+    assert(survivors.size == expected.values.toSet.size)
+    // sanity: dup clusters exist in the fixture, so dedup actually drops rows
+    assert(survivors.size < expected.size)
+  }
+
   test("LSH top-k recall vs brute-force cosine") {
     val queries = emb.filter(col("vec_id") < 16)
     val exact = Similarity.cosineTopK(queries, emb, k = 10).collect()
