@@ -69,6 +69,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bit_count"), "popcount verify missing from plan")
   }
 
+  test("ngram jaccard: prefix-filtered equi-join on hashed shingles, native verify") {
+    val p = plan("q_dedup_ngram")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "exact set-similarity join must never go quadratic")
+    assert(p.contains("xxhash64"), "shingles must join on 64-bit hashes, not strings")
+    assert(p.contains("sorted_long_intersect_size"),
+      "verification must use the native sorted-merge expression")
+  }
+
+  test("lsh top-k: candidates from band/bucket equi-join only") {
+    val p = plan("q_sim_topk_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("band") && p.contains("bucket"))
+  }
+
+  test("text stats: ONE fused text_profile scan, no regex expressions") {
+    val p = plan("q_text_stats")
+    assert(p.contains("text_profile"), "fused profile expression missing")
+    assert(!p.contains("RegExpExtract") && !p.contains("RegExpReplace")
+      && !p.contains("regexp_count"), "regex passes must be gone from the hot path")
+  }
+
   test("join revenue: dims broadcast, fact tables shuffle-joined") {
     val p = plan("q_join_nation_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
