@@ -305,15 +305,27 @@ object Dedup {
     * component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, idCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
-      .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
-      .persist()
+    // Persist + materialize the pair list BEFORE symmetrizing: the union
+    // reads it twice, and the upstream pair derivation (an LSH or
+    // set-similarity join) is far too expensive to run once per direction.
+    // Persist + materialize the pair list (the symmetrizing union reads it
+    // twice; the upstream pair derivation is far too expensive to run per
+    // direction), and TRUNCATE LINEAGE every round with an eager
+    // localCheckpoint: each round's plan references the previous round's
+    // frame twice (join + union), so without truncation the logical plan —
+    // and Catalyst's analysis time — doubles per round. Checkpointing keeps
+    // every round's plan constant-size (on a multi-node cluster prefer
+    // `checkpoint()` to a reliable store for fault tolerance).
+    val p = pairs.select(col("idA"), col("idB")).persist()
+    p.count()
+    val edges = p.select(col("idA").as("src"), col("idB").as("dst"))
+      .union(p.select(col("idB").as("src"), col("idA").as("dst")))
     var labels = nodes.select(col(idCol).as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist()
+      .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum: java.math.BigDecimal = null // first round always proceeds
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -322,15 +334,14 @@ object Dedup {
         .select(col("e.dst").as("id"), col("l.component").as("component"))
       val next = labels.select("id", "component").union(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .persist()
+        .localCheckpoint() // eager: materializes and truncates lineage
       val s = labelSum(next)
-      labels.unpersist()
       labels = next
-      converged = s.compareTo(prevSum) == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
-    edges.unpersist()
+    p.unpersist()
     labels
   }
 
