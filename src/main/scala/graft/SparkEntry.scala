@@ -280,6 +280,23 @@ object SparkEntry {
       StreamingIngest.runWindowedEventAgg(s, s"$dir/events.parquet",
         s"events_windowed_${streamCounter.incrementAndGet()}")
         .orderBy(col("window_start"), col("event_type"))),
+
+    // Stateful streaming dedup (flatMapGroupsWithState): emitted KEYS equal
+    // batch DISTINCT regardless of which representative row survives, so
+    // the key stream is DuckDB-oracle-able; the cross-micro-batch state
+    // semantics are spec-checked in OperatorsSpec.
+    "q_stream_dedup" -> ((s, dir) => {
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream.schema(schema).parquet(path + "*")
+      val keyed = stream.select(
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " ").as("key5"))
+      val name = s"stream_dedup_${streamCounter.incrementAndGet()}"
+      val q = StreamingIngest.streamingDedup(keyed, "key5")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).select(col("key5")).orderBy(col("key5"))
+    }),
   )
 
   /** Double-precision cosine between two embedding columns in DuckDB list
@@ -506,6 +523,10 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
+        |FROM documents ORDER BY key5""".stripMargin,
 
     // Embedding similarity oracles use explicit double-precision list math
     // (NOT list_cosine_similarity, which computes in float32 and diverges in

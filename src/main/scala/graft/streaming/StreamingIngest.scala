@@ -81,6 +81,32 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming EXACT dedup with custom state: emit only the FIRST record
+    * ever seen per key across all micro-batches, suppress every later
+    * duplicate — `flatMapGroupsWithState` keeping one boolean per key.
+    *
+    * Scale notes: state lives in the per-partition state store (RocksDB-
+    * backed on a real cluster), sharded by the groupBy key hash, so the
+    * seen-set never centralizes. For unbounded key spaces production sets a
+    * `GroupStateTimeout` (and withWatermark) so state for stale keys ages
+    * out — bounded fixtures keep NoTimeout for determinism. Within a single
+    * micro-batch the representative row for a brand-new key is the first
+    * iterator element (partition order); callers needing a total rule
+    * should pre-aggregate the batch. */
+  def streamingDedup(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val rowEnc = Encoders.row(df.schema)
+    implicit val keyEnc = Encoders.STRING
+    implicit val boolEnc = Encoders.scalaBoolean
+    df.as(rowEnc)
+      .groupByKey((r: Row) => String.valueOf(r.getAs[Any](keyCol)))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) })
+  }
+
   /** Run the windowed aggregation over a parquet path as a bounded stream;
     * returns the final result as a batch DataFrame. */
   def runWindowedEventAgg(spark: SparkSession, parquetPath: String,

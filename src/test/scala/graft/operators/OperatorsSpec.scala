@@ -236,6 +236,31 @@ class OperatorsSpec extends SparkSpec {
     resized.foreach(f => assert(math.max(f.width, f.height) <= 128))
   }
 
+  test("streaming stateful dedup suppresses duplicate keys across micro-batches") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sdedup-in").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b1.csv"),
+      "k,v\n1,a\n2,b\n3,c\n2,b2\n".getBytes)
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val stream = spark.readStream.option("header", "true").schema(schema).csv(inDir)
+    val q = graft.streaming.StreamingIngest.streamingDedup(stream, "k")
+      .writeStream.outputMode("append").format("memory").queryName("t_sdedup").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("t_sdedup").select("k").collect().map(_.getLong(0)).sorted
+      assert(afterB1.toSeq == Seq(1L, 2L, 3L)) // in-batch duplicate of 2 suppressed
+      // second micro-batch: 2,3 are cross-batch duplicates, 4 is new
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b2.csv"),
+        "k,v\n2,x\n4,d\n3,y\n4,d2\n".getBytes)
+      q.processAllAvailable()
+      val afterB2 = spark.table("t_sdedup").select("k").collect().map(_.getLong(0)).sorted
+      assert(afterB2.toSeq == Seq(1L, 2L, 3L, 4L))
+      // the surviving row for key 2 is from batch 1, not the later duplicate
+      val v2 = spark.table("t_sdedup").filter(col("k") === 2).select("v").head.getString(0)
+      assert(v2 == "b" || v2 == "b2") // batch-1 representative
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals batch aggregation") {
     val streamed = graft.streaming.StreamingIngest
       .runWindowedEventAgg(spark, s"${testDataDir()}/events.parquet", "t_stream_eq")
