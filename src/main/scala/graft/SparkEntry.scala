@@ -281,6 +281,20 @@ object SparkEntry {
         s"events_windowed_${streamCounter.incrementAndGet()}")
         .orderBy(col("window_start"), col("event_type"))),
 
+    // Token-budget corpus selection: distributed prefix sum of BPE-ish token
+    // counts in doc_id order (deterministic quantile buckets + per-bucket
+    // windows + broadcast offsets — no single-task global window), then keep
+    // docs while the running total stays within budget.
+    "q_token_budget" -> ((s, dir) => {
+      val withToks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+      operators.PrefixSum.selectWithinBudget(withToks, "doc_id", "n_tok",
+        budget = 15000L)
+        .select(col("doc_id"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stateful streaming dedup (flatMapGroupsWithState): emitted KEYS equal
     // batch DISTINCT regardless of which representative row survives, so
     // the key stream is DuckDB-oracle-able; the cross-micro-batch state
@@ -527,6 +541,15 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
         |FROM documents ORDER BY key5""".stripMargin,
+
+    // The oracle computes the same running total with a plain global window
+    // — DuckDB doesn't mind the single-stream scan the Spark side avoids.
+    "q_token_budget" ->
+      """SELECT doc_id, n_tok FROM (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_tok FROM documents)
+        |) t WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
 
     // Embedding similarity oracles use explicit double-precision list math
     // (NOT list_cosine_similarity, which computes in float32 and diverges in

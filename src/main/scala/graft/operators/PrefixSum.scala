@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sum (cumulative sum in a total order) — the building
+  * block for token-budget corpus selection, quota assignment, and ordered
+  * allocation generally.
+  *
+  * A naive `sum().over(Window.orderBy(k))` collapses the whole table into
+  * ONE task (Spark warns: "No Partition Defined for Window operation") —
+  * the classic 100 TB scale-killer. This implementation keeps every stage
+  * parallel:
+  *
+  *  1. deterministic range bucketing: approxQuantile boundaries on the
+  *     order key (a GK sketch — no RNG, so bucket assignment is stable
+  *     across recomputations, unlike repartitionByRange's sampled
+  *     partitioner) → a small CASE cascade assigns each row a bucket;
+  *  2. per-bucket totals → driver (bounded by bucket count), exclusive-
+  *     scanned into per-bucket offsets, shipped back as a map literal
+  *     (broadcast-join territory if buckets ever numbered millions);
+  *  3. per-bucket ordered window (parallel across buckets) + offset.
+  *
+  * The order key must be unique (a total order) for the result to be
+  * well-defined; values are summed as longs. */
+object PrefixSum {
+
+  def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                    out: String = "cumsum", buckets: Int = 32): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val splits =
+      if (buckets <= 1) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    val bucket = splits.zipWithIndex.foldRight(lit(splits.length): Column) {
+      case ((s, i), rest) => when(col(orderCol) <= s, lit(i)).otherwise(rest)
+    }
+    val bucketed = df.withColumn("__bucket", bucket)
+    val partials = bucketed.groupBy("__bucket").agg(sum(v).as("psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxB = if (partials.isEmpty) 0 else partials.keys.max
+    val offsets = (0 to maxB).scanLeft(0L)(
+      (acc, b) => acc + partials.getOrElse(b, 0L)).init
+    val offsetMap = map((0 to maxB).flatMap(b =>
+      Seq(lit(b), lit(offsets(b)))): _*)
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
+    bucketed
+      .withColumn(out, sum(v).over(w) + element_at(offsetMap, col("__bucket")))
+      .drop("__bucket")
+  }
+
+  /** Budgeted selection: keep rows, in `orderCol` order, while the running
+    * `valueCol` total stays within `budget` (the first row to cross the
+    * budget is excluded). The canonical "fill a token budget by priority"
+    * corpus operation. */
+  def selectWithinBudget(df: DataFrame, orderCol: String, valueCol: String,
+                         budget: Long, buckets: Int = 32): DataFrame =
+    withPrefixSum(df, orderCol, valueCol, out = "__cumsum", buckets = buckets)
+      .filter(col("__cumsum") <= budget)
+      .drop("__cumsum")
+}

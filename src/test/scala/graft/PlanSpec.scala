@@ -91,6 +91,17 @@ class PlanSpec extends SparkSpec {
       && !p.contains("regexp_count"), "regex passes must be gone from the hot path")
   }
 
+  test("token budget: no single-partition global window") {
+    val p = plan("q_token_budget")
+    // an empty-partition-spec Window would log "No Partition Defined" and
+    // run one task; the distributed form must window by bucket only
+    assert(!p.contains("Window [") ||
+      !p.linesIterator.exists(l => l.contains("Window") && l.contains("partitionBy: []")),
+      "global window leaked into the plan")
+    assert(p.contains("__bucket") || p.contains("CASE"),
+      "bucketed prefix-sum structure missing")
+  }
+
   test("join revenue: dims broadcast, fact tables shuffle-joined") {
     val p = plan("q_join_nation_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,

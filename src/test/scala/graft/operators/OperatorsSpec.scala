@@ -236,6 +236,27 @@ class OperatorsSpec extends SparkSpec {
     resized.foreach(f => assert(math.max(f.width, f.height) <= 128))
   }
 
+  test("distributed prefix sum equals the single-partition global window") {
+    import org.apache.spark.sql.expressions.Window
+    val withToks = docs.select(col("doc_id"),
+      TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+    val global = withToks
+      .withColumn("cum", sum("n_tok").over(Window.orderBy("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (buckets <- Seq(1, 7, 32)) {
+      val dist = PrefixSum.withPrefixSum(withToks, "doc_id", "n_tok",
+        out = "cum", buckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(dist == global, s"buckets=$buckets")
+    }
+    // budget selection: maximal prefix within budget, first overflow excluded
+    val budget = global.values.toSeq.sorted.apply(global.size / 2) // mid-corpus
+    val kept = PrefixSum.selectWithinBudget(withToks, "doc_id", "n_tok", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = global.filter(_._2 <= budget).keySet
+    assert(kept == expected)
+  }
+
   test("streaming stateful dedup suppresses duplicate keys across micro-batches") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val inDir = java.nio.file.Files.createTempDirectory("graft-sdedup-in").toString
