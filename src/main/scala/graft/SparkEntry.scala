@@ -281,6 +281,25 @@ object SparkEntry {
         s"events_windowed_${streamCounter.incrementAndGet()}")
         .orderBy(col("window_start"), col("event_type"))),
 
+    // As-of join (backward, inclusive): each click event attached to the
+    // same user's latest view event at-or-before it — one window shuffle,
+    // no range join. Oracled against DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      operators.AsOfJoin.asOfBackward(clicks, views, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("view_event_id", "view_value"), tieCol = "view_event_id")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_event_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Token-budget corpus selection: distributed prefix sum of BPE-ish token
     // counts in doc_id order (deterministic quantile buckets + per-bucket
     // windows + broadcast offsets — no single-task global window), then keep
@@ -541,6 +560,13 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
         |FROM documents ORDER BY key5""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_event_id, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     // The oracle computes the same running total with a plain global window
     // — DuckDB doesn't mind the single-stream scan the Spark side avoids.

@@ -236,6 +236,53 @@ class OperatorsSpec extends SparkSpec {
     resized.foreach(f => assert(math.max(f.width, f.height) <= 128))
   }
 
+  test("as-of join equals per-row brute-force latest-at-or-before lookup") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l10"), (1L, 20L, "l20"), (1L, 5L, "l5"),
+      (2L, 15L, "m15"), (3L, 7L, "n7"),
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 10L, "r10"), (1L, 18L, "r18"), (1L, 25L, "r25"),
+      (2L, 1L, "s1"), (2L, 15L, "s15"), (9L, 3L, "z3"),
+    ).toDF("k", "t", "rv")
+      .withColumn("rid", monotonically_increasing_id())
+    val got = AsOfJoin.asOfBackward(left, right, Seq("k"),
+      "t", "t", Seq("rv"), "rid")
+      .select("k", "t", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    // inclusive at equal time; left-outer when no right row precedes
+    assert(got((1L, 10L)) == "r10")
+    assert(got((1L, 20L)) == "r18")
+    assert(got((1L, 5L)) == null)
+    assert(got((2L, 15L)) == "s15")
+    assert(got((3L, 7L)) == null)
+    // fixture-scale brute force over events
+    val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
+      .withColumn("ts", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = clicks.map { case (u, cid, ct) =>
+      cid -> views.getOrElse(u, Array.empty).filter(_._3 <= ct)
+        .sortBy(v => (v._3, v._2)).lastOption.map(_._2)
+    }.toMap
+    val dist = AsOfJoin.asOfBackward(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts")),
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("vid")),
+      Seq("user_id"), "ts", "ts", Seq("vid"), "vid")
+      .select("event_id", "vid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(dist == expected)
+  }
+
   test("distributed prefix sum equals the single-partition global window") {
     import org.apache.spark.sql.expressions.Window
     val withToks = docs.select(col("doc_id"),
