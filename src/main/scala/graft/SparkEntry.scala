@@ -300,6 +300,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Range join: clicks falling inside each view's 1-day attribution
+    // window, as a bucketized equi-join (micros-long arithmetic; bucket =
+    // window width so each interval spans <= 2 bins). Oracled against a
+    // plain inequality join in DuckDB.
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val win = 86400L * 1000 * 1000 // 1 day in micros
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+          col("us").as("w_start"), (col("us") + win).as("w_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_event_id"),
+          col("us").as("click_us"))
+      operators.RangeJoin.pointInIntervalJoin(clicks, views, Seq("user_id"),
+        pointCol = "click_us", startCol = "w_start", endCol = "w_end",
+        bucketWidth = win)
+        .select(col("view_event_id"), col("click_event_id"))
+        .orderBy(col("view_event_id"), col("click_event_id"))
+    }),
+
     // Token-budget corpus selection: distributed prefix sum of BPE-ish token
     // counts in doc_id order (deterministic quantile buckets + per-bucket
     // windows + broadcast offsets — no single-task global window), then keep
@@ -567,6 +587,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT v.event_id AS view_event_id, c.event_id AS click_event_id
+        |FROM events v JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 DAY
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY view_event_id, click_event_id""".stripMargin,
 
     // The oracle computes the same running total with a plain global window
     // — DuckDB doesn't mind the single-stream scan the Spark side avoids.

@@ -283,6 +283,32 @@ class OperatorsSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("bucketized range join equals brute-force inequality join, no dup pairs") {
+    val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
+      .withColumn("us", expr("ts div 1000"))
+    val win = 600L * 1000 * 1000
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("vid"),
+        col("us").as("s"), (col("us") + win).as("e"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("us").as("p"))
+    // brute force via collected loops
+    val vRows = views.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cRows = clicks.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (vu, vid, s, e) <- vRows
+      (cu, cid, p) <- cRows if cu == vu && p >= s && p < e
+    } yield (vid, cid)).toSet
+    // odd bucket width forces intervals to straddle bins — dedup-free claim
+    for (width <- Seq(win, win / 3 + 7, win * 4)) {
+      val got = RangeJoin.pointInIntervalJoin(clicks, views, Seq("user_id"),
+        "p", "s", "e", width).select("vid", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"width=$width produced duplicate pairs")
+      assert(got.toSet == expected, s"width=$width")
+    }
+  }
+
   test("distributed prefix sum equals the single-partition global window") {
     import org.apache.spark.sql.expressions.Window
     val withToks = docs.select(col("doc_id"),
