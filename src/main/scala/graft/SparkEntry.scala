@@ -281,6 +281,14 @@ object SparkEntry {
         s"events_windowed_${streamCounter.incrementAndGet()}")
         .orderBy(col("window_start"), col("event_type"))),
 
+    // The capstone composition: quality filter → exact dedup → near-dup
+    // survivors → token budget, hash-matched as ONE chain so stage ordering
+    // and interfaces are verified, not only the parts.
+    "q_corpus_pipeline" -> ((s, dir) =>
+      operators.CorpusPipeline.curate(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tok"))
+        .orderBy(col("doc_id"))),
+
     // As-of join (backward, inclusive): each click event attached to the
     // same user's latest view event at-or-before it — one window shuffle,
     // no range join. Oracled against DuckDB's native ASOF LEFT JOIN.
@@ -580,6 +588,51 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
         |FROM documents ORDER BY key5""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      """WITH RECURSIVE
+        |stats AS (SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |quality AS (SELECT * FROM stats WHERE n_tokens >= 30 AND n_punct >= 0),
+        |keyed AS (SELECT *, array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5 FROM quality),
+        |exact AS (SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key5 ORDER BY doc_id) AS rn FROM keyed) k
+        |  WHERE rn = 1),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM exact),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+        |  WHERE len(tk) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT idA, idB FROM common
+        |  JOIN sizes na ON na.doc_id = idA
+        |  JOIN sizes nb ON nb.doc_id = idB
+        |  WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2),
+        |edges AS (SELECT idA AS src, idB AS dst FROM pairs UNION ALL SELECT idB AS src, idA AS dst FROM pairs),
+        |cc(id, label) AS (
+        |  SELECT doc_id, doc_id FROM exact
+        |  UNION
+        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
+        |),
+        |surv AS (
+        |  SELECT x.doc_id, x.n_tok FROM exact x
+        |  JOIN (SELECT id, MIN(label) AS lab FROM cc GROUP BY id) m
+        |    ON m.id = x.doc_id AND m.lab = x.doc_id),
+        |cum AS (SELECT doc_id, n_tok,
+        |  SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM surv)
+        |SELECT doc_id, n_tok FROM cum WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_event_id, v.value AS view_value
