@@ -33,7 +33,11 @@ object CorpusPipeline {
       .withColumn("n_tok", col("__p.n_bpeish").cast("long"))
       .withColumn("key5",
         array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " "))
+    // Materialize the filtered+deduped set once: three consumers (pair
+    // derivation, survivor join, budget input) would otherwise each rerun
+    // the profile scan and dedup window.
     val exactKept = Dedup.exactDedup(quality, Seq("key5"), "doc_id")
+      .localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(
       exactKept.select(col("doc_id"), col("text")), "doc_id", "text",
       n = cfg.ngram, threshold = cfg.jaccardThreshold)
