@@ -102,6 +102,23 @@ class PlanSpec extends SparkSpec {
       "bucketed prefix-sum structure missing")
   }
 
+  test("global audit: no cartesian products or unexpected nested-loop joins anywhere") {
+    // BNLJ is legitimate ONLY where a bounded side is broadcast on purpose:
+    // the exact-topk broadcast crossJoin and the bounded exact near-dup oracle
+    val bnljAllowed = Set("q_sim_topk", "q_dedup_embedding_exact")
+    // streaming queries execute eagerly in the query lambda; the iterative CC
+    // and capstone materialize mid-plan — audited by their own specs instead
+    val skip = Set("q_stream_hourly", "q_stream_dedup", "q_dedup_cc",
+      "q_corpus_pipeline", "q_sim_topk_ivf", "q_sim_topk_ivf_full")
+    for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: shuffled cartesian")
+      if (!bnljAllowed.contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name: unexpected nested-loop join")
+    }
+  }
+
   test("join revenue: dims broadcast, fact tables shuffle-joined") {
     val p = plan("q_join_nation_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
