@@ -61,4 +61,30 @@ object Skew {
       : (DataFrame, DataFrame) =
     (df.filter(col(keyCol).isin(hotKeys: _*)),
      df.filter(!col(keyCol).isin(hotKeys: _*) || col(keyCol).isNull))
+
+  /** Measure-then-salt: detect keys whose row share exceeds `threshold`
+    * (fraction of total rows) with a count-min sketch — one narrow pass, a
+    * few KB of sketch state on the driver, NO exact groupBy over the
+    * possibly-billions-key space. Candidates come from a bounded uniform
+    * sample (~20/threshold rows): a key with share ≥ t lands in it with
+    * probability ≥ 1 - e^-20, so truly-hot keys are effectively never
+    * missed, and because CMS only OVERestimates, the sketch's point query
+    * cannot un-detect them; the occasional near-threshold false positive
+    * just costs an extra broadcast-slice entry. Feed the result to
+    * [[splitHotKeys]] or use it to size [[saltedAggregate]]'s salts. */
+  def detectHotKeys(df: DataFrame, keyCol: String, threshold: Double,
+                    eps: Double = 0.0001, confidence: Double = 0.99): Seq[Any] = {
+    require(threshold > 0 && threshold <= 1)
+    val total = df.count()
+    if (total == 0) return Seq.empty
+    val sketch = df.stat.countMinSketch(col(keyCol), eps, confidence, seed = 42)
+    val sampleRows = math.max(10000.0, 20.0 / threshold)
+    val frac = math.min(1.0, sampleRows / total)
+    val candidates = df.select(col(keyCol)).na.drop()
+      .sample(withReplacement = false, frac, seed = 42)
+      .distinct().collect().map(_.get(0))
+    candidates.filter { k =>
+      sketch.estimateCount(k).toDouble / total >= threshold
+    }.toSeq
+  }
 }

@@ -6,6 +6,20 @@ import graft.sink.Warehouse
 
 class SkewAndJdbcSpec extends SparkSpec {
 
+  test("count-min hot-key detection finds dominant keys, skips the long tail") {
+    import spark.implicits._
+    // 10k rows: key 1 holds 50%, key 2 holds 30%, 2000 tail keys share 20%
+    val rows = Seq.fill(5000)(1L) ++ Seq.fill(3000)(2L) ++
+      (0 until 2000).map(i => 100L + i)
+    val df = rows.toDF("k")
+    val hot = Skew.detectHotKeys(df, "k", threshold = 0.1).map(_.asInstanceOf[Long]).toSet
+    assert(hot == Set(1L, 2L))
+    // detected keys feed the split: hot slice is broadcastable, tail is not hot
+    val (hotDf, tail) = Skew.splitHotKeys(df, "k", hot.toSeq)
+    assert(hotDf.count() == 8000 && tail.count() == 2000)
+    assert(Skew.detectHotKeys(df.filter(lit(false)), "k", 0.1).isEmpty)
+  }
+
   test("salted aggregation equals plain groupBy on skewed keys") {
     val orders = spark.read.parquet(s"${testDataDir("0.01")}/orders.parquet")
     // o_orderstatus is heavily skewed (3 values, 'O'+'F' dominate)
