@@ -281,6 +281,20 @@ object SparkEntry {
         s"events_windowed_${streamCounter.incrementAndGet()}")
         .orderBy(col("window_start"), col("event_type"))),
 
+    // Semi-structured extraction: parse the props JSON column with a typed
+    // from_json schema (codegen'd Jackson parse, no UDF) and aggregate —
+    // the metadata-sidecar pattern of multimodal/training records.
+    "q_json_props" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), propsSchema).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // The capstone composition: quality filter → exact dedup → near-dup
     // survivors → token budget, hash-matched as ONE chain so stage ordering
     // and interfaces are verified, not only the parts.
@@ -588,6 +602,12 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
         |FROM documents ORDER BY key5""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_corpus_pipeline" ->
       """WITH RECURSIVE
