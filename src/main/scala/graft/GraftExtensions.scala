@@ -27,23 +27,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
+  /** Wrong-arity SQL calls must fail analysis with the expected signature,
+    * not an IndexOutOfBoundsException from the builder. */
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("parse_date_struct"),
       info("parse_date_struct", "multi-format date parse -> struct(error, value)"),
-      (exprs: Seq[Expression]) => graft.expr.ParseDateStruct(exprs.head)))
+      arity("parse_date_struct", 1)(exprs => graft.expr.ParseDateStruct(exprs.head))))
     ext.injectFunction((FunctionIdentifier("float_vec_dot"),
       info("float_vec_dot", "sequential double dot product of two array<float>"),
-      (exprs: Seq[Expression]) => graft.expr.FloatVecDot(exprs(0), exprs(1))))
+      arity("float_vec_dot", 2)(exprs => graft.expr.FloatVecDot(exprs(0), exprs(1)))))
     ext.injectFunction((FunctionIdentifier("float_vec_norm"),
       info("float_vec_norm", "sequential double L2 norm of array<float>"),
-      (exprs: Seq[Expression]) => graft.expr.FloatVecNorm(exprs.head)))
+      arity("float_vec_norm", 1)(exprs => graft.expr.FloatVecNorm(exprs.head))))
     ext.injectFunction((FunctionIdentifier("sorted_long_intersect_size"),
       info("sorted_long_intersect_size",
         "intersection size of two sorted duplicate-free array<long>"),
-      (exprs: Seq[Expression]) =>
-        graft.expr.SortedLongIntersectSize(exprs(0), exprs(1))))
+      arity("sorted_long_intersect_size", 2)(exprs =>
+        graft.expr.SortedLongIntersectSize(exprs(0), exprs(1)))))
     ext.injectFunction((FunctionIdentifier("text_profile"),
       info("text_profile", "single-pass text stats + language-ID struct"),
-      (exprs: Seq[Expression]) => graft.expr.TextProfile(exprs.head)))
+      arity("text_profile", 1)(exprs => graft.expr.TextProfile(exprs.head))))
   }
 }

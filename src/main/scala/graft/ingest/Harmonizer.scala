@@ -73,12 +73,16 @@ object Harmonizer {
     df.filter(first.isNull || !first.startsWith("|"))
   }
 
-  /** P2: extract + check an embedded `|H|` header row, warn-only like the
-    * reference (`data_validator.py:37-50`). Returns the header if present. */
+  /** P2: extract an embedded `|H|` header from the FIRST ROW ONLY — exactly
+    * the reference's `df.iloc[0]` probe (`data_validator.py:227-230`), and
+    * the reason this is bounded work: a filter-then-limit over the whole
+    * frame would scan every row of a layout that has no embedded header
+    * before concluding so. */
   def extractEmbeddedHeader(df: DataFrame): Option[String] = {
     val first = col(df.columns.head)
-    val rows = df.filter(first.startsWith("|H|")).select(first).limit(1).collect()
-    rows.headOption.map(_.getString(0))
+    df.select(first).limit(1).collect().headOption
+      .map(_.getString(0))
+      .filter(v => v != null && v.startsWith("|H|"))
   }
 
   def headerMatches(header: String): Boolean = header == Schemas.expectedHeader

@@ -175,10 +175,14 @@ object Dedup {
     // codegen expression instead of a per-call hash-set `array_intersect`.
     // Exactness is modulo 64-bit hash collisions (~|shingles|^2 / 2^64;
     // the brute-force-equivalence spec would catch one on the fixtures).
+    // Materialized once (eager localCheckpoint): the frame feeds the posting
+    // list AND both sides of the verify join — without it the most expensive
+    // per-row work (shingle UDF, hashing, sort) runs three times.
     val withSh = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
       .select(col("id"),
         sort_array(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
+      .localCheckpoint()
     val sh = withSh.select(col("id"), explode(col("sh")).as("h"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val ordered = sh.join(dfreq, "h")
@@ -250,14 +254,22 @@ object Dedup {
     * GUARANTEED for `maxHamming ≤ 6` (pairs beyond 6 surface only if they
     * happen to share a chunk, with no guarantee).
     *
-    * Skew guard: candidates come from a group-collect per (band, bucket)
-    * with the same `maxBucket` cap as the MinHash path — a degenerate
-    * bucket (vocabulary-collapsed content hashing to one chunk value) is
-    * dropped rather than exploding quadratically. Each member carries its
-    * full signature through the collect, so hamming verification is
-    * computed straight off the exploded pair (no join back to the corpus),
-    * and the `hamming ≤ maxHamming` cut runs BEFORE the pair-dedup shuffle
-    * so only verified near-dups are ever exchanged. */
+    * Skew guard: bucket-join candidates come from a group-collect per
+    * (band, bucket) with the same `maxBucket` cap as the MinHash path — a
+    * degenerate bucket (vocabulary-collapsed content hashing to one chunk
+    * value) is dropped from the JOIN rather than exploding quadratically.
+    * The identical-signature mass that dominates such buckets is still
+    * recovered: a separate LINEAR pass emits star pairs (min-id
+    * representative ↔ member) for every identical-signature group, so
+    * exact duplicates (hamming 0) survive the cap regardless of bucket
+    * size, and connected components over the star reconstruct the full
+    * cluster. What the cap sacrifices is only NON-identical pairs inside
+    * over-cap buckets — a documented recall trade, not a silent one.
+    *
+    * Each member carries its full signature through the collect, so hamming
+    * verification is computed straight off the exploded pair (no join back
+    * to the corpus), and the `hamming ≤ maxHamming` cut runs BEFORE the
+    * pair-dedup shuffle so only verified near-dups are ever exchanged. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 6, maxBucket: Int = 1000): DataFrame = {
     val sigs = withSimhash(df.select(col(idCol), col(textCol)), textCol)
@@ -275,47 +287,56 @@ object Dedup {
     val grouped = bucketed.groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("members"))
       .filter(size(col("members")) > 1 && size(col("members")) <= maxBucket)
-    grouped
+    val joined = grouped
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    // linear exact-duplicate recovery: star pairs within identical-sig
+    // groups (hamming 0 by construction) — immune to the bucket cap. A
+    // join-back, not a collect: a group of any size streams through.
+    val reprs = sigs.groupBy("simhash")
+      .agg(min(col(idCol)).as("idA"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .drop("__n")
+    val stars = sigs.join(reprs, "simhash")
+      .filter(col(idCol) =!= col("idA"))
+      .select(col("idA"), col(idCol).as("idB"), lit(0).as("hamming"))
+    joined.union(stars).distinct()
   }
 
   // ------------------------------------------- components / survivor pick
 
-  /** Connected components over an undirected pair list by iterative
-    * min-label propagation: every node starts labeled with its own id; each
-    * round, a node adopts the minimum label among itself and its neighbors;
-    * fixpoint = every node carries the minimum id of its component.
+  /** Connected components over an undirected pair list by min-label
+    * propagation WITH pointer jumping: every node starts labeled with its
+    * own id; each round a node adopts the minimum label among itself and
+    * its neighbors (one hop) and then shortcuts through its current label's
+    * label (`comp ← min(comp, comp(comp))`). The shortcut roughly halves
+    * the remaining distance to the component minimum each round, so
+    * convergence takes O(log diameter) rounds — `maxIter = 25` covers
+    * diameters beyond 2^25, where plain propagation (one hop per round)
+    * would silently truncate a 25-node chain at a 20-round cap.
     *
-    * Scale shape: one shuffle join (edges × labels) + one groupBy per
-    * round; rounds = O(component diameter), and near-dup clusters are
-    * shallow (similarity is near-transitive at meaningful thresholds), so
-    * a handful of rounds converge. Labels only ever decrease, so an
-    * unchanged label SUM certifies the fixpoint without a change-count
-    * join (decimal(38,0) sum — id sums can exceed Long at corpus scale).
-    * Each frontier is persisted and the previous one released; on a real
-    * cluster, checkpoint every few rounds to truncate lineage.
+    * Scale shape: two shuffle joins + one groupBy per round. Labels only
+    * ever decrease, so an unchanged label SUM certifies the fixpoint
+    * without a change-count join (decimal(38,0): id sums can exceed Long
+    * at corpus scale); if the cap is somehow hit without that certificate,
+    * the operator FAILS rather than returning partial components. Each
+    * round's frame is an eager localCheckpoint — the plan references the
+    * previous round twice, so without lineage truncation analysis cost
+    * doubles per round; superseded checkpoint RDDs are released by the
+    * ContextCleaner once the frame reference drops (use reliable
+    * `checkpoint()` on multi-node clusters for fault tolerance).
     *
     * Returns (id, component) for every node; singletons are their own
     * component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, idCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    // Persist + materialize the pair list BEFORE symmetrizing: the union
+                          maxIter: Int = 25): DataFrame = {
+    // Persist + materialize the pair list before symmetrizing: the union
     // reads it twice, and the upstream pair derivation (an LSH or
     // set-similarity join) is far too expensive to run once per direction.
-    // Persist + materialize the pair list (the symmetrizing union reads it
-    // twice; the upstream pair derivation is far too expensive to run per
-    // direction), and TRUNCATE LINEAGE every round with an eager
-    // localCheckpoint: each round's plan references the previous round's
-    // frame twice (join + union), so without truncation the logical plan —
-    // and Catalyst's analysis time — doubles per round. Checkpointing keeps
-    // every round's plan constant-size (on a multi-node cluster prefer
-    // `checkpoint()` to a reliable store for fault tolerance).
     val p = pairs.select(col("idA"), col("idB")).persist()
     p.count()
     val edges = p.select(col("idA").as("src"), col("idB").as("dst"))
@@ -332,9 +353,17 @@ object Dedup {
       val msgs = edges.alias("e")
         .join(labels.alias("l"), col("e.src") === col("l.id"))
         .select(col("e.dst").as("id"), col("l.component").as("component"))
-      val next = labels.select("id", "component").union(msgs)
+      // eager checkpoint BEFORE the self-join: truncates lineage (plans
+      // would double per round otherwise) and sidesteps Catalyst's
+      // constraint rewrite on self-joined unions
+      val hop = labels.select("id", "component").union(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint() // eager: materializes and truncates lineage
+        .localCheckpoint()
+      // pointer jumping: follow the label's own label and keep the smaller
+      val next = hop
+        .join(hop.select(col("id").as("__yid"), col("component").as("__ycomp")),
+          col("component") === col("__yid"), "left")
+        .select(col("id"), least(col("component"), col("__ycomp")).as("component"))
       val s = labelSum(next)
       labels = next
       converged = prevSum != null && s.compareTo(prevSum) == 0
@@ -342,6 +371,9 @@ object Dedup {
       iter += 1
     }
     p.unpersist()
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "component structure would be incomplete; raise maxIter")
     labels
   }
 

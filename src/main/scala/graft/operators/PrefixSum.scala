@@ -28,7 +28,9 @@ object PrefixSum {
 
   def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                     out: String = "cumsum", buckets: Int = 32): DataFrame = {
-    val v = col(valueCol).cast("long")
+    // null values count as 0 (a null-valued bucket would otherwise sum to
+    // null and NPE the driver-side read)
+    val v = coalesce(col(valueCol).cast("long"), lit(0L))
     val splits =
       if (buckets <= 1) Array.empty[Double]
       else df.stat.approxQuantile(orderCol,
@@ -36,7 +38,10 @@ object PrefixSum {
     val bucket = splits.zipWithIndex.foldRight(lit(splits.length): Column) {
       case ((s, i), rest) => when(col(orderCol) <= s, lit(i)).otherwise(rest)
     }
-    val bucketed = df.withColumn("__bucket", bucket)
+    // Materialized once: three consumers follow (partials collect, window
+    // pass, caller's action), and a recomputed nondeterministic input could
+    // otherwise surface buckets absent from the collected offset map.
+    val bucketed = df.withColumn("__bucket", bucket).localCheckpoint()
     val partials = bucketed.groupBy("__bucket").agg(sum(v).as("psum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxB = if (partials.isEmpty) 0 else partials.keys.max

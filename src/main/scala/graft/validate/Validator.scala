@@ -101,7 +101,15 @@ object Validator {
     else {
       val ts = timestamp.getOrElse(java.time.LocalDateTime.now.format(
         java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")))
-      val path = s"$dir/invalid_records_$ts"
+      // two runs inside the same second must both land (accumulate-per-run
+      // semantics) — suffix a sequence number instead of failing the write
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        quarantine.sparkSession.sparkContext.hadoopConfiguration)
+      val base = s"$dir/invalid_records_$ts"
+      val path = Iterator.from(0)
+        .map(i => if (i == 0) base else s"${base}_$i")
+        .find(p => !fs.exists(new org.apache.hadoop.fs.Path(p)))
+        .get
       quarantine.write.mode("errorifexists").option("header", "true").csv(path)
       Some(path)
     }

@@ -50,4 +50,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(5) == 3)
     assert(r.getString(6) == "de")
   }
+
+  test("wrong arity fails analysis with the expected signature, not an index error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT float_vec_dot(array(cast(1.0 as float)))").head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("float_vec_dot expects 2 argument(s)")))
+  }
 }

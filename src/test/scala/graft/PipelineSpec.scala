@@ -58,6 +58,10 @@ class PipelineSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("invalid_records_")) == 2)
     val empty = v.quarantine.filter(lit(false))
     assert(Validator.saveInvalidRecords(empty, dir, Some("20260812_000003")).isEmpty)
+    // same-second collision: second run with an identical timestamp must
+    // land in a suffixed directory, not fail the write
+    val p3 = Validator.saveInvalidRecords(v.quarantine, dir, Some("20260812_000001"))
+    assert(p3.get.endsWith("invalid_records_20260812_000001_1"))
   }
 
   test("P2: mismatched embedded header warns only — rows unaffected") {

@@ -236,6 +236,43 @@ class OperatorsSpec extends SparkSpec {
     resized.foreach(f => assert(math.max(f.width, f.height) <= 128))
   }
 
+  test("connected components converge on a 60-node chain (pointer jumping)") {
+    import spark.implicits._
+    // path graph: diameter 59 — one-hop propagation would need 59 rounds
+    // and silently truncate at the old 20-round cap; pointer jumping
+    // converges in O(log n) rounds
+    val nodes = (0L until 60L).toDF("id")
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("idA", "idB")
+    val cc = Dedup.connectedComponents(nodes, chain, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 60)
+    assert(cc.forall(_._2 == 0L), "every chain node must reach component 0")
+  }
+
+  test("simhash exact duplicates survive the bucket cap via star pairs") {
+    import spark.implicits._
+    // 40 identical docs + 2 distinct: with maxBucket=10 every band bucket of
+    // the identical group is over-cap and dropped from the join, but the
+    // identical-signature star pass must still link all 40 (hamming 0)
+    val docs = ((0L until 40L).map(i => (i, "same same same text body here")) ++
+      Seq((100L, "completely different words entirely"),
+          (101L, "another unrelated document text"))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 10).collect()
+    val zeroPairs = pairs.filter(_.getInt(2) == 0)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star from representative 0 covers every duplicate
+    (1L until 40L).foreach(i => assert(zeroPairs.contains((0L, i)),
+      s"exact duplicate pair (0,$i) lost to the bucket cap"))
+    // components over the stars reconstruct the full cluster
+    val cc = Dedup.connectedComponents(docs.select(col("doc_id").as("id")),
+      pairs.toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        .toDF("idA", "idB"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 40L).foreach(i => assert(cc(i) == 0L))
+    assert(cc(100L) == 100L && cc(101L) == 101L)
+  }
+
   test("as-of join equals per-row brute-force latest-at-or-before lookup") {
     import spark.implicits._
     val left = Seq(
