@@ -350,20 +350,23 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val msgs = edges.alias("e")
-        .join(labels.alias("l"), col("e.src") === col("l.id"))
-        .select(col("e.dst").as("id"), col("l.component").as("component"))
-      // eager checkpoint BEFORE the self-join: truncates lineage (plans
-      // would double per round otherwise) and sidesteps Catalyst's
-      // constraint rewrite on self-joined unions
-      val hop = labels.select("id", "component").union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
-      // pointer jumping: follow the label's own label and keep the smaller
-      val next = hop
-        .join(hop.select(col("id").as("__yid"), col("component").as("__ycomp")),
+      // pointer jumping FIRST, over the checkpointed labels: following the
+      // label's own label roughly halves the remaining distance to the
+      // component minimum, and self-joining a checkpointed scan (vs the
+      // union below, which trips Catalyst's constraint rewrite) is safe
+      val jumped = labels
+        .join(labels.select(col("id").as("__yid"), col("component").as("__ycomp")),
           col("component") === col("__yid"), "left")
         .select(col("id"), least(col("component"), col("__ycomp")).as("component"))
+      val msgs = edges.alias("e")
+        .join(jumped.alias("l"), col("e.src") === col("l.id"))
+        .select(col("e.dst").as("id"), col("l.component").as("component"))
+      // ONE eager checkpoint per round: truncates lineage (the plan
+      // references the round's frame twice, so analysis cost would double
+      // per round) and makes the convergence-sum action a cheap scan
+      val next = jumped.select("id", "component").union(msgs)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
       val s = labelSum(next)
       labels = next
       converged = prevSum != null && s.compareTo(prevSum) == 0
