@@ -140,6 +140,17 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Exact interpolated percentiles (SortAggregate path). At 100 TB the
+    // right default is approx_percentile's mergeable sketch; the exact form
+    // is kept for bounded groups — and because its linear interpolation is
+    // bit-identical to DuckDB's quantile_cont, it carries the oracle.
+    "q_agg_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
     "q_view_flagship" -> ((s, dir) => flagship(s, dir)),
 
     // ---- training-data-pipeline extensions ----
@@ -478,6 +489,13 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_agg_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_view_flagship" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, n_name,
