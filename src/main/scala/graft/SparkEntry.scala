@@ -191,6 +191,11 @@ object SparkEntry {
           length(TextAnalysis.fingerprintNormalized(col("text"))).cast("long").as("fp_len"))
         .orderBy(col("doc_id"))),
 
+    "q_text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkChars = 200, overlap = 50)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.2)
@@ -620,6 +625,12 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
         |FROM documents ORDER BY key5""".stripMargin,
+
+    // range(stop exclusive) generates exactly the starts < max(len-50, 1)
+    "q_text_chunks" ->
+      """SELECT doc_id, st // 150 AS chunk_id, substring(text, CAST(st AS INT) + 1, 200) AS chunk
+        |FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 50, 1), 150)) AS st FROM documents)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type,

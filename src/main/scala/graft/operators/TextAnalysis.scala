@@ -70,4 +70,23 @@ object TextAnalysis {
 
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Fixed-size character chunking with overlap — the pretraining/RAG prep
+    * op. Chunk starts step by `stride = chunkChars - overlap`; a start
+    * exists while it is < max(len - overlap, 1), so every doc (including
+    * the empty one) yields ≥ 1 chunk and every character is covered with
+    * `overlap` chars shared between neighbors. Pure codegen (sequence +
+    * explode + substr): no UDF, no shuffle, linear in output size. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkChars: Int = 512, overlap: Int = 64): DataFrame = {
+    val stride = chunkChars - overlap
+    require(stride > 0, "overlap must be smaller than chunkChars")
+    val limit = greatest(length(col(textCol)) - overlap, lit(1))
+    val maxStart = floor((limit - 1) / stride) * stride
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(0), maxStart.cast("int"), lit(stride))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        col(textCol).substr(col("__start") + 1, lit(chunkChars)).as("chunk"))
+  }
 }

@@ -167,6 +167,33 @@ class OperatorsSpec extends SparkSpec {
     assert(full == exactRows)
   }
 
+  test("document chunking covers every char with exact overlap; reconstruction") {
+    import spark.implicits._
+    val cases = Seq((1L, "a" * 1000), (2L, "short"), (3L, ""),
+      (4L, "x" * 200), (5L, "y" * 201), (6L, "z" * 150))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(cases, "doc_id", "text",
+      chunkChars = 200, overlap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val texts = cases.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val cs = chunks(id)
+      assert(cs.nonEmpty, s"doc $id yielded no chunks")
+      // drop each successor's leading overlap and concatenate → original
+      val rebuilt = cs.head + cs.tail.map(_.drop(50)).mkString
+      // trailing chunks can't extend past the text, so rebuilt == text
+      assert(rebuilt == text, s"doc $id reconstruction")
+      cs.dropRight(1).foreach(c => assert(c.length == 200))
+      // consecutive chunks share exactly the 50-char overlap
+      cs.sliding(2).foreach {
+        case Seq(a, b) => assert(a.takeRight(50) == b.take(50))
+        case _ =>
+      }
+    }
+    assert(chunks(3L) == Seq("")) // empty doc → one empty chunk
+  }
+
   test("fingerprint is stable and collision-free on distinct fixture docs") {
     val fp = TextAnalysis.withFingerprint(docs).select("doc_id", "fingerprint")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
