@@ -127,14 +127,30 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate pairs over a text column, verified with the
-    * exact shingle Jaccard. Returns (idA, idB, jaccard ≥ threshold). */
+    * exact shingle Jaccard. Returns (idA, idB, jaccard ≥ threshold).
+    *
+    * Exact duplicates are immune to the bucket cap: identical documents
+    * share ALL band buckets, so a duplicate group larger than `maxBucket`
+    * would otherwise vanish from the candidate join entirely. A linear
+    * star pass (min-id representative ↔ member per identical-SIGNATURE
+    * group, via join-back — no collect) feeds those pairs into the same
+    * exact-Jaccard verification, so signature collisions between
+    * non-duplicates still get filtered by the true jaccard. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, k: Int = 64, bands: Int = 16,
                           threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
     val withSh = df.select(col(idCol), shingles(col(textCol), n).as("sh"))
     val withSig = withSh.withColumn("sig", minhashSignatureUdf(k)(col("sh")))
-    val cands = candidatePairs(bandBuckets(withSig, "sig", idCol, bands, rows), idCol)
+    val bucketCands =
+      candidatePairs(bandBuckets(withSig, "sig", idCol, bands, rows), idCol)
+    val sigStars = withSig.groupBy("sig")
+      .agg(min(col(idCol)).as("idA"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).drop("__n")
+      .join(withSig.select(col(idCol).as("idB"), col("sig")), "sig")
+      .filter(col("idA") =!= col("idB")) // idA is the group min, so idA < idB
+      .select("idA", "idB")
+    val cands = bucketCands.union(sigStars).distinct()
     val a = withSh.select(col(idCol).as("idA"), col("sh").as("shA"))
     val b = withSh.select(col(idCol).as("idB"), col("sh").as("shB"))
     cands.join(a, "idA").join(b, "idB")
