@@ -61,6 +61,16 @@ object Similarity {
 
   // ------------------------------------------------- hyperplane LSH buckets
 
+  /** Bucketing geometry: 4 bands × 4 bits = 16 buckets per band. Candidate
+    * volume is ~n²/16 per band in the worst case — LSH's selectivity knob
+    * is rows-per-band, and the right setting depends on the similarity
+    * threshold: at genuine near-dup thresholds (cosine ≥ 0.9, per-bit match
+    * p ≈ 0.86) widening to 8-bit buckets keeps ~29% recall per band with
+    * 256× selectivity, but at loose thresholds (0.2, p ≈ 0.56) ANY
+    * selective geometry collapses recall (p^8 ≈ 1%) — there the honest
+    * scale path is IVF cluster-bounded pairing, not hyperplane banding.
+    * These defaults favor recall on the loose-threshold fixtures; tighten
+    * rows-per-band as the threshold rises. */
   val SignatureBits = 16
   val Bands = 4
   private val RowsPerBand = SignatureBits / Bands
