@@ -126,33 +126,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Star pairs over identical values of `sigCol`: (min-id representative,
+    * member) per group with more than one member — a linear join-back, no
+    * collect, so a duplicate group of any size streams through. Since idA
+    * is the group minimum, idA < idB always holds. */
+  private def starPairs(df: DataFrame, sigCol: String, idCol: String): DataFrame =
+    df.groupBy(sigCol)
+      .agg(min(col(idCol)).as("idA"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).drop("__n")
+      .join(df.select(col(idCol).as("idB"), col(sigCol)), sigCol)
+      .filter(col("idA") =!= col("idB"))
+      .select("idA", "idB")
+
   /** MinHash+LSH near-duplicate pairs over a text column, verified with the
     * exact shingle Jaccard. Returns (idA, idB, jaccard ≥ threshold).
     *
     * Exact duplicates are immune to the bucket cap: identical documents
     * share ALL band buckets, so a duplicate group larger than `maxBucket`
-    * would otherwise vanish from the candidate join entirely. A linear
-    * star pass (min-id representative ↔ member per identical-SIGNATURE
-    * group, via join-back — no collect) feeds those pairs into the same
-    * exact-Jaccard verification, so signature collisions between
-    * non-duplicates still get filtered by the true jaccard. */
+    * would otherwise vanish from the candidate join entirely. The
+    * [[starPairs]] of identical-SIGNATURE groups feed the same exact-
+    * Jaccard verification, so signature collisions between non-duplicates
+    * still get filtered by the true jaccard.
+    *
+    * The signature frame is materialized once (eager localCheckpoint): it
+    * feeds the band buckets, the star groups, and both verify-join sides —
+    * without it the O(shingles × k) signature UDF re-runs per subtree. */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, k: Int = 64, bands: Int = 16,
-                          threshold: Double = 0.5): DataFrame = {
+                          threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    val withSh = df.select(col(idCol), shingles(col(textCol), n).as("sh"))
-    val withSig = withSh.withColumn("sig", minhashSignatureUdf(k)(col("sh")))
-    val bucketCands =
-      candidatePairs(bandBuckets(withSig, "sig", idCol, bands, rows), idCol)
-    val sigStars = withSig.groupBy("sig")
-      .agg(min(col(idCol)).as("idA"), count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).drop("__n")
-      .join(withSig.select(col(idCol).as("idB"), col("sig")), "sig")
-      .filter(col("idA") =!= col("idB")) // idA is the group min, so idA < idB
-      .select("idA", "idB")
-    val cands = bucketCands.union(sigStars).distinct()
-    val a = withSh.select(col(idCol).as("idA"), col("sh").as("shA"))
-    val b = withSh.select(col(idCol).as("idB"), col("sh").as("shB"))
+    val withSig = df.select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignatureUdf(k)(col("sh")))
+      .localCheckpoint()
+    val bucketCands = candidatePairs(
+      bandBuckets(withSig, "sig", idCol, bands, rows), idCol, maxBucket)
+    val cands = bucketCands.union(starPairs(withSig, "sig", idCol)).distinct()
+    val a = withSig.select(col(idCol).as("idA"), col("sh").as("shA"))
+    val b = withSig.select(col(idCol).as("idB"), col("sh").as("shB"))
     cands.join(a, "idA").join(b, "idB")
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
@@ -311,15 +321,8 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
     // linear exact-duplicate recovery: star pairs within identical-sig
-    // groups (hamming 0 by construction) — immune to the bucket cap. A
-    // join-back, not a collect: a group of any size streams through.
-    val reprs = sigs.groupBy("simhash")
-      .agg(min(col(idCol)).as("idA"), count(lit(1)).as("__n"))
-      .filter(col("__n") > 1)
-      .drop("__n")
-    val stars = sigs.join(reprs, "simhash")
-      .filter(col(idCol) =!= col("idA"))
-      .select(col("idA"), col(idCol).as("idB"), lit(0).as("hamming"))
+    // groups (hamming 0 by construction) — immune to the bucket cap
+    val stars = starPairs(sigs, "simhash", idCol).withColumn("hamming", lit(0))
     joined.union(stars).distinct()
   }
 
@@ -374,8 +377,12 @@ object Dedup {
         .join(labels.select(col("id").as("__yid"), col("component").as("__ycomp")),
           col("component") === col("__yid"), "left")
         .select(col("id"), least(col("component"), col("__ycomp")).as("component"))
+      // messages read the PRE-jump labels so the jump join executes exactly
+      // once per round (jumped is referenced only by the union); propagating
+      // the un-jumped label costs at most one extra round, not a second
+      // full-label-set join every round
       val msgs = edges.alias("e")
-        .join(jumped.alias("l"), col("e.src") === col("l.id"))
+        .join(labels.alias("l"), col("e.src") === col("l.id"))
         .select(col("e.dst").as("id"), col("l.component").as("component"))
       // ONE eager checkpoint per round: truncates lineage (the plan
       // references the round's frame twice, so analysis cost would double

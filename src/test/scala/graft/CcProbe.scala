@@ -17,7 +17,7 @@ object CcProbe {
       r
     }
     val pairs = t("pairs build+count") {
-      val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2).persist()
       p.count(); p
     }
     val cc = t("connectedComponents") {

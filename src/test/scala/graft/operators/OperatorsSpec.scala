@@ -278,18 +278,17 @@ class OperatorsSpec extends SparkSpec {
 
   test("minhash exact duplicates survive the bucket cap via signature stars") {
     import spark.implicits._
-    // 30 identical docs: every band bucket of the group is over-cap at
-    // maxBucket default only if >1000 — so force the loss path by checking
-    // the star route directly: even with bucketCands empty (identical sig
-    // groups can exceed any cap at corpus scale), stars link the group
+    // 30 identical docs with maxBucket=10: every band bucket of the group
+    // is over-cap and dropped from the candidate join, so only the
+    // identical-signature star path can link them
     val docs = ((0L until 30L).map(i => (i, "all these documents are the same"))
       ++ Seq((100L, "totally different content here okay"))).toDF("doc_id", "text")
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-      n = 3, k = 16, bands = 4, threshold = 0.9)
+      n = 3, k = 16, bands = 4, threshold = 0.9, maxBucket = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val pairSet = pairs.map(p => (p._1, p._2)).toSet
     (1L until 30L).foreach(i =>
-      assert(pairSet.contains((0L, i)), s"duplicate pair (0,$i) missing"))
+      assert(pairSet.contains((0L, i)), s"duplicate pair (0,$i) lost to the cap"))
     pairs.filter(p => p._1 == 0L).foreach(p => assert(p._3 == 1.0))
     assert(!pairs.exists(p => p._1 == 100L || p._2 == 100L))
   }
