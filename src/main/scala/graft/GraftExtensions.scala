@@ -55,5 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("text_profile"),
       info("text_profile", "single-pass text stats + language-ID struct"),
       arity("text_profile", 1)(exprs => graft.expr.TextProfile(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("poly_rolling_hash"),
+      info("poly_rolling_hash", "64-bit polynomial rolling hash over code points"),
+      arity("poly_rolling_hash", 1)(exprs => graft.expr.PolyRollingHash(exprs.head))))
   }
 }

@@ -170,6 +170,43 @@ object TextOps {
       nullable = false)))
 }
 
+/** 64-bit POLYNOMIAL ROLLING hash over a string's code points:
+  * h = Σ cp_i · B^(n-1-i) mod 2^64 (B = 1000003, Horner evaluation) —
+  * a genuine rolling hash: the hash of a window can be slid in O(1)
+  * (h' = (h - cp_out·B^(w-1))·B + cp_in), which is what content-defined
+  * chunking and winnowing-style fingerprint schemes need, unlike a
+  * one-shot digest. Empty/zero-length input hashes to the seed. */
+object RollingHash {
+  val Base = 1000003L
+  val Seed = 0x9e3779b97f4a7c15L
+  def hash(s: String): Long = {
+    var h = Seed
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = h * Base + cp
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+case class PolyRollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.RollingHash.hash($a.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Expression wrapper: stays inside whole-stage codegen (the generated code
   * calls the static [[TextOps.profile]] — no UDF boxing, no Row encoding). */
 case class TextProfile(child: Expression) extends UnaryExpression {
@@ -193,4 +230,7 @@ object TextExpressions {
 
   def text_profile(text: Column): Column =
     ColumnBridge.column(TextProfile(ColumnBridge.expression(text)))
+
+  def poly_rolling_hash(text: Column): Column =
+    ColumnBridge.column(PolyRollingHash(ColumnBridge.expression(text)))
 }

@@ -62,11 +62,12 @@ object TextAnalysis {
   def fingerprintNormalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** 64-bit document fingerprint: polynomial rolling hash over the
-    * whitespace-normalized text (content-defined, order-sensitive). Built
-    * from Spark's codegen'd xxhash64 over the normalized form — one shuffle-
-    * free projection. */
-  def fingerprint(text: Column): Column = xxhash64(fingerprintNormalized(text))
+  /** 64-bit document fingerprint: a genuine POLYNOMIAL ROLLING hash
+    * ([[graft.expr.RollingHash]]: Horner over code points, slidable in
+    * O(1) per window shift) over the whitespace-normalized text —
+    * order-sensitive, content-defined, one shuffle-free projection. */
+  def fingerprint(text: Column): Column =
+    graft.expr.TextExpressions.poly_rolling_hash(fingerprintNormalized(text))
 
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))

@@ -194,6 +194,20 @@ class OperatorsSpec extends SparkSpec {
     assert(chunks(3L) == Seq("")) // empty doc → one empty chunk
   }
 
+  test("rolling hash slides in O(1): h' = (h - cpOut*B^(w-1))*B + cpIn") {
+    import graft.expr.RollingHash.{Base, Seed, hash}
+    val s = "abcdefghij"
+    val w = 4
+    def pow(b: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * b)
+    // windowed hash WITHOUT the seed term (seed cancels under sliding)
+    def win(i: Int): Long = hash(s.substring(i, i + w)) - Seed * pow(Base, w)
+    var h = win(0)
+    for (i <- 1 to s.length - w) {
+      h = (h - s.charAt(i - 1).toLong * pow(Base, w - 1)) * Base + s.charAt(i + w - 1)
+      assert(h == win(i), s"slide to window $i")
+    }
+  }
+
   test("fingerprint is stable and collision-free on distinct fixture docs") {
     val fp = TextAnalysis.withFingerprint(docs).select("doc_id", "fingerprint")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
