@@ -72,6 +72,50 @@ object TextAnalysis {
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))
 
+  /** Content-defined chunking: a boundary falls after position i when the
+    * rolling hash of the trailing `window` chars satisfies
+    * `(h & mask) == mask` — so boundaries depend only on LOCAL content and
+    * re-synchronize after an edit (insert text at the front and all
+    * boundaries beyond one chunk stay identical), which is what makes
+    * chunk-level dedup robust to shifted content where fixed-size chunking
+    * degrades to no overlap. `mask = 2^b - 1` gives ~2^b expected chunk
+    * size, clamped to [minChunk, maxChunk] (the FastCDC-style bounds).
+    * Per-row tight-loop UDF — string-heavy local work, the same trade as
+    * the shingle tokenizer. */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           window: Int = 16, mask: Long = 0xFF,
+                           minChunk: Int = 64, maxChunk: Int = 1024): DataFrame = {
+    require(window > 0 && minChunk >= window && maxChunk > minChunk)
+    val chunker = udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val n = text.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val bPow = (1 until window).foldLeft(1L)((a, _) => a * graft.expr.RollingHash.Base)
+        var start = 0
+        var h = 0L
+        var i = 0
+        while (i < n) {
+          val c = text.charAt(i).toLong
+          h = if (i - start < window) h * graft.expr.RollingHash.Base + c
+              else (h - text.charAt(i - window).toLong * bPow) *
+                graft.expr.RollingHash.Base + c
+          val len = i - start + 1
+          if ((len >= minChunk && (h & mask) == mask) || len >= maxChunk) {
+            out += text.substring(start, i + 1)
+            start = i + 1
+            h = 0L
+          }
+          i += 1
+        }
+        if (start < n || n == 0) out += text.substring(start)
+        out.toSeq
+      }
+    }
+    df.select(col(idCol), posexplode(chunker(col(textCol))).as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"), col("chunk"))
+  }
+
   /** Fixed-size character chunking with overlap — the pretraining/RAG prep
     * op. Chunk starts step by `stride = chunkChars - overlap`; a start
     * exists while it is < max(len - overlap, 1), so every doc (including

@@ -194,6 +194,30 @@ class OperatorsSpec extends SparkSpec {
     assert(chunks(3L) == Seq("")) // empty doc → one empty chunk
   }
 
+  test("content-defined chunking: lossless, bounded, and edit-resynchronizing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val body = (0 until 5000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, body), (2L, "PREFIX INSERTED AT FRONT " + body), (3L, ""))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.contentDefinedChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // lossless: chunks concatenate back to the document
+    assert(chunks(1L).mkString == body)
+    assert(chunks(3L) == Seq(""))
+    // bounds: every non-final chunk within [minChunk, maxChunk]
+    chunks(1L).dropRight(1).foreach(c =>
+      assert(c.length >= 64 && c.length <= 1024, s"chunk len ${c.length}"))
+    // re-sync: boundaries depend on local content, so after the edit the
+    // chunk streams must share their entire tail (all but a bounded prefix)
+    val tail1 = chunks(1L).tails.flatten.toSet
+    val shared = chunks(2L).count(tail1.contains)
+    assert(shared >= chunks(2L).size - 2,
+      s"only $shared/${chunks(2L).size} chunks survived the front edit")
+    assert(chunks(2L).takeRight(2) == chunks(1L).takeRight(2))
+  }
+
   test("rolling hash slides in O(1): h' = (h - cpOut*B^(w-1))*B + cpIn") {
     import graft.expr.RollingHash.{Base, Seed, hash}
     val s = "abcdefghij"
