@@ -358,6 +358,25 @@ object SparkEntry {
         .orderBy(col("view_event_id"), col("click_event_id"))
     }),
 
+    // Interval-interval overlap join: view vs purchase 1-hour windows per
+    // user — bucketized equi-join with bin-ownership dedup (each pair meets
+    // in exactly the bin holding max(starts); no post-join distinct).
+    "q_overlap_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val win = 3600L * 1000 * 1000
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("vid"),
+          col("us").as("vs"), (col("us") + win).as("ve"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("us").as("ps"), (col("us") + win).as("pe"))
+      operators.RangeJoin.intervalOverlapJoin(views, purchases, Seq("user_id"),
+        "vs", "ve", "ps", "pe", bucketWidth = win)
+        .select(col("l_vid").as("view_event_id"),
+          col("r_pid").as("purchase_event_id"))
+        .orderBy(col("view_event_id"), col("purchase_event_id"))
+    }),
+
     // Token-budget corpus selection: distributed prefix sum of BPE-ish token
     // counts in doc_id order (deterministic quantile buckets + per-bucket
     // windows + broadcast offsets — no single-task global window), then keep
@@ -689,6 +708,15 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_overlap_join" ->
+      """SELECT v.event_id AS view_event_id, p.event_id AS purchase_event_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.ts < p.ts + INTERVAL 1 HOUR
+        | AND p.ts < v.ts + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY view_event_id, purchase_event_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT v.event_id AS view_event_id, c.event_id AS click_event_id

@@ -36,4 +36,37 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-interval OVERLAP join per key: pairs with
+    * `aStart < bEnd AND bStart < aEnd` (half-open intervals). Both sides
+    * explode to their covered bins, but — unlike the point case — an
+    * overlapping pair shares EVERY bin their overlap spans, so the join
+    * additionally requires the bin to be the one containing
+    * `max(aStart, bStart)` (the overlap's first bin): each qualifying pair
+    * then meets in exactly ONE bin — exact and duplicate-free with no
+    * post-join distinct. Left/right columns are prefixed to disambiguate. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keyCols: Seq[String],
+                          leftStart: String, leftEnd: String,
+                          rightStart: String, rightEnd: String,
+                          bucketWidth: Long,
+                          leftPrefix: String = "l_", rightPrefix: String = "r_")
+      : DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String, prefix: String): DataFrame = {
+      val renamed = df.columns.foldLeft(df)((acc, c) =>
+        if (keyCols.contains(c)) acc else acc.withColumnRenamed(c, prefix + c))
+      renamed.withColumn("__bin",
+        explode(sequence(floor(col(prefix + s) / bucketWidth),
+          floor((col(prefix + e) - 1) / bucketWidth))))
+    }
+    val l = binned(left, leftStart, leftEnd, leftPrefix)
+    val r = binned(right, rightStart, rightEnd, rightPrefix)
+    val ls = col(leftPrefix + leftStart); val le = col(leftPrefix + leftEnd)
+    val rs = col(rightPrefix + rightStart); val re = col(rightPrefix + rightEnd)
+    l.join(r, keyCols :+ "__bin")
+      .filter(ls < re && rs < le)
+      .filter(col("__bin") === floor(greatest(ls, rs) / bucketWidth))
+      .drop("__bin")
+  }
 }

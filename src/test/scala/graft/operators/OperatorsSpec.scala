@@ -428,6 +428,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap join equals brute force, duplicate-free at any width") {
+    val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
+      .withColumn("us", expr("ts div 1000"))
+    val win = 3600L * 1000 * 1000 // 1h windows around each event
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("vid"),
+        col("us").as("vs"), (col("us") + win).as("ve"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("us").as("ps"), (col("us") + win).as("pe"))
+    val vRows = views.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pRows = purchases.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (for {
+      (vu, vid, vs, ve) <- vRows
+      (pu, pid, ps, pe) <- pRows if pu == vu && vs < pe && ps < ve
+    } yield (vid, pid)).toSet
+    assert(expected.nonEmpty)
+    for (width <- Seq(win, win / 3 + 7, win * 5)) {
+      val got = RangeJoin.intervalOverlapJoin(views, purchases, Seq("user_id"),
+        "vs", "ve", "ps", "pe", width)
+        .select("l_vid", "r_pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"width=$width duplicate pairs")
+      assert(got.toSet == expected, s"width=$width")
+    }
+  }
+
   test("distributed prefix sum equals the single-partition global window") {
     import org.apache.spark.sql.expressions.Window
     val withToks = docs.select(col("doc_id"),
