@@ -355,6 +355,32 @@ class OperatorsSpec extends SparkSpec {
     assert(cc(100L) == 100L && cc(101L) == 101L)
   }
 
+  test("as-of join property: 50 random frames equal brute force (ties included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 50) {
+      // small key/time domains force collisions, equal-time ties, and
+      // left-outer misses; tie ids unique per right row
+      val nl = 1 + rnd.nextInt(12); val nr = rnd.nextInt(12)
+      val lrows = (0 until nl).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(10).toLong, i.toLong))
+      val rrows = (0 until nr).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(10).toLong, i.toLong))
+      val left = lrows.toDF("k", "t", "lid")
+      val right = rrows.toDF("k", "t", "rid")
+      val got = AsOfJoin.asOfBackward(left, right, Seq("k"),
+        "t", "t", Seq("rid"), "rid")
+        .select("k", "t", "lid", "rid").collect()
+        .map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val expected = lrows.map { case (k, t, lid) =>
+        lid -> rrows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      }.toMap
+      assert(got == expected, s"trial $trial: left=$lrows right=$rrows")
+    }
+  }
+
   test("as-of join equals per-row brute-force latest-at-or-before lookup") {
     import spark.implicits._
     val left = Seq(
