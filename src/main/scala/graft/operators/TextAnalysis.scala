@@ -72,6 +72,59 @@ object TextAnalysis {
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03): hash every
+    * k-gram with the polynomial rolling hash, slide a window of w
+    * consecutive k-gram hashes, record each window's MINIMUM (rightmost
+    * occurrence on ties — the robust-winnowing rule, so a repeated minimum
+    * is recorded once per run). GUARANTEE: two documents sharing a
+    * substring of length ≥ w + k - 1 share at least one fingerprint;
+    * expected density is 2/(w+1). The distinct fingerprint set is the
+    * partial-overlap-detection analogue of the whole-document fingerprint:
+    * index it invertedly (like the shingle index) to find documents that
+    * share long passages rather than whole-text similarity. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val fp = udf { (s: String) =>
+      if (s == null || s.length < k) Seq.empty[Long]
+      else {
+        import graft.expr.RollingHash.Base
+        val n = s.length
+        val m = n - k + 1 // number of k-grams
+        val hashes = new Array[Long](m)
+        val bPow = (1 until k).foldLeft(1L)((a, _) => a * Base)
+        var h = 0L
+        var i = 0
+        while (i < n) {
+          val c = s.charAt(i).toLong
+          h = if (i < k) h * Base + c
+              else (h - s.charAt(i - k).toLong * bPow) * Base + c
+          if (i >= k - 1) hashes(i - k + 1) = h
+          i += 1
+        }
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        if (m <= w) { // degenerate: one window over everything
+          out += hashes.min
+        } else {
+          var lastMinPos = -1
+          var win = 0
+          while (win <= m - w) {
+            // rightmost minimum of hashes[win, win+w)
+            var minPos = win
+            var j = win + 1
+            while (j < win + w) {
+              if (hashes(j) <= hashes(minPos)) minPos = j
+              j += 1
+            }
+            if (minPos != lastMinPos) { out += hashes(minPos); lastMinPos = minPos }
+            win += 1
+          }
+        }
+        out.toSeq
+      }
+    }
+    fp(text)
+  }
+
   /** Content-defined chunking: a boundary falls after position i when the
     * rolling hash of the trailing `window` chars satisfies
     * `(h & mask) == mask` — so boundaries depend only on LOCAL content and

@@ -218,6 +218,34 @@ class OperatorsSpec extends SparkSpec {
     assert(chunks(2L).takeRight(2) == chunks(1L).takeRight(2))
   }
 
+  test("winnowing: shared substrings >= w+k-1 guarantee a shared fingerprint") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 8; val w = 4
+    val shared = randStr(k + w - 1) // minimal guaranteed-detectable overlap
+    val long = randStr(300)
+    val docs = Seq(
+      (1L, randStr(100) + shared + randStr(100)),
+      (2L, randStr(80) + shared + randStr(120)),
+      (3L, long), (4L, randStr(40) + long.substring(50, 200) + randStr(40)),
+      (5L, randStr(200)), // unrelated
+      (6L, "tiny"), (7L, ""),
+    ).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.winnowingFingerprints(col("text"), k, w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // the winnowing guarantee, at exactly the minimal length and for a
+    // 150-char shared passage
+    assert((fps(1L) & fps(2L)).nonEmpty, "minimal shared substring missed")
+    assert((fps(3L) & fps(4L)).nonEmpty, "long shared passage missed")
+    // unrelated random docs share nothing (64-bit hashes)
+    assert((fps(5L) & fps(1L)).isEmpty)
+    // density ~2/(w+1) of positions, not one-per-char and not empty
+    assert(fps(3L).size > 300 / (w + 1) / 2 && fps(3L).size < 300)
+    assert(fps(6L).isEmpty && fps(7L).isEmpty) // shorter than k
+  }
+
   test("rolling hash slides in O(1): h' = (h - cpOut*B^(w-1))*B + cpIn") {
     import graft.expr.RollingHash.{Base, Seed, hash}
     val s = "abcdefghij"
