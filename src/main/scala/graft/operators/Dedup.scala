@@ -438,4 +438,35 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** IVF-cell-bounded embedding near-dup pairs — the honest scale path at
+    * LOOSE thresholds: hyperplane banding's recall collapses as the
+    * threshold drops (per-bit match probability → 1/2), while cell-bounded
+    * candidates are Σ|cell|² — set by the cluster granularity k, not by
+    * the threshold. Each vector probes its `nprobe` nearest centroids; a
+    * pair is a candidate when the probe sets intersect (so near-boundary
+    * neighbors in adjacent cells are still found); exact cosine verifies.
+    * Candidates deduplicate on the pair id before the verify join-back.
+    * Recall < 1 (pairs split across non-probed cells are missed) —
+    * measured against the exact oracle in OperatorsSpec. */
+  def ivfNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, k: Int = 16, nprobe: Int = 2): DataFrame = {
+    val model = IvfIndex.train(df, idCol, vecCol, k = k)
+    val base = df.select(col(idCol), col(vecCol).cast("array<float>").as("v"))
+      .withColumn("norm", Similarity.l2norm(col("v")))
+      .localCheckpoint() // feeds probes and both verify sides
+    val probed = IvfIndex.withProbes(base, "v", model, nprobe, out = "cell")
+      .select(col("cell"), col(idCol))
+    val cands = probed.select(col("cell"), col(idCol).as("idA"))
+      .join(probed.select(col("cell"), col(idCol).as("idB")), "cell")
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    val a = base.select(col(idCol).as("idA"), col("v").as("vA"), col("norm").as("nA"))
+    val b = base.select(col(idCol).as("idB"), col("v").as("vB"), col("norm").as("nB"))
+    cands.join(a, "idA").join(b, "idB")
+      .withColumn("cosine",
+        Similarity.dot(col("vA"), col("vB")) / (col("nA") * col("nB")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+  }
 }

@@ -87,6 +87,18 @@ object IvfIndex {
     df.withColumn(out, assignUdf(col(vecCol)))
   }
 
+  /** Explode each row to its `nprobe` nearest inverted-list ids — the probe
+    * side of the IVF join, shared by top-k search and cell-bounded
+    * near-dup pairing. */
+  def withProbes(df: DataFrame, vecCol: String, model: Model, nprobe: Int,
+                 out: String = "centroid_id"): DataFrame = {
+    val centroids = model.centroids
+    val probeUdf = udf { (v: Seq[Float]) =>
+      nearestN(centroids, normalize(v.toArray), nprobe)
+    }
+    df.withColumn(out, explode(probeUdf(col(vecCol))))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest inverted lists per query, exact
     * cosine rerank inside them. Output matches [[Similarity.cosineTopK]]. */
   def topK(queries: DataFrame, corpus: DataFrame, model: Model, k: Int,

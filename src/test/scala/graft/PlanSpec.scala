@@ -40,12 +40,12 @@ class PlanSpec extends SparkSpec {
       "expect partial + final window group limits")
   }
 
-  test("embedding pairs headline: LSH-bucketed equi-join, no quadratic scan") {
+  test("embedding pairs headline: IVF-cell equi-join, no quadratic scan") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "headline near-dup must not run an all-pairs join — that dies at 100x corpus")
-    assert(p.contains("band") && p.contains("bucket"),
-      "candidates must come from the hyperplane band/bucket equi-join")
+    assert(p.contains("cell"),
+      "candidates must come from the IVF cell equi-join")
     assert(p.contains("float_vec_dot"), "native expression missing from plan")
   }
 

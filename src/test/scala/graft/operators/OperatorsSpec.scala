@@ -82,6 +82,25 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall collapsed — bucketing broken?")
   }
 
+  test("IVF-cell near-dup pairs: subset of exact, identical cosine, better loose-threshold recall") {
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Dedup.ivfNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, k = 16, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"IVF returned non-pair $pair")
+      assert(math.abs(exact(pair) - c) < 1e-12)
+    }
+    val lsh = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, exact = false).count().toDouble
+    val recallIvf = ivf.size.toDouble / exact.size
+    val recallLsh = lsh / exact.size
+    info(f"IVF recall $recallIvf%.3f vs hyperplane-LSH recall $recallLsh%.3f")
+    assert(recallIvf >= 0.3, s"IVF recall $recallIvf collapsed")
+  }
+
   test("null/empty text is safe across dedup signatures") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "a b c"))
