@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks whose shuffle/aggregation buffers
+  // plus retained localCheckpoint blocks easily exceed 8g — an undersized
+  // heap turns the tail of a long query suite into GC thrash (measured:
+  // 1.8s queries inflating to 20s+ once the heap fills).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -404,11 +404,71 @@ object SparkEntry {
       val keyed = stream.select(
         array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " ").as("key5"))
       val name = s"stream_dedup_${streamCounter.incrementAndGet()}"
-      val q = StreamingIngest.streamingDedup(keyed, "key5")
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      // state partitions sized to the key cardinality (~500 distinct keys),
+      // not the batch session's partition count — see withStatePartitions
+      StreamingIngest.withStatePartitions(s, 8) {
+        val q = StreamingIngest.streamingDedup(keyed, "key5")
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(name).select(col("key5")).orderBy(col("key5"))
     }),
+
+    // Sessionization: 30-min inactivity gap per user over epoch-micros
+    // longs — one window shuffle labels sessions, the groupBy collapses
+    // them. Oracled against the identical lag/flag/running-sum in DuckDB.
+    "q_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      operators.Sessionize.sessionize(ev, Seq("user_id"), tsCol = "us",
+        tieCol = "event_id", gap = 1800L * 1000 * 1000)
+        .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+          col("session_start"), col("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // TF-IDF top-3 distinctive terms per document; ranking on the ROUNDED
+    // score (term tie-break) so it never hinges on sub-ulp log() deltas.
+    "q_tfidf_topterms" -> ((s, dir) =>
+      operators.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // Deterministic stratified sampling: keep-decision is a pure function
+    // of doc_id (Knuth multiplicative hash → per-mille slot), reproducible
+    // across runs/partitionings/engines — the corpus-lineage requirement
+    // df.sample() cannot meet.
+    "q_sample_stratified" -> ((s, dir) => {
+      val strata = t(s, dir, "documents").withColumn("stratum",
+        when(length(col("text")) < 300, "short")
+          .when(length(col("text")) < 600, "mid")
+          .otherwise("long"))
+      operators.Sampling.stratifiedSample(strata, "doc_id", "stratum",
+        Map("short" -> 100, "mid" -> 500, "long" -> 1000))
+        .select(col("doc_id"), col("stratum"),
+          operators.Sampling.perMilleSlot(col("doc_id")).as("slot"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction over deterministic synthetic PII (the fixture corpus
+    // has no punctuation, so raw-documents redaction would be vacuous); the
+    // oracle rebuilds the same PII text and redaction chain in SQL.
+    "q_pii_redact" -> ((s, dir) => {
+      val withPii = operators.PiiRedact.withSyntheticPii(
+        t(s, dir, "documents"), "doc_id", "text")
+      operators.PiiRedact.redact(withPii, "pii_text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multi-level rollup aggregation (OLAP surface): grouping_id
+    // disambiguates rolled-up NULLs from data NULLs and pins the sort.
+    "q_agg_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
   )
 
   /** Double-precision cosine between two embedding columns in DuckDB list
@@ -653,9 +713,12 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 50, 1), 150)) AS st FROM documents)
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // CAST the SUM: DuckDB SUM(BIGINT) yields HUGEINT (int128), which some
+    // client serializations render differently from Spark's BIGINT — the
+    // cast pins both engines to the same 64-bit surface type.
     "q_json_props" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -790,6 +853,91 @@ object SparkEntry {
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp_norm,
         |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS fp_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |labeled AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  MIN(us) AS session_start, MAX(us) AS session_end, COUNT(*) AS n_events
+        |FROM labeled GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_tfidf_topterms" ->
+      """WITH docterm AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM documents) t
+        |  WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM docterm GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ROUND(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, rank, tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored) z
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, stratum, slot FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) < 300 THEN 'short'
+        |         WHEN length(text) < 600 THEN 'mid' ELSE 'long' END AS stratum,
+        |    (doc_id * 2654435761) % 4294967296 % 1000 AS slot
+        |  FROM documents) t
+        |WHERE slot < CASE stratum WHEN 'short' THEN 100 WHEN 'mid' THEN 500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Rebuilds the synthetic PII text and the email→IP→phone redaction
+    // chain verbatim (DuckDB regexp_replace needs the 'g' flag — its
+    // default replaces only the first match, Spark replaces all).
+    "q_pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40)
+        |      || ' user' || CAST(doc_id AS VARCHAR) || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |      || CASE WHEN doc_id % 3 = 0
+        |              THEN ' 555-01' || CAST(doc_id % 10 AS VARCHAR) || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE '' END
+        |      || CASE WHEN doc_id % 4 = 0
+        |              THEN ' 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 31) % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |              ELSE '' END AS pii_text
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, pii_text,
+        |    regexp_replace(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |  FROM pii),
+        |st2 AS (
+        |  SELECT doc_id, pii_text, after_email,
+        |    regexp_replace(after_email, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS after_ip
+        |  FROM st)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(after_ip, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(after_email, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  regexp_replace(after_ip, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM st2 ORDER BY doc_id""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     // q_text_langid has its own oracle above. Still oracle-less by nature:
     // q_dedup_minhash / q_dedup_simhash (MurmurHash3 signatures — engine-
     // specific), q_dedup_embedding / q_sim_topk_ivf (approximate headline

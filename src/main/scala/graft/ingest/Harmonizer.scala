@@ -73,17 +73,20 @@ object Harmonizer {
     df.filter(first.isNull || !first.startsWith("|"))
   }
 
-  /** P2: extract an embedded `|H|` header from the FIRST ROW ONLY — exactly
-    * the reference's `df.iloc[0]` probe (`data_validator.py:227-230`), and
-    * the reason this is bounded work: a filter-then-limit over the whole
-    * frame would scan every row of a layout that has no embedded header
-    * before concluding so. */
-  def extractEmbeddedHeader(df: DataFrame): Option[String] = {
-    val first = col(df.columns.head)
-    df.select(first).limit(1).collect().headOption
-      .map(_.getString(0))
-      .filter(v => v != null && v.startsWith("|H|"))
-  }
+  /** P2: extract an embedded `|H|` header from the FIRST ROW ONLY — the
+    * reference probes ANY column of `df.iloc[0]` (`data_validator.py:227-230`
+    * uses `.any()` across the row), so every column of the one probed row is
+    * checked, not just the first. This stays bounded work: a
+    * filter-then-limit over the whole frame would scan every row of a layout
+    * that has no embedded header before concluding so. Caveat (documented,
+    * matching the reference's own file-order assumption): `limit(1)` without
+    * an ordering returns the first row in file order by convention only. */
+  def extractEmbeddedHeader(df: DataFrame): Option[String] =
+    df.limit(1).collect().headOption.flatMap { row =>
+      (0 until row.length).iterator
+        .map(i => if (row.isNullAt(i)) null else row.get(i).toString)
+        .find(v => v != null && v.startsWith("|H|"))
+    }
 
   def headerMatches(header: String): Boolean = header == Schemas.expectedHeader
 
@@ -113,9 +116,11 @@ object Harmonizer {
   /** Group CSV paths by header line so each distinct layout becomes ONE scan.
     * Header probe reads a single line per file (driver-side, metadata-scale). */
   def groupByLayout(spark: SparkSession, dir: String): Map[String, Seq[String]] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/*.csv"))
+    // Resolve the filesystem from the probed path (not the default FS) so
+    // s3a://, hdfs://, and file:// directories all probe correctly.
+    val globPath = new org.apache.hadoop.fs.Path(s"$dir/*.csv")
+    val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(globPath)
       .map(_.getPath)
     files.map { p =>
       val in = fs.open(p)

@@ -29,7 +29,11 @@ object RangeJoin {
                           bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("__bin", floor(col(pointCol) / bucketWidth))
-    val i = intervals.withColumn("__bin",
+    // Guard degenerate rows BEFORE the explode: a half-open interval with
+    // end <= start contains no point, and Spark's sequence(start, stop)
+    // auto-DESCENDS when stop < start — an inverted interval from corrupt
+    // data would otherwise fan out into (start-end)/bucketWidth bin rows.
+    val i = intervals.filter(col(endCol) > col(startCol)).withColumn("__bin",
       explode(sequence(floor(col(startCol) / bucketWidth),
         floor((col(endCol) - 1) / bucketWidth))))
     i.join(p, keyCols :+ "__bin")
@@ -56,7 +60,11 @@ object RangeJoin {
     def binned(df: DataFrame, s: String, e: String, prefix: String): DataFrame = {
       val renamed = df.columns.foldLeft(df)((acc, c) =>
         if (keyCols.contains(c)) acc else acc.withColumnRenamed(c, prefix + c))
-      renamed.withColumn("__bin",
+      // Same degenerate-row guard as pointInIntervalJoin: empty half-open
+      // intervals overlap nothing (and would still pass the naive
+      // ls < re && rs < le predicate), inverted ones explode descending
+      // sequences — drop both before binning.
+      renamed.filter(col(prefix + e) > col(prefix + s)).withColumn("__bin",
         explode(sequence(floor(col(prefix + s) / bucketWidth),
           floor((col(prefix + e) - 1) / bucketWidth))))
     }

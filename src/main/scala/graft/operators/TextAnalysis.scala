@@ -85,19 +85,28 @@ object TextAnalysis {
     * share long passages rather than whole-text similarity. */
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
     val fp = udf { (s: String) =>
-      if (s == null || s.length < k) Seq.empty[Long]
+      if (s == null) Seq.empty[Long]
       else {
-        import graft.expr.RollingHash.Base
-        val n = s.length
+        import graft.expr.RollingHash.{Base, Seed}
+        // Roll over CODE POINTS with the seed, same basis as
+        // RollingHash.hash — each k-gram hash equals hash(kgram) exactly,
+        // supplementary characters hash identically across both paths, and
+        // k-grams can never start/end inside a surrogate pair.
+        val cps = s.codePoints().toArray
+        val n = cps.length
+        if (n < k) Seq.empty[Long]
+        else {
         val m = n - k + 1 // number of k-grams
         val hashes = new Array[Long](m)
         val bPow = (1 until k).foldLeft(1L)((a, _) => a * Base)
-        var h = 0L
+        val seedTerm = (0 until k).foldLeft(Seed)((a, _) => a * Base) // Seed*B^k
+        // Seeded slide: h' = (h - Seed*B^k - cpOut*B^(k-1))*B + Seed*B^k + cpIn
+        var h = Seed
         var i = 0
         while (i < n) {
-          val c = s.charAt(i).toLong
+          val c = cps(i).toLong
           h = if (i < k) h * Base + c
-              else (h - s.charAt(i - k).toLong * bPow) * Base + c
+              else (h - seedTerm - cps(i - k).toLong * bPow) * Base + seedTerm + c
           if (i >= k - 1) hashes(i - k + 1) = h
           i += 1
         }
@@ -120,6 +129,7 @@ object TextAnalysis {
           }
         }
         out.toSeq
+        }
       }
     }
     fp(text)
@@ -142,26 +152,38 @@ object TextAnalysis {
     val chunker = udf { (text: String) =>
       if (text == null) Seq.empty[String]
       else {
-        val n = text.length
+        import graft.expr.RollingHash.{Base, Seed}
+        // Same seeded code-point rolling hash as RollingHash/winnowing:
+        // boundary decisions see identical hashes for supplementary chars,
+        // and because boundaries fall BETWEEN code points, a chunk can never
+        // split a surrogate pair. charOf(i) = char offset of code point i.
+        val cps = text.codePoints().toArray
+        val n = cps.length
+        val charOf = new Array[Int](n + 1)
+        var ci = 0
+        var cc = 0
+        while (ci < n) { charOf(ci) = cc; cc += Character.charCount(cps(ci)); ci += 1 }
+        charOf(n) = cc
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        val bPow = (1 until window).foldLeft(1L)((a, _) => a * graft.expr.RollingHash.Base)
+        val bPow = (1 until window).foldLeft(1L)((a, _) => a * Base)
+        val seedTerm = (0 until window).foldLeft(Seed)((a, _) => a * Base)
         var start = 0
-        var h = 0L
+        var h = Seed
         var i = 0
         while (i < n) {
-          val c = text.charAt(i).toLong
-          h = if (i - start < window) h * graft.expr.RollingHash.Base + c
-              else (h - text.charAt(i - window).toLong * bPow) *
-                graft.expr.RollingHash.Base + c
+          val c = cps(i).toLong
+          h = if (i - start < window) h * Base + c
+              else (h - seedTerm - cps(i - window).toLong * bPow) * Base +
+                seedTerm + c
           val len = i - start + 1
           if ((len >= minChunk && (h & mask) == mask) || len >= maxChunk) {
-            out += text.substring(start, i + 1)
+            out += text.substring(charOf(start), charOf(i + 1))
             start = i + 1
-            h = 0L
+            h = Seed
           }
           i += 1
         }
-        if (start < n || n == 0) out += text.substring(start)
+        if (start < n || n == 0) out += text.substring(charOf(start))
         out.toSeq
       }
     }

@@ -107,23 +107,42 @@ object StreamingIngest {
           else { state.update(true); rows.take(1) })
   }
 
+  /** Run a thunk with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. Stateful streaming queries
+    * materialize one state-store instance per shuffle partition at their
+    * FIRST batch and keep that layout for life — so state partitioning is a
+    * deliberate sizing decision keyed to state cardinality (number of
+    * distinct groups), not a session-wide default. A few thousand groups do
+    * not need (or want) the batch session's partition count: every extra
+    * state store is per-batch open/commit/maintenance overhead. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run the windowed aggregation over a parquet path as a bounded stream;
-    * returns the final result as a batch DataFrame. */
+    * returns the final result as a batch DataFrame. `statePartitions` sizes
+    * the state-store layout (see [[withStatePartitions]]). */
   def runWindowedEventAgg(spark: SparkSession, parquetPath: String,
-                          queryName: String = "events_windowed"): DataFrame = {
+                          queryName: String = "events_windowed",
+                          statePartitions: Int = 8): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     // The file stream source requires a directory (or glob) — suffix a "*"
     // so a single-file path becomes a glob over its parent directory.
     val streamPath = if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
     val stream = normalizeTs(spark.readStream.schema(schema).parquet(streamPath))
-    val q = windowedEventAgg(stream)
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark, statePartitions) {
+      val q = windowedEventAgg(stream)
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(queryName)
   }
 }

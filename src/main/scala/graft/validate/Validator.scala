@@ -102,10 +102,13 @@ object Validator {
       val ts = timestamp.getOrElse(java.time.LocalDateTime.now.format(
         java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")))
       // two runs inside the same second must both land (accumulate-per-run
-      // semantics) — suffix a sequence number instead of failing the write
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        quarantine.sparkSession.sparkContext.hadoopConfiguration)
+      // semantics) — suffix a sequence number instead of failing the write.
+      // Resolve the filesystem FROM the target path: FileSystem.get(conf)
+      // returns the default FS, whose exists-probe is wrong when `dir` is on
+      // s3a:// or hdfs:// while the default is file:// (or vice versa).
       val base = s"$dir/invalid_records_$ts"
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        quarantine.sparkSession.sparkContext.hadoopConfiguration)
       val path = Iterator.from(0)
         .map(i => if (i == 0) base else s"${base}_$i")
         .find(p => !fs.exists(new org.apache.hadoop.fs.Path(p)))

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-3 corpus operators: sessionization, TF-IDF,
+  * deterministic sampling, PII redaction. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("corpus-ops-spec").getOrCreate()
+
+  test("sessionize: gap splits, exact-gap continues, ties deterministic") {
+    import spark.implicits._
+    val gap = 100L
+    val ev = Seq(
+      // user 1: gap of exactly 100 continues, 101 splits
+      (1L, 10L, 0L), (1L, 11L, 100L), (1L, 12L, 201L), (1L, 13L, 250L),
+      // user 2: single event
+      (2L, 20L, 5L),
+      // user 1 tie on ts: ordered by event_id
+      (1L, 14L, 250L),
+    ).toDF("user_id", "event_id", "us")
+    val labeled = Sessionize.withSessionIds(ev, Seq("user_id"), "us", "event_id", gap)
+      .select("user_id", "event_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(labeled((1L, 10L)) == 1 && labeled((1L, 11L)) == 1) // exact gap continues
+    assert(labeled((1L, 12L)) == 2 && labeled((1L, 13L)) == 2)
+    assert(labeled((1L, 14L)) == 2) // tie at 250 joins the same session
+    assert(labeled((2L, 20L)) == 1)
+
+    val sess = Sessionize.sessionize(ev, Seq("user_id"), "us", "event_id", gap)
+      .orderBy("user_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(sess.toSeq == Seq(
+      (1L, 1L, 0L, 100L, 2L), (1L, 2L, 201L, 250L, 3L), (2L, 1L, 5L, 5L, 1L)))
+  }
+
+  test("sessionize plan: one Window exchange, flag and running sum fused") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, 0L)).toDF("user_id", "event_id", "us")
+    val plan = Sessionize.withSessionIds(ev, Seq("user_id"), "us", "event_id", 10L)
+      .queryExecution.executedPlan.toString
+    // exactly one Window operator (lag + running sum share the spec)
+    assert("(?s)Window".r.findAllIn(plan).size >= 1)
+    assert(plan.split("Exchange").length - 1 <= 1, s"extra exchanges in:\n$plan")
+  }
+
+  test("tfidf: hand-computed scores, rank ties break by term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),   // tf(apple)=2, tf(banana)=1
+      (2L, "banana cherry"),        // both df=2 → genuine score tie
+      (3L, "durian cherry"),
+    ).toDF("doc_id", "text")
+    val out = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val n = 3.0
+    def s(tf: Int, df: Int): Double =
+      BigDecimal(tf * math.log(n / df)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: apple 2*ln(3/1)=2.197, banana 1*ln(3/2)=0.405
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, "apple", 1L, s(2, 1)), (1L, "banana", 2L, s(1, 2))))
+    // doc 2: banana and cherry both tf=1 df=2 → equal score, term asc
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ==
+      Seq(("banana", 1L), ("cherry", 2L)))
+    // doc 3: durian (df=1) outranks the shared cherry
+    assert(out.filter(_._1 == 3L).toSeq == Seq(
+      (3L, "durian", 1L, s(1, 1)), (3L, "cherry", 2L, s(1, 2))))
+  }
+
+  test("stratified sample: deterministic, repartition-invariant, rate-shaped") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val rates = Map("a" -> 250, "b" -> 1000)
+    val kept = Sampling.stratifiedSample(df, "id", "stratum", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // all of stratum b survives, ~25% of stratum a
+    assert(kept.count(_._2 == "b") == 1000)
+    val aKept = kept.count(_._2 == "a")
+    assert(aKept > 150 && aKept < 350, s"a-stratum kept $aKept of 1000")
+    // repartitioning must not change the sample (df.sample would)
+    val kept2 = Sampling.stratifiedSample(df.repartition(13), "id", "stratum", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == kept2.toSet)
+    // default rate drops unknown strata
+    val kept3 = Sampling.stratifiedSample(
+      df.withColumn("stratum", lit("zz")), "id", "stratum", rates)
+    assert(kept3.count() == 0)
+  }
+
+  test("pii redact: counts and placeholders, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@corp.io or 555-123-4567 from 192.168.0.1 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.org and 10.0.0.1"),
+    ).toDF("doc_id", "text")
+    val out = PiiRedact.redact(docs, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, "contact <EMAIL> or <PHONE> from <IP> ok")))
+    assert(out(2L) == ((0L, 0L, 0L, "no pii here at all")))
+    assert(out(3L) == ((2L, 0L, 1L, "two mails <EMAIL> <EMAIL> and <IP>")))
+  }
+
+  test("pii synthetic fixture: every doc gets an email, periodic phone/ip") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val out = PiiRedact.redact(
+        PiiRedact.withSyntheticPii(docs, "doc_id", "text"), "pii_text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((1L, 1L, 1L))) // 0 % 3 == 0 and 0 % 4 == 0
+    assert(out(1L) == ((1L, 0L, 0L)))
+    assert(out(3L) == ((1L, 1L, 0L)))
+    assert(out(4L) == ((1L, 0L, 1L)))
+  }
+}
