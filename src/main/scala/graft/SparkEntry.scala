@@ -469,6 +469,34 @@ object SparkEntry {
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"),
           grouping_id().cast("long").as("gid"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // Funnel: view → click → purchase per user, earliest ordered chain —
+    // one key-window shuffle for all three steps (no joins/collect_list).
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      operators.Funnel.funnel(ev, Seq("user_id"), "us", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"), col("depth"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Pivot: event-type counts as columns per user — the explicit value
+    // list keeps the output schema static (a dynamic pivot would need a
+    // driver-side distinct over the pivot column at plan time).
+    "q_pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("view").cast("long").as("n_view"),
+          col("click").cast("long").as("n_click"),
+          col("purchase").cast("long").as("n_purchase"))
+        .orderBy(col("user_id"))),
   )
 
   /** Double-precision cosine between two embedding columns in DuckDB list
@@ -938,6 +966,32 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // Same greedy earliest-chain: t1 = min view; t2 = min click AFTER t1;
+    // t3 = min purchase AFTER t2 (strict inequalities, as in Funnel).
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, MIN(us) FILTER (WHERE event_type = 'view') AS t_view
+        |       FROM ev GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id,
+        |         MIN(us) FILTER (WHERE event_type = 'click' AND t_view IS NOT NULL AND us > t_view) AS t_click
+        |       FROM ev JOIN t1 USING (user_id) GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id,
+        |         MIN(us) FILTER (WHERE event_type = 'purchase' AND t_click IS NOT NULL AND us > t_click) AS t_purchase
+        |       FROM ev JOIN t2 USING (user_id) GROUP BY ev.user_id)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+        |FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q_text_langid has its own oracle above. Still oracle-less by nature:
     // q_dedup_minhash / q_dedup_simhash (MurmurHash3 signatures — engine-
     // specific), q_dedup_embedding / q_sim_topk_ivf (approximate headline

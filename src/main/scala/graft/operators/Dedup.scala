@@ -360,9 +360,16 @@ object Dedup {
     p.count()
     val edges = p.select(col("idA").as("src"), col("idB").as("dst"))
       .union(p.select(col("idB").as("src"), col("idA").as("dst")))
-    var labels = nodes.select(col(idCol).as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    // Lineage truncation per round: RELIABLE checkpoint when the session
+    // has a checkpoint dir (multi-node: survives executor loss — local
+    // checkpoint blocks do not, and losing one aborts the whole iteration),
+    // executor-local otherwise (single-node/test: no HDFS round-trip).
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    var labels = truncated(nodes.select(col(idCol).as("id")).distinct()
+      .withColumn("component", col("id")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum: java.math.BigDecimal = null // first round always proceeds
@@ -387,9 +394,8 @@ object Dedup {
       // ONE eager checkpoint per round: truncates lineage (the plan
       // references the round's frame twice, so analysis cost would double
       // per round) and makes the convergence-sum action a cheap scan
-      val next = jumped.select("id", "component").union(msgs)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+      val next = truncated(jumped.select("id", "component").union(msgs)
+        .groupBy("id").agg(min("component").as("component")))
       val s = labelSum(next)
       labels = next
       converged = prevSum != null && s.compareTo(prevSum) == 0
