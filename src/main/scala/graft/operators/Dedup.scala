@@ -219,21 +219,32 @@ object Dedup {
     val prefix = ordered
       .select(col("id"), explode(slice(col("arr"), lit(1), prefixLen)).as("e"))
       .select(col("id"), col("e.h").as("h"))
+    // Candidates are NOT pre-deduplicated: two docs share few prefix
+    // shingles in practice (measured 8% duplicate occurrences at sf0.1),
+    // so a distinct here shuffles the whole candidate stream to trim
+    // almost nothing — the cheap dedup point is the post-threshold OUTPUT,
+    // which is orders of magnitude smaller. Duplicate candidates merely
+    // re-verify a pair; they cannot change the result set.
     val cands = prefix.select(col("id").as("idA"), col("h"))
       .join(prefix.select(col("id").as("idB"), col("h")), "h")
       .filter(col("idA") < col("idB"))
-      .select("idA", "idB").distinct()
+      .select("idA", "idB")
     val a = withSh.select(col("id").as("idA"), col("sh").as("shA"),
       size(col("sh")).as("nA"))
     val b = withSh.select(col("id").as("idB"), col("sh").as("shB"),
       size(col("sh")).as("nB"))
     cands.join(a, "idA").join(b, "idB")
+      // size filter (AllPairs): jaccard >= t forces t*|A| <= |B| (and
+      // symmetrically) — prune before the per-pair merge intersect runs
+      .filter(col("nB") >= lit(threshold) * col("nA") &&
+        col("nA") >= lit(threshold) * col("nB"))
       .withColumn("c",
         graft.expr.VectorExpressions.sorted_long_intersect_size(col("shA"), col("shB")))
       .withColumn("jaccard",
         col("c").cast("double") / (col("nA") + col("nB") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
+      .distinct()
   }
 
   /** Brute-force n-gram Jaccard pairs (reference/oracle path; quadratic —
@@ -357,7 +368,14 @@ object Dedup {
     // reads it twice, and the upstream pair derivation (an LSH or
     // set-similarity join) is far too expensive to run once per direction.
     val p = pairs.select(col("idA"), col("idB")).persist()
-    p.count()
+    val nPairs = p.count()
+    // No edges ⇒ every node is its own singleton component — skip the
+    // loop (an empty label frame would also null the convergence sum).
+    if (nPairs == 0) {
+      p.unpersist()
+      return nodes.select(col(idCol).as("id")).distinct()
+        .withColumn("component", col("id"))
+    }
     val edges = p.select(col("idA").as("src"), col("idB").as("dst"))
       .union(p.select(col("idB").as("src"), col("idA").as("dst")))
     // Lineage truncation per round: RELIABLE checkpoint when the session
@@ -368,11 +386,27 @@ object Dedup {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint()
       else df.localCheckpoint()
-    var labels = truncated(nodes.select(col(idCol).as("id")).distinct()
-      .withColumn("component", col("id")))
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum: java.math.BigDecimal = null // first round always proceeds
+    // Iterate ONLY over the edge-induced subgraph: a node with no incident
+    // edge is its own singleton component by definition and never changes
+    // label, so it has no business inside the loop. At corpus scale the
+    // overwhelming majority of documents are isolated — the iteration then
+    // runs on ~2·|pairs| rows instead of |corpus| rows, and the full node
+    // set joins back in ONCE at the end as label = id.
+    val allNodes = nodes.select(col(idCol).as("id")).distinct()
+    var labels = truncated(
+      p.select(col("idA").as("id")).union(p.select(col("idB").as("id")))
+        .distinct().withColumn("component", col("id")))
+    // Null-safe: sum over an empty frame is null (cannot happen after the
+    // nPairs guard, but the comparison must not depend on that invariant).
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+    def sameSum(a: Option[java.math.BigDecimal], b: Option[java.math.BigDecimal]): Boolean =
+      (a, b) match {
+        case (Some(x), Some(y)) => x.compareTo(y) == 0
+        case (None, None) => true
+        case _ => false
+      }
+    var prevSum: Option[java.math.BigDecimal] = null // first round always proceeds
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -398,15 +432,20 @@ object Dedup {
         .groupBy("id").agg(min("component").as("component")))
       val s = labelSum(next)
       labels = next
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      converged = prevSum != null && sameSum(s, prevSum)
       prevSum = s
       iter += 1
     }
-    p.unpersist()
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds — " +
         "component structure would be incomplete; raise maxIter")
-    labels
+    // Singletons rejoin here: every node not touched by an edge keeps its
+    // own id as component. Anti-join on the (small) touched-label set.
+    val result = labels.union(
+      allNodes.join(labels.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("component", col("id")))
+    p.unpersist()
+    result
   }
 
   /** Near-dup corpus dedup end-to-end: keep ONE survivor (the min-id

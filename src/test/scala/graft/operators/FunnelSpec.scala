@@ -81,6 +81,15 @@ class FunnelSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"funnel should shuffle once, plan:\n$plan")
   }
 
+  test("connected components: empty pair set yields all singletons") {
+    import spark.implicits._
+    val nodes = (1L to 10L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("idA", "idB")
+    val cc = Dedup.connectedComponents(nodes, noPairs, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cc == (1L to 10L).map(i => (i, i)).toSet)
+  }
+
   test("connected components: identical under reliable checkpoint dir") {
     import spark.implicits._
     val nodes = (1L to 50L).toDF("id")
