@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: the round-3 operators against independent in-JVM
+  * brute-force references over randomized inputs. */
+class CorpusOpsPropsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("corpus-ops-props").getOrCreate()
+
+  test("sessionize ≡ sequential scan on 40 random event sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 40) {
+      val gap = 1 + rnd.nextInt(20)
+      val events = for {
+        u <- 0L until (1 + rnd.nextInt(6)).toLong
+        i <- 0 until rnd.nextInt(15)
+      } yield (u, u * 1000 + i, rnd.nextInt(100).toLong)
+      if (events.nonEmpty) {
+        val got = Sessionize.withSessionIds(
+            events.toDF("user_id", "event_id", "us"),
+            Seq("user_id"), "us", "event_id", gap.toLong)
+          .select("user_id", "event_id", "session_seq")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        // reference: sort by (ts, event_id) per user, sequential gap scan
+        events.groupBy(_._1).foreach { case (u, evs) =>
+          var seq = 0L
+          var prevTs = Long.MinValue
+          evs.sortBy(e => (e._3, e._2)).foreach { case (_, eid, ts) =>
+            if (seq == 0L || ts - prevTs > gap) seq += 1
+            prevTs = ts
+            assert(got((u, eid)) == seq,
+              s"trial $trial user $u event $eid gap $gap: ${evs.sortBy(e => (e._3, e._2))}")
+          }
+        }
+      }
+    }
+  }
+
+  test("tfidf ≡ in-JVM reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Array("ant", "bee", "cat", "dog", "elk", "fox")
+    for (trial <- 1 to 10) {
+      val docs = (0L until (2 + rnd.nextInt(8)).toLong).map { id =>
+        val words = (0 until 1 + rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        (id, words.mkString(" "))
+      }
+      val k = 1 + rnd.nextInt(3)
+      val got = TfIdf.topTerms(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(t => (t._2, t._3, t._4)).toList).toMap
+      // reference computation
+      val tf = docs.flatMap { case (id, text) =>
+        text.split("\\s+").filter(_.nonEmpty).map(t => (id, t))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val dfreq = tf.keys.groupBy(_._2).view.mapValues(_.map(_._1).toSet.size).toMap
+      val n = docs.size.toDouble
+      docs.foreach { case (id, text) =>
+        val scored = text.split("\\s+").filter(_.nonEmpty).distinct.map { t =>
+          val score = BigDecimal(tf((id, t)) * math.log(n / dfreq(t)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (t, score)
+        }.sortBy { case (t, s) => (-s, t) }.take(k)
+        val expected = scored.zipWithIndex.map { case ((t, s), i) => (t, (i + 1).toLong, s) }.toList
+        assert(got.getOrElse(id, Nil) == expected, s"trial $trial doc $id: '$text'")
+      }
+    }
+  }
+
+  test("tfidf plan: document-frequency table joins back broadcast") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val plan = TfIdf.topTerms(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"df table should broadcast, plan:\n$plan")
+  }
+}
