@@ -414,6 +414,19 @@ object SparkEntry {
       s.table(name).select(col("key5")).orderBy(col("key5"))
     }),
 
+    // Streaming sessionization (session_window + watermark): the streaming
+    // twin of q_sessionize, oracled against the same lag/cumsum derivation
+    // (session windows merge when they touch, so the split rule is the
+    // batch operator's strict >). Bounded-stream finalization via the
+    // staged far-future sentinel row.
+    "q_stream_sessions" -> ((s, dir) =>
+      StreamingIngest.runSessionizeBounded(s, s"$dir/events.parquet",
+        gapMicros = 1800L * 1000 * 1000,
+        queryName = s"stream_sessions_${streamCounter.incrementAndGet()}")
+        .select(col("user_id"), col("session_start"), col("session_last"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Sessionization: 30-min inactivity gap per user over epoch-micros
     // longs — one window shuffle labels sessions, the groupBy collapses
     // them. Oracled against the identical lag/flag/running-sum in DuckDB.
@@ -881,6 +894,26 @@ object SparkEntry {
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp_norm,
         |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS fp_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same strict-> split rule as q_sessionize (session windows merge when
+    // they touch); only the output shape differs.
+    "q_stream_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |labeled AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, MIN(us) AS session_start, MAX(us) AS session_last,
+        |  COUNT(*) AS n_events
+        |FROM labeled GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_sessionize" ->
       """WITH ev AS (

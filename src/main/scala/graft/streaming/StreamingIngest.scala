@@ -107,6 +107,66 @@ object StreamingIngest {
           else { state.update(true); rows.take(1) })
   }
 
+  /** Streaming sessionization: the `session_window` twin of the batch
+    * [[graft.operators.Sessionize]] — and semantically IDENTICAL to it:
+    * Spark merges session windows that overlap or TOUCH (inclusive end),
+    * so two events exactly `gap` apart share a session and a session
+    * splits only when the inter-event gap is strictly greater — the same
+    * strict-`>` rule as the batch operator (verified by the exact-gap spec
+    * case). State is the per-key open-session set in the
+    * sharded state store; the watermark finalizes and evicts sessions, so
+    * state stays bounded by ACTIVE sessions regardless of stream length.
+    * Returns the streaming frame; caller attaches the sink. */
+  def sessionizedEvents(events: DataFrame, gapMicros: Long,
+                        keyCol: String = "user_id",
+                        tsCol: String = "tsm",
+                        watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), s"$gapMicros microseconds"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ev"), max(col(tsCol)).as("last_ev"))
+      .select(col(keyCol),
+        unix_micros(col("first_ev")).as("session_start"),
+        unix_micros(col("last_ev")).as("session_last"),
+        col("n_events"))
+
+  /** Drive [[sessionizedEvents]] over a BOUNDED parquet path and return the
+    * final sessions as a batch frame. Bounded-stream finalization: append-
+    * mode session windows emit only once the watermark passes their end,
+    * and a finite stream's watermark stops at its max event time — the
+    * tail sessions would be withheld forever. The standard fix is staged
+    * here: copy the input to a staging dir plus ONE far-future sentinel
+    * row (key -1), which advances the global watermark past every real
+    * session end; the sentinel's own session is filtered from the result.
+    * Production (unbounded) streams need none of this — later events
+    * advance the watermark naturally. */
+  def runSessionizeBounded(spark: SparkSession, parquetPath: String,
+                           gapMicros: Long, queryName: String,
+                           statePartitions: Int = 8): DataFrame = {
+    val ev = spark.read.parquet(parquetPath)
+    val stage = java.nio.file.Files.createTempDirectory("graft-sess-stage").toString
+    ev.write.mode("overwrite").parquet(stage)
+    val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+    // ts is long nanos here (nanosAsLong); 3 gaps past the max is safely
+    // beyond every real session end after the micros conversion
+    ev.limit(1)
+      .withColumn("event_id", lit(-1L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", lit(maxTs + 3 * gapMicros * 1000))
+      .write.mode("append").parquet(stage)
+    val stream = spark.readStream.schema(ev.schema).parquet(stage + "/*.parquet")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+    withStatePartitions(spark, statePartitions) {
+      val q = sessionizedEvents(stream, gapMicros)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(queryName).filter(col("user_id") >= 0)
+  }
+
   /** Run a thunk with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the previous value after. Stateful streaming queries
     * materialize one state-store instance per shuffle partition at their

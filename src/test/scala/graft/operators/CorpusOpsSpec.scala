@@ -51,6 +51,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - 1 <= 1, s"extra exchanges in:\n$plan")
   }
 
+  test("streaming sessionize: exact-gap merge, sentinel filtered, ends emitted") {
+    import spark.implicits._
+    // SECOND-scale times: Spark tracks watermarks in milliseconds, so
+    // sub-millisecond event spans never advance the watermark and no
+    // session would ever finalize.
+    val gapUs = 100L * 1000 * 1000 // 100 s
+    val s1 = 1000L * 1000 * 1000 * 1000 // 1000 s in nanos
+    def ns(sec: Long) = sec * 1000L * 1000 * 1000
+    val ev = Seq(
+      (10L, 1L, ns(1000)), (11L, 1L, ns(1100)),      // exactly gap apart -> MERGES (touching windows)
+      (12L, 1L, ns(1300)), (13L, 2L, ns(1050)),      // 200 s after 1100 -> splits
+    ).toDF("event_id", "user_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("sess-spec").toString
+    ev.write.mode("overwrite").parquet(dir + "/events.parquet")
+    def us(sec: Long) = sec * 1000L * 1000
+    val out = graft.streaming.StreamingIngest.runSessionizeBounded(
+        spark, dir + "/events.parquet", gapUs, "sess_spec_q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, us(1000), us(1100), 2L), // exactly-gap events merge (touching windows)
+      (1L, us(1300), us(1300), 1L), // 200 s > gap splits
+      (2L, us(1050), us(1050), 1L)))
+    assert(!out.exists(_._1 == -1L), "sentinel must be filtered")
+  }
+
   test("tfidf: hand-computed scores, rank ties break by term") {
     import spark.implicits._
     val docs = Seq(
