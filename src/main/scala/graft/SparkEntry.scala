@@ -474,6 +474,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sketch aggregation — the 100 TB default for distinct counting: the
+    // HyperLogLog++ sketch is fixed-size and mergeable, so cardinality
+    // costs one partial-agg pass instead of a distinct shuffle. Sketch
+    // estimates are engine-internal (rows-only check); the exact sibling
+    // q_distinct_users carries the oracle, and the <2% relative-error
+    // bound is spec-asserted against it.
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    // Exact distinct per group: two-level aggregation (partial distinct on
+    // (type, user) then count) — the plan Spark expands COUNT(DISTINCT) to.
+    "q_distinct_users" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    // Anti join: customers who never ordered — LeftAnti is the plan-level
+    // NOT EXISTS (one hash join, no materialized null-padded rows).
+    "q_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Set difference: customers who ordered but never with status F.
+    "q_set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_custkey").as("custkey"))
+        .except(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    }),
+
+    // The SQL front door: the same engine surface through spark.sql with a
+    // correlated EXISTS (Catalyst rewrites it to a semi join).
+    "q_sql_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_custkey, c_name FROM customer_v c
+              |WHERE EXISTS (SELECT 1 FROM orders_v o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Multi-level rollup aggregation (OLAP surface): grouping_id
     // disambiguates rolled-up NULLs from data NULLs and pins the sort.
     "q_agg_rollup" -> ((s, dir) =>
@@ -992,6 +1042,27 @@ object SparkEntry {
         |  regexp_replace(after_ip, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM st2 ORDER BY doc_id""".stripMargin,
 
+    "q_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1029,7 +1100,9 @@ object SparkEntry {
     // q_dedup_minhash / q_dedup_simhash (MurmurHash3 signatures — engine-
     // specific), q_dedup_embedding / q_sim_topk_ivf (approximate headline
     // variants whose exact siblings q_dedup_embedding_exact /
-    // q_sim_topk_ivf_full carry the hash-matched oracles) → driver rows-only
-    // check + ScalaTest subset/recall oracles in OperatorsSpec.
+    // q_sim_topk_ivf_full carry the hash-matched oracles),
+    // q_approx_distinct (HLL++ sketch estimates — engine-internal; exact
+    // sibling q_distinct_users is oracled and the error bound is
+    // spec-asserted) → driver rows-only check + ScalaTest oracles.
   )
 }

@@ -120,6 +120,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept3.count() == 0)
   }
 
+  test("approx distinct: within the configured relative error of exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 20000).map(_ => (rnd.nextInt(3).toString, rnd.nextInt(1500).toLong))
+      .toDF("grp", "uid")
+    val exact = df.groupBy("grp").agg(countDistinct(col("uid")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = df.groupBy("grp")
+      .agg(approx_count_distinct(col("uid"), rsd = 0.01).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      val a = approx(g)
+      assert(math.abs(a - n).toDouble / n < 0.02,
+        s"group $g: approx $a vs exact $n exceeds 2% relative error")
+    }
+  }
+
   test("pii redact: counts and placeholders, clean text untouched") {
     import spark.implicits._
     val docs = Seq(
