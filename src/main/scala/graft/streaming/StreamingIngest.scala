@@ -157,12 +157,17 @@ object StreamingIngest {
       .write.mode("append").parquet(stage)
     val stream = spark.readStream.schema(ev.schema).parquet(stage + "/*.parquet")
       .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
-    withStatePartitions(spark, statePartitions) {
-      val q = sessionizedEvents(stream, gapMicros)
-        .writeStream.outputMode("append").format("memory")
-        .queryName(queryName).start()
-      try q.processAllAvailable()
-      finally q.stop()
+    try {
+      withStatePartitions(spark, statePartitions) {
+        val q = sessionizedEvents(stream, gapMicros)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(queryName).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    } finally {
+      // the memory sink holds the result; the staged copy is disposable
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
     }
     spark.table(queryName).filter(col("user_id") >= 0)
   }

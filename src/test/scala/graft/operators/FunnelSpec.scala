@@ -81,6 +81,27 @@ class FunnelSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"funnel should shuffle once, plan:\n$plan")
   }
 
+  test("range join: degenerate intervals are dropped, not exploded") {
+    import spark.implicits._
+    val points = Seq((1L, 100L, 55L)).toDF("user_id", "pid", "p")
+    val intervals = Seq(
+      (1L, 10L, 50L, 60L),                  // valid: contains the point
+      (1L, 11L, 70L, 70L),                  // empty: end == start
+      (1L, 12L, 1000000L, 0L),              // inverted: would explode 10^5 bins
+    ).toDF("user_id", "iid", "s", "e")
+    val out = RangeJoin.pointInIntervalJoin(points, intervals, Seq("user_id"),
+        pointCol = "p", startCol = "s", endCol = "e", bucketWidth = 10L)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((10L, 100L)))
+    val ov = RangeJoin.intervalOverlapJoin(
+        Seq((1L, 20L, 50L, 60L)).toDF("user_id", "aid", "as", "ae"),
+        Seq((1L, 30L, 55L, 65L), (1L, 31L, 58L, 58L)).toDF("user_id", "bid", "bs", "be"),
+        Seq("user_id"), "as", "ae", "bs", "be", bucketWidth = 10L)
+      .select("l_aid", "r_bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the empty interval 31 overlaps nothing even though 58 lies inside [50,60)
+    assert(ov.toSeq == Seq((20L, 30L)))
+  }
+
   test("connected components: empty pair set yields all singletons") {
     import spark.implicits._
     val nodes = (1L to 10L).toDF("id")
