@@ -11,14 +11,20 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   /** Post-query hygiene so query N's leftovers don't tax query N+1:
-    * memory-sink temp views from the streaming queries are dropped, and a GC
-    * nudge lets the ContextCleaner reclaim now-unreferenced localCheckpoint
-    * blocks (they are weak-ref cleaned, so they linger until a GC runs —
-    * under load that lingering is exactly what inflates later queries). */
+    * memory-sink temp views from the streaming queries are dropped every
+    * time, and a periodic GC nudge lets the ContextCleaner reclaim
+    * now-unreferenced localCheckpoint blocks (weak-ref cleaned, so they
+    * linger until a GC runs — that lingering is what inflated later
+    * queries under the old small heap). Periodic, not per-query: a full
+    * GC on a large heap costs real wall-clock, and with headroom the
+    * blocks only need to be released often enough to never accumulate
+    * across tens of queries. */
+  private var sinceGc = 0
   private def cleanup(spark: SparkSession): Unit = {
     spark.catalog.listTables().collect()
       .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
-    System.gc()
+    sinceGc += 1
+    if (sinceGc >= 8) { sinceGc = 0; System.gc() }
   }
 
   def main(args: Array[String]): Unit = {

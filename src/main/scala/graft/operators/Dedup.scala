@@ -360,10 +360,16 @@ object Dedup {
     * ContextCleaner once the frame reference drops (use reliable
     * `checkpoint()` on multi-node clusters for fault tolerance).
     *
+    * Adaptive: when the edge list is driver-bounded-small
+    * (≤ `maxDriverEdges`), a collected union-find replaces the loop — same
+    * output, one job instead of rounds (see the inline note). The
+    * iterative path is the default for anything larger.
+    *
     * Returns (id, component) for every node; singletons are their own
     * component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, idCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          maxDriverEdges: Long = 1L << 16): DataFrame = {
     // Persist + materialize the pair list before symmetrizing: the union
     // reads it twice, and the upstream pair derivation (an LSH or
     // set-similarity join) is far too expensive to run once per direction.
@@ -375,6 +381,46 @@ object Dedup {
       p.unpersist()
       return nodes.select(col(idCol).as("id")).distinct()
         .withColumn("component", col("id"))
+    }
+    // ADAPTIVE fast path: near-dup pair graphs are typically minuscule
+    // relative to the corpus (the corpus is mostly isolated nodes). When
+    // the edge list fits the same driver-memory budget as the other
+    // sanctioned bounded collects (≤ maxDriverEdges pairs ≈ 1 MB of
+    // longs), a driver union-find replaces 4-6 distributed rounds (each
+    // 2 joins + a groupBy + a checkpoint) with one collect and one
+    // broadcast-joinable mapping — identical output, spec-asserted. The
+    // iterative path below remains the default for anything larger; the
+    // count that picks the path has already been paid.
+    // (long-keyed frames only — other id types always take the generic
+    // iterative path)
+    val longKeyed = p.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (nPairs <= maxDriverEdges && longKeyed) {
+      val edgeArr = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edgeArr.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN root so labels match the min-label fixpoint
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val touched = edgeArr.flatMap(e => Seq(e._1, e._2)).distinct
+      val mapping = touched.map(id => (id, find(id)))
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labelMap = mapping.toSeq.toDF("id", "component")
+      return nodes.select(col(idCol).as("id")).distinct()
+        .join(broadcast(labelMap.select(col("id"), col("component").as("__c"))),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
     }
     val edges = p.select(col("idA").as("src"), col("idB").as("dst"))
       .union(p.select(col("idB").as("src"), col("idA").as("dst")))

@@ -111,17 +111,36 @@ class FunnelSpec extends AnyFunSuite {
     assert(cc == (1L to 10L).map(i => (i, i)).toSet)
   }
 
+  test("connected components: fast path ≡ iterative path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val nodes = (1L to 200L).toDF("id")
+    val pairs = (0 until 80)
+      .map(_ => (1L + rnd.nextInt(200), 1L + rnd.nextInt(200)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("idA", "idB")
+    val fast = Dedup.connectedComponents(nodes, pairs, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val iterative = Dedup.connectedComponents(nodes, pairs, "id",
+        maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == iterative)
+  }
+
   test("connected components: identical under reliable checkpoint dir") {
     import spark.implicits._
     val nodes = (1L to 50L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L), (20L, 30L), (30L, 40L))
       .toDF("idA", "idB")
-    val local = Dedup.connectedComponents(nodes, pairs, "id")
+    // maxDriverEdges = 0 forces the ITERATIVE path — the checkpoint
+    // machinery under test is only used there
+    val local = Dedup.connectedComponents(nodes, pairs, "id", maxDriverEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try {
-      val reliable = Dedup.connectedComponents(nodes, pairs, "id")
+      val reliable = Dedup.connectedComponents(nodes, pairs, "id", maxDriverEdges = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(reliable == local)
       assert(new java.io.File(dir).listFiles().nonEmpty, "checkpoint dir unused")
