@@ -427,6 +427,36 @@ object SparkEntry {
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // The events capstone: sessionize + funnel + pivot composed into one
+    // user-level feature table (the session/conversion/engagement shape an
+    // events warehouse serves) — hash-matched as ONE chain so the
+    // operators' interfaces compose, not just pass alone. All three
+    // subtrees key on user_id, so the join stage reuses one partitioning.
+    "q_events_pipeline" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("us"))
+      val sessions = operators.Sessionize.sessionize(ev, Seq("user_id"),
+          tsCol = "us", tieCol = "event_id", gap = 1800L * 1000 * 1000)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"))
+      val fun = operators.Funnel.funnel(ev, Seq("user_id"), "us", Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .select(col("user_id"), col("depth"))
+      val piv = ev.groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("view").cast("long").as("n_view"),
+          col("click").cast("long").as("n_click"),
+          col("purchase").cast("long").as("n_purchase"))
+      sessions.join(fun, "user_id").join(piv, "user_id")
+        .orderBy(col("user_id"))
+    }),
+
     // Sessionization: 30-min inactivity gap per user over epoch-micros
     // longs — one window shuffle labels sessions, the groupBy collapses
     // them. Oracled against the identical lag/flag/running-sum in DuckDB.
@@ -944,6 +974,49 @@ object SparkEntry {
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp_norm,
         |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS fp_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_events_pipeline" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |labeled AS (
+        |  SELECT user_id, us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_seq, COUNT(*) AS n_ev
+        |  FROM labeled GROUP BY user_id, session_seq),
+        |sessions AS (
+        |  SELECT user_id, COUNT(*) AS n_sessions, MAX(n_ev) AS max_session_events
+        |  FROM per_session GROUP BY user_id),
+        |t1 AS (SELECT user_id, MIN(us) FILTER (WHERE event_type = 'view') AS t_view
+        |       FROM ev GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id,
+        |         MIN(us) FILTER (WHERE event_type = 'click' AND t_view IS NOT NULL AND us > t_view) AS t_click
+        |       FROM ev JOIN t1 USING (user_id) GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id,
+        |         MIN(us) FILTER (WHERE event_type = 'purchase' AND t_click IS NOT NULL AND us > t_click) AS t_purchase
+        |       FROM ev JOIN t2 USING (user_id) GROUP BY ev.user_id),
+        |fun AS (
+        |  SELECT user_id,
+        |    CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |              WHEN t_click IS NOT NULL THEN 2
+        |              WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+        |  FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)),
+        |piv AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, n_sessions, max_session_events, depth, n_view, n_click, n_purchase
+        |FROM sessions JOIN fun USING (user_id) JOIN piv USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // Same strict-> split rule as q_sessionize (session windows merge when
     // they touch); only the output shape differs.
