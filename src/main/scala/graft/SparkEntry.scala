@@ -504,6 +504,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Histogram: fixed-width binning as pure integer arithmetic (identical
+    // in any engine — no width_bucket dialect dependence), clamped to
+    // [0, nbins-1]; one narrow projection + one aggregation.
+    "q_histogram" -> ((s, dir) => {
+      val lo = 0.0; val w = 50000.0; val nbins = 12
+      val bin = least(greatest(floor((col("o_totalprice") - lo) / w), lit(0)),
+        lit(nbins - 1)).cast("long")
+      t(s, dir, "orders")
+        .select(bin.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bin"))
+    }),
+
+    // arg-min/arg-max per group with a TIE-FREE composite key (epoch-day
+    // * 1e8 + orderkey): min_by/arg_min tie behavior is engine-arbitrary,
+    // so determinism must come from the ordering key, not luck.
+    "q_agg_argminmax" -> ((s, dir) => {
+      val combined = (datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        .cast("long") * 100000000L + col("o_orderkey"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(min_by(col("o_orderkey"), combined).as("first_orderkey"),
+          max_by(col("o_orderkey"), combined).as("last_orderkey"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Fuzzy match: Levenshtein distance between neighboring docs' prefixes
+    // — integer-exact in every engine, the classic fuzzy-dedup primitive.
+    "q_text_levenshtein" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        substring(col("text"), 1, 30).as("p"))
+      d.select(col("doc_id"), col("p"))
+        .join(d.select((col("doc_id") - 1).as("doc_id"), col("p").as("p2")),
+          "doc_id")
+        .select(col("doc_id"), levenshtein(col("p"), col("p2")).cast("long").as("dist"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Correlation/covariance per group, rounded to 6 dp: both engines use
+    // the same single-pass co-moment formulas; rounding absorbs the
+    // last-ulp accumulation-order differences.
+    "q_agg_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // Sketch aggregation — the 100 TB default for distinct counting: the
     // HyperLogLog++ sketch is fixed-size and mergeable, so cardinality
     // costs one partial-agg pass instead of a distinct shuffle. Sketch
@@ -1118,6 +1168,30 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 50000.0), 0), 11) AS BIGINT) AS bin,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_agg_argminmax" ->
+      """SELECT o_orderpriority,
+        |  arg_min(o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 100000000 + o_orderkey) AS first_orderkey,
+        |  arg_max(o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 100000000 + o_orderkey) AS last_orderkey,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_text_levenshtein" ->
+      """SELECT a.doc_id, CAST(levenshtein(substring(a.text, 1, 30), substring(b.text, 1, 30)) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
