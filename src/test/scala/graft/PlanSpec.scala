@@ -106,6 +106,18 @@ class PlanSpec extends SparkSpec {
       "bucketed prefix-sum structure missing")
   }
 
+  test("narrow queries: no hash exchange, only the final sort's range exchange") {
+    // these operators are pure per-row projections/filters — any hash
+    // shuffle appearing here is a regression that turns a scan-bound 100 TB
+    // pass into a shuffle-bound one
+    for (q <- Seq("q_sample_stratified", "q_pii_redact", "q_text_stats",
+        "q_text_fingerprint", "q_text_langid")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q: hash shuffle in a shuffle-free operator")
+    }
+  }
+
   test("global audit: no cartesian products or unexpected nested-loop joins anywhere") {
     // BNLJ is legitimate ONLY where a bounded side is broadcast on purpose:
     // the exact-topk broadcast crossJoin and the bounded exact near-dup oracle
