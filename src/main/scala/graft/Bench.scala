@@ -51,18 +51,34 @@ object Bench {
     // concurrently; single-shot totals here swing up to 5x under its load).
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val failedTime = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir))
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      // a failed run must NOT feed the min — a fast failure would silently
+      // replace a successful run's real time; it is tracked separately and
+      // only reported when the query never succeeds
+      try {
+        consume(fn(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      } catch {
+        case e: Throwable =>
+          failedTime(name) = (System.nanoTime() - t0) / 1e9
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       cleanup(spark)
     }
-    val qs = names.map(k => s"\"" + k + "\":" + best(k)).mkString("{", ",", "}")
-    val total = names.map(best).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    def timeOf(k: String): Double =
+      best.getOrElse(k, failedTime.getOrElse(k, 0.0))
+    val qs = names.map(k => s"\"" + k + "\":" + timeOf(k)).mkString("{", ",", "}")
+    val total = names.map(timeOf).sum
+    val neverSucceeded = names.filterNot(best.contains)
+    val failedJson =
+      if (neverSucceeded.isEmpty) ""
+      else neverSucceeded.map("\"" + _ + "\"")
+        .mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"$failedJson}""")
     spark.stop()
   }
 }

@@ -518,11 +518,13 @@ object SparkEntry {
     }),
 
     // arg-min/arg-max per group with a TIE-FREE composite key (epoch-day
-    // * 1e8 + orderkey): min_by/arg_min tie behavior is engine-arbitrary,
-    // so determinism must come from the ordering key, not luck.
+    // in the high bits, orderkey below): min_by/arg_min tie behavior is
+    // engine-arbitrary, so determinism must come from the ordering key.
+    // Radix 2^40 keeps the key order-preserving for orderkeys < 2^40
+    // (~1.1e12 — far past TPC-H SF 100k) and days < 2^23.
     "q_agg_argminmax" -> ((s, dir) => {
       val combined = (datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
-        .cast("long") * 100000000L + col("o_orderkey"))
+        .cast("long") * 1099511627776L + col("o_orderkey"))
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(min_by(col("o_orderkey"), combined).as("first_orderkey"),
@@ -1176,8 +1178,8 @@ object SparkEntry {
 
     "q_agg_argminmax" ->
       """SELECT o_orderpriority,
-        |  arg_min(o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 100000000 + o_orderkey) AS first_orderkey,
-        |  arg_max(o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 100000000 + o_orderkey) AS last_orderkey,
+        |  arg_min(o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 1099511627776 + o_orderkey) AS first_orderkey,
+        |  arg_max(o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 1099511627776 + o_orderkey) AS last_orderkey,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

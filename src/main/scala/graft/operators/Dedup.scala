@@ -417,7 +417,12 @@ object Dedup {
       val spark = nodes.sparkSession
       import spark.implicits._
       val labelMap = mapping.toSeq.toDF("id", "component")
+      // Same row-set contract as the iterative path: ids appearing only in
+      // `pairs` (not in `nodes`) still get a labeled row — union them in
+      // before the mapping join so the output is identical on either side
+      // of the maxDriverEdges threshold.
       return nodes.select(col(idCol).as("id")).distinct()
+        .unionByName(labelMap.select(col("id"))).distinct()
         .join(broadcast(labelMap.select(col("id"), col("component").as("__c"))),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
@@ -428,10 +433,31 @@ object Dedup {
     // has a checkpoint dir (multi-node: survives executor loss — local
     // checkpoint blocks do not, and losing one aborts the whole iteration),
     // executor-local otherwise (single-node/test: no HDFS round-trip).
+    // Reliable checkpoint FILES are not reference-tracked like local
+    // checkpoint blocks (Spark deletes them only under
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true, default off),
+    // so each round deletes its predecessor's files explicitly once the
+    // new round is materialized — only the FINAL round's files outlive the
+    // call (the returned frame reads them lazily; enable the conf above to
+    // reclaim those at GC, or they last until the app exits).
+    val sc = nodes.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
     def truncated(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint()
-      else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // best-effort: resolve a checkpointed frame's backing file for cleanup
+    def ckptFile(df: DataFrame): Option[String] =
+      scala.util.Try {
+        df.queryExecution.optimizedPlan match {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            r.rdd.getCheckpointFile
+          case _ => None
+        }
+      }.toOption.flatten
+    def deleteCkpt(path: String): Unit =
+      scala.util.Try {
+        val pth = new org.apache.hadoop.fs.Path(path)
+        pth.getFileSystem(sc.hadoopConfiguration).delete(pth, true)
+      }
     // Iterate ONLY over the edge-induced subgraph: a node with no incident
     // edge is its own singleton component by definition and never changes
     // label, so it has no business inside the loop. At corpus scale the
@@ -439,6 +465,7 @@ object Dedup {
     // runs on ~2·|pairs| rows instead of |corpus| rows, and the full node
     // set joins back in ONCE at the end as label = id.
     val allNodes = nodes.select(col(idCol).as("id")).distinct()
+    try {
     var labels = truncated(
       p.select(col("idA").as("id")).union(p.select(col("idB").as("id")))
         .distinct().withColumn("component", col("id")))
@@ -474,10 +501,14 @@ object Dedup {
       // ONE eager checkpoint per round: truncates lineage (the plan
       // references the round's frame twice, so analysis cost would double
       // per round) and makes the convergence-sum action a cheap scan
+      val superseded = if (reliable) ckptFile(labels) else None
       val next = truncated(jumped.select("id", "component").union(msgs)
         .groupBy("id").agg(min("component").as("component")))
       val s = labelSum(next)
       labels = next
+      // `next` is materialized (checkpoint is eager) — the previous
+      // round's reliable checkpoint files are now dead weight
+      superseded.foreach(deleteCkpt)
       converged = prevSum != null && sameSum(s, prevSum)
       prevSum = s
       iter += 1
@@ -487,11 +518,10 @@ object Dedup {
         "component structure would be incomplete; raise maxIter")
     // Singletons rejoin here: every node not touched by an edge keeps its
     // own id as component. Anti-join on the (small) touched-label set.
-    val result = labels.union(
+    labels.union(
       allNodes.join(labels.select(col("id")), Seq("id"), "left_anti")
         .withColumn("component", col("id")))
-    p.unpersist()
-    result
+    } finally p.unpersist()
   }
 
   /** Near-dup corpus dedup end-to-end: keep ONE survivor (the min-id

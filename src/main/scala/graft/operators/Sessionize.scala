@@ -35,8 +35,10 @@ object Sessionize {
       .orderBy(col(tsCol), col(tieCol))
     val prev = lag(col(tsCol), 1).over(w)
     val newSession = when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L)
-    // running sum of session starts over the SAME window spec: Catalyst
-    // fuses both window functions into one Window operator — one shuffle.
+    // running sum of session starts over the SAME window spec: the two
+    // window functions plan as stacked Window operators over ONE exchange
+    // (same partitioning/ordering) — sessionization still costs a single
+    // shuffle (asserted in CorpusOpsSpec).
     df.withColumn("session_seq",
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

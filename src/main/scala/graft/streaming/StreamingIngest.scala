@@ -145,6 +145,16 @@ object StreamingIngest {
                            gapMicros: Long, queryName: String,
                            statePartitions: Int = 8): DataFrame = {
     val ev = spark.read.parquet(parquetPath)
+    // Empty input: no sessions, and no max(ts) for the sentinel — return
+    // the empty result frame instead of NPE-ing on a null aggregate.
+    if (ev.isEmpty) {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", LongType), StructField("session_start", LongType),
+          StructField("session_last", LongType), StructField("n_events", LongType))))
+    }
     val stage = java.nio.file.Files.createTempDirectory("graft-sess-stage").toString
     ev.write.mode("overwrite").parquet(stage)
     val maxTs = ev.agg(max(col("ts"))).head.getLong(0)

@@ -46,8 +46,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     val ev = Seq((1L, 1L, 0L)).toDF("user_id", "event_id", "us")
     val plan = Sessionize.withSessionIds(ev, Seq("user_id"), "us", "event_id", 10L)
       .queryExecution.executedPlan.toString
-    // exactly one Window operator (lag + running sum share the spec)
-    assert("(?s)Window".r.findAllIn(plan).size >= 1)
+    // the lag flag and running sum plan as two stacked Window operators —
+    // what matters is that they share ONE exchange (same partitioning)
     assert(plan.split("Exchange").length - 1 <= 1, s"extra exchanges in:\n$plan")
   }
 

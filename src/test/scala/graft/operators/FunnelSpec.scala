@@ -126,6 +126,14 @@ class FunnelSpec extends AnyFunSuite {
         maxDriverEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fast == iterative)
+    // pair ids ABSENT from nodes must appear identically on both paths
+    val extra = Seq((500L, 501L), (501L, 502L)).toDF("idA", "idB")
+    val fast2 = Dedup.connectedComponents(nodes, extra, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val iter2 = Dedup.connectedComponents(nodes, extra, "id", maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast2 == iter2)
+    assert(fast2.contains((502L, 500L)), "pair-only ids must be labeled")
   }
 
   test("connected components: identical under reliable checkpoint dir") {
