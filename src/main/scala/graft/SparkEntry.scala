@@ -210,6 +210,19 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("idA"), col("idB"))),
 
+    // Incremental dedup: 10% of doc_ids (mod-10 class 9, SF-independent)
+    // as the "new batch" against the rest as the standing corpus —
+    // new-vs-corpus and new-vs-new pairs only, corpus-vs-corpus never
+    // joined.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalNgramPairs(
+        docs.filter(col("doc_id") % 10 =!= 9), docs.filter(col("doc_id") % 10 === 9),
+        "doc_id", "text", n = 3, threshold = 0.2)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 6)
@@ -814,6 +827,31 @@ object SparkEntry {
         |JOIN sizes na ON na.doc_id = idA
         |JOIN sizes nb ON nb.doc_id = idB
         |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
+        |ORDER BY idA, idB""".stripMargin,
+
+    // Same pair derivation as q_dedup_ngram restricted to pairs touching
+    // the mod-10-class-9 delta — the incremental path must produce exactly
+    // the delta-touching slice of the full pair set.
+    "q_dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+        |  WHERE len(tk) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT idA, idB, ROUND(CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c), 6) AS jaccard
+        |FROM common
+        |JOIN sizes na ON na.doc_id = idA
+        |JOIN sizes nb ON nb.doc_id = idB
+        |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
+        |  AND (idA % 10 = 9 OR idB % 10 = 9)
         |ORDER BY idA, idB""".stripMargin,
 
     // Same ngram-pair derivation as q_dedup_ngram, then connected components

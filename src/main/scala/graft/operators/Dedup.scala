@@ -191,24 +191,27 @@ object Dedup {
     * prefix only when the doc consists almost entirely of such shingles —
     * the join key fan-out is pruned hardest exactly where the old inverted
     * index was near-quadratic. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0, "threshold must be positive for index completeness")
-    // Shingles hash to 64-bit keys immediately: every downstream shuffle —
-    // doc-frequency groupBy, prefix self-join, pair distinct — keys on a
-    // long instead of an n-gram string (2-3x smaller exchanges), and the
-    // per-pair verify is a linear merge over sorted long arrays in a native
-    // codegen expression instead of a per-call hash-set `array_intersect`.
-    // Exactness is modulo 64-bit hash collisions (~|shingles|^2 / 2^64;
-    // the brute-force-equivalence spec would catch one on the fixtures).
-    // Materialized once (eager localCheckpoint): the frame feeds the posting
-    // list AND both sides of the verify join — without it the most expensive
-    // per-row work (shingle UDF, hashing, sort) runs three times.
-    val withSh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+  // Shingles hash to 64-bit keys immediately: every downstream shuffle —
+  // doc-frequency groupBy, prefix self-join, pair distinct — keys on a
+  // long instead of an n-gram string (2-3x smaller exchanges), and the
+  // per-pair verify is a linear merge over sorted long arrays in a native
+  // codegen expression instead of a per-call hash-set `array_intersect`.
+  // Exactness is modulo 64-bit hash collisions (~|shingles|^2 / 2^64;
+  // the brute-force-equivalence spec would catch one on the fixtures).
+  // Materialized once (eager localCheckpoint): the frame feeds the posting
+  // list AND both sides of the verify join — without it the most expensive
+  // per-row work (shingle UDF, hashing, sort) runs three times.
+  private def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
+                                n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
       .select(col("id"),
         sort_array(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
       .localCheckpoint()
+
+  /** Per-doc PREFIX posting list under the global (doc-frequency ASC,
+    * shingle ASC) order — the first `|sh| - ceil(t*|sh|) + 1` shingles.
+    * Output: (id, h) rows, one per prefix shingle. */
+  private def prefixPostings(withSh: DataFrame, threshold: Double): DataFrame = {
     val sh = withSh.select(col("id"), explode(col("sh")).as("h"))
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val ordered = sh.join(dfreq, "h")
@@ -216,19 +219,15 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
     val prefixLen =
       (size(col("arr")) - ceil(lit(threshold) * size(col("arr"))) + 1).cast("int")
-    val prefix = ordered
+    ordered
       .select(col("id"), explode(slice(col("arr"), lit(1), prefixLen)).as("e"))
       .select(col("id"), col("e.h").as("h"))
-    // Candidates are NOT pre-deduplicated: two docs share few prefix
-    // shingles in practice (measured 8% duplicate occurrences at sf0.1),
-    // so a distinct here shuffles the whole candidate stream to trim
-    // almost nothing — the cheap dedup point is the post-threshold OUTPUT,
-    // which is orders of magnitude smaller. Duplicate candidates merely
-    // re-verify a pair; they cannot change the result set.
-    val cands = prefix.select(col("id").as("idA"), col("h"))
-      .join(prefix.select(col("id").as("idB"), col("h")), "h")
-      .filter(col("idA") < col("idB"))
-      .select("idA", "idB")
+  }
+
+  /** Exact-jaccard verification of (idA, idB) candidates against the full
+    * hashed shingle sets; size-filtered (AllPairs), output deduplicated. */
+  private def verifyJaccard(cands: DataFrame, withSh: DataFrame,
+                            threshold: Double): DataFrame = {
     val a = withSh.select(col("id").as("idA"), col("sh").as("shA"),
       size(col("sh")).as("nA"))
     val b = withSh.select(col("id").as("idB"), col("sh").as("shB"),
@@ -245,6 +244,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
       .distinct()
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0, "threshold must be positive for index completeness")
+    val withSh = hashedShingleSets(df, idCol, textCol, n)
+    val prefix = prefixPostings(withSh, threshold)
+    // Candidates are NOT pre-deduplicated: two docs share few prefix
+    // shingles in practice (measured 8% duplicate occurrences at sf0.1),
+    // so a distinct here shuffles the whole candidate stream to trim
+    // almost nothing — the cheap dedup point is the post-threshold OUTPUT,
+    // which is orders of magnitude smaller. Duplicate candidates merely
+    // re-verify a pair; they cannot change the result set.
+    val cands = prefix.select(col("id").as("idA"), col("h"))
+      .join(prefix.select(col("id").as("idB"), col("h")), "h")
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB")
+    verifyJaccard(cands, withSh, threshold)
+  }
+
+  /** INCREMENTAL exact n-gram Jaccard dedup: qualifying pairs where at
+    * least one side is in `delta` — i.e. new-vs-corpus and new-vs-new, but
+    * NEVER corpus-vs-corpus. This is the production dedup shape: a daily
+    * batch against an accumulated 100 TB corpus must not re-derive (or
+    * re-join) the corpus against itself, so the candidate join puts the
+    * DELTA's prefixes on one side and the full index on the other — its
+    * fan-out is linear in the delta for stable shingle statistics, not
+    * quadratic in the corpus. Prefix completeness needs one GLOBAL
+    * doc-frequency order over corpus+delta (any consistent order works for
+    * the theorem; at steady state the df table is maintained
+    * incrementally rather than recomputed, which this method models by
+    * computing it over the combined frame once).
+    *
+    * `corpus` and `delta` must have disjoint id spaces. Output pair ids
+    * are ordered idA < idB, same contract as [[ngramJaccardPairs]]. */
+  def incrementalNgramPairs(corpus: DataFrame, delta: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0, "threshold must be positive for index completeness")
+    val all = corpus.select(col(idCol), col(textCol))
+      .unionByName(delta.select(col(idCol), col(textCol)))
+    val withSh = hashedShingleSets(all, idCol, textCol, n)
+    val prefix = prefixPostings(withSh, threshold)
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val deltaPrefix = prefix.join(deltaIds, Seq("id"), "left_semi")
+    // one delta side is enough: a qualifying pair's shared min-order
+    // shingle is in BOTH prefixes, so it meets when either member's prefix
+    // is the delta side. (new, new) pairs meet twice — the verify output
+    // distinct absorbs that.
+    val cands = deltaPrefix.select(col("id").as("__d"), col("h"))
+      .join(prefix.select(col("id").as("__o"), col("h")), "h")
+      .filter(col("__d") =!= col("__o"))
+      .select(least(col("__d"), col("__o")).as("idA"),
+        greatest(col("__d"), col("__o")).as("idB"))
+    verifyJaccard(cands, withSh, threshold)
   }
 
   /** Brute-force n-gram Jaccard pairs (reference/oracle path; quadratic —

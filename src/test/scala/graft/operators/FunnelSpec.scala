@@ -81,6 +81,21 @@ class FunnelSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"funnel should shuffle once, plan:\n$plan")
   }
 
+  test("incremental ngram dedup ≡ delta-touching slice of the full pair set") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 5 == 0 || b % 5 == 0 }.toSet
+    val inc = Dedup.incrementalNgramPairs(corpus, delta, "doc_id", "text", 3, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == full, s"incremental=${inc.size} expected=${full.size}")
+    // and never a corpus-corpus pair
+    assert(inc.forall { case (a, b, _) => a % 5 == 0 || b % 5 == 0 })
+  }
+
   test("range join: degenerate intervals are dropped, not exploded") {
     import spark.implicits._
     val points = Seq((1L, 100L, 55L)).toDF("user_id", "pid", "p")
