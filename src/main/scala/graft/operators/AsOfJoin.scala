@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics: a right row at exactly the left row's time IS matched
   * (side ordering puts right before left at equal times); multiple right
-  * rows at the same time resolve to the highest `tieCol`. */
+  * rows at the same time resolve to the highest NON-NULL `tieCol` (null
+  * ties sort first, so any non-null tie beats them); `tieCol` keeps its
+  * own type — string ids order lexicographically, numerics numerically.
+  * Null times: right rows with a null time are ignored (a null time is
+  * at-or-before nothing), left rows with a null time sort first and match
+  * nothing — both per the merge_asof/ASOF contract. */
 object AsOfJoin {
 
   def asOfBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
@@ -31,20 +36,21 @@ object AsOfJoin {
     val rp = struct(rightPayload.map(col): _*)
     val rpType = right.select(rp.as("__rp")).schema("__rp").dataType
     val lpType = left.select(lp.as("__lp")).schema("__lp").dataType
+    val tieType = right.select(col(tieCol).as("__tie")).schema("__tie").dataType
 
     val l = left.select(
       keyCols.map(col) ++ Seq(
         col(leftTime).as("__t"), lit(1).as("__side"),
-        lit(null).cast("long").as("__tie"),
+        lit(null).cast(tieType).as("__tie"),
         lp.as("__lp"), lit(null).cast(rpType).as("__rp")): _*)
-    val r = right.select(
+    val r = right.filter(col(rightTime).isNotNull).select(
       keyCols.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
-        col(tieCol).cast("long").as("__tie"),
+        col(tieCol).as("__tie"),
         lit(null).cast(lpType).as("__lp"), rp.as("__rp")): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_last)
+      .orderBy(col("__t"), col("__side"), col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
       .withColumn("__asof", last(col("__rp"), ignoreNulls = true).over(w))

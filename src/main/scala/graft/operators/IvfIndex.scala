@@ -26,8 +26,10 @@ object IvfIndex {
     * centroid by dot product == nearest by cosine. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int = 16, iters: Int = 5, sampleN: Int = 2048): Model = {
+    // cast like every other entry point — an array<double> corpus would
+    // otherwise throw ClassCastException only at training time
     val sample = corpus.orderBy(col(idCol)).limit(sampleN)
-      .select(col(vecCol)).collect()
+      .select(col(vecCol).cast("array<float>")).collect()
       .map(_.getSeq[Float](0).toArray).map(normalize)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     var centroids = sample.take(k).map(_.clone())
@@ -104,20 +106,20 @@ object IvfIndex {
   def topK(queries: DataFrame, corpus: DataFrame, model: Model, k: Int,
            nprobe: Int = 4, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
-    val centroids = model.centroids
-    val probeUdf = udf { (v: Seq[Float]) =>
-      nearestN(centroids, normalize(v.toArray), nprobe)
-    }
     val c = assign(corpus, vecCol, model)
       .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<float>").as("cv"), col("centroid_id"))
       .withColumn("cn", Similarity.l2norm(col("cv")))
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).cast("array<float>").as("qv"))
-      .withColumn("qn", Similarity.l2norm(col("qv")))
-      .withColumn("centroid_id", explode(probeUdf(col("qv"))))
+    val q = withProbes(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<float>").as("qv"))
+        .withColumn("qn", Similarity.l2norm(col("qv"))),
+      "qv", model, nprobe)
+    // zero-norm vectors have no defined cosine — exclude them rather than
+    // emit null-cosine rows (Spark Divide yields null on a 0 divisor)
     val scored = q.join(c, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("cosine",
         Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))

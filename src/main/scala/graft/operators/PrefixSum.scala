@@ -35,9 +35,14 @@ object PrefixSum {
       if (buckets <= 1) Array.empty[Double]
       else df.stat.approxQuantile(orderCol,
         (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-    val bucket = splits.zipWithIndex.foldRight(lit(splits.length): Column) {
-      case ((s, i), rest) => when(col(orderCol) <= s, lit(i)).otherwise(rest)
-    }
+    // Null order keys go to bucket 0: `null <= s` is null, so they would
+    // otherwise fall through every branch into the LAST bucket while the
+    // within-bucket window sorts them first — inconsistent with Spark's
+    // global asc-nulls-FIRST ordering this operator emulates.
+    val bucket = when(col(orderCol).isNull, lit(0)).otherwise(
+      splits.zipWithIndex.foldRight(lit(splits.length): Column) {
+        case ((s, i), rest) => when(col(orderCol) <= s, lit(i)).otherwise(rest)
+      })
     // Materialized once: three consumers follow (partials collect, window
     // pass, caller's action), and a recomputed nondeterministic input could
     // otherwise surface buckets absent from the collected offset map.

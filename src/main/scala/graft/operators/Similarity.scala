@@ -48,8 +48,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<float>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
+    // zero-norm vectors have no defined cosine (Spark Divide yields null
+    // on a 0 divisor, and null rows would still receive ranks) — exclude
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -124,13 +127,22 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<float>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-    val qb = withHyperplaneBands(q, "qv", "query_id")
-    val cb = withHyperplaneBands(c, "cv", "neighbor_id")
-    val cands = qb.join(cb, Seq("band", "bucket"))
+    val qb = withHyperplaneBands(q.select(col("query_id"), col("qv")), "qv", "query_id")
+    val cb = withHyperplaneBands(c.select(col("neighbor_id"), col("cv")), "cv", "neighbor_id")
+    // Dedup multi-band collisions on the ID PAIR ALONE, then join the
+    // vectors back — a distinct over rows carrying both float arrays would
+    // shuffle and compare the heavy payloads just to drop duplicates (the
+    // same lesson as the ngram candidate stream).
+    val cands = qb.select(col("band"), col("bucket"), col("query_id"))
+      .join(cb.select(col("band"), col("bucket"), col("neighbor_id")),
+        Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
-    val scored = cands.withColumn("cosine",
-      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(q, "query_id").join(c, "neighbor_id")
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

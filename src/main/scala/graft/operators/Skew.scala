@@ -46,7 +46,15 @@ object Skew {
         case "max"           => max(c)
       }).as(a.alias)
     }
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
+    // DETERMINISTIC salt: hash of the whole row, not
+    // monotonically_increasing_id — the latter changes across task retries
+    // (its value depends on partition layout), so a shuffle-fetch failure
+    // re-salting recomputed rows differently would double-count or drop
+    // rows mid-aggregate (the SPARK-23207 correctness class). A row-hash
+    // salt is stable under recomputation; identical rows sharing a salt is
+    // harmless for decomposable aggregates.
+    df.withColumn("__salt",
+        pmod(hash(df.columns.map(col): _*), lit(numSalts)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

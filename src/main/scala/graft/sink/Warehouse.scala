@@ -69,21 +69,35 @@ object Warehouse {
 
   /** Compact a parquet directory to ~`targetMB` output files — small-file
     * pressure is the classic failure mode of continuous partitioned appends.
-    * Rewrites to a temp dir then swaps, so a crash never leaves the table
-    * truncated. */
+    * Rewrites to a temp dir then swaps. Swap safety: every rename's return
+    * value is CHECKED — a failed swap restores the backup and throws, and
+    * the backup is deleted only after the new data is live, so no failure
+    * ordering destroys the table (the remaining window is a reader racing
+    * the two renames — directory swap on a filesystem is not atomic; a
+    * table format is the answer where that matters). Stale `__compacting`/
+    * `__old` leftovers from a previous crash fail fast up front. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetMB: Int = 256): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    // the PATH's filesystem, not the default one (s3a:// table under an
+    // hdfs:// default would otherwise throw or hit the wrong store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val bak = new org.apache.hadoop.fs.Path(path + "__old")
+    require(!fs.exists(tmp) && !fs.exists(bak),
+      s"stale compaction leftovers at $tmp or $bak — resolve before compacting")
     val bytes = fs.getContentSummary(p).getLength
     val files = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     spark.read.parquet(path).repartition(files)
       .write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "__old")
-    fs.rename(p, bak)
-    fs.rename(tmp, p)
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(s"compact: failed to move $p aside to $bak")
+    if (!fs.rename(tmp, p)) {
+      val restored = fs.rename(bak, p) // put the original back
+      throw new java.io.IOException(
+        s"compact: failed to move $tmp into place" +
+          (if (restored) "; original restored" else s"; ORIGINAL LEFT AT $bak"))
+    }
     fs.delete(bak, true)
   }
 

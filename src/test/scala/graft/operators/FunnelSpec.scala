@@ -81,6 +81,28 @@ class FunnelSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"funnel should shuffle once, plan:\n$plan")
   }
 
+  test("as-of join: null right times ignored, string ties ordered, null tie loses") {
+    import spark.implicits._
+    val clicks = Seq((1L, 100L, 50L)).toDF("user_id", "event_id", "ts")
+    val views = Seq(
+      (1L, "a", Some(40L)),          // candidate
+      (1L, "zz", None: Option[Long]), // null time: must be ignored entirely
+      (1L, "b", Some(40L)),          // same time, higher string tie -> wins
+      (1L, null.asInstanceOf[String], Some(40L)), // null tie loses to any non-null
+    ).toDF("user_id", "vid", "ts")
+    val out = AsOfJoin.asOfBackward(clicks, views, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightPayload = Seq("vid"), tieCol = "vid")
+      .select("event_id", "vid").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((100L, "b")))
+    // a left row earlier than every (non-null-time) view matches nothing,
+    // even when a null-time view exists
+    val early = Seq((1L, 200L, 10L)).toDF("user_id", "event_id", "ts")
+    val out2 = AsOfJoin.asOfBackward(early, views, Seq("user_id"),
+        "ts", "ts", Seq("vid"), "vid")
+      .select("event_id", "vid").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out2.toSeq == Seq((200L, None)))
+  }
+
   test("incremental ngram dedup ≡ delta-touching slice of the full pair set") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
