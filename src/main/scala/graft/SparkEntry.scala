@@ -569,6 +569,29 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    // Dispersion aggregates, rounded to absorb accumulation-order ulps.
+    "q_agg_stddev" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Moving-window aggregation: trailing 4-row average in a total order —
+    // the sliding-frame surface (ROWS BETWEEN), distinct from the
+    // rank/lag/running-sum windows elsewhere.
+    "q_window_moving" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(avg(col("o_totalprice")).over(w), 6).as("ma4"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // Sketch aggregation — the 100 TB default for distinct counting: the
     // HyperLogLog++ sketch is fixed-size and mergeable, so cardinality
     // costs one partial-agg pass instead of a distinct shuffle. Sketch
@@ -1208,6 +1231,20 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_stddev" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  ROUND(var_samp(l_extendedprice), 4) AS var_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_moving" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_histogram" ->
       """SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 50000.0), 0), 11) AS BIGINT) AS bin,
