@@ -678,6 +678,40 @@ object SparkEntry {
           col("click").cast("long").as("n_click"),
           col("purchase").cast("long").as("n_purchase"))
         .orderBy(col("user_id"))),
+
+    // Benchmark decontamination: training docs sharing any 5-gram with the
+    // eval slice (doc_id % 97 == 0 — deterministic, SF-independent). The
+    // eval shingle set is broadcast; the corpus never shuffles on shingle.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Decontaminate.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing: concat-and-split at 2048 BPE-ish tokens, every doc
+    // assigned the sequence of its first token + a straddle flag. The
+    // global order comes from the distributed prefix sum (no one-task
+    // window).
+    "q_pack_sequences" -> ((s, dir) => {
+      val withToks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+      operators.Packing.packSequences(withToks, "doc_id", "n_tok",
+        capacity = 2048L)
+        .select(col("doc_id"), col("n_tok"), col("seq_id"), col("is_split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition quality filter: fraction of tokens covered by the most
+    // frequent word bigram (Gopher-style boilerplate signal).
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.topBigramFraction(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))),
   )
 
   /** Double-precision cosine between two embedding columns in DuckDB list
@@ -1320,6 +1354,50 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
         |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same 5-gram shingling scheme as the Spark side (docs shorter than 5
+    // tokens collapse to one whole-text shingle); eval slice = doc_id % 97.
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2)
+        |      || ' ' || list_extract(tk, i+3) || ' ' || list_extract(tk, i+4) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-3)) AS i) r
+        |  WHERE len(tk) >= 5
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 5
+        |),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sh c JOIN ev USING (s)
+        |WHERE c.doc_id % 97 <> 0
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Exclusive-cumsum packing; integer // is floor for the non-negative
+    // token counts. Same BPE-ish token regex as q_token_budget.
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tok,
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+        |  (n_tok > 0 AND (cum - 1) // 2048 <> (cum - n_tok) // 2048) AS is_split
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, len(tk) AS n_tok, list_extract(tk, i) || ' ' || list_extract(tk, i+1) AS b
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |  WHERE len(tk) >= 2),
+        |m AS (
+        |  SELECT doc_id, n_tok, max(c) AS maxc FROM (
+        |    SELECT doc_id, n_tok, b, count(*) AS c FROM bg GROUP BY 1, 2, 3) q
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_id, ROUND(COALESCE(2.0 * m.maxc / m.n_tok, 0.0), 6) AS top_bigram_frac
+        |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q_text_langid has its own oracle above. Still oracle-less by nature:
     // q_dedup_minhash / q_dedup_simhash (MurmurHash3 signatures — engine-
     // specific), q_dedup_embedding / q_sim_topk_ivf (approximate headline

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — lay documents end-to-end in a total order and cut the
+  * token stream into fixed-capacity training sequences ("concat-and-split",
+  * the packing scheme used by GPT/T5-style pre-training loaders). Beyond-
+  * reference extension (SURVEY.md §7.1.9).
+  *
+  * Each document is assigned the sequence its FIRST token lands in
+  * (`seq_id = exclusive-cumsum / capacity`) and flagged `is_split` when its
+  * last token falls in a later sequence (the document straddles a cut).
+  *
+  * Scale design: the only global state is the exclusive prefix sum, which
+  * comes from [[PrefixSum.withPrefixSum]] — range-bucketed, per-bucket
+  * windows in parallel, driver traffic bounded by the bucket count. No
+  * single-task global window anywhere (the naive
+  * `sum().over(Window.orderBy(...))` would serialize 100 TB through one
+  * task).
+  */
+object Packing {
+
+  /** Per-document packing assignment: adds `seq_id` (0-based training
+    * sequence index) and `is_split` to `df`. `tokenCol` must be
+    * non-negative; `idCol` must be a unique total order. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val cum = PrefixSum.withPrefixSum(df, idCol, tokenCol, out = "__cum")
+    cum
+      .withColumn("__start", col("__cum") - col(tokenCol))
+      .withColumn("seq_id", floor(col("__start") / capacity).cast("long"))
+      // last-token index is __cum - 1; empty docs (0 tokens) never split
+      .withColumn("is_split",
+        col(tokenCol) > 0 &&
+          floor((col("__cum") - 1) / capacity).cast("long") =!= col("seq_id"))
+      .drop("__cum", "__start")
+  }
+
+  /** Per-sequence fill report: how many documents and tokens landed in each
+    * sequence (documents attributed to the sequence of their first token).
+    * `waste` — capacity minus tokens started in the sequence — is the
+    * padding a non-splitting loader would burn. */
+  def packingStats(df: DataFrame, idCol: String, tokenCol: String,
+                   capacity: Long): DataFrame =
+    packSequences(df, idCol, tokenCol, capacity)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("n_tokens"),
+        sum(when(col("is_split"), 1L).otherwise(0L)).cast("long").as("n_split"))
+}

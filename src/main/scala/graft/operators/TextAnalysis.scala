@@ -209,4 +209,41 @@ object TextAnalysis {
         (col("__start") / stride).cast("long").as("chunk_id"),
         col(textCol).substr(col("__start") + 1, lit(chunkChars)).as("chunk"))
   }
+
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * tokens covered by its single most frequent word bigram
+    * (`2 * max_bigram_count / n_tokens`). Machine-generated and boilerplate
+    * text scores high; natural prose stays low — the standard repetition
+    * filter alongside [[withQualityColumns]].
+    *
+    * Scale shape: bigrams are derived per-row with codegen expressions
+    * (`transform` over the token array — narrow), then two hash
+    * aggregations, both keyed by doc id (+bigram), so partial aggregation
+    * absorbs the fan-out map-side and the shuffles carry near-one-row-per-
+    * doc traffic — no joins, no skew beyond a single pathological
+    * document, which partial agg already collapses. Docs with fewer than 2
+    * tokens (no bigram exists) score 0.0 via the final left join back to
+    * the id spine. */
+  def topBigramFraction(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val tk = Dedup.tokens(col(textCol))
+    val bigrams = df
+      .select(col(idCol), tk.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), size(col("__tk")).as("__n_tok"),
+        explode(transform(sequence(lit(0), size(col("__tk")) - 2),
+          i => concat(element_at(col("__tk"), i + 1), lit(" "),
+            element_at(col("__tk"), i + 2)))).as("__bg"))
+    val perDoc = bigrams
+      .groupBy(col(idCol), col("__n_tok"), col("__bg"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__n_tok"))
+      .agg(max(col("__c")).as("__maxc"))
+      .select(col(idCol),
+        (lit(2.0) * col("__maxc") / col("__n_tok")).as("__frac"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__frac"), lit(0.0)).as("top_bigram_frac"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for decontamination, sequence packing, and the repetition filter. */
+class PackDecontSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("pack-decont-spec").getOrCreate()
+
+  test("decontaminate: shared n-grams counted, clean docs absent") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence with no overlap at all"),
+      (3L, "quick brown fox jumps over nothing today friends"),
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps straight up"),
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.contaminationReport(corpus, eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    // eval 5-grams: "the quick brown fox jumps", "quick brown fox jumps straight",
+    // "brown fox jumps straight up". Doc 1 shares the first; doc 3 shares none
+    // (its grams start at "quick brown fox jumps over"); doc 2 shares none.
+    assert(out.toSeq == Seq((1L, 1L)))
+  }
+
+  test("decontaminate: bloom prefilter output identical to exact path") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map(i =>
+      (i, s"common prefix tokens here ${i % 7} unique tail $i ${i * 31 % 13} pad pad"))
+      .toDF("doc_id", "text")
+    val eval = (1L to 5L).map(i =>
+      (1000 + i, s"common prefix tokens here ${i} unique tail $i ${i * 31 % 13} pad pad"))
+      .toDF("doc_id", "text")
+    val exact = Decontaminate.contaminationReport(corpus, eval, "doc_id", "text",
+      n = 4, bloomPrefilter = false).orderBy("doc_id").collect().toSeq
+    val bloomed = Decontaminate.contaminationReport(corpus, eval, "doc_id", "text",
+      n = 4, bloomPrefilter = true).orderBy("doc_id").collect().toSeq
+    assert(exact == bloomed)
+    assert(exact.nonEmpty)
+  }
+
+  test("decontaminate plan: broadcast probe, no shuffle join on shingles") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val eval = Seq((2L, "b c d e f g")).toDF("doc_id", "text")
+    val plan = Decontaminate.contaminationReport(corpus, eval, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"shuffle join on shingles in:\n$plan")
+  }
+
+  test("packing: boundary-exact docs don't split, straddlers do, empty docs keep seq") {
+    import spark.implicits._
+    // capacity 10; cum starts: a=0, b=4, c=10, d=10, e=18
+    val docs = Seq(
+      (1L, 4L),  // [0,4)   seq 0
+      (2L, 6L),  // [4,10)  seq 0, ends exactly at boundary - no split
+      (3L, 0L),  // empty at 10 — seq 1, never split
+      (4L, 8L),  // [10,18) seq 1
+      (5L, 5L),  // [18,23) seq 1, straddles into seq 2 - split
+    ).toDF("doc_id", "n_tok")
+    val out = Packing.packSequences(docs, "doc_id", "n_tok", capacity = 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "seq_id", "is_split").as[(Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0L, false), (2L, 0L, false), (3L, 1L, false),
+      (4L, 1L, false), (5L, 1L, true)))
+  }
+
+  test("packing stats: docs and tokens attributed to first-token sequence") {
+    import spark.implicits._
+    val docs = Seq((1L, 4L), (2L, 6L), (3L, 8L), (4L, 5L)).toDF("doc_id", "n_tok")
+    val stats = Packing.packingStats(docs, "doc_id", "n_tok", capacity = 10L)
+      .orderBy("seq_id").as[(Long, Long, Long, Long)].collect()
+    // seq 0: docs 1,2 (10 tokens, none split); seq 1: docs 3,4 (13 tokens, doc 4 splits)
+    assert(stats.toSeq == Seq((0L, 2L, 10L, 0L), (1L, 2L, 13L, 1L)))
+  }
+
+  test("repetition: repeated bigram dominates, distinct text scores low, short docs 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham"),        // "spam ham" x3 of 5 bigrams, 6 toks
+      (2L, "all words here are fully distinct"), // every bigram unique: 2/6
+      (3L, "solo"),                              // < 2 tokens - no bigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topBigramFraction(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 2.0 * 3 / 6) < 1e-12)
+    assert(math.abs(out(2L) - 2.0 * 1 / 6) < 1e-12)
+    assert(out(3L) == 0.0)
+  }
+}
