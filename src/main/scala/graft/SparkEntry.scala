@@ -712,6 +712,21 @@ object SparkEntry {
         .select(col("doc_id"),
           round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
         .orderBy(col("doc_id"))),
+
+    // Data mixing: three sources at exact-binary budget shares, everything
+    // else dropped. Acceptance thresholds derive from per-source token
+    // totals in fixed-order IEEE double math, so the sampled set is
+    // engine-reproducible (the whole point of hash-based mixing).
+    "q_corpus_mix" -> ((s, dir) => {
+      val withToks = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+      operators.Sampling.mixByTokenBudget(withToks, "doc_id", "source",
+        "n_tok", Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125),
+        totalTokenBudget = 2000L)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Double-precision cosine between two embedding columns in DuckDB list
@@ -1398,6 +1413,24 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT d.doc_id, ROUND(COALESCE(2.0 * m.maxc / m.n_tok, 0.0), 6) AS top_bigram_frac
         |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Shares/budget/threshold math mirrors Sampling.mixByTokenBudget in the
+    // same IEEE double operation order (share·B, /T, min 1, ·2^32, floor);
+    // shares CAST to DOUBLE so DuckDB doesn't fall into DECIMAL arithmetic.
+    "q_corpus_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |th AS (SELECT source,
+        |         CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+        |           CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+        |                WHEN 'src2' THEN 0.125 ELSE 0.0 END AS DOUBLE)
+        |           * 2000 / SUM(n_tok)) * 4294967296.0) AS BIGINT) AS thresh
+        |       FROM t GROUP BY source)
+        |SELECT doc_id, source, n_tok
+        |FROM t JOIN th USING (source)
+        |WHERE (doc_id * 2654435761) % 4294967296 < thresh
+        |ORDER BY doc_id""".stripMargin,
     // q_text_langid has its own oracle above. Still oracle-less by nature:
     // q_dedup_minhash / q_dedup_simhash (MurmurHash3 signatures — engine-
     // specific), q_dedup_embedding / q_sim_topk_ivf (approximate headline

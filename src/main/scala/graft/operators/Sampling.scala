@@ -42,4 +42,37 @@ object Sampling {
     }
     df.filter(perMilleSlot(col(idCol)) < rate)
   }
+
+  /** Token-budget corpus mixing — "30% web, 50% books, 20% code, capped at
+    * B tokens": each source's target is `share * totalTokenBudget`; its
+    * acceptance rate is `min(1, target / actualTokens)`, applied as the same
+    * deterministic Knuth-hash keep-decision as [[stratifiedSample]] (expected
+    * sampled tokens ≈ target because the hash slot is independent of document
+    * length by construction). Sources absent from `shares` are dropped.
+    *
+    * Scale shape: one partial-agg pass for the per-source token totals (the
+    * per-source table is tiny — cardinality = number of corpora), thresholds
+    * broadcast back, then one narrow filter over the corpus. No corpus
+    * shuffle, no RNG, reproducible across partitioning/retries/engines.
+    *
+    * The threshold `floor(min(1, share·B/T) · 2^32)` is computed in IEEE
+    * double in a fixed operation order, so an ANSI engine reproduces the
+    * exact same sampled set — DuckDB-oracle-able like the plain sample. */
+  def mixByTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+                       tokenCol: String, shares: Map[String, Double],
+                       totalTokenBudget: Long): DataFrame = {
+    require(shares.values.forall(s => s >= 0.0 && s <= 1.0), "shares in [0,1]")
+    val shareCol = shares.foldLeft(lit(0.0)) { case (acc, (s, f)) =>
+      when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    }
+    val thresholds = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .select(col(sourceCol),
+        floor(least(lit(1.0), shareCol * totalTokenBudget / col("__t"))
+          * lit(4294967296.0)).cast("long").as("__thresh"))
+    df.join(broadcast(thresholds), Seq(sourceCol), "left")
+      .filter(pmod(col(idCol) * KnuthMultiplier, lit(4294967296L))
+        < coalesce(col("__thresh"), lit(0L)))
+      .drop("__thresh")
+  }
 }

@@ -120,6 +120,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept3.count() == 0)
   }
 
+  test("token-budget mix: rates track targets, unlisted sources dropped, saturated kept whole") {
+    import spark.implicits._
+    // a: 2000 docs x 10 tokens = 20000; share 0.5 of 20000 -> target 10000, rate 0.5
+    // b: unlisted -> dropped; c: 10 docs, share 0.25 -> target 5000 >> 100 -> rate 1
+    val docs = ((0L until 2000L).map(i => (i, "a", 10L)) ++
+      (10000L until 12000L).map(i => (i, "b", 10L)) ++
+      (20000L until 20010L).map(i => (i, "c", 10L)))
+      .toDF("doc_id", "source", "n_tok")
+    val kept = Sampling.mixByTokenBudget(docs, "doc_id", "source", "n_tok",
+      Map("a" -> 0.5, "c" -> 0.25), totalTokenBudget = 20000L)
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+    assert(kept.count(_._2 == "b") == 0)
+    assert(kept.count(_._2 == "c") == 10)
+    // exactly the docs whose Knuth slot clears the half-range threshold
+    val aExpected = (0L until 2000L).filter(i =>
+      java.lang.Math.floorMod(i * Sampling.KnuthMultiplier, 4294967296L) < (1L << 31))
+    assert(kept.filter(_._2 == "a").map(_._1).sorted.toSeq == aExpected)
+    // sampled token mass tracks the target within sampling noise
+    val aTokens = kept.count(_._2 == "a") * 10L
+    assert(aTokens > 8000 && aTokens < 12000, s"a tokens $aTokens vs target 10000")
+  }
+
   test("approx distinct: within the configured relative error of exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
