@@ -84,4 +84,27 @@ class CorpusOpsPropsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"df table should broadcast, plan:\n$plan")
   }
+
+  test("packing ≡ sequential concat-and-split on 30 random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 30) {
+      val cap = 1L + rnd.nextInt(50)
+      val docs = (0L until (1 + rnd.nextInt(40)).toLong)
+        .map(i => (i, rnd.nextInt(30).toLong)) // token counts incl. 0
+      val got = Packing.packSequences(
+          docs.toDF("doc_id", "n_tok"), "doc_id", "n_tok", cap)
+        .select("doc_id", "seq_id", "is_split")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      // reference: walk docs in order with a running token cursor
+      var cursor = 0L
+      docs.foreach { case (id, n) =>
+        val seq = cursor / cap
+        val split = n > 0 && (cursor + n - 1) / cap != seq
+        assert(got(id) == ((seq, split)),
+          s"trial $trial cap $cap doc $id n=$n cursor=$cursor: got ${got(id)}")
+        cursor += n
+      }
+    }
+  }
 }
