@@ -1242,7 +1242,8 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CASE WHEN length(text) < 300 THEN 'short'
         |         WHEN length(text) < 600 THEN 'mid' ELSE 'long' END AS stratum,
-        |    (doc_id * 2654435761) % 4294967296 % 1000 AS slot
+        |    ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (doc_id % 65536) * 2654435761) % 4294967296 % 1000 AS slot
         |  FROM documents) t
         |WHERE slot < CASE stratum WHEN 'short' THEN 100 WHEN 'mid' THEN 500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
@@ -1429,7 +1430,8 @@ object SparkEntry {
         |       FROM t GROUP BY source)
         |SELECT doc_id, source, n_tok
         |FROM t JOIN th USING (source)
-        |WHERE (doc_id * 2654435761) % 4294967296 < thresh
+        |WHERE ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |       + (doc_id % 65536) * 2654435761) % 4294967296 < thresh
         |ORDER BY doc_id""".stripMargin,
     // q_text_langid has its own oracle above. Still oracle-less by nature:
     // q_dedup_minhash / q_dedup_simhash (MurmurHash3 signatures — engine-

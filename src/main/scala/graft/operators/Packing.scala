@@ -28,13 +28,16 @@ object Packing {
                     capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val cum = PrefixSum.withPrefixSum(df, idCol, tokenCol, out = "__cum")
+    // `div` = integer division in long math: identical to the SQL oracle's
+    // `//` at any scale (floor(double-div) can cross an integer boundary
+    // once the cumsum exceeds ~2^52).
     cum
       .withColumn("__start", col("__cum") - col(tokenCol))
-      .withColumn("seq_id", floor(col("__start") / capacity).cast("long"))
+      .withColumn("seq_id", expr(s"__start div ${capacity}L"))
       // last-token index is __cum - 1; empty docs (0 tokens) never split
       .withColumn("is_split",
         col(tokenCol) > 0 &&
-          floor((col("__cum") - 1) / capacity).cast("long") =!= col("seq_id"))
+          expr(s"(__cum - 1) div ${capacity}L") =!= col("seq_id"))
       .drop("__cum", "__start")
   }
 

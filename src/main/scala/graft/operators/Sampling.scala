@@ -17,18 +17,34 @@ import org.apache.spark.sql.functions._
   * therefore survives in every run, on every engine, at every scale — and
   * the whole operator is one shuffle-free codegen'd filter.
   *
-  * The arithmetic stays in BIGINT range (id ≤ 2^31 ⇒ product ≤ 2^63) and is
-  * plain integer multiply/mod — expressible identically in ANSI SQL, which
-  * is what makes the operator DuckDB-oracle-able end to end.
+  * The hash is computed with split 16-bit multiplication so every
+  * intermediate stays below ~2^48: `id * K` naively overflows a BIGINT once
+  * id exceeds ~3.47e9 — the JVM would wrap silently while ANSI engines
+  * raise, breaking the cross-engine-reproducibility guarantee the operator
+  * exists for. The split form is plain integer multiply/mod/divide —
+  * expressible identically in ANSI SQL at ANY id, which is what makes the
+  * operator DuckDB-oracle-able end to end.
   */
 object Sampling {
 
   /** Knuth's multiplicative constant (2^32 / φ, odd). */
   val KnuthMultiplier = 2654435761L
 
+  /** `id * K mod 2^32` without 64-bit overflow, for any non-negative id:
+    * with x = id mod 2^32 split as hi·2^16 + lo,
+    * `x·K mod 2^32 = ((hi·K mod 2^16)·2^16 + lo·K) mod 2^32`, and every
+    * intermediate is ≤ 2^16·K < 2^48. Bit-identical to the naive product
+    * for id ≤ 2^31 (every pre-existing oracle hash is unchanged). */
+  def knuthSlot32(id: Column): Column = {
+    val x  = pmod(id, lit(4294967296L))
+    val hi = pmod(shiftright(x, 16) * KnuthMultiplier, lit(65536L))
+    val lo = pmod(x, lit(65536L)) * KnuthMultiplier
+    pmod(hi * 65536L + lo, lit(4294967296L))
+  }
+
   /** Per-mille sampling slot of an id: hash to [0, 1000). */
   def perMilleSlot(id: Column): Column =
-    pmod(id * KnuthMultiplier, lit(4294967296L)) % 1000
+    knuthSlot32(id) % 1000
 
   /** Stratified deterministic sample: `rates` maps stratum value →
     * keep-rate in per-mille; strata not in the map keep `defaultPerMille`.
@@ -71,8 +87,7 @@ object Sampling {
         floor(least(lit(1.0), shareCol * totalTokenBudget / col("__t"))
           * lit(4294967296.0)).cast("long").as("__thresh"))
     df.join(broadcast(thresholds), Seq(sourceCol), "left")
-      .filter(pmod(col(idCol) * KnuthMultiplier, lit(4294967296L))
-        < coalesce(col("__thresh"), lit(0L)))
+      .filter(knuthSlot32(col(idCol)) < coalesce(col("__thresh"), lit(0L)))
       .drop("__thresh")
   }
 }

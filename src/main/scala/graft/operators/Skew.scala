@@ -20,12 +20,20 @@ object Skew {
     * callers compose sum/count). */
   final case class AggSpec(func: String, column: String, alias: String)
 
-  /** Two-phase salted aggregation. The salt is derived from
-    * `monotonically_increasing_id`, so rows of a hot key spread uniformly
-    * across reducers regardless of their value distribution. Results are
-    * identical to `df.groupBy(keys).agg(...)` for decomposable aggregates. */
+  /** Two-phase salted aggregation. Results are identical to
+    * `df.groupBy(keys).agg(...)` for decomposable aggregates.
+    *
+    * `saltCols` names the columns hashed into the salt; default = all
+    * columns. CAVEAT: because the salt is a deterministic row-hash (see the
+    * inline note for why an RNG/monotonic id is unsafe), FULLY IDENTICAL
+    * rows always share a salt bucket — a hot key consisting of verbatim
+    * duplicate rows is NOT spread by the default. When the data has a
+    * unique/near-unique column (an id, a timestamp, a lineage column), pass
+    * it as `saltCols` to restore uniform spreading with the same
+    * retry-safety. */
   def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[AggSpec],
-                      numSalts: Int = 32): DataFrame = {
+                      numSalts: Int = 32,
+                      saltCols: Seq[String] = Nil): DataFrame = {
     require(numSalts > 0)
     val partial: Seq[Column] = aggs.zipWithIndex.map { case (a, i) =>
       val c = col(a.column)
@@ -52,9 +60,11 @@ object Skew {
     // re-salting recomputed rows differently would double-count or drop
     // rows mid-aggregate (the SPARK-23207 correctness class). A row-hash
     // salt is stable under recomputation; identical rows sharing a salt is
-    // harmless for decomposable aggregates.
+    // harmless for decomposable aggregates (correctness), though it skips
+    // spreading verbatim-duplicate hot rows (see scaladoc / saltCols).
+    val saltInput = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
     df.withColumn("__salt",
-        pmod(hash(df.columns.map(col): _*), lit(numSalts)))
+        pmod(hash(saltInput.map(col): _*), lit(numSalts)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

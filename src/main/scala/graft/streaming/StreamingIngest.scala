@@ -143,8 +143,16 @@ object StreamingIngest {
     * advance the watermark naturally. */
   def runSessionizeBounded(spark: SparkSession, parquetPath: String,
                            gapMicros: Long, queryName: String,
-                           statePartitions: Int = 8): DataFrame = {
+                           statePartitions: Int = 8,
+                           keyCol: String = "user_id",
+                           tsCol: String = "ts"): DataFrame = {
     val ev = spark.read.parquet(parquetPath)
+    require(ev.schema(keyCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$keyCol must be LONG (the sentinel session is keyed -1)")
+    require(ev.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$tsCol must be LONG nanos (read with nanosAsLong)")
     // Empty input: no sessions, and no max(ts) for the sentinel — return
     // the empty result frame instead of NPE-ing on a null aggregate.
     if (ev.isEmpty) {
@@ -152,24 +160,23 @@ object StreamingIngest {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(
-          StructField("user_id", LongType), StructField("session_start", LongType),
+          StructField(keyCol, LongType), StructField("session_start", LongType),
           StructField("session_last", LongType), StructField("n_events", LongType))))
     }
     val stage = java.nio.file.Files.createTempDirectory("graft-sess-stage").toString
     ev.write.mode("overwrite").parquet(stage)
-    val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+    val maxTs = ev.agg(max(col(tsCol))).head.getLong(0)
     // ts is long nanos here (nanosAsLong); 3 gaps past the max is safely
     // beyond every real session end after the micros conversion
     ev.limit(1)
-      .withColumn("event_id", lit(-1L))
-      .withColumn("user_id", lit(-1L))
-      .withColumn("ts", lit(maxTs + 3 * gapMicros * 1000))
+      .withColumn(keyCol, lit(-1L))
+      .withColumn(tsCol, lit(maxTs + 3 * gapMicros * 1000))
       .write.mode("append").parquet(stage)
     val stream = spark.readStream.schema(ev.schema).parquet(stage + "/*.parquet")
-      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withColumn("__tsm", timestamp_micros(expr(s"$tsCol div 1000")))
     try {
       withStatePartitions(spark, statePartitions) {
-        val q = sessionizedEvents(stream, gapMicros)
+        val q = sessionizedEvents(stream, gapMicros, keyCol, "__tsm")
           .writeStream.outputMode("append").format("memory")
           .queryName(queryName).start()
         try q.processAllAvailable()
@@ -179,7 +186,7 @@ object StreamingIngest {
       // the memory sink holds the result; the staged copy is disposable
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
     }
-    spark.table(queryName).filter(col("user_id") >= 0)
+    spark.table(queryName).filter(col(keyCol) >= 0)
   }
 
   /** Run a thunk with `spark.sql.shuffle.partitions` temporarily set to
