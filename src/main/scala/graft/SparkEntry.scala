@@ -196,6 +196,25 @@ object SparkEntry {
         chunkChars = 200, overlap = 50)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Winnowed fingerprints (Schleimer et al., SIGMOD'03): narrow UDF +
+    // explode, zero shuffle; the oracle recomputes the 31-fold poly hash,
+    // the w=4 sliding window minimum, and the rightmost-tie selection in
+    // pure SQL (selected positions are provably non-decreasing, so the
+    // operator's dedupe-vs-last equals the oracle's DISTINCT).
+    "q_winnow_fp" -> ((s, dir) =>
+      operators.Winnowing.fingerprints(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp_hash"))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // Passage-level overlap: docs sharing >=2 winnowed fingerprints after a
+    // doc-frequency cap on ubiquitous fingerprints (the stop-key skew bound)
+    // — catches copied passages whole-document jaccard misses.
+    "q_winnow_overlap" -> ((s, dir) =>
+      operators.Winnowing.passageOverlapPairs(t(s, dir, "documents"),
+        "doc_id", "text", k = 4, w = 4, minShared = 2, maxDocFreq = 50)
+        .orderBy(col("idA"), col("idB"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.2)
@@ -1236,6 +1255,72 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
         |  FROM scored) z
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Winnowing twins: the 31-fold poly hash is plain BIGINT math (every
+    // intermediate < 2^37), the w=4 window min + rightmost-tie selection is
+    // a window function + a bounded self-join, and selected positions are
+    // non-decreasing so DISTINCT == the operator's dedupe-vs-last.
+    "q_winnow_fp" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |              FROM documents),
+        |kg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         list_extract(tk,i)||' '||list_extract(tk,i+1)||' '||
+        |         list_extract(tk,i+2)||' '||list_extract(tk,i+3) AS g
+        |       FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-2)) AS i) r
+        |       WHERE len(tk) >= 4),
+        |h AS (SELECT doc_id, pos,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(split(g,''), c -> CAST(unicode(c) AS BIGINT))),
+        |          (a, c) -> (a*31 + c) % 4294967296) AS fp_hash
+        |      FROM kg),
+        |w AS (SELECT doc_id, pos, fp_hash,
+        |        min(fp_hash) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |        count(*) OVER (PARTITION BY doc_id) AS m
+        |      FROM h),
+        |sel AS (SELECT w.doc_id, max(h2.pos) AS pos, w.wmin AS fp_hash
+        |        FROM w JOIN h h2 ON h2.doc_id = w.doc_id
+        |          AND h2.pos BETWEEN w.pos AND w.pos + 3 AND h2.fp_hash = w.wmin
+        |        WHERE w.pos <= w.m - 4
+        |        GROUP BY w.doc_id, w.pos, w.wmin)
+        |SELECT DISTINCT doc_id, pos, fp_hash FROM sel ORDER BY doc_id, pos""".stripMargin,
+
+    "q_winnow_overlap" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |              FROM documents),
+        |kg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         list_extract(tk,i)||' '||list_extract(tk,i+1)||' '||
+        |         list_extract(tk,i+2)||' '||list_extract(tk,i+3) AS g
+        |       FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-2)) AS i) r
+        |       WHERE len(tk) >= 4),
+        |h AS (SELECT doc_id, pos,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(split(g,''), c -> CAST(unicode(c) AS BIGINT))),
+        |          (a, c) -> (a*31 + c) % 4294967296) AS fp_hash
+        |      FROM kg),
+        |w AS (SELECT doc_id, pos, fp_hash,
+        |        min(fp_hash) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |        count(*) OVER (PARTITION BY doc_id) AS m
+        |      FROM h),
+        |sel AS (SELECT w.doc_id, max(h2.pos) AS pos, w.wmin AS fp_hash
+        |        FROM w JOIN h h2 ON h2.doc_id = w.doc_id
+        |          AND h2.pos BETWEEN w.pos AND w.pos + 3 AND h2.fp_hash = w.wmin
+        |        WHERE w.pos <= w.m - 4
+        |        GROUP BY w.doc_id, w.pos, w.wmin),
+        |fp AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+        |freq AS (SELECT fp_hash, count(*) AS df FROM fp GROUP BY 1),
+        |keep AS (SELECT doc_id, fp_hash FROM fp JOIN freq USING (fp_hash)
+        |         WHERE df <= 50),
+        |sz AS (SELECT doc_id, count(*) AS nfp FROM keep GROUP BY 1),
+        |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS shared
+        |      FROM keep a JOIN keep b
+        |        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT idA, idB, shared,
+        |  ROUND(CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) AS containment
+        |FROM p JOIN sz sa ON sa.doc_id = idA JOIN sz sb ON sb.doc_id = idB
+        |ORDER BY idA, idB""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, stratum, slot FROM (

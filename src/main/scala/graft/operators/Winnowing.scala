@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowed document fingerprinting and passage-overlap detection
+  * (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003) — the passage-level complement to the
+  * whole-document dedup family in [[Dedup]]: two documents sharing a copied
+  * PARAGRAPH inside otherwise-different text score near-zero whole-document
+  * jaccard but share winnowed fingerprints, which is exactly the
+  * benchmark-contamination shape a training-data pipeline must catch.
+  * Beyond-reference extension (SURVEY.md §7.1.9).
+  *
+  * Algorithm: tokenize (lowercase, whitespace split — the same rule as
+  * [[TfIdf]]), hash every k-token gram with a 32-bit polynomial hash, slide
+  * a window of `w` consecutive gram hashes, and in each window select the
+  * minimum (rightmost on ties). The guarantee: any shared token run of
+  * length ≥ k + w - 1 yields at least one shared fingerprint, while the
+  * expected density is 2/(w+1) — a ~60% reduction at w=4 with zero misses
+  * above the guarantee threshold.
+  *
+  * Scale shape: fingerprint extraction is a per-row tight-loop UDF (string
+  * hashing is branch-heavy scalar work where a UDF beats interpreted HOF
+  * expressions ~20×; measured on the shingling path) — embarrassingly
+  * parallel, NO shuffle. The pair join shuffles only the winnowed
+  * fingerprint table (2/(w+1) of the gram volume) partitioned by hash, with
+  * ubiquitous fingerprints dropped by a document-frequency cap before the
+  * self-join — the same stop-key skew bound as [[Dedup.ngramJaccardPairs]]:
+  * a fingerprint in F docs contributes F² candidate pairs, so capping F
+  * bounds the worst key's fan-out regardless of corpus size.
+  *
+  * The hash is `fold(h·31 + codepoint) mod 2^32` over the gram's characters
+  * — plain BIGINT arithmetic (every intermediate < 2^37) replicated
+  * verbatim by the ANSI oracle; on ASCII/BMP text the JVM char fold and a
+  * code-point fold agree (supplementary-plane text would diverge — the
+  * corpus contract here, as for [[TextAnalysis]], is BMP).
+  */
+object Winnowing {
+
+  private val Mod32 = 4294967296L
+
+  /** 32-bit polynomial string hash: Java's h·31+c fold, kept non-negative
+    * in a Long. Equals `String.hashCode` for hashes that fit 32 bits, but
+    * defined mod 2^32 so the SQL twin needs no signed-wrap emulation. */
+  def polyHash32(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % Mod32; i += 1 }
+    h
+  }
+
+  /** Winnow one token array: hash all k-grams, slide a w-window, keep the
+    * rightmost-minimum of each window, dedupe consecutive re-selections.
+    * Returns (gram position, gram hash) pairs sorted by position.
+    * Fewer than k tokens ⇒ no grams ⇒ empty; fewer than k+w-1 tokens ⇒ a
+    * single window over all grams (the document's global minimum). */
+  def winnow(tokens: Array[String], k: Int, w: Int): Array[(Int, Long)] = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val m = tokens.length - k + 1
+    if (m <= 0) return Array.empty
+    val h = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j)); j += 1
+      }
+      h(i) = polyHash32(sb.toString); i += 1
+    }
+    val we = math.min(w, m)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var lastSel = -1
+    var s = 0
+    while (s <= m - we) {
+      // rightmost minimum of h[s .. s+we-1]
+      var best = s
+      var j = s + 1
+      while (j < s + we) { if (h(j) <= h(best)) best = j; j += 1 }
+      if (best != lastSel) { out += ((best, h(best))); lastSel = best }
+      s += 1
+    }
+    out.toArray
+  }
+
+  private def tokensOf(text: String): Array[String] =
+    Option(text).map(_.trim.toLowerCase).filter(_.nonEmpty)
+      .map(_.split("\\s+")).getOrElse(Array.empty)
+
+  /** Per-document winnowed fingerprints: one row per selected gram —
+    * (id, pos, fp_hash). Shuffle-free (narrow UDF + explode). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, w: Int = 4): DataFrame = {
+    val fpUdf = udf { (text: String) => winnow(tokensOf(text), k, w) }
+    df.select(col(idCol), explode(fpUdf(col(textCol))).as("__fp"))
+      .select(col(idCol), col("__fp._1").as("pos"), col("__fp._2").as("fp_hash"))
+  }
+
+  /** Passage-overlap pairs: documents sharing ≥ `minShared` distinct
+    * winnowed fingerprints, with the shared count and a containment score
+    * (shared / the smaller document's fingerprint count, both measured on
+    * the PRUNED fingerprint sets so the score is self-consistent).
+    *
+    * `maxDocFreq` drops fingerprints present in more than that many
+    * documents before the self-join — boilerplate/ubiquitous passages
+    * otherwise make one hash key fan out quadratically. Dropped
+    * fingerprints cannot produce false pairs (only reduce recall on
+    * passages that ubiquitous), and the oracle applies the same cap. */
+  def passageOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 4, w: Int = 4, minShared: Int = 2,
+                          maxDocFreq: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp_hash")).distinct()
+    // document frequency via one window over the hash partition — the same
+    // hash-shuffle the self-join needs anyway; the three consumers below
+    // (sizes + both self-join sides) share one identical subplan, so
+    // whole-plan ReuseExchange materializes that shuffle once (no persist:
+    // a persist here would outlive the call — CacheManager entries are not
+    // GC-reclaimed — and an eager checkpoint would bill upstream cost to
+    // plan-build time)
+    val pruned = fp
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp_hash")))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
+    val sizes = pruned.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    val pairs = pruned.alias("a")
+      .join(pruned.alias("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("idA"), col("b.id").as("idB"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.select(col("id").as("idA"), col("nfp").as("__na")), Seq("idA"))
+      .join(sizes.select(col("id").as("idB"), col("nfp").as("__nb")), Seq("idB"))
+      .select(col("idA"), col("idB"), col("shared"),
+        round(col("shared").cast("double") / least(col("__na"), col("__nb")), 6)
+          .as("containment"))
+  }
+}
