@@ -278,6 +278,16 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.2, exact = true)
         .orderBy(col("idA"), col("idB"))),
 
+    // Z-order (Morton) clustering value — the layout operator behind
+    // two-dimensional scan pruning; pure codegen'd shift-or-mask ladder
+    // (no UDF), bit-identical in ANSI SQL. zorderWrite() uses this value
+    // with repartitionByRange to produce square-locality files (spec'd).
+    "q_zorder_value" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          operators.ZOrder.zValue(col("l_orderkey"), col("l_partkey")).as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))),
+
     "q_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.cosineTopK(emb.filter(col("vec_id") < 16), emb, k = 10)
@@ -330,6 +340,16 @@ object SparkEntry {
       StreamingIngest.runWindowedEventAgg(s, s"$dir/events.parquet",
         s"events_windowed_${streamCounter.incrementAndGet()}")
         .orderBy(col("window_start"), col("event_type"))),
+
+    // Stream-stream interval join (attribution): purchase within 2h of a
+    // view, same user — both sides unbounded, state bounded by the
+    // interval via watermarks. Inner matches emit immediately; the batch
+    // inequality join is the exact oracle.
+    "q_stream_join" -> ((s, dir) =>
+      StreamingIngest.runAttributionBounded(s, s"$dir/events.parquet",
+        windowMicros = 7200000000L,
+        queryName = s"stream_join_${streamCounter.incrementAndGet()}")
+        .orderBy(col("user_id"), col("view_event_id"), col("purchase_event_id"))),
 
     // Semi-structured extraction: parse the props JSON column with a typed
     // from_json schema (codegen'd Jackson parse, no UDF) and aggregate —
@@ -670,6 +690,24 @@ object SparkEntry {
           grouping_id().cast("long").as("gid"))
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
 
+    // Full CUBE over the rollup's dims — all four grouping sets in one
+    // pass (Spark expands grouping sets before the partial aggregate, so
+    // it stays a single shuffle).
+    "q_agg_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    "q_window_ntile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey")))
+            .cast("long").as("price_quartile"))
+        .orderBy(col("o_orderkey"))),
+
     // Funnel: view → click → purchase per user, earliest ordered chain —
     // one key-window shuffle for all three steps (no joins/collect_list).
     "q_funnel" -> ((s, dir) => {
@@ -1005,6 +1043,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // epoch_us comparisons on both bounds — matches the stream side's
+    // micros-truncated timestamps exactly (2h = 7_200_000_000 us).
+    "q_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_event_id,
+        |  p.event_id AS purchase_event_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS delta_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 7200000000
+        |ORDER BY 1, 2, 3""".stripMargin,
+
     "q_stream_dedup" ->
       """SELECT DISTINCT array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
         |FROM documents ORDER BY key5""".stripMargin,
@@ -1256,6 +1307,22 @@ object SparkEntry {
         |  FROM scored) z
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // Morton spread ladder unrolled as CTE rounds; masks are the classic
+    // 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555 constants.
+    "q_zorder_value" ->
+      """WITH z0 AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |              l_orderkey & 65535 AS a, l_partkey & 65535 AS b FROM lineitem),
+        |z1 AS (SELECT l_orderkey, l_linenumber,
+        |         (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM z0),
+        |z2 AS (SELECT l_orderkey, l_linenumber,
+        |         (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM z1),
+        |z3 AS (SELECT l_orderkey, l_linenumber,
+        |         (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM z2),
+        |z4 AS (SELECT l_orderkey, l_linenumber,
+        |         (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM z3)
+        |SELECT l_orderkey, l_linenumber, (a << 1) | b AS zval
+        |FROM z4 ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
+
     // Winnowing twins: the 31-fold poly hash is plain BIGINT math (every
     // intermediate < 2^37), the w=4 window min + rightmost-tie selection is
     // a window function + a bounded self-join, and selected positions are
@@ -1429,6 +1496,20 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // Same greedy earliest-chain: t1 = min view; t2 = min click AFTER t1;
     // t3 = min purchase AFTER t2 (strict inequalities, as in Funnel).

@@ -189,6 +189,79 @@ object StreamingIngest {
     spark.table(queryName).filter(col(keyCol) >= 0)
   }
 
+  /** Stream-stream interval join — the attribution shape ("purchase within
+    * H hours of a view, same user"). Both sides are unbounded streams, so
+    * this is the stateful join Structured Streaming exists for: rows buffer
+    * in the keyed state store until the OTHER side's watermark passes the
+    * interval bound, then age out — state is bounded by the interval × rate,
+    * not the stream length. Inner-join matches emit as soon as both rows
+    * have arrived (no watermark wait on the emit path).
+    *
+    * `left`/`right` carry distinct column names (callers rename before the
+    * join); `window_` is the max `rightTs - leftTs` (SQL interval string,
+    * e.g. "2 hours"); watermarks must already be attached by the caller —
+    * Spark requires them for state EVICTION on both sides, and the join
+    * range condition is what lets it compute the eviction bound. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   window_ : String): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"interval $window_"))
+
+  /** Drive [[intervalJoin]] over a BOUNDED events parquet as the
+    * view→purchase attribution join; returns the matched pairs as a batch
+    * frame. Unlike the sessionize runner, inner-join results emit
+    * immediately on match — no sentinel row needed. Replay caveat: the two
+    * file sources batch files INDEPENDENTLY, so a row can arrive after the
+    * other side's watermark has already advanced past it and be dropped as
+    * late — a pure replay artifact (a live stream is roughly ordered). The
+    * bounded runner therefore sets the watermark delay to the full data
+    * span + window, under which nothing is ever late and no state is
+    * evicted; production uses a delay sized to real out-of-orderness.
+    * (One residual boundary: a row at EXACTLY epoch 0 is evicted against
+    * the initial state watermark, also 0 — real event time never is.) */
+  def runAttributionBounded(spark: SparkSession, parquetPath: String,
+                            windowMicros: Long, queryName: String,
+                            statePartitions: Int = 8): DataFrame = {
+    val ev = spark.read.parquet(parquetPath)
+    val window_ = s"$windowMicros microseconds"
+    val span = ev.agg(
+      (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("s")).head
+    val delay =
+      if (span.isNullAt(0)) window_
+      else s"${span.getLong(0) + windowMicros + 1} microseconds"
+    val stage = java.nio.file.Files.createTempDirectory("graft-ssj-stage").toString
+    ev.write.mode("overwrite").parquet(stage)
+    def side(eventType: String, prefix: String): DataFrame =
+      spark.readStream.schema(ev.schema).parquet(stage + "/*.parquet")
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(s"${prefix}_user_id"),
+          col("event_id").as(s"${prefix}_event_id"),
+          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_tsm"))
+        .withWatermark(s"${prefix}_tsm", delay)
+    val joined = intervalJoin(
+      side("view", "v"), side("purchase", "p"),
+      "v_user_id", "p_user_id", "v_tsm", "p_tsm", window_)
+    try {
+      withStatePartitions(spark, statePartitions) {
+        val q = joined.writeStream.outputMode("append").format("memory")
+          .queryName(queryName).start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    }
+    spark.table(queryName)
+      .select(col("v_user_id").as("user_id"),
+        col("v_event_id").as("view_event_id"),
+        col("p_event_id").as("purchase_event_id"),
+        (unix_micros(col("p_tsm")) - unix_micros(col("v_tsm"))).as("delta_us"))
+  }
+
   /** Run a thunk with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the previous value after. Stateful streaming queries
     * materialize one state-store instance per shuffle partition at their

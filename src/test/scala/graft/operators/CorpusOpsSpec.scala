@@ -188,4 +188,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, 0L)))
     assert(out(4L) == ((1L, 0L, 1L)))
   }
+
+  test("stream-stream interval join: inclusive 2h bound, no backwards match") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    // base of +1 day: a row at EXACTLY epoch 0 is evicted against the
+    // join's initial state watermark (also 0) before it can match —
+    // a non-strict boundary compare inside StreamingSymmetricHashJoin.
+    // Real event time is never at epoch; keep fixtures off the origin.
+    def ns(sec: Long) = (86400L + sec) * 1000000000L
+    val ev = Seq(
+      (1L, ns(0), 10L, "view"),
+      (2L, ns(100), 10L, "purchase"),  // within 2h of views 1 and 5
+      (3L, ns(7200), 10L, "purchase"), // exactly at the bound — inclusive
+      (4L, ns(7201), 10L, "purchase"), // past the bound for view 1 only
+      (5L, ns(50), 10L, "view"),
+      (6L, ns(30), 20L, "purchase"),   // before user 20's view — no match
+      (7L, ns(40), 20L, "view"),
+      (8L, ns(39), 20L, "purchase"),   // before the view — no match
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj-spec").toString
+    try {
+      ev.write.mode("overwrite").parquet(dir)
+      val got = StreamingIngest.runAttributionBounded(spark, dir, 7200000000L, "ssj_spec")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val M = 1000000L // seconds -> micros
+      assert(got == Set(
+        (10L, 1L, 2L, 100L * M), (10L, 1L, 3L, 7200L * M),
+        (10L, 5L, 2L, 50L * M), (10L, 5L, 3L, 7150L * M),
+        (10L, 5L, 4L, 7151L * M)))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: encoding bit-exactness and the locality property the
+  * layout exists for (files cover squares, not stripes). */
+class ZOrderSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("zorder-spec").getOrCreate()
+
+  /** Naive bit-by-bit interleave as the independent reference. */
+  private def naiveZ(a: Long, b: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }
+
+  test("zValueLong == naive interleave; column expr == JVM reference") {
+    val rnd = new scala.util.Random(3)
+    val cases = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    cases.foreach { case (a, b) =>
+      assert(ZOrder.zValueLong(a, b) == naiveZ(a, b), s"($a, $b)")
+    }
+    import spark.implicits._
+    val df = cases.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zValue(col("a"), col("b")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == ZOrder.zValueLong(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  test("z-curve monotone locality: z-range partitions bound both dims") {
+    import spark.implicits._
+    // 64x64 uniform grid, 16 z-range partitions => ~squares of side 16
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val df = grid.toDF("a", "b")
+      .withColumn("z", ZOrder.zValue(col("a"), col("b")))
+      .repartitionByRange(16, col("z"))
+    val ranges = df
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("a") - min("a")).as("ra"), (max("b") - min("b")).as("rb"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val meanRa = ranges.map(_._1).sum.toDouble / ranges.length
+    val meanRb = ranges.map(_._2).sum.toDouble / ranges.length
+    // sorting by `a` alone would give meanRb ~= 63; z-order keeps BOTH
+    // dimensions bounded (a perfect 16-way z-split of a 64x64 grid yields
+    // 16x16 squares => range 15 each; range boundaries are sampled, so
+    // allow slack)
+    assert(meanRa < 32.0, s"a-ranges not clustered: ${ranges.mkString(",")}")
+    assert(meanRb < 32.0, s"b-ranges not clustered: ${ranges.mkString(",")}")
+  }
+
+  test("zorderWrite: written files have square locality in both columns") {
+    import spark.implicits._
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    try {
+      ZOrder.zorderWrite(grid.toDF("a", "b"), "a", "b", dir, numFiles = 16)
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length > 1)
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max("a") - min("a"), max("b") - min("b")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      assert(perFile.map(_._1).sum.toDouble / perFile.length < 32.0)
+      assert(perFile.map(_._2).sum.toDouble / perFile.length < 32.0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}
