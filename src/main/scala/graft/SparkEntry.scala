@@ -196,6 +196,24 @@ object SparkEntry {
         chunkChars = 200, overlap = 50)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Chunk-level exact dedup: boilerplate chunks duplicated across
+    // otherwise-distinct documents, with the canonical first owner.
+    "q_dedup_chunks" -> ((s, dir) =>
+      Dedup.chunkDups(t(s, dir, "documents"), "doc_id", "text",
+        chunkChars = 200, overlap = 50, minCount = 2)
+        .orderBy(col("owner_doc"), col("owner_chunk"), col("chunk"))),
+
+    // Bloom-prefiltered semi-join: result is EXACTLY the plain semi-join
+    // (bloom false positives are removed by the verifying join), so the
+    // oracle is a plain IN-subquery; the bloom only cuts shuffle volume.
+    "q_join_bloom" -> ((s, dir) =>
+      operators.BloomJoin.bloomSemiJoin(
+        t(s, dir, "orders"),
+        t(s, dir, "customer").filter(col("c_nationkey") === 3),
+        "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
     // Winnowed fingerprints (Schleimer et al., SIGMOD'03): narrow UDF +
     // explode, zero shuffle; the oracle recomputes the 31-fold poly hash,
     // the w=4 sliding window minimum, and the rightmost-tie selection in
@@ -1306,6 +1324,24 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
         |  FROM scored) z
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Same chunking arithmetic as q_text_chunks, then group-by-chunk with
+    // the composite-min owner key (doc*2^20 + chunk ordinal).
+    "q_dedup_chunks" ->
+      """WITH ch AS (
+        |  SELECT doc_id, st // 150 AS chunk_id, substring(text, CAST(st AS INT) + 1, 200) AS chunk
+        |  FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 50, 1), 150)) AS st FROM documents))
+        |SELECT CAST(min(doc_id * 1048576 + chunk_id) // 1048576 AS BIGINT) AS owner_doc,
+        |  CAST(min(doc_id * 1048576 + chunk_id) % 1048576 AS BIGINT) AS owner_chunk,
+        |  count(*) AS n_copies, chunk
+        |FROM ch GROUP BY chunk HAVING count(*) >= 2
+        |ORDER BY owner_doc, owner_chunk, chunk""".stripMargin,
+
+    "q_join_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 3)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Morton spread ladder unrolled as CTE rounds; masks are the classic
     // 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555 constants.

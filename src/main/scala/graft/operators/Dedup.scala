@@ -29,6 +29,34 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Chunk-level exact dedup: chunk every document (via
+    * [[TextAnalysis.chunkDocuments]]) and report each chunk text that
+    * occurs ≥ `minCount` times across the corpus, with its canonical owner
+    * — the first occurrence in (doc, chunk) order. Catches boilerplate
+    * paragraphs duplicated INSIDE otherwise-distinct documents, the
+    * substring-granularity complement of [[exactDedup]] (and the exact
+    * counterpart of [[Winnowing.passageOverlapPairs]]).
+    *
+    * Owner selection is `min(doc·2^20 + chunk)` — a single decomposable
+    * aggregate instead of a struct-min (chunk ordinals are bounded by
+    * text length / stride ≪ 2^20, enforced).
+    *
+    * Scale shape: one hash shuffle keyed by chunk text. At corpus scale
+    * key the aggregate on `xxhash64(chunk)` first and re-attach text for
+    * the tiny surviving-dup set — same plan shape, 8-byte shuffle keys. */
+  def chunkDups(df: DataFrame, idCol: String, textCol: String,
+                chunkChars: Int = 512, overlap: Int = 64,
+                minCount: Int = 2): DataFrame = {
+    val ch = TextAnalysis.chunkDocuments(df, idCol, textCol, chunkChars, overlap)
+      .withColumn("__k", col(idCol) * 1048576L + col("chunk_id"))
+    ch.groupBy(col("chunk"))
+      .agg(min(col("__k")).as("__k"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= minCount)
+      .select(expr("__k div 1048576").as("owner_doc"),
+        expr("__k % 1048576").as("owner_chunk"),
+        col("n_copies"), col("chunk"))
+  }
+
   /** Lower-cased whitespace word tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 

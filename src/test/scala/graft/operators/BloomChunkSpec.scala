@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 operators: bloom-prefiltered semi-join (exactness vs the plain
+  * semi-join) and chunk-level exact dedup. */
+class BloomChunkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("bloom-chunk-spec").getOrCreate()
+
+  test("bloomSemiJoin == plain semi-join (long keys, with misses and nulls)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val big = (1 to 2000).map(_ => (rnd.nextInt(500).toLong: java.lang.Long, rnd.nextInt()))
+      .:+((null: java.lang.Long, 7)).toDF("k", "v")
+    val keys = (1 to 120).map(_ => rnd.nextInt(700).toLong).toDF("key")
+    val got = BloomJoin.bloomSemiJoin(big, keys, "k", "key")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val want = big.join(keys.select(col("key").as("k")).distinct(), Seq("k"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(got.sameElements(want) && got.nonEmpty)
+  }
+
+  test("bloomSemiJoin == plain semi-join (string keys); empty keys -> empty") {
+    import spark.implicits._
+    val big = Seq("a", "b", "c", "d", "a").toDF("k")
+    val keys = Seq("a", "c", "zz").toDF("key")
+    val got = BloomJoin.bloomSemiJoin(big, keys, "k", "key")
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("a", "a", "c"))
+    assert(BloomJoin.bloomSemiJoin(big, keys.limit(0), "k", "key").count() == 0)
+  }
+
+  test("chunkDups: duplicated boilerplate chunk found with first owner") {
+    import spark.implicits._
+    // chunkChars=10, overlap=0 -> fixed 10-char chunks
+    val docs = Seq(
+      (3L, "AAAAAAAAAABBBBBBBBBB"), // chunks: A*10 (c0), B*10 (c1)
+      (1L, "CCCCCCCCCCAAAAAAAAAA"), // chunks: C*10 (c0), A*10 (c1)
+      (2L, "DDDDDDDDDD")            // unique chunk
+    ).toDF("doc_id", "text")
+    val dups = Dedup.chunkDups(docs, "doc_id", "text",
+      chunkChars = 10, overlap = 0, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // A*10 appears in doc 3 chunk 0 and doc 1 chunk 1 -> owner = doc 1
+    assert(dups.toSeq == Seq((1L, 1L, 2L, "AAAAAAAAAA")))
+  }
+}
