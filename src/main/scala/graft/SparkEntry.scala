@@ -1384,7 +1384,7 @@ object SparkEntry {
         |sel AS (SELECT w.doc_id, max(h2.pos) AS pos, w.wmin AS fp_hash
         |        FROM w JOIN h h2 ON h2.doc_id = w.doc_id
         |          AND h2.pos BETWEEN w.pos AND w.pos + 3 AND h2.fp_hash = w.wmin
-        |        WHERE w.pos <= w.m - 4
+        |        WHERE w.pos <= greatest(w.m - 4, 0)
         |        GROUP BY w.doc_id, w.pos, w.wmin)
         |SELECT DISTINCT doc_id, pos, fp_hash FROM sel ORDER BY doc_id, pos""".stripMargin,
 
@@ -1409,7 +1409,7 @@ object SparkEntry {
         |sel AS (SELECT w.doc_id, max(h2.pos) AS pos, w.wmin AS fp_hash
         |        FROM w JOIN h h2 ON h2.doc_id = w.doc_id
         |          AND h2.pos BETWEEN w.pos AND w.pos + 3 AND h2.fp_hash = w.wmin
-        |        WHERE w.pos <= w.m - 4
+        |        WHERE w.pos <= greatest(w.m - 4, 0)
         |        GROUP BY w.doc_id, w.pos, w.wmin),
         |fp AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
         |freq AS (SELECT fp_hash, count(*) AS df FROM fp GROUP BY 1),

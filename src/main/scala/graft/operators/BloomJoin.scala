@@ -40,6 +40,16 @@ object BloomJoin {
       case other => throw new IllegalArgumentException(
         s"bloom key must be integral or string, got $other")
     }
+    // Both sides must live in the same bloom put/probe domain — a
+    // string-vs-integral mismatch would probe a different hash space and
+    // SILENTLY drop true matches (the verifying semi-join can only remove
+    // false positives, never restore rows the bloom dropped).
+    val bigIntegral = integral(big.schema(bigKey).dataType)
+    require(bigIntegral == integral(keys.schema(keysKey).dataType),
+      s"key type mismatch: $bigKey is ${big.schema(bigKey).dataType}, " +
+        s"$keysKey is ${keys.schema(keysKey).dataType}")
+    // `expectedKeys` skips the sizing count — strongly recommended at scale
+    // (the count is a full extra pass over the key side per call).
     val n = if (expectedKeys > 0) expectedKeys else keysNorm.count()
     if (n == 0) return big.limit(0)
     val bf = keysNorm.stat.bloomFilter(keysKey, n, fpp)
@@ -54,7 +64,9 @@ object BloomJoin {
       case other => throw new IllegalArgumentException(
         s"bloom key must be integral or string, got $other")
     }
+    // no distinct() on the build side: left_semi output is identical with
+    // duplicate build keys, and the extra aggregate costs a pass
     big.filter(pred)
-      .join(keysNorm.select(col(keysKey).as(bigKey)).distinct(), Seq(bigKey), "left_semi")
+      .join(keysNorm.select(col(keysKey).as(bigKey)), Seq(bigKey), "left_semi")
   }
 }

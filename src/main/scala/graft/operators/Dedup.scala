@@ -48,7 +48,15 @@ object Dedup {
                 chunkChars: Int = 512, overlap: Int = 64,
                 minCount: Int = 2): DataFrame = {
     val ch = TextAnalysis.chunkDocuments(df, idCol, textCol, chunkChars, overlap)
-      .withColumn("__k", col(idCol) * 1048576L + col("chunk_id"))
+      // the guard lives INSIDE the used expression so it cannot be pruned:
+      // a >=2^20-chunk document (~0.5 GB) or negative id would corrupt the
+      // composite key silently — fail instead
+      .withColumn("__k",
+        when(col("chunk_id") < 1048576L && col(idCol) >= 0,
+          col(idCol) * 1048576L + col("chunk_id"))
+          .otherwise(raise_error(concat(
+            lit(s"chunkDups: chunk ordinal >= 2^20 or negative $idCol for "),
+            col(idCol).cast("string")))))
     ch.groupBy(col("chunk"))
       .agg(min(col("__k")).as("__k"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") >= minCount)

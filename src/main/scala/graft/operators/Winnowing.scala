@@ -87,7 +87,10 @@ object Winnowing {
   }
 
   private def tokensOf(text: String): Array[String] =
-    Option(text).map(_.trim.toLowerCase).filter(_.nonEmpty)
+    // Locale.ROOT: default-locale toLowerCase diverges from Spark/DuckDB
+    // lower() under e.g. tr-TR (dotless i) — hashes must not depend on
+    // the JVM's locale
+    Option(text).map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
       .map(_.split("\\s+")).getOrElse(Array.empty)
 
   /** Per-document winnowed fingerprints: one row per selected gram —

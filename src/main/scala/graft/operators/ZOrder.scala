@@ -55,10 +55,28 @@ object ZOrder {
     * range-partition into `numFiles` z-ranges (one shuffle with a sampled
     * range boundary pass — Spark's RangePartitioner), sort each partition
     * by z, write one file per partition. Files then cover compact squares
-    * of the (A, B) key space — min/max stats prune on either column. */
+    * of the (A, B) key space — min/max stats prune on either column.
+    *
+    * Keys are first QUANTIZED to 16 bits by linear min/max scaling (one
+    * cheap agg pass): [[zValue]] masks to the low 16 bits, which for a
+    * wider domain would interleave `key mod 65536` — adjacent curve
+    * positions for values 65536 apart, i.e. no locality at all. Monotone
+    * scaling preserves curve order; heavily skewed domains trade some
+    * square-ness (a rank/histogram quantizer is the refinement). */
   def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
                   numFiles: Int = 32): Unit = {
-    val z = zValue(col(colA), col(colB)).as("__z")
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
+    if (r.isNullAt(0) || r.isNullAt(2)) { // empty (or all-null keys)
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else floor((c.cast("double") - lo) * 65536.0 / (hi - lo + 1.0)).cast("long")
+    val z = zValue(quant(col(colA), r.getDouble(0), r.getDouble(1)),
+                   quant(col(colB), r.getDouble(2), r.getDouble(3)))
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

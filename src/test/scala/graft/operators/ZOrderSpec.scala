@@ -76,4 +76,27 @@ class ZOrderSpec extends AnyFunSuite {
       assert(perFile.map(_._2).sum.toDouble / perFile.length < 32.0)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("zorderWrite quantizes wide domains (no 16-bit masking stripes)") {
+    import spark.implicits._
+    // keys far beyond 16 bits: raw zValue would interleave key mod 65536
+    // and every file would span nearly the whole real range
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L)
+      yield (a * 100000L, b * 3000000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-wide").toString
+    try {
+      ZOrder.zorderWrite(grid.toDF("a", "b"), "a", "b", dir, numFiles = 16)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max("a") - min("a"), max("b") - min("b")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      // global ranges are 63*100000 and 63*3000000; square locality keeps
+      // the mean per-file range well under half of each
+      assert(perFile.map(_._1).sum.toDouble / perFile.length < 32.0 * 100000)
+      assert(perFile.map(_._2).sum.toDouble / perFile.length < 32.0 * 3000000)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
