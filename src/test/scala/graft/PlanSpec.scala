@@ -111,11 +111,47 @@ class PlanSpec extends SparkSpec {
     // shuffle appearing here is a regression that turns a scan-bound 100 TB
     // pass into a shuffle-bound one
     for (q <- Seq("q_sample_stratified", "q_pii_redact", "q_text_stats",
-        "q_text_fingerprint", "q_text_langid")) {
+        "q_text_fingerprint", "q_text_langid", "q_winnow_fp",
+        "q_zorder_value")) {
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q: hash shuffle in a shuffle-free operator")
     }
+  }
+
+  test("winnow overlap: fingerprint subplan shuffled once and reused at scale") {
+    // sizes + both self-join sides read the same pruned-fingerprint
+    // subplan. The shared-shuffle claim is asserted under the STATIC
+    // planner with broadcast off (the at-scale join shape): ReuseExchange
+    // proves the three subplans are canonically identical and collapse to
+    // ONE fp_hash shuffle. (Under AQE the identical stages can materialize
+    // concurrently before the stage cache registers a hit, and at tiny SF
+    // AQE broadcasts the self-join side instead — both mask the property
+    // this guard protects.)
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    keys.foreach(k => spark.conf.set(k, if (k.endsWith("enabled")) "false" else "-1"))
+    try {
+      val df = SparkEntry.queries("q_winnow_overlap")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"pruned-fingerprint exchange must be reused across consumers:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "pair generation must stay an equi-join on fp_hash")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("bloom semi-join: map-side bloom filter precedes the verifying semi") {
+    val p = plan("q_join_bloom")
+    assert(p.contains("LeftSemi"), "verifying semi-join missing")
+    // the bloom probe must sit in a Filter on the fact side, BEFORE the
+    // join — that filter is the entire point (candidate-only shuffle)
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("UDF")),
+      "bloom prefilter not applied before the join")
   }
 
   test("global audit: no cartesian products or unexpected nested-loop joins anywhere") {
