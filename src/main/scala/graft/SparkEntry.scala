@@ -196,6 +196,14 @@ object SparkEntry {
         chunkChars = 200, overlap = 50)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Composite quality gate with explainable per-rule reasons — the
+    // keep/drop decision of a corpus-cleaning pipeline, fully oracled
+    // (every rule is fixed-order double math over oracled stats).
+    "q_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("keep"), col("reasons"))
+        .orderBy(col("doc_id"))),
+
     // Chunk-level exact dedup: boilerplate chunks duplicated across
     // otherwise-distinct documents, with the canonical first owner.
     "q_dedup_chunks" -> ((s, dir) =>
@@ -1324,6 +1332,39 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
         |  FROM scored) z
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Quality gate: stats formulas identical to q_text_stats /
+    // q_text_repetition; concat_ws skips the NULL (passing) rules in both
+    // engines, so `reasons` is byte-identical.
+    "q_quality_filter" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |bg AS (SELECT doc_id, len(tk) AS n_tok, list_extract(tk, i) || ' ' || list_extract(tk, i+1) AS b
+        |       FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |       WHERE len(tk) >= 2),
+        |m AS (SELECT doc_id, n_tok, max(c) AS maxc FROM (
+        |        SELECT doc_id, n_tok, b, count(*) AS c FROM bg GROUP BY 1, 2, 3) z
+        |      GROUP BY 1, 2),
+        |rep AS (SELECT d.doc_id, COALESCE(2.0 * m.maxc / m.n_tok, 0.0) AS rep
+        |        FROM documents d LEFT JOIN m USING (doc_id)),
+        |st AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS mtl,
+        |    CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS ttr,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by|from|that|this)\b')) AS DOUBLE)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stopr
+        |  FROM documents),
+        |r AS (SELECT st.doc_id,
+        |    concat_ws(',',
+        |      CASE WHEN ttr < 0.35 THEN 'low_diversity' END,
+        |      CASE WHEN stopr < 0.02 THEN 'no_stopwords' END,
+        |      CASE WHEN rep > 0.125 THEN 'repetitive' END,
+        |      CASE WHEN mtl < 3.0 OR mtl > 8.0 THEN 'token_len' END,
+        |      CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+        |      CASE WHEN n_tokens < 20 THEN 'too_short' END) AS reasons
+        |  FROM st JOIN rep USING (doc_id))
+        |SELECT doc_id, reasons = '' AS keep, reasons FROM r ORDER BY doc_id""".stripMargin,
 
     // Same chunking arithmetic as q_text_chunks, then group-by-chunk with
     // the composite-min owner key (doc*2^20 + chunk ordinal).

@@ -246,4 +246,62 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("__frac"), lit(0.0)).as("top_bigram_frac"))
   }
+
+  /** Rule thresholds for [[qualityFilter]]. Defaults are tuned to the
+    * C4/Gopher-style heuristics, loosened to the synthetic fixture's
+    * distributions so every rule actually fires somewhere. */
+  final case class QualityRules(minTokens: Long = 20, maxTokens: Long = 100000,
+                                minMeanTokenLen: Double = 3.0,
+                                maxMeanTokenLen: Double = 8.0,
+                                minTypeTokenRatio: Double = 0.35,
+                                maxTopBigramFrac: Double = 0.125,
+                                minStopwordRatio: Double = 0.02)
+
+  /** Composite corpus quality filter with EXPLAINABLE decisions — the
+    * keep/drop gate of a web-scale cleaning pipeline, with the failing
+    * rule names surfaced (alphabetical, comma-joined) so drop-rate
+    * regressions are attributable per rule rather than one opaque bit.
+    *
+    * Rules: too_short/too_long (token count), token_len (mean token
+    * length band), low_diversity (type-token ratio), repetitive (top
+    * bigram token share — Gopher's repetition signal), no_stopwords
+    * (natural-language prior; near-zero stopword mass is a strong
+    * markup/code/gibberish signal).
+    *
+    * Scale shape: everything except the repetition signal is ONE narrow
+    * fused-profile projection; [[topBigramFraction]] contributes its two
+    * doc-keyed partial aggregations; one doc-keyed join combines them.
+    * All arithmetic is plain double math in a fixed operation order —
+    * ANSI-expressible, so the whole gate is DuckDB-oracle-able. */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    rules: QualityRules = QualityRules()): DataFrame = {
+    val p = profile(col(textCol))
+    val toks = coalesce(p.getField("n_tokens"), lit(0)).cast("long")
+    val stats = df.select(col(idCol), col(textCol),
+      toks.as("__toks"),
+      when(toks > 0, p.getField("n_nonspace").cast("double") / toks)
+        .otherwise(lit(0.0)).as("__mtl"),
+      when(toks > 0,
+        size(array_distinct(Dedup.tokens(col(textCol)))).cast("double") / toks)
+        .otherwise(lit(0.0)).as("__ttr"),
+      when(toks > 0, p.getField("n_stopwords").cast("double") / toks)
+        .otherwise(lit(0.0)).as("__stopr"))
+    val withRep = stats.join(
+      topBigramFraction(df.select(col(idCol), col(textCol)), idCol, textCol),
+      Seq(idCol))
+    def rule(name: String, failed: Column): Column =
+      when(failed, lit(name)).otherwise(lit(null).cast("string"))
+    // concat_ws skips NULLs, so reasons is exactly the failing subset in
+    // this fixed alphabetical order — byte-identical in ANSI SQL
+    val reasons = concat_ws(",",
+      rule("low_diversity", col("__ttr") < rules.minTypeTokenRatio),
+      rule("no_stopwords", col("__stopr") < rules.minStopwordRatio),
+      rule("repetitive", col("top_bigram_frac") > rules.maxTopBigramFrac),
+      rule("token_len", col("__mtl") < rules.minMeanTokenLen ||
+        col("__mtl") > rules.maxMeanTokenLen),
+      rule("too_long", col("__toks") > rules.maxTokens),
+      rule("too_short", col("__toks") < rules.minTokens))
+    withRep.select(col(idCol), reasons.as("reasons"))
+      .withColumn("keep", col("reasons") === "")
+  }
 }

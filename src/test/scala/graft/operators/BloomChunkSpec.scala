@@ -38,6 +38,26 @@ class BloomChunkSpec extends AnyFunSuite {
     assert(BloomJoin.bloomSemiJoin(big, keys.limit(0), "k", "key").count() == 0)
   }
 
+  test("qualityFilter: each rule fires on its pathological doc, clean doc kept") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over a lazy dog and then " +
+      "walks to the old mill for some fresh grain with friends nearby today"
+    val docs = Seq(
+      (1L, clean),                                       // keep
+      (2L, "short text only here"),                      // too_short (+no_stopwords? no: 0 stopwords of 4 -> fires too)
+      (3L, ("spam ham " * 30).trim),                     // repetitive + low_diversity + no_stopwords
+      (4L, (1 to 25).map(i => s"w$i w$i").mkString(" ")) // repetitive pairs but diverse
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(1))).toMap
+    assert(out(1L) == ((true, "")))
+    assert(!out(2L)._1 && out(2L)._2.contains("too_short"))
+    assert(!out(3L)._1 && out(3L)._2.contains("repetitive")
+      && out(3L)._2.contains("low_diversity") && out(3L)._2.contains("no_stopwords"))
+    // reasons are alphabetically ordered
+    assert(out(3L)._2 == "low_diversity,no_stopwords,repetitive")
+  }
+
   test("chunkDups: duplicated boilerplate chunk found with first owner") {
     import spark.implicits._
     // chunkChars=10, overlap=0 -> fixed 10-char chunks
