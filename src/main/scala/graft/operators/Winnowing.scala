@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * benchmark-contamination shape a training-data pipeline must catch.
   * Beyond-reference extension (SURVEY.md §7.1.9).
   *
+  * Granularity note: [[TextAnalysis.winnowingFingerprints]] is the
+  * CHARACTER-level sibling (code-point rolling hash — catches overlap that
+  * crosses token boundaries, e.g. minified/concatenated text); this object
+  * works on word tokens, which matches how contamination actually appears
+  * in prose corpora and makes the whole pipeline ANSI-expressible, hence
+  * DuckDB-oracled end to end (including the pair join).
+  *
   * Algorithm: tokenize (lowercase, whitespace split — the same rule as
   * [[TfIdf]]), hash every k-token gram with a 32-bit polynomial hash, slide
   * a window of `w` consecutive gram hashes, and in each window select the
