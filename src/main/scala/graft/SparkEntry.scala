@@ -196,6 +196,26 @@ object SparkEntry {
         chunkChars = 200, overlap = 50)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // int8 scalar quantization: per-dim codebook from ONE bounded
+    // aggregate, codes via pure codegen transform — the 4x scan/shuffle
+    // cut of an IVF-SQ vector pipeline; exploded to scalar rows so the
+    // hash gate compares every code.
+    "q_vec_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (lo, hi) = operators.VectorQuantize.trainMinMax(emb, "embedding")
+      operators.VectorQuantize.quantize(emb.filter(col("vec_id") < 160), "embedding", lo, hi)
+        .select(col("vec_id"), posexplode(col("qcode")).as(Seq("dim", "code")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("code").cast("long").as("code"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // Exactly-k-per-group deterministic sample (hash-ranked reservoir).
+    "q_sample_per_group" -> ((s, dir) =>
+      operators.Sampling.sampleKPerGroup(t(s, dir, "documents"), "doc_id", "source", k = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))),
+
     // Composite quality gate with explainable per-rule reasons — the
     // keep/drop decision of a corpus-cleaning pipeline, fully oracled
     // (every rule is fixed-order double math over oracled stats).
@@ -1332,6 +1352,32 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
         |  FROM scored) z
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Same fixed-order double arithmetic as VectorQuantize (float->double
+    // casts are exact; left-assoc (v-lo)*127/(hi-lo)+0.5 in both engines).
+    "q_vec_quantize" ->
+      """WITH ex AS (SELECT vec_id, i - 1 AS dim,
+        |              CAST(list_extract(embedding, i) AS DOUBLE) AS v
+        |            FROM embeddings,
+        |              LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r),
+        |cb AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM ex GROUP BY dim)
+        |SELECT e.vec_id, e.dim,
+        |  CASE WHEN cb.hi = cb.lo THEN 0
+        |       ELSE CAST(FLOOR((e.v - cb.lo) * 127.0 / (cb.hi - cb.lo) + 0.5) AS BIGINT) END AS code
+        |FROM ex e JOIN cb USING (dim)
+        |WHERE e.vec_id < 160
+        |ORDER BY e.vec_id, e.dim""".stripMargin,
+
+    "q_sample_per_group" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (doc_id % 65536) * 2654435761) % 4294967296 AS slot
+        |  FROM documents)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY slot, doc_id) AS rn
+        |  FROM h) t
+        |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
 
     // Quality gate: stats formulas identical to q_text_stats /
     // q_text_repetition; concat_ws skips the NULL (passing) rules in both

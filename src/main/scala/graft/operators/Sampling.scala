@@ -59,6 +59,23 @@ object Sampling {
     df.filter(perMilleSlot(col(idCol)) < rate)
   }
 
+  /** Deterministic per-group "reservoir": rank each group's rows by the
+    * Knuth slot of their id (id as tie-break) and keep the first `k` — an
+    * exactly-k-per-group sample that is, like [[stratifiedSample]], a pure
+    * function of the ids: invariant to partitioning, task retries, and
+    * engine. One window shuffle on the group key (the hash order is
+    * data-independent, so no sort-by-random nondeterminism). */
+  def sampleKPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(knuthSlot32(col(idCol)), col(idCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Token-budget corpus mixing — "30% web, 50% books, 20% code, capped at
     * B tokens": each source's target is `share * totalTokenBudget`; its
     * acceptance rate is `min(1, target / actualTokens)`, applied as the same

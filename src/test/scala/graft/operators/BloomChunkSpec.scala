@@ -58,6 +58,49 @@ class BloomChunkSpec extends AnyFunSuite {
     assert(out(3L)._2 == "low_diversity,no_stopwords,repetitive")
   }
 
+  test("quantize/dequantize: codes in [0,127], reconstruction within half-step") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, -1.0f, 5.0f)),
+      (2L, Array(1.0f, 1.0f, 5.0f)),   // dim 2 is degenerate (hi == lo)
+      (3L, Array(0.5f, 0.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val (lo, hi) = VectorQuantize.trainMinMax(vecs, "embedding")
+    assert(lo.toSeq == Seq(0.0, -1.0, 5.0) && hi.toSeq == Seq(1.0, 1.0, 5.0))
+    val q = VectorQuantize.quantize(vecs, "embedding", lo, hi)
+    val codes = q.select("vec_id", "qcode").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) == Seq(0, 0, 0))
+    assert(codes(2L) == Seq(127, 127, 0))
+    assert(codes(3L) == Seq(64, 64, 0)) // 0.5*127+0.5 -> 64; (-0+1)*127/2+0.5 -> 64
+    // reconstruction error bounded by half a quantization step per dim
+    val deq = q.select(col("vec_id"),
+        VectorQuantize.dequantize(col("qcode"), lo, hi).as("dq"), col("embedding"))
+      .collect()
+    deq.foreach { r =>
+      val dq = r.getSeq[Double](1); val v = r.getSeq[Float](2)
+      for (i <- dq.indices) {
+        val step = (hi(i) - lo(i)) / 127.0
+        assert(math.abs(dq(i) - v(i)) <= step / 2 + 1e-9,
+          s"vec ${r.getLong(0)} dim $i: ${dq(i)} vs ${v(i)}")
+      }
+    }
+  }
+
+  test("sampleKPerGroup: exactly k per group, repartition-invariant") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val s1 = Sampling.sampleKPerGroup(df, "id", "g", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1.size == 21 && s1.groupBy(_._2).forall(_._2.size == 7))
+    val s2 = Sampling.sampleKPerGroup(df.repartition(13), "id", "g", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1 == s2, "sample must be partitioning-invariant")
+    // k larger than the group keeps everything
+    val tiny = Seq((1L, "a"), (2L, "a")).toDF("id", "g")
+    assert(Sampling.sampleKPerGroup(tiny, "id", "g", 10).count() == 2)
+  }
+
   test("chunkDups: duplicated boilerplate chunk found with first owner") {
     import spark.implicits._
     // chunkChars=10, overlap=0 -> fixed 10-char chunks
