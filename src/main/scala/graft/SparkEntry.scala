@@ -754,6 +754,93 @@ object SparkEntry {
             .cast("long").as("price_quartile"))
         .orderBy(col("o_orderkey"))),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // Spark expands the sets before the partial aggregate — still ONE
+    // shuffle, not one per set.
+    "q_agg_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
+
+    // FULL OUTER join of two aggregated sides — date spines rarely line up
+    // (shipments trail orders by months; the bulk filter sparsifies one
+    // side), so unmatched rows survive from BOTH sides. Aggregating BEFORE
+    // the join keeps the outer join |dates|-sized, not row-sized.
+    "q_join_full_outer" -> ((s, dir) => {
+      val od = t(s, dir, "orders")
+        .select(col("o_orderdate").cast("date").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_orders"))
+      val ld = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_shipdate").cast("date").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_bulk_items"))
+      od.join(ld, Seq("d"), "full_outer")
+        .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_bulk_items"), lit(0L)).as("n_bulk_items"))
+        .orderBy(col("d"))
+    }),
+
+    // lead/lag event context per user — the feature-extraction window shape
+    // (previous-gap, next-action). One key-window shuffle, tie-broken on
+    // event_id so the frame order is total.
+    "q_window_leadlag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("us"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Top-k per group — the canonical "best k examples per key" selection.
+    // The rank filter is pushed into the shuffle as a WindowGroupLimit
+    // (per-partition top-k heaps before the exchange), so the full sort
+    // never materializes per group (plan-guarded in PlanSpec).
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // Per-label embedding centroid sums in fixed-point (1e-6 grid) integer
+    // arithmetic — order-independent addition makes the result reproducible
+    // across engines/partitionings (double sums are not; float→decimal
+    // casts round engine-specifically on dyadic ties), which is what lets
+    // a vector aggregate carry a DuckDB oracle at all.
+    "q_vec_centroid" -> ((s, dir) =>
+      operators.VectorStats.centroidSums(
+        t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label"), col("pos"))),
+
+    // Salted join: probe-side skew spread across 8 salt replicas of the
+    // build side; result provably identical to the plain join, so the
+    // oracle IS the plain join.
+    "q_join_salted" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice"),
+          col("l_discount"), col("l_linenumber"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      operators.Skew.saltedJoin(li, ord, Seq("okey"), numSalts = 8,
+        saltCols = Seq("okey", "l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Funnel: view → click → purchase per user, earliest ordered chain —
     // one key-window shuffle for all three steps (no joins/collect_list).
     "q_funnel" -> ((s, dir) => {
@@ -1627,6 +1714,68 @@ object SparkEntry {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH od AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |ld AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_bulk_items
+        |  FROM lineitem WHERE l_quantity >= 48 GROUP BY 1)
+        |SELECT COALESCE(od.d, ld.d) AS d,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(n_bulk_items, 0) AS n_bulk_items
+        |FROM od FULL OUTER JOIN ld ON od.d = ld.d
+        |ORDER BY d""".stripMargin,
+
+    "q_window_leadlag" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |            FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  us - LAG(us) OVER w AS gap_us,
+        |  LEAD(event_type) OVER w AS next_type
+        |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders) r
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    // floor(v·1e6) of the same IEEE double product is the same long in
+    // every engine, and long sums are order-independent — so the centroid
+    // sum is engine-reproducible bit-for-bit; range(1,65) is the fixture's
+    // fixed dim=64 (the Spark side is dimension-agnostic via posexplode).
+    "q_vec_centroid" ->
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) AS qsum,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000 / COUNT(*) AS mean
+        |FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS pos) p
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+
+    // Salting refines partitioning, never the match predicate — the oracle
+    // is the PLAIN join the salted plan must reproduce exactly.
+    "q_join_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_window_ntile" ->
       """SELECT o_orderkey, o_custkey,

@@ -460,15 +460,44 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, idCol: String,
                           maxIter: Int = 25,
                           maxDriverEdges: Long = 1L << 16): DataFrame = {
-    // Persist + materialize the pair list before symmetrizing: the union
-    // reads it twice, and the upstream pair derivation (an LSH or
-    // set-similarity join) is far too expensive to run once per direction.
-    val p = pairs.select(col("idA"), col("idB")).persist()
+    // Materialize the pair list ONCE before symmetrizing: the union reads
+    // it twice, and the upstream pair derivation (an LSH or set-similarity
+    // join) is far too expensive to run once per direction. EAGER CHECKPOINT,
+    // not persist(): a cached subtree is compiled without adaptive
+    // execution (AQE leaves InMemoryRelation plans alone), which costs the
+    // expensive upstream join its runtime broadcast/skew rewrites —
+    // measured 3x on the n-gram pair pipeline at sf0.1. The checkpoint
+    // materializes the SAME single execution (with AQE) and every later
+    // read (count, collect, per-round joins) scans the materialized blocks.
+    val sc0 = nodes.sparkSession.sparkContext
+    val reliableCkpt = sc0.getCheckpointDir.isDefined
+    def materialized(df: DataFrame): DataFrame =
+      if (reliableCkpt) df.checkpoint() else df.localCheckpoint()
+    // best-effort: resolve a checkpointed frame's backing file for cleanup
+    // (reliable checkpoint files are not reference-tracked by default —
+    // spark.cleaner.referenceTracking.cleanCheckpoints is off — so dead
+    // ones are deleted explicitly; local checkpoint blocks are weak-ref
+    // reclaimed by the ContextCleaner and need no help)
+    def ckptFile(df: DataFrame): Option[String] =
+      scala.util.Try {
+        df.queryExecution.optimizedPlan match {
+          case r: org.apache.spark.sql.execution.LogicalRDD =>
+            r.rdd.getCheckpointFile
+          case _ => None
+        }
+      }.toOption.flatten
+    def deleteCkpt(path: String): Unit =
+      scala.util.Try {
+        val pth = new org.apache.hadoop.fs.Path(path)
+        pth.getFileSystem(sc0.hadoopConfiguration).delete(pth, true)
+      }
+    val p = materialized(pairs.select(col("idA"), col("idB")))
+    def dropPairCkpt(): Unit = if (reliableCkpt) ckptFile(p).foreach(deleteCkpt)
     val nPairs = p.count()
     // No edges ⇒ every node is its own singleton component — skip the
     // loop (an empty label frame would also null the convergence sum).
     if (nPairs == 0) {
-      p.unpersist()
+      dropPairCkpt()
       return nodes.select(col(idCol).as("id")).distinct()
         .withColumn("component", col("id"))
     }
@@ -487,7 +516,6 @@ object Dedup {
       _.dataType == org.apache.spark.sql.types.LongType)
     if (nPairs <= maxDriverEdges && longKeyed) {
       val edgeArr = p.collect().map(r => (r.getLong(0), r.getLong(1)))
-      p.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -507,6 +535,7 @@ object Dedup {
       val spark = nodes.sparkSession
       import spark.implicits._
       val labelMap = mapping.toSeq.toDF("id", "component")
+      dropPairCkpt() // labelMap is driver data — p is dead from here
       // Same row-set contract as the iterative path: ids appearing only in
       // `pairs` (not in `nodes`) still get a labeled row — union them in
       // before the mapping join so the output is identical on either side
@@ -530,24 +559,8 @@ object Dedup {
     // new round is materialized — only the FINAL round's files outlive the
     // call (the returned frame reads them lazily; enable the conf above to
     // reclaim those at GC, or they last until the app exits).
-    val sc = nodes.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    def truncated(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
-    // best-effort: resolve a checkpointed frame's backing file for cleanup
-    def ckptFile(df: DataFrame): Option[String] =
-      scala.util.Try {
-        df.queryExecution.optimizedPlan match {
-          case r: org.apache.spark.sql.execution.LogicalRDD =>
-            r.rdd.getCheckpointFile
-          case _ => None
-        }
-      }.toOption.flatten
-    def deleteCkpt(path: String): Unit =
-      scala.util.Try {
-        val pth = new org.apache.hadoop.fs.Path(path)
-        pth.getFileSystem(sc.hadoopConfiguration).delete(pth, true)
-      }
+    val reliable = reliableCkpt
+    def truncated(df: DataFrame): DataFrame = materialized(df)
     // Iterate ONLY over the edge-induced subgraph: a node with no incident
     // edge is its own singleton component by definition and never changes
     // label, so it has no business inside the loop. At corpus scale the
@@ -555,7 +568,6 @@ object Dedup {
     // runs on ~2·|pairs| rows instead of |corpus| rows, and the full node
     // set joins back in ONCE at the end as label = id.
     val allNodes = nodes.select(col(idCol).as("id")).distinct()
-    try {
     var labels = truncated(
       p.select(col("idA").as("id")).union(p.select(col("idB").as("id")))
         .distinct().withColumn("component", col("id")))
@@ -606,12 +618,12 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds — " +
         "component structure would be incomplete; raise maxIter")
+    dropPairCkpt() // final labels are checkpointed — the edge list is dead
     // Singletons rejoin here: every node not touched by an edge keeps its
     // own id as component. Anti-join on the (small) touched-label set.
     labels.union(
       allNodes.join(labels.select(col("id")), Seq("id"), "left_anti")
         .withColumn("component", col("id")))
-    } finally p.unpersist()
   }
 
   /** Near-dup corpus dedup end-to-end: keep ONE survivor (the min-id

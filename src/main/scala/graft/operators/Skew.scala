@@ -71,6 +71,39 @@ object Skew {
       .agg(combine.head, combine.tail: _*)
   }
 
+  /** Salted inner equi-join for skewed PROBE keys: each probe row gets a
+    * deterministic salt in [0, numSalts); the (small) build side is
+    * replicated once per salt value; the join runs on (keys..., salt). A
+    * hot probe key's rows now spread across `numSalts` shuffle partitions
+    * instead of funneling through one reducer — the manual form of AQE's
+    * skew-join split for plans AQE cannot rewrite (e.g. under a
+    * deterministic-repartition contract, or when the skew only manifests
+    * downstream of the stage boundary AQE sizes on).
+    *
+    * Result is identical to `probe.join(build, keys)`: salting only refines
+    * the partitioning, never the match predicate — every (probe, build)
+    * key match still meets on exactly one salt value.
+    *
+    * COST: the build side is materialized `numSalts` times into the
+    * exchange. Keep the build side dimension-sized (or use a plain
+    * broadcast join, which needs no salt at all); the operator exists for
+    * build sides too big to broadcast but far smaller than the probe.
+    *
+    * The salt is a hash of the whole probe row (see [[saltedAggregate]] for
+    * why an RNG/monotonic id is unsafe under task retries); verbatim
+    * duplicate probe rows share a salt, which skews only if one exact row
+    * dominates — pass a finer `saltCols` when the probe has a unique id. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 numSalts: Int = 8, saltCols: Seq[String] = Nil): DataFrame = {
+    require(numSalts > 0)
+    val saltInput = if (saltCols.nonEmpty) saltCols else probe.columns.toSeq
+    val p = probe.withColumn("__salt",
+      pmod(hash(saltInput.map(col): _*), lit(numSalts)))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    p.join(b, keys :+ "__salt").drop("__salt")
+  }
+
   /** Salted broadcast of a hot-key filter: splits `df` on membership of
     * `keyCol` in `hotKeys` so callers can union a broadcast-joined hot slice
     * with a shuffle-joined long tail — the manual form of AQE's skew join for

@@ -40,6 +40,29 @@ class PlanSpec extends SparkSpec {
       "expect partial + final window group limits")
   }
 
+  test("top-k per group: rank filter pushed down as WindowGroupLimit") {
+    val p = plan("q_topk_per_group")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "rk<=3 must prune per-partition before AND after the shuffle")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"),
+      "orders scan must prune to the 3 needed columns")
+  }
+
+  test("grouping sets: one shuffle for all three sets, map-side partials") {
+    val p = plan("q_agg_grouping_sets")
+    assert(p.contains("Expand"), "grouping-set expansion missing")
+    assert(p.contains("partial_sum"), "map-side combine missing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "grouping sets must aggregate in ONE shuffle, not one per set")
+  }
+
+  test("vector centroid: partial aggregation of the exploded frame") {
+    val p = plan("q_vec_centroid")
+    assert(p.contains("partial_sum"),
+      "map-side combine missing — the 64x exploded frame would shuffle raw")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
   test("embedding pairs headline: IVF-cell equi-join, no quadratic scan") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

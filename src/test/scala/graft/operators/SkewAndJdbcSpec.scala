@@ -40,6 +40,38 @@ class SkewAndJdbcSpec extends SparkSpec {
     assert(plain.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
   }
 
+  test("salted join equals plain join, including under a forced shuffle join") {
+    val li = spark.read.parquet(s"${testDataDir("0.01")}/lineitem.parquet")
+      .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val ord = spark.read.parquet(s"${testDataDir("0.01")}/orders.parquet")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val plain = li.join(ord, "okey")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect()
+    // the operator exists for build sides too big to broadcast — verify on
+    // the sort-merge/shuffle-hash path it actually targets, then again on
+    // the default (possibly broadcast) path
+    withNoBroadcast {
+      val salted = Skew.saltedJoin(li, ord, Seq("okey"), numSalts = 8,
+        saltCols = Seq("okey", "l_linenumber"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority").collect()
+      assert(plain.map(_.toSeq).toSeq == salted.map(_.toSeq).toSeq)
+    }
+    val saltedDefault = Skew.saltedJoin(li, ord, Seq("okey"), numSalts = 3)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect()
+    assert(plain.map(_.toSeq).toSeq == saltedDefault.map(_.toSeq).toSeq)
+  }
+
+  private def withNoBroadcast[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("hot-key split partitions rows exactly") {
     val orders = spark.read.parquet(s"${testDataDir("0.01")}/orders.parquet")
     val (hot, tail) = Skew.splitHotKeys(orders, "o_orderstatus", Seq("O"))
