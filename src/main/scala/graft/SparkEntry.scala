@@ -727,6 +727,46 @@ object SparkEntry {
               |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // INTERSECT (set semantics, the except sibling): one aggregate-style
+    // shuffle after Catalyst rewrites it to a distinct semi join.
+    "q_set_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    }),
+
+    // Scalar subqueries through the SQL front door: two CORRELATED scalars
+    // (Catalyst rewrites both into ONE left outer aggregate join — merged
+    // because they share the correlation key) plus an UNCORRELATED scalar
+    // in the WHERE clause (computed once, broadcast as a literal filter).
+    "q_sql_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_custkey, c_name,
+              |  (SELECT COUNT(*) FROM orders_v o
+              |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+              |  (SELECT MAX(o_totalprice) FROM orders_v o
+              |   WHERE o.o_custkey = c.c_custkey) AS max_price
+              |FROM customer_v c
+              |WHERE c_custkey <= (SELECT MAX(o_custkey) FROM orders_v)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Rank-normalized features per group: percent_rank/cume_dist are exact
+    // small-integer ratios ((rank-1)/(n-1), n_le/n) — identical doubles in
+    // every engine, unlike sums. One key-window shuffle for both.
+    "q_window_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Multi-level rollup aggregation (OLAP surface): grouping_id
     // disambiguates rolled-up NULLs from data NULLs and pins the sort.
     "q_agg_rollup" -> ((s, dir) =>
@@ -1698,6 +1738,29 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_sql_scalar_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT MAX(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE c_custkey <= (SELECT MAX(o_custkey) FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
