@@ -176,6 +176,13 @@ object SparkEntry {
             .otherwise(lit(0.0)).as("mean_token_len"))
         .orderBy(col("doc_id"))),
 
+    // Self-trained unigram LM score (the CCNet-perplexity proxy): mean
+    // rounded token log-prob, decimal-summed — corpus shuffles on
+    // doc/term keys only, vocab table broadcast.
+    "q_text_unigram_lp" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.withLangId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"))
@@ -343,6 +350,15 @@ object SparkEntry {
     "q_sim_topk_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshCosineTopK(emb.filter(col("vec_id") < 16), emb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hard-negative mining: nearest neighbors with a DIFFERENT label —
+    // contrastive-training data. Same broadcast-bounded-queries shape as
+    // q_sim_topk; label mismatch filtered before any dot product runs.
+    "q_mine_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") < 16), emb, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1341,6 +1357,42 @@ object SparkEntry {
         |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
         |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.2
         |ORDER BY idA, idB""".stripMargin,
+
+    "q_mine_hard_negatives" ->
+      """SELECT query_id, query_label, rank, neighbor_id, neighbor_label, cosine FROM (
+        |  SELECT q.vec_id AS query_id, q.label AS query_label,
+        |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |    ROUND(list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id AND q.label <> c.label
+        |  WHERE q.vec_id < 16) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_unigram_lp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+        |  WHERE t.term <> ''),
+        |tc AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT SUM(c) AS n_total FROM tc),
+        |probs AS (
+        |  SELECT term,
+        |    CAST(ROUND(LN(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM tc, tot),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok, SUM(lp) AS slp
+        |  FROM toks JOIN probs USING (term) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(pd.n_tok, 0) AS n_tok,
+        |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_tok AS DOUBLE) AS avg_lp
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_sim_topk" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (

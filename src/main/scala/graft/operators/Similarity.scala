@@ -150,4 +150,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Hard-negative mining for embedding-model training: each query's top-k
+    * most-similar corpus vectors with a DIFFERENT label — the
+    * near-but-wrong examples contrastive training wants. [[cosineTopK]]'s
+    * exact shape (broadcast bounded query set vs streamed corpus, map-side
+    * WindowGroupLimit heaps) plus the label-mismatch predicate applied
+    * BEFORE scoring, so same-label rows never pay the dot product.
+    * Output: (query_id, query_label, rank, neighbor_id, neighbor_label,
+    * cosine·6dp). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"),
+      col(vecCol).cast("array<float>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"),
+      col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 }

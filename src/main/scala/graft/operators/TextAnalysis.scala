@@ -304,4 +304,43 @@ object TextAnalysis {
     withRep.select(col(idCol), reasons.as("reasons"))
       .withColumn("keep", col("reasons") === "")
   }
+
+  /** Unigram language-model score per document — the self-trained proxy
+    * for CCNet-style perplexity filtering: train token probabilities on
+    * the corpus itself (p(t) = count(t) / N), score each document by its
+    * mean token log-probability. Documents of rare/garbled tokens score
+    * far below the corpus mode; boilerplate scores above it — both tails
+    * are the filter targets.
+    *
+    * Scale shape: the corpus shuffles only on (doc, term)-derived keys;
+    * the probability table is VOCABULARY-sized and joins back broadcast
+    * (the same stop-term-skew-proof layout as [[TfIdf]]). Totals come
+    * from the vocab table, never a second corpus pass.
+    *
+    * Determinism: each ln(p) is ROUNDED to 6dp then summed as exact
+    * decimal — the per-token rounding pins sub-ulp libm differences (the
+    * TfIdf contract) and the decimal sum is order-independent, so the
+    * mean is engine-reproducible. Output: (idCol, n_tok, avg_lp); empty
+    * documents get n_tok = 0 and NULL avg_lp. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val termCounts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    // N = total corpus tokens, derived from the vocab-sized table — one
+    // row, crossed in broadcast (no driver action, no extra corpus scan)
+    val total = termCounts.agg(sum(col("c")).as("n_total"))
+    val probs = termCounts.crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("c").cast("double") / col("n_total").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    val perDoc = toks.join(broadcast(probs), "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("__slp"))
+      .select(col(idCol), col("n_tok"),
+        (col("__slp").cast("double") / col("n_tok").cast("double")).as("avg_lp"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        col("avg_lp"))
+  }
 }

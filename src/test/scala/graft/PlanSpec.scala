@@ -179,8 +179,11 @@ class PlanSpec extends SparkSpec {
 
   test("global audit: no cartesian products or unexpected nested-loop joins anywhere") {
     // BNLJ is legitimate ONLY where a bounded side is broadcast on purpose:
-    // the exact-topk broadcast crossJoin and the bounded exact near-dup oracle
-    val bnljAllowed = Set("q_sim_topk", "q_dedup_embedding_exact")
+    // the exact-topk broadcast crossJoins, the bounded exact near-dup
+    // oracle, and the unigram LM's ONE-ROW corpus-total crossed into the
+    // vocab table (the shuffle-free alternative to a global window)
+    val bnljAllowed = Set("q_sim_topk", "q_dedup_embedding_exact",
+      "q_mine_hard_negatives", "q_text_unigram_lp")
     // streaming queries execute eagerly in the query lambda; the iterative CC
     // and capstone materialize mid-plan — audited by their own specs instead
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_sessions",

@@ -161,6 +161,60 @@ class OperatorsSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("hard negatives: labels always differ, ranks contiguous, subset of cross-label brute force") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = Similarity.hardNegatives(queries, emb, k = 5).collect()
+    assert(got.nonEmpty)
+    // every mined negative crosses labels
+    assert(got.forall(r => r.getInt(1) != r.getInt(4)),
+      "a hard negative shares its query's label")
+    // per query: ranks are 1..n contiguous and cosines non-increasing
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to sorted.length).toSeq)
+      val cos = sorted.map(_.getDouble(5))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // brute-force check: the top hard negative really is the max-cosine
+    // cross-label neighbor (recomputed in JVM double math)
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray)).toSeq
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((qid, qlabel, qv) <- vecs.filter(_._1 < 8)) {
+      val best = vecs.filter(v => v._1 != qid && v._2 != qlabel)
+        .map(v => (cosine(qv, v._3), v._1)).maxBy(t => (t._1, -t._2))
+      val top = got.filter(r => r.getLong(0) == qid && r.getInt(2) == 1).head
+      assert(top.getLong(3) == best._2,
+        s"query $qid: top negative ${top.getLong(3)} != brute-force ${best._2}")
+    }
+  }
+
+  test("unigram log-prob: matches hand computation, empty doc gets null score") {
+    import spark.implicits._
+    // corpus: 6 tokens total — p(a)=3/6, p(b)=2/6, p(c)=1/6
+    val df = Seq((1L, "a a b"), (2L, "b c a"), (3L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def lp(p: Double): BigDecimal =
+      BigDecimal(math.log(p)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d1 = (lp(0.5) * 2 + lp(2.0 / 6)).toDouble / 3
+    val d2 = (lp(2.0 / 6) + lp(1.0 / 6) + lp(0.5)).toDouble / 3
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0).getLong(1) == 3 && math.abs(got(0).getDouble(2) - d1) < 1e-12)
+    assert(got(1).getLong(1) == 3 && math.abs(got(1).getDouble(2) - d2) < 1e-12)
+    assert(got(2).getLong(1) == 0 && got(2).isNullAt(2))
+    // rarer tokens score lower on the fixture corpus
+    val fx = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+    assert(fx.filter(col("avg_lp").isNotNull).count() > 0)
+  }
+
   test("IVF top-k recall beats hyperplane LSH at nprobe=4/16") {
     val queries = emb.filter(col("vec_id") < 16)
     val exact = Similarity.cosineTopK(queries, emb, k = 10).collect()
