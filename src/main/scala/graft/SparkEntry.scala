@@ -1571,15 +1571,22 @@ object SparkEntry {
         |      GROUP BY 1, 2),
         |rep AS (SELECT d.doc_id, COALESCE(2.0 * m.maxc / m.n_tok, 0.0) AS rep
         |        FROM documents d LEFT JOIN m USING (doc_id)),
-        |st AS (SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-        |      / len(regexp_split_to_array(trim(text), '\s+')) AS mtl,
-        |    CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE)
-        |      / len(regexp_split_to_array(trim(text), '\s+')) AS ttr,
-        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by|from|that|this)\b')) AS DOUBLE)
-        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stopr
+        |st0 AS (SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens
         |  FROM documents),
+        |st AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / n_tokens
+        |    END AS mtl,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE) / n_tokens
+        |    END AS ttr,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by|from|that|this)\b')) AS DOUBLE) / n_tokens
+        |    END AS stopr
+        |  FROM st0),
         |r AS (SELECT st.doc_id,
         |    concat_ws(',',
         |      CASE WHEN ttr < 0.35 THEN 'low_diversity' END,

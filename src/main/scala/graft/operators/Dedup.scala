@@ -49,13 +49,15 @@ object Dedup {
                 minCount: Int = 2): DataFrame = {
     val ch = TextAnalysis.chunkDocuments(df, idCol, textCol, chunkChars, overlap)
       // the guard lives INSIDE the used expression so it cannot be pruned:
-      // a >=2^20-chunk document (~0.5 GB) or negative id would corrupt the
-      // composite key silently — fail instead
+      // a >=2^20-chunk document (~0.5 GB), a negative id, or an id >= 2^43
+      // (whose *2^20 shift overflows Long) would corrupt the composite key
+      // silently — fail instead
       .withColumn("__k",
-        when(col("chunk_id") < 1048576L && col(idCol) >= 0,
+        when(col("chunk_id") < 1048576L && col(idCol) >= 0 &&
+            col(idCol) < (1L << 43),
           col(idCol) * 1048576L + col("chunk_id"))
           .otherwise(raise_error(concat(
-            lit(s"chunkDups: chunk ordinal >= 2^20 or negative $idCol for "),
+            lit(s"chunkDups: chunk ordinal >= 2^20, or $idCol outside [0, 2^43) for "),
             col(idCol).cast("string")))))
     ch.groupBy(col("chunk"))
       .agg(min(col("__k")).as("__k"), count(lit(1)).as("n_copies"))
@@ -493,6 +495,13 @@ object Dedup {
       }
     val p = materialized(pairs.select(col("idA"), col("idB")))
     def dropPairCkpt(): Unit = if (reliableCkpt) ckptFile(p).foreach(deleteCkpt)
+    // Failure-path cleanup (the persist-era `finally unpersist` equivalent):
+    // if anything below throws — a mid-loop job failure, the convergence
+    // require — the pair checkpoint and the newest round's label checkpoint
+    // are dead weight nobody will ever read; reliable files are not
+    // reference-tracked, so delete them before rethrowing.
+    var curLabels: DataFrame = null
+    try {
     val nPairs = p.count()
     // No edges ⇒ every node is its own singleton component — skip the
     // loop (an empty label frame would also null the convergence sum).
@@ -571,6 +580,7 @@ object Dedup {
     var labels = truncated(
       p.select(col("idA").as("id")).union(p.select(col("idB").as("id")))
         .distinct().withColumn("component", col("id")))
+    curLabels = labels
     // Null-safe: sum over an empty frame is null (cannot happen after the
     // nPairs guard, but the comparison must not depend on that invariant).
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
@@ -608,6 +618,7 @@ object Dedup {
         .groupBy("id").agg(min("component").as("component")))
       val s = labelSum(next)
       labels = next
+      curLabels = next
       // `next` is materialized (checkpoint is eager) — the previous
       // round's reliable checkpoint files are now dead weight
       superseded.foreach(deleteCkpt)
@@ -624,6 +635,13 @@ object Dedup {
     labels.union(
       allNodes.join(labels.select(col("id")), Seq("id"), "left_anti")
         .withColumn("component", col("id")))
+    } catch {
+      case t: Throwable =>
+        dropPairCkpt()
+        if (reliableCkpt)
+          Option(curLabels).flatMap(ckptFile).foreach(deleteCkpt)
+        throw t
+    }
   }
 
   /** Near-dup corpus dedup end-to-end: keep ONE survivor (the min-id

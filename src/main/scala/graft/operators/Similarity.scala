@@ -36,6 +36,26 @@ object Similarity {
   /** Cosine similarity between two array<float> columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Shared exact-scoring core: broadcast the (bounded) projected query
+    * frame against the streamed corpus frame, score surviving pairs, rank
+    * per query, keep top-k. `q`/`c` must already carry qv/qn resp. cv/cn;
+    * `pairFilter` is the extra pair predicate (lit(true) for plain top-k).
+    * Zero-norm vectors have no defined cosine (Spark Divide yields null on
+    * a 0 divisor, and null rows would still receive ranks) — excluded. */
+  private def exactTopK(q: DataFrame, c: DataFrame, k: Int,
+                        pairFilter: Column, outCols: Seq[Column]): DataFrame = {
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(pairFilter)
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(outCols: _*)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, cosine) — cosine rounded to 6dp
     * so double-summation-order differences vs other engines can't flip a
@@ -48,18 +68,9 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<float>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-    // zero-norm vectors have no defined cosine (Spark Divide yields null
-    // on a 0 divisor, and null rows would still receive ranks) — exclude
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .filter(col("qn") > 0 && col("cn") > 0)
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+    exactTopK(q, c, k, lit(true),
+      Seq(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine")))
   }
 
   // ------------------------------------------------- hyperplane LSH buckets
@@ -170,17 +181,9 @@ object Similarity {
       col(labelCol).as("neighbor_label"),
       col(vecCol).cast("array<float>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .filter(col("query_label") =!= col("neighbor_label"))
-      .filter(col("qn") > 0 && col("cn") > 0)
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("query_label"), col("rank"),
+    exactTopK(q, c, k, col("query_label") =!= col("neighbor_label"),
+      Seq(col("query_id"), col("query_label"), col("rank"),
         col("neighbor_id"), col("neighbor_label"),
-        round(col("cosine"), 6).as("cosine"))
+        round(col("cosine"), 6).as("cosine")))
   }
 }
