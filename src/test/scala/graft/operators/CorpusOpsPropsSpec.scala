@@ -107,4 +107,61 @@ class CorpusOpsPropsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("salted join ≡ plain join on random frames (dupes, nulls, missing keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 25) {
+      val nSalts = 1 + rnd.nextInt(9)
+      // probe: duplicate keys, null keys, keys with no build match
+      val probe = (0 until 30 + rnd.nextInt(60)).map { i =>
+        (if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(12).toLong),
+          i.toLong)
+      }.toDF("k", "pid")
+      // build: some keys absent, some duplicated (join multiplies rows)
+      val build = (0 until 10 + rnd.nextInt(15)).map { _ =>
+        (rnd.nextInt(15).toLong, rnd.nextInt(100))
+      }.toDF("k", "bval")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+      val plain = canon(probe.join(build, Seq("k")))
+      val salted = canon(Skew.saltedJoin(probe, build, Seq("k"), nSalts))
+      assert(plain == salted, s"trial $trial numSalts=$nSalts")
+    }
+  }
+
+  test("unigram log-prob ≡ in-JVM reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (trial <- 1 to 15) {
+      val docs = (0L until (3 + rnd.nextInt(8)).toLong).map { id =>
+        (id, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val got = TextAnalysis.unigramLogProb(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap
+      // reference: corpus counts -> rounded log-probs -> exact decimal mean
+      val toks = docs.flatMap { case (id, t) =>
+        t.split("\\s+").filter(_.nonEmpty).map(id -> _)
+      }
+      val counts = toks.groupBy(_._2).view.mapValues(_.size).toMap
+      val n = toks.size.toDouble
+      def lp(term: String): BigDecimal =
+        BigDecimal(math.log(counts(term) / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      docs.foreach { case (id, _) =>
+        val mine = toks.filter(_._1 == id).map(t => lp(t._2))
+        val (gn, glp) = got(id)
+        assert(gn == mine.size, s"trial $trial doc $id token count")
+        if (mine.isEmpty) assert(glp.isEmpty, s"trial $trial doc $id null score")
+        else assert(math.abs(glp.get - mine.sum.toDouble / mine.size) < 1e-12,
+          s"trial $trial doc $id score")
+      }
+    }
+  }
 }
