@@ -879,6 +879,23 @@ object SparkEntry {
         t(s, dir, "embeddings"), "label", "embedding")
         .orderBy(col("label"), col("pos"))),
 
+    // Two-phase salted aggregation: decomposable aggregates partial-agg on
+    // (keys, salt) then combine — identical to the plain groupBy, so the
+    // oracle IS the plain groupBy (3 heavily-skewed return-flag keys).
+    "q_agg_salted" -> ((s, dir) =>
+      operators.Skew.saltedAggregate(
+        t(s, dir, "lineitem")
+          .withColumn("lq", col("l_quantity").cast("decimal(18,2)")),
+        Seq("l_returnflag"),
+        Seq(operators.Skew.AggSpec("sum", "lq", "sum_qty"),
+          operators.Skew.AggSpec("count", "l_orderkey", "n_rows"),
+          operators.Skew.AggSpec("min", "l_orderkey", "lo_key"),
+          operators.Skew.AggSpec("max", "l_orderkey", "hi_key")),
+        numSalts = 16, saltCols = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
+          col("n_rows"), col("lo_key"), col("hi_key"))
+        .orderBy(col("l_returnflag"))),
+
     // Salted join: probe-side skew spread across 8 salt replicas of the
     // build side; result provably identical to the plain join, so the
     // oracle IS the plain join.
@@ -1889,6 +1906,13 @@ object SparkEntry {
         |FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS pos) p
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(l_orderkey) AS n_rows,
+        |  MIN(l_orderkey) AS lo_key, MAX(l_orderkey) AS hi_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // Salting refines partitioning, never the match predicate — the oracle
     // is the PLAIN join the salted plan must reproduce exactly.
