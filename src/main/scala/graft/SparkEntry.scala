@@ -528,6 +528,31 @@ object SparkEntry {
       s.table(name).select(col("key5")).orderBy(col("key5"))
     }),
 
+    // Built-in bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    // with a span-sized delay (bounded replay ⇒ nothing evicts early, every
+    // duplicate suppressed) — result ≡ batch DISTINCT, which is the oracle.
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      val ev = s.read.parquet(path)
+      val spanUs = ev.agg(
+        (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("s")).head
+      val delay =
+        if (spanUs.isNullAt(0)) "1 microsecond"
+        else s"${spanUs.getLong(0) + 1} microseconds"
+      val stream = s.readStream.schema(ev.schema).parquet(path + "*")
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("tsm"))
+      val name = s"stream_dedup_wm_${streamCounter.incrementAndGet()}"
+      StreamingIngest.withStatePartitions(s, 8) {
+        val q = StreamingIngest.dedupWithinWatermark(
+            stream, Seq("user_id", "event_type"), "tsm", delay)
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.table(name).select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Streaming sessionization (session_window + watermark): the streaming
     // twin of q_sessionize, oracled against the same lag/cumsum derivation
     // (session windows merge when they touch, so the split rule is the
@@ -1265,6 +1290,10 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
         |FROM documents ORDER BY key5""".stripMargin,
+
+    "q_stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // range(stop exclusive) generates exactly the starts < max(len-50, 1)
     "q_text_chunks" ->

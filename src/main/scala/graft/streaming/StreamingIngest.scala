@@ -107,6 +107,22 @@ object StreamingIngest {
           else { state.update(true); rows.take(1) })
   }
 
+  /** Streaming dedup via the BUILT-IN `dropDuplicatesWithinWatermark` —
+    * the bounded-state counterpart of [[streamingDedup]]: per-key state is
+    * evicted once the event-time watermark passes it, so state is bounded
+    * by (key arrival rate × delay) instead of growing with the key space.
+    * The contract weakens accordingly: duplicates are only guaranteed
+    * suppressed when they arrive within `delay` of each other — the right
+    * trade for unbounded streams where exact forever-dedup state cannot
+    * fit (production pairs it with a periodic batch [[graft.operators.Dedup]]
+    * sweep). A bounded replay with `delay` ≥ the data span suppresses
+    * every duplicate and equals batch DISTINCT — that equivalence is what
+    * the harness oracles. */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                           delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming sessionization: the `session_window` twin of the batch
     * [[graft.operators.Sessionize]] — and semantically IDENTICAL to it:
     * Spark merges session windows that overlap or TOUCH (inclusive end),

@@ -628,6 +628,41 @@ class OperatorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark dedup suppresses within-delay duplicates, evicts state after") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val inDir = java.nio.file.Files.createTempDirectory("graft-wmdedup-in").toString
+    // event times in seconds; watermark delay 10s
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b1.csv"),
+      "k,sec\nA,0\nB,1\nA,2\n".getBytes)
+    val schema = StructType(Seq(StructField("k", StringType), StructField("sec", LongType)))
+    val stream = spark.readStream.option("header", "true").schema(schema).csv(inDir)
+      .select(col("k"), timestamp_seconds(col("sec")).as("tsm"))
+    val q = graft.streaming.StreamingIngest
+      .dedupWithinWatermark(stream, Seq("k"), "tsm", "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_wmdedup").start()
+    try {
+      q.processAllAvailable()
+      // in-batch duplicate of A suppressed
+      assert(spark.table("t_wmdedup").select("k").collect()
+        .map(_.getString(0)).sorted.toSeq == Seq("A", "B"))
+      // batch 2: A at t=5 is within the delay of the kept A -> suppressed;
+      // the max event time advances the watermark far past A's state
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b2.csv"),
+        "k,sec\nA,5\nC,100\n".getBytes)
+      q.processAllAvailable()
+      assert(spark.table("t_wmdedup").select("k").collect()
+        .map(_.getString(0)).sorted.toSeq == Seq("A", "B", "C"))
+      // batch 3: A's state was evicted (watermark 100-10 > A's expiry) — a
+      // NEW A re-emits: the documented bounded-state trade vs streamingDedup
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b3.csv"),
+        "k,sec\nA,101\n".getBytes)
+      q.processAllAvailable()
+      assert(spark.table("t_wmdedup").filter(col("k") === "A").count() == 2)
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inDir))
+  }
+
   test("streaming hourly agg equals batch aggregation") {
     val streamed = graft.streaming.StreamingIngest
       .runWindowedEventAgg(spark, s"${testDataDir()}/events.parquet", "t_stream_eq")
