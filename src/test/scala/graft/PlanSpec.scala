@@ -63,6 +63,28 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
   }
 
+  test("full outer: both sides aggregated BEFORE the join (dates-sized outer)") {
+    val p = plan("q_join_full_outer")
+    assert(p.contains("FullOuter"), "full outer join missing")
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      "aggregate-then-join regressed to join-then-aggregate")
+  }
+
+  test("lead/lag and percent_rank: one key-window shuffle each") {
+    for (q <- Seq("q_window_leadlag", "q_window_percent_rank")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q: a per-user window needs exactly one hash exchange")
+    }
+  }
+
+  test("salted aggregation: two-phase — salt partial then key combine") {
+    val p = plan("q_agg_salted")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "expected exactly (keys,salt) then (keys) exchanges")
+    assert(p.contains("partial_sum"), "map-side combine missing")
+  }
+
   test("embedding pairs headline: IVF-cell equi-join, no quadratic scan") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
