@@ -528,6 +528,22 @@ object SparkEntry {
       s.table(name).select(col("key5")).orderBy(col("key5"))
     }),
 
+    // Source-format surface: the same table round-tripped through orc,
+    // json, and csv (schema re-applied on read — never inferred) must be
+    // byte-identical to the parquet original; the oracle is the original
+    // replicated per format.
+    "q_source_formats" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_formats_rt"
+      val perFormat = Seq("orc", "json", "csv").map { f =>
+        sources.Formats.roundTrip(nation, f, s"$base/$f")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+            lit(f).as("via"))
+      }
+      perFormat.reduce(_.unionByName(_))
+        .orderBy(col("via"), col("n_nationkey"))
+    }),
+
     // Built-in bounded-state streaming dedup: dropDuplicatesWithinWatermark
     // with a span-sized delay (bounded replay ⇒ nothing evicts early, every
     // duplicate suppressed) — result ≡ batch DISTINCT, which is the oracle.
@@ -1294,6 +1310,15 @@ object SparkEntry {
     "q_stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_source_formats" ->
+      """SELECT n_nationkey, n_name, n_regionkey, via FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey, 'orc' AS via FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'json' AS via FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey, 'csv' AS via FROM nation) u
+        |ORDER BY via, n_nationkey""".stripMargin,
 
     // range(stop exclusive) generates exactly the starts < max(len-50, 1)
     "q_text_chunks" ->

@@ -210,7 +210,8 @@ class PlanSpec extends SparkSpec {
     // and capstone materialize mid-plan — audited by their own specs instead
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_dedup_cc", "q_corpus_pipeline",
-      "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_vec_quantize")
+      "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_vec_quantize",
+      "q_source_formats")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: shuffled cartesian")
