@@ -528,6 +528,21 @@ object SparkEntry {
       s.table(name).select(col("key5")).orderBy(col("key5"))
     }),
 
+    // Partition pruning: write partitioned by the filter column, read with
+    // an equality predicate — the scan must touch ONE partition directory
+    // (PartitionFilters in the plan, guarded in PlanSpec), the layout that
+    // turns a 100 TB full scan into a directory listing.
+    "q_partition_pruning" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(base)
+      s.read.parquet(base)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Source-format surface: the same table round-tripped through orc,
     // json, and csv (schema re-applied on read — never inferred) must be
     // byte-identical to the parquet original; the oracle is the original
@@ -1310,6 +1325,12 @@ object SparkEntry {
     "q_stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_partition_pruning" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_source_formats" ->
       """SELECT n_nationkey, n_name, n_regionkey, via FROM (

@@ -78,6 +78,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partition pruning: the equality predicate prunes to ONE partition dir") {
+    val p = plan("q_partition_pruning")
+    // the predicate must appear on the PartitionFilters line of the scan —
+    // a post-scan data filter would read every partition directory
+    val pfLine = p.linesIterator.find(_.contains("PartitionFilters:"))
+    assert(pfLine.exists(_.contains("o_orderpriority")),
+      s"priority not in PartitionFilters — scan reads every partition: $pfLine")
+  }
+
   test("salted aggregation: two-phase — salt partial then key combine") {
     val p = plan("q_agg_salted")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
@@ -211,7 +220,7 @@ class PlanSpec extends SparkSpec {
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_dedup_cc", "q_corpus_pipeline",
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_vec_quantize",
-      "q_source_formats")
+      "q_source_formats", "q_partition_pruning")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: shuffled cartesian")
