@@ -528,6 +528,27 @@ object SparkEntry {
       s.table(name).select(col("key5")).orderBy(col("key5"))
     }),
 
+    // Bucketed co-located join: both sides bucketed+sorted on the join key
+    // — the join runs with NO exchange (the repeated big-big join layout;
+    // shuffle-free shape asserted in WarehouseOpsSpec). Result ≡ the plain
+    // join, which is the oracle.
+    "q_join_bucketed" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      sink.Warehouse.writeBucketed(
+        orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_q_orders_b", Seq("o_custkey"), numBuckets = 8)
+      sink.Warehouse.writeBucketed(
+        customer.select(col("c_custkey"), col("c_mktsegment")),
+        "graft_q_customer_b", Seq("c_custkey"), numBuckets = 8)
+      s.table("graft_q_orders_b")
+        .join(s.table("graft_q_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Partition pruning: write partitioned by the filter column, read with
     // an equality predicate — the scan must touch ONE partition directory
     // (PartitionFilters in the plan, guarded in PlanSpec), the layout that
@@ -1325,6 +1346,12 @@ object SparkEntry {
     "q_stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_partition_pruning" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

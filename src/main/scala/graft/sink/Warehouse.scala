@@ -105,12 +105,25 @@ object Warehouse {
     * `bucketCols` against tables bucketed the same way need NO shuffle (the
     * co-location strategy for repeated big-big joins at scale). */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    numBuckets: Int = 16, mode: String = "overwrite"): Unit =
+                    numBuckets: Int = 16, mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    if (mode == "overwrite") {
+      // overwrite semantics own the managed location: a previous JVM (whose
+      // in-memory catalog died with it) can leave the table directory
+      // behind, and saveAsTable then refuses the CREATE — drop the catalog
+      // entry AND clear the orphaned location
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** S3/S4 JDBC variant — the reference's warehouse is a remote SQL store
     * reached through a connector (`snowflake_connector.py:166-246`); in Spark

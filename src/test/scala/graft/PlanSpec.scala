@@ -220,7 +220,7 @@ class PlanSpec extends SparkSpec {
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_dedup_cc", "q_corpus_pipeline",
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_vec_quantize",
-      "q_source_formats", "q_partition_pruning")
+      "q_source_formats", "q_partition_pruning", "q_join_bucketed")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: shuffled cartesian")
