@@ -22,6 +22,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Suffix for scratch paths/tables written by demonstration queries:
+    * keyed by the dataset dir (cross-SF runs never interleave) and the
+    * process id (concurrent harness/test JVMs never clobber each other
+    * mid-read). Stable within one process so bench re-runs reuse a name. */
+  private def runTag(dir: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${h}_p${ProcessHandle.current().pid()}"
+  }
+
   private val asOf: Column = lit("1998-12-01").cast("date")
 
   /** Exact sum: decimal arithmetic, double surface. */
@@ -29,6 +38,47 @@ object SparkEntry {
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // ---- independent recompute paths for the *_verify property queries ----
+  // Each approximate query (q_dedup_minhash/_simhash/_embedding,
+  // q_sim_topk_ivf) has a sibling that re-derives every emitted pair's
+  // EXACT similarity through a different implementation (pure built-in
+  // expression HOFs, no graft UDF/expression) and emits only violations —
+  // candidates are approximate, the verification property is exact. The
+  // DuckDB oracle for such a query is the same-schema EMPTY relation, so a
+  // single below-threshold or mis-scored emitted pair turns the driver's
+  // row-count compare red.
+
+  /** Word n-gram jaccard from raw text with built-ins only (split/sequence/
+    * slice/array_join/array_distinct/array_intersect/array_union) —
+    * independent of [[Dedup.shingles]]'s UDF and of the hashed-set verify
+    * path, but the same semantics: lower/trim/whitespace tokens, docs
+    * shorter than n collapse to one whole-text shingle. */
+  private def builtinNgramJaccard(textA: Column, textB: Column, n: Int): Column = {
+    def grams(t: Column): Column = {
+      val toks = split(trim(lower(t)), "\\s+")
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    }
+    val (ga, gb) = (grams(textA), grams(textB))
+    size(array_intersect(ga, gb)).cast("double") /
+      size(array_union(ga, gb)).cast("double")
+  }
+
+  /** Cosine over float-array columns with built-in HOFs (zip_with +
+    * aggregate, left-to-right double accumulation — the same order as the
+    * native FloatVecDot expression, so results are bit-identical). */
+  private def builtinCosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column = sqrt(aggregate(
+      transform(x, p => p.cast("double") * p.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot(a, b) / (norm(a) * norm(b))
+  }
 
   // ------------------------------------------------------------ query bodies
 
@@ -274,6 +324,26 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("idA"), col("idB"))),
 
+    // Verification-property sibling: every emitted minhash pair, re-scored
+    // from RAW TEXT through the built-in-expression jaccard (no shingle
+    // UDF, no hashed sets), must score >= threshold and agree with the
+    // emitted value. Emits only violations; the oracle is the empty
+    // relation — candidates approximate, verification exact and gated.
+    "q_dedup_minhash_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.2)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+        .join(docs.select(col("doc_id").as("idA"), col("text").as("__ta")), "idA")
+        .join(docs.select(col("doc_id").as("idB"), col("text").as("__tb")), "idB")
+        .withColumn("jaccard_builtin", builtinNgramJaccard(col("__ta"), col("__tb"), 3))
+        .filter(col("jaccard_builtin") < 0.2 ||
+          round(col("jaccard_builtin"), 6) =!= col("jaccard"))
+        .select(col("idA"), col("idB"), col("jaccard"),
+          round(col("jaccard_builtin"), 6).as("jaccard_builtin"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
     // maxHamming=6: tight enough that the pair set stays near-linear in
     // corpus size (<=12 grows ~quadratically on vocabulary-limited text)
     "q_dedup_ngram" -> ((s, dir) =>
@@ -300,6 +370,28 @@ object SparkEntry {
         maxHamming = 6)
         .orderBy(col("idA"), col("idB"))),
 
+    // Verification-property sibling: each emitted pair's hamming distance,
+    // recomputed from per-document signatures derived DIRECTLY from raw
+    // text (bypassing the banding/bucket/cap/star candidate machinery the
+    // query exercises), must equal the emitted value and respect the
+    // maxHamming bound. The signature function itself is the shared
+    // deterministic constant (spec-tested); what this gates is the entire
+    // candidate pipeline. Violations only; oracle = empty relation.
+    "q_dedup_simhash_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.withSimhash(
+        docs.select(col("doc_id"), col("text")), "text")
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 6)
+        .join(sigs.select(col("doc_id").as("idA"), col("simhash").as("__sa")), "idA")
+        .join(sigs.select(col("doc_id").as("idB"), col("simhash").as("__sb")), "idB")
+        .withColumn("hamming_direct",
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int"))
+        .filter(col("hamming_direct") =!= col("hamming") ||
+          col("hamming") > 6 || col("idA") >= col("idB"))
+        .select(col("idA"), col("idB"), col("hamming"), col("hamming_direct"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
     // End-to-end corpus dedup: exact n-gram pairs → connected components →
     // min-id survivor per duplicate cluster (singletons survive alone).
     "q_dedup_cc" -> ((s, dir) => {
@@ -322,6 +414,26 @@ object SparkEntry {
       Dedup.ivfNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.2, k = 16, nprobe = 2)
         .orderBy(col("idA"), col("idB"))),
+
+    // Verification-property sibling: every emitted near-dup pair re-scored
+    // from the raw embeddings with built-in HOF cosine (no FloatVecDot
+    // expression, no IVF machinery) must score >= threshold and agree with
+    // the emitted 6dp value. Violations only; oracle = empty relation.
+    "q_dedup_embedding_verify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+      Dedup.ivfNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, k = 16, nprobe = 2)
+        .join(emb.select(col("vec_id").as("idA"), col("v").as("__va")), "idA")
+        .join(emb.select(col("vec_id").as("idB"), col("v").as("__vb")), "idB")
+        .withColumn("cosine_builtin", builtinCosine(col("__va"), col("__vb")))
+        .filter(col("cosine_builtin") < 0.2 ||
+          round(col("cosine_builtin"), 6) =!= col("cosine") ||
+          col("idA") >= col("idB"))
+        .select(col("idA"), col("idB"), col("cosine"),
+          round(col("cosine_builtin"), 6).as("cosine_builtin"))
+        .orderBy(col("idA"), col("idB"))
+    }),
 
     // Exact all-pairs variant on a bounded slice — quadratic on purpose and
     // only ever run on a broadcast-sized subset; carries the DuckDB oracle.
@@ -368,6 +480,45 @@ object SparkEntry {
       operators.IvfIndex.topK(emb.filter(col("vec_id") < 16), emb, model,
         k = 10, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Verification-property sibling for the approximate IVF top-k: (a) each
+    // emitted neighbor's cosine, re-scored from raw embeddings with the
+    // built-in HOF path, must equal the emitted 6dp value and must not be a
+    // self-match; (b) per query, cosine must be non-increasing in rank;
+    // (c) per query, ranks must be the contiguous sequence 1..n. What stays
+    // approximate (and sanctioned) is only WHICH neighbors the probes
+    // reach. Violations only; oracle = empty relation.
+    "q_sim_topk_ivf_verify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+      val model = operators.IvfIndex.train(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
+      val res = operators.IvfIndex.topK(
+        t(s, dir, "embeddings").filter(col("vec_id") < 16),
+        t(s, dir, "embeddings"), model, k = 10, nprobe = 4)
+        .localCheckpoint() // three checks read it; the IVF join runs once
+      val badScore = res
+        .join(emb.select(col("vec_id").as("query_id"), col("v").as("__q")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("__c")), "neighbor_id")
+        .filter(round(builtinCosine(col("__q"), col("__c")), 6) =!= col("cosine") ||
+          col("query_id") === col("neighbor_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          lit("cosine_mismatch_or_self").as("issue"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      val badOrder = res
+        .withColumn("__prev", lag(col("cosine"), 1).over(w))
+        .filter(col("__prev").isNotNull && col("cosine") > col("__prev"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          lit("rank_not_monotone").as("issue"))
+      val badSeq = res.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), min(col("rank")).as("__lo"),
+          max(col("rank")).as("__hi"))
+        .filter(!(col("__lo") === 1 && col("__hi") === col("__n")))
+        .select(col("query_id"), lit(null).cast("long").as("rank"),
+          lit("rank_gap").as("issue"))
+      badScore.unionByName(badOrder).unionByName(badSeq)
+        .orderBy(col("query_id"), col("rank"), col("issue"))
     }),
 
     // IVF with nprobe = k probes every inverted list, so the result provably
@@ -535,14 +686,15 @@ object SparkEntry {
     "q_join_bucketed" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
+      val tag = runTag(dir)
       sink.Warehouse.writeBucketed(
         orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-        "graft_q_orders_b", Seq("o_custkey"), numBuckets = 8)
+        s"graft_q_orders_b_$tag", Seq("o_custkey"), numBuckets = 8)
       sink.Warehouse.writeBucketed(
         customer.select(col("c_custkey"), col("c_mktsegment")),
-        "graft_q_customer_b", Seq("c_custkey"), numBuckets = 8)
-      s.table("graft_q_orders_b")
-        .join(s.table("graft_q_customer_b"),
+        s"graft_q_customer_b_$tag", Seq("c_custkey"), numBuckets = 8)
+      s.table(s"graft_q_orders_b_$tag")
+        .join(s.table(s"graft_q_customer_b_$tag"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
@@ -554,7 +706,8 @@ object SparkEntry {
     // (PartitionFilters in the plan, guarded in PlanSpec), the layout that
     // turns a 100 TB full scan into a directory listing.
     "q_partition_pruning" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${runTag(dir)}"
       t(s, dir, "orders").write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(base)
       s.read.parquet(base)
@@ -570,7 +723,8 @@ object SparkEntry {
     // replicated per format.
     "q_source_formats" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_formats_rt"
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_formats_rt_${runTag(dir)}"
       val perFormat = Seq("orc", "json", "csv").map { f =>
         sources.Formats.roundTrip(nation, f, s"$base/$f")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
@@ -950,10 +1104,13 @@ object SparkEntry {
     // arithmetic — order-independent addition makes the result reproducible
     // across engines/partitionings (double sums are not; float→decimal
     // casts round engine-specifically on dyadic ties), which is what lets
-    // a vector aggregate carry a DuckDB oracle at all.
+    // a vector aggregate carry a DuckDB oracle at all. The oracled surface
+    // is integer-only (qsum, n pin the centroid exactly); the derived
+    // double `mean` stays in the VectorStats API but out of the hash.
     "q_vec_centroid" -> ((s, dir) =>
       operators.VectorStats.centroidSums(
         t(s, dir, "embeddings"), "label", "embedding")
+        .drop("mean")
         .orderBy(col("label"), col("pos"))),
 
     // Two-phase salted aggregation: decomposable aggregates partial-agg on
@@ -1999,12 +2156,12 @@ object SparkEntry {
     // every engine, and long sums are order-independent — so the centroid
     // sum is engine-reproducible bit-for-bit; range(1,65) is the fixture's
     // fixed dim=64 (the Spark side is dimension-agnostic via posexplode).
+    // Integer-only surface: qsum + n determine the mean exactly, so the
+    // raw-double mean column is excluded from the hashed projection.
     "q_vec_centroid" ->
       """SELECT label, CAST(pos AS BIGINT) AS pos,
         |  SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) AS qsum,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
-        |    / 1000000 / COUNT(*) AS mean
+        |  COUNT(*) AS n
         |FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS pos) p
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
@@ -2119,11 +2276,39 @@ object SparkEntry {
         |WHERE ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
         |       + (doc_id % 65536) * 2654435761) % 4294967296 < thresh
         |ORDER BY doc_id""".stripMargin,
+    // PROPERTY ORACLES for the approximate queries: each *_verify sibling
+    // emits only violations of the exact verification property (every
+    // emitted pair/neighbor re-scored from raw data through an independent
+    // built-in-expression path must meet the threshold / emitted value),
+    // so its oracle is the same-schema EMPTY relation — one bad emitted
+    // row flips the driver's row-count compare. Candidate selection stays
+    // approximate by design; the verification is exact and driver-gated.
+    "q_dedup_minhash_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS idA, CAST(NULL AS BIGINT) AS idB,
+        |  CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS DOUBLE) AS jaccard_builtin
+        |WHERE FALSE""".stripMargin,
+
+    "q_dedup_simhash_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS idA, CAST(NULL AS BIGINT) AS idB,
+        |  CAST(NULL AS INTEGER) AS hamming, CAST(NULL AS INTEGER) AS hamming_direct
+        |WHERE FALSE""".stripMargin,
+
+    "q_dedup_embedding_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS idA, CAST(NULL AS BIGINT) AS idB,
+        |  CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS DOUBLE) AS cosine_builtin
+        |WHERE FALSE""".stripMargin,
+
+    "q_sim_topk_ivf_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rank,
+        |  CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
     // q_text_langid has its own oracle above. Still oracle-less by nature:
     // q_dedup_minhash / q_dedup_simhash (MurmurHash3 signatures — engine-
     // specific), q_dedup_embedding / q_sim_topk_ivf (approximate headline
     // variants whose exact siblings q_dedup_embedding_exact /
-    // q_sim_topk_ivf_full carry the hash-matched oracles),
+    // q_sim_topk_ivf_full carry the hash-matched oracles; each of the four
+    // is ALSO driver-gated through its *_verify property oracle above) and
     // q_approx_distinct (HLL++ sketch estimates — engine-internal; exact
     // sibling q_distinct_users is oracled and the error bound is
     // spec-asserted) → driver rows-only check + ScalaTest oracles.

@@ -35,6 +35,10 @@ object Skew {
                       numSalts: Int = 32,
                       saltCols: Seq[String] = Nil): DataFrame = {
     require(numSalts > 0)
+    require(!df.columns.contains("__salt"),
+      "saltedAggregate: input already has a __salt column — it would be " +
+        "silently overwritten (and hashed into itself via the default " +
+        "saltCols); rename it or salt explicitly")
     val partial: Seq[Column] = aggs.zipWithIndex.map { case (a, i) =>
       val c = col(a.column)
       (a.func match {
@@ -96,6 +100,12 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                  numSalts: Int = 8, saltCols: Seq[String] = Nil): DataFrame = {
     require(numSalts > 0)
+    // A pre-existing __salt would be overwritten on the probe (changing the
+    // salt input and dropping the caller's column) and would collide on the
+    // build — either breaks the documented probe.join(build, keys)
+    // equivalence, so refuse instead.
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "saltedJoin: input already has a __salt column — rename it first")
     val saltInput = if (saltCols.nonEmpty) saltCols else probe.columns.toSeq
     val p = probe.withColumn("__salt",
       pmod(hash(saltInput.map(col): _*), lit(numSalts)))

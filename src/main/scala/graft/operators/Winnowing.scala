@@ -37,23 +37,31 @@ import org.apache.spark.sql.functions._
   * a fingerprint in F docs contributes F² candidate pairs, so capping F
   * bounds the worst key's fan-out regardless of corpus size.
   *
-  * The hash is `fold(h·31 + codepoint) mod 2^32` over the gram's characters
-  * — plain BIGINT arithmetic (every intermediate < 2^37) replicated
-  * verbatim by the ANSI oracle; on ASCII/BMP text the JVM char fold and a
-  * code-point fold agree (supplementary-plane text would diverge — the
-  * corpus contract here, as for [[TextAnalysis]], is BMP).
+  * The hash is `fold(h·31 + codepoint) mod 2^32` over the gram's CODE
+  * POINTS — plain BIGINT arithmetic (every intermediate < 2^37 + 2^21)
+  * replicated verbatim by the ANSI oracle. Both sides fold by code point,
+  * so supplementary-plane (astral) text hashes identically in the JVM and
+  * in the SQL twin (WinnowingSpec asserts it on astral fixtures).
   */
 object Winnowing {
 
   private val Mod32 = 4294967296L
 
-  /** 32-bit polynomial string hash: Java's h·31+c fold, kept non-negative
-    * in a Long. Equals `String.hashCode` for hashes that fit 32 bits, but
-    * defined mod 2^32 so the SQL twin needs no signed-wrap emulation. */
+  /** 32-bit polynomial string hash: the h·31+c fold over Unicode CODE
+    * POINTS, kept non-negative in a Long and defined mod 2^32 so the SQL
+    * twin needs no signed-wrap emulation. Folding by code point (not UTF-16
+    * unit) is what the ANSI oracle computes (`unicode(c)` per character),
+    * so the two sides agree on supplementary-plane text too — identical to
+    * the old char fold on BMP input, where code point == code unit. Every
+    * intermediate stays < 2^37 + 2^21, comfortably BIGINT. */
   def polyHash32(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i)) % Mod32; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Mod32
+      i += Character.charCount(cp)
+    }
     h
   }
 

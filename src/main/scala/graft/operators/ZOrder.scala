@@ -51,32 +51,75 @@ object ZOrder {
     (spread(a) << 1) | spread(b)
   }
 
+  /** Equi-depth (rank/histogram) bucket boundaries for one column: the
+    * `buckets - 1` approximate percentiles, deduplicated (a heavy repeated
+    * value yields repeated boundaries; keeping one preserves a monotone
+    * bucket map). One Greenwald-Khanna sketch pass — driver state is the
+    * boundary array (≤ buckets doubles), the same bounded-driver budget as
+    * the IVF training sample. */
+  private[operators] def rankBounds(df: DataFrame, c: String,
+                                    buckets: Int): Array[Double] = {
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    df.stat.approxQuantile(c, qs, 1.0 / (4.0 * buckets)).distinct.sorted
+  }
+
+  /** Rank-quantize `c` against precomputed boundaries: the bucket is the
+    * number of boundaries ≤ value — a pure-expression fold over the
+    * broadcast boundary array (no UDF; O(buckets) interpreted adds per row,
+    * immaterial next to the write path it feeds). Null keys stay null, like
+    * the linear quantizer. */
+  private[operators] def rankQuant(c: Column, bounds: Array[Double]): Column =
+    when(c.isNull, lit(null).cast("long")).otherwise(
+      aggregate(typedLit(bounds.toSeq), lit(0L),
+        (acc, b) => acc + when(c.cast("double") >= b, 1L).otherwise(0L)))
+
   /** Cluster `df` on the Morton curve of (colA, colB) and write parquet:
     * range-partition into `numFiles` z-ranges (one shuffle with a sampled
     * range boundary pass — Spark's RangePartitioner), sort each partition
     * by z, write one file per partition. Files then cover compact squares
     * of the (A, B) key space — min/max stats prune on either column.
     *
-    * Keys are first QUANTIZED to 16 bits by linear min/max scaling (one
-    * cheap agg pass): [[zValue]] masks to the low 16 bits, which for a
-    * wider domain would interleave `key mod 65536` — adjacent curve
-    * positions for values 65536 apart, i.e. no locality at all. Monotone
-    * scaling preserves curve order; heavily skewed domains trade some
-    * square-ness (a rank/histogram quantizer is the refinement). */
+    * Keys are first QUANTIZED to 16 bits ([[zValue]] masks to the low 16
+    * bits, which for a wider domain would interleave `key mod 65536` —
+    * adjacent curve positions for values 65536 apart, i.e. no locality at
+    * all). Two quantizers:
+    *  - `"linear"` (default): min/max scaling, one cheap agg pass. Monotone,
+    *    but a skewed domain collapses most values into few buckets and the
+    *    curve degenerates to stripes in the other dimension;
+    *  - `"rank"`: equi-depth buckets from an approxQuantile sketch
+    *    (`rankBuckets` of them) — every bucket holds ~equal row mass, so
+    *    square locality survives arbitrarily skewed monotone domains
+    *    (ZOrderSpec asserts it on an exponentially-skewed fixture). */
   def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
-                  numFiles: Int = 32): Unit = {
-    val r = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
-    if (r.isNullAt(0) || r.isNullAt(2)) { // empty (or all-null keys)
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
-    def quant(c: Column, lo: Double, hi: Double): Column =
-      if (hi <= lo) lit(0L)
-      else floor((c.cast("double") - lo) * 65536.0 / (hi - lo + 1.0)).cast("long")
-    val z = zValue(quant(col(colA), r.getDouble(0), r.getDouble(1)),
-                   quant(col(colB), r.getDouble(2), r.getDouble(3)))
+                  numFiles: Int = 32, quantizer: String = "linear",
+                  rankBuckets: Int = 256): Unit = {
+    require(quantizer == "linear" || quantizer == "rank",
+      s"unknown quantizer '$quantizer' (use \"linear\" or \"rank\")")
+    require(rankBuckets > 1 && rankBuckets <= 65536,
+      "rankBuckets must be in (1, 65536]")
+    val z =
+      if (quantizer == "rank") {
+        val bA = rankBounds(df, colA, rankBuckets)
+        val bB = rankBounds(df, colB, rankBuckets)
+        if (bA.isEmpty && bB.isEmpty) { // empty frame (or all-null keys)
+          df.write.mode("overwrite").parquet(path)
+          return
+        }
+        zValue(rankQuant(col(colA), bA), rankQuant(col(colB), bB))
+      } else {
+        val r = df.agg(
+          min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+          min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
+        if (r.isNullAt(0) || r.isNullAt(2)) { // empty (or all-null keys)
+          df.write.mode("overwrite").parquet(path)
+          return
+        }
+        def quant(c: Column, lo: Double, hi: Double): Column =
+          if (hi <= lo) lit(0L)
+          else floor((c.cast("double") - lo) * 65536.0 / (hi - lo + 1.0)).cast("long")
+        zValue(quant(col(colA), r.getDouble(0), r.getDouble(1)),
+               quant(col(colB), r.getDouble(2), r.getDouble(3)))
+      }
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

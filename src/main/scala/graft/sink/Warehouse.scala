@@ -111,10 +111,22 @@ object Warehouse {
       // overwrite semantics own the managed location: a previous JVM (whose
       // in-memory catalog died with it) can leave the table directory
       // behind, and saveAsTable then refuses the CREATE — drop the catalog
-      // entry AND clear the orphaned location
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table)
+      // entry AND clear the orphaned location. The location is resolved
+      // through the session catalog (database location + metastore-lowercased
+      // table name), NOT warehouse-dir string concatenation, so db-qualified
+      // and mixed-case names under a non-default current database clean the
+      // right directory.
+      val parts = table.split('.')
+      require(parts.length <= 2 && parts.forall(_.nonEmpty),
+        s"writeBucketed: cannot parse table identifier '$table'")
+      val (dbOpt, tbl) =
+        if (parts.length == 2) (Some(parts(0)), parts(1)) else (None, parts(0))
+      val db = dbOpt.getOrElse(spark.catalog.currentDatabase)
+      val quoted = (dbOpt.toSeq :+ tbl).map(p => s"`$p`").mkString(".")
+      spark.sql(s"DROP TABLE IF EXISTS $quoted")
+      val dbLoc = new org.apache.hadoop.fs.Path(
+        new java.net.URI(spark.catalog.getDatabase(db).locationUri))
+      val loc = new org.apache.hadoop.fs.Path(dbLoc, tbl.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

@@ -215,11 +215,26 @@ class PlanSpec extends SparkSpec {
     // vocab table (the shuffle-free alternative to a global window)
     val bnljAllowed = Set("q_sim_topk", "q_dedup_embedding_exact",
       "q_mine_hard_negatives", "q_text_unigram_lp")
-    // streaming queries execute eagerly in the query lambda; the iterative CC
-    // and capstone materialize mid-plan — audited by their own specs instead
+    // Every skip is individually justified — building the DataFrame here
+    // would execute the query (or most of it), not just plan it:
+    //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
+    //    and return the already-materialized sink table;
+    //  - q_dedup_cc / q_corpus_pipeline: the iterative CC loop collects
+    //    counts and checkpoints mid-construction — audited by their own
+    //    specs (CorpusOpsSpec + the dedup plan guards above);
+    //  - q_sim_topk_ivf / q_sim_topk_ivf_full / q_sim_topk_ivf_verify /
+    //    q_dedup_embedding_verify: IvfIndex.train runs an eager k-means job
+    //    during construction; the probe/rerank plan shape is guarded by the
+    //    IVF specs;
+    //  - q_source_formats / q_partition_pruning / q_join_bucketed: the query
+    //    body WRITES scratch tables/dirs before reading them back — their
+    //    read-side plan shapes are guarded by dedicated specs.
+    // q_vec_quantize is NOT skipped: trainMinMax's one agg runs at build
+    // time, but the final plan is a pure projection worth auditing.
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_dedup_cc", "q_corpus_pipeline",
-      "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_vec_quantize",
+      "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
+      "q_dedup_embedding_verify",
       "q_source_formats", "q_partition_pruning", "q_join_bucketed")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
       val p = plan(name)
@@ -228,6 +243,28 @@ class PlanSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name: unexpected nested-loop join")
     }
+  }
+
+  test("corpus pipeline final stage: exactly the two needed partitionings") {
+    // FINDING (round-4 advice #6): the pipeline's stages CANNOT share a
+    // shuffle — quality filtering is narrow (one fused profile scan, no
+    // exchange at all), exact dedup partitions by key5, pair derivation by
+    // shingle hash, connected components by node id, budget selection by
+    // prefix-sum range bucket: no two adjacent stages use the same
+    // partitioning, so there is no ReuseExchange to claim. The one
+    // same-key adjacency (CC labels ↔ survivor join, both doc_id-keyed)
+    // is split by the eager checkpoint that keeps AQE alive inside the
+    // iterative loop (the measured-3x persist lesson) — re-joining their
+    // lineage to enable exchange reuse would cost more than the one
+    // narrow-row shuffle it saves. What IS guarded: the post-checkpoint
+    // final stage carries exactly the two partitionings the algorithm
+    // needs (hash on the token-budget bucket, range for the output order)
+    // and nothing redundant.
+    val df = SparkEntry.queries("q_corpus_pipeline")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 2, s"unexpected exchange count:\n$p")
+    assert(p.contains("Exchange hashpartitioning(__bucket"), p)
+    assert(p.contains("Exchange rangepartitioning(doc_id"), p)
   }
 
   test("join revenue: dims broadcast, fact tables shuffle-joined") {

@@ -189,6 +189,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0L, 1L)))
   }
 
+  test("connectedComponents: driver and iterative paths agree across the maxDriverEdges boundary") {
+    import spark.implicits._
+    // chains, a star, cross-links, random clutter, isolated singletons,
+    // and one edge to an id absent from `nodes` (must still be labeled)
+    val rnd = new scala.util.Random(17)
+    val pairs = (
+      (0L until 30L).map(i => (i, i + 1)) ++
+      (101L to 110L).map(i => (100L, i)) ++
+      Seq((31L, 200L), (200L, 201L), (10L, 105L), (5L, 1000L)) ++
+      Seq.fill(40)((300L + rnd.nextInt(50), 300L + rnd.nextInt(50)))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+    ).distinct
+    val pdf = pairs.toDF("idA", "idB")
+    val nodes = (0L until 400L).toDF("id")
+    val nEdges = pairs.size.toLong
+
+    // ground truth: plain local union-find with min-root labels
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = ((0L until 400L) ++ Seq(1000L)).map(i => i -> find(i)).toMap
+
+    // ONE edge either side of the adaptive threshold: nPairs <= maxDriverEdges
+    // picks the collected union-find, anything larger the distributed rounds
+    val viaDriver = Dedup.connectedComponents(nodes, pdf, "id",
+        maxDriverEdges = nEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaIterative = Dedup.connectedComponents(nodes, pdf, "id",
+        maxDriverEdges = nEdges - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == expected, "driver union-find path diverges from reference")
+    assert(viaIterative == expected, "iterative path diverges from reference")
+    assert(viaDriver == viaIterative)
+  }
+
   test("stream-stream interval join: inclusive 2h bound, no backwards match") {
     import spark.implicits._
     import graft.streaming.StreamingIngest

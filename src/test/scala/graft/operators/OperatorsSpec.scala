@@ -663,6 +663,89 @@ class OperatorsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inDir))
   }
 
+  test("watermark dedup state is bounded by the horizon, not the key space") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val inDir = java.nio.file.Files.createTempDirectory("graft-wmstate-in").toString
+    // batch 1: 50 distinct keys near t=0 — all land in the state store
+    val b1 = "k,sec\n" + (0 until 50).map(i => s"k$i,$i").mkString("\n") + "\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b1.csv"), b1.getBytes)
+    val schema = StructType(Seq(StructField("k", StringType), StructField("sec", LongType)))
+    val stream = spark.readStream.option("header", "true").schema(schema).csv(inDir)
+      .select(col("k"), timestamp_seconds(col("sec")).as("tsm"))
+    val q = graft.streaming.StreamingIngest
+      .dedupWithinWatermark(stream, Seq("k"), "tsm", "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_wmstate").start()
+    try {
+      q.processAllAvailable()
+      // processAllAvailable includes the post-watermark no-data batch, so
+      // batch-1 state is ALREADY trimmed to the in-horizon keys — those
+      // within `delay` of the max event time (expiry i+10 > watermark 39
+      // ⇒ i in 30..49 ⇒ 20 keys), not the 50 keys seen
+      val afterB1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(afterB1 > 0L && afterB1 <= 20L,
+        s"batch-1 state should hold only in-horizon keys (<=20), got $afterB1")
+      // batch 2 jumps event time far ahead: watermark passes every batch-1
+      // key's expiry (0..49 + 10s), so the contract is that their state is
+      // EVICTED — rows in the store track the watermark horizon (keys seen
+      // within `delay` of the max event time), not the corpus's key space
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b2.csv"),
+        ("k,sec\n" + (0 until 5).map(i => s"new$i,${10000 + i}").mkString("\n") + "\n").getBytes)
+      q.processAllAvailable()
+      // one more micro-batch so the advanced watermark is applied to state
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b3.csv"),
+        "k,sec\nlast,10010\n".getBytes)
+      q.processAllAvailable()
+      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(finalRows <= 6L,
+        s"state not evicted past the watermark: $finalRows rows for 56 keys seen")
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inDir))
+  }
+
+  test("session-window state holds open sessions only, finalized ones evicted") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sessstate-in").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("us", LongType)))
+    // batch 1: 100 users, one short session each near t=0
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0L until 100L).map(u => org.apache.spark.sql.Row(u, u * 1000L))),
+      schema).write.mode("overwrite").parquet(s"$inDir/b1.parquet")
+    val stream = spark.readStream.schema(schema).parquet(s"$inDir/*.parquet")
+      .select(col("user_id"), timestamp_micros(col("us")).as("tsm"))
+    val q = graft.streaming.StreamingIngest
+      .sessionizedEvents(stream, gapMicros = 1000000L, keyCol = "user_id",
+        tsCol = "tsm", watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_sessstate").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(afterB1 >= 100L, s"expected >=100 open sessions in state, got $afterB1")
+      // batch 2 far in the future: watermark passes every batch-1 session
+      // end + gap, finalizing and EVICTING them — the state store holds
+      // in-horizon (open) sessions, not the history of all sessions
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row(7777L, 3600L * 1000000L))),
+        schema).write.mode("overwrite").parquet(s"$inDir/b2.parquet")
+      q.processAllAvailable()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row(8888L, 3601L * 1000000L))),
+        schema).write.mode("overwrite").parquet(s"$inDir/b3.parquet")
+      q.processAllAvailable()
+      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(finalRows <= 2L,
+        s"finalized sessions not evicted: $finalRows state rows for 102 sessions")
+      // and the finalized sessions were emitted downstream
+      assert(spark.table("t_sessstate").count() >= 100L)
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inDir))
+  }
+
   test("streaming hourly agg equals batch aggregation") {
     val streamed = graft.streaming.StreamingIngest
       .runWindowedEventAgg(spark, s"${testDataDir()}/events.parquet", "t_stream_eq")

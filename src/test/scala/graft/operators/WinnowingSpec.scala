@@ -37,6 +37,39 @@ class WinnowingSpec extends AnyFunSuite {
     assert(big >= 0L && big < 4294967296L)
   }
 
+  test("polyHash32 folds by CODE POINT: astral text matches the SQL twin") {
+    // the ANSI oracle computes list_transform(split(g,''), c -> unicode(c))
+    // folded with (a*31 + c) % 2^32 — i.e. a code-point fold. Values below
+    // verified against DuckDB 1.x directly (split('') yields code points,
+    // unicode() the scalar value). A UTF-16 charAt fold would diverge on
+    // every supplementary-plane character (it sees two surrogates).
+    def cpFold(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 4294967296L)
+    val astral = Seq(
+      "café 😀 🚀rocket", // café 😀 🚀rocket
+      "𝄞 music 🧠",           // 𝄞 music 🧠
+      "plain ascii stays identical")
+    astral.foreach { s =>
+      assert(Winnowing.polyHash32(s) == cpFold(s), s)
+      assert(Winnowing.polyHash32(s) >= 0L && Winnowing.polyHash32(s) < 4294967296L)
+    }
+    // cross-checked constants from DuckDB (see scaladoc): these pin the
+    // cross-engine contract even without a duckdb process in this JVM
+    assert(Winnowing.polyHash32("café 😀 🚀rocket") == 3095074805L)
+    assert(Winnowing.polyHash32("𝄞 music 🧠") == 4261504419L)
+    // and the full winnow pipeline runs astral text without divergence
+    // between the UDF path and the JVM reference
+    import spark.implicits._
+    val df = Seq((1L, "😀 a b c d e f 🧠 g h 𝄞 i j"))
+      .toDF("doc_id", "text")
+    val viaDf = Winnowing.fingerprints(df, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    val direct = Winnowing.winnow(
+      "😀 a b c d e f 🧠 g h 𝄞 i j"
+        .split("\\s+"), 4, 4).toSet
+    assert(viaDf == direct)
+  }
+
   test("winnow matches brute-force reference on random token streams") {
     val vocab = Array("a", "b", "c", "d", "key", "agg", "row", "scan", "slow")
     val rnd = new scala.util.Random(7)

@@ -99,4 +99,49 @@ class ZOrderSpec extends AnyFunSuite {
       assert(perFile.map(_._2).sum.toDouble / perFile.length < 32.0 * 3000000)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("rank quantizer keeps square locality on an exponentially skewed domain") {
+    import spark.implicits._
+    // monotone exponential skew: a' = 4^a (exactly representable powers of
+    // two). Linear min/max scaling maps every a <= ~51 into bucket 0 (the
+    // top value dominates the range), so the curve degenerates to stripes
+    // in b; equi-depth rank buckets hold ~equal row mass per bucket and
+    // keep both dimensions bounded. Rank position is kept as a plain
+    // column for measurement.
+    val grid = for (a <- 0L until 60L; b <- 0L until 60L)
+      yield (a, math.pow(4.0, a.toDouble), b)
+    val df = grid.toDF("a_rank", "a_skew", "b")
+
+    def meanRanges(dir: String): (Double, Double) = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length > 1)
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max("a_rank") - min("a_rank"), max("b") - min("b")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      (perFile.map(_._1).sum.toDouble / perFile.length,
+       perFile.map(_._2).sum.toDouble / perFile.length)
+    }
+
+    val dirLin = java.nio.file.Files.createTempDirectory("graft-z-lin").toString
+    val dirRank = java.nio.file.Files.createTempDirectory("graft-z-rank").toString
+    try {
+      ZOrder.zorderWrite(df, "a_skew", "b", dirLin, numFiles = 16)
+      ZOrder.zorderWrite(df, "a_skew", "b", dirRank, numFiles = 16,
+        quantizer = "rank", rankBuckets = 64)
+      val (linRa, _) = meanRanges(dirLin)
+      val (rankRa, rankRb) = meanRanges(dirRank)
+      // the linear quantizer demonstrably loses the skewed dimension...
+      assert(linRa > 32.0,
+        s"expected linear quantizer to stripe the skewed dim, got meanRa=$linRa")
+      // ...while the rank quantizer bounds BOTH dims (a in rank space)
+      assert(rankRa < 32.0, s"skewed dim not clustered under rank: $rankRa")
+      assert(rankRb < 32.0, s"uniform dim not clustered under rank: $rankRb")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirLin))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirRank))
+    }
+  }
 }
