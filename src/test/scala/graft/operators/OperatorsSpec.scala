@@ -676,13 +676,25 @@ class OperatorsSpec extends SparkSpec {
       .dedupWithinWatermark(stream, Seq("k"), "tsm", "10 seconds")
       .writeStream.outputMode("append").format("memory")
       .queryName("t_wmstate").start()
+    // the post-watermark no-data batch applies eviction; it usually runs
+    // inside processAllAvailable but is not strictly synchronous with it —
+    // poll (bounded) until the store reflects it instead of racing
+    def stateRowsWithin(bound: Long): Long = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def rows: Long =
+        Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      var r = rows
+      while ((r < 0 || r > bound) && System.nanoTime() < deadline) {
+        Thread.sleep(200); r = rows
+      }
+      r
+    }
     try {
       q.processAllAvailable()
-      // processAllAvailable includes the post-watermark no-data batch, so
-      // batch-1 state is ALREADY trimmed to the in-horizon keys — those
-      // within `delay` of the max event time (expiry i+10 > watermark 39
-      // ⇒ i in 30..49 ⇒ 20 keys), not the 50 keys seen
-      val afterB1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // batch-1 state trims to the IN-HORIZON keys — those within `delay`
+      // of the max event time (expiry i+10 > watermark 39 ⇒ i in 30..49 ⇒
+      // 20 keys), not the 50 keys seen
+      val afterB1 = stateRowsWithin(20L)
       assert(afterB1 > 0L && afterB1 <= 20L,
         s"batch-1 state should hold only in-horizon keys (<=20), got $afterB1")
       // batch 2 jumps event time far ahead: watermark passes every batch-1
@@ -696,8 +708,8 @@ class OperatorsSpec extends SparkSpec {
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$inDir/b3.csv"),
         "k,sec\nlast,10010\n".getBytes)
       q.processAllAvailable()
-      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-      assert(finalRows <= 6L,
+      val finalRows = stateRowsWithin(6L)
+      assert(finalRows > 0L && finalRows <= 6L,
         s"state not evicted past the watermark: $finalRows rows for 56 keys seen")
     } finally q.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inDir))
@@ -737,8 +749,16 @@ class OperatorsSpec extends SparkSpec {
           Seq(org.apache.spark.sql.Row(8888L, 3601L * 1000000L))),
         schema).write.mode("overwrite").parquet(s"$inDir/b3.parquet")
       q.processAllAvailable()
-      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-      assert(finalRows <= 2L,
+      // bounded poll: the eviction-applying batch is not strictly
+      // synchronous with processAllAvailable (see the dedup-state test)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def rows: Long =
+        Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      var finalRows = rows
+      while ((finalRows < 0 || finalRows > 2L) && System.nanoTime() < deadline) {
+        Thread.sleep(200); finalRows = rows
+      }
+      assert(finalRows > 0L && finalRows <= 2L,
         s"finalized sessions not evicted: $finalRows state rows for 102 sessions")
       // and the finalized sessions were emitted downstream
       assert(spark.table("t_sessstate").count() >= 100L)
