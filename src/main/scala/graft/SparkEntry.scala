@@ -443,6 +443,52 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.2, exact = true)
         .orderBy(col("idA"), col("idB"))),
 
+    // SemDeDup-style semantic dedup headline: k-means cells bound the
+    // candidate pairs (nprobe=1 = strict SemDeDup, one cell per vector),
+    // exact cosine verifies, connected components pick min-id survivors.
+    // Cell assignment is engine-specific → rows-only here; the exact
+    // sibling below carries the hash-matched oracle and the *_verify
+    // sibling gates the output contract at the driver.
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.2, k = 16, nprobe = 1)
+        .orderBy(col("vec_id"))),
+
+    // Exact-candidate sibling on a bounded slice: all-pairs cosine → CC →
+    // survivors, ANSI-expressible end to end (recursive reachability
+    // closure in the oracle, like q_dedup_cc).
+    "q_dedup_semantic_exact" -> ((s, dir) =>
+      Dedup.semanticDedup(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", threshold = 0.2, exact = true)
+        .orderBy(col("vec_id"))),
+
+    // Verification-property sibling for the approximate headline: the
+    // output must be a well-formed min-label clustering — (a) survivor ⇔
+    // component == id, (b) each component's label IS the minimum member
+    // id, (c) every row's component exists as a survivor row. Violations
+    // only; oracle = empty relation. (Pair-level cosine ≥ threshold is
+    // gated by q_dedup_embedding_verify on the shared candidate machinery.)
+    "q_dedup_semantic_verify" -> ((s, dir) => {
+      val res = Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.2, k = 16, nprobe = 1)
+        .localCheckpoint() // three contract checks read it
+      val badFlag = res
+        .filter(col("survivor") =!= (col("component") === col("vec_id")))
+        .select(col("vec_id"), col("component"), lit("flag_mismatch").as("issue"))
+      val w = Window.partitionBy(col("component"))
+      val badMin = res
+        .withColumn("__m", min(col("vec_id")).over(w))
+        .filter(col("__m") =!= col("component"))
+        .select(col("vec_id"), col("component"), lit("label_not_min").as("issue"))
+      val badRef = res
+        .join(res.filter(col("survivor")).select(col("component").as("__c")).distinct(),
+          col("component") === col("__c"), "left_anti")
+        .select(col("vec_id"), col("component"), lit("no_survivor").as("issue"))
+      badFlag.unionByName(badMin).unionByName(badRef)
+        .orderBy(col("vec_id"), col("issue"))
+    }),
+
     // Z-order (Morton) clustering value — the layout operator behind
     // two-dimensional scan pruning; pure codegen'd shift-or-mask ladder
     // (no UDF), bit-identical in ANSI SQL. zorderWrite() uses this value
@@ -935,6 +981,22 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
           count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    // Verification-property sibling: every group's HLL++ estimate must sit
+    // within 5× the configured 1% relative error of the exact distinct
+    // count computed in the same query (a generous bound — the sketch's
+    // own guarantee is ~3σ at 3·rsd). Violations only; oracle = empty
+    // relation — the sketch value stays engine-internal, its accuracy
+    // contract is what the driver gates.
+    "q_approx_distinct_verify" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .filter(abs(col("approx_users") - col("exact_users")).cast("double") >
+          lit(0.05) * col("exact_users").cast("double"))
+        .select(col("event_type"), col("approx_users"), col("exact_users"))
         .orderBy(col("event_type"))),
 
     // Exact distinct per group: two-level aggregation (partial distinct on
@@ -2298,19 +2360,51 @@ object SparkEntry {
         |  CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS DOUBLE) AS cosine_builtin
         |WHERE FALSE""".stripMargin,
 
+    // Semantic dedup exact sibling: all-pairs double-precision cosine on
+    // the bounded slice (same list math as q_dedup_embedding_exact), then
+    // the recursive reachability closure with MIN label — identical
+    // fixpoint to the engine's pointer-jumping propagation.
+    "q_dedup_semantic_exact" ->
+      """WITH RECURSIVE sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |pairs AS (
+        |  SELECT a.vec_id AS idA, b.vec_id AS idB
+        |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.2),
+        |edges AS (SELECT idA AS src, idB AS dst FROM pairs UNION ALL SELECT idB AS src, idA AS dst FROM pairs),
+        |cc(id, label) AS (
+        |  SELECT vec_id, vec_id FROM sub
+        |  UNION
+        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
+        |)
+        |SELECT id AS vec_id, CAST(MIN(label) AS BIGINT) AS component, (MIN(label) = id) AS survivor
+        |FROM cc GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_semantic_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS component,
+        |  CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_approx_distinct_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS event_type,
+        |  CAST(NULL AS BIGINT) AS approx_users, CAST(NULL AS BIGINT) AS exact_users
+        |WHERE FALSE""".stripMargin,
+
     "q_sim_topk_ivf_verify" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rank,
         |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
-    // q_text_langid has its own oracle above. Still oracle-less by nature:
-    // q_dedup_minhash / q_dedup_simhash (MurmurHash3 signatures — engine-
-    // specific), q_dedup_embedding / q_sim_topk_ivf (approximate headline
-    // variants whose exact siblings q_dedup_embedding_exact /
-    // q_sim_topk_ivf_full carry the hash-matched oracles; each of the four
-    // is ALSO driver-gated through its *_verify property oracle above) and
-    // q_approx_distinct (HLL++ sketch estimates — engine-internal; exact
-    // sibling q_distinct_users is oracled and the error bound is
-    // spec-asserted) → driver rows-only check + ScalaTest oracles.
+    // q_text_langid has its own oracle above. Still oracle-less by nature
+    // (driver rows-only check): q_dedup_minhash / q_dedup_simhash
+    // (MurmurHash3 signatures — engine-specific), q_dedup_embedding /
+    // q_sim_topk_ivf / q_dedup_semantic (approximate headline variants
+    // whose exact siblings q_dedup_embedding_exact / q_sim_topk_ivf_full /
+    // q_dedup_semantic_exact carry the hash-matched oracles), and
+    // q_approx_distinct (HLL++ sketch — engine-internal; exact sibling
+    // q_distinct_users is oracled). EVERY one of them is nonetheless
+    // driver-gated through its *_verify property oracle above, so no
+    // query's correctness rests on the rows-only check alone.
   )
 }

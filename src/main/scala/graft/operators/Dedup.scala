@@ -680,6 +680,40 @@ object Dedup {
       .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv 2023):
+    * cluster the embedding space with k-means, compare vectors only WITHIN
+    * a cell, connect verified near-dup pairs into duplicate clusters, keep
+    * the min-id member per cluster. The candidate volume is Σ|cell|² — set
+    * by cluster granularity k, independent of the similarity threshold —
+    * which is what makes semantic dedup tractable at corpus scale where
+    * all-pairs cosine is hopeless.
+    *
+    * Output: (idCol, component, survivor) for EVERY input row — the same
+    * shape as [[connectedComponents]]-based dedup (`q_dedup_cc`), so
+    * callers filter `survivor` to curate or keep the full frame to audit
+    * cluster structure.
+    *
+    * `nprobe = 1` is the strict SemDeDup shape (each vector lives in
+    * exactly one cell); `nprobe > 1` recovers near-boundary pairs at
+    * proportional candidate cost. `exact = true` swaps cell-bounded
+    * candidates for quadratic all-pairs — the bounded-slice oracle path
+    * only. Pair verification is always exact cosine, so approximation
+    * only ever MISSES pairs (splits a semantic cluster), never invents
+    * them — the same one-sided contract as the other near-dup operators. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, k: Int = 16, nprobe: Int = 1,
+                    exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) embeddingNearDupPairs(df, idCol, vecCol, threshold, exact = true)
+      else ivfNearDupPairs(df, idCol, vecCol, threshold, k, nprobe)
+    connectedComponents(df.select(col(idCol)), pairs.select(col("idA"), col("idB")),
+        idCol)
+      .select(col("id").as(idCol),
+        col("component").cast("long").as("component"),
+        (col("component") === col("id")).as("survivor"))
+  }
+
   /** IVF-cell-bounded embedding near-dup pairs — the honest scale path at
     * LOOSE thresholds: hyperplane banding's recall collapses as the
     * threshold drops (per-bit match probability → 1/2), while cell-bounded

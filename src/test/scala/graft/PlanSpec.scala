@@ -219,9 +219,11 @@ class PlanSpec extends SparkSpec {
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
     //    and return the already-materialized sink table;
-    //  - q_dedup_cc / q_corpus_pipeline: the iterative CC loop collects
-    //    counts and checkpoints mid-construction — audited by their own
-    //    specs (CorpusOpsSpec + the dedup plan guards above);
+    //  - q_dedup_cc / q_corpus_pipeline / q_dedup_semantic{,_exact,_verify}:
+    //    the iterative CC loop collects counts and checkpoints
+    //    mid-construction — audited by their own specs (CorpusOpsSpec +
+    //    the dedup plan guards above; semantic dedup additionally runs
+    //    IvfIndex.train eagerly);
     //  - q_sim_topk_ivf / q_sim_topk_ivf_full / q_sim_topk_ivf_verify /
     //    q_dedup_embedding_verify: IvfIndex.train runs an eager k-means job
     //    during construction; the probe/rerank plan shape is guarded by the
@@ -233,6 +235,7 @@ class PlanSpec extends SparkSpec {
     // time, but the final plan is a pure projection worth auditing.
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_dedup_cc", "q_corpus_pipeline",
+      "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
       "q_dedup_embedding_verify",
       "q_source_formats", "q_partition_pruning", "q_join_bucketed")

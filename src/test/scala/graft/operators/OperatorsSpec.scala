@@ -101,6 +101,50 @@ class OperatorsSpec extends SparkSpec {
     assert(recallIvf >= 0.3, s"IVF recall $recallIvf collapsed")
   }
 
+  test("semantic dedup: exact path equals brute reference; approximate refines it") {
+    // reference: union-find over the exact pair set
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    val exactPairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.2, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    exactPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val refComp = ids.map(i => i -> find(i)).toMap
+
+    val exactOut = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.2, exact = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(exactOut.keySet == ids.toSet)
+    exactOut.foreach { case (id, (comp, surv)) =>
+      assert(comp == refComp(id), s"id $id: component $comp != ${refComp(id)}")
+      assert(surv == (comp == id))
+    }
+
+    // the cell-bounded path only ever MISSES pairs, so its clustering is a
+    // REFINEMENT of the exact one: same-cluster under IVF ⇒ same-cluster
+    // under exact; and its survivors are still component minima
+    val semOut = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.2, k = 16, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(semOut.map(_._1).toSet == ids.toSet)
+    val byComp = semOut.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp, s"label $comp is not the min member")
+      val exactComps = members.map(m => refComp(m._1)).distinct
+      assert(exactComps.size == 1,
+        s"IVF cluster $comp spans exact clusters $exactComps — invented a pair")
+    }
+    semOut.foreach { case (id, comp, surv) => assert(surv == (comp == id)) }
+    // and it deduplicates something on this fixture (not vacuous)
+    assert(semOut.count(!_._3) > 0, "no duplicates found at all")
+  }
+
   test("null/empty text is safe across dedup signatures") {
     import spark.implicits._
     val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "a b c"))
