@@ -31,6 +31,33 @@ object SparkEntry {
     s"${h}_p${ProcessHandle.current().pid()}"
   }
 
+  /** Reclaim scratch dirs left by DEAD processes: [[runTag]] names end in
+    * `_p<pid>`, and a dir whose pid no longer exists is unreachable
+    * garbage (its owning JVM — and any in-memory catalog entry — died
+    * with it). Live pids, including ours, are never touched, so
+    * concurrent runs stay isolated; errors are best-effort-ignored (a
+    * racing sweep or permission blip must not fail the query). */
+  private def sweepDeadScratch(parent: java.io.File, prefixes: Seq[String]): Unit = {
+    val mine = ProcessHandle.current().pid()
+    val pidRe = "_p(\\d+)$".r
+    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      if (prefixes.exists(f.getName.startsWith)) {
+        pidRe.findFirstMatchIn(f.getName).map(_.group(1).toLong).foreach { pid =>
+          if (pid != mine && !ProcessHandle.of(pid).isPresent)
+            scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(f))
+        }
+      }
+    }
+  }
+
+  /** The session's warehouse directory as a local file, when it is one. */
+  private def warehouseDir(s: SparkSession): Option[java.io.File] =
+    scala.util.Try {
+      val raw = s.conf.get("spark.sql.warehouse.dir")
+      if (raw.startsWith("file:")) new java.io.File(new java.net.URI(raw))
+      else new java.io.File(raw)
+    }.toOption.filter(_.isDirectory)
+
   private val asOf: Column = lit("1998-12-01").cast("date")
 
   /** Exact sum: decimal arithmetic, double surface. */
@@ -733,6 +760,8 @@ object SparkEntry {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
       val tag = runTag(dir)
+      warehouseDir(s).foreach(sweepDeadScratch(_,
+        Seq("graft_q_orders_b_", "graft_q_customer_b_")))
       sink.Warehouse.writeBucketed(
         orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
         s"graft_q_orders_b_$tag", Seq("o_custkey"), numBuckets = 8)
@@ -752,6 +781,8 @@ object SparkEntry {
     // (PartitionFilters in the plan, guarded in PlanSpec), the layout that
     // turns a 100 TB full scan into a directory listing.
     "q_partition_pruning" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_part_orders_"))
       val base =
         s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${runTag(dir)}"
       t(s, dir, "orders").write.mode("overwrite")
@@ -769,6 +800,8 @@ object SparkEntry {
     // replicated per format.
     "q_source_formats" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_formats_rt_"))
       val base =
         s"${System.getProperty("java.io.tmpdir")}/graft_formats_rt_${runTag(dir)}"
       val perFormat = Seq("orc", "json", "csv").map { f =>
