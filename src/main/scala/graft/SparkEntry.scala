@@ -35,16 +35,24 @@ object SparkEntry {
     * `_p<pid>`, and a dir whose pid no longer exists is unreachable
     * garbage (its owning JVM — and any in-memory catalog entry — died
     * with it). Live pids, including ours, are never touched, so
-    * concurrent runs stay isolated; errors are best-effort-ignored (a
-    * racing sweep or permission blip must not fail the query). */
-  private def sweepDeadScratch(parent: java.io.File, prefixes: Seq[String]): Unit = {
+    * concurrent runs stay isolated. `legacy` names (the pre-suffix fixed
+    * names, which nothing will ever overwrite again) are reclaimed
+    * unconditionally. Everything is per-entry best-effort — an
+    * unparseable pid in the shared tmpdir, a racing sweep, or a
+    * permission blip must not fail the query. */
+  private def sweepDeadScratch(parent: java.io.File, prefixes: Seq[String],
+                               legacy: Seq[String] = Nil): Unit = {
     val mine = ProcessHandle.current().pid()
     val pidRe = "_p(\\d+)$".r
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
-      if (prefixes.exists(f.getName.startsWith)) {
-        pidRe.findFirstMatchIn(f.getName).map(_.group(1).toLong).foreach { pid =>
-          if (pid != mine && !ProcessHandle.of(pid).isPresent)
-            scala.util.Try(org.apache.commons.io.FileUtils.deleteDirectory(f))
+      scala.util.Try {
+        if (legacy.contains(f.getName))
+          org.apache.commons.io.FileUtils.deleteDirectory(f)
+        else if (prefixes.exists(f.getName.startsWith)) {
+          pidRe.findFirstMatchIn(f.getName).map(_.group(1).toLong).foreach { pid =>
+            if (pid != mine && !ProcessHandle.of(pid).isPresent)
+              org.apache.commons.io.FileUtils.deleteDirectory(f)
+          }
         }
       }
     }
@@ -358,13 +366,17 @@ object SparkEntry {
     // relation — candidates approximate, verification exact and gated.
     "q_dedup_minhash_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // LEFT joins + an explicit null clause: a dangling pair id (no source
+      // row) or a null recompute must surface as a violation, not vanish
+      // through an inner join / null-propagating predicate.
       Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.2)
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
-        .join(docs.select(col("doc_id").as("idA"), col("text").as("__ta")), "idA")
-        .join(docs.select(col("doc_id").as("idB"), col("text").as("__tb")), "idB")
+        .join(docs.select(col("doc_id").as("idA"), col("text").as("__ta")), Seq("idA"), "left")
+        .join(docs.select(col("doc_id").as("idB"), col("text").as("__tb")), Seq("idB"), "left")
         .withColumn("jaccard_builtin", builtinNgramJaccard(col("__ta"), col("__tb"), 3))
-        .filter(col("jaccard_builtin") < 0.2 ||
+        .filter(col("jaccard_builtin").isNull ||
+          col("jaccard_builtin") < 0.2 ||
           round(col("jaccard_builtin"), 6) =!= col("jaccard"))
         .select(col("idA"), col("idB"), col("jaccard"),
           round(col("jaccard_builtin"), 6).as("jaccard_builtin"))
@@ -408,12 +420,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sigs = Dedup.withSimhash(
         docs.select(col("doc_id"), col("text")), "text")
+      // LEFT joins + null clause: dangling ids / null recomputes are
+      // violations, never silently dropped (see the minhash sibling).
       Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 6)
-        .join(sigs.select(col("doc_id").as("idA"), col("simhash").as("__sa")), "idA")
-        .join(sigs.select(col("doc_id").as("idB"), col("simhash").as("__sb")), "idB")
+        .join(sigs.select(col("doc_id").as("idA"), col("simhash").as("__sa")), Seq("idA"), "left")
+        .join(sigs.select(col("doc_id").as("idB"), col("simhash").as("__sb")), Seq("idB"), "left")
         .withColumn("hamming_direct",
           bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int"))
-        .filter(col("hamming_direct") =!= col("hamming") ||
+        .filter(col("hamming_direct").isNull ||
+          col("hamming_direct") =!= col("hamming") ||
           col("hamming") > 6 || col("idA") >= col("idB"))
         .select(col("idA"), col("idB"), col("hamming"), col("hamming_direct"))
         .orderBy(col("idA"), col("idB"))
@@ -449,12 +464,16 @@ object SparkEntry {
     "q_dedup_embedding_verify" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+      // LEFT joins + null clause: a dangling pair id or a length-mismatched
+      // embedding (zip_with pads with null → null cosine) is a violation,
+      // not a silently dropped row.
       Dedup.ivfNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.2, k = 16, nprobe = 2)
-        .join(emb.select(col("vec_id").as("idA"), col("v").as("__va")), "idA")
-        .join(emb.select(col("vec_id").as("idB"), col("v").as("__vb")), "idB")
+        .join(emb.select(col("vec_id").as("idA"), col("v").as("__va")), Seq("idA"), "left")
+        .join(emb.select(col("vec_id").as("idB"), col("v").as("__vb")), Seq("idB"), "left")
         .withColumn("cosine_builtin", builtinCosine(col("__va"), col("__vb")))
-        .filter(col("cosine_builtin") < 0.2 ||
+        .filter(col("cosine_builtin").isNull ||
+          col("cosine_builtin") < 0.2 ||
           round(col("cosine_builtin"), 6) =!= col("cosine") ||
           col("idA") >= col("idB"))
         .select(col("idA"), col("idB"), col("cosine"),
@@ -571,10 +590,17 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 16),
         t(s, dir, "embeddings"), model, k = 10, nprobe = 4)
         .localCheckpoint() // three checks read it; the IVF join runs once
+      // LEFT joins + null clause (dangling ids / null recomputes are
+      // violations); rank contiguity additionally requires DISTINCT ranks —
+      // min==1 && max==count alone would pass a duplicate-plus-gap pattern
+      // like {1,2,2,4}.
       val badScore = res
-        .join(emb.select(col("vec_id").as("query_id"), col("v").as("__q")), "query_id")
-        .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("__c")), "neighbor_id")
-        .filter(round(builtinCosine(col("__q"), col("__c")), 6) =!= col("cosine") ||
+        .join(emb.select(col("vec_id").as("query_id"), col("v").as("__q")),
+          Seq("query_id"), "left")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("__c")),
+          Seq("neighbor_id"), "left")
+        .withColumn("__rc", round(builtinCosine(col("__q"), col("__c")), 6))
+        .filter(col("__rc").isNull || col("__rc") =!= col("cosine") ||
           col("query_id") === col("neighbor_id"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           lit("cosine_mismatch_or_self").as("issue"))
@@ -586,8 +612,9 @@ object SparkEntry {
           lit("rank_not_monotone").as("issue"))
       val badSeq = res.groupBy(col("query_id"))
         .agg(count(lit(1)).as("__n"), min(col("rank")).as("__lo"),
-          max(col("rank")).as("__hi"))
-        .filter(!(col("__lo") === 1 && col("__hi") === col("__n")))
+          max(col("rank")).as("__hi"), countDistinct(col("rank")).as("__d"))
+        .filter(!(col("__lo") === 1 && col("__hi") === col("__n") &&
+          col("__d") === col("__n")))
         .select(col("query_id"), lit(null).cast("long").as("rank"),
           lit("rank_gap").as("issue"))
       badScore.unionByName(badOrder).unionByName(badSeq)
@@ -761,7 +788,8 @@ object SparkEntry {
       val customer = t(s, dir, "customer")
       val tag = runTag(dir)
       warehouseDir(s).foreach(sweepDeadScratch(_,
-        Seq("graft_q_orders_b_", "graft_q_customer_b_")))
+        Seq("graft_q_orders_b_", "graft_q_customer_b_"),
+        legacy = Seq("graft_q_orders_b", "graft_q_customer_b")))
       sink.Warehouse.writeBucketed(
         orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
         s"graft_q_orders_b_$tag", Seq("o_custkey"), numBuckets = 8)
@@ -782,7 +810,7 @@ object SparkEntry {
     // turns a 100 TB full scan into a directory listing.
     "q_partition_pruning" -> ((s, dir) => {
       sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
-        Seq("graft_part_orders_"))
+        Seq("graft_part_orders_"), legacy = Seq("graft_part_orders"))
       val base =
         s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${runTag(dir)}"
       t(s, dir, "orders").write.mode("overwrite")
@@ -801,7 +829,7 @@ object SparkEntry {
     "q_source_formats" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
-        Seq("graft_formats_rt_"))
+        Seq("graft_formats_rt_"), legacy = Seq("graft_formats_rt"))
       val base =
         s"${System.getProperty("java.io.tmpdir")}/graft_formats_rt_${runTag(dir)}"
       val perFormat = Seq("orc", "json", "csv").map { f =>

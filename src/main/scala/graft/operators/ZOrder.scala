@@ -51,16 +51,18 @@ object ZOrder {
     (spread(a) << 1) | spread(b)
   }
 
-  /** Equi-depth (rank/histogram) bucket boundaries for one column: the
-    * `buckets - 1` approximate percentiles, deduplicated (a heavy repeated
-    * value yields repeated boundaries; keeping one preserves a monotone
-    * bucket map). One Greenwald-Khanna sketch pass — driver state is the
-    * boundary array (≤ buckets doubles), the same bounded-driver budget as
-    * the IVF training sample. */
-  private[operators] def rankBounds(df: DataFrame, c: String,
-                                    buckets: Int): Array[Double] = {
+  /** Equi-depth (rank/histogram) bucket boundaries for BOTH key columns in
+    * ONE Greenwald-Khanna sketch pass (the multi-column approxQuantile —
+    * two single-column calls would scan the frame twice). Boundaries are
+    * deduplicated (a heavy repeated value yields repeated boundaries;
+    * keeping one preserves a monotone bucket map). Driver state is the two
+    * boundary arrays (≤ buckets doubles each), the same bounded-driver
+    * budget as the IVF training sample. */
+  private[operators] def rankBounds(df: DataFrame, colA: String, colB: String,
+                                    buckets: Int): (Array[Double], Array[Double]) = {
     val qs = (1 until buckets).map(_.toDouble / buckets).toArray
-    df.stat.approxQuantile(c, qs, 1.0 / (4.0 * buckets)).distinct.sorted
+    val both = df.stat.approxQuantile(Array(colA, colB), qs, 1.0 / (4.0 * buckets))
+    (both(0).distinct.sorted, both(1).distinct.sorted)
   }
 
   /** Rank-quantize `c` against precomputed boundaries: the bucket is the
@@ -99,9 +101,11 @@ object ZOrder {
       "rankBuckets must be in (1, 65536]")
     val z =
       if (quantizer == "rank") {
-        val bA = rankBounds(df, colA, rankBuckets)
-        val bB = rankBounds(df, colB, rankBuckets)
-        if (bA.isEmpty && bB.isEmpty) { // empty frame (or all-null keys)
+        val (bA, bB) = rankBounds(df, colA, colB, rankBuckets)
+        if (bA.isEmpty || bB.isEmpty) { // empty frame, or a key all null —
+          // same either-column guard as the linear path: without boundaries
+          // the all-null key would rank-quantize every row to null and the
+          // range partitioner would funnel the whole frame into one task
           df.write.mode("overwrite").parquet(path)
           return
         }

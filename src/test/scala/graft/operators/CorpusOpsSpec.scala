@@ -206,15 +206,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     val nodes = (0L until 400L).toDF("id")
     val nEdges = pairs.size.toLong
 
-    // ground truth: plain local union-find with min-root labels
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
+    // ground truth: the shared min-root union-find reference
+    val find = UnionFindRef.components(pairs)
     val expected = ((0L until 400L) ++ Seq(1000L)).map(i => i -> find(i)).toMap
 
     // ONE edge either side of the adaptive threshold: nPairs <= maxDriverEdges

@@ -107,14 +107,7 @@ class OperatorsSpec extends SparkSpec {
     val exactPairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.2, exact = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
-    }
-    exactPairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
+    val find = UnionFindRef.components(exactPairs)
     val refComp = ids.map(i => i -> find(i)).toMap
 
     val exactOut = Dedup.semanticDedup(emb, "vec_id", "embedding",
@@ -166,18 +159,9 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
     val collected = pairs.select("idA", "idB").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    // in-JVM union-find oracle
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    docs.select("doc_id").collect().map(_.getLong(0)).foreach(id => parent(id) = id)
-    collected.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val expected = parent.keys.map(id => id -> find(id)).toMap
+    val find = UnionFindRef.components(collected)
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> find(id)).toMap
     val got = Dedup.connectedComponents(docs.select(col("doc_id")), pairs, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == expected.size)
