@@ -40,8 +40,8 @@ object SparkEntry {
     * unconditionally. Everything is per-entry best-effort — an
     * unparseable pid in the shared tmpdir, a racing sweep, or a
     * permission blip must not fail the query. */
-  private def sweepDeadScratch(parent: java.io.File, prefixes: Seq[String],
-                               legacy: Seq[String] = Nil): Unit = {
+  private[graft] def sweepDeadScratch(parent: java.io.File, prefixes: Seq[String],
+                                      legacy: Seq[String] = Nil): Unit = {
     val mine = ProcessHandle.current().pid()
     val pidRe = "_p(\\d+)$".r
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>

@@ -72,6 +72,20 @@ class SkewAndJdbcSpec extends SparkSpec {
     try body finally spark.conf.set(key, prev)
   }
 
+  test("salted operators refuse a pre-existing __salt column") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 0)).toDF("k", "v", "__salt")
+    intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(df, Seq("k"), Seq(Skew.AggSpec("count", "v", "n")))
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, Seq((1L, "y")).toDF("k", "w"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(Seq((1L, "y")).toDF("k", "w"), df, Seq("k"))
+    }
+  }
+
   test("hot-key split partitions rows exactly") {
     val orders = spark.read.parquet(s"${testDataDir("0.01")}/orders.parquet")
     val (hot, tail) = Skew.splitHotKeys(orders, "o_orderstatus", Seq("O"))

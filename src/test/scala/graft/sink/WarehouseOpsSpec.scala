@@ -34,6 +34,29 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("writeBucketed overwrite resolves the managed location via the catalog") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_wb_db")
+    try {
+      // db-qualified, mixed-case name, non-default database: the overwrite
+      // path must drop the right catalog entry and clear the right
+      // directory (metastore-lowercased, under the DB location) — twice in
+      // a row, which is exactly what a crashed-then-rerun JVM exercises
+      val df1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      Warehouse.writeBucketed(df1, "graft_wb_db.MixedCase", Seq("k"), numBuckets = 2)
+      assert(spark.table("graft_wb_db.MixedCase").count() == 2)
+      val df2 = Seq((3L, "c")).toDF("k", "v")
+      Warehouse.writeBucketed(df2, "graft_wb_db.MixedCase", Seq("k"), numBuckets = 2)
+      val got = spark.table("graft_wb_db.MixedCase").collect()
+      assert(got.length == 1 && got.head.getLong(0) == 3L,
+        "overwrite must replace, not append or collide with the old location")
+      // and an unparseable identifier fails fast instead of deleting wrong dirs
+      intercept[IllegalArgumentException] {
+        Warehouse.writeBucketed(df2, "a.b.c", Seq("k"))
+      }
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_wb_db CASCADE")
+  }
+
   test("bucketed tables join without a shuffle") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
