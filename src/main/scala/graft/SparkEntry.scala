@@ -268,6 +268,14 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Bigram LM score — conditional log-probs c(w1 w2)/c(w1 ·), the next
+    // perplexity proxy up: narrow bigram extraction, (doc, bigram)
+    // shuffles only, AQE-sized probability join (bigram vocab is not
+    // guaranteed driver-sized like the unigram vocab).
+    "q_text_bigram_lp" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.withLangId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"))
@@ -1790,6 +1798,34 @@ object SparkEntry {
         |  FROM toks JOIN probs USING (term) GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(pd.n_tok, 0) AS n_tok,
         |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_tok AS DOUBLE) AS avg_lp
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Bigram twin of the unigram LM oracle: conditional probs from the
+    // bigram table and its head-marginal; same 6dp-round-then-decimal-sum
+    // determinism contract. split_part is unambiguous: tokens are
+    // whitespace-split, so the first space in "w1 w2" separates the head.
+    "q_text_bigram_lp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                             t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i + 1) AS bigram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |  WHERE len(tk) >= 2),
+        |c2 AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+        |c1 AS (SELECT split_part(bigram, ' ', 1) AS h, SUM(c) AS hc FROM c2 GROUP BY 1),
+        |probs AS (
+        |  SELECT bigram,
+        |    CAST(ROUND(LN(CAST(c AS DOUBLE) / CAST(hc AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM c2 JOIN c1 ON split_part(bigram, ' ', 1) = h),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS slp
+        |  FROM bg JOIN probs USING (bigram) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) AS avg_lp2
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -343,4 +343,51 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         col("avg_lp"))
   }
+
+  /** Self-trained BIGRAM language-model scoring — the next perplexity
+    * proxy up from [[unigramLogProb]]: P(w2|w1) = c(w1 w2) / c(w1 ·),
+    * where c(w1 ·) is the count of bigrams headed by w1 (derived from the
+    * bigram table itself, never a second corpus pass). Because the model
+    * is trained on the SAME corpus it scores, every document bigram has a
+    * count ≥ 1 and no smoothing/unseen-mass machinery is needed — the
+    * same closed-world trick as the unigram scorer.
+    *
+    * Scale shape: bigram extraction is NARROW (a transform over the token
+    * array — no positional self-join); counts and the per-doc score
+    * shuffle on the bigram key, like TfIdf's (doc, term) layout. The
+    * probability table is joined WITHOUT a broadcast hint: bigram vocab is
+    * O(vocab²)-bounded and corpus-dependent, so AQE decides (it broadcasts
+    * at small SF, shuffles at scale) rather than forcing a driver-sized
+    * build.
+    *
+    * Determinism: ln rounded to 6dp, decimal-summed (the TfIdf/unigram
+    * contract). Output: (idCol, n_bigrams, avg_lp2); docs with < 2 tokens
+    * get n_bigrams = 0 and NULL avg_lp2. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = filter(Dedup.tokens(col(textCol)), t => t =!= "")
+    val bigramArr = when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val bg = df.select(col(idCol), explode(bigramArr).as("bigram"))
+    val biCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    // head counts by splitting the bigram key: tokens are whitespace-split,
+    // so the FIRST space in "w1 w2" is unambiguous
+    val headCounts = biCounts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("__h"))
+      .agg(sum(col("c2")).as("c1"))
+    val probs = biCounts
+      .join(headCounts, substring_index(col("bigram"), " ", 1) === col("__h"))
+      .select(col("bigram"),
+        round(log(col("c2").cast("double") / col("c1").cast("double")), 6)
+          .cast("decimal(18,6)").as("lp"))
+    val perDoc = bg.join(probs, "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("__slp"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("__slp").cast("double") / col("n_bigrams").cast("double")).as("avg_lp2"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_lp2"))
+  }
 }

@@ -243,6 +243,32 @@ class OperatorsSpec extends SparkSpec {
     assert(fx.filter(col("avg_lp").isNotNull).count() > 0)
   }
 
+  test("bigram log-prob: matches hand computation, short doc gets null score") {
+    import spark.implicits._
+    // bigram counts: "a b"=2, "b c"=1, "a c"=1 — heads: a·=3, b·=1
+    val df = Seq((1L, "a b c"), (2L, "a c"), (3L, "a b"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def lp(n: Long, d: Long): BigDecimal =
+      BigDecimal(math.log(n.toDouble / d)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // doc 1: P(b|a)=2/3, P(c|b)=1/1
+    assert(got(0).getLong(1) == 2 &&
+      math.abs(got(0).getDouble(2) - (lp(2, 3) + lp(1, 1)).toDouble / 2) < 1e-12)
+    // doc 2: P(c|a)=1/3
+    assert(got(1).getLong(1) == 1 &&
+      math.abs(got(1).getDouble(2) - lp(1, 3).toDouble) < 1e-12)
+    // doc 3: P(b|a)=2/3
+    assert(got(2).getLong(1) == 1 &&
+      math.abs(got(2).getDouble(2) - lp(2, 3).toDouble) < 1e-12)
+    // single-token doc: no bigrams, null score
+    assert(got(3).getLong(1) == 0 && got(3).isNullAt(2))
+    // fixture corpus sanity: scores exist and are non-positive
+    val fx = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+    assert(fx.filter(col("avg_lp2").isNotNull && col("avg_lp2") <= 0).count() > 0)
+  }
+
   test("IVF top-k recall beats hyperplane LSH at nprobe=4/16") {
     val queries = emb.filter(col("vec_id") < 16)
     val exact = Similarity.cosineTopK(queries, emb, k = 10).collect()
