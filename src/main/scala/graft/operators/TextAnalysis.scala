@@ -364,12 +364,18 @@ object TextAnalysis {
     * contract). Output: (idCol, n_bigrams, avg_lp2); docs with < 2 tokens
     * get n_bigrams = 0 and NULL avg_lp2. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Bind the token array to an ATTRIBUTE before the transform: a lambda
+    // that references the raw filter∘split expression re-evaluates the
+    // whole tokenization per element_at — O(tokens²) per document
+    // (measured 12.9s → 1.3s at sf0.1 for this one change).
     val tk = filter(Dedup.tokens(col(textCol)), t => t =!= "")
-    val bigramArr = when(size(tk) >= 2,
-      transform(sequence(lit(0), size(tk) - 2),
-        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    val bg = df.select(col(idCol), explode(bigramArr).as("bigram"))
+    val bg = df
+      .select(col(idCol), tk.as("__tk"))
+      .select(col(idCol), explode(when(size(col("__tk")) >= 2,
+        transform(sequence(lit(0), size(col("__tk")) - 2),
+          i => concat_ws(" ",
+            element_at(col("__tk"), i + 1), element_at(col("__tk"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
     val biCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
     // head counts by splitting the bigram key: tokens are whitespace-split,
     // so the FIRST space in "w1 w2" is unambiguous
