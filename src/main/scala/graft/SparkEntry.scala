@@ -84,20 +84,27 @@ object SparkEntry {
   // single below-threshold or mis-scored emitted pair turns the driver's
   // row-count compare red.
 
-  /** Word n-gram jaccard from raw text with built-ins only (split/sequence/
-    * slice/array_join/array_distinct/array_intersect/array_union) —
-    * independent of [[Dedup.shingles]]'s UDF and of the hashed-set verify
-    * path, but the same semantics: lower/trim/whitespace tokens, docs
-    * shorter than n collapse to one whole-text shingle. */
-  private def builtinNgramJaccard(textA: Column, textB: Column, n: Int): Column = {
-    def grams(t: Column): Column = {
-      val toks = split(trim(lower(t)), "\\s+")
+  /** Tokenization for the jaccard recompute — same rule as
+    * [[Dedup.tokens]]: lower/trim/whitespace split. Callers must BIND this
+    * to a column (`.withColumn`) before feeding [[builtinNgramJaccard]]:
+    * a HOF lambda over the raw split expression re-tokenizes the text for
+    * every element access — the O(tokens²) trap measured and fixed in
+    * bigramLogProb (12.9s → 1.8s). The alias survives CollapseProject
+    * because it is referenced more than once. */
+  private def builtinTokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Word n-gram jaccard over BOUND token-array columns with built-ins
+    * only (sequence/slice/array_join/array_distinct/array_intersect/
+    * array_union) — independent of [[Dedup.shingles]]'s UDF and of the
+    * hashed-set verify path, but the same semantics: docs shorter than n
+    * collapse to one whole-text shingle. */
+  private def builtinNgramJaccard(toksA: Column, toksB: Column, n: Int): Column = {
+    def grams(toks: Column): Column =
       when(size(toks) < n, array(array_join(toks, " ")))
         .otherwise(array_distinct(transform(
           sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
-    }
-    val (ga, gb) = (grams(textA), grams(textB))
+    val (ga, gb) = (grams(toksA), grams(toksB))
     size(array_intersect(ga, gb)).cast("double") /
       size(array_union(ga, gb)).cast("double")
   }
@@ -382,7 +389,10 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
         .join(docs.select(col("doc_id").as("idA"), col("text").as("__ta")), Seq("idA"), "left")
         .join(docs.select(col("doc_id").as("idB"), col("text").as("__tb")), Seq("idB"), "left")
-        .withColumn("jaccard_builtin", builtinNgramJaccard(col("__ta"), col("__tb"), 3))
+        .withColumn("__ta_toks", builtinTokens(col("__ta")))
+        .withColumn("__tb_toks", builtinTokens(col("__tb")))
+        .withColumn("jaccard_builtin",
+          builtinNgramJaccard(col("__ta_toks"), col("__tb_toks"), 3))
         .filter(col("jaccard_builtin").isNull ||
           col("jaccard_builtin") < 0.2 ||
           round(col("jaccard_builtin"), 6) =!= col("jaccard"))
