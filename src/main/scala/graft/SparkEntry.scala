@@ -122,6 +122,23 @@ object SparkEntry {
     dot(a, b) / (norm(a) * norm(b))
   }
 
+  /** SUB-BLOCK-GROUPED cosine with built-in HOFs — the exact accumulation
+    * order of [[operators.ProductQuantize.adcTopK]]'s scorer (flat
+    * left-to-right within each dsub block, blocks added in order), so the
+    * recompute is bit-identical to the UDF's doubles. A flat whole-vector
+    * fold would differ in the last ulp (float addition is non-associative)
+    * and flip 6dp rounding on boundary values. */
+  private def builtinBlockCosine(a: Column, b: Column, m: Int, dsub: Int): Column = {
+    def blockDot(i: Int, x: Column, y: Column): Column = aggregate(
+      zip_with(slice(x, i * dsub + 1, dsub), slice(y, i * dsub + 1, dsub),
+        (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val num = (0 until m).map(i => blockDot(i, a, b)).reduce(_ + _)
+    val qn = (0 until m).map(i => blockDot(i, a, a)).reduce(_ + _)
+    val cn = (0 until m).map(i => blockDot(i, b, b)).reduce(_ + _)
+    num / (sqrt(qn) * sqrt(cn))
+  }
+
   // ------------------------------------------------------------ query bodies
 
   private def latestOrderPerCustomer(o: DataFrame): DataFrame = {
@@ -626,6 +643,67 @@ object SparkEntry {
       val badOrder = res
         .withColumn("__prev", lag(col("cosine"), 1).over(w))
         .filter(col("__prev").isNotNull && col("cosine") > col("__prev"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          lit("rank_not_monotone").as("issue"))
+      val badSeq = res.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), min(col("rank")).as("__lo"),
+          max(col("rank")).as("__hi"), countDistinct(col("rank")).as("__d"))
+        .filter(!(col("__lo") === 1 && col("__hi") === col("__n") &&
+          col("__d") === col("__n")))
+        .select(col("query_id"), lit(null).cast("long").as("rank"),
+          lit("rank_gap").as("issue"))
+      badScore.unionByName(badOrder).unionByName(badSeq)
+        .orderBy(col("query_id"), col("rank"), col("issue"))
+    }),
+
+    // Product-quantization ADC top-k (Jégou et al., TPAMI'11): the corpus
+    // side streams 8-byte codes, not 256-byte vectors — the memory-
+    // compression half of billion-scale ANN. Codebooks are engine-internal
+    // (per-block k-means) → rows-only; the *_verify sibling re-scores every
+    // emitted neighbor from DECODED vectors with the mirrored sub-block
+    // accumulation order and drives the driver gate; recall vs the oracled
+    // exact q_sim_topk is spec-asserted in PqSpec.
+    "q_sim_topk_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = operators.ProductQuantize.train(emb, "vec_id", "embedding",
+        m = 16, k = 64)
+      operators.ProductQuantize.adcTopK(emb.filter(col("vec_id") < 16), emb,
+        model, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Verification-property sibling: (a) each emitted score re-derived
+    // from the reconstruction (decode of the code) via the mirrored
+    // block-grouped HOF cosine must equal the emitted 6dp value, with
+    // dangling ids / null recomputes flagged; (b) scores non-increasing in
+    // rank; (c) ranks contiguous AND distinct. Violations only; oracle =
+    // empty relation.
+    "q_sim_topk_pq_verify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = operators.ProductQuantize.train(emb, "vec_id", "embedding",
+        m = 16, k = 64)
+      val res = operators.ProductQuantize.adcTopK(
+        emb.filter(col("vec_id") < 16), emb, model, k = 10)
+        .localCheckpoint() // three checks read it; encode+score runs once
+      val dec = operators.ProductQuantize.decodeCol(
+        operators.ProductQuantize.encode(
+          emb.select(col("vec_id"), col("embedding")), "embedding", model),
+        "pq_code", model)
+        .select(col("vec_id").as("neighbor_id"), col("pq_decoded").as("__dv"))
+      val badScore = res
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<float>").as("__q")), Seq("query_id"), "left")
+        .join(dec, Seq("neighbor_id"), "left")
+        .withColumn("__rc",
+          round(builtinBlockCosine(col("__q"), col("__dv"), model.m, model.dsub), 6))
+        .filter(col("__rc").isNull || col("__rc") =!= col("score") ||
+          col("query_id") === col("neighbor_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          lit("score_mismatch_or_self").as("issue"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      val badOrder = res
+        .withColumn("__prev", lag(col("score"), 1).over(w))
+        .filter(col("__prev").isNotNull && col("score") > col("__prev"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           lit("rank_not_monotone").as("issue"))
       val badSeq = res.groupBy(col("query_id"))
@@ -2496,6 +2574,11 @@ object SparkEntry {
     "q_approx_distinct_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS event_type,
         |  CAST(NULL AS BIGINT) AS approx_users, CAST(NULL AS BIGINT) AS exact_users
+        |WHERE FALSE""".stripMargin,
+
+    "q_sim_topk_pq_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rank,
+        |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
     "q_sim_topk_ivf_verify" ->

@@ -225,9 +225,10 @@ class PlanSpec extends SparkSpec {
     //    the dedup plan guards above; semantic dedup additionally runs
     //    IvfIndex.train eagerly);
     //  - q_sim_topk_ivf / q_sim_topk_ivf_full / q_sim_topk_ivf_verify /
-    //    q_dedup_embedding_verify: IvfIndex.train runs an eager k-means job
+    //    q_sim_topk_pq / q_sim_topk_pq_verify / q_dedup_embedding_verify:
+    //    IvfIndex.train / ProductQuantize.train run an eager k-means job
     //    during construction; the probe/rerank plan shape is guarded by the
-    //    IVF specs;
+    //    IVF/PQ specs;
     //  - q_source_formats / q_partition_pruning / q_join_bucketed: the query
     //    body WRITES scratch tables/dirs before reading them back — their
     //    read-side plan shapes are guarded by dedicated specs.
@@ -237,6 +238,7 @@ class PlanSpec extends SparkSpec {
       "q_stream_sessions", "q_stream_join", "q_dedup_cc", "q_corpus_pipeline",
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
+      "q_sim_topk_pq", "q_sim_topk_pq_verify",
       "q_dedup_embedding_verify",
       "q_source_formats", "q_partition_pruning", "q_join_bucketed")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: code shape, reconstruction quality, ADC top-k
+  * contract, and recall against the exact brute-force oracle. */
+class PqSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("pq-spec").getOrCreate()
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var n = 0.0; var x = 0.0; var y = 0.0
+    var i = 0
+    while (i < a.length) {
+      n += a(i).toDouble * b(i); x += a(i).toDouble * a(i); y += b(i).toDouble * b(i)
+      i += 1
+    }
+    n / (math.sqrt(x) * math.sqrt(y))
+  }
+
+  test("encode/decode: m codes in [0,k); reconstruction is cosine-close") {
+    val model = ProductQuantize.train(emb, "vec_id", "embedding", m = 16, k = 64)
+    assert(model.m == 16 && model.k == 64 && model.dim == 64)
+    val enc = ProductQuantize.encode(
+      emb.select(col("vec_id"), col("embedding")), "embedding", model)
+    val rows = enc.select(col("vec_id"), col("embedding").cast("array<float>"),
+        col("pq_code"))
+      .collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getSeq[Int](2)))
+    rows.foreach { case (_, code) =>
+      assert(code.length == 16 && code.forall(c => c >= 0 && c < 64))
+    }
+    // mean cosine(original, reconstruction): 64 centroids per 4-dim block
+    // (measured 0.93 on the fixture; 16x compression vs raw floats)
+    val meanCos = rows.map { case (v, code) =>
+      cosine(v, model.decode(code))
+    }.sum / rows.length
+    assert(meanCos > 0.85, s"mean reconstruction cosine $meanCos too low")
+  }
+
+  test("adcTopK: contract holds and recall vs exact brute force is useful") {
+    val model = ProductQuantize.train(emb, "vec_id", "embedding", m = 16, k = 64)
+    val queries = emb.filter(col("vec_id") < 16)
+    val pq = ProductQuantize.adcTopK(queries, emb, model, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // shape: contiguous distinct ranks 1..n per query, no self matches,
+    // scores non-increasing
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      val ranks = rows.map(_._2).sorted
+      assert(ranks.toSeq == (1 to rows.length).toSeq, s"query $q ranks $ranks")
+      assert(!rows.exists(_._3 == q), s"query $q matched itself")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not monotone")
+    }
+    // recall@10 against the oracled exact top-k
+    val exact = Similarity.cosineTopK(queries, emb, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = pq.map(r => (r._1, r._3)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.length
+    info(f"PQ-ADC recall@10 = $meanRecall%.3f")
+    assert(meanRecall >= 0.5, s"PQ recall $meanRecall collapsed")
+    // determinism: repartitioning the corpus must not change the result
+    val pq2 = ProductQuantize.adcTopK(queries, emb.repartition(7), model, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.toSet == pq2.toSet)
+  }
+}
