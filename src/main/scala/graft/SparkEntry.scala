@@ -682,13 +682,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val model = operators.ProductQuantize.train(emb, "vec_id", "embedding",
         m = 16, k = 64)
-      val res = operators.ProductQuantize.adcTopK(
-        emb.filter(col("vec_id") < 16), emb, model, k = 10)
-        .localCheckpoint() // three checks read it; encode+score runs once
-      val dec = operators.ProductQuantize.decodeCol(
-        operators.ProductQuantize.encode(
-          emb.select(col("vec_id"), col("embedding")), "embedding", model),
-        "pq_code", model)
+      // ONE k-means-assignment pass over the corpus feeds both the search
+      // and the decoded-vector side (the production codes-at-ingest shape)
+      val enc = operators.ProductQuantize.encode(
+        emb.select(col("vec_id"), col("embedding")), "embedding", model)
+        .localCheckpoint()
+      val res = operators.ProductQuantize.adcTopKEncoded(
+        emb.filter(col("vec_id") < 16),
+        enc.select(col("vec_id").as("neighbor_id"), col("pq_code")),
+        model, k = 10)
+        .localCheckpoint() // three checks read it; scoring runs once
+      val dec = operators.ProductQuantize.decodeCol(enc, "pq_code", model)
         .select(col("vec_id").as("neighbor_id"), col("pq_decoded").as("__dv"))
       val badScore = res
         .join(emb.select(col("vec_id").as("query_id"),

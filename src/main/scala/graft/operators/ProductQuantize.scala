@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * Nearest Neighbor Search", IEEE TPAMI 2011) — the memory-compression
   * half of large-scale ANN, complementing [[IvfIndex]]'s list-pruning
   * half: each vector splits into `m` sub-blocks, each sub-block is
-  * replaced by the id of its nearest per-block centroid, so a
-  * dim-float vector becomes `m` small codes (64 floats → 8 bytes here —
-  * a 32× footprint cut, which is what lets a 100 TB embedding corpus'
-  * index live in cluster memory).
+  * replaced by the id of its nearest per-block centroid, so a dim-float
+  * vector becomes `m` small codes (the demonstrated m=16, k=64 config
+  * turns 64 raw floats into 16 byte-sized codes — a 16× footprint cut —
+  * which is what lets a 100 TB embedding corpus' index live in cluster
+  * memory).
   *
   * Scale shape: codebooks are tiny driver state (m·k·dsub floats, like
   * the IVF centroid model) trained on a bounded deterministic sample;
@@ -98,12 +99,18 @@ object ProductQuantize {
     best
   }
 
-  /** Narrow pass: vector → array<int> of m per-block centroid ids. */
+  /** Narrow pass: vector → array<int> of m per-block centroid ids. A
+    * vector whose length differs from the model's dim fails fast —
+    * copyOfRange would otherwise silently zero-pad short vectors into
+    * plausible-looking (wrong) codes, while the scorer would throw on the
+    * same row only when it happened to be a query. */
   def encode(df: DataFrame, vecCol: String, model: Model,
              out: String = "pq_code"): DataFrame = {
     val cb = model.codebooks
     val dsub = model.dsub
+    val dim = model.dim
     val encodeUdf = udf { (v: Seq[Float]) =>
+      require(v.length == dim, s"pq encode: vector dim ${v.length} != model dim $dim")
       val arr = v.toArray
       Array.tabulate(cb.length) { b =>
         nearestL2(cb(b), java.util.Arrays.copyOfRange(arr, b * dsub, (b + 1) * dsub))
@@ -126,14 +133,26 @@ object ProductQuantize {
     * [[Similarity.cosineTopK]]'s shape with `score` in place of
     * `cosine`. Zero-norm sides are excluded (no defined cosine). */
   def adcTopK(queries: DataFrame, corpus: DataFrame, model: Model, k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val encoded = encode(corpus.select(col(idCol), col(vecCol)), vecCol, model)
-      .select(col(idCol).as("neighbor_id"), col("pq_code"))
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    adcTopKEncoded(queries,
+      encode(corpus.select(col(idCol), col(vecCol)), vecCol, model)
+        .select(col(idCol).as("neighbor_id"), col("pq_code")),
+      model, k, idCol, vecCol)
+
+  /** [[adcTopK]] over an ALREADY-ENCODED corpus — `encoded` carries
+    * (neighbor_id, pq_code). The production shape: codes are computed once
+    * at ingest and reused across every search (and by the verification
+    * twin), never re-derived per query. */
+  def adcTopKEncoded(queries: DataFrame, encoded: DataFrame, model: Model,
+                     k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<float>").as("qv"))
     val cb = model.codebooks
     val dsub = model.dsub
+    val dim = model.dim
     val scoreUdf = udf { (qv: Seq[Float], code: Seq[Int]) =>
+      require(qv.length == dim, s"pq score: query dim ${qv.length} != model dim $dim")
       var num = 0.0; var qn = 0.0; var cn = 0.0
       var b = 0
       while (b < code.length) {

@@ -1,19 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-4 operators: bloom-prefiltered semi-join (exactness vs the plain
   * semi-join) and chunk-level exact dedup. */
-class BloomChunkSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .appName("bloom-chunk-spec").getOrCreate()
+class BloomChunkSpec extends graft.SparkSpec {
 
   test("bloomSemiJoin == plain semi-join (long keys, with misses and nulls)") {
     import spark.implicits._

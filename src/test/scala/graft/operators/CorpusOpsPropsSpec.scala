@@ -1,19 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Property tests: the round-3 operators against independent in-JVM
   * brute-force references over randomized inputs. */
-class CorpusOpsPropsSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .appName("corpus-ops-props").getOrCreate()
+class CorpusOpsPropsSpec extends graft.SparkSpec {
 
   test("sessionize ≡ sequential scan on 40 random event sets") {
     import spark.implicits._

@@ -1,19 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Specs for the round-3 corpus operators: sessionization, TF-IDF,
   * deterministic sampling, PII redaction. */
-class CorpusOpsSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .appName("corpus-ops-spec").getOrCreate()
+class CorpusOpsSpec extends graft.SparkSpec {
 
   test("sessionize: gap splits, exact-gap continues, ties deterministic") {
     import spark.implicits._

@@ -1,18 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Specs for decontamination, sequence packing, and the repetition filter. */
-class PackDecontSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .appName("pack-decont-spec").getOrCreate()
+class PackDecontSpec extends graft.SparkSpec {
 
   test("decontaminate: shared n-grams counted, clean docs absent") {
     import spark.implicits._

@@ -1,22 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
 
 /** Product quantization: code shape, reconstruction quality, ADC top-k
-  * contract, and recall against the exact brute-force oracle. */
-class PqSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .appName("pq-spec").getOrCreate()
+  * contract, and recall against the exact brute-force oracle.
+  *
+  * Extends SparkSpec rather than building a session: getOrCreate ignores
+  * builder configs on an existing session (SPARK-31532), so a suite-local
+  * builder omitting nanosAsLong could poison every later suite depending
+  * on runner order. */
+class PqSpec extends SparkSpec {
 
   private lazy val emb =
-    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.read.parquet(s"${testDataDir()}/embeddings.parquet")
 
   private def cosine(a: Array[Float], b: Array[Float]): Double = {
     var n = 0.0; var x = 0.0; var y = 0.0

@@ -1,19 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Winnowed fingerprinting: golden selection rule, the SIGMOD'03 coverage
   * guarantee, brute-force equivalence, and passage-overlap detection. */
-class WinnowingSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .appName("winnowing-spec").getOrCreate()
+class WinnowingSpec extends graft.SparkSpec {
 
   /** Straight-from-the-paper reference: every window's rightmost minimum,
     * collected as a distinct set. */

@@ -1,19 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Z-order layout: encoding bit-exactness and the locality property the
   * layout exists for (files cover squares, not stripes). */
-class ZOrderSpec extends AnyFunSuite {
-
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .appName("zorder-spec").getOrCreate()
+class ZOrderSpec extends graft.SparkSpec {
 
   /** Naive bit-by-bit interleave as the independent reference. */
   private def naiveZ(a: Long, b: Long): Long =
