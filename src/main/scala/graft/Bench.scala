@@ -51,6 +51,7 @@ object Bench {
     // concurrently; single-shot totals here swing up to 5x under its load).
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val worst = scala.collection.mutable.Map.empty[String, Double]
     val failedTime = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
@@ -62,6 +63,7 @@ object Bench {
         consume(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        worst(name) = math.max(worst.getOrElse(name, 0.0), dt)
       } catch {
         case e: Throwable =>
           failedTime(name) = (System.nanoTime() - t0) / 1e9
@@ -72,13 +74,18 @@ object Bench {
     def timeOf(k: String): Double =
       best.getOrElse(k, failedTime.getOrElse(k, 0.0))
     val qs = names.map(k => s"\"" + k + "\":" + timeOf(k)).mkString("{", ",", "}")
+    // run-to-run spread: max alongside min, so the emitted JSON itself
+    // separates machine-load noise (wide spread) from a plan regression
+    // (tight spread at a higher level) without a controlled re-bench
+    val qsMax = names.map(k =>
+      s"\"" + k + "\":" + worst.getOrElse(k, timeOf(k))).mkString("{", ",", "}")
     val total = names.map(timeOf).sum
     val neverSucceeded = names.filterNot(best.contains)
     val failedJson =
       if (neverSucceeded.isEmpty) ""
       else neverSucceeded.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"$failedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","runs":$runs,"agg":"min"$failedJson}""")
     spark.stop()
   }
 }

@@ -34,23 +34,35 @@ object SparkEntry {
   /** Reclaim scratch dirs left by DEAD processes: [[runTag]] names end in
     * `_p<pid>`, and a dir whose pid no longer exists is unreachable
     * garbage (its owning JVM — and any in-memory catalog entry — died
-    * with it). Live pids, including ours, are never touched, so
-    * concurrent runs stay isolated. `legacy` names (the pre-suffix fixed
-    * names, which nothing will ever overwrite again) are reclaimed
-    * unconditionally. Everything is per-entry best-effort — an
-    * unparseable pid in the shared tmpdir, a racing sweep, or a
-    * permission blip must not fail the query. */
+    * with it). Live pids — including ours — are normally never touched,
+    * with one escape hatch: the OS recycles pids, so a dir whose "owner"
+    * is alive but whose mtime is older than `staleMillis` is treated as
+    * orphaned anyway (a live JVM touches its scratch far more often than
+    * that, and a recycled pid would otherwise pin the dir forever; our
+    * own pid is always exempt). `legacy` names (the pre-suffix fixed
+    * names) get the same grace period instead of unconditional deletion,
+    * so a still-running pre-suffix JVM sharing the tmpdir is not raced.
+    * Everything is per-entry best-effort — an unparseable pid in the
+    * shared tmpdir, a racing sweep, or a permission blip must not fail
+    * the query. */
   private[graft] def sweepDeadScratch(parent: java.io.File, prefixes: Seq[String],
-                                      legacy: Seq[String] = Nil): Unit = {
+                                      legacy: Seq[String] = Nil,
+                                      staleMillis: Long = 6L * 3600 * 1000): Unit = {
     val mine = ProcessHandle.current().pid()
     val pidRe = "_p(\\d+)$".r
+    val now = System.currentTimeMillis()
+    // lastModified()==0 means "unknown" (IO error) — never treat as stale
+    def stale(f: java.io.File): Boolean = {
+      val m = f.lastModified()
+      m > 0 && now - m > staleMillis
+    }
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
       scala.util.Try {
-        if (legacy.contains(f.getName))
-          org.apache.commons.io.FileUtils.deleteDirectory(f)
-        else if (prefixes.exists(f.getName.startsWith)) {
+        if (legacy.contains(f.getName)) {
+          if (stale(f)) org.apache.commons.io.FileUtils.deleteDirectory(f)
+        } else if (prefixes.exists(f.getName.startsWith)) {
           pidRe.findFirstMatchIn(f.getName).map(_.group(1).toLong).foreach { pid =>
-            if (pid != mine && !ProcessHandle.of(pid).isPresent)
+            if (pid != mine && (!ProcessHandle.of(pid).isPresent || stale(f)))
               org.apache.commons.io.FileUtils.deleteDirectory(f)
           }
         }
@@ -90,8 +102,17 @@ object SparkEntry {
     * a HOF lambda over the raw split expression re-tokenizes the text for
     * every element access — the O(tokens²) trap measured and fixed in
     * bigramLogProb (12.9s → 1.8s). The alias survives CollapseProject
-    * because it is referenced more than once. */
-  private def builtinTokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+    * because it is referenced more than once.
+    *
+    * The empty-token filter is load-bearing: Spark's `trim` strips only
+    * ' ' (not \t/\n) and Spark's `split` keeps trailing empty strings,
+    * while the UDF side uses Java `String.trim` (strips all <= 0x20) and
+    * Java `split` (drops trailing empties) — so a doc with leading or
+    * trailing tab/newline would otherwise grow an extra "" token here,
+    * shift every n-gram, and raise a FALSE verify violation. Filtering
+    * ""s reproduces the UDF tokenization for all whitespace edges. */
+  private def builtinTokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), tok => tok =!= "")
 
   /** Word n-gram jaccard over BOUND token-array columns with built-ins
     * only (sequence/slice/array_join/array_distinct/array_intersect/
@@ -270,6 +291,30 @@ object SparkEntry {
         .orderBy(col("key5"))
     }),
 
+    // URL + content-hash composite dedup — the CommonCrawl-style first
+    // pass (URL → exact → fuzzy → semantic). The fixture has no URL
+    // column, so a deterministic pseudo-URL is derived from (source,
+    // doc_id, lang) IDENTICALLY on both sides — scheme + www + a docs
+    // path + a tracking query param, so the normalizer's strip rules are
+    // all exercised by the oracle.
+    "q_dedup_url" -> ((s, dir) =>
+      Dedup.urlContentDedup(
+        t(s, dir, "documents").withColumn("url",
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+            (col("doc_id") % 25).cast("string"), lit("/?utm_source="), col("lang"))),
+        "url", "text", "doc_id")
+        .orderBy(col("url_key"), col("content_md5"))),
+
+    // Exact repeated-substring dedup (Lee et al. ACL'22): maximal >=8-token
+    // spans occurring >=2x anywhere in the corpus, via anchor k-grams +
+    // island merge — no suffix array, no pairwise doc comparison; the
+    // oracle re-derives grams, occurrence counts, and the interval merge
+    // in pure SQL.
+    "q_dedup_substring" -> ((s, dir) =>
+      operators.SubstringDedup.repeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"), col("start_tok"))),
+
     // All six stats project from ONE fused text_profile scan per row.
     "q_text_stats" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -412,7 +457,8 @@ object SparkEntry {
           builtinNgramJaccard(col("__ta_toks"), col("__tb_toks"), 3))
         .filter(col("jaccard_builtin").isNull ||
           col("jaccard_builtin") < 0.2 ||
-          round(col("jaccard_builtin"), 6) =!= col("jaccard"))
+          round(col("jaccard_builtin"), 6) =!= col("jaccard") ||
+          col("idA") >= col("idB")) // pair-ordering contract, like the other siblings
         .select(col("idA"), col("idB"), col("jaccard"),
           round(col("jaccard_builtin"), 6).as("jaccard_builtin"))
         .orderBy(col("idA"), col("idB"))
@@ -778,11 +824,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // The capstone composition: quality filter → exact dedup → near-dup
-    // survivors → token budget, hash-matched as ONE chain so stage ordering
-    // and interfaces are verified, not only the parts.
+    // The capstone composition: URL dedup → quality filter → exact dedup →
+    // near-dup survivors → token budget, hash-matched as ONE chain so stage
+    // ordering and interfaces are verified, not only the parts. The URL
+    // stage is provably absorbed by the min-id exact dedup (see
+    // CorpusPipeline's scaladoc), so the oracle is unchanged — a green
+    // hash IS the proof the composition theorem holds on real data.
     "q_corpus_pipeline" -> ((s, dir) =>
-      operators.CorpusPipeline.curate(t(s, dir, "documents"))
+      operators.CorpusPipeline.curate(
+        t(s, dir, "documents").withColumn("url",
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+            (col("doc_id") % 25).cast("string"), lit("/?utm_source="), col("lang"))),
+        operators.CorpusPipeline.Config(urlCol = Some("url")))
         .select(col("doc_id"), col("n_tok"))
         .orderBy(col("doc_id"))),
 
@@ -1330,11 +1383,47 @@ object SparkEntry {
     // a vector aggregate carry a DuckDB oracle at all. The oracled surface
     // is integer-only (qsum, n pin the centroid exactly); the derived
     // double `mean` stays in the VectorStats API but out of the hash.
+    // Every hashed column is cast to STRING on both sides: the values are
+    // proven bit-identical across Spark/DuckDB/Python, but DuckDB's
+    // SUM(BIGINT) surfaces as HUGEINT and a comparer may canonicalize
+    // int128 differently than int64 — string casts remove the numeric-type
+    // repr as a degree of freedom entirely.
     "q_vec_centroid" -> ((s, dir) =>
       operators.VectorStats.centroidSums(
         t(s, dir, "embeddings"), "label", "embedding")
-        .drop("mean")
-        .orderBy(col("label"), col("pos"))),
+        .orderBy(col("label"), col("pos"))
+        .select(col("label").cast("string").as("label"),
+          col("pos").cast("string").as("pos"),
+          col("qsum").cast("string").as("qsum"),
+          col("n").cast("string").as("n"))),
+
+    // Verification-property sibling: the posexplode fixed-point path must
+    // agree exactly (integer equality, no tolerance) with an independent
+    // in-Spark recompute that never uses posexplode — a broadcast
+    // positions×rows join with element_at, quantized through the same
+    // floor(v·1e6) contract. Violations only; oracle = empty relation, so
+    // the centroid math is driver-gated even if the cross-engine
+    // fingerprint comparison stays environment-sensitive.
+    "q_vec_centroid_verify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = operators.VectorStats.centroidSums(e, "label", "embedding")
+        .withColumnRenamed("qsum", "qsum_a").withColumnRenamed("n", "n_a")
+      val positions = e
+        .select(explode(sequence(lit(1), size(col("embedding")))).as("pos"))
+        .distinct()
+      val b = e.crossJoin(broadcast(positions))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          floor(element_at(col("embedding"), col("pos").cast("int"))
+            .cast("double") * lit(1e6)).cast("long").as("__q"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("__q")).as("qsum_b"), count(lit(1)).as("n_b"))
+      a.join(b, Seq("label", "pos"), "full_outer")
+        .filter(col("qsum_a").isNull || col("qsum_b").isNull ||
+          col("qsum_a") =!= col("qsum_b") || col("n_a") =!= col("n_b"))
+        .select(col("label").cast("int").as("label"), col("pos"),
+          lit("centroid_path_mismatch").as("issue"))
+        .orderBy(col("label"), col("pos"))
+    }),
 
     // Two-phase salted aggregation: decomposable aggregates partial-agg on
     // (keys, salt) then combine — identical to the plain groupBy, so the
@@ -1575,6 +1664,50 @@ object SparkEntry {
         |  SELECT doc_id, array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5
         |  FROM documents) t
         |GROUP BY key5 ORDER BY key5""".stripMargin,
+
+    // Same pseudo-URL derivation as the Spark side; the normalizer chain
+    // (strip scheme+www, strip query/fragment, strip trailing slashes)
+    // mirrors Dedup.normalizeUrl pattern for pattern — each regex matches
+    // at most once, so DuckDB's first-match regexp_replace and Spark's
+    // replace-all agree. md5() is lowercase hex in both engines.
+    "q_dedup_url" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS url
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, md5(text) AS content_md5,
+        |    regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
+        |      '^https?://(www\.)?', ''), '[?#].*', ''), '/+$', '') AS url_key
+        |  FROM docs)
+        |SELECT url_key, content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM norm GROUP BY url_key, content_md5
+        |ORDER BY url_key, content_md5""".stripMargin,
+
+    // Anchor-gram reconstruction of maximal repeated spans: k=8 grams,
+    // corpus-wide occurrence count, then the same gaps-and-islands merge
+    // (new island when pos > prev + k) the Spark window performs.
+    "q_dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |grams0 AS (
+        |  SELECT doc_id, tk, UNNEST(range(1, len(tk) - 8 + 2)) AS i
+        |  FROM toks WHERE len(tk) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram FROM grams0),
+        |rep AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+        |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM marked) z)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+        |  CAST(MAX(pos) + 8 - 1 AS BIGINT) AS end_tok,
+        |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, start_tok""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
@@ -2408,14 +2541,23 @@ object SparkEntry {
     // sum is engine-reproducible bit-for-bit; range(1,65) is the fixture's
     // fixed dim=64 (the Spark side is dimension-agnostic via posexplode).
     // Integer-only surface: qsum + n determine the mean exactly, so the
-    // raw-double mean column is excluded from the hashed projection.
+    // raw-double mean column is excluded from the hashed projection. ALL
+    // four columns are CAST to VARCHAR on both sides: DuckDB's SUM(BIGINT)
+    // returns HUGEINT (int128) where Spark emits BIGINT, and a driver-side
+    // canonicalizer may repr those differently even when the values are
+    // bit-identical — strings leave nothing type-dependent to compare.
     "q_vec_centroid" ->
-      """SELECT label, CAST(pos AS BIGINT) AS pos,
-        |  SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) AS qsum,
-        |  COUNT(*) AS n
-        |FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS pos) p
-        |GROUP BY label, pos
-        |ORDER BY label, pos""".stripMargin,
+      """SELECT CAST(e.label AS VARCHAR) AS label, CAST(p.pos AS VARCHAR) AS pos,
+        |  CAST(SUM(CAST(FLOOR(CAST(e.embedding[p.pos] AS DOUBLE) * 1000000) AS BIGINT)) AS VARCHAR) AS qsum,
+        |  CAST(COUNT(*) AS VARCHAR) AS n
+        |FROM embeddings e, (SELECT UNNEST(RANGE(1, 65)) AS pos) p
+        |GROUP BY e.label, p.pos
+        |ORDER BY e.label, p.pos""".stripMargin,
+
+    "q_vec_centroid_verify" ->
+      """SELECT CAST(NULL AS INTEGER) AS label, CAST(NULL AS BIGINT) AS pos,
+        |  CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT l_returnflag,

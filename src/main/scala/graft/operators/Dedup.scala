@@ -29,6 +29,37 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Canonical URL key — the CommonCrawl-style first-pass dedup key for a
+    * web corpus: lowercase, strip scheme + leading `www.`, drop query
+    * string and fragment, drop trailing slashes. Each pattern matches at
+    * most once (anchored / suffix), so the chain is first-match-safe in
+    * any regex engine and mirrors 1:1 into ANSI `regexp_replace`. Query
+    * params are dropped wholesale rather than utm-filtered: the dedup key
+    * is the (url_key, content_hash) COMPOSITE, so two genuinely different
+    * documents behind `?page=1` / `?page=2` never collapse — the content
+    * hash separates them. Pure codegen'd expressions, no UDF. */
+  def normalizeUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(trim(url)), "^https?://(www\\.)?", ""),
+        "[?#].*", ""),
+      "/+$", "")
+
+  /** URL + content-hash composite dedup — the cheap first pass a web-scale
+    * pipeline runs before ANY text similarity (URL → exact → fuzzy →
+    * semantic): group by (normalized url, md5(content)), keep the lowest
+    * id, count the collapsed copies.
+    *
+    * Scale shape: the md5 is computed map-side, so the shuffle carries a
+    * 32-hex-char key + normalized URL instead of document text; one hash
+    * shuffle with map-side partial combine, no driver state. */
+  def urlContentDedup(df: DataFrame, urlCol: String, textCol: String,
+                      idCol: String): DataFrame =
+    df.select(normalizeUrl(col(urlCol)).as("url_key"),
+        md5(col(textCol)).as("content_md5"), col(idCol))
+      .groupBy(col("url_key"), col("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Chunk-level exact dedup: chunk every document (via
     * [[TextAnalysis.chunkDocuments]]) and report each chunk text that
     * occurs ≥ `minCount` times across the corpus, with its canonical owner

@@ -124,9 +124,15 @@ object Warehouse {
       val db = dbOpt.getOrElse(spark.catalog.currentDatabase)
       val quoted = (dbOpt.toSeq :+ tbl).map(p => s"`$p`").mkString(".")
       spark.sql(s"DROP TABLE IF EXISTS $quoted")
+      // Hadoop Path parses the location string directly (java.net.URI throws
+      // on unencoded characters a database location may legally contain), and
+      // the lowercase must be Locale.ROOT to match the metastore's — default-
+      // locale lowercasing maps 'I' to dotless 'ı' under Turkish locales,
+      // which would check (and delete!) the wrong directory.
       val dbLoc = new org.apache.hadoop.fs.Path(
-        new java.net.URI(spark.catalog.getDatabase(db).locationUri))
-      val loc = new org.apache.hadoop.fs.Path(dbLoc, tbl.toLowerCase)
+        spark.catalog.getDatabase(db).locationUri)
+      val loc = new org.apache.hadoop.fs.Path(
+        dbLoc, tbl.toLowerCase(java.util.Locale.ROOT))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

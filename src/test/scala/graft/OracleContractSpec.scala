@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The harness-surface contract (README "Correctness contract"): every
+  * query the driver runs is gated. Concretely:
+  *
+  *   1. every `oracleSql` key names a real query (no dangling oracles
+  *      silently skipped by the driver);
+  *   2. every query either carries a DuckDB oracle, or is an
+  *      approximate-by-design headline that ships BOTH an exact oracled
+  *      sibling/recall spec AND an empty-relation `*_verify` property
+  *      oracle — so no new no-oracle query can land unnoticed;
+  *   3. the no-oracle set is pinned exactly: growing it is a conscious,
+  *      reviewed act (update the list here AND ship the `_verify`
+  *      sibling), never a side effect.
+  */
+class OracleContractSpec extends AnyFunSuite {
+
+  // the seven approximate-by-design headliners (engine-specific signatures
+  // or sketch internals); each exact/recall-gated elsewhere and each
+  // driver-gated by its *_verify property sibling
+  private val approximateByDesign = Set(
+    "q_approx_distinct", "q_dedup_embedding", "q_dedup_minhash",
+    "q_dedup_simhash", "q_dedup_semantic", "q_sim_topk_ivf", "q_sim_topk_pq")
+
+  test("every oracleSql key names an implemented query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("every query is driver-gated: an oracle, or _verify + exact sibling") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle === approximateByDesign,
+      "the no-oracle set changed — a new approximate query MUST ship an " +
+        "exact oracled sibling (or recall spec) AND an empty-relation " +
+        "*_verify property oracle, then be added to approximateByDesign " +
+        s"here. Unexpected: ${noOracle -- approximateByDesign}; " +
+        s"missing: ${approximateByDesign -- noOracle}")
+    approximateByDesign.foreach { q =>
+      assert(SparkEntry.queries.contains(s"${q}_verify"),
+        s"$q lacks its ${q}_verify property sibling in queries")
+      assert(SparkEntry.oracleSql.contains(s"${q}_verify"),
+        s"${q}_verify lacks its empty-relation oracle")
+    }
+  }
+
+  test("every *_verify property oracle is an empty relation") {
+    val verifies = SparkEntry.oracleSql.filter(_._1.endsWith("_verify"))
+    assert(verifies.nonEmpty)
+    verifies.foreach { case (name, sql) =>
+      assert(sql.toUpperCase.contains("WHERE FALSE"),
+        s"$name: a *_verify oracle must be the empty relation (violations-only contract)")
+    }
+  }
+}

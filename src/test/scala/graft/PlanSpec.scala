@@ -211,10 +211,12 @@ class PlanSpec extends SparkSpec {
   test("global audit: no cartesian products or unexpected nested-loop joins anywhere") {
     // BNLJ is legitimate ONLY where a bounded side is broadcast on purpose:
     // the exact-topk broadcast crossJoins, the bounded exact near-dup
-    // oracle, and the unigram LM's ONE-ROW corpus-total crossed into the
-    // vocab table (the shuffle-free alternative to a global window)
+    // oracle, the unigram LM's ONE-ROW corpus-total crossed into the
+    // vocab table (the shuffle-free alternative to a global window), and
+    // the centroid verify's dimension-sized (64-row) positions frame
+    // crossed into the embeddings as its non-posexplode recompute path
     val bnljAllowed = Set("q_sim_topk", "q_dedup_embedding_exact",
-      "q_mine_hard_negatives", "q_text_unigram_lp")
+      "q_mine_hard_negatives", "q_text_unigram_lp", "q_vec_centroid_verify")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly

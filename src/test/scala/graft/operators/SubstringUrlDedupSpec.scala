@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contracts of the two round-6 dedup modes: exact repeated-substring
+  * spans (anchor grams + island merge) and URL+content composite dedup. */
+class SubstringUrlDedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repeatedSpans finds a cross-document repeated span with exact boundaries") {
+    // docs 1 and 2 share tokens 2..11 of doc 1 (a 10-token run); k=4
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      (1L, s"x1 y1 $shared z1 w1"),
+      (2L, s"a2 b2 c2 $shared d2"),
+      (3L, "nothing here repeats at all ever once only"))
+    val out = SubstringDedup.repeatedSpans(d, "doc_id", "text", k = 4)
+      .orderBy("doc_id", "start_tok")
+      .collect()
+    assert(out.length === 2)
+    // doc 1: shared run is tokens 2..11 (0-based); doc 2: tokens 3..12
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 2L &&
+      out(0).getLong(2) === 11L && out(0).getLong(3) === 10L)
+    assert(out(1).getLong(0) === 2L && out(1).getLong(1) === 3L &&
+      out(1).getLong(2) === 12L && out(1).getLong(3) === 10L)
+  }
+
+  test("repeatedSpans catches WITHIN-document repeats and merges touching anchors") {
+    // "p q r s" occurs twice inside one doc — corpus-wide count >= 2
+    val d = docs((7L, "p q r s junk1 junk2 p q r s"),
+      (8L, "totally unrelated words live here today"))
+    val out = SubstringDedup.repeatedSpans(d, "doc_id", "text", k = 4)
+      .orderBy("doc_id", "start_tok").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(7L, 7L))
+    assert(out(0).getLong(1) === 0L && out(0).getLong(2) === 3L)
+    assert(out(1).getLong(1) === 6L && out(1).getLong(2) === 9L)
+  }
+
+  test("repeatedSpans tokenization survives tabs/newlines (matches the UDF rule)") {
+    val shared = "one two three four five six seven eight"
+    val d = docs((1L, s"\t$shared\n"), (2L, s"$shared"))
+    val out = SubstringDedup.repeatedSpans(d, "doc_id", "text", k = 8).collect()
+    // both docs are exactly the shared 8 tokens: span 0..7 in each
+    assert(out.length === 2)
+    assert(out.forall(r => r.getLong(1) === 0L && r.getLong(2) === 7L))
+  }
+
+  test("normalizeUrl strips scheme, www, query, fragment, trailing slash") {
+    val s = spark; import s.implicits._
+    val in = Seq(
+      "https://www.Example.com/A/B/?utm_source=x&id=3#frag",
+      "http://example.com/a/b",
+      "example.com/a/b///",
+      "https://sub.example.com/a/b?x=1").toDF("u")
+    val got = in.select(Dedup.normalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got === Seq("example.com/a/b", "example.com/a/b",
+      "example.com/a/b", "sub.example.com/a/b"))
+  }
+
+  test("urlContentDedup collapses same-key+same-content only") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "https://www.site.com/p?a=1", "same text"),
+      (2L, "http://site.com/p/", "same text"),   // same key, same content
+      (3L, "http://site.com/p", "DIFFERENT"),    // same key, other content
+      (4L, "http://other.com/p", "same text"))   // other key
+      .toDF("doc_id", "url", "text")
+    val out = Dedup.urlContentDedup(d, "url", "text", "doc_id")
+      .orderBy("url_key", "content_md5").collect()
+    assert(out.length === 3)
+    val collapsed = out.find(_.getLong(2) === 1L).get
+    assert(collapsed.getString(0) === "site.com/p" && collapsed.getLong(3) === 2L)
+  }
+
+  test("capstone URL stage is absorbed by min-id exact dedup (composition theorem)") {
+    val sf = testDataDir()
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 25).cast("string"), lit("/?utm_source="), col("lang")))
+    val without = CorpusPipeline.curate(base).orderBy("doc_id").collect()
+    val withUrl = CorpusPipeline.curate(base,
+      CorpusPipeline.Config(urlCol = Some("url"))).orderBy("doc_id").collect()
+    assert(withUrl.toSeq === without.toSeq)
+  }
+}
