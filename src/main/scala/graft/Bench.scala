@@ -73,19 +73,23 @@ object Bench {
     }
     def timeOf(k: String): Double =
       best.getOrElse(k, failedTime.getOrElse(k, 0.0))
-    val qs = names.map(k => s"\"" + k + "\":" + timeOf(k)).mkString("{", ",", "}")
-    // run-to-run spread: max alongside min, so the emitted JSON itself
-    // separates machine-load noise (wide spread) from a plan regression
-    // (tight spread at a higher level) without a controlled re-bench
+    // 3-decimal rounding (Locale.ROOT: no grouping separators) and a
+    // deliberate key ORDER: the harness that collects this line keeps only
+    // the last ~2000 characters of output, so everything that must survive
+    // — the full per-query min map, the total, the agg contract — goes
+    // LAST, and the spread map (max of the runs, the noise-vs-regression
+    // signal) sits in front where truncation costs least.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = names.map(k => s"\"" + k + "\":" + fmt(timeOf(k))).mkString("{", ",", "}")
     val qsMax = names.map(k =>
-      s"\"" + k + "\":" + worst.getOrElse(k, timeOf(k))).mkString("{", ",", "}")
+      s"\"" + k + "\":" + fmt(worst.getOrElse(k, timeOf(k)))).mkString("{", ",", "}")
     val total = names.map(timeOf).sum
     val neverSucceeded = names.filterNot(best.contains)
     val failedJson =
       if (neverSucceeded.isEmpty) ""
       else neverSucceeded.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"sf":"$sfDir","runs":$runs,"agg":"min"$failedJson}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"queries_max":$qsMax$failedJson,"queries":$qs,"value":${fmt(total)},"agg":"min"}""")
     spark.stop()
   }
 }

@@ -50,6 +50,42 @@ class SubstringUrlDedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) === 0L && r.getLong(2) === 7L))
   }
 
+  test("hash-keyed scale path agrees with the exact string-keyed path on real data") {
+    val d = spark.read.parquet(s"${testDataDir()}/documents.parquet")
+    for (k <- Seq(4, 8)) {
+      val exact = SubstringDedup.repeatedSpans(d, "doc_id", "text", k = k)
+        .orderBy("doc_id", "start_tok").collect().toSeq
+      val hashed = SubstringDedup.repeatedSpans(d, "doc_id", "text", k = k,
+        hashKeys = true).orderBy("doc_id", "start_tok").collect().toSeq
+      assert(hashed === exact, s"k=$k: hash-keyed spans diverge")
+      assert(exact.nonEmpty, s"k=$k: fixture should contain repeated spans")
+    }
+  }
+
+  test("removeRepeatedSpans keeps one canonical copy, strips the rest") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      (1L, s"x1 y1 $shared z1"),          // canonical (min doc_id, start 2)
+      (2L, s"a2 $shared b2"),             // loses the span
+      (3L, "no repeats in this one here at all"))
+    val out = SubstringDedup.removeRepeatedSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getString(1) === s"x1 y1 $shared z1" && out(0).getLong(2) === 0L)
+    assert(out(1).getString(1) === "a2 b2" && out(1).getLong(2) === 8L)
+    assert(out(2).getLong(2) === 0L)
+  }
+
+  test("removeRepeatedSpans strips a WITHIN-doc second occurrence only") {
+    val run = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val d = docs((5L, s"$run mid $run"),
+      (6L, "unrelated filler words that never repeat anywhere at all"))
+    val out = SubstringDedup.removeRepeatedSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === s"$run mid" && out(0).getLong(2) === 8L)
+    assert(out(1).getLong(2) === 0L)
+  }
+
   test("normalizeUrl strips scheme, www, query, fragment, trailing slash") {
     val s = spark; import s.implicits._
     val in = Seq(
