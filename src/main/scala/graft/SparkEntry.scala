@@ -1405,6 +1405,18 @@ object SparkEntry {
           col("qsum").cast("string").as("qsum"),
           col("n").cast("string").as("n"))),
 
+    // Upper-triangle Gram-matrix sums — the second moment behind the
+    // distributed-covariance/PCA operator (VectorStats.pcaComponents),
+    // under the same fixed-point contract as the centroid: the product of
+    // two IEEE doubles is the same double in every engine, floor pins it
+    // to a long, long sums commute. All columns string-cast on both sides
+    // (the q_vec_centroid lesson: leave no numeric repr to canonicalize).
+    "q_vec_gram" -> ((s, dir) =>
+      operators.VectorStats.gramSums(t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))
+        .select(col("i").cast("string").as("i"), col("j").cast("string").as("j"),
+          col("qsum").cast("string").as("qsum"), col("n").cast("string").as("n"))),
+
     // Verification-property sibling: the posexplode fixed-point path must
     // agree exactly (integer equality, no tolerance) with an independent
     // in-Spark recompute that never uses posexplode — a broadcast
@@ -2613,6 +2625,17 @@ object SparkEntry {
       """SELECT CAST(NULL AS INTEGER) AS label, CAST(NULL AS BIGINT) AS pos,
         |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
+
+    // Same fixed-point determinism argument as q_vec_centroid; i/j are
+    // 0-based to match the Spark side's sequence(0, d-1).
+    "q_vec_gram" ->
+      """SELECT CAST(i.i AS VARCHAR) AS i, CAST(j.j AS VARCHAR) AS j,
+        |  CAST(SUM(CAST(FLOOR(CAST(e.embedding[i.i + 1] AS DOUBLE) * CAST(e.embedding[j.j + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS VARCHAR) AS qsum,
+        |  CAST(COUNT(*) AS VARCHAR) AS n
+        |FROM embeddings e, (SELECT UNNEST(RANGE(0, 64)) AS i) i, (SELECT UNNEST(RANGE(0, 64)) AS j) j
+        |WHERE j.j >= i.i
+        |GROUP BY i.i, j.j
+        |ORDER BY i.i, j.j""".stripMargin,
 
     "q_agg_salted" ->
       """SELECT l_returnflag,

@@ -52,4 +52,146 @@ object VectorStats {
       .groupBy(col(groupCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => e.getField("m")).as("centroid"))
+
+  /** Upper-triangle Gram-matrix sums in the same fixed-point contract as
+    * [[centroidSums]]: entry (i, j), i <= j 0-based, carries
+    * `qsum = Σ_rows floor(v_i · v_j · grid)` plus the row count — the
+    * second moment a distributed covariance/PCA needs, engine- and
+    * order-reproducible (the product of two IEEE doubles is the same
+    * double everywhere; floor → long; long sums commute).
+    *
+    * Scale shape: the pair explode is d(d+1)/2 per row (2080 at d=64) but
+    * the rows are three narrow ints/longs and flow straight into a
+    * map-side-combined aggregate whose key space is d(d+1)/2 — the
+    * shuffle is dimension-sized, independent of corpus size. The nested
+    * transform runs over a BOUND array column (the HOF re-evaluation
+    * trap), entirely in codegen; no UDF. */
+  def gramSums(df: DataFrame, vecCol: String, grid: Double = 1e6): DataFrame = {
+    val c = col("__v")
+    df.select(col(vecCol).as("__v"))
+      .select(explode(flatten(transform(sequence(lit(0), size(c) - 1), i =>
+        transform(sequence(i, size(c) - 1), j =>
+          struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            floor(element_at(c, (i + lit(1)).cast("int")).cast("double") *
+              element_at(c, (j + lit(1)).cast("int")).cast("double") * grid)
+              .cast("long").as("q")))))).as("__p"))
+      .select(col("__p.i").as("i"), col("__p.j").as("j"), col("__p.q").as("__q"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("__q")).as("qsum"), count(lit(1)).as("n"))
+  }
+
+  /** PCA from distributed moments: mean vector and d×d second-moment
+    * matrix aggregate in-engine (double sums — internal math, no
+    * cross-engine contract), then the d×d covariance eigenproblem is
+    * solved ON THE DRIVER with cyclic Jacobi rotations (Golub & Van Loan
+    * §8.5) — the classic at-scale split: data-sized work distributed,
+    * dimension-sized work (d² doubles, d ≪ 10⁴) local. Returns
+    * (mean, eigenvalues desc, row-major eigenvectors) of the top-k.
+    *
+    * Two passes over the input (mean+moment could fuse into one explode;
+    * kept separate for clarity — both are map-side-combined shuffles of
+    * dimension-sized key spaces). */
+  def pcaComponents(df: DataFrame, vecCol: String,
+                    k: Int): (Array[Double], Array[Double], Array[Array[Double]]) = {
+    val c = col("__v")
+    val moments = df.select(col(vecCol).as("__v"))
+      .select(explode(flatten(transform(sequence(lit(0), size(c) - 1), i =>
+        transform(sequence(i, size(c) - 1), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(c, (i + lit(1)).cast("int")).cast("double") *
+              element_at(c, (j + lit(1)).cast("int")).cast("double")).as("p"),
+            when(j === i, element_at(c, (i + lit(1)).cast("int")).cast("double"))
+              .otherwise(lit(0.0)).as("v")))))).as("__e"))
+      .select(col("__e.i").as("i"), col("__e.j").as("j"),
+        col("__e.p").as("p"), col("__e.v").as("v"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sp"), sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .collect() // d(d+1)/2 rows — dimension-sized, bounded by design
+    require(moments.nonEmpty, "pcaComponents: empty input")
+    val d = moments.iterator.map(_.getAs[Int]("j")).max + 1
+    val n = moments.head.getAs[Long]("n").toDouble
+    val mean = new Array[Double](d)
+    val cov = Array.ofDim[Double](d, d)
+    moments.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      cov(i)(j) = r.getAs[Double]("sp") / n
+      cov(j)(i) = cov(i)(j)
+      if (i == j) mean(i) = r.getAs[Double]("sv") / n
+    }
+    for (i <- 0 until d; j <- 0 until d) cov(i)(j) -= mean(i) * mean(j)
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => -evals(i)).take(k)
+    (mean, order.map(evals).toArray, order.map(evecs).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: rotate away
+    * the largest off-diagonal entries until convergence. O(d³) per sweep,
+    * fine for d ≤ a few thousand — this runs on the driver over a
+    * dimension-sized matrix, never over data. Returns (eigenvalues,
+    * row-major eigenvectors). */
+  private[operators] def jacobiEigen(m: Array[Array[Double]],
+                                     maxSweeps: Int = 64,
+                                     tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > tol) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          // sign(0) must be +1 here: equal diagonal entries (theta = 0)
+          // still need the full 45-degree rotation, not a no-op
+          val sgn = if (theta >= 0.0) 1.0 else -1.0
+          val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val cos = 1.0 / math.sqrt(t * t + 1.0)
+          val sin = t * cos
+          for (i <- 0 until d) {
+            val (aip, aiq) = (a(i)(p), a(i)(q))
+            a(i)(p) = cos * aip - sin * aiq
+            a(i)(q) = sin * aip + cos * aiq
+          }
+          for (i <- 0 until d) {
+            val (api, aqi) = (a(p)(i), a(q)(i))
+            a(p)(i) = cos * api - sin * aqi
+            a(q)(i) = sin * api + cos * aqi
+          }
+          for (i <- 0 until d) {
+            val (vip, viq) = (v(i)(p), v(i)(q))
+            v(i)(p) = cos * vip - sin * viq
+            v(i)(q) = sin * vip + cos * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), Array.tabulate(d)(i => Array.tabulate(d)(j => v(j)(i))))
+  }
+
+  /** Project each vector onto the top-k principal components (centered
+    * dot products) — whitening-lite before cosine dedup, à la the
+    * SemDeDup-style pipelines. The k×d component matrix and mean ship as
+    * LITERAL arrays inside the plan (dimension-sized, not data) and the
+    * projection is pure HOF arithmetic over a bound centered column —
+    * codegen, no UDF, no shuffle. */
+  def pcaProject(df: DataFrame, vecCol: String, outCol: String,
+                 k: Int): DataFrame = {
+    val (mean, _, comps) = pcaComponents(df, vecCol, k)
+    val meanLit = typedlit(mean.toSeq)
+    val compsLit = typedlit(comps.map(_.toSeq).toSeq)
+    // the size() guard is a second syntactic reference to __ctr: with only
+    // one, CollapseProject inlines the centering INTO the component lambda
+    // and re-centers once per component (the measured HOF re-eval trap)
+    df.withColumn("__ctr",
+        zip_with(col(vecCol), meanLit, (x, m) => x.cast("double") - m))
+      .withColumn(outCol,
+        when(size(col("__ctr")) < 0, typedlit(Seq.empty[Double]))
+          .otherwise(transform(compsLit, comp =>
+            aggregate(zip_with(col("__ctr"), comp, (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x))))
+      .drop("__ctr")
+  }
 }
