@@ -6,7 +6,9 @@ import org.apache.spark.sql.types.StructType
 /** Multi-format source/sink surface: the engine's tables round-trip through
   * every bundled columnar/text format (parquet is the native warehouse
   * format in [[graft.sink.Warehouse]]; this adds json, orc, and csv — the
-  * reference's own ingest format — behind one API).
+  * reference's own ingest format — behind one API), plus the two raw
+  * ingestion shapes an LLM corpus pipeline starts from: line/whole-file
+  * text ([[readText]]) and binary payloads ([[readBinary]]).
   *
   * Schema discipline: reads always re-apply the WRITER's schema instead of
   * inferring — inference is both a correctness trap (json widens ints,
@@ -36,5 +38,37 @@ object Formats {
       case "csv" => r.option("header", "true")
       case other => r
     }).format(format).load(path)
+  }
+
+  /** Line-oriented raw-text ingestion — the shape LLM corpus dumps arrive
+    * in (one document or record per line, no schema). `wholetext = true`
+    * reads each FILE as one row instead (document-per-file corpora).
+    * Output: (value) plus the source path for lineage, mirroring the
+    * SOURCE_FILE discipline of the CSV ingest. Splittable when
+    * line-oriented and uncompressed, so 100 TB parallelizes by block;
+    * whole-file mode is one task per file by construction. */
+  def readText(spark: SparkSession, path: String,
+               wholeText: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
+    spark.read.option("wholetext", wholeText.toString).text(path)
+      .withColumn("source_file", input_file_name())
+  }
+
+  /** Binary-payload ingestion for the multimodal pipeline: each matched
+    * file becomes (path, modificationTime, length, content BINARY) — the
+    * input shape [[graft.operators.Multimodal]] parses. `pathGlobFilter`
+    * prunes at LISTING time (no read of non-matching files);
+    * `maxBytesPerFile` guards the executor heap against a stray huge blob
+    * (oversize files fail fast at the source instead of OOMing a task
+    * mid-pipeline — it is a SESSION conf, set here because the datasource
+    * exposes no per-read option). One row per file — parallelism is
+    * file-count-bounded, the right shape for image/audio shards. */
+  def readBinary(spark: SparkSession, path: String,
+                 globFilter: String = "*",
+                 maxBytesPerFile: Long = 64L * 1024 * 1024): DataFrame = {
+    spark.conf.set("spark.sql.sources.binaryFile.maxLength", maxBytesPerFile.toString)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter)
+      .load(path)
   }
 }

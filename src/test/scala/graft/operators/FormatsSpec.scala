@@ -27,4 +27,42 @@ class FormatsSpec extends SparkSpec {
       Formats.roundTrip(orders, "avro", s"$tmp/nope")
     }
   }
+
+  test("readText: line mode splits per line, wholetext one row per file, lineage kept") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-text-spec")
+    try {
+      java.nio.file.Files.writeString(tmp.resolve("a.txt"), "doc one line 1\ndoc one line 2\n")
+      java.nio.file.Files.writeString(tmp.resolve("b.txt"), "doc two\n")
+      val lines = Formats.readText(spark, tmp.toString).collect()
+      assert(lines.length === 3)
+      assert(lines.map(_.getString(0)).sorted.toSeq ===
+        Seq("doc one line 1", "doc one line 2", "doc two"))
+      assert(lines.forall(_.getString(1).endsWith(".txt")), "source_file lineage missing")
+      val whole = Formats.readText(spark, tmp.toString, wholeText = true).collect()
+      assert(whole.length === 2)
+      assert(whole.map(_.getString(0)).sorted.head.startsWith("doc one line 1\n"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
+  test("readBinary: glob prunes at listing, content round-trips byte-exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bin-spec")
+    try {
+      val payload = Array.tabulate[Byte](256)(i => i.toByte)
+      java.nio.file.Files.write(tmp.resolve("x.bin"), payload)
+      java.nio.file.Files.write(tmp.resolve("y.bin"), Array[Byte](1, 2, 3))
+      java.nio.file.Files.writeString(tmp.resolve("skip.txt"), "not binary payload")
+      val rows = Formats.readBinary(spark, tmp.toString, globFilter = "*.bin")
+        .orderBy(col("path")).collect()
+      assert(rows.length === 2, "glob filter must prune the .txt at listing time")
+      assert(rows.map(_.getAs[Long]("length")).toSeq === Seq(256L, 3L))
+      assert(rows(0).getAs[Array[Byte]]("content").toSeq === payload.toSeq)
+      // the oversize guard fails fast at the source
+      intercept[org.apache.spark.SparkException] {
+        Formats.readBinary(spark, tmp.toString, globFilter = "*.bin",
+          maxBytesPerFile = 100).collect()
+      }
+      // restore the default so later suites in the shared session see it
+      spark.conf.unset("spark.sql.sources.binaryFile.maxLength")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
 }
