@@ -965,6 +965,34 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Stream-to-serving-table composition: a multi-file event stream is
+    // upserted per micro-batch into a parquet table (latest event per user
+    // wins), one file per trigger so the merge crosses FOUR batch
+    // boundaries; the final table must equal the one-shot batch dedup,
+    // which is the oracle. Exactly-once by idempotence — replaying a batch
+    // re-merges already-ranked rows (spec-asserted in WarehouseOpsSpec).
+    "q_stream_upsert" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_upsert_src_", "graft_upsert_tbl_"))
+      val base = System.getProperty("java.io.tmpdir")
+      val tag = runTag(dir)
+      val src = s"$base/graft_upsert_src_$tag"
+      val tbl = s"$base/graft_upsert_tbl_$tag"
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(src)
+      val fs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+      streaming.StreamingIngest.runStreamUpsertBounded(s, src, tbl,
+        Seq("user_id"), Seq(col("ts").desc, col("event_id").desc),
+        maxFilesPerTrigger = 1)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Partition pruning: write partitioned by the filter column, read with
     // an equality predicate — the scan must touch ONE partition directory
     // (PartitionFilters in the plan, guarded in PlanSpec), the layout that
@@ -1926,6 +1954,15 @@ object SparkEntry {
     "q_stream_dedup_wm" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // The multi-batch streaming upsert must land exactly the batch
+    // latest-per-user dedup; ts is parquet nanos (TIMESTAMP_NS in DuckDB,
+    // normalized long in Spark) compared on the microsecond surface.
+    "q_stream_upsert" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) e
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_join_bucketed" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

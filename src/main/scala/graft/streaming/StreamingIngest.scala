@@ -293,6 +293,88 @@ object StreamingIngest {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Continuous upsert into a parquet warehouse table: every micro-batch
+    * merges into the standing table through
+    * [[graft.sink.Warehouse.upsertLatest]] (latest-wins per key) and the
+    * rewritten table swaps into place with checked renames — the
+    * stream-to-serving-table composition (CDC-style ingest).
+    *
+    * Exactly-once WITHOUT a transactional sink: the merge is idempotent —
+    * replaying a batch after a crash re-merges rows that already won (or
+    * already lost) the latest-wins ranking, leaving the table unchanged —
+    * so at-least-once foreachBatch delivery composes to exactly-once table
+    * state. The full-table rewrite per batch is the parquet-directory
+    * simplification; at scale the same foreachBatch body targets a table
+    * format's MERGE and everything else stands.
+    *
+    * Scale shape: one key shuffle per batch (the upsert window), table
+    * read is a plain parquet scan; state lives in the TABLE, not the
+    * state store — no streaming state grows with key cardinality. */
+  def streamUpsertToWarehouse(stream: DataFrame, tablePath: String,
+                              keyCols: Seq[String],
+                              orderCols: Seq[org.apache.spark.sql.Column],
+                              checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(tablePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val table = new org.apache.hadoop.fs.Path(tablePath)
+        val existing =
+          if (fs.exists(table)) spark.read.parquet(tablePath)
+          else batch.limit(0)
+        val merged = graft.sink.Warehouse.upsertLatest(
+          existing, batch, keyCols, orderCols)
+        // the merged plan READS the live table, so it cannot overwrite it
+        // in place: write aside, then swap with checked renames (the
+        // Warehouse.compact discipline — no failure ordering loses data)
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + "__upserting")
+        val bak = new org.apache.hadoop.fs.Path(tablePath + "__old")
+        require(!fs.exists(tmp) && !fs.exists(bak),
+          s"stale upsert leftovers at $tmp or $bak — resolve before streaming")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val hadTable = fs.exists(table)
+        if (hadTable && !fs.rename(table, bak))
+          throw new java.io.IOException(s"upsert: failed to move $table aside")
+        if (!fs.rename(tmp, table)) {
+          val restored = !hadTable || fs.rename(bak, table)
+          throw new java.io.IOException(
+            s"upsert: failed to move $tmp into place" +
+              (if (restored) "; original restored" else s"; ORIGINAL LEFT AT $bak"))
+        }
+        if (hadTable) fs.delete(bak, true)
+        ()
+      }
+      .start()
+
+  /** Bounded-stream driver for [[streamUpsertToWarehouse]]: streams a
+    * parquet path (optionally a few files per trigger, to force MULTIPLE
+    * micro-batches through the merge) and returns the final table. */
+  def runStreamUpsertBounded(spark: SparkSession, parquetPath: String,
+                             tablePath: String, keyCols: Seq[String],
+                             orderCols: Seq[org.apache.spark.sql.Column],
+                             maxFilesPerTrigger: Int = 0): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val streamPath = if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
+    val reader = spark.readStream.schema(schema)
+    val withTrigger =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader
+    val stream = normalizeTs(withTrigger.parquet(streamPath))
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-upsert-ckpt").toString
+    val q = streamUpsertToWarehouse(stream, tablePath, keyCols, orderCols, checkpoint)
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(checkpoint))
+    }
+    spark.read.parquet(tablePath)
+  }
+
   /** Run the windowed aggregation over a parquet path as a bounded stream;
     * returns the final result as a batch DataFrame. `statePartitions` sizes
     * the state-store layout (see [[withStatePartitions]]). */
