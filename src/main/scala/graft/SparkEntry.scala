@@ -1133,6 +1133,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic training-order shuffle: seeded double Knuth hash →
+    // shard + in-shard rank, a pure function of the ids (orderBy(rand())
+    // changes with partitioning/retries/engine; this never does). The
+    // oracle re-derives both hash applications in overflow-free integer
+    // arithmetic.
+    "q_corpus_shuffle" -> ((s, dir) =>
+      operators.Sampling.shuffleIntoShards(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", numShards = 8, seed = 42L)
+        .orderBy(col("shard"), col("pos"))),
+
     // PII redaction over deterministic synthetic PII (the fixture corpus
     // has no punctuation, so raw-documents redaction would be vacuous); the
     // oracle rebuilds the same PII text and redaction chain in SQL.
@@ -2472,6 +2483,24 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE slot < CASE stratum WHEN 'short' THEN 100 WHEN 'mid' THEN 500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // Double Knuth application with the seed folded in between; every
+    // intermediate stays under 2^48 (the split-16 idiom), so JVM and ANSI
+    // integer semantics agree at any doc_id.
+    "q_corpus_shuffle" ->
+      """WITH k1 AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (doc_id % 65536) * 2654435761) % 4294967296 AS s1
+        |  FROM documents),
+        |k2 AS (
+        |  SELECT doc_id,
+        |    (((s1 + 42) % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + ((s1 + 42) % 65536) * 2654435761) % 4294967296 AS sk
+        |  FROM k1)
+        |SELECT doc_id, sk % 8 AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id) - 1 AS BIGINT) AS pos
+        |FROM k2 ORDER BY shard, pos""".stripMargin,
 
     // Rebuilds the synthetic PII text and the email→IP→phone redaction
     // chain verbatim (DuckDB regexp_replace needs the 'g' flag — its

@@ -59,6 +59,31 @@ object Sampling {
     df.filter(perMilleSlot(col(idCol)) < rate)
   }
 
+  /** Deterministic corpus shuffle — training-order randomization as a pure
+    * function of the ids, the property `df.orderBy(rand())` cannot give
+    * (per-partition RNG: order changes with partitioning, retries, engine).
+    * Each row's shuffle key is a seeded double Knuth hash
+    * (`slot32(slot32(id) + seed)` — every intermediate overflow-free and
+    * ANSI-expressible); `shard = key mod numShards` spreads documents
+    * uniformly, `pos` ranks within the shard. Writers consume this as
+    * `partitionBy(shard) + sortWithinPartitions(pos)` — the training-shard
+    * layout, reproducible bit-for-bit at any scale, any engine.
+    *
+    * Scale shape: one window shuffle keyed by shard (the global sort a
+    * naive `orderBy(hash)` would do is avoided — training order only needs
+    * to be fixed WITHIN a shard, and shard assignment is already hashed). */
+  def shuffleIntoShards(df: DataFrame, idCol: String, numShards: Int,
+                        seed: Long = 0L): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    require(seed >= 0 && seed < 4294967296L, "seed is a 32-bit value")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("__sk"), col(idCol))
+    df.withColumn("__sk", knuthSlot32(knuthSlot32(col(idCol)) + lit(seed)))
+      .withColumn("shard", pmod(col("__sk"), lit(numShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__sk")
+  }
+
   /** Deterministic per-group "reservoir": rank each group's rows by the
     * Knuth slot of their id (id as tie-break) and keep the first `k` — an
     * exactly-k-per-group sample that is, like [[stratifiedSample]], a pure

@@ -111,6 +111,32 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(kept3.count() == 0)
   }
 
+  test("shuffleIntoShards: a permutation, repartition-invariant, seed-sensitive") {
+    val docs = spark.read.parquet(s"${testDataDir("0.01")}/documents.parquet")
+      .select(col("doc_id"))
+    val out = Sampling.shuffleIntoShards(docs, "doc_id", numShards = 8, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // permutation: every doc exactly once
+    assert(out.map(_._1).sorted.toSeq ===
+      docs.collect().map(_.getLong(0)).sorted.toSeq)
+    // (shard, pos) is a dense unique key
+    assert(out.map(t => (t._2, t._3)).distinct.length === out.length)
+    for ((shard, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions must be dense from 0")
+    // every shard populated, none dominant (uniform hash spread)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size === 8 && sizes.values.max < out.length / 2)
+    // pure function of ids: any partitioning, same rows
+    val re = Sampling.shuffleIntoShards(docs.repartition(13), "doc_id", 8, 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.sorted.toSeq === out.sorted.toSeq)
+    // a different seed produces a genuinely different order
+    val other = Sampling.shuffleIntoShards(docs, "doc_id", 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.sorted.toSeq !== out.sorted.toSeq)
+  }
+
   test("token-budget mix: rates track targets, unlisted sources dropped, saturated kept whole") {
     import spark.implicits._
     // a: 2000 docs x 10 tokens = 20000; share 0.5 of 20000 -> target 10000, rate 0.5
