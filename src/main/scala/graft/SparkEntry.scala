@@ -1456,6 +1456,22 @@ object SparkEntry {
         .select(col("i").cast("string").as("i"), col("j").cast("string").as("j"),
           col("qsum").cast("string").as("qsum"), col("n").cast("string").as("n"))),
 
+    // Vector-quality gate: fixed-point squared norms, exact-percentile
+    // thresholds (the quantile_cont identity), plain comparison flags.
+    "q_vec_outliers" -> ((s, dir) =>
+      operators.VectorStats.normOutliers(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
+    // Length-bucketed dynamic batching: equi-depth buckets by length, then
+    // fixed-size batches within each bucket — the padding-efficiency
+    // layout; every number is integer/percentile-deterministic.
+    "q_length_batches" -> ((s, dir) =>
+      operators.Packing.lengthBucketedBatches(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", numBuckets = 8, batchDocs = 32)
+        .orderBy(col("bucket"), col("batch"), col("n_chars"), col("doc_id"))),
+
     // Verification-property sibling: the posexplode fixed-point path must
     // agree exactly (integer equality, no tolerance) with an independent
     // in-Spark recompute that never uses posexplode — a broadcast
@@ -2691,6 +2707,37 @@ object SparkEntry {
       """SELECT CAST(NULL AS INTEGER) AS label, CAST(NULL AS BIGINT) AS pos,
         |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
+
+    // Fixed-point norms are per-row HOF folds (BIGINT, no aggregate-type
+    // widening); thresholds via the established quantile_cont identity.
+    "q_vec_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS qnorm2
+        |  FROM embeddings),
+        |t AS (SELECT quantile_cont(qnorm2, [0.01, 0.99]) AS th FROM q)
+        |SELECT vec_id, qnorm2,
+        |  CAST(qnorm2 AS DOUBLE) < th[1] AS is_low,
+        |  CAST(qnorm2 AS DOUBLE) > th[2] AS is_high
+        |FROM q, t ORDER BY vec_id""".stripMargin,
+
+    // Equi-depth boundaries via quantile_cont (strict-less assignment keeps
+    // boundary docs in the lower bucket, same as the Spark side), then the
+    // same rank-chop-max-waste window arithmetic.
+    "q_length_batches" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, [0.125,0.25,0.375,0.5,0.625,0.75,0.875]) AS bounds FROM documents),
+        |bk AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(b.bounds, x -> x < CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
+        |  FROM documents, b),
+        |rk AS (
+        |  SELECT doc_id, n_chars, bucket,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_chars, doc_id) - 1) // 32 AS BIGINT) AS batch
+        |  FROM bk)
+        |SELECT doc_id, n_chars, bucket, batch,
+        |  MAX(n_chars) OVER (PARTITION BY bucket, batch) AS batch_max,
+        |  CAST(MAX(n_chars) OVER (PARTITION BY bucket, batch) - n_chars AS BIGINT) AS waste
+        |FROM rk ORDER BY bucket, batch, n_chars, doc_id""".stripMargin,
 
     // Same fixed-point determinism argument as q_vec_centroid; i/j are
     // 0-based to match the Spark side's sequence(0, d-1).

@@ -45,6 +45,46 @@ object Packing {
     * sequence (documents attributed to the sequence of their first token).
     * `waste` — capacity minus tokens started in the sequence — is the
     * padding a non-splitting loader would burn. */
+  /** Length-bucketed dynamic batching — the padding-efficiency layout for
+    * training/inference: batching similar-length documents together means
+    * each batch pads to ITS OWN max, not the corpus max. Buckets are
+    * equi-depth by token count (exact interpolated percentiles — the same
+    * `percentile` whose DuckDB `quantile_cont` identity `q_agg_percentiles`
+    * establishes, broadcast back as one tiny array); within a bucket, rows
+    * rank by (tokens, id) and chop into `batchDocs`-sized batches, so the
+    * per-batch max→waste arithmetic is a second pass over the same window
+    * partition. Output per doc: bucket, batch, n_tok, batch_max, waste.
+    *
+    * Scale: bucket count is small by design, so the bucket-keyed windows
+    * concentrate data — at corpus scale sub-salt each bucket and re-merge
+    * ranks through broadcast offsets exactly as [[PrefixSum.withPrefixSum]]
+    * does for its range buckets; the demo keeps the direct window form the
+    * oracle can mirror. */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, tokenCol: String,
+                            numBuckets: Int = 8, batchDocs: Int = 32): DataFrame = {
+    require(numBuckets > 1 && batchDocs > 0)
+    import org.apache.spark.sql.expressions.Window
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val bounds = df.agg(percentile(col(tokenCol),
+      typedlit(probs)).as("__bounds"))
+    val bucketed = df.select(col(idCol), col(tokenCol))
+      .crossJoin(broadcast(bounds))
+      // strict less: a doc sitting exactly on a boundary stays in the
+      // lower bucket — deterministic and identically expressible in SQL
+      .withColumn("bucket",
+        size(filter(col("__bounds"), b => b < col(tokenCol).cast("double")))
+          .cast("long"))
+      .drop("__bounds")
+    val wRank = Window.partitionBy(col("bucket"))
+      .orderBy(col(tokenCol), col(idCol))
+    val wBatch = Window.partitionBy(col("bucket"), col("batch"))
+    bucketed
+      .withColumn("batch",
+        ((row_number().over(wRank) - 1) / batchDocs).cast("long"))
+      .withColumn("batch_max", max(col(tokenCol)).over(wBatch))
+      .withColumn("waste", (col("batch_max") - col(tokenCol)).cast("long"))
+  }
+
   def packingStats(df: DataFrame, idCol: String, tokenCol: String,
                    capacity: Long): DataFrame =
     packSequences(df, idCol, tokenCol, capacity)

@@ -80,6 +80,31 @@ object VectorStats {
       .agg(sum(col("__q")).as("qsum"), count(lit(1)).as("n"))
   }
 
+  /** Embedding-norm outlier flags — the cheap vector-quality gate run
+    * before any similarity work (truncated/zeroed vectors at the bottom,
+    * un-normalized or corrupted ones at the top). The squared norm is
+    * computed in the fixed-point contract (`Σ floor(v²·grid)` per row — a
+    * pure HOF fold, deterministic in every engine), percentile thresholds
+    * come from the same exact interpolated `percentile` the oracle mirrors
+    * with `quantile_cont`, and the flags are plain comparisons. One tiny
+    * aggregate broadcast back; no shuffle of the vectors themselves. */
+  def normOutliers(df: DataFrame, idCol: String, vecCol: String,
+                   lowPct: Double = 0.01, highPct: Double = 0.99,
+                   grid: Double = 1e6): DataFrame = {
+    require(lowPct >= 0 && highPct <= 1 && lowPct < highPct)
+    val q = df.select(col(idCol),
+      aggregate(
+        transform(col(vecCol),
+          v => floor(v.cast("double") * v.cast("double") * grid).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("qnorm2"))
+    val thr = q.agg(
+      percentile(col("qnorm2"), typedlit(Seq(lowPct, highPct))).as("__t"))
+    q.crossJoin(broadcast(thr))
+      .select(col(idCol), col("qnorm2"),
+        (col("qnorm2").cast("double") < element_at(col("__t"), 1)).as("is_low"),
+        (col("qnorm2").cast("double") > element_at(col("__t"), 2)).as("is_high"))
+  }
+
   /** PCA from distributed moments: mean vector and d×d second-moment
     * matrix aggregate in-engine (double sums — internal math, no
     * cross-engine contract), then the d×d covariance eigenproblem is

@@ -212,11 +212,14 @@ class PlanSpec extends SparkSpec {
     // BNLJ is legitimate ONLY where a bounded side is broadcast on purpose:
     // the exact-topk broadcast crossJoins, the bounded exact near-dup
     // oracle, the unigram LM's ONE-ROW corpus-total crossed into the
-    // vocab table (the shuffle-free alternative to a global window), and
-    // the centroid verify's dimension-sized (64-row) positions frame
-    // crossed into the embeddings as its non-posexplode recompute path
+    // vocab table (the shuffle-free alternative to a global window), the
+    // centroid verify's dimension-sized (64-row) positions frame crossed
+    // into the embeddings as its non-posexplode recompute path, and the
+    // ONE-ROW percentile-threshold frames of the outlier gate and the
+    // length-bucket boundary assignment
     val bnljAllowed = Set("q_sim_topk", "q_dedup_embedding_exact",
-      "q_mine_hard_negatives", "q_text_unigram_lp", "q_vec_centroid_verify")
+      "q_mine_hard_negatives", "q_text_unigram_lp", "q_vec_centroid_verify",
+      "q_vec_outliers", "q_length_batches")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly

@@ -67,6 +67,31 @@ class PackDecontSpec extends graft.SparkSpec {
       (4L, 1L, false), (5L, 1L, true)))
   }
 
+  test("length-bucketed batches: dense chops, waste vs own batch max, length-monotone buckets") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, 10L + i * 3)).toDF("doc_id", "n_tok")
+    val out = Packing.lengthBucketedBatches(docs, "doc_id", "n_tok",
+      numBuckets = 4, batchDocs = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length === 100)
+    // buckets are length-monotone: every doc in bucket b is <= every doc in b+1
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (b <- byBucket.keys if byBucket.contains(b + 1))
+      assert(byBucket(b).max <= byBucket(b + 1).min, s"bucket $b overlaps ${b + 1}")
+    // batches chop densely at 8 docs; each batch's waste is vs ITS max
+    for (((_, batch), rows) <- out.groupBy(t => (t._3, t._4))) {
+      assert(rows.length <= 8)
+      val mx = rows.map(_._2).max
+      assert(rows.forall(t => t._5 == mx && t._6 == mx - t._2))
+    }
+    // padding efficiency: bucketed waste strictly beats one global batch max
+    val globalWaste = out.map(t => out.map(_._2).max - t._2).sum
+    assert(out.map(_._6).sum < globalWaste / 4,
+      "length bucketing must cut padding waste by a wide margin on a length ramp")
+  }
+
   test("packing stats: docs and tokens attributed to first-token sequence") {
     import spark.implicits._
     val docs = Seq((1L, 4L), (2L, 6L), (3L, 8L), (4L, 5L)).toDF("doc_id", "n_tok")

@@ -107,6 +107,20 @@ class VectorStatsSpec extends SparkSpec {
     }
   }
 
+  test("normOutliers flags exactly the extreme-norm vectors") {
+    import spark.implicits._
+    // 100 unit-ish vectors + one near-zero + one huge
+    val rows = (0L until 100L).map(i => (i, Array(1.0f, (1 + (i % 7) * 0.001).toFloat))) ++
+      Seq((100L, Array(0.001f, 0.001f)), (101L, Array(50.0f, 50.0f)))
+    val out = VectorStats.normOutliers(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", lowPct = 0.01, highPct = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(100L) === ((true, false)), "near-zero vector must flag low")
+    assert(out(101L) === ((false, true)), "huge vector must flag high")
+    assert((0L until 100L).forall(i => out(i) == ((false, false))),
+      "normal vectors must not flag")
+  }
+
   test("centroids: per-label mean vector matches fixed-point means on the fixture") {
     val emb = spark.read.parquet(s"${testDataDir("0.01")}/embeddings.parquet")
     val cents = VectorStats.centroids(emb, "label", "embedding")
