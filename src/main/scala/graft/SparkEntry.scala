@@ -31,38 +31,48 @@ object SparkEntry {
     s"${h}_p${ProcessHandle.current().pid()}"
   }
 
-  /** Reclaim scratch dirs left by DEAD processes: [[runTag]] names end in
-    * `_p<pid>`, and a dir whose pid no longer exists is unreachable
-    * garbage (its owning JVM — and any in-memory catalog entry — died
-    * with it). Live pids — including ours — are normally never touched,
-    * with one escape hatch: the OS recycles pids, so a dir whose "owner"
-    * is alive but whose mtime is older than `staleMillis` is treated as
-    * orphaned anyway (a live JVM touches its scratch far more often than
-    * that, and a recycled pid would otherwise pin the dir forever; our
-    * own pid is always exempt). `legacy` names (the pre-suffix fixed
-    * names) get the same grace period instead of unconditional deletion,
-    * so a still-running pre-suffix JVM sharing the tmpdir is not raced.
-    * Everything is per-entry best-effort — an unparseable pid in the
-    * shared tmpdir, a racing sweep, or a permission blip must not fail
-    * the query. */
+  /** Reclaim scratch dirs left by DEAD processes: [[runTag]] names embed
+    * `_p<pid>` (possibly followed by a stage suffix like `__upserting`),
+    * and a dir whose pid no longer exists is unreachable garbage (its
+    * owning JVM — and any in-memory catalog entry — died with it). Live
+    * pids — including ours — are never touched, with one precise escape
+    * hatch for OS pid recycling: a real owner's process START always
+    * precedes every write it makes to its dir, so a "live" pid whose
+    * process started AFTER the dir's mtime (plus a minute of clock slack)
+    * cannot be the owner and the dir is orphaned. Age alone is NOT a
+    * reclaim signal for pid-tagged dirs — write-once-read-many scratch
+    * (bucketed tables reused across bench re-runs) goes hours without an
+    * mtime update while its owner is still reading it. `legacy` names
+    * (the pre-suffix fixed names, which carry no pid to test) are
+    * reclaimed only past `legacyGraceMillis`, so a still-running
+    * pre-suffix JVM sharing the tmpdir is not raced. Everything is
+    * per-entry best-effort — an unparseable pid in the shared tmpdir, a
+    * racing sweep, or a permission blip must not fail the query. */
   private[graft] def sweepDeadScratch(parent: java.io.File, prefixes: Seq[String],
                                       legacy: Seq[String] = Nil,
-                                      staleMillis: Long = 6L * 3600 * 1000): Unit = {
+                                      legacyGraceMillis: Long = 6L * 3600 * 1000): Unit = {
     val mine = ProcessHandle.current().pid()
-    val pidRe = "_p(\\d+)$".r
+    // NOT end-anchored: crash leftovers like `..._p123__upserting` must
+    // still resolve to their owning pid to be reclaimable
+    val pidRe = "_p(\\d+)".r
     val now = System.currentTimeMillis()
-    // lastModified()==0 means "unknown" (IO error) — never treat as stale
-    def stale(f: java.io.File): Boolean = {
-      val m = f.lastModified()
-      m > 0 && now - m > staleMillis
-    }
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
       scala.util.Try {
         if (legacy.contains(f.getName)) {
-          if (stale(f)) org.apache.commons.io.FileUtils.deleteDirectory(f)
+          val m = f.lastModified() // 0 = unknown (IO error): never reclaim
+          if (m > 0 && now - m > legacyGraceMillis)
+            org.apache.commons.io.FileUtils.deleteDirectory(f)
         } else if (prefixes.exists(f.getName.startsWith)) {
           pidRe.findFirstMatchIn(f.getName).map(_.group(1).toLong).foreach { pid =>
-            if (pid != mine && (!ProcessHandle.of(pid).isPresent || stale(f)))
+            val handle = ProcessHandle.of(pid)
+            val dead = !handle.isPresent
+            val recycled = !dead && {
+              val start = handle.get().info().startInstant()
+              val m = f.lastModified()
+              start.isPresent && m > 0 &&
+                start.get().toEpochMilli > m + 60000L
+            }
+            if (pid != mine && (dead || recycled))
               org.apache.commons.io.FileUtils.deleteDirectory(f)
           }
         }
@@ -104,15 +114,12 @@ object SparkEntry {
     * bigramLogProb (12.9s → 1.8s). The alias survives CollapseProject
     * because it is referenced more than once.
     *
-    * The empty-token filter is load-bearing: Spark's `trim` strips only
-    * ' ' (not \t/\n) and Spark's `split` keeps trailing empty strings,
-    * while the UDF side uses Java `String.trim` (strips all <= 0x20) and
-    * Java `split` (drops trailing empties) — so a doc with leading or
-    * trailing tab/newline would otherwise grow an extra "" token here,
-    * shift every n-gram, and raise a FALSE verify violation. Filtering
-    * ""s reproduces the UDF tokenization for all whitespace edges. */
-  private def builtinTokens(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), tok => tok =!= "")
+    * The empty-token filter inside [[Dedup.cleanTokens]] is load-bearing
+    * here: without it, a doc with leading/trailing tab/newline grows a
+    * stray "" token, shifts every n-gram, and raises a FALSE verify
+    * violation (see cleanTokens' scaladoc for the Spark-vs-Java split
+    * semantics). */
+  private def builtinTokens(text: Column): Column = Dedup.cleanTokens(text)
 
   /** Word n-gram jaccard over BOUND token-array columns with built-ins
     * only (sequence/slice/array_join/array_distinct/array_intersect/
@@ -1775,7 +1782,7 @@ object SparkEntry {
         |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
         |isl AS (
         |  SELECT doc_id, pos,
-        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
         |  FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM marked) z)
         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
@@ -1801,7 +1808,7 @@ object SparkEntry {
         |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
         |isl AS (
         |  SELECT doc_id, pos,
-        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
         |  FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM marked) z),
         |spans AS (
@@ -1983,11 +1990,14 @@ object SparkEntry {
         |ORDER BY user_id, event_type""".stripMargin,
 
     // The multi-batch streaming upsert must land exactly the batch
-    // latest-per-user dedup; ts is parquet nanos (TIMESTAMP_NS in DuckDB,
-    // normalized long in Spark) compared on the microsecond surface.
+    // latest-per-user dedup. ts is parquet nanos (TIMESTAMP_NS in DuckDB,
+    // normalized to MICROSECONDS in Spark before ranking) — so the oracle
+    // must RANK on epoch_us(ts) too, not the raw ns timestamp: two events
+    // in the same microsecond but different nanoseconds would otherwise
+    // elect different winners across the engines.
     "q_stream_upsert" ->
       """SELECT user_id, event_id, epoch_us(ts) AS us, value FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) e
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 

@@ -101,6 +101,16 @@ object Dedup {
   /** Lower-cased whitespace word tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** [[tokens]] with empty tokens dropped — the form that matches Java
+    * `String.trim`+`split` (the shingle UDF's tokenization) on EVERY
+    * whitespace edge: Spark's `trim` strips only ' ' and its `split`
+    * keeps trailing empty strings, so leading/trailing tab/newline would
+    * otherwise yield stray "" tokens and shift every n-gram. The single
+    * shared definition for every expression-side tokenizer (verify
+    * recomputes, substring dedup, bigram LM). */
+  def cleanTokens(text: Column): Column =
+    filter(tokens(text), t => t =!= "")
+
   /** Word n-gram shingles as a distinct array; docs shorter than n collapse
     * to one whole-text shingle. A tight-loop UDF: the equivalent
     * transform/element_at expression tree is interpreted per gram and

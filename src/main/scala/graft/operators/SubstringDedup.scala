@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * in-memory corpus. The distributed equivalent here: every k-token
   * "anchor gram" (position i covers tokens [i, i+k-1]) is emitted once,
   * grouped, and kept iff it occurs >= minOccurrences times; a span of
-  * length L >= k is repeated iff all of its L-k+1 anchors are, so merging
-  * each doc's surviving anchor positions into maximal intervals
-  * reconstructs exactly the maximal repeated spans — no pairwise doc
-  * comparison ever happens.
+  * length L >= k is repeated iff ALL of its L-k+1 anchors are, so merging
+  * each doc's surviving anchor positions into maximal runs of CONSECUTIVE
+  * positions (`pos == prev + 1` — a gap of even one anchor means some
+  * k-window inside the union is NOT repeated, so merging across any gap
+  * would claim a span that never occurs twice) reconstructs exactly the
+  * maximal repeated spans — no pairwise doc comparison ever happens.
+  * Spans from different consecutive runs may OVERLAP (anchors 0 and 3 at
+  * k=8 → maximal repeated spans [0,7] and [3,10]); that is correct — each
+  * is repeated, their union is not.
   *
   * Scale shape: the gram explode is k× the token count but flows straight
   * into a map-side-combined groupBy whose key space shrinks to the
@@ -34,11 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** Tokenization shared with [[Dedup]]: lower, trim, whitespace split,
-    * empty tokens dropped (Spark `split` keeps trailing ""s that Java
-    * split drops — the filter makes both agree on every whitespace edge). */
+  /** Tokenization shared with the rest of the engine — the one
+    * empty-filtered definition in [[Dedup.cleanTokens]]. */
   private def tokens(text: org.apache.spark.sql.Column) =
-    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+    Dedup.cleanTokens(text)
 
   /** Maximal repeated >= k-token spans per document:
     * (doc_id, start_tok, end_tok, span_tokens), token offsets 0-based
@@ -71,14 +75,14 @@ object SubstringDedup {
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= minOccurrences)
       .select(col("__g1"), col("__g2"))
-    // island merge: consecutive surviving anchors whose spans overlap or
-    // touch (gap <= k) belong to one maximal repeated interval
+    // island merge: only CONSECUTIVE surviving anchors extend one repeated
+    // span (see scaladoc — any gap breaks the all-anchors-repeated proof)
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     keyed.join(repeated, Seq("__g1", "__g2"))
       .select(col("doc_id"), col("pos"))
       .withColumn("__prev", lag(col("pos"), 1).over(wOrd))
       .withColumn("__new",
-        when(col("__prev").isNull || col("pos") > col("__prev") + k, 1).otherwise(0))
+        when(col("__prev").isNull || col("pos") > col("__prev") + 1, 1).otherwise(0))
       .withColumn("__isl", sum(col("__new")).over(wOrd))
       .groupBy(col("doc_id"), col("__isl"))
       .agg(min(col("pos")).cast("long").as("start_tok"),

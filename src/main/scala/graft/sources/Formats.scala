@@ -58,17 +58,25 @@ object Formats {
     * file becomes (path, modificationTime, length, content BINARY) — the
     * input shape [[graft.operators.Multimodal]] parses. `pathGlobFilter`
     * prunes at LISTING time (no read of non-matching files);
-    * `maxBytesPerFile` guards the executor heap against a stray huge blob
-    * (oversize files fail fast at the source instead of OOMing a task
-    * mid-pipeline — it is a SESSION conf, set here because the datasource
-    * exposes no per-read option). One row per file — parallelism is
-    * file-count-bounded, the right shape for image/audio shards. */
+    * `maxBytesPerFile` fails fast on a stray huge blob BEFORE it flows
+    * into downstream batches. The guard is an in-plan `raise_error` on
+    * the length metadata column, NOT the `binaryFile.maxLength` session
+    * conf: DataFrames are lazy, so a conf mutation here would apply
+    * whatever value the conf holds at ACTION time to every interleaved
+    * read and leak into the rest of the session. One row per file —
+    * parallelism is file-count-bounded, the right shape for image/audio
+    * shards. */
   def readBinary(spark: SparkSession, path: String,
                  globFilter: String = "*",
                  maxBytesPerFile: Long = 64L * 1024 * 1024): DataFrame = {
-    spark.conf.set("spark.sql.sources.binaryFile.maxLength", maxBytesPerFile.toString)
+    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
     spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter)
       .load(path)
+      .withColumn("content",
+        when(col("length") <= maxBytesPerFile, col("content"))
+          .otherwise(raise_error(concat(
+            lit(s"readBinary: file exceeds $maxBytesPerFile bytes: "),
+            col("path")))))
   }
 }

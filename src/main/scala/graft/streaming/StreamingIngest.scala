@@ -322,6 +322,23 @@ object StreamingIngest {
         val fs = new org.apache.hadoop.fs.Path(tablePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val table = new org.apache.hadoop.fs.Path(tablePath)
+        // Crash leftovers SELF-HEAL — and MUST heal before the table is
+        // read, or a crash between the two renames (table gone, bak live)
+        // would read as an empty table and drop pre-crash history: a
+        // stray tmp is a partial write (discard); a stray bak with no
+        // table is the mid-swap crash (restore it); a stray bak WITH a
+        // table is the post-swap crash (superseded copy — discard). All
+        // idempotent, so foreachBatch redelivery after any crash point
+        // converges.
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + "__upserting")
+        val bak = new org.apache.hadoop.fs.Path(tablePath + "__old")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        if (fs.exists(bak)) {
+          if (!fs.exists(table)) {
+            if (!fs.rename(bak, table))
+              throw new java.io.IOException(s"upsert: failed to restore $bak")
+          } else fs.delete(bak, true)
+        }
         val existing =
           if (fs.exists(table)) spark.read.parquet(tablePath)
           else batch.limit(0)
@@ -330,10 +347,6 @@ object StreamingIngest {
         // the merged plan READS the live table, so it cannot overwrite it
         // in place: write aside, then swap with checked renames (the
         // Warehouse.compact discipline — no failure ordering loses data)
-        val tmp = new org.apache.hadoop.fs.Path(tablePath + "__upserting")
-        val bak = new org.apache.hadoop.fs.Path(tablePath + "__old")
-        require(!fs.exists(tmp) && !fs.exists(bak),
-          s"stale upsert leftovers at $tmp or $bak — resolve before streaming")
         merged.write.mode("overwrite").parquet(tmp.toString)
         val hadTable = fs.exists(table)
         if (hadTable && !fs.rename(table, bak))

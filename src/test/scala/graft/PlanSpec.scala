@@ -34,6 +34,37 @@ class PlanSpec extends SparkSpec {
       "lineitem scan must prune to the 5 needed columns")
   }
 
+  test("parquet aggregate pushdown: count/min/max answered from footer metadata") {
+    // The 100 TB shape for whole-table stats: with the V2 parquet source,
+    // COUNT/MIN/MAX compile to PushedAggregation and are answered from
+    // row-group footers — a metadata read, not a data scan. (V1 is the
+    // session default for everything else; flipped only inside this test.)
+    import org.apache.spark.sql.functions._
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val agg = spark.read.parquet(s"$dir/orders.parquet")
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("lo"),
+          max(col("o_orderkey")).as("hi"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)"),
+        s"count must push to the parquet footer:\n$p")
+      assert(p.contains("MIN(o_orderkey)") && p.contains("MAX(o_orderkey)"),
+        "min/max must push to the parquet footer")
+      val row = agg.collect().head
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      // footer-derived values must equal the full-scan truth
+      val truth = spark.read.parquet(s"$dir/orders.parquet")
+        .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+        .collect().head
+      assert(row.toSeq === truth.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+    }
+  }
+
   test("latest-order window: single shuffle, WindowGroupLimit both sides") {
     val p = plan("q_w1_latest_order")
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,

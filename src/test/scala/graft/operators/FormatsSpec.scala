@@ -56,13 +56,19 @@ class FormatsSpec extends SparkSpec {
       assert(rows.length === 2, "glob filter must prune the .txt at listing time")
       assert(rows.map(_.getAs[Long]("length")).toSeq === Seq(256L, 3L))
       assert(rows(0).getAs[Array[Byte]]("content").toSeq === payload.toSeq)
-      // the oversize guard fails fast at the source
-      intercept[org.apache.spark.SparkException] {
+      // the oversize guard fails fast at action time, names the file, and
+      // is per-read (no session conf involved — a second reader with a
+      // different limit is unaffected)
+      val e = intercept[Exception] {
         Formats.readBinary(spark, tmp.toString, globFilter = "*.bin",
           maxBytesPerFile = 100).collect()
       }
-      // restore the default so later suites in the shared session see it
-      spark.conf.unset("spark.sql.sources.binaryFile.maxLength")
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+      assert(chain(e).exists(_.contains("exceeds 100 bytes")), chain(e).mkString("; "))
+      val fine = Formats.readBinary(spark, tmp.toString, globFilter = "*.bin",
+        maxBytesPerFile = 1024).collect()
+      assert(fine.length === 2, "an independent read with its own limit must succeed")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
   }
 }

@@ -50,6 +50,26 @@ class SubstringUrlDedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) === 0L && r.getLong(2) === 7L))
   }
 
+  test("adjacent-but-distinct repeats do NOT merge across an anchor gap") {
+    // doc 1 = R1 ++ R2; R1 repeats in doc 2, R2 in doc 3. Anchors 1..7 of
+    // doc 1 straddle the seam and are unique, so the maximal repeated
+    // spans are [0,7] and [8,15] — merging them would claim a 16-token
+    // span that occurs nowhere else.
+    val r1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val r2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val d = docs((1L, s"$r1 $r2"), (2L, r1), (3L, r2))
+    val spans = SubstringDedup.repeatedSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq === Seq((1L, 0L, 7L), (1L, 8L, 15L),
+      (2L, 0L, 7L), (3L, 0L, 7L)))
+    // and removal keeps doc 1's copies as canonical, empties docs 2 and 3
+    val clean = SubstringDedup.removeRepeatedSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(clean.toSeq === Seq((1L, s"$r1 $r2", 0L), (2L, "", 8L), (3L, "", 8L)))
+  }
+
   test("hash-keyed scale path agrees with the exact string-keyed path on real data") {
     val d = spark.read.parquet(s"${testDataDir()}/documents.parquet")
     for (k <- Seq(4, 8)) {

@@ -88,6 +88,35 @@ class WarehouseOpsSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(tmp))
   }
 
+  test("stream upsert self-heals crash leftovers without losing pre-crash history") {
+    import graft.streaming.StreamingIngest
+    val tmp = java.nio.file.Files.createTempDirectory("graft-supsert-crash").toString
+    val (src, tbl) = (s"$tmp/src", s"$tmp/table")
+    try {
+      val events = spark.read.parquet(s"${testDataDir()}/events.parquet")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val (old, fresh) = (events.filter(col("event_id") % 2 === 0),
+        events.filter(col("event_id") % 2 =!= 0))
+      fresh.write.parquet(src)
+      // simulate the worst crash point: the swap moved the table aside
+      // (tbl missing, __old holds all history) and left a partial __upserting
+      old.write.parquet(s"${tbl}__old")
+      old.limit(3).write.parquet(s"${tbl}__upserting")
+      val keys = Seq("user_id")
+      val ord = Seq(col("ts").desc, col("event_id").desc)
+      val got = StreamingIngest.runStreamUpsertBounded(spark, src, tbl, keys, ord)
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val want = graft.sink.Warehouse.upsertLatest(old, fresh, keys, ord)
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(got === want,
+        "recovery must restore the pre-crash table before merging, not drop it")
+      assert(!new java.io.File(s"${tbl}__old").exists() &&
+        !new java.io.File(s"${tbl}__upserting").exists(), "leftovers must be reclaimed")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("bucketed tables join without a shuffle") {
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
