@@ -74,14 +74,18 @@ object Bench {
     def timeOf(k: String): Double =
       best.getOrElse(k, failedTime.getOrElse(k, 0.0))
     // 3-decimal rounding (Locale.ROOT: no grouping separators) and a
-    // deliberate key ORDER: the harness that collects this line keeps only
-    // the last ~2000 characters of output, so everything that must survive
-    // — the full per-query min map, the total, the agg contract — goes
-    // LAST, and the spread map (max of the runs, the noise-vs-regression
-    // signal) sits in front where truncation costs least.
+    // deliberate ORDER, twice over: the harness that collects this line
+    // keeps only the last ~2000 characters of output, so (a) everything
+    // that must survive — the per-query min map, the total, the agg
+    // contract — goes LAST with the spread map in front where truncation
+    // costs least, and (b) the min map itself is sorted by DESCENDING
+    // time, so when it still overflows the window the cut falls on
+    // sub-half-second trivia — and any query that regresses becomes
+    // expensive and thereby enters the visible window automatically.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = names.map(k => s"\"" + k + "\":" + fmt(timeOf(k))).mkString("{", ",", "}")
-    val qsMax = names.map(k =>
+    val byCost = names.sortBy(k => (-timeOf(k), k))
+    val qs = byCost.map(k => s"\"" + k + "\":" + fmt(timeOf(k))).mkString("{", ",", "}")
+    val qsMax = byCost.map(k =>
       s"\"" + k + "\":" + fmt(worst.getOrElse(k, timeOf(k)))).mkString("{", ",", "}")
     val total = names.map(timeOf).sum
     val neverSucceeded = names.filterNot(best.contains)
