@@ -70,6 +70,80 @@ class SubstringUrlDedupSpec extends SparkSpec {
     assert(clean.toSeq === Seq((1L, s"$r1 $r2", 0L), (2L, "", 8L), (3L, "", 8L)))
   }
 
+  test("repeatedSpans ≡ brute-force anchor reference on random corpora") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("aa", "bb", "cc", "dd") // tiny vocab → real collisions
+    for (trial <- 1 to 12) {
+      val k = 2 + rnd.nextInt(3)
+      val corpus = (0L until (2 + rnd.nextInt(5)).toLong).map { id =>
+        (id, (0 until rnd.nextInt(14)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val got = SubstringDedup.repeatedSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === bruteSpans(corpus, k).toSet, s"trial $trial k=$k docs=$corpus")
+    }
+  }
+
+  test("removeRepeatedSpans ≡ reference removal on random corpora (incl. overlaps)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(777)
+    val vocab = Array("aa", "bb", "cc")
+    for (trial <- 1 to 8) {
+      val k = 2 + rnd.nextInt(2)
+      val corpus = (0L until (2 + rnd.nextInt(4)).toLong).map { id =>
+        (id, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val got = SubstringDedup.removeRepeatedSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", k = k)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val toks = corpus.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      // reference removal: group spans by exact text, keep the
+      // (doc·2^20+start)-minimal occurrence, remove the rest
+      val spans = bruteSpans(corpus, k)
+      val removals = spans.groupBy { case (id, st, en, _) =>
+        toks(id).slice(st.toInt, en.toInt + 1) }
+        .values.flatMap { occ =>
+          val canon = occ.minBy { case (id, st, _, _) => id * 1048576L + st }
+          occ.filterNot(_ == canon)
+        }.toSeq
+      for ((id, tk) <- toks) {
+        val mine = removals.filter(_._1 == id)
+        val covered = (p: Int) => mine.exists(r => p >= r._2 && p <= r._3)
+        val wantClean = tk.zipWithIndex.collect { case (t, p) if !covered(p) => t }
+          .mkString(" ")
+        val wantRemoved = mine.map(r => r._3 - r._2 + 1).sum
+        assert(got(id) === ((wantClean, wantRemoved)),
+          s"trial $trial k=$k doc $id docs=$corpus")
+      }
+    }
+  }
+
+  /** Brute-force reference: count every k-gram corpus-wide, mark repeated
+    * anchor positions, merge CONSECUTIVE anchors into maximal spans. */
+  private def bruteSpans(corpus: Seq[(Long, String)],
+                         k: Int): Seq[(Long, Long, Long, Long)] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int].withDefaultValue(0)
+    for ((_, tk) <- toks; i <- 0 to tk.length - k if tk.length >= k)
+      counts(tk.slice(i, i + k)) += 1
+    toks.flatMap { case (id, tk) =>
+      if (tk.length < k) Nil
+      else {
+        val rep = (0 to tk.length - k).filter(i => counts(tk.slice(i, i + k)) >= 2)
+        val islands = rep.foldLeft(List.empty[(Int, Int)]) {
+          case ((st, en) :: rest, p) if p == en + 1 => (st, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.reverse
+        islands.map { case (st, en) =>
+          (id, st.toLong, (en + k - 1).toLong, (en + k - st).toLong) }
+      }
+    }
+  }
+
   test("hash-keyed scale path agrees with the exact string-keyed path on real data") {
     val d = spark.read.parquet(s"${testDataDir()}/documents.parquet")
     for (k <- Seq(4, 8)) {
