@@ -40,6 +40,19 @@ object Formats {
     }).format(format).load(path)
   }
 
+  /** Schema-evolution read: one logical table whose parquet files were
+    * written under DIFFERENT schema versions (a long-lived table gains
+    * columns over its lifetime). `mergeSchema` unions the file footers'
+    * schemas — absent columns surface as NULL, so old files stay readable
+    * forever and no backfill rewrite is needed. Spark's default skips the
+    * merge (it reads ONE footer for speed, silently dropping late
+    * columns from early-listed files); this entry point makes evolution
+    * reads explicit and deliberate. Footer merging is driver-side and
+    * O(files) — at very large file counts, pin the canonical schema via
+    * [[read]] instead once it stops evolving. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Line-oriented raw-text ingestion — the shape LLM corpus dumps arrive
     * in (one document or record per line, no schema). `wholetext = true`
     * reads each FILE as one row instead (document-per-file corpora).

@@ -28,6 +28,27 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("readEvolved: files written under different schema versions union with NULL fill") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve-spec").toString
+    try {
+      // v1 files: (k, v); v2 files add a quality column
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .write.mode("append").parquet(tmp)
+      Seq((3L, "c", 0.9)).toDF("k", "v", "quality")
+        .write.mode("append").parquet(tmp)
+      val got = Formats.readEvolved(spark, tmp)
+      assert(got.columns.sorted.toSeq === Seq("k", "quality", "v"),
+        "merged schema must contain the late column")
+      val rows = got.orderBy("k").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      assert(rows(0).isNullAt(rows(0).fieldIndex("quality")),
+        "old files surface the new column as NULL")
+      assert(rows(2).getDouble(rows(2).fieldIndex("quality")) === 0.9)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("readText: line mode splits per line, wholetext one row per file, lineage kept") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-text-spec")
     try {
