@@ -322,9 +322,10 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"), col("start_tok"))),
 
-    // The removal half: every repeated-span occurrence dropped except the
-    // corpus-wide (doc_id, start)-minimal canonical copy; the oracle
-    // rebuilds the cleaned text per doc with nested list lambdas.
+    // The removal half: gram-level canonical election (each repeated
+    // k-gram keeps its (doc,pos)-minimal occurrence), positions covered
+    // only by redundant windows dropped; the oracle rebuilds the cleaned
+    // text per doc with nested list lambdas.
     "q_dedup_substring_clean" -> ((s, dir) =>
       operators.SubstringDedup.removeRepeatedSpans(
         t(s, dir, "documents"), "doc_id", "text", k = 8)
@@ -1766,9 +1767,10 @@ object SparkEntry {
         |FROM norm GROUP BY url_key, content_md5
         |ORDER BY url_key, content_md5""".stripMargin,
 
-    // Anchor-gram reconstruction of maximal repeated spans: k=8 grams,
-    // corpus-wide occurrence count, then the same gaps-and-islands merge
-    // (new island when pos > prev + k) the Spark window performs.
+    // Anchor-gram reconstruction of maximal repeated-coverage spans: k=8
+    // grams, corpus-wide occurrence count, then the same consecutive-
+    // anchor island merge (new island when pos > prev + 1) the Spark
+    // window performs.
     "q_dedup_substring" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
@@ -1791,10 +1793,13 @@ object SparkEntry {
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, start_tok""".stripMargin,
 
-    // Same span derivation as q_dedup_substring, then: canonical election
-    // by min(doc_id·2^20 + start) over identical span text, removal lists
-    // per doc, and the cleaned text rebuilt by filtering token positions
-    // against the removal intervals (nested list lambdas).
+    // Same anchor derivation as q_dedup_substring, then GRAM-level
+    // canonical election (min doc·2^20+pos per repeated gram — never by
+    // merged-span text, which mixed witnesses would break) and the
+    // covered-position removal rule: drop a position iff some redundant
+    // window covers it and no canonical window does. COALESCE pins
+    // DuckDB's empty-list array_to_string (NULL, it is a string_agg) to
+    // Spark's '' when every token of a doc is removed.
     "q_dedup_substring_clean" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
@@ -1804,39 +1809,32 @@ object SparkEntry {
         |  FROM toks WHERE len(tk) >= 8),
         |grams AS (
         |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram FROM grams0),
-        |rep AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
-        |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
-        |isl AS (
+        |occ AS (
         |  SELECT doc_id, pos,
-        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM marked) z),
-        |spans AS (
-        |  SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 7 AS end_tok
-        |  FROM isl GROUP BY doc_id, island),
-        |stext AS (
-        |  SELECT s.doc_id, s.start_tok, s.end_tok,
-        |    array_to_string(t.tk[s.start_tok + 1 : s.end_tok + 1], ' ') AS span_text
-        |  FROM spans s JOIN toks t USING (doc_id)),
-        |canon AS (SELECT span_text, MIN(doc_id * 1048576 + start_tok) AS ck FROM stext GROUP BY span_text),
-        |rm AS (
-        |  SELECT s.doc_id, list(struct_pack(s := s.start_tok, e := s.end_tok)) AS rms,
-        |    SUM(s.end_tok - s.start_tok + 1) AS n_removed
-        |  FROM stext s JOIN canon c USING (span_text)
-        |  WHERE s.doc_id * 1048576 + s.start_tok <> c.ck
-        |  GROUP BY s.doc_id)
-        |-- COALESCE: DuckDB's array_to_string is a string_agg, so an empty
-        |-- list (every token removed) yields NULL where Spark's array_join
-        |-- yields '' — pin both to ''
-        |SELECT t.doc_id,
-        |  CASE WHEN rm.doc_id IS NULL THEN array_to_string(t.tk, ' ')
-        |    ELSE COALESCE(array_to_string(
-        |      list_transform(
-        |        list_filter(range(0, len(t.tk)), i -> len(list_filter(rm.rms, x -> i >= x.s AND i <= x.e)) = 0),
-        |        i -> t.tk[i + 1]), ' '), '') END AS clean_text,
-        |  CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed
-        |FROM toks t LEFT JOIN rm ON t.doc_id = rm.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
+        |    COUNT(*) OVER (PARTITION BY gram) AS c,
+        |    MIN(doc_id * 1048576 + pos) OVER (PARTITION BY gram) AS canon
+        |  FROM grams),
+        |rep AS (
+        |  SELECT doc_id, pos, (doc_id * 1048576 + pos = canon) AS is_canon
+        |  FROM occ WHERE c >= 2),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list(struct_pack(s := pos, e := pos + 7)) FILTER (WHERE is_canon) AS can,
+        |    list(struct_pack(s := pos, e := pos + 7)) FILTER (WHERE NOT is_canon) AS red
+        |  FROM rep GROUP BY doc_id),
+        |final AS (
+        |  SELECT t.doc_id, t.tk,
+        |    CASE WHEN w.red IS NULL THEN NULL
+        |      ELSE list_filter(range(0, len(t.tk)), p ->
+        |        NOT (len(list_filter(w.red, x -> p >= x.s AND p <= x.e)) > 0
+        |             AND (w.can IS NULL OR len(list_filter(w.can, x -> p >= x.s AND p <= x.e)) = 0)))
+        |      END AS kept
+        |  FROM toks t LEFT JOIN wins w ON t.doc_id = w.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN kept IS NULL THEN array_to_string(tk, ' ')
+        |    ELSE COALESCE(array_to_string(list_transform(kept, p -> tk[p + 1]), ' '), '') END AS clean_text,
+        |  CAST(CASE WHEN kept IS NULL THEN 0 ELSE len(tk) - len(kept) END AS BIGINT) AS n_removed
+        |FROM final ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

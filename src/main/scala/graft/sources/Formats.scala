@@ -70,26 +70,34 @@ object Formats {
   /** Binary-payload ingestion for the multimodal pipeline: each matched
     * file becomes (path, modificationTime, length, content BINARY) — the
     * input shape [[graft.operators.Multimodal]] parses. `pathGlobFilter`
-    * prunes at LISTING time (no read of non-matching files);
-    * `maxBytesPerFile` fails fast on a stray huge blob BEFORE it flows
-    * into downstream batches. The guard is an in-plan `raise_error` on
-    * the length metadata column, NOT the `binaryFile.maxLength` session
-    * conf: DataFrames are lazy, so a conf mutation here would apply
-    * whatever value the conf holds at ACTION time to every interleaved
-    * read and leak into the rest of the session. One row per file —
-    * parallelism is file-count-bounded, the right shape for image/audio
-    * shards. */
+    * prunes at LISTING time (no read of non-matching files).
+    *
+    * `maxBytesPerFile` fails fast on a stray huge blob WITHOUT ever
+    * materializing its bytes: the eager guard runs a length-only
+    * projection (binaryFile supports column pruning, so the content
+    * column — hence the file body — is never read) and names the first
+    * offender; the returned frame additionally carries a pushed
+    * `length <=` filter as defense in depth for files that appear
+    * between this check and a later action. Deliberately NOT the
+    * `binaryFile.maxLength` session conf: DataFrames are lazy, so a conf
+    * mutation here would apply whatever value the conf holds at ACTION
+    * time to every interleaved read and leak into the rest of the
+    * session. One row per file — parallelism is file-count-bounded, the
+    * right shape for image/audio shards. */
   def readBinary(spark: SparkSession, path: String,
                  globFilter: String = "*",
                  maxBytesPerFile: Long = 64L * 1024 * 1024): DataFrame = {
-    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
-    spark.read.format("binaryFile")
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter)
       .load(path)
-      .withColumn("content",
-        when(col("length") <= maxBytesPerFile, col("content"))
-          .otherwise(raise_error(concat(
-            lit(s"readBinary: file exceeds $maxBytesPerFile bytes: "),
-            col("path")))))
+    val oversize = base.select(col("path"), col("length"))
+      .filter(col("length") > maxBytesPerFile)
+      .head(1)
+    if (oversize.nonEmpty)
+      throw new IllegalArgumentException(
+        s"readBinary: file exceeds $maxBytesPerFile bytes: " +
+          oversize.head.getString(0))
+    base.filter(col("length") <= maxBytesPerFile)
   }
 }

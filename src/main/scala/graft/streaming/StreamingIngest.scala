@@ -322,23 +322,42 @@ object StreamingIngest {
         val fs = new org.apache.hadoop.fs.Path(tablePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val table = new org.apache.hadoop.fs.Path(tablePath)
-        // Crash leftovers SELF-HEAL — and MUST heal before the table is
-        // read, or a crash between the two renames (table gone, bak live)
-        // would read as an empty table and drop pre-crash history: a
-        // stray tmp is a partial write (discard); a stray bak with no
-        // table is the mid-swap crash (restore it); a stray bak WITH a
-        // table is the post-swap crash (superseded copy — discard). All
-        // idempotent, so foreachBatch redelivery after any crash point
-        // converges.
-        val tmp = new org.apache.hadoop.fs.Path(tablePath + "__upserting")
-        val bak = new org.apache.hadoop.fs.Path(tablePath + "__old")
-        if (fs.exists(tmp)) fs.delete(tmp, true)
-        if (fs.exists(bak)) {
+        // Swap-state names carry the WRITER's pid, which separates the two
+        // cases a bare name cannot: leftovers whose pid is ours or dead
+        // are crash debris and SELF-HEAL (a stray tmp is a partial write —
+        // discard; a bak with no table is the mid-swap crash — restore; a
+        // bak with a table is the post-swap crash — superseded, discard);
+        // leftovers whose pid is a LIVE other process are a CONCURRENT
+        // WRITER on the same table and deleting them would destroy its
+        // in-flight swap, so that is a hard stop instead. Healing runs
+        // BEFORE the table is read — a mid-swap crash would otherwise
+        // read as an empty table and drop pre-crash history. All healing
+        // is idempotent, so foreachBatch redelivery converges.
+        val mine = ProcessHandle.current().pid()
+        val pidOf = "_p(\\d+)$".r
+        def leftovers(kind: String): Seq[org.apache.hadoop.fs.Path] =
+          Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            tablePath + kind + "_p*"))).getOrElse(Array.empty)
+            .map(_.getPath).toSeq
+        def healable(p: org.apache.hadoop.fs.Path): Boolean =
+          pidOf.findFirstMatchIn(p.getName) match {
+            case Some(m) =>
+              val pid = m.group(1).toLong
+              pid == mine || !ProcessHandle.of(pid).isPresent ||
+                { throw new java.io.IOException(
+                  s"upsert: live concurrent writer (pid $pid) owns $p — " +
+                    "two streams must not target one table") }
+            case None => false // not ours to judge; leave it
+          }
+        leftovers("__upserting").filter(healable).foreach(fs.delete(_, true))
+        leftovers("__old").filter(healable).foreach { p =>
           if (!fs.exists(table)) {
-            if (!fs.rename(bak, table))
-              throw new java.io.IOException(s"upsert: failed to restore $bak")
-          } else fs.delete(bak, true)
+            if (!fs.rename(p, table))
+              throw new java.io.IOException(s"upsert: failed to restore $p")
+          } else fs.delete(p, true)
         }
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + s"__upserting_p$mine")
+        val bak = new org.apache.hadoop.fs.Path(tablePath + s"__old_p$mine")
         val existing =
           if (fs.exists(table)) spark.read.parquet(tablePath)
           else batch.limit(0)

@@ -77,16 +77,15 @@ class FormatsSpec extends SparkSpec {
       assert(rows.length === 2, "glob filter must prune the .txt at listing time")
       assert(rows.map(_.getAs[Long]("length")).toSeq === Seq(256L, 3L))
       assert(rows(0).getAs[Array[Byte]]("content").toSeq === payload.toSeq)
-      // the oversize guard fails fast at action time, names the file, and
-      // is per-read (no session conf involved — a second reader with a
-      // different limit is unaffected)
-      val e = intercept[Exception] {
+      // the oversize guard fails at BUILD time from length metadata alone
+      // (content column pruned — the blob's bytes are never read), names
+      // the file, and is per-read (no session conf involved)
+      val e = intercept[IllegalArgumentException] {
         Formats.readBinary(spark, tmp.toString, globFilter = "*.bin",
-          maxBytesPerFile = 100).collect()
+          maxBytesPerFile = 100)
       }
-      def chain(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
-      assert(chain(e).exists(_.contains("exceeds 100 bytes")), chain(e).mkString("; "))
+      assert(e.getMessage.contains("exceeds 100 bytes") &&
+        e.getMessage.contains("x.bin"), e.getMessage)
       val fine = Formats.readBinary(spark, tmp.toString, globFilter = "*.bin",
         maxBytesPerFile = 1024).collect()
       assert(fine.length === 2, "an independent read with its own limit must succeed")

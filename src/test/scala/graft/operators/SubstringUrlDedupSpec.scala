@@ -70,6 +70,31 @@ class SubstringUrlDedupSpec extends SparkSpec {
     assert(clean.toSeq === Seq((1L, s"$r1 $r2", 0L), (2L, "", 8L), (3L, "", 8L)))
   }
 
+  test("mixed-witness merged span: removal still elects per GRAM, not per span text") {
+    // doc 1 = t0..t8; doc 2 = t0..t7; doc 3 = t1..t8 (k=8). Doc 1's two
+    // anchors merge into a 9-token coverage span whose union text occurs
+    // NOWHERE else — span-text election would make doc 2's and doc 3's
+    // genuine duplicates their own canonicals and remove nothing.
+    val t = (0 to 8).map(i => s"t$i")
+    val d = docs(
+      (1L, t.mkString(" ")),
+      (2L, t.take(8).mkString(" ")),
+      (3L, t.drop(1).mkString(" ")))
+    val spans = SubstringDedup.repeatedSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 reports the merged COVERAGE span (every 8-window repeats;
+    // the 9-token union text itself does not — that is the contract)
+    assert(spans.toSeq === Seq((1L, 0L, 8L), (2L, 0L, 7L), (3L, 0L, 7L)))
+    val clean = SubstringDedup.removeRepeatedSpans(d, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // both grams' canonical windows live in doc 1 → doc 1 intact, the
+    // true duplicates in docs 2 and 3 removed entirely
+    assert(clean.toSeq === Seq((1L, t.mkString(" "), 0L),
+      (2L, "", 8L), (3L, "", 8L)))
+  }
+
   test("repeatedSpans ≡ brute-force anchor reference on random corpora") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(4242)
@@ -100,21 +125,24 @@ class SubstringUrlDedupSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       val toks = corpus.map { case (id, t) =>
         id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
-      // reference removal: group spans by exact text, keep the
-      // (doc·2^20+start)-minimal occurrence, remove the rest
-      val spans = bruteSpans(corpus, k)
-      val removals = spans.groupBy { case (id, st, en, _) =>
-        toks(id).slice(st.toInt, en.toInt + 1) }
-        .values.flatMap { occ =>
-          val canon = occ.minBy { case (id, st, _, _) => id * 1048576L + st }
-          occ.filterNot(_ == canon)
-        }.toSeq
+      // reference removal at GRAM granularity: each repeated k-gram keeps
+      // its (doc·2^20+pos)-minimal occurrence; a position drops iff some
+      // redundant window covers it and no canonical window does
+      val occs = for {
+        (id, tk) <- toks.toSeq; i <- 0 to tk.length - k if tk.length >= k
+      } yield (tk.slice(i, i + k), id, i)
+      val flagged = occs.groupBy(_._1).values.filter(_.size >= 2).flatMap { o =>
+        val canon = o.minBy { case (_, id, p) => id * 1048576L + p }
+        o.map(x => (x._2, x._3, x == canon))
+      }.toSeq
       for ((id, tk) <- toks) {
-        val mine = removals.filter(_._1 == id)
-        val covered = (p: Int) => mine.exists(r => p >= r._2 && p <= r._3)
-        val wantClean = tk.zipWithIndex.collect { case (t, p) if !covered(p) => t }
+        val can = flagged.collect { case (d, p, true) if d == id => (p, p + k - 1) }
+        val red = flagged.collect { case (d, p, false) if d == id => (p, p + k - 1) }
+        def covered(ws: Seq[(Int, Int)], p: Int) = ws.exists(w => p >= w._1 && p <= w._2)
+        val removed = (p: Int) => covered(red, p) && !covered(can, p)
+        val wantClean = tk.zipWithIndex.collect { case (t, p) if !removed(p) => t }
           .mkString(" ")
-        val wantRemoved = mine.map(r => r._3 - r._2 + 1).sum
+        val wantRemoved = tk.indices.count(removed).toLong
         assert(got(id) === ((wantClean, wantRemoved)),
           s"trial $trial k=$k doc $id docs=$corpus")
       }

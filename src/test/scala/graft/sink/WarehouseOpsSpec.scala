@@ -99,10 +99,13 @@ class WarehouseOpsSpec extends SparkSpec {
       val (old, fresh) = (events.filter(col("event_id") % 2 === 0),
         events.filter(col("event_id") % 2 =!= 0))
       fresh.write.parquet(src)
-      // simulate the worst crash point: the swap moved the table aside
-      // (tbl missing, __old holds all history) and left a partial __upserting
-      old.write.parquet(s"${tbl}__old")
-      old.limit(3).write.parquet(s"${tbl}__upserting")
+      // simulate the worst crash point of a DEAD writer: the swap moved
+      // the table aside (tbl missing, __old holds all history) and left a
+      // partial __upserting — both tagged with a pid that no longer exists
+      var dp = 4000000L
+      while (ProcessHandle.of(dp).isPresent) dp -= 1
+      old.write.parquet(s"${tbl}__old_p$dp")
+      old.limit(3).write.parquet(s"${tbl}__upserting_p$dp")
       val keys = Seq("user_id")
       val ord = Seq(col("ts").desc, col("event_id").desc)
       val got = StreamingIngest.runStreamUpsertBounded(spark, src, tbl, keys, ord)
@@ -111,8 +114,22 @@ class WarehouseOpsSpec extends SparkSpec {
         .orderBy("user_id").collect().map(_.toSeq).toSeq
       assert(got === want,
         "recovery must restore the pre-crash table before merging, not drop it")
-      assert(!new java.io.File(s"${tbl}__old").exists() &&
-        !new java.io.File(s"${tbl}__upserting").exists(), "leftovers must be reclaimed")
+      assert(!new java.io.File(s"${tbl}__old_p$dp").exists() &&
+        !new java.io.File(s"${tbl}__upserting_p$dp").exists(),
+        "dead-writer leftovers must be reclaimed")
+      // a LIVE foreign writer's in-flight state is a hard stop, not a heal
+      val child = new ProcessBuilder("sleep", "60").start()
+      try {
+        old.limit(3).write.parquet(s"${tbl}__upserting_p${child.pid()}")
+        val e = intercept[Exception] {
+          StreamingIngest.runStreamUpsertBounded(spark, src + "/*", tbl, keys, ord)
+        }
+        def chain(t: Throwable): Seq[String] = Option(t).toSeq
+          .flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+        assert(chain(e).exists(_.contains("concurrent writer")), chain(e).mkString("; "))
+        assert(new java.io.File(s"${tbl}__upserting_p${child.pid()}").exists(),
+          "the live writer's state must be left untouched")
+      } finally child.destroyForcibly()
     } finally org.apache.commons.io.FileUtils
       .deleteQuietly(new java.io.File(tmp))
   }
