@@ -1464,6 +1464,14 @@ object SparkEntry {
         .select(col("i").cast("string").as("i"), col("j").cast("string").as("j"),
           col("qsum").cast("string").as("qsum"), col("n").cast("string").as("n"))),
 
+    // Single-pass table profile: per-column null/distinct/min/max from
+    // ONE scan (the pre-training data-quality gate); exact distincts are
+    // the oracle contract, approx_count_distinct the 100 TB path (spec'd).
+    "q_profile_table" -> ((s, dir) =>
+      operators.Profiler.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
+
     // Vector-quality gate: fixed-point squared norms, exact-percentile
     // thresholds (the quantile_cont identity), plain comparison flags.
     "q_vec_outliers" -> ((s, dir) =>
@@ -2715,6 +2723,29 @@ object SparkEntry {
       """SELECT CAST(NULL AS INTEGER) AS label, CAST(NULL AS BIGINT) AS pos,
         |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
+
+    // One SELECT per profiled column, UNION ALL — the oracle mirror of
+    // the one-pass profile (DuckDB reads the view once per branch; the
+    // Spark side's single-scan shape is what the plan spec guards).
+    "q_profile_table" ->
+      """SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (WHERE doc_id IS NULL) AS n_nulls,
+        |  COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_value, CAST(MAX(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), COUNT(*) FILTER (WHERE lang IS NULL),
+        |  COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*), COUNT(*) FILTER (WHERE source IS NULL),
+        |  COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), COUNT(*) FILTER (WHERE n_chars IS NULL),
+        |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+        |FROM documents
+        |ORDER BY col_name""".stripMargin,
 
     // Fixed-point norms are per-row HOF folds (BIGINT, no aggregate-type
     // widening); thresholds via the established quantile_cont identity.

@@ -111,6 +111,34 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(kept3.count() == 0)
   }
 
+  test("profiler: hand-computed per-column stats, one scan, approx drops the Expand") {
+    import spark.implicits._
+    val d = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("k", "v")
+    val got = Profiler.profile(d).orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.toSeq === Seq(
+      ("k", 4L, 1L, 2L, "1", "2"),
+      ("v", 4L, 1L, 2L, "a", "b")))
+    // exactly one scan feeds the whole profile
+    val plan = Profiler.profile(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), "profile must be one aggregation, not a per-column union")
+    // approx mode: HLL++ sketches, no COUNT(DISTINCT) Expand in the plan
+    val approxPlan = Profiler.profile(d, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(approxPlan.contains("approx_count_distinct"))
+    assert(!approxPlan.contains("Expand"),
+      "approx profile must not pay the multi-distinct Expand")
+    val approx = Profiler.profile(d, exact = false).orderBy("col_name").collect()
+    assert(approx.map(_.getLong(3)).toSeq === Seq(2L, 2L),
+      "at this cardinality the sketch is exact")
+    // unknown column fails fast
+    intercept[IllegalArgumentException] { Profiler.profile(d, Seq("nope")) }
+  }
+
   test("shuffleIntoShards: a permutation, repartition-invariant, seed-sensitive") {
     val docs = spark.read.parquet(s"${testDataDir("0.01")}/documents.parquet")
       .select(col("doc_id"))
