@@ -25,24 +25,27 @@ object Profiler {
     val cols = if (columns.nonEmpty) columns else df.columns.toSeq
     require(cols.nonEmpty, "profile: no columns")
     require(cols.forall(df.columns.contains), s"profile: unknown column in $cols")
-    val aggs = cols.flatMap { c =>
+    require(cols.distinct.size == cols.size, s"profile: duplicate column in $cols")
+    // internal aliases are INDEXED, never derived from user column names —
+    // a name containing '.' or '`' would break col()-re-resolution
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nn_$i"),
         (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c), rsd)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+         else approx_count_distinct(col(c), rsd)).as(s"__nd_$i"),
+        min(col(c)).cast("string").as(s"__mn_$i"),
+        max(col(c)).cast("string").as(s"__mx_$i"))
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
     // one row -> one output row per column, via an exploded struct array
     // (pure projection — no second aggregation, no extra scan)
-    val entries = array(cols.map(c => struct(
+    val entries = array(cols.zipWithIndex.map { case (c, i) => struct(
       lit(c).as("col_name"),
       col("__n").as("n_rows"),
-      col(s"__nn_$c").as("n_nulls"),
-      col(s"__nd_$c").as("n_distinct"),
-      col(s"__mn_$c").as("min_value"),
-      col(s"__mx_$c").as("max_value"))): _*)
+      col(s"__nn_$i").as("n_nulls"),
+      col(s"__nd_$i").as("n_distinct"),
+      col(s"__mn_$i").as("min_value"),
+      col(s"__mx_$i").as("max_value")) }: _*)
     one.select(explode(entries).as("__e")).select(col("__e.*"))
   }
 }

@@ -67,7 +67,7 @@ object SubstringDedup {
 
   /** Composite (doc, pos) key — guarded like [[Dedup.chunkDups]]: the
     * guard lives inside the used expression so it cannot be pruned. */
-  private def composite(k: Int): Column = when(
+  private def composite: Column = when(
     col("pos") < 1048576 && col("doc_id").between(0L, (1L << 43) - 1),
     col("doc_id") * 1048576L + col("pos"))
     .otherwise(raise_error(lit(
@@ -136,11 +136,11 @@ object SubstringDedup {
     val keyed = anchors(df, idCol, textCol, k, hashKeys)
     val elected = keyed
       .groupBy(col("__g1"), col("__g2"))
-      .agg(count(lit(1)).as("__occ"), min(composite(k)).as("__ck"))
+      .agg(count(lit(1)).as("__occ"), min(composite).as("__ck"))
       .filter(col("__occ") >= minOccurrences)
       .select(col("__g1"), col("__g2"), col("__ck"))
     val win = keyed.join(elected, Seq("__g1", "__g2"))
-      .withColumn("__is_canon", composite(k) === col("__ck"))
+      .withColumn("__is_canon", composite === col("__ck"))
       .groupBy(col("doc_id"))
       .agg(
         collect_list(when(col("__is_canon"),

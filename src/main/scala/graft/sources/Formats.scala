@@ -76,18 +76,20 @@ object Formats {
     * materializing its bytes: the eager guard runs a length-only
     * projection (binaryFile supports column pruning, so the content
     * column — hence the file body — is never read) and names the first
-    * offender; the returned frame additionally carries a pushed
-    * `length <=` filter as defense in depth for files that appear
-    * between this check and a later action. Deliberately NOT the
-    * `binaryFile.maxLength` session conf: DataFrames are lazy, so a conf
-    * mutation here would apply whatever value the conf holds at ACTION
-    * time to every interleaved read and leak into the rest of the
-    * session. One row per file — parallelism is file-count-bounded, the
-    * right shape for image/audio shards. */
+    * offender. A file that lands AFTER this check still fails LOUDLY at
+    * action time through an in-plan raise_error on the length metadata —
+    * never a silent drop (that row's bytes do get materialized first,
+    * the price of failing rather than skipping; the session-default
+    * `binaryFile.maxLength` cap still bounds it). Deliberately NOT a
+    * mutation of that session conf: DataFrames are lazy, so a conf set
+    * here would apply whatever value the conf holds at ACTION time to
+    * every interleaved read and leak into the rest of the session. One
+    * row per file — parallelism is file-count-bounded, the right shape
+    * for image/audio shards. */
   def readBinary(spark: SparkSession, path: String,
                  globFilter: String = "*",
                  maxBytesPerFile: Long = 64L * 1024 * 1024): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
     val base = spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter)
       .load(path)
@@ -98,6 +100,10 @@ object Formats {
       throw new IllegalArgumentException(
         s"readBinary: file exceeds $maxBytesPerFile bytes: " +
           oversize.head.getString(0))
-    base.filter(col("length") <= maxBytesPerFile)
+    base.withColumn("content",
+      when(col("length") <= maxBytesPerFile, col("content"))
+        .otherwise(raise_error(concat(
+          lit(s"readBinary: file exceeds $maxBytesPerFile bytes: "),
+          col("path")))))
   }
 }

@@ -318,36 +318,63 @@ object StreamingIngest {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // SAME-JVM writers share a pid, so the pid tag below cannot tell
+        // them apart — instead their batch bodies SERIALIZE on a per-table
+        // JVM lock, which makes same-JVM concurrency safe outright: each
+        // batch reads the current table (including the other query's
+        // merges) and latest-wins merging is commutative across batches.
+        // The lock also means any pid==mine leftover found below is crash
+        // debris from an earlier batch, never a live sibling's in-flight
+        // state.
+        upsertLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(tablePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val table = new org.apache.hadoop.fs.Path(tablePath)
         // Swap-state names carry the WRITER's pid, which separates the two
-        // cases a bare name cannot: leftovers whose pid is ours or dead
-        // are crash debris and SELF-HEAL (a stray tmp is a partial write —
-        // discard; a bak with no table is the mid-swap crash — restore; a
-        // bak with a table is the post-swap crash — superseded, discard);
-        // leftovers whose pid is a LIVE other process are a CONCURRENT
+        // cases a bare name cannot: leftovers whose pid is ours, dead, or
+        // recycled (the "owner" process STARTED after the leftover was
+        // written — a real owner's start precedes its writes) are crash
+        // debris and SELF-HEAL (a stray tmp is a partial write — discard;
+        // a bak with no table is the mid-swap crash — restore; a bak with
+        // a table is the post-swap crash — superseded, discard); leftovers
+        // whose pid is a genuinely LIVE other process are a CONCURRENT
         // WRITER on the same table and deleting them would destroy its
-        // in-flight swap, so that is a hard stop instead. Healing runs
-        // BEFORE the table is read — a mid-swap crash would otherwise
-        // read as an empty table and drop pre-crash history. All healing
-        // is idempotent, so foreachBatch redelivery converges.
+        // in-flight swap, so that is a hard stop instead. Bare pre-pid-tag
+        // names (`__upserting`/`__old` exactly) heal like dead-pid debris
+        // — nothing running this code writes them. Healing runs BEFORE
+        // the table is read — a mid-swap crash would otherwise read as an
+        // empty table and drop pre-crash history. All healing is
+        // idempotent, so foreachBatch redelivery converges.
         val mine = ProcessHandle.current().pid()
         val pidOf = "_p(\\d+)$".r
-        def leftovers(kind: String): Seq[org.apache.hadoop.fs.Path] =
-          Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        def leftovers(kind: String): Seq[org.apache.hadoop.fs.Path] = {
+          val tagged = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
             tablePath + kind + "_p*"))).getOrElse(Array.empty)
             .map(_.getPath).toSeq
+          val bare = new org.apache.hadoop.fs.Path(tablePath + kind)
+          tagged ++ (if (fs.exists(bare)) Seq(bare) else Nil)
+        }
         def healable(p: org.apache.hadoop.fs.Path): Boolean =
           pidOf.findFirstMatchIn(p.getName) match {
+            case None => true // bare legacy name: no live writer emits it
             case Some(m) =>
               val pid = m.group(1).toLong
-              pid == mine || !ProcessHandle.of(pid).isPresent ||
-                { throw new java.io.IOException(
-                  s"upsert: live concurrent writer (pid $pid) owns $p — " +
-                    "two streams must not target one table") }
-            case None => false // not ours to judge; leave it
+              if (pid == mine) true
+              else {
+                val h = ProcessHandle.of(pid)
+                if (!h.isPresent) true
+                else {
+                  val started = h.get().info().startInstant()
+                  val mtime = scala.util.Try(
+                    fs.getFileStatus(p).getModificationTime).getOrElse(0L)
+                  val recycled = started.isPresent && mtime > 0 &&
+                    started.get().toEpochMilli > mtime + 60000L
+                  recycled || { throw new java.io.IOException(
+                    s"upsert: live concurrent writer (pid $pid) owns $p — " +
+                      "two processes must not target one table") }
+                }
+              }
           }
         leftovers("__upserting").filter(healable).foreach(fs.delete(_, true))
         leftovers("__old").filter(healable).foreach { p =>
@@ -377,9 +404,15 @@ object StreamingIngest {
               (if (restored) "; original restored" else s"; ORIGINAL LEFT AT $bak"))
         }
         if (hadTable) fs.delete(bak, true)
+        }
         ()
       }
       .start()
+
+  /** One lock object per upsert table path in this JVM — see the
+    * same-JVM serialization note in [[streamUpsertToWarehouse]]. */
+  private val upsertLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Bounded-stream driver for [[streamUpsertToWarehouse]]: streams a
     * parquet path (optionally a few files per trigger, to force MULTIPLE
