@@ -1045,7 +1045,7 @@ object SparkEntry {
       val path = s"$dir/events.parquet"
       val ev = s.read.parquet(path)
       val spanUs = ev.agg(
-        (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("s")).head
+        (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("s")).head()
       val delay =
         if (spanUs.isNullAt(0)) "1 microsecond"
         else s"${spanUs.getLong(0) + 1} microseconds"

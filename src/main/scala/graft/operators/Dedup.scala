@@ -625,7 +625,7 @@ object Dedup {
     // Null-safe: sum over an empty frame is null (cannot happen after the
     // nPairs guard, but the comparison must not depend on that invariant).
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
     def sameSum(a: Option[java.math.BigDecimal], b: Option[java.math.BigDecimal]): Boolean =
       (a, b) match {
         case (Some(x), Some(y)) => x.compareTo(y) == 0
@@ -693,7 +693,7 @@ object Dedup {
     df.alias("d")
       .join(cc.alias("c"), col(s"d.$idCol") === col("c.id"))
       .filter(col("c.component") === col("c.id"))
-      .select(df.columns.map(c => col(s"d.$c")): _*)
+      .select(df.columns.toIndexedSeq.map(c => col(s"d.$c")): _*)
   }
 
   // ------------------------------------------------------ embedding near-dup

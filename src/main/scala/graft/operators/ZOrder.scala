@@ -113,7 +113,7 @@ object ZOrder {
       } else {
         val r = df.agg(
           min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-          min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
+          min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
         if (r.isNullAt(0) || r.isNullAt(2)) { // empty (or all-null keys)
           df.write.mode("overwrite").parquet(path)
           return

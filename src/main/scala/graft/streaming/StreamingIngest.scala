@@ -181,7 +181,7 @@ object StreamingIngest {
     }
     val stage = java.nio.file.Files.createTempDirectory("graft-sess-stage").toString
     ev.write.mode("overwrite").parquet(stage)
-    val maxTs = ev.agg(max(col(tsCol))).head.getLong(0)
+    val maxTs = ev.agg(max(col(tsCol))).head().getLong(0)
     // ts is long nanos here (nanosAsLong); 3 gaps past the max is safely
     // beyond every real session end after the micros conversion
     ev.limit(1)
@@ -245,7 +245,7 @@ object StreamingIngest {
     val ev = spark.read.parquet(parquetPath)
     val window_ = s"$windowMicros microseconds"
     val span = ev.agg(
-      (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("s")).head
+      (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("s")).head()
     val delay =
       if (span.isNullAt(0)) window_
       else s"${span.getLong(0) + windowMicros + 1} microseconds"
