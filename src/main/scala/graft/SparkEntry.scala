@@ -1759,8 +1759,9 @@ object SparkEntry {
     // Same pseudo-URL derivation as the Spark side; the normalizer chain
     // (strip scheme+www, strip query/fragment, strip trailing slashes)
     // mirrors Dedup.normalizeUrl pattern for pattern — each regex matches
-    // at most once, so DuckDB's first-match regexp_replace and Spark's
-    // replace-all agree. md5() is lowercase hex in both engines.
+    // at most once even across newlines ((?s) dot-all + \z end-of-input),
+    // so DuckDB's first-match regexp_replace and Spark's replace-all
+    // agree on all inputs. md5() is lowercase hex in both engines.
     "q_dedup_url" ->
       """WITH docs AS (
         |  SELECT doc_id, text,
@@ -1769,7 +1770,7 @@ object SparkEntry {
         |norm AS (
         |  SELECT doc_id, md5(text) AS content_md5,
         |    regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
-        |      '^https?://(www\.)?', ''), '[?#].*', ''), '/+$', '') AS url_key
+        |      '^https?://(www\.)?', ''), '(?s)[?#].*', ''), '/+\z', '') AS url_key
         |  FROM docs)
         |SELECT url_key, content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM norm GROUP BY url_key, content_md5

@@ -32,18 +32,22 @@ object Dedup {
   /** Canonical URL key — the CommonCrawl-style first-pass dedup key for a
     * web corpus: lowercase, strip scheme + leading `www.`, drop query
     * string and fragment, drop trailing slashes. Each pattern matches at
-    * most once (anchored / suffix), so the chain is first-match-safe in
-    * any regex engine and mirrors 1:1 into ANSI `regexp_replace`. Query
-    * params are dropped wholesale rather than utm-filtered: the dedup key
-    * is the (url_key, content_hash) COMPOSITE, so two genuinely different
-    * documents behind `?page=1` / `?page=2` never collapse — the content
-    * hash separates them. Pure codegen'd expressions, no UDF. */
+    * most once (anchored / suffix) EVEN on URLs containing newlines:
+    * `(?s)` makes the query/fragment dot span line breaks and `\z` is the
+    * true end-of-input (Java's bare `$` would also match before a final
+    * line terminator, RE2's would not) — so Spark's replace-all and
+    * DuckDB/RE2's replace-first agree on every input, not just
+    * newline-free ones. Query params are dropped wholesale rather than
+    * utm-filtered: the dedup key is the (url_key, content_hash)
+    * COMPOSITE, so two genuinely different documents behind `?page=1` /
+    * `?page=2` never collapse — the content hash separates them. Pure
+    * codegen'd expressions, no UDF. */
   def normalizeUrl(url: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(lower(trim(url)), "^https?://(www\\.)?", ""),
-        "[?#].*", ""),
-      "/+$", "")
+        "(?s)[?#].*", ""),
+      "/+\\z", "")
 
   /** URL + content-hash composite dedup — the cheap first pass a web-scale
     * pipeline runs before ANY text similarity (URL → exact → fuzzy →

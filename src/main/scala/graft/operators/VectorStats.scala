@@ -133,8 +133,19 @@ object VectorStats {
       .agg(sum(col("p")).as("sp"), sum(col("v")).as("sv"), count(lit(1)).as("n"))
       .collect() // d(d+1)/2 rows — dimension-sized, bounded by design
     require(moments.nonEmpty, "pcaComponents: empty input")
+    // Ragged inputs are an ERROR, not a silent mis-estimate: a shorter
+    // vector contributes to fewer (i,j) cells, so its cells carry a
+    // smaller n and the covariance normalization would silently mix
+    // denominators. Equal counts across every cell <=> every vector has
+    // the same dimension (each must reach the max-j cell), after which
+    // reading n from any row is order-independent.
+    val cellCounts = moments.iterator.map(_.getAs[Long]("n")).toSet
+    require(cellCounts.size == 1,
+      s"pcaComponents: ragged vector lengths — per-cell counts differ " +
+        s"(${cellCounts.toSeq.sorted.mkString(", ")}); all input vectors " +
+        "must share one dimension")
     val d = moments.iterator.map(_.getAs[Int]("j")).max + 1
-    val n = moments.head.getAs[Long]("n").toDouble
+    val n = cellCounts.head.toDouble
     val mean = new Array[Double](d)
     val cov = Array.ofDim[Double](d, d)
     moments.foreach { r =>

@@ -309,7 +309,18 @@ object StreamingIngest {
     *
     * Scale shape: one key shuffle per batch (the upsert window), table
     * read is a plain parquet scan; state lives in the TABLE, not the
-    * state store — no streaming state grows with key cardinality. */
+    * state store — no streaming state grows with key cardinality.
+    *
+    * SINGLE-HOST RESTRICTION: the crash-debris healing below identifies
+    * a leftover's owner by LOCAL pid liveness (`ProcessHandle`), which
+    * means nothing for a writer on another host. If `tablePath` is on a
+    * shared filesystem (HDFS/S3/NFS) with writers on multiple hosts, a
+    * live remote writer's `__upserting`/`__old` state would be
+    * misclassified as dead debris and deleted, destroying its in-flight
+    * swap. All writers to one table must run on one host (any number of
+    * JVMs — the pid tag + start-instant check handles those); for
+    * multi-host ingest, target a table format whose MERGE takes a
+    * distributed lock/lease instead of this parquet-directory swap. */
   def streamUpsertToWarehouse(stream: DataFrame, tablePath: String,
                               keyCols: Seq[String],
                               orderCols: Seq[org.apache.spark.sql.Column],

@@ -214,10 +214,16 @@ class SubstringUrlDedupSpec extends SparkSpec {
       "https://www.Example.com/A/B/?utm_source=x&id=3#frag",
       "http://example.com/a/b",
       "example.com/a/b///",
-      "https://sub.example.com/a/b?x=1").toDF("u")
+      "https://sub.example.com/a/b?x=1",
+      // pathological: newline inside the query string and before a
+      // trailing slash — (?s)/\z keep replace-all == replace-first so
+      // Spark and RE2-based engines still agree
+      "https://example.com/a/b?x=1\nstill-query",
+      "example.com/a/b/\n/").toDF("u")
     val got = in.select(Dedup.normalizeUrl(col("u"))).as[String].collect().toSeq
     assert(got === Seq("example.com/a/b", "example.com/a/b",
-      "example.com/a/b", "sub.example.com/a/b"))
+      "example.com/a/b", "sub.example.com/a/b",
+      "example.com/a/b", "example.com/a/b/\n"))
   }
 
   test("urlContentDedup collapses same-key+same-content only") {
