@@ -855,6 +855,29 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"))
         .orderBy(col("doc_id"))),
 
+    // The FULL dedup ladder, production order: URL → exact → substring
+    // removal → re-tokenize/re-filter → fuzzy → semantic → budget,
+    // hash-matched as ONE chain (the URL stage is absorbed by the min-id
+    // exact dedup exactly as in v1: the substring stage runs on the
+    // post-exact survivor set, which is invariant to it). k=4 anchors and
+    // a 0.4 cosine threshold make the removal and semantic stages
+    // genuinely fire on the fixture (180 docs touched, 14 gutted below
+    // the re-applied quality floor, 25 semantic casualties at sf0.01);
+    // the fuzzy stage verifiably finds zero pairs here — exact dedup
+    // already absorbed the corpus's near-identical docs — and the crafted
+    // CorpusPipelineV2Spec fixture covers its firing path.
+    // semanticExact=true is the bounded oracle path; the spec asserts the
+    // LSH scale path yields a survivor superset.
+    "q_corpus_pipeline_v2" -> ((s, dir) =>
+      operators.CorpusPipeline.curateV2(
+        t(s, dir, "documents").withColumn("url",
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+            (col("doc_id") % 25).cast("string"), lit("/?utm_source="), col("lang"))),
+        t(s, dir, "embeddings"),
+        operators.CorpusPipeline.Config(urlCol = Some("url"),
+          substringK = 4, semanticThreshold = 0.4))
+        .orderBy(col("doc_id"))),
+
     // As-of join (backward, inclusive): each click event attached to the
     // same user's latest view event at-or-before it — one window shuffle,
     // no range join. Oracled against DuckDB's native ASOF LEFT JOIN.
@@ -1516,6 +1539,75 @@ object SparkEntry {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // PCA end-to-end gate (driver-side Jacobi eigensolve + HOF projection
+    // — the refactor-fragile half with specs but, until now, no harness
+    // row). Violations-only, oracle = empty relation. Per vector, in-engine:
+    //   (a) dual-path projection: pcaProject's shared-centering transform
+    //       vs an independent per-component inline-centered recompute —
+    //       the exact expression shape the CollapseProject re-eval trap
+    //       produces, so the two paths also pin that guard's semantics;
+    //   (b) Pythagoras: ||v-mean||² − Σ projᵢ² = ||v − v̂||² for the HOF
+    //       reconstruction v̂ — ties projection, reconstruction, and
+    //       component orthonormality together per row;
+    // plus (c) the k×k component Gram matrix vs identity (driver-side
+    // doubles, emitted as sentinel-id violation rows).
+    "q_vec_pca_verify" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val k = 8
+      val (mean, _, comps) = operators.VectorStats.pcaComponents(e, "embedding", k)
+      val d = mean.length
+      val meanLit = typedlit(mean.toSeq)
+      val compsLit = typedlit(comps.map(_.toSeq).toSeq)
+      val proj = operators.VectorStats.pcaProject(e, "embedding", "proj", k)
+      val withB = comps.indices.foldLeft(proj)((df, i) =>
+        df.withColumn(s"__b$i",
+          aggregate(
+            zip_with(
+              zip_with(col("embedding"), meanLit, (x, m) => x.cast("double") - m),
+              typedlit(comps(i).toSeq), (ctr, c) => ctr * c),
+            lit(0.0), (acc, x) => acc + x)))
+      val bArr = array(comps.indices.map(i => col(s"__b$i")): _*)
+      val recon = transform(sequence(lit(0), lit(d - 1)), p =>
+        element_at(meanLit, (p + 1).cast("int")) +
+          aggregate(sequence(lit(0), lit(k - 1)), lit(0.0), (acc, i) =>
+            acc + element_at(col("proj"), (i + 1).cast("int")) *
+              element_at(element_at(compsLit, (i + 1).cast("int")),
+                (p + 1).cast("int"))))
+      def sq(x: org.apache.spark.sql.Column) = x * x
+      val scored = withB
+        .withColumn("__recon", recon)
+        .withColumn("__err2",
+          aggregate(zip_with(col("embedding"), col("__recon"),
+            (x, y) => sq(x.cast("double") - y)), lit(0.0), (acc, x) => acc + x))
+        .withColumn("__dm2",
+          aggregate(zip_with(col("embedding"), meanLit,
+            (x, m) => sq(x.cast("double") - m)), lit(0.0), (acc, x) => acc + x))
+        .withColumn("__pn2",
+          aggregate(col("proj"), lit(0.0), (acc, x) => acc + x * x))
+        .withColumn("path_delta",
+          aggregate(zip_with(col("proj"), bArr, (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x)))
+        .withColumn("pyth_delta",
+          abs(col("__dm2") - col("__pn2") - col("__err2")))
+      val vio = scored
+        .filter(col("path_delta") > 1e-9 || col("pyth_delta") > 1e-6 ||
+          size(col("proj")) =!= k)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          when(col("path_delta") > 1e-9, lit("projection_path_mismatch"))
+            .otherwise(lit("pythagoras_violation")).as("issue"),
+          greatest(col("path_delta"), col("pyth_delta")).as("delta"))
+      val orthoVio = (for { i <- 0 until k; j <- i until k } yield {
+        val dot = (0 until d).map(p => comps(i)(p) * comps(j)(p)).sum
+        val want = if (i == j) 1.0 else 0.0
+        (i, j, math.abs(dot - want))
+      }).filter(_._3 > 1e-9)
+        .map { case (i, j, dev) =>
+          (-1L - (i * k + j), "component_orthonormality", dev) }
+      vio.unionByName(orthoVio.toDF("vec_id", "issue", "delta"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Two-phase salted aggregation: decomposable aggregates partial-agg on
     // (keys, salt) then combine — identical to the plain groupBy, so the
     // oracle IS the plain groupBy (3 heavily-skewed return-flag keys).
@@ -2088,6 +2180,118 @@ object SparkEntry {
         |  SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM surv)
         |SELECT doc_id, n_tok FROM cum WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // v2 ladder oracle: the v1 chain's CTEs with the substring-removal
+    // block (gram-level canonical election, k=4) spliced between exact
+    // dedup and shingling, token counts recomputed from clean_text, and a
+    // second recursive-CC block for the semantic stage (double-precision
+    // sequential list math, same contract as q_dedup_embedding_exact).
+    // Docs without an embedding survive semantics as singletons because
+    // scc seeds from ALL fuzzy survivors while edges exist only among
+    // embedded docs — the same pass-through the Spark side's left join
+    // implements.
+    "q_corpus_pipeline_v2" ->
+      """WITH RECURSIVE
+        |stats AS (SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |quality AS (SELECT doc_id, text FROM stats WHERE n_tokens >= 30 AND n_punct >= 0),
+        |keyed AS (SELECT doc_id, text, array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5 FROM quality),
+        |exact AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY key5 ORDER BY doc_id) AS rn FROM keyed) k
+        |  WHERE rn = 1),
+        |toks0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM exact),
+        |grams0 AS (
+        |  SELECT doc_id, tk, UNNEST(range(1, len(tk) - 4 + 2)) AS i
+        |  FROM toks0 WHERE len(tk) >= 4),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+3], ' ') AS gram FROM grams0),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY gram) AS c,
+        |    MIN(doc_id * 1048576 + pos) OVER (PARTITION BY gram) AS canon
+        |  FROM grams),
+        |rep AS (
+        |  SELECT doc_id, pos, (doc_id * 1048576 + pos = canon) AS is_canon
+        |  FROM occ WHERE c >= 2),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list(struct_pack(s := pos, e := pos + 3)) FILTER (WHERE is_canon) AS can,
+        |    list(struct_pack(s := pos, e := pos + 3)) FILTER (WHERE NOT is_canon) AS red
+        |  FROM rep GROUP BY doc_id),
+        |final AS (
+        |  SELECT t.doc_id, t.tk,
+        |    CASE WHEN w.red IS NULL THEN NULL
+        |      ELSE list_filter(range(0, len(t.tk)), p ->
+        |        NOT (len(list_filter(w.red, x -> p >= x.s AND p <= x.e)) > 0
+        |             AND (w.can IS NULL OR len(list_filter(w.can, x -> p >= x.s AND p <= x.e)) = 0)))
+        |      END AS kept
+        |  FROM toks0 t LEFT JOIN wins w ON t.doc_id = w.doc_id),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    CASE WHEN kept IS NULL THEN array_to_string(tk, ' ')
+        |      ELSE COALESCE(array_to_string(list_transform(kept, p -> tk[p + 1]), ' '), '') END AS clean_text,
+        |    CAST(CASE WHEN kept IS NULL THEN 0 ELSE len(tk) - len(kept) END AS BIGINT) AS n_removed
+        |  FROM final),
+        |cq AS (
+        |  SELECT doc_id, clean_text, n_removed,
+        |    CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_tok
+        |  FROM cleaned
+        |  WHERE (CASE WHEN trim(clean_text) = '' OR clean_text IS NULL THEN 0
+        |         ELSE len(regexp_split_to_array(trim(clean_text), '\s+')) END) >= 30),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(clean_text)), '\s+') AS tk FROM cq),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+        |  WHERE len(tk) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT idA, idB FROM common
+        |  JOIN sizes na ON na.doc_id = idA
+        |  JOIN sizes nb ON nb.doc_id = idB
+        |  WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2),
+        |edges AS (SELECT idA AS src, idB AS dst FROM pairs UNION ALL SELECT idB AS src, idA AS dst FROM pairs),
+        |cc(id, label) AS (
+        |  SELECT doc_id, doc_id FROM cq
+        |  UNION
+        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
+        |),
+        |fsurv AS (
+        |  SELECT x.doc_id, x.n_tok, x.n_removed FROM cq x
+        |  JOIN (SELECT id, MIN(label) AS lab FROM cc GROUP BY id) m
+        |    ON m.id = x.doc_id AND m.lab = x.doc_id),
+        |spairs AS (
+        |  SELECT a.vec_id AS idA, b.vec_id AS idB
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  JOIN fsurv sa ON sa.doc_id = a.vec_id
+        |  JOIN fsurv sb ON sb.doc_id = b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4),
+        |sedges AS (SELECT idA AS src, idB AS dst FROM spairs UNION ALL SELECT idB AS src, idA AS dst FROM spairs),
+        |scc(id, label) AS (
+        |  SELECT doc_id, doc_id FROM fsurv
+        |  UNION
+        |  SELECT e.dst, scc.label FROM sedges e JOIN scc ON scc.id = e.src
+        |),
+        |ssurv AS (
+        |  SELECT x.doc_id, x.n_tok, x.n_removed FROM fsurv x
+        |  JOIN (SELECT id, MIN(label) AS lab FROM scc GROUP BY id) m
+        |    ON m.id = x.doc_id AND m.lab = x.doc_id),
+        |cum AS (SELECT doc_id, n_tok, n_removed,
+        |  SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ssurv)
+        |SELECT doc_id, n_tok, n_removed FROM cum WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_event_id, v.value AS view_value
@@ -2723,6 +2927,11 @@ object SparkEntry {
     "q_vec_centroid_verify" ->
       """SELECT CAST(NULL AS INTEGER) AS label, CAST(NULL AS BIGINT) AS pos,
         |  CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_vec_pca_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS issue,
+        |  CAST(NULL AS DOUBLE) AS delta
         |WHERE FALSE""".stripMargin,
 
     // One SELECT per profiled column, UNION ALL — the oracle mirror of

@@ -34,9 +34,16 @@ object CorpusPipeline {
       ngram: Int = 3,
       jaccardThreshold: Double = 0.2,
       tokenBudget: Long = 10000L,
-      urlCol: Option[String] = None)
+      urlCol: Option[String] = None,
+      substringK: Int = 8,
+      semanticThreshold: Double = 0.2,
+      semanticExact: Boolean = true)
 
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** Stages 1-3, shared by both capstones: optional URL + content-hash
+    * dedup, quality filter over ONE fused profile scan, first-5-words
+    * exact dedup (min-id survivor). Keeps the input columns plus the
+    * `__p` profile struct and `key5` (callers project them away). */
+  private def exactStage(docs: DataFrame, cfg: Config): DataFrame = {
     val base = cfg.urlCol match {
       case Some(u) =>
         Dedup.exactDedup(
@@ -50,13 +57,17 @@ object CorpusPipeline {
     val quality = prof
       .filter(col("__p.n_tokens") >= cfg.minTokens &&
         col("__p.n_punct") >= cfg.minPunct)
-      .withColumn("n_tok", col("__p.n_bpeish").cast("long"))
       .withColumn("key5",
         array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 5), " "))
+    Dedup.exactDedup(quality, Seq("key5"), "doc_id")
+  }
+
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     // Materialize the filtered+deduped set once: three consumers (pair
     // derivation, survivor join, budget input) would otherwise each rerun
     // the profile scan and dedup window.
-    val exactKept = Dedup.exactDedup(quality, Seq("key5"), "doc_id")
+    val exactKept = exactStage(docs, cfg)
+      .withColumn("n_tok", col("__p.n_bpeish").cast("long"))
       .localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(
       exactKept.select(col("doc_id"), col("text")), "doc_id", "text",
@@ -65,6 +76,69 @@ object CorpusPipeline {
       exactKept.select(col("doc_id"), col("n_tok"), col("text")), "doc_id", pairs)
     PrefixSum.selectWithinBudget(
       survivors.select(col("doc_id"), col("n_tok")),
+      "doc_id", "n_tok", cfg.tokenBudget)
+  }
+
+  /** V2 capstone — the FULL dedup ladder a web-scale training corpus runs,
+    * in production order:
+    *
+    *   URL + content-hash dedup
+    *     → quality filter (fused profile scan)
+    *       → exact dedup (first-5-words key, min-id survivor)
+    *         → exact substring REMOVAL (Lee et al. ACL'22, gram-level
+    *           canonical election — repeated boilerplate cut out of the
+    *           surviving docs' text, not just detected)
+    *           → re-tokenize + re-filter (removal FEEDS the tokenizer:
+    *             every downstream count, shingle, and budget token is
+    *             derived from the cleaned text, and the quality floor
+    *             re-applies because removal can gut a doc below it)
+    *             → fuzzy near-dup removal (exact n-gram Jaccard pairs →
+    *               connected components → min-id survivor)
+    *               → semantic near-dup removal (embedding-cosine pairs →
+    *                 connected components → min-id survivor; docs with no
+    *                 embedding pass through unpaired)
+    *                 → token-budget selection (distributed prefix sum)
+    *
+    * Stage ordering is load-bearing: cheap high-yield passes shrink the
+    * corpus before expensive ones (URL/exact before the gram explode,
+    * substring removal before shingling so boilerplate cannot glue
+    * unrelated docs into one fuzzy cluster), and the budget counts tokens
+    * a model would actually train on. `cfg.semanticExact = true` is the
+    * all-pairs ORACLE path (quadratic on purpose, bounded sets only);
+    * `false` swaps in hyperplane-LSH banded candidates
+    * ([[Dedup.embeddingNearDupPairs]]) — the 100-TB path, which only
+    * ever MISSES pairs, so its survivor set is a superset (spec-asserted).
+    * Output: (doc_id, n_tok, n_removed) of the curated set — n_tok from
+    * the cleaned text, n_removed the substring stage's per-doc audit. */
+  def curateV2(docs: DataFrame, embeddings: DataFrame,
+               cfg: Config = Config(),
+               embIdCol: String = "vec_id",
+               embVecCol: String = "embedding"): DataFrame = {
+    val exactKept = exactStage(docs, cfg).select(col("doc_id"), col("text"))
+      .localCheckpoint() // feeds the removal's anchor AND token scans once
+    val cleaned = SubstringDedup.removeRepeatedSpans(
+      exactKept, "doc_id", "text", k = cfg.substringK)
+    val requal = cleaned
+      .withColumn("__p", TextAnalysis.profile(col("clean_text")))
+      .filter(col("__p.n_tokens") >= cfg.minTokens)
+      .withColumn("n_tok", col("__p.n_bpeish").cast("long"))
+      .select(col("doc_id"), col("clean_text"), col("n_tok"), col("n_removed"))
+      .localCheckpoint() // pair derivation + survivor join
+    val pairs = Dedup.ngramJaccardPairs(
+      requal.select(col("doc_id"), col("clean_text")), "doc_id", "clean_text",
+      n = cfg.ngram, threshold = cfg.jaccardThreshold)
+    val fuzzyKept = Dedup.nearDupSurvivors(requal, "doc_id", pairs)
+    val emb = embeddings.select(col(embIdCol).as("doc_id"),
+      col(embVecCol).as("__emb"))
+    val joined = fuzzyKept.join(emb, Seq("doc_id"), "left")
+      .localCheckpoint() // split into embedded/unembedded consumers
+    val withE = joined.filter(col("__emb").isNotNull)
+    val semPairs = Dedup.embeddingNearDupPairs(withE, "doc_id", "__emb",
+      cfg.semanticThreshold, exact = cfg.semanticExact)
+    val semKept = Dedup.nearDupSurvivors(withE, "doc_id", semPairs)
+      .unionByName(joined.filter(col("__emb").isNull))
+    PrefixSum.selectWithinBudget(
+      semKept.select(col("doc_id"), col("n_tok"), col("n_removed")),
       "doc_id", "n_tok", cfg.tokenBudget)
   }
 }

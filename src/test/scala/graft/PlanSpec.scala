@@ -272,7 +272,7 @@ class PlanSpec extends SparkSpec {
     // time, but the final plan is a pure projection worth auditing.
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_stream_upsert",
-      "q_dedup_cc", "q_corpus_pipeline",
+      "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
       "q_sim_topk_pq", "q_sim_topk_pq_verify",
@@ -303,6 +303,21 @@ class PlanSpec extends SparkSpec {
     // needs (hash on the token-budget bucket, range for the output order)
     // and nothing redundant.
     val df = SparkEntry.queries("q_corpus_pipeline")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 2, s"unexpected exchange count:\n$p")
+    assert(p.contains("Exchange hashpartitioning(__bucket"), p)
+    assert(p.contains("Exchange rangepartitioning(doc_id"), p)
+  }
+
+  test("corpus pipeline v2 final stage: same two partitionings, no extras") {
+    // The v2 ladder adds three stages (substring removal, re-filter,
+    // semantic CC) upstream of the checkpoint, but the post-checkpoint
+    // final stage must stay the SAME minimal shape as v1: one hash
+    // exchange on the prefix-sum bucket, one range exchange for the
+    // output order — the extra stages buy their shuffles inside their own
+    // checkpointed segments (gram-keyed, doc-keyed, pair-keyed), none of
+    // them leaks a redundant exchange into the budget stage.
+    val df = SparkEntry.queries("q_corpus_pipeline_v2")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(p).size == 2, s"unexpected exchange count:\n$p")
     assert(p.contains("Exchange hashpartitioning(__bucket"), p)
