@@ -322,6 +322,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy(col("doc_id"), col("start_tok"))),
 
+    // The at-scale variant of the same operator: anchors shuffle as TWO
+    // xxhash64 salts (16 bytes/anchor) instead of the k-token gram string.
+    // A false span needs a simultaneous collision in both salts (~2^-128
+    // per gram pair), so the output is byte-identical to the string path
+    // — it carries the SAME oracle, and the bench line measures what the
+    // 100-TB shuffle actually pays.
+    "q_dedup_substring_hashed" -> ((s, dir) =>
+      operators.SubstringDedup.repeatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8, hashKeys = true)
+        .orderBy(col("doc_id"), col("start_tok"))),
+
     // The removal half: gram-level canonical election (each repeated
     // k-gram keeps its (doc,pos)-minimal occurrence), positions covered
     // only by redundant windows dropped; the oracle rebuilds the cleaned
@@ -809,6 +820,37 @@ object SparkEntry {
           col("channels").cast("long").as("channels"),
           size(col("frame_offsets")).cast("long").as("n_frames"))
         .orderBy(col("media_id"))
+    }),
+
+    // Image near-dup, step 1: 63-bit perceptual dHash per media item. The
+    // Spark side PARSES the container bytes (real header walk for w/h and
+    // the body offset) and hashes the stub-decoded luminance grid; the
+    // oracle recomputes the expected hash purely from the id-synthesis
+    // formulas — a broken parse, offset, grid, or bit-pack breaks the
+    // match, same gating style as q_multimodal_features.
+    "q_image_phash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.withPhash(
+        Multimodal.syntheticMediaRecords(t(s, dir, "documents"), "doc_id"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Step 2: hamming-banded near-dup pairs over those hashes at the
+    // pigeonhole-EXACT threshold: 7 bands × 9 bits means any pair at
+    // hamming ≤ 6 must share an untouched band, so banding here is
+    // complete, not approximate — which lets the oracle be plain
+    // all-pairs hamming ≤ 6 with NO band terms, gating the banded
+    // candidate generation's recall (a missed pair breaks the row
+    // match), not just the hamming filter. Header-only payloads
+    // (id % 100 == 0) hash to 0 and surface as the hamming-0
+    // "identical blank image" clique.
+    "q_image_phash_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.phashNearDupPairs(
+        Multimodal.withPhash(
+          Multimodal.syntheticMediaRecords(t(s, dir, "documents"), "doc_id")),
+        "media_id", "phash", maxHamming = 6)
+        .orderBy(col("idA"), col("idB"))
     }),
 
     "q_stream_hourly" -> ((s, dir) =>
@@ -1894,6 +1936,29 @@ object SparkEntry {
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, start_tok""".stripMargin,
 
+    // identical contract to q_dedup_substring (see the query comment)
+    "q_dedup_substring_hashed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |grams0 AS (
+        |  SELECT doc_id, tk, UNNEST(range(1, len(tk) - 8 + 2)) AS i
+        |  FROM toks WHERE len(tk) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram FROM grams0),
+        |rep AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+        |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM marked) z)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+        |  CAST(MAX(pos) + 8 - 1 AS BIGINT) AS end_tok,
+        |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, start_tok""".stripMargin,
+
     // Same anchor derivation as q_dedup_substring, then GRAM-level
     // canonical election (min doc·2^20+pos per repeated gram — never by
     // merged-span text, which mixed witnesses would break) and the
@@ -1960,6 +2025,58 @@ object SparkEntry {
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 1 + doc_id % 2 END AS BIGINT) AS channels,
         |  CAST(LEAST(8, (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100) // 100 + 1) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // The dHash recomputed from the id-synthesis formulas alone: w/h by
+    // the same CASE ladder as q_multimodal_features, body length id%100,
+    // body byte j = (id*7 + j*13) % 251 — so the Spark side's real
+    // container parse + stub decode + grid + bit pack must all agree.
+    "q_image_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 512 WHEN 1 THEN 32 + doc_id % 256 ELSE 8000 + (doc_id % 8) * 1000 END AS w,
+        |    CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 31) % 512 WHEN 1 THEN 32 + (doc_id * 7) % 256 ELSE 16 END AS h,
+        |    doc_id % 100 AS blen
+        |  FROM documents),
+        |ph AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN blen = 0 THEN 0
+        |    ELSE CAST(list_sum(flatten(list_transform(range(0, 7), gy ->
+        |      list_transform(range(0, 9), gx ->
+        |        CASE WHEN
+        |          (doc_id * 7 + ((((gy * h) // 7) * w + ((gx + 1) * w) // 10) % blen) * 13) % 251
+        |          > (doc_id * 7 + ((((gy * h) // 7) * w + (gx * w) // 10) % blen) * 13) % 251
+        |        THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END)))) AS BIGINT)
+        |    END AS phash
+        |  FROM m)
+        |SELECT media_id, phash FROM ph ORDER BY media_id""".stripMargin,
+
+    // All-pairs hamming <= 6 over the same recomputed hashes — no band
+    // terms on purpose: at this threshold the 7x9 banding is complete by
+    // pigeonhole, so the banded Spark plan must reproduce the FULL pair
+    // set (gates recall, not just the filter).
+    "q_image_phash_pairs" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 512 WHEN 1 THEN 32 + doc_id % 256 ELSE 8000 + (doc_id % 8) * 1000 END AS w,
+        |    CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 31) % 512 WHEN 1 THEN 32 + (doc_id * 7) % 256 ELSE 16 END AS h,
+        |    doc_id % 100 AS blen
+        |  FROM documents),
+        |ph AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN blen = 0 THEN 0
+        |    ELSE CAST(list_sum(flatten(list_transform(range(0, 7), gy ->
+        |      list_transform(range(0, 9), gx ->
+        |        CASE WHEN
+        |          (doc_id * 7 + ((((gy * h) // 7) * w + ((gx + 1) * w) // 10) % blen) * 13) % 251
+        |          > (doc_id * 7 + ((((gy * h) // 7) * w + (gx * w) // 10) % blen) * 13) % 251
+        |        THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END)))) AS BIGINT)
+        |    END AS phash
+        |  FROM m)
+        |SELECT a.media_id AS idA, b.media_id AS idB,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        |ORDER BY idA, idB""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),

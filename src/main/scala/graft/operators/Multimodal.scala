@@ -121,7 +121,10 @@ object Multimodal {
         bb.putInt(filler)
     }
     val header = java.util.Arrays.copyOf(bb.array(), bb.position())
-    header ++ Array.fill(filler)((id % 251).toByte)
+    // Body bytes VARY with position (not one constant per id): the
+    // perceptual-hash path needs a non-degenerate luminance plane, and
+    // 251 is prime so the (id·7 + j·13) walk covers residues evenly.
+    header ++ Array.tabulate(filler)(j => ((id * 7 + j * 13) % 251).toByte)
   }
 
   private val mimes = Seq("image/png", "image/gif", "audio/wav")
@@ -165,6 +168,94 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Byte offset where pixel/sample DATA begins for the containers
+    * [[decodeHeader]] recognizes; 0 for unrecognized payloads (the whole
+    * blob is treated as body). A full decoder would walk chunk/segment
+    * tables — for these canonical single-header layouts the offset is the
+    * header length. */
+  def containerBodyOffset(b: Array[Byte]): Int =
+    if (b.length >= 33 && u8(b, 0) == 0x89 && ascii(b, 1, "PNG") &&
+        ascii(b, 12, "IHDR")) 33
+    else if (b.length >= 13 && (ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a"))) 13
+    else if (b.length >= 44 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE") &&
+        ascii(b, 12, "fmt ")) 44
+    else 0
+
+  /** 63-bit difference hash (dHash, Krawetz's "Kind of Like That"
+    * gradient hash) over the decode-stubbed luminance plane: sample a
+    * 10-wide × 7-tall grid of the virtual w×h image, set bit gy·9+gx iff
+    * the right neighbor is brighter. 63 bits instead of the classic 64
+    * keeps the hash strictly positive in a signed 64-bit lane, so shift/
+    * mask/compare behave identically on every engine that stores it.
+    *
+    * The container PARSE is real — (w, h) and the body offset come from
+    * [[decodeHeader]]/[[containerBodyOffset]] — while the pixel decode is
+    * the documented deterministic stub (luminance of (py, px) = body byte
+    * at (py·w + px) mod bodyLen): this container ships no codecs.
+    * Swapping in a real decoder replaces only the `lum` closure; the
+    * grid geometry, bit packing, banding, and pair machinery all stay.
+    * Empty body (header-only payload) hashes to 0 — all such payloads
+    * are "identical blank images" and pair at hamming 0. */
+  def dHash63(bytes: Array[Byte]): Long = {
+    val (w, h, _) = decodeHeader(bytes).getOrElse(decodeStub(bytes))
+    val off = containerBodyOffset(bytes)
+    val bodyLen = bytes.length - off
+    if (bodyLen <= 0) 0L
+    else {
+      def lum(py: Long, px: Long): Int =
+        bytes(off + ((py * w + px) % bodyLen).toInt) & 0xff
+      var hash = 0L
+      var gy = 0
+      while (gy < 7) {
+        val py = gy.toLong * h / 7
+        var gx = 0
+        while (gx < 9) {
+          if (lum(py, (gx + 1).toLong * w / 10) > lum(py, gx.toLong * w / 10))
+            hash |= 1L << (gy * 9 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+  }
+
+  /** (media_id, phash) for a media dataset — the image analogue of
+    * [[Dedup.withSimhash]]. Kernel UDF: genuinely custom bit math, same
+    * category as the simhash/minhash kernels. */
+  def withPhash(media: Dataset[MediaRecord])
+               (implicit spark: SparkSession): DataFrame = {
+    val f = udf((b: Array[Byte]) => dHash63(b))
+    media.toDF().select(col("media_id"), f(col("media")).as("phash"))
+  }
+
+  /** Near-duplicate image pairs by banded perceptual hash, mirroring the
+    * text-SimHash design: 7 bands of 9 bits each — by pigeonhole, any
+    * pair at hamming distance ≤ 6 shares at least one untouched band, so
+    * for thresholds ≤ 6 the banding is EXACT, not approximate; larger
+    * thresholds trade recall for the same bounded candidate volume.
+    * Candidates come from a (band, bucket) equi-join (never all-pairs);
+    * exact hamming verifies. Output: (idA, idB, hamming), idA < idB. */
+  def phashNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int): DataFrame = {
+    val banded = hashes
+      .select(col(idCol), col(hashCol),
+        explode(array((0 until 7).map(lit): _*)).as("band"))
+      .withColumn("bucket",
+        expr(s"shiftright($hashCol, band * 9)").bitwiseAND(lit(511L)))
+    val cands = banded.select(col("band"), col("bucket"),
+        col(idCol).as("idA"), col(hashCol).as("hashA"))
+      .join(banded.select(col("band"), col("bucket"),
+        col(idCol).as("idB"), col(hashCol).as("hashB")), Seq("band", "bucket"))
+      .filter(col("idA") < col("idB"))
+      .select("idA", "idB", "hashA", "hashB").distinct()
+    cands
+      .withColumn("hamming",
+        bit_count(col("hashA").bitwiseXOR(col("hashB"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
   }
 
   /** "Resize" stub: recompute metadata for a target box, preserving aspect —
