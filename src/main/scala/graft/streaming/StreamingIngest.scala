@@ -151,10 +151,10 @@ object StreamingIngest {
     * final sessions as a batch frame. Bounded-stream finalization: append-
     * mode session windows emit only once the watermark passes their end,
     * and a finite stream's watermark stops at its max event time — the
-    * tail sessions would be withheld forever. The standard fix is staged
-    * here: copy the input to a staging dir plus ONE far-future sentinel
-    * row (key -1), which advances the global watermark past every real
-    * session end; the sentinel's own session is filtered from the result.
+    * tail sessions would be withheld forever. The standard fix: union the
+    * source stream with a staged ONE-row far-future sentinel (key -1),
+    * which advances the global watermark past every real session end; the
+    * sentinel's own session is filtered from the result.
     * Production (unbounded) streams need none of this — later events
     * advance the watermark naturally. */
   def runSessionizeBounded(spark: SparkSession, parquetPath: String,
@@ -179,16 +179,25 @@ object StreamingIngest {
           StructField(keyCol, LongType), StructField("session_start", LongType),
           StructField("session_last", LongType), StructField("n_events", LongType))))
     }
+    // Sentinel-ONLY staging: the input streams straight from its source
+    // glob and a second one-row file source carries the sentinel, unioned
+    // into one streaming plan — copying the whole input to the stage dir
+    // (the previous design) paid a full write job per run for data that
+    // already sits in readable parquet. Independent batching of the two
+    // sources is immaterial: the sentinel only needs to arrive at SOME
+    // point for the watermark to pass every real session end.
     val stage = java.nio.file.Files.createTempDirectory("graft-sess-stage").toString
-    ev.write.mode("overwrite").parquet(stage)
     val maxTs = ev.agg(max(col(tsCol))).head().getLong(0)
     // ts is long nanos here (nanosAsLong); 3 gaps past the max is safely
     // beyond every real session end after the micros conversion
     ev.limit(1)
       .withColumn(keyCol, lit(-1L))
       .withColumn(tsCol, lit(maxTs + 3 * gapMicros * 1000))
-      .write.mode("append").parquet(stage)
-    val stream = spark.readStream.schema(ev.schema).parquet(stage + "/*.parquet")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val srcGlob = if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
+    val stream = spark.readStream.schema(ev.schema).parquet(srcGlob)
+      .union(spark.readStream.schema(ev.schema).parquet(stage + "/*.parquet"))
       .withColumn("__tsm", timestamp_micros(expr(s"$tsCol div 1000")))
     try {
       withStatePartitions(spark, statePartitions) {
@@ -249,10 +258,12 @@ object StreamingIngest {
     val delay =
       if (span.isNullAt(0)) window_
       else s"${span.getLong(0) + windowMicros + 1} microseconds"
-    val stage = java.nio.file.Files.createTempDirectory("graft-ssj-stage").toString
-    ev.write.mode("overwrite").parquet(stage)
+    // No staging: unlike the sessionize runner there is no sentinel to
+    // inject, so both sides stream straight from the source glob — the
+    // previous staged copy paid a full write job per run for nothing.
+    val srcGlob = if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
     def side(eventType: String, prefix: String): DataFrame =
-      spark.readStream.schema(ev.schema).parquet(stage + "/*.parquet")
+      spark.readStream.schema(ev.schema).parquet(srcGlob)
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user_id"),
           col("event_id").as(s"${prefix}_event_id"),
@@ -261,15 +272,11 @@ object StreamingIngest {
     val joined = intervalJoin(
       side("view", "v"), side("purchase", "p"),
       "v_user_id", "p_user_id", "v_tsm", "p_tsm", window_)
-    try {
-      withStatePartitions(spark, statePartitions) {
-        val q = joined.writeStream.outputMode("append").format("memory")
-          .queryName(queryName).start()
-        try q.processAllAvailable()
-        finally q.stop()
-      }
-    } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    withStatePartitions(spark, statePartitions) {
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
     }
     spark.table(queryName)
       .select(col("v_user_id").as("user_id"),
