@@ -1601,7 +1601,12 @@ object SparkEntry {
       val d = mean.length
       val meanLit = typedlit(mean.toSeq)
       val compsLit = typedlit(comps.map(_.toSeq).toSeq)
-      val proj = operators.VectorStats.pcaProject(e, "embedding", "proj", k)
+      // ONE eigensolve shared by path A and the checks: a second
+      // pcaComponents call would re-aggregate moments whose double sums
+      // merge in nondeterministic partial order — ulp-different
+      // components through the 1/eigengap-amplifying Jacobi solve could
+      // trip the 1e-9 gate spuriously.
+      val proj = operators.VectorStats.pcaProject(e, "embedding", "proj", mean, comps)
       val withB = comps.indices.foldLeft(proj)((df, i) =>
         df.withColumn(s"__b$i",
           aggregate(
@@ -1813,6 +1818,49 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  // Shared oracle fragments: ONE definition gates every variant that
+  // claims the identical contract, so copies cannot drift apart.
+  private val substringSpansOracleSql: String =
+    """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |grams0 AS (
+        |  SELECT doc_id, tk, UNNEST(range(1, len(tk) - 8 + 2)) AS i
+        |  FROM toks WHERE len(tk) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram FROM grams0),
+        |rep AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+        |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM marked) z)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+        |  CAST(MAX(pos) + 8 - 1 AS BIGINT) AS end_tok,
+        |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, start_tok""".stripMargin
+
+  private val phashCteSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 512 WHEN 1 THEN 32 + doc_id % 256 ELSE 8000 + (doc_id % 8) * 1000 END AS w,
+      |    CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 31) % 512 WHEN 1 THEN 32 + (doc_id * 7) % 256 ELSE 16 END AS h,
+      |    doc_id % 100 AS blen
+      |  FROM documents),
+      |ph AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN blen = 0 THEN 0
+      |    ELSE CAST(list_sum(flatten(list_transform(range(0, 7), gy ->
+      |      list_transform(range(0, 9), gx ->
+      |        CASE WHEN
+      |          (doc_id * 7 + ((((gy * h) // 7) * w + ((gx + 1) * w) // 10) % blen) * 13) % 251
+      |          > (doc_id * 7 + ((((gy * h) // 7) * w + (gx * w) // 10) % blen) * 13) % 251
+      |        THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END)))) AS BIGINT)
+      |    END AS phash
+      |  FROM m)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_w1_latest_order" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
@@ -1914,50 +1962,11 @@ object SparkEntry {
     // grams, corpus-wide occurrence count, then the same consecutive-
     // anchor island merge (new island when pos > prev + 1) the Spark
     // window performs.
-    "q_dedup_substring" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
-        |  FROM documents),
-        |grams0 AS (
-        |  SELECT doc_id, tk, UNNEST(range(1, len(tk) - 8 + 2)) AS i
-        |  FROM toks WHERE len(tk) >= 8),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram FROM grams0),
-        |rep AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
-        |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM marked) z)
-        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
-        |  CAST(MAX(pos) + 8 - 1 AS BIGINT) AS end_tok,
-        |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
-        |FROM isl GROUP BY doc_id, island
-        |ORDER BY doc_id, start_tok""".stripMargin,
+    "q_dedup_substring" -> substringSpansOracleSql,
 
-    // identical contract to q_dedup_substring (see the query comment)
-    "q_dedup_substring_hashed" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
-        |  FROM documents),
-        |grams0 AS (
-        |  SELECT doc_id, tk, UNNEST(range(1, len(tk) - 8 + 2)) AS i
-        |  FROM toks WHERE len(tk) >= 8),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS gram FROM grams0),
-        |rep AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
-        |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (gram)),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    SUM(CASE WHEN prev IS NULL OR pos > prev + 1 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM marked) z)
-        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
-        |  CAST(MAX(pos) + 8 - 1 AS BIGINT) AS end_tok,
-        |  CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
-        |FROM isl GROUP BY doc_id, island
-        |ORDER BY doc_id, start_tok""".stripMargin,
+    // identical contract to q_dedup_substring (see the query comment) —
+    // ONE definition gates both variants, so they cannot drift
+    "q_dedup_substring_hashed" -> substringSpansOracleSql,
 
     // Same anchor derivation as q_dedup_substring, then GRAM-level
     // canonical election (min doc·2^20+pos per repeated gram — never by
@@ -2031,52 +2040,19 @@ object SparkEntry {
     // body byte j = (id*7 + j*13) % 251 — so the Spark side's real
     // container parse + stub decode + grid + bit pack must all agree.
     "q_image_phash" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 512 WHEN 1 THEN 32 + doc_id % 256 ELSE 8000 + (doc_id % 8) * 1000 END AS w,
-        |    CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 31) % 512 WHEN 1 THEN 32 + (doc_id * 7) % 256 ELSE 16 END AS h,
-        |    doc_id % 100 AS blen
-        |  FROM documents),
-        |ph AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN blen = 0 THEN 0
-        |    ELSE CAST(list_sum(flatten(list_transform(range(0, 7), gy ->
-        |      list_transform(range(0, 9), gx ->
-        |        CASE WHEN
-        |          (doc_id * 7 + ((((gy * h) // 7) * w + ((gx + 1) * w) // 10) % blen) * 13) % 251
-        |          > (doc_id * 7 + ((((gy * h) // 7) * w + (gx * w) // 10) % blen) * 13) % 251
-        |        THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END)))) AS BIGINT)
-        |    END AS phash
-        |  FROM m)
-        |SELECT media_id, phash FROM ph ORDER BY media_id""".stripMargin,
+      (phashCteSql + "\nSELECT media_id, phash FROM ph ORDER BY media_id"),
 
     // All-pairs hamming <= 6 over the same recomputed hashes — no band
     // terms on purpose: at this threshold the 7x9 banding is complete by
     // pigeonhole, so the banded Spark plan must reproduce the FULL pair
     // set (gates recall, not just the filter).
     "q_image_phash_pairs" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 512 WHEN 1 THEN 32 + doc_id % 256 ELSE 8000 + (doc_id % 8) * 1000 END AS w,
-        |    CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 31) % 512 WHEN 1 THEN 32 + (doc_id * 7) % 256 ELSE 16 END AS h,
-        |    doc_id % 100 AS blen
-        |  FROM documents),
-        |ph AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN blen = 0 THEN 0
-        |    ELSE CAST(list_sum(flatten(list_transform(range(0, 7), gy ->
-        |      list_transform(range(0, 9), gx ->
-        |        CASE WHEN
-        |          (doc_id * 7 + ((((gy * h) // 7) * w + ((gx + 1) * w) // 10) % blen) * 13) % 251
-        |          > (doc_id * 7 + ((((gy * h) // 7) * w + (gx * w) // 10) % blen) * 13) % 251
-        |        THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END)))) AS BIGINT)
-        |    END AS phash
-        |  FROM m)
+      (phashCteSql + """
         |SELECT a.media_id AS idA, b.media_id AS idB,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM ph a JOIN ph b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 6
-        |ORDER BY idA, idB""".stripMargin,
+        |ORDER BY idA, idB""".stripMargin),
 
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),

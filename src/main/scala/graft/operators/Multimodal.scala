@@ -227,7 +227,9 @@ object Multimodal {
     * category as the simhash/minhash kernels. */
   def withPhash(media: Dataset[MediaRecord])
                (implicit spark: SparkSession): DataFrame = {
-    val f = udf((b: Array[Byte]) => dHash63(b))
+    // null payload (e.g. a NULL source column cast to binary) joins the
+    // empty-body "blank image" convention instead of NPE-ing the job
+    val f = udf((b: Array[Byte]) => if (b == null) 0L else dHash63(b))
     media.toDF().select(col("media_id"), f(col("media")).as("phash"))
   }
 

@@ -56,10 +56,17 @@ object SubstringDedup {
         posexplode(transform(sequence(lit(0), size(col("__tk")) - k),
           i => array_join(slice(col("__tk"), i + 1, lit(k)), " ")))
           .as(Seq("pos", "gram")))
+    // __g2 must NOT be xxhash64(gram, salt): Spark chains multi-child
+    // xxhash64 left-to-right with the running hash as the next seed, so
+    // xxhash64(gram, lit(1)) = XXH64(1, XXH64(gram, 42)) — a pure
+    // function of __g1, leaving only 64 independent collision bits.
+    // Hashing (salt, gram) instead makes the salt the SEED of the gram
+    // hash (XXH64(gram, XXH64(1, 42))), giving two independent 64-bit
+    // views of the gram bytes — the 128 bits the contract documents.
     if (hashKeys)
       grams.select(col("doc_id"), col("pos"),
         xxhash64(col("gram")).as("__g1"),
-        xxhash64(col("gram"), lit(1)).as("__g2"))
+        xxhash64(lit(1), col("gram")).as("__g2"))
     else
       grams.select(col("doc_id"), col("pos"),
         col("gram").as("__g1"), lit(0L).as("__g2"))

@@ -216,6 +216,15 @@ object VectorStats {
   def pcaProject(df: DataFrame, vecCol: String, outCol: String,
                  k: Int): DataFrame = {
     val (mean, _, comps) = pcaComponents(df, vecCol, k)
+    pcaProject(df, vecCol, outCol, mean, comps)
+  }
+
+  /** Projection against ALREADY-SOLVED components — callers that need the
+    * (mean, comps) themselves (verification, reuse across frames) pass
+    * them here instead of paying the O(n·d²) moment aggregation twice;
+    * two projections from one solve are then bitwise-identical. */
+  def pcaProject(df: DataFrame, vecCol: String, outCol: String,
+                 mean: Array[Double], comps: Array[Array[Double]]): DataFrame = {
     val meanLit = typedlit(mean.toSeq)
     val compsLit = typedlit(comps.map(_.toSeq).toSeq)
     // the size() guard is a second syntactic reference to __ctr: with only

@@ -183,9 +183,14 @@ object StreamingIngest {
     // glob and a second one-row file source carries the sentinel, unioned
     // into one streaming plan — copying the whole input to the stage dir
     // (the previous design) paid a full write job per run for data that
-    // already sits in readable parquet. Independent batching of the two
-    // sources is immaterial: the sentinel only needs to arrive at SOME
-    // point for the watermark to pass every real session end.
+    // already sits in readable parquet. ORDER IS THE INVARIANT HERE: the
+    // design is correct because the default file source lists ALL
+    // available files at query start, so every real row is processed in
+    // (or before) the batch that processes the sentinel. A sentinel
+    // processed EARLY (e.g. if someone adds maxFilesPerTrigger to these
+    // sources) would advance the watermark 3 gaps past max event time
+    // and real rows arriving later would be silently dropped as late —
+    // which is why the run asserts numRowsDroppedByWatermark == 0 below.
     val stage = java.nio.file.Files.createTempDirectory("graft-sess-stage").toString
     val maxTs = ev.agg(max(col(tsCol))).head().getLong(0)
     // ts is long nanos here (nanosAsLong); 3 gaps past the max is safely
@@ -195,8 +200,7 @@ object StreamingIngest {
       .withColumn(tsCol, lit(maxTs + 3 * gapMicros * 1000))
       .coalesce(1)
       .write.mode("overwrite").parquet(stage)
-    val srcGlob = if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
-    val stream = spark.readStream.schema(ev.schema).parquet(srcGlob)
+    val stream = spark.readStream.schema(ev.schema).parquet(streamGlob(parquetPath))
       .union(spark.readStream.schema(ev.schema).parquet(stage + "/*.parquet"))
       .withColumn("__tsm", timestamp_micros(expr(s"$tsCol div 1000")))
     try {
@@ -204,8 +208,14 @@ object StreamingIngest {
         val q = sessionizedEvents(stream, gapMicros, keyCol, "__tsm")
           .writeStream.outputMode("append").format("memory")
           .queryName(queryName).start()
-        try q.processAllAvailable()
-        finally q.stop()
+        try {
+          q.processAllAvailable()
+          val dropped = watermarkDropped(q)
+          require(dropped == 0,
+            s"runSessionizeBounded: $dropped rows dropped as late — the " +
+              "sentinel was processed before real rows; see the staging " +
+              "comment (single-batch file listing is the invariant)")
+        } finally q.stop()
       }
     } finally {
       // the memory sink holds the result; the staged copy is disposable
@@ -261,9 +271,8 @@ object StreamingIngest {
     // No staging: unlike the sessionize runner there is no sentinel to
     // inject, so both sides stream straight from the source glob — the
     // previous staged copy paid a full write job per run for nothing.
-    val srcGlob = if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
     def side(eventType: String, prefix: String): DataFrame =
-      spark.readStream.schema(ev.schema).parquet(srcGlob)
+      spark.readStream.schema(ev.schema).parquet(streamGlob(parquetPath))
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user_id"),
           col("event_id").as(s"${prefix}_event_id"),
@@ -275,8 +284,14 @@ object StreamingIngest {
     withStatePartitions(spark, statePartitions) {
       val q = joined.writeStream.outputMode("append").format("memory")
         .queryName(queryName).start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        val dropped = watermarkDropped(q)
+        require(dropped == 0,
+          s"runAttributionBounded: $dropped rows dropped as late — the " +
+            "full-span watermark delay should make lateness impossible " +
+            "on a bounded replay")
+      } finally q.stop()
     }
     spark.table(queryName)
       .select(col("v_user_id").as("user_id"),
@@ -284,6 +299,27 @@ object StreamingIngest {
         col("p_event_id").as("purchase_event_id"),
         (unix_micros(col("p_tsm")) - unix_micros(col("v_tsm"))).as("delta_us"))
   }
+
+  /** File-source glob for a bounded parquet path. The streaming file
+    * source REJECTS a bare file path ("Option 'basePath' must be a
+    * directory"), so a trailing `*` turns it into a glob anchored in the
+    * parent directory. Caveat (accepted, single point): the glob is a
+    * PREFIX match, so a sibling named `<path>whatever` would also be
+    * picked up — the driver-controlled testdata dirs contain no such
+    * siblings, and exact-path matching is not expressible through this
+    * API. */
+  private def streamGlob(parquetPath: String): String =
+    if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
+
+  /** Sum of rows the state operators dropped as late across a bounded
+    * run — used as a loud guard where the harness DESIGN guarantees no
+    * lateness (sentinel unions, full-span watermark delays), so any
+    * nonzero count is a harness bug, not data skew. */
+  private def watermarkDropped(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark).sum
 
   /** Run a thunk with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the previous value after. Stateful streaming queries
@@ -440,13 +476,12 @@ object StreamingIngest {
                              orderCols: Seq[org.apache.spark.sql.Column],
                              maxFilesPerTrigger: Int = 0): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
-    val streamPath = if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
     val reader = spark.readStream.schema(schema)
     val withTrigger =
       if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       else reader
-    val stream = normalizeTs(withTrigger.parquet(streamPath))
+    val stream = normalizeTs(withTrigger.parquet(streamGlob(parquetPath)))
     val checkpoint = java.nio.file.Files
       .createTempDirectory("graft-upsert-ckpt").toString
     val q = streamUpsertToWarehouse(stream, tablePath, keyCols, orderCols, checkpoint)
@@ -465,10 +500,8 @@ object StreamingIngest {
                           queryName: String = "events_windowed",
                           statePartitions: Int = 8): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
-    // The file stream source requires a directory (or glob) — suffix a "*"
-    // so a single-file path becomes a glob over its parent directory.
-    val streamPath = if (parquetPath.endsWith("*")) parquetPath else parquetPath + "*"
-    val stream = normalizeTs(spark.readStream.schema(schema).parquet(streamPath))
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(streamGlob(parquetPath)))
     withStatePartitions(spark, statePartitions) {
       val q = windowedEventAgg(stream)
         .writeStream
