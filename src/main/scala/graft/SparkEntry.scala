@@ -22,6 +22,23 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Regression feature frame for the LinearModel queries: predict text
+    * LENGTH from token/stopword counts (profile-derived, ONE fused scan)
+    * — the fitted weights are interpretable (≈ mean word length, and the
+    * chars-shorter-than-average stopword discount). n_punct and n_bpeish
+    * are deliberately absent: this corpus has no punctuation, so the
+    * former is identically zero (singular column) and the latter equals
+    * n_tokens (collinear). Null text filtered on both sides — a null
+    * feature row would silently drop out of the moment sums while still
+    * counting in n. */
+  private def regFeatures(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("__p", TextAnalysis.profile(col("text")))
+      .select(
+        coalesce(col("__p.n_tokens"), lit(0)).cast("double").as("f_tokens"),
+        col("__p.n_stopwords").cast("double").as("f_stop"),
+        col("__p.n_chars").cast("double").as("y_chars"))
+
   /** Suffix for scratch paths/tables written by demonstration queries:
     * keyed by the dataset dir (cross-SF runs never interleave) and the
     * process id (concurrent harness/test JVMs never clobber each other
@@ -822,6 +839,14 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Okapi BM25 retrieval over the corpus for a literal query-term set
+    // (two common, one mid, one rare term → idf spread). Rounded-idf +
+    // rounded-contribution decimal sums per the TfIdf determinism idiom;
+    // top-20 by (score desc, doc_id) total order.
+    "q_text_bm25" -> ((s, dir) =>
+      operators.Bm25.score(t(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "stream", "vector", "dup"))),
+
     // Image near-dup, step 1: 63-bit perceptual dHash per media item. The
     // Spark side PARSES the container bytes (real header walk for w/h and
     // the body offset) and hashes the stub-decoded luminance grid; the
@@ -1529,6 +1554,44 @@ object SparkEntry {
         .select(col("i").cast("string").as("i"), col("j").cast("string").as("j"),
           col("qsum").cast("string").as("qsum"), col("n").cast("string").as("n"))),
 
+    // Normal-equation moments for the trainable quality regressor
+    // (predict text length from token/stopword counts): the distributed
+    // half of LinearModel.fit, hash-matched under the q_vec_gram
+    // fixed-point contract over the augmented
+    // [1, n_tokens, n_stopwords, n_chars] vector.
+    "q_reg_moments" -> ((s, dir) =>
+      operators.LinearModel.moments(
+        regFeatures(t(s, dir, "documents")),
+        Seq("f_tokens", "f_stop"), "y_chars")
+        .orderBy(col("i"), col("j"))
+        .select(col("i").cast("string").as("i"), col("j").cast("string").as("j"),
+          col("qsum").cast("string").as("qsum"), col("n").cast("string").as("n"))),
+
+    // The fit's verification gate: per-coefficient normal-equation
+    // gradient Σ xⱼ·(y − ŷ) re-derived in-engine (fixed-point folds) must
+    // stay within the quantization-derived bound — a wrong pivot, index
+    // slip, or sign in the driver solve blows it by orders of magnitude.
+    // Violations only; oracle = empty relation.
+    "q_reg_verify" -> ((s, dir) => {
+      import s.implicits._
+      val d = regFeatures(t(s, dir, "documents")).localCheckpoint()
+      val feats = Seq("f_tokens", "f_stop")
+      val fit = operators.LinearModel.fit(d, feats, "y_chars")
+      // bound + the gradient computation's own quantization (n/grid),
+      // then 4x safety — see LinearModel scaladoc for the derivation
+      val tol = 4.0 * (fit.gradientBound + fit.n / fit.grid)
+      val gradVio = operators.LinearModel.gradientSums(d, feats, "y_chars", fit)
+        .filter(abs(col("qgrad").cast("double") / fit.grid) > tol ||
+          col("n") =!= fit.n)
+        .select(col("j"), lit("gradient_out_of_bound").as("issue"),
+          (col("qgrad").cast("double") / fit.grid).as("value"))
+      val badW = fit.weights.zipWithIndex
+        .filter { case (w, _) => w.isNaN || w.isInfinite }
+        .map { case (w, j) => (j.toLong, "weight_not_finite", w) }
+      gradVio.unionByName(badW.toSeq.toDF("j", "issue", "value"))
+        .orderBy(col("j"))
+    }),
+
     // Single-pass table profile: per-column null/distinct/min/max from
     // ONE scan (the pre-training data-quality gate); exact distincts are
     // the oracle contract, approx_count_distinct the 100 TB path (spec'd).
@@ -2034,6 +2097,35 @@ object SparkEntry {
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 1 + doc_id % 2 END AS BIGINT) AS channels,
         |  CAST(LEAST(8, (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100) // 100 + 1) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+
+    // Every numeric literal is anchored to DOUBLE: bare decimals are
+    // DECIMAL-typed in DuckDB and would silently switch the arithmetic
+    // from the IEEE doubles the Spark side computes to exact decimal
+    // division. 0.25 = (1 - b), both exact dyadics.
+    "q_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM toks) AS sumdl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('join', 'stream', 'vector', 'dup')
+        |  GROUP BY doc_id, term),
+        |idf AS (
+        |  SELECT term, ROUND(ln((CAST(s.n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1), 6) AS idf
+        |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats s),
+        |contrib AS (
+        |  SELECT t.doc_id,
+        |    CAST(ROUND(i.idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)) /
+        |      (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / s.n))), 6)
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM tf t JOIN idf i USING (term) JOIN dls d USING (doc_id), stats s)
+        |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // The dHash recomputed from the id-synthesis formulas alone: w/h by
     // the same CASE ladder as q_multimodal_features, body length id%100,
@@ -3080,6 +3172,30 @@ object SparkEntry {
         |  MAX(n_chars) OVER (PARTITION BY bucket, batch) AS batch_max,
         |  CAST(MAX(n_chars) OVER (PARTITION BY bucket, batch) - n_chars AS BIGINT) AS waste
         |FROM rk ORDER BY bucket, batch, n_chars, doc_id""".stripMargin,
+
+    // Feature expressions are the q_text_stats oracle formulas verbatim;
+    // the triangle math mirrors q_vec_gram over the 5-slot augmented
+    // vector [1, f_tokens, f_punct, f_stop, y_bpeish].
+    "q_reg_moments" ->
+      """WITH f AS (
+        |  SELECT
+        |    CAST(CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ft,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by|from|that|this)\b')) AS DOUBLE) AS fs,
+        |    CAST(length(text) AS DOUBLE) AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT [CAST(1 AS DOUBLE), ft, fs, y] AS fv FROM f)
+        |SELECT CAST(i.i AS VARCHAR) AS i, CAST(j.j AS VARCHAR) AS j,
+        |  CAST(SUM(CAST(FLOOR(fv[i.i + 1] * fv[j.j + 1] * 1000000) AS BIGINT)) AS VARCHAR) AS qsum,
+        |  CAST(COUNT(*) AS VARCHAR) AS n
+        |FROM v, (SELECT UNNEST(RANGE(0, 4)) AS i) i, (SELECT UNNEST(RANGE(0, 4)) AS j) j
+        |WHERE j.j >= i.i
+        |GROUP BY i.i, j.j
+        |ORDER BY i.i, j.j""".stripMargin,
+
+    "q_reg_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS j, CAST(NULL AS VARCHAR) AS issue,
+        |  CAST(NULL AS DOUBLE) AS value
+        |WHERE FALSE""".stripMargin,
 
     // Same fixed-point determinism argument as q_vec_centroid; i/j are
     // 0-based to match the Spark side's sequence(0, d-1).

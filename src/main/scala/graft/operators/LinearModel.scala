@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed linear regression by NORMAL EQUATIONS — the trainable
+  * quality-scorer shape (fit interpretable feature weights on corpus
+  * statistics, score every document): the same at-scale split as
+  * [[VectorStats.pcaComponents]]. Data-sized work stays in-engine as ONE
+  * fixed-point Gram aggregation over the augmented vector
+  * [1, x₁…xₚ, y] (so X'X, X'y and y'y all come from one triangle);
+  * only the (p+1)²-sized system reaches the driver, where Gaussian
+  * elimination with partial pivoting (+ optional ridge λ) solves for w.
+  *
+  * The fixed-point moment contract ([[VectorStats.gramSums]]:
+  * Σ floor(vᵢ·vⱼ·grid) as longs) is what makes the moments engine- and
+  * order-reproducible — hash-oracleable — at the price of a bounded
+  * quantization: each moment entry is off by at most n/grid, so the
+  * fitted w satisfies the TRUE normal equations only up to
+  * |X'(y−Xw)|ⱼ ≤ (n/grid)·(1+Σ|w|) per coefficient. The harness verify
+  * query re-derives that gradient in-engine and flags any coefficient
+  * outside 4× the bound — solver bugs (wrong pivot, index slip, sign)
+  * blow the bound by orders of magnitude, quantization never does. */
+object LinearModel {
+
+  /** Fitted model: intercept-first coefficients plus the fit context the
+    * verification bound needs. */
+  final case class Fit(weights: Array[Double], n: Long, grid: Double) {
+    def gradientBound: Double =
+      n / grid * (1.0 + weights.iterator.map(math.abs).sum)
+  }
+
+  /** The augmented [1, features…, y] vector column. */
+  private def augmented(featureCols: Seq[String], yCol: String): Column =
+    array((lit(1.0) +: featureCols.map(c => col(c).cast("double")) :+
+      col(yCol).cast("double")): _*)
+
+  /** Fixed-point moment sums of the augmented vector — the distributed
+    * half, exactly [[VectorStats.gramSums]] over [1, x…, y]. Exposed so
+    * the harness can oracle the moments the fit consumes. */
+  def moments(df: DataFrame, featureCols: Seq[String], yCol: String,
+              grid: Double = 1e6): DataFrame =
+    VectorStats.gramSums(
+      df.select(augmented(featureCols, yCol).as("fv")), "fv", grid)
+
+  /** Fit w for y ≈ w₀ + Σ wᵢ·xᵢ from the distributed moments. `ridge`
+    * adds λ to every feature's (not the intercept's) diagonal entry. */
+  def fit(df: DataFrame, featureCols: Seq[String], yCol: String,
+          ridge: Double = 0.0, grid: Double = 1e6): Fit = {
+    val p = featureCols.length + 1
+    val rows = moments(df, featureCols, yCol, grid).collect()
+    require(rows.nonEmpty, "LinearModel.fit: empty input")
+    val n = rows.head.getAs[Long]("n")
+    val m = Array.ofDim[Double](p + 1, p + 1) // augmented incl. y slot
+    rows.foreach { r =>
+      val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+      val v = r.getAs[Long]("qsum").toDouble / grid
+      m(i)(j) = v; m(j)(i) = v
+    }
+    // A = X'X (p×p block), b = X'y (last column's first p entries)
+    val a = Array.tabulate(p, p)((i, j) =>
+      m(i)(j) + (if (i == j && i > 0) ridge else 0.0))
+    val b = Array.tabulate(p)(i => m(i)(p))
+    Fit(solve(a, b), n, grid)
+  }
+
+  /** In-place Gaussian elimination with partial pivoting — (p+1)² driver
+    * work, never data-sized. */
+  private[operators] def solve(a: Array[Array[Double]],
+                               b: Array[Double]): Array[Double] = {
+    val p = a.length
+    val w = b.clone()
+    val mat = a.map(_.clone())
+    for (k <- 0 until p) {
+      var piv = k
+      for (r <- k + 1 until p) if (math.abs(mat(r)(k)) > math.abs(mat(piv)(k))) piv = r
+      require(math.abs(mat(piv)(k)) > 1e-12,
+        s"LinearModel.solve: singular system at column $k — drop collinear " +
+          "features or add ridge")
+      if (piv != k) { val t = mat(piv); mat(piv) = mat(k); mat(k) = t
+        val tb = w(piv); w(piv) = w(k); w(k) = tb }
+      for (r <- k + 1 until p) {
+        val f = mat(r)(k) / mat(k)(k)
+        for (c2 <- k until p) mat(r)(c2) -= f * mat(k)(c2)
+        w(r) -= f * w(k)
+      }
+    }
+    for (k <- p - 1 to 0 by -1) {
+      var s = w(k)
+      for (c2 <- k + 1 until p) s -= mat(k)(c2) * w(c2)
+      w(k) = s / mat(k)(k)
+    }
+    w
+  }
+
+  /** Score every row: ŷ = w₀ + Σ wᵢ·xᵢ plus the residual — plain codegen
+    * arithmetic on literal weights, no shuffle, no UDF. */
+  def withPrediction(df: DataFrame, featureCols: Seq[String], yCol: String,
+                     fit: Fit, outCol: String = "y_hat"): DataFrame = {
+    val yHat = featureCols.zipWithIndex.foldLeft(lit(fit.weights(0)): Column) {
+      case (acc, (c, i)) => acc + lit(fit.weights(i + 1)) * col(c).cast("double")
+    }
+    df.withColumn(outCol, yHat)
+      .withColumn("residual", col(yCol).cast("double") - col(outCol))
+  }
+
+  /** Per-coefficient normal-equation gradient Σ xⱼ·(y − ŷ), re-derived
+    * IN-ENGINE under the same fixed-point contract — the verification
+    * companion of [[fit]]. Output: (j, qgrad, n) with qgrad the
+    * quantized-long gradient sum; |qgrad|/grid must stay within
+    * [[Fit.gradientBound]] (up to its own quantization, another n/grid). */
+  def gradientSums(df: DataFrame, featureCols: Seq[String], yCol: String,
+                   fit: Fit): DataFrame = {
+    val scored = withPrediction(df, featureCols, yCol, fit)
+    val feats = lit(1.0) +: featureCols.map(c => col(c).cast("double"))
+    val terms = array(feats.zipWithIndex.map { case (f, j) =>
+      struct(lit(j).cast("long").as("j"),
+        floor(f * col("residual") * fit.grid).cast("long").as("q"))
+    }: _*)
+    scored.select(explode(terms).as("__t"))
+      .select(col("__t.j").as("j"), col("__t.q").as("__q"))
+      .groupBy(col("j"))
+      .agg(sum(col("__q")).as("qgrad"), count(lit(1)).as("n"))
+  }
+}

@@ -276,7 +276,7 @@ class PlanSpec extends SparkSpec {
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
       "q_sim_topk_pq", "q_sim_topk_pq_verify",
-      "q_dedup_embedding_verify",
+      "q_dedup_embedding_verify", "q_reg_verify",
       "q_source_formats", "q_partition_pruning", "q_join_bucketed")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
       val p = plan(name)
