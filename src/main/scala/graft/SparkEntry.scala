@@ -1242,6 +1242,16 @@ object SparkEntry {
         "doc_id", numShards = 8, seed = 42L)
         .orderBy(col("shard"), col("pos"))),
 
+    // Deterministic 80/10/10 train/val/test split — lineage-stable split
+    // assignment as a pure function of the id (randomSplit's per-partition
+    // RNG re-deals on repartition/retry and silently leaks eval docs into
+    // train); same seeded double-Knuth machinery as q_corpus_shuffle.
+    "q_corpus_split" -> ((s, dir) =>
+      operators.Sampling.trainValTestSplit(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        Seq(800, 100, 100), seed = 42L)
+        .orderBy(col("doc_id"))),
+
     // PII redaction over deterministic synthetic PII (the fixture corpus
     // has no punctuation, so raw-documents redaction would be vacuous); the
     // oracle rebuilds the same PII text and redaction chain in SQL.
@@ -2923,6 +2933,21 @@ object SparkEntry {
         |SELECT doc_id, sk % 8 AS shard,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id) - 1 AS BIGINT) AS pos
         |FROM k2 ORDER BY shard, pos""".stripMargin,
+
+    "q_corpus_split" ->
+      """WITH k1 AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (doc_id % 65536) * 2654435761) % 4294967296 AS s1
+        |  FROM documents),
+        |k2 AS (
+        |  SELECT doc_id,
+        |    (((s1 + 42) % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + ((s1 + 42) % 65536) * 2654435761) % 4294967296 % 1000 AS slot
+        |  FROM k1)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN slot < 800 THEN 0 WHEN slot < 900 THEN 1 ELSE 2 END AS BIGINT) AS split
+        |FROM k2 ORDER BY doc_id""".stripMargin,
 
     // Rebuilds the synthetic PII text and the email→IP→phone redaction
     // chain verbatim (DuckDB regexp_replace needs the 'g' flag — its

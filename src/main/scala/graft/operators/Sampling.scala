@@ -84,6 +84,31 @@ object Sampling {
       .drop("__sk")
   }
 
+  /** Deterministic train/val/test split: the split index is a pure
+    * function of the id — seeded double Knuth hash into a per-mille slot,
+    * compared against the cumulative weight bounds — so every row lands
+    * in exactly ONE split, the same one in every run, engine, and
+    * partitioning (the lineage guarantee `randomSplit` cannot give: its
+    * per-partition RNG re-deals rows on repartition or retry, silently
+    * leaking val/test documents into train across pipeline versions).
+    * Weights are per-mille and must sum to 1000 — no silently dropped
+    * probability mass. Zero-weight splits are legal (weights (900,0,100)
+    * = no val set). One codegen filter-free projection: no shuffle. */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+                        weightsPerMille: Seq[Int], seed: Long = 0L,
+                        outCol: String = "split"): DataFrame = {
+    require(weightsPerMille.nonEmpty && weightsPerMille.forall(_ >= 0) &&
+      weightsPerMille.sum == 1000,
+      "per-mille split weights must be non-negative and sum to 1000")
+    require(seed >= 0 && seed < 4294967296L, "seed is a 32-bit value")
+    val slot = pmod(knuthSlot32(knuthSlot32(col(idCol)) + lit(seed)), lit(1000L))
+    val cum = weightsPerMille.scanLeft(0)(_ + _).tail
+    val pick = cum.init.zipWithIndex.foldRight(lit(cum.size - 1): Column) {
+      case ((bound, i), acc) => when(slot < bound, lit(i)).otherwise(acc)
+    }
+    df.withColumn(outCol, pick.cast("long"))
+  }
+
   /** Deterministic per-group "reservoir": rank each group's rows by the
     * Knuth slot of their id (id as tie-break) and keep the first `k` — an
     * exactly-k-per-group sample that is, like [[stratifiedSample]], a pure

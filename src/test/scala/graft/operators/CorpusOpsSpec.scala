@@ -165,6 +165,36 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(other.sorted.toSeq !== out.sorted.toSeq)
   }
 
+  test("trainValTestSplit: total partition, ~weights, repartition-invariant, seeds disjoint") {
+    val docs = spark.read.parquet(s"${testDataDir("0.01")}/documents.parquet")
+      .select(col("doc_id"))
+    val out = Sampling.trainValTestSplit(docs, "doc_id", Seq(800, 100, 100), 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = out.length
+    // every doc in exactly one split; only splits 0..2 occur
+    assert(out.map(_._1).distinct.length === n)
+    assert(out.map(_._2).forall(s => s >= 0 && s <= 2))
+    // proportions near 80/10/10 (hash-uniform; generous tolerance at n=500)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(sizes.getOrElse(0L, 0) - 0.8 * n) < 0.08 * n, sizes.toString)
+    assert(math.abs(sizes.getOrElse(1L, 0) - 0.1 * n) < 0.06 * n, sizes.toString)
+    // pure function of ids — partitioning-invariant (the randomSplit bug)
+    val re = Sampling.trainValTestSplit(docs.repartition(13), "doc_id",
+      Seq(800, 100, 100), 42L).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(re.sorted.toSeq === out.sorted.toSeq)
+    // different seed re-deals membership
+    val other = Sampling.trainValTestSplit(docs, "doc_id", Seq(800, 100, 100), 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(other.sorted.toSeq !== out.sorted.toSeq)
+    // zero-weight split never assigned; bad weights rejected
+    val noVal = Sampling.trainValTestSplit(docs, "doc_id", Seq(900, 0, 100), 42L)
+      .collect().map(_.getLong(1))
+    assert(!noVal.contains(1L))
+    intercept[IllegalArgumentException] {
+      Sampling.trainValTestSplit(docs, "doc_id", Seq(500, 100), 42L)
+    }
+  }
+
   test("token-budget mix: rates track targets, unlisted sources dropped, saturated kept whole") {
     import spark.implicits._
     // a: 2000 docs x 10 tokens = 20000; share 0.5 of 20000 -> target 10000, rate 0.5
