@@ -1695,8 +1695,15 @@ object SparkEntry {
               element_at(element_at(compsLit, (i + 1).cast("int")),
                 (p + 1).cast("int"))))
       def sq(x: org.apache.spark.sql.Column) = x * x
+      // Materialization BARRIER between the vector-building stage (proj,
+      // the 8 path-B folds, the k·d-literal reconstruction) and the
+      // scalar checks: without it CollapseProject inlines each giant
+      // expression tree into every downstream reference — the trees
+      // multiply through err2 → pyth_delta → filter, codegen gives up,
+      // and the interpreted query ran 127 s at sf0.1 (vs ~1 s staged).
       val scored = withB
         .withColumn("__recon", recon)
+        .localCheckpoint()
         .withColumn("__err2",
           aggregate(zip_with(col("embedding"), col("__recon"),
             (x, y) => sq(x.cast("double") - y)), lit(0.0), (acc, x) => acc + x))
