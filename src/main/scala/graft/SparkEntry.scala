@@ -1593,7 +1593,9 @@ object SparkEntry {
       val gradVio = operators.LinearModel.gradientSums(d, feats, "y_chars", fit)
         .filter(abs(col("qgrad").cast("double") / fit.grid) > tol ||
           col("n") =!= fit.n)
-        .select(col("j"), lit("gradient_out_of_bound").as("issue"),
+        .select(col("j"),
+          when(col("n") =!= fit.n, lit("row_count_mismatch"))
+            .otherwise(lit("gradient_out_of_bound")).as("issue"),
           (col("qgrad").cast("double") / fit.grid).as("value"))
       val badW = fit.weights.zipWithIndex
         .filter { case (w, _) => w.isNaN || w.isInfinite }
@@ -3206,8 +3208,8 @@ object SparkEntry {
         |FROM rk ORDER BY bucket, batch, n_chars, doc_id""".stripMargin,
 
     // Feature expressions are the q_text_stats oracle formulas verbatim;
-    // the triangle math mirrors q_vec_gram over the 5-slot augmented
-    // vector [1, f_tokens, f_punct, f_stop, y_bpeish].
+    // the triangle math mirrors q_vec_gram over the 4-slot augmented
+    // vector [1, f_tokens, f_stop, y_chars].
     "q_reg_moments" ->
       """WITH f AS (
         |  SELECT

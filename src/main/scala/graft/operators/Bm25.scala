@@ -37,6 +37,8 @@ object Bm25 {
     // two scalars — the one (bounded, documented) driver materialization
     val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     val n = stats.getLong(0)
+    require(n > 0 && !stats.isNullAt(1),
+      "BM25 needs a non-empty corpus with at least one non-null text")
     val avgdl = stats.getLong(1).toDouble / n
     val tf = docs
       .select(col(idCol).as("doc_id"),

@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
 object LinearModel {
 
   /** Fitted model: intercept-first coefficients plus the fit context the
-    * verification bound needs. */
-  final case class Fit(weights: Array[Double], n: Long, grid: Double) {
+    * verification bound needs. A ridge fit solves (A+λI)w = b, so the
+    * UNPENALIZED gradient [[gradientSums]] measures is λ·wⱼ per feature,
+    * not ~0 — the bound carries the λ·max|w| term so the gate stays valid
+    * for ridged fits too. */
+  final case class Fit(weights: Array[Double], n: Long, grid: Double,
+                       ridge: Double = 0.0) {
     def gradientBound: Double =
-      n / grid * (1.0 + weights.iterator.map(math.abs).sum)
+      n / grid * (1.0 + weights.iterator.map(math.abs).sum) +
+        ridge * weights.iterator.map(math.abs).max
   }
 
   /** The augmented [1, features…, y] vector column. */
@@ -54,14 +59,14 @@ object LinearModel {
     val m = Array.ofDim[Double](p + 1, p + 1) // augmented incl. y slot
     rows.foreach { r =>
       val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
-      val v = r.getAs[Long]("qsum").toDouble / grid
+      val v = r.getAs[java.math.BigDecimal]("qsum").doubleValue() / grid
       m(i)(j) = v; m(j)(i) = v
     }
     // A = X'X (p×p block), b = X'y (last column's first p entries)
     val a = Array.tabulate(p, p)((i, j) =>
       m(i)(j) + (if (i == j && i > 0) ridge else 0.0))
     val b = Array.tabulate(p)(i => m(i)(p))
-    Fit(solve(a, b), n, grid)
+    Fit(solve(a, b), n, grid, ridge)
   }
 
   /** In-place Gaussian elimination with partial pivoting — (p+1)² driver
@@ -71,10 +76,16 @@ object LinearModel {
     val p = a.length
     val w = b.clone()
     val mat = a.map(_.clone())
+    // Singularity threshold RELATIVE to the matrix scale: moment entries
+    // grow as n·feature², so a cancelled pivot retains elimination
+    // roundoff of order ulp(‖A‖) — an absolute 1e-12 would miss exact
+    // collinearity on large matrices and false-alarm on tiny-unit ones.
+    val scale = math.max(1e-300,
+      a.iterator.flatMap(_.iterator).map(math.abs).max)
     for (k <- 0 until p) {
       var piv = k
       for (r <- k + 1 until p) if (math.abs(mat(r)(k)) > math.abs(mat(piv)(k))) piv = r
-      require(math.abs(mat(piv)(k)) > 1e-12,
+      require(math.abs(mat(piv)(k)) > 1e-10 * scale,
         s"LinearModel.solve: singular system at column $k — drop collinear " +
           "features or add ridge")
       if (piv != k) { val t = mat(piv); mat(piv) = mat(k); mat(k) = t
@@ -120,6 +131,9 @@ object LinearModel {
     scored.select(explode(terms).as("__t"))
       .select(col("__t.j").as("j"), col("__t.q").as("__q"))
       .groupBy(col("j"))
-      .agg(sum(col("__q")).as("qgrad"), count(lit(1)).as("n"))
+      // decimal for the same reason as gramSums: char-scale terms reach
+      // ~1e10/row and a long sum would wrap silently past ~1e9 rows
+      .agg(sum(col("__q").cast("decimal(38,0)")).as("qgrad"),
+        count(lit(1)).as("n"))
   }
 }

@@ -46,6 +46,14 @@ object Sampling {
   def perMilleSlot(id: Column): Column =
     knuthSlot32(id) % 1000
 
+  /** Seeded double-Knuth slot — ONE definition of the seeding composition
+    * shared by [[shuffleIntoShards]] and [[trainValTestSplit]], so their
+    * identical cross-engine oracle contracts cannot drift apart. */
+  private def seededSlot32(id: Column, seed: Long): Column = {
+    require(seed >= 0 && seed < 4294967296L, "seed is a 32-bit value")
+    knuthSlot32(knuthSlot32(id) + lit(seed))
+  }
+
   /** Stratified deterministic sample: `rates` maps stratum value →
     * keep-rate in per-mille; strata not in the map keep `defaultPerMille`.
     * One narrow filter — no shuffle, no RNG, no driver state. */
@@ -75,10 +83,9 @@ object Sampling {
   def shuffleIntoShards(df: DataFrame, idCol: String, numShards: Int,
                         seed: Long = 0L): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    require(seed >= 0 && seed < 4294967296L, "seed is a 32-bit value")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("__sk"), col(idCol))
-    df.withColumn("__sk", knuthSlot32(knuthSlot32(col(idCol)) + lit(seed)))
+    df.withColumn("__sk", seededSlot32(col(idCol), seed))
       .withColumn("shard", pmod(col("__sk"), lit(numShards.toLong)))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("__sk")
@@ -100,8 +107,7 @@ object Sampling {
     require(weightsPerMille.nonEmpty && weightsPerMille.forall(_ >= 0) &&
       weightsPerMille.sum == 1000,
       "per-mille split weights must be non-negative and sum to 1000")
-    require(seed >= 0 && seed < 4294967296L, "seed is a 32-bit value")
-    val slot = pmod(knuthSlot32(knuthSlot32(col(idCol)) + lit(seed)), lit(1000L))
+    val slot = pmod(seededSlot32(col(idCol), seed), lit(1000L))
     val cum = weightsPerMille.scanLeft(0)(_ + _).tail
     val pick = cum.init.zipWithIndex.foldRight(lit(cum.size - 1): Column) {
       case ((bound, i), acc) => when(slot < bound, lit(i)).otherwise(acc)

@@ -77,7 +77,11 @@ object VectorStats {
               .cast("long").as("q")))))).as("__p"))
       .select(col("__p.i").as("i"), col("__p.j").as("j"), col("__p.q").as("__q"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("__q")).as("qsum"), count(lit(1)).as("n"))
+      // decimal(38,0), not long: per-row terms are bounded by max(v)²·grid,
+      // and for char-count-sized features (~1e3 → 1e12/row) a long sum
+      // wraps silently past ~1e7 rows while DuckDB's HUGEINT sum stays
+      // exact — the decimal sum matches the oracle digit-for-digit to 1e38
+      .agg(sum(col("__q").cast("decimal(38,0)")).as("qsum"), count(lit(1)).as("n"))
   }
 
   /** Embedding-norm outlier flags — the cheap vector-quality gate run

@@ -267,7 +267,13 @@ class PlanSpec extends SparkSpec {
     //    IVF/PQ specs;
     //  - q_source_formats / q_partition_pruning / q_join_bucketed: the query
     //    body WRITES scratch tables/dirs before reading them back — their
-    //    read-side plan shapes are guarded by dedicated specs.
+    //    read-side plan shapes are guarded by dedicated specs;
+    //  - q_reg_verify / q_vec_pca_verify: LinearModel.fit / pcaComponents
+    //    collect the moment aggregation eagerly during construction (and
+    //    the PCA query checkpoints its vector-building stage), so building
+    //    them here runs real jobs and the audited plan would start at a
+    //    Scan ExistingRDD — their shapes are covered by LinearModelSpec /
+    //    VectorStatsSpec.
     // q_vec_quantize is NOT skipped: trainMinMax's one agg runs at build
     // time, but the final plan is a pure projection worth auditing.
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
@@ -276,7 +282,7 @@ class PlanSpec extends SparkSpec {
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
       "q_sim_topk_pq", "q_sim_topk_pq_verify",
-      "q_dedup_embedding_verify", "q_reg_verify",
+      "q_dedup_embedding_verify", "q_reg_verify", "q_vec_pca_verify",
       "q_source_formats", "q_partition_pruning", "q_join_bucketed")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
       val p = plan(name)

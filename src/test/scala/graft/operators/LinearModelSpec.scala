@@ -57,7 +57,7 @@ class LinearModelSpec extends SparkSpec {
       "y_chars", fit).collect()
     assert(grads.length === 3)
     grads.foreach { r =>
-      val g = math.abs(r.getAs[Long]("qgrad").toDouble / fit.grid)
+      val g = math.abs(r.getAs[java.math.BigDecimal]("qgrad").doubleValue() / fit.grid)
       assert(g <= tol, s"coefficient ${r.getAs[Long]("j")}: |gradient| $g > $tol")
     }
     // and a deliberately WRONG weight vector must blow the bound
@@ -65,7 +65,7 @@ class LinearModelSpec extends SparkSpec {
     val bad = LinearModel.gradientSums(docs, Seq("f_tokens", "f_stop"),
       "y_chars", broken).collect()
     assert(bad.exists(r =>
-      math.abs(r.getAs[Long]("qgrad").toDouble / fit.grid) > tol),
+      math.abs(r.getAs[java.math.BigDecimal]("qgrad").doubleValue() / fit.grid) > tol),
       "corrupted weights were not detected by the gradient gate")
   }
 }

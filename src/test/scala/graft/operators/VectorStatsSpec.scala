@@ -36,13 +36,16 @@ class VectorStatsSpec extends SparkSpec {
       Tuple1(Array(3.0f, -1.0f))).toDF("embedding")
     val got = VectorStats.gramSums(df, "embedding")
       .orderBy("i", "j").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal](2).longValueExact(), r.getLong(3)))
     // (0,0): 1+9=10; (0,1): 2-3=-1; (1,1): 4+1=5 — times 1e6
     assert(got.toSeq === Seq(
       (0L, 0L, 10000000L, 2L), (0L, 1L, -1000000L, 2L), (1L, 1L, 5000000L, 2L)))
     val a = VectorStats.gramSums(df.repartition(5), "embedding")
-      .orderBy("i", "j").collect().map(_.toSeq).toSeq
-    assert(a === got.map(t => Seq(t._1, t._2, t._3, t._4)).toSeq)
+      .orderBy("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.math.BigDecimal](2).longValueExact(), r.getLong(3))).toSeq
+    assert(a === got.toSeq)
   }
 
   test("jacobiEigen recovers a known symmetric spectrum") {
