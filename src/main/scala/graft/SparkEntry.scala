@@ -945,6 +945,21 @@ object SparkEntry {
           substringK = 4, semanticThreshold = 0.4))
         .orderBy(col("doc_id"))),
 
+    // Training-prep capstone: the curated set (full v2 ladder) driven
+    // through the lineage-stable split, train-only sequence packing on
+    // CLEANED token counts, and the deterministic shard shuffle — one
+    // hash-matched chain across the curation → training-prep interface.
+    "q_train_pipeline" -> ((s, dir) =>
+      operators.TrainPipeline.prepare(
+        t(s, dir, "documents").withColumn("url",
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+            (col("doc_id") % 25).cast("string"), lit("/?utm_source="), col("lang"))),
+        t(s, dir, "embeddings"),
+        operators.CorpusPipeline.Config(urlCol = Some("url"),
+          substringK = 4, semanticThreshold = 0.4),
+        capacity = 512L)
+        .orderBy(col("doc_id"))),
+
     // As-of join (backward, inclusive): each click event attached to the
     // same user's latest view event at-or-before it — one window shuffle,
     // no range join. Oracled against DuckDB's native ASOF LEFT JOIN.
@@ -1900,6 +1915,112 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  // The full dedup-ladder CTE chain (stats .. cum) shared by the
+  // corpus capstone and the train-prep capstone — one definition, so
+  // the two oracles cannot drift. Consumers append their own final
+  // SELECT (or further CTEs after a comma).
+  private val corpusLadderCtes: String =
+    """WITH RECURSIVE
+        |stats AS (SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |quality AS (SELECT doc_id, text FROM stats WHERE n_tokens >= 30 AND n_punct >= 0),
+        |keyed AS (SELECT doc_id, text, array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5 FROM quality),
+        |exact AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY key5 ORDER BY doc_id) AS rn FROM keyed) k
+        |  WHERE rn = 1),
+        |toks0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM exact),
+        |grams0 AS (
+        |  SELECT doc_id, tk, UNNEST(range(1, len(tk) - 4 + 2)) AS i
+        |  FROM toks0 WHERE len(tk) >= 4),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+3], ' ') AS gram FROM grams0),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY gram) AS c,
+        |    MIN(doc_id * 1048576 + pos) OVER (PARTITION BY gram) AS canon
+        |  FROM grams),
+        |rep AS (
+        |  SELECT doc_id, pos, (doc_id * 1048576 + pos = canon) AS is_canon
+        |  FROM occ WHERE c >= 2),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list(struct_pack(s := pos, e := pos + 3)) FILTER (WHERE is_canon) AS can,
+        |    list(struct_pack(s := pos, e := pos + 3)) FILTER (WHERE NOT is_canon) AS red
+        |  FROM rep GROUP BY doc_id),
+        |final AS (
+        |  SELECT t.doc_id, t.tk,
+        |    CASE WHEN w.red IS NULL THEN NULL
+        |      ELSE list_filter(range(0, len(t.tk)), p ->
+        |        NOT (len(list_filter(w.red, x -> p >= x.s AND p <= x.e)) > 0
+        |             AND (w.can IS NULL OR len(list_filter(w.can, x -> p >= x.s AND p <= x.e)) = 0)))
+        |      END AS kept
+        |  FROM toks0 t LEFT JOIN wins w ON t.doc_id = w.doc_id),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    CASE WHEN kept IS NULL THEN array_to_string(tk, ' ')
+        |      ELSE COALESCE(array_to_string(list_transform(kept, p -> tk[p + 1]), ' '), '') END AS clean_text,
+        |    CAST(CASE WHEN kept IS NULL THEN 0 ELSE len(tk) - len(kept) END AS BIGINT) AS n_removed
+        |  FROM final),
+        |cq AS (
+        |  SELECT doc_id, clean_text, n_removed,
+        |    CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_tok
+        |  FROM cleaned
+        |  WHERE (CASE WHEN trim(clean_text) = '' OR clean_text IS NULL THEN 0
+        |         ELSE len(regexp_split_to_array(trim(clean_text), '\s+')) END) >= 30),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(clean_text)), '\s+') AS tk FROM cq),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+        |  WHERE len(tk) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT idA, idB FROM common
+        |  JOIN sizes na ON na.doc_id = idA
+        |  JOIN sizes nb ON nb.doc_id = idB
+        |  WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2),
+        |edges AS (SELECT idA AS src, idB AS dst FROM pairs UNION ALL SELECT idB AS src, idA AS dst FROM pairs),
+        |cc(id, label) AS (
+        |  SELECT doc_id, doc_id FROM cq
+        |  UNION
+        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
+        |),
+        |fsurv AS (
+        |  SELECT x.doc_id, x.n_tok, x.n_removed FROM cq x
+        |  JOIN (SELECT id, MIN(label) AS lab FROM cc GROUP BY id) m
+        |    ON m.id = x.doc_id AND m.lab = x.doc_id),
+        |spairs AS (
+        |  SELECT a.vec_id AS idA, b.vec_id AS idB
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  JOIN fsurv sa ON sa.doc_id = a.vec_id
+        |  JOIN fsurv sb ON sb.doc_id = b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4),
+        |sedges AS (SELECT idA AS src, idB AS dst FROM spairs UNION ALL SELECT idB AS src, idA AS dst FROM spairs),
+        |scc(id, label) AS (
+        |  SELECT doc_id, doc_id FROM fsurv
+        |  UNION
+        |  SELECT e.dst, scc.label FROM sedges e JOIN scc ON scc.id = e.src
+        |),
+        |ssurv AS (
+        |  SELECT x.doc_id, x.n_tok, x.n_removed FROM fsurv x
+        |  JOIN (SELECT id, MIN(label) AS lab FROM scc GROUP BY id) m
+        |    ON m.id = x.doc_id AND m.lab = x.doc_id),
+        |cum AS (SELECT doc_id, n_tok, n_removed,
+        |  SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ssurv)""".stripMargin
+
   // Shared oracle fragments: ONE definition gates every variant that
   // claims the identical contract, so copies cannot drift apart.
   private val substringSpansOracleSql: String =
@@ -2395,107 +2516,48 @@ object SparkEntry {
     // embedded docs — the same pass-through the Spark side's left join
     // implements.
     "q_corpus_pipeline_v2" ->
-      """WITH RECURSIVE
-        |stats AS (SELECT doc_id, text,
-        |  CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
-        |  FROM documents),
-        |quality AS (SELECT doc_id, text FROM stats WHERE n_tokens >= 30 AND n_punct >= 0),
-        |keyed AS (SELECT doc_id, text, array_to_string(list_slice(regexp_split_to_array(trim(lower(text)), '\s+'), 1, 5), ' ') AS key5 FROM quality),
-        |exact AS (SELECT doc_id, text FROM (
-        |  SELECT doc_id, text, ROW_NUMBER() OVER (PARTITION BY key5 ORDER BY doc_id) AS rn FROM keyed) k
-        |  WHERE rn = 1),
-        |toks0 AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
-        |  FROM exact),
-        |grams0 AS (
-        |  SELECT doc_id, tk, UNNEST(range(1, len(tk) - 4 + 2)) AS i
-        |  FROM toks0 WHERE len(tk) >= 4),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+3], ' ') AS gram FROM grams0),
-        |occ AS (
-        |  SELECT doc_id, pos,
-        |    COUNT(*) OVER (PARTITION BY gram) AS c,
-        |    MIN(doc_id * 1048576 + pos) OVER (PARTITION BY gram) AS canon
-        |  FROM grams),
-        |rep AS (
-        |  SELECT doc_id, pos, (doc_id * 1048576 + pos = canon) AS is_canon
-        |  FROM occ WHERE c >= 2),
-        |wins AS (
+      (corpusLadderCtes +
+        "\nSELECT doc_id, n_tok, n_removed FROM cum WHERE cum <= 10000 ORDER BY doc_id"),
+
+    // Ladder CTEs + seeded double-Knuth split (q_corpus_split idiom) +
+    // the q_pack_sequences prefix-sum over the TRAIN slice only + the
+    // q_corpus_shuffle shard hash — every stage the Spark side composes,
+    // re-derived in one SQL chain.
+    "q_train_pipeline" ->
+      (corpusLadderCtes + """,
+        |curated AS (SELECT doc_id, n_tok FROM cum WHERE cum <= 10000),
+        |sp1 AS (
+        |  SELECT doc_id, n_tok,
+        |    ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (doc_id % 65536) * 2654435761) % 4294967296 AS s1
+        |  FROM curated),
+        |sp2 AS (
+        |  SELECT doc_id, n_tok, s1,
+        |    (((s1 + 42) % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + ((s1 + 42) % 65536) * 2654435761) % 4294967296 AS sk
+        |  FROM sp1),
+        |spl AS (
+        |  SELECT doc_id, n_tok, s1,
+        |    CAST(CASE WHEN sk % 1000 < 800 THEN 0 WHEN sk % 1000 < 900 THEN 1 ELSE 2 END AS BIGINT) AS split
+        |  FROM sp2),
+        |pcum AS (
+        |  SELECT doc_id, n_tok, s1,
+        |    SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
+        |  FROM spl WHERE split = 0),
+        |packed AS (
         |  SELECT doc_id,
-        |    list(struct_pack(s := pos, e := pos + 3)) FILTER (WHERE is_canon) AS can,
-        |    list(struct_pack(s := pos, e := pos + 3)) FILTER (WHERE NOT is_canon) AS red
-        |  FROM rep GROUP BY doc_id),
-        |final AS (
-        |  SELECT t.doc_id, t.tk,
-        |    CASE WHEN w.red IS NULL THEN NULL
-        |      ELSE list_filter(range(0, len(t.tk)), p ->
-        |        NOT (len(list_filter(w.red, x -> p >= x.s AND p <= x.e)) > 0
-        |             AND (w.can IS NULL OR len(list_filter(w.can, x -> p >= x.s AND p <= x.e)) = 0)))
-        |      END AS kept
-        |  FROM toks0 t LEFT JOIN wins w ON t.doc_id = w.doc_id),
-        |cleaned AS (
-        |  SELECT doc_id,
-        |    CASE WHEN kept IS NULL THEN array_to_string(tk, ' ')
-        |      ELSE COALESCE(array_to_string(list_transform(kept, p -> tk[p + 1]), ' '), '') END AS clean_text,
-        |    CAST(CASE WHEN kept IS NULL THEN 0 ELSE len(tk) - len(kept) END AS BIGINT) AS n_removed
-        |  FROM final),
-        |cq AS (
-        |  SELECT doc_id, clean_text, n_removed,
-        |    CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_tok
-        |  FROM cleaned
-        |  WHERE (CASE WHEN trim(clean_text) = '' OR clean_text IS NULL THEN 0
-        |         ELSE len(regexp_split_to_array(trim(clean_text), '\s+')) END) >= 30),
-        |toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(clean_text)), '\s+') AS tk FROM cq),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
-        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
-        |  WHERE len(tk) >= 3
-        |  UNION
-        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
-        |),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
-        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT idA, idB FROM common
-        |  JOIN sizes na ON na.doc_id = idA
-        |  JOIN sizes nb ON nb.doc_id = idB
-        |  WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2),
-        |edges AS (SELECT idA AS src, idB AS dst FROM pairs UNION ALL SELECT idB AS src, idA AS dst FROM pairs),
-        |cc(id, label) AS (
-        |  SELECT doc_id, doc_id FROM cq
-        |  UNION
-        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
-        |),
-        |fsurv AS (
-        |  SELECT x.doc_id, x.n_tok, x.n_removed FROM cq x
-        |  JOIN (SELECT id, MIN(label) AS lab FROM cc GROUP BY id) m
-        |    ON m.id = x.doc_id AND m.lab = x.doc_id),
-        |spairs AS (
-        |  SELECT a.vec_id AS idA, b.vec_id AS idB
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  JOIN fsurv sa ON sa.doc_id = a.vec_id
-        |  JOIN fsurv sb ON sb.doc_id = b.vec_id
-        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4),
-        |sedges AS (SELECT idA AS src, idB AS dst FROM spairs UNION ALL SELECT idB AS src, idA AS dst FROM spairs),
-        |scc(id, label) AS (
-        |  SELECT doc_id, doc_id FROM fsurv
-        |  UNION
-        |  SELECT e.dst, scc.label FROM sedges e JOIN scc ON scc.id = e.src
-        |),
-        |ssurv AS (
-        |  SELECT x.doc_id, x.n_tok, x.n_removed FROM fsurv x
-        |  JOIN (SELECT id, MIN(label) AS lab FROM scc GROUP BY id) m
-        |    ON m.id = x.doc_id AND m.lab = x.doc_id),
-        |cum AS (SELECT doc_id, n_tok, n_removed,
-        |  SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM ssurv)
-        |SELECT doc_id, n_tok, n_removed FROM cum WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
+        |    CAST((pc - n_tok) // 512 AS BIGINT) AS seq_id,
+        |    (n_tok > 0 AND (pc - 1) // 512 <> (pc - n_tok) // 512) AS is_split,
+        |    (((s1 + 43) % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + ((s1 + 43) % 65536) * 2654435761) % 4294967296 AS shk
+        |  FROM pcum),
+        |sharded AS (
+        |  SELECT doc_id, seq_id, is_split, shk % 8 AS shard,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY shk % 8 ORDER BY shk, doc_id) - 1 AS BIGINT) AS pos
+        |  FROM packed)
+        |SELECT s.doc_id, s.n_tok, s.split, p.seq_id, p.is_split, p.shard, p.pos
+        |FROM spl s LEFT JOIN sharded p ON s.doc_id = p.doc_id
+        |ORDER BY s.doc_id""".stripMargin),
 
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_event_id, v.value AS view_value

@@ -279,6 +279,7 @@ class PlanSpec extends SparkSpec {
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_stream_upsert",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
+      "q_train_pipeline",
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
       "q_sim_topk_pq", "q_sim_topk_pq_verify",
