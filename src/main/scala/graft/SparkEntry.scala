@@ -1619,6 +1619,22 @@ object SparkEntry {
         .orderBy(col("j"))
     }),
 
+    // PSI distribution drift between the view and purchase value
+    // distributions, fixed literal bin bounds (frozen-reference
+    // discipline: bounds must not float with the monitored data).
+    "q_drift_psi" -> ((s, dir) =>
+      operators.Profiler.driftPsi(t(s, dir, "events"), "event_type",
+        "view", "purchase", "value", Seq(10, 20, 40, 80, 160))
+        .orderBy(col("bin"))),
+
+    // Median/MAD robust outliers over the skewed event values — the
+    // distribution-robust data-quality gate (mean/stddev thresholds are
+    // dragged by the tail they should flag). Exact-percentile med/mad,
+    // flagged rows only.
+    "q_outliers_mad" -> ((s, dir) =>
+      operators.Profiler.robustOutliers(t(s, dir, "events"), "event_id", "value")
+        .orderBy(col("event_id"))),
+
     // Single-pass table profile: per-column null/distinct/min/max from
     // ONE scan (the pre-training data-quality gate); exact distincts are
     // the oracle contract, approx_count_distinct the 100 TB path (spec'd).
@@ -3214,6 +3230,42 @@ object SparkEntry {
       """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS issue,
         |  CAST(NULL AS DOUBLE) AS delta
         |WHERE FALSE""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN CAST(value AS DOUBLE) <= 10 THEN 0
+        |              WHEN CAST(value AS DOUBLE) <= 20 THEN 1
+        |              WHEN CAST(value AS DOUBLE) <= 40 THEN 2
+        |              WHEN CAST(value AS DOUBLE) <= 80 THEN 3
+        |              WHEN CAST(value AS DOUBLE) <= 160 THEN 4
+        |              ELSE 5 END AS bin, event_type
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+        |c AS (
+        |  SELECT bin,
+        |    count(*) FILTER (WHERE event_type = 'view') AS n_ref,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS n_cur
+        |  FROM s GROUP BY bin),
+        |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur,
+        |  ROUND(CAST(n_ref AS DOUBLE) / tr, 6) AS p_ref,
+        |  ROUND(CAST(n_cur AS DOUBLE) / tc, 6) AS p_cur,
+        |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+        |    ROUND((CAST(n_cur AS DOUBLE) / tc - CAST(n_ref AS DOUBLE) / tr)
+        |          * ln((CAST(n_cur AS DOUBLE) / tc) / (CAST(n_ref AS DOUBLE) / tr)), 6)
+        |  END AS psi_term
+        |FROM c, t ORDER BY bin""".stripMargin,
+
+    "q_outliers_mad" ->
+      """WITH m AS (SELECT quantile_cont(CAST(value AS DOUBLE), 0.5) AS med FROM events),
+        |d AS (SELECT med, quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) AS mad
+        |      FROM events, m GROUP BY med)
+        |SELECT event_id, CAST(value AS DOUBLE) AS value,
+        |  ROUND(CAST(value AS DOUBLE) - med, 6) AS deviation,
+        |  CAST(value AS DOUBLE) > med AS is_high
+        |FROM events, d
+        |WHERE abs(CAST(value AS DOUBLE) - med) > CAST(3.5 AS DOUBLE) * mad
+        |ORDER BY event_id""".stripMargin,
 
     // One SELECT per profiled column, UNION ALL — the oracle mirror of
     // the one-pass profile (DuckDB reads the view once per branch; the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-pass table profiling — the data-quality summary a pipeline runs
@@ -47,5 +47,80 @@ object Profiler {
       col(s"__mn_$i").as("min_value"),
       col(s"__mx_$i").as("max_value")) }: _*)
     one.select(explode(entries).as("__e")).select(col("__e.*"))
+  }
+
+  /** Robust (median/MAD) outlier flags for one numeric column — the
+    * data-quality gate that survives the outliers it hunts: mean/stddev
+    * thresholds are dragged by the very tail they should flag, while the
+    * median and the median absolute deviation both have a 50% breakdown
+    * point. A row is flagged when |x − median| > k·MAD (callers wanting
+    * the normal-consistent sigma scale fold the 1.4826 factor into k).
+    *
+    * Determinism: median and MAD are exact interpolated percentiles (the
+    * `quantile_cont` identity q_agg_percentiles establishes); the flag
+    * comparison and deviation run in plain IEEE doubles, with the output
+    * deviation rounded to 6 dp per the cross-engine contract.
+    *
+    * Scale shape: two aggregation passes (median, then MAD of the
+    * deviations) plus the flag projection — each a map-side-combined
+    * aggregate whose ONE-ROW result broadcasts back; the data never
+    * shuffles. Output: flagged rows only —
+    * (idCol, value, deviation, is_high). */
+  /** Population Stability Index between two slices of one table — the
+    * standard distribution-drift monitor a continuously-ingesting corpus
+    * runs per batch (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 major
+    * shift). Values bin against LITERAL bounds (callers derive them once
+    * from a frozen reference — bounds must not float with the data being
+    * monitored, or drift hides inside the moving bins); output is one row
+    * per occupied bin with counts, proportions, and the PSI term
+    * (q−p)·ln(q/p), which consumers sum. A bin empty on either side has
+    * an UNDEFINED term and surfaces as NULL — deliberately not
+    * epsilon-smoothed, because a bin that lost (or invented) all its mass
+    * is precisely the signal that must not be numerically papered over.
+    *
+    * Determinism: proportions are exact count/total divisions; ln is
+    * rounded to 6 dp per the cross-engine contract. Scale: one
+    * map-side-combined count aggregate over bin index (key space = bin
+    * count), ONE-ROW totals broadcast back; values never shuffle. */
+  def driftPsi(df: DataFrame, sliceCol: String, refSlice: String,
+               curSlice: String, valueCol: String,
+               bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted &&
+      bounds.distinct.size == bounds.size,
+      "bounds must be non-empty, strictly increasing")
+    val v = col(valueCol).cast("double")
+    val bin = bounds.zipWithIndex.foldRight(lit(bounds.size): Column) {
+      case ((b, i), acc) => when(v <= b, lit(i)).otherwise(acc)
+    }
+    val counts = df
+      .filter(col(sliceCol).isin(refSlice, curSlice) && v.isNotNull)
+      .select(col(sliceCol).as("__s"), bin.cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("__s") === refSlice, 1)).as("n_ref"),
+        count(when(col("__s") === curSlice, 1)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val pRef = col("n_ref").cast("double") / col("__tr")
+    val pCur = col("n_cur").cast("double") / col("__tc")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round((pCur - pRef) * log(pCur / pRef), 6)).as("psi_term"))
+  }
+
+  def robustOutliers(df: DataFrame, idCol: String, valueCol: String,
+                     k: Double = 3.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val v = col(valueCol).cast("double")
+    val medF = df.agg(percentile(v, lit(0.5)).as("__med"))
+    val madF = df.crossJoin(broadcast(medF))
+      .agg(first(col("__med")).as("__med"),
+        percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    df.crossJoin(broadcast(madF))
+      .filter(abs(v - col("__med")) > lit(k) * col("__mad"))
+      .select(col(idCol), v.as("value"),
+        round(v - col("__med"), 6).as("deviation"),
+        (v > col("__med")).as("is_high"))
   }
 }

@@ -250,7 +250,10 @@ class PlanSpec extends SparkSpec {
     // length-bucket boundary assignment
     val bnljAllowed = Set("q_sim_topk", "q_dedup_embedding_exact",
       "q_mine_hard_negatives", "q_text_unigram_lp", "q_vec_centroid_verify",
-      "q_vec_outliers", "q_length_batches")
+      "q_vec_outliers", "q_length_batches",
+      // median + MAD / the PSI bin totals are ONE-ROW frames crossed
+      // back into the data
+      "q_outliers_mad", "q_drift_psi")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
