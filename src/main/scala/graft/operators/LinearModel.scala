@@ -76,16 +76,20 @@ object LinearModel {
     val p = a.length
     val w = b.clone()
     val mat = a.map(_.clone())
-    // Singularity threshold RELATIVE to the matrix scale: moment entries
-    // grow as n·feature², so a cancelled pivot retains elimination
-    // roundoff of order ulp(‖A‖) — an absolute 1e-12 would miss exact
-    // collinearity on large matrices and false-alarm on tiny-unit ones.
-    val scale = math.max(1e-300,
-      a.iterator.flatMap(_.iterator).map(math.abs).max)
+    // Singularity threshold relative to each COLUMN's own scale in the
+    // original matrix: moment entries grow as n·feature², so a cancelled
+    // pivot retains elimination roundoff of order ulp of its column norm
+    // — an absolute 1e-12 misses exact collinearity on large matrices and
+    // false-alarms on tiny-unit ones, while a single GLOBAL scale would
+    // reject well-conditioned systems whose features merely live in
+    // disparate units (a 1e-6-scale column is not singular just because
+    // another column is 1e+6-scale).
+    val colScale = Array.tabulate(p)(k =>
+      math.max(1e-300, (0 until p).iterator.map(i => math.abs(a(i)(k))).max))
     for (k <- 0 until p) {
       var piv = k
       for (r <- k + 1 until p) if (math.abs(mat(r)(k)) > math.abs(mat(piv)(k))) piv = r
-      require(math.abs(mat(piv)(k)) > 1e-10 * scale,
+      require(math.abs(mat(piv)(k)) > 1e-10 * colScale(k),
         s"LinearModel.solve: singular system at column $k — drop collinear " +
           "features or add ridge")
       if (piv != k) { val t = mat(piv); mat(piv) = mat(k); mat(k) = t

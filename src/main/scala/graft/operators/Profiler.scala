@@ -49,23 +49,6 @@ object Profiler {
     one.select(explode(entries).as("__e")).select(col("__e.*"))
   }
 
-  /** Robust (median/MAD) outlier flags for one numeric column — the
-    * data-quality gate that survives the outliers it hunts: mean/stddev
-    * thresholds are dragged by the very tail they should flag, while the
-    * median and the median absolute deviation both have a 50% breakdown
-    * point. A row is flagged when |x − median| > k·MAD (callers wanting
-    * the normal-consistent sigma scale fold the 1.4826 factor into k).
-    *
-    * Determinism: median and MAD are exact interpolated percentiles (the
-    * `quantile_cont` identity q_agg_percentiles establishes); the flag
-    * comparison and deviation run in plain IEEE doubles, with the output
-    * deviation rounded to 6 dp per the cross-engine contract.
-    *
-    * Scale shape: two aggregation passes (median, then MAD of the
-    * deviations) plus the flag projection — each a map-side-combined
-    * aggregate whose ONE-ROW result broadcasts back; the data never
-    * shuffles. Output: flagged rows only —
-    * (idCol, value, deviation, is_high). */
   /** Population Stability Index between two slices of one table — the
     * standard distribution-drift monitor a continuously-ingesting corpus
     * runs per batch (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 major
@@ -100,8 +83,15 @@ object Profiler {
         count(when(col("__s") === curSlice, 1)).as("n_cur"))
     val totals = counts.agg(sum(col("n_ref")).as("__tr"),
       sum(col("n_cur")).as("__tc"))
-    val pRef = col("n_ref").cast("double") / col("__tr")
-    val pCur = col("n_cur").cast("double") / col("__tc")
+    // Non-ANSI Divide yields NULL on a zero total while ANSI engines give
+    // Infinity — and an entirely-empty slice is a monitoring ERROR, not a
+    // drift measurement: fail loudly inside the used expression.
+    val tr = when(col("__tr") > 0, col("__tr"))
+      .otherwise(raise_error(lit("driftPsi: reference slice is empty")))
+    val tc = when(col("__tc") > 0, col("__tc"))
+      .otherwise(raise_error(lit("driftPsi: current slice is empty")))
+    val pRef = col("n_ref").cast("double") / tr
+    val pCur = col("n_cur").cast("double") / tc
     counts.crossJoin(broadcast(totals))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
@@ -109,6 +99,29 @@ object Profiler {
           round((pCur - pRef) * log(pCur / pRef), 6)).as("psi_term"))
   }
 
+  /** Robust (median/MAD) outlier flags for one numeric column — the
+    * data-quality gate that survives the outliers it hunts: mean/stddev
+    * thresholds are dragged by the very tail they should flag, while the
+    * median and the median absolute deviation both have a 50% breakdown
+    * point. A row is flagged when |x − median| > k·MAD (callers wanting
+    * the normal-consistent sigma scale fold the 1.4826 factor into k).
+    *
+    * Determinism: median and MAD are exact interpolated percentiles (the
+    * `quantile_cont` identity q_agg_percentiles establishes); the flag
+    * comparison and deviation run in plain IEEE doubles, with the output
+    * deviation rounded to 6 dp per the cross-engine contract.
+    *
+    * Scale shape: two aggregation passes (median, then MAD of the
+    * deviations) plus the flag projection — each a map-side-combined
+    * aggregate whose ONE-ROW result broadcasts back; the data never
+    * shuffles. Output: flagged rows only —
+    * (idCol, value, deviation, is_high).
+    *
+    * MAD = 0 (at least half the values identical, e.g. a sparse column
+    * that is mostly zeros) makes every deviating row an "outlier" — a
+    * known MAD breakdown mode this gate refuses to paper over: the run
+    * fails loudly and the caller picks a gate suited to quasi-constant
+    * data. */
   def robustOutliers(df: DataFrame, idCol: String, valueCol: String,
                      k: Double = 3.5): DataFrame = {
     require(k > 0, "k must be positive")
@@ -117,8 +130,13 @@ object Profiler {
     val madF = df.crossJoin(broadcast(medF))
       .agg(first(col("__med")).as("__med"),
         percentile(abs(v - col("__med")), lit(0.5)).as("__mad"))
+    val mad = when(col("__mad") > 0, col("__mad"))
+      .otherwise(raise_error(lit(
+        "robustOutliers: MAD is 0 (>=50% of values identical) — the " +
+          "k*MAD threshold would flag every deviating row; use a gate " +
+          "suited to quasi-constant columns")))
     df.crossJoin(broadcast(madF))
-      .filter(abs(v - col("__med")) > lit(k) * col("__mad"))
+      .filter(abs(v - col("__med")) > lit(k) * mad)
       .select(col(idCol), v.as("value"),
         round(v - col("__med"), 6).as("deviation"),
         (v > col("__med")).as("is_high"))

@@ -33,6 +33,28 @@ class RobustOutliersSpec extends SparkSpec {
     assert(Profiler.robustOutliers(df, "id", "v").count() === 0L)
   }
 
+  test("MAD = 0 fails loudly instead of flagging every deviating row") {
+    val s = spark; import s.implicits._
+    // 60% zeros → median 0, MAD 0: the k*MAD gate is undefined here
+    val df = ((1 to 60).map(i => (i.toLong, 0.0)) ++
+      (61 to 100).map(i => (i.toLong, 1.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      Profiler.robustOutliers(df, "id", "v").collect()
+    }
+    assert(e.getMessage.contains("MAD is 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("MAD is 0")))
+  }
+
+  test("PSI: an entirely empty slice fails loudly, not NULL/Infinity") {
+    val s = spark; import s.implicits._
+    val df = (1 to 20).map(i => ("ref", i.toDouble)).toDF("slice", "v")
+    val e = intercept[Exception] {
+      Profiler.driftPsi(df, "slice", "ref", "cur", "v", Seq(10.0)).collect()
+    }
+    assert(e.getMessage.contains("current slice is empty") ||
+      Option(e.getCause).exists(_.getMessage.contains("current slice is empty")))
+  }
+
   test("PSI: identical slices score ~0, a genuine shift scores > 0.25") {
     val s = spark; import s.implicits._
     val bounds = Seq(10.0, 20.0, 30.0)
