@@ -394,6 +394,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // TRAINED document classifier (multinomial Naive Bayes, add-one
+    // smoothing): train on 4/5 of the corpus labeled by `lang`, classify
+    // the held-out fifth. The model is a vocab-sized broadcast table; the
+    // corpus shuffles only on (doc, ·) keys — the CCNet/LLaMA quality-
+    // classifier shape as a first-class oracled operator.
+    "q_classify_nb" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Classify.naiveBayes(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprint: the harness row oracles the ANSI-expressible half (the
     // canonical normalized form); the engine-specific xxhash64 of it is
     // determinism/stability-checked in OperatorsSpec.
@@ -2687,6 +2701,50 @@ object SparkEntry {
         |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) AS avg_lp2
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Multinomial NB: train on doc_id%5<>0 labeled by lang, classify the
+    // held-out fifth. Same 6dp-round-then-decimal-sum contract; the
+    // completed term×label grid gives unseen-for-label tokens the
+    // Laplace-smoothed mass; argmax tie-breaks on label.
+    "q_classify_nb" ->
+      """WITH trtok AS (
+        |  SELECT lang AS label, t.term FROM documents,
+        |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+        |  WHERE doc_id % 5 <> 0 AND t.term <> ''),
+        |counts AS (SELECT label, term, COUNT(*) AS c FROM trtok GROUP BY 1, 2),
+        |ltot AS (SELECT label, SUM(c) AS n_l FROM counts GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT term) AS v FROM counts),
+        |grid AS (SELECT t.term, l.label, l.n_l
+        |         FROM (SELECT DISTINCT term FROM counts) t CROSS JOIN ltot l),
+        |lp AS (
+        |  SELECT g.term, g.label,
+        |    CAST(ROUND(LN((COALESCE(c.c, 0) + 1.0) / (CAST(g.n_l AS DOUBLE) + v.v)), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM grid g CROSS JOIN v
+        |  LEFT JOIN counts c ON c.term = g.term AND c.label = g.label),
+        |ndocs AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 <> 0),
+        |prior AS (
+        |  SELECT lang AS label,
+        |    CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / n.n), 6) AS DECIMAL(18,6)) AS prior_lp
+        |  FROM documents, ndocs n WHERE doc_id % 5 <> 0 GROUP BY lang, n.n),
+        |sctok AS (
+        |  SELECT doc_id, t.term FROM documents,
+        |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+        |  WHERE doc_id % 5 = 0 AND t.term <> ''),
+        |perlab AS (
+        |  SELECT doc_id, label, SUM(lp) AS slp, COUNT(*) AS n_in_vocab
+        |  FROM sctok JOIN lp USING (term) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT a.doc_id, a.label,
+        |    a.prior_lp + COALESCE(pl.slp, CAST(0 AS DECIMAL(18,6))) AS score,
+        |    COALESCE(pl.n_in_vocab, 0) AS n_in_vocab
+        |  FROM (SELECT d.doc_id, p.label, p.prior_lp
+        |        FROM documents d CROSS JOIN prior p WHERE d.doc_id % 5 = 0) a
+        |  LEFT JOIN perlab pl ON a.doc_id = pl.doc_id AND a.label = pl.label)
+        |SELECT doc_id, label AS predicted, CAST(score AS DOUBLE) AS score, n_in_vocab
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, label) AS rn FROM scored) z
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_sim_topk" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (
