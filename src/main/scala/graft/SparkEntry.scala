@@ -394,6 +394,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Character-entropy quality signal: base64/minified blobs score high,
+    // template/padding spam scores low — (doc, char)-keyed exchanges only.
+    "q_text_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // TRAINED document classifier (multinomial Naive Bayes, add-one
     // smoothing): train on 4/5 of the corpus labeled by `lang`, classify
     // the held-out fifth. The model is a vocab-sized broadcast table; the
@@ -2700,6 +2706,25 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
         |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) AS avg_lp2
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Character entropy: per-char 6dp-rounded terms, decimal-summed.
+    "q_text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, t.ch FROM documents,
+        |    UNNEST(string_split(text, '')) AS t(ch)
+        |  WHERE t.ch <> ''),
+        |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd FROM c GROUP BY 1),
+        |e AS (
+        |  SELECT c.doc_id,
+        |    SUM(CAST(ROUND((CAST(c.c AS DOUBLE) / n.n)
+        |      * LN(CAST(n.n AS DOUBLE) / c.c), 6) AS DECIMAL(18,6))) AS ent
+        |  FROM c JOIN n USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n.n, 0) AS n_chars, COALESCE(n.nd, 0) AS n_distinct,
+        |  CAST(e.ent AS DOUBLE) AS entropy
+        |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+        |LEFT JOIN e ON d.doc_id = e.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     // Multinomial NB: train on doc_id%5<>0 labeled by lang, classify the

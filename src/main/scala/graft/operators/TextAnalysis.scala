@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-corpus analysis operators for large-scale training-data pipelines —
@@ -395,5 +396,42 @@ object TextAnalysis {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_lp2"))
+  }
+
+  /** Shannon CHARACTER entropy per document — the quality signal the
+    * token-level stats miss: base64/hex blobs and minified code score HIGH
+    * (near-uniform char distribution), template spam and repeated-char
+    * padding score LOW. Both tails are filter targets alongside
+    * [[qualityFilter]]'s rules.
+    *
+    * Scale shape: explode to (doc, char) → count (map-side combined; at
+    * most ~100 distinct chars per doc survive the partial agg) → one
+    * doc-keyed window for the total → one doc-keyed agg. Both exchanges
+    * hash on the document key; nothing is corpus-global.
+    *
+    * Determinism: each char's term (n_c/N)·ln(N/n_c) is ROUNDED to 6dp
+    * then summed as exact decimal (the TfIdf contract), so the entropy is
+    * order- and engine-independent. Output: (idCol, n_chars, n_distinct,
+    * entropy); empty/null text → n_chars 0, NULL entropy. ASCII-exact;
+    * astral-plane chars count as UTF-16 units (documented divergence from
+    * codepoint-splitting engines). */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val counts = chars.groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+    val withN = counts
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col(idCol))))
+      .withColumn("term",
+        round((col("c").cast("double") / col("n").cast("double")) *
+          log(col("n").cast("double") / col("c").cast("double")), 6)
+          .cast("decimal(18,6)"))
+    val perDoc = withN.groupBy(col(idCol))
+      .agg(max(col("n")).as("n_chars"), count(lit(1)).as("n_distinct"),
+        sum(col("term")).as("__ent"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("__ent").cast("double").as("entropy"))
   }
 }

@@ -90,6 +90,26 @@ class CorpusOpsSpec extends graft.SparkSpec {
       (3L, "durian", 1L, s(1, 1)), (3L, "cherry", 2L, s(1, 2))))
   }
 
+  test("charEntropy: hand-computed, uniform beats repeated, empty is null") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "aabb"),   // two chars, p=1/2 each -> H = ln 2
+      (2L, "aaaa"),   // single char -> H = 0
+      (3L, "abcd"),   // uniform over 4 -> H = ln 4
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((4L, 2L, Some(2 * r6(0.5 * math.log(2))))))
+    assert(out(2L) === ((4L, 1L, Some(0.0))))
+    assert(out(3L) === ((4L, 4L, Some(4 * r6(0.25 * math.log(4))))))
+    assert(out(4L) === ((0L, 0L, None)), "empty text: zero chars, null entropy")
+    assert(out(3L)._3.get > out(1L)._3.get && out(1L)._3.get > out(2L)._3.get,
+      "entropy must order uniform > binary > constant")
+  }
+
   test("stratified sample: deterministic, repartition-invariant, rate-shaped") {
     import spark.implicits._
     val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
