@@ -1077,6 +1077,16 @@ object SparkEntry {
     // — the join runs with NO exchange (the repeated big-big join layout;
     // shuffle-free shape asserted in WarehouseOpsSpec). Result ≡ the plain
     // join, which is the oracle.
+    // SCD Type-2 history: per customer, collapse the order-status change
+    // log into validity intervals — re-observed identical statuses extend
+    // the run instead of opening a version. One key-sorted window chain.
+    "q_scd2_history" -> ((s, dir) =>
+      sink.Warehouse.scdType2(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate"), col("o_orderkey")),
+        "o_custkey", Seq("o_orderstatus"), "o_orderdate", Seq("o_orderkey"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"))),
+
     "q_join_bucketed" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
@@ -2460,6 +2470,33 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) e
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // SCD2: first row opens run 1 explicitly (ROW_NUMBER=1) so a null
+    // first attribute cannot diverge from Spark's null-struct lag compare.
+    "q_scd2_history" ->
+      """WITH h AS (
+        |  SELECT o_custkey AS k, o_orderstatus AS attr, o_orderdate AS ts,
+        |    o_orderkey AS tb FROM orders),
+        |f AS (
+        |  SELECT k, attr, ts, tb,
+        |    CASE WHEN ROW_NUMBER() OVER w = 1
+        |           OR attr IS DISTINCT FROM LAG(attr) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM h WINDOW w AS (PARTITION BY k ORDER BY ts, tb)),
+        |r AS (
+        |  SELECT k, attr, ts,
+        |    SUM(chg) OVER (PARTITION BY k ORDER BY ts, tb
+        |                   ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM f),
+        |g AS (SELECT k, run, MIN(ts) AS valid_from, MIN(attr) AS attr
+        |      FROM r GROUP BY 1, 2),
+        |v AS (
+        |  SELECT k, attr, valid_from,
+        |    LEAD(valid_from) OVER (PARTITION BY k ORDER BY run) AS valid_to
+        |  FROM g)
+        |SELECT k AS o_custkey, attr AS o_orderstatus, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v ORDER BY o_custkey, valid_from, o_orderstatus""".stripMargin,
 
     "q_join_bucketed" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -67,6 +67,48 @@ object Warehouse {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Slowly-changing-dimension TYPE 2 history from an event-grain change
+    * log: collapse consecutive runs of identical tracked attributes per key
+    * into validity intervals (valid_from, valid_to, is_current) — the
+    * standard warehouse shape for "what did this dimension row look like
+    * at time T". Re-observing the SAME attribute values does NOT open a
+    * new version (that is the semantic difference from naive dedup).
+    *
+    * Scale shape: one key-partitioned sort feeds the change flag and the
+    * running run-number; the (key, run) aggregation and the valid_to lead
+    * window rehash on the same key, so at 100 TB this is one sort-shuffle
+    * on the dimension key plus same-key exchanges — never a global sort.
+    *
+    * Determinism: ordering is (tsCol, tieCols...) — pass tie columns that
+    * make the ordering total, or same-instant changes are engine-ordered.
+    * Attribute comparison is null-safe (a null attribute value is a value,
+    * not a wildcard). */
+  def scdType2(history: DataFrame, keyCol: String, attrCols: Seq[String],
+               tsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(attrCols.nonEmpty, "scdType2: need at least one tracked attribute")
+    val ord = (tsCol +: tieCols).map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    // first row of a key: lag is NULL, <=> is false -> opens run 1
+    val runs = history
+      .withColumn("__chg",
+        when(lag(attrs, 1).over(w) <=> attrs, lit(0L)).otherwise(lit(1L)))
+      .withColumn("__run", sum(col("__chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // every row in a (key, run) group carries identical attrs by
+    // construction, so first() is deterministic here
+    val grouped = runs.groupBy(col(keyCol), col("__run"))
+      .agg(min(col(tsCol)).as("valid_from"),
+        attrCols.map(c => first(col(c)).as(c)): _*)
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col("__run"))
+    grouped
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCol +: attrCols :+ "valid_from" :+ "valid_to" :+ "is_current")
+        .map(col): _*)
+  }
+
   /** Compact a parquet directory to ~`targetMB` output files — small-file
     * pressure is the classic failure mode of continuous partitioned appends.
     * Rewrites to a temp dir then swaps. Swap safety: every rename's return

@@ -24,6 +24,51 @@ class WarehouseOpsSpec extends SparkSpec {
       Seq(("C1", "v2"), ("C2", "v1"), ("C3", "v2")))
   }
 
+  test("scdType2 collapses runs, reopens on change-back, null attr is a value") {
+    import spark.implicits._
+    // key A: gold, gold, silver, gold  -> 3 versions (re-observation of
+    //   gold at t2 extends the first run; the t4 gold REOPENS a new one)
+    // key B: null, null, bronze        -> 2 versions (null run is real)
+    val hist = Seq(
+      ("A", Some("gold"), "2024-01-01", 1L),
+      ("A", Some("gold"), "2024-02-01", 2L),
+      ("A", Some("silver"), "2024-03-01", 3L),
+      ("A", Some("gold"), "2024-04-01", 4L),
+      ("B", None, "2024-01-15", 5L),
+      ("B", None, "2024-02-15", 6L),
+      ("B", Some("bronze"), "2024-03-15", 7L),
+    ).toDF("k", "tier", "ts", "seq")
+      .withColumn("ts", col("ts").cast("date"))
+    val out = Warehouse.scdType2(hist, "k", Seq("tier"), "ts", Seq("seq"))
+      .orderBy(col("k"), col("valid_from"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      ("A", Some("gold"), "2024-01-01", Some("2024-03-01"), false),
+      ("A", Some("silver"), "2024-03-01", Some("2024-04-01"), false),
+      ("A", Some("gold"), "2024-04-01", None, true),
+      ("B", None, "2024-01-15", Some("2024-03-15"), false),
+      ("B", Some("bronze"), "2024-03-15", None, true)))
+  }
+
+  test("scdType2 same-day tie breaks on the tie column, intervals stay chained") {
+    import spark.implicits._
+    val hist = Seq(
+      ("C", "x", "2024-01-01", 2L), // same day: seq orders x before y? no - 2 > 1
+      ("C", "y", "2024-01-01", 1L),
+      ("C", "x", "2024-02-01", 3L),
+    ).toDF("k", "v", "ts", "seq").withColumn("ts", col("ts").cast("date"))
+    val out = Warehouse.scdType2(hist, "k", Seq("v"), "ts", Seq("seq"))
+      .orderBy(col("valid_from"), col("valid_to").asc_nulls_last).collect()
+      .map(r => (r.getString(1), Option(r.getDate(3)).map(_.toString), r.getBoolean(4)))
+    // order: y(seq1), x(seq2) -> runs y, x; then x at 02-01 EXTENDS the x run
+    assert(out.toSeq === Seq(
+      ("y", Some("2024-01-01"), false),
+      ("x", None, true)))
+  }
+
   test("compact rewrites many small files into few") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     spark.range(10000).repartition(50).write.parquet(dir)
