@@ -1588,6 +1588,16 @@ object SparkEntry {
     // SUM(BIGINT) surfaces as HUGEINT and a comparer may canonicalize
     // int128 differently than int64 — string casts remove the numeric-type
     // repr as a degree of freedom entirely.
+    // Distributed Lloyd k-means, fully in-engine and ORACLED: quantized
+    // 6dp-decimal inputs make every distance EXACT decimal arithmetic, so
+    // assignments (argmin, cluster-id tie-break) replay bit-for-bit in
+    // SQL. Per iteration: narrow codegen argmin + one (cluster,pos)-keyed
+    // agg + a k·d-bounded driver collect (the MLlib shape).
+    "q_kmeans_lloyd" -> ((s, dir) =>
+      operators.KMeansOp.lloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2)
+        .orderBy(col("vec_id"))),
+
     "q_vec_centroid" -> ((s, dir) =>
       operators.VectorStats.centroidSums(
         t(s, dir, "embeddings"), "label", "embedding")
@@ -3333,6 +3343,56 @@ object SparkEntry {
     // returns HUGEINT (int128) where Spark emits BIGINT, and a driver-side
     // canonicalizer may repr those differently even when the values are
     // bit-identical — strings leave nothing type-dependent to compare.
+    // Lloyd k-means, 2 iterations unrolled: exact decimal distances (the
+    // quantized inputs make (x-c)^2 sums exact in both engines), centroid
+    // updates round sum/count at 6dp, empty clusters keep their centroid.
+    "q_kmeans_lloyd" ->
+      """WITH v AS (
+        |  SELECT vec_id, p.pos,
+        |    CAST(ROUND(CAST(embedding[p.pos] AS DOUBLE), 6) AS DECIMAL(9,6)) AS x
+        |  FROM embeddings, (SELECT UNNEST(RANGE(1, 65)) AS pos) p),
+        |seeds AS (
+        |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS cluster
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        |c0 AS (SELECT s.cluster, v.pos, v.x AS c
+        |       FROM seeds s JOIN v ON v.vec_id = s.vec_id),
+        |a1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |    FROM (SELECT v.vec_id, c.cluster, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+        |          FROM v JOIN c0 c ON v.pos = c.pos GROUP BY 1, 2) d) z
+        |  WHERE rn = 1),
+        |u1 AS (
+        |  SELECT a.cluster, v.pos,
+        |    CAST(ROUND(CAST(SUM(v.x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(9,6)) AS c
+        |  FROM a1 a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cluster, c0.pos, COALESCE(u1.c, c0.c) AS c
+        |       FROM c0 LEFT JOIN u1 ON u1.cluster = c0.cluster AND u1.pos = c0.pos),
+        |a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |    FROM (SELECT v.vec_id, c.cluster, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+        |          FROM v JOIN c1 c ON v.pos = c.pos GROUP BY 1, 2) d) z
+        |  WHERE rn = 1),
+        |u2 AS (
+        |  SELECT a.cluster, v.pos,
+        |    CAST(ROUND(CAST(SUM(v.x) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(9,6)) AS c
+        |  FROM a2 a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2),
+        |c2 AS (SELECT c1.cluster, c1.pos, COALESCE(u2.c, c1.c) AS c
+        |       FROM c1 LEFT JOIN u2 ON u2.cluster = c1.cluster AND u2.pos = c1.pos),
+        |a3 AS (
+        |  SELECT vec_id, cluster, d2 FROM (
+        |    SELECT vec_id, cluster, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        |    FROM (SELECT v.vec_id, c.cluster, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+        |          FROM v JOIN c2 c ON v.pos = c.pos GROUP BY 1, 2) d) z
+        |  WHERE rn = 1)
+        |SELECT vec_id, CAST(cluster AS INT) AS cluster,
+        |  ROUND(CAST(d2 AS DOUBLE), 6) AS d2
+        |FROM a3 ORDER BY vec_id""".stripMargin,
+
     "q_vec_centroid" ->
       """SELECT CAST(e.label AS VARCHAR) AS label, CAST(p.pos AS VARCHAR) AS pos,
         |  CAST(SUM(CAST(FLOOR(CAST(e.embedding[p.pos] AS DOUBLE) * 1000000) AS BIGINT)) AS VARCHAR) AS qsum,
