@@ -394,6 +394,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // REAL subword tokenization: corpus-learned BPE merges (Sennrich
+    // ACL'16) applied shuffle-free under a broadcast merge table. The
+    // iterative merge application is not ANSI-expressible -> rows-only
+    // here, driver-gated by the round-trip identity sibling below.
+    "q_bpe_tokenize" -> ((s, dir) =>
+      operators.BpeTokenizer.tokenize(t(s, dir, "documents"), "doc_id", "text",
+        numMerges = 200)
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // Round-trip gate: stripping </w> markers from the concatenated
+    // tokens must reproduce the cleaned word sequence for EVERY document
+    // — an independent builtin-expression path; violations-only output
+    // against the empty-relation oracle.
+    "q_bpe_tokenize_verify" -> ((s, dir) =>
+      operators.BpeTokenizer.roundTripViolations(
+        t(s, dir, "documents"), "doc_id", "text", numMerges = 200)),
+
     // Character-entropy quality signal: base64/minified blobs score high,
     // template/padding spam scores low — (doc, char)-keyed exchanges only.
     "q_text_entropy" -> ((s, dir) =>
@@ -2754,6 +2771,10 @@ object SparkEntry {
         |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) AS avg_lp2
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_bpe_tokenize_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
 
     // Character entropy: per-char 6dp-rounded terms, decimal-summed.
     "q_text_entropy" ->

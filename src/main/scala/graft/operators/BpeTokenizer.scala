@@ -1,0 +1,167 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016) — the REAL
+  * subword tokenizer behind every modern LM corpus pipeline, upgrading the
+  * whitespace/regex token counting used elsewhere: merges are LEARNED from
+  * corpus statistics, application is deterministic greedy best-rank
+  * merging, and token counts downstream (packing, budgeting) become the
+  * counts a trainer would actually see.
+  *
+  * Scale shape:
+  *   - LEARN: word frequencies are ONE distributed (word)-keyed count
+  *     (map-side combined — the aggregate is vocabulary-sized, never
+  *     corpus-sized); only the top-`maxWords` (count desc, word) rows are
+  *     collected — a bounded driver collect, the IvfIndex/ProductQuantize
+  *     training precedent. Merge learning is the classic O(merges·vocab)
+  *     driver loop over that bounded table.
+  *   - APPLY: the ordered merge list broadcasts (numMerges strings); each
+  *     row tokenizes independently in a per-row UDF with a per-partition
+  *     word memo (real corpora repeat words heavily) — embarrassingly
+  *     parallel, no shuffle.
+  *
+  * Determinism: merge learning breaks count ties lexicographically, so the
+  * merge table is a pure function of the word-count table; application is
+  * a pure function of (word, merge ranks). The round-trip identity
+  * (detokenized tokens == cleaned words) is gated in-engine by
+  * q_bpe_tokenize_verify against the empty relation.
+  *
+  * End-of-word is marked by the `</w>` suffix on a word's final symbol
+  * (the Sennrich convention): "hello" → e.g. ["he", "llo</w>"]. Input
+  * words containing a literal "</w>" would confuse detokenization only in
+  * the verify query's reassembly, not in tokenization itself.
+  */
+object BpeTokenizer {
+
+  val EndOfWord = "</w>"
+
+  /** Learn `numMerges` BPE merges from the corpus: distributed word count,
+    * bounded top-`maxWords` collect, driver merge loop. Returns merges in
+    * priority order (rank 0 = first learned = highest priority). */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+                  maxWords: Int = 50000): Seq[(String, String)] = {
+    require(numMerges > 0, "learnMerges: numMerges must be positive")
+    val wordCounts = df
+      .select(explode(Dedup.cleanTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords) // bounded driver collect: vocabulary head only
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // represent each word as its symbol sequence, last symbol marked </w>
+    val words = mutable.ArrayBuffer.from(wordCounts.map { case (w, c) =>
+      val syms = w.map(_.toString).toArray
+      if (syms.nonEmpty) syms(syms.length - 1) += EndOfWord
+      (syms, c)
+    })
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var iter = 0
+    var done = false
+    while (iter < numMerges && !done) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words if syms.length >= 2; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(p => Some(p.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) done = true
+      else {
+        // max count, ties broken lexicographically — deterministic
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val (x, y) = best
+        val xy = x + y
+        for (idx <- words.indices) {
+          val (syms, c) = words(idx)
+          if (syms.length >= 2) {
+            val out = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == x && syms(i + 1) == y) {
+                out += xy; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            if (out.length != syms.length) words(idx) = (out.toArray, c)
+          }
+        }
+      }
+      iter += 1
+    }
+    merges.toSeq
+  }
+
+  /** Tokenize one word (already lowercased) with the given merge ranks:
+    * greedy repeated merging of the best-rank (lowest) pair present. */
+  private[operators] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    var syms = word.map(_.toString).toArray
+    syms(syms.length - 1) += EndOfWord
+    var continue = syms.length >= 2
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      for (i <- 0 until syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+      }
+      if (bestIdx < 0) continue = false
+      else {
+        val merged = syms(bestIdx) + syms(bestIdx + 1)
+        val out = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == syms(bestIdx) &&
+              syms(i + 1) == syms(bestIdx + 1)) { out += merged; i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+        continue = syms.length >= 2
+      }
+    }
+    syms
+  }
+
+  /** Column of BPE tokens for `textCol` under the learned `merges`: the
+    * concatenation of per-word encodings, in order. Broadcast-applied,
+    * shuffle-free; a per-partition memo caches repeated words. */
+  def tokensColumn(merges: Seq[(String, String)], textCol: Column): Column = {
+    val ranks = merges.zipWithIndex.toMap
+    val enc = udf { (words: Seq[String]) =>
+      if (words == null) Seq.empty[String]
+      else {
+        val memo = mutable.HashMap.empty[String, Array[String]]
+        words.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, ranks)))
+      }
+    }
+    enc(Dedup.cleanTokens(textCol))
+  }
+
+  /** (idCol, pos, token) exploded tokenization of the corpus under
+    * corpus-learned merges — the harness surface. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+               numMerges: Int, maxWords: Int = 50000): DataFrame = {
+    val merges = learnMerges(df, textCol, numMerges, maxWords)
+    df.select(col(idCol),
+        posexplode(tokensColumn(merges, col(textCol))).as(Seq("pos", "token")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
+  }
+
+  /** Round-trip violations (empty relation when correct): per document,
+    * the tokens reassembled by stripping `</w>` markers must equal the
+    * cleaned word sequence — an independent builtin-expression path from
+    * the UDF that produced the tokens. */
+  def roundTripViolations(df: DataFrame, idCol: String, textCol: String,
+                          numMerges: Int, maxWords: Int = 50000): DataFrame = {
+    val merges = learnMerges(df, textCol, numMerges, maxWords)
+    val toks = tokensColumn(merges, col(textCol))
+    df.select(col(idCol),
+        concat_ws(" ", Dedup.cleanTokens(col(textCol))).as("__want"),
+        trim(replace(concat_ws("", toks), lit(EndOfWord), lit(" "))).as("__got"))
+      .filter(not(col("__want") <=> col("__got")))
+      .select(col(idCol), lit("roundtrip_mismatch").as("issue"))
+  }
+}

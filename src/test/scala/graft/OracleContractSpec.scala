@@ -17,12 +17,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleContractSpec extends AnyFunSuite {
 
-  // the seven approximate-by-design headliners (engine-specific signatures
-  // or sketch internals); each exact/recall-gated elsewhere and each
-  // driver-gated by its *_verify property sibling
+  // the no-oracle headliners: seven approximate-by-design (engine-specific
+  // signatures or sketch internals), plus BPE tokenization which is EXACT
+  // but iterative (not ANSI-expressible); each exact/recall/round-trip-
+  // gated elsewhere and each driver-gated by its *_verify property sibling
   private val approximateByDesign = Set(
     "q_approx_distinct", "q_dedup_embedding", "q_dedup_minhash",
-    "q_dedup_simhash", "q_dedup_semantic", "q_sim_topk_ivf", "q_sim_topk_pq")
+    "q_dedup_simhash", "q_dedup_semantic", "q_sim_topk_ivf", "q_sim_topk_pq",
+    "q_bpe_tokenize")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
