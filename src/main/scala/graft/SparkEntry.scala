@@ -1700,6 +1700,21 @@ object SparkEntry {
         Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy(col("col_name"))),
 
+    // Sketch quantiles (GK percentile_approx) — the 100-TB percentile
+    // path: fixed-size mergeable state, no sort. Sketch output is engine-
+    // specific -> rows-only, driver-gated by the rank-error sibling.
+    "q_quantile_approx" -> ((s, dir) =>
+      operators.Profiler.approxQuantiles(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq(0.01, 0.25, 0.5, 0.75, 0.99), accuracy = 1000)
+        .orderBy(col("p"))),
+
+    // In-engine GK guarantee check: each returned value's exact rank range
+    // must intersect [(p-eps)n, (p+eps)n] on the real data. Violations
+    // only — empty relation when the sketch honors its contract.
+    "q_quantile_approx_verify" -> ((s, dir) =>
+      operators.Profiler.approxQuantileViolations(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq(0.01, 0.25, 0.5, 0.75, 0.99), accuracy = 1000)),
+
     // Vector-quality gate: fixed-point squared norms, exact-percentile
     // thresholds (the quantile_cont identity), plain comparison flags.
     "q_vec_outliers" -> ((s, dir) =>
@@ -3467,6 +3482,12 @@ object SparkEntry {
         |FROM events, d
         |WHERE abs(CAST(value AS DOUBLE) - med) > CAST(3.5 AS DOUBLE) * mad
         |ORDER BY event_id""".stripMargin,
+
+    "q_quantile_approx_verify" ->
+      """SELECT CAST(NULL AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS qv,
+        |  CAST(NULL AS BIGINT) AS cnt_lt, CAST(NULL AS BIGINT) AS cnt_le,
+        |  CAST(NULL AS BIGINT) AS n
+        |WHERE FALSE""".stripMargin,
 
     // One SELECT per profiled column, UNION ALL — the oracle mirror of
     // the one-pass profile (DuckDB reads the view once per branch; the

@@ -141,4 +141,43 @@ object Profiler {
         round(v - col("__med"), 6).as("deviation"),
         (v > col("__med")).as("is_high"))
   }
+
+  /** Sketch-based quantiles (GK `percentile_approx`) — the 100-TB
+    * percentile path: fixed-size mergeable state, one partial-agg pass, no
+    * sort — where the exact interpolated `percentile` must see all values.
+    * Output: (p, qv) per requested probability. Sketch internals are
+    * engine-specific, so the harness row is rows-only and driver-gated by
+    * [[approxQuantileViolations]]. */
+  def approxQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                      accuracy: Int = 1000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "approxQuantiles: probabilities must be in [0,1]")
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull).select(v.as("x"))
+      .agg(percentile_approx(col("x"), typedlit(ps), lit(accuracy)).as("__q"))
+      .select(posexplode(col("__q")).as(Seq("__i", "qv")))
+      .select(element_at(typedlit(ps), col("__i") + 1).as("p"), col("qv"))
+  }
+
+  /** GK rank-error gate, in-engine: a returned quantile value's exact rank
+    * range [cnt_lt+1, cnt_le] must intersect [(p−ε)n, (p+ε)n] with
+    * ε = 1/accuracy — the published approx_percentile guarantee, checked
+    * against the REAL data by one broadcast join + one aggregation.
+    * Violations-only output (empty relation when the sketch honors its
+    * contract). */
+  def approxQuantileViolations(df: DataFrame, valueCol: String,
+      ps: Seq[Double], accuracy: Int = 1000): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val vals = df.filter(v.isNotNull).select(v.as("x"))
+    val apx = approxQuantiles(df, valueCol, ps, accuracy)
+    val eps = 1.0 / accuracy
+    vals.crossJoin(broadcast(apx))
+      .groupBy(col("p"), col("qv"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("qv"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("x") <= col("qv"), 1L).otherwise(0L)).as("cnt_le"))
+      .filter(col("cnt_le").cast("double") < (col("p") - eps) * col("n") - 1e-9
+        || (col("cnt_lt") + 1).cast("double") > (col("p") + eps) * col("n") + 1e-9)
+      .select(col("p"), col("qv"), col("cnt_lt"), col("cnt_le"), col("n"))
+  }
 }

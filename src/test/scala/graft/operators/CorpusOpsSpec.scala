@@ -237,6 +237,25 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(aTokens > 8000 && aTokens < 12000, s"a tokens $aTokens vs target 10000")
   }
 
+  test("approx quantiles: rank guarantee holds, tight accuracy is near-exact") {
+    val s = spark; import s.implicits._
+    val df = (1L to 10000L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val ps = Seq(0.1, 0.5, 0.9)
+    // the in-engine gate finds no violations on a clean uniform column
+    assert(Profiler.approxQuantileViolations(df, "x", ps, accuracy = 100)
+      .count() === 0L)
+    // with high accuracy the sketch lands within eps*n ranks of truth
+    val got = Profiler.approxQuantiles(df, "x", ps, accuracy = 10000)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (p <- ps)
+      assert(math.abs(got(p) - p * 10000) <= 2.0, s"p=$p got ${got(p)}")
+    // nulls are excluded from ranks, not counted as low values
+    val withNulls = ((1L to 100L).map(i => (i, Some(i.toDouble))) ++
+      (101L to 200L).map(i => (i, None: Option[Double]))).toDF("id", "x")
+    assert(Profiler.approxQuantileViolations(withNulls, "x", Seq(0.5), 100)
+      .count() === 0L)
+  }
+
   test("approx distinct: within the configured relative error of exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
