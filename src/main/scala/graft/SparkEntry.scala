@@ -1153,6 +1153,24 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Streaming MODEL INFERENCE: NB trained on the batch 4/5 split, the
+    // held-out fifth scored as a 4-file stream (one file per trigger, so
+    // scoring crosses four micro-batch boundaries); the final table must
+    // equal the one-shot batch classification, which is the oracle (the
+    // exact q_classify_nb SQL).
+    "q_stream_classify" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_clf_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_clf_src_${runTag(dir)}"
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 5 === 0).repartition(4)
+        .write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamClassifyBounded(s,
+        docs.filter(col("doc_id") % 5 =!= 0), src, "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     // Partition pruning: write partitioned by the filter column, read with
     // an equality predicate — the scan must touch ONE partition directory
     // (PartitionFilters in the plan, guarded in PlanSpec), the layout that
@@ -2133,6 +2151,52 @@ object SparkEntry {
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, start_tok""".stripMargin
 
+  // Multinomial NB (train on doc_id%5<>0 by lang, classify the held-out
+  // fifth) — shared verbatim by q_classify_nb (batch) and
+  // q_stream_classify (streaming inference must converge to the batch
+  // result). 6dp-round-then-decimal-sum contract throughout; the completed
+  // term×label grid gives unseen-for-label tokens the Laplace-smoothed
+  // mass; argmax tie-breaks on label.
+  private val nbOracleSql: String =
+    """WITH trtok AS (
+      |  SELECT lang AS label, t.term FROM documents,
+      |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+      |  WHERE doc_id % 5 <> 0 AND t.term <> ''),
+      |counts AS (SELECT label, term, COUNT(*) AS c FROM trtok GROUP BY 1, 2),
+      |ltot AS (SELECT label, SUM(c) AS n_l FROM counts GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT term) AS v FROM counts),
+      |grid AS (SELECT t.term, l.label, l.n_l
+      |         FROM (SELECT DISTINCT term FROM counts) t CROSS JOIN ltot l),
+      |lp AS (
+      |  SELECT g.term, g.label,
+      |    CAST(ROUND(LN((COALESCE(c.c, 0) + 1.0) / (CAST(g.n_l AS DOUBLE) + v.v)), 6)
+      |      AS DECIMAL(18,6)) AS lp
+      |  FROM grid g CROSS JOIN v
+      |  LEFT JOIN counts c ON c.term = g.term AND c.label = g.label),
+      |ndocs AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 <> 0),
+      |prior AS (
+      |  SELECT lang AS label,
+      |    CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / n.n), 6) AS DECIMAL(18,6)) AS prior_lp
+      |  FROM documents, ndocs n WHERE doc_id % 5 <> 0 GROUP BY lang, n.n),
+      |sctok AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+      |  WHERE doc_id % 5 = 0 AND t.term <> ''),
+      |perlab AS (
+      |  SELECT doc_id, label, SUM(lp) AS slp, COUNT(*) AS n_in_vocab
+      |  FROM sctok JOIN lp USING (term) GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT a.doc_id, a.label,
+      |    a.prior_lp + COALESCE(pl.slp, CAST(0 AS DECIMAL(18,6))) AS score,
+      |    COALESCE(pl.n_in_vocab, 0) AS n_in_vocab
+      |  FROM (SELECT d.doc_id, p.label, p.prior_lp
+      |        FROM documents d CROSS JOIN prior p WHERE d.doc_id % 5 = 0) a
+      |  LEFT JOIN perlab pl ON a.doc_id = pl.doc_id AND a.label = pl.label)
+      |SELECT doc_id, label AS predicted, CAST(score AS DOUBLE) AS score, n_in_vocab
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, label) AS rn FROM scored) z
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   private val phashCteSql: String =
     """WITH m AS (
       |  SELECT doc_id,
@@ -2814,45 +2878,11 @@ object SparkEntry {
     // held-out fifth. Same 6dp-round-then-decimal-sum contract; the
     // completed term×label grid gives unseen-for-label tokens the
     // Laplace-smoothed mass; argmax tie-breaks on label.
-    "q_classify_nb" ->
-      """WITH trtok AS (
-        |  SELECT lang AS label, t.term FROM documents,
-        |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
-        |  WHERE doc_id % 5 <> 0 AND t.term <> ''),
-        |counts AS (SELECT label, term, COUNT(*) AS c FROM trtok GROUP BY 1, 2),
-        |ltot AS (SELECT label, SUM(c) AS n_l FROM counts GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT term) AS v FROM counts),
-        |grid AS (SELECT t.term, l.label, l.n_l
-        |         FROM (SELECT DISTINCT term FROM counts) t CROSS JOIN ltot l),
-        |lp AS (
-        |  SELECT g.term, g.label,
-        |    CAST(ROUND(LN((COALESCE(c.c, 0) + 1.0) / (CAST(g.n_l AS DOUBLE) + v.v)), 6)
-        |      AS DECIMAL(18,6)) AS lp
-        |  FROM grid g CROSS JOIN v
-        |  LEFT JOIN counts c ON c.term = g.term AND c.label = g.label),
-        |ndocs AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 <> 0),
-        |prior AS (
-        |  SELECT lang AS label,
-        |    CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE) / n.n), 6) AS DECIMAL(18,6)) AS prior_lp
-        |  FROM documents, ndocs n WHERE doc_id % 5 <> 0 GROUP BY lang, n.n),
-        |sctok AS (
-        |  SELECT doc_id, t.term FROM documents,
-        |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
-        |  WHERE doc_id % 5 = 0 AND t.term <> ''),
-        |perlab AS (
-        |  SELECT doc_id, label, SUM(lp) AS slp, COUNT(*) AS n_in_vocab
-        |  FROM sctok JOIN lp USING (term) GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT a.doc_id, a.label,
-        |    a.prior_lp + COALESCE(pl.slp, CAST(0 AS DECIMAL(18,6))) AS score,
-        |    COALESCE(pl.n_in_vocab, 0) AS n_in_vocab
-        |  FROM (SELECT d.doc_id, p.label, p.prior_lp
-        |        FROM documents d CROSS JOIN prior p WHERE d.doc_id % 5 = 0) a
-        |  LEFT JOIN perlab pl ON a.doc_id = pl.doc_id AND a.label = pl.label)
-        |SELECT doc_id, label AS predicted, CAST(score AS DOUBLE) AS score, n_in_vocab
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-        |        ORDER BY score DESC, label) AS rn FROM scored) z
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_classify_nb" -> nbOracleSql,
+
+    // Streaming inference must converge to the one-shot batch result —
+    // the SAME oracle, verbatim.
+    "q_stream_classify" -> nbOracleSql,
 
     "q_sim_topk" ->
       """SELECT query_id, rank, neighbor_id, cosine FROM (

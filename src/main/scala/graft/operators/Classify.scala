@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
+  /** A trained NB model: the (term, label, lp) log-likelihood grid and the
+    * (label, prior_lp) priors — both vocabulary-sized DataFrames, meant to
+    * broadcast at score time. Call [[materialize]] before scoring many
+    * batches (streaming inference) so training runs once, not per batch. */
+  final case class NbModel(lp: DataFrame, prior: DataFrame) {
+    def materialize: NbModel = NbModel(lp.localCheckpoint(), prior.localCheckpoint())
+  }
+
   /** Train add-one-smoothed multinomial NB on `train` (labelCol must be
     * non-null) and classify `score`, returning one row per scored doc:
     * (idCol, predicted, score, n_in_vocab) where score is the winning
@@ -41,7 +49,13 @@ object Classify {
     * counts the scored in-vocabulary token occurrences (0 ⇒ prior-only
     * prediction). */
   def naiveBayes(train: DataFrame, score: DataFrame, idCol: String,
-                 textCol: String, labelCol: String): DataFrame = {
+                 textCol: String, labelCol: String): DataFrame =
+    scoreNaiveBayes(trainNaiveBayes(train, textCol, labelCol), score,
+      idCol, textCol)
+
+  /** The training half: build the model tables from the labeled corpus. */
+  def trainNaiveBayes(train: DataFrame, textCol: String,
+                      labelCol: String): NbModel = {
     val trainToks = train
       .select(col(labelCol).as("label"), explode(Dedup.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
@@ -66,6 +80,16 @@ object Classify {
       .select(col("label"),
         round(log(col("docs").cast("double") / totalDocs.toDouble), 6)
           .cast("decimal(18,6)").as("prior_lp"))
+    NbModel(lp, prior)
+  }
+
+  /** The scoring half: classify `score` under a trained model. Works on a
+    * batch frame or inside a streaming foreachBatch (each document is one
+    * row, so scoring needs no cross-batch state). */
+  def scoreNaiveBayes(model: NbModel, score: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val lp = model.lp
+    val prior = model.prior
     val docToks = score
       .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")

@@ -493,6 +493,49 @@ object StreamingIngest {
     spark.read.parquet(tablePath)
   }
 
+  /** Streaming MODEL INFERENCE: classify a document stream under a
+    * batch-trained multinomial NB model (graft.operators.Classify) — the
+    * standard train-once/score-forever serving shape. The model tables are
+    * materialized ONCE (localCheckpoint) before the stream starts; each
+    * micro-batch scores its documents in foreachBatch (a document is one
+    * row, so scoring needs no cross-batch state) and appends to an
+    * in-memory sink. Appends are idempotent per doc — scoring is a pure
+    * deterministic function of (doc, model) — so at-least-once foreachBatch
+    * composes to exactly-once results after a final per-doc dedup.
+    *
+    * 100-TB posture: the model is vocabulary-sized and broadcasts into
+    * every batch; per-batch cost is the batch's own (doc,·)-keyed
+    * exchanges. Returns the final scored table as a batch DataFrame. */
+  def runStreamClassifyBounded(spark: SparkSession, trainDf: DataFrame,
+                               scoreParquetPath: String, idCol: String,
+                               textCol: String, labelCol: String,
+                               maxFilesPerTrigger: Int = 1): DataFrame = {
+    val model = graft.operators.Classify
+      .trainNaiveBayes(trainDf, textCol, labelCol).materialize
+    val schema = spark.read.parquet(scoreParquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(scoreParquetPath))
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // score THIS batch under the shared model; persist eagerly so the
+        // result survives the batch frame's lifecycle
+        sink.add(graft.operators.Classify
+          .scoreNaiveBayes(model, batch, idCol, textCol).localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = sink.asScala.toSeq
+    require(parts.nonEmpty, "runStreamClassifyBounded: stream produced no batches")
+    // replayed batches re-emit identical rows; one per doc survives
+    parts.reduce(_ unionByName _).dropDuplicates(idCol)
+  }
+
   /** Run the windowed aggregation over a parquet path as a bounded stream;
     * returns the final result as a batch DataFrame. `statePartitions` sizes
     * the state-store layout (see [[withStatePartitions]]). */

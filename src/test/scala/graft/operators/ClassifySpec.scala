@@ -68,6 +68,28 @@ class ClassifySpec extends SparkSpec {
     assert(wantSports > wantTech, "smoothed unseen-mass must lose to seen mass")
   }
 
+  test("streaming inference equals batch scoring, replay-idempotent") {
+    val s = spark; import s.implicits._
+    val trainDf = train.toDF("doc_id", "text", "label")
+    val scoreRows = Seq((10L, "ball ball goal"), (11L, "code code bug"),
+      (12L, "team"), (13L, "zzz qqq"))
+    val batch = Classify.naiveBayes(trainDf, scoreRows.toDF("doc_id", "text"),
+        "doc_id", "text", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    // one doc per file, PLUS a duplicated doc (a replayed batch): the
+    // per-doc dedup must make the duplicate invisible
+    scoreRows.zipWithIndex.foreach { case ((id, tx), i) =>
+      Seq((id, tx)).toDF("doc_id", "text").write.parquet(s"$dir/f$i")
+    }
+    Seq(scoreRows.head).toDF("doc_id", "text").write.parquet(s"$dir/replay")
+    val streamed = graft.streaming.StreamingIngest.runStreamClassifyBounded(
+        s, trainDf, dir + "/*/", "doc_id", "text", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("imbalanced priors shift the prior-only prediction") {
     val s = spark; import s.implicits._
     val skewed = (train :+ ((5L, "extra words here", "tech"))).toDF("doc_id", "text", "label")
