@@ -1279,6 +1279,17 @@ object SparkEntry {
     // Sessionization: 30-min inactivity gap per user over epoch-micros
     // longs — one window shuffle labels sessions, the groupBy collapses
     // them. Oracled against the identical lag/flag/running-sum in DuckDB.
+    // Recency-weighted user features: Σ value·2^(-age/halfLife) per user
+    // at a FIXED as-of instant (mid-span, so the future-event leakage
+    // filter is exercised). One narrow projection + one key-keyed agg.
+    "q_decay_agg" -> ((s, dir) =>
+      operators.TimeDecay.decayedAgg(
+        t(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("us"), col("value")),
+        "user_id", "us", "value",
+        asOfMicros = 1705276800000000L, halfLifeDays = 7.0)
+        .orderBy(col("user_id"))),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
@@ -2576,6 +2587,24 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) e
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Time decay: per-term 6dp rounding then decimal sums; age from exact
+    // integer micros so the double division is engine-identical.
+    "q_decay_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |  WHERE epoch_us(ts) <= 1705276800000000 AND value IS NOT NULL),
+        |w AS (
+        |  SELECT user_id,
+        |    CAST(ROUND(exp(-(ln(2) / 7.0) * ((1705276800000000 - us) / 86400000000.0))
+        |      * value, 6) AS DECIMAL(18,6)) AS wv,
+        |    CAST(ROUND(exp(-(ln(2) / 7.0) * ((1705276800000000 - us) / 86400000000.0)),
+        |      6) AS DECIMAL(18,6)) AS w
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(wv) AS DOUBLE) AS decayed_sum,
+        |  CAST(SUM(w) AS DOUBLE) AS decayed_count
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // SCD2: first row opens run 1 explicitly (ROW_NUMBER=1) so a null
     // first attribute cannot diverge from Spark's null-struct lag compare.

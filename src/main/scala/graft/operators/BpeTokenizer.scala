@@ -150,6 +150,44 @@ object BpeTokenizer {
       .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
   }
 
+  /** Deterministic vocabulary for a merge table: every reachable token —
+    * single symbols (with and without the `</w>` marker) plus one entry
+    * per merge — assigned contiguous ids ordered by (kind, rank/symbol):
+    * base symbols first (lexicographic), then merged tokens in merge-rank
+    * order, the convention real BPE vocabs use. A pure function of the
+    * merge table, so ids are stable across engines and runs. */
+  def vocabulary(merges: Seq[(String, String)],
+                 baseSymbols: Seq[String]): Map[String, Int] = {
+    val bases = baseSymbols.distinct.sorted.flatMap(s =>
+      Seq(s, s + EndOfWord))
+    val merged = merges.map { case (a, b) => a + b }
+    (bases ++ merged).zipWithIndex.toMap
+  }
+
+  /** (idCol, pos, token_id) — the id-typed tokenization trainers consume:
+    * learn merges, derive the vocabulary from the same word-count basis,
+    * encode, and map tokens to ids. Unknown symbols (characters absent
+    * from the sampled vocabulary head) map to -1, the explicit UNK id. */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+                    numMerges: Int, maxWords: Int = 50000): DataFrame = {
+    val merges = learnMerges(df, textCol, numMerges, maxWords)
+    // base symbols: all single characters of the sampled vocabulary head —
+    // the same bounded basis the merges were learned from
+    val baseChars = df
+      .select(explode(Dedup.cleanTokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+      .collect().flatMap(_.getString(0).map(_.toString)).distinct.toSeq
+    val vocab = vocabulary(merges, baseChars)
+    val toIds = udf { (toks: Seq[String]) =>
+      toks.map(t => vocab.getOrElse(t, -1))
+    }
+    df.select(col(idCol), toIds(tokensColumn(merges, col(textCol))).as("__ids"))
+      .select(col(idCol), posexplode(col("__ids")).as(Seq("pos", "token_id")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("token_id").cast("int").as("token_id"))
+  }
+
   /** Round-trip violations (empty relation when correct): per document,
     * the tokens reassembled by stripping `</w>` markers must equal the
     * cleaned word sequence — an independent builtin-expression path from

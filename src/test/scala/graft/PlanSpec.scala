@@ -253,7 +253,12 @@ class PlanSpec extends SparkSpec {
       "q_vec_outliers", "q_length_batches",
       // median + MAD / the PSI bin totals are ONE-ROW frames crossed
       // back into the data
-      "q_outliers_mad", "q_drift_psi")
+      "q_outliers_mad", "q_drift_psi",
+      // the |labels|-row prior frame crossed into the scored docs (every
+      // doc scores every label), and the |ps|-row quantile-threshold frame
+      // crossed into the values for the rank count — both bounded sides
+      // broadcast on purpose
+      "q_classify_nb", "q_quantile_approx_verify")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
@@ -281,6 +286,7 @@ class PlanSpec extends SparkSpec {
     // time, but the final plan is a pure projection worth auditing.
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_stream_upsert",
+      "q_stream_classify",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_train_pipeline",
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",

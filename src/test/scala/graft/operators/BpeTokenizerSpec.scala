@@ -44,6 +44,26 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(rare.mkString("").replace("</w>", "") === "xyzzy")
   }
 
+  test("vocabulary ids are deterministic; tokenizeToIds inverts through it") {
+    val s = spark; import s.implicits._
+    val docs = ((1L to 10L).map(i => (i, "abc abd")) :+ (11L, "xyz"))
+      .toDF("doc_id", "text")
+    val merges = BpeTokenizer.learnMerges(docs, "text", numMerges = 5)
+    val vocab = BpeTokenizer.vocabulary(merges,
+      Seq("a", "b", "c", "d", "x", "y", "z"))
+    // base symbols (plain + </w>-marked) precede merged tokens in rank order
+    assert(vocab("a") === 0 && vocab("a</w>") === 1)
+    assert(merges.zipWithIndex.forall { case ((x, y), i) =>
+      vocab(x + y) === 14 + i })
+    val ids = BpeTokenizer.tokenizeToIds(docs, "doc_id", "text", numMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ids.forall(_._3 >= 0), "all symbols in-vocab here: no UNK expected")
+    // invert ids back to tokens and check doc 11 round-trips
+    val inv = vocab.map(_.swap)
+    val d11 = ids.filter(_._1 == 11L).sortBy(_._2).map(t => inv(t._3))
+    assert(d11.mkString("").replace("</w>", "") === "xyz")
+  }
+
   test("round-trip violations are empty on the real corpus slice") {
     val docs = spark.read.parquet(testDataDir("0.001") + "/documents.parquet")
     val bad = BpeTokenizer.roundTripViolations(docs, "doc_id", "text",

@@ -90,6 +90,26 @@ class CorpusOpsSpec extends graft.SparkSpec {
       (3L, "durian", 1L, s(1, 1)), (3L, "cherry", 2L, s(1, 2))))
   }
 
+  test("decayedAgg: hand-computed weights, future events excluded") {
+    val s = spark; import s.implicits._
+    val day = 86400000000L // one day of microseconds
+    val asOf = 100L * day
+    val ev = Seq(
+      (1L, asOf, 10.0),            // age 0: weight 1
+      (1L, asOf - 7 * day, 10.0),  // age = half-life: weight 0.5
+      (1L, asOf + day, 999.0),     // FUTURE: must be excluded
+      (2L, asOf - 14 * day, 8.0))  // two half-lives: weight 0.25
+      .toDF("user_id", "us", "value")
+    val out = TimeDecay.decayedAgg(ev, "user_id", "us", "value",
+        asOfMicros = asOf, halfLifeDays = 7.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 === 2L, "future event must not be aggregated")
+    assert(math.abs(out(1L)._2 - 15.0) < 1e-6)   // 10*1 + 10*0.5
+    assert(math.abs(out(1L)._3 - 1.5) < 1e-6)
+    assert(math.abs(out(2L)._2 - 2.0) < 1e-6)    // 8*0.25
+  }
+
   test("charEntropy: hand-computed, uniform beats repeated, empty is null") {
     val s = spark; import s.implicits._
     val docs = Seq(
