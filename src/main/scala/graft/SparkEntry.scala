@@ -511,6 +511,15 @@ object SparkEntry {
         "doc_id", "text", k = 4, w = 4, minShared = 2, maxDocFreq = 50)
         .orderBy(col("idA"), col("idB"))),
 
+    // Corpus forensics one level up: per source pair, distinct winnowed
+    // fingerprints shared ("which feeds plagiarize which") — the decision
+    // input for keeping two feeds at full weight vs downweighting a
+    // re-crawl. The self-join runs over (source, fp) sets, corpus-smaller.
+    "q_source_overlap" -> ((s, dir) =>
+      operators.Winnowing.sourceOverlapMatrix(t(s, dir, "documents"),
+        "doc_id", "text", "source", k = 4, w = 4, maxDocFreq = 50)
+        .orderBy(col("srcA"), col("srcB"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.2)
@@ -1279,6 +1288,17 @@ object SparkEntry {
     // Sessionization: 30-min inactivity gap per user over epoch-micros
     // longs — one window shuffle labels sessions, the groupBy collapses
     // them. Oracled against the identical lag/flag/running-sum in DuckDB.
+    // Epoch-based upsampling (mixing WITH repetition): src0 x2.3, src1
+    // x0.5, src2 x1.0, everything else dropped — the repeated subset is a
+    // pure function of the ids (per-mille Knuth slot), each copy indexed.
+    "q_sample_epochs" -> ((s, dir) =>
+      operators.Sampling.upsampleByEpochs(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 1.0))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // Recency-weighted user features: Σ value·2^(-age/halfLife) per user
     // at a FIXED as-of instant (mid-span, so the future-event leakage
     // filter is exercised). One narrow projection + one key-keyed agg.
@@ -2588,6 +2608,24 @@ object SparkEntry {
         |  FROM events) e
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // Upsampling: same split-16 Knuth slot as the stratified sample; copy
+    // counts in exact integers, copies via range unnest.
+    "q_sample_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (doc_id % 65536) * 2654435761) % 4294967296 % 1000 AS slot,
+        |    CASE source WHEN 'src0' THEN 2300 WHEN 'src1' THEN 500
+        |                WHEN 'src2' THEN 1000 ELSE 0 END AS pm
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    pm // 1000 + CASE WHEN slot < pm % 1000 THEN 1 ELSE 0 END AS n
+        |  FROM d)
+        |SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch
+        |FROM n, LATERAL (SELECT unnest(range(0, n)) AS epoch) e
+        |ORDER BY doc_id, epoch""".stripMargin,
+
     // Time decay: per-term 6dp rounding then decimal sums; age from exact
     // integer micros so the double division is engine-identical.
     "q_decay_agg" ->
@@ -3216,6 +3254,47 @@ object SparkEntry {
         |  ROUND(CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) AS containment
         |FROM p JOIN sz sa ON sa.doc_id = idA JOIN sz sb ON sb.doc_id = idB
         |ORDER BY idA, idB""".stripMargin,
+
+    // Source overlap: the q_winnow_overlap CTE chain through the doc-freq
+    // prune, then rolled up to DISTINCT (source, fp) sets before the
+    // fp-keyed self-join.
+    "q_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |              FROM documents),
+        |kg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         list_extract(tk,i)||' '||list_extract(tk,i+1)||' '||
+        |         list_extract(tk,i+2)||' '||list_extract(tk,i+3) AS g
+        |       FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-2)) AS i) r
+        |       WHERE len(tk) >= 4),
+        |h AS (SELECT doc_id, pos,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(split(g,''), c -> CAST(unicode(c) AS BIGINT))),
+        |          (a, c) -> (a*31 + c) % 4294967296) AS fp_hash
+        |      FROM kg),
+        |w AS (SELECT doc_id, pos, fp_hash,
+        |        min(fp_hash) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |        count(*) OVER (PARTITION BY doc_id) AS m
+        |      FROM h),
+        |sel AS (SELECT w.doc_id, max(h2.pos) AS pos, w.wmin AS fp_hash
+        |        FROM w JOIN h h2 ON h2.doc_id = w.doc_id
+        |          AND h2.pos BETWEEN w.pos AND w.pos + 3 AND h2.fp_hash = w.wmin
+        |        WHERE w.pos <= greatest(w.m - 4, 0)
+        |        GROUP BY w.doc_id, w.pos, w.wmin),
+        |fp AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+        |freq AS (SELECT fp_hash, count(*) AS df FROM fp GROUP BY 1),
+        |keep AS (SELECT doc_id, fp_hash FROM fp JOIN freq USING (fp_hash)
+        |         WHERE df <= 50),
+        |sfp AS (SELECT DISTINCT d.source AS src, k.fp_hash
+        |        FROM keep k JOIN documents d USING (doc_id)),
+        |sz AS (SELECT src, count(*) AS nfp FROM sfp GROUP BY 1),
+        |p AS (SELECT a.src AS srcA, b.src AS srcB, count(*) AS shared
+        |      FROM sfp a JOIN sfp b ON a.fp_hash = b.fp_hash AND a.src < b.src
+        |      GROUP BY 1, 2)
+        |SELECT srcA, srcB, shared,
+        |  ROUND(CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) AS containment
+        |FROM p JOIN sz sa ON sa.src = srcA JOIN sz sb ON sb.src = srcB
+        |ORDER BY srcA, srcB""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, stratum, slot FROM (

@@ -163,4 +163,37 @@ object Sampling {
       .filter(knuthSlot32(col(idCol)) < coalesce(col("__thresh"), lit(0L)))
       .drop("__thresh")
   }
+
+  /** Deterministic epoch-based UPSAMPLING — data mixing with repetition
+    * ("books for 2.3 epochs, web for 0.5"): every row of a source with
+    * epoch factor e gets ⌊e⌋ copies, and the rows whose per-mille Knuth
+    * slot falls under the fractional remainder get one more — so the
+    * repeated subset is a pure function of the ids (the SAME documents
+    * repeat in every run/engine/partitioning — the lineage requirement),
+    * and each source's expected multiplicity is exactly e. Sources absent
+    * from `epochs` are dropped, like [[mixByTokenBudget]]. Output adds an
+    * `epoch` column (0-based copy index) so downstream shuffling can
+    * spread copies apart.
+    *
+    * Scale shape: one narrow projection + explode — no shuffle, no RNG,
+    * no driver state beyond the literal epoch map. Fractions are fixed to
+    * per-mille resolution (round(e·1000) on the driver), keeping every
+    * engine-side comparison in exact integers. */
+  def upsampleByEpochs(df: DataFrame, idCol: String, sourceCol: String,
+                       epochs: Map[String, Double]): DataFrame = {
+    require(epochs.nonEmpty && epochs.values.forall(e => e >= 0 && e <= 1000),
+      "upsampleByEpochs: epoch factors must be in [0, 1000]")
+    val perMille: Map[String, Long] =
+      epochs.map { case (s, e) => s -> math.round(e * 1000) }
+    val pm = perMille.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    val rem = pmod(pm, lit(1000L))
+    val base = ((pm - rem) / 1000L).cast("long")
+    val n = base + when(perMilleSlot(col(idCol)) < rem, 1L).otherwise(0L)
+    df.withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
 }

@@ -157,4 +157,41 @@ object Winnowing {
         round(col("shared").cast("double") / least(col("__na"), col("__nb")), 6)
           .as("containment"))
   }
+
+  /** Cross-SOURCE contamination matrix — corpus forensics one level above
+    * [[passageOverlapPairs]]: for every source pair, how many distinct
+    * winnowed fingerprints their documents share ("which feeds plagiarize
+    * which"). The answer that decides whether two corpus feeds can both be
+    * kept at full weight, or one is a re-crawl of the other.
+    *
+    * Shape: doc-level fingerprints (same doc-frequency prune as the pair
+    * query, so one ubiquitous passage cannot fan out), rolled up to
+    * DISTINCT (source, fp_hash), then a fp-keyed self-join over the
+    * source-level sets — the join side is (sources × fingerprints)-sized,
+    * far below the corpus. Output per pair (srcA < srcB): shared distinct
+    * fingerprints and containment = shared / the smaller side's set. */
+  def sourceOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, k: Int = 4, w: Int = 4,
+                          maxDocFreq: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp_hash")).distinct()
+    val pruned = fp
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp_hash")))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
+    val srcFp = pruned
+      .join(df.select(col(idCol).as("id"), col(sourceCol).as("src")), "id")
+      .select(col("src"), col("fp_hash")).distinct()
+    val sizes = srcFp.groupBy(col("src")).agg(count(lit(1)).as("nfp"))
+    srcFp.alias("a")
+      .join(srcFp.alias("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("srcA"), col("b.src").as("srcB"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("src").as("srcA"), col("nfp").as("__na")), Seq("srcA"))
+      .join(sizes.select(col("src").as("srcB"), col("nfp").as("__nb")), Seq("srcB"))
+      .select(col("srcA"), col("srcB"), col("shared"),
+        round(col("shared").cast("double") / least(col("__na"), col("__nb")), 6)
+          .as("containment"))
+  }
 }

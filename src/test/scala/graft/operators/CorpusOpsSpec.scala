@@ -90,6 +90,33 @@ class CorpusOpsSpec extends graft.SparkSpec {
       (3L, "durian", 1L, s(1, 1)), (3L, "cherry", 2L, s(1, 2))))
   }
 
+  test("upsampleByEpochs: expected multiplicity, deterministic repeat subset") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 1000L).map(i => (i, if (i < 500) "books" else "web"))
+      .toDF("doc_id", "source")
+    val out = Sampling.upsampleByEpochs(docs, "doc_id", "source",
+      Map("books" -> 2.3, "web" -> 0.5))
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-mille slots are uniform-ish: books ~ 500*2.3, web ~ 500*0.5
+    assert(counts("books") > 1000 && counts("books") < 1300, s"$counts")
+    assert(counts("web") > 180 && counts("web") < 320, s"$counts")
+    // every doc's copies are contiguous epochs 0..n-1 and n in {floor, ceil}
+    val perDoc = out.collect().groupBy(_.getLong(0))
+    perDoc.foreach { case (id, rows) =>
+      val epochs = rows.map(_.getLong(2)).sorted
+      assert(epochs === (0L until epochs.length).toArray, s"doc $id: $epochs")
+      val src = rows.head.getString(1)
+      val allowed = if (src == "books") Set(2, 3) else Set(1)
+      assert(allowed.contains(epochs.length), s"doc $id x${epochs.length}")
+    }
+    // repartitioning must not change which docs got the extra copy
+    val again = Sampling.upsampleByEpochs(docs.repartition(7), "doc_id", "source",
+      Map("books" -> 2.3, "web" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
   test("decayedAgg: hand-computed weights, future events excluded") {
     val s = spark; import s.implicits._
     val day = 86400000000L // one day of microseconds

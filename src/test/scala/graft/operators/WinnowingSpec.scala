@@ -121,6 +121,27 @@ class WinnowingSpec extends graft.SparkSpec {
     assert(containment > 0.0 && containment <= 1.0)
   }
 
+  test("source overlap matrix: the re-crawled feed pair dominates") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      // feedA and feedB share a long passage (a re-crawl); feedC is clean
+      (1L, s"one two three four $passage five six seven eight", "feedA"),
+      (2L, s"uno dos tres cuatro $passage cinco seis siete ocho", "feedB"),
+      (3L, "red green blue yellow purple orange cyan magenta lime teal", "feedC"),
+      (4L, "north south east west up down left right fore aft", "feedA")
+    ).toDF("doc_id", "text", "source")
+    val m = Winnowing.sourceOverlapMatrix(docs, "doc_id", "text", "source",
+      k = 4, w = 4, maxDocFreq = 50)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.keySet === Set(("feedA", "feedB")),
+      s"only the re-crawl pair may overlap: ${m.keySet}")
+    val (shared, containment) = m(("feedA", "feedB"))
+    assert(shared >= 2L)
+    assert(containment > 0.0 && containment <= 1.0)
+  }
+
   test("doc-frequency cap drops ubiquitous fingerprints (skew bound)") {
     import spark.implicits._
     // 20 docs all sharing one boilerplate passage + one genuine dup pair
