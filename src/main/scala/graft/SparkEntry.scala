@@ -618,6 +618,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Link analysis: 3-iteration damped PageRank over the part↔supplier
+    // co-occurrence graph (symmetric bipartite edges from lineitem, node id
+    // = 2·partkey / 2·suppkey+1). Rank mass is integer micro-units and every
+    // step is long floor-div + long sum, so the iterative result is
+    // bit-exact across engines — the oracle replays the same three
+    // iterations in BIGINT `//` math. At scale: one edges⋈ranks join + one
+    // dst-keyed sum per iteration, ranks side broadcastable (|V| ≪ |E|).
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionAll(li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
+      operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // Headline embedding near-dup: IVF-cell-bounded candidates + exact
     // cosine verify — candidate volume is set by cluster granularity, not
     // the threshold (hyperplane banding collapses at loose thresholds;
@@ -1924,6 +1941,33 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Bounded-memory heavy hitters: native Misra–Gries imperative aggregate
+    // (expr/MisraGriesAggregate.scala) — which keys are hot, without the
+    // full groupBy(key).count shuffle (capacity-sized mergeable summaries
+    // only). Estimates are partitioning-order-dependent → approximate-by-
+    // design; the exact sibling carries the oracle and the _verify checks
+    // every MG guarantee in-engine.
+    "q_heavy_hitters" -> ((s, dir) =>
+      operators.HeavyHitters.topItems(t(s, dir, "events"), "user_id",
+        capacity = 32)
+        .orderBy(desc("est"), col("item"))),
+
+    // Exact oracled sibling: true top-25 hottest users, deterministic
+    // (count desc, id asc) tie-break. orderBy+limit = TakeOrderedAndProject
+    // (per-partition heaps, no one-partition window).
+    "q_heavy_hitters_exact" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("user_id").isNotNull)
+        .groupBy(col("user_id").as("item")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("item"))
+        .limit(25)),
+
+    // In-engine MG guarantee check against exact counts: est<=true<=est+sub
+    // per item, no heavy item missing, stream length exact, sub within its
+    // n/(capacity+1) bound. Violations only; oracle = empty relation.
+    "q_heavy_hitters_verify" -> ((s, dir) =>
+      operators.HeavyHitters.violations(t(s, dir, "events"), "user_id",
+        capacity = 32)),
+
     // Funnel: view → click → purchase per user, earliest ordered chain —
     // one key-window shuffle for all three steps (no joins/collect_list).
     "q_funnel" -> ((s, dir) => {
@@ -2546,6 +2590,26 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component, (MIN(label) = id) AS survivor
         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // PageRank: the same three integer-arithmetic iterations unrolled as
+    // chained CTEs (aggregates are not allowed in a recursive term, and
+    // unrolling keeps every step plain ANSI). `//` is DuckDB's integer
+    // floor-division = Spark's `div` on the all-positive rank mass.
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem),
+        |deg AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (SELECT e.dst, SUM(r0.pr // d.outd) AS s FROM e JOIN deg d ON e.src = d.src JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr FROM n LEFT JOIN c1 ON n.node = c1.dst),
+        |c2 AS (SELECT e.dst, SUM(r1.pr // d.outd) AS s FROM e JOIN deg d ON e.src = d.src JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr FROM n LEFT JOIN c2 ON n.node = c2.dst),
+        |c3 AS (SELECT e.dst, SUM(r2.pr // d.outd) AS s FROM e JOIN deg d ON e.src = d.src JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr FROM n LEFT JOIN c3 ON n.node = c3.dst)
+        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin,
 
     // language-ID: the expression fold (replace when strictly greater over
     // langs in order de,en,es,fr,zh) is exactly argmax-ties-to-earliest,
@@ -3731,6 +3795,17 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Exact heavy-hitter sibling: deterministic top-25 by (count desc, id).
+    "q_heavy_hitters_exact" ->
+      """SELECT user_id AS item, COUNT(*) AS cnt
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id ORDER BY cnt DESC, item LIMIT 25""".stripMargin,
+
+    "q_heavy_hitters_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS why, CAST(NULL AS BIGINT) AS item,
+        |  CAST(NULL AS BIGINT) AS est, CAST(NULL AS BIGINT) AS cnt
+        |WHERE FALSE""".stripMargin,
 
     "q_window_ntile" ->
       """SELECT o_orderkey, o_custkey,

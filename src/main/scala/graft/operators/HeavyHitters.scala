@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.expr.MisraGriesAgg
+
+/** Heavy-hitters (frequent items) over a key column in bounded memory —
+  * the hot-key detector a 100-TB pipeline runs BEFORE deciding to salt a
+  * join or cap a group (the count-min sketch in [[Skew]] answers "how hot
+  * is this key?"; this answers "which keys are hot?" without the full
+  * `groupBy(key).count` shuffle: only `capacity`-sized mergeable summaries
+  * cross the wire, map-side partials included).
+  *
+  * Guarantees (Misra–Gries, checked in-engine by `q_heavy_hitters_verify`):
+  * `est <= true <= est + sub` per emitted item, every item with true
+  * frequency > n/(capacity+1) is emitted, and `sub*(capacity+1) <= n`.
+  */
+object HeavyHitters {
+
+  /** The raw aggregate column: struct(n, sub, items[(item, est)]). */
+  def summary(itemCol: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      MisraGriesAgg(ColumnBridge.expression(itemCol), capacity)
+        .toAggregateExpression())
+
+  /** One row per tracked item: (item, est, n, sub), most frequent first. */
+  def topItems(df: DataFrame, itemCol: String, capacity: Int): DataFrame =
+    df.agg(summary(col(itemCol).cast("long"), capacity).as("mg"))
+      .select(col("mg.n").as("n"), col("mg.sub").as("sub"),
+        explode(col("mg.items")).as("it"))
+      .select(col("it.item").as("item"), col("it.est").as("est"),
+        col("n"), col("sub"))
+
+  /** In-engine violation check of every MG guarantee against EXACT counts
+    * (one groupBy — affordable at oracle scale; the sketch exists so the
+    * production path never pays this). Empty relation = contract honored.
+    * LEFT joins keep phantom sketch items (no exact row) as violations. */
+  def violations(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
+    val items = df.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("long").as("item"))
+    val sk = topItems(df, itemCol, capacity)
+    val exact = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+
+    val perItem = sk.join(exact, Seq("item"), "left")
+      .withColumn("why",
+        when(col("cnt").isNull, lit("phantom_item"))
+          .when(col("est") > col("cnt"), lit("overcount"))
+          .when(col("cnt") > col("est") + col("sub"), lit("under_bound")))
+      .filter(col("why").isNotNull)
+      .select(col("why"), col("item"), col("est"), col("cnt"))
+
+    // a single-row stats frame: n/sub as data, not a driver round-trip
+    val stats = sk.groupBy().agg(max(col("n")).as("n"), max(col("sub")).as("sub"),
+      count(lit(1)).as("k_emitted"))
+
+    val missing = exact.join(stats)
+      .join(sk.select(col("item")), Seq("item"), "left_anti")
+      .filter(col("cnt") > col("sub"))
+      .select(lit("missing_heavy_item").as("why"), col("item"),
+        lit(null).cast("long").as("est"), col("cnt"))
+
+    val global = stats.join(items.groupBy().agg(count(lit(1)).as("true_n")))
+      .withColumn("why",
+        when(col("n") =!= col("true_n"), lit("bad_stream_length"))
+          .when(col("sub") * (capacity + 1) > col("n"), lit("sub_bound_broken")))
+      .filter(col("why").isNotNull)
+      .select(col("why"), lit(null).cast("long").as("item"),
+        col("n").as("est"), col("true_n").as("cnt"))
+
+    perItem.unionAll(missing).unionAll(global)
+      .orderBy(col("why"), col("item"))
+  }
+}

@@ -17,14 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleContractSpec extends AnyFunSuite {
 
-  // the no-oracle headliners: seven approximate-by-design (engine-specific
-  // signatures or sketch internals), plus BPE tokenization which is EXACT
-  // but iterative (not ANSI-expressible); each exact/recall/round-trip-
-  // gated elsewhere and each driver-gated by its *_verify property sibling
+  // the no-oracle headliners: approximate-by-design (engine-specific
+  // signatures, sketch internals, or partitioning-order-dependent
+  // estimates), plus BPE tokenization which is EXACT but iterative (not
+  // ANSI-expressible); each exact/recall/round-trip-gated elsewhere and
+  // each driver-gated by its *_verify property sibling
   private val approximateByDesign = Set(
     "q_approx_distinct", "q_dedup_embedding", "q_dedup_minhash",
     "q_dedup_simhash", "q_dedup_semantic", "q_sim_topk_ivf", "q_sim_topk_pq",
-    "q_bpe_tokenize", "q_quantile_approx")
+    "q_bpe_tokenize", "q_quantile_approx", "q_heavy_hitters")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.expr.MisraGriesAgg
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a key above the n/(k+1) threshold is always tracked, with tight bounds") {
+    // 1000 rows: key 7 appears 400 times; 60 tail keys ~10 each
+    val rows = Seq.fill(400)(7L) ++ (0 until 600).map(i => 100L + i % 60)
+    val df = rows.toDF("k").repartition(8)
+    val out = HeavyHitters.topItems(df, "k", capacity = 8)
+      .as[(Long, Long, Long, Long)].collect()
+    val n = out.head._3
+    val sub = out.head._4
+    assert(n === 1000L)
+    assert(sub * 9 <= n)
+    val hot = out.find(_._1 == 7L).getOrElse(fail("hot key 7 not tracked"))
+    assert(hot._2 <= 400L && 400L <= hot._2 + sub)
+  }
+
+  test("violations() is empty across partitionings and capacities") {
+    val rows = (0 until 2000).map(i => (i.toLong, (i * i * 31 + i) % 97))
+    val df = rows.toDF("id", "k")
+    for (parts <- Seq(1, 5, 32); cap <- Seq(4, 16, 64)) {
+      val v = HeavyHitters.violations(df.repartition(parts), "k", cap)
+      assert(v.isEmpty, s"parts=$parts cap=$cap: ${v.collect().mkString(";")}")
+    }
+  }
+
+  test("nulls are skipped; n counts only non-null items") {
+    val df = Seq[java.lang.Long](1L, null, 2L, null, 1L).toDF("k")
+    val out = HeavyHitters.topItems(df, "k", capacity = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.head._3 === 3L)
+    assert(out.map(r => r._1 -> r._2).toMap === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("serialize/deserialize round-trips the buffer exactly") {
+    val agg = MisraGriesAgg(Literal(0L), capacity = 5)
+    val buf = agg.createAggregationBuffer()
+    Seq(1L, 2L, 1L, 3L, 4L, 5L, 6L, 1L).foreach(buf.add)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.capacity === buf.capacity && back.n === buf.n &&
+      back.sub === buf.sub && back.counts.toMap === buf.counts.toMap)
+  }
+
+  test("merge keeps at most capacity items and the MG invariant") {
+    val agg = MisraGriesAgg(Literal(0L), capacity = 3)
+    val a = agg.createAggregationBuffer()
+    val b = agg.createAggregationBuffer()
+    (Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ Seq(3L, 4L, 5L)).foreach(a.add)
+    (Seq.fill(40)(1L) ++ Seq.fill(20)(6L) ++ Seq(7L, 8L, 9L)).foreach(b.add)
+    a.mergeIn(b)
+    assert(a.counts.size <= 3)
+    assert(a.n === 50 + 30 + 3 + 40 + 20 + 3)
+    // the overall hottest key must survive the merge trim
+    assert(a.counts.contains(1L))
+    val est1 = a.counts(1L)
+    assert(est1 <= 90L && 90L <= est1 + a.sub)
+  }
+}
