@@ -49,6 +49,8 @@ val picks = Seq(
   ("q_corpus_split", "split assignment is a pure codegen projection: double Knuth hash + CASE ladder, zero shuffle before the sort"),
   ("q_outliers_mad", "median + MAD as ONE-ROW broadcast frames; flag filter is codegen, values never shuffle"),
   ("q_drift_psi", "bin-keyed count agg (key space = bins), ONE-ROW totals broadcast back, log-rounded terms"),
+  ("q_pagerank", "iterative edges-ranks joins, |V|-sized rank frame broadcastable, dst-keyed partial sums; integer mass = engine-exact"),
+  ("q_heavy_hitters", "ONE ObjectHashAggregate partial/final pair: capacity-sized MG summaries merge map-side, no per-key shuffle"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
