@@ -239,6 +239,26 @@ class PlanSpec extends SparkSpec {
       "bloom prefilter not applied before the join")
   }
 
+  test("heavy hitters: pruned scan, ObjectHashAggregate partial/final pair") {
+    val p = plan("q_heavy_hitters")
+    // the imperative MG aggregate must run as ObjectHashAggregate with a
+    // map-side partial — only capacity-sized summaries cross the exchange
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "MG summary must partial-aggregate map-side before the exchange")
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
+      "events scan must prune to the single item column")
+  }
+
+  test("pagerank: partial-aggregated contribution sums, no bare-key shuffle of edges per rank read") {
+    val p = plan("q_pagerank")
+    // each iteration's dst-keyed contribution sum must map-side combine
+    assert(p.contains("partial_sum"),
+      "contribution sums must partial-aggregate before their exchange")
+    // the rank⋈edges joins must be hash joins (broadcast or shuffled),
+    // never nested-loop — integer mass makes any join order exact
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("global audit: no cartesian products or unexpected nested-loop joins anywhere") {
     // BNLJ is legitimate ONLY where a bounded side is broadcast on purpose:
     // the exact-topk broadcast crossJoins, the bounded exact near-dup
@@ -258,7 +278,10 @@ class PlanSpec extends SparkSpec {
       // doc scores every label), and the |ps|-row quantile-threshold frame
       // crossed into the values for the rank count — both bounded sides
       // broadcast on purpose
-      "q_classify_nb", "q_quantile_approx_verify")
+      "q_classify_nb", "q_quantile_approx_verify",
+      // the ONE-ROW n/sub summary-stats frame crossed into the exact
+      // counts for the missing-heavy-item and global checks
+      "q_heavy_hitters_verify")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
