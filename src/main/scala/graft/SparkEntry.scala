@@ -1197,6 +1197,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming hot-key detection: the SAME native MG aggregate as
+    // q_heavy_hitters, run as a streaming global aggregate — the
+    // capacity-sized buffer is the state carried across micro-batches.
+    // Arrival-order-dependent → approximate-by-design; gated by the
+    // _verify guarantee check below (exact sibling: q_heavy_hitters_exact).
+    "q_stream_hotkeys" -> ((s, dir) =>
+      streaming.StreamingIngest.runStreamHotKeysBounded(s,
+        s"$dir/events.parquet", "user_id", capacity = 32,
+        queryName = s"stream_hotkeys_${streamCounter.incrementAndGet()}")
+        .orderBy(desc("est"), col("item"))),
+
+    // Every MG guarantee checked in-engine on the STREAMING summary
+    // against exact batch counts of the same events. Violations only.
+    "q_stream_hotkeys_verify" -> ((s, dir) => {
+      val sk = streaming.StreamingIngest.runStreamHotKeysBounded(s,
+        s"$dir/events.parquet", "user_id", capacity = 32,
+        queryName = s"stream_hotkeys_v_${streamCounter.incrementAndGet()}")
+      val items = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("long").as("item"))
+      operators.HeavyHitters.violationsAgainst(sk, items, capacity = 32)
+    }),
+
     // Partition pruning: write partitioned by the filter column, read with
     // an equality predicate — the scan must touch ONE partition directory
     // (PartitionFilters in the plan, guarded in PlanSpec), the layout that
@@ -3803,6 +3825,11 @@ object SparkEntry {
         |GROUP BY user_id ORDER BY cnt DESC, item LIMIT 25""".stripMargin,
 
     "q_heavy_hitters_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS why, CAST(NULL AS BIGINT) AS item,
+        |  CAST(NULL AS BIGINT) AS est, CAST(NULL AS BIGINT) AS cnt
+        |WHERE FALSE""".stripMargin,
+
+    "q_stream_hotkeys_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS why, CAST(NULL AS BIGINT) AS item,
         |  CAST(NULL AS BIGINT) AS est, CAST(NULL AS BIGINT) AS cnt
         |WHERE FALSE""".stripMargin,

@@ -10,9 +10,11 @@ import graft.expr.MisraGriesAgg
   * join or cap a group (the count-min sketch in [[Skew]] answers "how hot
   * is this key?"; this answers "which keys are hot?" without the full
   * `groupBy(key).count` shuffle: only `capacity`-sized mergeable summaries
-  * cross the wire, map-side partials included).
+  * cross the wire, map-side partials included). The same aggregate runs as
+  * a streaming global aggregate — the buffer is the streaming state
+  * ([[graft.streaming.StreamingIngest.runStreamHotKeysBounded]]).
   *
-  * Guarantees (Misra–Gries, checked in-engine by `q_heavy_hitters_verify`):
+  * Guarantees (Misra–Gries, checked in-engine by the `_verify` queries):
   * `est <= true <= est + sub` per emitted item, every item with true
   * frequency > n/(capacity+1) is emitted, and `sub*(capacity+1) <= n`.
   */
@@ -24,22 +26,29 @@ object HeavyHitters {
       MisraGriesAgg(ColumnBridge.expression(itemCol), capacity)
         .toAggregateExpression())
 
-  /** One row per tracked item: (item, est, n, sub), most frequent first. */
-  def topItems(df: DataFrame, itemCol: String, capacity: Int): DataFrame =
-    df.agg(summary(col(itemCol).cast("long"), capacity).as("mg"))
+  /** Explode a one-row summary frame (column `mg`) into
+    * (item, est, n, sub) rows, most frequent first. */
+  def itemsFromSummary(summaryDf: DataFrame): DataFrame =
+    summaryDf
       .select(col("mg.n").as("n"), col("mg.sub").as("sub"),
         explode(col("mg.items")).as("it"))
       .select(col("it.item").as("item"), col("it.est").as("est"),
         col("n"), col("sub"))
 
-  /** In-engine violation check of every MG guarantee against EXACT counts
-    * (one groupBy — affordable at oracle scale; the sketch exists so the
-    * production path never pays this). Empty relation = contract honored.
-    * LEFT joins keep phantom sketch items (no exact row) as violations. */
-  def violations(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
-    val items = df.filter(col(itemCol).isNotNull)
-      .select(col(itemCol).cast("long").as("item"))
-    val sk = topItems(df, itemCol, capacity)
+  /** One row per tracked item: (item, est, n, sub), most frequent first. */
+  def topItems(df: DataFrame, itemCol: String, capacity: Int): DataFrame =
+    itemsFromSummary(
+      df.agg(summary(col(itemCol).cast("long"), capacity).as("mg")))
+
+  /** In-engine violation check of every MG guarantee: `sk` is a summary in
+    * (item, est, n, sub) layout — from [[topItems]] or the streaming
+    * runner — and `items` the EXACT item stream it summarized (nulls
+    * pre-dropped). One exact groupBy — affordable at oracle scale; the
+    * sketch exists so the production path never pays this. Empty relation
+    * = contract honored. LEFT joins keep phantom sketch items (no exact
+    * row) as violations. */
+  def violationsAgainst(sk: DataFrame, items: DataFrame,
+                        capacity: Int): DataFrame = {
     val exact = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
 
     val perItem = sk.join(exact, Seq("item"), "left")
@@ -70,5 +79,12 @@ object HeavyHitters {
 
     perItem.unionAll(missing).unionAll(global)
       .orderBy(col("why"), col("item"))
+  }
+
+  /** [[violationsAgainst]] for the batch sketch over `df`'s own column. */
+  def violations(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
+    val items = df.filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("long").as("item"))
+    violationsAgainst(topItems(df, itemCol, capacity), items, capacity)
   }
 }

@@ -536,6 +536,44 @@ object StreamingIngest {
     parts.reduce(_ unionByName _).dropDuplicates(idCol)
   }
 
+  /** Streaming hot-key detection: the SAME native Misra–Gries aggregate as
+    * batch [[graft.operators.HeavyHitters]] runs as a streaming GLOBAL
+    * aggregate — the capacity-sized mergeable buffer IS the streaming
+    * state, serialized into the state store between micro-batches (the
+    * TypedImperativeAggregate serialize/merge contract is exactly what
+    * stateful streaming aggregation requires; `percentile_approx` streams
+    * the same way). Map-side partials still apply per batch, so each
+    * trigger shuffles only summaries, never keys.
+    *
+    * Complete output mode re-emits the one-row summary every trigger; the
+    * memory sink's final snapshot is the whole stream's summary, returned
+    * exploded as (item, est, n, sub). Estimates are arrival-order-
+    * dependent (MG semantics) — the stream result equals SOME valid MG
+    * run, which is why the harness gates it with the guarantee check
+    * ([[graft.operators.HeavyHitters.violationsAgainst]]) instead of a
+    * hash oracle. `maxFilesPerTrigger=1` forces one micro-batch per input
+    * file so state genuinely carries across batches in the bounded replay. */
+  def runStreamHotKeysBounded(spark: SparkSession, parquetPath: String,
+                              itemCol: String, capacity: Int,
+                              queryName: String,
+                              maxFilesPerTrigger: Int = 1,
+                              statePartitions: Int = 8): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = stream
+        .select(col(itemCol).cast("long").as("item"))
+        .agg(graft.operators.HeavyHitters.summary(col("item"), capacity).as("mg"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    graft.operators.HeavyHitters.itemsFromSummary(spark.table(queryName))
+  }
+
   /** Run the windowed aggregation over a parquet path as a bounded stream;
     * returns the final result as a batch DataFrame. `statePartitions` sizes
     * the state-store layout (see [[withStatePartitions]]). */

@@ -309,7 +309,7 @@ class PlanSpec extends SparkSpec {
     // time, but the final plan is a pure projection worth auditing.
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_stream_upsert",
-      "q_stream_classify",
+      "q_stream_classify", "q_stream_hotkeys", "q_stream_hotkeys_verify",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_train_pipeline",
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",

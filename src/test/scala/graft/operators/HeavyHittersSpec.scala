@@ -48,6 +48,29 @@ class HeavyHittersSpec extends SparkSpec {
       back.sub === buf.sub && back.counts.toMap === buf.counts.toMap)
   }
 
+  test("streaming MG: state carries across micro-batches, guarantees hold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotkeys").toString
+    // 4 files = 4 micro-batches at maxFilesPerTrigger=1; key 42 is hot in
+    // every batch, so its count only reaches 200 if state survives batches
+    val rows = (0 until 1000).map(i => if (i % 5 == 0) 42L else (i % 37).toLong)
+    rows.toDF("user_id").repartition(4).write.mode("overwrite").parquet(dir)
+    try {
+      val sk = graft.streaming.StreamingIngest.runStreamHotKeysBounded(
+        spark, dir, "user_id", capacity = 8, queryName = "hotkeys_spec")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(sk.head._3 === 1000L, "n must count the whole stream")
+      val sub = sk.head._4
+      val hot = sk.find(_._1 == 42L).getOrElse(fail("hot key lost across batches"))
+      assert(hot._2 <= 200L && 200L <= hot._2 + sub)
+      val items = rows.toDF("k").select(col("k").as("item"))
+      assert(HeavyHitters.violationsAgainst(
+        graft.streaming.StreamingIngest.runStreamHotKeysBounded(
+          spark, dir, "user_id", capacity = 8, queryName = "hotkeys_spec2"),
+        items, capacity = 8).isEmpty)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("merge keeps at most capacity items and the MG invariant") {
     val agg = MisraGriesAgg(Literal(0L), capacity = 3)
     val a = agg.createAggregationBuffer()
