@@ -511,6 +511,17 @@ object SparkEntry {
         "doc_id", "text", k = 4, w = 4, minShared = 2, maxDocFreq = 50)
         .orderBy(col("idA"), col("idB"))),
 
+    // Split-leakage audit: winnowed near-dup pairs whose endpoints fall in
+    // DIFFERENT train/val/test splits — evaluation contamination, the gate
+    // run after splitting. Pure composition of the q_winnow_overlap pair
+    // derivation with the q_corpus_split assignment, so the oracle is the
+    // two proven CTE chains joined.
+    "q_split_leakage" -> ((s, dir) =>
+      operators.Winnowing.splitLeakagePairs(t(s, dir, "documents"),
+        "doc_id", "text", Seq(800, 100, 100), seed = 42L,
+        k = 4, w = 4, minShared = 2, maxDocFreq = 50)
+        .orderBy(col("idA"), col("idB"))),
+
     // Corpus forensics one level up: per source pair, distinct winnowed
     // fingerprints shared ("which feeds plagiarize which") — the decision
     // input for keeping two feeds at full weight vs downweighting a
@@ -1400,6 +1411,16 @@ object SparkEntry {
       operators.Sampling.trainValTestSplit(
         t(s, dir, "documents").select(col("doc_id")), "doc_id",
         Seq(800, 100, 100), seed = 42L)
+        .orderBy(col("doc_id"))),
+
+    // Weighted top-k sample — priority sampling (Duffield-Lund-Thorup):
+    // u from the seeded Knuth hash, priority w·2^32/(slot+1) in two fixed
+    // IEEE-double ops, so the selected SET is engine-exact. Output size
+    // exactly k; heavier documents win proportionally more often.
+    "q_sample_weighted" -> ((s, dir) =>
+      operators.Sampling.prioritySample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 500, seed = 7L)
         .orderBy(col("doc_id"))),
 
     // PII redaction over deterministic synthetic PII (the fixture corpus
@@ -3341,6 +3362,60 @@ object SparkEntry {
         |FROM p JOIN sz sa ON sa.doc_id = idA JOIN sz sb ON sb.doc_id = idB
         |ORDER BY idA, idB""".stripMargin,
 
+    // Split leakage: the q_winnow_overlap pair chain joined with the
+    // q_corpus_split assignment chain, cross-split pairs only.
+    "q_split_leakage" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |              FROM documents),
+        |kg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         list_extract(tk,i)||' '||list_extract(tk,i+1)||' '||
+        |         list_extract(tk,i+2)||' '||list_extract(tk,i+3) AS g
+        |       FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-2)) AS i) r
+        |       WHERE len(tk) >= 4),
+        |h AS (SELECT doc_id, pos,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(split(g,''), c -> CAST(unicode(c) AS BIGINT))),
+        |          (a, c) -> (a*31 + c) % 4294967296) AS fp_hash
+        |      FROM kg),
+        |w AS (SELECT doc_id, pos, fp_hash,
+        |        min(fp_hash) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |        count(*) OVER (PARTITION BY doc_id) AS m
+        |      FROM h),
+        |sel AS (SELECT w.doc_id, max(h2.pos) AS pos, w.wmin AS fp_hash
+        |        FROM w JOIN h h2 ON h2.doc_id = w.doc_id
+        |          AND h2.pos BETWEEN w.pos AND w.pos + 3 AND h2.fp_hash = w.wmin
+        |        WHERE w.pos <= greatest(w.m - 4, 0)
+        |        GROUP BY w.doc_id, w.pos, w.wmin),
+        |fp AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+        |freq AS (SELECT fp_hash, count(*) AS df FROM fp GROUP BY 1),
+        |keep AS (SELECT doc_id, fp_hash FROM fp JOIN freq USING (fp_hash)
+        |         WHERE df <= 50),
+        |sz AS (SELECT doc_id, count(*) AS nfp FROM keep GROUP BY 1),
+        |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS shared
+        |      FROM keep a JOIN keep b
+        |        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |pr AS (SELECT idA, idB, shared,
+        |         ROUND(CAST(shared AS DOUBLE) / least(sa.nfp, sb.nfp), 6) AS containment
+        |       FROM p JOIN sz sa ON sa.doc_id = idA JOIN sz sb ON sb.doc_id = idB),
+        |k1 AS (SELECT doc_id,
+        |         ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |          + (doc_id % 65536) * 2654435761) % 4294967296 AS s1
+        |       FROM documents),
+        |sp AS (SELECT doc_id,
+        |         CAST(CASE WHEN slot < 800 THEN 0 WHEN slot < 900 THEN 1 ELSE 2 END AS BIGINT) AS split
+        |       FROM (SELECT doc_id,
+        |               (((s1 + 42) % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |                + ((s1 + 42) % 65536) * 2654435761) % 4294967296 % 1000 AS slot
+        |             FROM k1))
+        |SELECT pr.idA, pr.idB, spa.split AS splitA, spb.split AS splitB,
+        |  pr.shared, pr.containment
+        |FROM pr JOIN sp spa ON spa.doc_id = pr.idA
+        |        JOIN sp spb ON spb.doc_id = pr.idB
+        |WHERE spa.split <> spb.split
+        |ORDER BY idA, idB""".stripMargin,
+
     // Source overlap: the q_winnow_overlap CTE chain through the doc-freq
     // prune, then rolled up to DISTINCT (source, fp) sets before the
     // fp-keyed self-join.
@@ -3425,6 +3500,26 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(CASE WHEN slot < 800 THEN 0 WHEN slot < 900 THEN 1 ELSE 2 END AS BIGINT) AS split
         |FROM k2 ORDER BY doc_id""".stripMargin,
+
+    // Weighted priority sample: same split-16 double-Knuth slot as
+    // q_corpus_split (seed 7, no per-mille reduction), priority
+    // w*2^32/(slot+1) as the identical two IEEE-double ops.
+    "q_sample_weighted" ->
+      """WITH k1 AS (
+        |  SELECT doc_id, n_chars,
+        |    ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (doc_id % 65536) * 2654435761) % 4294967296 AS s1
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        |k2 AS (
+        |  SELECT doc_id, n_chars,
+        |    (((s1 + 7) % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + ((s1 + 7) % 65536) * 2654435761) % 4294967296 AS slot
+        |  FROM k1),
+        |sel AS (
+        |  SELECT doc_id, n_chars FROM k2
+        |  ORDER BY CAST(n_chars AS DOUBLE) * 4294967296 / (slot + 1) DESC, doc_id
+        |  LIMIT 500)
+        |SELECT doc_id, n_chars FROM sel ORDER BY doc_id""".stripMargin,
 
     // Rebuilds the synthetic PII text and the email→IP→phone redaction
     // chain verbatim (DuckDB regexp_replace needs the 'g' flag — its

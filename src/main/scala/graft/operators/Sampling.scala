@@ -132,6 +132,35 @@ object Sampling {
       .drop("__rank")
   }
 
+  /** Deterministic WEIGHTED top-k sample — priority sampling (Duffield,
+    * Lund & Thorup, JACM'07): each row draws a pseudo-uniform
+    * u = (slot+1)/2^32 from the seeded double Knuth hash of its id and
+    * gets priority q = w/u; the k highest-priority rows are the sample.
+    * Heavier rows win proportionally more often (a row with weight W is
+    * sampled with probability ≈ min(1, W/τ) for the (k+1)-th priority τ —
+    * the DLT estimator Σ max(w, τ) over the sample is unbiased for Σw).
+    * Unlike rate-based [[stratifiedSample]], the output size is EXACTLY k.
+    *
+    * Reproducible like every sampler here: u is a pure function of
+    * (id, seed), and the priority w·2^32/(slot+1) is two IEEE-double ops
+    * in fixed order — an ANSI engine computes the identical double, so
+    * the selected SET is engine-exact and DuckDB-oracle-able.
+    *
+    * Scale shape: priority is a narrow codegen projection;
+    * orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+    * global sort, no one-partition window). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u1 = (seededSlot32(col(idCol), seed) + 1).cast("double")
+    val q = col(weightCol).cast("double") * lit(4294967296.0) / u1
+    df.filter(col(weightCol).isNotNull && col(weightCol) >= 0)
+      .withColumn("__q", q)
+      .orderBy(desc("__q"), col(idCol))
+      .limit(k)
+      .drop("__q")
+  }
+
   /** Token-budget corpus mixing — "30% web, 50% books, 20% code, capped at
     * B tokens": each source's target is `share * totalTokenBudget`; its
     * acceptance rate is `min(1, target / actualTokens)`, applied as the same

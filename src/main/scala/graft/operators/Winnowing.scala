@@ -170,6 +170,33 @@ object Winnowing {
     * source-level sets — the join side is (sources × fingerprints)-sized,
     * far below the corpus. Output per pair (srcA < srcB): shared distinct
     * fingerprints and containment = shared / the smaller side's set. */
+  /** Train/val/test SPLIT-LEAKAGE audit — the gate a training-prep
+    * pipeline runs after splitting: near-duplicate passages straddling two
+    * splits are evaluation contamination (the model sees the val/test
+    * passage during training). Pure composition: the deterministic split
+    * assignment ([[Sampling.trainValTestSplit]]) joined onto the winnowed
+    * passage-overlap pairs ([[passageOverlapPairs]]), keeping only pairs
+    * whose endpoints land in DIFFERENT splits. Empty output = clean split;
+    * each emitted row is an actionable leak (quarantine one endpoint or
+    * re-assign it to the other split).
+    *
+    * Scale: the pair query dominates (fp-keyed, doc-frequency-capped);
+    * the split join adds two broadcastable (id, split) projections derived
+    * without any extra scan of the text. */
+  def splitLeakagePairs(df: DataFrame, idCol: String, textCol: String,
+                        weightsPerMille: Seq[Int], seed: Long = 0L,
+                        k: Int = 4, w: Int = 4, minShared: Int = 2,
+                        maxDocFreq: Int = 50): DataFrame = {
+    val split = Sampling.trainValTestSplit(
+      df.select(col(idCol)), idCol, weightsPerMille, seed)
+    passageOverlapPairs(df, idCol, textCol, k, w, minShared, maxDocFreq)
+      .join(split.select(col(idCol).as("idA"), col("split").as("splitA")), Seq("idA"))
+      .join(split.select(col(idCol).as("idB"), col("split").as("splitB")), Seq("idB"))
+      .filter(col("splitA") =!= col("splitB"))
+      .select(col("idA"), col("idB"), col("splitA"), col("splitB"),
+        col("shared"), col("containment"))
+  }
+
   def sourceOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
                           sourceCol: String, k: Int = 4, w: Int = 4,
                           maxDocFreq: Int = 50): DataFrame = {

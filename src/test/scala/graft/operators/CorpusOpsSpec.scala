@@ -262,6 +262,35 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("prioritySample: exactly k, weight-biased, deterministic, reference-exact") {
+    import spark.implicits._
+    // weights: ids 0..99 weight 1, ids 100..119 weight 1000 (the heavy set)
+    val rows = (0L until 100L).map(i => (i, 1L)) ++
+      (100L until 120L).map(i => (i, 1000L))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.prioritySample(df, "id", "w", k = 30, seed = 7L)
+      .as[(Long, Long)].collect()
+    assert(got.length === 30)
+    // DLT reference computed with the same integer hash + double priority
+    def slot(id: Long, seed: Long): Long = {
+      def k32(x: Long): Long = {
+        val v = x % 4294967296L
+        ((v >> 16) * 2654435761L % 65536L * 65536L + (v % 65536L) * 2654435761L) % 4294967296L
+      }
+      k32(k32(id) + seed)
+    }
+    val ref = rows.map { case (id, w) =>
+      (id, w, w.toDouble * 4294967296.0 / (slot(id, 7L) + 1).toDouble)
+    }.sortBy { case (id, _, q) => (-q, id) }.take(30).map(t => (t._1, t._2))
+    assert(got.sortBy(_._1).toSeq === ref.sortBy(_._1).toSeq)
+    // heavy items dominate: at 1000x weight nearly all 20 make the top-30
+    assert(got.count(_._2 == 1000L) >= 18)
+    // partitioning-invariant
+    val re = Sampling.prioritySample(df.repartition(11), "id", "w", 30, 7L)
+      .as[(Long, Long)].collect()
+    assert(re.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
   test("token-budget mix: rates track targets, unlisted sources dropped, saturated kept whole") {
     import spark.implicits._
     // a: 2000 docs x 10 tokens = 20000; share 0.5 of 20000 -> target 10000, rate 0.5

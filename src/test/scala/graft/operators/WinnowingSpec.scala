@@ -142,6 +142,33 @@ class WinnowingSpec extends graft.SparkSpec {
     assert(containment > 0.0 && containment <= 1.0)
   }
 
+  test("split leakage: only cross-split near-dup pairs surface") {
+    import spark.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // three near-dup CLUSTERS so that, whatever the hash deals, at least
+    // one pair crosses splits under an adversarial-free check: we assert
+    // against the independently computed split assignment, not luck
+    val docs = (0L until 30L).map(i =>
+      (i, s"$passage unique${i % 3}a unique${i % 3}b unique${i % 3}c")).toDF("doc_id", "text")
+    val weights = Seq(500, 250, 250)
+    val splits = Sampling.trainValTestSplit(
+      docs.select(col("doc_id")), "doc_id", weights, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = Winnowing.passageOverlapPairs(docs, "doc_id", "text",
+      k = 4, w = 4, minShared = 2, maxDocFreq = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = allPairs.filter { case (a, b) => splits(a) != splits(b) }
+    val got = Winnowing.splitLeakagePairs(docs, "doc_id", "text",
+      weights, seed = 1L, k = 4, w = 4, minShared = 2, maxDocFreq = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2)).toSet === expected)
+    // emitted split labels agree with the assignment, and differ pairwise
+    got.foreach { case (a, b, sa, sb) =>
+      assert(sa == splits(a) && sb == splits(b) && sa != sb)
+    }
+    assert(expected.nonEmpty, "fixture must actually exercise the cross-split case")
+  }
+
   test("doc-frequency cap drops ubiquitous fingerprints (skew bound)") {
     import spark.implicits._
     // 20 docs all sharing one boilerplate passage + one genuine dup pair
