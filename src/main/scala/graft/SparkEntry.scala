@@ -1548,6 +1548,55 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))),
 
+    // MERGEABLE distinct rollup (DataSketches HLL): one sketch per
+    // segment, global distinct from hll_union_agg over those sketches —
+    // no second scan. The property exact distincts lack: per-segment
+    // exacts can't combine (overlap unknown), sketches merge in
+    // segment-count time. Engine-internal estimates → rows-only, gated
+    // by the _verify error bound; exact sibling carries the oracle.
+    "q_hll_rollup" -> ((s, dir) =>
+      operators.Profiler.segmentDistinctRollup(
+        t(s, dir, "events"), "event_type", "user_id")
+        .orderBy(col("segment"))),
+
+    // In-engine error gate: every estimate — per-segment AND the unioned
+    // total — within 5% of exact (>3σ for lgConfigK=12). Violations only.
+    "q_hll_rollup_verify" -> ((s, dir) =>
+      operators.Profiler.segmentDistinctViolations(
+        t(s, dir, "events"), "event_type", "user_id")
+        .orderBy(col("segment"))),
+
+    // Exact oracled sibling of the rollup, same shape (segments + total).
+    "q_hll_rollup_exact" -> ((s, dir) => {
+      val vals = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .select(col("event_type").cast("string").as("segment"),
+          col("user_id").as("v"))
+      vals.groupBy(col("segment"))
+        .agg(countDistinct(col("v")).as("n_distinct"))
+        .unionAll(vals.agg(countDistinct(col("v")).as("n_distinct"))
+          .select(lit("__TOTAL__").as("segment"), col("n_distinct")))
+        .orderBy(col("segment"))
+    }),
+
+    // Snapshot diff: what did this load DO — added/removed/changed per
+    // key from ONE full-outer key join, delta-sized output (the input to
+    // incremental downstream refresh). The after-image is derived
+    // deterministically from orders so the oracle can rebuild both sides.
+    "q_table_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val after = base.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(10))
+            .otherwise(col("o_totalprice")))
+        .unionAll(base.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")))
+      sink.Warehouse.snapshotDiff(base, after, Seq("o_orderkey"),
+        Seq("o_orderpriority", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Anti join: customers who never ordered — LeftAnti is the plan-level
     // NOT EXISTS (one hash join, no materialized null-padded rows).
     "q_join_anti" -> ((s, dir) =>
@@ -3554,6 +3603,47 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_hll_rollup_exact" ->
+      """SELECT CAST(event_type AS VARCHAR) AS segment,
+        |  COUNT(DISTINCT user_id) AS n_distinct
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |UNION ALL
+        |SELECT '__TOTAL__', COUNT(DISTINCT user_id)
+        |FROM events WHERE user_id IS NOT NULL
+        |ORDER BY segment""".stripMargin,
+
+    "q_hll_rollup_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS segment,
+        |  CAST(NULL AS BIGINT) AS est_distinct, CAST(NULL AS BIGINT) AS exact
+        |WHERE FALSE""".stripMargin,
+
+    // Snapshot diff: rebuild the same derived after-image, full-outer join
+    // on the key, null-safe attribute compare (IS NOT DISTINCT FROM =
+    // Spark's <=>), unchanged keys dropped.
+    "q_table_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+        |aft AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+        |  FROM base WHERE o_orderkey % 101 = 0),
+        |d AS (
+        |  SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN a.o_orderkey IS NULL THEN 'removed'
+        |         WHEN NOT (b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority
+        |                   AND b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice)
+        |           THEN 'changed' END AS status,
+        |    b.o_orderpriority AS before_o_orderpriority,
+        |    b.o_totalprice AS before_o_totalprice,
+        |    a.o_orderpriority AS after_o_orderpriority,
+        |    a.o_totalprice AS after_o_totalprice
+        |  FROM base b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey)
+        |SELECT * FROM d WHERE status IS NOT NULL ORDER BY o_orderkey""".stripMargin,
 
     "q_agg_stddev" ->
       """SELECT l_returnflag,

@@ -180,4 +180,52 @@ object Profiler {
         || (col("cnt_lt") + 1).cast("double") > (col("p") + eps) * col("n") + 1e-9)
       .select(col("p"), col("qv"), col("cnt_lt"), col("cnt_le"), col("n"))
   }
+
+  /** Mergeable distinct-count ROLLUP via DataSketches HLL: one sketch per
+    * segment, then the GLOBAL distinct from `hll_union_agg` over the
+    * per-segment sketches — no second scan of the raw data. This is the
+    * sketch property exact distinct lacks: per-segment exact distincts
+    * cannot be combined (overlap unknown), so a naive rollup rescans the
+    * corpus once per grouping level; sketches merge in segment-count time.
+    * At 100 TB the per-segment sketches are the stored pre-aggregate and
+    * every coarser rollup is derived without touching data.
+    *
+    * Output: one row per segment plus a `__TOTAL__` row, each with the
+    * sketch estimate rounded to a long. Estimates are engine-specific →
+    * the harness gates with [[segmentDistinctViolations]]. */
+  def segmentDistinctRollup(df: DataFrame, segCol: String,
+                            valueCol: String): DataFrame = {
+    val sk = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(segCol).cast("string").as("segment"))
+      .agg(expr(s"hll_sketch_agg($valueCol)").as("__sk"))
+    val perSeg = sk.select(col("segment"),
+      expr("hll_sketch_estimate(__sk)").cast("long").as("est_distinct"))
+    val total = sk.agg(expr("hll_union_agg(__sk)").as("__u"))
+      .select(lit("__TOTAL__").as("segment"),
+        expr("hll_sketch_estimate(__u)").cast("long").as("est_distinct"))
+    perSeg.unionAll(total)
+  }
+
+  /** In-engine error gate for [[segmentDistinctRollup]]: every estimate —
+    * per-segment AND the unioned total — must be within `relErr` of the
+    * exact distinct count (the default lgConfigK=12 HLL has ~1.6% standard
+    * error; 5% is a >3-sigma bound). The exact side pays the full
+    * distinct shuffle — affordable at oracle scale, which is the point of
+    * gating the sketch instead of shipping exact. Violations only. */
+  def segmentDistinctViolations(df: DataFrame, segCol: String,
+                                valueCol: String,
+                                relErr: Double = 0.05): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(segCol).cast("string").as("segment"), col(valueCol).as("v"))
+    val exactSeg = vals.groupBy(col("segment"))
+      .agg(countDistinct(col("v")).as("exact"))
+    val exactTot = vals.agg(countDistinct(col("v")).as("exact"))
+      .select(lit("__TOTAL__").as("segment"), col("exact"))
+    segmentDistinctRollup(df, segCol, valueCol)
+      .join(exactSeg.unionAll(exactTot), Seq("segment"), "full_outer")
+      .filter(col("est_distinct").isNull || col("exact").isNull ||
+        abs(col("est_distinct") - col("exact")).cast("double") >
+          lit(relErr) * col("exact").cast("double"))
+      .select(col("segment"), col("est_distinct"), col("exact"))
+  }
 }

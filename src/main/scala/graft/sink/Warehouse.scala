@@ -109,6 +109,47 @@ object Warehouse {
         .map(col): _*)
   }
 
+  /** Snapshot DIFF between two versions of a keyed table: one row per key
+    * whose state changed, labeled `added` / `removed` / `changed` — the
+    * audit a warehouse runs after every load ("what did this batch
+    * actually do?") and the input to incremental downstream refresh (only
+    * diff keys need reprocessing).
+    *
+    * Detection is a full-outer join on the key with NULL-SAFE comparison
+    * of the tracked columns (a null attribute is a value, not a wildcard —
+    * the scdType2 contract), so `added` = key only in `after`, `removed` =
+    * only in `before`, `changed` = present in both with any tracked column
+    * differing. Unchanged keys are dropped BEFORE the output, so the
+    * result is delta-sized, not table-sized.
+    *
+    * Scale: ONE key-partitioned shuffle join; both sides prune to
+    * key+tracked columns at the scan. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff: need key and compare columns")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select((keyCols ++ compareCols).map(col): _*)
+        .withColumn(s"__present_$tag", lit(true))
+    val b = side(before, "b")
+    val a = side(after, "a")
+    val joined = b.alias("b").join(a.alias("a"),
+      keyCols.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _),
+      "full_outer")
+    val sameAttrs = compareCols
+      .map(c => col(s"b.$c") <=> col(s"a.$c")).reduce(_ && _)
+    val status = when(col("__present_b").isNull, lit("added"))
+      .when(col("__present_a").isNull, lit("removed"))
+      .when(!sameAttrs, lit("changed"))
+    val keyOut = keyCols.map(k => coalesce(col(s"b.$k"), col(s"a.$k")).as(k))
+    joined
+      .withColumn("status", status)
+      .filter(col("status").isNotNull)
+      .select(keyOut ++ Seq(col("status")) ++
+        compareCols.map(c => col(s"b.$c").as(s"before_$c")) ++
+        compareCols.map(c => col(s"a.$c").as(s"after_$c")): _*)
+  }
+
   /** Compact a parquet directory to ~`targetMB` output files — small-file
     * pressure is the classic failure mode of continuous partitioned appends.
     * Rewrites to a temp dir then swaps. Swap safety: every rename's return

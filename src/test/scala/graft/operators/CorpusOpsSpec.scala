@@ -332,6 +332,20 @@ class CorpusOpsSpec extends graft.SparkSpec {
       .count() === 0L)
   }
 
+  test("hll rollup: segment estimates + unioned total within bound, violations empty") {
+    val events = spark.read.parquet(s"${testDataDir("0.01")}/events.parquet")
+    val got = Profiler.segmentDistinctRollup(events, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one row per event type + the union total, which must be at least the
+    // largest segment (a union can't shrink) and at most the sum
+    val segs = got.filter(_._1 != "__TOTAL__")
+    assert(segs.nonEmpty && got.contains("__TOTAL__"))
+    assert(got("__TOTAL__") >= segs.values.max)
+    assert(got("__TOTAL__") <= segs.values.sum)
+    assert(Profiler.segmentDistinctViolations(events, "event_type", "user_id")
+      .isEmpty)
+  }
+
   test("approx distinct: within the configured relative error of exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -69,6 +69,28 @@ class WarehouseOpsSpec extends SparkSpec {
       ("x", None, true)))
   }
 
+  test("snapshotDiff labels added/removed/changed, drops unchanged, null-safe") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Option("a"), Option(10.0)),  // unchanged
+      (2L, Option("b"), Option(20.0)),  // changed value
+      (3L, Option("c"), Option(30.0)),  // removed
+      (4L, None: Option[String], Option(40.0)),  // null attr unchanged
+      (5L, Option("e"), None: Option[Double])    // null -> value = changed
+    ).toDF("k", "attr", "v")
+    val after = Seq(
+      (1L, Option("a"), Option(10.0)),
+      (2L, Option("b"), Option(21.0)),
+      (4L, None: Option[String], Option(40.0)),
+      (5L, Option("e"), Option(5.5)),
+      (6L, Option("f"), Option(60.0))   // added
+    ).toDF("k", "attr", "v")
+    val got = Warehouse.snapshotDiff(before, after, Seq("k"), Seq("attr", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed",
+      5L -> "changed", 6L -> "added"))
+  }
+
   test("compact rewrites many small files into few") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     spark.range(10000).repartition(50).write.parquet(dir)
