@@ -646,6 +646,23 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Exact per-node triangle counts over the part co-purchase graph
+    // (parts sharing an order are adjacent) via degree-ordered orientation
+    // — each triangle materializes once, at its ≺-minimal corner, and the
+    // oriented out-degree bound O(√m) caps the wedge join's fan-out (the
+    // celebrity-node guard). Pure counting ⇒ hash-exact cross-engine; the
+    // oracle replays orientation + wedge + closure in plain SQL.
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pe = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val co = pe.as("x").join(pe.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      operators.Graph.triangleCounts(co, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     // Headline embedding near-dup: IVF-cell-bounded candidates + exact
     // cosine verify — candidate volume is set by cluster granularity, not
     // the threshold (hyperplane banding collapses at loose thresholds;
@@ -2702,6 +2719,29 @@ object SparkEntry {
         |c3 AS (SELECT e.dst, SUM(r2.pr // d.outd) AS s FROM e JOIN deg d ON e.src = d.src JOIN r2 ON e.src = r2.node GROUP BY e.dst),
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr FROM n LEFT JOIN c3 ON n.node = c3.dst)
         |SELECT node, pr FROM r3 ORDER BY node""".stripMargin,
+
+    // Triangles: independent replay of orientation + wedge + closure. The
+    // wedge predicate compares (deg, id) lexicographically — same total
+    // order as the Spark side — and counting is exact integer arithmetic.
+    "q_triangles" ->
+      """WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM pe x JOIN pe y ON x.ok = y.ok AND x.p < y.p),
+        |deg AS (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY node),
+        |o AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS dst,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN dv.d ELSE du.d END AS ddst
+        |  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |tri AS (
+        |  SELECT o1.dst AS a, o1.src AS c, o2.dst AS b
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |    AND (o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))
+        |  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+        |corner AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |cnt AS (SELECT node, count(*) AS triangles FROM corner GROUP BY node)
+        |SELECT d.node, CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles
+        |FROM deg d LEFT JOIN cnt c ON d.node = c.node
+        |ORDER BY d.node""".stripMargin,
 
     // language-ID: the expression fold (replace when strictly greater over
     // langs in order de,en,es,fr,zh) is exactly argmax-ties-to-earliest,

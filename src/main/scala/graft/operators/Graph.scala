@@ -74,4 +74,78 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact per-node triangle counts by degree-ordered edge orientation
+    * (Chiba–Nishizeki; the MapReduce formulation is Suri & Vassilvitskii,
+    * WWW'11 "node-iterator++"). Triangles are the unit of local clustering
+    * — the graph-quality signal a link-graph corpus pipeline uses to
+    * separate organic neighborhoods (high closure) from spam farms and
+    * scraper link rings (star-shaped, closure ≈ 0).
+    *
+    * Every edge {u,v} is oriented from its lower endpoint in the total
+    * order `a ≺ b  iff  deg(a) < deg(b) or (deg(a) = deg(b) and a < b)`.
+    * Each triangle {a,b,c} then materializes exactly once: as the wedge
+    * (c→a, c→b) centered at its ≺-minimal corner plus the closing oriented
+    * edge a→b. Orientation is what makes this scale: a node's OUT-degree
+    * after orienting is O(√m) on any graph (its out-neighbors all have
+    * degree ≥ its own), so the wedge join's fan-out per center is bounded
+    * by √m instead of the raw max degree — the classic guard against the
+    * celebrity-node quadratic blowup.
+    *
+    * Exactness: counting only — no floating point anywhere — so the result
+    * is engine- and partitioning-independent and can be hash-compared
+    * against a plain SQL replay.
+    *
+    * Scale shape: canonicalize + distinct (one shuffle), degree count (one
+    * partial-aggregated shuffle), wedge join keyed on the wedge center,
+    * closing join keyed on the (a,b) edge pair, and a map-side-combined
+    * per-corner count. Nothing touches the driver; no windows; the output
+    * is |V| rows (0-triangle nodes included, for clustering-coefficient
+    * consumers).
+    *
+    * @param edges raw edge list — direction ignored, self-loops dropped,
+    *              multi-edges counted once
+    * @return (node, triangles) for every node with at least one edge
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+                           col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    // canonical undirected simple edges: u < v, each pair once
+    val und = raw.select(least(col("a"), col("b")).as("u"),
+                         greatest(col("a"), col("b")).as("v")).distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient u→v along ≺ = (degree, id) lexicographic; carry the dst
+    // endpoint's degree so the wedge join can compare ≺ without re-joining
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    // wedges at the ≺-minimal corner: (src→dst1, src→dst2) with dst1 ≺ dst2
+    val o1 = oriented.select(col("src").as("c"), col("dst").as("ta"),
+                             col("ddst").as("da"))
+    val o2 = oriented.select(col("src").as("c2"), col("dst").as("tb"),
+                             col("ddst").as("db"))
+    val wedges = o1.join(o2, col("c") === col("c2") &&
+        (col("da") < col("db") ||
+         (col("da") === col("db") && col("ta") < col("tb"))))
+      .select(col("ta"), col("tb"), col("c"))
+    // close the wedge: dst1 ≺ dst2 means the {dst1,dst2} edge, if present,
+    // is oriented exactly dst1→dst2
+    val closing = oriented.select(col("src").as("ta"), col("dst").as("tb"))
+    val tris = wedges.join(closing, Seq("ta", "tb"))
+    val corners = tris.select(explode(array(col("ta"), col("tb"), col("c")))
+      .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("cnt"))
+    deg.select(col("node"))
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cnt"), lit(0L)).as("triangles"))
+  }
 }

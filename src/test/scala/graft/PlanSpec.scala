@@ -259,6 +259,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("triangles: hash joins end to end, map-side-combined corner count") {
+    val p = plan("q_triangles")
+    // wedge + closure must be hash joins on their keys — a nested-loop
+    // here is the quadratic all-pairs plan the orientation exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the per-corner count must partial-aggregate before its exchange
+    assert(p.contains("partial_count"),
+      "corner count must map-side combine")
+    // lineitem scan reads exactly the two co-purchase columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+      "lineitem scan must prune to orderkey+partkey")
+  }
+
   test("global audit: no cartesian products or unexpected nested-loop joins anywhere") {
     // BNLJ is legitimate ONLY where a bounded side is broadcast on purpose:
     // the exact-topk broadcast crossJoins, the bounded exact near-dup

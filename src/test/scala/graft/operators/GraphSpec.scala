@@ -58,4 +58,56 @@ class GraphSpec extends SparkSpec {
     // each iteration can only LOSE mass (floor division), never create it
     assert(got <= full && got > full * 95 / 100)
   }
+
+  /** Brute-force triangle reference: all node triples, count pairwise
+    * adjacency in the deduplicated undirected graph. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def adj(a: Long, b: Long) = und.contains((math.min(a, b), math.max(a, b)))
+    val triples = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      if adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(k)) && adj(nodes(i), nodes(k))
+    } yield Seq(nodes(i), nodes(j), nodes(k))
+    val counts = triples.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    nodes.map(n => n -> counts.getOrElse(n, 0L)).toMap
+  }
+
+  test("triangleCounts matches brute force on a mixed graph") {
+    // K4 on 1-4 (every node in 3 triangles) + a pendant 5 + a star center 6
+    // with leaves 7,8 (no closure) + the 4-cycle 9-10-11-12 (no triangles)
+    val e = Seq[(Long, Long)](
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (6L, 8L),
+      (9L, 10L), (10L, 11L), (11L, 12L), (12L, 9L))
+    val got = Graph.triangleCounts(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === refTriangles(e))
+    assert(got(1L) === 3L && got(5L) === 0L && got(6L) === 0L && got(9L) === 0L)
+  }
+
+  test("triangleCounts: direction, multi-edges and self-loops are ignored") {
+    // triangle 1-2-3 given with mixed directions, a duplicate reversed
+    // edge, and a self-loop; each triangle must count once per corner
+    val e = Seq[(Long, Long)](
+      (1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (2L, 2L))
+    val got = Graph.triangleCounts(e.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts is partitioning-invariant on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val e = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val df = e.toDF("src", "dst")
+    val a = Graph.triangleCounts(df, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.triangleCounts(df.repartition(13, col("src")), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a === refTriangles(e))
+    assert(a.values.sum % 3 === 0L, "every triangle credits exactly 3 corners")
+  }
 }
