@@ -938,6 +938,28 @@ object SparkEntry {
       operators.Bm25.score(t(s, dir, "documents"), "doc_id", "text",
         Seq("join", "stream", "vector", "dup"))),
 
+    // Hybrid retrieval: the BM25 lexical top-20 fused with the dense
+    // cosine top-20 of query vector 7 by integer-micro-unit Reciprocal
+    // Rank Fusion — only RANKS cross between the two retrievers, so their
+    // incomparable score scales never need calibrating, and the long
+    // floor-div contributions make the fusion hash-exact cross-engine.
+    // The lexical rank window runs over the ALREADY-top-20-limited frame
+    // (≤20 rows — not a scale-relevant global window); the dense ranks
+    // come per-query-partitioned from cosineTopK.
+    "q_retrieval_rrf" -> ((s, dir) => {
+      val lex = operators.Bm25.score(t(s, dir, "documents"), "doc_id",
+          "text", Seq("join", "stream", "vector", "dup"), topK = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.cosineTopK(
+          emb.filter(col("vec_id") === 7), emb, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      operators.Fusion.rrfFuse(Seq(lex, dense), "doc_id", "rank")
+        .select(col("doc_id"), col("rrf"), col("lists"))
+    }),
+
     // Image near-dup, step 1: 63-bit perceptual dHash per media item. The
     // Spark side PARSES the container bytes (real header walk for w/h and
     // the body offset) and hashes the stub-decoded luminance grid; the
@@ -2602,6 +2624,52 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
         |FROM contrib GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // RRF: the full BM25 chain and the cosine rank chain replayed, fused
+    // with BIGINT `//` contributions — integer micro-units, so the fused
+    // scores hash-match exactly.
+    "q_retrieval_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS term
+        |  FROM documents),
+        |dls AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT count(*) FROM toks) AS sumdl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('join', 'stream', 'vector', 'dup')
+        |  GROUP BY doc_id, term),
+        |idf AS (
+        |  SELECT term, ROUND(ln((CAST(s.n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1), 6) AS idf
+        |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats s),
+        |contrib AS (
+        |  SELECT t.doc_id,
+        |    CAST(ROUND(i.idf * (CAST(t.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1)) /
+        |      (CAST(t.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+        |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / s.n))), 6)
+        |      AS DECIMAL(18,6)) AS c
+        |  FROM tf t JOIN idf i USING (term) JOIN dls d USING (doc_id), stats s),
+        |bm AS (
+        |  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+        |den AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT c.vec_id AS doc_id,
+        |      ROW_NUMBER() OVER (ORDER BY
+        |        list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id = 7) t
+        |  WHERE rank <= 20),
+        |fused AS (
+        |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 // (60 + rank) AS c FROM den)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf, CAST(COUNT(*) AS BIGINT) AS lists
+        |FROM fused GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id""".stripMargin,
 
     // The dHash recomputed from the id-synthesis formulas alone: w/h by
     // the same CASE ladder as q_multimodal_features, body length id%100,
