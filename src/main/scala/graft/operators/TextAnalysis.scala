@@ -434,4 +434,43 @@ object TextAnalysis {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("__ent").cast("double").as("entropy"))
   }
+
+  /** In-engine gate for [[charEntropy]]'s transcendental output — the
+    * harness must NOT hash `entropy` directly: a single `ln` term landing
+    * within an ulp of a 5e-7 rounding boundary rounds differently across
+    * libm builds, so the hashed columns are the exact integers and this
+    * check carries the float claim instead (the q_reg_verify pattern).
+    *
+    * Violations reported, against an empty-relation oracle:
+    *   - range: entropy outside [0, ln(n_distinct)] beyond slack;
+    *   - rounding drift: |decimal-rounded sum − full-double sum| beyond
+    *     n_distinct·5e-7 (each 6dp-rounded term is off by ≤ 5e-7);
+    *   - nullness: entropy NULL on a non-empty doc, or non-NULL on an
+    *     empty one. */
+  def charEntropyViolations(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val ent = charEntropy(df, idCol, textCol)
+    val raw = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col(idCol))))
+      .groupBy(col(idCol))
+      .agg(sum((col("c").cast("double") / col("n").cast("double")) *
+        log(col("n").cast("double") / col("c").cast("double"))).as("raw_ent"))
+    val tol = col("n_distinct").cast("double") * lit(5e-7) + lit(1e-9)
+    ent.join(raw, Seq(idCol), "left")
+      .select(col(idCol), when(
+          col("n_chars") > 0 && col("entropy").isNull, lit("null_entropy"))
+        .when(col("n_chars") === 0 && col("entropy").isNotNull,
+          lit("entropy_on_empty"))
+        .when(col("entropy") < -tol, lit("negative"))
+        .when(col("entropy") >
+          log(greatest(col("n_distinct").cast("double"), lit(1.0))) + tol,
+          lit("above_ln_distinct"))
+        .when(abs(col("entropy") - col("raw_ent")) > tol, lit("rounding_drift"))
+        .as("issue"))
+      .filter(col("issue").isNotNull)
+      .select(col(idCol).as("doc_id"), col("issue"))
+  }
 }

@@ -31,16 +31,13 @@ object StreamingIngest {
   private def cast_sum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,4)")).cast("double")
 
-  /** Normalize a nanosecond-precision `ts` read as Long (via
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — Spark has no native
-    * TIMESTAMP(NANOS) support) into a microsecond timestamp. Integer
-    * division: nanos exceed 2^53, double math would corrupt them. */
+  /** Normalize `ts` into a TIMESTAMP (LTZ) whatever the fixture's physical
+    * encoding — int64 nanos (read via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) or TIMESTAMP_NTZ micros.
+    * Watermarks require LTZ; [[graft.functions.EventTime]] is the single
+    * branch point on the encoding. */
   private def normalizeTs(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df
-    }
+    df.withColumn("ts", graft.functions.EventTime.timestamp(df))
 
   /** Streaming variant of the reference's own ETL (ingest → harmonize →
     * validate → warehouse/quarantine): a file-source CSV stream of one
@@ -166,9 +163,9 @@ object StreamingIngest {
     require(ev.schema(keyCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"$keyCol must be LONG (the sentinel session is keyed -1)")
-    require(ev.schema(tsCol).dataType ==
-      org.apache.spark.sql.types.LongType,
-      s"$tsCol must be LONG nanos (read with nanosAsLong)")
+    // ts may be LONG nanos or TIMESTAMP_NTZ micros — EventTime adapts; an
+    // unsupported encoding fails fast inside EventTime with a clear message.
+    val tsType = ev.schema(tsCol).dataType
     // Empty input: no sessions, and no max(ts) for the sentinel — return
     // the empty result frame instead of NPE-ing on a null aggregate.
     if (ev.isEmpty) {
@@ -192,17 +189,20 @@ object StreamingIngest {
     // and real rows arriving later would be silently dropped as late —
     // which is why the run asserts numRowsDroppedByWatermark == 0 below.
     val stage = java.nio.file.Files.createTempDirectory("graft-sess-stage").toString
-    val maxTs = ev.agg(max(col(tsCol))).head().getLong(0)
-    // ts is long nanos here (nanosAsLong); 3 gaps past the max is safely
-    // beyond every real session end after the micros conversion
+    val maxUs = ev.agg(max(graft.functions.EventTime.microsFor(tsType, tsCol)))
+      .head().getLong(0)
+    // 3 gaps past the max event time is safely beyond every real session
+    // end; the sentinel literal is written back in the SOURCE encoding so
+    // the staged file unions with the raw-schema stream.
     ev.limit(1)
       .withColumn(keyCol, lit(-1L))
-      .withColumn(tsCol, lit(maxTs + 3 * gapMicros * 1000))
+      .withColumn(tsCol,
+        graft.functions.EventTime.literalFor(tsType, maxUs + 3 * gapMicros))
       .coalesce(1)
       .write.mode("overwrite").parquet(stage)
     val stream = spark.readStream.schema(ev.schema).parquet(streamGlob(parquetPath))
       .union(spark.readStream.schema(ev.schema).parquet(stage + "/*.parquet"))
-      .withColumn("__tsm", timestamp_micros(expr(s"$tsCol div 1000")))
+      .withColumn("__tsm", graft.functions.EventTime.timestampFor(tsType, tsCol))
     try {
       withStatePartitions(spark, statePartitions) {
         val q = sessionizedEvents(stream, gapMicros, keyCol, "__tsm")
@@ -262,9 +262,9 @@ object StreamingIngest {
                             windowMicros: Long, queryName: String,
                             statePartitions: Int = 8): DataFrame = {
     val ev = spark.read.parquet(parquetPath)
+    val evUs = graft.functions.EventTime.micros(ev)
     val window_ = s"$windowMicros microseconds"
-    val span = ev.agg(
-      (max(expr("ts div 1000")) - min(expr("ts div 1000"))).as("s")).head()
+    val span = ev.agg((max(evUs) - min(evUs)).as("s")).head()
     val delay =
       if (span.isNullAt(0)) window_
       else s"${span.getLong(0) + windowMicros + 1} microseconds"
@@ -276,7 +276,7 @@ object StreamingIngest {
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(s"${prefix}_user_id"),
           col("event_id").as(s"${prefix}_event_id"),
-          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_tsm"))
+          graft.functions.EventTime.timestamp(ev).as(s"${prefix}_tsm"))
         .withWatermark(s"${prefix}_tsm", delay)
     val joined = intervalJoin(
       side("view", "v"), side("purchase", "p"),

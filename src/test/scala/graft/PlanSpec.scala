@@ -284,6 +284,11 @@ class PlanSpec extends SparkSpec {
     val bnljAllowed = Set("q_sim_topk", "q_dedup_embedding_exact",
       "q_mine_hard_negatives", "q_text_unigram_lp", "q_vec_centroid_verify",
       "q_vec_outliers", "q_length_batches",
+      // the dense branch is cosineTopK of a ONE-ROW query-vector frame
+      // crossed into the embeddings — the same deliberate broadcast cross
+      // as q_sim_topk (was masked in r7: the audit threw on the ts-family
+      // analysis error before reaching this query)
+      "q_retrieval_rrf",
       // median + MAD / the PSI bin totals are ONE-ROW frames crossed
       // back into the data
       "q_outliers_mad", "q_drift_psi",

@@ -558,8 +558,8 @@ class OperatorsSpec extends SparkSpec {
     assert(got((2L, 15L)) == "s15")
     assert(got((3L, 7L)) == null)
     // fixture-scale brute force over events
-    val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
+    val ev0 = spark.read.parquet(s"${testDataDir()}/events.parquet")
+    val ev = ev0.withColumn("ts", graft.functions.EventTime.micros(ev0))
     val clicks = ev.filter(col("event_type") === "click")
       .select("user_id", "event_id", "ts").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -584,8 +584,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("bucketized range join equals brute-force inequality join, no dup pairs") {
-    val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
-      .withColumn("us", expr("ts div 1000"))
+    val ev0 = spark.read.parquet(s"${testDataDir()}/events.parquet")
+    val ev = ev0.withColumn("us", graft.functions.EventTime.micros(ev0))
     val win = 600L * 1000 * 1000
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("vid"),
@@ -610,8 +610,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("interval overlap join equals brute force, duplicate-free at any width") {
-    val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
-      .withColumn("us", expr("ts div 1000"))
+    val ev0 = spark.read.parquet(s"${testDataDir()}/events.parquet")
+    val ev = ev0.withColumn("us", graft.functions.EventTime.micros(ev0))
     val win = 3600L * 1000 * 1000 // 1h windows around each event
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("vid"),
@@ -823,8 +823,9 @@ class OperatorsSpec extends SparkSpec {
   test("streaming hourly agg equals batch aggregation") {
     val streamed = graft.streaming.StreamingIngest
       .runWindowedEventAgg(spark, s"${testDataDir()}/events.parquet", "t_stream_eq")
-    val events = spark.read.parquet(s"${testDataDir()}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events0 = spark.read.parquet(s"${testDataDir()}/events.parquet")
+    val events = events0
+      .withColumn("ts", graft.functions.EventTime.timestamp(events0))
     val batch = events.groupBy(date_trunc("hour", col("ts")).as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -138,8 +138,8 @@ class WarehouseOpsSpec extends SparkSpec {
         maxFilesPerTrigger = 1)
         .orderBy("user_id").collect().map(_.toSeq).toSeq
       // batch reference over the SAME normalized frame the stream sees
-      val all = spark.read.parquet(src)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val all0 = spark.read.parquet(src)
+      val all = all0.withColumn("ts", graft.functions.EventTime.timestamp(all0))
       val want = graft.sink.Warehouse.upsertLatest(all.limit(0), all, keys, ord)
         .orderBy("user_id").collect().map(_.toSeq).toSeq
       assert(got === want, "multi-batch stream upsert diverged from batch dedup")
@@ -160,9 +160,10 @@ class WarehouseOpsSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-supsert-crash").toString
     val (src, tbl) = (s"$tmp/src", s"$tmp/table")
     try {
-      val events = spark.read.parquet(s"${testDataDir()}/events.parquet")
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val events0 = spark.read.parquet(s"${testDataDir()}/events.parquet")
+      val events = events0
+        .select(col("user_id"), col("event_id"),
+          graft.functions.EventTime.timestamp(events0).as("ts"), col("value"))
       val (old, fresh) = (events.filter(col("event_id") % 2 === 0),
         events.filter(col("event_id") % 2 =!= 0))
       fresh.write.parquet(src)
