@@ -51,6 +51,13 @@ val picks = Seq(
   ("q_drift_psi", "bin-keyed count agg (key space = bins), ONE-ROW totals broadcast back, log-rounded terms"),
   ("q_pagerank", "iterative edges-ranks joins, |V|-sized rank frame broadcastable, dst-keyed partial sums; integer mass = engine-exact"),
   ("q_heavy_hitters", "ONE ObjectHashAggregate partial/final pair: capacity-sized MG summaries merge map-side, no per-key shuffle"),
+  ("q_asof_join", "backward as-of via ONE key-window shuffle over the unioned sides: no range join, no BNLJ"),
+  ("q_events_pipeline", "sessionize + funnel + pivot all key on user_id; the join stage reuses one partitioning"),
+  ("q_train_pipeline", "post-curation stage only (ladder is checkpointed): pure id-hash split, train-only packing, broadcast-offsets prefix sum - no driver data"),
+  ("q_corpus_pipeline_v2", "full-ladder capstone, post-checkpoint stage: exactly the bucket-hash + doc_id-range partitionings (PlanSpec-guarded)"),
+  ("q_kmeans_lloyd", "assignment is broadcast-centroid codegen; k*d centroid rows collect between the two unrolled Lloyd iterations"),
+  ("q_classify_nb", "vocab-sized model broadcast back into the scored docs; corpus shuffles only on (doc,.) keys; |labels|-row prior frame crossed on purpose"),
+  ("q_scd2_history", "every exchange keys on the dimension id: change detection, interval stitch, and the output sort share the key"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
