@@ -1632,6 +1632,54 @@ object SparkEntry {
         .orderBy(col("segment"))
     }),
 
+    // The same rollup over the engine's NATIVE HLL aggregate lattice
+    // (graft.expr.HllAggregate: sketch-agg → binary, sketch-union agg,
+    // estimate expression) — a second TypedImperativeAggregate surface
+    // alongside Misra–Gries, with a property MG lacks: register-wise max
+    // is associative/commutative, so the sketch is a pure function of the
+    // input SET and the merged rollup is bit-deterministic. Rows-only +
+    // the _verify gate below; exact sibling q_hll_rollup_exact shares the
+    // segments+total shape.
+    "q_hll_native" -> ((s, dir) =>
+      operators.Profiler.nativeDistinctRollup(
+        t(s, dir, "events"), "event_type", "user_id")
+        .orderBy(col("segment"))),
+
+    // Gate: 5% error bound per segment AND total, plus bit-exact
+    // merged-vs-direct estimate equality (the mergeability contract
+    // itself). Violations only.
+    "q_hll_native_verify" -> ((s, dir) =>
+      operators.Profiler.nativeDistinctViolations(
+        t(s, dir, "events"), "event_type", "user_id")
+        .orderBy(col("segment"), col("issue"))),
+
+    // The SAME native sketch aggregate as streaming state (the MG
+    // hot-keys pattern): per-segment registers carry across micro-batches
+    // in the state store. Rows-only; the gate below pins the result.
+    "q_stream_hll" -> ((s, dir) =>
+      StreamingIngest.runStreamDistinctBounded(s, s"$dir/events.parquet",
+        "event_type", "user_id", lgK = 12,
+        queryName = s"stream_hll_${streamCounter.incrementAndGet()}")
+        .orderBy(col("segment"))),
+
+    // Because the sketch is a set function, the streaming rollup must
+    // equal the batch rollup BIT-EXACTLY (n and estimate, every segment
+    // and the union total) regardless of how the replay batched — a
+    // stronger gate than any error bound. Violations only.
+    "q_stream_hll_verify" -> ((s, dir) => {
+      val stream = StreamingIngest.runStreamDistinctBounded(s,
+        s"$dir/events.parquet", "event_type", "user_id", lgK = 12,
+        queryName = s"stream_hllv_${streamCounter.incrementAndGet()}")
+      val batch = operators.Profiler.nativeDistinctRollup(
+        t(s, dir, "events"), "event_type", "user_id")
+      stream.withColumnRenamed("n_rows", "s_n")
+        .withColumnRenamed("est_distinct", "s_est")
+        .join(batch, Seq("segment"), "full_outer")
+        .filter(col("s_n").isNull || col("n_rows").isNull ||
+          col("s_n") =!= col("n_rows") || col("s_est") =!= col("est_distinct"))
+        .select(col("segment"), lit("stream_vs_batch").as("issue"))
+    }),
+
     // Snapshot diff: what did this load DO — added/removed/changed per
     // key from ONE full-outer key join, delta-sized output (the input to
     // incremental downstream refresh). The after-image is derived
@@ -3740,6 +3788,14 @@ object SparkEntry {
     "q_hll_rollup_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS segment,
         |  CAST(NULL AS BIGINT) AS est_distinct, CAST(NULL AS BIGINT) AS exact
+        |WHERE FALSE""".stripMargin,
+
+    "q_hll_native_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_stream_hll_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
     // Snapshot diff: rebuild the same derived after-image, full-outer join

@@ -228,4 +228,80 @@ object Profiler {
           lit(relErr) * col("exact").cast("double"))
       .select(col("segment"), col("est_distinct"), col("exact"))
   }
+
+  // ---- native HLL (graft.expr.HllAggregate): the engine's own mergeable
+  // sketch lattice, independent of the built-in DataSketches functions ----
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Sketch-building aggregate: BIGINT values → BINARY sketch. */
+  def hllSketch(valueCol: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(graft.expr.HllSketchAgg(
+      ColumnBridge.expression(valueCol), lgK).toAggregateExpression())
+
+  /** Sketch-union aggregate: BINARY sketches → merged BINARY sketch. */
+  def hllMerge(sketchCol: Column): Column =
+    ColumnBridge.column(graft.expr.HllMergeAgg(
+      ColumnBridge.expression(sketchCol)).toAggregateExpression())
+
+  /** Scalar sketch → struct(n, est). */
+  def hllEstimate(sketchCol: Column): Column =
+    ColumnBridge.column(graft.expr.HllEstimate(
+      ColumnBridge.expression(sketchCol)))
+
+  /** [[segmentDistinctRollup]] re-expressed over the NATIVE HLL aggregate:
+    * one m-byte sketch per segment, global distinct from the sketch-union
+    * aggregate over those sketches — rows are scanned exactly once, every
+    * coarser rollup level merges in segment-count time. Output adds the
+    * exact per-segment row count (`n_rows`) the sketch carries for free. */
+  def nativeDistinctRollup(df: DataFrame, segCol: String, valueCol: String,
+                           lgK: Int = 12): DataFrame = {
+    val sk = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(segCol).cast("string").as("segment"))
+      .agg(hllSketch(col(valueCol).cast("long"), lgK).as("__sk"))
+    val perSeg = sk.select(col("segment"), hllEstimate(col("__sk")).as("__e"))
+    val total = sk.agg(hllMerge(col("__sk")).as("__u"))
+      .select(lit("__TOTAL__").as("segment"), hllEstimate(col("__u")).as("__e"))
+    perSeg.unionAll(total)
+      .select(col("segment"), col("__e.n").as("n_rows"),
+        col("__e.est").as("est_distinct"))
+  }
+
+  /** In-engine gate for [[nativeDistinctRollup]], two properties:
+    *   - ERROR BOUND: every estimate (per-segment and merged total) within
+    *     `relErr` of the exact distinct — default 5% is >3σ for lgK=12
+    *     (RSE 1.04/√4096 ≈ 1.6%);
+    *   - MERGE CONSISTENCY: the union of per-segment sketches must yield
+    *     BIT-EXACTLY the estimate of one direct global aggregate —
+    *     register-wise max is associative/commutative, so any grouping of
+    *     the same input set produces identical registers (this is the
+    *     determinism MG summaries don't have, and it is what makes stored
+    *     per-segment sketches a trustworthy rollup lattice).
+    * Violations only; oracle = empty relation. */
+  def nativeDistinctViolations(df: DataFrame, segCol: String, valueCol: String,
+                               lgK: Int = 12,
+                               relErr: Double = 0.05): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(segCol).cast("string").as("segment"), col(valueCol).as("v"))
+    val exactSeg = vals.groupBy(col("segment"))
+      .agg(countDistinct(col("v")).as("exact"))
+    val exactTot = vals.agg(countDistinct(col("v")).as("exact"))
+      .select(lit("__TOTAL__").as("segment"), col("exact"))
+    val errors = nativeDistinctRollup(df, segCol, valueCol, lgK)
+      .join(exactSeg.unionAll(exactTot), Seq("segment"), "full_outer")
+      .filter(col("est_distinct").isNull || col("exact").isNull ||
+        abs(col("est_distinct") - col("exact")).cast("double") >
+          lit(relErr) * col("exact").cast("double"))
+      .select(col("segment"), lit("error_bound").as("issue"))
+    val direct = vals.agg(hllSketch(col("v").cast("long"), lgK).as("__g"))
+      .select(hllEstimate(col("__g")).getField("est").as("est_direct"))
+    val merged = nativeDistinctRollup(df, segCol, valueCol, lgK)
+      .filter(col("segment") === "__TOTAL__")
+      .select(col("est_distinct").as("est_merged"))
+    val consistency = merged.crossJoin(direct)
+      .filter(col("est_merged") =!= col("est_direct"))
+      .select(lit("__TOTAL__").as("segment"),
+        lit("merge_vs_direct").as("issue"))
+    errors.unionAll(consistency)
+  }
 }

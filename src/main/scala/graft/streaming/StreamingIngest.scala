@@ -574,6 +574,49 @@ object StreamingIngest {
     graft.operators.HeavyHitters.itemsFromSummary(spark.table(queryName))
   }
 
+  /** Streaming distinct-count rollup over the NATIVE HLL aggregate
+    * ([[graft.expr.HllSketchAgg]]): per-segment sketches as streaming
+    * state — the m-byte register array is the state-store payload across
+    * micro-batches, exactly like the Misra–Gries buffer in
+    * [[runStreamHotKeysBounded]]. The difference is the guarantee:
+    * register-wise max makes the sketch a pure function of the input SET,
+    * so the streaming result must equal the batch rollup BIT-EXACTLY no
+    * matter how the replay batches — the harness gates that equality, a
+    * stronger claim than MG's arrival-order-dependent bounds.
+    * `maxFilesPerTrigger=1` forces one micro-batch per input file so the
+    * state genuinely carries across batches. */
+  def runStreamDistinctBounded(spark: SparkSession, parquetPath: String,
+                               segCol: String, valueCol: String, lgK: Int,
+                               queryName: String,
+                               maxFilesPerTrigger: Int = 1,
+                               statePartitions: Int = 8): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = stream.filter(col(valueCol).isNotNull)
+        .groupBy(col(segCol).cast("string").as("segment"))
+        .agg(graft.operators.Profiler
+          .hllSketch(col(valueCol).cast("long"), lgK).as("__sk"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // same shape as Profiler.nativeDistinctRollup: per-segment rows plus
+    // the sketch-union __TOTAL__, derived from the materialized sketches
+    val sk = spark.table(queryName)
+    val perSeg = sk.select(col("segment"),
+      graft.operators.Profiler.hllEstimate(col("__sk")).as("__e"))
+    val total = sk.agg(graft.operators.Profiler.hllMerge(col("__sk")).as("__u"))
+      .select(lit("__TOTAL__").as("segment"),
+        graft.operators.Profiler.hllEstimate(col("__u")).as("__e"))
+    perSeg.unionAll(total)
+      .select(col("segment"), col("__e.n").as("n_rows"),
+        col("__e.est").as("est_distinct"))
+  }
+
   /** Run the windowed aggregation over a parquet path as a bounded stream;
     * returns the final result as a batch DataFrame. `statePartitions` sizes
     * the state-store layout (see [[withStatePartitions]]). */

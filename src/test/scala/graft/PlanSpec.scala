@@ -299,7 +299,10 @@ class PlanSpec extends SparkSpec {
       "q_classify_nb", "q_quantile_approx_verify",
       // the ONE-ROW n/sub summary-stats frame crossed into the exact
       // counts for the missing-heavy-item and global checks
-      "q_heavy_hitters_verify")
+      "q_heavy_hitters_verify",
+      // merged-total (1 row) crossed with the direct global sketch (1 row)
+      // for the bit-exact merge-consistency check
+      "q_hll_native_verify")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
@@ -328,6 +331,7 @@ class PlanSpec extends SparkSpec {
     val skip = Set("q_stream_hourly", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_sessions", "q_stream_join", "q_stream_upsert",
       "q_stream_classify", "q_stream_hotkeys", "q_stream_hotkeys_verify",
+      "q_stream_hll", "q_stream_hll_verify",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_train_pipeline",
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
