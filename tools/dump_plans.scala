@@ -58,6 +58,8 @@ val picks = Seq(
   ("q_kmeans_lloyd", "assignment is broadcast-centroid codegen; k*d centroid rows collect between the two unrolled Lloyd iterations"),
   ("q_classify_nb", "vocab-sized model broadcast back into the scored docs; corpus shuffles only on (doc,.) keys; |labels|-row prior frame crossed on purpose"),
   ("q_scd2_history", "every exchange keys on the dimension id: change detection, interval stitch, and the output sort share the key"),
+  ("q_hll_native", "native HLL lattice: ONE ObjectHashAggregate partial/final pair per level, m-byte registers as the only shuffled state; union level reads sketches, never rows"),
+  ("q_triangles", "degree-ordered orientation: distinct edge canon, degree joins, center-keyed wedge join, (a,b)-keyed closure - slow by workload (41M wedges at sf0.1), no cartesian"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
