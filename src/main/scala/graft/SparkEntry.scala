@@ -2163,6 +2163,25 @@ object SparkEntry {
       operators.HeavyHitters.violations(t(s, dir, "events"), "user_id",
         capacity = 32)),
 
+    // Count-Min point-frequency estimates for the exact top-25 users — the
+    // third native sketch (MG: which items are heavy; HLL: how many
+    // distinct; CMS: how often did THIS item occur, probed after the
+    // scan). One-row sketch crossed into the bounded probe set; estimates
+    // are engine-internal → rows-only, gated by the _verify below; exact
+    // sibling q_heavy_hitters_exact carries the oracle for the same items.
+    "q_cms_native" -> ((s, dir) =>
+      operators.FreqSketch.topItemEstimates(
+        t(s, dir, "events"), "user_id", k = 25)
+        .orderBy(col("exact_cnt").desc, col("item"))),
+
+    // Gate over EVERY distinct item: no undercount ever (counters only
+    // add), overcount within 2·e·n/width, and per-segment sketches summed
+    // BYTE-equal to the one-pass global sketch. Violations only.
+    "q_cms_native_verify" -> ((s, dir) =>
+      operators.FreqSketch.violations(
+        t(s, dir, "events"), "user_id", "event_type")
+        .orderBy(col("subject"), col("issue"))),
+
     // Funnel: view → click → purchase per user, earliest ordered chain —
     // one key-window shuffle for all three steps (no joins/collect_list).
     "q_funnel" -> ((s, dir) => {
@@ -3796,6 +3815,10 @@ object SparkEntry {
 
     "q_stream_hll_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_cms_native_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
     // Snapshot diff: rebuild the same derived after-image, full-outer join

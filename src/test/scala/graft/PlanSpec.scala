@@ -302,7 +302,10 @@ class PlanSpec extends SparkSpec {
       "q_heavy_hitters_verify",
       // merged-total (1 row) crossed with the direct global sketch (1 row)
       // for the bit-exact merge-consistency check
-      "q_hll_native_verify")
+      "q_hll_native_verify",
+      // ONE-ROW CMS sketch frame crossed into the bounded probe set
+      // (estimation per probe item, never per input row)
+      "q_cms_native", "q_cms_native_verify")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly

@@ -1,0 +1,61 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.FreqSketch
+
+class CountMinAggregateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("buffer: serde round-trip, exact on sparse input, never undercounts") {
+    val buf = new CmsBuffer(8, 1024)
+    (1L to 50L).foreach(v => (0 until v.toInt).foreach(_ => buf.add(v)))
+    val back = CmsBuffer.deserialize(buf.serialize())
+    assert(back.depth == 8 && back.width == 1024 && back.n == buf.n)
+    assert(back.counters.sameElements(buf.counters))
+    // 50 items in 1024 slots: collisions possible per row but the MIN over
+    // 8 independent rows is exact with overwhelming probability — and the
+    // lower bound is deterministic either way
+    (1L to 50L).foreach { v =>
+      assert(buf.estimate(v) >= v, s"undercount for $v")
+      assert(buf.estimate(v) <= v + 2, s"gross overcount for $v: ${buf.estimate(v)}")
+    }
+    assert(buf.estimate(9999L) <= 2, "absent item should estimate near zero")
+  }
+
+  test("merge is elementwise sum: bit-equal to single pass, shape-checked") {
+    val all = new CmsBuffer(6, 512)
+    val (a, b) = (new CmsBuffer(6, 512), new CmsBuffer(6, 512))
+    (1L to 10000L).foreach { v =>
+      val item = v % 700
+      all.add(item)
+      if (v % 2 == 0) a.add(item) else b.add(item)
+    }
+    a.mergeIn(b)
+    assert(a.n == all.n)
+    assert(a.counters.sameElements(all.counters))
+    intercept[IllegalArgumentException] { a.mergeIn(new CmsBuffer(6, 256)) }
+  }
+
+  test("aggregate: partitioning-invariant, null-safe, estimates bounded") {
+    val df = (1 to 30000)
+      .map(i => (if (i % 11 == 0) None else Some((i % 500).toLong), i))
+      .toDF("v", "i")
+    def run(parts: Int): Map[Long, Long] =
+      FreqSketch.topItemEstimates(df.repartition(parts), "v", k = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (e1, e9) = (run(1), run(9))
+    assert(e1 == e9, "estimates must not depend on partitioning")
+    val exact = FreqSketch.topItemEstimates(df, "v", k = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    e1.foreach { case (item, est) =>
+      assert(est >= exact(item), s"undercount for $item")
+    }
+  }
+
+  test("fixture gate: violations empty on events") {
+    val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
+    val viol = FreqSketch.violations(ev, "user_id", "event_type")
+    assert(viol.isEmpty, s"violations: ${viol.collect().mkString(", ")}")
+  }
+}
