@@ -1413,6 +1413,33 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Keep-BEST dedup as a pure aggregation (partial max_by: only one
+    // survivor per key crosses the exchange, vs the window path shuffling
+    // every duplicate): best doc per (source, lang) by (text length,
+    // doc_id) — the curation rule real pipelines use (keep the
+    // highest-quality duplicate, not the lowest id). Ties and the
+    // null-score group fall to the LARGEST doc_id.
+    "q_dedup_keepbest" -> ((s, dir) =>
+      Dedup.keepBestByKey(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("lang"), length(col("text")).as("quality")),
+        Seq("source", "lang"), col("quality"), "doc_id")
+        .orderBy(col("source"), col("lang"))),
+
+    // Temporal train/test split with a 1-day embargo after the cutoff —
+    // the time-series evaluation split (id-hash splits leak through
+    // nearby-in-time near-duplicates). Same fixed mid-span instant as
+    // q_decay_agg; pure codegen projection, zero shuffle.
+    "q_temporal_split" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      operators.Sampling.temporalSplit(
+        ev0.select(col("event_id"), col("user_id"),
+          EventTime.micros(ev0).as("us")),
+        "us", cutoffMicros = 1705276800000000L,
+        embargoMicros = 86400L * 1000 * 1000)
+        .orderBy(col("event_id"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev0 = t(s, dir, "events")
       val ev = ev0
@@ -3820,6 +3847,25 @@ object SparkEntry {
     "q_cms_native_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
+
+    // Keep-best: ROW_NUMBER twin of the max_by(struct) — quality DESC
+    // NULLS LAST then doc_id DESC matches Spark's null-smallest struct max.
+    "q_dedup_keepbest" ->
+      """SELECT doc_id, source, lang, quality FROM (
+        |  SELECT doc_id, source, lang, length(text) AS quality,
+        |    ROW_NUMBER() OVER (PARTITION BY source, lang
+        |      ORDER BY length(text) DESC NULLS LAST, doc_id DESC) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY source, lang""".stripMargin,
+
+    // Temporal split: same CASE ladder over epoch micros, same fixed
+    // cutoff + 1-day embargo.
+    "q_temporal_split" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CASE WHEN epoch_us(ts) <= 1705276800000000 THEN 'train'
+        |       WHEN epoch_us(ts) > 1705276800000000 + 86400000000 THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // Snapshot diff: rebuild the same derived after-image, full-outer join
     // on the key, null-safe attribute compare (IS NOT DISTINCT FROM =

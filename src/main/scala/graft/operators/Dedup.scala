@@ -29,6 +29,33 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Keep-BEST dedup as a pure AGGREGATION: one `max_by` over the whole
+    * row with a totally-ordered (score, id) ranking key. The curation
+    * counterpart of [[exactDedup]] — real pipelines keep the
+    * highest-quality duplicate, not the lowest id — and a different PLAN
+    * SHAPE than the W1 window pattern: PARTIAL AGGREGATION APPLIES, so
+    * each map task emits one best-so-far row per key and only survivors
+    * cross the exchange, where the window path must shuffle (and
+    * rank-sort) EVERY duplicate. The physical form is a SortAggregate
+    * pair (the struct buffer is not hash-agg mutable), so map tasks sort
+    * by the GROUPING KEY — cheaper than the window's (key, score, id)
+    * sort and over pre-aggregated survivors on the reduce side — but it
+    * is a sort; the shuffle-volume reduction is the 100 TB win, not
+    * sort-freedom (plan shape asserted in PlanSpec).
+    *
+    * Determinism: the ranking struct ends in the unique `idCol`, so the
+    * ordering is total (ties on score fall to the LARGEST id — document
+    * accordingly in oracles); a NULL score ranks below every non-null
+    * (nulls-first struct ordering), never wins against a scored row, and
+    * only surfaces when a whole group is unscored. */
+  def keepBestByKey(df: DataFrame, keyCols: Seq[String], scoreCol: Column,
+                    idCol: String): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, struct(scoreCol, col(idCol))).as("__best"))
+      .select(col("__best.*"))
+  }
+
   /** Canonical URL key — the CommonCrawl-style first-pass dedup key for a
     * web corpus: lowercase, strip scheme + leading `www.`, drop query
     * string and fragment, drop trailing slashes. Each pattern matches at

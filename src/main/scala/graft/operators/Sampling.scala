@@ -115,6 +115,28 @@ object Sampling {
     df.withColumn(outCol, pick.cast("long"))
   }
 
+  /** Temporal train/test split with an EMBARGO window — the time-series
+    * counterpart of [[trainValTestSplit]]: id-hash splits leak when
+    * nearby-in-time rows are near-duplicates (tomorrow's article quoting
+    * today's lands in train while today's sits in test), so temporal
+    * evaluation splits on TIME and additionally drops a gap after the
+    * cutoff. Rows at or before `cutoffMicros` are `train`; rows strictly
+    * after `cutoffMicros + embargoMicros` are `test`; rows inside the gap
+    * are labeled `embargo` for the caller to discard (labeled, not
+    * silently dropped — corpus-accounting needs the row count). Pure
+    * codegen projection over an epoch-micros column: zero shuffle, and
+    * the assignment is a function of the row's own timestamp — invariant
+    * to partitioning, retries, and engine. */
+  def temporalSplit(df: DataFrame, tsMicrosCol: String,
+                    cutoffMicros: Long, embargoMicros: Long,
+                    outCol: String = "split"): DataFrame = {
+    require(embargoMicros >= 0, "embargo must be non-negative")
+    df.withColumn(outCol,
+      when(col(tsMicrosCol) <= cutoffMicros, lit("train"))
+        .when(col(tsMicrosCol) > cutoffMicros + embargoMicros, lit("test"))
+        .otherwise(lit("embargo")))
+  }
+
   /** Deterministic per-group "reservoir": rank each group's rows by the
     * Knuth slot of their id (id as tie-break) and keep the first `k` — an
     * exactly-k-per-group sample that is, like [[stratifiedSample]], a pure

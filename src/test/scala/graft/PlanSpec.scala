@@ -388,6 +388,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange rangepartitioning(doc_id"), p)
   }
 
+  test("keep-best dedup: partial max_by pair, no window, one survivor per key shuffled") {
+    val p = plan("q_dedup_keepbest")
+    // the point of the agg path vs W1: partial aggregation before the
+    // exchange — each map task ships ONE best-so-far row per key, never
+    // every duplicate — and no window/rank machinery anywhere
+    assert(p.contains("partial_max_by"), s"no partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"window leaked into the agg path:\n$p")
+    val aggs = "SortAggregate|ObjectHashAggregate|HashAggregate".r
+      .findAllIn(p).size
+    assert(aggs >= 2, s"expected a partial/final aggregate pair:\n$p")
+  }
+
   test("join revenue: dims broadcast, fact tables shuffle-joined") {
     val p = plan("q_join_nation_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,

@@ -90,6 +90,48 @@ class CorpusOpsSpec extends graft.SparkSpec {
       (3L, "durian", 1L, s(1, 1)), (3L, "cherry", 2L, s(1, 2))))
   }
 
+  test("keepBestByKey: highest score wins, ties to largest id, null score loses") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L),   // tie at 30 → id 3
+      (4L, "b", 5L),                                     // singleton
+      (5L, "c", -1L), (6L, "c", -1L)                     // tie → id 6
+    ).toDF("id", "k", "score")
+    val got = Dedup.keepBestByKey(rows, Seq("k"), col("score"), "id")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 4L, "c" -> 6L))
+    // a null score never beats a scored row; an all-null group still
+    // elects deterministically (largest id)
+    val withNull = Seq(
+      (1L, "a", Some(10L)), (2L, "a", None),
+      (3L, "n", None), (4L, "n", None)
+    ).toDF("id", "k", "score")
+    val got2 = Dedup.keepBestByKey(withNull, Seq("k"), col("score"), "id")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(got2 == Map("a" -> 1L, "n" -> 4L))
+    // partitioning invariance (the partial/final merge path)
+    val again = Dedup.keepBestByKey(rows.repartition(7), Seq("k"), col("score"), "id")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(again == got)
+  }
+
+  test("temporalSplit: boundary-exact three-way labels, zero-embargo collapse") {
+    val s = spark; import s.implicits._
+    val rows = Seq(1L -> 50L, 2L -> 100L, 3L -> 101L, 4L -> 150L,
+      5L -> 200L, 6L -> 201L).toDF("id", "us")
+    val got = Sampling.temporalSplit(rows, "us",
+        cutoffMicros = 100L, embargoMicros = 100L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // <=cutoff → train (inclusive at 100); (cutoff, cutoff+embargo] →
+    // embargo (inclusive at 200); strictly after → test
+    assert(got == Map(1L -> "train", 2L -> "train", 3L -> "embargo",
+      4L -> "embargo", 5L -> "embargo", 6L -> "test"))
+    // zero embargo degenerates to a plain two-way temporal cut
+    val two = Sampling.temporalSplit(rows, "us", 100L, 0L)
+      .collect().map(r => r.getString(2)).toSet
+    assert(two == Set("train", "test"))
+  }
+
   test("upsampleByEpochs: expected multiplicity, deterministic repeat subset") {
     val s = spark; import s.implicits._
     val docs = (0L until 1000L).map(i => (i, if (i < 500) "books" else "web"))
