@@ -21,6 +21,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `float_vec_norm(v)`           → double L2 norm over array<float>
   *  - `sorted_long_intersect_size(a, b)` → |A∩B| of sorted array<long>
   *  - `text_profile(s)`             → fused text-stats + language-ID struct
+  *  - `poly_rolling_hash(s)`        → 64-bit polynomial rolling hash
+  *
+  * Native mergeable-summary AGGREGATES (TypedImperativeAggregate; shape
+  * parameters must be integer literals — they size the buffer at plan time):
+  *  - `misra_gries(item, capacity)`      → heavy-hitter summary struct
+  *  - `graft_hll_sketch(v, lgK)`         → binary HLL sketch
+  *  - `graft_hll_merge(sk)`              → unioned binary HLL sketch
+  *  - `graft_hll_estimate(sk)`           → struct(n, est)
+  *  - `graft_cms_sketch(v, depth, width)`→ binary Count-Min sketch
+  *  - `graft_cms_merge(sk)`              → summed binary CMS sketch
+  *  - `graft_cms_estimate(sk, item)`     → estimated count
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -36,6 +47,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects $n argument(s), got ${exprs.length}")
       build(exprs)
     }
+
+  /** Sketch shape parameters (capacity, lgK, depth, width) must be integer
+    * LITERALS — they size the aggregation buffer at plan time. */
+  private def litInt(fn: String, arg: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got ${other.sql}")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("parse_date_struct"),
@@ -58,5 +79,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("poly_rolling_hash"),
       info("poly_rolling_hash", "64-bit polynomial rolling hash over code points"),
       arity("poly_rolling_hash", 1)(exprs => graft.expr.PolyRollingHash(exprs.head))))
+    // Native mergeable-summary aggregates (the analyzer wraps a returned
+    // AggregateFunction in its AggregateExpression automatically):
+    ext.injectFunction((FunctionIdentifier("misra_gries"),
+      info("misra_gries", "Misra-Gries heavy-hitter summary struct(n, sub, items)"),
+      arity("misra_gries", 2)(exprs => graft.expr.MisraGriesAgg(exprs.head,
+        litInt("misra_gries", "capacity", exprs(1))))))
+    ext.injectFunction((FunctionIdentifier("graft_hll_sketch"),
+      info("graft_hll_sketch", "HyperLogLog sketch of a BIGINT column -> binary"),
+      arity("graft_hll_sketch", 2)(exprs => graft.expr.HllSketchAgg(exprs.head,
+        litInt("graft_hll_sketch", "lgK", exprs(1))))))
+    ext.injectFunction((FunctionIdentifier("graft_hll_merge"),
+      info("graft_hll_merge", "union of binary HLL sketches -> binary"),
+      arity("graft_hll_merge", 1)(exprs => graft.expr.HllMergeAgg(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_hll_estimate"),
+      info("graft_hll_estimate", "binary HLL sketch -> struct(n, est)"),
+      arity("graft_hll_estimate", 1)(exprs => graft.expr.HllEstimate(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_cms_sketch"),
+      info("graft_cms_sketch", "Count-Min sketch of a BIGINT column -> binary"),
+      arity("graft_cms_sketch", 3)(exprs => graft.expr.CmsSketchAgg(exprs.head,
+        litInt("graft_cms_sketch", "depth", exprs(1)),
+        litInt("graft_cms_sketch", "width", exprs(2))))))
+    ext.injectFunction((FunctionIdentifier("graft_cms_merge"),
+      info("graft_cms_merge", "elementwise sum of binary CMS sketches -> binary"),
+      arity("graft_cms_merge", 1)(exprs => graft.expr.CmsMergeAgg(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_cms_estimate"),
+      info("graft_cms_estimate", "(binary CMS sketch, BIGINT item) -> estimated count"),
+      arity("graft_cms_estimate", 2)(exprs =>
+        graft.expr.CmsEstimate(exprs(0), exprs(1)))))
   }
 }

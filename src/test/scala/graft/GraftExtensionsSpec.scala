@@ -51,6 +51,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(6) == "de")
   }
 
+  test("native sketch aggregates are callable from SQL") {
+    spark.range(0, 10000).selectExpr("id % 250 AS item", "id % 4 AS seg")
+      .createOrReplaceTempView("t_sketch_sql")
+    // HLL: per-segment sketches unioned ≡ direct global, estimate near 250
+    val hll = spark.sql(
+      """SELECT graft_hll_estimate(graft_hll_merge(sk)).est AS merged,
+        |       graft_hll_estimate(graft_hll_merge(sk)).n AS n
+        |FROM (SELECT seg, graft_hll_sketch(item, 12) AS sk
+        |      FROM t_sketch_sql GROUP BY seg)""".stripMargin).head()
+    assert(hll.getLong(1) == 10000L)
+    assert(math.abs(hll.getLong(0) - 250L) <= 13, s"est ${hll.getLong(0)}")
+    val direct = spark.sql(
+      "SELECT graft_hll_estimate(graft_hll_sketch(item, 12)).est FROM t_sketch_sql")
+      .head().getLong(0)
+    assert(hll.getLong(0) == direct, "merged must equal direct bit-exactly")
+    // CMS: every item occurs 40x; estimates never undercount
+    val cms = spark.sql(
+      """SELECT min(graft_cms_estimate(sk, probe)) AS lo
+        |FROM (SELECT graft_cms_sketch(item, 10, 2048) AS sk FROM t_sketch_sql),
+        |     (SELECT DISTINCT item AS probe FROM t_sketch_sql)""".stripMargin)
+      .head().getLong(0)
+    assert(cms >= 40L, s"undercount: $cms")
+    // MG: the summary tracks and n is exact
+    val mg = spark.sql(
+      "SELECT misra_gries(item, 16).n FROM t_sketch_sql").head().getLong(0)
+    assert(mg == 10000L)
+    // shape params must be literals, not columns
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_hll_sketch(item, CAST(item AS INT)) FROM t_sketch_sql").head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("must be an integer literal")))
+  }
+
   test("wrong arity fails analysis with the expected signature, not an index error") {
     val e = intercept[Exception] {
       spark.sql("SELECT float_vec_dot(array(cast(1.0 as float)))").head()
