@@ -59,6 +59,9 @@ val picks = Seq(
   ("q_classify_nb", "vocab-sized model broadcast back into the scored docs; corpus shuffles only on (doc,.) keys; |labels|-row prior frame crossed on purpose"),
   ("q_scd2_history", "every exchange keys on the dimension id: change detection, interval stitch, and the output sort share the key"),
   ("q_hll_native", "native HLL lattice: ONE ObjectHashAggregate partial/final pair per level, m-byte registers as the only shuffled state; union level reads sketches, never rows"),
+  ("q_cms_native", "CMS probe: one-row sketch (ObjectHashAggregate pair) crossed into the bounded top-k probe set; estimation per probe, never per input row"),
+  ("q_dedup_keepbest", "keep-best dedup as aggregation: partial max_by ships ONE survivor per key out of each map task (window path would shuffle every duplicate)"),
+  ("q_temporal_split", "temporal split + embargo: pure codegen CASE projection over epoch micros, zero shuffle before the output sort"),
   ("q_triangles", "degree-ordered orientation: distinct edge canon, degree joins, center-keyed wedge join, (a,b)-keyed closure - slow by workload (41M wedges at sf0.1), no cartesian"),
 )
 val sb = new StringBuilder
