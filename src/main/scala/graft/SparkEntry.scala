@@ -2209,6 +2209,32 @@ object SparkEntry {
         t(s, dir, "events"), "user_id", "event_type")
         .orderBy(col("subject"), col("issue"))),
 
+    // The SAME CMS grid as streaming state (complete-mode global agg
+    // merged across micro-batches), probed with the exact top-25 after
+    // the replay. Rows-only; pinned by the gate below.
+    "q_stream_cms" -> ((s, dir) =>
+      StreamingIngest.runStreamFreqBounded(s, s"$dir/events.parquet",
+        "user_id", k = 25, depth = 10, width = 2048,
+        queryName = s"stream_cms_${streamCounter.incrementAndGet()}")
+        .orderBy(col("exact_cnt").desc, col("item"))),
+
+    // Elementwise-sum merge ⇒ the streaming sketch must reproduce the
+    // batch estimates BIT-EXACTLY for every probe item. Violations only.
+    "q_stream_cms_verify" -> ((s, dir) => {
+      val stream = StreamingIngest.runStreamFreqBounded(s,
+        s"$dir/events.parquet", "user_id", k = 25, depth = 10, width = 2048,
+        queryName = s"stream_cmsv_${streamCounter.incrementAndGet()}")
+      val batch = operators.FreqSketch.topItemEstimates(
+        t(s, dir, "events"), "user_id", k = 25)
+      stream.withColumnRenamed("exact_cnt", "s_exact")
+        .withColumnRenamed("est_cnt", "s_est")
+        .join(batch, Seq("item"), "full_outer")
+        .filter(col("s_exact").isNull || col("exact_cnt").isNull ||
+          col("s_exact") =!= col("exact_cnt") || col("s_est") =!= col("est_cnt"))
+        .select(col("item").cast("string").as("subject"),
+          lit("stream_vs_batch").as("issue"))
+    }),
+
     // Funnel: view → click → purchase per user, earliest ordered chain —
     // one key-window shuffle for all three steps (no joins/collect_list).
     "q_funnel" -> ((s, dir) => {
@@ -3845,6 +3871,10 @@ object SparkEntry {
         |WHERE FALSE""".stripMargin,
 
     "q_cms_native_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_stream_cms_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 

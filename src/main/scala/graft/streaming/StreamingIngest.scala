@@ -617,6 +617,43 @@ object StreamingIngest {
         col("__e.est").as("est_distinct"))
   }
 
+  /** Streaming point-frequency sketch over the NATIVE Count-Min aggregate:
+    * the depth×width counter grid is the streaming state (complete-mode
+    * global aggregation, grid merged across micro-batches), probed after
+    * the stream ends with the exact top-`k` items. Elementwise-sum merge
+    * makes CMS — like HLL, unlike MG — a pure function of the input
+    * multiset, so the streaming result must equal the batch
+    * [[graft.operators.FreqSketch.topItemEstimates]] BIT-EXACTLY no
+    * matter how the replay batched; the harness gates that equality. */
+  def runStreamFreqBounded(spark: SparkSession, parquetPath: String,
+                           itemCol: String, k: Int,
+                           depth: Int, width: Int, queryName: String,
+                           maxFilesPerTrigger: Int = 1,
+                           statePartitions: Int = 8): DataFrame = {
+    import graft.operators.FreqSketch
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = stream.filter(col(itemCol).isNotNull)
+        .select(col(itemCol).cast("long").as("item"))
+        .agg(FreqSketch.cmsSketch(col("item"), depth, width).as("__sk"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    val items = spark.read.parquet(parquetPath)
+      .filter(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("long").as("item"))
+    val top = items.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item")).limit(k)
+    top.crossJoin(spark.table(queryName))
+      .select(col("item"), col("exact_cnt"),
+        FreqSketch.cmsEstimate(col("__sk"), col("item")).as("est_cnt"))
+  }
+
   /** Run the windowed aggregation over a parquet path as a bounded stream;
     * returns the final result as a batch DataFrame. `statePartitions` sizes
     * the state-store layout (see [[withStatePartitions]]). */

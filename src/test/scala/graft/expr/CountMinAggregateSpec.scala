@@ -53,6 +53,28 @@ class CountMinAggregateSpec extends SparkSpec {
     }
   }
 
+  test("streaming CMS state carries across micro-batches, ≡ batch bit-exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cms-stream").toString
+    try {
+      val src = s"$tmp/events"
+      spark.read.parquet(s"${testDataDir()}/events.parquet")
+        .repartition(3).write.parquet(src) // 3 files → 3 micro-batches
+      val stream = graft.streaming.StreamingIngest
+        .runStreamFreqBounded(spark, src, "user_id", k = 20,
+          depth = 10, width = 2048,
+          queryName = s"t_cms_stream_${System.nanoTime()}")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = FreqSketch
+        .topItemEstimates(spark.read.parquet(src), "user_id", k = 20)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(stream == batch,
+        "streaming CMS diverged from batch — elementwise sum must be a pure multiset function")
+      // sf0.001 has 15 distinct users — fewer than k, all of them probed
+      assert(stream.nonEmpty && stream.size <= 20)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("fixture gate: violations empty on events") {
     val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
     val viol = FreqSketch.violations(ev, "user_id", "event_type")

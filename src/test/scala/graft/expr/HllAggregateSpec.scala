@@ -107,6 +107,20 @@ class HllAggregateSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(tmp))
   }
 
+  test("rollup scans rows ONCE at runtime: AQE reuses the sketch exchange") {
+    // The rollup unions per-segment estimates with the sketch-union total;
+    // statically that is two scans of the input, but both branches share
+    // an identical partial-sketch exchange, and AQE's exchange reuse must
+    // collapse them at runtime — at 100 TB this is scan-once vs
+    // scan-twice, so it is guarded, not assumed.
+    val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
+    val roll = Profiler.nativeDistinctRollup(ev, "event_type", "user_id")
+    roll.collect()
+    val executed = roll.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"sketch exchange not reused — the union re-scans the input:\n$executed")
+  }
+
   test("fixture gate: rollup violations empty; estimates match shape") {
     val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
     val viol = Profiler.nativeDistinctViolations(ev, "event_type", "user_id")
