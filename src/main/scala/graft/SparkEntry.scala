@@ -1192,6 +1192,30 @@ object SparkEntry {
         "o_custkey", Seq("o_orderstatus"), "o_orderdate", Seq("o_orderkey"))
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderstatus"))),
 
+    // CDC MERGE: an op-tagged change batch (U on %7 keys, D on %11, I of
+    // new keys on %13 — so %77 keys carry BOTH a U and a later D, the
+    // latest-wins case) applied to the base table. Within-batch winner
+    // election reuses the keep-best max_by aggregation; untouched keys
+    // pass through. Deterministic → exactly oracled.
+    "q_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val u = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") + 5).as("o_totalprice"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val d = base.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      val ins = base.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      sink.Warehouse.applyCdc(base, u.unionByName(d).unionByName(ins),
+        Seq("o_orderkey"), "seq", "op")
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_join_bucketed" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
@@ -3877,6 +3901,29 @@ object SparkEntry {
     "q_stream_cms_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
+
+    // CDC merge: same derived batch, ROW_NUMBER winner per key by
+    // (seq DESC, op DESC), anti-join + final non-delete rows.
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+        |u AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 5 AS o_totalprice,
+        |        CAST(1 AS BIGINT) AS seq, 'U' AS op FROM base WHERE o_orderkey % 7 = 0),
+        |d AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |        CAST(2 AS BIGINT) AS seq, 'D' AS op FROM base WHERE o_orderkey % 11 = 0),
+        |i AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority, o_totalprice,
+        |        CAST(1 AS BIGINT) AS seq, 'I' AS op FROM base WHERE o_orderkey % 13 = 0),
+        |cdc AS (SELECT * FROM u UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i),
+        |latest AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC, op DESC) AS rn FROM cdc),
+        |fin AS (SELECT o_orderkey, o_orderpriority, o_totalprice, op
+        |        FROM latest WHERE rn = 1)
+        |SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM fin f WHERE f.o_orderkey = b.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, o_totalprice FROM fin WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Keep-best: ROW_NUMBER twin of the max_by(struct) — quality DESC
     // NULLS LAST then doc_id DESC matches Spark's null-smallest struct max.

@@ -150,6 +150,38 @@ object Warehouse {
         compareCols.map(c => col(s"a.$c").as(s"after_$c")): _*)
   }
 
+  /** Apply a CDC batch (op-tagged change rows: `I`nsert / `U`psert /
+    * `D`elete) to a base table — the MERGE a CDC-fed warehouse runs per
+    * micro-batch. Within the batch, the LATEST op per key wins (total
+    * (seq, op) order via the same whole-row `max_by` as
+    * [[graft.operators.Dedup.keepBestByKey]] — partial aggregation, one
+    * survivor per key crosses the exchange); a final I/U overwrites or
+    * inserts the row, a final D removes it. Keys untouched by the batch
+    * pass through unchanged.
+    *
+    * Scale shape: one key-keyed aggregation over the (delta-sized) CDC
+    * batch, then one key-keyed left-anti + union against the base — the
+    * base table shuffles once on its key and the whole plan is
+    * broadcast-eligible when the batch is small. Deterministic: `seqCol`
+    * with the op tag as tie-break makes the within-batch order total (two
+    * ops on one key at the SAME seq resolve to the lexically largest op —
+    * U over I over D; ties should not happen in a well-formed feed, but a
+    * malformed one stays deterministic). */
+  def applyCdc(base: DataFrame, cdc: DataFrame, keyCols: Seq[String],
+               seqCol: String, opCol: String): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(dataCols.forall(cdc.columns.contains),
+      s"applyCdc: cdc must carry every base column; missing " +
+        s"${dataCols.filterNot(cdc.columns.contains).mkString(", ")}")
+    val latest = graft.operators.Dedup.keepBestByKey(
+      cdc.withColumn("__rank", struct(col(seqCol), col(opCol))),
+      keyCols, col("__rank"), seqCol)
+    val survivors = latest.filter(col(opCol) =!= "D")
+      .select(dataCols.map(col): _*)
+    base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(survivors)
+  }
+
   /** Compact a parquet directory to ~`targetMB` output files — small-file
     * pressure is the classic failure mode of continuous partitioned appends.
     * Rewrites to a temp dir then swaps. Swap safety: every rename's return

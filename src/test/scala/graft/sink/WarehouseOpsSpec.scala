@@ -69,6 +69,32 @@ class WarehouseOpsSpec extends SparkSpec {
       ("x", None, true)))
   }
 
+  test("applyCdc: upsert/insert/delete, latest op per key wins, passthrough") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val cdc = Seq(
+      (1L, "a2", 1L, "U"),  // plain overwrite
+      (2L, "x", 1L, "U"),   // overwritten then deleted → latest wins
+      (2L, "b", 2L, "D"),
+      (3L, "y", 2L, "D"),   // deleted then re-upserted later → U wins
+      (3L, "c3", 3L, "U"),
+      (9L, "new", 1L, "I"), // brand-new key
+      (5L, "e1", 1L, "U"),  // same-seq malformed tie: U beats D lexically
+      (5L, "e2", 1L, "D")
+    ).toDF("k", "v", "seq", "op")
+    val got = Warehouse.applyCdc(base, cdc, Seq("k"), "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 4 passes through untouched; 2 deleted; 3 re-upserted; 5 not in base,
+    // tie resolves to U so its row lands
+    assert(got == Map(1L -> "a2", 3L -> "c3", 4L -> "d", 9L -> "new", 5L -> "e1"))
+    // a cdc batch missing a base column fails fast, not silently
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.applyCdc(base, cdc.drop("v"), Seq("k"), "seq", "op")
+    }
+    assert(e.getMessage.contains("missing v"))
+  }
+
   test("snapshotDiff labels added/removed/changed, drops unchanged, null-safe") {
     import spark.implicits._
     val before = Seq(
