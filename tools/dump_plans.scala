@@ -63,6 +63,7 @@ val picks = Seq(
   ("q_dedup_keepbest", "keep-best dedup as aggregation: partial max_by ships ONE survivor per key out of each map task (window path would shuffle every duplicate)"),
   ("q_temporal_split", "temporal split + embargo: pure codegen CASE projection over epoch micros, zero shuffle before the output sort"),
   ("q_triangles", "degree-ordered orientation: distinct edge canon, degree joins, center-keyed wedge join, (a,b)-keyed closure - slow by workload (41M wedges at sf0.1), no cartesian"),
+  ("q_cdc_apply", "CDC merge: keep-best winner election over the delta, key-keyed anti-join + union - base shuffles once, delta broadcast-eligible"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
