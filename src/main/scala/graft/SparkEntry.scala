@@ -1450,6 +1450,18 @@ object SparkEntry {
         Seq("source", "lang"), col("quality"), "doc_id")
         .orderBy(col("source"), col("lang"))),
 
+    // Ingest-rate anomaly gate: hourly per-type counts (empty hours
+    // zero-filled — a dead source must surface, not vanish) vs the
+    // trailing 24h, flagged beyond 3 population-σ by a pure-integer
+    // rearrangement of the z-test — no division/sqrt, hash-exact.
+    "q_rate_anomalies" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      operators.TimeSeries.rateAnomalies(ev0, "event_type",
+        EventTime.micros(ev0), bucketMicros = 3600L * 1000 * 1000,
+        window = 24, k = 3)
+        .orderBy(col("key"), col("bucket"))
+    }),
+
     // Temporal train/test split with a 1-day embargo after the cutoff —
     // the time-series evaluation split (id-hash splits leak through
     // nearby-in-time near-duplicates). Same fixed mid-span instant as
@@ -3934,6 +3946,35 @@ object SparkEntry {
         |      ORDER BY length(text) DESC NULLS LAST, doc_id DESC) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY source, lang""".stripMargin,
+
+    // Rate anomalies: same densified grid (LATERAL range over the global
+    // bucket span), same ROWS window, same integer z-test.
+    "q_rate_anomalies" ->
+      """WITH c AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS key,
+        |    epoch_us(ts) // 3600000000 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM c),
+        |grid AS (
+        |  SELECT k.key, g.bucket
+        |  FROM (SELECT DISTINCT key FROM c) k, span,
+        |    LATERAL (SELECT unnest(range(span.mn, span.mx + 1)) AS bucket) g),
+        |f AS (
+        |  SELECT grid.key, grid.bucket, COALESCE(c.cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN c ON c.key = grid.key AND c.bucket = grid.bucket),
+        |r AS (
+        |  SELECT key, bucket, cnt,
+        |    SUM(cnt) OVER win AS trail_sum,
+        |    SUM(cnt * cnt) OVER win AS trail_sumsq,
+        |    COUNT(*) OVER win AS np
+        |  FROM f WINDOW win AS (PARTITION BY key ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT key, bucket, cnt, trail_sum, trail_sumsq
+        |FROM r
+        |WHERE np = 24
+        |  AND (24 * cnt - trail_sum) * (24 * cnt - trail_sum)
+        |      > 9 * (24 * trail_sumsq - trail_sum * trail_sum)
+        |ORDER BY key, bucket""".stripMargin,
 
     // Temporal split: same CASE ladder over epoch micros, same fixed
     // cutoff + 1-day embargo.

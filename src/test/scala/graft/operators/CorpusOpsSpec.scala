@@ -90,6 +90,32 @@ class CorpusOpsSpec extends graft.SparkSpec {
       (3L, "durian", 1L, s(1, 1)), (3L, "cherry", 2L, s(1, 2))))
   }
 
+  test("rateAnomalies: planted spike and dead-source collapse flagged, steady state not") {
+    val s = spark; import s.implicits._
+    // key A: 2 events/bucket for buckets 0..29, EXCEPT silence at bucket
+    // 15 (dead source) and a spike of 12 at bucket 25; key B: steady 3.
+    val rows = for {
+      b <- 0 until 30
+      (key, n) <- Seq(
+        ("A", if (b == 25) 12 else if (b == 15) 0 else 2),
+        ("B", 3))
+      i <- 0 until n
+    } yield (key, b.toLong * 1000000L + i)
+    val df = rows.toDF("k", "us")
+    val got = TimeSeries.rateAnomalies(df, "k", col("us"),
+        bucketMicros = 1000000L, window = 10, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // collapse at 15: trailing 5..14 is constant-2, σ=0 → (0−20)²>0 flags.
+    // spike at 25: trailing 15..24 = {0, 2×9}: (120−18)²=10404 >
+    // 9·(10·36−324)=324 flags. Neighbors of both stay inside their
+    // (contaminated, wider-σ) baselines; B never deviates.
+    assert(got == Set(("A", 15L, 0L), ("A", 25L, 12L)), s"got: $got")
+    // zero-filled gap: a key absent from a bucket still yields a row in
+    // the densified grid (the collapse above IS that case)
+    val filled = TimeSeries.bucketCounts(df, "k", col("us"), 1000000L)
+    assert(filled.count() == 60L) // 2 keys x 30 buckets, gaps included
+  }
+
   test("keepBestByKey: highest score wins, ties to largest id, null score loses") {
     val s = spark; import s.implicits._
     val rows = Seq(
