@@ -64,6 +64,7 @@ val picks = Seq(
   ("q_temporal_split", "temporal split + embargo: pure codegen CASE projection over epoch micros, zero shuffle before the output sort"),
   ("q_triangles", "degree-ordered orientation: distinct edge canon, degree joins, center-keyed wedge join, (a,b)-keyed closure - slow by workload (41M wedges at sf0.1), no cartesian"),
   ("q_cdc_apply", "CDC merge: keep-best winner election over the delta, key-keyed anti-join + union - base shuffles once, delta broadcast-eligible"),
+  ("q_rate_anomalies", "zero-filled grid (per-key sequence explode) + ONE key-keyed rolling window; integer z-test is a codegen filter"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
