@@ -1462,6 +1462,15 @@ object SparkEntry {
         .orderBy(col("key"), col("bucket"))
     }),
 
+    // Streaming twin of the anomaly gate: grid-sized complete-mode count
+    // state, then the SAME densify + integer z-test — exact counts make
+    // it bit-identical to batch, so it shares q_rate_anomalies' oracle.
+    "q_stream_anomalies" -> ((s, dir) =>
+      StreamingIngest.runStreamRateAnomaliesBounded(s, s"$dir/events.parquet",
+        "event_type", bucketMicros = 3600L * 1000 * 1000, window = 24, k = 3,
+        queryName = s"stream_anom_${streamCounter.incrementAndGet()}")
+        .orderBy(col("key"), col("bucket"))),
+
     // Temporal train/test split with a 1-day embargo after the cutoff —
     // the time-series evaluation split (id-hash splits leak through
     // nearby-in-time near-duplicates). Same fixed mid-span instant as
@@ -2536,6 +2545,35 @@ object SparkEntry {
   // result). 6dp-round-then-decimal-sum contract throughout; the completed
   // term×label grid gives unseen-for-label tokens the Laplace-smoothed
   // mass; argmax tie-breaks on label.
+  /** Shared by q_rate_anomalies and its streaming twin: exact integer
+    * counts make the two engines' flagged sets bit-identical. */
+  private val rateAnomalySql: String =
+    """WITH c AS (
+      |  SELECT CAST(event_type AS VARCHAR) AS key,
+      |    epoch_us(ts) // 3600000000 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM c),
+      |grid AS (
+      |  SELECT k.key, g.bucket
+      |  FROM (SELECT DISTINCT key FROM c) k, span,
+      |    LATERAL (SELECT unnest(range(span.mn, span.mx + 1)) AS bucket) g),
+      |f AS (
+      |  SELECT grid.key, grid.bucket, COALESCE(c.cnt, 0) AS cnt
+      |  FROM grid LEFT JOIN c ON c.key = grid.key AND c.bucket = grid.bucket),
+      |r AS (
+      |  SELECT key, bucket, cnt,
+      |    SUM(cnt) OVER win AS trail_sum,
+      |    SUM(cnt * cnt) OVER win AS trail_sumsq,
+      |    COUNT(*) OVER win AS np
+      |  FROM f WINDOW win AS (PARTITION BY key ORDER BY bucket
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT key, bucket, cnt, trail_sum, trail_sumsq
+      |FROM r
+      |WHERE np = 24
+      |  AND (24 * cnt - trail_sum) * (24 * cnt - trail_sum)
+      |      > 9 * (24 * trail_sumsq - trail_sum * trail_sum)
+      |ORDER BY key, bucket""".stripMargin
+
   private val nbOracleSql: String =
     """WITH trtok AS (
       |  SELECT lang AS label, t.term FROM documents,
@@ -3948,33 +3986,11 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY source, lang""".stripMargin,
 
     // Rate anomalies: same densified grid (LATERAL range over the global
-    // bucket span), same ROWS window, same integer z-test.
-    "q_rate_anomalies" ->
-      """WITH c AS (
-        |  SELECT CAST(event_type AS VARCHAR) AS key,
-        |    epoch_us(ts) // 3600000000 AS bucket, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |span AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM c),
-        |grid AS (
-        |  SELECT k.key, g.bucket
-        |  FROM (SELECT DISTINCT key FROM c) k, span,
-        |    LATERAL (SELECT unnest(range(span.mn, span.mx + 1)) AS bucket) g),
-        |f AS (
-        |  SELECT grid.key, grid.bucket, COALESCE(c.cnt, 0) AS cnt
-        |  FROM grid LEFT JOIN c ON c.key = grid.key AND c.bucket = grid.bucket),
-        |r AS (
-        |  SELECT key, bucket, cnt,
-        |    SUM(cnt) OVER win AS trail_sum,
-        |    SUM(cnt * cnt) OVER win AS trail_sumsq,
-        |    COUNT(*) OVER win AS np
-        |  FROM f WINDOW win AS (PARTITION BY key ORDER BY bucket
-        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        |SELECT key, bucket, cnt, trail_sum, trail_sumsq
-        |FROM r
-        |WHERE np = 24
-        |  AND (24 * cnt - trail_sum) * (24 * cnt - trail_sum)
-        |      > 9 * (24 * trail_sumsq - trail_sum * trail_sum)
-        |ORDER BY key, bucket""".stripMargin,
+    // bucket span), same ROWS window, same integer z-test. The STREAMING
+    // twin is bit-identical (exact counts), so it shares this oracle.
+    "q_rate_anomalies" -> rateAnomalySql,
+
+    "q_stream_anomalies" -> rateAnomalySql,
 
     // Temporal split: same CASE ladder over epoch micros, same fixed
     // cutoff + 1-day embargo.

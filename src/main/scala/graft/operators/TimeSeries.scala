@@ -30,13 +30,25 @@ object TimeSeries {
     * computed with exact integer arithmetic (`us - pmod` before the
     * divide — epoch-scale longs exceed double-exact division). */
   def bucketCounts(df: DataFrame, keyCol: String, usMicros: Column,
-                   bucketMicros: Long): DataFrame = {
+                   bucketMicros: Long): DataFrame =
+    densify(rawBucketCounts(df, keyCol, usMicros, bucketMicros))
+
+  /** Sparse per-(key, bucket) counts — also the shape the STREAMING twin
+    * materializes from its state store, which is why it is split out:
+    * batch and stream share [[densify]] + [[anomaliesFromCounts]] verbatim,
+    * and exact integer counts make the two paths bit-identical. */
+  def rawBucketCounts(df: DataFrame, keyCol: String, usMicros: Column,
+                      bucketMicros: Long): DataFrame = {
     val bucket = ((usMicros - pmod(usMicros, lit(bucketMicros))) /
       lit(bucketMicros)).cast("long")
-    val counts = df
-      .select(col(keyCol).cast("string").as("key"), bucket.as("bucket"))
+    df.select(col(keyCol).cast("string").as("key"), bucket.as("bucket"))
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Zero-fill a sparse (key, bucket, cnt) frame over the global bucket
+    * span (one 2-long driver row; grid = |keys| · span buckets). */
+  def densify(counts: DataFrame): DataFrame = {
     val span = counts.agg(min(col("bucket")), max(col("bucket"))).head()
     if (span.isNullAt(0)) return counts // empty input: nothing to densify
     val (minB, maxB) = (span.getLong(0), span.getLong(1))
@@ -54,12 +66,18 @@ object TimeSeries {
     * state is grid-sized, never event-volume-sized. Output:
     * (key, bucket, cnt, trail_sum, trail_sumsq), integer-exact. */
   def rateAnomalies(df: DataFrame, keyCol: String, usMicros: Column,
-                    bucketMicros: Long, window: Int, k: Int): DataFrame = {
+                    bucketMicros: Long, window: Int, k: Int): DataFrame =
+    anomaliesFromCounts(
+      bucketCounts(df, keyCol, usMicros, bucketMicros), window, k)
+
+  /** The trailing-window integer z-test over an ALREADY-densified
+    * (key, bucket, cnt) frame. */
+  def anomaliesFromCounts(filled: DataFrame, window: Int, k: Int): DataFrame = {
     require(window >= 2 && k >= 1, "need window >= 2 and k >= 1")
     val trail = Window.partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(-window, -1)
     val wL = lit(window.toLong)
-    bucketCounts(df, keyCol, usMicros, bucketMicros)
+    filled
       .withColumn("trail_sum", sum(col("cnt")).over(trail))
       .withColumn("trail_sumsq", sum(col("cnt") * col("cnt")).over(trail))
       .withColumn("__np", count(lit(1)).over(trail))

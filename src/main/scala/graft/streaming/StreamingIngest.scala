@@ -654,6 +654,44 @@ object StreamingIngest {
         FreqSketch.cmsEstimate(col("__sk"), col("item")).as("est_cnt"))
   }
 
+  /** Streaming ingest-rate anomaly gate: per-(key, bucket) counts run as
+    * complete-mode streaming state (grid-sized — |keys| · span buckets —
+    * regardless of event volume; plain counts are sum-mergeable across
+    * micro-batches), then the batch densify + integer z-test from
+    * [[graft.operators.TimeSeries]] runs over the final snapshot. Counts
+    * are EXACT, so the streaming result is bit-identical to the batch
+    * operator and shares its DuckDB oracle verbatim — no tolerance gate
+    * needed, the stronger claim the integer-exact design buys. */
+  def runStreamRateAnomaliesBounded(spark: SparkSession, parquetPath: String,
+                                    keyCol: String, bucketMicros: Long,
+                                    window: Int, k: Int, queryName: String,
+                                    maxFilesPerTrigger: Int = 1,
+                                    statePartitions: Int = 8): DataFrame = {
+    val ev = spark.read.parquet(parquetPath)
+    val usCol = graft.functions.EventTime.micros(ev)
+    val bucket = ((usCol - pmod(usCol, lit(bucketMicros))) /
+      lit(bucketMicros)).cast("long")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = stream
+        .select(col(keyCol).cast("string").as("key"), bucket.as("bucket"))
+        .groupBy(col("key"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // localCheckpoint: densify self-joins the counts frame, and a memory-
+    // sink table's lineage trips analyzer reference-dedup; the snapshot is
+    // grid-sized (keys × buckets), so materializing it is free
+    val counts = spark.table(queryName).localCheckpoint()
+    graft.operators.TimeSeries.anomaliesFromCounts(
+      graft.operators.TimeSeries.densify(counts), window, k)
+  }
+
   /** Run the windowed aggregation over a parquet path as a bounded stream;
     * returns the final result as a batch DataFrame. `statePartitions` sizes
     * the state-store layout (see [[withStatePartitions]]). */

@@ -335,7 +335,7 @@ class PlanSpec extends SparkSpec {
       "q_stream_sessions", "q_stream_join", "q_stream_upsert",
       "q_stream_classify", "q_stream_hotkeys", "q_stream_hotkeys_verify",
       "q_stream_hll", "q_stream_hll_verify",
-      "q_stream_cms", "q_stream_cms_verify",
+      "q_stream_cms", "q_stream_cms_verify", "q_stream_anomalies",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_train_pipeline",
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",

@@ -116,6 +116,28 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(filled.count() == 60L) // 2 keys x 30 buckets, gaps included
   }
 
+  test("streaming rate anomalies ≡ batch bit-exact across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-anom-stream").toString
+    try {
+      val src = s"$tmp/events"
+      spark.read.parquet(s"${testDataDir("0.01")}/events.parquet")
+        .repartition(3).write.parquet(src) // 3 files → 3 micro-batches
+      val stream = graft.streaming.StreamingIngest
+        .runStreamRateAnomaliesBounded(spark, src, "event_type",
+          bucketMicros = 3600L * 1000 * 1000, window = 24, k = 3,
+          queryName = s"t_anom_stream_${System.nanoTime()}")
+        .collect().map(_.toSeq).toSet
+      val ev = spark.read.parquet(src)
+      val batch = TimeSeries.rateAnomalies(ev, "event_type",
+          graft.functions.EventTime.micros(ev),
+          bucketMicros = 3600L * 1000 * 1000, window = 24, k = 3)
+        .collect().map(_.toSeq).toSet
+      assert(stream == batch, "streaming anomalies diverged from batch")
+      assert(stream.nonEmpty, "expected real anomalies at sf0.01")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("keepBestByKey: highest score wins, ties to largest id, null score loses") {
     val s = spark; import s.implicits._
     val rows = Seq(
