@@ -95,6 +95,34 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("missing v"))
   }
 
+  test("applyCdc ≡ sequential reference on 40 random op streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 40) {
+      val baseKeys = (0L until 20L).filter(_ => rnd.nextBoolean())
+      val base = baseKeys.map(k => (k, s"base$k")).toDF("k", "v")
+      val nOps = 1 + rnd.nextInt(30)
+      // unique (key, seq) pairs: a well-formed feed never repeats a seq per
+      // key (the malformed tie case has its own deterministic-order test)
+      val ops = rnd.shuffle(
+        (for { k <- 0L until 25L; s <- 1L to 4L } yield (k, s)).toSeq)
+        .take(nOps)
+        .map { case (k, s) =>
+          (k, s"v${k}_$s", s, Seq("I", "U", "D")(rnd.nextInt(3)))
+        }
+      val got = Warehouse.applyCdc(base,
+          ops.toDF("k", "v", "seq", "op"), Seq("k"), "seq", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // reference: fold the final (max-seq) op per key over a map
+      val ref = scala.collection.mutable.Map(baseKeys.map(k => k -> s"base$k"): _*)
+      ops.groupBy(_._1).foreach { case (k, kOps) =>
+        val (_, v, _, op) = kOps.maxBy(o => (o._3, o._4))
+        if (op == "D") ref.remove(k) else ref(k) = v
+      }
+      assert(got == ref.toMap, s"trial $trial: ops=$ops base=$baseKeys")
+    }
+  }
+
   test("snapshotDiff labels added/removed/changed, drops unchanged, null-safe") {
     import spark.implicits._
     val before = Seq(
