@@ -52,7 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * LITERALS — they size the aggregation buffer at plan time. */
   private def litInt(fn: String, arg: String, e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+      // exact, not truncating: 2^32+16 silently becoming width=16 would
+      // inflate the error bound ~256000x with no diagnostic
+      try Math.toIntExact(v)
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"$fn: $arg literal $v exceeds Int range") }
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got ${other.sql}")

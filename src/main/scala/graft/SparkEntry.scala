@@ -1744,12 +1744,17 @@ object SparkEntry {
         queryName = s"stream_hllv_${streamCounter.incrementAndGet()}")
       val batch = operators.Profiler.nativeDistinctRollup(
         t(s, dir, "events"), "event_type", "user_id")
+      // null-safe segment join: a NULL segment is a real segment; a plain
+      // equi-join would orphan both copies into spurious violations
       stream.withColumnRenamed("n_rows", "s_n")
-        .withColumnRenamed("est_distinct", "s_est")
-        .join(batch, Seq("segment"), "full_outer")
-        .filter(col("s_n").isNull || col("n_rows").isNull ||
-          col("s_n") =!= col("n_rows") || col("s_est") =!= col("est_distinct"))
-        .select(col("segment"), lit("stream_vs_batch").as("issue"))
+        .withColumnRenamed("est_distinct", "s_est").alias("s")
+        .join(batch.alias("b"),
+          col("s.segment") <=> col("b.segment"), "full_outer")
+        .filter(col("s.s_n").isNull || col("b.n_rows").isNull ||
+          col("s.s_n") =!= col("b.n_rows") ||
+          col("s.s_est") =!= col("b.est_distinct"))
+        .select(coalesce(col("s.segment"), col("b.segment")).as("segment"),
+          lit("stream_vs_batch").as("issue"))
     }),
 
     // Snapshot diff: what did this load DO — added/removed/changed per

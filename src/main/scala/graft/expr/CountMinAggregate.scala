@@ -89,7 +89,12 @@ case class CmsSketchAgg(
   extends TypedImperativeAggregate[CmsBuffer] {
 
   require(depth >= 1 && depth <= 32, s"depth must be in [1,32], got $depth")
-  require(width >= 16, s"width must be >= 16, got $width")
+  // upper bound for the same reason lgK is capped at 16: the grid is the
+  // PER-GROUP aggregation buffer — an unbounded width overflows the Int
+  // cell count (NegativeArraySizeException) or OOMs every task; 2^22
+  // longs = 32 MB/buffer is already generous for ε = e/width ≈ 6.5e-7
+  require(width >= 16 && width <= (1 << 22),
+    s"width must be in [16, ${1 << 22}], got $width")
 
   override def children: Seq[Expression] = Seq(child)
   override def checkInputDataTypes(): TypeCheckResult =

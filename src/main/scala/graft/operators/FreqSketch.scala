@@ -38,10 +38,17 @@ object FreqSketch {
                        depth: Int = 10, width: Int = 2048): DataFrame = {
     val items = df.filter(col(itemCol).isNotNull)
       .select(col(itemCol).cast("long").as("item"))
+    probeTopK(items, items.agg(cmsSketch(col("item"), depth, width).as("__sk")), k)
+  }
+
+  /** Exact-top-`k` probe of a ONE-ROW (`__sk`) sketch frame. Split out
+    * because the STREAMING twin materializes the same sketch from its
+    * state store and must derive the identical output shape — its
+    * bit-exact stream ≡ batch gate depends on sharing this code. */
+  def probeTopK(items: DataFrame, sketchFrame: DataFrame, k: Int): DataFrame = {
     val top = items.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("item")).limit(k)
-    val sk = items.agg(cmsSketch(col("item"), depth, width).as("__sk"))
-    top.crossJoin(sk)
+    top.crossJoin(sketchFrame)
       .select(col("item"), col("exact_cnt"),
         cmsEstimate(col("__sk"), col("item")).as("est_cnt"))
   }

@@ -221,12 +221,17 @@ object Profiler {
       .agg(countDistinct(col("v")).as("exact"))
     val exactTot = vals.agg(countDistinct(col("v")).as("exact"))
       .select(lit("__TOTAL__").as("segment"), col("exact"))
-    segmentDistinctRollup(df, segCol, valueCol)
-      .join(exactSeg.unionAll(exactTot), Seq("segment"), "full_outer")
-      .filter(col("est_distinct").isNull || col("exact").isNull ||
-        abs(col("est_distinct") - col("exact")).cast("double") >
-          lit(relErr) * col("exact").cast("double"))
-      .select(col("segment"), col("est_distinct"), col("exact"))
+    // null-SAFE join key (<=>): a NULL segment is a real segment on both
+    // sides; a plain equi-join would pair neither copy and report two
+    // spurious violations
+    val est = segmentDistinctRollup(df, segCol, valueCol).alias("e")
+    val exact = exactSeg.unionAll(exactTot).alias("x")
+    est.join(exact, col("e.segment") <=> col("x.segment"), "full_outer")
+      .filter(col("e.est_distinct").isNull || col("x.exact").isNull ||
+        abs(col("e.est_distinct") - col("x.exact")).cast("double") >
+          lit(relErr) * col("x.exact").cast("double"))
+      .select(coalesce(col("e.segment"), col("x.segment")).as("segment"),
+        col("e.est_distinct").as("est_distinct"), col("x.exact").as("exact"))
   }
 
   // ---- native HLL (graft.expr.HllAggregate): the engine's own mergeable
@@ -255,10 +260,17 @@ object Profiler {
     * coarser rollup level merges in segment-count time. Output adds the
     * exact per-segment row count (`n_rows`) the sketch carries for free. */
   def nativeDistinctRollup(df: DataFrame, segCol: String, valueCol: String,
-                           lgK: Int = 12): DataFrame = {
-    val sk = df.filter(col(valueCol).isNotNull)
+                           lgK: Int = 12): DataFrame =
+    rollupFromSketches(df.filter(col(valueCol).isNotNull)
       .groupBy(col(segCol).cast("string").as("segment"))
-      .agg(hllSketch(col(valueCol).cast("long"), lgK).as("__sk"))
+      .agg(hllSketch(col(valueCol).cast("long"), lgK).as("__sk")))
+
+  /** perSeg + sketch-union `__TOTAL__` derivation from a (segment, __sk)
+    * frame. Split out because the STREAMING twin materializes the same
+    * sketch frame from its state store and must derive the identical
+    * output shape — its bit-exact stream ≡ batch gate depends on the two
+    * paths sharing this code, not re-implementing it. */
+  def rollupFromSketches(sk: DataFrame): DataFrame = {
     val perSeg = sk.select(col("segment"), hllEstimate(col("__sk")).as("__e"))
     val total = sk.agg(hllMerge(col("__sk")).as("__u"))
       .select(lit("__TOTAL__").as("segment"), hllEstimate(col("__u")).as("__e"))
@@ -287,15 +299,22 @@ object Profiler {
       .agg(countDistinct(col("v")).as("exact"))
     val exactTot = vals.agg(countDistinct(col("v")).as("exact"))
       .select(lit("__TOTAL__").as("segment"), col("exact"))
-    val errors = nativeDistinctRollup(df, segCol, valueCol, lgK)
-      .join(exactSeg.unionAll(exactTot), Seq("segment"), "full_outer")
-      .filter(col("est_distinct").isNull || col("exact").isNull ||
-        abs(col("est_distinct") - col("exact")).cast("double") >
-          lit(relErr) * col("exact").cast("double"))
-      .select(col("segment"), lit("error_bound").as("issue"))
+    // ONE rollup subtree reused for both checks (two independently-built
+    // copies could silently drift apart), joined null-SAFELY — a NULL
+    // segment is a real segment on both sides, and a plain equi-join would
+    // pair neither copy and report two spurious violations
+    val roll = nativeDistinctRollup(df, segCol, valueCol, lgK)
+    val errors = roll.alias("e")
+      .join(exactSeg.unionAll(exactTot).alias("x"),
+        col("e.segment") <=> col("x.segment"), "full_outer")
+      .filter(col("e.est_distinct").isNull || col("x.exact").isNull ||
+        abs(col("e.est_distinct") - col("x.exact")).cast("double") >
+          lit(relErr) * col("x.exact").cast("double"))
+      .select(coalesce(col("e.segment"), col("x.segment")).as("segment"),
+        lit("error_bound").as("issue"))
     val direct = vals.agg(hllSketch(col("v").cast("long"), lgK).as("__g"))
       .select(hllEstimate(col("__g")).getField("est").as("est_direct"))
-    val merged = nativeDistinctRollup(df, segCol, valueCol, lgK)
+    val merged = roll
       .filter(col("segment") === "__TOTAL__")
       .select(col("est_distinct").as("est_merged"))
     val consistency = merged.crossJoin(direct)

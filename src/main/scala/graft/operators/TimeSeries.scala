@@ -38,13 +38,21 @@ object TimeSeries {
     * batch and stream share [[densify]] + [[anomaliesFromCounts]] verbatim,
     * and exact integer counts make the two paths bit-identical. */
   def rawBucketCounts(df: DataFrame, keyCol: String, usMicros: Column,
-                      bucketMicros: Long): DataFrame = {
-    val bucket = ((usMicros - pmod(usMicros, lit(bucketMicros))) /
-      lit(bucketMicros)).cast("long")
-    df.select(col(keyCol).cast("string").as("key"), bucket.as("bucket"))
+                      bucketMicros: Long): DataFrame =
+    df.select(col(keyCol).cast("string").as("key"),
+        bucketExpr(usMicros, bucketMicros).as("bucket"))
       .groupBy(col("key"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-  }
+
+  /** Exact integer bucket of an epoch-micros column (us div bucketMicros;
+    * the `us - pmod` form keeps the double division exact — epoch-scale
+    * longs exceed double-exact direct division). The ONE bucketing both
+    * the batch operator and the streaming twin must share: the streaming
+    * query reuses the batch DuckDB oracle verbatim, which is only sound
+    * while both paths bucket identically. */
+  def bucketExpr(usMicros: Column, bucketMicros: Long): Column =
+    ((usMicros - pmod(usMicros, lit(bucketMicros))) /
+      lit(bucketMicros)).cast("long")
 
   /** Zero-fill a sparse (key, bucket, cnt) frame over the global bucket
     * span (one 2-long driver row; grid = |keys| · span buckets). */

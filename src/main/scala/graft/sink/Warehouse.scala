@@ -173,8 +173,18 @@ object Warehouse {
     require(dataCols.forall(cdc.columns.contains),
       s"applyCdc: cdc must carry every base column; missing " +
         s"${dataCols.filterNot(cdc.columns.contains).mkString(", ")}")
+    // op domain is CHECKED, not assumed: a NULL or unknown op would make
+    // `op =!= "D"` evaluate to NULL below — the winning row silently
+    // dropped while the anti-join still removes the base row, i.e. data
+    // loss with no diagnostic. Malformed feeds must fail loudly.
+    val checkedCdc = cdc.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit("applyCdc: invalid op '"),
+          coalesce(col(opCol), lit("NULL")),
+          lit("' (expected I, U, or D)")))))
     val latest = graft.operators.Dedup.keepBestByKey(
-      cdc.withColumn("__rank", struct(col(seqCol), col(opCol))),
+      checkedCdc.withColumn("__rank", struct(col(seqCol), col(opCol))),
       keyCols, col("__rank"), seqCol)
     val survivors = latest.filter(col(opCol) =!= "D")
       .select(dataCols.map(col): _*)

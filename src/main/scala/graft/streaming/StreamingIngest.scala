@@ -604,17 +604,9 @@ object StreamingIngest {
       try q.processAllAvailable()
       finally q.stop()
     }
-    // same shape as Profiler.nativeDistinctRollup: per-segment rows plus
-    // the sketch-union __TOTAL__, derived from the materialized sketches
-    val sk = spark.table(queryName)
-    val perSeg = sk.select(col("segment"),
-      graft.operators.Profiler.hllEstimate(col("__sk")).as("__e"))
-    val total = sk.agg(graft.operators.Profiler.hllMerge(col("__sk")).as("__u"))
-      .select(lit("__TOTAL__").as("segment"),
-        graft.operators.Profiler.hllEstimate(col("__u")).as("__e"))
-    perSeg.unionAll(total)
-      .select(col("segment"), col("__e.n").as("n_rows"),
-        col("__e.est").as("est_distinct"))
+    // the SAME perSeg + __TOTAL__ derivation as the batch rollup, shared
+    // verbatim — the bit-exact stream ≡ batch gate depends on it
+    graft.operators.Profiler.rollupFromSketches(spark.table(queryName))
   }
 
   /** Streaming point-frequency sketch over the NATIVE Count-Min aggregate:
@@ -644,14 +636,12 @@ object StreamingIngest {
       try q.processAllAvailable()
       finally q.stop()
     }
+    // the SAME exact-top-k probe as the batch operator, shared verbatim —
+    // the bit-exact stream ≡ batch gate depends on it
     val items = spark.read.parquet(parquetPath)
       .filter(col(itemCol).isNotNull)
       .select(col(itemCol).cast("long").as("item"))
-    val top = items.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("item")).limit(k)
-    top.crossJoin(spark.table(queryName))
-      .select(col("item"), col("exact_cnt"),
-        FreqSketch.cmsEstimate(col("__sk"), col("item")).as("est_cnt"))
+    FreqSketch.probeTopK(items, spark.table(queryName), k)
   }
 
   /** Streaming ingest-rate anomaly gate: per-(key, bucket) counts run as
@@ -668,9 +658,8 @@ object StreamingIngest {
                                     maxFilesPerTrigger: Int = 1,
                                     statePartitions: Int = 8): DataFrame = {
     val ev = spark.read.parquet(parquetPath)
-    val usCol = graft.functions.EventTime.micros(ev)
-    val bucket = ((usCol - pmod(usCol, lit(bucketMicros))) /
-      lit(bucketMicros)).cast("long")
+    val bucket = graft.operators.TimeSeries.bucketExpr(
+      graft.functions.EventTime.micros(ev), bucketMicros)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(streamGlob(parquetPath))

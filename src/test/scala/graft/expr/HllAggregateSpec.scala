@@ -107,6 +107,21 @@ class HllAggregateSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(tmp))
   }
 
+  test("NULL segment is a real segment: no spurious violations, rollup row kept") {
+    val df = (1 to 3000)
+      .map(i => (if (i % 3 == 0) None else Some(s"s${i % 2}"),
+        (i % 400).toLong))
+      .toDF("seg", "v")
+    val roll = Profiler.nativeDistinctRollup(df, "seg", "v")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(roll.contains(None), "null segment dropped from the rollup")
+    assert(roll.contains(Some("__TOTAL__")))
+    // the gate must pair the NULL-segment estimate with its exact twin —
+    // a plain equi-join orphans both into spurious violations
+    val viol = Profiler.nativeDistinctViolations(df, "seg", "v")
+    assert(viol.isEmpty, s"violations: ${viol.collect().mkString(", ")}")
+  }
+
   test("rollup scans rows ONCE at runtime: AQE reuses the sketch exchange") {
     // The rollup unions per-segment estimates with the sketch-union total;
     // statically that is two scans of the input, but both branches share

@@ -93,6 +93,16 @@ class WarehouseOpsSpec extends SparkSpec {
       Warehouse.applyCdc(base, cdc.drop("v"), Seq("k"), "seq", "op")
     }
     assert(e.getMessage.contains("missing v"))
+    // a NULL or unknown op is malformed-feed data loss waiting to happen
+    // (NULL predicate drops the survivor while the anti-join removes the
+    // base row) — it must throw, not silently delete
+    val badOp = Seq((1L, "z", 5L, "X")).toDF("k", "v", "seq", "op")
+    val e2 = intercept[Exception] {
+      Warehouse.applyCdc(base, badOp, Seq("k"), "seq", "op").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e2).contains("invalid op 'X'"))
   }
 
   test("applyCdc ≡ sequential reference on 40 random op streams") {
