@@ -2572,7 +2572,8 @@ object SparkEntry {
       |    COUNT(*) OVER win AS np
       |  FROM f WINDOW win AS (PARTITION BY key ORDER BY bucket
       |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-      |SELECT key, bucket, cnt, trail_sum, trail_sumsq
+      |SELECT key, bucket, cnt, CAST(trail_sum AS BIGINT) AS trail_sum,
+      |  CAST(trail_sumsq AS BIGINT) AS trail_sumsq
       |FROM r
       |WHERE np = 24
       |  AND (24 * cnt - trail_sum) * (24 * cnt - trail_sum)
@@ -3412,7 +3413,8 @@ object SparkEntry {
         |  WHERE t.ch <> ''),
         |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
         |n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd FROM c GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(n.n, 0) AS n_chars, COALESCE(n.nd, 0) AS n_distinct
+        |SELECT d.doc_id, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(n.nd, 0) AS BIGINT) AS n_distinct
         |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -26,9 +26,15 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   */
 object EventTime {
 
-  /** Epoch-micros BIGINT column for `tsCol` of physical type `dt`. */
+  /** Epoch-micros BIGINT column for `tsCol` of physical type `dt`.
+    *
+    * Nanos→micros uses FLOOR division (`x - pmod(x, 1000)) div 1000`), not
+    * bare `div`: `div` truncates toward zero, while DuckDB's `epoch_us` on
+    * TIMESTAMP_NS floors, so a pre-1970 (negative) nano value would land
+    * one micro off under truncation. Post-epoch the two agree; this form
+    * agrees everywhere. */
   def microsFor(dt: DataType, tsCol: String): Column = dt match {
-    case LongType         => expr(s"`$tsCol` div 1000") // int64 nanos
+    case LongType => expr(s"(`$tsCol` - pmod(`$tsCol`, 1000)) div 1000")
     case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
     case TimestampType    => unix_micros(col(tsCol))
     case other => throw new IllegalArgumentException(
@@ -43,7 +49,8 @@ object EventTime {
   /** TIMESTAMP (LTZ) column for `tsCol` of physical type `dt` — the shape
     * watermarks and time windows require (`withWatermark` rejects NTZ). */
   def timestampFor(dt: DataType, tsCol: String): Column = dt match {
-    case LongType         => timestamp_micros(expr(s"`$tsCol` div 1000"))
+    case LongType =>
+      timestamp_micros(expr(s"(`$tsCol` - pmod(`$tsCol`, 1000)) div 1000"))
     case TimestampNTZType => col(tsCol).cast(TimestampType)
     case TimestampType    => col(tsCol)
     case other => throw new IllegalArgumentException(

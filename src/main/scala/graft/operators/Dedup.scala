@@ -43,11 +43,18 @@ object Dedup {
     * is a sort; the shuffle-volume reduction is the 100 TB win, not
     * sort-freedom (plan shape asserted in PlanSpec).
     *
-    * Determinism: the ranking struct ends in the unique `idCol`, so the
-    * ordering is total (ties on score fall to the LARGEST id — document
-    * accordingly in oracles); a NULL score ranks below every non-null
-    * (nulls-first struct ordering), never wins against a scored row, and
-    * only surfaces when a whole group is unscored. */
+    * Determinism: the ranking struct ends in `idCol`, so WHEN `idCol` is
+    * unique within `df` the ordering is total (ties on score fall to the
+    * LARGEST id — document accordingly in oracles); a NULL score ranks
+    * below every non-null (nulls-first struct ordering), never wins
+    * against a scored row, and only surfaces when a whole group is
+    * unscored. Residual nondeterminism: if two rows tie on the FULL
+    * (score, id) key — possible only when `idCol` is not unique, e.g. a
+    * malformed CDC feed replaying one (key, seq, op) with different
+    * payloads — `max_by` keeps an arbitrary payload among the rank-equal
+    * rows. Accepted: a payload-hash tiebreak would put a per-row
+    * serialization in this hot aggregation path to defend against an
+    * input that is already out of contract. */
   def keepBestByKey(df: DataFrame, keyCols: Seq[String], scoreCol: Column,
                     idCol: String): DataFrame = {
     val payload = struct(df.columns.map(col): _*)

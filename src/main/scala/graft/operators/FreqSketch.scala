@@ -89,9 +89,13 @@ object FreqSketch {
     val merged = items.groupBy(col("seg"))
       .agg(cmsSketch(col("item"), depth, width).as("__s"))
       .agg(cmsMerge(col("__s")).as("__m"))
+    // Guard on n > 0: over an empty/all-null input the merged path's global
+    // agg sees zero per-segment rows and emits the 16-byte zero-state marker
+    // sketch, while the direct path emits a full depth×width zero sketch —
+    // byte-unequal but both correctly empty, so the contract is vacuous.
     val mergeViolation = merged
-      .crossJoin(direct.select(col("__sk")))
-      .filter(md5(col("__m")) =!= md5(col("__sk")))
+      .crossJoin(direct.select(col("__sk"), col("n")))
+      .filter(col("n") > 0 && md5(col("__m")) =!= md5(col("__sk")))
       .select(lit("__GLOBAL__").as("subject"),
         lit("merge_vs_direct").as("issue"))
     itemViolations.unionAll(mergeViolation)

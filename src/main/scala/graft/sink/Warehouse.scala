@@ -165,8 +165,11 @@ object Warehouse {
     * broadcast-eligible when the batch is small. Deterministic: `seqCol`
     * with the op tag as tie-break makes the within-batch order total (two
     * ops on one key at the SAME seq resolve to the lexically largest op —
-    * U over I over D; ties should not happen in a well-formed feed, but a
-    * malformed one stays deterministic). */
+    * U over I over D). A feed that replays the SAME (key, seq, op) with
+    * DIFFERENT payloads is beyond that order: the surviving payload among
+    * those rank-equal rows is arbitrary (see
+    * [[graft.operators.Dedup.keepBestByKey]]) — well-formed feeds never
+    * hit this, and every other malformed shape stays deterministic. */
   def applyCdc(base: DataFrame, cdc: DataFrame, keyCols: Seq[String],
                seqCol: String, opCol: String): DataFrame = {
     val dataCols = base.columns.toSeq

@@ -50,6 +50,30 @@ class OracleContractSpec extends AnyFunSuite {
     }
   }
 
+  test("no oracle surfaces a HUGEINT result column (driver-hash type drift)") {
+    // DuckDB widens integer SUMs (plain, windowed, via CTE) to HUGEINT;
+    // Spark has no INT128, and the driver canonicalizes HUGEINT differently
+    // from BIGINT — so a value-identical result still hash-mismatches
+    // (round-8: q_rate_anomalies / q_stream_anomalies / q_text_entropy).
+    // Shell out to tools/lint_oracle_types.py, which DESCRIBEs every oracle
+    // in DuckDB (no data scanned) and fails on HUGEINT/UHUGEINT columns.
+    import scala.sys.process._
+    val sfDir = new java.io.File("/root/testdata/sf0.001")
+    assume(sfDir.isDirectory, "testdata unavailable — lint not runnable here")
+    val quiet = ProcessLogger(_ => ())
+    val duckOk = scala.util.Try(
+      Seq("python3", "-c", "import duckdb").!(quiet) == 0).getOrElse(false)
+    assume(duckOk, "python3+duckdb unavailable — lint not runnable here")
+    val json = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    java.nio.file.Files.writeString(json, Verify.oracleJson)
+    val out = new StringBuilder
+    val code = Seq("python3", "tools/lint_oracle_types.py",
+        sfDir.getPath, json.toString)
+      .!(ProcessLogger(l => out.append(l).append('\n')))
+    java.nio.file.Files.deleteIfExists(json)
+    assert(code == 0, s"oracle type lint failed:\n$out")
+  }
+
   test("every *_verify property oracle is an empty relation") {
     val verifies = SparkEntry.oracleSql.filter(_._1.endsWith("_verify"))
     assert(verifies.nonEmpty)
