@@ -673,6 +673,38 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // DOULION edge-sampled approximate triangle count (Tsourakakis KDD'09)
+    // — the 100×-scale sibling of q_triangles: keep each canonical edge
+    // with deterministic-hash probability p, count exactly on the sample,
+    // scale by 1/p³. p=0.5 cuts the dominant wedge-join workload ~4× (p²)
+    // and closure work 8×; approximate-by-design → no-oracle headline,
+    // driver-gated by the 6σ variance-bound sibling below plus the exact
+    // q_triangles oracle.
+    "q_triangles_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pe = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val co = pe.as("x").join(pe.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      operators.Graph.triangleEstimate(co, "src", "dst", pPct = 50)
+    }),
+
+    // Verification-property sibling: recompute the exact count T and the
+    // shared-edge pair count k in-engine, form DOULION's published variance
+    // bound Var ≤ T(1/p³−1) + 2k(1/p−1), and flag iff |est − T| > 6·σ.
+    // The hash-deterministic sample makes the check stable run to run.
+    // Violations only; oracle = empty relation.
+    "q_triangles_approx_verify" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pe = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val co = pe.as("x").join(pe.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      operators.Graph.triangleEstimateViolations(co, "src", "dst", pPct = 50)
+    }),
+
     // Headline embedding near-dup: IVF-cell-bounded candidates + exact
     // cosine verify — candidate volume is set by cluster granularity, not
     // the threshold (hyperplane banding collapses at loose thresholds;
@@ -3027,6 +3059,12 @@ object SparkEntry {
         |SELECT d.node, CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles
         |FROM deg d LEFT JOIN cnt c ON d.node = c.node
         |ORDER BY d.node""".stripMargin,
+
+    // DOULION estimate headline is approximate-by-design (Spark-hash edge
+    // sample, not ANSI-replayable); its 6σ variance-bound check is the gate.
+    "q_triangles_approx_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
 
     // language-ID: the expression fold (replace when strictly greater over
     // langs in order de,en,es,fr,zh) is exactly argmax-ties-to-earliest,

@@ -108,17 +108,38 @@ object Graph {
     * @return (node, triangles) for every node with at least one edge
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val corners = triangleRowsOf(und)
+      .select(explode(array(col("ta"), col("tb"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("cnt"))
+    degreesOf(und).select(col("node"))
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cnt"), lit(0L)).as("triangles"))
+  }
+
+  /** Canonical undirected simple edges: self-loops dropped, u < v, each
+    * pair once. The normal form every triangle routine starts from. */
+  def canonicalUndirected(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
     val raw = edges.select(col(srcCol).cast("long").as("a"),
                            col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    // canonical undirected simple edges: u < v, each pair once
-    val und = raw.select(least(col("a"), col("b")).as("u"),
-                         greatest(col("a"), col("b")).as("v")).distinct()
-    val deg = und.select(col("u").as("node"))
+    raw.select(least(col("a"), col("b")).as("u"),
+               greatest(col("a"), col("b")).as("v")).distinct()
+  }
+
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    // orient u→v along ≺ = (degree, id) lexicographic; carry the dst
-    // endpoint's degree so the wedge join can compare ≺ without re-joining
+
+  /** Every triangle of the canonical-undirected graph `und` exactly once,
+    * as a row (ta, tb, c) — the same degree-ordered orientation + wedge
+    * join + closure as [[triangleCounts]], exposed so consumers can count
+    * globally, list per-edge supports (the DOULION variance gate), or feed
+    * truss/closure analyses without re-deriving the orientation. */
+  def triangleRowsOf(und: DataFrame): DataFrame = {
+    val deg = degreesOf(und)
     val withDeg = und
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
@@ -128,7 +149,6 @@ object Graph {
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
       when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-    // wedges at the ≺-minimal corner: (src→dst1, src→dst2) with dst1 ≺ dst2
     val o1 = oriented.select(col("src").as("c"), col("dst").as("ta"),
                              col("ddst").as("da"))
     val o2 = oriented.select(col("src").as("c2"), col("dst").as("tb"),
@@ -137,15 +157,82 @@ object Graph {
         (col("da") < col("db") ||
          (col("da") === col("db") && col("ta") < col("tb"))))
       .select(col("ta"), col("tb"), col("c"))
-    // close the wedge: dst1 ≺ dst2 means the {dst1,dst2} edge, if present,
-    // is oriented exactly dst1→dst2
     val closing = oriented.select(col("src").as("ta"), col("dst").as("tb"))
-    val tris = wedges.join(closing, Seq("ta", "tb"))
-    val corners = tris.select(explode(array(col("ta"), col("tb"), col("c")))
-      .as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("cnt"))
-    deg.select(col("node"))
-      .join(corners, Seq("node"), "left")
-      .select(col("node"), coalesce(col("cnt"), lit(0L)).as("triangles"))
+    wedges.join(closing, Seq("ta", "tb"))
+  }
+
+  /** DOULION-style approximate GLOBAL triangle count (Tsourakakis, Kang,
+    * Miller & Faloutsos, KDD'09): sparsify the canonical edge set by
+    * keeping each edge independently with probability p, count triangles
+    * exactly on the sparsified graph, scale by 1/p³. Unbiased:
+    * each triangle survives iff its three edges all survive (probability
+    * p³). This is the 100×-scale escape hatch for exact counting —
+    * sparsification cuts edge volume by p, oriented out-degrees by ~p, and
+    * the dominant wedge-join workload by ~p²; the triangle-closure work by
+    * p³ — while the published variance bound
+    * `Var ≤ T·(1/p³ − 1) + 2k·(1/p − 1)` (k = triangle pairs sharing an
+    * edge) keeps the estimate gated against the exact sibling.
+    *
+    * The coin flip is a DETERMINISTIC hash of the canonical edge
+    * (`xxhash64(u, v, seed) mod 100 < pPct`), not a runtime RNG: the
+    * sample — hence the estimate and its driver-gated error check — is
+    * reproducible across runs, partitionings, and cluster sizes, and two
+    * triangles sharing an edge share that edge's coin exactly as the
+    * variance model assumes.
+    *
+    * @param pPct keep-probability in percent (50 = DOULION's p = 0.5)
+    * @return one row: (p_pct, sampled_edges, sampled_triangles,
+    *         est_triangles = sampled/p³ as double)
+    */
+  def triangleEstimate(edges: DataFrame, srcCol: String, dstCol: String,
+                       pPct: Int = 50, seed: Long = 42L): DataFrame = {
+    require(pPct > 0 && pPct <= 100, s"pPct must be in (0,100], got $pPct")
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val sampled = und.filter(
+      pmod(xxhash64(col("u"), col("v"), lit(seed)), lit(100L)) < lit(pPct.toLong))
+    val scale = math.pow(100.0 / pPct, 3)
+    triangleRowsOf(sampled)
+      .agg(count(lit(1)).as("sampled_triangles"))
+      .crossJoin(sampled.agg(count(lit(1)).as("sampled_edges")))
+      .select(lit(pPct).as("p_pct"), col("sampled_edges"),
+        col("sampled_triangles"),
+        (col("sampled_triangles").cast("double") * lit(scale))
+          .as("est_triangles"))
+  }
+
+  /** Error-bound gate for [[triangleEstimate]]: recompute the exact global
+    * count T and the shared-edge pair count k = Σ_e C(support(e), 2), form
+    * the DOULION variance bound above, and emit a violation row iff
+    * `|est − T| > 6·sqrt(Var)`. Six standard deviations is conservative
+    * even by Chebyshev (p ≤ 1/36), and the hash-deterministic sample makes
+    * the check stable run to run; violations only — oracle = empty
+    * relation. */
+  def triangleEstimateViolations(edges: DataFrame, srcCol: String,
+                                 dstCol: String, pPct: Int = 50,
+                                 seed: Long = 42L): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val tris = triangleRowsOf(und)
+    // support(e) per canonical undirected edge of each triangle
+    val triEdges = tris.select(explode(array(
+        struct(least(col("ta"), col("tb")).as("eu"),
+               greatest(col("ta"), col("tb")).as("ev")),
+        struct(least(col("ta"), col("c")).as("eu"),
+               greatest(col("ta"), col("c")).as("ev")),
+        struct(least(col("tb"), col("c")).as("eu"),
+               greatest(col("tb"), col("c")).as("ev")))).as("e"))
+      .groupBy(col("e")).agg(count(lit(1)).as("ce"))
+    val kRow = triEdges
+      .agg(coalesce(sum(col("ce") * (col("ce") - 1) / 2), lit(0L)).as("k"))
+    val tRow = tris.agg(count(lit(1)).as("t"))
+    val p = pPct / 100.0
+    val varExpr = col("t").cast("double") * lit(1.0 / (p * p * p) - 1.0) +
+      lit(2.0) * col("k").cast("double") * lit(1.0 / p - 1.0)
+    triangleEstimate(edges, srcCol, dstCol, pPct, seed)
+      .crossJoin(tRow).crossJoin(kRow)
+      .withColumn("__bound", lit(6.0) * sqrt(varExpr))
+      .filter(abs(col("est_triangles") - col("t").cast("double")) >
+        col("__bound") + lit(1e-9))
+      .select(lit("__GLOBAL__").as("subject"),
+        lit("triangle_estimate_outside_6_sigma").as("issue"))
   }
 }
