@@ -32,6 +32,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_cms_sketch(v, depth, width)`→ binary Count-Min sketch
   *  - `graft_cms_merge(sk)`              → summed binary CMS sketch
   *  - `graft_cms_estimate(sk, item)`     → estimated count
+  *  - `graft_kll_sketch(v, k)`           → KLL quantile summary struct(n, err, items)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -113,5 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_cms_estimate", "(binary CMS sketch, BIGINT item) -> estimated count"),
       arity("graft_cms_estimate", 2)(exprs =>
         graft.expr.CmsEstimate(exprs(0), exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_kll_sketch"),
+      info("graft_kll_sketch",
+        "KLL quantile summary of a BIGINT column -> struct(n, err, items)"),
+      arity("graft_kll_sketch", 2)(exprs => graft.expr.KllSketchAgg(exprs.head,
+        litInt("graft_kll_sketch", "k", exprs(1))))))
   }
 }

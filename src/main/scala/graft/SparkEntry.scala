@@ -2085,6 +2085,71 @@ object SparkEntry {
       operators.Profiler.approxQuantileViolations(t(s, dir, "lineitem"),
         "l_extendedprice", Seq(0.01, 0.25, 0.5, 0.75, 0.99), accuracy = 1000)),
 
+    // The NATIVE mergeable quantile summary (graft.expr.KllSketchAgg, the
+    // fourth TypedImperativeAggregate next to MG/HLL/CMS): per-returnflag
+    // KLL compactor stacks over micro-quantized price, expanded to
+    // percentile estimates. Map tasks carry one k·log-sized buffer; only
+    // summaries cross the shuffle — the 100-TB shape percentile_cont
+    // can't have. Summary content is arrival-order-dependent (like MG) →
+    // rows-only headline; the _verify sibling gates the sketch's own
+    // worst-case rank ledger, and q_agg_percentiles is the exact-oracled
+    // sibling shape.
+    "q_quantile_native" -> ((s, dir) =>
+      operators.QuantileSketch.groupQuantiles(
+        t(s, dir, "lineitem")
+          .withColumn("__price_micro",
+            floor(col("l_extendedprice").cast("double") * 1e6).cast("long")),
+        "l_returnflag", "__price_micro", k = 256,
+        ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+        .orderBy(col("segment"), col("p"))),
+
+    // In-engine KLL guarantee gate, all three invariants per (segment, p):
+    // n exact, the exact rank interval of the returned value intersects
+    // [target − err, target + err] for the sketch's self-reported
+    // compaction ledger err, and the value is a genuine input value.
+    // Violations only; oracle = empty relation.
+    "q_quantile_native_verify" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("__price_micro",
+          floor(col("l_extendedprice").cast("double") * 1e6).cast("long"))
+      val est = operators.QuantileSketch.groupQuantiles(li,
+        "l_returnflag", "__price_micro", k = 256,
+        ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+      val values = li.filter(col("__price_micro").isNotNull)
+        .select(col("l_returnflag").cast("string").as("segment"),
+          col("__price_micro").as("v"))
+      operators.QuantileSketch.violations(est, values)
+        .orderBy(col("segment"), col("p"), col("issue"))
+    }),
+
+    // The SAME native KLL aggregate as streaming state (the MG hot-keys
+    // pattern): per-event-type compactor stacks carry across micro-batches
+    // in the state store. Arrival-order-dependent like the batch headline
+    // → rows-only; the gate below pins the result.
+    "q_stream_quantile" -> ((s, dir) =>
+      StreamingIngest.runStreamQuantileBounded(s, s"$dir/events.parquet",
+        "event_type", floor(col("value").cast("double") * 1e6), k = 256,
+        ps = Seq(0.25, 0.5, 0.75, 0.95),
+        queryName = s"stream_kll_${streamCounter.incrementAndGet()}")
+        .orderBy(col("segment"), col("p"))),
+
+    // The streaming result equals SOME valid KLL run, so the same
+    // worst-case rank gate applies verbatim against the exact batch data.
+    // Violations only; oracle = empty relation.
+    "q_stream_quantile_verify" -> ((s, dir) => {
+      val est = StreamingIngest.runStreamQuantileBounded(s,
+        s"$dir/events.parquet", "event_type",
+        floor(col("value").cast("double") * 1e6), k = 256,
+        ps = Seq(0.25, 0.5, 0.75, 0.95),
+        queryName = s"stream_kllv_${streamCounter.incrementAndGet()}")
+      val values = t(s, dir, "events")
+        .withColumn("__v", floor(col("value").cast("double") * 1e6).cast("long"))
+        .filter(col("__v").isNotNull)
+        .select(col("event_type").cast("string").as("segment"), col("__v").as("v"))
+      operators.QuantileSketch.violations(est, values)
+        .orderBy(col("segment"), col("p"), col("issue"))
+    }),
+
     // Vector-quality gate: fixed-point squared norms, exact-percentile
     // thresholds (the quantile_cont identity), plain comparison flags.
     "q_vec_outliers" -> ((s, dir) =>
@@ -4324,6 +4389,19 @@ object SparkEntry {
       """SELECT CAST(NULL AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS qv,
         |  CAST(NULL AS BIGINT) AS cnt_lt, CAST(NULL AS BIGINT) AS cnt_le,
         |  CAST(NULL AS BIGINT) AS n
+        |WHERE FALSE""".stripMargin,
+
+    // Native-KLL headlines are approximate-by-design (arrival-order-
+    // dependent summary content); their worst-case rank-ledger checks are
+    // the gates, batch and streaming alike.
+    "q_quantile_native_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS DOUBLE) AS p,
+        |  CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_stream_quantile_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS DOUBLE) AS p,
+        |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
     // One SELECT per profiled column, UNION ALL — the oracle mirror of

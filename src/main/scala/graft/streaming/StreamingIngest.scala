@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming extension (SURVEY.md §2.9/§7.1.9): the reference is
@@ -607,6 +607,45 @@ object StreamingIngest {
     // the SAME perSeg + __TOTAL__ derivation as the batch rollup, shared
     // verbatim — the bit-exact stream ≡ batch gate depends on it
     graft.operators.Profiler.rollupFromSketches(spark.table(queryName))
+  }
+
+  /** Streaming quantile summary over the NATIVE KLL aggregate
+    * ([[graft.expr.KllSketchAgg]]): per-segment compactor stacks as
+    * streaming state — the k·log-sized buffer is the state-store payload
+    * across micro-batches, like the Misra–Gries buffer in
+    * [[runStreamHotKeysBounded]]. Like MG (and unlike HLL/CMS) the summary
+    * content is arrival-order-dependent, so the stream result equals SOME
+    * valid KLL run rather than the batch run bit-for-bit — which is why
+    * the harness gates it with the self-reported worst-case rank bound
+    * ([[graft.operators.QuantileSketch.violations]]) instead of a
+    * stream ≡ batch equality. `maxFilesPerTrigger=1` forces one
+    * micro-batch per input file so state genuinely carries across
+    * batches in the bounded replay. */
+  def runStreamQuantileBounded(spark: SparkSession, parquetPath: String,
+                               segCol: String, valueExpr: Column, k: Int,
+                               ps: Seq[Double], queryName: String,
+                               maxFilesPerTrigger: Int = 1,
+                               statePartitions: Int = 8): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = stream
+        .select(col(segCol).cast("string").as("segment"),
+          valueExpr.cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("segment"))
+        .agg(graft.operators.QuantileSketch.summary(col("__v"), k).as("__sk"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // the SAME summary→estimate expansion as the batch operator, shared
+    // verbatim — the guarantee gate depends on comparing like for like
+    graft.operators.QuantileSketch
+      .quantilesFromSummaries(spark.table(queryName), ps)
   }
 
   /** Streaming point-frequency sketch over the NATIVE Count-Min aggregate:

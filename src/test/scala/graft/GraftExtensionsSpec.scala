@@ -77,6 +77,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val mg = spark.sql(
       "SELECT misra_gries(item, 16).n FROM t_sketch_sql").head().getLong(0)
     assert(mg == 10000L)
+    // KLL: n exact, weights conserved (sum = n), summary stays bounded
+    val kll = spark.sql(
+      """SELECT sk.n, aggregate(sk.items, 0L, (a, it) -> a + it.weight) AS w,
+        |       size(sk.items) AS sz
+        |FROM (SELECT graft_kll_sketch(item, 64) AS sk FROM t_sketch_sql)"""
+        .stripMargin).head()
+    assert(kll.getLong(0) == 10000L)
+    assert(kll.getLong(1) == 10000L, "total weight must equal n")
+    assert(kll.getInt(2) <= 64 * 9, s"summary too large: ${kll.getInt(2)}")
     // shape params must be literals, not columns
     val e = intercept[Exception] {
       spark.sql("SELECT graft_hll_sketch(item, CAST(item AS INT)) FROM t_sketch_sql").head()

@@ -27,7 +27,8 @@ class OracleContractSpec extends AnyFunSuite {
     "q_dedup_simhash", "q_dedup_semantic", "q_sim_topk_ivf", "q_sim_topk_pq",
     "q_bpe_tokenize", "q_quantile_approx", "q_heavy_hitters",
     "q_stream_hotkeys", "q_hll_rollup", "q_hll_native", "q_stream_hll",
-    "q_cms_native", "q_stream_cms", "q_triangles_approx")
+    "q_cms_native", "q_stream_cms", "q_triangles_approx",
+    "q_quantile_native", "q_stream_quantile")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
