@@ -1248,6 +1248,50 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Warehouse TIME TRAVEL: a snapshot-versioned parquet table (manifest
+    // per version, files shared across append commits) built by replaying
+    // two CDC batches — v0 = base orders, v1 = the q_cdc_apply batch, v2 =
+    // a second destructive batch — then read PINNED AT v1 after v2 has
+    // committed. The result must equal replaying exactly one batch (the
+    // q_cdc_apply oracle verbatim): the pinned read ignores the newer
+    // commit, which is the time-travel contract. Reads cost one KB-scale
+    // manifest + a plain parquet scan of its file list (pruning/pushdown
+    // intact).
+    "q_table_asof" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_vtable_"))
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_vtable_${runTag(dir)}"
+      val fsPath = new org.apache.hadoop.fs.Path(tbl)
+      val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsPath, true)
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      sink.VersionedTable.commit(s, tbl, base, append = false) // v0
+      val u = base.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") + 5).as("o_totalprice"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val d = base.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      val ins = base.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      sink.VersionedTable.commitCdc(s, tbl, u.unionByName(d).unionByName(ins),
+        Seq("o_orderkey"), "seq", "op") // v1 ≡ q_cdc_apply
+      val wipe = sink.VersionedTable.read(s, tbl)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") + 100).as("o_totalprice"),
+          lit(3L).as("seq"),
+          when(col("o_orderkey") % 2 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      sink.VersionedTable.commitCdc(s, tbl, wipe,
+        Seq("o_orderkey"), "seq", "op") // v2 — must NOT leak into the read
+      sink.VersionedTable.read(s, tbl, version = Some(1L))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_join_bucketed" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
@@ -2647,6 +2691,30 @@ object SparkEntry {
   // result). 6dp-round-then-decimal-sum contract throughout; the completed
   // term×label grid gives unseen-for-label tokens the Laplace-smoothed
   // mass; argmax tie-breaks on label.
+  /** Shared by q_cdc_apply and q_table_asof (time travel to v1 must equal
+    * replaying exactly one CDC batch): ROW_NUMBER winner per key by
+    * (seq DESC, op DESC), anti-join + final non-delete rows. */
+  private val cdcApplySql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+      |u AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 5 AS o_totalprice,
+      |        CAST(1 AS BIGINT) AS seq, 'U' AS op FROM base WHERE o_orderkey % 7 = 0),
+      |d AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |        CAST(2 AS BIGINT) AS seq, 'D' AS op FROM base WHERE o_orderkey % 11 = 0),
+      |i AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority, o_totalprice,
+      |        CAST(1 AS BIGINT) AS seq, 'I' AS op FROM base WHERE o_orderkey % 13 = 0),
+      |cdc AS (SELECT * FROM u UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |    ORDER BY seq DESC, op DESC) AS rn FROM cdc),
+      |fin AS (SELECT o_orderkey, o_orderpriority, o_totalprice, op
+      |        FROM latest WHERE rn = 1)
+      |SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM fin f WHERE f.o_orderkey = b.o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, o_orderpriority, o_totalprice FROM fin WHERE op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Shared by q_rate_anomalies and its streaming twin: exact integer
     * counts make the two engines' flagged sets bit-identical. */
   private val rateAnomalySql: String =
@@ -4064,26 +4132,12 @@ object SparkEntry {
 
     // CDC merge: same derived batch, ROW_NUMBER winner per key by
     // (seq DESC, op DESC), anti-join + final non-delete rows.
-    "q_cdc_apply" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
-        |u AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 5 AS o_totalprice,
-        |        CAST(1 AS BIGINT) AS seq, 'U' AS op FROM base WHERE o_orderkey % 7 = 0),
-        |d AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
-        |        CAST(2 AS BIGINT) AS seq, 'D' AS op FROM base WHERE o_orderkey % 11 = 0),
-        |i AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority, o_totalprice,
-        |        CAST(1 AS BIGINT) AS seq, 'I' AS op FROM base WHERE o_orderkey % 13 = 0),
-        |cdc AS (SELECT * FROM u UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i),
-        |latest AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-        |    ORDER BY seq DESC, op DESC) AS rn FROM cdc),
-        |fin AS (SELECT o_orderkey, o_orderpriority, o_totalprice, op
-        |        FROM latest WHERE rn = 1)
-        |SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice FROM base b
-        |WHERE NOT EXISTS (SELECT 1 FROM fin f WHERE f.o_orderkey = b.o_orderkey)
-        |UNION ALL
-        |SELECT o_orderkey, o_orderpriority, o_totalprice FROM fin WHERE op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin,
+    "q_cdc_apply" -> cdcApplySql,
+
+    // Time travel: reading v1 of the versioned table after v2 committed
+    // must equal replaying exactly ONE batch — the q_cdc_apply oracle
+    // verbatim. The second (destructive) batch proves the pin is real.
+    "q_table_asof" -> cdcApplySql,
 
     // Keep-best: ROW_NUMBER twin of the max_by(struct) — quality DESC
     // NULLS LAST then doc_id DESC matches Spark's null-smallest struct max.
