@@ -305,7 +305,12 @@ class PlanSpec extends SparkSpec {
       "q_hll_native_verify",
       // ONE-ROW CMS sketch frame crossed into the bounded probe set
       // (estimation per probe item, never per input row)
-      "q_cms_native", "q_cms_native_verify")
+      "q_cms_native", "q_cms_native_verify",
+      // DOULION: the ONE-ROW sampled-triangle count crossed with the
+      // ONE-ROW sampled-edge count (headline), plus the ONE-ROW exact
+      // T and shared-edge-pair k frames of the 6-sigma gate — scalar
+      // combination, never a per-row nested loop
+      "q_triangles_approx", "q_triangles_approx_verify")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
