@@ -33,6 +33,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_cms_merge(sk)`              → summed binary CMS sketch
   *  - `graft_cms_estimate(sk, item)`     → estimated count
   *  - `graft_kll_sketch(v, k)`           → KLL quantile summary struct(n, err, items)
+  *  - `graft_kmv_sketch(v, k)`           → binary K-Minimum-Values (theta) sketch
+  *  - `graft_kmv_merge(sk)`              → set-unioned binary KMV sketch
+  *  - `graft_kmv_estimate(sk)`           → struct(n, est)
+  *  - `graft_kmv_set_op(a, b)`           → struct(union_est, intersect_est, diff_ab_est, jaccard_ppm)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -119,5 +123,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "KLL quantile summary of a BIGINT column -> struct(n, err, items)"),
       arity("graft_kll_sketch", 2)(exprs => graft.expr.KllSketchAgg(exprs.head,
         litInt("graft_kll_sketch", "k", exprs(1))))))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_sketch"),
+      info("graft_kmv_sketch", "K-Minimum-Values (theta) sketch of a BIGINT column -> binary"),
+      arity("graft_kmv_sketch", 2)(exprs => graft.expr.KmvSketchAgg(exprs.head,
+        litInt("graft_kmv_sketch", "k", exprs(1))))))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_merge"),
+      info("graft_kmv_merge", "set union of binary KMV sketches -> binary"),
+      arity("graft_kmv_merge", 1)(exprs => graft.expr.KmvMergeAgg(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_estimate"),
+      info("graft_kmv_estimate", "binary KMV sketch -> struct(n, est)"),
+      arity("graft_kmv_estimate", 1)(exprs => graft.expr.KmvEstimate(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_set_op"),
+      info("graft_kmv_set_op",
+        "two binary KMV sketches -> struct(union_est, intersect_est, diff_ab_est, jaccard_ppm)"),
+      arity("graft_kmv_set_op", 2)(exprs =>
+        graft.expr.KmvSetOp(exprs(0), exprs(1)))))
   }
 }

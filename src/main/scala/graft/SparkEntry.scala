@@ -2194,6 +2194,73 @@ object SparkEntry {
         .orderBy(col("segment"), col("p"), col("issue"))
     }),
 
+    // Segment set-OVERLAP via the native KMV (theta) sketch
+    // (graft.expr.KmvAggregate) — the set-operation summary HLL cannot
+    // be: union / intersection / difference / Jaccard for every
+    // returnflag pair over the distinct order-key sets, from ONE row scan
+    // into per-segment sketches plus pair-count sketch combinations.
+    // Engine-internal estimates → rows-only; the exact sibling carries
+    // the oracle, the _verify gate bounds every figure and pins the
+    // byte-exact merge lattice.
+    "q_kmv_overlap" -> ((s, dir) =>
+      operators.SetSketch.pairOverlap(t(s, dir, "lineitem"),
+        "l_returnflag", "l_orderkey", k = 512)
+        .orderBy(col("seg_a"), col("seg_b"))),
+
+    // Exact oracled sibling, same shape — the value-level self-join the
+    // sketch exists to avoid at scale (its shuffle carries every distinct
+    // (segment, value) pair twice and re-runs per new segment).
+    "q_kmv_overlap_exact" -> ((s, dir) =>
+      operators.SetSketch.pairOverlapExact(t(s, dir, "lineitem"),
+        "l_returnflag", "l_orderkey")
+        .orderBy(col("seg_a"), col("seg_b"))),
+
+    // Gate: every union/intersection/difference estimate within 6·RSE·|A∪B|
+    // of exact, Jaccard within 6·½/√k, and the union-merge of per-segment
+    // sketches BYTE-IDENTICAL to one direct global sketch (KMV is a pure
+    // set function). Violations only; oracle = empty relation.
+    "q_kmv_overlap_verify" -> ((s, dir) =>
+      operators.SetSketch.pairOverlapViolations(t(s, dir, "lineitem"),
+        "l_returnflag", "l_orderkey", k = 512)
+        .orderBy(col("seg_a"), col("seg_b"), col("issue"))),
+
+    // The SAME native KMV aggregate as streaming state: per-event-type
+    // k-smallest-hash sets carry across micro-batches, pairwise overlap
+    // derived from the final state. user_id (150 distinct « k) keeps the
+    // sketches in their exact regime, so the overlap figures double as
+    // exact set relations between event-type audiences. Rows-only; the
+    // gate below pins the result.
+    "q_stream_kmv" -> ((s, dir) =>
+      StreamingIngest.runStreamOverlapBounded(s, s"$dir/events.parquet",
+        "event_type", "user_id", k = 512,
+        queryName = s"stream_kmv_${streamCounter.incrementAndGet()}")
+        .orderBy(col("seg_a"), col("seg_b"))),
+
+    // Because the sketch is a set function, the streaming pair overlap
+    // must equal the batch one BIT-EXACTLY (every figure, every pair)
+    // regardless of how the replay batched. Violations only.
+    "q_stream_kmv_verify" -> ((s, dir) => {
+      val stream = StreamingIngest.runStreamOverlapBounded(s,
+        s"$dir/events.parquet", "event_type", "user_id", k = 512,
+        queryName = s"stream_kmvv_${streamCounter.incrementAndGet()}")
+      val batch = operators.SetSketch.pairOverlap(
+        t(s, dir, "events"), "event_type", "user_id", k = 512)
+      val sCols = stream.columns.map(c => col(c).as(s"s_$c"))
+      val bCols = batch.columns.map(c => col(c).as(s"b_$c"))
+      stream.select(sCols: _*)
+        .join(batch.select(bCols: _*),
+          col("s_seg_a") <=> col("b_seg_a") &&
+            col("s_seg_b") <=> col("b_seg_b"), "full_outer")
+        .filter(col("s_union_est").isNull || col("b_union_est").isNull ||
+          col("s_union_est") =!= col("b_union_est") ||
+          col("s_intersect_est") =!= col("b_intersect_est") ||
+          col("s_diff_ab_est") =!= col("b_diff_ab_est") ||
+          col("s_jaccard_ppm") =!= col("b_jaccard_ppm"))
+        .select(coalesce(col("s_seg_a"), col("b_seg_a")).as("seg_a"),
+          coalesce(col("s_seg_b"), col("b_seg_b")).as("seg_b"),
+          lit("stream_vs_batch").as("issue"))
+    }),
+
     // Vector-quality gate: fixed-point squared norms, exact-percentile
     // thresholds (the quantile_cont identity), plain comparison flags.
     "q_vec_outliers" -> ((s, dir) =>
@@ -4124,6 +4191,44 @@ object SparkEntry {
 
     "q_cms_native_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    // KMV pair overlap: distinct (segment, value) pairs, pairwise sizes +
+    // intersections, Jaccard in ppm via pure INTEGER division (no float
+    // rounding drift). Every arithmetic output CAST to BIGINT — DuckDB
+    // keeps +/- on BIGINT as BIGINT today, but the casts pin the contract.
+    "q_kmv_overlap_exact" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT CAST(l_returnflag AS VARCHAR) AS segment,
+        |    CAST(l_orderkey AS BIGINT) AS v
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |sizes AS (SELECT segment, COUNT(*) AS sz FROM sv GROUP BY 1),
+        |inter AS (
+        |  SELECT a.segment AS seg_a, b.segment AS seg_b, COUNT(*) AS i
+        |  FROM sv a JOIN sv b ON a.v = b.v AND a.segment < b.segment
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.segment AS seg_a, b.segment AS seg_b,
+        |    a.sz AS sza, b.sz AS szb
+        |  FROM sizes a JOIN sizes b ON a.segment < b.segment)
+        |SELECT p.seg_a, p.seg_b,
+        |  CAST(p.sza + p.szb - COALESCE(i.i, 0) AS BIGINT) AS union_cnt,
+        |  CAST(COALESCE(i.i, 0) AS BIGINT) AS intersect_cnt,
+        |  CAST(p.sza - COALESCE(i.i, 0) AS BIGINT) AS diff_ab_cnt,
+        |  CAST((1000000 * COALESCE(i.i, 0))
+        |    // (p.sza + p.szb - COALESCE(i.i, 0)) AS BIGINT) AS jaccard_ppm
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_kmv_overlap_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS seg_a, CAST(NULL AS VARCHAR) AS seg_b,
+        |  CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_stream_kmv_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS seg_a, CAST(NULL AS VARCHAR) AS seg_b,
+        |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
     "q_stream_cms_verify" ->

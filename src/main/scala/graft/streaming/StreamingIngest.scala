@@ -609,6 +609,39 @@ object StreamingIngest {
     graft.operators.Profiler.rollupFromSketches(spark.table(queryName))
   }
 
+  /** Streaming segment set-OVERLAP over the native KMV (theta) sketch
+    * ([[graft.expr.KmvSketchAgg]]): per-segment k-smallest-hash sets as
+    * streaming state, pairwise union/intersection/difference/Jaccard
+    * derived from the final state. Like HLL (and unlike MG/KLL) the k
+    * smallest distinct hashes are a pure function of the input SET, so
+    * the streaming pair-overlap must equal the batch one BIT-EXACTLY no
+    * matter how the replay batches — the harness gates that equality.
+    * `maxFilesPerTrigger=1` forces one micro-batch per input file so the
+    * state genuinely carries across batches. */
+  def runStreamOverlapBounded(spark: SparkSession, parquetPath: String,
+                              segCol: String, valueCol: String, k: Int,
+                              queryName: String,
+                              maxFilesPerTrigger: Int = 1,
+                              statePartitions: Int = 8): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = stream.filter(col(valueCol).isNotNull)
+        .groupBy(col(segCol).cast("string").as("segment"))
+        .agg(graft.operators.SetSketch
+          .kmvSketch(col(valueCol).cast("long"), k).as("__sk"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // the SAME pairwise derivation as the batch operator, shared verbatim
+    // — the bit-exact stream ≡ batch gate depends on it
+    graft.operators.SetSketch.pairOverlapFromSketches(spark.table(queryName))
+  }
+
   /** Streaming quantile summary over the NATIVE KLL aggregate
     * ([[graft.expr.KllSketchAgg]]): per-segment compactor stacks as
     * streaming state — the k·log-sized buffer is the state-store payload

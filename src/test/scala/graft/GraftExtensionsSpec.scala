@@ -86,6 +86,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(kll.getLong(0) == 10000L)
     assert(kll.getLong(1) == 10000L, "total weight must equal n")
     assert(kll.getInt(2) <= 64 * 9, s"summary too large: ${kll.getInt(2)}")
+    // KMV: 250 distinct < k=512 → the exact regime, n exact; the two
+    // even/odd segments are disjoint item sets → intersection exactly 0,
+    // union exactly 250
+    val kmv = spark.sql(
+      """SELECT graft_kmv_estimate(graft_kmv_merge(sk)).est AS est,
+        |       graft_kmv_estimate(graft_kmv_merge(sk)).n AS n
+        |FROM (SELECT seg, graft_kmv_sketch(item, 512) AS sk
+        |      FROM t_sketch_sql GROUP BY seg)""".stripMargin).head()
+    assert(kmv.getLong(0) == 250L && kmv.getLong(1) == 10000L)
+    val kmvOp = spark.sql(
+      """SELECT graft_kmv_set_op(a.sk, b.sk).union_est AS u,
+        |       graft_kmv_set_op(a.sk, b.sk).intersect_est AS i
+        |FROM (SELECT graft_kmv_sketch(item, 512) AS sk
+        |      FROM t_sketch_sql WHERE item % 2 = 0) a,
+        |     (SELECT graft_kmv_sketch(item, 512) AS sk
+        |      FROM t_sketch_sql WHERE item % 2 = 1) b""".stripMargin).head()
+    assert(kmvOp.getLong(0) == 250L && kmvOp.getLong(1) == 0L)
     // shape params must be literals, not columns
     val e = intercept[Exception] {
       spark.sql("SELECT graft_hll_sketch(item, CAST(item AS INT)) FROM t_sketch_sql").head()

@@ -28,7 +28,11 @@ class OracleContractSpec extends AnyFunSuite {
     "q_bpe_tokenize", "q_quantile_approx", "q_heavy_hitters",
     "q_stream_hotkeys", "q_hll_rollup", "q_hll_native", "q_stream_hll",
     "q_cms_native", "q_stream_cms", "q_triangles_approx",
-    "q_quantile_native", "q_stream_quantile")
+    "q_quantile_native", "q_stream_quantile",
+    // KMV overlap estimates: exact sibling q_kmv_overlap_exact carries the
+    // oracle; q_kmv_overlap_verify bounds every figure + byte-exact merge;
+    // q_stream_kmv_verify pins stream ≡ batch bit-exact
+    "q_kmv_overlap", "q_stream_kmv")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -310,7 +310,12 @@ class PlanSpec extends SparkSpec {
       // ONE-ROW sampled-edge count (headline), plus the ONE-ROW exact
       // T and shared-edge-pair k frames of the 6-sigma gate — scalar
       // combination, never a per-row nested loop
-      "q_triangles_approx", "q_triangles_approx_verify")
+      "q_triangles_approx", "q_triangles_approx_verify",
+      // KMV pair overlap: the `<` self-join runs on the SEGMENT-count
+      // sketch/size frames (3 rows → 3 pairs), a deliberate bounded
+      // broadcast nested loop; the row-scale work is the one sketch
+      // aggregation (and, in the exact sibling, the v-equi-join)
+      "q_kmv_overlap", "q_kmv_overlap_exact", "q_kmv_overlap_verify")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
@@ -341,6 +346,7 @@ class PlanSpec extends SparkSpec {
       "q_stream_classify", "q_stream_hotkeys", "q_stream_hotkeys_verify",
       "q_stream_hll", "q_stream_hll_verify",
       "q_stream_cms", "q_stream_cms_verify", "q_stream_anomalies",
+      "q_stream_kmv", "q_stream_kmv_verify",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_train_pipeline",
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
