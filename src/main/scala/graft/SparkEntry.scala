@@ -441,6 +441,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Classifier evaluation, pure integer arithmetic end to end: per-group
+    // tie-aware Mann–Whitney AUC over the (group, score)-GROUPED frame —
+    // the window walks distinct scores, not rows, so quantized scores keep
+    // the frame domain-bounded at any row scale. u2 = 2·U stays integer
+    // under average-rank ties; auc_ppm via integer division. Hash-oracled.
+    "q_eval_auc" -> ((s, dir) =>
+      operators.Eval.aucByGroup(t(s, dir, "lineitem"), "l_linestatus",
+        col("l_quantity"), col("l_returnflag") === "R")
+        .orderBy(col("grp"))),
+
+    // Calibration (reliability) table: fixed-width integer score bins per
+    // group — row count, positive count, exact score sum; mean predicted
+    // vs observed rate derivable without a single float. One combining
+    // shuffle on (group, bin). Hash-oracled.
+    "q_eval_calibration" -> ((s, dir) =>
+      operators.Eval.calibrationBins(t(s, dir, "documents"), "source",
+        col("n_chars"), col("lang") === "en", nBins = 6, lo = 0L, hi = 600L)
+        .orderBy(col("grp"), col("bin"))),
+
     // Fingerprint: the harness row oracles the ANSI-expressible half (the
     // canonical normalized form); the engine-specific xxhash64 of it is
     // determinism/stability-checked in OperatorsSpec.
@@ -3665,6 +3684,54 @@ object SparkEntry {
     // completed term×label grid gives unseen-for-label tokens the
     // Laplace-smoothed mass; argmax tie-breaks on label.
     "q_classify_nb" -> nbOracleSql,
+
+    // Tie-aware Mann–Whitney AUC replayed in SQL: same grouped-counts +
+    // windowed-cumulative derivation; CAST every aggregate to BIGINT
+    // (DuckDB SUM promotes to HUGEINT) and CASE-guard the single-class
+    // division exactly like the engine's when().
+    "q_eval_auc" ->
+      """WITH base AS (
+        |  SELECT CAST(l_linestatus AS VARCHAR) AS grp,
+        |    CAST(l_quantity AS BIGINT) AS s,
+        |    (l_returnflag = 'R') AS l
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+        |g AS (
+        |  SELECT grp, s,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    COUNT(*) AS c
+        |  FROM base GROUP BY grp, s),
+        |r AS (
+        |  SELECT grp, p, c,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM g),
+        |t AS (
+        |  SELECT grp, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+        |    CAST(SUM(p * (2 * cum + c + 1)) AS BIGINT) AS r2
+        |  FROM r GROUP BY grp)
+        |SELECT grp, n_pos, n_neg,
+        |  CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN CAST((1000000 * (r2 - n_pos * (n_pos + 1)))
+        |      // (2 * n_pos * n_neg) AS BIGINT)
+        |    ELSE NULL END AS auc_ppm
+        |FROM t ORDER BY grp""".stripMargin,
+
+    // Flooring `//` vs the engine's truncating `div` agree here because
+    // the greatest(0) clamp absorbs the one divergent region (negative
+    // quotients, score < lo).
+    "q_eval_calibration" ->
+      """SELECT CAST(source AS VARCHAR) AS grp,
+        |  LEAST(GREATEST((CAST(n_chars AS BIGINT) * 6) // 600, 0), 5) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS score_sum
+        |FROM documents
+        |WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Streaming inference must converge to the one-shot batch result —
     // the SAME oracle, verbatim.

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed classifier evaluation: tie-aware ROC-AUC and calibration
+  * bins, in pure INTEGER arithmetic so every figure is exactly
+  * reproducible cross-engine (no float summation-order drift).
+  *
+  * AUC via the Mann–Whitney rank-sum identity, NOT a per-row global sort:
+  * rows collapse to one row per (group, score) with positive/total counts
+  * — one map-side-combining shuffle — and the rank walk runs as a window
+  * over that GROUPED frame, whose size is the number of DISTINCT scores
+  * per group, not the number of rows. With average ranks for ties, twice
+  * the positive rank-sum is the integer p·(2·cum + c + 1) summed over
+  * score groups, so the statistic is exact.
+  *
+  * Scale shape: the window partitions by group and walks distinct scores,
+  * so the per-partition frame is |score domain|, not |rows| — feed it
+  * QUANTIZED integer scores (class probabilities → fixed-point buckets),
+  * which is also what makes ties well-defined. Overflow bound: the
+  * rank-sum reaches n_pos·2n, so u2 stays in BIGINT up to ~2·10⁹ rows per
+  * group — holdout-set scale; shard the group key first if you ever
+  * exceed it.
+  */
+object Eval {
+
+  /** Per-group tie-aware AUC: (grp, n_pos, n_neg, u2, auc_ppm) where
+    * u2 = 2·U (integer even under ties) and auc_ppm = AUC in
+    * parts-per-million via integer division; NULL when the group lacks
+    * both classes (AUC undefined). */
+  def aucByGroup(df: DataFrame, groupCol: String, score: Column,
+                 label: Column): DataFrame = {
+    val g = df
+      .select(col(groupCol).cast("string").as("grp"),
+        score.cast("long").as("__s"), label.cast("boolean").as("__l"))
+      .filter(col("__s").isNotNull && col("__l").isNotNull)
+      .groupBy(col("grp"), col("__s"))
+      .agg(sum(when(col("__l"), 1L).otherwise(0L)).as("__p"),
+        count(lit(1)).as("__c"))
+    // ranks 1..n within the group: a tie block of c rows starting after
+    // cum rows has average rank cum + (c+1)/2, so twice the block's
+    // positive rank-sum is the exact integer p·(2·cum + c + 1)
+    val w = Window.partitionBy(col("grp")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("__cum", coalesce(sum(col("__c")).over(w), lit(0L)))
+    r.groupBy(col("grp"))
+      .agg(sum(col("__p")).as("n_pos"),
+        (sum(col("__c")) - sum(col("__p"))).as("n_neg"),
+        (sum(col("__p") * (col("__cum") * 2 + col("__c") + 1)))
+          .as("__r2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        (col("__r2") - col("n_pos") * (col("n_pos") + 1)).as("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(1000000 * (__r2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"))
+          .as("auc_ppm"))
+  }
+
+  /** Fixed-width calibration (reliability) table: integer scores in
+    * [lo, hi) → `nBins` equal bins (out-of-range clamps to the edge
+    * bins), per (group, bin): row count, positive count, and the exact
+    * integer score sum — mean predicted score vs observed positive rate
+    * without a single float. One map-side-combining shuffle on
+    * (group, bin); bin count bounds the result size. */
+  def calibrationBins(df: DataFrame, groupCol: String, score: Column,
+                      label: Column, nBins: Int, lo: Long,
+                      hi: Long): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need nBins>0 and hi>lo, got $nBins, [$lo,$hi)")
+    df.select(col(groupCol).cast("string").as("grp"),
+        score.cast("long").as("__s"), label.cast("boolean").as("__l"))
+      .filter(col("__s").isNotNull && col("__l").isNotNull)
+      .withColumn("__raw", (col("__s") - lit(lo)) * lit(nBins.toLong))
+      // truncating `div` vs the oracle's flooring `//` only differ on
+      // NEGATIVE quotients (score < lo), and both land ≤ 0 there — the
+      // greatest(0) clamp makes the two semantics agree everywhere
+      .withColumn("__bin", least(greatest(expr(s"__raw div ${hi - lo}"),
+        lit(0L)), lit(nBins.toLong - 1L)))
+      .groupBy(col("grp"), col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s")).as("score_sum"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(String, Long, Boolean)]) =
+    Eval.aucByGroup(rows.toDF("g", "s", "l"), "g", col("s"), col("l"))
+      .orderBy(col("grp"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+
+  test("perfect, inverted, and random-tie classifiers hit the exact AUC") {
+    val rows =
+      // perfect: all positives score above all negatives -> AUC 1
+      Seq(("perfect", 10L, true), ("perfect", 9L, true),
+        ("perfect", 2L, false), ("perfect", 1L, false),
+        // inverted -> AUC 0
+        ("inv", 1L, true), ("inv", 9L, false),
+        // one shared score -> every pair ties -> AUC 1/2
+        ("flat", 5L, true), ("flat", 5L, false), ("flat", 5L, false))
+    assert(auc(rows) === Seq(
+      ("flat", 1L, 2L, 2L, Some(500000L)),
+      ("inv", 1L, 1L, 0L, Some(0L)),
+      ("perfect", 2L, 2L, 8L, Some(1000000L))))
+  }
+
+  test("u2 equals the brute-force tie-aware pair count on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)(("g", rnd.nextInt(12).toLong, rnd.nextBoolean()))
+    val Seq(("g", nPos, nNeg, u2, Some(ppm))) = auc(rows).toSeq
+    val pos = rows.collect { case (_, s, true) => s }
+    val neg = rows.collect { case (_, s, false) => s }
+    assert(nPos == pos.size && nNeg == neg.size)
+    val bruteU2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(u2 == bruteU2, "rank-sum disagrees with pairwise counting")
+    assert(ppm == 1000000L * bruteU2 / (2L * pos.size * neg.size))
+  }
+
+  test("a single-class group reports NULL AUC, not a division error") {
+    val r = auc(Seq(("onlypos", 3L, true), ("onlypos", 4L, true),
+      ("both", 2L, true), ("both", 1L, false)))
+    assert(r === Seq(("both", 1L, 1L, 2L, Some(1000000L)),
+      ("onlypos", 2L, 0L, 0L, None))) // zero negatives -> U is 0 pairs won
+  }
+
+  test("rows collapse before ranking: the window input is score-distinct") {
+    // 10k rows, 5 distinct scores — the plan must group first; verify via
+    // the exact result (ties averaged correctly at volume)
+    val rows = (1 to 10000).map(i => ("g", (i % 5).toLong, i % 2 == 0))
+    val Seq(("g", nPos, nNeg, u2, Some(ppm))) = auc(rows).toSeq
+    assert(nPos == 5000 && nNeg == 5000)
+    // each score class is half positive — label independent of score, and
+    // with exact average-rank ties AUC must be exactly 1/2
+    assert(ppm == 500000L, s"ppm $ppm")
+    assert(u2 == 2L * 5000L * 5000L / 2L)
+  }
+
+  test("calibration bins: clamped fixed-width bins, exact integer sums") {
+    val rows = Seq(("a", -5L, true), ("a", 0L, false), ("a", 99L, true),
+      ("a", 100L, true), ("a", 599L, false), ("a", 600L, true),
+      ("a", 10000L, false))
+    val out = Eval.calibrationBins(rows.toDF("g", "s", "l"), "g",
+        col("s"), col("l"), nBins = 6, lo = 0L, hi = 600L)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out === Seq(
+      (0L, 3L, 2L, -5L + 0L + 99L), // -5 clamps into bin 0
+      (1L, 1L, 1L, 100L),
+      (5L, 3L, 1L, 599L + 600L + 10000L))) // >= hi clamps into the top bin
+  }
+
+  test("auc matches the oracle derivation on the real lineitem fixture") {
+    val li = spark.read.parquet(s"${testDataDir()}/lineitem.parquet")
+    val out = Eval.aucByGroup(li, "l_linestatus",
+        col("l_quantity"), col("l_returnflag") === "R")
+      .orderBy(col("grp")).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val (nPos, nNeg, u2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nPos > 0 && nNeg > 0)
+      assert(u2 >= 0 && u2 <= 2 * nPos * nNeg)
+      // quantity is independent of returnflag by construction -> near 1/2
+      val ppm = r.getLong(4)
+      assert(math.abs(ppm - 500000L) < 100000L, s"ppm $ppm")
+    }
+  }
+}
