@@ -2082,6 +2082,22 @@ object SparkEntry {
         .select(col("i").cast("string").as("i"), col("j").cast("string").as("j"),
           col("qsum").cast("string").as("qsum"), col("n").cast("string").as("n"))),
 
+    // Thousands of independent regressions in ONE pass: per-nation OLS of
+    // order value against order year as pure BIGINT sufficient statistics
+    // (six moment sums + exact rational slope + floor-division milli
+    // slope). Dims broadcast; one combining shuffle on the group key; no
+    // per-group solver, no driver loop. Hash-oracled end to end.
+    "q_reg_per_group" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      operators.LinearModel.groupedOls(joined, "n_name",
+        year(col("o_orderdate")) - lit(1995), floor(col("o_totalprice")))
+        .orderBy(col("grp"))
+    }),
+
     // The fit's verification gate: per-coefficient normal-equation
     // gradient Σ xⱼ·(y − ŷ) re-derived in-engine (fixed-point folds) must
     // stay within the quantization-derived bound — a wrong pivot, index
@@ -4707,6 +4723,32 @@ object SparkEntry {
       """SELECT CAST(NULL AS BIGINT) AS j, CAST(NULL AS VARCHAR) AS issue,
         |  CAST(NULL AS DOUBLE) AS value
         |WHERE FALSE""".stripMargin,
+
+    // Same integer sufficient-statistics derivation; `//` truncates toward
+    // zero exactly like the engine's `div` (measured on negative
+    // quotients), and every SUM is CAST back to BIGINT.
+    "q_reg_per_group" ->
+      """WITH base AS (
+        |  SELECT CAST(n.n_name AS VARCHAR) AS grp,
+        |    CAST(year(o.o_orderdate) - 1995 AS BIGINT) AS x,
+        |    CAST(FLOOR(o.o_totalprice) AS BIGINT) AS y
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL),
+        |m AS (
+        |  SELECT grp, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy, CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM base GROUP BY grp)
+        |SELECT grp, n, sx, sy, sxx, syy, sxy,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN CAST((1000 * (n * sxy - sx * sy))
+        |      // (n * sxx - sx * sx) AS BIGINT)
+        |    ELSE NULL END AS slope_milli
+        |FROM m ORDER BY grp""".stripMargin,
 
     // Same fixed-point determinism argument as q_vec_centroid; i/j are
     // 0-based to match the Spark side's sequence(0, d-1).

@@ -71,9 +71,9 @@ object Eval {
         score.cast("long").as("__s"), label.cast("boolean").as("__l"))
       .filter(col("__s").isNotNull && col("__l").isNotNull)
       .withColumn("__raw", (col("__s") - lit(lo)) * lit(nBins.toLong))
-      // truncating `div` vs the oracle's flooring `//` only differ on
-      // NEGATIVE quotients (score < lo), and both land ≤ 0 there — the
-      // greatest(0) clamp makes the two semantics agree everywhere
+      // `div` and the oracle's `//` both truncate toward zero (measured),
+      // so the bin index agrees everywhere; the greatest(0) clamp would
+      // additionally absorb any negative-quotient divergence (score < lo)
       .withColumn("__bin", least(greatest(expr(s"__raw div ${hi - lo}"),
         lit(0L)), lit(nBins.toLong - 1L)))
       .groupBy(col("grp"), col("__bin").as("bin"))

@@ -140,4 +140,41 @@ object LinearModel {
       .agg(sum(col("__q").cast("decimal(38,0)")).as("qgrad"),
         count(lit(1)).as("n"))
   }
+
+  /** Per-GROUP simple OLS as pure integer sufficient statistics: one
+    * map-side-combining shuffle on the group key carrying the six moment
+    * sums (n, Σx, Σy, Σx², Σy², Σxy), from which slope and intercept are
+    * closed-form — thousands of independent regressions in one pass, no
+    * per-group solver, no driver loop. Everything stays BIGINT so the
+    * result hashes identically cross-engine: slope_num/slope_den are the
+    * exact rational slope (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), and
+    * slope_milli its integer-division rendering in thousandths (NULL for
+    * a degenerate group with zero x-variance).
+    *
+    * Overflow bound: pre-scale inputs so n·max(Σy², Σxy) < 2⁶³ — e.g.
+    * whole currency units, not cents, and an epoch-offset year. The
+    * moments ladder to coarser groupings by plain addition (they are the
+    * scalar case of [[moments]]' Gram matrix), so per-group rows can be
+    * stored and re-aggregated without rescanning. */
+  def groupedOls(df: DataFrame, groupCol: String, x: Column,
+                 y: Column): DataFrame =
+    df.select(col(groupCol).cast("string").as("grp"),
+        x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__y") * col("__y")).as("syy"),
+        sum(col("__x") * col("__y")).as("sxy"))
+      .select(col("grp"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      // `div` TRUNCATES toward zero — measured to agree with DuckDB's `//`
+      // on negative quotients (-7 // 2 = -3 there, not Python's -4), which
+      // matters because slope_num is legitimately negative for falling
+      // trends. slope_den ≥ 0 always (Cauchy–Schwarz); zero guard only.
+      .withColumn("slope_milli", when(col("slope_den") =!= 0L,
+        expr("(1000 * slope_num) div slope_den")))
 }

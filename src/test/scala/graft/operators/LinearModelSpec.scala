@@ -68,4 +68,35 @@ class LinearModelSpec extends SparkSpec {
       math.abs(r.getAs[java.math.BigDecimal]("qgrad").doubleValue() / fit.grid) > tol),
       "corrupted weights were not detected by the gradient gate")
   }
+
+  test("groupedOls: exact rational slopes, truncating milli rendering") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      // up: y = 2x + 1 exactly -> slope 2.000
+      ("up", 0L, 1L), ("up", 1L, 3L), ("up", 2L, 5L),
+      // down: y = -3x + 10 exactly -> slope -3.000 (negative path)
+      ("down", 0L, 10L), ("down", 1L, 7L), ("down", 2L, 4L),
+      // frac: slope 1/3 -> trunc(1000/3) = 333
+      ("frac", 0L, 0L), ("frac", 3L, 1L),
+      // negfrac: slope -1/3 -> trunc(-333.3) = -333 (DuckDB // truncates
+      // toward zero on negatives too — measured, matching Spark div)
+      ("negfrac", 0L, 1L), ("negfrac", 3L, 0L),
+      // flat x: zero variance -> NULL slope
+      ("degen", 5L, 1L), ("degen", 5L, 9L))
+    val out = LinearModel.groupedOls(rows.toDF("g", "x", "y"), "g",
+        col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(7), r.getLong(8),
+          if (r.isNullAt(9)) None else Some(r.getLong(9)))).toMap
+    assert(out("up") == ((12L, 6L, Some(2000L))))
+    assert(out("down") == ((-18L, 6L, Some(-3000L))))
+    assert(out("frac") == ((3L, 9L, Some(333L))))
+    assert(out("negfrac") == ((-3L, 9L, Some(-333L))))
+    assert(out("degen") == ((0L, 0L, None)))
+    // moment sums themselves are exact
+    val up = LinearModel.groupedOls(rows.toDF("g", "x", "y"), "g",
+        col("x"), col("y")).filter(col("grp") === "up").head()
+    assert((up.getLong(1), up.getLong(2), up.getLong(3), up.getLong(4),
+      up.getLong(5), up.getLong(6)) == ((3L, 3L, 9L, 5L, 35L, 13L)))
+  }
 }
