@@ -1418,6 +1418,30 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Zone-map file skipping (sink.ZoneMap): range-cluster lineitem on
+    // ship date into 16 files + a per-file (min, max) stats table; a
+    // month-range read consults the KB-scale stats FIRST and opens only
+    // the files whose envelope intersects — the ordered-high-cardinality
+    // complement of q_partition_pruning's directory pruning (at 100 TB:
+    // tens of files opened instead of tens of thousands of footer reads).
+    // Result must equal the plain full-scan filter — that's the oracle;
+    // ZoneMapSpec asserts files were actually skipped.
+    "q_zonemap_skip" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_zonemap_"))
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_zonemap_${runTag(dir)}"
+      graft.sink.ZoneMap.writeClustered(
+        t(s, dir, "lineitem"), base, "l_shipdate", nFiles = 16)
+      graft.sink.ZoneMap.readRange(s, base, "l_shipdate",
+        lit("1996-03-01").cast("timestamp"), lit("1996-03-31").cast("timestamp"))
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_shipdate").cast("date").as("d"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Source-format surface: the same table round-tripped through orc,
     // json, and csv (schema re-applied on read — never inferred) must be
     // byte-identical to the parquet original; the oracle is the original
@@ -3436,6 +3460,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Zone-map read ≡ plain full-scan filter: the skipping must be
+    // invisible in the result. Timestamp bounds mirror the Spark casts.
+    "q_zonemap_skip" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_shipdate AS DATE) AS d,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1996-03-31 00:00:00'
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_source_formats" ->
       """SELECT n_nationkey, n_name, n_regionkey, via FROM (

@@ -353,7 +353,10 @@ class PlanSpec extends SparkSpec {
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
       "q_sim_topk_pq", "q_sim_topk_pq_verify",
       "q_dedup_embedding_verify", "q_reg_verify", "q_vec_pca_verify",
-      "q_source_formats", "q_partition_pruning", "q_join_bucketed")
+      "q_source_formats", "q_partition_pruning", "q_join_bucketed",
+      // writes the clustered scratch table + stats at build time; the
+      // read-side skipping contract is covered by ZoneMapSpec
+      "q_zonemap_skip")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: shuffled cartesian")
