@@ -1267,6 +1267,47 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Incremental materialized-aggregate maintenance: per-customer order
+    // stats refreshed after a sparse CDC batch (~1.5% of keys) by
+    // recomputing ONLY touched customer groups — untouched rows carried
+    // verbatim from the stored aggregate, the batch key set broadcast
+    // into one semi-join. Result must equal a full recompute of the
+    // post-CDC table — that's the oracle, and the whole point.
+    "q_incr_agg" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val u = base.filter(col("o_orderkey") % 49 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 5).as("o_totalprice"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val d = base.filter(col("o_orderkey") % 121 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      val ins = base.filter(col("o_orderkey") % 169 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      val batch = u.unionByName(d).unionByName(ins)
+      val newBase = sink.Warehouse.applyCdc(base, batch,
+        Seq("o_orderkey"), "seq", "op")
+      // touched groups = old owners of batched keys (from base) ∪ owners
+      // named in the batch itself (covers reassignment and inserts)
+      val touched = base
+        .join(batch.select(col("o_orderkey")).distinct(),
+          Seq("o_orderkey"), "left_semi")
+        .select(col("o_custkey"))
+        .unionAll(batch.select(col("o_custkey")))
+        .distinct()
+      val matAgg = base.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice")).cast("long")).as("total_units"))
+      operators.IncrementalAgg.refreshTouchedGroups(
+        newBase, touched, matAgg, Seq("o_custkey"),
+        Seq(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice")).cast("long")).as("total_units")))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Warehouse TIME TRAVEL: a snapshot-versioned parquet table (manifest
     // per version, files shared across append commits) built by replaying
     // two CDC batches — v0 = base orders, v1 = the q_cdc_apply batch, v2 =
@@ -1416,6 +1457,27 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Declarative expectations audit (validate.Expectations) — the
+    // warehouse generalization of the reference's mandatory-field
+    // validator: six rules over lineitem in ONE aggregation pass plus a
+    // keyed uniqueness check and a broadcast anti-join foreign-key check,
+    // one (rule, n_violations, n_rows) row each. The in_set and in_range
+    // rules are tuned to FIRE (tens of thousands of violations), so the
+    // hash gate covers real counts, not just zeros. Fully oracled.
+    "q_expectations" -> ((s, dir) => {
+      import graft.validate.Expectations
+      val li = t(s, dir, "lineitem")
+      Expectations.audit(li,
+        rules = Seq(
+          Expectations.notNull("l_orderkey"),
+          Expectations.inRange("l_quantity", 1L, 30L),
+          Expectations.inSet("l_returnflag", Seq("A", "N")),
+          Expectations.matches("l_linestatus", "^[FO]$")),
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")),
+        foreignKeys = Seq(("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+        .orderBy(col("rule"))
     }),
 
     // Zone-map file skipping (sink.ZoneMap): range-cluster lineitem on
@@ -2841,6 +2903,32 @@ object SparkEntry {
       |SELECT o_orderkey, o_orderpriority, o_totalprice FROM fin WHERE op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Oracle for q_incr_agg: the FULL recompute of the post-CDC table —
+    * the touched-group refresh must be indistinguishable from it. */
+  private val incrAggSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      |u AS (SELECT o_orderkey, o_custkey, o_totalprice + 5 AS o_totalprice,
+      |        CAST(1 AS BIGINT) AS seq, 'U' AS op FROM base WHERE o_orderkey % 49 = 0),
+      |d AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |        CAST(2 AS BIGINT) AS seq, 'D' AS op FROM base WHERE o_orderkey % 121 = 0),
+      |i AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_totalprice,
+      |        CAST(1 AS BIGINT) AS seq, 'I' AS op FROM base WHERE o_orderkey % 169 = 0),
+      |cdc AS (SELECT * FROM u UNION ALL SELECT * FROM d UNION ALL SELECT * FROM i),
+      |latest AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |    ORDER BY seq DESC, op DESC) AS rn FROM cdc),
+      |fin AS (SELECT o_orderkey, o_custkey, o_totalprice, op
+      |        FROM latest WHERE rn = 1),
+      |after AS (
+      |  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM fin f WHERE f.o_orderkey = b.o_orderkey)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM fin WHERE op <> 'D')
+      |SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS total_units
+      |FROM after GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** Shared by q_rate_anomalies and its streaming twin: exact integer
     * counts make the two engines' flagged sets bit-identical. */
   private val rateAnomalySql: String =
@@ -3460,6 +3548,51 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // One UNION ALL branch per rule, each re-deriving the count the
+    // engine's fused single-pass aggregation produces; NULL rule results
+    // count as violations on both sides.
+    "q_expectations" ->
+      """SELECT * FROM (
+        |  SELECT 'not_null:l_orderkey' AS rule,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations,
+        |    COUNT(*) AS n_rows
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range:l_quantity',
+        |    CAST(SUM(CASE WHEN NOT COALESCE(
+        |      l_quantity >= 1 AND l_quantity <= 30, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set:l_returnflag',
+        |    CAST(SUM(CASE WHEN NOT COALESCE(
+        |      l_returnflag IN ('A', 'N'), FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'matches:l_linestatus',
+        |    CAST(SUM(CASE WHEN NOT COALESCE(
+        |      regexp_matches(l_linestatus, '^[FO]$'), FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique:l_orderkey,l_linenumber',
+        |    CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(c), 0) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'fk:l_orderkey->o_orderkey',
+        |    (SELECT COUNT(*) FROM lineitem l
+        |     WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |    (SELECT COUNT(*) FROM lineitem))
+        |ORDER BY rule""".stripMargin,
 
     // Zone-map read ≡ plain full-scan filter: the skipping must be
     // invisible in the result. Timestamp bounds mirror the Spark casts.
@@ -4357,6 +4490,7 @@ object SparkEntry {
     // CDC merge: same derived batch, ROW_NUMBER winner per key by
     // (seq DESC, op DESC), anti-join + final non-delete rows.
     "q_cdc_apply" -> cdcApplySql,
+    "q_incr_agg" -> incrAggSql,
 
     // Time travel: reading v1 of the versioned table after v2 committed
     // must equal replaying exactly ONE batch — the q_cdc_apply oracle

@@ -315,7 +315,10 @@ class PlanSpec extends SparkSpec {
       // sketch/size frames (3 rows → 3 pairs), a deliberate bounded
       // broadcast nested loop; the row-scale work is the one sketch
       // aggregation (and, in the exact sibling, the v-equi-join)
-      "q_kmv_overlap", "q_kmv_overlap_exact", "q_kmv_overlap_verify")
+      "q_kmv_overlap", "q_kmv_overlap_exact", "q_kmv_overlap_verify",
+      // expectations audit: the FK rule's ONE-ROW orphan count crossed
+      // with the ONE-ROW table total — scalar combination
+      "q_expectations")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
