@@ -65,6 +65,14 @@ val picks = Seq(
   ("q_triangles", "degree-ordered orientation: distinct edge canon, degree joins, center-keyed wedge join, (a,b)-keyed closure - slow by workload (41M wedges at sf0.1), no cartesian"),
   ("q_cdc_apply", "CDC merge: keep-best winner election over the delta, key-keyed anti-join + union - base shuffles once, delta broadcast-eligible"),
   ("q_rate_anomalies", "zero-filled grid (per-key sequence explode) + ONE key-keyed rolling window; integer z-test is a codegen filter"),
+  ("q_quantile_native", "native KLL lattice: ONE ObjectHashAggregate partial/final pair, compactor stacks as the only shuffled state"),
+  ("q_triangles_approx", "DOULION: hash-deterministic edge sample BEFORE the wedge join - same oriented shape at ~p^2 the workload"),
+  ("q_kmv_overlap", "KMV set ops: one sketch agg over rows; pairwise stage is a 3-row broadcast nested loop over sketches, never rows"),
+  ("q_eval_auc", "AUC without a global sort: (group,score) partial-agg collapse, rank window walks DISTINCT scores, one final group agg"),
+  ("q_reg_per_group", "per-group OLS: dims broadcast, ONE combining shuffle on the group key carrying six integer moments"),
+  ("q_expectations", "six-rule audit in ONE aggregation pass + keyed uniqueness agg + broadcast anti-join FK check, unioned"),
+  ("q_incr_agg", "touched-group refresh: batch keys broadcast into semi-join, ONLY touched rows aggregate; untouched mat rows pass through"),
+  ("q_zonemap_skip", "post-stats stage: surviving-file-list parquet scan with the residual range filter pushed down"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
