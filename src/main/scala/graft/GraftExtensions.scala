@@ -32,6 +32,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_cms_sketch(v, depth, width)`→ binary Count-Min sketch
   *  - `graft_cms_merge(sk)`              → summed binary CMS sketch
   *  - `graft_cms_estimate(sk, item)`     → estimated count
+  *  - `graft_cms_inner(a, b)`            → struct(n_a, n_b, est) join-size estimate
   *  - `graft_kll_sketch(v, k)`           → KLL quantile summary struct(n, err, items)
   *  - `graft_kmv_sketch(v, k)`           → binary K-Minimum-Values (theta) sketch
   *  - `graft_kmv_merge(sk)`              → set-unioned binary KMV sketch
@@ -118,6 +119,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_cms_estimate", "(binary CMS sketch, BIGINT item) -> estimated count"),
       arity("graft_cms_estimate", 2)(exprs =>
         graft.expr.CmsEstimate(exprs(0), exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("graft_cms_inner"),
+      info("graft_cms_inner",
+        "two same-shape binary CMS sketches -> struct(n_a, n_b, est) join-size estimate"),
+      arity("graft_cms_inner", 2)(exprs =>
+        graft.expr.CmsInnerProduct(exprs(0), exprs(1)))))
     ext.injectFunction((FunctionIdentifier("graft_kll_sketch"),
       info("graft_kll_sketch",
         "KLL quantile summary of a BIGINT column -> struct(n, err, items)"),

@@ -2614,6 +2614,32 @@ object SparkEntry {
           lit("stream_vs_batch").as("issue"))
     }),
 
+    // JOIN-SIZE ESTIMATION from sketches (CMS/AMS inner product): the
+    // optimizer's pre-join question — how big is events ⋈ events on
+    // user_id? — answered from two 512 KB sketches without running the
+    // join (this self-join size is also the classic AMS second moment
+    // F2). Never underestimates; engine-internal → rows-only, gated by
+    // the bound sibling; the exact COUNT carries the oracle.
+    "q_join_size_est" -> ((s, dir) =>
+      operators.FreqSketch.joinSizeEstimate(
+        t(s, dir, "events"), "user_id",
+        t(s, dir, "events"), "user_id", depth = 8, width = 8192)),
+
+    "q_join_size_exact" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("__k"))
+        .filter(col("__k").isNotNull)
+      ev.join(ev, Seq("__k")).agg(count(lit(1)).as("true_size"))
+    }),
+
+    // Gate: est >= true always (colliding keys only add), and
+    // est <= true + e·nA·nB/width (misses w.p. ~exp(−depth)).
+    // Violations only; oracle = empty relation.
+    "q_join_size_est_verify" -> ((s, dir) =>
+      operators.FreqSketch.joinSizeViolations(
+        t(s, dir, "events"), "user_id",
+        t(s, dir, "events"), "user_id", depth = 8, width = 8192)),
+
     // Funnel: view → click → purchase per user, earliest ordered chain —
     // one key-window shuffle for all three steps (no joins/collect_list).
     "q_funnel" -> ((s, dir) => {
@@ -4484,6 +4510,17 @@ object SparkEntry {
         |WHERE FALSE""".stripMargin,
 
     "q_stream_cms_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_join_size_exact" ->
+      """SELECT COUNT(*) AS true_size
+        |FROM (SELECT CAST(user_id AS BIGINT) AS k FROM events
+        |      WHERE user_id IS NOT NULL) a
+        |JOIN (SELECT CAST(user_id AS BIGINT) AS k FROM events
+        |      WHERE user_id IS NOT NULL) b ON a.k = b.k""".stripMargin,
+
+    "q_join_size_est_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 

@@ -64,6 +64,32 @@ final class CmsBuffer(val depth: Int, val width: Int) {
     counters.foreach(bb.putLong)
     bb.array()
   }
+
+  /** AMS/CMS inner-product estimate: min over rows of Σⱼ a[r][j]·b[r][j]
+    * — an upper bound on Σₖ fA(k)·fB(k), which is exactly the EQUI-JOIN
+    * CARDINALITY on the sketched key (Cormode & Muthukrishnan 2005 §4.2;
+    * Alon–Matias–Szegedy for the moment view). Guarantees mirror the
+    * point estimate: never BELOW the true join size (colliding keys only
+    * add), and within e·nA·nB/width above it w.p. 1−exp(−depth). Caller
+    * ensures nA·nB < 2⁶³ (the row dot products are exact long sums). */
+  def innerProduct(other: CmsBuffer): Long = {
+    require(other.depth == depth && other.width == width,
+      s"cannot inner-product CMS of different shape ($depth x $width vs " +
+        s"${other.depth} x ${other.width})")
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var dot = 0L
+      var j = 0
+      while (j < width) {
+        dot += counters(r * width + j) * other.counters(r * width + j)
+        j += 1
+      }
+      if (dot < min) min = dot
+      r += 1
+    }
+    if (min == Long.MaxValue) 0L else min
+  }
 }
 
 object CmsBuffer {
@@ -203,5 +229,41 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Two sketches of the SAME shape → struct(n_a, n_b, est): the CMS/AMS
+  * inner product, i.e. the estimated EQUI-JOIN CARDINALITY on the
+  * sketched key — the number an optimizer needs to pick broadcast vs
+  * shuffle vs skew handling BEFORE running the join, from two already-
+  * stored KB-scale sketches instead of a scan. Never underestimates;
+  * overcount within e·nA·nB/width w.p. 1−exp(−depth). Evaluated once per
+  * sketch pair, hence CodegenFallback. */
+case class CmsInnerProduct(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cms_inner needs two BINARY sketch columns, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def prettyName: String = "graft_cms_inner"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_a", LongType, nullable = false),
+    StructField("n_b", LongType, nullable = false),
+    StructField("est", LongType, nullable = false)))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ba = CmsBuffer.deserialize(a.asInstanceOf[Array[Byte]])
+    val bb = CmsBuffer.deserialize(b.asInstanceOf[Array[Byte]])
+    // the 0-depth marker (empty merge) inner-products to 0 with anything
+    if (ba.depth == 0 || bb.depth == 0)
+      InternalRow(ba.n, bb.n, 0L)
+    else InternalRow(ba.n, bb.n, ba.innerProduct(bb))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInnerProduct =
     copy(left = newLeft, right = newRight)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expr.{CmsEstimate, CmsMergeAgg, CmsSketchAgg}
+import graft.expr.{CmsEstimate, CmsInnerProduct, CmsMergeAgg, CmsSketchAgg}
 
 /** Dataset-API face of the native Count-Min sketch
   * ([[graft.expr.CountMinAggregate]]) — point-frequency estimates over a
@@ -29,6 +29,58 @@ object FreqSketch {
   def cmsEstimate(sketchCol: Column, itemCol: Column): Column =
     ColumnBridge.column(CmsEstimate(
       ColumnBridge.expression(sketchCol), ColumnBridge.expression(itemCol)))
+
+  def cmsInner(a: Column, b: Column): Column =
+    ColumnBridge.column(CmsInnerProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Estimated EQUI-JOIN CARDINALITY |A ⋈ₖ B| from two CMS sketches —
+    * the optimizer's pre-join question (broadcast? shuffle? salt?)
+    * answered WITHOUT running the join: each side folds to one
+    * depth×width grid (map-side partial aggregation; at a warehouse the
+    * sketches would already be stored per table/partition), and the
+    * estimate is one sketch-pair inner product. Never underestimates;
+    * overcount within e·nA·nB/width w.p. 1−exp(−depth).
+    * Output (one row): (n_a, n_b, est). */
+  def joinSizeEstimate(dfA: DataFrame, keyA: String, dfB: DataFrame,
+                       keyB: String, depth: Int = 8,
+                       width: Int = 8192): DataFrame = {
+    def side(df: DataFrame, key: String, alias: String) =
+      df.filter(col(key).isNotNull)
+        .agg(cmsSketch(col(key).cast("long"), depth, width).as(alias))
+    side(dfA, keyA, "__a").crossJoin(side(dfB, keyB, "__b"))
+      .select(cmsInner(col("__a"), col("__b")).as("__o"))
+      .select(col("__o.n_a").as("n_a"), col("__o.n_b").as("n_b"),
+        col("__o.est").as("est"))
+  }
+
+  /** Gate for [[joinSizeEstimate]] against the true join count:
+    *   - UNDERCOUNT: `est < true` is impossible by construction
+    *     (colliding keys only ADD to every row's dot product);
+    *   - OVERCOUNT: `est > true + slack·e·nA·nB/width` — the published
+    *     bound holds per row with constant probability and the min over
+    *     `depth` independent rows misses with ~exp(−depth).
+    * Violations only; oracle = empty relation. */
+  def joinSizeViolations(dfA: DataFrame, keyA: String, dfB: DataFrame,
+                         keyB: String, depth: Int = 8, width: Int = 8192,
+                         slack: Double = 1.0): DataFrame = {
+    val est = joinSizeEstimate(dfA, keyA, dfB, keyB, depth, width)
+    val exact = dfA.select(col(keyA).cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+      .join(dfB.select(col(keyB).cast("long").as("__k"))
+        .filter(col("__k").isNotNull), Seq("__k"))
+      .agg(count(lit(1)).as("true_size"))
+    est.crossJoin(exact)
+      .select(col("n_a"), col("n_b"), col("est"), col("true_size"),
+        (col("true_size").cast("double") + lit(slack * math.E / width) *
+          col("n_a").cast("double") * col("n_b").cast("double")).as("__hi"))
+      .select(
+        when(col("est") < col("true_size"), lit("undercount"))
+          .when(col("est").cast("double") > col("__hi"), lit("overcount"))
+          .as("issue"))
+      .filter(col("issue").isNotNull)
+      .select(lit("__GLOBAL__").as("subject"), col("issue"))
+  }
 
   /** CMS estimates for the exact top-`k` items: the probe set comes from
     * the exact counts (deterministic (cnt desc, item) order), the ONE-ROW

@@ -32,7 +32,10 @@ class OracleContractSpec extends AnyFunSuite {
     // KMV overlap estimates: exact sibling q_kmv_overlap_exact carries the
     // oracle; q_kmv_overlap_verify bounds every figure + byte-exact merge;
     // q_stream_kmv_verify pins stream ≡ batch bit-exact
-    "q_kmv_overlap", "q_stream_kmv")
+    "q_kmv_overlap", "q_stream_kmv",
+    // CMS join-size estimate: exact sibling q_join_size_exact carries the
+    // oracle; q_join_size_verify gates the no-undercount + bound contract
+    "q_join_size_est")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

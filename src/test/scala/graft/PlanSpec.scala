@@ -318,7 +318,10 @@ class PlanSpec extends SparkSpec {
       "q_kmv_overlap", "q_kmv_overlap_exact", "q_kmv_overlap_verify",
       // expectations audit: the FK rule's ONE-ROW orphan count crossed
       // with the ONE-ROW table total — scalar combination
-      "q_expectations")
+      "q_expectations",
+      // join-size estimate: two ONE-ROW sketch frames crossed (and, in
+      // the gate, the ONE-ROW exact count) — scalar combination
+      "q_join_size_est", "q_join_size_est_verify")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly

@@ -80,4 +80,40 @@ class CountMinAggregateSpec extends SparkSpec {
     val viol = FreqSketch.violations(ev, "user_id", "event_type")
     assert(viol.isEmpty, s"violations: ${viol.collect().mkString(", ")}")
   }
+
+  test("inner product: exact join size when collision-free, never under") {
+    // A: key k occurs k times (k=1..20); B: every key once plus key 7
+    // three extra times -> true join size = sum(k) + 3*7 = 210 + 21
+    val a = new CmsBuffer(8, 4096)
+    (1L to 20L).foreach(k => (1L to k).foreach(_ => a.add(k)))
+    val b = new CmsBuffer(8, 4096)
+    (1L to 20L).foreach(b.add); (1 to 3).foreach(_ => b.add(7L))
+    val trueSize = (1 to 20).sum + 3 * 7
+    val est = a.innerProduct(b)
+    assert(est >= trueSize, "CMS inner product must never undercount")
+    // 20 keys in 4096 slots: collisions possible per row, but the min
+    // over 8 rows is within the published bound with huge margin
+    assert(est <= trueSize + math.E / 4096 * a.n * b.n + 1)
+    // shape mismatch refuses
+    intercept[IllegalArgumentException] {
+      a.innerProduct(new CmsBuffer(8, 2048))
+    }
+  }
+
+  test("join-size estimate operator: gate empty, exact self-join F2") {
+    val ev = spark.read.parquet(s"${testDataDir()}/events.parquet")
+    val viol = FreqSketch.joinSizeViolations(ev, "user_id", ev, "user_id")
+      .collect()
+    assert(viol.isEmpty, viol.mkString("; "))
+    val est = FreqSketch.joinSizeEstimate(ev, "user_id", ev, "user_id")
+      .head()
+    val exact = {
+      import spark.implicits._
+      val k = ev.select(col("user_id").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+      k.join(k, Seq("k")).count()
+    }
+    assert(est.getAs[Long]("est") >= exact)
+    assert(est.getAs[Long]("n_a") == est.getAs[Long]("n_b"))
+  }
 }
