@@ -38,6 +38,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_kmv_merge(sk)`              → set-unioned binary KMV sketch
   *  - `graft_kmv_estimate(sk)`           → struct(n, est)
   *  - `graft_kmv_set_op(a, b)`           → struct(union_est, intersect_est, diff_ab_est, jaccard_ppm)
+  *  - `graft_bloom_agg(v, bits, hashes)` → binary Bloom filter
+  *  - `graft_bloom_contains(bf, item)`   → possibly-present boolean
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -139,6 +141,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_kmv_estimate"),
       info("graft_kmv_estimate", "binary KMV sketch -> struct(n, est)"),
       arity("graft_kmv_estimate", 1)(exprs => graft.expr.KmvEstimate(exprs.head))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "Bloom filter of a BIGINT key column -> binary"),
+      arity("graft_bloom_agg", 3)(exprs => graft.expr.BloomAgg(exprs.head,
+        litInt("graft_bloom_agg", "numBits", exprs(1)),
+        litInt("graft_bloom_agg", "numHashes", exprs(2))))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains",
+        "(binary Bloom filter, BIGINT item) -> possibly-present boolean"),
+      arity("graft_bloom_contains", 2)(exprs =>
+        graft.expr.BloomMightContain(exprs(0), exprs(1)))))
     ext.injectFunction((FunctionIdentifier("graft_kmv_set_op"),
       info("graft_kmv_set_op",
         "two binary KMV sketches -> struct(union_est, intersect_est, diff_ab_est, jaccard_ppm)"),

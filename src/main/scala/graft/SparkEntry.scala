@@ -1504,6 +1504,30 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // File-level BLOOM index (sink.BloomIndex over the native Bloom
+    // aggregate): the equality complement of q_zonemap_skip — the table
+    // is clustered by SHIP DATE, so a point lookup on ORDER KEY scatters
+    // and zone maps prune nothing; the per-file Bloom filters reject
+    // every file the key is definitely not in (no false negatives), and
+    // the exact residual filter makes the read result-invisible. Result
+    // ≡ plain full-scan filter — that's the oracle; BloomIndexSpec
+    // asserts files were actually skipped.
+    "q_bloom_index" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_bloomidx_"))
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_bloomidx_${runTag(dir)}"
+      graft.sink.ZoneMap.writeClustered(
+        t(s, dir, "lineitem"), base, "l_shipdate", nFiles = 16)
+      graft.sink.BloomIndex.buildIndex(s, base, "l_orderkey")
+      graft.sink.BloomIndex.pointRead(s, base, "l_orderkey", 5988L)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_shipdate").cast("date").as("d"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy(col("l_linenumber"))
+    }),
+
     // Source-format surface: the same table round-tripped through orc,
     // json, and csv (schema re-applied on read — never inferred) must be
     // byte-identical to the parquet original; the oracle is the original
@@ -3631,6 +3655,17 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate <= TIMESTAMP '1996-03-31 00:00:00'
         |ORDER BY 1, 2""".stripMargin,
+
+    // Bloom-index point read ≡ plain filter: the index must be
+    // result-invisible (it only prunes files; the residual filter is
+    // exact).
+    "q_bloom_index" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_shipdate AS DATE) AS d,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem WHERE l_orderkey = 5988
+        |ORDER BY l_linenumber""".stripMargin,
 
     "q_source_formats" ->
       """SELECT n_nationkey, n_name, n_regionkey, via FROM (

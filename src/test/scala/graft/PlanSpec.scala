@@ -361,8 +361,9 @@ class PlanSpec extends SparkSpec {
       "q_dedup_embedding_verify", "q_reg_verify", "q_vec_pca_verify",
       "q_source_formats", "q_partition_pruning", "q_join_bucketed",
       // writes the clustered scratch table + stats at build time; the
-      // read-side skipping contract is covered by ZoneMapSpec
-      "q_zonemap_skip")
+      // read-side skipping contracts are covered by ZoneMapSpec /
+      // BloomIndexSpec
+      "q_zonemap_skip", "q_bloom_index")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: shuffled cartesian")
