@@ -451,6 +451,19 @@ object SparkEntry {
         col("l_quantity"), col("l_returnflag") === "R")
         .orderBy(col("grp"))),
 
+    // STREAMING model-quality monitoring: the same tie-aware AUC with the
+    // (group, score) count grid as streaming state — exact sums merge
+    // across micro-batches, the rank walk runs over the final state via
+    // the shared batch code path. Exact integers ⇒ stream ≡ batch
+    // IDENTICALLY, so this streaming query is FULLY hash-oracled by the
+    // plain batch SQL (like q_stream_anomalies — no tolerance gate).
+    "q_stream_auc" -> ((s, dir) =>
+      StreamingIngest.runStreamAucBounded(s, s"$dir/events.parquet",
+        pmod(col("user_id"), lit(3)), floor(col("value") * 1000),
+        col("event_type") === "purchase",
+        queryName = s"stream_auc_${streamCounter.incrementAndGet()}")
+        .orderBy(col("grp"))),
+
     // Calibration (reliability) table: fixed-width integer score bins per
     // group — row count, positive count, exact score sum; mean predicted
     // vs observed rate derivable without a single float. One combining
@@ -3942,6 +3955,40 @@ object SparkEntry {
         |    (l_returnflag = 'R') AS l
         |  FROM lineitem
         |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+        |g AS (
+        |  SELECT grp, s,
+        |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    COUNT(*) AS c
+        |  FROM base GROUP BY grp, s),
+        |r AS (
+        |  SELECT grp, p, c,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM g),
+        |t AS (
+        |  SELECT grp, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+        |    CAST(SUM(p * (2 * cum + c + 1)) AS BIGINT) AS r2
+        |  FROM r GROUP BY grp)
+        |SELECT grp, n_pos, n_neg,
+        |  CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN CAST((1000000 * (r2 - n_pos * (n_pos + 1)))
+        |      // (2 * n_pos * n_neg) AS BIGINT)
+        |    ELSE NULL END AS auc_ppm
+        |FROM t ORDER BY grp""".stripMargin,
+
+    // The BATCH derivation verbatim — exact integer counts make the
+    // streaming replay reproduce it identically, so a streaming query
+    // gets a full hash oracle.
+    "q_stream_auc" ->
+      """WITH base AS (
+        |  SELECT CAST(user_id % 3 AS VARCHAR) AS grp,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS s,
+        |    (event_type = 'purchase') AS l
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |g AS (
         |  SELECT grp, s,
         |    CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS p,

@@ -31,14 +31,22 @@ object Eval {
     * parts-per-million via integer division; NULL when the group lacks
     * both classes (AUC undefined). */
   def aucByGroup(df: DataFrame, groupCol: String, score: Column,
-                 label: Column): DataFrame = {
-    val g = df
+                 label: Column): DataFrame =
+    aucFromCounts(df
       .select(col(groupCol).cast("string").as("grp"),
         score.cast("long").as("__s"), label.cast("boolean").as("__l"))
       .filter(col("__s").isNotNull && col("__l").isNotNull)
       .groupBy(col("grp"), col("__s"))
       .agg(sum(when(col("__l"), 1L).otherwise(0L)).as("__p"),
-        count(lit(1)).as("__c"))
+        count(lit(1)).as("__c")))
+
+  /** The rank-walk + U-statistic derivation from a (grp, __s, __p, __c)
+    * grouped-counts frame. Split out because the STREAMING twin
+    * materializes the same counts from its state store and must derive
+    * the identical output — counts are exact sums (mergeable across
+    * micro-batches), so stream ≡ batch EXACTLY and the twin shares this
+    * code rather than re-implementing it. */
+  def aucFromCounts(g: DataFrame): DataFrame = {
     // ranks 1..n within the group: a tie block of c rows starting after
     // cum rows has average rank cum + (c+1)/2, so twice the block's
     // positive rank-sum is the exact integer p·(2·cum + c + 1)

@@ -642,6 +642,41 @@ object StreamingIngest {
     graft.operators.SetSketch.pairOverlapFromSketches(spark.table(queryName))
   }
 
+  /** Streaming model-quality monitoring: per-group tie-aware AUC over a
+    * bounded replay. The streaming state is the (group, score) POSITIVE/
+    * TOTAL count grid — exact sums, mergeable across micro-batches — and
+    * the rank-walk U-statistic derivation runs over the final state via
+    * the SAME code path as the batch operator. Because every figure is an
+    * exact integer, the streaming result equals the batch result
+    * IDENTICALLY (no tolerance gate needed): the harness oracles it with
+    * the plain batch SQL. State size is |group|×|score domain| — feed it
+    * quantized scores, same contract as the batch operator. */
+  def runStreamAucBounded(spark: SparkSession, parquetPath: String,
+                          groupExpr: Column, scoreExpr: Column,
+                          labelExpr: Column, queryName: String,
+                          maxFilesPerTrigger: Int = 1,
+                          statePartitions: Int = 8): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = stream
+        .select(groupExpr.cast("string").as("grp"),
+          scoreExpr.cast("long").as("__s"),
+          labelExpr.cast("boolean").as("__l"))
+        .filter(col("__s").isNotNull && col("__l").isNotNull)
+        .groupBy(col("grp"), col("__s"))
+        .agg(sum(when(col("__l"), 1L).otherwise(0L)).as("__p"),
+          count(lit(1)).as("__c"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    graft.operators.Eval.aucFromCounts(spark.table(queryName))
+  }
+
   /** Streaming quantile summary over the NATIVE KLL aggregate
     * ([[graft.expr.KllSketchAgg]]): per-segment compactor stacks as
     * streaming state — the k·log-sized buffer is the state-store payload

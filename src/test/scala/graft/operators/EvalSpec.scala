@@ -74,6 +74,30 @@ class EvalSpec extends SparkSpec {
       (5L, 3L, 1L, 599L + 600L + 10000L))) // >= hi clamps into the top bin
   }
 
+  test("streaming AUC over micro-batches equals batch identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-auc-stream").toString
+    try {
+      val src = s"$tmp/events"
+      spark.read.parquet(s"${testDataDir()}/events.parquet")
+        .repartition(3).write.parquet(src) // 3 files -> 3 micro-batches
+      val stream = graft.streaming.StreamingIngest.runStreamAucBounded(
+          spark, src, pmod(col("user_id"), lit(3)),
+          floor(col("value") * 1000), col("event_type") === "purchase",
+          queryName = s"t_auc_stream_${System.nanoTime()}")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = Eval.aucByGroup(
+          spark.read.parquet(src).withColumn("__g", pmod(col("user_id"), lit(3))),
+          "__g", floor(col("value") * 1000), col("event_type") === "purchase")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(stream == batch,
+        "streaming AUC diverged from batch — counts must be exact sums")
+      assert(stream.nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("auc matches the oracle derivation on the real lineitem fixture") {
     val li = spark.read.parquet(s"${testDataDir()}/lineitem.parquet")
     val out = Eval.aucByGroup(li, "l_linestatus",
