@@ -737,6 +737,41 @@ object SparkEntry {
       operators.Graph.triangleEstimateViolations(co, "src", "dst", pPct = 50)
     }),
 
+    // k-CORE decomposition of the part co-purchase graph: peel nodes of
+    // in-subgraph degree < k until the unique maximal min-degree-≥-k
+    // subgraph remains — the dense-nucleus extractor. Output is the
+    // peeling-ROUND assignment (−1 = core), which doubles as a
+    // CERTIFICATE: the _verify gate re-proves the whole decomposition
+    // with two local degree checks (pure joins, no re-peeling). Exact
+    // and deterministic but iterative → not ANSI-expressible; rows-only
+    // + certificate gate + brute-force-reference spec.
+    "q_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pe = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val co = pe.as("x").join(pe.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      operators.Graph.kCore(co, "src", "dst", k = 30)
+        .orderBy(col("node"))
+    }),
+
+    // Certificate gate: REMOVABLE (each removed node had < k surviving
+    // neighbors at its round) + SURVIVED (no node could have fallen a
+    // round earlier; core nodes keep ≥ k core neighbors) + coverage.
+    // Violations only; oracle = empty relation.
+    "q_kcore_verify" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pe = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val co = pe.as("x").join(pe.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      val assignment = operators.Graph.kCore(co, "src", "dst", k = 30)
+      operators.Graph.kCoreViolations(co, "src", "dst", k = 30, assignment)
+        .orderBy(col("node"), col("issue"))
+    }),
+
     // Headline embedding near-dup: IVF-cell-bounded candidates + exact
     // cosine verify — candidate volume is set by cluster granularity, not
     // the threshold (hyperplane banding collapses at loose thresholds;
@@ -4584,6 +4619,10 @@ object SparkEntry {
     "q_kmv_overlap_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS seg_a, CAST(NULL AS VARCHAR) AS seg_b,
         |  CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_kcore_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
     "q_stream_kmv_verify" ->

@@ -200,6 +200,124 @@ object Graph {
           .as("est_triangles"))
   }
 
+  /** k-CORE decomposition by parallel batch peeling: repeatedly delete
+    * every node whose degree within the surviving subgraph is < k; what
+    * survives is the unique maximal subgraph of minimum degree ≥ k — the
+    * standard dense-region extractor (spam link farms, community nuclei,
+    * boilerplate template clusters in a doc-similarity graph).
+    *
+    * Output: (node, round) — the PEELING ROUND at which the node fell
+    * (0-based), or round = −1 for core members. The round assignment is
+    * not incidental: it is a CERTIFICATE. The batch-peeling rounds are
+    * unique, and an assignment is the true peeling iff two local degree
+    * conditions hold at every node (see [[kCoreViolations]]) — so the
+    * iterative computation can be verified by pure joins, no re-peeling.
+    *
+    * Scale shape: per round one semi-join restriction of the adjacency
+    * list + one degree aggregation (both key-partitioned on node), with
+    * the adjacency frame checkpointed to truncate lineage — the same
+    * loop discipline as [[pageRank]] / `Dedup.connectedComponents`. The
+    * round count is bounded by the degeneracy ordering depth, small for
+    * real graphs; `maxRounds` is a loud guard, not a silent cap. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 200, checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = edges.sparkSession
+    val reliableCkpt = spark.sparkContext.getCheckpointDir.isDefined
+    def materialized(df: DataFrame): DataFrame =
+      if (reliableCkpt) df.checkpoint() else df.localCheckpoint()
+
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    // symmetric adjacency among currently-alive nodes
+    var adj = materialized(
+      und.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(und.select(col("v").as("a"), col("u").as("b"))))
+    var removed: DataFrame = null
+    var round = 0
+    var done = false
+    while (!done) {
+      require(round <= maxRounds,
+        s"kCore: $maxRounds rounds exceeded — raise maxRounds for this graph")
+      val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("__d"))
+      val surviving = deg.filter(col("__d") >= k).select(col("a"))
+      // falls = alive nodes NOT surviving (covers degree-0 nodes, which
+      // vanish from `deg` entirely once their last neighbor fell)
+      val falls = adj.select(col("a")).distinct()
+        .join(surviving, Seq("a"), "left_anti")
+        .select(col("a").as("node"), lit(round).as("round"))
+      val nFell = falls.count()
+      if (nFell == 0L) done = true
+      else {
+        removed =
+          if (removed == null) materialized(falls)
+          else materialized(removed.unionAll(falls))
+        val next = adj
+          .join(surviving, Seq("a"), "left_semi")
+          .join(surviving.select(col("a").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+        adj =
+          if (checkpointEvery > 0 && (round + 1) % checkpointEvery == 0)
+            materialized(next)
+          else next
+        round += 1
+      }
+    }
+    val core = adj.select(col("a").as("node")).distinct()
+      .select(col("node"), lit(-1).as("round"))
+    val fell = if (removed == null) core.filter(lit(false)) else removed
+    // isolated canonical-graph nodes can't exist (self-loops dropped,
+    // every edge has two endpoints), so fell ∪ core covers the node set
+    fell.unionAll(core)
+  }
+
+  /** Certificate gate for [[kCore]]: an assignment round(v) (−1 = core)
+    * is THE batch peeling iff, with rank(v) = round(v) (core = +∞):
+    *   - REMOVABLE: every removed v has < k neighbors u with
+    *     rank(u) ≥ rank(v) (it was peelable at its claimed round);
+    *   - SURVIVED: every v with rank(v) = r ≥ 1, and every core v, has
+    *     ≥ k neighbors with rank(u) ≥ r−1 (resp. in the core) — it could
+    *     NOT have been peeled a round earlier. (Round-0 nodes are vacuous:
+    *     there is no earlier round.)
+    * Soundness/completeness by induction on rounds: the conditions force
+    * the claimed round-0 set to be exactly {deg < k}, then round 1, etc.
+    * Pure joins over (node, round) + the edge list — fully independent of
+    * the iterative loop. Also flags nodes the assignment misses or
+    * invents. Violations only; oracle = empty relation. */
+  def kCoreViolations(edges: DataFrame, srcCol: String, dstCol: String,
+                      k: Int, assignment: DataFrame): DataFrame = {
+    val inf = Long.MaxValue
+    val rank = assignment.select(col("node"),
+      when(col("round") === -1, lit(inf))
+        .otherwise(col("round").cast("long")).as("rank"))
+    val und = canonicalUndirected(edges, srcCol, dstCol)
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+    // coverage both ways: every graph node assigned exactly once, no
+    // phantom assignments
+    val nodes = adj.select(col("a").as("node")).distinct()
+    val coverage = nodes.join(rank, Seq("node"), "full_outer")
+      .filter(col("rank").isNull || col("node").isNull)
+      .select(coalesce(col("node"), lit(-999L)).as("node"),
+        lit("coverage").as("issue"))
+    val dup = assignment.groupBy(col("node")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("node"), lit("duplicate_assignment").as("issue"))
+    val j = adj
+      .join(rank.select(col("node").as("a"), col("rank").as("ra")), Seq("a"))
+      .join(rank.select(col("node").as("b"), col("rank").as("rb")), Seq("b"))
+    val perNode = j.groupBy(col("a"), col("ra"))
+      .agg(sum(when(col("rb") >= col("ra"), 1L).otherwise(0L)).as("geq_same"),
+        sum(when(col("rb") >= col("ra") - 1, 1L).otherwise(0L)).as("geq_prev"),
+        sum(when(col("rb") === inf, 1L).otherwise(0L)).as("in_core"))
+    val removable = perNode.filter(col("ra") =!= inf && col("geq_same") >= k)
+      .select(col("a").as("node"), lit("not_removable_at_round").as("issue"))
+    val survived = perNode.filter(
+        (col("ra") =!= inf && col("ra") >= 1 && col("geq_prev") < k) ||
+          (col("ra") === inf && col("in_core") < k))
+      .select(col("a").as("node"), lit("peeled_too_late").as("issue"))
+    coverage.unionAll(dup).unionAll(removable).unionAll(survived)
+  }
+
   /** Error-bound gate for [[triangleEstimate]]: recompute the exact global
     * count T and the shared-edge pair count k = Σ_e C(support(e), 2), form
     * the DOULION variance bound above, and emit a violation row iff

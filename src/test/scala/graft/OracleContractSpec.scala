@@ -35,7 +35,11 @@ class OracleContractSpec extends AnyFunSuite {
     "q_kmv_overlap", "q_stream_kmv",
     // CMS join-size estimate: exact sibling q_join_size_exact carries the
     // oracle; q_join_size_verify gates the no-undercount + bound contract
-    "q_join_size_est")
+    "q_join_size_est",
+    // k-core: exact + deterministic but iterative (not ANSI-expressible,
+    // like BPE); the _verify certificate gate re-proves the decomposition
+    // with pure joins, and GraphSpec pins it to brute-force peeling
+    "q_kcore")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -353,6 +353,7 @@ class PlanSpec extends SparkSpec {
       "q_stream_hll", "q_stream_hll_verify",
       "q_stream_cms", "q_stream_cms_verify", "q_stream_anomalies",
       "q_stream_kmv", "q_stream_kmv_verify", "q_stream_auc",
+      "q_kcore", "q_kcore_verify",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_train_pipeline",
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",

@@ -149,4 +149,81 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleEstimateViolations(empty, "src", "dst", pPct = 50)
       .count() === 0L)
   }
+
+  /** Reference batch peeling: round each node falls, -1 = core. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var alive = und.flatMap(e => Seq(e._1, e._2)).toSet
+    var result = Map.empty[Long, Int]
+    var round = 0
+    var changed = true
+    while (changed) {
+      val deg = alive.map(v => v -> und.count(e =>
+        (e._1 == v && alive(e._2)) || (e._2 == v && alive(e._1)))).toMap
+      val falls = alive.filter(deg(_) < k)
+      changed = falls.nonEmpty
+      if (changed) {
+        result ++= falls.map(_ -> round)
+        alive --= falls
+        round += 1
+      }
+    }
+    result ++ alive.map(_ -> -1)
+  }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] =
+    Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("kCore: hand graphs — clique all-core, chain peels from the ends") {
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    assert(runKCore(clique, 4) == (1L to 5L).map(_ -> -1).toMap)
+    // chain 1-2-3-4, k=2: endpoints fall round 0, the middle round 1
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(runKCore(chain, 2) ==
+      Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 1))
+    // k=1: every node of an edge has degree >= 1 -> all core
+    assert(runKCore(chain, 1) == Map(1L -> -1, 2L -> -1, 3L -> -1, 4L -> -1))
+  }
+
+  test("kCore equals brute-force peeling on random graphs, rounds and all") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2)
+      for (k <- Seq(2, 3, 5)) {
+        assert(runKCore(edges, k) == refKCore(edges, k),
+          s"seed=$seed k=$k diverged from reference peeling")
+      }
+    }
+  }
+
+  test("kCore certificate gate: clean on real output, trips on corruption") {
+    val rnd = new scala.util.Random(9)
+    // sparse enough that the 3-core is a PROPER subgraph: the fixture
+    // must exercise both removed and core nodes
+    val edges = Seq.fill(55)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val assign = Graph.kCore(df, "src", "dst", 3)
+    val byKind = assign.groupBy(col("round") === -1).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byKind.getOrElse(true, 0L) > 0 && byKind.getOrElse(false, 0L) > 0,
+      s"fixture must have both core and removed nodes: $byKind")
+    assert(Graph.kCoreViolations(df, "src", "dst", 3, assign).count() === 0L)
+    // corrupt: claim some removed node is core -> SURVIVED (or REMOVABLE
+    // on its neighbors) must fire
+    val someRemoved = assign.filter(col("round") >= 0)
+      .orderBy(col("node")).limit(1).collect()(0).getLong(0)
+    val corrupted = assign
+      .withColumn("round", when(col("node") === someRemoved, lit(-1))
+        .otherwise(col("round")))
+    assert(Graph.kCoreViolations(df, "src", "dst", 3, corrupted).count() > 0L,
+      "certificate failed to catch a forged core membership")
+    // corrupt: drop a node entirely -> coverage must fire
+    val dropped = assign.filter(col("node") =!= someRemoved)
+    assert(Graph.kCoreViolations(df, "src", "dst", 3, dropped)
+      .filter(col("issue") === "coverage").count() > 0L)
+  }
 }
