@@ -772,6 +772,25 @@ object SparkEntry {
         .orderBy(col("node"), col("issue"))
     }),
 
+    // Multi-source bounded-hop BFS over the part↔supplier bipartite graph
+    // (same even/odd node encoding as q_pagerank): exact hop-distance from
+    // the seed parts (p_partkey % 100 = 0) for everything within 4 hops —
+    // the seed-expansion / contamination-radius primitive. Integer min
+    // over real paths ⇒ hash-exact; the oracle unrolls 4 Bellman-Ford
+    // relaxation rounds, which agree with frontier BFS at every horizon.
+    "q_khop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionAll(li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
+      val seeds = t(s, dir, "part").filter(col("p_partkey") % 100 === 0)
+        .select((col("p_partkey") * 2).as("seed"))
+      operators.Graph.bfsDistances(edges, "src", "dst", seeds, "seed",
+          maxHops = 4)
+        .orderBy(col("node"))
+    }),
+
     // Headline embedding near-dup: IVF-cell-bounded candidates + exact
     // cosine verify — candidate volume is set by cluster granularity, not
     // the threshold (hyperplane banding collapses at loose thresholds;
@@ -3481,6 +3500,31 @@ object SparkEntry {
         |c3 AS (SELECT e.dst, SUM(r2.pr // d.outd) AS s FROM e JOIN deg d ON e.src = d.src JOIN r2 ON e.src = r2.node GROUP BY e.dst),
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr FROM n LEFT JOIN c3 ON n.node = c3.dst)
         |SELECT node, pr FROM r3 ORDER BY node""".stripMargin,
+
+    // k-hop BFS: 4 unrolled Bellman-Ford relaxation rounds — each round
+    // min-merges the previous distances with every distance+1 reachable
+    // over one edge. Agrees with frontier BFS at horizon 4 (every relaxed
+    // value sits on a real path; min picks the true hop count). MIN never
+    // widens to HUGEINT, so no casts are needed beyond the seed literal.
+    "q_khop" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem),
+        |d0 AS (SELECT DISTINCT p_partkey*2 AS node, 0 AS dist FROM part WHERE p_partkey % 100 = 0),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0 UNION ALL
+        |  SELECT e.dst AS node, d0.dist + 1 AS dist FROM d0 JOIN e ON e.src = d0.node) GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1 UNION ALL
+        |  SELECT e.dst AS node, d1.dist + 1 AS dist FROM d1 JOIN e ON e.src = d1.node) GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2 UNION ALL
+        |  SELECT e.dst AS node, d2.dist + 1 AS dist FROM d2 JOIN e ON e.src = d2.node) GROUP BY node),
+        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d3 UNION ALL
+        |  SELECT e.dst AS node, d3.dist + 1 AS dist FROM d3 JOIN e ON e.src = d3.node) GROUP BY node)
+        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
 
     // Triangles: independent replay of orientation + wedge + closure. The
     // wedge predicate compares (deg, id) lexicographically — same total

@@ -200,6 +200,64 @@ object Graph {
           .as("est_triangles"))
   }
 
+  /** Multi-source bounded-hop BFS: exact shortest hop-distance from ANY
+    * source node, for every node reachable within `maxHops`. The classic
+    * "k-hop neighborhood" primitive — seed-set expansion (crawl frontier
+    * from trusted seeds), contamination radius (everything within k links
+    * of a known-bad page), and locality features for ranking.
+    *
+    * Pure integer min over actual paths ⇒ deterministic and hash-exact
+    * cross-engine: the oracle replays it as `maxHops` unrolled
+    * Bellman-Ford relaxation rounds (min over dist ∪ dist+1-via-edge),
+    * which provably agrees with frontier BFS at every horizon.
+    *
+    * Scale shape: per hop ONE join keyed on src (frontier is the
+    * newly-reached nodes ONLY, so the join input shrinks as the wavefront
+    * saturates — not the whole distance table) and ONE node-keyed
+    * partial-aggregated min. The distance frame is checkpointed every
+    * round (it feeds both the next frontier and the final output), and an
+    * empty frontier short-circuits the remaining hops — on a graph whose
+    * diameter is smaller than `maxHops` the loop pays only diameter
+    * rounds. Nothing touches the driver except the one-row emptiness
+    * probe per hop; output is at most |V| rows.
+    *
+    * @param sources frame whose `sourceCol` holds the seed node ids
+    *                (deduplicated internally; seeds get dist 0)
+    * @return (node, dist) — one row per node with hop-distance ≤ maxHops
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, sourceCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    val reliableCkpt = spark.sparkContext.getCheckpointDir.isDefined
+    def materialized(df: DataFrame): DataFrame =
+      if (reliableCkpt) df.checkpoint() else df.localCheckpoint()
+
+    val e = materialized(
+      edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst")).distinct())
+    var dist = materialized(
+      sources.select(col(sourceCol).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0)))
+    var frontier = dist
+    var h = 1
+    var saturated = false
+    while (h <= maxHops && !saturated) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"), lit(h).as("dist"))
+      // relax: a node reached before keeps its smaller distance, so the
+      // post-min rows AT h are exactly the first-time-reached frontier
+      dist = materialized(
+        dist.unionAll(next).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist")))
+      frontier = dist.filter(col("dist") === h)
+      saturated = frontier.isEmpty
+      h += 1
+    }
+    dist
+  }
+
   /** k-CORE decomposition by parallel batch peeling: repeatedly delete
     * every node whose degree within the surviving subgraph is < k; what
     * survives is the unique maximal subgraph of minimum degree ≥ k — the

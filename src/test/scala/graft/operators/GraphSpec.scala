@@ -226,4 +226,60 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCoreViolations(df, "src", "dst", 3, dropped)
       .filter(col("issue") === "coverage").count() > 0L)
   }
+
+  /** Brute-force reference BFS: Dijkstra-free frontier expansion on
+    * driver maps, horizon-capped. */
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                     maxHops: Int): Map[Long, Int] = {
+    val adj = edges.distinct.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (h <- 1 to maxHops if frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> h)
+      frontier = next
+    }
+    dist
+  }
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) =
+    Graph.bfsDistances(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("seed"), "seed", maxHops)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfsDistances: hand graph — chain distances, horizon cap, unreached") {
+    // 1→2→3→4→5 plus a detached 8→9; seed at 1
+    val e = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    assert(bfs(e, Seq(1L), 2) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(bfs(e, Seq(1L), 10) ===
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    assert(bfs(e, Seq(1L), 0) === Map(1L -> 0))
+  }
+
+  test("bfsDistances: multi-source takes the min over seeds; shortcut wins") {
+    // ring 1→2→3→4→1 with shortcut 1→3; seeds 1 and 4
+    val e = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    assert(bfs(e, Seq(1L, 4L), 3) ===
+      Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("bfsDistances equals the reference on random graphs") {
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 5) {
+      val n = 30
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val seeds = Seq.fill(3)(rnd.nextInt(n).toLong).distinct
+      val hops = 1 + rnd.nextInt(5)
+      assert(bfs(edges, seeds, hops) === refBfs(edges, seeds.toSet, hops),
+        s"trial $trial (hops=$hops, seeds=$seeds)")
+    }
+  }
+
+  test("bfsDistances: seed-only graph with no outgoing edges terminates") {
+    val e = Seq[(Long, Long)]((10L, 11L))
+    // seed 99 has no edges at all: saturates immediately, distance map = seed
+    assert(bfs(e, Seq(99L), 4) === Map(99L -> 0))
+  }
 }
