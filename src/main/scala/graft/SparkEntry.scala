@@ -615,6 +615,18 @@ object SparkEntry {
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("idA"), col("idB"))),
 
+    // Directed containment join: |sh(src) ∩ sh(dst)| / |sh(src)| ≥ 0.6 —
+    // the quote/excerpt detector Jaccard can't express (union-normalized
+    // scores vanish for short-inside-long). Probe prefixes vs full-posting
+    // index (one-sided prefix filtering); exact intersect verify ⇒
+    // hash-exact against the directional replay of the ngram oracle.
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6)
+        .select(col("src_id"), col("dst_id"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("src_id"), col("dst_id"))),
+
     // Incremental dedup: 10% of doc_ids (mod-10 class 9, SF-independent)
     // as the "new batch" against the rest as the standing corpus —
     // new-vs-corpus and new-vs-new pairs only, corpus-vs-corpus never
@@ -3423,6 +3435,29 @@ object SparkEntry {
         |JOIN sizes nb ON nb.doc_id = idB
         |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
         |ORDER BY idA, idB""".stripMargin,
+
+    // Containment: same shingle derivation as q_dedup_ngram, but the pair
+    // count is DIRECTIONAL (x.doc_id <> y.doc_id, both orders kept) and
+    // normalized by the source's shingle count only.
+    "q_dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+        |  WHERE len(tk) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS src_id, y.doc_id AS dst_id, count(*) AS c
+        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT src_id, dst_id, ROUND(CAST(c AS DOUBLE) / na.n_sh, 6) AS containment
+        |FROM common
+        |JOIN sizes na ON na.doc_id = src_id
+        |WHERE CAST(c AS DOUBLE) / na.n_sh >= 0.6
+        |ORDER BY src_id, dst_id""".stripMargin,
 
     // Same pair derivation as q_dedup_ngram restricted to pairs touching
     // the mod-10-class-9 delta — the incremental path must produce exactly

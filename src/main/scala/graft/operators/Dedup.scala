@@ -418,6 +418,53 @@ object Dedup {
     verifyJaccard(cands, withSh, threshold)
   }
 
+  /** Exact CONTAINMENT self-join: directed pairs (src_id, dst_id) where
+    * |sh(src) ∩ sh(dst)| / |sh(src)| ≥ threshold — "src is (mostly) inside
+    * dst". The asymmetric sibling of [[ngramJaccardPairs]]: Jaccard
+    * normalizes by the union, so a short quote inside a long page scores
+    * near 0; containment normalizes by the SOURCE only, which is the right
+    * metric for quote/excerpt detection, boilerplate-inclusion, and
+    * "is this small doc subsumed by a bigger one" dedup decisions.
+    *
+    * Prefix completeness is one-sided: overlap ≥ ceil(t·|A|) forces at
+    * least one of A's first |A| − ceil(t·|A|) + 1 shingles (global
+    * df-ASC order) to occur ANYWHERE in B — no bound exists on where it
+    * falls in B's order, so the probe side uses prefixes but the index
+    * side posts every shingle. That is the inherent asymmetry of
+    * containment join (cf. Jaccard, where both sides prefix-prune): the
+    * candidate volume is bounded by the probe prefixes' doc frequencies,
+    * which the rare-shingle-first order keeps small. Verification is the
+    * same sorted-long-array merge intersect, with the one available size
+    * prune (|B| ≥ ceil(t·|A|), since the overlap can't exceed |B|).
+    *
+    * Output: (src_id, dst_id, containment), BOTH directions emitted when
+    * both qualify (c(A→B) and c(B→A) are different numbers). Exactness is
+    * modulo 64-bit shingle-hash collisions, same contract as
+    * [[ngramJaccardPairs]]. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0, "threshold must be positive for index completeness")
+    val withSh = hashedShingleSets(df, idCol, textCol, n)
+    val probe = prefixPostings(withSh, threshold)
+    val index = withSh.select(col("id").as("dst_id"), explode(col("sh")).as("h"))
+    val cands = probe.select(col("id").as("src_id"), col("h"))
+      .join(index, "h")
+      .filter(col("src_id") =!= col("dst_id"))
+      .select("src_id", "dst_id")
+    val a = withSh.select(col("id").as("src_id"), col("sh").as("shA"),
+      size(col("sh")).as("nA"))
+    val b = withSh.select(col("id").as("dst_id"), col("sh").as("shB"),
+      size(col("sh")).as("nB"))
+    cands.join(a, "src_id").join(b, "dst_id")
+      .filter(col("nB") >= ceil(lit(threshold) * col("nA")))
+      .withColumn("c",
+        graft.expr.VectorExpressions.sorted_long_intersect_size(col("shA"), col("shB")))
+      .withColumn("containment", col("c").cast("double") / col("nA"))
+      .filter(col("containment") >= threshold)
+      .select(col("src_id"), col("dst_id"), col("containment"))
+      .distinct()
+  }
+
   /** Brute-force n-gram Jaccard pairs (reference/oracle path; quadratic —
     * only for validation and small frames). */
   def bruteJaccardPairs(df: DataFrame, idCol: String, textCol: String,

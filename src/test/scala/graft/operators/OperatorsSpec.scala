@@ -43,6 +43,46 @@ class OperatorsSpec extends SparkSpec {
     assert(indexed == brute)
   }
 
+  test("containment pairs equal the brute-force directional reference") {
+    val sets = docs
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val t = 0.6
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b && sa.nonEmpty
+      c = (sa & sb).size
+      if c.toDouble / sa.size >= t
+    } yield (a, b, math.round(c.toDouble / sa.size * 1e9))).toSet
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(brute.nonEmpty, "fixture must exercise containment")
+    assert(got === brute)
+    // directional scores genuinely differ (fixture dup families are
+    // mutual at 0.6 but never equal-sized): c/|A| != c/|B| somewhere
+    val scores = got.map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(scores.exists { case ((a, b), s) =>
+      scores.get((b, a)).exists(_ != s) })
+  }
+
+  test("containment finds short-inside-long pairs that jaccard misses") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val page = ("lorem ipsum dolor sit amet " * 8) + quote +
+      (" consectetur adipiscing elit sed do eiusmod tempor " * 8)
+    val df = Seq((1L, quote), (2L, page)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // quote's shingles all occur in page → containment(1→2) = 1.0;
+    // page is nowhere near inside quote → no reverse row
+    assert(got.map(t => (t._1, t._2)).toSet === Set((1L, 2L)))
+    assert(got.head._3 === 1.0)
+    // and jaccard at even a loose threshold misses the pair entirely
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5).count() === 0L)
+  }
+
   test("simhash near-dup pairs verified against direct popcount") {
     val sigs = Dedup.withSimhash(docs.select(col("doc_id"), col("text")))
       .select("doc_id", "simhash").collect()
