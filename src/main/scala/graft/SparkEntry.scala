@@ -784,6 +784,21 @@ object SparkEntry {
         .orderBy(col("node"), col("issue"))
     }),
 
+    // Deterministic synchronous label propagation (3 rounds, min-label
+    // ties) over the part↔supplier bipartite graph — community detection
+    // as a pure function of the graph, so the oracle replays the same
+    // rounds (QUALIFY row_number per node = the same argmax) and hashes
+    // must match.
+    "q_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionAll(li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst")))
+      operators.Graph.labelPropagation(edges, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // Multi-source bounded-hop BFS over the part↔supplier bipartite graph
     // (same even/odd node encoding as q_pagerank): exact hop-distance from
     // the seed parts (p_partkey % 100 = 0) for everything within 4 hops —
@@ -3535,6 +3550,24 @@ object SparkEntry {
         |c3 AS (SELECT e.dst, SUM(r2.pr // d.outd) AS s FROM e JOIN deg d ON e.src = d.src JOIN r2 ON e.src = r2.node GROUP BY e.dst),
         |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr FROM n LEFT JOIN c3 ON n.node = c3.dst)
         |SELECT node, pr FROM r3 ORDER BY node""".stripMargin,
+
+    // Label propagation: 3 unrolled synchronous rounds. Each round joins
+    // the symmetric edge set to the previous labeling at the neighbor
+    // end, counts (node, label), and picks per node by (cnt DESC, lab
+    // ASC) — exactly the engine's max(struct(cnt, −lab)) argmax.
+    "q_label_prop" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT l_suppkey*2+1 AS src, l_partkey*2 AS dst FROM lineitem),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+        |n1 AS (SELECT e.src AS node, l0.lab AS lab, count(*) AS cnt FROM e JOIN l0 ON e.dst = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT node, lab FROM n1 QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) = 1),
+        |n2 AS (SELECT e.src AS node, l1.lab AS lab, count(*) AS cnt FROM e JOIN l1 ON e.dst = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT node, lab FROM n2 QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) = 1),
+        |n3 AS (SELECT e.src AS node, l2.lab AS lab, count(*) AS cnt FROM e JOIN l2 ON e.dst = l2.node GROUP BY 1, 2),
+        |l3 AS (SELECT node, lab FROM n3 QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) = 1)
+        |SELECT node, lab FROM l3 ORDER BY node""".stripMargin,
 
     // k-hop BFS: 4 unrolled Bellman-Ford relaxation rounds — each round
     // min-merges the previous distances with every distance+1 reachable

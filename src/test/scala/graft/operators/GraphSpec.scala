@@ -277,6 +277,58 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force reference LPA: synchronous rounds on driver maps, same
+    * (count DESC, label ASC) argmax. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lab = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lab = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lab).map { case (l, xs) => l -> xs.size }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int) =
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("labelPropagation: two cliques with a bridge settle into two labels") {
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val e = cliqueA ++ cliqueB ++ Seq((4L, 11L))
+    val got = lpa(e, 4)
+    assert(got === refLpa(e, 4))
+    // each clique is internally uniform; the two communities differ
+    assert((1L to 4L).map(got).toSet.size === 1)
+    assert((11L to 14L).map(got).toSet.size === 1)
+    assert(got(1L) !== got(14L))
+  }
+
+  test("labelPropagation ties break toward the smallest label") {
+    // path 5—6—7: node 6 sees labels {5, 7} once each → takes 5
+    val got1 = lpa(Seq((5L, 6L), (6L, 7L)), 1)
+    assert(got1(6L) === 5L)
+    // endpoints see only 6
+    assert(got1(5L) === 6L && got1(7L) === 6L)
+  }
+
+  test("labelPropagation equals the reference on random graphs") {
+    val rnd = new scala.util.Random(926)
+    for (trial <- 1 to 5) {
+      val n = 24
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val iters = 1 + rnd.nextInt(4)
+      assert(lpa(edges, iters) === refLpa(edges, iters),
+        s"trial $trial (iters=$iters)")
+    }
+  }
+
   test("bfsDistances: seed-only graph with no outgoing edges terminates") {
     val e = Seq[(Long, Long)]((10L, 11L))
     // seed 99 has no edges at all: saturates immediately, distance map = seed
