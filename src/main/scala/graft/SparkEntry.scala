@@ -2500,6 +2500,47 @@ object SparkEntry {
           lit("stream_vs_batch").as("issue"))
     }),
 
+    // The native Bloom aggregate as streaming state: per-event-type
+    // filters OR-merge across micro-batches. Like HLL/KMV the filter is
+    // a set function, so the bits are replay-invariant; the headline
+    // publishes the per-segment filter fingerprint (md5 — raw 4 KiB of
+    // bits would bloat the dump). Rows-only; the gate below pins it.
+    "q_stream_bloom" -> ((s, dir) =>
+      StreamingIngest.runStreamBloomBounded(s, s"$dir/events.parquet",
+        "event_type", "user_id", numBits = 1 << 15, numHashes = 7,
+        queryName = s"stream_bloom_${streamCounter.incrementAndGet()}")
+        .select(col("segment"), md5(col("bloom")).as("bloom_md5"))
+        .orderBy(col("segment"))),
+
+    // Two-part gate: (a) streaming filter BYTES equal the batch ones
+    // per segment (set-function replay invariance, the strongest claim);
+    // (b) the Bloom contract itself — every (segment, user) actually
+    // present probes TRUE in the streamed filter (no false negatives,
+    // ever). Violations only; oracle = empty relation.
+    "q_stream_bloom_verify" -> ((s, dir) => {
+      val stream = StreamingIngest.runStreamBloomBounded(s,
+        s"$dir/events.parquet", "event_type", "user_id",
+        numBits = 1 << 15, numHashes = 7,
+        queryName = s"stream_bloomv_${streamCounter.incrementAndGet()}")
+      val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+      val batch = ev
+        .groupBy(col("event_type").cast("string").as("segment"))
+        .agg(graft.sink.BloomIndex.bloomAgg(col("user_id").cast("long"),
+          1 << 15, 7).as("bloom"))
+      val bitsDrift = stream.select(col("segment"), col("bloom").as("sb"))
+        .join(batch.select(col("segment"), col("bloom").as("bb")),
+          Seq("segment"), "full_outer")
+        .filter(col("sb").isNull || col("bb").isNull || col("sb") =!= col("bb"))
+        .select(col("segment"), lit("stream_vs_batch_bits").as("issue"))
+      val members = ev.select(col("event_type").cast("string").as("segment"),
+        col("user_id").cast("long").as("u")).distinct()
+      val falseNeg = members
+        .join(stream.select(col("segment"), col("bloom")), Seq("segment"))
+        .filter(!graft.sink.BloomIndex.bloomContains(col("bloom"), col("u")))
+        .select(col("segment"), lit("false_negative").as("issue"))
+      bitsDrift.unionByName(falseNeg).orderBy(col("segment"), col("issue"))
+    }),
+
     // Vector-quality gate: fixed-point squared norms, exact-percentile
     // thresholds (the quantile_cont identity), plain comparison flags.
     "q_vec_outliers" -> ((s, dir) =>
@@ -4744,6 +4785,13 @@ object SparkEntry {
 
     "q_stream_cms_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS subject, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    // Streamed Bloom bits are engine-specific (XXH64 double hashing) —
+    // headline is rows-only; the bit-equality + no-false-negative gate is
+    // the correctness claim.
+    "q_stream_bloom_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
     "q_join_size_exact" ->

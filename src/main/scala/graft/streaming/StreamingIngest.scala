@@ -751,6 +751,37 @@ object StreamingIngest {
     FreqSketch.probeTopK(items, spark.table(queryName), k)
   }
 
+  /** Streaming per-segment Bloom filter over the native OR-merge
+    * aggregate ([[graft.sink.BloomIndex.bloomAgg]]): segment filters as
+    * complete-mode streaming state (numBits/8 bytes per segment,
+    * regardless of event volume). Bitwise-OR merge makes the filter a
+    * pure function of the input SET — like HLL/KMV the streaming bits
+    * must equal the batch bits EXACTLY however the replay batches, and
+    * the `_verify` gate compares the raw filter bytes per segment.
+    * `maxFilesPerTrigger=1` forces one micro-batch per input file so
+    * state genuinely carries across batches. Output: (segment, bloom). */
+  def runStreamBloomBounded(spark: SparkSession, parquetPath: String,
+                            segCol: String, valueCol: String,
+                            numBits: Int, numHashes: Int, queryName: String,
+                            maxFilesPerTrigger: Int = 1,
+                            statePartitions: Int = 8): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = stream.filter(col(valueCol).isNotNull)
+        .groupBy(col(segCol).cast("string").as("segment"))
+        .agg(graft.sink.BloomIndex
+          .bloomAgg(col(valueCol).cast("long"), numBits, numHashes).as("bloom"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Streaming ingest-rate anomaly gate: per-(key, bucket) counts run as
     * complete-mode streaming state (grid-sized — |keys| · span buckets —
     * regardless of event volume; plain counts are sum-mergeable across

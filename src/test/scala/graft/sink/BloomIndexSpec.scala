@@ -80,4 +80,39 @@ class BloomIndexSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("t", "k"))
     assert(out.count() == 0)
   }
+
+  test("streaming filter state carries across micro-batches, ≡ batch bit-exact") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom-stream").toString
+    try {
+      val src = s"$tmp/events"
+      spark.read.parquet(s"${testDataDir()}/events.parquet")
+        .repartition(3).write.parquet(src) // 3 files → 3 micro-batches
+      val stream = graft.streaming.StreamingIngest
+        .runStreamBloomBounded(spark, src, "event_type", "user_id",
+          numBits = 1 << 14, numHashes = 7,
+          queryName = s"t_bloom_stream_${System.nanoTime()}")
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+      val ev = spark.read.parquet(src).filter(col("user_id").isNotNull)
+      val batch = ev
+        .groupBy(col("event_type").cast("string").as("segment"))
+        .agg(BloomIndex.bloomAgg(col("user_id").cast("long"), 1 << 14, 7)
+          .as("bloom"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+      assert(stream.keySet === batch.keySet)
+      assert(stream === batch,
+        "streamed Bloom bits diverged from batch — OR-merge must be replay-invariant")
+      // the Bloom contract on the streamed state: every true member probes TRUE
+      val members = ev.select(col("event_type").cast("string"),
+        col("user_id").cast("long")).distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      members.foreach { case (seg, u) =>
+        val buf = graft.expr.BloomBuffer.deserialize(stream(seg).toArray)
+        assert(buf.mightContain(u), s"false negative for ($seg, $u)")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
 }
