@@ -272,6 +272,46 @@ class PlanSpec extends SparkSpec {
       "lineitem scan must prune to orderkey+partkey")
   }
 
+  test("label propagation: per-round argmax is an aggregation, never a window sort") {
+    val p = plan("q_label_prop")
+    // neighbor-label counts must map-side combine before their exchange
+    assert(p.contains("partial_count"),
+      "(node, label) counts must partial-aggregate")
+    // the per-node argmax must be max(struct(cnt, -lab)) — partial-
+    // aggregable — not a row_number window (which would shuffle AND sort
+    // every (node, label) row per round)
+    assert(p.contains("partial_max(struct(cnt"),
+      "argmax must run as a partial-aggregated max(struct)")
+    assert(!p.contains("Window "), "no window operator expected in LPA rounds")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("khop BFS loop body: frontier join + node-keyed partial min") {
+    // q_khop materializes per hop at build time, so audit ONE loop body
+    // directly: the relax round must partial-aggregate its min and join
+    // frontier⋈edges as a hash join
+    val e = spark.range(0, 1000).selectExpr("id AS src", "(id * 7) % 1000 AS dst")
+    val frontier = spark.range(0, 10).selectExpr("id AS node", "0 AS dist")
+    val next = frontier.join(e, frontier("node") === e("src"))
+      .select(e("dst").as("node"), org.apache.spark.sql.functions.lit(1).as("dist"))
+    val relaxed = frontier.unionByName(next).groupBy("node")
+      .agg(org.apache.spark.sql.functions.min("dist").as("dist"))
+    val p = relaxed.queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), "relax min must map-side combine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("containment: prefix-probe equi-join on hashed shingles, native verify") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment candidates must come from the prefix-posting equi-join")
+    // per-pair verify runs the sorted-long merge intersect, not array_intersect
+    assert(p.contains("sorted_long_intersect_size"),
+      "verify must use the native merge-intersect expression")
+    // the probe side slices the df-ordered prefix before exploding
+    assert(p.contains("slice("), "prefix slice missing — full postings on the probe side")
+  }
+
   test("global audit: no cartesian products or unexpected nested-loop joins anywhere") {
     // BNLJ is legitimate ONLY where a bounded side is broadcast on purpose:
     // the exact-topk broadcast crossJoins, the bounded exact near-dup
@@ -353,6 +393,11 @@ class PlanSpec extends SparkSpec {
       "q_stream_hll", "q_stream_hll_verify",
       "q_stream_cms", "q_stream_cms_verify", "q_stream_anomalies",
       "q_stream_kmv", "q_stream_kmv_verify", "q_stream_auc",
+      "q_stream_bloom", "q_stream_bloom_verify",
+      // frontier BFS materializes each hop + probes frontier emptiness at
+      // build time (same loop discipline as kCore); its loop-body shape is
+      // guarded by the dedicated test above
+      "q_khop",
       "q_kcore", "q_kcore_verify",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_train_pipeline",
