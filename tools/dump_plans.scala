@@ -73,6 +73,10 @@ val picks = Seq(
   ("q_expectations", "six-rule audit in ONE aggregation pass + keyed uniqueness agg + broadcast anti-join FK check, unioned"),
   ("q_incr_agg", "touched-group refresh: batch keys broadcast into semi-join, ONLY touched rows aggregate; untouched mat rows pass through"),
   ("q_zonemap_skip", "post-stats stage: surviving-file-list parquet scan with the residual range filter pushed down"),
+  ("q_join_size_est", "CMS inner product: two ONE-ROW sketch frames crossed - scalar combination, never a per-row join"),
+  ("q_label_prop", "sync LPA round: adjacency join labels (broadcastable) + (node,label) partial count + argmax as partial max(struct) - no window sort"),
+  ("q_khop", "frontier BFS final stage: hop rounds materialize during construction (one src-keyed frontier join + node-keyed partial min each; empty-frontier short-circuit) - plan shown is the checkpointed result read"),
+  ("q_dedup_containment", "one-sided prefix filter: probe prefixes vs full-posting index, sorted-long merge-intersect verify"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
