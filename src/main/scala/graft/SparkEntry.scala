@@ -389,6 +389,14 @@ object SparkEntry {
       TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Corpus PMI collocations in floor-divided ppm — integer-exact
+    // association ranking (exp(PMI)·1e6), no ln-double ever hashed. The
+    // (pmi_ppm DESC, c12 DESC, w1, w2) order is total, so the top-100 cut
+    // is deterministic cross-engine.
+    "q_text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 100)),
+
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.withLangId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"))
@@ -4106,6 +4114,33 @@ object SparkEntry {
     "q_bpe_tokenize_verify" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
+
+    // PMI collocations: same bigram derivation as q_text_bigram_lp kept
+    // as (w1, w2) columns; marginals CAST to BIGINT (SUM widens to
+    // HUGEINT otherwise); the ppm ratio is BIGINT floor division on both
+    // engines — positive operands, so truncate ≡ floor.
+    "q_text_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                             t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |  WHERE len(tk) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n2 FROM c12),
+        |heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1h FROM c12 GROUP BY 1),
+        |tails AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2t FROM c12 GROUP BY 1)
+        |SELECT c.w1, c.w2, c.c12,
+        |  (c.c12 * 1000000 * n2.n2) // (h.c1h * t.c2t) AS pmi_ppm
+        |FROM c12 c
+        |JOIN heads h ON h.w1 = c.w1
+        |JOIN tails t ON t.w2 = c.w2
+        |CROSS JOIN n2
+        |WHERE c.c12 >= 5
+        |ORDER BY pmi_ppm DESC, c.c12 DESC, c.w1, c.w2
+        |LIMIT 100""".stripMargin,
 
     // Character entropy: EXACT integer pieces only — the LN-derived value
     // is carried by the tolerance gate q_text_entropy_verify instead of a

@@ -398,6 +398,57 @@ object TextAnalysis {
         col("avg_lp2"))
   }
 
+  /** Corpus-level PMI collocation extraction — the classic association
+    * measure (Church & Hanks 1990) over adjacent word pairs: which
+    * bigrams co-occur far more often than their parts' frequencies
+    * predict ("new york", "machine learning"). The phrase-mining /
+    * tokenizer-vocabulary primitive the per-doc LM scorers don't give.
+    *
+    * INTEGER-EXACT by construction: instead of hashing ln-derived
+    * doubles, the score is the likelihood RATIO in floor-divided ppm —
+    *   pmi_ppm = (c12 · 1,000,000 · N2) div (c1h · c2t)
+    * with all counts from the bigram table (N2 total bigrams, c1h/c2t
+    * head/tail marginals). exp(PMI)·1e6 = that ratio, so ranking and
+    * thresholding on the integer is ranking by PMI with zero
+    * cross-engine float drift. (At 100-TB corpus counts the BIGINT
+    * product would need DECIMAL(38) — a documented widening, not a
+    * design change; the div stays exact.)
+    *
+    * `minCount` suppresses hapax pairs (PMI's well-known low-count
+    * pathology); `topK` bounds the output under the TOTAL order
+    * (pmi_ppm DESC, c12 DESC, w1, w2) — unique per pair, so the limit is
+    * deterministic.
+    *
+    * Scale shape: bigram extraction is the same narrow transform as
+    * [[bigramLogProb]]; the pair/marginal counts partial-aggregate on
+    * their keys; marginal tables are vocab-sized (AQE broadcasts them at
+    * small SF); the ONE-ROW N2 frame is crossed in broadcast; topK is a
+    * TakeOrdered, never a global sort materialization. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, topK: Int = 100): DataFrame = {
+    val tk = Dedup.cleanTokens(col(textCol))
+    val bg = df
+      .select(tk.as("__tk"))
+      .select(explode(when(size(col("__tk")) >= 2,
+        transform(sequence(lit(0), size(col("__tk")) - 2),
+          i => struct(element_at(col("__tk"), i + 1).as("w1"),
+                      element_at(col("__tk"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairCounts = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val n2 = pairCounts.agg(sum(col("c12")).as("n2"))
+    val heads = pairCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1h"))
+    val tails = pairCounts.groupBy(col("w2")).agg(sum(col("c12")).as("c2t"))
+    pairCounts.filter(col("c12") >= minCount)
+      .join(heads, "w1").join(tails, "w2")
+      .crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(c12 * 1000000 * n2) div (c1h * c2t)").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Shannon CHARACTER entropy per document — the quality signal the
     * token-level stats miss: base64/hex blobs and minified code score HIGH
     * (near-uniform char distribution), template spam and repeated-char

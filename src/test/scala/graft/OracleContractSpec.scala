@@ -39,7 +39,12 @@ class OracleContractSpec extends AnyFunSuite {
     // k-core: exact + deterministic but iterative (not ANSI-expressible,
     // like BPE); the _verify certificate gate re-proves the decomposition
     // with pure joins, and GraphSpec pins it to brute-force peeling
-    "q_kcore")
+    "q_kcore",
+    // streamed Bloom bits: engine-specific XXH64 double hashing (like the
+    // sketch internals above); q_stream_bloom_verify pins stream ≡ batch
+    // byte-exact + the no-false-negative contract, and BloomIndexSpec
+    // re-proves both on a controlled multi-batch replay
+    "q_stream_bloom")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -309,6 +309,33 @@ class OperatorsSpec extends SparkSpec {
     assert(fx.filter(col("avg_lp2").isNotNull && col("avg_lp2") <= 0).count() > 0)
   }
 
+  test("PMI collocations: hand-computed ratios, min-count cut, total order") {
+    import spark.implicits._
+    // bigrams ×6: "x y"=6; ×5: "a b"=5; plus "b a"=5 fillers to shape
+    // marginals. Corpus: doc per pair occurrence.
+    val rows = Seq.fill(6)("x y") ++ Seq.fill(5)("a b") ++ Seq.fill(5)("b a")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(df, "text", minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // N2 = 16; "x y": c12=6, c1h(x·)=6, c2t(·y)=6 → 6*1e6*16/36 = 2666666
+    // "a b": c12=5, c1h(a·)=5, c2t(·b)=5 → 5*1e6*16/25 = 3200000
+    // "b a": symmetric to "a b" → 3200000
+    assert(got.toSet === Set(("a", "b", 5L, 3200000L), ("b", "a", 5L, 3200000L),
+      ("x", "y", 6L, 2666666L)))
+    // order: pmi desc, then c12 desc, then w1 — ties (a b)/(b a) by w1
+    assert(got.map(t => (t._1, t._2)).toSeq ===
+      Seq(("a", "b"), ("b", "a"), ("x", "y")))
+    // min-count: a 4-occurrence pair must not surface
+    val small = (rows ++ Seq.fill(4)("q r")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(!TextAnalysis.pmiCollocations(small, "text", minCount = 5, topK = 10)
+      .collect().exists(_.getString(0) == "q"))
+    // fixture sanity: collocations exist and scores are positive integers
+    val fx = TextAnalysis.pmiCollocations(docs, "text").collect()
+    assert(fx.nonEmpty && fx.forall(_.getLong(3) >= 0))
+  }
+
   test("IVF top-k recall beats hyperplane LSH at nprobe=4/16") {
     val queries = emb.filter(col("vec_id") < 16)
     val exact = Similarity.cosineTopK(queries, emb, k = 10).collect()
