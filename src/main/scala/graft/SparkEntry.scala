@@ -792,6 +792,24 @@ object SparkEntry {
         .orderBy(col("node"), col("issue"))
     }),
 
+    // Weighted bounded-hop shortest paths over the part↔supplier graph,
+    // edge cost = min l_quantity of the co-occurrence (integers 1..50):
+    // frontier Bellman-Ford ≡ full relaxation per round (proved in the
+    // Scaladoc), so the 4 unrolled full-relaxation rounds of the oracle
+    // hash-match. Integer min/plus only — no float path cost anywhere.
+    "q_weighted_paths" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"), col("l_quantity").as("w"))
+      val edges = fwd.unionAll(li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"), col("l_quantity").as("w")))
+      val seeds = t(s, dir, "part").filter(col("p_partkey") % 100 === 0)
+        .select((col("p_partkey") * 2).as("seed"))
+      operators.Graph.weightedDistances(edges, "src", "dst", "w",
+          seeds, "seed", maxRounds = 4)
+        .orderBy(col("node"))
+    }),
+
     // Deterministic synchronous label propagation (3 rounds, min-label
     // ties) over the part↔supplier bipartite graph — community detection
     // as a pure function of the graph, so the oracle replays the same
@@ -3617,6 +3635,29 @@ object SparkEntry {
         |n3 AS (SELECT e.src AS node, l2.lab AS lab, count(*) AS cnt FROM e JOIN l2 ON e.dst = l2.node GROUP BY 1, 2),
         |l3 AS (SELECT node, lab FROM n3 QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) = 1)
         |SELECT node, lab FROM l3 ORDER BY node""".stripMargin,
+
+    // Weighted shortest paths: 4 unrolled FULL Bellman-Ford relaxation
+    // rounds over the min-weight edge table; min/plus on BIGINT only.
+    "q_weighted_paths" ->
+      """WITH raw AS (
+        |  SELECT l_partkey*2 AS src, l_suppkey*2+1 AS dst, CAST(l_quantity AS BIGINT) AS w FROM lineitem
+        |  UNION ALL
+        |  SELECT l_suppkey*2+1 AS src, l_partkey*2 AS dst, CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |e AS (SELECT src, dst, MIN(w) AS w FROM raw GROUP BY src, dst),
+        |d0 AS (SELECT DISTINCT p_partkey*2 AS node, CAST(0 AS BIGINT) AS dist FROM part WHERE p_partkey % 100 = 0),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0 UNION ALL
+        |  SELECT e.dst AS node, d0.dist + e.w AS dist FROM d0 JOIN e ON e.src = d0.node) GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1 UNION ALL
+        |  SELECT e.dst AS node, d1.dist + e.w AS dist FROM d1 JOIN e ON e.src = d1.node) GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2 UNION ALL
+        |  SELECT e.dst AS node, d2.dist + e.w AS dist FROM d2 JOIN e ON e.src = d2.node) GROUP BY node),
+        |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d3 UNION ALL
+        |  SELECT e.dst AS node, d3.dist + e.w AS dist FROM d3 JOIN e ON e.src = d3.node) GROUP BY node)
+        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
 
     // k-hop BFS: 4 unrolled Bellman-Ford relaxation rounds — each round
     // min-merges the previous distances with every distance+1 reachable

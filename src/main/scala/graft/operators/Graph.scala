@@ -313,6 +313,70 @@ object Graph {
     dist
   }
 
+  /** Bounded-hop WEIGHTED shortest distances (distributed Bellman-Ford
+    * with a changed-set frontier): exact minimum path COST from any seed
+    * over ≤ `maxRounds` edges, positive integer weights. The cost-aware
+    * sibling of [[bfsDistances]] — routing cost, weighted influence
+    * radius, cheapest-provenance chains.
+    *
+    * Round r of frontier Bellman-Ford provably equals full Bellman-Ford's
+    * d_r (min cost over paths of ≤ r edges): a node that did NOT improve
+    * in round r−1 already contributed its relaxations the round after it
+    * last improved, and `min` keeps them — so re-relaxing it would change
+    * nothing, and skipping it is pure savings. The oracle replays FULL
+    * relaxation rounds (no frontier) and the hashes must match.
+    *
+    * Exactness: integer min/plus only — associative, order-independent,
+    * no float accumulation — so the result is bit-identical across
+    * engines and partitionings. Multi-edges collapse to their MIN weight
+    * up front (the only weight a shortest path can use).
+    *
+    * Scale shape: per round one src-keyed join of the CHANGED set against
+    * the edge list + one node-keyed partial min + one improvement
+    * anti-check (node-keyed left join); distances checkpoint every round;
+    * an empty changed-set short-circuits — on converged graphs the loop
+    * pays the true relaxation depth, not `maxRounds`.
+    *
+    * @return (node, dist) — min cost over ≤ maxRounds edges, reached
+    *         nodes only */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String, sources: DataFrame,
+                        sourceCol: String, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val spark = edges.sparkSession
+    val reliableCkpt = spark.sparkContext.getCheckpointDir.isDefined
+    def materialized(df: DataFrame): DataFrame =
+      if (reliableCkpt) df.checkpoint() else df.localCheckpoint()
+
+    val e = materialized(
+      edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst"),
+                   col(weightCol).cast("long").as("w"))
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    var dist = materialized(
+      sources.select(col(sourceCol).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    var changed = dist
+    var r = 1
+    var converged = false
+    while (r <= maxRounds && !converged) {
+      val cand = changed.join(e, changed("node") === e("src"))
+        .select(e("dst").as("node"), (changed("dist") + e("w")).as("dist"))
+      val relaxed = materialized(
+        dist.unionAll(cand).groupBy(col("node"))
+          .agg(min(col("dist")).as("dist")))
+      changed = materialized(
+        relaxed.join(dist.select(col("node"), col("dist").as("__old")),
+            Seq("node"), "left")
+          .filter(col("__old").isNull || col("dist") < col("__old"))
+          .select(col("node"), col("dist")))
+      dist = relaxed
+      converged = changed.isEmpty
+      r += 1
+    }
+    dist
+  }
+
   /** k-CORE decomposition by parallel batch peeling: repeatedly delete
     * every node whose degree within the surviving subgraph is < k; what
     * survives is the unique maximal subgraph of minimum degree ≥ k — the

@@ -394,10 +394,11 @@ class PlanSpec extends SparkSpec {
       "q_stream_cms", "q_stream_cms_verify", "q_stream_anomalies",
       "q_stream_kmv", "q_stream_kmv_verify", "q_stream_auc",
       "q_stream_bloom", "q_stream_bloom_verify",
-      // frontier BFS materializes each hop + probes frontier emptiness at
-      // build time (same loop discipline as kCore); its loop-body shape is
-      // guarded by the dedicated test above
-      "q_khop",
+      // frontier BFS / weighted Bellman-Ford materialize each round +
+      // probe the changed-set emptiness at build time (same loop
+      // discipline as kCore); the loop-body shape is guarded by the
+      // dedicated khop test above (identical join + partial-min round)
+      "q_khop", "q_weighted_paths",
       "q_kcore", "q_kcore_verify",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_train_pipeline",

@@ -334,4 +334,49 @@ class GraphSpec extends SparkSpec {
     // seed 99 has no edges at all: saturates immediately, distance map = seed
     assert(bfs(e, Seq(99L), 4) === Map(99L -> 0))
   }
+
+  /** Brute-force reference: full Bellman-Ford, `rounds` relaxations. */
+  private def refBellmanFord(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+                             rounds: Int): Map[Long, Long] = {
+    val e = edges.groupBy(t => (t._1, t._2))
+      .map { case ((s, d), ts) => (s, d, ts.map(_._3).min) }.toSeq
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val cand = e.flatMap { case (s, d, w) => dist.get(s).map(c => d -> (c + w)) }
+      dist = (dist.toSeq ++ cand).groupBy(_._1)
+        .map { case (n, vs) => n -> vs.map(_._2).min }
+    }
+    dist
+  }
+
+  private def wsp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long], rounds: Int) =
+    Graph.weightedDistances(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        seeds.toDF("seed"), "seed", rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("weightedDistances: cheap long route beats expensive direct edge") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5 — needs 2 rounds to win
+    val e = Seq[(Long, Long, Long)]((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(wsp(e, Seq(1L), 1) === Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    assert(wsp(e, Seq(1L), 2) === Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("weightedDistances: multi-edges collapse to min weight; multi-source min") {
+    val e = Seq[(Long, Long, Long)]((1L, 2L, 9L), (1L, 2L, 4L), (5L, 2L, 3L))
+    assert(wsp(e, Seq(1L, 5L), 3) === Map(1L -> 0L, 5L -> 0L, 2L -> 3L))
+  }
+
+  test("weightedDistances equals full Bellman-Ford on random weighted graphs") {
+    val rnd = new scala.util.Random(412)
+    for (trial <- 1 to 5) {
+      val n = 25
+      val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        1L + rnd.nextInt(9))).filter(t => t._1 != t._2)
+      val seeds = Seq.fill(2)(rnd.nextInt(n).toLong).distinct
+      val rounds = 1 + rnd.nextInt(5)
+      assert(wsp(edges, seeds, rounds) ===
+        refBellmanFord(edges, seeds.toSet, rounds),
+        s"trial $trial (rounds=$rounds, seeds=$seeds)")
+    }
+  }
 }
