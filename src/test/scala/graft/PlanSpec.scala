@@ -361,7 +361,10 @@ class PlanSpec extends SparkSpec {
       "q_expectations",
       // join-size estimate: two ONE-ROW sketch frames crossed (and, in
       // the gate, the ONE-ROW exact count) — scalar combination
-      "q_join_size_est", "q_join_size_est_verify")
+      "q_join_size_est", "q_join_size_est_verify",
+      // PMI: the ONE-ROW N2 total crossed into the vocab-sized pair table
+      // — the same shuffle-free scalar broadcast as q_text_unigram_lp
+      "q_text_pmi")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
