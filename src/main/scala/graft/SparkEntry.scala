@@ -397,6 +397,23 @@ object SparkEntry {
       TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
         minCount = 5, topK = 100)),
 
+    // The same PMI with the pair counts run as streaming state: exact
+    // sum-mergeable integers ⇒ stream ≡ batch IDENTICALLY, so this shares
+    // the batch oracle verbatim (full hash gate, no tolerance) — the
+    // q_stream_anomalies / q_stream_auc pattern.
+    "q_stream_pmi" -> ((s, dir) =>
+      StreamingIngest.runStreamPmiBounded(s, s"$dir/documents.parquet",
+        "text", minCount = 5, topK = 100,
+        queryName = s"stream_pmi_${streamCounter.incrementAndGet()}")),
+
+    // Per-class discriminative keywords by add-one-smoothed odds ratio in
+    // floor-divided ppm over (lang, term) token counts — integer-exact
+    // like the PMI score; per-class top-20 under a total order.
+    "q_text_keywords" -> ((s, dir) =>
+      TextAnalysis.classKeywords(t(s, dir, "documents"), "lang", "text",
+        minCount = 5, topK = 20)
+        .orderBy(col("cls"), col("odds_ppm").desc, col("a").desc, col("term"))),
+
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.withLangId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"))
@@ -4155,6 +4172,56 @@ object SparkEntry {
     "q_bpe_tokenize_verify" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
+
+    // Streaming PMI: exact integer pair counts make stream ≡ batch, so
+    // the batch SQL gates the streaming query verbatim (full hash).
+    "q_stream_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                             t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |  WHERE len(tk) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n2 FROM c12),
+        |heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1h FROM c12 GROUP BY 1),
+        |tails AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2t FROM c12 GROUP BY 1)
+        |SELECT c.w1, c.w2, c.c12,
+        |  (c.c12 * 1000000 * n2.n2) // (h.c1h * t.c2t) AS pmi_ppm
+        |FROM c12 c
+        |JOIN heads h ON h.w1 = c.w1
+        |JOIN tails t ON t.w2 = c.w2
+        |CROSS JOIN n2
+        |WHERE c.c12 >= 5
+        |ORDER BY pmi_ppm DESC, c.c12 DESC, c.w1, c.w2
+        |LIMIT 100""".stripMargin,
+
+    // Class keywords: the same (cls, term) counts and smoothed odds ratio
+    // in BIGINT floor division; per-class cut via QUALIFY under the
+    // identical total order.
+    "q_text_keywords" ->
+      """WITH toks AS (
+        |  SELECT CAST(lang AS VARCHAR) AS cls, t.term
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                       x -> x <> '')) AS t(term)),
+        |a AS (SELECT cls, term, COUNT(*) AS a FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(SUM(a) AS BIGINT) AS ct FROM a GROUP BY 1),
+        |nc AS (SELECT cls, CAST(SUM(a) AS BIGINT) AS nc FROM a GROUP BY 1),
+        |n AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM a),
+        |scored AS (
+        |  SELECT a.cls, a.term, a.a,
+        |    ((a.a + 1) * (n.n - nc.nc - (ct.ct - a.a) + 1) * 1000000)
+        |      // ((ct.ct - a.a + 1) * (nc.nc - a.a + 1)) AS odds_ppm
+        |  FROM a JOIN ct ON ct.term = a.term JOIN nc ON nc.cls = a.cls
+        |  CROSS JOIN n
+        |  WHERE a.a >= 5)
+        |SELECT cls, term, a, odds_ppm FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY cls
+        |  ORDER BY odds_ppm DESC, a DESC, term ASC) <= 20
+        |ORDER BY cls, odds_ppm DESC, a DESC, term""".stripMargin,
 
     // PMI collocations: same bigram derivation as q_text_bigram_lp kept
     // as (w1, w2) columns; marginals CAST to BIGINT (SUM widens to

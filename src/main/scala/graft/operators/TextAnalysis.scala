@@ -425,18 +425,31 @@ object TextAnalysis {
     * small SF); the ONE-ROW N2 frame is crossed in broadcast; topK is a
     * TakeOrdered, never a global sort materialization. */
   def pmiCollocations(df: DataFrame, textCol: String,
-                      minCount: Long = 5, topK: Int = 100): DataFrame = {
+                      minCount: Long = 5, topK: Int = 100): DataFrame =
+    pmiFromPairCounts(
+      bigramPairs(df, textCol).groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12")),
+      minCount, topK)
+
+  /** Adjacent (w1, w2) word pairs of every row — the narrow transform
+    * shared by the batch PMI and its streaming twin. */
+  def bigramPairs(df: DataFrame, textCol: String): DataFrame = {
     val tk = Dedup.cleanTokens(col(textCol))
-    val bg = df
-      .select(tk.as("__tk"))
+    df.select(tk.as("__tk"))
       .select(explode(when(size(col("__tk")) >= 2,
         transform(sequence(lit(0), size(col("__tk")) - 2),
           i => struct(element_at(col("__tk"), i + 1).as("w1"),
                       element_at(col("__tk"), i + 2).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val pairCounts = bg.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+  }
+
+  /** PMI derivation from a (w1, w2, c12) pair-count table. Split out
+    * because the STREAMING twin materializes the same counts from its
+    * state store and must derive the identical output — its stream ≡
+    * batch full-hash-oracle gate depends on sharing this code. */
+  def pmiFromPairCounts(pairCounts: DataFrame,
+                        minCount: Long, topK: Int): DataFrame = {
     val n2 = pairCounts.agg(sum(col("c12")).as("n2"))
     val heads = pairCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1h"))
     val tails = pairCounts.groupBy(col("w2")).agg(sum(col("c12")).as("c2t"))
@@ -447,6 +460,50 @@ object TextAnalysis {
         expr("(c12 * 1000000 * n2) div (c1h * c2t)").as("pmi_ppm"))
       .orderBy(col("pmi_ppm").desc, col("c12").desc, col("w1"), col("w2"))
       .limit(topK)
+  }
+
+  /** Per-class discriminative KEYWORD extraction by smoothed odds ratio
+    * in floor-divided ppm — which terms mark a class (language, source,
+    * quality tier) against the rest of the corpus. The feature-selection
+    * / corpus-diagnosis primitive next to [[pmiCollocations]]'s
+    * class-free collocations.
+    *
+    * For term t in class c over token counts (a = t in c, b = t
+    * elsewhere, g = other tokens in c, d = other tokens elsewhere):
+    *   odds_ppm = ((a+1)(d+1) · 1,000,000) div ((b+1)(g+1))
+    * — the add-one-smoothed odds ratio, INTEGER-EXACT like the PMI
+    * score (no ln, no float): ranking by odds_ppm is ranking by log-odds.
+    * Smoothing keeps class-exclusive terms (b = 0) finite and
+    * deterministic.
+    *
+    * Output: topK terms per class under the TOTAL order (odds_ppm DESC,
+    * a DESC, term ASC) — deterministic cut, one row (class, term, a,
+    * odds_ppm) each.
+    *
+    * Scale shape: one (class, term) partial-aggregated count; marginals
+    * are vocab- and |classes|-sized (broadcastable); the ONE-ROW total is
+    * crossed in broadcast; the per-class cut is a rank-filtered window
+    * over the vocab-sized scored table, never over raw tokens. */
+  def classKeywords(df: DataFrame, classCol: String, textCol: String,
+                    minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val toks = df
+      .select(col(classCol).cast("string").as("cls"),
+        explode(Dedup.cleanTokens(col(textCol))).as("term"))
+    val a = toks.groupBy(col("cls"), col("term")).agg(count(lit(1)).as("a"))
+    val termTot = a.groupBy(col("term")).agg(sum(col("a")).as("ct"))
+    val clsTot = a.groupBy(col("cls")).agg(sum(col("a")).as("nc"))
+    val total = a.agg(sum(col("a")).as("n"))
+    val scored = a.filter(col("a") >= minCount)
+      .join(termTot, "term").join(clsTot, "cls")
+      .crossJoin(broadcast(total))
+      .select(col("cls"), col("term"), col("a"),
+        expr("""((a + 1) * (n - nc - (ct - a) + 1) * 1000000)
+                div ((ct - a + 1) * (nc - a + 1))""").as("odds_ppm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cls"))
+      .orderBy(col("odds_ppm").desc, col("a").desc, col("term").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("cls"), col("term"), col("a"), col("odds_ppm"))
   }
 
   /** Shannon CHARACTER entropy per document — the quality signal the

@@ -751,6 +751,42 @@ object StreamingIngest {
     FreqSketch.probeTopK(items, spark.table(queryName), k)
   }
 
+  /** Streaming PMI collocations: the (w1, w2) pair counts run as
+    * complete-mode streaming state (vocab²-bounded, sum-mergeable across
+    * micro-batches — plain counts), then the batch PMI derivation
+    * ([[graft.operators.TextAnalysis.pmiFromPairCounts]]) runs over the
+    * final snapshot, shared verbatim. Counts are EXACT integers, so the
+    * streaming result is bit-identical to the batch operator and shares
+    * its DuckDB oracle verbatim — the same full-hash-oracle pattern as
+    * q_stream_anomalies / q_stream_auc, the strongest streaming claim
+    * the harness can make. */
+  def runStreamPmiBounded(spark: SparkSession, parquetPath: String,
+                          textCol: String, minCount: Long, topK: Int,
+                          queryName: String,
+                          maxFilesPerTrigger: Int = 1,
+                          statePartitions: Int = 8): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = TextAnalysis.bigramPairs(stream, textCol)
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // snapshot the state table: the derivation self-joins it three ways
+    // (marginals + pair filter), and the memory-sink view resolves every
+    // branch to the SAME MemoryPlan instance — ambiguous references
+    // without this copy (vocab²-bounded, so the checkpoint is small)
+    TextAnalysis.pmiFromPairCounts(
+      spark.table(queryName).localCheckpoint(), minCount, topK)
+  }
+
   /** Streaming per-segment Bloom filter over the native OR-merge
     * aggregate ([[graft.sink.BloomIndex.bloomAgg]]): segment filters as
     * complete-mode streaming state (numBits/8 bytes per segment,

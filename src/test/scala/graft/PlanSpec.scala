@@ -362,9 +362,10 @@ class PlanSpec extends SparkSpec {
       // join-size estimate: two ONE-ROW sketch frames crossed (and, in
       // the gate, the ONE-ROW exact count) — scalar combination
       "q_join_size_est", "q_join_size_est_verify",
-      // PMI: the ONE-ROW N2 total crossed into the vocab-sized pair table
-      // — the same shuffle-free scalar broadcast as q_text_unigram_lp
-      "q_text_pmi")
+      // PMI / class keywords: the ONE-ROW corpus-total crossed into the
+      // vocab-sized scored table — the same shuffle-free scalar broadcast
+      // as q_text_unigram_lp
+      "q_text_pmi", "q_text_keywords")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
@@ -396,7 +397,7 @@ class PlanSpec extends SparkSpec {
       "q_stream_hll", "q_stream_hll_verify",
       "q_stream_cms", "q_stream_cms_verify", "q_stream_anomalies",
       "q_stream_kmv", "q_stream_kmv_verify", "q_stream_auc",
-      "q_stream_bloom", "q_stream_bloom_verify",
+      "q_stream_bloom", "q_stream_bloom_verify", "q_stream_pmi",
       // frontier BFS / weighted Bellman-Ford materialize each round +
       // probe the changed-set emptiness at build time (same loop
       // discipline as kCore); the loop-body shape is guarded by the

@@ -336,6 +336,45 @@ class OperatorsSpec extends SparkSpec {
     assert(fx.nonEmpty && fx.forall(_.getLong(3) >= 0))
   }
 
+  test("class keywords: hand-computed smoothed odds, per-class cut") {
+    import spark.implicits._
+    // X tokens: a,a,b (nc=3); Y: b,c,c (nc=3); N=6
+    val df = Seq(("X", "a a b"), ("Y", "b c c")).toDF("lang", "text")
+    val got = TextAnalysis.classKeywords(df, "lang", "text",
+        minCount = 1, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // (X,a): a=2 b=0 g=1 d=3 → (3·4·1e6)//(1·2) = 6e6; (X,b): a=1 b=1 g=2
+    // d=2 → (2·3·1e6)//(2·3) = 1e6; Y symmetric with c
+    assert(got === Set(("X", "a", 2L, 6000000L), ("X", "b", 1L, 1000000L),
+      ("Y", "c", 2L, 6000000L), ("Y", "b", 1L, 1000000L)))
+    // fixture: ≤ topK rows per class, and every class in the corpus shows up
+    val fx = TextAnalysis.classKeywords(docs, "lang", "text").collect()
+    val perCls = fx.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perCls.nonEmpty && perCls.values.forall(_ <= 20))
+    assert(fx.forall(_.getLong(3) >= 0))
+  }
+
+  test("streaming PMI state carries across micro-batches, ≡ batch exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pmi-stream").toString
+    try {
+      val src = s"$tmp/docs"
+      docs.repartition(3).write.parquet(src) // 3 files → 3 micro-batches
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val stream = graft.streaming.StreamingIngest
+        .runStreamPmiBounded(spark, src, "text", minCount = 5, topK = 100,
+          queryName = s"t_pmi_stream_${System.nanoTime()}")
+        .collect().map(key)
+      val batch = TextAnalysis
+        .pmiCollocations(spark.read.parquet(src), "text", 5, 100)
+        .collect().map(key)
+      assert(stream.nonEmpty && stream.toSeq === batch.toSeq,
+        "streamed PMI diverged from batch — exact counts must be replay-invariant")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("IVF top-k recall beats hyperplane LSH at nprobe=4/16") {
     val queries = emb.filter(col("vec_id") < 16)
     val exact = Similarity.cosineTopK(queries, emb, k = 10).collect()
