@@ -78,6 +78,7 @@ val picks = Seq(
   ("q_khop", "frontier BFS final stage: hop rounds materialize during construction (one src-keyed frontier join + node-keyed partial min each; empty-frontier short-circuit) - plan shown is the checkpointed result read"),
   ("q_dedup_containment", "one-sided prefix filter: probe prefixes vs full-posting index, sorted-long merge-intersect verify"),
   ("q_text_pmi", "integer PMI: narrow bigram transform, partial-agg pair/marginal counts, ONE-ROW N2 broadcast cross, TakeOrdered top-k"),
+  ("q_text_keywords", "smoothed odds keywords: one (class,term) partial count, vocab-sized marginal joins, ONE-ROW total cross, rank window over scored vocab only"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
