@@ -414,6 +414,15 @@ object SparkEntry {
         minCount = 5, topK = 20)
         .orderBy(col("cls"), col("odds_ppm").desc, col("a").desc, col("term"))),
 
+    // The same keyword extraction with the (cls, term) counts as
+    // streaming state: exact sum-mergeable integers ⇒ stream ≡ batch
+    // identically, sharing the batch oracle verbatim (full hash gate).
+    "q_stream_keywords" -> ((s, dir) =>
+      StreamingIngest.runStreamKeywordsBounded(s, s"$dir/documents.parquet",
+        "lang", "text", minCount = 5, topK = 20,
+        queryName = s"stream_kw_${streamCounter.incrementAndGet()}")
+        .orderBy(col("cls"), col("odds_ppm").desc, col("a").desc, col("term"))),
+
     "q_text_langid" -> ((s, dir) =>
       TextAnalysis.withLangId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"))
@@ -4235,6 +4244,30 @@ object SparkEntry {
     // in BIGINT floor division; per-class cut via QUALIFY under the
     // identical total order.
     "q_text_keywords" ->
+      """WITH toks AS (
+        |  SELECT CAST(lang AS VARCHAR) AS cls, t.term
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                       x -> x <> '')) AS t(term)),
+        |a AS (SELECT cls, term, COUNT(*) AS a FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(SUM(a) AS BIGINT) AS ct FROM a GROUP BY 1),
+        |nc AS (SELECT cls, CAST(SUM(a) AS BIGINT) AS nc FROM a GROUP BY 1),
+        |n AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM a),
+        |scored AS (
+        |  SELECT a.cls, a.term, a.a,
+        |    ((a.a + 1) * (n.n - nc.nc - (ct.ct - a.a) + 1) * 1000000)
+        |      // ((ct.ct - a.a + 1) * (nc.nc - a.a + 1)) AS odds_ppm
+        |  FROM a JOIN ct ON ct.term = a.term JOIN nc ON nc.cls = a.cls
+        |  CROSS JOIN n
+        |  WHERE a.a >= 5)
+        |SELECT cls, term, a, odds_ppm FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY cls
+        |  ORDER BY odds_ppm DESC, a DESC, term ASC) <= 20
+        |ORDER BY cls, odds_ppm DESC, a DESC, term""".stripMargin,
+
+    // Streaming keywords: exact integer counts make stream ≡ batch, so
+    // the batch SQL gates the streaming query verbatim (full hash).
+    "q_stream_keywords" ->
       """WITH toks AS (
         |  SELECT CAST(lang AS VARCHAR) AS cls, t.term
         |  FROM documents,

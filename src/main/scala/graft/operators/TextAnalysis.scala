@@ -485,11 +485,24 @@ object TextAnalysis {
     * crossed in broadcast; the per-class cut is a rank-filtered window
     * over the vocab-sized scored table, never over raw tokens. */
   def classKeywords(df: DataFrame, classCol: String, textCol: String,
-                    minCount: Long = 5, topK: Int = 20): DataFrame = {
-    val toks = df
-      .select(col(classCol).cast("string").as("cls"),
-        explode(Dedup.cleanTokens(col(textCol))).as("term"))
-    val a = toks.groupBy(col("cls"), col("term")).agg(count(lit(1)).as("a"))
+                    minCount: Long = 5, topK: Int = 20): DataFrame =
+    keywordsFromCounts(
+      classTermTokens(df, classCol, textCol)
+        .groupBy(col("cls"), col("term")).agg(count(lit(1)).as("a")),
+      minCount, topK)
+
+  /** (cls, term) token stream — the narrow transform shared by the batch
+    * keyword extractor and its streaming twin. */
+  def classTermTokens(df: DataFrame, classCol: String,
+                      textCol: String): DataFrame =
+    df.select(col(classCol).cast("string").as("cls"),
+      explode(Dedup.cleanTokens(col(textCol))).as("term"))
+
+  /** Odds-ratio derivation from a (cls, term, a) count table. Split out
+    * because the STREAMING twin materializes the same counts from its
+    * state store and must derive the identical output — its stream ≡
+    * batch full-hash-oracle gate depends on sharing this code. */
+  def keywordsFromCounts(a: DataFrame, minCount: Long, topK: Int): DataFrame = {
     val termTot = a.groupBy(col("term")).agg(sum(col("a")).as("ct"))
     val clsTot = a.groupBy(col("cls")).agg(sum(col("a")).as("nc"))
     val total = a.agg(sum(col("a")).as("n"))

@@ -787,6 +787,39 @@ object StreamingIngest {
       spark.table(queryName).localCheckpoint(), minCount, topK)
   }
 
+  /** Streaming per-class discriminative keywords: the (cls, term) token
+    * counts run as complete-mode streaming state (vocab·|classes|-bounded,
+    * sum-mergeable exact integers), then the batch odds-ratio derivation
+    * ([[graft.operators.TextAnalysis.keywordsFromCounts]]) runs over the
+    * final snapshot, shared verbatim — stream ≡ batch identically, so the
+    * query shares the batch oracle (full hash gate), the same pattern as
+    * [[runStreamPmiBounded]]. */
+  def runStreamKeywordsBounded(spark: SparkSession, parquetPath: String,
+                               classCol: String, textCol: String,
+                               minCount: Long, topK: Int, queryName: String,
+                               maxFilesPerTrigger: Int = 1,
+                               statePartitions: Int = 8): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = TextAnalysis.classTermTokens(stream, classCol, textCol)
+        .groupBy(col("cls"), col("term"))
+        .agg(count(lit(1)).as("a"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // snapshot: the derivation self-joins the state table (marginals),
+    // and memory-sink views resolve every branch to one MemoryPlan —
+    // see runStreamPmiBounded
+    TextAnalysis.keywordsFromCounts(
+      spark.table(queryName).localCheckpoint(), minCount, topK)
+  }
+
   /** Streaming per-segment Bloom filter over the native OR-merge
     * aggregate ([[graft.sink.BloomIndex.bloomAgg]]): segment filters as
     * complete-mode streaming state (numBits/8 bytes per segment,

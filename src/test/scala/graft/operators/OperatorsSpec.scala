@@ -375,6 +375,29 @@ class OperatorsSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(tmp))
   }
 
+  test("streaming keywords state carries across micro-batches, ≡ batch exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kw-stream").toString
+    try {
+      val src = s"$tmp/docs"
+      docs.repartition(3).write.parquet(src) // 3 files → 3 micro-batches
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val stream = graft.streaming.StreamingIngest
+        .runStreamKeywordsBounded(spark, src, "lang", "text",
+          minCount = 5, topK = 20,
+          queryName = s"t_kw_stream_${System.nanoTime()}")
+        .orderBy(col("cls"), col("odds_ppm").desc, col("a").desc, col("term"))
+        .collect().map(key)
+      val batch = TextAnalysis
+        .classKeywords(spark.read.parquet(src), "lang", "text", 5, 20)
+        .orderBy(col("cls"), col("odds_ppm").desc, col("a").desc, col("term"))
+        .collect().map(key)
+      assert(stream.nonEmpty && stream.toSeq === batch.toSeq,
+        "streamed keywords diverged from batch — exact counts must be replay-invariant")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("IVF top-k recall beats hyperplane LSH at nprobe=4/16") {
     val queries = emb.filter(col("vec_id") < 16)
     val exact = Similarity.cosineTopK(queries, emb, k = 10).collect()
