@@ -2579,15 +2579,24 @@ object SparkEntry {
         .groupBy(col("event_type").cast("string").as("segment"))
         .agg(graft.sink.BloomIndex.bloomAgg(col("user_id").cast("long"),
           1 << 15, 7).as("bloom"))
-      val bitsDrift = stream.select(col("segment"), col("bloom").as("sb"))
-        .join(batch.select(col("segment"), col("bloom").as("bb")),
-          Seq("segment"), "full_outer")
+      // Null-safe keys throughout: a NULL segment is a real segment (the
+      // repo-wide convention for stream-vs-batch comparisons — see the
+      // <=> joins in q_stream_kmv_verify above). Plain equality would let
+      // NULL-segment rows miss each other (spurious bits drift) and skip
+      // the no-false-negative probe entirely.
+      val bitsDrift = stream.select(col("segment").as("s_seg"),
+          col("bloom").as("sb"))
+        .join(batch.select(col("segment").as("b_seg"), col("bloom").as("bb")),
+          col("s_seg") <=> col("b_seg"), "full_outer")
         .filter(col("sb").isNull || col("bb").isNull || col("sb") =!= col("bb"))
-        .select(col("segment"), lit("stream_vs_batch_bits").as("issue"))
-      val members = ev.select(col("event_type").cast("string").as("segment"),
+        .select(coalesce(col("s_seg"), col("b_seg")).as("segment"),
+          lit("stream_vs_batch_bits").as("issue"))
+      val members = ev.select(col("event_type").cast("string").as("m_seg"),
         col("user_id").cast("long").as("u")).distinct()
       val falseNeg = members
-        .join(stream.select(col("segment"), col("bloom")), Seq("segment"))
+        .join(stream.select(col("segment"), col("bloom")),
+          col("m_seg") <=> col("segment"))
+        .drop("m_seg")
         .filter(!graft.sink.BloomIndex.bloomContains(col("bloom"), col("u")))
         .select(col("segment"), lit("false_negative").as("issue"))
       bitsDrift.unionByName(falseNeg).orderBy(col("segment"), col("issue"))
@@ -4231,7 +4240,8 @@ object SparkEntry {
         |heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1h FROM c12 GROUP BY 1),
         |tails AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2t FROM c12 GROUP BY 1)
         |SELECT c.w1, c.w2, c.c12,
-        |  (c.c12 * 1000000 * n2.n2) // (h.c1h * t.c2t) AS pmi_ppm
+        |  CAST((CAST(c.c12 AS HUGEINT) * 1000000 * n2.n2)
+        |       // (CAST(h.c1h AS HUGEINT) * t.c2t) AS BIGINT) AS pmi_ppm
         |FROM c12 c
         |JOIN heads h ON h.w1 = c.w1
         |JOIN tails t ON t.w2 = c.w2
@@ -4255,8 +4265,10 @@ object SparkEntry {
         |n AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM a),
         |scored AS (
         |  SELECT a.cls, a.term, a.a,
-        |    ((a.a + 1) * (n.n - nc.nc - (ct.ct - a.a) + 1) * 1000000)
-        |      // ((ct.ct - a.a + 1) * (nc.nc - a.a + 1)) AS odds_ppm
+        |    CAST(((CAST(a.a AS HUGEINT) + 1)
+        |           * (n.n - nc.nc - (ct.ct - a.a) + 1) * 1000000)
+        |      // ((CAST(ct.ct AS HUGEINT) - a.a + 1)
+        |           * (nc.nc - a.a + 1)) AS BIGINT) AS odds_ppm
         |  FROM a JOIN ct ON ct.term = a.term JOIN nc ON nc.cls = a.cls
         |  CROSS JOIN n
         |  WHERE a.a >= 5)
@@ -4279,8 +4291,10 @@ object SparkEntry {
         |n AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM a),
         |scored AS (
         |  SELECT a.cls, a.term, a.a,
-        |    ((a.a + 1) * (n.n - nc.nc - (ct.ct - a.a) + 1) * 1000000)
-        |      // ((ct.ct - a.a + 1) * (nc.nc - a.a + 1)) AS odds_ppm
+        |    CAST(((CAST(a.a AS HUGEINT) + 1)
+        |           * (n.n - nc.nc - (ct.ct - a.a) + 1) * 1000000)
+        |      // ((CAST(ct.ct AS HUGEINT) - a.a + 1)
+        |           * (nc.nc - a.a + 1)) AS BIGINT) AS odds_ppm
         |  FROM a JOIN ct ON ct.term = a.term JOIN nc ON nc.cls = a.cls
         |  CROSS JOIN n
         |  WHERE a.a >= 5)
@@ -4291,8 +4305,10 @@ object SparkEntry {
 
     // PMI collocations: same bigram derivation as q_text_bigram_lp kept
     // as (w1, w2) columns; marginals CAST to BIGINT (SUM widens to
-    // HUGEINT otherwise); the ppm ratio is BIGINT floor division on both
-    // engines — positive operands, so truncate ≡ floor.
+    // HUGEINT otherwise); the ppm ratio multiplies in HUGEINT (Spark
+    // side: DECIMAL(38,0)) so neither engine can wrap/abort at large
+    // corpus counts, then floor-divides back to BIGINT — positive
+    // operands, so truncate ≡ floor.
     "q_text_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -4307,7 +4323,8 @@ object SparkEntry {
         |heads AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1h FROM c12 GROUP BY 1),
         |tails AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2t FROM c12 GROUP BY 1)
         |SELECT c.w1, c.w2, c.c12,
-        |  (c.c12 * 1000000 * n2.n2) // (h.c1h * t.c2t) AS pmi_ppm
+        |  CAST((CAST(c.c12 AS HUGEINT) * 1000000 * n2.n2)
+        |       // (CAST(h.c1h AS HUGEINT) * t.c2t) AS BIGINT) AS pmi_ppm
         |FROM c12 c
         |JOIN heads h ON h.w1 = c.w1
         |JOIN tails t ON t.w2 = c.w2

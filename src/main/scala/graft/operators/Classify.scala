@@ -68,7 +68,7 @@ object Classify {
     require(vocabSize > 0, "naiveBayes: empty training vocabulary")
     // complete term×label grid so in-vocab tokens unseen for a label get
     // the smoothed ln(1/(n_l+V)) instead of silently vanishing
-    val grid = counts.select(col("term")).distinct().crossJoin(labelTotals)
+    val grid = counts.select(col("term")).distinct().crossJoin(broadcast(labelTotals))
     val lp = grid.join(counts, Seq("term", "label"), "left")
       .select(col("term"), col("label"),
         round(log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /

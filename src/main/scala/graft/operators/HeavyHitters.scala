@@ -98,14 +98,19 @@ object HeavyHitters {
     *
     * Output: (grp, item, est, n, sub) rows per group, most frequent
     * first; same per-item MG guarantees as [[topItems]], now per group
-    * (checked by [[violationsByGroup]]). */
+    * (checked by [[violationsByGroup]]). A group whose summary ends EMPTY
+    * (possible when distinct items exceed capacity and the final
+    * decrements clear the buffer) still emits one carrier row with a NULL
+    * item, so its (n, sub) certificate never silently vanishes —
+    * `explode` instead of `explode_outer` here would drop exactly the
+    * groups where the sketch degraded most. */
   def topItemsByGroup(df: DataFrame, groupCol: String, itemCol: String,
                       capacity: Int): DataFrame =
     df.filter(col(itemCol).isNotNull)
       .groupBy(col(groupCol).cast("string").as("grp"))
       .agg(summary(col(itemCol).cast("long"), capacity).as("mg"))
       .select(col("grp"), col("mg.n").as("n"), col("mg.sub").as("sub"),
-        explode(col("mg.items")).as("it"))
+        explode_outer(col("mg.items")).as("it"))
       .select(col("grp"), col("it.item").as("item"), col("it.est").as("est"),
         col("n"), col("sub"))
 
@@ -122,7 +127,12 @@ object HeavyHitters {
     val exact = items.groupBy(col("grp"), col("item"))
       .agg(count(lit(1)).as("cnt"))
 
-    val perItem = sk.join(exact, Seq("grp", "item"), "left")
+    // NULL-item rows are the empty-summary carriers: they exist so the
+    // stats frame below still sees the group's (n, sub) — but they are
+    // not sketch items, so they must not reach the per-item check (a
+    // left join would misread them as phantom_item).
+    val perItem = sk.filter(col("item").isNotNull)
+      .join(exact, Seq("grp", "item"), "left")
       .withColumn("why",
         when(col("cnt").isNull, lit("phantom_item"))
           .when(col("est") > col("cnt"), lit("overcount"))

@@ -410,9 +410,13 @@ object TextAnalysis {
     * with all counts from the bigram table (N2 total bigrams, c1h/c2t
     * head/tail marginals). exp(PMI)·1e6 = that ratio, so ranking and
     * thresholding on the integer is ranking by PMI with zero
-    * cross-engine float drift. (At 100-TB corpus counts the BIGINT
-    * product would need DECIMAL(38) — a documented widening, not a
-    * design change; the div stays exact.)
+    * cross-engine float drift. The numerator is computed in
+    * DECIMAL(38,0) (and the oracle in HUGEINT), NOT Long: Spark Long
+    * multiply wraps silently on overflow, so at 100-TB corpus counts
+    * (n2 ~ 1e14 bigrams) a c12·1e6·n2 product near 1e34 would wrap on
+    * one engine and abort on the other. 38 digits covers any corpus up
+    * to n2 ≈ 1e16 bigrams (product ≤ n2²·1e6 ≤ 1e38); the div result is
+    * a bounded ratio, safely back in Long.
     *
     * `minCount` suppresses hapax pairs (PMI's well-known low-count
     * pathology); `topK` bounds the output under the TOTAL order
@@ -457,7 +461,10 @@ object TextAnalysis {
       .join(heads, "w1").join(tails, "w2")
       .crossJoin(broadcast(n2))
       .select(col("w1"), col("w2"), col("c12"),
-        expr("(c12 * 1000000 * n2) div (c1h * c2t)").as("pmi_ppm"))
+        // decimal(38,0) intermediate — Long would wrap silently at
+        // large-corpus counts (see the scaladoc); div returns BIGINT
+        expr("""(cast(c12 as decimal(38,0)) * 1000000 * n2)
+                div (cast(c1h as decimal(38,0)) * c2t)""").as("pmi_ppm"))
       .orderBy(col("pmi_ppm").desc, col("c12").desc, col("w1"), col("w2"))
       .limit(topK)
   }
@@ -474,7 +481,10 @@ object TextAnalysis {
     * — the add-one-smoothed odds ratio, INTEGER-EXACT like the PMI
     * score (no ln, no float): ranking by odds_ppm is ranking by log-odds.
     * Smoothing keeps class-exclusive terms (b = 0) finite and
-    * deterministic.
+    * deterministic. Like the PMI score, the (a+1)(d+1)·1e6 product runs
+    * in DECIMAL(38,0) (oracle: HUGEINT) — at 100-TB counts d ≈ n ≈ 1e14
+    * tokens puts the Long product past 2^63, where Spark wraps silently
+    * while the oracle aborts; 38 digits is safe to n ≈ 1e16.
     *
     * Output: topK terms per class under the TOTAL order (odds_ppm DESC,
     * a DESC, term ASC) — deterministic cut, one row (class, term, a,
@@ -510,8 +520,10 @@ object TextAnalysis {
       .join(termTot, "term").join(clsTot, "cls")
       .crossJoin(broadcast(total))
       .select(col("cls"), col("term"), col("a"),
-        expr("""((a + 1) * (n - nc - (ct - a) + 1) * 1000000)
-                div ((ct - a + 1) * (nc - a + 1))""").as("odds_ppm"))
+        // decimal(38,0) intermediate — Long would wrap silently at
+        // large-corpus counts (see the scaladoc); div returns BIGINT
+        expr("""((cast(a as decimal(38,0)) + 1) * (n - nc - (ct - a) + 1) * 1000000)
+                div ((cast(ct as decimal(38,0)) - a + 1) * (nc - a + 1))""").as("odds_ppm"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cls"))
       .orderBy(col("odds_ppm").desc, col("a").desc, col("term").asc)
     scored.withColumn("__rn", row_number().over(w))

@@ -333,9 +333,10 @@ class PlanSpec extends SparkSpec {
       // back into the data
       "q_outliers_mad", "q_drift_psi",
       // the |labels|-row prior frame crossed into the scored docs (every
-      // doc scores every label), and the |ps|-row quantile-threshold frame
-      // crossed into the values for the rank count — both bounded sides
-      // broadcast on purpose
+      // doc scores every label) and the |labels|-row totals frame crossed
+      // into the vocab for the smoothing grid — both sides wrapped in
+      // broadcast(...) at the call site — plus the |ps|-row
+      // quantile-threshold frame crossed into the values for the rank count
       "q_classify_nb", "q_quantile_approx_verify",
       // the ONE-ROW n/sub summary-stats frame crossed into the exact
       // counts for the missing-heavy-item and global checks

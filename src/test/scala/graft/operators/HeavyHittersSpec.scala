@@ -106,6 +106,26 @@ class HeavyHittersSpec extends SparkSpec {
       .select(col("grp")).distinct().count() >= 2)
   }
 
+  test("empty-summary group still emits a carrier row and stays certified") {
+    // capacity 1, two distinct singletons: insert 1 → {1:1}; insert 2 →
+    // buffer full → decrement-all clears it. The group's summary ends
+    // EMPTY — explode would drop it entirely; explode_outer keeps one
+    // (grp, null, null, n, sub) carrier so the certificate still sees it.
+    val rows = Seq(("E", 1L), ("E", 2L), ("F", 7L), ("F", 7L), ("F", 8L))
+    val df = rows.toDF("g", "k")
+    val out = HeavyHitters.topItemsByGroup(df, "g", "k", capacity = 1)
+      .collect()
+    val eRows = out.filter(_.getString(0) == "E")
+    assert(eRows.length === 1, "empty-summary group must emit one carrier")
+    assert(eRows.head.isNullAt(1), "carrier row item must be NULL")
+    assert(eRows.head.getLong(3) === 2L, "carrier n must be the stream length")
+    assert(eRows.head.getLong(4) === 1L, "carrier must keep the decrement count")
+    // the carrier must not be misread as a phantom item, and the stats
+    // checks (bad_stream_length / sub_bound) still run for group E
+    val v = HeavyHitters.violationsByGroup(df, "g", "k", capacity = 1)
+    assert(v.isEmpty, v.collect().mkString(";"))
+  }
+
   test("merge keeps at most capacity items and the MG invariant") {
     val agg = MisraGriesAgg(Literal(0L), capacity = 3)
     val a = agg.createAggregationBuffer()
