@@ -49,7 +49,14 @@ object Bench {
     // the real cost of the plan; the gap between passes is JIT/page-cache
     // warmup plus whatever else shares this box (the driver harness runs
     // concurrently; single-shot totals here swing up to 5x under its load).
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional local-iteration filter: comma-separated name substrings
+    // (the driver never sets it = run everything, same as Verify's arg 3)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pats) =>
+        val ps = pats.split(",")
+        SparkEntry.queries.keys.toSeq.sorted.filter(n => ps.exists(n.contains))
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val worst = scala.collection.mutable.Map.empty[String, Double]
     val failedTime = scala.collection.mutable.Map.empty[String, Double]

