@@ -384,9 +384,19 @@ object SparkEntry {
     // Bigram LM score — conditional log-probs c(w1 w2)/c(w1 ·), the next
     // perplexity proxy up: narrow bigram extraction, (doc, bigram)
     // shuffles only, AQE-sized probability join (bigram vocab is not
-    // guaranteed driver-sized like the unigram vocab).
+    // guaranteed driver-sized like the unigram vocab). Kept as the
+    // ablation next to the interpolated trigram model below.
     "q_text_bigram_lp" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Interpolated trigram LM score — the CCNet/LLaMA-style quality
+    // perplexity: λ70/20/10 mix of trigram/bigram/unigram conditionals,
+    // each an IEEE-exact count ratio, ln pinned by the 6dp-round +
+    // decimal-sum contract. Narrow n-gram transforms, n-gram-keyed
+    // partial aggs, AQE-sized probability joins.
+    "q_text_trigram_lp" -> ((s, dir) =>
+      TextAnalysis.trigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     // Corpus PMI collocations in floor-divided ppm — integer-exact
@@ -4217,6 +4227,51 @@ object SparkEntry {
         |  FROM bg JOIN probs USING (bigram) GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
         |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) AS avg_lp2
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Interpolated trigram LM: every conditional is a single DOUBLE
+    // division of BIGINT counts, the λ-weighted sum is the identical
+    // left-associative chain on both engines, and only the final LN
+    // leans on the 6dp-round + decimal-sum contract.
+    "q_text_trigram_lp" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                             t -> t <> '') AS tk
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2,
+        |         list_extract(tk, i + 2) AS w3
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
+        |  WHERE len(tk) >= 3),
+        |bg AS (
+        |  SELECT list_extract(tk, i) AS a, list_extract(tk, i + 1) AS b
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |  WHERE len(tk) >= 2),
+        |un AS (SELECT t.term FROM toks, UNNEST(tk) AS t(term)),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12 FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1h AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1h FROM c2 GROUP BY 1),
+        |c1 AS (SELECT term, COUNT(*) AS c FROM un GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+        |lp AS (
+        |  SELECT tg.doc_id,
+        |    CAST(ROUND(LN((70 * (CAST(c3.c3 AS DOUBLE) / CAST(c12.c12 AS DOUBLE))
+        |                 + 20 * (CAST(c2.c2 AS DOUBLE) / CAST(c1h.c1h AS DOUBLE))
+        |                 + 10 * (CAST(c1.c AS DOUBLE) / CAST(n.n AS DOUBLE))) / 100), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM tg
+        |  JOIN c3 USING (w1, w2, w3)
+        |  JOIN c12 USING (w1, w2)
+        |  JOIN c2 ON c2.a = tg.w2 AND c2.b = tg.w3
+        |  JOIN c1h ON c1h.a = tg.w2
+        |  JOIN c1 ON c1.term = tg.w3
+        |  CROSS JOIN n),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_trigrams, SUM(lp) AS slp
+        |       FROM lp GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(pd.n_trigrams, 0) AS n_trigrams,
+        |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_trigrams AS DOUBLE) AS avg_lp3
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -398,6 +398,102 @@ object TextAnalysis {
         col("avg_lp2"))
   }
 
+  /** Self-trained INTERPOLATED TRIGRAM language-model scoring — the real
+    * n-gram LM the CCNet/LLaMA quality stack filters with, one step up
+    * from [[bigramLogProb]] (kept as the ablation):
+    *
+    *   P(w3|w1,w2) = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(w2w3)/c(w2·) + λ1·c(w3)/N
+    *
+    * with integer-percent weights (default 70/20/10). Interpolation is
+    * what makes a trigram model usable: the raw trigram estimate is
+    * sharp but sparse, and backing off through the bigram and unigram
+    * estimates smooths it — here every component is ≥ 1 count because
+    * the model is trained on the SAME corpus it scores (the closed-world
+    * trick of the unigram/bigram scorers), so the interpolated mass is
+    * always positive and no unseen-mass machinery is needed.
+    *
+    * Determinism (the hash-oracle contract): each component ratio is ONE
+    * IEEE double division (bit-exact cross-engine), the weighted sum
+    * `(λ3·p3 + λ2·p2 + λ1·p1) / 100` is a fixed left-associative chain
+    * of correctly-rounded double ops (bit-exact cross-engine), and only
+    * the final ln is libm-dependent — pinned by the repo-wide
+    * round-to-6dp-then-decimal-sum contract.
+    *
+    * Scale shape: trigram/bigram extraction is NARROW (transforms over
+    * the bound token array — no positional self-join); all count tables
+    * partial-aggregate on their n-gram keys; the conditional-denominator
+    * tables derive from the count tables themselves (never a second
+    * corpus pass); probability joins carry no broadcast hint — trigram
+    * vocab is corpus-dependent, so AQE decides (broadcast at small SF,
+    * shuffle at scale). Output: (idCol, n_trigrams, avg_lp3); docs with
+    * < 3 tokens get n_trigrams = 0 and NULL avg_lp3. */
+  def trigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     lam3: Int = 70, lam2: Int = 20,
+                     lam1: Int = 10): DataFrame = {
+    require(lam3 > 0 && lam2 > 0 && lam1 > 0 && lam3 + lam2 + lam1 == 100,
+      s"weights must be positive percents summing to 100, got $lam3/$lam2/$lam1")
+    // Bind the token array to an attribute before the transforms (the
+    // measured O(tokens²) lesson from bigramLogProb).
+    val tk = Dedup.cleanTokens(col(textCol))
+    val toks = df.select(col(idCol), tk.as("__tk"))
+    val tg = toks
+      .select(col(idCol), explode(when(size(col("__tk")) >= 3,
+        transform(sequence(lit(0), size(col("__tk")) - 3),
+          i => struct(element_at(col("__tk"), i + 1).as("w1"),
+                      element_at(col("__tk"), i + 2).as("w2"),
+                      element_at(col("__tk"), i + 3).as("w3"))))
+        .otherwise(array()
+          .cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    // trigram conditional: c(w1w2w3) / c(w1w2·), the prefix marginal
+    // derived from the trigram table itself
+    val c3 = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c12 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("c12"))
+    val p3 = c3.join(c12, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (col("c3").cast("double") / col("c12").cast("double")).as("p3"))
+    // bigram conditional over ALL adjacent pairs (every doc trigram's
+    // (w2,w3) suffix is such a pair — closed world holds)
+    val bg = toks
+      .select(explode(when(size(col("__tk")) >= 2,
+        transform(sequence(lit(0), size(col("__tk")) - 2),
+          i => struct(element_at(col("__tk"), i + 1).as("a"),
+                      element_at(col("__tk"), i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val c2 = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1h = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1h"))
+    val p2 = c2.join(c1h, "a")
+      .select(col("a"), col("b"),
+        (col("c2").cast("double") / col("c1h").cast("double")).as("p2"))
+    // unigram: c(w)/N from the token stream
+    // cleanTokens already drops empty tokens, so the stream is the model
+    val un = toks.select(explode(col("__tk")).as("term"))
+    val c1 = un.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTot = c1.agg(sum(col("c")).as("n"))
+    val p1 = c1.crossJoin(broadcast(nTot))
+      .select(col("term"),
+        (col("c").cast("double") / col("n").cast("double")).as("p1"))
+    val perDoc = tg
+      .join(p3, Seq("w1", "w2", "w3"))
+      .join(p2, col("w2") === col("a") && col("w3") === col("b"))
+      .join(p1, col("w3") === col("term"))
+      .select(col(idCol),
+        round(log((lit(lam3) * col("p3") + lit(lam2) * col("p2") +
+          lit(lam1) * col("p1")) / lit(100)), 6)
+          .cast("decimal(18,6)").as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("lp")).as("__slp"))
+      .select(col(idCol), col("n_trigrams"),
+        (col("__slp").cast("double") / col("n_trigrams").cast("double"))
+          .as("avg_lp3"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("avg_lp3"))
+  }
+
   /** Corpus-level PMI collocation extraction — the classic association
     * measure (Church & Hanks 1990) over adjacent word pairs: which
     * bigrams co-occur far more often than their parts' frequencies

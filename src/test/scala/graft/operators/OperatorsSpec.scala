@@ -309,6 +309,42 @@ class OperatorsSpec extends SparkSpec {
     assert(fx.filter(col("avg_lp2").isNotNull && col("avg_lp2") <= 0).count() > 0)
   }
 
+  test("trigram log-prob: hand-computed interpolation, short doc gets null") {
+    import spark.implicits._
+    // tokens: a:4 b:4 c:2 z:1, N=11; pairs: (a,b)=3 (b,c)=2 (c,a)=2,
+    // heads a·=3 b·=2 c·=2; trigrams: (a,b,c)=1 (b,c,a)=2 (c,a,b)=1,
+    // prefixes (a,b)=1 (b,c)=2 (c,a)=1
+    val df = Seq((1L, "a b c a b"), (2L, "b c a"), (3L, "a b"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.trigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def lp(p3: Double, p2: Double, p1: Double): BigDecimal =
+      BigDecimal(math.log((70 * p3 + 20 * p2 + 10 * p1) / 100))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // doc 1: (a,b,c): p3=1/1 p2=2/2 p1=2/11; (b,c,a): 2/2, 2/2, 4/11;
+    //        (c,a,b): 1/1, 3/3, 4/11
+    val d1 = (lp(1, 1, 2.0 / 11) + lp(1, 1, 4.0 / 11) +
+      lp(1, 1, 4.0 / 11)).toDouble / 3
+    assert(got(0).getLong(1) == 3 && math.abs(got(0).getDouble(2) - d1) < 1e-12)
+    // doc 2: one trigram (b,c,a)
+    assert(got(1).getLong(1) == 1 &&
+      math.abs(got(1).getDouble(2) - lp(1, 1, 4.0 / 11).toDouble) < 1e-12)
+    // < 3 tokens: no trigrams, null score
+    assert(got(2).getLong(1) == 0 && got(2).isNullAt(2))
+    assert(got(3).getLong(1) == 0 && got(3).isNullAt(2))
+    // partitioning invariance (decimal sums have no order tail)
+    val rep = TextAnalysis.trigramLogProb(df.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rep.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      got.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(math.abs(rep(0).getDouble(2) - got(0).getDouble(2)) == 0.0)
+    // fixture sanity: interpolated probs ≤ 1 so scores are non-positive
+    val fx = TextAnalysis.trigramLogProb(docs, "doc_id", "text")
+    assert(fx.filter(col("avg_lp3").isNotNull && col("avg_lp3") <= 0).count() > 0)
+    assert(fx.filter(col("avg_lp3") > 0).count() === 0)
+  }
+
   test("PMI collocations: hand-computed ratios, min-count cut, total order") {
     import spark.implicits._
     // bigrams ×6: "x y"=6; ×5: "a b"=5; plus "b a"=5 fillers to shape
