@@ -1131,6 +1131,86 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF→PQ two-stage retrieval (Jégou TPAMI'11 IVFADC): probe nprobe
+    // cells, ADC-score the probed CODES, exact-cosine re-rank only the
+    // short list — the billion-scale serving shape composing the two
+    // verified halves. Emitted cosines are EXACT (re-rank reads raw
+    // vectors); which neighbors the probes reach is approximate →
+    // rows-only headline, gated by the _verify recall + score checks.
+    "q_sim_topk_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+      val pq = operators.ProductQuantize.train(emb, "vec_id", "embedding",
+        m = 16, k = 64)
+      operators.IvfPq.topK(emb.filter(col("vec_id") < 16), emb, ivf, pq,
+        k = 10, nprobe = 4, shortlist = 32)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Verification-property sibling: (a) every emitted cosine re-derived
+    // from raw embeddings must equal the emitted 6dp value (the re-rank
+    // is exact, so unlike the pure-ADC twin this is a strict equality on
+    // true cosines), no self-matches; (b) non-increasing in rank;
+    // (c) ranks contiguous and distinct; (d) RECALL GATE — mean
+    // recall@10 against the in-engine exact top-k (the same brute force
+    // q_sim_topk oracles) must hold the floor the composition is
+    // spec-measured to clear. Violations only; oracle = empty relation.
+    "q_sim_topk_ivfpq_verify" -> ((s, dir) => {
+      val embRaw = t(s, dir, "embeddings")
+      val emb = embRaw
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+      val ivf = operators.IvfIndex.train(embRaw, "vec_id", "embedding", k = 16)
+      val pq = operators.ProductQuantize.train(embRaw, "vec_id", "embedding",
+        m = 16, k = 64)
+      val res = operators.IvfPq.topK(embRaw.filter(col("vec_id") < 16),
+        embRaw, ivf, pq, k = 10, nprobe = 4, shortlist = 32)
+        .localCheckpoint() // four checks read it; the search runs once
+      val badScore = res
+        .join(emb.select(col("vec_id").as("query_id"), col("v").as("__q")),
+          Seq("query_id"), "left")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("__c")),
+          Seq("neighbor_id"), "left")
+        .withColumn("__rc", round(builtinCosine(col("__q"), col("__c")), 6))
+        .filter(col("__rc").isNull || col("__rc") =!= col("cosine") ||
+          col("query_id") === col("neighbor_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          lit("cosine_mismatch_or_self").as("issue"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      val badOrder = res
+        .withColumn("__prev", lag(col("cosine"), 1).over(w))
+        .filter(col("__prev").isNotNull && col("cosine") > col("__prev"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          lit("rank_not_monotone").as("issue"))
+      val badSeq = res.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__n"), min(col("rank")).as("__lo"),
+          max(col("rank")).as("__hi"), countDistinct(col("rank")).as("__d"))
+        .filter(!(col("__lo") === 1 && col("__hi") === col("__n") &&
+          col("__d") === col("__n")))
+        .select(col("query_id"), lit(null).cast("long").as("rank"),
+          lit("rank_gap").as("issue"))
+      // recall gate: exact top-k recomputed in-engine (affordable at
+      // oracle scale — shipping the two-stage path is what avoids this
+      // brute force in production); one violation row iff the MEAN
+      // per-query recall@10 drops below the spec-measured floor
+      val exact = operators.Similarity.cosineTopK(
+        embRaw.filter(col("vec_id") < 16), embRaw, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact
+        .join(res.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("__recall"))
+      val badRecall = hits.agg(avg(col("__recall")).as("__mean"))
+        .filter(col("__mean") < 0.5)
+        .select(lit(null).cast("long").as("query_id"),
+          lit(null).cast("long").as("rank"),
+          lit("recall_below_floor").as("issue"))
+      badScore.unionByName(badOrder).unionByName(badSeq)
+        .unionByName(badRecall)
+        .orderBy(col("query_id"), col("rank"), col("issue"))
+    }),
+
     // Synthetic PNG/GIF/WAV containers (real magic bytes + header fields,
     // deterministic in doc_id) are decoded by genuine header parsing; the
     // oracle recomputes the expected features from doc_id by construction.
@@ -5733,6 +5813,11 @@ object SparkEntry {
         |WHERE FALSE""".stripMargin,
 
     "q_sim_topk_ivf_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rank,
+        |  CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_sim_topk_ivfpq_verify" ->
       """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS rank,
         |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,

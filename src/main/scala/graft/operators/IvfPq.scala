@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF→PQ two-stage retrieval — the standard billion-scale ANN serving
+  * shape (Jégou et al., TPAMI 2011 §V: "IVFADC"): the IVF coarse
+  * quantizer prunes the corpus to the probed inverted lists, PQ-ADC
+  * scores the survivors from 8-byte codes, and only the short list ever
+  * touches raw vectors for an exact cosine re-rank. Composes the two
+  * independently-verified halves ([[IvfIndex]] candidate generation,
+  * [[ProductQuantize]] ADC scoring) into the shape that actually ships.
+  *
+  * Why this is THE 100-TB layout: the full-scan ADC search still streams
+  * every code, and exact search streams every raw vector; here the
+  * centroid_id equi-join reads ~nprobe/k of the corpus, the scan payload
+  * is m bytes per row (codes), and the raw-vector read is a short-list
+  * join of |queries|·shortlist rows — each stage shrinks the data the
+  * next stage touches by orders of magnitude.
+  *
+  * Output matches [[Similarity.cosineTopK]] exactly — (query_id, rank,
+  * neighbor_id, cosine) with EXACT cosines (the re-rank recomputes from
+  * raw vectors), so per-row scores are fully verifiable; what stays
+  * approximate is only WHICH neighbors the probes + short list reach,
+  * gated by the recall check in the `_verify` sibling and IvfPqSpec.
+  */
+object IvfPq {
+
+  /** One corpus pass at ingest: IVF cell + PQ code per row — the index
+    * frame every later search (and the verify twin) reuses. */
+  def index(corpus: DataFrame, ivf: IvfIndex.Model,
+            pq: ProductQuantize.Model, idCol: String = "vec_id",
+            vecCol: String = "embedding"): DataFrame =
+    ProductQuantize.encode(
+      IvfIndex.assign(corpus.select(col(idCol), col(vecCol)), vecCol, ivf),
+      vecCol, pq)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col("pq_code"))
+
+  /** Two-stage top-k: probe `nprobe` cells, ADC-score the probed codes,
+    * keep `shortlist` candidates per query, exact-cosine re-rank the
+    * short list to the final k. `shortlist` ≥ k trades recall for raw-
+    * vector reads exactly like nprobe trades it for code reads. */
+  def topK(queries: DataFrame, corpus: DataFrame, ivf: IvfIndex.Model,
+           pq: ProductQuantize.Model, k: Int, nprobe: Int = 4,
+           shortlist: Int = 32, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame =
+    topKIndexed(queries, index(corpus, ivf, pq, idCol, vecCol), corpus,
+      ivf, pq, k, nprobe, shortlist, idCol, vecCol)
+
+  /** [[topK]] over an ALREADY-INDEXED corpus (the production codes-at-
+    * ingest shape) — `indexed` carries (neighbor_id, centroid_id,
+    * pq_code); `corpus` is read only for the short-list re-rank. */
+  def topKIndexed(queries: DataFrame, indexed: DataFrame, corpus: DataFrame,
+                  ivf: IvfIndex.Model, pq: ProductQuantize.Model, k: Int,
+                  nprobe: Int = 4, shortlist: Int = 32,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val q = IvfIndex.withProbes(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<float>").as("qv")),
+      "qv", ivf, nprobe)
+    // stage 1+2: cell-pruned candidates, scored from codes only — the
+    // raw corpus vector column never reaches this join
+    val adc = ProductQuantize.adcCosineUdf(pq)
+    val cand = q.join(indexed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc(col("qv"), col("pq_code")))
+      .filter(!isnan(col("adc")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = cand.withColumn("__sr", row_number().over(wAdc))
+      .filter(col("__sr") <= shortlist)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    // stage 3: exact cosine on the short list only (same HOF arithmetic
+    // as IvfIndex.topK / Similarity.cosineTopK, so scores verify exactly)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("cn", Similarity.l2norm(col("cv")))
+    val rescored = short.join(c, Seq("neighbor_id"))
+      .withColumn("qn", Similarity.l2norm(col("qv")))
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cosine",
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -143,15 +143,15 @@ object ProductQuantize {
     * (neighbor_id, pq_code). The production shape: codes are computed once
     * at ingest and reused across every search (and by the verification
     * twin), never re-derived per query. */
-  def adcTopKEncoded(queries: DataFrame, encoded: DataFrame, model: Model,
-                     k: Int, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<float>").as("qv"))
+  /** The ADC scorer as a reusable UDF: cosine(query, reconstruction)
+    * accumulated in the fixed sub-block order of the scoring contract.
+    * NaN on a zero-norm side (callers filter). Shared by the full-scan
+    * [[adcTopKEncoded]] and the IVF-pruned [[IvfPq.topK]] composition. */
+  def adcCosineUdf(model: Model): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val cb = model.codebooks
     val dsub = model.dsub
     val dim = model.dim
-    val scoreUdf = udf { (qv: Seq[Float], code: Seq[Int]) =>
+    udf { (qv: Seq[Float], code: Seq[Int]) =>
       require(qv.length == dim, s"pq score: query dim ${qv.length} != model dim $dim")
       var num = 0.0; var qn = 0.0; var cn = 0.0
       var b = 0
@@ -171,6 +171,14 @@ object ProductQuantize {
       if (qn == 0.0 || cn == 0.0) Double.NaN
       else num / (math.sqrt(qn) * math.sqrt(cn))
     }
+  }
+
+  def adcTopKEncoded(queries: DataFrame, encoded: DataFrame, model: Model,
+                     k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<float>").as("qv"))
+    val scoreUdf = adcCosineUdf(model)
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", scoreUdf(col("qv"), col("pq_code")))

@@ -48,7 +48,13 @@ class OracleContractSpec extends AnyFunSuite {
     // per-group MG estimates: engine-internal decrement schedule (same as
     // q_heavy_hitters); exact sibling q_hotkeys_by_group_exact carries the
     // oracle, q_hotkeys_by_group_verify re-proves every per-group bound
-    "q_hotkeys_by_group")
+    "q_hotkeys_by_group",
+    // IVF→PQ two-stage retrieval: emitted cosines are EXACT (short-list
+    // re-rank reads raw vectors) but WHICH neighbors the probes reach is
+    // engine-internal (k-means cells + codebooks, same as q_sim_topk_ivf
+    // / q_sim_topk_pq); exact sibling q_sim_topk carries the oracle and
+    // the _verify gates score equality, rank shape, AND a recall floor
+    "q_sim_topk_ivfpq")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -418,6 +418,7 @@ class PlanSpec extends SparkSpec {
       "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
       "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
       "q_sim_topk_pq", "q_sim_topk_pq_verify",
+      "q_sim_topk_ivfpq", "q_sim_topk_ivfpq_verify",
       "q_dedup_embedding_verify", "q_reg_verify", "q_vec_pca_verify",
       "q_source_formats", "q_partition_pruning", "q_join_bucketed",
       // writes the clustered scratch table + stats at build time; the
