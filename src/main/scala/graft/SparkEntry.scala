@@ -1655,6 +1655,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming CORPUS CURATION: quality gate + incremental exact n-gram
+    // dedup per micro-batch with the standing corpus as cross-batch state
+    // — the continuously-fed training-corpus shape. A qualifying pair is
+    // found exactly when its later member arrives, so the union of
+    // per-batch pair ledgers equals the batch pair set and the status of
+    // every doc is arrival-order-invariant → gated by the full-hash BATCH
+    // oracle (quality rule + q_dedup_ngram's shingle replay), the same
+    // stream ≡ batch discipline as q_stream_classify.
+    "q_stream_curate" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_curate_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_curate_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamCurateBounded(s, src,
+        "doc_id", "text", minTokens = 20, n = 3, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming hot-key detection: the SAME native MG aggregate as
     // q_heavy_hitters, run as a streaming global aggregate — the
     // capacity-sized buffer is the state carried across micro-batches.
@@ -3675,6 +3695,43 @@ object SparkEntry {
         |JOIN sizes nb ON nb.doc_id = idB
         |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
         |ORDER BY idA, idB""".stripMargin,
+
+    // Streaming curation: the batch replay IS the oracle (stream ≡ batch
+    // by the pair-discovery argument in StreamingIngest). Quality rule on
+    // the empty-filtered token count; shingles/pairs are q_dedup_ngram's
+    // derivation restricted to quality-passers; a doc is a duplicate iff
+    // some qualifying pair orients it as the larger id.
+    "q_stream_curate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |qual AS (
+        |  SELECT doc_id, tk FROM toks
+        |  WHERE len(list_filter(tk, t -> t <> '')) >= 20),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+        |  FROM qual, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+        |  WHERE len(tk) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM qual WHERE len(tk) < 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT DISTINCT idB AS doc_id
+        |  FROM common
+        |  JOIN sizes na ON na.doc_id = idA
+        |  JOIN sizes nb ON nb.doc_id = idB
+        |  WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2)
+        |SELECT d.doc_id,
+        |  CASE WHEN q.doc_id IS NULL THEN 'quality'
+        |       WHEN dp.doc_id IS NOT NULL THEN 'duplicate'
+        |       ELSE 'curated' END AS status
+        |FROM documents d
+        |LEFT JOIN qual q ON q.doc_id = d.doc_id
+        |LEFT JOIN dup dp ON dp.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Containment: same shingle derivation as q_dedup_ngram, but the pair
     // count is DIRECTIONAL (x.doc_id <> y.doc_id, both orders kept) and

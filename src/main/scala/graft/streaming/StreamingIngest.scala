@@ -536,6 +536,86 @@ object StreamingIngest {
     parts.reduce(_ unionByName _).dropDuplicates(idCol)
   }
 
+  /** Streaming CORPUS CURATION — the incremental form of the curate
+    * ladder's first two rungs (quality gate → exact n-gram near-dup
+    * dedup), run as a continuously-fed stream with the STANDING CORPUS as
+    * cross-batch state. This is the production shape of a training-data
+    * pipeline: documents arrive in micro-batches, each batch is
+    * quality-gated statelessly, then deduped against everything already
+    * seen via [[graft.operators.Dedup.incrementalNgramPairs]] —
+    * new-vs-corpus and new-vs-new pairs only, the standing corpus NEVER
+    * re-joined against itself — and the accepted set (and pair ledger)
+    * grows monotonically.
+    *
+    * Stream ≡ batch by construction: a qualifying pair is discovered
+    * exactly once — when its LATER-arriving member lands (the earlier one
+    * is then in the standing corpus, or the same batch) — so the union of
+    * per-batch pair sets equals the full batch pair set over all
+    * quality-passers REGARDLESS of arrival order, and the survivor rule
+    * ("a doc is a duplicate iff some qualifying pair orients it as the
+    * larger id") is replay- and order-invariant. That is what lets the
+    * harness gate this stream with the full-hash BATCH oracle rather than
+    * a weaker property check.
+    *
+    * Output: one row per input doc — (doc_id, status) with status ∈
+    * quality | duplicate | curated. State held per batch: the
+    * quality-passing corpus frame + the accumulated pair ledger, each
+    * localCheckpointed (executor blocks, ContextCleaner-reclaimed). */
+  def runStreamCurateBounded(spark: SparkSession, parquetPath: String,
+                             idCol: String, textCol: String,
+                             minTokens: Int, n: Int = 3,
+                             threshold: Double = 0.2,
+                             maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.Dedup
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val statuses = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    val pairLedger = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    // the standing corpus of quality-passers; grows across micro-batches
+    var seen: DataFrame = null
+    val lock = new Object
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lock.synchronized {
+          val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol).cast("string").as("text"))
+          val gated = docs.withColumn("__pass",
+            size(Dedup.cleanTokens(col("text"))) >= minTokens)
+            .localCheckpoint()
+          statuses.add(gated.select(col("doc_id"), col("__pass")))
+          val passers = gated.filter(col("__pass")).select(col("doc_id"), col("text"))
+          val pairs =
+            if (seen == null) Dedup.ngramJaccardPairs(passers, "doc_id", "text",
+              n, threshold)
+            else Dedup.incrementalNgramPairs(seen, passers, "doc_id", "text",
+              n, threshold)
+          pairLedger.add(pairs.select(col("idA"), col("idB")).localCheckpoint())
+          seen =
+            (if (seen == null) passers else seen.unionByName(passers))
+              .localCheckpoint()
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val allStatuses = statuses.asScala.toSeq
+    require(allStatuses.nonEmpty, "runStreamCurateBounded: no batches")
+    // replayed batches re-emit identical rows; one per doc survives
+    val docs = allStatuses.reduce(_ unionByName _).dropDuplicates("doc_id")
+    val dups = pairLedger.asScala.toSeq.reduce(_ unionByName _)
+      .select(col("idB").as("doc_id")).distinct()
+    docs.join(dups.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("__pass"), lit("quality"))
+          .when(col("__dup").isNotNull, lit("duplicate"))
+          .otherwise(lit("curated")).as("status"))
+  }
+
   /** Streaming hot-key detection: the SAME native Misra–Gries aggregate as
     * batch [[graft.operators.HeavyHitters]] runs as a streaming GLOBAL
     * aggregate — the capacity-sized mergeable buffer IS the streaming

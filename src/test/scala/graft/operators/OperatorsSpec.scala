@@ -411,6 +411,36 @@ class OperatorsSpec extends SparkSpec {
       .deleteQuietly(new java.io.File(tmp))
   }
 
+  test("streaming curation: cross-batch dedup state, statuses ≡ batch rule") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curate-stream").toString
+    try {
+      val src = s"$tmp/docs"
+      import spark.implicits._
+      // doc 1 and doc 11 are near-identical but land in DIFFERENT files
+      // (different micro-batches): the duplicate verdict on 11 can only
+      // come from the standing-corpus state. doc 20 fails quality.
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val b1 = Seq((1L, base + " one"), (2L, "totally different words " +
+        "entirely unrelated content stream passing the quality floor " +
+        "with plenty of tokens to spare here today")).toDF("doc_id", "text")
+      val b2 = Seq((11L, base + " two"), (20L, "too short")).toDF("doc_id", "text")
+      // one part-file per batch frame → one micro-batch each at
+      // maxFilesPerTrigger=1, so 1 and 11 genuinely cross a batch boundary
+      b1.coalesce(1).write.parquet(src)
+      b2.coalesce(1).write.mode("append").parquet(src)
+      val got = graft.streaming.StreamingIngest
+        .runStreamCurateBounded(spark, src, "doc_id", "text",
+          minTokens = 15, n = 3, threshold = 0.5)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(20L) == "quality", s"short doc must fail the gate: $got")
+      assert(got(1L) == "curated" && got(11L) == "duplicate",
+        s"larger id of a cross-batch near-dup pair must lose: $got")
+      assert(got(2L) == "curated", got.toString)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("streaming keywords state carries across micro-batches, ≡ batch exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-kw-stream").toString
     try {
