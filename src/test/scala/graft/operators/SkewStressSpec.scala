@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Skew / power-law resilience audit (the 100×-scale claim, EVIDENCED):
+  * the TPC-H-ish fixtures are uniform, but real web corpora are zipfian —
+  * these tests build deterministic power-law fixtures and assert the
+  * repo's three skew defenses actually ENGAGE on them:
+  *
+  *   1. unsalted joins: AQE's runtime skew-join split fires on a zipf
+  *      key (the defense the salted-join helper documents as Spark's own
+  *      for joins);
+  *   2. LSH banding: the minhash/simhash bucket caps fire on degenerate
+  *      boilerplate buckets while exact duplicates still surface through
+  *      the cap-immune star path;
+  *   3. connected components: the iterative path converges on a
+  *      power-law (hub-dominated) pair graph within the round budget and
+  *      matches the union-find reference.
+  */
+class SkewStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic zipf-keyed fact rows: key k ∈ [1, keys] appears
+    * ⌊hot / k²⌋ times — key 1 alone holds ~60% of all rows (measured
+    * map-output: hot partition 4.5 MB vs 1.6 MB median at local[4]). The
+    * payload is an INCOMPRESSIBLE per-row hash (AQE's skew decision
+    * reads compressed map-output sizes, so a constant pad would vanish
+    * under lz4 and mask the skew the fixture exists to produce). */
+  private def zipfFact(keys: Int, hot: Int): DataFrame =
+    spark.range(1, keys + 1)
+      .select(col("id").as("k"),
+        floor(lit(hot) / pow(col("id").cast("double"), 2.0)).cast("int").as("cnt"))
+      .filter(col("cnt") >= 1)
+      .select(col("k"), explode(sequence(lit(1), col("cnt"))).as("i"))
+      .withColumn("payload", concat(
+        md5(concat(col("k"), lit("_"), col("i"))),
+        md5(concat(col("i"), lit("_"), col("k"))),
+        md5(concat(col("k"), lit("#"), col("i")))))
+
+  test("AQE splits the hot partition of an UNSALTED zipf join at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scaled-down thresholds so the test fixture's ~1.5 MB hot
+      // partition counts as skewed exactly like a 256 MB one would at
+      // the defaults — the MECHANISM under test is identical
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // the dim side is tiny — forcing SMJ is what puts the skewed
+      // exchange in the plan (a broadcast join has no shuffle to split)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // spread across mappers first: real scans deliver a hot key from MANY
+      // input splits; AQE can only split a skewed partition on mapper
+      // boundaries, so a single-mapper hot key is the one unsplittable case
+      val fact = zipfFact(keys = 400, hot = 60000).repartition(8)
+      val dim = spark.range(1, 201)
+        .select(col("id").as("k"), concat(lit("dim_"), col("id")).as("attr"))
+      // the payload must be CONSUMED after the join, or column pruning
+      // strips it before the exchange and the hot partition shrinks
+      // below any realistic byte threshold
+      val joined = fact.join(dim, "k")
+        .groupBy(col("attr")).agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("bytes"))
+      val rows = joined.collect()
+      // correctness under the split: per-key counts must equal the
+      // zipf construction exactly
+      val byAttr = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byAttr("dim_1") === 60000L)
+      assert(byAttr("dim_2") === math.floor(60000 / math.pow(2, 2.0)).toLong)
+      // and the runtime plan must show the skew handling actually fired
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join split did not engage on the zipf key:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("minhash bucket cap fires on boilerplate; exact dups survive via stars") {
+    // 40 near-identical docs (shared boilerplate + unique tail) — their
+    // band buckets exceed maxBucket=8, so the cap MUST fire — plus an
+    // exact-duplicate group of 12 (> maxBucket) that must still surface
+    // through the cap-immune identical-signature star path.
+    val boiler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1L to 40L).map(i => (i, s"$boiler unique$i tail$i"))
+    val exact = (101L to 112L).map(i => (i, "verbatim duplicate body " * 5))
+    val docs = (near ++ exact).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+      .withColumn("sig", Dedup.minhashSignatureUdf(64)(col("sh")))
+    val buckets = Dedup.bandBuckets(sigs, "sig", "doc_id", bands = 16, rows = 4)
+    val oversized = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 8).count()
+    assert(oversized > 0,
+      "fixture failed to produce an over-cap bucket — the cap is untested")
+    // capped pipeline: completes, bounded candidates, exact dups intact
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the star path emits (min-id representative → member), not the
+    // full clique — assert every member is reached from the representative
+    for (b <- 102L to 112L)
+      assert(pairs.contains((101L, b)),
+        s"exact duplicate star pair (101,$b) lost to the bucket cap")
+    // the cap bounds candidate volume: the capped run must emit at most
+    // the uncapped run's pairs, strictly fewer ON the over-cap cohort
+    val uncapped = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(uncapped))
+    val cappedNear = pairs.count { case (a, b) => a <= 40 && b <= 40 }
+    val uncappedNear = uncapped.count { case (a, b) => a <= 40 && b <= 40 }
+    assert(cappedNear < uncappedNear,
+      "cap never dropped a near-dup candidate — it silently did nothing")
+  }
+
+  test("simhash bucket cap fires on boilerplate; hamming-0 groups survive") {
+    val boiler = (1 to 40).map(i => s"token$i").mkString(" ")
+    val near = (1L to 30L).map(i => (i, s"$boiler variant$i"))
+    val exact = (201L to 215L).map(i => (i, "same exact content " * 8))
+    val docs = (near ++ exact).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 6, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap-immune star recovery: (min-id representative → member)
+    for (b <- 202L to 215L)
+      assert(pairs.contains((201L, b)),
+        s"hamming-0 star pair (201,$b) lost to the simhash bucket cap")
+  }
+
+  test("iterative CC converges on a power-law pair graph, matches union-find") {
+    // hub node 0 with 4000 spokes (extreme degree skew), a 300-link
+    // chain (forces multiple pointer-jumping rounds), and mod-7
+    // attachments gluing mid-size clusters; maxDriverEdges=0 forces the
+    // DISTRIBUTED path the 100-TB case runs.
+    val star = (1L to 4000L).map(s => (0L, s))
+    val chain = (10000L until 10300L).map(i => (i, i + 1))
+    val mods = (20000L to 20700L).map(i => (20000L + i % 7, i))
+      .filter { case (a, b) => a != b }
+    val edges = (star ++ chain ++ mods).toDF("idA", "idB")
+    val nodes = edges.select(col("idA").as("doc_id"))
+      .unionByName(edges.select(col("idB").as("doc_id"))).distinct()
+    val t0 = System.nanoTime()
+    val got = Dedup.connectedComponents(nodes, edges, "doc_id",
+        maxIter = 25, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    info(f"power-law CC (${star.size + chain.size + mods.size} edges, " +
+      f"hub degree 4000) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val ref = UnionFindRef.components(
+      (star ++ chain ++ mods).map { case (a, b) => (a, b) })
+    got.foreach { case (id, comp) =>
+      assert(comp === ref(id), s"node $id: got $comp want ${ref(id)}")
+    }
+    assert(got(4000L) === 0L && got(10300L) === 10000L)
+  }
+}
