@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   *  2. per-bucket totals → driver (bounded by bucket count), exclusive-
   *     scanned into per-bucket offsets, shipped back as a map literal
   *     (broadcast-join territory if buckets ever numbered millions);
+  *     SANCTIONED BOUNDED COLLECT (inventory: BloomIndex / ZoneMap /
+  *     PrefixSum / Dedup.maxDriverEdges): exactly ≤ `buckets` (int,
+  *     long) rows cross to the driver regardless of input cardinality —
+  *     at the default 32 buckets that is bytes, and even 10⁶ buckets
+  *     (far past the point range partitioning should take over) is
+  *     ~16 MB. The spec pins the shipped offset-map literal to
+  *     ≤ 2·buckets entries;
   *  3. per-bucket ordered window (parallel across buckets) + offset.
   *
   * The order key must be unique (a total order) for the result to be

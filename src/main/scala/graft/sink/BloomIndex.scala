@@ -44,8 +44,16 @@ object BloomIndex {
       .write.mode("overwrite").parquet(s"$path/bloomindex_$keyCol")
 
   /** Data files whose filter might contain `value` — the driver-side
-    * collect is FILE-count sized. No false negatives: the true home file
-    * always survives. */
+    * collect is FILE-count sized, never row-count sized. No false
+    * negatives: the true home file always survives.
+    *
+    * SANCTIONED BOUNDED COLLECT (inventory: BloomIndex / ZoneMap /
+    * PrefixSum / Dedup.maxDriverEdges): the collected relation has one
+    * row per DATA FILE. Arithmetic: 100 TB at the standard 256 MB file
+    * size is ~4×10⁵ files ≈ ~40 MB of path strings — driver-safe; at
+    * 10× that, shard the index by path prefix before this bound, not the
+    * executor plan, becomes the constraint. BloomIndexSpec pins the
+    * index and collect cardinality to the file count. */
   def candidateFiles(spark: SparkSession, path: String, keyCol: String,
                      value: Long): Seq[String] =
     spark.read.parquet(s"$path/bloomindex_$keyCol")

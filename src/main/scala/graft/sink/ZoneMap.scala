@@ -49,7 +49,14 @@ object ZoneMap {
     spark.read.parquet(s"$path/zonemap")
 
   /** Data files whose [mn, mx] envelope intersects [lo, hi] — the
-    * driver-side collect is FILE-count sized, the whole point. */
+    * driver-side collect is FILE-count sized, the whole point.
+    *
+    * SANCTIONED BOUNDED COLLECT (inventory: BloomIndex / ZoneMap /
+    * PrefixSum / Dedup.maxDriverEdges): one row per data file BEFORE the
+    * envelope filter, usually far fewer after (clustering is what makes
+    * envelopes disjoint). Same arithmetic as BloomIndex.candidateFiles:
+    * ~4×10⁵ paths at 100 TB / 256 MB files ≈ tens of driver MB.
+    * ZoneMapSpec pins the stats cardinality to the file count. */
   def survivingFiles(spark: SparkSession, path: String,
                      lo: Column, hi: Column): Seq[String] =
     stats(spark, path)

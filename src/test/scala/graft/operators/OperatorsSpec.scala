@@ -850,6 +850,16 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val expected = global.filter(_._2 <= budget).keySet
     assert(kept == expected)
+    // sanctioned-bounded-collect pin (see the withPrefixSum scaladoc):
+    // what ships back from the driver is the offset MAP LITERAL — its
+    // entry count in the plan must stay ≤ 2·buckets however many rows
+    // flow through (here 10⁰× more rows than buckets)
+    val plan = PrefixSum.withPrefixSum(withToks, "doc_id", "n_tok",
+      out = "cum", buckets = 4).queryExecution.analyzed.toString
+    val mapLit = "map\\(([^)]*)\\)".r.findFirstMatchIn(plan)
+    assert(mapLit.isDefined, s"offset map literal missing from plan:\n$plan")
+    val entries = mapLit.get.group(1).split(",").length
+    assert(entries <= 8, s"offset map grew past 2·buckets: $entries entries")
   }
 
   test("streaming stateful dedup suppresses duplicate keys across micro-batches") {

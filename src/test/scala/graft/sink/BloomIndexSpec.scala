@@ -58,6 +58,9 @@ class BloomIndexSpec extends SparkSpec {
       .toDF("t", "k", "payload")
     ZoneMap.writeClustered(df, base, "t", nFiles = 16)
     BloomIndex.buildIndex(spark, base, "k")
+    // sanctioned-bounded-collect pin (see candidateFiles scaladoc): the
+    // index relation — the superset of anything the driver collects — is
+    // FILE-count sized, never row-count sized
     val idx = spark.read.parquet(s"$base/bloomindex_k").collect()
     assert(idx.length == 16)
     // zone maps CANNOT prune this lookup (every file's k-envelope is

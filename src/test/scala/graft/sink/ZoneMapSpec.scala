@@ -47,6 +47,10 @@ class ZoneMapSpec extends SparkSpec {
     val st = ZoneMap.stats(spark, base)
       .select(col("mn").cast("long"), col("mx").cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // sanctioned-bounded-collect pin (see survivingFiles scaladoc): the
+    // stats relation — everything the driver ever collects here — is
+    // FILE-count sized, never row-count sized
+    assert(st.length == 8, s"stats must be one row per file: ${st.length}")
     // envelopes must not overlap: file i's max < file i+1's min
     st.sliding(2).foreach {
       case Array((_, mxA), (mnB, _)) =>
