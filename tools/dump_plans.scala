@@ -79,6 +79,8 @@ val picks = Seq(
   ("q_dedup_containment", "one-sided prefix filter: probe prefixes vs full-posting index, sorted-long merge-intersect verify"),
   ("q_text_pmi", "integer PMI: narrow bigram transform, partial-agg pair/marginal counts, ONE-ROW N2 broadcast cross, TakeOrdered top-k"),
   ("q_text_keywords", "smoothed odds keywords: one (class,term) partial count, vocab-sized marginal joins, ONE-ROW total cross, rank window over scored vocab only"),
+  ("q_text_trigram_lp", "interpolated trigram LM: three narrow n-gram transforms, n-gram-keyed partial counts, AQE-sized probability joins, 6dp-round decimal sum per doc"),
+  ("q_sim_topk_ivfpq", "IVFADC two-stage: cell-pruned candidates scored from m-byte codes, raw vectors touched only by the shortlist re-rank window"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
