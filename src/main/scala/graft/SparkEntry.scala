@@ -399,6 +399,27 @@ object SparkEntry {
       TextAnalysis.trigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // DSIR importance weights (Xie et al. NeurIPS'23): every non-English
+    // doc scored by how English-like its hashed unigram+bigram feature
+    // distribution is — B-bucket state however big either corpus, the
+    // engine-portable md5 bucket, 6dp-pinned lns, exact decimal sums.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.DataSelect.dsirWeights(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 4096)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The paper's top-k selection under the TOTAL order (logw DESC,
+    // doc_id) — orderBy+limit = TakeOrdered, never a global sort.
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.DataSelect.dsirSelect(
+        docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+        "doc_id", "text", k = 100, buckets = 4096)
+    }),
+
     // Corpus PMI collocations in floor-divided ppm — integer-exact
     // association ranking (exp(PMI)·1e6), no ln-double ever hashed. The
     // (pmi_ppm DESC, c12 DESC, w1, w2) order is total, so the top-100 cut
@@ -4366,6 +4387,84 @@ object SparkEntry {
         |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE) AS avg_lp2
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR weights: hashed feature buckets via the md5-prefix hash both
+    // engines compute identically; each smoothed ln rounded to 6dp and
+    // the bucket difference + per-doc sum carried in exact DECIMAL; the
+    // one final CAST to DOUBLE maps the same exact decimal to the same
+    // double on both engines.
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                t -> t <> '') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, t.f AS feat FROM toks, UNNEST(tk) AS t(f)
+        |  UNION ALL
+        |  SELECT doc_id, lang, list_extract(tk, i) || ' ' || list_extract(tk, i + 1) AS feat
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |  WHERE len(tk) >= 2),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 4096 AS bucket
+        |  FROM feats),
+        |ct AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT bucket, COUNT(*) AS cr FROM fb WHERE lang <> 'en' GROUP BY 1),
+        |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM ct),
+        |nr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr FROM cr),
+        |lr AS (
+        |  SELECT cr.bucket,
+        |    CAST(ROUND(LN((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1)
+        |                  / (CAST(nt.nt AS DOUBLE) + 4096)), 6) AS DECIMAL(18,6))
+        |    - CAST(ROUND(LN((CAST(cr.cr AS DOUBLE) + 1)
+        |                  / (CAST(nr.nr AS DOUBLE) + 4096)), 6) AS DECIMAL(18,6)) AS lr
+        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+        |pd AS (
+        |  SELECT fb.doc_id, COUNT(*) AS n_feat, SUM(lr.lr) AS slw
+        |  FROM fb JOIN lr USING (bucket) WHERE fb.lang <> 'en' GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(pd.n_feat, 0) AS n_feat,
+        |  CAST(pd.slw AS DOUBLE) AS logw
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |WHERE d.lang <> 'en'
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR top-k: identical derivation, cut under the total order.
+    "q_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                t -> t <> '') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, t.f AS feat FROM toks, UNNEST(tk) AS t(f)
+        |  UNION ALL
+        |  SELECT doc_id, lang, list_extract(tk, i) || ' ' || list_extract(tk, i + 1) AS feat
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |  WHERE len(tk) >= 2),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 4096 AS bucket
+        |  FROM feats),
+        |ct AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT bucket, COUNT(*) AS cr FROM fb WHERE lang <> 'en' GROUP BY 1),
+        |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM ct),
+        |nr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr FROM cr),
+        |lr AS (
+        |  SELECT cr.bucket,
+        |    CAST(ROUND(LN((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1)
+        |                  / (CAST(nt.nt AS DOUBLE) + 4096)), 6) AS DECIMAL(18,6))
+        |    - CAST(ROUND(LN((CAST(cr.cr AS DOUBLE) + 1)
+        |                  / (CAST(nr.nr AS DOUBLE) + 4096)), 6) AS DECIMAL(18,6)) AS lr
+        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+        |pd AS (
+        |  SELECT fb.doc_id, COUNT(*) AS n_feat, SUM(lr.lr) AS slw
+        |  FROM fb JOIN lr USING (bucket) WHERE fb.lang <> 'en' GROUP BY 1)
+        |SELECT doc_id, n_feat, CAST(slw AS DOUBLE) AS logw
+        |FROM pd
+        |WHERE n_feat > 0
+        |ORDER BY logw DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     // Interpolated trigram LM: every conditional is a single DOUBLE
     // division of BIGINT counts, the λ-weighted sum is the identical

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection (Xie, Santurkar, Ma & Liang, "Data Selection
+  * for Language Models via Importance Resampling", NeurIPS 2023): score
+  * every RAW document by how much more likely its hashed n-gram features
+  * are under a TARGET corpus' feature distribution than under the raw
+  * corpus' own — the standard recipe for skimming web-scale crawl toward
+  * a quality/domain target before pretraining.
+  *
+  *   logw(doc) = Σ_occurrences [ ln p̂_T(bucket) − ln p̂_R(bucket) ]
+  *
+  * over hashed unigram+bigram feature OCCURRENCES, with add-one-smoothed
+  * bucket probabilities p̂(b) = (c_b + 1)/(n + B). Hashing n-grams into a
+  * fixed B-bucket space is what makes the estimator 100-TB-viable: the
+  * distribution state is two B-row tables however large either corpus is.
+  *
+  * Determinism (hash-oracle contract): the bucket hash is the engine-
+  * portable md5 prefix (`conv(substr(md5(f),1,8),16,10) % B` ≡ DuckDB's
+  * `CAST('0x'||substr(md5(f),1,8) AS BIGINT) % B` — the q_dedup_url md5
+  * equivalence), each ln is rounded to 6dp (the repo-wide libm pin), the
+  * difference and the per-doc sum are exact decimal arithmetic, and the
+  * final cast to double maps the exact decimal to its nearest double
+  * identically on both engines.
+  *
+  * Scale shape: feature extraction is NARROW (token-array transforms, no
+  * self-joins); bucket counts partial-aggregate into B-row tables; the
+  * B-row log-ratio table broadcasts back into the per-doc sum (the
+  * unigram-LM layout); selection is orderBy+limit = TakeOrdered, never a
+  * global sort materialization. The raw feature frame is materialized
+  * once (localCheckpoint) because both the raw bucket counts and the
+  * per-doc scoring read it. */
+object DataSelect {
+
+  /** One row per hashed feature OCCURRENCE: unigrams + adjacent bigrams
+    * of the cleaned token stream, bucketed into [0, buckets). */
+  def featureBuckets(df: DataFrame, idCol: String, textCol: String,
+                     buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // bind the token array to an attribute first (the measured O(tokens²)
+    // lesson from bigramLogProb)
+    val tk = Dedup.cleanTokens(col(textCol))
+    df.select(col(idCol), tk.as("__tk"))
+      .select(col(idCol), explode(concat(
+        col("__tk"),
+        when(size(col("__tk")) >= 2,
+          transform(sequence(lit(0), size(col("__tk")) - 2),
+            i => concat_ws(" ", element_at(col("__tk"), i + 1),
+              element_at(col("__tk"), i + 2))))
+          .otherwise(array().cast("array<string>")))).as("feat"))
+      .select(col(idCol),
+        (conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bucket"))
+  }
+
+  /** Per-doc DSIR log importance weights for every `raw` doc:
+    * (idCol, n_feat, logw) — docs with no features keep n_feat = 0 and a
+    * NULL weight. `target` needs only its text column. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 4096): DataFrame = {
+    val rawFeats = featureBuckets(raw, idCol, textCol, buckets)
+      .localCheckpoint() // read twice: raw bucket counts + per-doc scoring
+    val ct = featureBuckets(
+      target.select(col(textCol)).withColumn("__id", lit(1L)),
+      "__id", textCol, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val cr = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val nT = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val nR = cr.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
+    // only buckets some raw doc touches matter (cr ≥ 1 by construction);
+    // add-one smoothing keeps target-absent buckets finite
+    val lr = cr.join(ct, Seq("bucket"), "left")
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .select(col("bucket"),
+        (round(log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+            (col("nt").cast("double") + buckets.toDouble)), 6)
+          .cast("decimal(18,6)") -
+         round(log((col("cr").cast("double") + 1.0) /
+            (col("nr").cast("double") + buckets.toDouble)), 6)
+          .cast("decimal(18,6)")).as("lr"))
+    val perDoc = rawFeats.join(lr, "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feat"), sum(col("lr")).as("__slw"))
+      .select(col(idCol), col("n_feat"),
+        col("__slw").cast("double").as("logw"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        col("logw"))
+  }
+
+  /** Deterministic top-k selection under (logw DESC, id ASC) — the
+    * paper's top-k variant of importance resampling (the Gumbel-noise
+    * sampler is one extra column away; top-k is what hash-oracles).
+    * Featureless docs are excluded (no evidence either way). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 4096): DataFrame =
+    dsirWeights(raw, target, idCol, textCol, buckets)
+      .filter(col("n_feat") > 0)
+      .orderBy(col("logw").desc, col(idCol))
+      .limit(k)
+}

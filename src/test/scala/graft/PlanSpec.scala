@@ -366,7 +366,10 @@ class PlanSpec extends SparkSpec {
       // PMI / class keywords: the ONE-ROW corpus-total crossed into the
       // vocab-sized scored table — the same shuffle-free scalar broadcast
       // as q_text_unigram_lp
-      "q_text_pmi", "q_text_keywords")
+      "q_text_pmi", "q_text_keywords",
+      // interpolated trigram LM: the unigram component's ONE-ROW N frame
+      // crossed into the vocab table (identical to q_text_unigram_lp)
+      "q_text_trigram_lp")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly
@@ -424,7 +427,15 @@ class PlanSpec extends SparkSpec {
       // writes the clustered scratch table + stats at build time; the
       // read-side skipping contracts are covered by ZoneMapSpec /
       // BloomIndexSpec
-      "q_zonemap_skip", "q_bloom_index")
+      "q_zonemap_skip", "q_bloom_index",
+      // DSIR materializes the raw feature frame at build time (ONE
+      // localCheckpoint; the bucket-count agg and the per-doc scoring
+      // join shuffle it with different subtrees, so ReuseExchange cannot
+      // share the scan — a documented two-consumer materialization).
+      // Its only crossJoins are the ONE-ROW corpus totals (n_T, n_R)
+      // into the B-row log-ratio table, the q_text_unigram_lp shape;
+      // DataSelectSpec covers the operator's contract.
+      "q_dsir_weights", "q_dsir_select")
     for ((name, _) <- SparkEntry.queries if !skip.contains(name)) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: shuffled cartesian")

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** DSIR importance weights: bucket bounds, ranking behavior, featureless
+  * docs, determinism, and the selection cut. */
+class DataSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val target = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "a cat and another cat on a mat"),
+    (3L, "cats love mats and naps")).toDF("doc_id", "text")
+  private val raw = Seq(
+    (10L, "the cat sat on the mat"),          // verbatim in-target
+    (11L, "stock market futures fell today"), // fully off-target
+    (12L, "a cat on a mat naps"),             // partly in-target
+    (13L, "")                                 // featureless
+  ).toDF("doc_id", "text")
+
+  test("buckets are bounded and deterministic across partitionings") {
+    val fb = DataSelect.featureBuckets(raw, "doc_id", "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fb.nonEmpty && fb.forall { case (_, b) => b >= 0 && b < 64 })
+    val fb2 = DataSelect.featureBuckets(raw.repartition(5), "doc_id", "text",
+        buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fb.sorted.toSeq == fb2.sorted.toSeq)
+  }
+
+  test("in-target docs outrank off-target; featureless doc gets 0/NULL") {
+    val w = DataSelect.dsirWeights(raw, target, "doc_id", "text",
+        buckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    // the verbatim-target doc must beat the off-target doc decisively,
+    // and the partial match must land in between
+    assert(w(10L)._2 > w(12L)._2 && w(12L)._2 > w(11L)._2,
+      s"ranking violated: $w")
+    assert(w(13L)._1 == 0L && w(13L)._2.isNaN, s"featureless doc: ${w(13L)}")
+    // per-feature-occurrence count: doc 10 has 6 unigrams + 5 bigrams
+    assert(w(10L)._1 == 11L)
+  }
+
+  test("selection is the weight order cut, excluding featureless docs") {
+    val sel = DataSelect.dsirSelect(raw, target, "doc_id", "text", k = 2,
+        buckets = 256)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel == Seq(10L, 12L), s"top-2 must be the in-target docs: $sel")
+    // determinism under corpus repartitioning
+    val sel2 = DataSelect.dsirSelect(raw.repartition(7), target, "doc_id",
+        "text", k = 2, buckets = 256)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel2 == sel)
+  }
+}
