@@ -1676,6 +1676,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming DSIR: the raw (non-English) corpus arrives as a 4-file
+    // stream — feature extraction runs per micro-batch, the B-row
+    // distribution state and scores finalize from the accumulated
+    // frames. Bucket counts are multiset functions → stream ≡ batch, so
+    // the batch q_dsir_weights SQL gates this verbatim (full hash).
+    "q_stream_dsir" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_dsir_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_dsir_src_${runTag(dir)}"
+      val docs = t(s, dir, "documents")
+      docs.filter(col("lang") =!= "en").select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamDsirBounded(s, src,
+        docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 4096)
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming CORPUS CURATION: quality gate + incremental exact n-gram
     // dedup per micro-batch with the standing corpus as cross-batch state
     // — the continuously-fed training-corpus shape. A qualifying pair is
@@ -3369,6 +3387,45 @@ object SparkEntry {
       |      > 9 * (24 * trail_sumsq - trail_sum * trail_sum)
       |ORDER BY key, bucket""".stripMargin
 
+  /** DSIR per-doc importance weights (shared verbatim by the batch entry
+    * and its streaming twin — bucket counts are multiset functions, so
+    * stream ≡ batch exactly). */
+  private val dsirWeightsOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                t -> t <> '') AS tk
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang, t.f AS feat FROM toks, UNNEST(tk) AS t(f)
+      |  UNION ALL
+      |  SELECT doc_id, lang, list_extract(tk, i) || ' ' || list_extract(tk, i + 1) AS feat
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+      |  WHERE len(tk) >= 2),
+      |fb AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 4096 AS bucket
+      |  FROM feats),
+      |ct AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+      |cr AS (SELECT bucket, COUNT(*) AS cr FROM fb WHERE lang <> 'en' GROUP BY 1),
+      |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM ct),
+      |nr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr FROM cr),
+      |lr AS (
+      |  SELECT cr.bucket,
+      |    CAST(ROUND(LN((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1)
+      |                  / (CAST(nt.nt AS DOUBLE) + 4096)), 6) AS DECIMAL(18,6))
+      |    - CAST(ROUND(LN((CAST(cr.cr AS DOUBLE) + 1)
+      |                  / (CAST(nr.nr AS DOUBLE) + 4096)), 6) AS DECIMAL(18,6)) AS lr
+      |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+      |pd AS (
+      |  SELECT fb.doc_id, COUNT(*) AS n_feat, SUM(lr.lr) AS slw
+      |  FROM fb JOIN lr USING (bucket) WHERE fb.lang <> 'en' GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(pd.n_feat, 0) AS n_feat,
+      |  CAST(pd.slw AS DOUBLE) AS logw
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |WHERE d.lang <> 'en'
+      |ORDER BY d.doc_id""".stripMargin
+
   private val nbOracleSql: String =
     """WITH trtok AS (
       |  SELECT lang AS label, t.term FROM documents,
@@ -4393,41 +4450,12 @@ object SparkEntry {
     // the bucket difference + per-doc sum carried in exact DECIMAL; the
     // one final CAST to DOUBLE maps the same exact decimal to the same
     // double on both engines.
-    "q_dsir_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                t -> t <> '') AS tk
-        |  FROM documents),
-        |feats AS (
-        |  SELECT doc_id, lang, t.f AS feat FROM toks, UNNEST(tk) AS t(f)
-        |  UNION ALL
-        |  SELECT doc_id, lang, list_extract(tk, i) || ' ' || list_extract(tk, i + 1) AS feat
-        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
-        |  WHERE len(tk) >= 2),
-        |fb AS (
-        |  SELECT doc_id, lang,
-        |    CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 4096 AS bucket
-        |  FROM feats),
-        |ct AS (SELECT bucket, COUNT(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
-        |cr AS (SELECT bucket, COUNT(*) AS cr FROM fb WHERE lang <> 'en' GROUP BY 1),
-        |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM ct),
-        |nr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr FROM cr),
-        |lr AS (
-        |  SELECT cr.bucket,
-        |    CAST(ROUND(LN((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1)
-        |                  / (CAST(nt.nt AS DOUBLE) + 4096)), 6) AS DECIMAL(18,6))
-        |    - CAST(ROUND(LN((CAST(cr.cr AS DOUBLE) + 1)
-        |                  / (CAST(nr.nr AS DOUBLE) + 4096)), 6) AS DECIMAL(18,6)) AS lr
-        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN nt CROSS JOIN nr),
-        |pd AS (
-        |  SELECT fb.doc_id, COUNT(*) AS n_feat, SUM(lr.lr) AS slw
-        |  FROM fb JOIN lr USING (bucket) WHERE fb.lang <> 'en' GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(pd.n_feat, 0) AS n_feat,
-        |  CAST(pd.slw AS DOUBLE) AS logw
-        |FROM documents d LEFT JOIN pd USING (doc_id)
-        |WHERE d.lang <> 'en'
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dsir_weights" -> dsirWeightsOracleSql,
+
+    // Streaming DSIR: bucket counts are pure multiset functions of the
+    // input, so stream ≡ batch and the batch SQL gates the streaming
+    // query verbatim (full hash).
+    "q_stream_dsir" -> dsirWeightsOracleSql,
 
     // DSIR top-k: identical derivation, cut under the total order.
     "q_dsir_select" ->

@@ -59,9 +59,20 @@ object DataSelect {
     * (idCol, n_feat, logw) — docs with no features keep n_feat = 0 and a
     * NULL weight. `target` needs only its text column. */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                  textCol: String, buckets: Int = 4096): DataFrame = {
-    val rawFeats = featureBuckets(raw, idCol, textCol, buckets)
-      .localCheckpoint() // read twice: raw bucket counts + per-doc scoring
+                  textCol: String, buckets: Int = 4096): DataFrame =
+    weightsFromFeatures(
+      featureBuckets(raw, idCol, textCol, buckets)
+        .localCheckpoint(), // read twice: raw bucket counts + scoring
+      raw.select(col(idCol)), target, idCol, textCol, buckets)
+
+  /** Weight derivation from an already-extracted raw feature frame
+    * (idCol, bucket) plus the raw id set. Split out because the
+    * STREAMING twin extracts features per micro-batch and must derive
+    * the identical weights from the unioned frames — its stream ≡ batch
+    * full-hash gate depends on sharing this code. */
+  def weightsFromFeatures(rawFeats: DataFrame, rawIds: DataFrame,
+                          target: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): DataFrame = {
     val ct = featureBuckets(
       target.select(col(textCol)).withColumn("__id", lit(1L)),
       "__id", textCol, buckets)
@@ -85,7 +96,7 @@ object DataSelect {
       .agg(count(lit(1)).as("n_feat"), sum(col("lr")).as("__slw"))
       .select(col(idCol), col("n_feat"),
         col("__slw").cast("double").as("logw"))
-    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    rawIds.join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
         col("logw"))
   }

@@ -616,6 +616,50 @@ object StreamingIngest {
           .otherwise(lit("curated")).as("status"))
   }
 
+  /** Streaming DSIR scoring — the continuously-fed form of
+    * [[graft.operators.DataSelect.dsirWeights]]: raw documents arrive in
+    * micro-batches and the expensive narrow work (tokenize → n-gram →
+    * bucket-hash feature extraction) runs PER BATCH as they land; the
+    * B-row raw-distribution state and the per-doc scores finalize on
+    * demand from the accumulated frames. Because bucket counts are pure
+    * multiset functions of the input — no arrival-order dependence
+    * anywhere — the final weights are replay- and order-invariant, so
+    * the harness gates this stream with the batch q_dsir_weights oracle
+    * verbatim (full hash), the same discipline as q_stream_classify.
+    *
+    * Per-batch frames key on the BATCH ID (a replayed batch overwrites
+    * its own entry — idempotent), each localCheckpointed. */
+  def runStreamDsirBounded(spark: SparkSession, rawParquetPath: String,
+                           target: DataFrame, idCol: String, textCol: String,
+                           buckets: Int, maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.DataSelect
+    val schema = spark.read.parquet(rawParquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(rawParquetPath))
+    val feats = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val ids = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        ids.put(bid, batch.select(col(idCol)).localCheckpoint())
+        feats.put(bid, DataSelect
+          .featureBuckets(batch, idCol, textCol, buckets).localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val featFrames = feats.values.asScala.toSeq
+    val idFrames = ids.values.asScala.toSeq
+    require(idFrames.nonEmpty, "runStreamDsirBounded: stream produced no batches")
+    DataSelect.weightsFromFeatures(
+      featFrames.reduce(_ unionByName _),
+      idFrames.reduce(_ unionByName _).dropDuplicates(idCol),
+      target, idCol, textCol, buckets)
+  }
+
   /** Streaming hot-key detection: the SAME native Misra–Gries aggregate as
     * batch [[graft.operators.HeavyHitters]] runs as a streaming GLOBAL
     * aggregate — the capacity-sized mergeable buffer IS the streaming

@@ -402,7 +402,7 @@ class PlanSpec extends SparkSpec {
       "q_stream_cms", "q_stream_cms_verify", "q_stream_anomalies",
       "q_stream_kmv", "q_stream_kmv_verify", "q_stream_auc",
       "q_stream_bloom", "q_stream_bloom_verify", "q_stream_pmi",
-      "q_stream_keywords", "q_stream_curate",
+      "q_stream_keywords", "q_stream_curate", "q_stream_dsir",
       // frontier BFS / weighted Bellman-Ford materialize each round +
       // probe the changed-set emptiness at build time (same loop
       // discipline as kCore); the loop-body shape is guarded by the

@@ -43,6 +43,29 @@ class DataSelectSpec extends SparkSpec {
     assert(w(10L)._1 == 11L)
   }
 
+  test("streaming DSIR: per-batch feature extraction, weights ≡ batch exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir-stream").toString
+    try {
+      val src = s"$tmp/raw"
+      raw.repartition(3).write.parquet(src) // 3 files → 3 micro-batches
+      val stream = graft.streaming.StreamingIngest
+        .runStreamDsirBounded(spark, src, target, "doc_id", "text",
+          buckets = 256)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2)))
+      val batch = DataSelect
+        .dsirWeights(spark.read.parquet(src), target, "doc_id", "text",
+          buckets = 256)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDouble(2)))
+      assert(stream.nonEmpty && stream.toSeq === batch.toSeq,
+        "streamed DSIR diverged from batch — bucket counts must be replay-invariant")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("selection is the weight order cut, excluding featureless docs") {
     val sel = DataSelect.dsirSelect(raw, target, "doc_id", "text", k = 2,
         buckets = 256)

@@ -89,6 +89,34 @@ class SkewStressSpec extends SparkSpec {
     }
   }
 
+  test("salted aggregate and salted join stay exact on the zipf fixture") {
+    // AQE's skew handling covers JOINS; aggregation skew is the case the
+    // manual salting operators own. On the same zipf key distribution:
+    // both must equal their unsalted forms exactly — salting refines the
+    // partitioning, never the result.
+    val fact = zipfFact(keys = 120, hot = 8000)
+    val plainAgg = fact.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAggregate(
+        fact.withColumn("blen", length(col("payload"))), Seq("k"),
+        Seq(Skew.AggSpec("count", "payload", "n"),
+          Skew.AggSpec("sum", "blen", "bytes")),
+        numSalts = 16, saltCols = Seq("k", "i"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plainAgg)
+    val dim = spark.range(1, 121)
+      .select(col("id").as("k"), concat(lit("d"), col("id")).as("attr"))
+    val plainJoin = fact.join(dim, "k")
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val saltedJoin = Skew.saltedJoin(fact, dim, Seq("k"),
+        numSalts = 8, saltCols = Seq("k", "i"))
+      .groupBy(col("attr")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(saltedJoin === plainJoin)
+  }
+
   test("minhash bucket cap fires on boilerplate; exact dups survive via stars") {
     // 40 near-identical docs (shared boilerplate + unique tail) — their
     // band buckets exceed maxBucket=8, so the cap MUST fire — plus an
