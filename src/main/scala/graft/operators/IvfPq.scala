@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,5 +90,55 @@ object IvfPq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Persist both trained models as plain parquet next to the index —
+    * the production lifecycle: train ONCE at (re)build time, reuse the
+    * same quantizers for every later search AND every later encode (new
+    * vectors must be coded under the codebooks the index was built with;
+    * retraining silently re-buckets the corpus). Floats round-trip
+    * parquet bit-exactly, so load ∘ save is the identity (spec-pinned).
+    *
+    * Layout: `<path>/ivf_centroids` (centroid_id, pos, value) and
+    * `<path>/pq_codebooks` (block, code, pos, value) — model-sized row
+    * tables (k·dim and m·k·dsub rows), trivially inspectable with any
+    * parquet reader. */
+  def saveModels(spark: SparkSession, path: String, ivf: IvfIndex.Model,
+                 pq: ProductQuantize.Model): Unit = {
+    import spark.implicits._
+    ivf.centroids.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i, p, v) }
+    }.toSeq.toDF("centroid_id", "pos", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/ivf_centroids")
+    pq.codebooks.zipWithIndex.flatMap { case (cb, b) =>
+      cb.zipWithIndex.flatMap { case (c, code) =>
+        c.zipWithIndex.map { case (v, p) => (b, code, p, v) }
+      }
+    }.toSeq.toDF("block", "code", "pos", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+  }
+
+  /** Rebuild both models from [[saveModels]] output, bit-exactly. */
+  def loadModels(spark: SparkSession, path: String)
+      : (IvfIndex.Model, ProductQuantize.Model) = {
+    val cRows = spark.read.parquet(s"$path/ivf_centroids")
+      .select(col("centroid_id").cast("int"), col("pos").cast("int"),
+        col("value").cast("float"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+    require(cRows.nonEmpty, s"loadModels: empty ivf_centroids at $path")
+    val centroids = cRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+      g.sortBy(_._2).map(_._3)
+    }.toArray
+    val bRows = spark.read.parquet(s"$path/pq_codebooks")
+      .select(col("block").cast("int"), col("code").cast("int"),
+        col("pos").cast("int"), col("value").cast("float"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getFloat(3)))
+    require(bRows.nonEmpty, s"loadModels: empty pq_codebooks at $path")
+    val codebooks = bRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, blk) =>
+      blk.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, cw) =>
+        cw.sortBy(_._3).map(_._4)
+      }.toArray
+    }.toArray
+    (IvfIndex.Model(centroids), ProductQuantize.Model(codebooks))
   }
 }

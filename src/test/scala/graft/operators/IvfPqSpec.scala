@@ -58,6 +58,30 @@ class IvfPqSpec extends SparkSpec {
       "IVFADC with full probes + full shortlist must equal brute force")
   }
 
+  test("model save/load round-trips bit-exactly; searches agree") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-models")
+      .toString
+    try {
+      IvfPq.saveModels(spark, tmp, ivf, pq)
+      val (ivf2, pq2) = IvfPq.loadModels(spark, tmp)
+      assert(ivf2.centroids.length == ivf.centroids.length &&
+        ivf2.centroids.zip(ivf.centroids).forall {
+          case (a, b) => a.sameElements(b) },
+        "IVF centroids did not round-trip bit-exactly")
+      assert(pq2.m == pq.m && pq2.k == pq.k && pq2.dsub == pq.dsub &&
+        pq2.codebooks.toSeq.flatMap(_.toSeq)
+          .zip(pq.codebooks.toSeq.flatMap(_.toSeq))
+          .forall { case (a, b) => a.sameElements(b) },
+        "PQ codebooks did not round-trip bit-exactly")
+      // a search under the reloaded models equals the in-memory one
+      val queries = emb.filter(col("vec_id") < 8)
+      val a = IvfPq.topK(queries, emb, ivf, pq, k = 5).collect().toSet
+      val b = IvfPq.topK(queries, emb, ivf2, pq2, k = 5).collect().toSet
+      assert(a == b)
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("recall@10 vs brute force clears the _verify floor; deterministic") {
     val queries = emb.filter(col("vec_id") < 16)
     val got = IvfPq.topK(queries, emb, ivf, pq, k = 10, nprobe = 4,
