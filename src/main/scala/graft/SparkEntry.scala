@@ -399,6 +399,13 @@ object SparkEntry {
       TextAnalysis.trigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // CCNet perplexity terciles: head/middle/tail by trigram-LM score,
+    // thresholds = exact percentiles over scored docs (ONE-ROW frame
+    // crossed back), short docs in an explicit unscored bucket.
+    "q_text_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // DSIR importance weights (Xie et al. NeurIPS'23): every non-English
     // doc scored by how English-like its hashed unigram+bigram feature
     // distribution is — B-bucket state however big either corpus, the
@@ -4493,6 +4500,62 @@ object SparkEntry {
         |WHERE n_feat > 0
         |ORDER BY logw DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    // Perplexity terciles: the trigram-LM chain as a CTE, exact
+    // quantile_cont thresholds (the q_agg_percentiles interpolation
+    // identity), and a plain CASE — unscored docs cut out of the
+    // threshold population on both engines.
+    "q_text_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                             t -> t <> '') AS tk
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2,
+        |         list_extract(tk, i + 2) AS w3
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
+        |  WHERE len(tk) >= 3),
+        |bg AS (
+        |  SELECT list_extract(tk, i) AS a, list_extract(tk, i + 1) AS b
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |  WHERE len(tk) >= 2),
+        |un AS (SELECT t.term FROM toks, UNNEST(tk) AS t(term)),
+        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12 FROM c3 GROUP BY 1, 2),
+        |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1h AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1h FROM c2 GROUP BY 1),
+        |c1 AS (SELECT term, COUNT(*) AS c FROM un GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+        |lp AS (
+        |  SELECT tg.doc_id,
+        |    CAST(ROUND(LN((70 * (CAST(c3.c3 AS DOUBLE) / CAST(c12.c12 AS DOUBLE))
+        |                 + 20 * (CAST(c2.c2 AS DOUBLE) / CAST(c1h.c1h AS DOUBLE))
+        |                 + 10 * (CAST(c1.c AS DOUBLE) / CAST(n.n AS DOUBLE))) / 100), 6)
+        |      AS DECIMAL(18,6)) AS lp
+        |  FROM tg
+        |  JOIN c3 USING (w1, w2, w3)
+        |  JOIN c12 USING (w1, w2)
+        |  JOIN c2 ON c2.a = tg.w2 AND c2.b = tg.w3
+        |  JOIN c1h ON c1h.a = tg.w2
+        |  JOIN c1 ON c1.term = tg.w3
+        |  CROSS JOIN n),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_trigrams, SUM(lp) AS slp
+        |       FROM lp GROUP BY 1),
+        |scored AS (
+        |  SELECT d.doc_id, COALESCE(pd.n_trigrams, 0) AS n_trigrams,
+        |    CAST(pd.slp AS DOUBLE) / CAST(pd.n_trigrams AS DOUBLE) AS avg_lp3
+        |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+        |thr AS (
+        |  SELECT quantile_cont(avg_lp3, 1.0/3) AS t1,
+        |         quantile_cont(avg_lp3, 2.0/3) AS t2
+        |  FROM scored WHERE n_trigrams > 0)
+        |SELECT doc_id, n_trigrams, avg_lp3,
+        |  CASE WHEN n_trigrams = 0 THEN 'unscored'
+        |       WHEN avg_lp3 >= t2 THEN 'head'
+        |       WHEN avg_lp3 >= t1 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM scored CROSS JOIN thr
+        |ORDER BY doc_id""".stripMargin,
 
     // Interpolated trigram LM: every conditional is a single DOUBLE
     // division of BIGINT counts, the λ-weighted sum is the identical

@@ -494,6 +494,36 @@ object TextAnalysis {
         col("avg_lp3"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): split
+    * the corpus into head / middle / tail terciles by LM score — the
+    * standard coarse quality tiering applied before (or instead of) hard
+    * filtering, so downstream mixing can up-weight fluent text without
+    * discarding the tail outright. Scores come from
+    * [[trigramLogProb]] (higher mean log-prob = lower perplexity =
+    * closer to "head"); thresholds are the EXACT tercile percentiles
+    * over scored docs (the quantile_cont identity — q_agg_percentiles
+    * pins the cross-engine interpolation agreement); docs too short to
+    * score (< 3 tokens) land in an explicit `unscored` bucket rather
+    * than polluting a tercile.
+    *
+    * Scale shape: scoring is the trigram LM's shape; the threshold is a
+    * ONE-ROW percentile frame crossed back in broadcast (the
+    * q_vec_outliers pattern); bucketing is a codegen CASE. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        lowPct: Double = 1.0 / 3,
+                        highPct: Double = 2.0 / 3): DataFrame = {
+    require(lowPct > 0 && highPct < 1 && lowPct < highPct)
+    val scored = trigramLogProb(df, idCol, textCol)
+    val thr = scored.filter(col("n_trigrams") > 0)
+      .agg(percentile(col("avg_lp3"), typedlit(Seq(lowPct, highPct))).as("__t"))
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), col("n_trigrams"), col("avg_lp3"),
+        when(col("n_trigrams") === 0, lit("unscored"))
+          .when(col("avg_lp3") >= element_at(col("__t"), 2), lit("head"))
+          .when(col("avg_lp3") >= element_at(col("__t"), 1), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Corpus-level PMI collocation extraction — the classic association
     * measure (Church & Hanks 1990) over adjacent word pairs: which
     * bigrams co-occur far more often than their parts' frequencies

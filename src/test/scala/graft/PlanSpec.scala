@@ -368,8 +368,10 @@ class PlanSpec extends SparkSpec {
       // as q_text_unigram_lp
       "q_text_pmi", "q_text_keywords",
       // interpolated trigram LM: the unigram component's ONE-ROW N frame
-      // crossed into the vocab table (identical to q_text_unigram_lp)
-      "q_text_trigram_lp")
+      // crossed into the vocab table (identical to q_text_unigram_lp);
+      // the ppl-bucket variant adds the ONE-ROW tercile-threshold frame
+      // crossed back (the q_vec_outliers pattern)
+      "q_text_trigram_lp", "q_text_ppl_buckets")
     // Every skip is individually justified — building the DataFrame here
     // would execute the query (or most of it), not just plan it:
     //  - q_stream_*: streaming lambdas run a full micro-batch query eagerly

@@ -345,6 +345,33 @@ class OperatorsSpec extends SparkSpec {
     assert(fx.filter(col("avg_lp3") > 0).count() === 0)
   }
 
+  test("perplexity buckets: terciles split scored docs, short docs isolated") {
+    import spark.implicits._
+    val fx = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getString(3)))
+    assert(fx.length == docs.count())
+    val byBucket = fx.groupBy(_._4).view.mapValues(_.length).toMap
+    // every scored tercile is populated and within a tolerant band of n/3
+    val scored = fx.count(_._2 > 0)
+    for (b <- Seq("head", "middle", "tail")) {
+      val n = byBucket.getOrElse(b, 0)
+      assert(n > 0 && math.abs(n - scored / 3.0) <= scored * 0.2 + 2,
+        s"bucket $b holds $n of $scored scored docs")
+    }
+    // bucket order respects the score order: min(head) ≥ max(middle) is
+    // too strict at ties; instead every head score ≥ every tail score
+    val headMin = fx.filter(_._4 == "head").map(_._3).min
+    val tailMax = fx.filter(_._4 == "tail").map(_._3).max
+    assert(headMin >= tailMax)
+    // docs with < 3 tokens are unscored, never in a tercile
+    assert(fx.filter(_._2 == 0).forall(_._4 == "unscored"))
+    val short = Seq((1L, "one two"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val sb = TextAnalysis.perplexityBuckets(short, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(sb(1L) == "unscored" && sb(2L) != "unscored")
+  }
+
   test("PMI collocations: hand-computed ratios, min-count cut, total order") {
     import spark.implicits._
     // bigrams ×6: "x y"=6; ×5: "a b"=5; plus "b a"=5 fillers to shape
