@@ -81,6 +81,8 @@ val picks = Seq(
   ("q_text_keywords", "smoothed odds keywords: one (class,term) partial count, vocab-sized marginal joins, ONE-ROW total cross, rank window over scored vocab only"),
   ("q_text_trigram_lp", "interpolated trigram LM: three narrow n-gram transforms, n-gram-keyed partial counts, AQE-sized probability joins, 6dp-round decimal sum per doc"),
   ("q_sim_topk_ivfpq", "IVFADC two-stage: cell-pruned candidates scored from m-byte codes, raw vectors touched only by the shortlist re-rank window"),
+  ("q_dsir_weights", "DSIR: post-checkpoint stage (feature frame materialized once for counts + scoring); B-row log-ratio table joined back, ONE-ROW totals crossed"),
+  ("q_text_ppl_buckets", "CCNet terciles: trigram-LM chain + ONE-ROW percentile-threshold cross + codegen CASE bucketing"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
