@@ -1239,6 +1239,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"), col("issue"))
     }),
 
+    // Video metadata: synthetic-but-structurally-valid MP4s (every box
+    // length real) parsed by a genuine ISO BMFF box walk — ftyp check,
+    // any box order, moov children, mvhd v0/v1, trak count; the oracle
+    // recomputes (timescale, duration_ms, n_tracks, n_bytes) from doc_id
+    // by construction, so a parser that misreads any length field
+    // hash-mismatches.
+    "q_video_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val vids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticMp4Payload(id)))
+        .toDF("doc_id", "payload")
+      Multimodal.videoMeta(vids, "doc_id", "payload")
+        .orderBy(col("media_id"))
+    }),
+
     // Synthetic PNG/GIF/WAV containers (real magic bytes + header fields,
     // deterministic in doc_id) are decoded by genuine header parsing; the
     // oracle recomputes the expected features from doc_id by construction.
@@ -3657,6 +3673,17 @@ object SparkEntry {
     // Expected features recomputed from doc_id by the synthesis formulas —
     // the Spark side must recover them by PARSING the container bytes, so a
     // broken parser (endianness, offset, magic) breaks the hash match.
+    // Video metadata by construction: mirrors syntheticMp4Payload's
+    // arithmetic — a box-walk bug on ANY length/offset field diverges.
+    "q_video_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(140 + (1 + doc_id % 3) * 100 + doc_id % 50 AS BIGINT) AS n_bytes,
+        |  CAST(1000 + (doc_id % 10) * 100 AS BIGINT) AS timescale,
+        |  CAST(((2000 + (doc_id % 500) * 10) * 1000)
+        |       // (1000 + (doc_id % 10) * 100) AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "q_multimodal_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100 AS BIGINT) AS n_bytes,

@@ -142,6 +142,124 @@ object Multimodal {
   def sampleFrameOffsets(nBytes: Int, stride: Int = 100, maxFrames: Int = 8): Seq[Int] =
     (0 until math.min(maxFrames, math.max(nBytes, 1) / stride + 1)).map(_ * stride)
 
+  // ------------------------------------------------------- video (ISO BMFF)
+
+  /** Real ISO BMFF (MP4) BOX WALK — the video half of the real-parse /
+    * stubbed-codec policy: top-level boxes are iterated by their length
+    * fields in ANY order (mdat-before-moov is a legal and common layout),
+    * `moov`'s children are walked the same way, `mvhd` v0/v1 yields
+    * (timescale, duration) and the `trak` children are counted. Handles
+    * the two special size encodings a real file can carry: size 1 →
+    * 64-bit largesize follows the type; size 0 → box extends to the end
+    * of the enclosure. Sample DECODE stays out of scope (no codecs in
+    * this container) — like [[decodeHeader]], swapping in a real decoder
+    * touches nothing here.
+    *
+    * @return (timescale, duration in timescale units, track count), or
+    *         None when the payload is not a plausible BMFF file (missing
+    *         ftyp leader or moov/mvhd). */
+  def decodeMp4Header(bytes: Array[Byte]): Option[(Long, Long, Int)] = {
+    val b = bytes
+    def be64(i: Int): Long =
+      (0 until 8).foldLeft(0L)((acc, j) => (acc << 8) | (b(i + j) & 0xffL))
+    // (bodyStart, bodyEnd, type) for each box in [from, until)
+    def boxes(from: Int, until: Int): Seq[(Int, Int, String)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      var i = from
+      while (i + 8 <= until) {
+        val size32 = be32(b, i).toLong & 0xffffffffL
+        val tpe = new String(b, i + 4, 4, "US-ASCII")
+        val (bodyStart, end) =
+          if (size32 == 1L && i + 16 <= until) (i + 16, i + be64(i + 8))
+          else if (size32 == 0L) (i + 8, until.toLong)
+          else (i + 8, i + size32)
+        if (end < bodyStart || end > until) return out.toSeq // corrupt tail
+        out += ((bodyStart, end.toInt, tpe))
+        i = end.toInt
+      }
+      out.toSeq
+    }
+    if (b.length < 16) return None
+    val top = boxes(0, b.length)
+    if (!top.headOption.exists(_._3 == "ftyp")) return None
+    top.find(_._3 == "moov").flatMap { case (ms, me, _) =>
+      val kids = boxes(ms, me)
+      val nTracks = kids.count(_._3 == "trak")
+      kids.find(_._3 == "mvhd").flatMap { case (hs, he, _) =>
+        if (he - hs < 4) None
+        else u8(b, hs) match { // full-box version byte
+          case 0 if he - hs >= 20 =>
+            Some(((be32(b, hs + 12).toLong & 0xffffffffL),
+              be32(b, hs + 16).toLong & 0xffffffffL, nTracks))
+          case 1 if he - hs >= 32 =>
+            Some(((be32(b, hs + 20).toLong & 0xffffffffL),
+              be64(hs + 24), nTracks))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Synthetic-but-structurally-valid MP4, deterministic in `id`: 16-byte
+    * `ftyp` (isom), a `moov` holding a canonical 108-byte v0 `mvhd`
+    * (timescale 1000 + (id%10)·100, duration 2000 + (id%500)·10) plus
+    * 1 + id%3 `trak` children (each an 8+92-byte tkhd shell), and an
+    * `mdat` of 8 + id%50 bytes — every box length real, so the walk in
+    * [[decodeMp4Header]] is exercised for real. */
+  def syntheticMp4Payload(id: Long): Array[Byte] = {
+    val nTracks = (1 + id % 3).toInt
+    val timescale = (1000 + (id % 10) * 100).toInt
+    val duration = (2000 + (id % 500) * 10).toInt
+    val mdatBody = (id % 50).toInt
+    val moovSize = 8 + 108 + nTracks * 100
+    val total = 16 + moovSize + 8 + mdatBody
+    val bb = java.nio.ByteBuffer.allocate(total) // BIG_ENDIAN by default
+    bb.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)                    // version 0 + flags
+      .putInt(0).putInt(0)          // creation / modification
+      .putInt(timescale).putInt(duration)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort) // rate, volume, reserved
+      .putLong(0L)                  // reserved
+    for (_ <- 0 until 9) bb.putInt(0) // matrix (identity zeroed — stub)
+    for (_ <- 0 until 6) bb.putInt(0) // pre_defined
+    bb.putInt(nTracks + 1)          // next_track_ID
+    for (t <- 1 to nTracks) {
+      bb.putInt(100).put("trak".getBytes("US-ASCII"))
+      bb.putInt(92).put("tkhd".getBytes("US-ASCII")).putInt(0)
+        .putInt(0).putInt(0).putInt(t).putInt(0).putInt(0)
+      for (_ <- 0 until 15) bb.putInt(0)
+    }
+    bb.putInt(8 + mdatBody).put("mdat".getBytes("US-ASCII"))
+    (0 until mdatBody).foreach(j => bb.put(((id * 11 + j * 3) % 251).toByte))
+    bb.array()
+  }
+
+  /** Per-video metadata table from parsed headers: duration_ms is the
+    * integer floor of duration/timescale in milliseconds (pure long
+    * arithmetic — hash-exact cross-engine). Unparseable payloads are
+    * surfaced with NULL fields, never dropped. */
+  def videoMeta(df: DataFrame, idCol: String, payloadCol: String)
+               (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        decodeMp4Header(bytes) match {
+          case Some((ts, dur, nt)) =>
+            (id, bytes.length.toLong, ts, dur * 1000L / ts, nt.toLong, true)
+          case None => (id, bytes.length.toLong, 0L, 0L, 0L, false)
+        }
+      }
+      .toDF("media_id", "n_bytes", "__ts", "__ms", "__nt", "__ok")
+      .select(col("media_id"), col("n_bytes"),
+        when(col("__ok"), col("__ts")).as("timescale"),
+        when(col("__ok"), col("__ms")).as("duration_ms"),
+        when(col("__ok"), col("__nt")).as("n_tracks"))
+  }
+
   /** Wrap any table into media records: payload column as binary. For the
     * `documents` fixture the text bytes stand in for an image payload. */
   def asMediaRecords(df: DataFrame, idCol: String, payloadCol: String,
