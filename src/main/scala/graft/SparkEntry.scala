@@ -1239,6 +1239,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"), col("issue"))
     }),
 
+    // Audio sample statistics: REAL PCM math (energy, peak, zero
+    // crossings) over the synthetic WAV data chunks — sample-domain
+    // numbers, not header fields; all integer arithmetic, oracle
+    // recomputes every figure from doc_id by construction.
+    "q_audio_stats" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticWavPayload(id)))
+        .toDF("doc_id", "payload")
+      Multimodal.audioStats(clips, "doc_id", "payload")
+        .orderBy(col("media_id"))
+    }),
+
     // Video metadata: synthetic-but-structurally-valid MP4s (every box
     // length real) parsed by a genuine ISO BMFF box walk — ftyp check,
     // any box order, moov children, mvhd v0/v1, trak count; the oracle
@@ -3673,6 +3687,38 @@ object SparkEntry {
     // Expected features recomputed from doc_id by the synthesis formulas —
     // the Spark side must recover them by PARSING the container bytes, so a
     // broken parser (endianness, offset, magic) breaks the hash match.
+    // Audio stats by construction: the data chunk is the deterministic
+    // (doc_id·7 + j·13) % 251 byte walk, so energy / peak / zero
+    // crossings replay as pure integer SQL — a sample-loop bug on either
+    // side diverges.
+    "q_audio_stats" ->
+      """WITH base AS (SELECT doc_id, doc_id % 100 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, j, ((doc_id * 7 + j * 13) % 251) - 128 AS a
+        |  FROM base, LATERAL (SELECT unnest(range(0, n)) AS j) r),
+        |lagged AS (
+        |  SELECT doc_id, a,
+        |    LAG(a) OVER (PARTITION BY doc_id ORDER BY j) AS pa
+        |  FROM s),
+        |zc AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN (a >= 0) <> (pa >= 0) THEN 1 ELSE 0 END) AS zcnt
+        |  FROM lagged WHERE pa IS NOT NULL GROUP BY doc_id),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS ns, SUM(a * a) AS sq, MAX(ABS(a)) AS pk
+        |  FROM s GROUP BY doc_id)
+        |SELECT b.doc_id AS media_id,
+        |  CAST(8000 + (b.doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + b.doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(COALESCE(agg.ns, 0) AS BIGINT) AS n_samples,
+        |  CAST(COALESCE(agg.sq, 0) AS BIGINT) AS sumsq,
+        |  CAST(COALESCE(agg.pk, 0) AS BIGINT) AS peak,
+        |  CAST(COALESCE(zc.zcnt, 0) AS BIGINT) AS zero_crossings
+        |FROM base b
+        |LEFT JOIN agg ON agg.doc_id = b.doc_id
+        |LEFT JOIN zc ON zc.doc_id = b.doc_id
+        |ORDER BY media_id""".stripMargin,
+
     // Video metadata by construction: mirrors syntheticMp4Payload's
     // arithmetic — a box-walk bug on ANY length/offset field diverges.
     "q_video_meta" ->

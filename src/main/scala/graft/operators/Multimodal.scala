@@ -127,6 +127,76 @@ object Multimodal {
     header ++ Array.tabulate(filler)(j => ((id * 7 + j * 13) % 251).toByte)
   }
 
+  /** The WAV branch of [[syntheticPayload]] for EVERY id — the audio-
+    * stats harness wants a whole corpus of clips, not the 1/3 the
+    * round-robin yields. Same header arithmetic, same body walk. */
+  def syntheticWavPayload(id: Long): Array[Byte] = {
+    val filler = (id % 100).toInt
+    val channels = (1 + id % 2).toInt
+    val rate = (8000 + (id % 8) * 1000).toInt
+    val bb = java.nio.ByteBuffer.allocate(44)
+    bb.put("RIFF".getBytes("US-ASCII")).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(36 + filler).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("WAVEfmt ".getBytes("US-ASCII")).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16).putShort(1.toShort).putShort(channels.toShort)
+    bb.putInt(rate).putInt(rate * channels * 2)
+    bb.putShort((channels * 2).toShort).putShort(16.toShort)
+    bb.order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("data".getBytes("US-ASCII")).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(filler)
+    bb.array() ++ Array.tabulate(filler)(j => ((id * 7 + j * 13) % 251).toByte)
+  }
+
+  /** REAL sample-domain audio statistics — PCM needs no codec, so unlike
+    * the stubbed pixel decode these numbers are computed from the actual
+    * data-chunk bytes: energy (Σ amplitude², the integer RMS numerator),
+    * peak amplitude, and zero-crossing count (the classic cheap
+    * voiced/unvoiced + silence discriminators a corpus pipeline filters
+    * on). The header fields come from the genuine [[decodeHeader]] WAV
+    * parse; the data chunk is read as UNSIGNED 8-BIT samples centered at
+    * 128 — the documented stub interpretation shared with [[dHash63]]'s
+    * luminance read (a 16-bit reader changes one constant, nothing
+    * else). Everything is integer arithmetic → hash-exact cross-engine.
+    * Non-WAV payloads surface with NULL fields, never dropped. */
+  def audioStats(df: DataFrame, idCol: String, payloadCol: String)
+                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        val isWav = b.length >= 44 && ascii(b, 0, "RIFF") &&
+          ascii(b, 8, "WAVE") && ascii(b, 12, "fmt ")
+        if (!isWav) (id, 0L, 0L, 0L, 0L, 0L, 0L, false)
+        else {
+          val (rate, _, channels) = decodeHeader(b).get
+          val off = containerBodyOffset(b)
+          var sumsq = 0L; var peak = 0L; var zc = 0L
+          var prevNonNeg = true; var first = true
+          var i = off
+          while (i < b.length) {
+            val a = (b(i) & 0xff) - 128
+            sumsq += a.toLong * a
+            if (math.abs(a) > peak) peak = math.abs(a)
+            val nonNeg = a >= 0
+            if (!first && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg; first = false
+            i += 1
+          }
+          (id, rate.toLong, channels.toLong, (b.length - off).toLong,
+            sumsq, peak, zc, true)
+        }
+      }
+      .toDF("media_id", "__rate", "__ch", "__n", "__sq", "__pk", "__zc", "__ok")
+      .select(col("media_id"),
+        when(col("__ok"), col("__rate")).as("sample_rate"),
+        when(col("__ok"), col("__ch")).as("channels"),
+        when(col("__ok"), col("__n")).as("n_samples"),
+        when(col("__ok"), col("__sq")).as("sumsq"),
+        when(col("__ok"), col("__pk")).as("peak"),
+        when(col("__ok"), col("__zc")).as("zero_crossings"))
+  }
+
   private val mimes = Seq("image/png", "image/gif", "audio/wav")
 
   /** Dataset of synthetic media records keyed by an id column. */
