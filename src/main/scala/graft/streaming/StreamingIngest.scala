@@ -560,7 +560,19 @@ object StreamingIngest {
     * Output: one row per input doc — (doc_id, status) with status ∈
     * quality | duplicate | curated. State held per batch: the
     * quality-passing corpus frame + the accumulated pair ledger, each
-    * localCheckpointed (executor blocks, ContextCleaner-reclaimed). */
+    * localCheckpointed (executor blocks, ContextCleaner-reclaimed).
+    *
+    * Scale note (honest cost model): each batch's incrementalNgramPairs
+    * call re-derives the global document-frequency order over
+    * corpus + delta — per-batch cost therefore grows with the standing
+    * corpus. That is the documented modeling simplification of
+    * [[graft.operators.Dedup.incrementalNgramPairs]]; at production
+    * steady state the df table and prefix postings are MAINTAINED
+    * incrementally (new shingles only bump counts; postings append), at
+    * which point per-batch cost is linear in the delta. The pair-set
+    * semantics — and therefore the stream ≡ batch gate — are identical
+    * either way, because prefix completeness holds under any consistent
+    * df order. */
   def runStreamCurateBounded(spark: SparkSession, parquetPath: String,
                              idCol: String, textCol: String,
                              minTokens: Int, n: Int = 3,
