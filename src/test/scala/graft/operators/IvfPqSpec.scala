@@ -58,6 +58,25 @@ class IvfPqSpec extends SparkSpec {
       "IVFADC with full probes + full shortlist must equal brute force")
   }
 
+  test("plan shape: cell equi-join candidates, rank pushdown, no cartesian") {
+    // topKIndexed with pre-trained models is fully lazy — the search plan
+    // is auditable without running it (the harness entry trains eagerly,
+    // so the global PlanSpec audit skips it; this covers the gap)
+    val indexed = IvfPq.index(emb, ivf, pq)
+    val queries = emb.filter(col("vec_id") < 16)
+    val df = IvfPq.topKIndexed(queries, indexed, emb, ivf, pq, k = 10,
+      nprobe = 4, shortlist = 32)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct"),
+      "IVFPQ search must never shuffle a cartesian")
+    // candidates come from the centroid_id equi-join (the IVF prune)
+    assert(p.contains("centroid_id"), "cell equi-join missing from plan")
+    // both rank cuts push down as WindowGroupLimit (shortlist + final k)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank filters must prune before full sorts:\n$p")
+  }
+
   test("model save/load round-trips bit-exactly; searches agree") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-models")
       .toString
