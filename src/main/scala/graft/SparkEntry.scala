@@ -399,6 +399,13 @@ object SparkEntry {
       TextAnalysis.trigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Per-doc 3-gram diversity (distinct-n in ppm): the integer-exact
+    // repetition/garbage proxy — one narrow transform + one doc-keyed agg.
+    "q_text_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(t(s, dir, "documents"), "doc_id", "text",
+        n = 3)
+        .orderBy(col("doc_id"))),
+
     // CCNet perplexity terciles: head/middle/tail by trigram-LM score,
     // thresholds = exact percentiles over scored docs (ONE-ROW frame
     // crossed back), short docs in an explicit unscored bucket.
@@ -4573,6 +4580,30 @@ object SparkEntry {
         |WHERE n_feat > 0
         |ORDER BY logw DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    // 3-gram diversity: same trigram derivation as the LM chain, counted
+    // distinct-vs-total per doc; the ppm ratio is BIGINT floor division
+    // (positive operands, truncate ≡ floor).
+    "q_text_diversity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                             t -> t <> '') AS tk
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i + 1)
+        |         || ' ' || list_extract(tk, i + 2) AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
+        |  WHERE len(tk) >= 3),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS total_ngrams,
+        |    COUNT(DISTINCT gram) AS distinct_ngrams
+        |  FROM tg GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+        |  CAST(COALESCE(pd.distinct_ngrams, 0) AS BIGINT) AS distinct_ngrams,
+        |  CAST((pd.distinct_ngrams * 1000000) // pd.total_ngrams AS BIGINT) AS distinct_ppm
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Perplexity terciles: the trigram-LM chain as a CTE, exact
     // quantile_cont thresholds (the q_agg_percentiles interpolation

@@ -494,6 +494,40 @@ object TextAnalysis {
         col("avg_lp3"))
   }
 
+  /** Per-document n-gram DIVERSITY — distinct/total n-gram ratio in
+    * floor-divided ppm, the "distinct-n" metric: near 1e6 for natural
+    * prose, collapsing toward 0 for template spam, keyboard mash, and
+    * looped generation (the cheap integer-exact stand-in for the
+    * compression-ratio quality signal, which needs a codec and therefore
+    * cannot be cross-engine-oracled). Complements [[topBigramFraction]]:
+    * that flags ONE dominating bigram, this scores global repetition.
+    *
+    * Scale shape: one narrow n-gram transform, one (doc, gram)-keyed
+    * partial-agg distinct + count — the TfIdf layout. Docs with fewer
+    * than n tokens get 0 totals and NULL ppm. */
+  def ngramDiversity(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val tk = Dedup.cleanTokens(col(textCol))
+    val grams = df.select(col(idCol), tk.as("__tk"))
+      .select(col(idCol), explode(when(size(col("__tk")) >= n,
+        transform(sequence(lit(0), size(col("__tk")) - n),
+          i => concat_ws(" ",
+            (1 to n).map(j => element_at(col("__tk"), i + j)): _*)))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val perDoc = grams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("gram")).as("distinct_ngrams"))
+      .select(col(idCol), col("total_ngrams"), col("distinct_ngrams"),
+        expr("(distinct_ngrams * 1000000) div total_ngrams")
+          .as("distinct_ppm"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_ngrams"), lit(0L)).as("total_ngrams"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"),
+        col("distinct_ppm"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): split
     * the corpus into head / middle / tail terciles by LM score — the
     * standard coarse quality tiering applied before (or instead of) hard

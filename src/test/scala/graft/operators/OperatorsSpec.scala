@@ -345,6 +345,28 @@ class OperatorsSpec extends SparkSpec {
     assert(fx.filter(col("avg_lp3") > 0).count() === 0)
   }
 
+  test("ngram diversity: hand counts, repetition collapses the ppm score") {
+    import spark.implicits._
+    // "a b a b a b": 3-grams = {aba, bab, aba, bab} → 4 total, 2 distinct
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "all words here are fully distinct tokens"),
+      (3L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramDiversity(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 2L, 500000L)), got.toString)
+    // fully distinct doc scores exactly 1e6
+    assert(got(2L)._1 == got(2L)._2 && got(2L)._3 == 1000000L)
+    // too short: zero totals, NULL ppm
+    assert(got(3L) == ((0L, 0L, -1L)))
+    // fixture sanity: repetitive docs score strictly below diverse ones
+    val fx = TextAnalysis.ngramDiversity(docs, "doc_id", "text")
+    assert(fx.filter(col("distinct_ppm").isNotNull).count() > 0)
+    assert(fx.filter(col("distinct_ppm") > 1000000L).count() === 0)
+  }
+
   test("perplexity buckets: terciles split scored docs, short docs isolated") {
     import spark.implicits._
     val fx = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
