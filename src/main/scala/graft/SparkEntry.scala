@@ -399,6 +399,12 @@ object SparkEntry {
       TextAnalysis.trigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Tokenizer fertility per lang: subword pieces per word + chars per
+    // piece in ppm — ONE profile scan, one group-keyed agg, all-integer.
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(t(s, dir, "documents"), "lang", "text")
+        .orderBy(col("grp"))),
+
     // Per-doc 3-gram diversity (distinct-n in ppm): the integer-exact
     // repetition/garbage proxy — one narrow transform + one doc-keyed agg.
     "q_text_diversity" -> ((s, dir) =>
@@ -4580,6 +4586,27 @@ object SparkEntry {
         |WHERE n_feat > 0
         |ORDER BY logw DESC, doc_id
         |LIMIT 100""".stripMargin,
+
+    // Fertility: the q_text_stats word/piece/char derivations rolled up
+    // per lang; ppm ratios are BIGINT floor division on both engines.
+    "q_tokenizer_fertility" ->
+      """WITH st AS (
+        |  SELECT lang,
+        |    CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS b,
+        |    length(text) AS c
+        |  FROM documents),
+        |agg AS (
+        |  SELECT CAST(lang AS VARCHAR) AS grp, COUNT(*) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS total_words,
+        |    CAST(SUM(b) AS BIGINT) AS total_pieces,
+        |    CAST(SUM(c) AS BIGINT) AS total_chars
+        |  FROM st GROUP BY 1)
+        |SELECT grp, n_docs, total_words, total_pieces,
+        |  CAST((total_pieces * 1000000) // total_words AS BIGINT) AS fertility_ppm,
+        |  CAST((total_chars * 1000000) // total_pieces AS BIGINT) AS chars_per_piece_ppm
+        |FROM agg ORDER BY grp""".stripMargin,
 
     // 3-gram diversity: same trigram derivation as the LM chain, counted
     // distinct-vs-total per doc; the ppm ratio is BIGINT floor division

@@ -494,6 +494,31 @@ object TextAnalysis {
         col("avg_lp3"))
   }
 
+  /** Tokenizer FERTILITY per group (lang/source) — subword pieces per
+    * whitespace word and characters per subword piece, both in
+    * floor-divided ppm: the standard lens for judging how well a subword
+    * vocabulary fits each slice of a multilingual corpus (high fertility
+    * = the tokenizer shreds that language, its documents cost more
+    * sequence length per word). Uses the fused profile's BPE-ish piece
+    * count, so the whole metric is ONE profile scan + one group-keyed
+    * partial agg; all-integer arithmetic → hash-exact cross-engine. */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val p = profile(col(textCol))
+    df.select(col(groupCol).cast("string").as("grp"),
+        coalesce(p.getField("n_tokens"), lit(0)).cast("long").as("__w"),
+        p.getField("n_bpeish").cast("long").as("__b"),
+        p.getField("n_chars").cast("long").as("__c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("total_words"),
+        sum(col("__b")).as("total_pieces"), sum(col("__c")).as("total_chars"))
+      .select(col("grp"), col("n_docs"), col("total_words"),
+        col("total_pieces"),
+        expr("(total_pieces * 1000000) div total_words").as("fertility_ppm"),
+        expr("(total_chars * 1000000) div total_pieces")
+          .as("chars_per_piece_ppm"))
+  }
+
   /** Per-document n-gram DIVERSITY — distinct/total n-gram ratio in
     * floor-divided ppm, the "distinct-n" metric: near 1e6 for natural
     * prose, collapsing toward 0 for template spam, keyboard mash, and

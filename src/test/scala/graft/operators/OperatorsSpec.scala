@@ -345,6 +345,24 @@ class OperatorsSpec extends SparkSpec {
     assert(fx.filter(col("avg_lp3") > 0).count() === 0)
   }
 
+  test("tokenizer fertility: hand counts per group, ppm floor division") {
+    import spark.implicits._
+    // grp A: "ab cd" → 2 words, 2 pieces, 5 chars; "a-b" → 1 word,
+    // 3 pieces (a, -, b), 3 chars. totals: w=3, p=5, c=8
+    val df = Seq(("A", "ab cd"), ("A", "a-b"), ("B", "xy")).toDF("g", "text")
+    val got = TextAnalysis.tokenizerFertility(df, "g", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got("A") == ((2L, 3L, 5L, 5L * 1000000 / 3, 8L * 1000000 / 5)),
+      got.toString)
+    assert(got("B") == ((1L, 1L, 1L, 1000000L, 2000000L)))
+    // fixture sanity: every lang present, fertility ≥ 1e6 (a word is
+    // at least one piece under the BPE-ish split)
+    val fx = TextAnalysis.tokenizerFertility(docs, "lang", "text").collect()
+    assert(fx.length >= 2 && fx.forall(_.getLong(4) >= 1000000L))
+  }
+
   test("ngram diversity: hand counts, repetition collapses the ppm score") {
     import spark.implicits._
     // "a b a b a b": 3-grams = {aba, bab, aba, bab} → 4 total, 2 distinct
