@@ -658,6 +658,29 @@ object SparkEntry {
         "doc_id", "text", "source", k = 4, w = 4, maxDocFreq = 50)
         .orderBy(col("srcA"), col("srcB"))),
 
+    // The 100-TB sibling of q_source_overlap: per-source KMV sketches of
+    // the SAME fingerprint sets, pairwise union/intersect/Jaccard from
+    // k-sized sketch state — the fp-level self-join (quadratic in shared
+    // fingerprints) never runs. Sketch estimates → rows-only; the exact
+    // sibling above carries the oracle and the _verify bounds every
+    // figure in-engine.
+    "q_source_overlap_est" -> ((s, dir) =>
+      operators.SetSketch.pairOverlap(
+        operators.Winnowing.sourceFingerprints(t(s, dir, "documents"),
+          "doc_id", "text", "source", k = 4, w = 4, maxDocFreq = 50),
+        "src", "fp_hash", k = 512)
+        .orderBy(col("seg_a"), col("seg_b"))),
+
+    // Every estimate bound-checked against the exact fingerprint sets
+    // (the q_kmv_overlap_verify contract on this corpus-derived input).
+    // Violations only; oracle = empty relation.
+    "q_source_overlap_est_verify" -> ((s, dir) =>
+      operators.SetSketch.pairOverlapViolations(
+        operators.Winnowing.sourceFingerprints(t(s, dir, "documents"),
+          "doc_id", "text", "source", k = 4, w = 4, maxDocFreq = 50),
+        "src", "fp_hash", k = 512)
+        .orderBy(col("seg_a"), col("seg_b"), col("issue"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, k = 64, bands = 16, threshold = 0.2)
@@ -5509,6 +5532,11 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
 
     "q_kmv_overlap_verify" ->
+      """SELECT CAST(NULL AS VARCHAR) AS seg_a, CAST(NULL AS VARCHAR) AS seg_b,
+        |  CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_source_overlap_est_verify" ->
       """SELECT CAST(NULL AS VARCHAR) AS seg_a, CAST(NULL AS VARCHAR) AS seg_b,
         |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,

@@ -58,8 +58,12 @@ object SetSketch {
     * deliberate broadcast nested-loop over s rows, s = segments, yielding
     * C(s,2) pairs) — bounded by construction, never row-scale. */
   def pairOverlapFromSketches(sk: DataFrame): DataFrame =
+    // |segments|-row sketch frame on BOTH sides — broadcast explicitly so
+    // the bounded non-equi self-join plans as a BNLJ even when the frame
+    // sits under a subtree the planner cannot size (window-heavy inputs
+    // otherwise fall back to a shuffled CartesianProduct)
     sk.select(col("segment").as("seg_a"), col("__sk").as("__ska"))
-      .join(sk.select(col("segment").as("seg_b"), col("__sk").as("__skb")),
+      .join(broadcast(sk.select(col("segment").as("seg_b"), col("__sk").as("__skb"))),
         col("seg_a") < col("seg_b"))
       .select(col("seg_a"), col("seg_b"),
         kmvSetOp(col("__ska"), col("__skb")).as("__o"))
@@ -93,8 +97,9 @@ object SetSketch {
       .agg(count(lit(1)).as("i"))
     // LEFT join from all pairs: disjoint segment pairs are real rows with
     // intersection 0, not silently dropped ones
+    // same bounded-side broadcast rationale as pairOverlapFromSketches
     val pairs = sizes.select(col("segment").as("seg_a"), col("sz").as("sza"))
-      .join(sizes.select(col("segment").as("seg_b"), col("sz").as("szb")),
+      .join(broadcast(sizes.select(col("segment").as("seg_b"), col("sz").as("szb"))),
         col("seg_a") < col("seg_b"))
       .join(inter, Seq("seg_a", "seg_b"), "left")
       .withColumn("i", coalesce(col("i"), lit(0L)))
@@ -143,7 +148,7 @@ object SetSketch {
     val merged = sk.agg(kmvMerge(col("__sk")).as("__m"))
     val direct = df.filter(col(valueCol).isNotNull)
       .agg(kmvSketch(col(valueCol).cast("long"), k).as("__g"))
-    val consistency = merged.crossJoin(direct)
+    val consistency = merged.crossJoin(broadcast(direct))
       .filter(md5(col("__m")) =!= md5(col("__g")))
       .select(lit("__GLOBAL__").as("seg_a"), lit("__GLOBAL__").as("seg_b"),
         lit("merge_vs_direct").as("issue"))

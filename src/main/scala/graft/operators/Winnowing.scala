@@ -197,18 +197,28 @@ object Winnowing {
         col("shared"), col("containment"))
   }
 
-  def sourceOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
-                          sourceCol: String, k: Int = 4, w: Int = 4,
-                          maxDocFreq: Int = 50): DataFrame = {
+  /** Distinct (src, fp_hash) rows: each source's doc-frequency-pruned
+    * winnowed fingerprint SET — the frame both the exact overlap matrix
+    * and its KMV sketch sibling consume. */
+  def sourceFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, k: Int = 4, w: Int = 4,
+                         maxDocFreq: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fp = fingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp_hash")).distinct()
     val pruned = fp
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp_hash")))
       .filter(col("__df") <= maxDocFreq).drop("__df")
-    val srcFp = pruned
+    pruned
       .join(df.select(col(idCol).as("id"), col(sourceCol).as("src")), "id")
       .select(col("src"), col("fp_hash")).distinct()
+  }
+
+  def sourceOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, k: Int = 4, w: Int = 4,
+                          maxDocFreq: Int = 50): DataFrame = {
+    val srcFp = sourceFingerprints(df, idCol, textCol, sourceCol, k, w,
+      maxDocFreq)
     val sizes = srcFp.groupBy(col("src")).agg(count(lit(1)).as("nfp"))
     srcFp.alias("a")
       .join(srcFp.alias("b"),

@@ -49,6 +49,11 @@ class OracleContractSpec extends AnyFunSuite {
     // q_heavy_hitters); exact sibling q_hotkeys_by_group_exact carries the
     // oracle, q_hotkeys_by_group_verify re-proves every per-group bound
     "q_hotkeys_by_group",
+    // KMV sketch sibling of the source overlap matrix: estimates are
+    // sketch-internal (like q_kmv_overlap); exact sibling
+    // q_source_overlap carries the oracle, the _verify bounds every
+    // figure against the exact fingerprint sets in-engine
+    "q_source_overlap_est",
     // IVF→PQ two-stage retrieval: emitted cosines are EXACT (short-list
     // re-rank reads raw vectors) but WHICH neighbors the probes reach is
     // engine-internal (k-means cells + codebooks, same as q_sim_topk_ivf

@@ -357,6 +357,9 @@ class PlanSpec extends SparkSpec {
       // broadcast nested loop; the row-scale work is the one sketch
       // aggregation (and, in the exact sibling, the v-equi-join)
       "q_kmv_overlap", "q_kmv_overlap_exact", "q_kmv_overlap_verify",
+      // the same |sources|-row sketch-frame self-join on the winnowed
+      // fingerprint sets (5 sources → 10 pairs)
+      "q_source_overlap_est", "q_source_overlap_est_verify",
       // expectations audit: the FK rule's ONE-ROW orphan count crossed
       // with the ONE-ROW table total — scalar combination
       "q_expectations",
