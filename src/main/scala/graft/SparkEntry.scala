@@ -1382,6 +1382,48 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // REAL pixel decode, gated end-to-end: each doc becomes a fully valid
+    // PNG (correct CRCs, zlib IDAT, row filters cycling None/Sub/Up/
+    // Average/Paeth), the Spark side chunk-walks + inflates + de-filters
+    // it back to a luminance plane, and the oracle recomputes the plane
+    // checksums from the pixel FORMULAS alone — so any bug in the
+    // encoder, the Inflater plumbing, a filter branch, or the palette/
+    // luma reduction diverges. lum_wsum weights by position (i%97+1) so
+    // a pixel permutation can't cancel.
+    "q_image_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val (w, h, plane) = Multimodal
+            .decodePngPixels(Multimodal.syntheticPngPixelPayload(id))
+            .getOrElse((0, 0, Array.emptyByteArray))
+          var lsum = 0L; var wsum = 0L; var i = 0
+          while (i < plane.length) {
+            val l = plane(i) & 0xff
+            lsum += l; wsum += l.toLong * (i % 97 + 1); i += 1
+          }
+          (id, w.toLong, h.toLong, plane.length.toLong, lsum, wsum)
+        }
+        .toDF("media_id", "width", "height", "n_pixels", "lum_sum", "lum_wsum")
+        .orderBy(col("media_id"))
+    }),
+
+    // dHash over REAL decoded pixels (the round-10 upgrade from the
+    // stub-luminance phash): same grid/bit-pack as q_image_phash but the
+    // luminance samples come from the genuine PNG decode; the oracle
+    // replays the grid over the pixel formulas, so the full
+    // encode→decode→hash chain must be pixel-exact to match.
+    "q_image_phash_real" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id =>
+          operators.MediaRecord(id, Multimodal.syntheticPngPixelPayload(id),
+            "image/png"))
+      Multimodal.withPhash(media).orderBy(col("media_id"))
+    }),
+
     "q_stream_hourly" -> ((s, dir) =>
       StreamingIngest.runWindowedEventAgg(s, s"$dir/events.parquet",
         s"events_windowed_${streamCounter.incrementAndGet()}")
@@ -3727,24 +3769,36 @@ object SparkEntry {
     // (doc_id·7 + j·13) % 251 byte walk, so energy / peak / zero
     // crossings replay as pure integer SQL — a sample-loop bug on either
     // side diverges.
+    // The synthetic WAVs declare 16-bit PCM, so the reader consumes the
+    // byte walk as signed little-endian 16-bit sample pairs (trailing odd
+    // byte ignored): raw = v(2k) + 256·v(2k+1) with v(j) = (id·7+j·13)%251,
+    // sign via the 32768 wrap — a reader that ignores bits_per_sample (the
+    // round-10 byte-domain bug) diverges on every odd-length clip.
     "q_audio_stats" ->
       """WITH base AS (SELECT doc_id, doc_id % 100 AS n FROM documents),
         |s AS (
-        |  SELECT doc_id, j, ((doc_id * 7 + j * 13) % 251) - 128 AS a
-        |  FROM base, LATERAL (SELECT unnest(range(0, n)) AS j) r),
+        |  SELECT doc_id, k,
+        |    ((doc_id * 7 + (2 * k) * 13) % 251)
+        |      + 256 * ((doc_id * 7 + (2 * k + 1) * 13) % 251) AS raw
+        |  FROM base, LATERAL (SELECT unnest(range(0, n // 2)) AS k) r),
+        |sa AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS a
+        |  FROM s),
         |lagged AS (
         |  SELECT doc_id, a,
-        |    LAG(a) OVER (PARTITION BY doc_id ORDER BY j) AS pa
-        |  FROM s),
+        |    LAG(a) OVER (PARTITION BY doc_id ORDER BY k) AS pa
+        |  FROM sa),
         |zc AS (
         |  SELECT doc_id,
         |    SUM(CASE WHEN (a >= 0) <> (pa >= 0) THEN 1 ELSE 0 END) AS zcnt
         |  FROM lagged WHERE pa IS NOT NULL GROUP BY doc_id),
         |agg AS (
         |  SELECT doc_id, COUNT(*) AS ns, SUM(a * a) AS sq, MAX(ABS(a)) AS pk
-        |  FROM s GROUP BY doc_id)
+        |  FROM sa GROUP BY doc_id)
         |SELECT b.doc_id AS media_id,
         |  CAST(8000 + (b.doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
         |  CAST(1 + b.doc_id % 2 AS BIGINT) AS channels,
         |  CAST(COALESCE(agg.ns, 0) AS BIGINT) AS n_samples,
         |  CAST(COALESCE(agg.sq, 0) AS BIGINT) AS sumsq,
@@ -3868,6 +3922,75 @@ object SparkEntry {
         |FROM ph a JOIN ph b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 6
         |ORDER BY idA, idB""".stripMargin),
+
+    // Plane checksums recomputed from the pixel FORMULAS alone (the
+    // payload generator's scaladoc contract): w = 16+id%17, h =
+    // 16+(id*3)%13, color branch t = id%4, luma = (77r+150g+29b)//256.
+    // The Spark side must round-trip encoder → Inflater → de-filter →
+    // luma to land on these exact integers.
+    "q_image_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 3) % 13 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, i,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN (doc_id * 7 + i * 13) % 251
+        |      WHEN 3 THEN (77 * ((doc_id + 3 * i) % 256)
+        |        + 150 * (((doc_id + 3 * i) % 256) * 7 % 256)
+        |        + 29 * (((doc_id + 3 * i) % 256) * 13 % 256)) // 256
+        |      ELSE (77 * ((doc_id + 2 * i) % 256)
+        |        + 150 * ((doc_id * 3 + 5 * i) % 256)
+        |        + 29 * ((doc_id * 5 + 7 * i) % 256)) // 256
+        |    END AS lum
+        |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(lum) AS BIGINT) AS lum_sum,
+        |  CAST(SUM(lum * (i % 97 + 1)) AS BIGINT) AS lum_wsum
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // The dHash grid replayed over the same pixel formulas: sample the
+    // 10x7 grid at ((gy*h)//7, (gx*w)//10), set bit gy*9+gx iff the right
+    // neighbor is brighter — identical geometry to the Scala dHashGrid,
+    // but fed by formula pixels instead of decoded ones, gating the whole
+    // encode→decode→hash chain.
+    "q_image_phash_real" ->
+      """WITH m AS (
+        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 3) % 13 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, gy, gx,
+        |    ((gy * h) // 7) * w + ((gx * w) // 10) AS il,
+        |    ((gy * h) // 7) * w + (((gx + 1) * w) // 10) AS ir
+        |  FROM m, LATERAL (SELECT unnest(range(0, 7)) AS gy) a,
+        |          LATERAL (SELECT unnest(range(0, 9)) AS gx) b),
+        |lv AS (
+        |  SELECT doc_id, gy, gx,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN (doc_id * 7 + il * 13) % 251
+        |      WHEN 3 THEN (77 * ((doc_id + 3 * il) % 256)
+        |        + 150 * (((doc_id + 3 * il) % 256) * 7 % 256)
+        |        + 29 * (((doc_id + 3 * il) % 256) * 13 % 256)) // 256
+        |      ELSE (77 * ((doc_id + 2 * il) % 256)
+        |        + 150 * ((doc_id * 3 + 5 * il) % 256)
+        |        + 29 * ((doc_id * 5 + 7 * il) % 256)) // 256
+        |    END AS ll,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN (doc_id * 7 + ir * 13) % 251
+        |      WHEN 3 THEN (77 * ((doc_id + 3 * ir) % 256)
+        |        + 150 * (((doc_id + 3 * ir) % 256) * 7 % 256)
+        |        + 29 * (((doc_id + 3 * ir) % 256) * 13 % 256)) // 256
+        |      ELSE (77 * ((doc_id + 2 * ir) % 256)
+        |        + 150 * ((doc_id * 3 + 5 * ir) % 256)
+        |        + 29 * ((doc_id * 5 + 7 * ir) % 256)) // 256
+        |    END AS lr
+        |  FROM g)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(SUM(CASE WHEN lr > ll
+        |    THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END) AS BIGINT) AS phash
+        |FROM lv GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),

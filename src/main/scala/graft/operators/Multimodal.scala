@@ -87,6 +87,232 @@ object Multimodal {
     } else None
   }
 
+  // ------------------------------------------------------ real PNG decode
+
+  /** Hard cap on decoded plane size — an adversarial or corrupt IHDR must
+    * not allocate unbounded memory inside an executor task. */
+  private val MaxPngPixels = 1 << 24
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Integer BT.601 luma — the constant the oracle SQL replays verbatim. */
+  private def luma601(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
+
+  /** REAL PNG pixel decode — pure JVM, no codec dependencies: chunk walk
+    * (IHDR / PLTE / IDAT / IEND), zlib inflate of the concatenated IDAT
+    * stream via `java.util.zip.Inflater`, per-scanline de-filtering
+    * (None/Sub/Up/Average/Paeth per the PNG spec §9), and reduction to an
+    * 8-bit luminance plane (gray passthrough; palette lookup; RGB(A) via
+    * the integer BT.601 luma `(77r+150g+29b)>>8`).
+    *
+    * Scope: 8-bit depth, non-interlaced, color types 0/2/3/4/6 — the
+    * layouts the synthetic corpus and common real-world PNGs use. Anything
+    * else (16-bit, Adam7, truncated or non-chunk tails like the header-only
+    * harness payloads) returns None and the caller falls back to the
+    * documented stub, so pre-existing fixtures keep their byte-walk hashes.
+    *
+    * @return (width, height, luminance plane of width*height bytes) */
+  def decodePngPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    val b = bytes
+    if (b.length < 45 || u8(b, 0) != 0x89 || !ascii(b, 1, "PNG")) return None
+    var i = 8
+    var w = 0; var h = 0; var bitDepth = 0; var colorType = -1; var interlace = 0
+    var palette: Array[Byte] = null
+    var sawIhdr = false; var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend && i + 12 <= b.length) {
+      val clen = be32(b, i)
+      if (clen < 0 || i.toLong + 12 + clen > b.length) return None
+      // chunk types are four ASCII letters — anything else means the tail
+      // is not chunked (e.g. the header-only synthetic payloads) → stub
+      if (!(i + 4 until i + 8).forall { j =>
+        val ch = u8(b, j); (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')
+      }) return None
+      val ds = i + 8
+      if (ascii(b, i + 4, "IHDR") && clen >= 13) {
+        w = be32(b, ds); h = be32(b, ds + 4)
+        bitDepth = u8(b, ds + 8); colorType = u8(b, ds + 9)
+        interlace = u8(b, ds + 12); sawIhdr = true
+      } else if (ascii(b, i + 4, "PLTE")) {
+        palette = java.util.Arrays.copyOfRange(b, ds, ds + clen)
+      } else if (ascii(b, i + 4, "IDAT")) {
+        idat.write(b, ds, clen)
+      } else if (ascii(b, i + 4, "IEND")) sawIend = true
+      i = ds + clen + 4 // skip CRC (not verified — parity with decodeHeader)
+    }
+    if (!sawIhdr || bitDepth != 8 || interlace != 0 || idat.size == 0) return None
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPngPixels) return None
+    val bpp = colorType match {
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return None
+    }
+    if (colorType == 3 && palette == null) return None
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) { inf.end(); return None } // truncated
+      got += n
+    }
+    inf.end()
+    if (got != raw.length) return None
+    // de-filter in place: prior(k) refers to the RECONSTRUCTED bytes
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = u8(raw, y * (1 + stride))
+      val ro = y * (1 + stride) + 1
+      val oo = y * stride
+      var k = 0
+      while (k < stride) {
+        val x = u8(raw, ro + k)
+        val a = if (k >= bpp) u8(out, oo + k - bpp) else 0
+        val up = if (y > 0) u8(out, oo - stride + k) else 0
+        val c = if (y > 0 && k >= bpp) u8(out, oo - stride + k - bpp) else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + (a + up) / 2
+          case 4 => x + paeth(a, up, c)
+          case _ => return None
+        }
+        out(oo + k) = (v & 0xff).toByte
+        k += 1
+      }
+      y += 1
+    }
+    // reduce to luminance
+    val plane = new Array[Byte](w * h)
+    var p = 0
+    while (p < w * h) {
+      val o = p * bpp
+      val l = colorType match {
+        case 0 | 4 => u8(out, o)
+        case 2 | 6 => luma601(u8(out, o), u8(out, o + 1), u8(out, o + 2))
+        case 3 =>
+          val j = u8(out, o) * 3
+          if (j + 2 < palette.length)
+            luma601(u8(palette, j), u8(palette, j + 1), u8(palette, j + 2))
+          else 0
+      }
+      plane(p) = (l & 0xff).toByte
+      p += 1
+    }
+    Some((w, h, plane))
+  } catch { case _: java.util.zip.DataFormatException => None }
+
+  private def pngChunk(bb: java.io.ByteArrayOutputStream, tpe: String,
+                       data: Array[Byte]): Unit = {
+    def putInt(v: Int): Unit =
+      bb.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    putInt(data.length)
+    val t = tpe.getBytes("US-ASCII")
+    bb.write(t); bb.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    putInt(crc.getValue.toInt)
+  }
+
+  /** Deterministic pixel formulas for the real-PNG corpus — kept as ONE
+    * function so the payload generator and the spec fixtures agree, and
+    * simple enough that the DuckDB oracle replays them as pure SQL:
+    * t = id%4 picks the color type (0 gray, 1 RGB, 2 RGBA, 3 palette);
+    * i = y*w + x is the flat pixel index.
+    *  - gray:     lum = (id*7 + i*13) % 251
+    *  - RGB(A):   r=(id+2i)%256, g=(id*3+5i)%256, b=(id*5+7i)%256 → luma601
+    *  - palette:  j=(id+3i)%256, entry (j, 7j%256, 13j%256) → luma601 */
+  def pngExpectedLum(id: Long, i: Long): Int = (id % 4) match {
+    case 0 => ((id * 7 + i * 13) % 251).toInt
+    case 3 =>
+      val j = ((id + 3 * i) % 256).toInt
+      luma601(j, (j * 7) % 256, (j * 13) % 256)
+    case _ =>
+      luma601(((id + 2 * i) % 256).toInt, ((id * 3 + 5 * i) % 256).toInt,
+        ((id * 5 + 7 * i) % 256).toInt)
+  }
+
+  /** Real, fully-valid PNG deterministic in `id`: correct CRCs, zlib-
+    * deflated IDAT, and per-row filter type y%5 — so EVERY filter branch
+    * (None/Sub/Up/Average/Paeth) is exercised by the encode→decode
+    * round-trip on every image taller than 4 rows. Pixels come from
+    * [[pngExpectedLum]]'s formulas; w = 16 + id%17, h = 16 + (id*3)%13. */
+  def syntheticPngPixelPayload(id: Long): Array[Byte] = {
+    val w = (16 + id % 17).toInt; val h = (16 + (id * 3) % 13).toInt
+    val t = (id % 4).toInt
+    val (colorType, bpp) = t match {
+      case 0 => (0, 1); case 1 => (2, 3); case 2 => (6, 4); case _ => (3, 1)
+    }
+    val stride = w * bpp
+    val raw = new Array[Byte](h * stride)
+    var i = 0
+    while (i < w * h) {
+      val o = i * bpp
+      t match {
+        case 0 => raw(o) = (((id * 7 + i.toLong * 13) % 251) & 0xff).toByte
+        case 3 => raw(o) = (((id + 3L * i) % 256) & 0xff).toByte
+        case _ =>
+          raw(o) = (((id + 2L * i) % 256) & 0xff).toByte
+          raw(o + 1) = (((id * 3 + 5L * i) % 256) & 0xff).toByte
+          raw(o + 2) = (((id * 5 + 7L * i) % 256) & 0xff).toByte
+          if (bpp == 4) raw(o + 3) = (((id + i.toLong) % 256) & 0xff).toByte
+      }
+      i += 1
+    }
+    // filter scanlines (encoder side of the spec §9 algorithms)
+    val filtered = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      filtered(y * (1 + stride)) = ft.toByte
+      var k = 0
+      while (k < stride) {
+        val x = u8(raw, y * stride + k)
+        val a = if (k >= bpp) u8(raw, y * stride + k - bpp) else 0
+        val up = if (y > 0) u8(raw, (y - 1) * stride + k) else 0
+        val c = if (y > 0 && k >= bpp) u8(raw, (y - 1) * stride + k - bpp) else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - up
+          case 3 => x - (a + up) / 2
+          case _ => x - paeth(a, up, c)
+        }
+        filtered(y * (1 + stride) + 1 + k) = (v & 0xff).toByte
+        k += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val outStream = new java.io.ByteArrayOutputStream()
+    outStream.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    pngChunk(outStream, "IHDR", ihdr.array())
+    if (colorType == 3)
+      pngChunk(outStream, "PLTE", Array.tabulate(768) { n =>
+        val j = n / 3
+        ((n % 3) match {
+          case 0 => j; case 1 => (j * 7) % 256; case _ => (j * 13) % 256
+        }).toByte
+      })
+    pngChunk(outStream, "IDAT", zbuf.toByteArray)
+    pngChunk(outStream, "IEND", Array.emptyByteArray)
+    outStream.toByteArray
+  }
+
   /** Synthetic container payloads, deterministic in `id` (PNG/GIF/WAV
     * round-robin): REAL magic bytes and header fields so [[decodeHeader]]
     * exercises genuine parsing in the harness, plus an id-dependent filler
@@ -153,11 +379,14 @@ object Multimodal {
     * peak amplitude, and zero-crossing count (the classic cheap
     * voiced/unvoiced + silence discriminators a corpus pipeline filters
     * on). The header fields come from the genuine [[decodeHeader]] WAV
-    * parse; the data chunk is read as UNSIGNED 8-BIT samples centered at
-    * 128 — the documented stub interpretation shared with [[dHash63]]'s
-    * luminance read (a 16-bit reader changes one constant, nothing
-    * else). Everything is integer arithmetic → hash-exact cross-engine.
-    * Non-WAV payloads surface with NULL fields, never dropped. */
+    * parse, and the sample reader BRANCHES ON THE DECLARED
+    * bits_per_sample: 16-bit files are read as signed little-endian
+    * 16-bit samples (a trailing odd byte is ignored), everything else as
+    * unsigned 8-bit centered at 128. Channels are interleaved in PCM, so
+    * the stats are whole-stream (all channels pooled) — the corpus-filter
+    * semantics, documented rather than per-channel. Everything is integer
+    * arithmetic → hash-exact cross-engine. Non-WAV payloads surface with
+    * NULL fields, never dropped. */
   def audioStats(df: DataFrame, idCol: String, payloadCol: String)
                 (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -167,29 +396,45 @@ object Multimodal {
       .map { case (id, b) =>
         val isWav = b.length >= 44 && ascii(b, 0, "RIFF") &&
           ascii(b, 8, "WAVE") && ascii(b, 12, "fmt ")
-        if (!isWav) (id, 0L, 0L, 0L, 0L, 0L, 0L, false)
+        if (!isWav) (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
         else {
-          val (rate, _, channels) = decodeHeader(b).get
+          val (rate, bits, channels) = decodeHeader(b).get
           val off = containerBodyOffset(b)
-          var sumsq = 0L; var peak = 0L; var zc = 0L
+          var n = 0L; var sumsq = 0L; var peak = 0L; var zc = 0L
           var prevNonNeg = true; var first = true
-          var i = off
-          while (i < b.length) {
-            val a = (b(i) & 0xff) - 128
-            sumsq += a.toLong * a
-            if (math.abs(a) > peak) peak = math.abs(a)
-            val nonNeg = a >= 0
-            if (!first && nonNeg != prevNonNeg) zc += 1
-            prevNonNeg = nonNeg; first = false
-            i += 1
+          if (bits == 16) {
+            var i = off
+            while (i + 1 < b.length) {
+              val a = (b(i + 1).toInt << 8) | (b(i) & 0xff) // signed LE16
+              n += 1
+              sumsq += a.toLong * a
+              if (math.abs(a) > peak) peak = math.abs(a)
+              val nonNeg = a >= 0
+              if (!first && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg; first = false
+              i += 2
+            }
+          } else {
+            var i = off
+            while (i < b.length) {
+              val a = (b(i) & 0xff) - 128
+              n += 1
+              sumsq += a.toLong * a
+              if (math.abs(a) > peak) peak = math.abs(a)
+              val nonNeg = a >= 0
+              if (!first && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg; first = false
+              i += 1
+            }
           }
-          (id, rate.toLong, channels.toLong, (b.length - off).toLong,
-            sumsq, peak, zc, true)
+          (id, rate.toLong, bits.toLong, channels.toLong, n, sumsq, peak, zc, true)
         }
       }
-      .toDF("media_id", "__rate", "__ch", "__n", "__sq", "__pk", "__zc", "__ok")
+      .toDF("media_id", "__rate", "__bits", "__ch", "__n", "__sq", "__pk",
+        "__zc", "__ok")
       .select(col("media_id"),
         when(col("__ok"), col("__rate")).as("sample_rate"),
+        when(col("__ok"), col("__bits")).as("bits_per_sample"),
         when(col("__ok"), col("__ch")).as("channels"),
         when(col("__ok"), col("__n")).as("n_samples"),
         when(col("__ok"), col("__sq")).as("sumsq"),
@@ -386,28 +631,34 @@ object Multimodal {
     * grid geometry, bit packing, banding, and pair machinery all stay.
     * Empty body (header-only payload) hashes to 0 — all such payloads
     * are "identical blank images" and pair at hamming 0. */
-  def dHash63(bytes: Array[Byte]): Long = {
-    val (w, h, _) = decodeHeader(bytes).getOrElse(decodeStub(bytes))
-    val off = containerBodyOffset(bytes)
-    val bodyLen = bytes.length - off
-    if (bodyLen <= 0) 0L
-    else {
-      def lum(py: Long, px: Long): Int =
-        bytes(off + ((py * w + px) % bodyLen).toInt) & 0xff
-      var hash = 0L
-      var gy = 0
-      while (gy < 7) {
-        val py = gy.toLong * h / 7
-        var gx = 0
-        while (gx < 9) {
-          if (lum(py, (gx + 1).toLong * w / 10) > lum(py, gx.toLong * w / 10))
-            hash |= 1L << (gy * 9 + gx)
-          gx += 1
-        }
-        gy += 1
+  def dHash63(bytes: Array[Byte]): Long = decodePngPixels(bytes) match {
+    case Some((w, h, plane)) => // REAL pixels: full chunk/inflate/unfilter decode
+      dHashGrid(w, h, (py, px) => plane((py * w + px).toInt) & 0xff)
+    case None =>
+      val (w, h, _) = decodeHeader(bytes).getOrElse(decodeStub(bytes))
+      val off = containerBodyOffset(bytes)
+      val bodyLen = bytes.length - off
+      if (bodyLen <= 0) 0L
+      else dHashGrid(w, h,
+        (py, px) => bytes(off + ((py * w + px) % bodyLen).toInt) & 0xff)
+  }
+
+  /** The shared dHash grid geometry + bit pack: 10×7 sample grid, bit
+    * gy·9+gx set iff the right neighbor is brighter. */
+  private def dHashGrid(w: Int, h: Int, lum: (Long, Long) => Int): Long = {
+    var hash = 0L
+    var gy = 0
+    while (gy < 7) {
+      val py = gy.toLong * h / 7
+      var gx = 0
+      while (gx < 9) {
+        if (lum(py, (gx + 1).toLong * w / 10) > lum(py, gx.toLong * w / 10))
+          hash |= 1L << (gy * 9 + gx)
+        gx += 1
       }
-      hash
+      gy += 1
     }
+    hash
   }
 
   /** (media_id, phash) for a media dataset — the image analogue of
