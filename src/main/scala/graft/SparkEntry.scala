@@ -399,6 +399,22 @@ object SparkEntry {
       TextAnalysis.trigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Persistence twin of q_text_trigram_lp: train the three conditional
+    // tables → save to parquet → load → score. Shares the trigram ORACLE
+    // verbatim (doubles round-trip parquet bit-exactly), so the reloaded
+    // LM must score hash-identically to the train-fresh one.
+    "q_text_trigram_reload" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_trigram_model_"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_trigram_model_${runTag(dir)}"
+      val docs = t(s, dir, "documents")
+      TextAnalysis.saveTrigramLm(TextAnalysis.trainTrigramLm(docs, "text"), path)
+      TextAnalysis.scoreTrigramLm(TextAnalysis.loadTrigramLm(s, path),
+        docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Tokenizer fertility per lang: subword pieces per word + chars per
     // piece in ppm — ONE profile scan, one group-keyed agg, all-integer.
     "q_tokenizer_fertility" -> ((s, dir) =>
@@ -479,11 +495,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
-    // REAL subword tokenization: corpus-learned BPE merges (Sennrich
-    // ACL'16) applied shuffle-free under a broadcast merge table. The
-    // iterative merge application is not ANSI-expressible -> rows-only
-    // here, driver-gated by the round-trip identity sibling below.
+    // REAL subword tokenization under the FROZEN shipped-artifact merge
+    // table (the production tokenizer shape — GPT-2-style BPE applies a
+    // fixed published merge list, it never re-learns per corpus): the
+    // merges are a constant learned from the in-code seed word table, the
+    // Spark side applies them shuffle-free under a broadcast rank map,
+    // and the oracle applies the SAME literal merges with a recursive
+    // CTE (rank-ordered replace-to-fixpoint, provably equivalent to
+    // best-rank greedy because a pair's rank always exceeds the ranks
+    // that formed its symbols) — token streams hash-match exactly.
     "q_bpe_tokenize" -> ((s, dir) =>
+      operators.BpeTokenizer.tokenizeWith(t(s, dir, "documents"), "doc_id",
+        "text", operators.BpeTokenizer.frozenMerges)
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // CORPUS-learned BPE (Sennrich ACL'16): merges learned from the input
+    // corpus itself. The learning loop is not ANSI-expressible ->
+    // rows-only here, driver-gated by the round-trip identity sibling.
+    "q_bpe_learned" -> ((s, dir) =>
       operators.BpeTokenizer.tokenize(t(s, dir, "documents"), "doc_id", "text",
         numMerges = 200)
         .orderBy(col("doc_id"), col("pos"))),
@@ -492,9 +521,21 @@ object SparkEntry {
     // tokens must reproduce the cleaned word sequence for EVERY document
     // — an independent builtin-expression path; violations-only output
     // against the empty-relation oracle.
-    "q_bpe_tokenize_verify" -> ((s, dir) =>
+    "q_bpe_learned_verify" -> ((s, dir) =>
       operators.BpeTokenizer.roundTripViolations(
         t(s, dir, "documents"), "doc_id", "text", numMerges = 200)),
+
+    // Persistence gate (train once, score forever): tokenize under the
+    // train-fresh learned merges vs under the save→parquet→load copy —
+    // any divergent row violates; empty-relation oracle.
+    "q_bpe_reload_verify" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_bpe_model_"))
+      operators.BpeTokenizer.reloadViolations(
+        t(s, dir, "documents"), "doc_id", "text", numMerges = 200,
+        s"${System.getProperty("java.io.tmpdir")}/graft_bpe_model_${runTag(dir)}")
+    }),
 
     // Character-entropy quality signal: base64/minified blobs score high,
     // template/padding spam scores low — (doc, char)-keyed exchanges only.
@@ -523,6 +564,25 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Persistence twin of q_classify_nb: train → save the model grid to
+    // parquet → load it back → score. Shares q_classify_nb's ORACLE
+    // verbatim, so the reloaded model must classify hash-identically to
+    // the train-fresh one — the "train once, score forever" gate.
+    "q_classify_nb_reload" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_nb_model_"))
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_nb_model_${runTag(dir)}"
+      val docs = t(s, dir, "documents")
+      operators.Classify.saveModel(
+        operators.Classify.trainNaiveBayes(
+          docs.filter(col("doc_id") % 5 =!= 0), "text", "lang"), path)
+      operators.Classify.scoreNaiveBayes(
+        operators.Classify.loadModel(s, path),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -2991,6 +3051,42 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // PCA persistence gate: solve the basis ONCE, save to parquet, load
+    // it back, and demand (a) the loaded mean/components are BITWISE
+    // equal to the saved ones (driver-side doubles, sentinel rows on
+    // mismatch) and (b) the projections under saved vs loaded basis are
+    // exactly equal per vector — bit-identity is the contract because
+    // load ∘ save must be the identity on doubles. Empty-relation oracle.
+    "q_vec_pca_reload_verify" -> ((s, dir) => {
+      import s.implicits._
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_pca_model_"))
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pca_model_${runTag(dir)}"
+      val e = t(s, dir, "embeddings")
+      val (mean, _, comps) = operators.VectorStats.pcaComponents(e, "embedding", 8)
+      operators.VectorStats.savePcaBasis(s, mean, comps, path)
+      val (mean2, comps2) = operators.VectorStats.loadPcaBasis(s, path)
+      val basisVio =
+        (if (java.util.Arrays.equals(mean, mean2)) Seq.empty[(Long, String)]
+         else Seq((-1L, "mean_roundtrip_mismatch"))) ++
+        comps.indices.collect {
+          case i if !java.util.Arrays.equals(comps(i), comps2(i)) =>
+            (-2L - i, "component_roundtrip_mismatch")
+        }
+      val a = operators.VectorStats
+        .pcaProject(e, "embedding", "proj", mean, comps)
+        .select(col("vec_id").cast("long").as("vec_id"), col("proj"))
+      val b = operators.VectorStats
+        .pcaProject(e, "embedding", "proj2", mean2, comps2)
+        .select(col("vec_id").cast("long").as("vec_id"), col("proj2"))
+      a.join(b, "vec_id")
+        .filter(not(col("proj") <=> col("proj2")))
+        .select(col("vec_id"), lit("projection_mismatch").as("issue"))
+        .unionByName(basisVio.toDF("vec_id", "issue"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Two-phase salted aggregation: decomposable aggregates partial-agg on
     // (keys, salt) then combine — identical to the plain groupBy, so the
     // oracle IS the plain groupBy (3 heavily-skewed return-flag keys).
@@ -3580,6 +3676,97 @@ object SparkEntry {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
       |        ORDER BY score DESC, label) AS rn FROM scored) z
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  private val trigramLpSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                             t -> t <> '') AS tk
+      |  FROM documents),
+      |tg AS (
+      |  SELECT doc_id, list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2,
+      |         list_extract(tk, i + 2) AS w3
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
+      |  WHERE len(tk) >= 3),
+      |bg AS (
+      |  SELECT list_extract(tk, i) AS a, list_extract(tk, i + 1) AS b
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+      |  WHERE len(tk) >= 2),
+      |un AS (SELECT t.term FROM toks, UNNEST(tk) AS t(term)),
+      |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12 FROM c3 GROUP BY 1, 2),
+      |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1h AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1h FROM c2 GROUP BY 1),
+      |c1 AS (SELECT term, COUNT(*) AS c FROM un GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
+      |lp AS (
+      |  SELECT tg.doc_id,
+      |    CAST(ROUND(LN((70 * (CAST(c3.c3 AS DOUBLE) / CAST(c12.c12 AS DOUBLE))
+      |                 + 20 * (CAST(c2.c2 AS DOUBLE) / CAST(c1h.c1h AS DOUBLE))
+      |                 + 10 * (CAST(c1.c AS DOUBLE) / CAST(n.n AS DOUBLE))) / 100), 6)
+      |      AS DECIMAL(18,6)) AS lp
+      |  FROM tg
+      |  JOIN c3 USING (w1, w2, w3)
+      |  JOIN c12 USING (w1, w2)
+      |  JOIN c2 ON c2.a = tg.w2 AND c2.b = tg.w3
+      |  JOIN c1h ON c1h.a = tg.w2
+      |  JOIN c1 ON c1.term = tg.w3
+      |  CROSS JOIN n),
+      |pd AS (SELECT doc_id, COUNT(*) AS n_trigrams, SUM(lp) AS slp
+      |       FROM lp GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(pd.n_trigrams, 0) AS n_trigrams,
+      |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_trigrams AS DOUBLE) AS avg_lp3
+      |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** The frozen-BPE oracle: a recursive CTE applying the LITERAL
+    * [[operators.BpeTokenizer.frozenMerges]] table (interpolated here, so
+    * the two engines share one source of truth) in rank order, each rank
+    * replaced to fixpoint. See the q_bpe_tokenize oracle comment. */
+  private def bpeFrozenSql: String = {
+    val vals = operators.BpeTokenizer.frozenMerges.zipWithIndex
+      .map { case ((x, y), r) => s"($r, '$x', '$y')" }.mkString(", ")
+    val maxRank = operators.BpeTokenizer.frozenMerges.size
+    s"""WITH RECURSIVE
+       |mg(r, x, y) AS (SELECT * FROM (VALUES $vals) v(r, x, y)),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                             t -> t <> '') AS tk
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, i AS wpos, list_extract(tk, i) AS word
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
+       |dw AS (SELECT DISTINCT word FROM w),
+       |enc AS (
+       |  SELECT word,
+       |    chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substring(word, i, 1) ||
+       |        CASE WHEN i = length(word) THEN '</w>' ELSE '' END), chr(1))
+       |      || chr(1) AS seq,
+       |    0 AS r
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN np <> seq THEN np ELSE seq END,
+       |    CASE WHEN np <> seq THEN r ELSE r + 1 END
+       |  FROM (
+       |    SELECT e.word, e.seq, e.r,
+       |      replace(replace(e.seq,
+       |        chr(1) || m.x || chr(1) || m.y || chr(1),
+       |        chr(1) || m.x || m.y || chr(2)), chr(2), chr(1)) AS np
+       |    FROM enc e JOIN mg m ON m.r = e.r) s),
+       |tok AS (
+       |  SELECT word, list_filter(string_split(seq, chr(1)), t -> t <> '') AS toks
+       |  FROM enc WHERE r = $maxRank),
+       |wt AS (
+       |  SELECT doc_id, wpos, toks, len(toks) AS n,
+       |    SUM(len(toks)) OVER (PARTITION BY doc_id ORDER BY wpos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+       |  FROM w JOIN tok USING (word))
+       |SELECT doc_id, CAST(COALESCE(off, 0) + i - 1 AS BIGINT) AS pos,
+       |  list_extract(toks, i) AS token
+       |FROM wt, LATERAL (SELECT unnest(range(1, n + 1)) AS i) r
+       |ORDER BY doc_id, pos""".stripMargin
+  }
 
   private val phashCteSql: String =
     """WITH m AS (
@@ -4838,49 +5025,34 @@ object SparkEntry {
     // division of BIGINT counts, the λ-weighted sum is the identical
     // left-associative chain on both engines, and only the final LN
     // leans on the 6dp-round + decimal-sum contract.
-    "q_text_trigram_lp" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |                             t -> t <> '') AS tk
-        |  FROM documents),
-        |tg AS (
-        |  SELECT doc_id, list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2,
-        |         list_extract(tk, i + 2) AS w3
-        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
-        |  WHERE len(tk) >= 3),
-        |bg AS (
-        |  SELECT list_extract(tk, i) AS a, list_extract(tk, i + 1) AS b
-        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
-        |  WHERE len(tk) >= 2),
-        |un AS (SELECT t.term FROM toks, UNNEST(tk) AS t(term)),
-        |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY 1, 2, 3),
-        |c12 AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12 FROM c3 GROUP BY 1, 2),
-        |c2 AS (SELECT a, b, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
-        |c1h AS (SELECT a, CAST(SUM(c2) AS BIGINT) AS c1h FROM c2 GROUP BY 1),
-        |c1 AS (SELECT term, COUNT(*) AS c FROM un GROUP BY 1),
-        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1),
-        |lp AS (
-        |  SELECT tg.doc_id,
-        |    CAST(ROUND(LN((70 * (CAST(c3.c3 AS DOUBLE) / CAST(c12.c12 AS DOUBLE))
-        |                 + 20 * (CAST(c2.c2 AS DOUBLE) / CAST(c1h.c1h AS DOUBLE))
-        |                 + 10 * (CAST(c1.c AS DOUBLE) / CAST(n.n AS DOUBLE))) / 100), 6)
-        |      AS DECIMAL(18,6)) AS lp
-        |  FROM tg
-        |  JOIN c3 USING (w1, w2, w3)
-        |  JOIN c12 USING (w1, w2)
-        |  JOIN c2 ON c2.a = tg.w2 AND c2.b = tg.w3
-        |  JOIN c1h ON c1h.a = tg.w2
-        |  JOIN c1 ON c1.term = tg.w3
-        |  CROSS JOIN n),
-        |pd AS (SELECT doc_id, COUNT(*) AS n_trigrams, SUM(lp) AS slp
-        |       FROM lp GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(pd.n_trigrams, 0) AS n_trigrams,
-        |  CAST(pd.slp AS DOUBLE) / CAST(pd.n_trigrams AS DOUBLE) AS avg_lp3
-        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_text_trigram_lp" -> trigramLpSql,
 
-    "q_bpe_tokenize_verify" ->
+    // The reloaded-model twin shares the oracle VERBATIM: persistence
+    // must be invisible to the scores.
+    "q_text_trigram_reload" -> trigramLpSql,
+
+    // Frozen-merge BPE application replayed in SQL: the SAME literal
+    // merge table (built from BpeTokenizer.frozenMerges, so the two
+    // engines can never drift), applied by a recursive CTE that takes
+    // each rank to fixpoint with separator-delimited string replaces —
+    // chr(1) delimits symbols, chr(2) is the fresh-merge sentinel that
+    // re-opens the boundary for chained occurrences ("x y x y"). Rank-
+    // ordered application ≡ best-rank greedy because a pair's rank always
+    // exceeds the ranks that formed its symbols. Distinct words encode
+    // once; per-doc positions come from a word-offset prefix sum.
+    "q_bpe_tokenize" -> bpeFrozenSql,
+
+    "q_bpe_learned_verify" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
+
+    "q_bpe_reload_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS pos,
+        |  CAST(NULL AS VARCHAR) AS token, CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
+
+    "q_vec_pca_reload_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
     // Streaming PMI: exact integer pair counts make stream ≡ batch, so
@@ -5016,6 +5188,10 @@ object SparkEntry {
     // completed term×label grid gives unseen-for-label tokens the
     // Laplace-smoothed mass; argmax tie-breaks on label.
     "q_classify_nb" -> nbOracleSql,
+
+    // The reloaded-model twin shares the oracle VERBATIM: the parquet
+    // round-trip of the decimal grid must be invisible to every score.
+    "q_classify_nb_reload" -> nbOracleSql,
 
     // Tie-aware Mann–Whitney AUC replayed in SQL: same grouped-counts +
     // windowed-cumulative derivation; CAST every aggregate to BIGINT

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * merge table is a pure function of the word-count table; application is
   * a pure function of (word, merge ranks). The round-trip identity
   * (detokenized tokens == cleaned words) is gated in-engine by
-  * q_bpe_tokenize_verify against the empty relation.
+  * q_bpe_learned_verify against the empty relation.
   *
   * End-of-word is marked by the `</w>` suffix on a word's final symbol
   * (the Sennrich convention): "hello" → e.g. ["he", "llo</w>"]. Input
@@ -45,7 +45,6 @@ object BpeTokenizer {
     * priority order (rank 0 = first learned = highest priority). */
   def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
                   maxWords: Int = 50000): Seq[(String, String)] = {
-    require(numMerges > 0, "learnMerges: numMerges must be positive")
     val wordCounts = df
       .select(explode(Dedup.cleanTokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -53,6 +52,17 @@ object BpeTokenizer {
       .limit(maxWords) // bounded driver collect: vocabulary head only
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq
+    learnMergesFromCounts(wordCounts, numMerges)
+  }
+
+  /** The driver merge loop over an in-memory word-count table — the pure
+    * function both [[learnMerges]] (corpus counts) and [[frozenMerges]]
+    * (seed counts) share. Deterministic: count ties break
+    * lexicographically. */
+  def learnMergesFromCounts(wordCounts: Seq[(String, Long)],
+                            numMerges: Int): Seq[(String, String)] = {
+    require(numMerges > 0, "learnMerges: numMerges must be positive")
     // represent each word as its symbol sequence, last symbol marked </w>
     val words = mutable.ArrayBuffer.from(wordCounts.map { case (w, c) =>
       val syms = w.map(_.toString).toArray
@@ -143,11 +153,84 @@ object BpeTokenizer {
   /** (idCol, pos, token) exploded tokenization of the corpus under
     * corpus-learned merges — the harness surface. */
   def tokenize(df: DataFrame, idCol: String, textCol: String,
-               numMerges: Int, maxWords: Int = 50000): DataFrame = {
-    val merges = learnMerges(df, textCol, numMerges, maxWords)
+               numMerges: Int, maxWords: Int = 50000): DataFrame =
+    tokenizeWith(df, idCol, textCol,
+      learnMerges(df, textCol, numMerges, maxWords))
+
+  /** Apply-only tokenization under an EXPLICIT merge table — the
+    * production shape: the model trains once (or ships frozen) and every
+    * scoring pass is a shuffle-free broadcast application. */
+  def tokenizeWith(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame =
     df.select(col(idCol),
         posexplode(tokensColumn(merges, col(textCol))).as(Seq("pos", "token")))
       .select(col(idCol), col("pos").cast("long").as("pos"), col("token"))
+
+  // --------------------------------------------------- frozen seed model
+
+  /** Deterministic seed word-frequency table for [[frozenMerges]] — a
+    * hand-fixed mini-corpus (common English function/content words at
+    * Zipf-ish counts). It is a CONSTANT, so the merges learned from it
+    * are a pure function of this source file: the oracle SQL literalizes
+    * them and both engines agree forever, the same constant-model idiom
+    * as the LSH hyperplane seeds. */
+  val seedWordCounts: Seq[(String, Long)] = Seq(
+    "the" -> 900L, "of" -> 520L, "and" -> 480L, "to" -> 440L, "a" -> 420L,
+    "in" -> 380L, "that" -> 300L, "is" -> 280L, "was" -> 250L, "he" -> 240L,
+    "for" -> 230L, "it" -> 220L, "with" -> 210L, "as" -> 200L, "his" -> 190L,
+    "on" -> 180L, "be" -> 170L, "at" -> 160L, "by" -> 150L, "had" -> 140L,
+    "not" -> 130L, "are" -> 125L, "but" -> 120L, "from" -> 115L,
+    "or" -> 110L, "have" -> 105L, "an" -> 100L, "they" -> 95L,
+    "which" -> 90L, "one" -> 85L, "you" -> 80L, "were" -> 75L,
+    "her" -> 70L, "all" -> 65L, "she" -> 60L, "there" -> 55L,
+    "would" -> 50L, "their" -> 48L, "we" -> 46L, "him" -> 44L,
+    "been" -> 42L, "has" -> 40L, "when" -> 38L, "who" -> 36L,
+    "will" -> 34L, "more" -> 32L, "no" -> 30L, "if" -> 28L, "out" -> 26L,
+    "so" -> 24L, "said" -> 22L, "what" -> 20L, "up" -> 18L, "its" -> 16L,
+    "about" -> 14L, "into" -> 12L, "than" -> 10L, "them" -> 9L,
+    "can" -> 8L, "only" -> 7L, "other" -> 6L, "new" -> 5L, "some" -> 4L,
+    "could" -> 3L, "time" -> 2L, "these" -> 1L)
+
+  /** The frozen 40-merge table learned from [[seedWordCounts]] — the
+    * shipped-artifact tokenizer every engine can replay: the harness
+    * applies it shuffle-free and the DuckDB oracle applies the SAME
+    * literal merges with a recursive CTE, so token streams hash-match. */
+  lazy val frozenMerges: Seq[(String, String)] =
+    learnMergesFromCounts(seedWordCounts, 40)
+
+  // ------------------------------------------------------- persistence
+
+  /** Persist a merge table as plain parquet (rank, x, y) — rank is the
+    * priority order, so load ∘ save is the identity (spec-pinned):
+    * strings round-trip parquet bit-exactly. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((x, y), r) => (r, x, y) }
+      .toDF("rank", "x", "y")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Rebuild a merge table from [[saveMerges]] output, in priority order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank"))
+      .collect().map(r => (r.getAs[String]("x"), r.getAs[String]("y"))).toSeq
+
+  /** Reload gate (empty relation when correct): tokenize under the
+    * train-fresh merges vs under save→load merges — any row where the two
+    * token streams differ. Exercises the full persistence path inside one
+    * hash-gated harness query. */
+  def reloadViolations(df: DataFrame, idCol: String, textCol: String,
+                       numMerges: Int, modelPath: String)
+                      (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val fresh = learnMerges(df, textCol, numMerges)
+    saveMerges(spark, fresh, modelPath)
+    val reloaded = loadMerges(spark, modelPath)
+    val a = tokenizeWith(df, idCol, textCol, fresh)
+    val b = tokenizeWith(df, idCol, textCol, reloaded)
+    a.exceptAll(b).withColumn("side", lit("fresh_only"))
+      .unionAll(b.exceptAll(a).withColumn("side", lit("reloaded_only")))
   }
 
   /** Deterministic vocabulary for a merge table: every reachable token —

@@ -83,6 +83,21 @@ object Classify {
     NbModel(lp, prior)
   }
 
+  /** Persist the trained grid + priors as plain parquet — "train once,
+    * score forever": decimal(18,6) log-probabilities are exact scaled
+    * integers, so save ∘ load is bit-identical (spec-pinned), and a
+    * model reloaded in a later job classifies exactly like the fresh one. */
+  def saveModel(model: NbModel, path: String): Unit = {
+    model.lp.coalesce(1).write.mode("overwrite").parquet(s"$path/lp")
+    model.prior.coalesce(1).write.mode("overwrite").parquet(s"$path/prior")
+  }
+
+  /** Rebuild a model from [[saveModel]] output. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): NbModel =
+    NbModel(spark.read.parquet(s"$path/lp"),
+      spark.read.parquet(s"$path/prior"))
+
   /** The scoring half: classify `score` under a trained model. Works on a
     * batch frame or inside a streaming foreachBatch (each document is one
     * row, so scoring needs no cross-batch state). */

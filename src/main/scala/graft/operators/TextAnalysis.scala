@@ -429,23 +429,31 @@ object TextAnalysis {
     * < 3 tokens get n_trigrams = 0 and NULL avg_lp3. */
   def trigramLogProb(df: DataFrame, idCol: String, textCol: String,
                      lam3: Int = 70, lam2: Int = 20,
-                     lam1: Int = 10): DataFrame = {
-    require(lam3 > 0 && lam2 > 0 && lam1 > 0 && lam3 + lam2 + lam1 == 100,
-      s"weights must be positive percents summing to 100, got $lam3/$lam2/$lam1")
+                     lam1: Int = 10): DataFrame =
+    scoreTrigramLm(trainTrigramLm(df, textCol), df, idCol, textCol,
+      lam3, lam2, lam1)
+
+  /** A trained interpolated-trigram LM: the three conditional-probability
+    * tables (each one IEEE double division per row — bit-exact to
+    * persist). Vocabulary-sized, never corpus-sized. */
+  final case class TrigramLm(p3: DataFrame, p2: DataFrame, p1: DataFrame)
+
+  /** The training half of [[trigramLogProb]]: derive the three
+    * probability tables from the corpus. */
+  def trainTrigramLm(df: DataFrame, textCol: String): TrigramLm = {
     // Bind the token array to an attribute before the transforms (the
     // measured O(tokens²) lesson from bigramLogProb).
     val tk = Dedup.cleanTokens(col(textCol))
-    val toks = df.select(col(idCol), tk.as("__tk"))
+    val toks = df.select(tk.as("__tk"))
     val tg = toks
-      .select(col(idCol), explode(when(size(col("__tk")) >= 3,
+      .select(explode(when(size(col("__tk")) >= 3,
         transform(sequence(lit(0), size(col("__tk")) - 3),
           i => struct(element_at(col("__tk"), i + 1).as("w1"),
                       element_at(col("__tk"), i + 2).as("w2"),
                       element_at(col("__tk"), i + 3).as("w3"))))
         .otherwise(array()
           .cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
-      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
-        col("t.w3").as("w3"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
     // trigram conditional: c(w1w2w3) / c(w1w2·), the prefix marginal
     // derived from the trigram table itself
     val c3 = tg.groupBy(col("w1"), col("w2"), col("w3"))
@@ -476,6 +484,47 @@ object TextAnalysis {
     val p1 = c1.crossJoin(broadcast(nTot))
       .select(col("term"),
         (col("c").cast("double") / col("n").cast("double")).as("p1"))
+    TrigramLm(p3, p2, p1)
+  }
+
+  /** Persist the three probability tables as plain parquet — doubles
+    * round-trip parquet bit-exactly, so a reloaded LM scores identically
+    * to the train-fresh one (spec-pinned). */
+  def saveTrigramLm(model: TrigramLm, path: String): Unit = {
+    model.p3.coalesce(1).write.mode("overwrite").parquet(s"$path/p3")
+    model.p2.coalesce(1).write.mode("overwrite").parquet(s"$path/p2")
+    model.p1.coalesce(1).write.mode("overwrite").parquet(s"$path/p1")
+  }
+
+  /** Rebuild an LM from [[saveTrigramLm]] output. */
+  def loadTrigramLm(spark: org.apache.spark.sql.SparkSession,
+                    path: String): TrigramLm =
+    TrigramLm(spark.read.parquet(s"$path/p3"),
+      spark.read.parquet(s"$path/p2"), spark.read.parquet(s"$path/p1"))
+
+  /** The scoring half of [[trigramLogProb]]: per-doc interpolated
+    * log-probabilities under an already-trained model. Closed-world NOTE:
+    * inner probability joins mean a scored trigram absent from the model
+    * is dropped (the self-trained harness never hits this; a held-out
+    * scorer would switch these to left joins + smoothing). */
+  def scoreTrigramLm(model: TrigramLm, df: DataFrame, idCol: String,
+                     textCol: String, lam3: Int = 70, lam2: Int = 20,
+                     lam1: Int = 10): DataFrame = {
+    require(lam3 > 0 && lam2 > 0 && lam1 > 0 && lam3 + lam2 + lam1 == 100,
+      s"weights must be positive percents summing to 100, got $lam3/$lam2/$lam1")
+    val TrigramLm(p3, p2, p1) = model
+    val tk = Dedup.cleanTokens(col(textCol))
+    val toks = df.select(col(idCol), tk.as("__tk"))
+    val tg = toks
+      .select(col(idCol), explode(when(size(col("__tk")) >= 3,
+        transform(sequence(lit(0), size(col("__tk")) - 3),
+          i => struct(element_at(col("__tk"), i + 1).as("w1"),
+                      element_at(col("__tk"), i + 2).as("w2"),
+                      element_at(col("__tk"), i + 3).as("w3"))))
+        .otherwise(array()
+          .cast("array<struct<w1:string,w2:string,w3:string>>"))).as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
     val perDoc = tg
       .join(p3, Seq("w1", "w2", "w3"))
       .join(p2, col("w2") === col("a") && col("w3") === col("b"))

@@ -223,6 +223,33 @@ object VectorStats {
     pcaProject(df, vecCol, outCol, mean, comps)
   }
 
+  /** Persist a solved PCA basis as plain parquet: one row per component
+    * (kind='comp', idx=rank) plus the mean row (kind='mean') — doubles
+    * round-trip parquet bit-exactly, so a reloaded basis projects
+    * identically to the solve-fresh one (spec-pinned). */
+  def savePcaBasis(spark: org.apache.spark.sql.SparkSession,
+                   mean: Array[Double], comps: Array[Array[Double]],
+                   path: String): Unit = {
+    import spark.implicits._
+    (("mean", -1, mean.toSeq) +:
+        comps.toSeq.zipWithIndex.map { case (c, i) => ("comp", i, c.toSeq) })
+      .toDF("kind", "idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Rebuild (mean, components) from [[savePcaBasis]] output. */
+  def loadPcaBasis(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (Array[Double], Array[Array[Double]]) = {
+    val rows = spark.read.parquet(path).collect()
+    val mean = rows.find(_.getAs[String]("kind") == "mean")
+      .map(_.getAs[Seq[Double]]("vec").toArray)
+      .getOrElse(throw new IllegalStateException(s"no mean row in $path"))
+    val comps = rows.filter(_.getAs[String]("kind") == "comp")
+      .sortBy(_.getAs[Int]("idx"))
+      .map(_.getAs[Seq[Double]]("vec").toArray)
+    (mean, comps)
+  }
+
   /** Projection against ALREADY-SOLVED components — callers that need the
     * (mean, comps) themselves (verification, reuse across frames) pass
     * them here instead of paying the O(n·d²) moment aggregation twice;

@@ -19,13 +19,15 @@ class OracleContractSpec extends AnyFunSuite {
 
   // the no-oracle headliners: approximate-by-design (engine-specific
   // signatures, sketch internals, or partitioning-order-dependent
-  // estimates), plus BPE tokenization which is EXACT but iterative (not
-  // ANSI-expressible); each exact/recall/round-trip-gated elsewhere and
-  // each driver-gated by its *_verify property sibling
+  // estimates), plus corpus-LEARNED BPE whose merge-learning loop is
+  // EXACT but iterative (not ANSI-expressible — the frozen-merge
+  // q_bpe_tokenize, by contrast, IS oracled via the recursive-CTE
+  // replay); each exact/recall/round-trip-gated elsewhere and each
+  // driver-gated by its *_verify property sibling
   private val approximateByDesign = Set(
     "q_approx_distinct", "q_dedup_embedding", "q_dedup_minhash",
     "q_dedup_simhash", "q_dedup_semantic", "q_sim_topk_ivf", "q_sim_topk_pq",
-    "q_bpe_tokenize", "q_quantile_approx", "q_heavy_hitters",
+    "q_bpe_learned", "q_quantile_approx", "q_heavy_hitters",
     "q_stream_hotkeys", "q_hll_rollup", "q_hll_native", "q_stream_hll",
     "q_cms_native", "q_stream_cms", "q_triangles_approx",
     "q_quantile_native", "q_stream_quantile",
