@@ -3,6 +3,31 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Per-stage shuffle tallies — the "would this plan survive 100×"
+    * number measured instead of eyeballed: every `groupBy`/`join`/
+    * `repartition` pays here, so a regression that barely moves sf0.1
+    * wall-clock (but would drown a 100 TB run in exchange volume) shows
+    * up as a shuffle-bytes jump in the per-round BENCH json and the
+    * BASELINE.md shuffle table. Stage-aggregated task metrics, summed
+    * between per-query snapshots. */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val writeBytes = new java.util.concurrent.atomic.AtomicLong
+    val writeRecords = new java.util.concurrent.atomic.AtomicLong
+    val readBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = ev.stageInfo.taskMetrics
+      if (m != null) {
+        writeBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        writeRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        readBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        ()
+      }
+    }
+    def snapshot: (Long, Long, Long) =
+      (writeBytes.get, writeRecords.get, readBytes.get)
+  }
+
   /** Consume one query through a `noop`-format write (NOT `.count()`: under
     * a count, Catalyst's EliminateSorts removes each query's final orderBy,
     * so a count-based bench under-measures sort-heavy queries; the noop sink
@@ -60,8 +85,15 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val worst = scala.collection.mutable.Map.empty[String, Double]
     val failedTime = scala.collection.mutable.Map.empty[String, Double]
+    // shuffle telemetry: (write bytes, write records, read bytes) deltas,
+    // recorded from the run that set the query's min time
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val shuffle = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
+      org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+      val (wb0, wr0, rb0) = tally.snapshot
       val t0 = System.nanoTime()
       // a failed run must NOT feed the min — a fast failure would silently
       // replace a successful run's real time; it is tracked separately and
@@ -69,7 +101,12 @@ object Bench {
       try {
         consume(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+        if (dt < best.getOrElse(name, Double.MaxValue)) {
+          best(name) = dt
+          org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+          val (wb1, wr1, rb1) = tally.snapshot
+          shuffle(name) = (wb1 - wb0, wr1 - wr0, rb1 - rb0)
+        }
         worst(name) = math.max(worst.getOrElse(name, 0.0), dt)
       } catch {
         case e: Throwable =>
@@ -94,13 +131,23 @@ object Bench {
     val qs = byCost.map(k => s"\"" + k + "\":" + fmt(timeOf(k))).mkString("{", ",", "}")
     val qsMax = byCost.map(k =>
       s"\"" + k + "\":" + fmt(worst.getOrElse(k, timeOf(k)))).mkString("{", ",", "}")
+    // shuffle telemetry: top queries by shuffle-WRITE bytes, in MB —
+    // placed FIRST on the line (the harness keeps the tail, so the
+    // timing contract survives truncation; full tallies live in the
+    // quiet-stamp BASELINE.md table)
+    val topShuffle = shuffle.toSeq.sortBy { case (k, (wb, _, _)) => (-wb, k) }
+      .take(20)
+    val shJson = topShuffle.map { case (k, (wb, wr, rb)) =>
+      s"\"" + k + "\":{\"write_mb\":" + fmt(wb / 1e6) +
+        ",\"write_rows\":" + wr + ",\"read_mb\":" + fmt(rb / 1e6) + "}"
+    }.mkString("{", ",", "}")
     val total = names.map(timeOf).sum
     val neverSucceeded = names.filterNot(best.contains)
     val failedJson =
       if (neverSucceeded.isEmpty) ""
       else neverSucceeded.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"queries_max":$qsMax$failedJson,"queries":$qs,"value":${fmt(total)},"agg":"min"}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"shuffle_top":$shJson,"queries_max":$qsMax$failedJson,"queries":$qs,"value":${fmt(total)},"agg":"min"}""")
     spark.stop()
   }
 }

@@ -1889,6 +1889,109 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming FUZZY curation: quality gate + MinHash near-dup against
+    // the standing corpus, with per-batch signatures cached and reused as
+    // the corpus index (the genuinely-incremental steady state — the
+    // corpus is never re-signed, never banded against itself). MinHash
+    // banding is engine-internal → no SQL oracle; gated by the strict
+    // stream ≡ batch equality sibling below (exact-dedup relatives:
+    // q_stream_curate / q_dedup_minhash's own verified family).
+    "q_stream_curate_fuzzy" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_curatef_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_curatef_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamCurateFuzzyBounded(s, src,
+        "doc_id", "text", minTokens = 20, n = 3, k = 64, bands = 16,
+        threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The equality gate: the bounded stream's statuses must equal the
+    // batch twin VERBATIM (uncapped pair discovery is arrival-order-
+    // invariant — see incrementalMinhashPairs; with caps the stream is
+    // only a superset, which is why the gate runs uncapped on both
+    // sides). Violations only; oracle = empty relation.
+    "q_stream_curate_fuzzy_verify" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_curatefv_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_curatefv_src_${runTag(dir)}"
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.repartition(4).write.mode("overwrite").parquet(src)
+      val streamRes = streaming.StreamingIngest.runStreamCurateFuzzyBounded(
+        s, src, "doc_id", "text", minTokens = 20, n = 3, k = 64, bands = 16,
+        threshold = 0.5)
+      val gated = docs.withColumn("__pass",
+        size(operators.Dedup.cleanTokens(col("text"))) >= 20)
+      val dups = operators.Dedup.minhashNearDupPairs(
+        gated.filter(col("__pass")).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3, k = 64, bands = 16, threshold = 0.5,
+        maxBucket = Int.MaxValue)
+        .select(col("idB").as("doc_id")).distinct()
+      val batchRes = gated
+        .join(dups.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("__pass"), lit("quality"))
+            .when(col("__dup").isNotNull, lit("duplicate"))
+            .otherwise(lit("curated")).as("status"))
+      streamRes.exceptAll(batchRes).withColumn("side", lit("stream_only"))
+        .unionAll(batchRes.exceptAll(streamRes).withColumn("side", lit("batch_only")))
+        .orderBy(col("doc_id"), col("side"))
+    }),
+
+    // Streaming ANN serving: micro-batches of queries scored in
+    // foreachBatch against the persisted-and-reloaded IVF+PQ models and
+    // the once-built code index — train once, ship the artifact, serve
+    // the stream. WHICH neighbors the probes reach is engine-internal
+    // (same as q_sim_topk_ivfpq) → no SQL oracle; gated by the STRICT
+    // equality sibling below (exact sibling: q_sim_topk).
+    "q_stream_ann" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_ann_src_", "graft_ann_model_"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_ann_src_${runTag(dir)}"
+      t(s, dir, "embeddings").repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamAnnBounded(s, src,
+        s"$tmp/graft_ann_model_${runTag(dir)}")
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Per-query top-k is a PURE function of (query, frozen models, frozen
+    // index) — no cross-batch state — so the bounded stream must equal
+    // the batch topKIndexed run under the SAME persisted models exactly,
+    // not merely to a recall floor. Violations only; empty oracle.
+    "q_stream_ann_verify" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_annv_src_", "graft_annv_model_"))
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_annv_src_${runTag(dir)}"
+      val modelPath = s"$tmp/graft_annv_model_${runTag(dir)}"
+      t(s, dir, "embeddings").repartition(4).write.mode("overwrite").parquet(src)
+      val emb = s.read.parquet(src)
+      val ivf = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+      val pq = operators.ProductQuantize.train(emb, "vec_id", "embedding",
+        m = 16, k = 64)
+      val streamRes = streaming.StreamingIngest.runStreamAnnBounded(s, src,
+        modelPath, pretrained = Some((ivf, pq)))
+      // score the batch twin under the models the stream actually SERVED
+      // (the reloaded copies — load ∘ save identity is itself spec-pinned)
+      val (livf, lpq) = operators.IvfPq.loadModels(s, modelPath)
+      // both frames feed BOTH exceptAll sides — checkpoint to sever the
+      // shared index lineage (duplicate attribute ids otherwise collide
+      // inside the dual anti-join plan) and to run each search once
+      val a = streamRes.localCheckpoint()
+      val b = operators.IvfPq.topKIndexed(
+        emb.filter(col("vec_id") < 16),
+        operators.IvfPq.index(emb, livf, lpq), emb, livf, lpq,
+        k = 10, nprobe = 4, shortlist = 32).localCheckpoint()
+      a.exceptAll(b).withColumn("side", lit("stream_only"))
+        .unionAll(b.exceptAll(a).withColumn("side", lit("batch_only")))
+        .orderBy(col("query_id"), col("rank"), col("side"))
+    }),
+
     // Streaming hot-key detection: the SAME native MG aggregate as
     // q_heavy_hitters, run as a streaming global aggregate — the
     // capacity-sized buffer is the state carried across micro-batches.
@@ -5049,6 +5152,17 @@ object SparkEntry {
     "q_bpe_reload_verify" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS pos,
         |  CAST(NULL AS VARCHAR) AS token, CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
+
+    "q_stream_curate_fuzzy_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS status,
+        |  CAST(NULL AS VARCHAR) AS side
+        |WHERE FALSE""".stripMargin,
+
+    "q_stream_ann_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS INTEGER) AS rank,
+        |  CAST(NULL AS BIGINT) AS neighbor_id, CAST(NULL AS DOUBLE) AS cosine,
+        |  CAST(NULL AS VARCHAR) AS side
         |WHERE FALSE""".stripMargin,
 
     "q_vec_pca_reload_verify" ->

@@ -286,6 +286,81 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  /** (id, sh, sig) signature frame for [[incrementalMinhashPairs]] —
+    * exposed so a STREAMING caller can compute each batch's signatures
+    * once, checkpoint them, and reuse them as the standing-corpus side of
+    * every later batch (signatures are pure per-doc functions of the text
+    * under the fixed permutation seed, so cached frames never go stale). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 64): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .withColumn("sig", minhashSignatureUdf(k)(col("sh")))
+
+  /** INCREMENTAL MinHash+LSH near-dup: qualifying pairs with at least one
+    * side in `delta` — new-vs-corpus and new-vs-new, the standing corpus
+    * NEVER banded against itself — the fuzzy-dedup sibling of
+    * [[incrementalNgramPairs]] and the production per-batch shape: the
+    * delta's band rows equi-join the combined band index, so candidate
+    * fan-out is linear in the delta for stable bucket statistics.
+    *
+    * Stream ≡ batch (uncapped): a qualifying bucket pair is discovered
+    * exactly once — when its later-arriving member lands — and the
+    * identical-signature star path emits (group-min, member) pairs
+    * whenever either side is new, so the UNION of per-batch pair sets
+    * equals [[minhashNearDupPairs]]'s pair set over the same documents
+    * regardless of arrival order... PROVIDED no bucket cap fires: a cap
+    * is a function of bucket size AT DISCOVERY TIME, so with finite
+    * `maxBucket` the incremental union is a (duplicate-orientation-safe)
+    * superset of the batch run. The bounded equality gate therefore runs
+    * uncapped; production keeps the cap (recall loss on degenerate
+    * buckets is the documented skew trade, SkewStressSpec).
+    *
+    * Per-batch cost note (same honest model as [[incrementalNgramPairs]]):
+    * with a finite cap the bucket-size table is recomputed over
+    * corpus+delta here; at steady state production maintains bucket
+    * counts incrementally. Uncapped (the gate's mode) no corpus-sized
+    * aggregation runs at all — only the delta-side band join.
+    *
+    * `corpusSigs`/`deltaSigs` come from [[minhashSignatures]] (disjoint id
+    * spaces). Output: (idA < idB, exact jaccard ≥ threshold). */
+  def incrementalMinhashPairs(corpusSigs: DataFrame, deltaSigs: DataFrame,
+                              idCol: String, k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5,
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
+    val rows = k / bands
+    val all = corpusSigs.unionByName(deltaSigs)
+    val allB = bandBuckets(all, "sig", idCol, bands, rows)
+    val deltaB = bandBuckets(deltaSigs, "sig", idCol, bands, rows)
+    val probe =
+      if (maxBucket == Int.MaxValue) deltaB
+      else deltaB.join(
+        allB.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"), "left_semi")
+    val bucketCands = probe
+      .select(col("band"), col("bucket"), col(idCol).as("__d"))
+      .join(allB.select(col("band"), col("bucket"), col(idCol).as("__o")),
+        Seq("band", "bucket"))
+      .filter(col("__d") =!= col("__o"))
+      .select(least(col("__d"), col("__o")).as("idA"),
+        greatest(col("__d"), col("__o")).as("idB"))
+    // cap-immune identical-signature star path, delta-sided: the group
+    // representative is the GLOBAL min id, so pair orientation is stable
+    // across batches (equality-join semi filters, never a non-equi BNLJ)
+    val deltaIds = deltaSigs.select(col(idCol).as("__di")).distinct()
+    val stars = starPairs(all, "sig", idCol)
+    val deltaStars = stars
+      .join(deltaIds, stars("idA") === deltaIds("__di"), "left_semi")
+      .union(stars.join(deltaIds, stars("idB") === deltaIds("__di"), "left_semi"))
+    val cands = bucketCands.union(deltaStars).distinct()
+    val a = all.select(col(idCol).as("idA"), col("sh").as("shA"))
+    val b = all.select(col(idCol).as("idB"), col("sh").as("shB"))
+    cands.join(a, "idA").join(b, "idB")
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
   /** EXACT n-gram Jaccard pairs at scale via a PREFIX-FILTERED inverted
     * index (the AllPairs/PPJoin principle — Bayardo et al., "Scaling Up All
     * Pairs Similarity Search", WWW'07; Xiao et al., PPJoin, WWW'08).

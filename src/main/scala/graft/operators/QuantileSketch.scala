@@ -77,10 +77,14 @@ object QuantileSketch {
     *   - PHANTOM: v occurs in the data (#{x ≤ v} > #{x < v}).
     * Violations only; oracle = empty relation. */
   def violations(estimates: DataFrame, values: DataFrame): DataFrame = {
-    val est = estimates.select(col("segment"), col("p"),
+    // Null-safe segment keys throughout (the repo-wide stream-vs-batch
+    // convention, NullSegmentSpec-enforced): a NULL segment is a real
+    // segment — plain equality would orphan its estimates and skip its
+    // rank checks entirely.
+    val est = estimates.select(col("segment").as("e_seg"), col("p"),
       col("est_value"), col("n"), col("err"))
     val ranked = values
-      .join(broadcast(est), Seq("segment"))
+      .join(broadcast(est), col("segment") <=> col("e_seg"))
       .groupBy(col("segment"), col("p"), col("est_value"), col("n"), col("err"))
       .agg(
         sum(when(col("v") < col("est_value"), 1L).otherwise(0L)).as("rank_low"),
@@ -91,8 +95,9 @@ object QuantileSketch {
     // a segment present in estimates but absent from values would vanish
     // from the inner join above — surface it instead of silently passing
     val orphans = est.join(values.select(col("segment")).distinct(),
-        Seq("segment"), "left_anti")
-      .select(col("segment"), col("p"), lit("segment_without_values").as("issue"))
+        col("e_seg") <=> col("segment"), "left_anti")
+      .select(col("e_seg").as("segment"), col("p"),
+        lit("segment_without_values").as("issue"))
     ranked
       .withColumn("issue",
         when(col("n") =!= col("n_exact"), lit("n_mismatch"))

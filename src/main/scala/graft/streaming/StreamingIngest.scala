@@ -583,49 +583,185 @@ object StreamingIngest {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(streamGlob(parquetPath))
-    val statuses = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-    val pairLedger = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-    // the standing corpus of quality-passers; grows across micro-batches
-    var seen: DataFrame = null
-    val lock = new Object
+    // Every per-batch frame keys on the BATCH ID and overwrites on replay
+    // (the DSIR twin's replay-idempotence discipline): a redelivered batch
+    // replaces its own statuses/pairs/corpus-slice instead of appending a
+    // second copy, and the standing corpus for batch b is rebuilt as the
+    // union of slices with id < b — identical on first delivery and on
+    // replay, so at-least-once foreachBatch composes to exactly-once.
+    val statuses = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val pairLedger = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val corpusSlices = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    import scala.jdk.CollectionConverters._
     val q = stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        lock.synchronized {
-          val docs = batch.select(col(idCol).cast("long").as("doc_id"),
-            col(textCol).cast("string").as("text"))
-          val gated = docs.withColumn("__pass",
-            size(Dedup.cleanTokens(col("text"))) >= minTokens)
-            .localCheckpoint()
-          statuses.add(gated.select(col("doc_id"), col("__pass")))
-          val passers = gated.filter(col("__pass")).select(col("doc_id"), col("text"))
-          val pairs =
-            if (seen == null) Dedup.ngramJaccardPairs(passers, "doc_id", "text",
-              n, threshold)
-            else Dedup.incrementalNgramPairs(seen, passers, "doc_id", "text",
-              n, threshold)
-          pairLedger.add(pairs.select(col("idA"), col("idB")).localCheckpoint())
-          seen =
-            (if (seen == null) passers else seen.unionByName(passers))
-              .localCheckpoint()
-          ()
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text"))
+        val gated = docs.withColumn("__pass",
+          size(Dedup.cleanTokens(col("text"))) >= minTokens)
+          .localCheckpoint()
+        statuses.put(bid, gated.select(col("doc_id"), col("__pass")))
+        val passers = gated.filter(col("__pass")).select(col("doc_id"), col("text"))
+        val seen = corpusSlices.asScala.toSeq
+          .filter(_._1 < bid).map(_._2)
+          .reduceOption(_ unionByName _)
+        val pairs = seen match {
+          case None => Dedup.ngramJaccardPairs(passers, "doc_id", "text",
+            n, threshold)
+          case Some(corpus) => Dedup.incrementalNgramPairs(corpus, passers,
+            "doc_id", "text", n, threshold)
         }
+        pairLedger.put(bid, pairs.select(col("idA"), col("idB")).localCheckpoint())
+        corpusSlices.put(bid, passers)
+        ()
       }
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    import scala.jdk.CollectionConverters._
-    val allStatuses = statuses.asScala.toSeq
+    val allStatuses = statuses.values.asScala.toSeq
     require(allStatuses.nonEmpty, "runStreamCurateBounded: no batches")
-    // replayed batches re-emit identical rows; one per doc survives
     val docs = allStatuses.reduce(_ unionByName _).dropDuplicates("doc_id")
-    val dups = pairLedger.asScala.toSeq.reduce(_ unionByName _)
+    val dups = pairLedger.values.asScala.toSeq.reduce(_ unionByName _)
       .select(col("idB").as("doc_id")).distinct()
     docs.join(dups.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(!col("__pass"), lit("quality"))
           .when(col("__dup").isNotNull, lit("duplicate"))
           .otherwise(lit("curated")).as("status"))
+  }
+
+  /** Streaming FUZZY curation — the MinHash sibling of
+    * [[runStreamCurateBounded]]: quality gate, then near-dup detection
+    * against the standing corpus via
+    * [[graft.operators.Dedup.incrementalMinhashPairs]] — each batch's
+    * SIGNATURES are computed once, checkpointed, and become the
+    * standing-corpus side of every later batch (signatures are pure
+    * per-doc functions under the fixed permutation seed, so cached frames
+    * never go stale — the "maintain the index incrementally" steady state
+    * the n-gram twin only models). Per-batch cost: the delta's signature
+    * pass + its band join against the standing band index; the corpus is
+    * never re-signed and never banded against itself.
+    *
+    * Stream ≡ batch: uncapped pair discovery is arrival-order-invariant
+    * (see incrementalMinhashPairs), so the union of per-batch pair
+    * ledgers equals the batch [[graft.operators.Dedup.minhashNearDupPairs]]
+    * pair set and the statuses gate against the batch twin verbatim.
+    * Replay-idempotent by the same batch-id-keyed discipline as above. */
+  def runStreamCurateFuzzyBounded(spark: SparkSession, parquetPath: String,
+                                  idCol: String, textCol: String,
+                                  minTokens: Int, n: Int = 3, k: Int = 64,
+                                  bands: Int = 16, threshold: Double = 0.5,
+                                  maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.Dedup
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val statuses = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val pairLedger = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val sigSlices = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    import scala.jdk.CollectionConverters._
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text"))
+        val gated = docs.withColumn("__pass",
+          size(Dedup.cleanTokens(col("text"))) >= minTokens)
+          .localCheckpoint()
+        statuses.put(bid, gated.select(col("doc_id"), col("__pass")))
+        val passers = gated.filter(col("__pass")).select(col("doc_id"), col("text"))
+        // sign the DELTA once; the checkpoint is what later batches reuse
+        val deltaSigs = Dedup.minhashSignatures(passers, "doc_id", "text", n, k)
+          .localCheckpoint()
+        val corpusSigs = sigSlices.asScala.toSeq
+          .filter(_._1 < bid).map(_._2)
+          .reduceOption(_ unionByName _)
+        val pairs = corpusSigs match {
+          case None => Dedup.incrementalMinhashPairs(
+            deltaSigs.limit(0), deltaSigs, "doc_id", k, bands, threshold)
+          case Some(corpus) => Dedup.incrementalMinhashPairs(
+            corpus, deltaSigs, "doc_id", k, bands, threshold)
+        }
+        pairLedger.put(bid, pairs.select(col("idA"), col("idB")).localCheckpoint())
+        sigSlices.put(bid, deltaSigs)
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val allStatuses = statuses.values.asScala.toSeq
+    require(allStatuses.nonEmpty, "runStreamCurateFuzzyBounded: no batches")
+    val docs = allStatuses.reduce(_ unionByName _).dropDuplicates("doc_id")
+    val dups = pairLedger.values.asScala.toSeq.reduce(_ unionByName _)
+      .select(col("idB").as("doc_id")).distinct()
+    docs.join(dups.withColumn("__dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("__pass"), lit("quality"))
+          .when(col("__dup").isNotNull, lit("duplicate"))
+          .otherwise(lit("curated")).as("status"))
+  }
+
+  /** Streaming ANN SERVING — the retrieval form of the
+    * train-once/score-forever pattern ([[runStreamClassifyBounded]]):
+    * IVF+PQ quantizers train ONCE, persist via
+    * [[graft.operators.IvfPq.saveModels]], and every micro-batch of
+    * arriving queries is scored in foreachBatch against the RELOADED
+    * models and the once-built code index — the full production
+    * lifecycle (build index → ship artifact → serve stream) inside one
+    * bounded run.
+    *
+    * Stream ≡ batch EXACTLY: a query's top-k is a pure deterministic
+    * function of (query vector, frozen models, frozen index) — no
+    * cross-batch state, no arrival-order dependence — so the union of
+    * per-batch results equals the batch [[graft.operators.IvfPq
+    * .topKIndexed]] run verbatim, and the harness gates with strict
+    * equality, not a recall floor. Replay-idempotent: batch-id-keyed
+    * results overwrite on redelivery.
+    *
+    * 100-TB posture: the models are model-sized broadcasts, the index is
+    * codes-at-ingest (m bytes/row), and each batch pays only its own
+    * cell-pruned candidate join — the corpus is never rescanned per batch.
+    *
+    * `pretrained` lets the verify twin inject the exact models both
+    * sides must share; either way the models go through save→load so the
+    * persistence path is exercised on every run. */
+  def runStreamAnnBounded(spark: SparkSession, parquetPath: String,
+                          modelPath: String, queryMaxId: Long = 16,
+                          k: Int = 10, nprobe: Int = 4, shortlist: Int = 32,
+                          numCells: Int = 16, m: Int = 16, codes: Int = 64,
+                          maxFilesPerTrigger: Int = 1,
+                          pretrained: Option[(graft.operators.IvfIndex.Model,
+                            graft.operators.ProductQuantize.Model)] = None)
+      : DataFrame = {
+    import graft.operators.{IvfIndex, IvfPq, ProductQuantize}
+    val corpus = spark.read.parquet(parquetPath)
+    val (ivf0, pq0) = pretrained.getOrElse((
+      IvfIndex.train(corpus, "vec_id", "embedding", k = numCells),
+      ProductQuantize.train(corpus, "vec_id", "embedding", m = m, k = codes)))
+    IvfPq.saveModels(spark, modelPath, ivf0, pq0)
+    val (ivf, pq) = IvfPq.loadModels(spark, modelPath)
+    val indexed = IvfPq.index(corpus, ivf, pq).localCheckpoint()
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val results = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val queries = batch.filter(col("vec_id") < queryMaxId)
+        results.put(bid, IvfPq.topKIndexed(queries, indexed, corpus, ivf, pq,
+          k, nprobe, shortlist).localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = results.values.asScala.toSeq
+    require(parts.nonEmpty, "runStreamAnnBounded: stream produced no batches")
+    parts.reduce(_ unionByName _).dropDuplicates("query_id", "rank")
   }
 
   /** Streaming DSIR scoring — the continuously-fed form of

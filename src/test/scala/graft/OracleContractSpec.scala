@@ -61,7 +61,15 @@ class OracleContractSpec extends AnyFunSuite {
     // engine-internal (k-means cells + codebooks, same as q_sim_topk_ivf
     // / q_sim_topk_pq); exact sibling q_sim_topk carries the oracle and
     // the _verify gates score equality, rank shape, AND a recall floor
-    "q_sim_topk_ivfpq")
+    "q_sim_topk_ivfpq",
+    // streamed ANN serving: same engine-internal probe reach as
+    // q_sim_topk_ivfpq (exact sibling q_sim_topk); the _verify pins the
+    // bounded stream ≡ batch topKIndexed EXACTLY under shared models
+    "q_stream_ann",
+    // streamed fuzzy curation: MinHash banding is engine-internal (like
+    // q_dedup_minhash, whose verified family is the exact relative); the
+    // _verify pins stream ≡ batch statuses verbatim, uncapped both sides
+    "q_stream_curate_fuzzy")
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -408,6 +408,14 @@ class PlanSpec extends SparkSpec {
       "q_stream_kmv", "q_stream_kmv_verify", "q_stream_auc",
       "q_stream_bloom", "q_stream_bloom_verify", "q_stream_pmi",
       "q_stream_keywords", "q_stream_curate", "q_stream_dsir",
+      "q_stream_curate_fuzzy", "q_stream_curate_fuzzy_verify",
+      "q_stream_ann", "q_stream_ann_verify",
+      // the persistence twins train AND write their model parquet at
+      // build time (the q_source_formats writes-scratch category); the
+      // read-side plan shapes are those of their train-fresh twins,
+      // which ARE audited
+      "q_classify_nb_reload", "q_text_trigram_reload",
+      "q_bpe_reload_verify", "q_vec_pca_reload_verify",
       // frontier BFS / weighted Bellman-Ford materialize each round +
       // probe the changed-set emptiness at build time (same loop
       // discipline as kCore); the loop-body shape is guarded by the
