@@ -868,7 +868,12 @@ object Dedup {
     val a = base.select(col(idCol).as("idA"), col("v").as("vA"), col("norm").as("nA"))
     val b = base.select(col(idCol).as("idB"), col("v").as("vB"), col("norm").as("nB"))
     val joined =
-      if (exact) a.crossJoin(b)
+      // explicit broadcast on the exact path: bounded-set-only by
+      // contract, and without the hint a stats-less input (e.g. a
+      // checkpointed pipeline stage, `Scan ExistingRDD`) planned a
+      // SHUFFLED CartesianProduct instead of the intended broadcast
+      // nested loop — the KMV-class regression PlanAuditSpec now catches
+      if (exact) a.crossJoin(broadcast(b))
       else {
         val sigA = Similarity.withHyperplaneBands(a, "vA", "idA")
         val sigB = Similarity.withHyperplaneBands(b, "vB", "idB")

@@ -83,6 +83,8 @@ val picks = Seq(
   ("q_sim_topk_ivfpq", "IVFADC two-stage: cell-pruned candidates scored from m-byte codes, raw vectors touched only by the shortlist re-rank window"),
   ("q_dsir_weights", "DSIR: post-checkpoint stage (feature frame materialized once for counts + scoring); B-row log-ratio table joined back, ONE-ROW totals crossed"),
   ("q_text_ppl_buckets", "CCNet terciles: trigram-LM chain + ONE-ROW percentile-threshold cross + codegen CASE bucketing"),
+  ("q_image_decode", "real PNG decode: pure per-row map (chunk walk + Inflater + de-filter + luma), zero shuffle before the output sort"),
+  ("q_bpe_tokenize", "frozen-merge BPE: broadcast rank map applied shuffle-free per row, posexplode + output sort only"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
