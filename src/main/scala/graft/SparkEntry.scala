@@ -1469,6 +1469,32 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // The GIF edition of q_image_decode: each doc becomes a fully valid
+    // GIF89a whose pixel stream is GENUINELY LZW-compressed (compound
+    // codes, width growth, KwKwK all arise on the cyclic index walk);
+    // the Spark side block-walks + LZW-decodes + palette-reduces back to
+    // luminance, and the oracle recomputes the plane checksums from the
+    // index/palette formulas alone — an entropy-coder bug on either side
+    // diverges.
+    "q_image_decode_gif" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val (w, h, plane) = Multimodal
+            .decodeGifPixels(Multimodal.syntheticGifPixelPayload(id))
+            .getOrElse((0, 0, Array.emptyByteArray))
+          var lsum = 0L; var wsum = 0L; var i = 0
+          while (i < plane.length) {
+            val l = plane(i) & 0xff
+            lsum += l; wsum += l.toLong * (i % 97 + 1); i += 1
+          }
+          (id, w.toLong, h.toLong, plane.length.toLong, lsum, wsum)
+        }
+        .toDF("media_id", "width", "height", "n_pixels", "lum_sum", "lum_wsum")
+        .orderBy(col("media_id"))
+    }),
+
     // dHash over REAL decoded pixels (the round-10 upgrade from the
     // stub-luminance phash): same grid/bit-pack as q_image_phash but the
     // luminance samples come from the genuine PNG decode; the oracle
@@ -4233,6 +4259,28 @@ object SparkEntry {
         |        + 150 * ((doc_id * 3 + 5 * i) % 256)
         |        + 29 * ((doc_id * 5 + 7 * i) % 256)) // 256
         |    END AS lum
+        |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(lum) AS BIGINT) AS lum_sum,
+        |  CAST(SUM(lum * (i % 97 + 1)) AS BIGINT) AS lum_wsum
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // GIF plane checksums from the formulas alone: w = 16+id%15,
+    // h = 12+(id*5)%11, color index j = (id*5+3i)%64, palette entry
+    // (3j%256, 7j%256, 11j%256) → luma601 — the Spark side must
+    // round-trip LZW encoder → general LZW decoder → palette reduction
+    // to land on these exact integers.
+    "q_image_decode_gif" ->
+      """WITH m AS (
+        |  SELECT doc_id, 16 + doc_id % 15 AS w, 12 + (doc_id * 5) % 11 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, i,
+        |    (77 * ((3 * ((doc_id * 5 + 3 * i) % 64)) % 256)
+        |     + 150 * ((7 * ((doc_id * 5 + 3 * i) % 64)) % 256)
+        |     + 29 * ((11 * ((doc_id * 5 + 3 * i) % 64)) % 256)) // 256 AS lum
         |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r)
         |SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,

@@ -313,6 +313,249 @@ object Multimodal {
     outStream.toByteArray
   }
 
+  // ------------------------------------------------------ real GIF decode
+
+  /** REAL GIF pixel decode — pure JVM: header + logical-screen parse,
+    * block walk (extensions skipped by their sub-block lengths), and a
+    * full GENERAL LZW decoder for the first image descriptor (variable
+    * code width from lzwMinCodeSize+1 up to 12 bits, LSB-first packing,
+    * clear/end codes, the code==next-entry KwKwK case), reduced to a
+    * luminance plane through the active (global or local) color table
+    * via the same integer BT.601 luma as the PNG path.
+    *
+    * Scope: non-interlaced images (the four-pass row shuffle returns
+    * None, as Adam7 does for PNG). The header-only synthetic payloads
+    * carry no image descriptor and fall back to the documented stub,
+    * preserving their byte-walk hashes. */
+  def decodeGifPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    val b = bytes
+    if (b.length < 14 || !(ascii(b, 0, "GIF87a") || ascii(b, 0, "GIF89a")))
+      return None
+    var i = 6
+    val packed = u8(b, i + 4)
+    i += 7
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 7) + 1))
+      if (i + n > b.length) return None
+      palette = java.util.Arrays.copyOfRange(b, i, i + n)
+      i += n
+    }
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x21 => // extension: label byte + length-prefixed sub-blocks
+          i += 2
+          while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+          i += 1
+        case 0x2c =>
+          if (i + 10 > b.length) return None
+          val w = le16(b, i + 5); val h = le16(b, i + 7)
+          val ipacked = u8(b, i + 9)
+          i += 10
+          if ((ipacked & 0x40) != 0) return None // interlaced: out of scope
+          if ((ipacked & 0x80) != 0) { // local color table wins
+            val n = 3 * (1 << ((ipacked & 7) + 1))
+            if (i + n > b.length) return None
+            palette = java.util.Arrays.copyOfRange(b, i, i + n)
+            i += n
+          }
+          if (palette == null || w <= 0 || h <= 0 ||
+              w.toLong * h > MaxPngPixels) return None
+          val minCode = u8(b, i); i += 1
+          if (minCode < 2 || minCode > 11) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && u8(b, i) != 0) {
+            val n = u8(b, i)
+            if (i + 1 + n > b.length) return None
+            data.write(b, i + 1, n); i += 1 + n
+          }
+          val idx = lzwDecode(data.toByteArray, minCode, w * h)
+            .getOrElse(return None)
+          val plane = new Array[Byte](w * h)
+          var p = 0
+          while (p < w * h) {
+            val j = (idx(p) & 0xff) * 3
+            plane(p) =
+              (if (j + 2 < palette.length)
+                luma601(u8(palette, j), u8(palette, j + 1), u8(palette, j + 2))
+              else 0).toByte
+            p += 1
+          }
+          return Some((w, h, plane))
+        case _ => return None // trailer before any image / non-block tail
+      }
+    }
+    None
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** General GIF-flavor LZW decoder: LSB-first bit stream, dynamic code
+    * width (minCode+1 .. 12, bump when the dictionary fills the current
+    * width), clear/end codes, KwKwK. Returns exactly `expected` color
+    * indices or None (truncated / corrupt / wrong-length stream). */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    // compound entries as (prefix code, appended byte); literal codes
+    // (< clear) are implicit
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = end + 1
+    var codeWidth = minCode + 1
+    var prev = -1
+    var acc = 0L; var accBits = 0; var pos = 0
+    val scratch = new Array[Byte](4096)
+    // write code's string into scratch REVERSED, return its length
+    def expand(code: Int): Int = {
+      var c = code; var n = 0
+      while (c >= clear + 2) { scratch(n) = suffix(c); n += 1; c = prefix(c) }
+      scratch(n) = c.toByte; n += 1
+      n
+    }
+    while (pos < data.length || accBits >= codeWidth) {
+      while (accBits < codeWidth && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << accBits
+        accBits += 8; pos += 1
+      }
+      if (accBits < codeWidth) return None // truncated stream
+      val code = (acc & ((1 << codeWidth) - 1)).toInt
+      acc >>>= codeWidth; accBits -= codeWidth
+      if (code == clear) {
+        dictSize = end + 1; codeWidth = minCode + 1; prev = -1
+      } else if (code == end) {
+        return if (outPos == expected) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code after clear: literal only
+        if (outPos >= expected) return None
+        out(outPos) = code.toByte; outPos += 1
+        prev = code
+      } else {
+        val known = code < dictSize && code != clear && code != end
+        if (!known && code != dictSize) return None
+        // known → code's own string; KwKwK (code == dictSize) → prev's
+        // string + its first byte
+        val baseLen = expand(if (known) code else prev)
+        val total = baseLen + (if (known) 0 else 1)
+        if (outPos + total > expected) return None
+        var k = 0
+        while (k < baseLen) { out(outPos + k) = scratch(baseLen - 1 - k); k += 1 }
+        if (!known) out(outPos + baseLen) = scratch(baseLen - 1)
+        val firstByte = out(outPos)
+        outPos += total
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = firstByte
+          dictSize += 1
+          if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      }
+    }
+    if (outPos == expected) Some(out) else None
+  }
+
+  /** REAL greedy LZW encoder for [[syntheticGifPixelPayload]] — genuine
+    * dictionary-building compression (compound codes, width growth, and
+    * KwKwK arise naturally on cyclic pixel data), not a clear-per-symbol
+    * shortcut. The emit width is driven by an explicit simulation of the
+    * DECODER's dictionary (which lags the encoder's by one entry), so the
+    * two sides stay bit-synchronized by construction rather than by
+    * convention archaeology; the round-trip spec pins it. */
+  private[operators] def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    // the decoder's state, simulated: width it will READ the next code at
+    var decSize = end + 1
+    var decWidth = minCode + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << accBits
+      accBits += decWidth
+      while (accBits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    // decoder adds one entry after every read except the first-after-clear
+    // and specials; mirror that bookkeeping after each data-code emit
+    def decAdd(): Unit = if (decSize < 4096) {
+      decSize += 1
+      if (decSize == (1 << decWidth) && decWidth < 12) decWidth += 1
+    }
+    val dict = new java.util.HashMap[Integer, Integer]() // (prev<<8|byte) → code
+    var dictSize = end + 1
+    emit(clear)
+    var prev = -1
+    var first = true
+    var i = 0
+    while (i < indices.length) {
+      val cur = indices(i) & 0xff
+      if (prev == -1) prev = cur
+      else {
+        val key: Integer = (prev << 8) | cur
+        val hit = dict.get(key)
+        if (hit != null) prev = hit
+        else {
+          emit(prev)
+          if (first) first = false else decAdd()
+          if (dictSize < 4096) { dict.put(key, dictSize); dictSize += 1 }
+          prev = cur
+        }
+      }
+      i += 1
+    }
+    if (prev != -1) {
+      emit(prev)
+      if (first) first = false else decAdd()
+    }
+    // END reads at the width left by the flush code's add — no add of its own
+    emit(end)
+    if (accBits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Deterministic pixel formulas for the real-GIF corpus (the
+    * [[pngExpectedLum]] contract, GIF edition): w = 16 + id%15,
+    * h = 12 + (id*5)%11, color index j = (id*5 + 3i) % 64 into the
+    * 64-entry palette (3j%256, 7j%256, 11j%256) → luma601. */
+  def gifExpectedLum(id: Long, i: Long): Int = {
+    val j = ((id * 5 + 3 * i) % 64).toInt
+    luma601((3 * j) % 256, (7 * j) % 256, (11 * j) % 256)
+  }
+
+  /** Real, fully-valid GIF89a deterministic in `id`: 64-entry global
+    * color table, one non-interlaced image descriptor, and a GENUINELY
+    * LZW-compressed pixel stream ([[lzwEncode]] — the cyclic index walk
+    * reuses dictionary entries, so compound codes and width growth are
+    * exercised on every image). Pixels from [[gifExpectedLum]]'s
+    * formulas. */
+  def syntheticGifPixelPayload(id: Long): Array[Byte] = {
+    val w = (16 + id % 15).toInt; val h = (12 + (id * 5) % 11).toInt
+    val indices = Array.tabulate(w * h)(i => (((id * 5 + 3L * i) % 64) & 0xff).toByte)
+    val lzw = lzwEncode(indices, minCode = 6)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16out(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16out(w); le16out(h)
+    out.write(0x80 | 0x05) // GCT present, 2^(5+1)=64 entries
+    out.write(0); out.write(0) // bg color, aspect
+    for (j <- 0 until 64) {
+      out.write((3 * j) % 256); out.write((7 * j) % 256); out.write((11 * j) % 256)
+    }
+    out.write(0x2c) // image descriptor
+    le16out(0); le16out(0); le16out(w); le16out(h)
+    out.write(0) // no LCT, not interlaced
+    out.write(6) // LZW min code size
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** Synthetic container payloads, deterministic in `id` (PNG/GIF/WAV
     * round-robin): REAL magic bytes and header fields so [[decodeHeader]]
     * exercises genuine parsing in the harness, plus an id-dependent filler
@@ -631,17 +874,18 @@ object Multimodal {
     * grid geometry, bit packing, banding, and pair machinery all stay.
     * Empty body (header-only payload) hashes to 0 — all such payloads
     * are "identical blank images" and pair at hamming 0. */
-  def dHash63(bytes: Array[Byte]): Long = decodePngPixels(bytes) match {
-    case Some((w, h, plane)) => // REAL pixels: full chunk/inflate/unfilter decode
-      dHashGrid(w, h, (py, px) => plane((py * w + px).toInt) & 0xff)
-    case None =>
-      val (w, h, _) = decodeHeader(bytes).getOrElse(decodeStub(bytes))
-      val off = containerBodyOffset(bytes)
-      val bodyLen = bytes.length - off
-      if (bodyLen <= 0) 0L
-      else dHashGrid(w, h,
-        (py, px) => bytes(off + ((py * w + px) % bodyLen).toInt) & 0xff)
-  }
+  def dHash63(bytes: Array[Byte]): Long =
+    decodePngPixels(bytes).orElse(decodeGifPixels(bytes)) match {
+      case Some((w, h, plane)) => // REAL pixels: full container + entropy decode
+        dHashGrid(w, h, (py, px) => plane((py * w + px).toInt) & 0xff)
+      case None =>
+        val (w, h, _) = decodeHeader(bytes).getOrElse(decodeStub(bytes))
+        val off = containerBodyOffset(bytes)
+        val bodyLen = bytes.length - off
+        if (bodyLen <= 0) 0L
+        else dHashGrid(w, h,
+          (py, px) => bytes(off + ((py * w + px) % bodyLen).toInt) & 0xff)
+    }
 
   /** The shared dHash grid geometry + bit pack: 10×7 sample grid, bit
     * gy·9+gx set iff the right neighbor is brighter. */

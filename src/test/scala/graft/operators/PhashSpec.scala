@@ -126,6 +126,53 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  test("gif decode: pixel-exact LZW round-trip, formula agreement") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 63L, 64L, 500L, 12345L)) {
+      val some = Multimodal.decodeGifPixels(Multimodal.syntheticGifPixelPayload(id))
+      assert(some.nonEmpty, s"id=$id: real GIF failed to decode")
+      val (w, h, plane) = some.get
+      assert(w == (16 + id % 15).toInt && h == (12 + (id * 5) % 11).toInt)
+      for (i <- 0 until w * h)
+        assert((plane(i) & 0xff) == Multimodal.gifExpectedLum(id, i),
+          s"id=$id pixel $i: got ${plane(i) & 0xff}, " +
+            s"want ${Multimodal.gifExpectedLum(id, i)}")
+    }
+  }
+
+  test("gif lzw: general decoder survives repetitive, constant, and large streams") {
+    // repetitive data drives compound-code reuse + KwKwK; constant data
+    // is the classic KwKwK torture; >2^codeWidth entries force width
+    // growth through 8→12 bits; all must round-trip exactly
+    def rt(ind: Array[Byte], min: Int): Unit = {
+      val enc = Multimodal.lzwEncode(ind, min)
+      // round-trip through a minimal synthetic GIF so the public decoder runs
+      val w = ind.length; val h = 1
+      assert(w <= 0xffff)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      le16(w); le16(h); out.write(0x80 | 0x07); out.write(0); out.write(0)
+      for (j <- 0 until 256) { out.write(j); out.write(j); out.write(j) } // gray palette
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(min)
+      var off = 0
+      while (off < enc.length) {
+        val n = math.min(255, enc.length - off)
+        out.write(n); out.write(enc, off, n); off += n
+      }
+      out.write(0); out.write(0x3b)
+      val got = Multimodal.decodeGifPixels(out.toByteArray)
+      assert(got.nonEmpty, s"decode failed (n=${ind.length}, min=$min)")
+      // gray palette → luma601(v,v,v) = v*256>>8 = v: plane == indices
+      assert(got.get._3.toSeq == ind.toSeq,
+        s"round-trip mismatch (n=${ind.length}, min=$min)")
+    }
+    rt(Array.fill[Byte](500)(7), 8)                         // constant (KwKwK chain)
+    rt(Array.tabulate[Byte](1000)(i => (i % 3).toByte), 2)  // tiny alphabet, repetitive
+    rt(Array.tabulate[Byte](6000)(i => (i * 31 % 251).toByte), 8) // width growth to 12 bits
+    rt(Array.tabulate[Byte](300)(i => ((i * i + 13) % 256).toByte), 8)
+  }
+
   test("png decode: header-only payloads and junk fall back to None, never throw") {
     // the legacy synthetic payloads carry a raw (non-chunk) tail — the
     // chunk walk must reject them so their stub-luminance hashes persist
