@@ -1510,6 +1510,20 @@ object SparkEntry {
       Multimodal.withPhash(media).orderBy(col("media_id"))
     }),
 
+    // Streaming multimodal ingest: per-batch header-parse + feature
+    // extraction of arriving binary payloads — pure per-row work, so the
+    // bounded stream hash-matches the batch oracle verbatim.
+    "q_stream_multimodal" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_mm_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mm_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamMultimodalBounded(s, src, "doc_id")
+        .orderBy(col("media_id"))
+    }),
+
     "q_stream_hourly" -> ((s, dir) =>
       StreamingIngest.runWindowedEventAgg(s, s"$dir/events.parquet",
         s"events_windowed_${streamCounter.incrementAndGet()}")
@@ -3806,6 +3820,15 @@ object SparkEntry {
       |        ORDER BY score DESC, label) AS rn FROM scored) z
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  private val multimodalFeaturesSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100 AS BIGINT) AS n_bytes,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 512 WHEN 1 THEN 32 + doc_id % 256 ELSE 8000 + (doc_id % 8) * 1000 END AS BIGINT) AS width,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 31) % 512 WHEN 1 THEN 32 + (doc_id * 7) % 256 ELSE 16 END AS BIGINT) AS height,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 1 + doc_id % 2 END AS BIGINT) AS channels,
+      |  CAST(LEAST(8, (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100) // 100 + 1) AS BIGINT) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
   private val trigramLpSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -4136,14 +4159,12 @@ object SparkEntry {
         |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    "q_multimodal_features" ->
-      """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100 AS BIGINT) AS n_bytes,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + doc_id % 512 WHEN 1 THEN 32 + doc_id % 256 ELSE 8000 + (doc_id % 8) * 1000 END AS BIGINT) AS width,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id * 31) % 512 WHEN 1 THEN 32 + (doc_id * 7) % 256 ELSE 16 END AS BIGINT) AS height,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 1 + doc_id % 2 END AS BIGINT) AS channels,
-        |  CAST(LEAST(8, (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100) // 100 + 1) AS BIGINT) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_multimodal_features" -> multimodalFeaturesSql,
+
+    // The streaming twin shares the oracle VERBATIM: feature extraction
+    // is a pure per-row payload function, so arrival order and batch
+    // boundaries cannot move a single value.
+    "q_stream_multimodal" -> multimodalFeaturesSql,
 
 
     // Every numeric literal is anchored to DOUBLE: bare decimals are

@@ -764,6 +764,50 @@ object StreamingIngest {
     parts.reduce(_ unionByName _).dropDuplicates("query_id", "rank")
   }
 
+  /** Streaming MULTIMODAL ingest — the decode-at-arrival shape of a
+    * media pipeline: each micro-batch's binary payloads are header-parsed
+    * and feature-extracted as they land ([[graft.operators.Multimodal
+    * .extractFeatures]] inside foreachBatch), so the expensive per-row
+    * decode work never re-touches the standing corpus. Feature extraction
+    * is a pure per-row function of the payload — no cross-batch state —
+    * so the bounded stream equals the batch run VERBATIM and the harness
+    * gates it with the batch query's full hash oracle, the
+    * q_stream_classify discipline. Replay-idempotent: batch-id-keyed
+    * results overwrite on redelivery. */
+  def runStreamMultimodalBounded(spark: SparkSession, parquetPath: String,
+                                 idCol: String,
+                                 maxFilesPerTrigger: Int = 1): DataFrame = {
+    implicit val sp: SparkSession = spark
+    import graft.operators.Multimodal
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val results = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        results.put(bid, Multimodal
+          .extractFeatures(Multimodal.syntheticMediaRecords(batch, idCol))
+          .toDF()
+          .select(col("media_id"),
+            col("n_bytes").cast("long").as("n_bytes"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("channels").cast("long").as("channels"),
+            size(col("frame_offsets")).cast("long").as("n_frames"))
+          .localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = results.values.asScala.toSeq
+    require(parts.nonEmpty, "runStreamMultimodalBounded: stream produced no batches")
+    parts.reduce(_ unionByName _).dropDuplicates("media_id")
+  }
+
   /** Streaming DSIR scoring — the continuously-fed form of
     * [[graft.operators.DataSelect.dsirWeights]]: raw documents arrive in
     * micro-batches and the expensive narrow work (tokenize → n-gram →
