@@ -473,13 +473,47 @@ object Dedup {
     * are ordered idA < idB, same contract as [[ngramJaccardPairs]]. */
   def incrementalNgramPairs(corpus: DataFrame, delta: DataFrame,
                             idCol: String, textCol: String,
-                            n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                            n: Int = 3, threshold: Double = 0.5): DataFrame =
+    // bare (un-checkpointed) set frames: FromSets materializes the
+    // combined index ONCE, and its only other read of the delta frame is
+    // the id projection, which column-pruning answers without running
+    // the shingle UDF — so this wrapper costs exactly one
+    // materialization, same as the pre-split implementation
+    incrementalNgramPairsFromSets(
+      hashedShingles(corpus, idCol, textCol, n),
+      hashedShingles(delta, idCol, textCol, n), threshold)
+
+  /** Public per-doc hashed shingle sets — (id, sh: sorted distinct
+    * longs), the cacheable unit of the incremental dedup index: sets are
+    * pure per-doc functions, so a streaming caller computes each batch's
+    * once, checkpoints it, and feeds it back as the standing-corpus side
+    * of every later [[incrementalNgramPairsFromSets]] call — the corpus
+    * text is then never re-shingled, re-hashed, or re-sorted per batch
+    * (only the cheap long-keyed df/prefix derivation re-runs, which the
+    * equality gate requires to stay on ONE consistent global order). */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      .select(col("id"),
+        sort_array(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
+
+  /** [[incrementalNgramPairs]] over PRE-HASHED shingle-set frames (both
+    * shaped like [[hashedShingles]] output, disjoint id spaces) — the
+    * steady-state form: the expensive text→shingle→hash→sort pass runs
+    * only on the delta, the prefix posting derivation runs over the
+    * combined long-keyed sets. Pair semantics are IDENTICAL to the
+    * text-input form (the df order is a function of the combined sets
+    * alone), so stream-vs-batch equality gates carry over unchanged. */
+  def incrementalNgramPairsFromSets(corpusSh: DataFrame, deltaSh: DataFrame,
+                                    threshold: Double): DataFrame = {
     require(threshold > 0, "threshold must be positive for index completeness")
-    val all = corpus.select(col(idCol), col(textCol))
-      .unionByName(delta.select(col(idCol), col(textCol)))
-    val withSh = hashedShingleSets(all, idCol, textCol, n)
+    // materialize the COMBINED index once: three consumers (postings +
+    // both verify sides) read it, and a bare union of cached slices costs
+    // measurably more than one compact frame (measured +2.5 s on
+    // q_stream_curate at sf0.1 without this)
+    val withSh = corpusSh.unionByName(deltaSh).localCheckpoint()
     val prefix = prefixPostings(withSh, threshold)
-    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val deltaIds = deltaSh.select(col("id")).distinct()
     val deltaPrefix = prefix.join(deltaIds, Seq("id"), "left_semi")
     // one delta side is enough: a qualifying pair's shared min-order
     // shingle is in BOTH prefixes, so it meets when either member's prefix

@@ -591,7 +591,13 @@ object StreamingIngest {
     // replay, so at-least-once foreachBatch composes to exactly-once.
     val statuses = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
     val pairLedger = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
-    val corpusSlices = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    // the standing dedup INDEX: each batch's hashed shingle sets, computed
+    // once and checkpointed — later batches reuse them, so corpus text is
+    // never re-shingled/re-hashed/re-sorted per batch (the steady-state
+    // form of the old "re-derive over corpus+delta" cost model; only the
+    // cheap long-keyed df/prefix derivation re-runs, which the batch-
+    // equality gate requires for ONE consistent global order)
+    val shingleSlices = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
     import scala.jdk.CollectionConverters._
     val q = stream.writeStream
       .outputMode("append")
@@ -603,17 +609,15 @@ object StreamingIngest {
           .localCheckpoint()
         statuses.put(bid, gated.select(col("doc_id"), col("__pass")))
         val passers = gated.filter(col("__pass")).select(col("doc_id"), col("text"))
-        val seen = corpusSlices.asScala.toSeq
+        val deltaSh = Dedup.hashedShingles(passers, "doc_id", "text", n)
+          .localCheckpoint()
+        val corpusSh = shingleSlices.asScala.toSeq
           .filter(_._1 < bid).map(_._2)
           .reduceOption(_ unionByName _)
-        val pairs = seen match {
-          case None => Dedup.ngramJaccardPairs(passers, "doc_id", "text",
-            n, threshold)
-          case Some(corpus) => Dedup.incrementalNgramPairs(corpus, passers,
-            "doc_id", "text", n, threshold)
-        }
+          .getOrElse(deltaSh.limit(0))
+        val pairs = Dedup.incrementalNgramPairsFromSets(corpusSh, deltaSh, threshold)
         pairLedger.put(bid, pairs.select(col("idA"), col("idB")).localCheckpoint())
-        corpusSlices.put(bid, passers)
+        shingleSlices.put(bid, deltaSh)
         ()
       }
       .start()
