@@ -1495,6 +1495,31 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // The JPEG edition: each doc becomes a fully valid baseline JFIF
+    // grayscale JPEG (unit quant table, custom canonical Huffman tables,
+    // genuine DC-delta entropy coding with sign-magnitude bits and byte
+    // stuffing); tile-constant content makes the lossy format LOSSLESS
+    // here, so the fully general Huffman+IDCT decode is gated bit-exactly
+    // by the formula-replay oracle.
+    "q_image_decode_jpeg" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val (w, h, plane) = Multimodal
+            .decodeJpegPixels(Multimodal.syntheticJpegPayload(id))
+            .getOrElse((0, 0, Array.emptyByteArray))
+          var lsum = 0L; var wsum = 0L; var i = 0
+          while (i < plane.length) {
+            val l = plane(i) & 0xff
+            lsum += l; wsum += l.toLong * (i % 97 + 1); i += 1
+          }
+          (id, w.toLong, h.toLong, plane.length.toLong, lsum, wsum)
+        }
+        .toDF("media_id", "width", "height", "n_pixels", "lum_sum", "lum_wsum")
+        .orderBy(col("media_id"))
+    }),
+
     // dHash over REAL decoded pixels (the round-10 upgrade from the
     // stub-luminance phash): same grid/bit-pack as q_image_phash but the
     // luminance samples come from the genuine PNG decode; the oracle
@@ -4302,6 +4327,26 @@ object SparkEntry {
         |    (77 * ((3 * ((doc_id * 5 + 3 * i) % 64)) % 256)
         |     + 150 * ((7 * ((doc_id * 5 + 3 * i) % 64)) % 256)
         |     + 29 * ((11 * ((doc_id * 5 + 3 * i) % 64)) % 256)) // 256 AS lum
+        |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |  CAST(SUM(lum) AS BIGINT) AS lum_sum,
+        |  CAST(SUM(lum * (i % 97 + 1)) AS BIGINT) AS lum_wsum
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // JPEG plane checksums from the tile formulas alone: w = 8*(2+id%3),
+    // h = 8*(2+(id*3)%3), tile t = (i // (w*8)) * (w//8) + (i % w) // 8,
+    // lum = (id*7 + t*13) % 251 — the Spark side must run the whole
+    // Huffman + dequant + IDCT chain losslessly to land on these.
+    "q_image_decode_jpeg" ->
+      """WITH m AS (
+        |  SELECT doc_id, 8 * (2 + doc_id % 3) AS w,
+        |         8 * (2 + (doc_id * 3) % 3) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, i,
+        |    (doc_id * 7 + ((i // (w * 8)) * (w // 8) + (i % w) // 8) * 13) % 251 AS lum
         |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r)
         |SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,

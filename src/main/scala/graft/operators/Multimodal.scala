@@ -556,6 +556,327 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ----------------------------------------------------- real JPEG decode
+
+  private val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private lazy val idctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16.0))
+
+  /** Canonical Huffman table from a DHT segment's (counts, symbols):
+    * map (length<<16 | code) → symbol. */
+  private def buildHuffman(counts: Array[Int],
+                           symbols: Array[Int]): java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer]()
+    var code = 0; var k = 0
+    for (len <- 1 to 16) {
+      for (_ <- 0 until counts(len - 1)) {
+        m.put((len << 16) | code, symbols(k)); k += 1; code += 1
+      }
+      code <<= 1
+    }
+    m
+  }
+
+  /** REAL baseline JPEG (JFIF/SOF0) decode to a luminance plane — pure
+    * JVM: marker walk (APPn/COM skipped, DQT/SOF0/DHT/DRI/SOS parsed),
+    * byte-unstuffed MSB-first entropy reader, GENERAL canonical Huffman
+    * decoding of DC categories + (run, size) AC symbols with EOB/ZRL and
+    * sign extension, restart-marker predictor resets, dequantization,
+    * de-zigzag, separable float IDCT, level shift + clamp. Multi-
+    * component scans are entropy-decoded fully (the stream cannot be
+    * advanced otherwise) but only component 0 (Y) is reconstructed —
+    * this engine wants the luminance plane.
+    *
+    * Scope: baseline sequential, 8-bit, all sampling factors 1×1 (no
+    * chroma subsampling — progressive/subsampled return None, as Adam7
+    * and interlaced GIF do). Exactness note: Huffman + dequant are exact
+    * integer paths; the IDCT is deterministic IEEE float, and on
+    * DC-only blocks (the synthetic corpus) it reduces to an exactly-
+    * representable /8, so the oracle replay is bit-exact there. */
+  def decodeJpegPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    val b = bytes
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    val qtables = new Array[Array[Int]](4)
+    val dcTables = new Array[java.util.HashMap[Integer, Integer]](4)
+    val acTables = new Array[java.util.HashMap[Integer, Integer]](4)
+    var w = 0; var h = 0
+    var compIds: Array[Int] = null; var compQ: Array[Int] = null
+    var restartInterval = 0
+    var sosAt = -1
+    var compDc: Array[Int] = null; var compAc: Array[Int] = null
+    while (sosAt < 0) {
+      if (i + 4 > b.length || u8(b, i) != 0xff) return None
+      val marker = u8(b, i + 1)
+      val len = be16(b, i + 2)
+      val ds = i + 4; val de = i + 2 + len
+      if (de > b.length) return None
+      marker match {
+        case 0xdb => // DQT: one or more (precision|id, 64 values) entries
+          var j = ds
+          while (j < de) {
+            val pq = u8(b, j) >> 4; val tq = u8(b, j) & 15
+            if (pq != 0 || tq > 3) return None // 8-bit tables only
+            qtables(tq) = Array.tabulate(64)(k => u8(b, j + 1 + k))
+            j += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          if (u8(b, ds) != 8) return None
+          h = be16(b, ds + 1); w = be16(b, ds + 3)
+          val nc = u8(b, ds + 5)
+          if (nc < 1 || nc > 4) return None
+          compIds = new Array[Int](nc); compQ = new Array[Int](nc)
+          compDc = new Array[Int](nc); compAc = new Array[Int](nc)
+          for (c <- 0 until nc) {
+            compIds(c) = u8(b, ds + 6 + c * 3)
+            if (u8(b, ds + 7 + c * 3) != 0x11) return None // 1x1 sampling only
+            compQ(c) = u8(b, ds + 8 + c * 3)
+          }
+        case 0xc4 => // DHT: one or more tables
+          var j = ds
+          while (j < de) {
+            val tc = u8(b, j) >> 4; val th = u8(b, j) & 15
+            if (tc > 1 || th > 3) return None
+            val counts = Array.tabulate(16)(k => u8(b, j + 1 + k))
+            val total = counts.sum
+            val syms = Array.tabulate(total)(k => u8(b, j + 17 + k))
+            if (tc == 0) dcTables(th) = buildHuffman(counts, syms)
+            else acTables(th) = buildHuffman(counts, syms)
+            j += 17 + total
+          }
+        case 0xdd => restartInterval = be16(b, ds)
+        case 0xd9 => return None // EOI before SOS
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline frame types
+        case 0xda => // SOS
+          val nc = u8(b, ds)
+          if (compIds == null || nc != compIds.length) return None
+          for (c <- 0 until nc) {
+            val cid = u8(b, ds + 1 + c * 2)
+            val idx = compIds.indexOf(cid)
+            if (idx < 0) return None
+            compDc(idx) = u8(b, ds + 2 + c * 2) >> 4
+            compAc(idx) = u8(b, ds + 2 + c * 2) & 15
+          }
+          sosAt = de // skip Ss/Se/AhAl (3 bytes) — included in len
+        case _ => () // APPn / COM / others: skip by length
+      }
+      i = de
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPngPixels) return None
+    val nc = compIds.length
+    // entropy-coded bit reader with 0xFF00 unstuffing + RSTn handling
+    var pos = sosAt
+    var acc = 0L; var accBits = 0
+    var eos = false
+    def fill(): Unit =
+      while (accBits <= 56 && !eos) {
+        if (pos >= b.length) { eos = true }
+        else {
+          val v = u8(b, pos)
+          if (v == 0xff) {
+            val nxt = if (pos + 1 < b.length) u8(b, pos + 1) else -1
+            if (nxt == 0) { acc = (acc << 8) | 0xff; accBits += 8; pos += 2 }
+            else eos = true // a real marker ends the scan data
+          } else { acc = (acc << 8) | v; accBits += 8; pos += 1 }
+        }
+      }
+    def readBit(): Int = {
+      fill()
+      if (accBits == 0) return -1
+      accBits -= 1
+      ((acc >>> accBits) & 1).toInt
+    }
+    def readBits(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { val bit = readBit(); if (bit < 0) return -1; v = (v << 1) | bit; k += 1 }
+      v
+    }
+    def decodeHuff(tab: java.util.HashMap[Integer, Integer]): Int = {
+      var code = 0; var len = 0
+      while (len < 16) {
+        val bit = readBit(); if (bit < 0) return -1
+        code = (code << 1) | bit; len += 1
+        val hit = tab.get((len << 16) | code)
+        if (hit != null) return hit
+      }
+      -1
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val plane = new Array[Byte](w * h)
+    val preds = new Array[Int](nc)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcu = bw * bh
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // byte-align and consume the RSTn marker, reset predictors
+        accBits -= accBits % 8
+        if (pos + 1 < b.length && u8(b, pos) == 0xff &&
+            (u8(b, pos + 1) & 0xf8) == 0xd0) { pos += 2; eos = false }
+        java.util.Arrays.fill(preds, 0)
+      }
+      var c = 0
+      while (c < nc) {
+        val dcT = dcTables(compDc(c)); val acT = acTables(compAc(c))
+        val q = qtables(compQ(c))
+        if (dcT == null || acT == null || q == null) return None
+        java.util.Arrays.fill(coef, 0)
+        val t = decodeHuff(dcT); if (t < 0 || t > 11) return None
+        val diffBits = if (t == 0) 0 else { val v = readBits(t); if (v < 0) return None; v }
+        preds(c) += extend(diffBits, t)
+        coef(0) = preds(c) * q(0)
+        var k = 1
+        var open = true
+        while (open && k < 64) {
+          val rs = decodeHuff(acT); if (rs < 0) return None
+          if (rs == 0) open = false // EOB
+          else if (rs == 0xf0) k += 16 // ZRL
+          else {
+            k += rs >> 4
+            if (k > 63) return None
+            val s = rs & 15
+            val v = readBits(s); if (v < 0) return None
+            coef(zigzag(k)) = extend(v, s) * q(k)
+            k += 1
+          }
+        }
+        if (c == 0) { // reconstruct Y only: separable float IDCT
+          val bx = (mcu % bw) * 8; val by = (mcu / bw) * 8
+          // pass 1 (horizontal): for each frequency row v, spatial x
+          var v1 = 0
+          while (v1 < 8) {
+            var x1 = 0
+            while (x1 < 8) {
+              var s = 0.0
+              var u1 = 0
+              while (u1 < 8) {
+                val cu = if (u1 == 0) 0.70710678118654752 else 1.0
+                s += cu * idctCos(u1)(x1) * coef(v1 * 8 + u1)
+                u1 += 1
+              }
+              tmp(v1 * 8 + x1) = s / 2.0
+              x1 += 1
+            }
+            v1 += 1
+          }
+          // pass 2 (vertical): sum over v for each (x, y)
+          var y0 = 0
+          while (y0 < 8) {
+            var x0 = 0
+            while (x0 < 8) {
+              var s = 0.0
+              var v0 = 0
+              while (v0 < 8) {
+                val cv = if (v0 == 0) 0.70710678118654752 else 1.0
+                s += cv * idctCos(v0)(y0) * tmp(v0 * 8 + x0)
+                v0 += 1
+              }
+              val px = bx + x0; val py = by + y0
+              if (px < w && py < h) {
+                val value = math.round(s / 2.0).toInt + 128
+                plane(py * w + px) =
+                  (if (value < 0) 0 else if (value > 255) 255 else value).toByte
+              }
+              x0 += 1
+            }
+            y0 += 1
+          }
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    Some((w, h, plane))
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** Deterministic pixel formulas for the real-JPEG corpus: w = 8·(2+id%3),
+    * h = 8·(2+(id·3)%3), and every 8×8 TILE is constant — tile index
+    * t = (y/8)·(w/8) + (x/8), value v = (id·7 + t·13) % 251. Tile-constant
+    * content makes baseline JPEG LOSSLESS here (DC-only blocks under a
+    * unit quant table invert exactly through the float IDCT — /8 of an
+    * exact integer), so the DuckDB oracle replays the decode bit-exactly
+    * while the decoder still runs its fully general Huffman/IDCT path. */
+  def jpegExpectedLum(id: Long, i: Long, w: Int): Int = {
+    val t = (i / (w * 8)) * (w / 8) + (i % w) / 8
+    ((id * 7 + t * 13) % 251).toInt
+  }
+
+  /** Real, fully-valid baseline JFIF grayscale JPEG deterministic in
+    * `id`: unit DQT, custom canonical DHT tables (12 four-bit DC
+    * category codes; a one-code AC table — every block is DC-only + EOB),
+    * genuine DC-delta Huffman entropy coding with sign-magnitude bits,
+    * byte stuffing, the lot. Pixels per [[jpegExpectedLum]]. */
+  def syntheticJpegPayload(id: Long): Array[Byte] = {
+    val w = (8 * (2 + id % 3)).toInt; val h = (8 * (2 + (id * 3) % 3)).toInt
+    val bw = w / 8; val bh = h / 8
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(body)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    m(0xdb, Array(0.toByte) ++ Array.fill[Byte](64)(1)) // DQT id 0, all ones
+    m(0xc0, Array[Byte](8, (h >> 8).toByte, (h & 0xff).toByte,
+      (w >> 8).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0)) // SOF0, 1 comp
+    // DHT: DC table 0 — twelve 4-bit codes for categories 0..11
+    m(0xc4, Array[Byte](0x00, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      Array.tabulate[Byte](12)(_.toByte))
+    // DHT: AC table 0 — ONE 1-bit code: EOB (0x00)
+    m(0xc4, Array[Byte](0x10, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x00))
+    m(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    // entropy data: per block, DC category code (4 bits) + magnitude bits,
+    // then the 1-bit EOB
+    var acc = 0; var accBits = 0
+    val body = new java.io.ByteArrayOutputStream()
+    def put(bits: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((bits >> k) & 1); accBits += 1
+        if (accBits == 8) {
+          body.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) body.write(0) // byte stuffing
+          acc = 0; accBits = 0
+        }
+        k -= 1
+      }
+    }
+    var pred = 0
+    var t = 0
+    while (t < bw * bh) {
+      val v = ((id * 7 + t.toLong * 13) % 251).toInt
+      val dc = 8 * (v - 128)
+      val diff = dc - pred
+      pred = dc
+      val mag = math.abs(diff)
+      var cat = 0
+      while ((1 << cat) <= mag) cat += 1 // bits needed for |diff|
+      put(cat, 4) // canonical DC code for category c is just c (12 4-bit codes)
+      if (cat > 0) put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      put(0, 1) // EOB ('0', the single AC code)
+      t += 1
+    }
+    if (accBits > 0) { // pad final byte with 1s (spec convention)
+      acc = (acc << (8 - accBits)) | ((1 << (8 - accBits)) - 1)
+      body.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) body.write(0)
+    }
+    out.write(body.toByteArray)
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Synthetic container payloads, deterministic in `id` (PNG/GIF/WAV
     * round-robin): REAL magic bytes and header fields so [[decodeHeader]]
     * exercises genuine parsing in the harness, plus an id-dependent filler
@@ -875,7 +1196,8 @@ object Multimodal {
     * Empty body (header-only payload) hashes to 0 — all such payloads
     * are "identical blank images" and pair at hamming 0. */
   def dHash63(bytes: Array[Byte]): Long =
-    decodePngPixels(bytes).orElse(decodeGifPixels(bytes)) match {
+    decodePngPixels(bytes).orElse(decodeGifPixels(bytes))
+      .orElse(decodeJpegPixels(bytes)) match {
       case Some((w, h, plane)) => // REAL pixels: full container + entropy decode
         dHashGrid(w, h, (py, px) => plane((py * w + px).toInt) & 0xff)
       case None =>

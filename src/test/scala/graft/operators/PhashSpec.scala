@@ -173,6 +173,71 @@ class PhashSpec extends SparkSpec {
     rt(Array.tabulate[Byte](300)(i => ((i * i + 13) % 256).toByte), 8)
   }
 
+  test("jpeg decode: tile-constant corpus round-trips bit-exactly") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 5L, 127L, 128L, 250L, 251L, 9999L)) {
+      val some = Multimodal.decodeJpegPixels(Multimodal.syntheticJpegPayload(id))
+      assert(some.nonEmpty, s"id=$id: real JPEG failed to decode")
+      val (w, h, plane) = some.get
+      assert(w == (8 * (2 + id % 3)).toInt && h == (8 * (2 + (id * 3) % 3)).toInt)
+      for (i <- 0 until w * h)
+        assert((plane(i) & 0xff) == Multimodal.jpegExpectedLum(id, i, w),
+          s"id=$id pixel $i: got ${plane(i) & 0xff}, " +
+            s"want ${Multimodal.jpegExpectedLum(id, i, w)}")
+    }
+  }
+
+  test("jpeg decode: AC runs + IDCT agree with an independent direct transform") {
+    // hand-encode ONE 8x8 block with known coefficients — DC 80 plus two
+    // AC terms with a zero-run between them — using a custom AC table, and
+    // check the decoded pixels against a from-scratch NAIVE double-sum
+    // IDCT (independent of the decoder's separable implementation). This
+    // exercises the general entropy path (AC categories, runs, EOB) and
+    // the transform itself, which the DC-only corpus cannot.
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff); out.write(body)
+    }
+    out.write(0xff); out.write(0xd8)
+    m(0xdb, Array(0.toByte) ++ Array.fill[Byte](64)(1))
+    m(0xc0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    m(0xc4, Array[Byte](0x00, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      Array.tabulate[Byte](12)(_.toByte))
+    // AC table: three 2-bit codes 00/01/10 for EOB, (0,5), (2,3)
+    m(0xc4, Array[Byte](0x10, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0x00, 0x05, 0x23))
+    m(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // bits: DC cat 7 ("0111") + 80 ("1010000"); AC (0,5)="01" + 30
+    // ("11110", category 5 covers magnitudes 16..31); (2,3)="10" +
+    // (-7 → "000"); EOB="00"; pad with 1s
+    val bits = "0111" + "1010000" + "01" + "11110" + "10" + "000" + "00"
+    val padded = bits + "1" * ((8 - bits.length % 8) % 8)
+    padded.grouped(8).foreach { g =>
+      val v = Integer.parseInt(g, 2)
+      out.write(v); if (v == 0xff) out.write(0)
+    }
+    out.write(0xff); out.write(0xd9)
+    val got = Multimodal.decodeJpegPixels(out.toByteArray)
+    assert(got.nonEmpty, "hand-built JPEG failed to decode")
+    val (w, h, plane) = got.get
+    assert(w == 8 && h == 8)
+    // coefficients land at zigzag positions 1 → (u=1,v=0) and 4 → (u=1,v=1)
+    val f = Array.ofDim[Double](8, 8) // f(v)(u)
+    f(0)(0) = 80; f(0)(1) = 30; f(1)(1) = -7
+    def c(k: Int) = if (k == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8)
+        s += c(u) * c(v) * f(v)(u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      val want = math.max(0, math.min(255, math.round(s / 4.0).toInt + 128))
+      assert((plane(y * 8 + x) & 0xff) == want,
+        s"pixel ($x,$y): got ${plane(y * 8 + x) & 0xff}, want $want")
+    }
+  }
+
   test("png decode: header-only payloads and junk fall back to None, never throw") {
     // the legacy synthetic payloads carry a raw (non-chunk) tail — the
     // chunk walk must reject them so their stub-luminance hashes persist
