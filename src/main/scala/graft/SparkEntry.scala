@@ -1520,6 +1520,52 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL pixel resize: decode the PNG corpus, nearest-neighbor
+    // resample each luminance plane to an id-dependent target box, and
+    // checksum the RESIZED plane — the oracle replays the integer
+    // src=(dst·srcDim)//dstDim mapping over the pixel formulas, so the
+    // decode AND the resample must both be exact.
+    "q_image_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val (w, h, plane) = Multimodal
+            .decodePngPixels(Multimodal.syntheticPngPixelPayload(id))
+            .getOrElse((0, 0, Array.emptyByteArray))
+          val dw = (8 + id % 9).toInt; val dh = (8 + (id * 3) % 7).toInt
+          val r = Multimodal.resizeLuma(plane, w, h, dw, dh)
+          var lsum = 0L; var wsum = 0L; var i = 0
+          while (i < r.length) {
+            val l = r(i) & 0xff
+            lsum += l; wsum += l.toLong * (i % 97 + 1); i += 1
+          }
+          (id, dw.toLong, dh.toLong, lsum, wsum)
+        }
+        .toDF("media_id", "out_w", "out_h", "lum_sum", "lum_wsum")
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL frame extraction: walk each MP4's moov→trak→mdia→minf→stbl,
+    // parse stsz/stco/stsc, and resolve every sample to its absolute
+    // (offset, size) — the lookup a video pipeline performs before
+    // decoding frames. The oracle replays offsets as prefix sums over
+    // the by-construction sizes, so a mis-parse of ANY table or box
+    // length diverges. Replaces the old stride stub with the genuine
+    // machinery.
+    "q_video_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          Multimodal.decodeMp4Samples(Multimodal.syntheticMp4SamplesPayload(id))
+            .getOrElse(Seq.empty).zipWithIndex
+            .map { case ((off, sz), k) => (id, k.toLong, off, sz.toLong) }
+        }
+        .toDF("media_id", "sample_idx", "byte_offset", "size_bytes")
+        .orderBy(col("media_id"), col("sample_idx"))
+    }),
+
     // dHash over REAL decoded pixels (the round-10 upgrade from the
     // stub-luminance phash): same grid/bit-pack as q_image_phash but the
     // luminance samples come from the genuine PNG decode; the oracle
@@ -4354,6 +4400,53 @@ object SparkEntry {
         |  CAST(SUM(lum) AS BIGINT) AS lum_sum,
         |  CAST(SUM(lum * (i % 97 + 1)) AS BIGINT) AS lum_wsum
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // Nearest-neighbor resample replayed over the PNG pixel formulas:
+    // dst (x,y) reads src ((x*w)//dw, (y*h)//dh); checksums over the
+    // RESIZED plane in dst raster order.
+    "q_image_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 3) % 13 AS h,
+        |         8 + doc_id % 9 AS dw, 8 + (doc_id * 3) % 7 AS dh
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, dw, dh, i2,
+        |    ((i2 // dw) * h // dh) * w + ((i2 % dw) * w // dw) AS i
+        |  FROM m, LATERAL (SELECT unnest(range(0, dw * dh)) AS i2) r),
+        |lv AS (
+        |  SELECT doc_id, dw, dh, i2,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN (doc_id * 7 + i * 13) % 251
+        |      WHEN 3 THEN (77 * ((doc_id + 3 * i) % 256)
+        |        + 150 * (((doc_id + 3 * i) % 256) * 7 % 256)
+        |        + 29 * (((doc_id + 3 * i) % 256) * 13 % 256)) // 256
+        |      ELSE (77 * ((doc_id + 2 * i) % 256)
+        |        + 150 * ((doc_id * 3 + 5 * i) % 256)
+        |        + 29 * ((doc_id * 5 + 7 * i) % 256)) // 256
+        |    END AS lum
+        |  FROM px)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(MAX(dw) AS BIGINT) AS out_w, CAST(MAX(dh) AS BIGINT) AS out_h,
+        |  CAST(SUM(lum) AS BIGINT) AS lum_sum,
+        |  CAST(SUM(lum * (i2 % 97 + 1)) AS BIGINT) AS lum_wsum
+        |FROM lv GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // Sample offsets replayed as prefix sums over the by-construction
+    // sizes: n = 1+id%8 samples of size 1+(id*3+k*7)%64 in one chunk at
+    // mdat-body offset 332+4n (every enclosing box length summed).
+    "q_video_frames" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 8 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, k, 1 + (doc_id * 3 + k * 7) % 64 AS sz
+        |  FROM m, LATERAL (SELECT unnest(range(0, n)) AS k) r),
+        |o AS (
+        |  SELECT doc_id, k, sz,
+        |    332 + 4 * n + COALESCE(SUM(sz) OVER (PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM s)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS sample_idx,
+        |  CAST(off AS BIGINT) AS byte_offset, CAST(sz AS BIGINT) AS size_bytes
+        |FROM o ORDER BY media_id, sample_idx""".stripMargin,
 
     // The dHash grid replayed over the same pixel formulas: sample the
     // 10x7 grid at ((gy*h)//7, (gx*w)//10), set bit gy*9+gx iff the right

@@ -1037,27 +1037,36 @@ object Multimodal {
     * @return (timescale, duration in timescale units, track count), or
     *         None when the payload is not a plausible BMFF file (missing
     *         ftyp leader or moov/mvhd). */
+  /** (bodyStart, bodyEnd, type) for each ISO BMFF box in [from, until) —
+    * shared by the header walk and the sample-table walk; handles the
+    * size=1 largesize and size=0 to-end encodings, stops at a corrupt
+    * tail. */
+  private def mp4Boxes(b: Array[Byte], from: Int,
+                       until: Int): Seq[(Int, Int, String)] = {
+    def be64(i: Int): Long =
+      (0 until 8).foldLeft(0L)((acc, j) => (acc << 8) | (b(i + j) & 0xffL))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = from
+    while (i + 8 <= until) {
+      val size32 = be32(b, i).toLong & 0xffffffffL
+      val tpe = new String(b, i + 4, 4, "US-ASCII")
+      val (bodyStart, end) =
+        if (size32 == 1L && i + 16 <= until) (i + 16, i + be64(i + 8))
+        else if (size32 == 0L) (i + 8, until.toLong)
+        else (i + 8, i + size32)
+      if (end < bodyStart || end > until) return out.toSeq // corrupt tail
+      out += ((bodyStart, end.toInt, tpe))
+      i = end.toInt
+    }
+    out.toSeq
+  }
+
   def decodeMp4Header(bytes: Array[Byte]): Option[(Long, Long, Int)] = {
     val b = bytes
     def be64(i: Int): Long =
       (0 until 8).foldLeft(0L)((acc, j) => (acc << 8) | (b(i + j) & 0xffL))
-    // (bodyStart, bodyEnd, type) for each box in [from, until)
-    def boxes(from: Int, until: Int): Seq[(Int, Int, String)] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
-      var i = from
-      while (i + 8 <= until) {
-        val size32 = be32(b, i).toLong & 0xffffffffL
-        val tpe = new String(b, i + 4, 4, "US-ASCII")
-        val (bodyStart, end) =
-          if (size32 == 1L && i + 16 <= until) (i + 16, i + be64(i + 8))
-          else if (size32 == 0L) (i + 8, until.toLong)
-          else (i + 8, i + size32)
-        if (end < bodyStart || end > until) return out.toSeq // corrupt tail
-        out += ((bodyStart, end.toInt, tpe))
-        i = end.toInt
-      }
-      out.toSeq
-    }
+    def boxes(from: Int, until: Int): Seq[(Int, Int, String)] =
+      mp4Boxes(b, from, until)
     if (b.length < 16) return None
     val top = boxes(0, b.length)
     if (!top.headOption.exists(_._3 == "ftyp")) return None
@@ -1077,6 +1086,129 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL sample-table walk — the upgrade of the frame-sampling STUB to
+    * genuine keyframe-extraction machinery: descend
+    * moov → trak → mdia → minf → stbl, parse `stsz` (per-sample sizes),
+    * `stco` (chunk offsets) and `stsc` (sample-to-chunk runs), and
+    * resolve every sample to its (absolute file offset, byte size) — the
+    * exact lookup a video pipeline performs before handing frames to a
+    * decoder. Handles fixed-size stsz, multi-chunk stco, and stsc runs
+    * (each entry applies from first_chunk until the next entry's).
+    *
+    * @return per-sample (offset, size) in sample order for the FIRST
+    *         track carrying a complete stbl, or None. */
+  def decodeMp4Samples(bytes: Array[Byte]): Option[Seq[(Long, Int)]] = try {
+    val b = bytes
+    if (b.length < 16) return None
+    val top = mp4Boxes(b, 0, b.length)
+    if (!top.headOption.exists(_._3 == "ftyp")) return None
+    val (ms, me, _) = top.find(_._3 == "moov").getOrElse(return None)
+    for ((ts, te, _) <- mp4Boxes(b, ms, me).filter(_._3 == "trak")) {
+      val stbl = for {
+        (ds, de, _) <- mp4Boxes(b, ts, te).find(_._3 == "mdia").toSeq
+        (fs, fe, _) <- mp4Boxes(b, ds, de).find(_._3 == "minf").toSeq
+        box <- mp4Boxes(b, fs, fe).find(_._3 == "stbl").toSeq
+      } yield box
+      stbl.headOption.foreach { case (ss, se, _) =>
+        val kids = mp4Boxes(b, ss, se)
+        val sizesOpt = kids.find(_._3 == "stsz").map { case (s, _, _) =>
+          val fixed = be32(b, s + 4); val n = be32(b, s + 8)
+          if (n < 0 || n > (1 << 20)) return None
+          if (fixed != 0) Array.fill(n)(fixed)
+          else Array.tabulate(n)(k => be32(b, s + 12 + 4 * k))
+        }
+        val chunksOpt = kids.find(_._3 == "stco").map { case (s, _, _) =>
+          val n = be32(b, s + 4)
+          if (n < 0 || n > (1 << 20)) return None
+          Array.tabulate(n)(k => be32(b, s + 8 + 4 * k).toLong & 0xffffffffL)
+        }
+        val runsOpt = kids.find(_._3 == "stsc").map { case (s, _, _) =>
+          val n = be32(b, s + 4)
+          if (n < 0 || n > (1 << 20)) return None
+          Array.tabulate(n)(k =>
+            (be32(b, s + 8 + 12 * k), be32(b, s + 12 + 12 * k)))
+        }
+        (sizesOpt, chunksOpt, runsOpt) match {
+          case (Some(sizes), Some(chunks), Some(runs)) if runs.nonEmpty =>
+            // expand stsc runs into per-chunk sample counts, then lay
+            // samples out chunk by chunk: offset = chunk base + running sum
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+            var sample = 0
+            var chunk = 0
+            while (chunk < chunks.length && sample < sizes.length) {
+              val perChunk = {
+                var spc = runs.head._2
+                for ((fc, n) <- runs if fc <= chunk + 1) spc = n
+                spc
+              }
+              var off = chunks(chunk)
+              var k = 0
+              while (k < perChunk && sample < sizes.length) {
+                out += ((off, sizes(sample)))
+                off += sizes(sample)
+                sample += 1; k += 1
+              }
+              chunk += 1
+            }
+            if (sample == sizes.length) return Some(out.toSeq)
+          case _ => ()
+        }
+      }
+    }
+    None
+  } catch { case _: ArrayIndexOutOfBoundsException => None }
+
+  /** [[syntheticMp4Payload]]'s sibling WITH a real sample table: one
+    * track whose stbl carries stsz (n = 1 + id%8 per-sample sizes,
+    * size_k = 1 + (id·3 + k·7) % 64), a one-chunk stco pointing at the
+    * mdat body, and a one-run stsc — every box length and the chunk
+    * offset are REAL file offsets, so [[decodeMp4Samples]] exercises the
+    * genuine resolution path and the oracle replays offsets as prefix
+    * sums by construction. */
+  def syntheticMp4SamplesPayload(id: Long): Array[Byte] = {
+    val n = (1 + id % 8).toInt
+    val sizes = Array.tabulate(n)(k => (1 + (id * 3 + k * 7) % 64).toInt)
+    val stszSize = 20 + 4 * n
+    val stblSize = 8 + stszSize + 20 + 28
+    val minfSize = 8 + stblSize
+    val mdiaSize = 8 + minfSize
+    val trakSize = 8 + 92 + mdiaSize
+    val moovSize = 8 + 108 + trakSize
+    val mdatBodyOff = 16 + moovSize + 8
+    val total = mdatBodyOff + sizes.sum
+    val bb = java.nio.ByteBuffer.allocate(total) // BIG_ENDIAN
+    bb.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt((1000 + (id % 10) * 100).toInt)
+      .putInt((2000 + (id % 500) * 10).toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort)
+      .putLong(0L)
+    for (_ <- 0 until 9) bb.putInt(0)
+    for (_ <- 0 until 6) bb.putInt(0)
+    bb.putInt(2)
+    bb.putInt(trakSize).put("trak".getBytes("US-ASCII"))
+    bb.putInt(92).put("tkhd".getBytes("US-ASCII"))
+    for (_ <- 0 until 21) bb.putInt(0) // 84-byte tkhd body (zeroed stub)
+    bb.putInt(mdiaSize).put("mdia".getBytes("US-ASCII"))
+    bb.putInt(minfSize).put("minf".getBytes("US-ASCII"))
+    bb.putInt(stblSize).put("stbl".getBytes("US-ASCII"))
+    bb.putInt(stszSize).put("stsz".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(n)
+    sizes.foreach(bb.putInt)
+    bb.putInt(20).put("stco".getBytes("US-ASCII"))
+      .putInt(0).putInt(1).putInt(mdatBodyOff)
+    bb.putInt(28).put("stsc".getBytes("US-ASCII"))
+      .putInt(0).putInt(1).putInt(1).putInt(n).putInt(1)
+    bb.putInt(8 + sizes.sum).put("mdat".getBytes("US-ASCII"))
+    var j = 0
+    for (k <- 0 until n; _ <- 0 until sizes(k)) {
+      bb.put(((id * 11 + j * 3) % 251).toByte); j += 1
+    }
+    bb.array()
   }
 
   /** Synthetic-but-structurally-valid MP4, deterministic in `id`: 16-byte
@@ -1263,6 +1395,30 @@ object Multimodal {
         bit_count(col("hashA").bitwiseXOR(col("hashB"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  /** REAL pixel resize of a decoded luminance plane — nearest-neighbor
+    * with the integer floor mapping src = (dst·srcDim)/dstDim, the
+    * sampling rule GPU/vision preprocessing pipelines default to for
+    * cheap thumbnailing. Pure integer index math end to end, so resized
+    * planes are hash-exact cross-engine (the q_image_resize oracle
+    * replays the mapping in SQL). Works for up- and down-scaling. */
+  def resizeLuma(plane: Array[Byte], w: Int, h: Int,
+                 dw: Int, dh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && dw > 0 && dh > 0, "resizeLuma: bad dims")
+    val out = new Array[Byte](dw * dh)
+    var y = 0
+    while (y < dh) {
+      val sy = y.toLong * h / dh
+      var x = 0
+      while (x < dw) {
+        val sx = x.toLong * w / dw
+        out(y * dw + x) = plane((sy * w + sx).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** "Resize" stub: recompute metadata for a target box, preserving aspect —

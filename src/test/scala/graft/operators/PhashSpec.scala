@@ -69,6 +69,60 @@ class PhashSpec extends SparkSpec {
       (ftyp ++ moov).take(ftyp.length + 10)).isEmpty)
   }
 
+  test("mp4 sample tables: per-sample offsets resolve by construction") {
+    for (id <- Seq(0L, 1L, 7L, 8L, 63L, 12345L)) {
+      val got = Multimodal.decodeMp4Samples(Multimodal.syntheticMp4SamplesPayload(id))
+      assert(got.nonEmpty, s"id=$id: sample walk failed")
+      val n = (1 + id % 8).toInt
+      val sizes = Array.tabulate(n)(k => (1 + (id * 3 + k * 7) % 64).toInt)
+      val base = 332L + 4 * n
+      val want = sizes.scanLeft(base)(_ + _).zip(sizes).map { case (o, s) => (o, s) }
+      assert(got.get == want.toSeq, s"id=$id: ${got.get} != ${want.toSeq}")
+      // the resolved offsets must point INSIDE the payload at real bytes
+      val payload = Multimodal.syntheticMp4SamplesPayload(id)
+      got.get.foreach { case (o, s) =>
+        assert(o + s <= payload.length, s"id=$id: sample overruns the file")
+      }
+    }
+    // fixed-size stsz + multi-chunk stco + stsc runs: hand-build a stbl
+    // where chunk 1 holds 2 samples and chunks 2+ hold 1 (two stsc runs)
+    val bb = java.nio.ByteBuffer.allocate(300)
+    bb.putInt(16).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+    val stsz = 20; val stco = 8 + 8 + 12; val stsc2 = 8 + 8 + 24
+    val stbl = 8 + stsz + stco + stsc2
+    val minf = 8 + stbl; val mdia = 8 + minf; val trak = 8 + mdia
+    val moov = 8 + trak
+    bb.putInt(moov).put("moov".getBytes("US-ASCII"))
+    bb.putInt(trak).put("trak".getBytes("US-ASCII"))
+    bb.putInt(mdia).put("mdia".getBytes("US-ASCII"))
+    bb.putInt(minf).put("minf".getBytes("US-ASCII"))
+    bb.putInt(stbl).put("stbl".getBytes("US-ASCII"))
+    bb.putInt(stsz).put("stsz".getBytes("US-ASCII"))
+      .putInt(0).putInt(10).putInt(4) // fixed size 10, 4 samples
+    bb.putInt(stco).put("stco".getBytes("US-ASCII"))
+      .putInt(0).putInt(3).putInt(1000).putInt(2000).putInt(3000)
+    bb.putInt(stsc2).put("stsc".getBytes("US-ASCII"))
+      .putInt(0).putInt(2)
+      .putInt(1).putInt(2).putInt(1) // chunk 1: 2 samples
+      .putInt(2).putInt(1).putInt(1) // chunks 2+: 1 sample
+    val fixture = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(Multimodal.decodeMp4Samples(fixture)
+      .contains(Seq((1000L, 10), (1010L, 10), (2000L, 10), (3000L, 10))))
+  }
+
+  test("resize: nearest-neighbor mapping is exact and dimension-correct") {
+    // 4x2 source plane with distinct values; upscale to 8x4 and check the
+    // floor mapping cell by cell
+    val src = Array.tabulate[Byte](8)(i => (i * 10).toByte)
+    val out = Multimodal.resizeLuma(src, 4, 2, 8, 4)
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val want = src((y * 2 / 4) * 4 + (x * 4 / 8)) & 0xff
+      assert((out(y * 8 + x) & 0xff) == want, s"($x,$y)")
+    }
+    // identity resize is the identity
+    assert(Multimodal.resizeLuma(src, 4, 2, 4, 2).toSeq == src.toSeq)
+  }
+
   test("audio stats: 16-bit LE samples per the declared header, non-WAV NULLs") {
     import spark.implicits._
     // hand clip, signed 16-bit LE samples 100, -200, 50 (plus a trailing
