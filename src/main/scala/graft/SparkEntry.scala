@@ -1349,6 +1349,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Frame-level audio features: 16-sample windows over the decoded
+    // 16-bit stream — the VAD/silence-trimming shape; every figure
+    // integer-exact and replayed by the oracle from the sample formulas.
+    "q_audio_frames" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticWavPayload(id)))
+        .toDF("doc_id", "payload")
+      Multimodal.audioFrames(clips, "doc_id", "payload", frameSize = 16)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Video metadata: synthetic-but-structurally-valid MP4s (every box
     // length real) parsed by a genuine ISO BMFF box walk — ftyp check,
     // any box order, moov children, mvhd v0/v1, trak count; the oracle
@@ -4218,6 +4231,32 @@ object SparkEntry {
         |LEFT JOIN agg ON agg.doc_id = b.doc_id
         |LEFT JOIN zc ON zc.doc_id = b.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // Frame features by construction: the 16-bit sample walk bucketed
+    // into 16-sample frames; zero crossings via LAG within (doc, frame).
+    "q_audio_frames" ->
+      """WITH base AS (SELECT doc_id, doc_id % 100 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, k,
+        |    ((doc_id * 7 + (2 * k) * 13) % 251)
+        |      + 256 * ((doc_id * 7 + (2 * k + 1) * 13) % 251) AS raw
+        |  FROM base, LATERAL (SELECT unnest(range(0, n // 2)) AS k) r),
+        |sa AS (
+        |  SELECT doc_id, k, k // 16 AS f, k % 16 AS j,
+        |    CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS a
+        |  FROM s),
+        |lagged AS (
+        |  SELECT doc_id, f, j, a,
+        |    LAG(a) OVER (PARTITION BY doc_id, f ORDER BY j) AS pa
+        |  FROM sa)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(a * a) AS BIGINT) AS sumsq,
+        |  CAST(MAX(ABS(a)) AS BIGINT) AS peak,
+        |  CAST(SUM(CASE WHEN pa IS NOT NULL AND (a >= 0) <> (pa >= 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM lagged GROUP BY doc_id, f
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // Video metadata by construction: mirrors syntheticMp4Payload's
     // arithmetic — a box-walk bug on ANY length/offset field diverges.

@@ -1006,6 +1006,52 @@ object Multimodal {
         when(col("__ok"), col("__zc")).as("zero_crossings"))
   }
 
+  /** FRAME-level audio features — the windowed sibling of [[audioStats]]
+    * and the shape VAD/silence-trimming/diarization pipelines consume:
+    * fixed `frameSize`-sample windows (hop = frameSize), per frame the
+    * sample count, energy (Σ a²), peak, and WITHIN-frame zero-crossing
+    * count. Same declared-bits_per_sample reader as audioStats (16-bit
+    * signed LE / 8-bit unsigned), all integer arithmetic → hash-exact
+    * cross-engine. Non-WAV payloads yield no frames (left to the
+    * clip-level surface to flag). */
+  def audioFrames(df: DataFrame, idCol: String, payloadCol: String,
+                  frameSize: Int = 16)
+                 (implicit spark: SparkSession): DataFrame = {
+    require(frameSize > 0, "audioFrames: frameSize must be positive")
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val isWav = b.length >= 44 && ascii(b, 0, "RIFF") &&
+          ascii(b, 8, "WAVE") && ascii(b, 12, "fmt ")
+        if (!isWav) Iterator.empty
+        else {
+          val (_, bits, _) = decodeHeader(b).get
+          val off = containerBodyOffset(b)
+          val samples: Array[Int] =
+            if (bits == 16)
+              Array.tabulate((b.length - off) / 2)(k =>
+                (b(off + 2 * k + 1).toInt << 8) | (b(off + 2 * k) & 0xff))
+            else Array.tabulate(b.length - off)(k => (b(off + k) & 0xff) - 128)
+          samples.grouped(frameSize).zipWithIndex.map { case (fr, fi) =>
+            var sumsq = 0L; var peak = 0L; var zc = 0L
+            var i = 0
+            while (i < fr.length) {
+              val a = fr(i)
+              sumsq += a.toLong * a
+              if (math.abs(a) > peak) peak = math.abs(a)
+              if (i > 0 && ((a >= 0) != (fr(i - 1) >= 0))) zc += 1
+              i += 1
+            }
+            (id, fi.toLong, fr.length.toLong, sumsq, peak, zc)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_samples", "sumsq", "peak",
+        "zero_crossings")
+  }
+
   private val mimes = Seq("image/png", "image/gif", "audio/wav")
 
   /** Dataset of synthetic media records keyed by an id column. */
