@@ -113,6 +113,29 @@ object SparkEntry {
 
   private val streamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Entity-resolution fixture: parts < 300 as clean records plus one
+    * deliberately corrupted twin each (id + 100000) — one character
+    * replaced by '#' at a key-derived position that alternates between
+    * the first three and the last three characters, so BOTH blocking
+    * passes get exercised while the two-pass completeness bound
+    * (EntityResolution object doc) provably covers every planted edit:
+    * the corruption never lands on the one central position where the
+    * length-7 windows overlap. The oracle replays the same synthesis. */
+  private def erRecords(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_partkey") < 300)
+      .select(col("p_partkey"), col("p_name"))
+    val pos = when(pmod(col("p_partkey"), lit(2)) === 0,
+        lit(1) + pmod(col("p_partkey"), lit(3)))
+      .otherwise(length(col("p_name")) - pmod(col("p_partkey"), lit(3)))
+      .cast("int")
+    val clean = p.select(col("p_partkey").cast("long").as("rec_id"),
+      col("p_name").as("name"))
+    val dirty = p.select((col("p_partkey") + 100000L).cast("long").as("rec_id"),
+      concat(col("p_name").substr(lit(1), pos - 1), lit("#"),
+        col("p_name").substr(pos + 1, lit(64))).as("name"))
+    clean.unionAll(dirty)
+  }
+
   // ---- independent recompute paths for the *_verify property queries ----
   // Each approximate query (q_dedup_minhash/_simhash/_embedding,
   // q_sim_topk_ivf) has a sibling that re-derives every emitted pair's
@@ -617,6 +640,79 @@ object SparkEntry {
       operators.Eval.calibrationBins(t(s, dir, "documents"), "source",
         col("n_chars"), col("lang") === "en", nBins = 6, lo = 0L, hi = 600L)
         .orderBy(col("grp"), col("bin"))),
+
+    // Retrieval-quality eval: per-query nDCG@10 over the dense cosine
+    // top-10, graded relevance = label proximity (3 − |Δlabel| clamped at
+    // 0). Discounts are the FROZEN ppm literals shared verbatim with the
+    // oracle, so the whole metric is integer-exact; the ideal-rank window
+    // spans ≤k rows per query. The brute-force ranking is the sf-scale
+    // baseline — the IVF/PQ paths serve the same frame at 100 TB.
+    "q_eval_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val isQ = pmod(col("vec_id"), lit(25)) === 7
+      val qLab = emb.filter(isQ).select(col("vec_id").as("query"),
+        col("label").cast("long").as("__ql"))
+      val cLab = emb.filter(!isQ).select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("__cl"))
+      val ranked = Similarity.cosineTopK(emb.filter(isQ), emb.filter(!isQ), k = 10)
+        .select(col("query_id").as("query"), col("rank"), col("neighbor_id"))
+        .join(broadcast(qLab), "query").join(broadcast(cLab), "neighbor_id")
+        .withColumn("rel",
+          greatest(lit(0L), lit(3L) - abs(col("__ql") - col("__cl"))))
+      operators.Eval.ndcgAtK(ranked, "query", "rank", "rel", k = 10)
+        .orderBy(col("query"))
+    }),
+
+    // Lakehouse maintenance: the compaction PLAN for a small-file
+    // manifest (here synthesized from documents: one "file" per
+    // (source, doc_id div 20) slice, sized by its character count).
+    // Pure metadata pass — start-offset packing via one per-partition
+    // prefix-sum window; the data files are never read. Hash-oracled.
+    "q_compaction_plan" -> ((s, dir) => {
+      val manifest = t(s, dir, "documents")
+        .groupBy(col("source"), expr("doc_id div 20").as("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      sink.Compaction.planBins(manifest, "source", "file_id", "bytes",
+          targetBytes = 4000L)
+        .select(col("source"), col("file_id"), col("size"), col("bin"),
+          col("bin_files"), col("bin_bytes"))
+        .orderBy(col("source"), col("file_id"))
+    }),
+
+    // Privacy-governance gate: k-anonymity + l-diversity audit of the
+    // customer table under the (nation, segment) quasi-identifier with
+    // the account-balance thousand-bucket as the sensitive attribute.
+    // Exact two-level combining aggregate — no count_distinct expand.
+    "q_kanon_audit" -> ((s, dir) =>
+      validate.Anonymity.kAnonymityAudit(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"),
+          expr("cast(floor(c_acctbal / 1000) as bigint)"), k = 10L)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_mktsegment"), col("group_size"), col("l_distinct"),
+          col("at_risk"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // Entity resolution, step 1 — matched pairs. The oracle is
+    // BRUTE-FORCE all-pairs edit distance over the same records, so the
+    // row match gates the two-pass blocking's RECALL (a candidate the
+    // windows fail to co-locate breaks the compare), exactly the
+    // q_image_phash_pairs gating style; the planted corruptions keep
+    // every true edit inside the provably-complete region.
+    "q_er_match" -> ((s, dir) =>
+      operators.EntityResolution.blockedMatches(erRecords(s, dir),
+          "rec_id", "name", maxDist = 1)
+        .orderBy(col("idA"), col("idB"))),
+
+    // Step 2 — matched pairs resolved into entities by distributed
+    // connected components; entity id = min record id of the cluster.
+    "q_er_entities" -> ((s, dir) => {
+      val recs = erRecords(s, dir)
+      operators.EntityResolution.entities(recs, "rec_id",
+          operators.EntityResolution.blockedMatches(recs, "rec_id", "name",
+            maxDist = 1))
+        .select(col("id").as("rec_id"), col("entity_id"), col("canonical"))
+        .orderBy(col("rec_id"))
+    }),
 
     // Fingerprint: the harness row oracles the ANSI-expressible half (the
     // canonical normalized form); the engine-specific xxhash64 of it is
@@ -5634,6 +5730,118 @@ object SparkEntry {
         |FROM documents
         |WHERE n_chars IS NOT NULL AND lang IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // nDCG@10 replay: the q_sim_topk ranking idiom over the %25==7 query
+    // split, label-proximity relevance, and the SAME frozen ppm discount
+    // literals as Eval.NdcgDiscountPpm — every figure integer-exact.
+    "q_eval_ndcg" ->
+      """WITH ranked AS (
+        |  SELECT query, rank, rel FROM (
+        |    SELECT q.vec_id AS query, c.vec_id AS neighbor_id,
+        |      GREATEST(0, 3 - ABS(CAST(q.label AS BIGINT) - CAST(c.label AS BIGINT))) AS rel,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id % 25 = 7 AND c.vec_id % 25 <> 7) t
+        |  WHERE rank <= 10),
+        |disc(r, d) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        |  (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+        |  (9, 301030), (10, 289065)),
+        |ideal AS (
+        |  SELECT query, rank, rel,
+        |    ROW_NUMBER() OVER (PARTITION BY query ORDER BY rel DESC, rank ASC) AS irank
+        |  FROM ranked),
+        |agg AS (
+        |  SELECT query, COUNT(*) AS n_ranked,
+        |    CAST(SUM(rel * ds.d) AS BIGINT) AS dcg_ppm,
+        |    CAST(SUM(rel * di.d) AS BIGINT) AS idcg_ppm
+        |  FROM ideal JOIN disc ds ON ds.r = rank JOIN disc di ON di.r = irank
+        |  GROUP BY query)
+        |SELECT query, n_ranked, dcg_ppm, idcg_ppm,
+        |  CASE WHEN idcg_ppm > 0
+        |    THEN CAST((1000000 * dcg_ppm) // idcg_ppm AS BIGINT)
+        |    ELSE NULL END AS ndcg_ppm
+        |FROM agg ORDER BY query""".stripMargin,
+
+    // Start-offset packing replayed as the same exclusive prefix sum //
+    // target; bin rollups via a second grouped window.
+    "q_compaction_plan" ->
+      """WITH manifest AS (
+        |  SELECT source, doc_id // 20 AS file_id,
+        |    CAST(SUM(n_chars) AS BIGINT) AS size
+        |  FROM documents GROUP BY 1, 2),
+        |packed AS (
+        |  SELECT source, file_id, size,
+        |    CAST(COALESCE(SUM(size) OVER (PARTITION BY source ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000
+        |      AS BIGINT) AS bin
+        |  FROM manifest)
+        |SELECT source, file_id, size, bin,
+        |  COUNT(*) OVER (PARTITION BY source, bin) AS bin_files,
+        |  CAST(SUM(size) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_bytes
+        |FROM packed ORDER BY source, file_id""".stripMargin,
+
+    // k-anonymity / l-diversity: two-level exact aggregate; the NULL
+    // bucket (if any) counts as a sensitive value, matching the engine.
+    "q_kanon_audit" ->
+      """WITH lv AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS sv, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(SUM(n) AS BIGINT) AS group_size,
+        |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+        |  (SUM(n) < 10 OR COUNT(*) < 2) AS at_risk
+        |FROM lv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // BRUTE-FORCE all-pairs edit distance over the replayed record
+    // synthesis — gates the blocking's recall, not just the predicate.
+    "q_er_match" ->
+      """WITH recs AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS rec_id, p_name AS name
+        |  FROM part WHERE p_partkey < 300
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 100000 AS BIGINT),
+        |    substr(p_name, 1, pos - 1) || '#' || substr(p_name, pos + 1)
+        |  FROM (SELECT p_partkey, p_name,
+        |      CASE WHEN p_partkey % 2 = 0 THEN 1 + (p_partkey % 3)
+        |        ELSE length(p_name) - (p_partkey % 3) END AS pos
+        |    FROM part WHERE p_partkey < 300) c)
+        |SELECT a.rec_id AS idA, b.rec_id AS idB,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM recs a JOIN recs b ON a.rec_id < b.rec_id
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY idA, idB""".stripMargin,
+
+    // Min-label propagation to a fixpoint (recursive CTE), the
+    // q_dedup_cc idiom, over the brute-force match edges.
+    "q_er_entities" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS rec_id, p_name AS name
+        |  FROM part WHERE p_partkey < 300
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 100000 AS BIGINT),
+        |    substr(p_name, 1, pos - 1) || '#' || substr(p_name, pos + 1)
+        |  FROM (SELECT p_partkey, p_name,
+        |      CASE WHEN p_partkey % 2 = 0 THEN 1 + (p_partkey % 3)
+        |        ELSE length(p_name) - (p_partkey % 3) END AS pos
+        |    FROM part WHERE p_partkey < 300) c),
+        |pairs AS (
+        |  SELECT a.rec_id AS idA, b.rec_id AS idB
+        |  FROM recs a JOIN recs b ON a.rec_id < b.rec_id
+        |  WHERE levenshtein(a.name, b.name) <= 1),
+        |edges AS (SELECT idA AS src, idB AS dst FROM pairs
+        |  UNION ALL SELECT idB AS src, idA AS dst FROM pairs),
+        |cc(id, label) AS (
+        |  SELECT rec_id, rec_id FROM recs
+        |  UNION
+        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
+        |)
+        |SELECT id AS rec_id, CAST(MIN(label) AS BIGINT) AS entity_id,
+        |  (MIN(label) = id) AS canonical
+        |FROM cc GROUP BY id ORDER BY rec_id""".stripMargin,
 
     // Streaming inference must converge to the one-shot batch result —
     // the SAME oracle, verbatim.

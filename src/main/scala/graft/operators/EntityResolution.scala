@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: block → match → cluster. Records with noisy name
+  * fields (OCR slips, manual entry, scrape artifacts) are re-linked into
+  * entities without ever forming the all-pairs product — the same
+  * banded-candidate discipline as [[Dedup]]'s MinHash path, specialized
+  * to EDIT distance, where fixed-width character windows play the role
+  * of bands.
+  *
+  * Two blocking passes: the first `blockChars` characters and the LAST
+  * `blockChars` characters (right-aligned). For a pair within edit
+  * distance 1 this is pigeonhole-COMPLETE, not heuristic, whenever the
+  * longer name has ≥ 2·blockChars characters: a single substitution
+  * touches at most one of the two disjoint windows, and a single
+  * insert/delete at position p leaves the prefix window intact when
+  * p > blockChars and the right-aligned suffix window intact when
+  * p ≤ len−blockChars — one of which always holds at that length. (At
+  * length 2·blockChars−1 the windows overlap in one central position;
+  * an edit exactly there is the only escape.) So the downstream match
+  * filter sees every true pair, and an all-pairs oracle can gate RECALL
+  * of the candidate generation, not just the distance predicate.
+  *
+  * Scale shape: candidates come from per-block self-joins after a
+  * block-size cap (`maxBlock`, the [[Dedup]] `maxBucket` discipline —
+  * a block bigger than the cap is a stop-word-like key whose pairs are
+  * dropped, documented recall bound applies only below the cap). Pair
+  * volume is Σ|block|², never n²; the pair frame dedups across passes
+  * before the (cheap) edit-distance filter runs once per candidate.
+  */
+object EntityResolution {
+
+  /** Candidate pairs from the two-pass fixed-window blocking:
+    * (idA, idB, nameA, nameB), idA < idB, distinct across passes.
+    * Blocks larger than `maxBlock` are dropped whole (cap discipline —
+    * see object doc). */
+  def candidatePairs(records: DataFrame, idCol: String, nameCol: String,
+                     blockChars: Int = 4, maxBlock: Int = 4096): DataFrame = {
+    require(blockChars >= 1, s"blockChars must be >= 1, got $blockChars")
+    val base = records.select(col(idCol).as("__id"),
+        col(nameCol).cast("string").as("__name"))
+      .filter(col("__name").isNotNull)
+    val keyed = base.select(col("__id"), col("__name"), explode(array(
+      concat(lit("P"), substring(col("__name"), 1, blockChars)),
+      concat(lit("S"), substring(col("__name"), -blockChars, blockChars))))
+      .as("__key"))
+    // one combining shuffle sizes every block; the cap filter runs on the
+    // block table BEFORE the self-join so an oversized key never joins
+    val sized = keyed.join(
+      keyed.groupBy(col("__key")).agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBlock)
+        .select(col("__key")),
+      "__key")
+    sized.as("a").join(sized.as("b"),
+        col("a.__key") === col("b.__key") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("idA"), col("b.__id").as("idB"),
+        col("a.__name").as("nameA"), col("b.__name").as("nameB"))
+      .distinct()
+  }
+
+  /** Matched pairs: candidates within `maxDist` edits —
+    * (idA, idB, dist). */
+  def blockedMatches(records: DataFrame, idCol: String, nameCol: String,
+                     maxDist: Int = 1, blockChars: Int = 4,
+                     maxBlock: Int = 4096): DataFrame =
+    candidatePairs(records, idCol, nameCol, blockChars, maxBlock)
+      .withColumn("dist",
+        levenshtein(col("nameA"), col("nameB")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("idA"), col("idB"), col("dist"))
+
+  /** Resolve matches into entities: connected components over the match
+    * graph ([[Dedup.connectedComponents]] — pointer-jumping, no driver
+    * materialization beyond its documented bounded fast path). Output:
+    * (id, entity_id, canonical) where entity_id is the component's
+    * minimum record id and `canonical` marks its representative. */
+  def entities(records: DataFrame, idCol: String,
+               matches: DataFrame): DataFrame =
+    Dedup.connectedComponents(records.select(col(idCol)),
+        matches.select(col("idA"), col("idB")), idCol)
+      .select(col("id"), col("component").cast("long").as("entity_id"),
+        (col("component") === col("id")).as("canonical"))
+}

@@ -89,4 +89,46 @@ object Eval {
         sum(when(col("__l"), 1L).otherwise(0L)).as("n_pos"),
         sum(col("__s")).as("score_sum"))
   }
+
+  /** Fixed-point nDCG discount table: discount(rank r) = 1/log2(r+1) in
+    * parts-per-million, rounded half-up ONCE and frozen as literals so
+    * both engines (and the oracle SQL, which embeds the same constants)
+    * use bit-identical discounts — the ranking metric becomes pure
+    * integer arithmetic, immune to log/float last-ulp drift. Extend the
+    * table if a caller ever needs k > 10. */
+  val NdcgDiscountPpm: Seq[Long] = Seq(1000000L, 630930L, 500000L,
+    430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Per-query nDCG@k over an ALREADY-RANKED candidate frame
+    * (queryCol, rankCol in 1..k, relCol integer gain ≥ 0):
+    * (query, n_ranked, dcg_ppm, idcg_ppm, ndcg_ppm).
+    *
+    * DCG is the rel-weighted sum of the literal ppm discounts at the
+    * system ranks; the IDEAL ranks come from a row_number window that
+    * re-sorts the SAME ≤k candidates by (rel desc, rank asc) — nDCG's
+    * standard "ideal ordering of the retrieved set" form, whose window
+    * frame is k rows per query, never corpus-sized, so the metric adds
+    * one bounded window + one combining shuffle regardless of corpus
+    * scale. ndcg_ppm = ⌊10⁶·DCG/IDCG⌋ by integer division (NULL when
+    * every candidate is irrelevant ⇒ IDCG = 0). */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+              relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgDiscountPpm.size,
+      s"k must be in [1, ${NdcgDiscountPpm.size}], got $k")
+    val disc = array(NdcgDiscountPpm.take(k).map(lit): _*)
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("__rel").desc, col("__r").asc)
+    ranked
+      .select(col(queryCol).as("query"), col(rankCol).cast("int").as("__r"),
+        col(relCol).cast("long").as("__rel"))
+      .filter(col("__r").between(1, k) && col("__rel").isNotNull)
+      .withColumn("__ir", row_number().over(w))
+      .groupBy(col("query"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("__rel") * element_at(disc, col("__r"))).as("dcg_ppm"),
+        sum(col("__rel") * element_at(disc, col("__ir"))).as("idcg_ppm"))
+      .select(col("query"), col("n_ranked"), col("dcg_ppm"), col("idcg_ppm"),
+        when(col("idcg_ppm") > 0,
+          expr("(1000000 * dcg_ppm) div idcg_ppm")).as("ndcg_ppm"))
+  }
 }

@@ -113,7 +113,11 @@ object PlanAudit {
     "q_stream_kmv", "q_stream_kmv_verify",
     // the capstone pipelines run the (broadcast) exact semantic cross +
     // the ONE-ROW budget-threshold frames inside their ladders
-    "q_train_pipeline", "q_corpus_pipeline_v2")
+    "q_train_pipeline", "q_corpus_pipeline_v2",
+    // nDCG ranks via cosineTopK of the BOUNDED %25-split query frame
+    // (20 rows at sf0.01) crossed into the corpus — the q_sim_topk
+    // exact-search pattern feeding the metric
+    "q_eval_ndcg")
 
   /** Queries whose CONSTRUCTION executes jobs (training collects,
     * iterative loops, scratch writes, streaming micro-batches) — a
@@ -147,7 +151,7 @@ object PlanAudit {
     // all read
     "q_triangles_approx_verify",
     "q_kcore", "q_kcore_verify",
-    "q_dedup_cc", "q_corpus_pipeline", "q_corpus_pipeline_v2",
+    "q_dedup_cc", "q_er_entities", "q_corpus_pipeline", "q_corpus_pipeline_v2",
     "q_train_pipeline",
     "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
     "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",

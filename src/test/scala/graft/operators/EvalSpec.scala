@@ -113,4 +113,45 @@ class EvalSpec extends SparkSpec {
       assert(math.abs(ppm - 500000L) < 100000L, s"ppm $ppm")
     }
   }
+
+  private def ndcg(rows: Seq[(Long, Int, Long)], k: Int = 10) =
+    Eval.ndcgAtK(rows.toDF("q", "rank", "rel"), "q", "rank", "rel", k)
+      .orderBy(col("query")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+
+  test("ndcg@k: hand-computed DCG/IDCG on a graded ranking") {
+    // rels by system rank: 1,3,0,2 — ideal order 3,2,1,0
+    val out = ndcg(Seq((1L, 1, 1L), (1L, 2, 3L), (1L, 3, 0L), (1L, 4, 2L)))
+    val d = Eval.NdcgDiscountPpm
+    val dcg = 1 * d(0) + 3 * d(1) + 0 * d(2) + 2 * d(3)
+    val idcg = 3 * d(0) + 2 * d(1) + 1 * d(2) + 0 * d(3)
+    assert(out === Seq((1L, 4L, dcg, idcg, Some(1000000L * dcg / idcg))))
+    assert(dcg < idcg, "the scrambled ranking must score below ideal")
+  }
+
+  test("ndcg@k: perfect ranking scores exactly 10^6, all-zero rel is NULL") {
+    val out = ndcg(Seq(
+      (1L, 1, 3L), (1L, 2, 2L), (1L, 3, 1L), // already ideal
+      (2L, 1, 0L), (2L, 2, 0L))) // nothing relevant => IDCG 0
+    assert(out(0)._5 === Some(1000000L))
+    assert(out(1) === ((2L, 2L, 0L, 0L, None)))
+  }
+
+  test("ndcg@k: ranks beyond k are ignored and ties re-rank stably") {
+    // rel ties (2,2) keep system-rank order in the ideal sort, so a
+    // ranking that is ideal-up-to-ties still scores 10^6
+    val out = ndcg(Seq((5L, 1, 2L), (5L, 2, 2L), (5L, 3, 1L), (5L, 11, 9L)), k = 10)
+    assert(out === Seq((5L, 3L,
+      2 * Eval.NdcgDiscountPpm(0) + 2 * Eval.NdcgDiscountPpm(1) + Eval.NdcgDiscountPpm(2),
+      2 * Eval.NdcgDiscountPpm(0) + 2 * Eval.NdcgDiscountPpm(1) + Eval.NdcgDiscountPpm(2),
+      Some(1000000L))))
+  }
+
+  test("ndcg@k rejects k beyond the frozen discount table") {
+    intercept[IllegalArgumentException] {
+      Eval.ndcgAtK(Seq((1L, 1, 1L)).toDF("q", "rank", "rel"),
+        "q", "rank", "rel", k = 11)
+    }
+  }
 }

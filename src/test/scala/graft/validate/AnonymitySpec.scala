@@ -1,0 +1,73 @@
+package graft.validate
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AnonymitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val release = Seq(
+    // (zip, age_band, diagnosis) — the classic quasi-id + sensitive shape
+    ("02139", "30s", "flu"), ("02139", "30s", "flu"), ("02139", "30s", "cold"),
+    ("02139", "40s", "flu"), // k=1 group
+    ("94105", "20s", "flu"), ("94105", "20s", "flu"), ("94105", "20s", "flu"),
+    ("94105", "30s", null), ("94105", "30s", "flu"))
+    .toDF("zip", "age", "dx")
+
+  private def audit(k: Long, minL: Long = 2L) =
+    Anonymity.kAnonymityAudit(release, Seq("zip", "age"), col("dx"), k, minL)
+      .orderBy(col("zip"), col("age")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+
+  test("group sizes, l-diversity, and risk flags on a hand fixture") {
+    assert(audit(k = 2) === Seq(
+      ("02139", "30s", 3L, 2L, false),
+      ("02139", "40s", 1L, 1L, true), // breaks both gates
+      ("94105", "20s", 3L, 1L, true), // k fine, 1-diverse leaks dx
+      ("94105", "30s", 2L, 2L, false))) // NULL counts as a value
+  }
+
+  test("raising k flips exactly the groups below the new threshold") {
+    val flipped = audit(k = 3).map(t => (t._1, t._2, t._5))
+    assert(flipped === Seq(
+      ("02139", "30s", false), ("02139", "40s", true),
+      ("94105", "20s", true), ("94105", "30s", true)))
+  }
+
+  test("summary carries the release-gate headline numbers") {
+    val s = Anonymity.auditSummary(
+      Anonymity.kAnonymityAudit(release, Seq("zip", "age"), col("dx"), 2L))
+      .collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3),
+      s.getLong(4)) === ((4L, 2L, 4L, 1L, 1L)))
+  }
+
+  test("audit equals a brute-force recount on the sf0.001 customer table") {
+    val c = spark.read.parquet(s"${testDataDir()}/customer.parquet")
+    val out = Anonymity.kAnonymityAudit(c, Seq("c_nationkey", "c_mktsegment"),
+        expr("cast(floor(c_acctbal / 1000) as bigint)"), k = 10L)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val rows = c.select(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(floor(c_acctbal / 1000) as bigint)")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val brute = rows.groupBy(t => (t._1, t._2)).map { case (g, rs) =>
+      g -> (rs.size.toLong, rs.map(_._3).distinct.size.toLong)
+    }
+    assert(out.keySet === brute.keySet)
+    brute.foreach { case (g, (n, l)) =>
+      assert(out(g) === ((n, l, n < 10 || l < 2)), s"group $g")
+    }
+  }
+
+  test("contract violations are rejected") {
+    intercept[IllegalArgumentException] {
+      Anonymity.kAnonymityAudit(release, Seq.empty, col("dx"), 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Anonymity.kAnonymityAudit(release, Seq("zip"), col("dx"), 0L)
+    }
+  }
+}
