@@ -121,6 +121,25 @@ object SparkEntry {
     * (EntityResolution object doc) provably covers every planted edit:
     * the corruption never lands on the one central position where the
     * length-7 windows overlap. The oracle replays the same synthesis. */
+  /** Shared retrieval-eval fixture: the %25==7 vectors query the rest of
+    * the embeddings via exact cosine top-10; graded relevance is label
+    * proximity (3 − |Δlabel|, clamped at 0). Feeds both the nDCG and the
+    * binary rank-metric queries so the two metric families provably
+    * score the SAME ranking. */
+  private def retrievalEvalRanked(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val isQ = pmod(col("vec_id"), lit(25)) === 7
+    val qLab = emb.filter(isQ).select(col("vec_id").as("query"),
+      col("label").cast("long").as("__ql"))
+    val cLab = emb.filter(!isQ).select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("__cl"))
+    Similarity.cosineTopK(emb.filter(isQ), emb.filter(!isQ), k = 10)
+      .select(col("query_id").as("query"), col("rank"), col("neighbor_id"))
+      .join(broadcast(qLab), "query").join(broadcast(cLab), "neighbor_id")
+      .withColumn("rel",
+        greatest(lit(0L), lit(3L) - abs(col("__ql") - col("__cl"))))
+  }
+
   private def erRecords(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part").filter(col("p_partkey") < 300)
       .select(col("p_partkey"), col("p_name"))
@@ -647,19 +666,27 @@ object SparkEntry {
     // oracle, so the whole metric is integer-exact; the ideal-rank window
     // spans ≤k rows per query. The brute-force ranking is the sf-scale
     // baseline — the IVF/PQ paths serve the same frame at 100 TB.
-    "q_eval_ndcg" -> ((s, dir) => {
+    "q_eval_ndcg" -> ((s, dir) =>
+      operators.Eval.ndcgAtK(retrievalEvalRanked(s, dir), "query", "rank",
+          "rel", k = 10)
+        .orderBy(col("query"))),
+
+    // The binary rank-metric family (reciprocal rank, precision@10,
+    // recall@10) over the SAME graded ranking; the corpus-side relevant
+    // totals come from a 10-row label histogram theta-joined per query —
+    // a deliberately bounded broadcast, never a corpus re-scan per query.
+    "q_eval_rankmetrics" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val isQ = pmod(col("vec_id"), lit(25)) === 7
-      val qLab = emb.filter(isQ).select(col("vec_id").as("query"),
-        col("label").cast("long").as("__ql"))
-      val cLab = emb.filter(!isQ).select(col("vec_id").as("neighbor_id"),
-        col("label").cast("long").as("__cl"))
-      val ranked = Similarity.cosineTopK(emb.filter(isQ), emb.filter(!isQ), k = 10)
-        .select(col("query_id").as("query"), col("rank"), col("neighbor_id"))
-        .join(broadcast(qLab), "query").join(broadcast(cLab), "neighbor_id")
-        .withColumn("rel",
-          greatest(lit(0L), lit(3L) - abs(col("__ql") - col("__cl"))))
-      operators.Eval.ndcgAtK(ranked, "query", "rank", "rel", k = 10)
+      val hist = emb.filter(!isQ)
+        .groupBy(col("label").cast("long").as("__cl"))
+        .agg(count(lit(1)).as("__n"))
+      val totalRel = emb.filter(isQ)
+        .select(col("vec_id").as("query"), col("label").cast("long").as("__ql"))
+        .join(broadcast(hist), abs(col("__ql") - col("__cl")) <= 2)
+        .groupBy(col("query")).agg(sum(col("__n")).as("n_rel"))
+      operators.Eval.rankMetricsAtK(retrievalEvalRanked(s, dir), "query",
+          "rank", "rel", k = 10, totalRel)
         .orderBy(col("query"))
     }),
 
@@ -5764,6 +5791,41 @@ object SparkEntry {
         |    THEN CAST((1000000 * dcg_ppm) // idcg_ppm AS BIGINT)
         |    ELSE NULL END AS ndcg_ppm
         |FROM agg ORDER BY query""".stripMargin,
+
+    // Same ranking replay as q_eval_ndcg; binary relevance = graded
+    // rel > 0; corpus-side relevant totals by the label-window count.
+    "q_eval_rankmetrics" ->
+      """WITH ranked AS (
+        |  SELECT query, rank, rel FROM (
+        |    SELECT q.vec_id AS query, c.vec_id AS neighbor_id,
+        |      GREATEST(0, 3 - ABS(CAST(q.label AS BIGINT) - CAST(c.label AS BIGINT))) AS rel,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id % 25 = 7 AND c.vec_id % 25 <> 7) t
+        |  WHERE rank <= 10),
+        |rel_tot AS (
+        |  SELECT q.vec_id AS query, COUNT(*) AS n_rel
+        |  FROM embeddings q JOIN embeddings c
+        |    ON c.vec_id % 25 <> 7
+        |    AND ABS(CAST(q.label AS BIGINT) - CAST(c.label AS BIGINT)) <= 2
+        |  WHERE q.vec_id % 25 = 7 GROUP BY 1),
+        |m AS (
+        |  SELECT query, COUNT(*) AS n_ranked,
+        |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    CAST(MIN(CASE WHEN rel > 0 THEN rank END) AS BIGINT) AS first_rel_rank
+        |  FROM ranked GROUP BY query)
+        |SELECT m.query, m.n_ranked, m.hits, m.first_rel_rank,
+        |  CAST(1000000 // first_rel_rank AS BIGINT) AS rr_ppm,
+        |  CAST((1000000 * hits) // 10 AS BIGINT) AS p_at_k_ppm,
+        |  CAST(COALESCE(r.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CASE WHEN COALESCE(r.n_rel, 0) > 0
+        |    THEN CAST((1000000 * hits) // r.n_rel AS BIGINT)
+        |    ELSE NULL END AS recall_ppm
+        |FROM m LEFT JOIN rel_tot r USING (query)
+        |ORDER BY m.query""".stripMargin,
 
     // Start-offset packing replayed as the same exclusive prefix sum //
     // target; bin rollups via a second grouped window.

@@ -131,4 +131,36 @@ object Eval {
         when(col("idcg_ppm") > 0,
           expr("(1000000 * dcg_ppm) div idcg_ppm")).as("ndcg_ppm"))
   }
+
+  /** The binary rank-metric family over the same ranked frame as
+    * [[ndcgAtK]] (rel > 0 counts as relevant): per query —
+    * `hits` (relevant retrieved in the top k), `first_rel_rank`,
+    * `rr_ppm` = ⌊10⁶/first_rel_rank⌋ (reciprocal rank; NULL when nothing
+    * relevant was retrieved), `p_at_k_ppm` = ⌊10⁶·hits/k⌋, and
+    * `recall_ppm` = ⌊10⁶·hits/n_rel⌋ against `totalRel`
+    * (query, n_rel) — the corpus-side relevant count, which only the
+    * caller can know (NULL recall when n_rel is 0 or the query is
+    * missing from `totalRel`). One combining aggregate; the `totalRel`
+    * join is per-QUERY-sized, broadcastable at any corpus scale. */
+  def rankMetricsAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+                     relCol: String, k: Int, totalRel: DataFrame): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    ranked
+      .select(col(queryCol).as("query"), col(rankCol).cast("int").as("__r"),
+        (col(relCol).cast("long") > 0).as("__hit"))
+      .filter(col("__r").between(1, k))
+      .groupBy(col("query"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("__hit"), col("__r"))).cast("long").as("first_rel_rank"))
+      .join(totalRel.select(col("query"), col("n_rel").cast("long").as("n_rel")),
+        Seq("query"), "left")
+      .select(col("query"), col("n_ranked"), col("hits"),
+        col("first_rel_rank"),
+        expr("1000000 div first_rel_rank").as("rr_ppm"),
+        expr(s"(1000000 * hits) div ${k}L").as("p_at_k_ppm"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr("(1000000 * hits) div n_rel")).as("recall_ppm"))
+  }
 }

@@ -116,8 +116,10 @@ object PlanAudit {
     "q_train_pipeline", "q_corpus_pipeline_v2",
     // nDCG ranks via cosineTopK of the BOUNDED %25-split query frame
     // (20 rows at sf0.01) crossed into the corpus — the q_sim_topk
-    // exact-search pattern feeding the metric
-    "q_eval_ndcg")
+    // exact-search pattern feeding the metric; the rank-metric sibling
+    // shares that cross and adds the 10-row label-histogram theta join
+    // for the corpus-side relevant totals
+    "q_eval_ndcg", "q_eval_rankmetrics")
 
   /** Queries whose CONSTRUCTION executes jobs (training collects,
     * iterative loops, scratch writes, streaming micro-batches) — a

@@ -154,4 +154,34 @@ class EvalSpec extends SparkSpec {
         "q", "rank", "rel", k = 11)
     }
   }
+
+  test("rank metrics: rr/precision/recall hand-checked, including misses") {
+    val ranked = Seq(
+      // q1: first hit at rank 3, 2 hits in top 5
+      (1L, 1, 0L), (1L, 2, 0L), (1L, 3, 2L), (1L, 4, 0L), (1L, 5, 1L),
+      // q2: nothing relevant retrieved
+      (2L, 1, 0L), (2L, 2, 0L),
+      // q3: perfect first hit; rank 6 is beyond k and must be ignored
+      (3L, 1, 3L), (3L, 6, 3L)).toDF("q", "rank", "rel")
+    val totals = Seq((1L, 4L), (2L, 7L), (3L, 0L)).toDF("query", "n_rel")
+    val out = Eval.rankMetricsAtK(ranked, "q", "rank", "rel", k = 5, totals)
+      .orderBy(col("query")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    assert(out === Seq(
+      (1L, 5L, 2L, Some(3L), Some(333333L), 400000L, 4L, Some(500000L)),
+      (2L, 2L, 0L, None, None, 0L, 7L, Some(0L)),
+      // n_rel = 0 -> recall undefined, not 10^6
+      (3L, 1L, 1L, Some(1L), Some(1000000L), 200000L, 0L, None)))
+  }
+
+  test("rank metrics: a query missing from totalRel gets n_rel 0, NULL recall") {
+    val ranked = Seq((9L, 1, 1L)).toDF("q", "rank", "rel")
+    val totals = Seq((1L, 3L)).toDF("query", "n_rel")
+    val r = Eval.rankMetricsAtK(ranked, "q", "rank", "rel", 5, totals).collect()(0)
+    assert(r.getLong(6) === 0L && r.isNullAt(7))
+  }
 }
