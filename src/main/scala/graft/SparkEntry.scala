@@ -719,6 +719,27 @@ object SparkEntry {
           col("at_risk"))
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    // Generalization FIXPOINT: widen the acctbal bucket (500·2^L) until
+    // every (segment, bucket) group reaches k=20 — the level sweep runs
+    // over the level-0 GROUPED frame only, and the chosen level is a
+    // one-row broadcast joined back. Converges at a data-dependent
+    // level the oracle re-derives independently. Hash-oracled.
+    "q_kanon_generalize" -> ((s, dir) =>
+      validate.Anonymity.generalizeNumericToK(t(s, dir, "customer"),
+          Seq("c_mktsegment"), col("c_acctbal"), baseBucket = 500L, k = 20L)
+        .withColumn("gen_level", col("gen_level").cast("long"))
+        .orderBy(col("c_mktsegment"), col("bucket"))),
+
+    // The SUPPRESSION path of the same fixpoint: k=40 is unreachable
+    // (the sparse negative-balance bucket never merges past ~21 rows at
+    // any widening), so the search caps at maxLevels and flags the
+    // residual risky groups suppressed — generalize-then-suppress.
+    "q_kanon_suppress" -> ((s, dir) =>
+      validate.Anonymity.generalizeNumericToK(t(s, dir, "customer"),
+          Seq("c_mktsegment"), col("c_acctbal"), baseBucket = 500L, k = 40L)
+        .withColumn("gen_level", col("gen_level").cast("long"))
+        .orderBy(col("c_mktsegment"), col("bucket"))),
+
     // Entity resolution, step 1 — matched pairs. The oracle is
     // BRUTE-FORCE all-pairs edit distance over the same records, so the
     // row match gates the two-pass blocking's RECALL (a candidate the
@@ -3685,6 +3706,27 @@ object SparkEntry {
   /** Double-precision cosine between two embedding columns in DuckDB list
     * math — the exact sequential-accumulation form that is bit-identical to
     * the Spark native expression (NOT list_cosine_similarity: float32). */
+  /** The generalize-to-k oracle, parameterized by k (base bucket 500,
+    * maxLevels 20, fixed quasi = segment — the harness configuration). */
+  private def kanonGeneralizeSql(k: Int): String =
+    s"""WITH g0 AS (
+       |  SELECT c_mktsegment, CAST(FLOOR(c_acctbal / 500) AS BIGINT) AS b0,
+       |    COUNT(*) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |lv AS (SELECT unnest(range(0, 21)) AS level),
+       |sizes AS (
+       |  SELECT c_mktsegment, level,
+       |    CAST(FLOOR(b0 / CAST((1 << level) AS DOUBLE)) AS BIGINT) AS bucket,
+       |    CAST(SUM(n) AS BIGINT) AS group_size
+       |  FROM g0, lv GROUP BY 1, 2, 3),
+       |chosen AS (
+       |  SELECT COALESCE(MIN(level) FILTER (mn >= $k), 20) AS gen_level
+       |  FROM (SELECT level, MIN(group_size) AS mn FROM sizes GROUP BY level))
+       |SELECT c_mktsegment, bucket, group_size, (group_size < $k) AS suppressed,
+       |  CAST(gen_level AS BIGINT) AS gen_level
+       |FROM sizes JOIN chosen ON level = gen_level
+       |ORDER BY c_mktsegment, bucket""".stripMargin
+
   private def cosineSql(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        |      / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
@@ -5857,6 +5899,14 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
         |  (SUM(n) < 10 OR COUNT(*) < 2) AS at_risk
         |FROM lv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Fixpoint replay: level-0 buckets once, halve per level by explicit
+    // FLOOR (DuckDB's // truncates toward zero — measured — so it can't
+    // stand in for the engine's arithmetic-shift floor on negatives),
+    // pick the first level whose min group size reaches k.
+    "q_kanon_generalize" -> kanonGeneralizeSql(20),
+
+    "q_kanon_suppress" -> kanonGeneralizeSql(40),
 
     // BRUTE-FORCE all-pairs edit distance over the replayed record
     // synthesis — gates the blocking's recall, not just the predicate.

@@ -40,6 +40,47 @@ object Anonymity {
         col("group_size") < k || col("l_distinct") < minL)
   }
 
+  /** Generalize a numeric quasi-identifier UP a bucket hierarchy until
+    * the release is k-anonymous: level L buckets the value by
+    * `baseBucket`·2^L, and the chosen level is the SMALLEST one whose
+    * minimum group size reaches k — well-defined because each level-L+1
+    * bucket is the union of exactly two level-L buckets, so the minimum
+    * group size is monotone in L. Groups still under k at `maxLevels`
+    * (e.g. a sparse negative-value bucket that no widening can merge
+    * away) come back flagged `suppressed` — generalize-then-suppress,
+    * the standard release pipeline.
+    *
+    * Scale shape: rows collapse ONCE to the level-0 grouped frame (one
+    * combining shuffle); the level sweep explodes only that GROUPED
+    * frame (coarser counts roll up exactly from level-0 counts via
+    * arithmetic-shift floor division — floor(floor(x/b)/2^L) =
+    * floor(x/(b·2^L))), and the chosen level is a ONE-ROW frame crossed
+    * back in, so the fixpoint search never re-scans or re-shuffles the
+    * data and never touches the driver. Output: one row per final
+    * group — (fixed quasi cols, bucket, group_size, suppressed,
+    * gen_level). */
+  def generalizeNumericToK(df: DataFrame, fixedQuasi: Seq[String],
+                           value: Column, baseBucket: Long, k: Long,
+                           maxLevels: Int = 20): DataFrame = {
+    require(baseBucket > 0 && k >= 1 && maxLevels >= 0,
+      s"need baseBucket>0, k>=1, maxLevels>=0; got $baseBucket, $k, $maxLevels")
+    val quasi = fixedQuasi.map(col)
+    val g0 = df
+      .groupBy(quasi :+ floor(value / baseBucket).cast("long").as("__b0"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val sizes = g0
+      .withColumn("level", explode(array((0 to maxLevels).map(lit): _*)))
+      .withColumn("__b", expr("shiftright(__b0, level)"))
+      .groupBy(quasi :+ col("level") :+ col("__b"): _*)
+      .agg(sum(col("__n")).as("__gn"))
+    val chosen = sizes.groupBy(col("level")).agg(min(col("__gn")).as("__mn"))
+      .agg(coalesce(min(when(col("__mn") >= k, col("level"))),
+        lit(maxLevels)).as("gen_level"))
+    sizes.join(broadcast(chosen), col("level") === col("gen_level"))
+      .select(quasi :+ col("__b").as("bucket") :+ col("__gn").as("group_size")
+        :+ (col("__gn") < k).as("suppressed") :+ col("gen_level"): _*)
+  }
+
   /** Release gate headline: rows and groups at risk, table-wide minimum
     * k and l — the four numbers the go/no-go decision reads. One extra
     * combining aggregate over the (small) audit frame. */

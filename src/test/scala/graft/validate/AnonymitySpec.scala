@@ -62,6 +62,50 @@ class AnonymitySpec extends SparkSpec {
     }
   }
 
+  test("generalization fixpoint: picks the first level whose min group hits k") {
+    // values 0..15 in one segment, base bucket 1: level-0 groups are
+    // singletons; level L groups have 2^L rows -> k=4 fixes at level 2
+    val df = (0L to 15L).map(v => ("s", v)).toDF("seg", "v")
+    val out = Anonymity.generalizeNumericToK(df, Seq("seg"), col("v"),
+        baseBucket = 1L, k = 4L)
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getInt(4)))
+    assert(out === Seq((0L, 4L, false, 2), (1L, 4L, false, 2),
+      (2L, 4L, false, 2), (3L, 4L, false, 2)))
+  }
+
+  test("generalization: negative values floor (not truncate) across levels") {
+    // -1 and -2 at base 1: b0 = -1,-2; level 1 buckets floor(-1/2) = -1,
+    // floor(-2/2) = -1 -> they MERGE (truncation would send -1 to 0)
+    val df = Seq(("s", -1L), ("s", -2L)).toDF("seg", "v")
+    val out = Anonymity.generalizeNumericToK(df, Seq("seg"), col("v"),
+        baseBucket = 1L, k = 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(out.toSeq === Seq((-1L, 2L, 1)))
+  }
+
+  test("generalization: unreachable k caps at maxLevels and suppresses") {
+    // two segments: 'big' has 8 rows, 'tiny' 1 row — k=4 is unreachable
+    // for 'tiny' at ANY level, so the search caps and flags it
+    val df = ((1L to 8L).map(v => ("big", v)) :+ (("tiny", 1L))).toDF("seg", "v")
+    val out = Anonymity.generalizeNumericToK(df, Seq("seg"), col("v"),
+        baseBucket = 1L, k = 4L, maxLevels = 5)
+      .orderBy(col("seg")).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3), r.getInt(4)))
+    assert(out === Seq(("big", 8L, false, 5), ("tiny", 1L, true, 5)))
+  }
+
+  test("generalization min group size is monotone in the level (rollup sanity)") {
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(300)(("s", rnd.nextInt(2000).toLong - 500L)).toDF("seg", "v")
+    val mins = (0 to 8).map { l =>
+      df.groupBy(expr(s"shiftright(cast(floor(v / 10) as bigint), $l)"))
+        .count().agg(min("count")).collect()(0).getLong(0)
+    }
+    assert(mins === mins.sorted,
+      "coarser levels must never shrink the minimum group")
+  }
+
   test("contract violations are rejected") {
     intercept[IllegalArgumentException] {
       Anonymity.kAnonymityAudit(release, Seq.empty, col("dx"), 2L)
