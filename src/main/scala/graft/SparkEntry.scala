@@ -762,6 +762,23 @@ object SparkEntry {
         .orderBy(col("rec_id"))
     }),
 
+    // STREAMING entity resolution: the same records arrive in 4
+    // micro-batches; each delta is block-keyed once and matched against
+    // the standing index only (never corpus-vs-corpus), entities
+    // finalize through the shared CC path — stream ≡ batch verbatim, so
+    // this streaming query carries q_er_entities' FULL hash oracle.
+    "q_stream_er" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_er_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_er_src_${runTag(dir)}"
+      erRecords(s, dir).repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamErBounded(s, src, "rec_id", "name",
+          maxDist = 1)
+        .select(col("id").as("rec_id"), col("entity_id"), col("canonical"))
+        .orderBy(col("rec_id"))
+    }),
+
     // Fingerprint: the harness row oracles the ANSI-expressible half (the
     // canonical normalized form); the engine-specific xxhash64 of it is
     // determinism/stability-checked in OperatorsSpec.
@@ -3706,6 +3723,36 @@ object SparkEntry {
   /** Double-precision cosine between two embedding columns in DuckDB list
     * math — the exact sequential-accumulation form that is bit-identical to
     * the Spark native expression (NOT list_cosine_similarity: float32). */
+  /** Brute-force entity resolution replayed in SQL — all-pairs edit
+    * distance over the synthesized records, then min-label propagation
+    * to a fixpoint. Shared VERBATIM by the batch query and its
+    * streaming twin (stream ≡ batch exactly). */
+  private val erEntitiesOracleSql: String =
+    """WITH RECURSIVE recs AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS rec_id, p_name AS name
+      |  FROM part WHERE p_partkey < 300
+      |  UNION ALL
+      |  SELECT CAST(p_partkey + 100000 AS BIGINT),
+      |    substr(p_name, 1, pos - 1) || '#' || substr(p_name, pos + 1)
+      |  FROM (SELECT p_partkey, p_name,
+      |      CASE WHEN p_partkey % 2 = 0 THEN 1 + (p_partkey % 3)
+      |        ELSE length(p_name) - (p_partkey % 3) END AS pos
+      |    FROM part WHERE p_partkey < 300) c),
+      |pairs AS (
+      |  SELECT a.rec_id AS idA, b.rec_id AS idB
+      |  FROM recs a JOIN recs b ON a.rec_id < b.rec_id
+      |  WHERE levenshtein(a.name, b.name) <= 1),
+      |edges AS (SELECT idA AS src, idB AS dst FROM pairs
+      |  UNION ALL SELECT idB AS src, idA AS dst FROM pairs),
+      |cc(id, label) AS (
+      |  SELECT rec_id, rec_id FROM recs
+      |  UNION
+      |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
+      |)
+      |SELECT id AS rec_id, CAST(MIN(label) AS BIGINT) AS entity_id,
+      |  (MIN(label) = id) AS canonical
+      |FROM cc GROUP BY id ORDER BY rec_id""".stripMargin
+
   /** The generalize-to-k oracle, parameterized by k (base bucket 500,
     * maxLevels 20, fixed quasi = segment — the harness configuration). */
   private def kanonGeneralizeSql(k: Int): String =
@@ -5927,33 +5974,14 @@ object SparkEntry {
         |WHERE levenshtein(a.name, b.name) <= 1
         |ORDER BY idA, idB""".stripMargin,
 
+    // The streaming twin converges to the batch entities identically
+    // (exact integer/string computation end to end) — the batch oracle
+    // applies VERBATIM, the q_stream_classify discipline.
+    "q_stream_er" -> erEntitiesOracleSql,
+
     // Min-label propagation to a fixpoint (recursive CTE), the
     // q_dedup_cc idiom, over the brute-force match edges.
-    "q_er_entities" ->
-      """WITH RECURSIVE recs AS (
-        |  SELECT CAST(p_partkey AS BIGINT) AS rec_id, p_name AS name
-        |  FROM part WHERE p_partkey < 300
-        |  UNION ALL
-        |  SELECT CAST(p_partkey + 100000 AS BIGINT),
-        |    substr(p_name, 1, pos - 1) || '#' || substr(p_name, pos + 1)
-        |  FROM (SELECT p_partkey, p_name,
-        |      CASE WHEN p_partkey % 2 = 0 THEN 1 + (p_partkey % 3)
-        |        ELSE length(p_name) - (p_partkey % 3) END AS pos
-        |    FROM part WHERE p_partkey < 300) c),
-        |pairs AS (
-        |  SELECT a.rec_id AS idA, b.rec_id AS idB
-        |  FROM recs a JOIN recs b ON a.rec_id < b.rec_id
-        |  WHERE levenshtein(a.name, b.name) <= 1),
-        |edges AS (SELECT idA AS src, idB AS dst FROM pairs
-        |  UNION ALL SELECT idB AS src, idA AS dst FROM pairs),
-        |cc(id, label) AS (
-        |  SELECT rec_id, rec_id FROM recs
-        |  UNION
-        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src
-        |)
-        |SELECT id AS rec_id, CAST(MIN(label) AS BIGINT) AS entity_id,
-        |  (MIN(label) = id) AS canonical
-        |FROM cc GROUP BY id ORDER BY rec_id""".stripMargin,
+    "q_er_entities" -> erEntitiesOracleSql,
 
     // Streaming inference must converge to the one-shot batch result —
     // the SAME oracle, verbatim.

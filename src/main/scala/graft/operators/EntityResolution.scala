@@ -36,16 +36,24 @@ object EntityResolution {
     * (idA, idB, nameA, nameB), idA < idB, distinct across passes.
     * Blocks larger than `maxBlock` are dropped whole (cap discipline —
     * see object doc). */
-  def candidatePairs(records: DataFrame, idCol: String, nameCol: String,
-                     blockChars: Int = 4, maxBlock: Int = 4096): DataFrame = {
+  /** The per-record block-key table (__id, __name, __key): two rows per
+    * record, one per pass. Shared by the batch path and the streaming
+    * twin so both sides provably block identically. */
+  def blockKeys(records: DataFrame, idCol: String, nameCol: String,
+                blockChars: Int = 4): DataFrame = {
     require(blockChars >= 1, s"blockChars must be >= 1, got $blockChars")
-    val base = records.select(col(idCol).as("__id"),
+    records.select(col(idCol).as("__id"),
         col(nameCol).cast("string").as("__name"))
       .filter(col("__name").isNotNull)
-    val keyed = base.select(col("__id"), col("__name"), explode(array(
-      concat(lit("P"), substring(col("__name"), 1, blockChars)),
-      concat(lit("S"), substring(col("__name"), -blockChars, blockChars))))
-      .as("__key"))
+      .select(col("__id"), col("__name"), explode(array(
+        concat(lit("P"), substring(col("__name"), 1, blockChars)),
+        concat(lit("S"), substring(col("__name"), -blockChars, blockChars))))
+        .as("__key"))
+  }
+
+  def candidatePairs(records: DataFrame, idCol: String, nameCol: String,
+                     blockChars: Int = 4, maxBlock: Int = 4096): DataFrame = {
+    val keyed = blockKeys(records, idCol, nameCol, blockChars)
     // one combining shuffle sizes every block; the cap filter runs on the
     // block table BEFORE the self-join so an oversized key never joins
     val sized = keyed.join(
@@ -70,6 +78,37 @@ object EntityResolution {
         levenshtein(col("nameA"), col("nameB")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("idA"), col("idB"), col("dist"))
+
+  /** Incremental matched pairs for a streaming corpus: join the DELTA's
+    * keyed rows ([[blockKeys]]) against the standing corpus' keyed rows
+    * PLUS the delta itself, normalize each pair to (min id, max id), and
+    * keep those within `maxDist` edits. Every record lives in exactly
+    * one delta, so a pair surfaces exactly once — in the batch where its
+    * LATER member arrives — and the union of per-batch ledgers equals
+    * the batch [[blockedMatches]] pair set regardless of arrival order
+    * (uncapped: the stream twin's equality gate needs the batch cap not
+    * to have fired, which the harness block sizes guarantee). Per-batch
+    * cost is |delta keys| joined against the standing index — the
+    * corpus is never self-joined per batch. */
+  def incrementalMatches(corpusKeyed: DataFrame, deltaKeyed: DataFrame,
+                         maxDist: Int = 1): DataFrame = {
+    val full = corpusKeyed.unionByName(deltaKeyed)
+    full.as("a").join(deltaKeyed.as("b"),
+        col("a.__key") === col("b.__key") && col("a.__id") =!= col("b.__id"))
+      .select(
+        when(col("a.__id") < col("b.__id"), col("a.__id"))
+          .otherwise(col("b.__id")).as("idA"),
+        when(col("a.__id") < col("b.__id"), col("b.__id"))
+          .otherwise(col("a.__id")).as("idB"),
+        when(col("a.__id") < col("b.__id"), col("a.__name"))
+          .otherwise(col("b.__name")).as("nameA"),
+        when(col("a.__id") < col("b.__id"), col("b.__name"))
+          .otherwise(col("a.__name")).as("nameB"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("nameA"), col("nameB")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("idA"), col("idB"), col("dist"))
+  }
 
   /** Resolve matches into entities: connected components over the match
     * graph ([[Dedup.connectedComponents]] — pointer-jumping, no driver

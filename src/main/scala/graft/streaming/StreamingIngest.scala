@@ -812,6 +812,65 @@ object StreamingIngest {
     parts.reduce(_ unionByName _).dropDuplicates("media_id")
   }
 
+  /** Streaming ENTITY RESOLUTION — records arrive in micro-batches and
+    * are linked incrementally: each batch's block-key table
+    * ([[graft.operators.EntityResolution.blockKeys]]) is computed once,
+    * checkpointed, and becomes part of the standing block index; the
+    * delta joins against that index plus itself
+    * ([[graft.operators.EntityResolution.incrementalMatches]]), so the
+    * corpus is never re-keyed and never self-joined per batch — the
+    * incremental-curation cost model applied to record linkage. Every
+    * record arrives exactly once, so each matched pair surfaces exactly
+    * once (in its later member's batch) and the accumulated ledger
+    * equals the batch pair set regardless of arrival order; entities
+    * finalize through the SAME connected-components code as the batch
+    * path, so stream ≡ batch VERBATIM and the harness gates this with
+    * the batch query's full hash oracle (the q_stream_classify
+    * discipline). Replay-idempotent: all per-batch frames key on the
+    * batch id and overwrite on redelivery; the standing index for batch
+    * b is rebuilt as the union of slices with id < b — identical on
+    * first delivery and on replay. */
+  def runStreamErBounded(spark: SparkSession, parquetPath: String,
+                         idCol: String, nameCol: String, maxDist: Int = 1,
+                         blockChars: Int = 4,
+                         maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.EntityResolution
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val keySlices = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val recordSlices = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val pairLedger = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    import scala.jdk.CollectionConverters._
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val deltaKeyed = EntityResolution
+          .blockKeys(batch, idCol, nameCol, blockChars).localCheckpoint()
+        val corpusKeyed = keySlices.asScala.toSeq
+          .filter(_._1 < bid).map(_._2)
+          .reduceOption(_ unionByName _)
+          .getOrElse(deltaKeyed.limit(0))
+        pairLedger.put(bid, EntityResolution
+          .incrementalMatches(corpusKeyed, deltaKeyed, maxDist)
+          .localCheckpoint())
+        keySlices.put(bid, deltaKeyed)
+        recordSlices.put(bid,
+          batch.select(col(idCol)).localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val recs = recordSlices.values.asScala.toSeq
+    require(recs.nonEmpty, "runStreamErBounded: stream produced no batches")
+    val records = recs.reduce(_ unionByName _).dropDuplicates(idCol)
+    val matches = pairLedger.values.asScala.toSeq
+      .reduce(_ unionByName _).dropDuplicates("idA", "idB")
+    EntityResolution.entities(records, idCol, matches)
+  }
+
   /** Streaming DSIR scoring — the continuously-fed form of
     * [[graft.operators.DataSelect.dsirWeights]]: raw documents arrive in
     * micro-batches and the expensive narrow work (tokenize → n-gram →

@@ -73,6 +73,44 @@ class EntityResolutionSpec extends SparkSpec {
       (4L, 4L, true)))
   }
 
+  test("streaming ER links records across micro-batches, ≡ batch, order-invariant") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-er-stream").toString
+    try {
+      // the 1-2-3 chain spans BOTH batches: 1,3 arrive first, the bridge
+      // record 2 arrives later — linking it needs the standing index
+      val b1 = Seq((1L, "alpha rodent"), (3L, "alpha rodexx"),
+        (7L, "omega unrelated")).toDF("id", "name")
+      val b2 = Seq((2L, "alpha rodenx"), (8L, "omega unrelatex")).toDF("id", "name")
+      def run(src: String) = graft.streaming.StreamingIngest
+        .runStreamErBounded(spark, src, "id", "name", maxDist = 1)
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val expected = {
+        val recs = (Seq((1L, "alpha rodent"), (3L, "alpha rodexx"),
+          (7L, "omega unrelated"), (2L, "alpha rodenx"),
+          (8L, "omega unrelatex"))).toDF("id", "name")
+        EntityResolution.entities(recs, "id",
+            EntityResolution.blockedMatches(recs, "id", "name", maxDist = 1))
+          .orderBy(col("id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      }
+      assert(expected.map(t => (t._1, t._2)).toSeq ===
+        Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L),
+        "fixture sanity: the chain and the cross-batch pair must cluster")
+      val srcA = s"$tmp/fwd"
+      b1.coalesce(1).write.parquet(srcA)
+      b2.coalesce(1).write.mode("append").parquet(srcA)
+      assert(run(srcA).toSeq === expected.toSeq,
+        "stream must equal batch when the bridge record arrives last")
+      val srcB = s"$tmp/rev"
+      b2.coalesce(1).write.parquet(srcB)
+      b1.coalesce(1).write.mode("append").parquet(srcB)
+      assert(run(srcB).toSeq === expected.toSeq,
+        "pair discovery must be arrival-order-invariant")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("null names are ignored rather than blocked on") {
     val df = Seq((1L, Some("alpha rodent")), (2L, Option.empty[String]),
       (3L, Some("alpha rodent"))).toDF("id", "name")
