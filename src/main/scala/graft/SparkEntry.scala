@@ -1263,6 +1263,20 @@ object SparkEntry {
           operators.ZOrder.zValue(col("l_orderkey"), col("l_partkey")).as("zval"))
         .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))),
 
+    // Hilbert layout value — the better-locality sibling of
+    // q_zorder_value (consecutive values are Manhattan-adjacent cells,
+    // no Morton diagonal jumps): the 16-level rotate-and-accumulate
+    // ladder as ONE codegen'd expression tree; the oracle replays the
+    // identical unrolled ladder in generated SQL.
+    "q_hilbert_value" -> ((s, dir) =>
+      operators.ZOrder.withHilbertValue(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_partkey")),
+          "l_orderkey", "l_partkey", "hval")
+        .select(col("l_orderkey"), col("l_linenumber"), col("hval"))
+        .orderBy(col("hval"), col("l_orderkey"), col("l_linenumber"))),
+
     "q_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.cosineTopK(emb.filter(col("vec_id") < 16), emb, k = 10)
@@ -3723,6 +3737,31 @@ object SparkEntry {
   /** Double-precision cosine between two embedding columns in DuckDB list
     * math — the exact sequential-accumulation form that is bit-identical to
     * the Spark native expression (NOT list_cosine_similarity: float32). */
+  /** The Hilbert xy2d ladder unrolled into generated SQL: one CTE per
+    * level carrying (x, y, d), the exact mirror of
+    * [[graft.operators.ZOrder.hilbertValue]]'s expression tree. */
+  private val hilbertOracleSql: String = {
+    val levels = (0 until 16).map { i =>
+      val s = 1L << (15 - i)
+      s"""h${i + 1} AS (SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN (y & $s) = 0 THEN
+         |    CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END
+         |  ELSE x END AS x,
+         |  CASE WHEN (y & $s) = 0 THEN
+         |    CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END
+         |  ELSE y END AS y,
+         |  d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |                     CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d
+         |  FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |  l_orderkey & 65535 AS x, l_partkey & 65535 AS y, CAST(0 AS BIGINT) AS d
+       |  FROM lineitem),
+       |$levels
+       |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS hval
+       |FROM h16 ORDER BY hval, l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** Brute-force entity resolution replayed in SQL — all-pairs edit
     * distance over the synthesized records, then min-label propagation
     * to a fixpoint. Shared VERBATIM by the batch query and its
@@ -5978,6 +6017,8 @@ object SparkEntry {
     // (exact integer/string computation end to end) — the batch oracle
     // applies VERBATIM, the q_stream_classify discipline.
     "q_stream_er" -> erEntitiesOracleSql,
+
+    "q_hilbert_value" -> hilbertOracleSql,
 
     // Min-label propagation to a fixpoint (recursive CTE), the
     // q_dedup_cc idiom, over the brute-force match edges.

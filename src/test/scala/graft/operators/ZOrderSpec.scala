@@ -27,6 +27,46 @@ class ZOrderSpec extends graft.SparkSpec {
     }
   }
 
+  test("hilbert: exhaustive bijection + unit-step adjacency on the full grid") {
+    // bits=4 -> every (x,y) in 16x16 maps to a distinct d in [0, 256)
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L)
+      yield ZOrder.hilbertValueLong(x, y, bits = 4) -> ((x, y))
+    val byD = cells.toMap
+    assert(byD.size == 256 && byD.keySet == (0L until 256L).toSet,
+      "xy2d must be a bijection onto [0, 4^bits)")
+    // the defining Hilbert property (and the locality win over Morton):
+    // consecutive d are Manhattan-ADJACENT cells — step length always 1
+    (0L until 255L).foreach { d =>
+      val ((x1, y1), (x2, y2)) = (byD(d), byD(d + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step between d=$d and ${d + 1}")
+    }
+    // Morton, by contrast, jumps: its max consecutive step exceeds 1
+    val mortonMax = (0 until 255).map { i =>
+      val Seq((x1, y1), (x2, y2)) = Seq(i, i + 1).map { d =>
+        ((0 until 4).foldLeft(0L)((a, k) => a | (((d.toLong >> (2 * k + 1)) & 1) << k)),
+          (0 until 4).foldLeft(0L)((a, k) => a | (((d.toLong >> (2 * k)) & 1) << k)))
+      }
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(mortonMax > 1, "sanity: Morton jumps; Hilbert is what fixes it")
+  }
+
+  test("hilbert column ladder == JVM reference at full 16-bit width") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L)) ++
+      Seq.fill(300)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    import spark.implicits._
+    val got = ZOrder.withHilbertValue(cases.toDF("a", "b"), "a", "b", "h")
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == ZOrder.hilbertValueLong(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // full-width range check: d must stay within [0, 4^16)
+    got.foreach(r => assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 32)))
+  }
+
   test("z-curve monotone locality: z-range partitions bound both dims") {
     import spark.implicits._
     // 64x64 uniform grid, 16 z-range partitions => ~squares of side 16
