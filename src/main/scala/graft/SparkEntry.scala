@@ -1265,9 +1265,11 @@ object SparkEntry {
 
     // Hilbert layout value — the better-locality sibling of
     // q_zorder_value (consecutive values are Manhattan-adjacent cells,
-    // no Morton diagonal jumps): the 16-level rotate-and-accumulate
-    // ladder as ONE codegen'd expression tree; the oracle replays the
-    // identical unrolled ladder in generated SQL.
+    // no Morton diagonal jumps): a NATIVE expression whose codegen is
+    // one static call to the 16-iteration xy2d loop (Column arithmetic
+    // can't carry the per-level mutable state compactly — see
+    // ZOrder.withHilbertValue); the oracle replays the recurrence as a
+    // generated 16-level SQL CTE ladder.
     "q_hilbert_value" -> ((s, dir) =>
       operators.ZOrder.withHilbertValue(
           t(s, dir, "lineitem").select(col("l_orderkey"),

@@ -60,58 +60,28 @@ object ZOrder {
     * the reason Iceberg and recent lakehouse engines offer Hilbert
     * alongside Z-order.
     *
-    * The classic per-level rotate-and-accumulate (Hamilton's xy2d),
-    * unrolled over `bits` levels as a LADDER OF NAMED PROJECTIONS — one
-    * withColumns step per level, the exact mirror of the oracle's CTE
-    * chain. Each level must reference the previous level's x/y as
-    * ATTRIBUTES, not inlined subtrees: a single fused Column expression
-    * would copy x and y several times per level and the tree blows up
-    * ~5^bits (measured: OOM in Column normalization at bits=16).
-    * Catalyst's CollapseProject keeps the ladder stepped (the CASE
-    * branches are non-cheap and multiply referenced), and whole-stage
-    * codegen still fuses all levels into one generated function — pure
-    * shift/mask/CASE arithmetic, no UDF. */
+    * The classic per-level rotate-and-accumulate (Hamilton's xy2d) as a
+    * NATIVE expression ([[graft.expr.HilbertValue]]) — the recurrence
+    * carries mutable (x, y, d) state per level, which Column arithmetic
+    * can't express compactly: a fused Column tree copies x/y several
+    * times per level and blows up ~5^bits (measured: OOM at bits=16),
+    * and a 16-step projection ladder pushes whole-stage codegen past the
+    * huge-method limit into interpreted evaluation (measured 7.2 s vs
+    * z-order's 0.8 s at sf0.1). The expression generates one static call
+    * to a 16-iteration JIT'd loop, keeping the stage fused and the cost
+    * within noise of [[zValue]]. */
   def withHilbertValue(df: DataFrame, aCol: String, bCol: String,
                        outCol: String, bits: Int = 16): DataFrame = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val mask = (1L << bits) - 1
-    var cur = df
-      .withColumn("__hx", col(aCol).bitwiseAND(lit(mask)))
-      .withColumn("__hy", col(bCol).bitwiseAND(lit(mask)))
-      .withColumn("__hd", lit(0L))
-    var s = 1L << (bits - 1)
-    while (s > 0) {
-      val x = col("__hx"); val y = col("__hy")
-      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
-      // rotate the quadrant: flip when rx==1, then swap x/y (fused)
-      cur = cur.withColumns(Map(
-        "__hd" -> (col("__hd") + lit(s) * lit(s) * (rx * 3L).bitwiseXOR(ry)),
-        "__hx" -> when(ry === 0, when(rx === 1, lit(s - 1) - y).otherwise(y)).otherwise(x),
-        "__hy" -> when(ry === 0, when(rx === 1, lit(s - 1) - x).otherwise(x)).otherwise(y)))
-      s >>= 1
-    }
-    cur.withColumn(outCol, col("__hd")).drop("__hx", "__hy", "__hd")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.withColumn(outCol, ColumnBridge.column(graft.expr.HilbertValue(
+      ColumnBridge.expression(col(aCol).cast("long")),
+      ColumnBridge.expression(col(bCol).cast("long")), bits)))
   }
 
-  /** Reference JVM implementation of [[hilbertValue]] (specs/driver). */
-  def hilbertValueLong(a: Long, b: Long, bits: Int = 16): Long = {
-    var x = a & ((1L << bits) - 1)
-    var y = b & ((1L << bits) - 1)
-    var d = 0L
-    var s = 1L << (bits - 1)
-    while (s > 0) {
-      val rx = if ((x & s) > 0) 1L else 0L
-      val ry = if ((y & s) > 0) 1L else 0L
-      d += s * s * ((3 * rx) ^ ry)
-      if (ry == 0) {
-        val (nx, ny) = if (rx == 1) (s - 1 - y, s - 1 - x) else (y, x)
-        x = nx; y = ny
-      }
-      s >>= 1
-    }
-    d
-  }
+  /** Reference JVM entry point (specs/driver) — the same loop the
+    * expression's generated code calls. */
+  def hilbertValueLong(a: Long, b: Long, bits: Int = 16): Long =
+    graft.expr.HilbertCodegen.xy2d(a, b, bits)
 
   /** Equi-depth (rank/histogram) bucket boundaries for BOTH key columns in
     * ONE Greenwald-Khanna sketch pass (the multi-column approxQuantile —
