@@ -70,13 +70,16 @@ object ZOrder {
     * z-order's 0.8 s at sf0.1). The expression generates one static call
     * to a 16-iteration JIT'd loop, keeping the stage fused and the cost
     * within noise of [[zValue]]. */
-  def withHilbertValue(df: DataFrame, aCol: String, bCol: String,
-                       outCol: String, bits: Int = 16): DataFrame = {
+  def hilbertColumn(a: Column, b: Column, bits: Int = 16): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    df.withColumn(outCol, ColumnBridge.column(graft.expr.HilbertValue(
-      ColumnBridge.expression(col(aCol).cast("long")),
-      ColumnBridge.expression(col(bCol).cast("long")), bits)))
+    ColumnBridge.column(graft.expr.HilbertValue(
+      ColumnBridge.expression(a.cast("long")),
+      ColumnBridge.expression(b.cast("long")), bits))
   }
+
+  def withHilbertValue(df: DataFrame, aCol: String, bCol: String,
+                       outCol: String, bits: Int = 16): DataFrame =
+    df.withColumn(outCol, hilbertColumn(col(aCol), col(bCol), bits))
 
   /** Reference JVM entry point (specs/driver) — the same loop the
     * expression's generated code calls. */
@@ -126,7 +129,23 @@ object ZOrder {
     *    (ZOrderSpec asserts it on an exponentially-skewed fixture). */
   def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
                   numFiles: Int = 32, quantizer: String = "linear",
-                  rankBuckets: Int = 256): Unit = {
+                  rankBuckets: Int = 256): Unit =
+    curveWrite(df, colA, colB, path, numFiles, quantizer, rankBuckets, zValue)
+
+  /** [[zorderWrite]] with the Hilbert curve as the layout order — same
+    * quantizers, same range-partitioned write; files cover tighter
+    * key-space squares because consecutive curve positions are adjacent
+    * cells (no Morton diagonal jumps across file boundaries). */
+  def hilbertWrite(df: DataFrame, colA: String, colB: String, path: String,
+                   numFiles: Int = 32, quantizer: String = "linear",
+                   rankBuckets: Int = 256): Unit =
+    curveWrite(df, colA, colB, path, numFiles, quantizer, rankBuckets,
+      hilbertColumn(_, _))
+
+  private def curveWrite(df: DataFrame, colA: String, colB: String,
+                         path: String, numFiles: Int, quantizer: String,
+                         rankBuckets: Int,
+                         curve: (Column, Column) => Column): Unit = {
     require(quantizer == "linear" || quantizer == "rank",
       s"unknown quantizer '$quantizer' (use \"linear\" or \"rank\")")
     require(rankBuckets > 1 && rankBuckets <= 65536,
@@ -141,7 +160,7 @@ object ZOrder {
           df.write.mode("overwrite").parquet(path)
           return
         }
-        zValue(rankQuant(col(colA), bA), rankQuant(col(colB), bB))
+        curve(rankQuant(col(colA), bA), rankQuant(col(colB), bB))
       } else {
         val r = df.agg(
           min(col(colA)).cast("double"), max(col(colA)).cast("double"),
@@ -153,8 +172,8 @@ object ZOrder {
         def quant(c: Column, lo: Double, hi: Double): Column =
           if (hi <= lo) lit(0L)
           else floor((c.cast("double") - lo) * 65536.0 / (hi - lo + 1.0)).cast("long")
-        zValue(quant(col(colA), r.getDouble(0), r.getDouble(1)),
-               quant(col(colB), r.getDouble(2), r.getDouble(3)))
+        curve(quant(col(colA), r.getDouble(0), r.getDouble(1)),
+              quant(col(colB), r.getDouble(2), r.getDouble(3)))
       }
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))

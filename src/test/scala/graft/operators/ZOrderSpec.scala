@@ -89,6 +89,51 @@ class ZOrderSpec extends graft.SparkSpec {
     assert(meanRb < 32.0, s"b-ranges not clustered: ${ranges.mkString(",")}")
   }
 
+  test("hilbert range partitions bound both dims at least as tightly as z") {
+    import spark.implicits._
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    def meanRanges(curve: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) = {
+      val ranges = grid.toDF("a", "b")
+        .withColumn("v", curve(col("a"), col("b")))
+        .repartitionByRange(16, col("v"))
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("a") - min("a")).as("ra"), (max("b") - min("b")).as("rb"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      (ranges.map(_._1).sum.toDouble / ranges.length,
+        ranges.map(_._2).sum.toDouble / ranges.length)
+    }
+    val (hA, hB) = meanRanges(ZOrder.hilbertColumn(_, _))
+    assert(hA < 32.0 && hB < 32.0, s"hilbert not clustered: $hA, $hB")
+    // the locality argument made quantitative: mean bounding-box AREA of a
+    // 16-way split is no worse than Morton's on the same grid
+    val (zA, zB) = meanRanges(ZOrder.zValue)
+    assert(hA * hB <= zA * zB * 1.05,
+      s"hilbert boxes ($hA x $hB) should not exceed Morton's ($zA x $zB)")
+  }
+
+  test("hilbertWrite: written files have square locality in both columns") {
+    import spark.implicits._
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hilbert").toString
+    try {
+      ZOrder.hilbertWrite(grid.toDF("a", "b"), "a", "b", dir, numFiles = 16)
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length > 1)
+      val perFile = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max("a") - min("a"), max("b") - min("b")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val meanA = perFile.map(_._1).sum.toDouble / perFile.length
+      val meanB = perFile.map(_._2).sum.toDouble / perFile.length
+      assert(meanA < 32.0 && meanB < 32.0,
+        s"files are stripes, not squares: ${perFile.mkString(",")}")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
+  }
+
   test("zorderWrite: written files have square locality in both columns") {
     import spark.implicits._
     val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
