@@ -794,6 +794,31 @@ object SparkEntry {
         chunkChars = 200, overlap = 50)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Unicode canonicalization over a combining-mark fixture (the ASCII
+    // corpus is decorated with precomposed/decomposed/case variants of
+    // the same words): NFC + case-fold + accent-strip. The hash gate
+    // pins JDK java.text.Normalizer against DuckDB's utf8proc
+    // (nfc_normalize / lower / strip_accents) — both implement the same
+    // Unicode tables, and this is what holds them to it.
+    "q_text_normalize" -> ((s, dir) => {
+      val variants = array(
+        lit("\u00c9cole"), lit("E\u0301cole"), // precomposed vs decomposed E-acute
+        lit("no\u0308el"), lit("n\u00f6el"), // decomposed vs precomposed o-diaeresis
+        lit("\u00dfTRASSE"), lit("Cafe\u0301"), lit("CAF\u00c9"),
+        lit("ascii only"))
+      val raw = concat(
+        element_at(variants, (pmod(col("doc_id"), lit(8)) + 1).cast("int")),
+        lit(" "), substring(col("text"), 1, 8))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeUnicode(raw).as("nfc"),
+          TextAnalysis.normalizeUnicode(raw, lower = true, stripMarks = true)
+            .as("folded"),
+          length(TextAnalysis.normalizeUnicode(raw)).cast("long")
+            .as("nfc_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // int8 scalar quantization: per-dim codebook from ONE bounded
     // aggregate, codes via pure codegen transform — the 4x scan/shuffle
     // cut of an IVF-SQ vector pipeline; exploded to scalar rows so the
@@ -5921,6 +5946,28 @@ object SparkEntry {
         |    THEN CAST((1000000 * dcg_ppm) // idcg_ppm AS BIGINT)
         |    ELSE NULL END AS ndcg_ppm
         |FROM agg ORDER BY query""".stripMargin,
+
+    // The combining-mark fixture rebuilt with chr() codepoints; DuckDB's
+    // utf8proc (nfc_normalize / lower / strip_accents) must agree with
+    // the JVM normalizer codepoint for codepoint. Fold order matches the
+    // engine: NFC → lower → strip.
+    "q_text_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN chr(201) || 'cole'
+        |      WHEN 1 THEN 'E' || chr(769) || 'cole'
+        |      WHEN 2 THEN 'no' || chr(776) || 'el'
+        |      WHEN 3 THEN 'n' || chr(246) || 'el'
+        |      WHEN 4 THEN chr(223) || 'TRASSE'
+        |      WHEN 5 THEN 'Cafe' || chr(769)
+        |      WHEN 6 THEN 'CAF' || chr(201)
+        |      ELSE 'ascii only' END || ' ' || substr(text, 1, 8) AS r
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(r) AS nfc,
+        |  strip_accents(lower(nfc_normalize(r))) AS folded,
+        |  CAST(length(nfc_normalize(r)) AS BIGINT) AS nfc_chars
+        |FROM raw ORDER BY doc_id""".stripMargin,
 
     // Same ranking replay as q_eval_ndcg; binary relevance = graded
     // rel > 0; corpus-side relevant totals by the label-window count.

@@ -63,6 +63,21 @@ object TextAnalysis {
   def fingerprintNormalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Unicode canonicalization ([[graft.expr.UnicodeNormalize]]): NFC,
+    * optionally case-folded (root locale) and accent-stripped. The
+    * missing first step of every dedup/fingerprint key in a MULTILINGUAL
+    * corpus — the same word arrives precomposed (é = U+00E9) and
+    * decomposed (e + U+0301) from different sources, and every exact/
+    * MinHash/substring dedup treats them as distinct until keys are
+    * NFC'd. Native expression: the per-row JDK normalizer call stays
+    * inside whole-stage codegen. */
+  def normalizeUnicode(text: Column, lower: Boolean = false,
+                       stripMarks: Boolean = false): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.expr.UnicodeNormalize(
+      ColumnBridge.expression(text.cast("string")), lower, stripMarks))
+  }
+
   /** 64-bit document fingerprint: a genuine POLYNOMIAL ROLLING hash
     * ([[graft.expr.RollingHash]]: Horner over code points, slidable in
     * O(1) per window shift) over the whitespace-normalized text —
