@@ -85,6 +85,14 @@ val picks = Seq(
   ("q_text_ppl_buckets", "CCNet terciles: trigram-LM chain + ONE-ROW percentile-threshold cross + codegen CASE bucketing"),
   ("q_image_decode", "real PNG decode: pure per-row map (chunk walk + Inflater + de-filter + luma), zero shuffle before the output sort"),
   ("q_bpe_tokenize", "frozen-merge BPE: broadcast rank map applied shuffle-free per row, posexplode + output sort only"),
+  ("q_eval_ndcg", "nDCG: bounded query-frame broadcast cross for ranking; discount lookup + ideal-rank window over <=k rows per query"),
+  ("q_eval_rankmetrics", "RR/P@k/recall: same bounded ranking; 10-row label-histogram theta broadcast for corpus-side relevant totals"),
+  ("q_compaction_plan", "compaction plan: metadata-only manifest agg + per-partition prefix-sum window; data files never read"),
+  ("q_kanon_audit", "k-anonymity: two-level combining aggregate, sensitive folded into the key first - no count_distinct Expand"),
+  ("q_kanon_generalize", "generalization fixpoint: level sweep explodes the level-0 GROUPED frame only; chosen level is a one-row broadcast join"),
+  ("q_er_match", "entity resolution: two-pass window blocking -> capped per-block equi-join candidates -> levenshtein filter, no all-pairs"),
+  ("q_hilbert_value", "hilbert: ONE native-expression projection (static 16-iteration loop in codegen), only the output sort exchanges"),
+  ("q_text_normalize", "unicode NFC/fold/strip: pure native-expression projection, zero shuffle before the output sort"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
