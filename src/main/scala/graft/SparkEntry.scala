@@ -794,6 +794,56 @@ object SparkEntry {
         chunkChars = 200, overlap = 50)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Data selection without scoring weights: the Pareto front of
+    // documents over (length, vocabulary richness) — the rows no other
+    // row dominates in both. Rows collapse to the x-DOMAIN frame before
+    // the (domain-sized, deliberately unpartitioned) running-max window;
+    // survivors join back broadcast. Oracle is the NOT EXISTS dominance
+    // definition itself, so the window derivation is proven against the
+    // semantics, not a replay of itself.
+    "q_pareto_front" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(operators.Dedup.cleanTokens(col("text"))).as("__tok"))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(countDistinct(col("__tok")).as("__vocab"),
+          count(lit(1)).as("__total"))
+        // lexical diversity trades off against length, so the front is a
+        // genuine curve, not the two corner points
+        .select(col("doc_id"), col("n_chars"),
+          expr("(1000000 * __vocab) div __total").as("diversity_ppm"))
+      operators.DataSelect.paretoFront2D(toks, "n_chars", "diversity_ppm")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("diversity_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode-normalized EXACT dedup — the canonicalizer composed into
+    // the dedup family: mixed precomposed/decomposed/case spellings of
+    // the same logical key (synthesized in pairs) collide only after
+    // NFC + fold, and the min-id survivor election runs on the
+    // normalized key. One combining shuffle on the folded key.
+    "q_dedup_unicode" -> ((s, dir) => {
+      val variants = array(
+        lit("Caf\u00e9"), lit("Cafe\u0301"), // precomposed vs decomposed
+        lit("N\u00d6EL"), lit("no\u0308el"), // case + composition
+        lit("\u00c9cole"), lit("E\u0301cole"),
+        lit("plain"), lit("PLAIN"))
+      val raw = concat(
+        element_at(variants, (pmod(col("doc_id"), lit(8)) + 1).cast("int")),
+        lit(" doc "), expr("cast(doc_id div 8 as string)"))
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"),
+          TextAnalysis.normalizeUnicode(raw, lower = true, stripMarks = true)
+            .as("key"))
+      val survivors = keyed.groupBy(col("key"))
+        .agg(min(col("doc_id")).as("canonical"), count(lit(1)).as("group_n"))
+      keyed.join(survivors, "key")
+        .select(col("doc_id"), col("key"), col("canonical"), col("group_n"),
+          (col("doc_id") === col("canonical")).as("survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode canonicalization over a combining-mark fixture (the ASCII
     // corpus is decorated with precomposed/decomposed/case variants of
     // the same words): NFC + case-fold + accent-strip. The hash gate
@@ -5946,6 +5996,50 @@ object SparkEntry {
         |    THEN CAST((1000000 * dcg_ppm) // idcg_ppm AS BIGINT)
         |    ELSE NULL END AS ndcg_ppm
         |FROM agg ORDER BY query""".stripMargin,
+
+    // The dominance DEFINITION as the oracle: a row is on the front iff
+    // no row beats it weakly in both coordinates and strictly in one —
+    // NOT a replay of the window derivation.
+    "q_pareto_front" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |pts AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST((1000000 * COUNT(DISTINCT tok)) // COUNT(*) AS BIGINT) AS diversity_ppm
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, n_chars, diversity_ppm FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.n_chars >= p.n_chars AND q.diversity_ppm >= p.diversity_ppm
+        |    AND (q.n_chars > p.n_chars OR q.diversity_ppm > p.diversity_ppm))
+        |ORDER BY doc_id""".stripMargin,
+
+    // The paired-variant synthesis replayed with chr() codepoints; keys
+    // fold through the same utf8proc chain as q_text_normalize.
+    "q_dedup_unicode" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    strip_accents(lower(nfc_normalize(
+        |      CASE doc_id % 8
+        |        WHEN 0 THEN 'Caf' || chr(233)
+        |        WHEN 1 THEN 'Cafe' || chr(769)
+        |        WHEN 2 THEN 'N' || chr(214) || 'EL'
+        |        WHEN 3 THEN 'no' || chr(776) || 'el'
+        |        WHEN 4 THEN chr(201) || 'cole'
+        |        WHEN 5 THEN 'E' || chr(769) || 'cole'
+        |        WHEN 6 THEN 'plain'
+        |        ELSE 'PLAIN' END || ' doc ' || CAST(doc_id // 8 AS VARCHAR)))) AS key
+        |  FROM documents),
+        |groups AS (
+        |  SELECT key, CAST(MIN(doc_id) AS BIGINT) AS canonical,
+        |    COUNT(*) AS group_n
+        |  FROM keyed GROUP BY key)
+        |SELECT doc_id, key, canonical, group_n,
+        |  (doc_id = canonical) AS survivor
+        |FROM keyed JOIN groups USING (key)
+        |ORDER BY doc_id""".stripMargin,
 
     // The combining-mark fixture rebuilt with chr() codepoints; DuckDB's
     // utf8proc (nfc_normalize / lower / strip_accents) must agree with

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DSIR-style data selection (Xie, Santurkar, Ma & Liang, "Data Selection
@@ -111,4 +112,40 @@ object DataSelect {
       .filter(col("n_feat") > 0)
       .orderBy(col("logw").desc, col(idCol))
       .limit(k)
+
+  /** 2-D Pareto front (maximize both integer criteria): the rows no
+    * other row dominates, where p dominates q iff p ≥ q in both
+    * coordinates and > in at least one. The data-selection shape —
+    * "which documents are optimal in (length budget, vocabulary
+    * richness)" — without scoring weights to tune.
+    *
+    * Shape at scale: rows collapse ONCE to the x-DOMAIN frame (per-x
+    * max of y — one combining shuffle), the strict-greater-x running
+    * max runs as a window over that DOMAIN frame, and survivors join
+    * back broadcast. The window is unpartitioned ON PURPOSE: its input
+    * is one row per distinct x, so the frame is domain-sized, never
+    * row-sized — quantize x first if its domain is unbounded (the same
+    * contract as [[ZOrder.zorderWrite]]'s 16-bit keys). The range frame
+    * needs integer x (asserted by cast).
+    *
+    * Equal points are BOTH kept (neither strictly dominates); a point
+    * tied with the running max at strictly larger x is dominated (the
+    * strict part comes from x) and dropped. */
+  def paretoFront2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.withColumn("__px", col(xCol).cast("long"))
+      .withColumn("__py", col(yCol).cast("long"))
+      .filter(col("__px").isNotNull && col("__py").isNotNull)
+    val perX = pts.groupBy(col("__px")).agg(max(col("__py")).as("__ymax"))
+    // rows with STRICTLY greater x: descending order + integer range
+    // frame ending 1 before the current value
+    val w = Window.orderBy(col("__px").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val front = perX
+      .withColumn("__prev", max(col("__ymax")).over(w))
+      .filter(col("__prev").isNull || col("__ymax") > col("__prev"))
+      .select(col("__px").as("__fx"), col("__ymax").as("__fy"))
+    pts.join(broadcast(front),
+        col("__px") === col("__fx") && col("__py") === col("__fy"))
+      .drop("__px", "__py", "__fx", "__fy")
+  }
 }

@@ -77,4 +77,45 @@ class DataSelectSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(sel2 == sel)
   }
+
+  private def bruteFront(pts: Seq[(Long, Long, Long)]): Set[Long] =
+    pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y)
+      }
+    }.map(_._1).toSet
+
+  test("pareto front == brute-force dominance on random data with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // small coordinate domain forces equal-x, equal-y, and equal-point
+    // collisions — the tie semantics the window derivation must get right
+    val pts = Seq.tabulate(400)(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val got = DataSelect.paretoFront2D(pts.toDF("id", "x", "y"), "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == bruteFront(pts), "window front diverged from the definition")
+    assert(got.nonEmpty && got.size < pts.size)
+  }
+
+  test("pareto front keeps ALL copies of an undominated duplicate point") {
+    import spark.implicits._
+    val pts = Seq((1L, 10L, 10L), (2L, 10L, 10L), (3L, 5L, 12L),
+      (4L, 5L, 5L), (5L, 12L, 3L))
+    val got = DataSelect.paretoFront2D(pts.toDF("id", "x", "y"), "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    // (5,5) dominated by (5,12) and (10,10); duplicates of (10,10) both
+    // stay (neither strictly dominates the other)
+    assert(got == Set(1L, 2L, 3L, 5L))
+    assert(got == bruteFront(pts))
+  }
+
+  test("pareto front: null coordinates are excluded, not dominant") {
+    import spark.implicits._
+    val df = Seq((1L, Some(3L), Some(3L)), (2L, None, Some(99L)),
+      (3L, Some(99L), None)).toDF("id", "x", "y")
+    val got = DataSelect.paretoFront2D(df, "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
 }
