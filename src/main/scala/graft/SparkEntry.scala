@@ -818,6 +818,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The per-GROUP skyline — a front per source (the realistic shape:
+    // per-language/per-split selection curves); the window partitions by
+    // the group, still over the x-domain frame.
+    "q_pareto_by_group" -> ((s, dir) => {
+      val pts = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          explode(operators.Dedup.cleanTokens(col("text"))).as("__tok"))
+        .groupBy(col("doc_id"), col("source"), col("n_chars"))
+        .agg(countDistinct(col("__tok")).as("__vocab"),
+          count(lit(1)).as("__total"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("(1000000 * __vocab) div __total").as("diversity_ppm"))
+      operators.DataSelect.paretoFront2D(pts, "n_chars", "diversity_ppm",
+          groupCols = Seq("source"))
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("diversity_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING skyline: the standing FRONT is the entire cross-batch
+    // state (dominance merges — front(A∪B) = front(front(A)∪B), by
+    // transitivity), each batch folding through the SAME batch operator
+    // code. Stream ≡ batch verbatim ⇒ q_pareto_front's full hash oracle.
+    "q_stream_pareto" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_pareto_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pareto_src_${runTag(dir)}"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(operators.Dedup.cleanTokens(col("text"))).as("__tok"))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(countDistinct(col("__tok")).as("__vocab"),
+          count(lit(1)).as("__total"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("(1000000 * __vocab) div __total").as("diversity_ppm"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamParetoBounded(s, src,
+          "n_chars", "diversity_ppm")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("diversity_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode-normalized EXACT dedup — the canonicalizer composed into
     // the dedup family: mixed precomposed/decomposed/case spellings of
     // the same logical key (synthesized in pairs) collide only after
@@ -6001,6 +6045,42 @@ object SparkEntry {
     // no row beats it weakly in both coordinates and strictly in one —
     // NOT a replay of the window derivation.
     "q_pareto_front" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |pts AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST((1000000 * COUNT(DISTINCT tok)) // COUNT(*) AS BIGINT) AS diversity_ppm
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, n_chars, diversity_ppm FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.n_chars >= p.n_chars AND q.diversity_ppm >= p.diversity_ppm
+        |    AND (q.n_chars > p.n_chars OR q.diversity_ppm > p.diversity_ppm))
+        |ORDER BY doc_id""".stripMargin,
+
+    // Per-group dominance definition, grouped by source.
+    "q_pareto_by_group" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, n_chars,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |pts AS (
+        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST((1000000 * COUNT(DISTINCT tok)) // COUNT(*) AS BIGINT) AS diversity_ppm
+        |  FROM toks GROUP BY 1, 2, 3)
+        |SELECT doc_id, source, n_chars, diversity_ppm FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.source = p.source
+        |    AND q.n_chars >= p.n_chars AND q.diversity_ppm >= p.diversity_ppm
+        |    AND (q.n_chars > p.n_chars OR q.diversity_ppm > p.diversity_ppm))
+        |ORDER BY doc_id""".stripMargin,
+
+    // Stream ≡ batch verbatim (mergeable dominance) ⇒ the batch
+    // dominance-definition oracle applies unchanged.
+    "q_stream_pareto" ->
       """WITH toks AS (
         |  SELECT doc_id, n_chars,
         |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS tok

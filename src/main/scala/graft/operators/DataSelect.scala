@@ -122,30 +122,40 @@ object DataSelect {
     * Shape at scale: rows collapse ONCE to the x-DOMAIN frame (per-x
     * max of y — one combining shuffle), the strict-greater-x running
     * max runs as a window over that DOMAIN frame, and survivors join
-    * back broadcast. The window is unpartitioned ON PURPOSE: its input
-    * is one row per distinct x, so the frame is domain-sized, never
-    * row-sized — quantize x first if its domain is unbounded (the same
-    * contract as [[ZOrder.zorderWrite]]'s 16-bit keys). The range frame
-    * needs integer x (asserted by cast).
+    * back broadcast. With `groupCols` the window partitions per group
+    * (a front per language/source/split); without, it is unpartitioned
+    * ON PURPOSE — its input is one row per distinct x, so the frame is
+    * domain-sized, never row-sized. Quantize x first if its domain is
+    * unbounded (the same contract as [[ZOrder.zorderWrite]]'s 16-bit
+    * keys). The range frame needs integer x (asserted by cast).
     *
     * Equal points are BOTH kept (neither strictly dominates); a point
     * tied with the running max at strictly larger x is dominated (the
     * strict part comes from x) and dropped. */
-  def paretoFront2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def paretoFront2D(df: DataFrame, xCol: String, yCol: String,
+                    groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val grp = groupCols.map(col)
     val pts = df.withColumn("__px", col(xCol).cast("long"))
       .withColumn("__py", col(yCol).cast("long"))
       .filter(col("__px").isNotNull && col("__py").isNotNull)
-    val perX = pts.groupBy(col("__px")).agg(max(col("__py")).as("__ymax"))
+    val perX = pts.groupBy(grp :+ col("__px"): _*)
+      .agg(max(col("__py")).as("__ymax"))
     // rows with STRICTLY greater x: descending order + integer range
-    // frame ending 1 before the current value
-    val w = Window.orderBy(col("__px").desc)
+    // frame ending 1 before the current value. With groupCols the
+    // window partitions per group (a front per language/source/split);
+    // without, it spans the whole — but always the x-DOMAIN frame.
+    val w = Window.partitionBy(grp: _*).orderBy(col("__px").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
     val front = perX
       .withColumn("__prev", max(col("__ymax")).over(w))
       .filter(col("__prev").isNull || col("__ymax") > col("__prev"))
-      .select(col("__px").as("__fx"), col("__ymax").as("__fy"))
-    pts.join(broadcast(front),
-        col("__px") === col("__fx") && col("__py") === col("__fy"))
-      .drop("__px", "__py", "__fx", "__fy")
+      .select(groupCols.map(g => col(g).as("__g" + g)) :+
+        col("__px").as("__fx") :+ col("__ymax").as("__fy"): _*)
+    val joinCond = (groupCols.map(g => col(g) === col("__g" + g)) :+
+      (col("__px") === col("__fx")) :+ (col("__py") === col("__fy")))
+      .reduce(_ && _)
+    pts.join(broadcast(front), joinCond)
+      .drop((groupCols.map("__g" + _) ++
+        Seq("__px", "__py", "__fx", "__fy")): _*)
   }
 }

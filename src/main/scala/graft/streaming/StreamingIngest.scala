@@ -871,6 +871,49 @@ object StreamingIngest {
     EntityResolution.entities(records, idCol, matches)
   }
 
+  /** Streaming Pareto front — the incremental skyline: the standing
+    * FRONT is the ENTIRE cross-batch state, because dominance is
+    * mergeable — front(A ∪ B) = front(front(A) ∪ front(B)) (a point
+    * dominated in the union is dominated by some union-front point, and
+    * fronts only shrink candidates, never verdicts). Each micro-batch
+    * recomputes the front of (standing front ∪ delta) through the SAME
+    * [[graft.operators.DataSelect.paretoFront2D]] code as batch, so the
+    * final state equals the one-shot batch front VERBATIM regardless of
+    * arrival order, and the harness gates this stream with the batch
+    * query's full hash oracle (the q_stream_classify discipline). State
+    * size is the front itself — domain-bounded, typically tiny — not the
+    * corpus. Replay-idempotent: the per-batch front keys on the batch id
+    * (overwrite on redelivery), and the standing front for batch b is
+    * rebuilt from the latest slice with id < b. */
+  def runStreamParetoBounded(spark: SparkSession, parquetPath: String,
+                             xCol: String, yCol: String,
+                             maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.DataSelect
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val fronts = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    import scala.jdk.CollectionConverters._
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val standing = fronts.asScala.toSeq.filter(_._1 < bid)
+          .sortBy(-_._1).headOption.map(_._2)
+          .getOrElse(batch.limit(0))
+        fronts.put(bid, DataSelect
+          .paretoFront2D(standing.unionByName(batch), xCol, yCol)
+          .localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val last = fronts.asScala.toSeq.sortBy(-_._1).headOption
+    require(last.nonEmpty, "runStreamParetoBounded: stream produced no batches")
+    last.get._2
+  }
+
   /** Streaming DSIR scoring — the continuously-fed form of
     * [[graft.operators.DataSelect.dsirWeights]]: raw documents arrive in
     * micro-batches and the expensive narrow work (tokenize → n-gram →

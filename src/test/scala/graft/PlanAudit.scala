@@ -140,7 +140,7 @@ object PlanAudit {
     "q_stream_quantile", "q_stream_quantile_verify",
     "q_stream_curate_fuzzy", "q_stream_curate_fuzzy_verify",
     "q_stream_ann", "q_stream_ann_verify", "q_stream_multimodal",
-    "q_stream_er",
+    "q_stream_er", "q_stream_pareto",
     // the persistence twins train AND write their model parquet at
     // build time (the q_source_formats writes-scratch category)
     "q_classify_nb_reload", "q_text_trigram_reload",

@@ -110,6 +110,47 @@ class DataSelectSpec extends SparkSpec {
     assert(got == bruteFront(pts))
   }
 
+  test("grouped pareto front == independent per-group brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = Seq.tabulate(300)(i =>
+      (i.toLong, s"g${i % 3}", rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    val got = DataSelect.paretoFront2D(pts.toDF("id", "g", "x", "y"),
+        "x", "y", groupCols = Seq("g"))
+      .collect().map(_.getLong(0)).toSet
+    val want = pts.groupBy(_._2).values.flatMap(grp =>
+      bruteFront(grp.map(t => (t._1, t._3, t._4)))).toSet
+    assert(got == want, "per-group fronts must be independent")
+    assert(got.size > bruteFront(pts.map(t => (t._1, t._3, t._4))).size,
+      "fixture sanity: grouping must admit points the global front rejects")
+  }
+
+  test("streaming pareto: standing front folds across batches, ≡ batch, order-invariant") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pareto-stream").toString
+    try {
+      val rnd = new scala.util.Random(31)
+      val pts = Seq.tabulate(200)(i =>
+        (i.toLong, rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val want = bruteFront(pts)
+      def run(src: String) = graft.streaming.StreamingIngest
+        .runStreamParetoBounded(spark, src, "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      val (b1, b2, b3) = (pts.take(70), pts.slice(70, 140), pts.drop(140))
+      val fwd = s"$tmp/fwd"
+      b1.toDF("id", "x", "y").coalesce(1).write.parquet(fwd)
+      b2.toDF("id", "x", "y").coalesce(1).write.mode("append").parquet(fwd)
+      b3.toDF("id", "x", "y").coalesce(1).write.mode("append").parquet(fwd)
+      assert(run(fwd) == want, "stream front must equal the batch front")
+      val rev = s"$tmp/rev"
+      b3.toDF("id", "x", "y").coalesce(1).write.parquet(rev)
+      b1.toDF("id", "x", "y").coalesce(1).write.mode("append").parquet(rev)
+      b2.toDF("id", "x", "y").coalesce(1).write.mode("append").parquet(rev)
+      assert(run(rev) == want, "dominance merge must be arrival-order-invariant")
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(tmp))
+  }
+
   test("pareto front: null coordinates are excluded, not dominant") {
     import spark.implicits._
     val df = Seq((1L, Some(3L), Some(3L)), (2L, None, Some(99L)),
