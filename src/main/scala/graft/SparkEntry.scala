@@ -794,6 +794,25 @@ object SparkEntry {
         chunkChars = 200, overlap = 50)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // Average precision @ 10 over the SAME ranking, with the same
+    // corpus-side relevant totals as q_eval_rankmetrics; the per-hit
+    // precision terms are ppm-floored FIRST (the documented fixed-point
+    // contract), so MAP is integer-exact cross-engine.
+    "q_eval_map" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val isQ = pmod(col("vec_id"), lit(25)) === 7
+      val hist = emb.filter(!isQ)
+        .groupBy(col("label").cast("long").as("__cl"))
+        .agg(count(lit(1)).as("__n"))
+      val totalRel = emb.filter(isQ)
+        .select(col("vec_id").as("query"), col("label").cast("long").as("__ql"))
+        .join(broadcast(hist), abs(col("__ql") - col("__cl")) <= 2)
+        .groupBy(col("query")).agg(sum(col("__n")).as("n_rel"))
+      operators.Eval.apAtK(retrievalEvalRanked(s, dir), "query", "rank",
+          "rel", k = 10, totalRel)
+        .orderBy(col("query"))
+    }),
+
     // Data selection without scoring weights: the Pareto front of
     // documents over (length, vocabulary richness) — the rows no other
     // row dominates in both. Rows collapse to the x-DOMAIN frame before
@@ -6059,6 +6078,45 @@ object SparkEntry {
         |  WHERE q.n_chars >= p.n_chars AND q.diversity_ppm >= p.diversity_ppm
         |    AND (q.n_chars > p.n_chars OR q.diversity_ppm > p.diversity_ppm))
         |ORDER BY doc_id""".stripMargin,
+
+    // AP replay: the same ranking + relevant totals; per-hit terms
+    // ppm-floored before the sum, then div by n_rel — the documented
+    // fixed-point contract.
+    "q_eval_map" ->
+      """WITH ranked AS (
+        |  SELECT query, rank, rel FROM (
+        |    SELECT q.vec_id AS query, c.vec_id AS neighbor_id,
+        |      GREATEST(0, 3 - ABS(CAST(q.label AS BIGINT) - CAST(c.label AS BIGINT))) AS rel,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id % 25 = 7 AND c.vec_id % 25 <> 7) t
+        |  WHERE rank <= 10),
+        |rel_tot AS (
+        |  SELECT q.vec_id AS query, COUNT(*) AS n_rel
+        |  FROM embeddings q JOIN embeddings c
+        |    ON c.vec_id % 25 <> 7
+        |    AND ABS(CAST(q.label AS BIGINT) - CAST(c.label AS BIGINT)) <= 2
+        |  WHERE q.vec_id % 25 = 7 GROUP BY 1),
+        |terms AS (
+        |  SELECT query, rank, (rel > 0) AS hit,
+        |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY query ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM ranked),
+        |m AS (
+        |  SELECT query,
+        |    CAST(SUM(CASE WHEN hit THEN (1000000 * cum) // rank ELSE 0 END) AS BIGINT) AS tsum,
+        |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM terms GROUP BY query)
+        |SELECT m.query, m.hits,
+        |  CAST(COALESCE(r.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CASE WHEN COALESCE(r.n_rel, 0) > 0
+        |    THEN CAST(tsum // r.n_rel AS BIGINT) ELSE NULL END AS ap_ppm
+        |FROM m LEFT JOIN rel_tot r USING (query)
+        |ORDER BY m.query""".stripMargin,
 
     // Per-group dominance definition, grouped by source.
     "q_pareto_by_group" ->

@@ -132,6 +132,39 @@ object Eval {
           expr("(1000000 * dcg_ppm) div idcg_ppm")).as("ndcg_ppm"))
   }
 
+  /** Fixed-point average precision @ k over the same ranked frame:
+    * per query, AP = mean over RELEVANT ranks r_i of precision@r_i,
+    * normalized by the CORPUS-side relevant total (the standard "MAP"
+    * denominator — misses below k count against you). The fixed-point
+    * contract (documented like [[NdcgDiscountPpm]]): each hit's
+    * precision term is floored to ppm FIRST — (10⁶·hits_so_far) div
+    * rank — then the term sum is divided by n_rel, so every engine
+    * reproduces the figure bit-for-bit with no rational arithmetic.
+    * One cumulative window over ≤k rows per query + one combining
+    * aggregate; NULL when n_rel is 0 or unknown. */
+  def apAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+            relCol: String, k: Int, totalRel: DataFrame): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val w = Window.partitionBy(col("query")).orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .select(col(queryCol).as("query"), col(rankCol).cast("int").as("__r"),
+        (col(relCol).cast("long") > 0).as("__hit"))
+      .filter(col("__r").between(1, k))
+      .withColumn("__cum", sum(when(col("__hit"), 1L).otherwise(0L)).over(w))
+      .withColumn("__term",
+        when(col("__hit"), expr("(1000000 * __cum) div __r")).otherwise(0L))
+      .groupBy(col("query"))
+      .agg(sum(col("__term")).as("__tsum"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("hits"))
+      .join(totalRel.select(col("query"), col("n_rel").cast("long").as("n_rel")),
+        Seq("query"), "left")
+      .select(col("query"), col("hits"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr("__tsum div n_rel")).as("ap_ppm"))
+  }
+
   /** The binary rank-metric family over the same ranked frame as
     * [[ndcgAtK]] (rel > 0 counts as relevant): per query —
     * `hits` (relevant retrieved in the top k), `first_rel_rank`,

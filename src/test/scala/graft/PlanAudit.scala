@@ -119,7 +119,7 @@ object PlanAudit {
     // exact-search pattern feeding the metric; the rank-metric sibling
     // shares that cross and adds the 10-row label-histogram theta join
     // for the corpus-side relevant totals
-    "q_eval_ndcg", "q_eval_rankmetrics")
+    "q_eval_ndcg", "q_eval_rankmetrics", "q_eval_map")
 
   /** Queries whose CONSTRUCTION executes jobs (training collects,
     * iterative loops, scratch writes, streaming micro-batches) — a

@@ -178,6 +178,34 @@ class EvalSpec extends SparkSpec {
       (3L, 1L, 1L, Some(1L), Some(1000000L), 200000L, 0L, None)))
   }
 
+  test("average precision: hand-checked fixed-point terms and MAP denominator") {
+    val ranked = Seq(
+      // hits at ranks 1 and 3: terms 10^6*1/1 and 10^6*2/3 (floored)
+      (1L, 1, 1L), (1L, 2, 0L), (1L, 3, 2L), (1L, 4, 0L),
+      // no hits at all
+      (2L, 1, 0L), (2L, 2, 0L)).toDF("q", "rank", "rel")
+    val totals = Seq((1L, 4L), (2L, 6L)).toDF("query", "n_rel")
+    val out = Eval.apAtK(ranked, "q", "rank", "rel", k = 10, totals)
+      .orderBy(col("query")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val t1 = 1000000L * 1 / 1 + 1000000L * 2 / 3
+    assert(out === Seq((1L, 2L, 4L, Some(t1 / 4)),
+      (2L, 0L, 6L, Some(0L))))
+  }
+
+  test("average precision: perfect retrieval of all relevant == 10^6") {
+    // 3 hits at ranks 1..3, n_rel = 3 -> every term is 10^6, AP = 10^6
+    val ranked = Seq((1L, 1, 1L), (1L, 2, 1L), (1L, 3, 1L)).toDF("q", "rank", "rel")
+    val totals = Seq((1L, 3L)).toDF("query", "n_rel")
+    val r = Eval.apAtK(ranked, "q", "rank", "rel", 10, totals).collect()(0)
+    assert(r.getLong(3) === 1000000L)
+    // n_rel = 0 -> undefined
+    val r0 = Eval.apAtK(ranked, "q", "rank", "rel", 10,
+      Seq((1L, 0L)).toDF("query", "n_rel")).collect()(0)
+    assert(r0.isNullAt(3))
+  }
+
   test("rank metrics: a query missing from totalRel gets n_rel 0, NULL recall") {
     val ranked = Seq((9L, 1, 1L)).toDF("q", "rank", "rel")
     val totals = Seq((1L, 3L)).toDF("query", "n_rel")
