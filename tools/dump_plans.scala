@@ -93,6 +93,9 @@ val picks = Seq(
   ("q_er_match", "entity resolution: two-pass window blocking -> capped per-block equi-join candidates -> levenshtein filter, no all-pairs"),
   ("q_hilbert_value", "hilbert: ONE native-expression projection (static 16-iteration loop in codegen), only the output sort exchanges"),
   ("q_text_normalize", "unicode NFC/fold/strip: pure native-expression projection, zero shuffle before the output sort"),
+  ("q_pareto_front", "skyline: rows collapse to the x-domain frame, domain-sized running-max window, broadcast join back"),
+  ("q_eval_map", "fixed-point AP: bounded per-query cumulative window + combining agg over the broadcast-cross ranking"),
+  ("q_dedup_unicode", "NFC-folded exact dedup: native normalize projection, one combining shuffle on the folded key"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
