@@ -706,6 +706,19 @@ object SparkEntry {
         .orderBy(col("source"), col("file_id"))
     }),
 
+    // The plan's scheduler view: one row per output bin with the merge
+    // rollup — what the rewrite executor consumes, without per-file rows.
+    "q_compaction_summary" -> ((s, dir) => {
+      val manifest = t(s, dir, "documents")
+        .groupBy(col("source"), expr("doc_id div 20").as("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      sink.Compaction.planSummary(manifest, "source", "file_id", "bytes",
+          targetBytes = 4000L)
+        .select(col("source"), col("bin"), col("bin_files"),
+          col("bin_bytes"), col("needs_rewrite"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // Privacy-governance gate: k-anonymity + l-diversity audit of the
     // customer table under the (nation, segment) quasi-identifier with
     // the account-balance thousand-bucket as the sensitive attribute.
@@ -6253,6 +6266,23 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY source, bin) AS bin_files,
         |  CAST(SUM(size) OVER (PARTITION BY source, bin) AS BIGINT) AS bin_bytes
         |FROM packed ORDER BY source, file_id""".stripMargin,
+
+    // The same packing, rolled up per bin.
+    "q_compaction_summary" ->
+      """WITH manifest AS (
+        |  SELECT source, doc_id // 20 AS file_id,
+        |    CAST(SUM(n_chars) AS BIGINT) AS size
+        |  FROM documents GROUP BY 1, 2),
+        |packed AS (
+        |  SELECT source, file_id, size,
+        |    CAST(COALESCE(SUM(size) OVER (PARTITION BY source ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000
+        |      AS BIGINT) AS bin
+        |  FROM manifest)
+        |SELECT source, bin, COUNT(*) AS bin_files,
+        |  CAST(SUM(size) AS BIGINT) AS bin_bytes,
+        |  (COUNT(*) > 1) AS needs_rewrite
+        |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // k-anonymity / l-diversity: two-level exact aggregate; the NULL
     // bucket (if any) counts as a sensitive value, matching the engine.
