@@ -17,7 +17,11 @@ object Bench {
     override def onStageCompleted(
         ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = ev.stageInfo.taskMetrics
-      if (m != null) {
+      // Count only the first attempt of each stage: a retried or
+      // speculatively re-executed stage fires this event once per
+      // attempt, which would double-count its shuffle bytes in the
+      // per-query telemetry that feeds BENCH json and BASELINE.md.
+      if (m != null && ev.stageInfo.attemptNumber == 0) {
         writeBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         writeRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         readBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)

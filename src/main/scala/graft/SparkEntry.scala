@@ -4363,8 +4363,11 @@ object SparkEntry {
     * the two engines share one source of truth) in rank order, each rank
     * replaced to fixpoint. See the q_bpe_tokenize oracle comment. */
   private def bpeFrozenSql: String = {
+    // SQL-escape merge symbols (doubled single quote) so a future seed
+    // vocabulary containing an apostrophe still literalizes correctly.
+    def q(s: String): String = s.replace("'", "''")
     val vals = operators.BpeTokenizer.frozenMerges.zipWithIndex
-      .map { case ((x, y), r) => s"($r, '$x', '$y')" }.mkString(", ")
+      .map { case ((x, y), r) => s"($r, '${q(x)}', '${q(y)}')" }.mkString(", ")
     val maxRank = operators.BpeTokenizer.frozenMerges.size
     s"""WITH RECURSIVE
        |mg(r, x, y) AS (SELECT * FROM (VALUES $vals) v(r, x, y)),

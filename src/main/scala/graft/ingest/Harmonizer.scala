@@ -114,21 +114,36 @@ object Harmonizer {
       .csv(paths: _*)
 
   /** Group CSV paths by header line so each distinct layout becomes ONE scan.
-    * Header probe reads a single line per file (driver-side, metadata-scale). */
+    * The one-line-per-file header probe runs as a tiny Spark job over the
+    * path list (~128 paths per task): at millions of input files a serial
+    * driver-side open+readLine loop is an O(n_files) bottleneck before the
+    * first real task launches. The collect is bounded by design — one
+    * (header, path) pair per file, the same metadata the grouping needs
+    * on the driver to plan the per-layout scans. */
   def groupByLayout(spark: SparkSession, dir: String): Map[String, Seq[String]] = {
     // Resolve the filesystem from the probed path (not the default FS) so
     // s3a://, hdfs://, and file:// directories all probe correctly.
     val globPath = new org.apache.hadoop.fs.Path(s"$dir/*.csv")
     val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(globPath)
-      .map(_.getPath)
-    files.map { p =>
-      val in = fs.open(p)
+      .map(_.getPath.toString).toSeq
+    if (files.isEmpty) return Map.empty
+    // Ship the session's Hadoop conf so executor-side opens see the same
+    // credentials/FS settings the driver resolved (s3a keys, etc.).
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(files.length / 128 + 1,
+      spark.sparkContext.defaultParallelism))
+    val probed = spark.sparkContext.parallelize(files, slices).map { pStr =>
+      val p = new org.apache.hadoop.fs.Path(pStr)
+      val in = p.getFileSystem(confSer.value).open(p)
       val header = try {
-        new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine()
+        new java.io.BufferedReader(new java.io.InputStreamReader(
+          in, java.nio.charset.StandardCharsets.UTF_8)).readLine()
       } finally in.close()
-      (if (header == null) "" else header) -> p.toString
-    }.groupBy(_._1).map { case (h, ps) => h -> ps.map(_._2).toSeq }
+      (if (header == null) "" else header) -> pStr
+    }.collect()
+    probed.groupBy(_._1).map { case (h, ps) => h -> ps.map(_._2).toSeq }
   }
 
   /** Per-row country-from-filename expression (P4, `data_validator.py:89-93`):

@@ -151,7 +151,10 @@ object DataSelect {
       .filter(col("__prev").isNull || col("__ymax") > col("__prev"))
       .select(groupCols.map(g => col(g).as("__g" + g)) :+
         col("__px").as("__fx") :+ col("__ymax").as("__fy"): _*)
-    val joinCond = (groupCols.map(g => col(g) === col("__g" + g)) :+
+    // Null-safe equality on group keys: a NULL group is a real window
+    // partition above, so the join-back must match it too (the repo's
+    // null-safe-key convention — see streaming/NullSegmentSpec).
+    val joinCond = (groupCols.map(g => col(g) <=> col("__g" + g)) :+
       (col("__px") === col("__fx")) :+ (col("__py") === col("__fy")))
       .reduce(_ && _)
     pts.join(broadcast(front), joinCond)

@@ -86,13 +86,26 @@ object EntityResolution {
     * one delta, so a pair surfaces exactly once — in the batch where its
     * LATER member arrives — and the union of per-batch ledgers equals
     * the batch [[blockedMatches]] pair set regardless of arrival order
-    * (uncapped: the stream twin's equality gate needs the batch cap not
-    * to have fired, which the harness block sizes guarantee). Per-batch
-    * cost is |delta keys| joined against the standing index — the
-    * corpus is never self-joined per batch. */
+    * Per-batch cost is |delta keys| joined against the standing index —
+    * the corpus is never self-joined per batch.
+    *
+    * `maxBlock` mirrors [[candidatePairs]]' cap discipline: keys whose
+    * ACCUMULATED block size (standing corpus + this delta) exceeds the
+    * cap are dropped from the per-batch join, so one hot key can never
+    * make a batch quadratic. Equivalence caveat: the batch cap fires on
+    * the FINAL block size, the incremental cap on the running size, so
+    * stream≡batch equality holds exactly iff no block ever crosses the
+    * cap (the harness block sizes guarantee this; the cap is the
+    * at-scale cost bound, not a semantics change on in-cap data). */
   def incrementalMatches(corpusKeyed: DataFrame, deltaKeyed: DataFrame,
-                         maxDist: Int = 1): DataFrame = {
-    val full = corpusKeyed.unionByName(deltaKeyed)
+                         maxDist: Int = 1,
+                         maxBlock: Int = 4096): DataFrame = {
+    val full0 = corpusKeyed.unionByName(deltaKeyed)
+    val full = full0.join(
+      full0.groupBy(col("__key")).agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= maxBlock)
+        .select(col("__key")),
+      "__key")
     full.as("a").join(deltaKeyed.as("b"),
         col("a.__key") === col("b.__key") && col("a.__id") =!= col("b.__id"))
       .select(
