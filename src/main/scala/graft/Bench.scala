@@ -11,25 +11,36 @@ object Bench {
     * BASELINE.md shuffle table. Stage-aggregated task metrics, summed
     * between per-query snapshots. */
   private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
-    val writeBytes = new java.util.concurrent.atomic.AtomicLong
-    val writeRecords = new java.util.concurrent.atomic.AtomicLong
-    val readBytes = new java.util.concurrent.atomic.AtomicLong
+    // Per-stageId metrics keyed on the SUCCESSFUL attempt: a retried or
+    // speculatively re-executed stage fires onStageCompleted once per
+    // attempt. Pinning attempt 0 would double-count nothing but, when
+    // attempt 0 FAILS mid-stage, would count its partial metrics while
+    // dropping the retry that did the real shuffle work. So: a completed
+    // attempt with no failureReason always wins (last successful attempt
+    // overwrites); a failed attempt is recorded only when no successful
+    // one exists yet, as a best-effort lower bound. stageIds are unique
+    // per SparkContext, so entries never collide across queries; the map
+    // holds one small tuple per stage for the JVM's lifetime.
+    private val byStage =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Boolean, Long, Long, Long)]
     override def onStageCompleted(
         ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = ev.stageInfo.taskMetrics
-      // Count only the first attempt of each stage: a retried or
-      // speculatively re-executed stage fires this event once per
-      // attempt, which would double-count its shuffle bytes in the
-      // per-query telemetry that feeds BENCH json and BASELINE.md.
-      if (m != null && ev.stageInfo.attemptNumber == 0) {
-        writeBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        writeRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-        readBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      if (m != null) {
+        val ok = ev.stageInfo.failureReason.isEmpty
+        val v = (ok, m.shuffleWriteMetrics.bytesWritten,
+          m.shuffleWriteMetrics.recordsWritten,
+          m.shuffleReadMetrics.totalBytesRead)
+        byStage.merge(ev.stageInfo.stageId, v,
+          (old, nw) => if (nw._1 || !old._1) nw else old)
         ()
       }
     }
-    def snapshot: (Long, Long, Long) =
-      (writeBytes.get, writeRecords.get, readBytes.get)
+    def snapshot: (Long, Long, Long) = {
+      var w = 0L; var r = 0L; var rd = 0L
+      byStage.values.forEach { case (_, wb, wr, rb) => w += wb; r += wr; rd += rb }
+      (w, r, rd)
+    }
   }
 
   /** Consume one query through a `noop`-format write (NOT `.count()`: under

@@ -537,6 +537,66 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // HTML→text extraction (jusText-lite boilerplate removal) over a
+    // synthetic crawl: every document wrapped in a real-page template
+    // (head/title + style, link-only nav + ad div, link-heavy footer,
+    // script noise, entities) and extracted back. The oracle recomputes
+    // the expected content — constant h1 + text + uppercase twin — from
+    // the source column directly, so parse/segment/classify/entity-decode
+    // is hash-gated end-to-end (the synthetic-PNG playbook for text).
+    "q_text_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextExtract.fromHtml(
+        docs.select(col("doc_id"),
+          operators.TextExtract.syntheticHtml(col("doc_id"), col("text"))
+            .as("html")),
+        "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Block-level view of the same pages: every segmented block's tag,
+    // normalized text, non-ws/link char counts, word count, and
+    // jusText-lite label, hash-matched against the template anatomy the
+    // oracle reconstructs per document (7 blocks: title/nav/h1/p/div/
+    // blockquote/footer). stop_ratio is reported by the operator but
+    // not emitted here (stopword tokenization is not worth re-deriving
+    // in SQL; the keep rule never consults it).
+    "q_text_extract_blocks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextExtract.blocks(
+        docs.select(col("doc_id"),
+          operators.TextExtract.syntheticHtml(col("doc_id"), col("text"))
+            .as("html")),
+        "doc_id", "html")
+        .select(col("doc_id"), col("idx").cast("long").as("idx"), col("tag"),
+          col("text"), col("n_chars").cast("long").as("n_chars"),
+          col("n_link_chars").cast("long").as("n_link_chars"),
+          col("n_words").cast("long").as("n_words"), col("label"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // Extraction feeding the curation ladder: html → extracted text →
+    // exact dedup ON THE EXTRACTED TEXT (the constant h1 keeps extraction
+    // a pure function of `text`, so exact-dup documents stay exact dups
+    // through the HTML round-trip) → fused-profile token count → quality
+    // floor → per-lang rollup. One hash-gated chain across the
+    // extract→curate interface.
+    "q_text_extract_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ext = docs.select(col("doc_id"), col("lang"),
+        graft.expr.HtmlExpressions.html_content_text(
+          operators.TextExtract.syntheticHtml(col("doc_id"), col("text")))
+          .as("extracted"))
+      val deduped = operators.Dedup.exactDedup(ext, Seq("extracted"), "doc_id")
+      deduped
+        .withColumn("n_tok",
+          TextAnalysis.tokenCount(col("extracted")).cast("long"))
+        .filter(col("n_tok") >= 32)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+        .orderBy(col("lang"))
+    }),
+
     // REAL subword tokenization under the FROZEN shipped-artifact merge
     // table (the production tokenizer shape — GPT-2-style BPE applies a
     // fixed published merge list, it never re-learns per corpus): the
@@ -5209,6 +5269,64 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '(?i)\b(的|是|了|在|我)\b')) AS s_zh
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // extraction oracle: generation∘extraction is the identity on the
+    // content blocks, so the expected text is recomputed from the raw
+    // column (the corpus is single-spaced with no markup chars — probed
+    // at every SF — so whitespace normalization is also the identity).
+    "q_text_extract" ->
+      """SELECT doc_id,
+        |  'Corpus document from the synthetic crawl corpus' || chr(10) ||
+        |  text || chr(10) || upper(text) AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // block oracle: the template's 7-block anatomy reconstructed per doc;
+    // constant blocks carry hand-counted non-ws/link chars (nav 16/16,
+    // ad div 10/10, footer 28/12 — &#169; decodes to one char), text
+    // blocks derive counts from the single-spaced source column.
+    "q_text_extract_blocks" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  length(replace(text, ' ', '')) AS t_nw,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS t_words
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS idx, 'title' AS tag,
+        |    'Doc ' || doc_id AS text,
+        |    CAST(3 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars,
+        |    CAST(0 AS BIGINT) AS n_link_chars, CAST(2 AS BIGINT) AS n_words,
+        |    'boilerplate' AS label FROM d
+        |  UNION ALL SELECT doc_id, 1, 'nav', 'Home About Contact', 16, 16, 3,
+        |    'boilerplate' FROM d
+        |  UNION ALL SELECT doc_id, 2, 'h1',
+        |    'Corpus document from the synthetic crawl corpus', 41, 0, 7,
+        |    'content' FROM d
+        |  UNION ALL SELECT doc_id, 3, 'p', text, t_nw, 0, t_words,
+        |    'content' FROM d
+        |  UNION ALL SELECT doc_id, 4, 'div', 'Buy now Sale', 10, 10, 3,
+        |    'boilerplate' FROM d
+        |  UNION ALL SELECT doc_id, 5, 'blockquote', upper(text), t_nw, 0,
+        |    t_words, 'content' FROM d
+        |  UNION ALL SELECT doc_id, 6, 'footer',
+        |    'Terms Privacy ' || chr(169) || ' 2026 Example Corp', 28, 12, 6,
+        |    'boilerplate' FROM d
+        |) ORDER BY doc_id, idx""".stripMargin,
+
+    // pipeline oracle: extracted = h1const \n text \n upper(text) ⇒
+    // tokens = 7 + 2·words(text); dedup groups by the extracted text
+    // (equivalently by text) keeping the min-doc_id row's lang.
+    "q_text_extract_pipeline" ->
+      """WITH ext AS (
+        |  SELECT doc_id, lang,
+        |    'Corpus document from the synthetic crawl corpus' || chr(10) ||
+        |      text || chr(10) || upper(text) AS ex,
+        |    7 + 2 * (length(text) - length(replace(text, ' ', '')) + 1) AS n_tok
+        |  FROM documents),
+        |ded AS (
+        |  SELECT ex, arg_min(lang, doc_id) AS lang, arg_min(n_tok, doc_id) AS n_tok
+        |  FROM ext GROUP BY ex)
+        |SELECT lang, count(*) AS n_docs, sum(n_tok) AS sum_tok
+        |FROM ded WHERE n_tok >= 32
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

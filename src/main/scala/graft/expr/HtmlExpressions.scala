@@ -1,0 +1,346 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic HTML→text extraction with jusText-style boilerplate
+  * removal — the step a crawl pipeline runs before EVERY curation
+  * operator (dedup, quality, tokenization all assume clean text).
+  *
+  * Pure single-pass JVM parser, no external HTML library (this container
+  * ships none, and at 100 TB a DOM materialization per document is the
+  * wrong cost model anyway — this is one forward scan per document,
+  * embarrassingly parallel, zero shuffle):
+  *
+  *  - `<!-- -->` comments, `<!doctype>`/`<?pi?>` and `<script>`/`<style>`/
+  *    `<noscript>`/`<template>` subtrees are dropped wholesale;
+  *  - text is segmented into BLOCKS at block-level tag boundaries (p, div,
+  *    h1-h6, li, nav, footer, table cells, …); inline tags (`<a>`, `<b>`,
+  *    `<span>`, …) do not split a block;
+  *  - character entities are decoded (`&amp; &lt; &gt; &quot; &apos;
+  *    &nbsp; &#NNN; &#xHH;`; unknown entities pass through literally);
+  *  - per block: whitespace-normalized text (runs of `Character
+  *    .isWhitespace` → one space, trimmed), non-whitespace char count,
+  *    chars inside `<a>` links, word count, stopword ratio (TextOps
+  *    stopword list);
+  *  - CLASSIFICATION, jusText-lite (Pomikálek 2011, deterministic
+  *    simplification — link density + length + the neighbor rule;
+  *    stopword density is REPORTED but not a keep criterion, so the
+  *    classifier is language-agnostic by construction):
+  *      link_density > maxLinkDensity            → boilerplate
+  *      non-ws chars < minLen                    → short: inherits the
+  *        nearest PRECEDING non-short block's label (content if that is
+  *        content, else boilerplate; no preceding → boilerplate)
+  *      otherwise                                → content
+  *
+  * Whole-document extraction ([[HtmlOps.contentText]]) = content blocks
+  * joined with `\n`. Tolerant of malformed input: unterminated tags,
+  * comments, and skip-subtrees extend to end-of-input; a bare `<` that
+  * does not open a tag is literal text.
+  */
+object HtmlOps {
+
+  val DefaultMinLen = 20
+  val DefaultMaxLinkDensity = 0.33
+
+  /** Tags that delimit text blocks (open OR close). */
+  private val BlockTags: Set[String] = Set(
+    "html", "head", "body", "title", "p", "div", "section", "article",
+    "header", "footer", "nav", "aside", "main", "h1", "h2", "h3", "h4",
+    "h5", "h6", "ul", "ol", "li", "dl", "dt", "dd", "table", "thead",
+    "tbody", "tfoot", "tr", "td", "th", "caption", "blockquote", "pre",
+    "br", "hr", "form", "fieldset", "figure", "figcaption", "address")
+
+  /** Tags whose entire subtree is dropped. */
+  private val SkipTags: Set[String] = Set("script", "style", "noscript", "template")
+
+  /** One classified block. Field order mirrors [[blockSchema]]. */
+  final case class Block(idx: Int, tag: String, text: String, nChars: Int,
+                         nLinkChars: Int, nWords: Int, stopRatio: Double,
+                         label: String)
+
+  val blockSchema: StructType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("tag", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_link_chars", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("stop_ratio", DoubleType, nullable = false),
+    StructField("label", StringType, nullable = false)))
+
+  @inline private def lower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+  @inline private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-'
+
+  /** Case-insensitive search for `</name` at/after `from`; returns the
+    * index AFTER the closing '>' (or n if unterminated). */
+  private def skipSubtree(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    var i = from
+    while (i < n) {
+      if (s.charAt(i) == '<' && i + 1 < n && s.charAt(i + 1) == '/') {
+        var j = i + 2; var k = 0
+        while (j < n && k < name.length && lower(s.charAt(j)) == name.charAt(k)) {
+          j += 1; k += 1
+        }
+        if (k == name.length && (j >= n || !isNameChar(s.charAt(j)))) {
+          while (j < n && s.charAt(j) != '>') j += 1
+          return if (j < n) j + 1 else n
+        }
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** Skip attributes to the tag's closing '>', honoring quoted values;
+    * returns the index after '>'. */
+  private def skipToTagEnd(s: String, from: Int): Int = {
+    val n = s.length
+    var i = from
+    var quote: Char = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    n
+  }
+
+  /** Decode one entity starting at the '&' at `i`; appends the decoded
+    * char(s) (or the literal '&' when not an entity) and returns the next
+    * read position. */
+  private def decodeEntity(s: String, i: Int, out: java.lang.StringBuilder): Int = {
+    val n = s.length
+    var semi = -1
+    var j = i + 1
+    val lim = math.min(n, i + 10)
+    while (j < lim && semi < 0) { if (s.charAt(j) == ';') semi = j; j += 1 }
+    if (semi < 0) { out.append('&'); return i + 1 }
+    val body = s.substring(i + 1, semi)
+    val decoded: String = body match {
+      case "amp" => "&"
+      case "lt" => "<"
+      case "gt" => ">"
+      case "quot" => "\""
+      case "apos" => "'"
+      case "nbsp" => " "
+      case _ if body.startsWith("#x") || body.startsWith("#X") =>
+        try String.valueOf(Character.toChars(Integer.parseInt(body.substring(2), 16)))
+        catch { case _: Exception => null }
+      case _ if body.startsWith("#") =>
+        try String.valueOf(Character.toChars(Integer.parseInt(body.substring(1))))
+        catch { case _: Exception => null }
+      case _ => null
+    }
+    if (decoded == null) { out.append('&'); i + 1 }
+    else { out.append(decoded); semi + 1 }
+  }
+
+  /** Parse + segment + classify. Null html → empty seq. */
+  def blocks(html: String, minLen: Int, maxLinkDensity: Double): IndexedSeq[Block] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    val raw = IndexedSeq.newBuilder[(String, String, Int, Int)] // tag, rawText, nonWs, linked
+    var curTag = ""
+    val buf = new java.lang.StringBuilder(256)
+    var nonWs = 0
+    var linked = 0
+    var linkDepth = 0
+
+    def finalizeBlock(nextTag: String): Unit = {
+      if (nonWs > 0) raw += ((curTag, buf.toString, nonWs, linked))
+      buf.setLength(0); nonWs = 0; linked = 0
+      curTag = nextTag
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
+            && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(html, i + 1)
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          if (j == nameStart) { // bare '<' — literal text
+            buf.append(c); nonWs += 1; if (linkDepth > 0) linked += 1
+            i += 1
+          } else {
+            val name = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
+              sb.toString
+            }
+            val afterTag = skipToTagEnd(html, j)
+            if (!closing && SkipTags.contains(name)) {
+              i = skipSubtree(html, afterTag, name)
+            } else {
+              if (name == "a") {
+                if (closing) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
+              }
+              if (BlockTags.contains(name))
+                finalizeBlock(if (closing) "" else name)
+              i = afterTag
+            }
+          }
+        }
+      } else if (c == '&') {
+        val before = buf.length()
+        i = decodeEntity(html, i, buf)
+        var p = before
+        while (p < buf.length()) {
+          if (!Character.isWhitespace(buf.charAt(p))) {
+            nonWs += 1; if (linkDepth > 0) linked += 1
+          }
+          p += 1
+        }
+      } else {
+        buf.append(c)
+        if (!Character.isWhitespace(c)) { nonWs += 1; if (linkDepth > 0) linked += 1 }
+        i += 1
+      }
+    }
+    finalizeBlock("")
+
+    // normalize + context-free classify, then the neighbor rule for shorts
+    val segs = raw.result()
+    val out = new Array[Block](segs.length)
+    var lastLongLabel = "" // nearest preceding non-short label
+    var idx = 0
+    while (idx < segs.length) {
+      val (tag, rawText, nw, lk) = segs(idx)
+      val norm = normalizeWs(rawText)
+      val words = if (norm.isEmpty) Array.empty[String] else norm.split(' ')
+      var stop = 0
+      var w = 0
+      while (w < words.length) {
+        if (TextOps.Stopwords.contains(words(w).toLowerCase)) stop += 1
+        w += 1
+      }
+      val density = if (nw == 0) 0.0 else lk.toDouble / nw
+      val label =
+        if (density > maxLinkDensity) { lastLongLabel = "boilerplate"; "boilerplate" }
+        else if (nw < minLen) if (lastLongLabel == "content") "content" else "boilerplate"
+        else { lastLongLabel = "content"; "content" }
+      out(idx) = Block(idx, tag, norm, nw, lk, words.length,
+        if (words.isEmpty) 0.0 else stop.toDouble / words.length, label)
+      idx += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  private def normalizeWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var inWs = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) inWs = true
+      else {
+        if (inWs && sb.length() > 0) sb.append(' ')
+        inWs = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Extracted main text: content blocks joined with '\n'. */
+  def contentText(html: UTF8String, minLen: Int, maxLinkDensity: Double): UTF8String = {
+    if (html == null) return null
+    val bs = blocks(html.toString, minLen, maxLinkDensity)
+    val sb = new java.lang.StringBuilder(256)
+    var i = 0
+    while (i < bs.length) {
+      if (bs(i).label == "content") {
+        if (sb.length() > 0) sb.append('\n')
+        sb.append(bs(i).text)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Blocks as Catalyst rows (for [[HtmlBlocks]]). */
+  def blocksData(html: UTF8String, minLen: Int, maxLinkDensity: Double): GenericArrayData = {
+    if (html == null) return new GenericArrayData(Array.empty[Any])
+    val bs = blocks(html.toString, minLen, maxLinkDensity)
+    val rows = new Array[Any](bs.length)
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i)
+      rows(i) = InternalRow(b.idx, UTF8String.fromString(b.tag),
+        UTF8String.fromString(b.text), b.nChars, b.nLinkChars, b.nWords,
+        b.stopRatio, UTF8String.fromString(b.label))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `html_content_text(html)` — codegen whole-document extraction. */
+case class HtmlContentText(child: Expression, minLen: Int, maxLinkDensity: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_content_text"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.contentText(input.asInstanceOf[UTF8String], minLen, maxLinkDensity)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.contentText($a, $minLen, $maxLinkDensity);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `html_blocks(html)` — codegen block segmentation + classification. */
+case class HtmlBlocks(child: Expression, minLen: Int, maxLinkDensity: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(HtmlOps.blockSchema, containsNull = false)
+  override def prettyName: String = "html_blocks"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.blocksData(input.asInstanceOf[UTF8String], minLen, maxLinkDensity)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.blocksData($a, $minLen, $maxLinkDensity);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def html_content_text(html: Column,
+                        minLen: Int = HtmlOps.DefaultMinLen,
+                        maxLinkDensity: Double = HtmlOps.DefaultMaxLinkDensity): Column =
+    ColumnBridge.column(HtmlContentText(ColumnBridge.expression(html), minLen, maxLinkDensity))
+
+  def html_blocks(html: Column,
+                  minLen: Int = HtmlOps.DefaultMinLen,
+                  maxLinkDensity: Double = HtmlOps.DefaultMaxLinkDensity): Column =
+    ColumnBridge.column(HtmlBlocks(ColumnBridge.expression(html), minLen, maxLinkDensity))
+}

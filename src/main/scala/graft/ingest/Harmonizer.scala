@@ -125,7 +125,9 @@ object Harmonizer {
     // s3a://, hdfs://, and file:// directories all probe correctly.
     val globPath = new org.apache.hadoop.fs.Path(s"$dir/*.csv")
     val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(globPath)
+    // globStatus returns null (not an empty array) for a nonexistent
+    // parent directory on some FS implementations — normalize before map.
+    val files = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
       .map(_.getPath.toString).toSeq
     if (files.isEmpty) return Map.empty
     // Ship the session's Hadoop conf so executor-side opens see the same

@@ -150,10 +150,11 @@ object Dedup {
     filter(tokens(text), t => t =!= "")
 
   /** Word n-gram shingles as a distinct array; docs shorter than n collapse
-    * to one whole-text shingle. A tight-loop UDF: the equivalent
-    * transform/element_at expression tree is interpreted per gram and
-    * benchmarked ~20x slower on long documents. */
-  private def shingleUdf(n: Int) = udf { (text: String) =>
+    * to one whole-text shingle. RETIRED from the hot path in favor of the
+    * codegen twin [[graft.expr.ShingleArray]] (same tight loop, no UDF
+    * encoder round-trip); kept `private[graft]` as the reference
+    * implementation MinHashExprSpec property-pins the expression against. */
+  private[graft] def shingleUdf(n: Int) = udf { (text: String) =>
     if (text == null) Seq.empty[String]
     else {
       val toks = text.trim.toLowerCase.split("\\s+")
@@ -173,7 +174,8 @@ object Dedup {
     }
   }
 
-  def shingles(text: Column, n: Int = 3): Column = shingleUdf(n)(text)
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.expr.MinHashExpressions.shingle_array(text, n)
 
   /** Exact n-gram Jaccard similarity between two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -193,10 +195,11 @@ object Dedup {
   }
 
   /** MinHash signature UDF: one tight pass over the shingle set computing all
-    * k permutation minima (O(shingles×k) per row, no shuffle). A UDF beats a
-    * 64-way HOF expression tree here; it is per-row narrow work outside any
-    * aggregation, so codegen loss is immaterial. */
-  def minhashSignatureUdf(k: Int = 64) = {
+    * k permutation minima (O(shingles×k) per row, no shuffle). RETIRED from
+    * the hot path in favor of the codegen twin
+    * [[graft.expr.MinHashSignature]]; kept `private[graft]` as the
+    * reference implementation MinHashExprSpec property-pins against. */
+  private[graft] def minhashSignatureUdf(k: Int = 64) = {
     val ps = perms(k)
     udf { (shingles: Seq[String]) =>
       val sig = Array.fill(k)(Long.MaxValue)
@@ -273,7 +276,7 @@ object Dedup {
                           threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
     val withSig = df.select(col(idCol), shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignatureUdf(k)(col("sh")))
+      .withColumn("sig", graft.expr.MinHashExpressions.minhash_signature(col("sh"), k))
       .localCheckpoint()
     val bucketCands = candidatePairs(
       bandBuckets(withSig, "sig", idCol, bands, rows), idCol, maxBucket)
@@ -294,7 +297,7 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64): DataFrame =
     df.select(col(idCol), shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignatureUdf(k)(col("sh")))
+      .withColumn("sig", graft.expr.MinHashExpressions.minhash_signature(col("sh"), k))
 
   /** INCREMENTAL MinHash+LSH near-dup: qualifying pairs with at least one
     * side in `delta` — new-vs-corpus and new-vs-new, the standing corpus

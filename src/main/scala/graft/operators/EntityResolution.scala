@@ -100,7 +100,16 @@ object EntityResolution {
   def incrementalMatches(corpusKeyed: DataFrame, deltaKeyed: DataFrame,
                          maxDist: Int = 1,
                          maxBlock: Int = 4096): DataFrame = {
+    // Only keys present in THIS delta can emit pairs this batch, so the
+    // cap check is semi-joined down to delta keys first: the block-size
+    // aggregate (and everything downstream) is proportional to the delta,
+    // not an O(corpus) groupBy-count per micro-batch. The delta key set is
+    // per-batch small, so it broadcasts; block counts for surviving keys
+    // are unchanged by the semi-join (full0 still contributes every row
+    // with that key), so the cap semantics are identical.
+    val deltaKeys = deltaKeyed.select(col("__key")).distinct()
     val full0 = corpusKeyed.unionByName(deltaKeyed)
+      .join(broadcast(deltaKeys), Seq("__key"), "left_semi")
     val full = full0.join(
       full0.groupBy(col("__key")).agg(count(lit(1)).as("__bs"))
         .filter(col("__bs") <= maxBlock)

@@ -19,12 +19,17 @@ case class MediaFeatures(media_id: Long, n_bytes: Int, width: Int, height: Int,
   * consumed in fixed-size batches exactly as an inference/decode service
   * would be called), and a deterministic feature schema.
   *
-  * HEADER PARSING IS REAL ([[decodeHeader]]): PNG IHDR, GIF logical screen,
-  * JPEG SOF, and WAV fmt headers are parsed from the raw bytes in pure JVM
-  * code. Full pixel/sample DECODE remains stubbed ([[decodeStub]], the
-  * fallback for unrecognized containers) — this environment ships no
-  * codecs. Swapping in a real decoder = replacing one pure function; every
-  * schema, batch, and partitioning decision stays.
+  * DECODING IS REAL, pure JVM, no codec dependencies: header parsing
+  * ([[decodeHeader]]: PNG IHDR, GIF logical screen, JPEG SOF, WAV fmt),
+  * full PIXEL decode for PNG (zlib inflate + all five filter types),
+  * GIF (LZW + palette), and baseline JPEG (Huffman + dequant + IDCT +
+  * YCbCr), WAV PCM sample decode, and MP4 box-walk with sample-table
+  * frame extraction — each hash-oracled end-to-end (`q_image_decode*`,
+  * `q_audio_*`, `q_video_*`). [[decodeStub]] is only the deterministic
+  * fallback for UNRECOGNIZED containers, keeping the pipeline total over
+  * arbitrary bytes; swapping in an external codec for a new container is
+  * still one pure function — every schema, batch, and partitioning
+  * decision stays.
   */
 object Multimodal {
 

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expr.HtmlOps
+
+/** HTML→text extraction semantics: the pure parser's edges (entities,
+  * comments, skip-subtrees, malformed input, neighbor rule) plus the
+  * synthetic-page round-trip the `q_text_extract*` oracles invert. */
+class TextExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def content(html: String): String =
+    Option(HtmlOps.contentText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html),
+      HtmlOps.DefaultMinLen, HtmlOps.DefaultMaxLinkDensity)).map(_.toString).orNull
+
+  test("synthetic page round-trips: h1 + text + upper(text), boilerplate dropped") {
+    val docs = spark.read.parquet(s"${testDataDir()}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val pages = docs.withColumn("html",
+      TextExtract.syntheticHtml(col("doc_id"), col("text")))
+    val got = TextExtract.fromHtml(pages, "doc_id", "html")
+      .join(docs, "doc_id")
+      .withColumn("expected", concat(
+        lit("Corpus document from the synthetic crawl corpus\n"),
+        col("text"), lit("\n"), upper(col("text"))))
+    assert(got.filter(col("extracted") =!= col("expected")).count() === 0)
+  }
+
+  test("synthetic page blocks: tags, labels, and link densities") {
+    val df = Seq((7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+      .withColumn("html", TextExtract.syntheticHtml(col("doc_id"), col("text")))
+    val bs = TextExtract.blocks(df, "doc_id", "html").orderBy("idx").collect()
+    assert(bs.map(r => (r.getString(2), r.getString(8))).toSeq === Seq(
+      ("title", "boilerplate"),      // short, nothing good before it
+      ("nav", "boilerplate"),        // link density 1.0
+      ("h1", "content"),
+      ("p", "content"),
+      ("div", "boilerplate"),        // ad links, density 1.0
+      ("blockquote", "content"),
+      ("footer", "boilerplate")))    // 12/28 linked > 0.33
+    val nav = bs(1)
+    assert(nav.getInt(4) === 16 && nav.getInt(5) === 16) // all chars linked
+    val footer = bs(6)
+    assert(footer.getInt(4) === 28 && footer.getInt(5) === 12)
+    assert(footer.getString(3) === "Terms Privacy © 2026 Example Corp")
+  }
+
+  test("entities decode; unknown entities stay literal") {
+    assert(content("<p>fish &amp; chips &lt;tag&gt; it&apos;s &quot;q&quot; a&nbsp;b more words here</p>")
+      === "fish & chips <tag> it's \"q\" a b more words here")
+    assert(content("<p>&#65;&#x42;C plus some padding words to pass the length floor</p>")
+      === "ABC plus some padding words to pass the length floor")
+    assert(content("<p>&bogus; &notanentity stays literal with padding words added</p>")
+      === "&bogus; &notanentity stays literal with padding words added")
+  }
+
+  test("comments, script/style/noscript subtrees, doctype and PIs are dropped") {
+    val html = "<!doctype html><p>keep this sentence of sufficient length" +
+      "<!-- <p>not this</p> --><script>var x = '<p>nor this</p>';</script>" +
+      "<style>p{}</style><noscript><p>hidden</p></noscript> and keep the tail</p>"
+    assert(content(html) === "keep this sentence of sufficient length and keep the tail")
+  }
+
+  test("malformed input is total: unterminated comment/tag/subtree, bare <") {
+    assert(content("<p>a lone bracket 3 < 5 survives inside enough words here</p>")
+      === "a lone bracket 3 < 5 survives inside enough words here")
+    assert(content("<p>before the cut there are words aplenty<!-- unterminated")
+      === "before the cut there are words aplenty")
+    assert(content("<p>before the cut there are words aplenty<script>unterminated")
+      === "before the cut there are words aplenty")
+    // quote-aware attribute scan: the '>' inside class="a>b" must NOT end
+    // the tag — mishandling would leak `b">` into a text block
+    assert(content("<p>attribute quote handling works for this long paragraph</p>" +
+        "<div class=\"a>b\"><a href=\"x\">Buy</a></div>")
+      === "attribute quote handling works for this long paragraph")
+    assert(content(null) === null)
+  }
+
+  test("neighbor rule: a short block inherits the preceding long classification") {
+    val afterContent = "<p>this paragraph is long enough to be content clearly</p>" +
+      "<p>tiny tail</p>"
+    assert(content(afterContent)
+      === "this paragraph is long enough to be content clearly\ntiny tail")
+    val afterBoiler = "<div><a href=x>all of this block is one link text</a></div>" +
+      "<p>tiny tail</p>"
+    assert(content(afterBoiler) === "")
+    // link-dense SHORT block is boilerplate by density, not rescued by content
+    val denseShort = "<p>this paragraph is long enough to be content clearly</p>" +
+      "<div><a href=x>tiny</a></div>"
+    assert(content(denseShort) === "this paragraph is long enough to be content clearly")
+  }
+
+  test("whitespace normalization collapses runs and trims block edges") {
+    assert(content("<p>  spaced\t\tout\n\nwords   collapse to single separators  </p>")
+      === "spaced out words collapse to single separators")
+  }
+}
