@@ -750,6 +750,41 @@ object SparkEntry {
         .orderBy(col("query"))
     }),
 
+    // Generation eval, BLEU: candidate = tokens 2..14 of each ≥14-token
+    // document, reference = tokens 1..12 — a sliding-window pair with
+    // genuine partial n-gram overlap (and full clipping on repeated
+    // words). Clipped/total counts per n are pure integers from the
+    // per-row expression; bleu_milli is the EXACT integer 4th root of
+    // the geometric mean (both engines compute ⌊(10¹²·A/B)^¼⌋, the
+    // oracle via float-seeded integer-corrected isqrt). Candidate is
+    // strictly longer than reference, so the transcendental brevity
+    // penalty is pinned to 1 by construction — lengths are emitted so
+    // any BP convention can be applied downstream.
+    "q_eval_bleu" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 14)
+      val pairs = docs.select(col("doc_id"),
+        slice(split(col("text"), " "), 2, 13).as("cand"),
+        slice(split(col("text"), " "), 1, 12).as("ref"))
+      operators.Eval.bleuUpTo4(pairs, "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Generation eval, ROUGE-L over the same pairs: LCS by per-row
+    // rolling DP; P/R/F are exactly rational (F₁ = 2L/(c+r)) so the
+    // whole metric is three floor divisions to ppm — no frozen tables
+    // needed. The oracle recomputes the LCS with a recursive-CTE DP
+    // (row-carrying prefix-max form).
+    "q_eval_rouge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 14)
+      val pairs = docs.select(col("doc_id"),
+        slice(split(col("text"), " "), 2, 13).as("cand"),
+        slice(split(col("text"), " "), 1, 12).as("ref"))
+      operators.Eval.rougeL(pairs, "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
     // Lakehouse maintenance: the compaction PLAN for a small-file
     // manifest (here synthesized from documents: one "file" per
     // (source, doc_id div 20) slice, sized by its character count).
@@ -5324,7 +5359,7 @@ object SparkEntry {
         |ded AS (
         |  SELECT ex, arg_min(lang, doc_id) AS lang, arg_min(n_tok, doc_id) AS n_tok
         |  FROM ext GROUP BY ex)
-        |SELECT lang, count(*) AS n_docs, sum(n_tok) AS sum_tok
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
         |FROM ded WHERE n_tok >= 32
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -6251,6 +6286,102 @@ object SparkEntry {
         |    THEN CAST(tsum // r.n_rel AS BIGINT) ELSE NULL END AS ap_ppm
         |FROM m LEFT JOIN rel_tot r USING (query)
         |ORDER BY m.query""".stripMargin,
+
+    // BLEU oracle: n-gram clip via unnest/count/left-join per n; the
+    // exact integer 4th root is a float-seeded isqrt CORRECTED in
+    // integer arithmetic (list_max over s±4 candidates with s*s <= N —
+    // N reaches 1.7e16, past double's exact-integer range, so the seed
+    // alone could be off by a few).
+    "q_eval_bleu" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 14),
+        |seqs AS (SELECT doc_id, w[2:14] AS c, w[1:12] AS r FROM base),
+        |grams AS (
+        |  SELECT doc_id, n,
+        |    [array_to_string(c[i:i+n-1], ' ') for i in range(1, len(c)-n+2)] AS cg,
+        |    [array_to_string(r[i:i+n-1], ' ') for i in range(1, len(r)-n+2)] AS rg
+        |  FROM seqs, (SELECT unnest([1, 2, 3, 4]) AS n)),
+        |cc AS (SELECT doc_id, n, g, count(*) AS c_cnt
+        |  FROM (SELECT doc_id, n, unnest(cg) AS g FROM grams) GROUP BY doc_id, n, g),
+        |rc AS (SELECT doc_id, n, g, count(*) AS r_cnt
+        |  FROM (SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY doc_id, n, g),
+        |ab AS (
+        |  SELECT cc.doc_id, cc.n,
+        |    CAST(sum(least(cc.c_cnt, coalesce(rc.r_cnt, 0))) AS BIGINT) AS a
+        |  FROM cc LEFT JOIN rc
+        |    ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
+        |  GROUP BY cc.doc_id, cc.n),
+        |piv AS (
+        |  SELECT g.doc_id,
+        |    CAST(max(CASE WHEN g.n = 1 THEN coalesce(ab.a, 0) END) AS BIGINT) AS a1,
+        |    CAST(max(CASE WHEN g.n = 2 THEN coalesce(ab.a, 0) END) AS BIGINT) AS a2,
+        |    CAST(max(CASE WHEN g.n = 3 THEN coalesce(ab.a, 0) END) AS BIGINT) AS a3,
+        |    CAST(max(CASE WHEN g.n = 4 THEN coalesce(ab.a, 0) END) AS BIGINT) AS a4,
+        |    CAST(max(CASE WHEN g.n = 1 THEN len(g.cg) END) AS BIGINT) AS b1,
+        |    CAST(max(CASE WHEN g.n = 2 THEN len(g.cg) END) AS BIGINT) AS b2,
+        |    CAST(max(CASE WHEN g.n = 3 THEN len(g.cg) END) AS BIGINT) AS b3,
+        |    CAST(max(CASE WHEN g.n = 4 THEN len(g.cg) END) AS BIGINT) AS b4
+        |  FROM grams g LEFT JOIN ab ON g.doc_id = ab.doc_id AND g.n = ab.n
+        |  GROUP BY g.doc_id),
+        |scored AS (
+        |  SELECT p.doc_id, CAST(len(s.c) AS BIGINT) AS len_c,
+        |    CAST(len(s.r) AS BIGINT) AS len_r,
+        |    a1, b1, CAST((1000000 * a1) // b1 AS BIGINT) AS p1_ppm,
+        |    a2, b2, CAST((1000000 * a2) // b2 AS BIGINT) AS p2_ppm,
+        |    a3, b3, CAST((1000000 * a3) // b3 AS BIGINT) AS p3_ppm,
+        |    a4, b4, CAST((1000000 * a4) // b4 AS BIGINT) AS p4_ppm,
+        |    (a1*a2*a3*a4 * 1000000000000) // (b1*b2*b3*b4) AS nn
+        |  FROM piv p JOIN seqs s ON p.doc_id = s.doc_id),
+        |rooted AS (
+        |  SELECT *, list_max([s for s in
+        |      [CAST(floor(sqrt(CAST(nn AS DOUBLE))) AS BIGINT) + d for d in range(-4, 5)]
+        |      if s >= 0 AND s*s <= nn]) AS s1
+        |  FROM scored),
+        |rooted2 AS (
+        |  SELECT *, list_max([t for t in
+        |      [CAST(floor(sqrt(CAST(s1 AS DOUBLE))) AS BIGINT) + d for d in range(-2, 3)]
+        |      if t >= 0 AND t*t <= s1]) AS root4
+        |  FROM rooted)
+        |SELECT doc_id, len_c, len_r, a1, b1, p1_ppm, a2, b2, p2_ppm,
+        |  a3, b3, p3_ppm, a4, b4, p4_ppm,
+        |  CAST(CASE WHEN a1 = 0 OR a2 = 0 OR a3 = 0 OR a4 = 0 THEN 0
+        |    ELSE root4 END AS BIGINT) AS bleu_milli
+        |FROM rooted2 ORDER BY doc_id""".stripMargin,
+
+    // ROUGE-L oracle: LCS via recursive-CTE DP carrying one row per
+    // step in prefix-max form — dp[i][j] = max(t[j], dp[i][j-1]) where
+    // t[j] = eq ? diag+1 : up, so each step is one parallel list
+    // comprehension plus a prefix max (list_max over the 1..j slice).
+    "q_eval_rouge" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 14),
+        |seqs AS (SELECT doc_id, w[2:14] AS c, w[1:12] AS r FROM base),
+        |dp AS (
+        |  SELECT doc_id, 0 AS i,
+        |    [CAST(0 AS BIGINT) for x in range(0, len(r) + 1)] AS row
+        |  FROM seqs
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [list_max(t[1:j]) for j in range(1, m + 1)]) AS row
+        |  FROM (
+        |    SELECT d.doc_id, d.i AS i, len(s.r) AS m,
+        |      [CASE WHEN s.c[d.i + 1] = s.r[j] THEN d.row[j] + 1
+        |        ELSE d.row[j + 1] END for j in range(1, len(s.r) + 1)] AS t
+        |    FROM dp d JOIN seqs s USING (doc_id)
+        |    WHERE d.i < len(s.c)) sub),
+        |fin AS (
+        |  SELECT s.doc_id, CAST(len(s.c) AS BIGINT) AS len_c,
+        |    CAST(len(s.r) AS BIGINT) AS len_r, d.row[len(s.r) + 1] AS lcs
+        |  FROM dp d JOIN seqs s USING (doc_id)
+        |  WHERE d.i = len(s.c))
+        |SELECT doc_id, len_c, len_r, lcs,
+        |  CAST((1000000 * lcs) // len_c AS BIGINT) AS rouge_p_ppm,
+        |  CAST((1000000 * lcs) // len_r AS BIGINT) AS rouge_r_ppm,
+        |  CAST((2000000 * lcs) // (len_c + len_r) AS BIGINT) AS rouge_f_ppm
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     // Per-group dominance definition, grouped by source.
     "q_pareto_by_group" ->

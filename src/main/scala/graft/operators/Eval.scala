@@ -196,4 +196,55 @@ object Eval {
         when(coalesce(col("n_rel"), lit(0L)) > 0,
           expr("(1000000 * hits) div n_rel")).as("recall_ppm"))
   }
+
+  /** Sentence BLEU (n = 1..4) over (candidate, reference) token-array
+    * columns — generation eval, the complement of the IR metrics above.
+    * Per pair: lengths, clipped/total n-gram counts (pure integers from
+    * the per-row [[graft.expr.BleuStats]] expression — zero shuffle),
+    * per-n modified precisions floored to ppm, and `bleu_milli` =
+    * ⌊(10¹²·∏aₙ/∏bₙ)^¼⌋ — the BLEU-4 geometric mean as an EXACT integer
+    * 4th root (3-digit fixed point; 0 when any aₙ = 0, the unsmoothed
+    * zero). The brevity penalty is exp(1−r/c) — transcendental, so it is
+    * emitted as the exact INGREDIENTS (len_c, len_r) rather than baked
+    * into the integer score; the oracled fixture pins BP ≡ 1 by
+    * construction (candidate strictly longer than reference). */
+  def bleuUpTo4(df: DataFrame, idCol: String, candCol: String,
+                refCol: String): DataFrame = {
+    val b = col("__b")
+    df.select(col(idCol),
+        size(col(candCol)).cast("long").as("len_c"),
+        size(col(refCol)).cast("long").as("len_r"),
+        graft.expr.GenEvalExpressions.bleu_stats(col(candCol), col(refCol))
+          .as("__b"))
+      .select(Seq(col(idCol), col("len_c"), col("len_r")) ++
+        (1 to 4).flatMap(n => Seq(
+          b.getField(s"a$n").as(s"a$n"), b.getField(s"b$n").as(s"b$n"))) :+
+        b.getField("bleu_milli").as("bleu_milli"): _*)
+      .select(Seq(col(idCol), col("len_c"), col("len_r")) ++
+        (1 to 4).flatMap(n => Seq(col(s"a$n"), col(s"b$n"),
+          when(col(s"b$n") > 0, expr(s"(1000000 * a$n) div b$n"))
+            .as(s"p${n}_ppm"))) :+
+        col("bleu_milli"): _*)
+  }
+
+  /** ROUGE-L over the same (candidate, reference) token-array columns.
+    * ROUGE-L is EXACTLY rational — P = L/c, R = L/r, and the β=1
+    * F-measure collapses to 2L/(c+r) — so unlike BLEU the whole metric
+    * is three floor divisions to ppm over the per-row LCS length
+    * ([[graft.expr.LcsLength]], rolling-row DP, zero shuffle). NULL ppm
+    * on empty sides (undefined, not zero). */
+  def rougeL(df: DataFrame, idCol: String, candCol: String,
+             refCol: String): DataFrame =
+    df.select(col(idCol),
+        size(col(candCol)).cast("long").as("len_c"),
+        size(col(refCol)).cast("long").as("len_r"),
+        graft.expr.GenEvalExpressions.lcs_length(col(candCol), col(refCol))
+          .cast("long").as("lcs"))
+      .select(col(idCol), col("len_c"), col("len_r"), col("lcs"),
+        when(col("len_c") > 0, expr("(1000000 * lcs) div len_c"))
+          .as("rouge_p_ppm"),
+        when(col("len_r") > 0, expr("(1000000 * lcs) div len_r"))
+          .as("rouge_r_ppm"),
+        when(col("len_c") + col("len_r") > 0,
+          expr("(2000000 * lcs) div (len_c + len_r)")).as("rouge_f_ppm"))
 }

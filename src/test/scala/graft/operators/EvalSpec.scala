@@ -212,4 +212,93 @@ class EvalSpec extends SparkSpec {
     val r = Eval.rankMetricsAtK(ranked, "q", "rank", "rel", 5, totals).collect()(0)
     assert(r.getLong(6) === 0L && r.isNullAt(7))
   }
+
+  // ------------------------------------------------------ generation eval
+
+  private def pairDf(c: Seq[String], r: Seq[String]) =
+    Seq((1L, c, r)).toDF("id", "cand", "ref")
+
+  test("BLEU: hand-computed clipped counts, precisions, and exact 4th root") {
+    // cand: the cat the cat on the mat   (7 tokens)
+    // ref:  the cat sat on the mat       (6 tokens)
+    // unigrams: the×3 (clip 2), cat×2 (clip 1), on 1, mat 1 -> a1=5, b1=7
+    // bigrams: "the cat"×2 (clip 1), "cat the" 0, "cat on" 0, "on the" 1,
+    //          "the mat" 1 -> a2=3, b2=6
+    // trigrams: "on the mat" 1 -> a3=1, b3=5
+    // 4-grams: none match -> a4=0 -> bleu_milli=0
+    val df = pairDf(Seq("the", "cat", "the", "cat", "on", "the", "mat"),
+      Seq("the", "cat", "sat", "on", "the", "mat"))
+    val row = Eval.bleuUpTo4(df, "id", "cand", "ref").collect()(0)
+    val m = row.getValuesMap[Any](row.schema.fieldNames)
+    assert(m("a1") === 5L && m("b1") === 7L && m("p1_ppm") === 714285L)
+    assert(m("a2") === 3L && m("b2") === 6L && m("p2_ppm") === 500000L)
+    assert(m("a3") === 1L && m("b3") === 5L && m("p3_ppm") === 200000L)
+    assert(m("a4") === 0L && m("b4") === 4L && m("p4_ppm") === 0L)
+    assert(m("bleu_milli") === 0L)
+    // identical 5-token pair: all precisions 10^6, bleu_milli = 1000
+    val same = Seq("a", "b", "c", "d", "e")
+    val r2 = Eval.bleuUpTo4(pairDf(same, same), "id", "cand", "ref").collect()(0)
+    assert(r2.getAs[Long]("bleu_milli") === 1000L)
+    // a 6v6 with one 4-gram hit: a=(4,3,2,1), b=(6,5,4,3)
+    // A=24, B=360 -> 10^12*24/360 = 66666666666 -> isqrt=258198
+    // (258199^2=66666723601 overshoots), isqrt(258198)=508
+    val c3 = Seq("a", "b", "c", "d", "x", "y")
+    val r3t = Seq("a", "b", "c", "d", "p", "q")
+    val r3 = Eval.bleuUpTo4(pairDf(c3, r3t), "id", "cand", "ref").collect()(0)
+    assert(r3.getAs[Long]("a4") === 1L && r3.getAs[Long]("bleu_milli") === 508L)
+  }
+
+  test("BLEU: empty/short sides are total (zero counts, zero score)") {
+    val r = Eval.bleuUpTo4(pairDf(Seq("a"), Seq.empty), "id", "cand", "ref")
+      .collect()(0)
+    assert(r.getAs[Long]("a1") === 0L && r.getAs[Long]("b1") === 1L)
+    assert(r.getAs[Long]("b4") === 0L && r.isNullAt(r.fieldIndex("p4_ppm")))
+    assert(r.getAs[Long]("bleu_milli") === 0L)
+  }
+
+  test("isqrt/iroot4 are exact at the double-precision boundary") {
+    import graft.expr.GenEvalOps.{isqrt, iroot4}
+    for (n <- Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L,
+        (1L << 53) - 1, 1L << 53, (1L << 53) + 1,
+        17160L * 1000000000000L, Long.MaxValue)) {
+      val s = isqrt(n)
+      assert(s * s <= n, s"isqrt($n)=$s overshoots")
+      assert(s + 1 > n / (s + 1), s"isqrt($n)=$s undershoots")
+      val q = iroot4(n)
+      assert(q * q * q * q <= n)
+    }
+  }
+
+  test("ROUGE-L: hand-computed LCS and exactly-rational ppms") {
+    // cand: a b c d e f ; ref: b a c e d f -> LCS = a c d f or b c d f = 4
+    val r = Eval.rougeL(pairDf(Seq("a", "b", "c", "d", "e", "f"),
+      Seq("b", "a", "c", "e", "d", "f")), "id", "cand", "ref").collect()(0)
+    assert(r.getAs[Long]("lcs") === 4L)
+    assert(r.getAs[Long]("rouge_p_ppm") === 666666L) // (4*10^6) div 6
+    assert(r.getAs[Long]("rouge_r_ppm") === 666666L)
+    assert(r.getAs[Long]("rouge_f_ppm") === 666666L) // 2*4*10^6 div 12
+    // disjoint -> 0; empty side -> NULL p, 0 f against nonempty
+    val z = Eval.rougeL(pairDf(Seq("x"), Seq("y")), "id", "cand", "ref").collect()(0)
+    assert(z.getAs[Long]("lcs") === 0L && z.getAs[Long]("rouge_f_ppm") === 0L)
+    val e = Eval.rougeL(pairDf(Seq.empty, Seq("y")), "id", "cand", "ref").collect()(0)
+    assert(e.isNullAt(e.fieldIndex("rouge_p_ppm")) &&
+      e.getAs[Long]("rouge_f_ppm") === 0L)
+  }
+
+  test("LCS property: expression equals recursive reference on random pairs") {
+    def lcsRef(a: List[String], b: List[String]): Int = (a, b) match {
+      case (x :: xs, y :: ys) if x == y => 1 + lcsRef(xs, ys)
+      case (x :: xs, y :: ys) => math.max(lcsRef(xs, y :: ys), lcsRef(x :: xs, ys))
+      case _ => 0
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    for (_ <- 1 to 40) {
+      val c = List.fill(rnd.nextInt(9))(vocab(rnd.nextInt(4)))
+      val r = List.fill(rnd.nextInt(9))(vocab(rnd.nextInt(4)))
+      val got = Eval.rougeL(pairDf(c, r), "id", "cand", "ref")
+        .collect()(0).getAs[Long]("lcs")
+      assert(got === lcsRef(c, r).toLong, s"LCS mismatch on $c vs $r")
+    }
+  }
 }
