@@ -1215,6 +1215,36 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // The same incremental dedup with the standing index PERSISTED as a
+    // parquet warehouse table and reloaded from disk (round-11 directive
+    // #7): the corpus' hashed shingle sets are written in two per-batch
+    // appends (the real ingest shape — and exactly the small-file
+    // accumulation the warehouse compaction pass exists for), compacted
+    // via Warehouse.compact, reloaded, and joined against the delta.
+    // Shares q_dedup_incremental's oracle verbatim: persistence must be
+    // a plan detail, never a semantics change.
+    "q_dedup_incremental_indexed" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_ngram_index_"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_ngram_index_${runTag(dir)}"
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+      Dedup.saveNgramIndex(
+        Dedup.hashedShingles(corpus.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3), path, mode = "overwrite")
+      Dedup.saveNgramIndex(
+        Dedup.hashedShingles(corpus.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", n = 3), path)
+      sink.Warehouse.compact(s, path)
+      Dedup.incrementalNgramPairsFromSets(
+        Dedup.loadNgramIndex(s, path),
+        Dedup.hashedShingles(docs.filter(col("doc_id") % 10 === 9),
+          "doc_id", "text", n = 3), threshold = 0.2)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 6)
@@ -4412,6 +4442,31 @@ object SparkEntry {
       |  CAST(LEAST(8, (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100) // 100 + 1) AS BIGINT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Delta-touching ngram-jaccard pair slice — shared verbatim by the
+    * in-memory incremental path (q_dedup_incremental) and the
+    * persisted-index twin (q_dedup_incremental_indexed). */
+  private val incrementalNgramOracleSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+      |  WHERE len(tk) >= 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+      |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT idA, idB, ROUND(CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c), 6) AS jaccard
+      |FROM common
+      |JOIN sizes na ON na.doc_id = idA
+      |JOIN sizes nb ON nb.doc_id = idB
+      |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
+      |  AND (idA % 10 = 9 OR idB % 10 = 9)
+      |ORDER BY idA, idB""".stripMargin
+
   private val trigramLpSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -5114,27 +5169,11 @@ object SparkEntry {
     // Same pair derivation as q_dedup_ngram restricted to pairs touching
     // the mod-10-class-9 delta — the incremental path must produce exactly
     // the delta-touching slice of the full pair set.
-    "q_dedup_incremental" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
-        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
-        |  WHERE len(tk) >= 3
-        |  UNION
-        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
-        |),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
-        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT idA, idB, ROUND(CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c), 6) AS jaccard
-        |FROM common
-        |JOIN sizes na ON na.doc_id = idA
-        |JOIN sizes nb ON nb.doc_id = idB
-        |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
-        |  AND (idA % 10 = 9 OR idB % 10 = 9)
-        |ORDER BY idA, idB""".stripMargin,
+    "q_dedup_incremental" -> incrementalNgramOracleSql,
+
+    // Identical oracle: reloading the persisted band index from parquet
+    // must not change a single pair.
+    "q_dedup_incremental_indexed" -> incrementalNgramOracleSql,
 
     // Same ngram-pair derivation as q_dedup_ngram, then connected components
     // as a recursive reachability closure: cc holds (node, label) for every

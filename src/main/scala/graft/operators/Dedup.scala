@@ -500,6 +500,26 @@ object Dedup {
       .select(col("id"),
         sort_array(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
 
+  /** Persist one ingest batch of the STANDING n-gram dedup index (a
+    * [[hashedShingles]] frame) as a plain parquet warehouse table — the
+    * batch counterpart of the streaming twin's checkpointed state: each
+    * ingest appends its batch's sets once (`overwrite` for a rebuild),
+    * and later runs RELOAD the table instead of re-shingling/re-hashing/
+    * re-sorting the corpus text. Sets are pure per-doc functions under
+    * the fixed hash, so the table never goes stale; per-batch appends
+    * accumulate exactly the small files
+    * [[graft.sink.Warehouse.compact]] exists for — the index is just
+    * another table in the maintenance plan. */
+  def saveNgramIndex(index: DataFrame, path: String,
+                     mode: String = "append"): Unit =
+    index.select(col("id"), col("sh")).write.mode(mode).parquet(path)
+
+  /** Reload the persisted index; feeds
+    * [[incrementalNgramPairsFromSets]] directly. */
+  def loadNgramIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(path).select(col("id"), col("sh"))
+
   /** [[incrementalNgramPairs]] over PRE-HASHED shingle-set frames (both
     * shaped like [[hashedShingles]] output, disjoint id spaces) — the
     * steady-state form: the expensive text→shingle→hash→sort pass runs
