@@ -2032,6 +2032,24 @@ object SparkEntry {
         .orderBy(col("media_id"), col("sample_idx"))
     }),
 
+    // REAL video frame PIXEL decode (MJPEG-in-MP4): each document becomes
+    // an MP4 whose mdat holds 1+id%4 complete baseline JPEGs behind a
+    // genuine sample table; the query walks the stbl, slices each frame,
+    // runs the full Huffman+IDCT JPEG decode, and emits per-frame exact
+    // luminance checksums (raster-position-weighted) plus the dHash over
+    // the DECODED plane. The oracle replays the tile-constant pixel
+    // formulas per frame seed (id·8+k) — container walk, per-frame SOF
+    // parse, entropy decode, and hash grid must ALL be bit-exact.
+    "q_video_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticMjpegMp4Payload(id)))
+        .toDF("doc_id", "payload")
+      Multimodal.videoFrameDecode(media, "doc_id", "payload")
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // dHash over REAL decoded pixels (the round-10 upgrade from the
     // stub-luminance phash): same grid/bit-pack as q_image_phash but the
     // luminance samples come from the genuine PNG decode; the oracle
@@ -5043,6 +5061,46 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(k AS BIGINT) AS sample_idx,
         |  CAST(off AS BIGINT) AS byte_offset, CAST(sz AS BIGINT) AS size_bytes
         |FROM o ORDER BY media_id, sample_idx""".stripMargin,
+
+    // MJPEG frame decode oracle: per frame k of video id, seed = id·8+k;
+    // JPEG dims and tile-constant pixels replayed by formula (the same
+    // lossless-by-construction contract as q_image_decode_jpeg), plus the
+    // dHash grid over the formula pixels — sample-table walk, frame
+    // slicing, per-frame SOF parse, Huffman+IDCT, and the hash must all
+    // agree bit-exactly.
+    "q_video_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id, k, doc_id * 8 + k AS seed,
+        |    8 * (2 + (doc_id * 8 + k) % 3) AS w,
+        |    8 * (2 + ((doc_id * 8 + k) * 3) % 3) AS h
+        |  FROM documents, LATERAL (SELECT unnest(range(0, 1 + doc_id % 4)) AS k) r),
+        |px AS (
+        |  SELECT doc_id, k, w, h, i,
+        |    (seed * 7 + ((i // (w * 8)) * (w // 8) + (i % w) // 8) * 13) % 251 AS lum
+        |  FROM f, LATERAL (SELECT unnest(range(0, w * h)) AS i) r),
+        |sums AS (
+        |  SELECT doc_id, k, MAX(w) AS w, MAX(h) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pixels,
+        |    CAST(SUM(lum) AS BIGINT) AS lum_sum,
+        |    CAST(SUM(lum * (i % 97 + 1)) AS BIGINT) AS lum_wsum
+        |  FROM px GROUP BY doc_id, k),
+        |g AS (
+        |  SELECT doc_id, k, gy, gx,
+        |    (seed * 7 + ((((gy * h) // 7) // 8) * (w // 8)
+        |      + (((gx * w) // 10) // 8)) * 13) % 251 AS ll,
+        |    (seed * 7 + ((((gy * h) // 7) // 8) * (w // 8)
+        |      + ((((gx + 1) * w) // 10) // 8)) * 13) % 251 AS lr
+        |  FROM f, LATERAL (SELECT unnest(range(0, 7)) AS gy) a,
+        |          LATERAL (SELECT unnest(range(0, 9)) AS gx) b),
+        |dh AS (
+        |  SELECT doc_id, k, CAST(SUM(CASE WHEN lr > ll
+        |    THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM g GROUP BY doc_id, k)
+        |SELECT CAST(s.doc_id AS BIGINT) AS media_id, CAST(s.k AS BIGINT) AS frame_idx,
+        |  CAST(s.w AS BIGINT) AS width, CAST(s.h AS BIGINT) AS height,
+        |  s.n_pixels, s.lum_sum, s.lum_wsum, d.dhash
+        |FROM sums s JOIN dh d ON s.doc_id = d.doc_id AND s.k = d.k
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // The dHash grid replayed over the same pixel formulas: sample the
     // 10x7 grid at ((gy*h)//7, (gx*w)//10), set bit gy*9+gx iff the right

@@ -1221,6 +1221,29 @@ object Multimodal {
   def syntheticMp4SamplesPayload(id: Long): Array[Byte] = {
     val n = (1 + id % 8).toInt
     val sizes = Array.tabulate(n)(k => (1 + (id * 3 + k * 7) % 64).toInt)
+    val body = new Array[Byte](sizes.sum)
+    var j = 0
+    while (j < body.length) { body(j) = ((id * 11 + j * 3) % 251).toByte; j += 1 }
+    mp4WithSampleTable(id, sizes, body)
+  }
+
+  /** MJPEG-in-MP4: the same real sample table, but every sample in the
+    * mdat is a COMPLETE baseline JPEG ([[syntheticJpegPayload]], frame k
+    * under seed id·8+k — each frame carries its own SOF, so the decoder
+    * must parse per-frame headers, exactly the MJPEG shape). Composes
+    * the two oracled generators; [[videoFrameDecode]] inverts it. */
+  def syntheticMjpegMp4Payload(id: Long): Array[Byte] = {
+    val n = (1 + id % 4).toInt
+    val frames = Array.tabulate(n)(k => syntheticJpegPayload(id * 8 + k))
+    mp4WithSampleTable(id, frames.map(_.length), frames.flatten)
+  }
+
+  /** Shared box layout for the sample-table payloads: ftyp + moov(mvhd +
+    * trak(tkhd, mdia(minf(stbl(stsz/stco/stsc))))) + mdat(body), every
+    * box length and the one-chunk stco offset REAL file offsets. */
+  private def mp4WithSampleTable(id: Long, sizes: Array[Int],
+                                 body: Array[Byte]): Array[Byte] = {
+    val n = sizes.length
     val stszSize = 20 + 4 * n
     val stblSize = 8 + stszSize + 20 + 28
     val minfSize = 8 + stblSize
@@ -1255,10 +1278,9 @@ object Multimodal {
     bb.putInt(28).put("stsc".getBytes("US-ASCII"))
       .putInt(0).putInt(1).putInt(1).putInt(n).putInt(1)
     bb.putInt(8 + sizes.sum).put("mdat".getBytes("US-ASCII"))
-    var j = 0
-    for (k <- 0 until n; _ <- 0 until sizes(k)) {
-      bb.put(((id * 11 + j * 3) % 251).toByte); j += 1
-    }
+    require(body.length == sizes.sum,
+      s"mdat body ${body.length} != sample-size sum ${sizes.sum}")
+    bb.put(body)
     bb.array()
   }
 
@@ -1296,6 +1318,55 @@ object Multimodal {
     bb.putInt(8 + mdatBody).put("mdat".getBytes("US-ASCII"))
     (0 until mdatBody).foreach(j => bb.put(((id * 11 + j * 3) % 251).toByte))
     bb.array()
+  }
+
+  /** REAL video frame PIXEL decode (round-11 directive #6): resolve every
+    * sample via the stbl walk ([[decodeMp4Samples]]), slice it out of the
+    * payload, and run the full baseline-JPEG decoder on each frame —
+    * per frame: dimensions, exact luminance checksums (lum_wsum weights
+    * by raster position, so pixel ORDER is gated, not just values), and
+    * the 63-bit dHash over the decoded plane. Pure per-row narrow work
+    * (one video in, ≤n frames out), zero shuffle. A sample that is not a
+    * decodable JPEG surfaces with NULL fields, never dropped; a payload
+    * with no parseable sample table yields no rows. */
+  def videoFrameDecode(df: DataFrame, idCol: String, payloadCol: String)
+                      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeMp4Samples(bytes).getOrElse(Seq.empty).zipWithIndex.map {
+          case ((off, sz), k) =>
+            val end = off + sz
+            val frame =
+              if (off >= 0 && end <= bytes.length && sz > 0)
+                java.util.Arrays.copyOfRange(bytes, off.toInt, end.toInt)
+              else Array.emptyByteArray
+            decodeJpegPixels(frame) match {
+              case Some((w, h, plane)) =>
+                var lsum = 0L; var wsum = 0L; var i = 0
+                while (i < plane.length) {
+                  val l = plane(i) & 0xff
+                  lsum += l; wsum += l.toLong * (i % 97 + 1); i += 1
+                }
+                val dh = dHashGrid(w, h, (py, px) => plane((py * w + px).toInt) & 0xff)
+                (id, k.toLong, w.toLong, h.toLong, plane.length.toLong,
+                  lsum, wsum, dh, true)
+              case None =>
+                (id, k.toLong, 0L, 0L, 0L, 0L, 0L, 0L, false)
+            }
+        }
+      }
+      .toDF("media_id", "frame_idx", "__w", "__h", "__np", "__ls", "__ws",
+        "__dh", "__ok")
+      .select(col("media_id"), col("frame_idx"),
+        when(col("__ok"), col("__w")).as("width"),
+        when(col("__ok"), col("__h")).as("height"),
+        when(col("__ok"), col("__np")).as("n_pixels"),
+        when(col("__ok"), col("__ls")).as("lum_sum"),
+        when(col("__ok"), col("__ws")).as("lum_wsum"),
+        when(col("__ok"), col("__dh")).as("dhash"))
   }
 
   /** Per-video metadata table from parsed headers: duration_ms is the
