@@ -963,13 +963,23 @@ object Dedup {
     * candidates for quadratic all-pairs — the bounded-slice oracle path
     * only. Pair verification is always exact cosine, so approximation
     * only ever MISSES pairs (splits a semantic cluster), never invents
-    * them — the same one-sided contract as the other near-dup operators. */
+    * them — the same one-sided contract as the other near-dup operators.
+    *
+    * SCALE RULE (measured, round-13 audit): at FIXED k the candidate
+    * volume Σ|cell|² is quadratic in corpus size — 5× data grew the
+    * verify shuffle ~25× (plus CC growth on the denser pair graph). k
+    * must grow with the corpus to hold E|cell| constant; `targetCell > 0`
+    * automates that (k = max(k, ⌈n/targetCell⌉), one count job), which
+    * restores near-linear growth at the price of a recall profile that
+    * changes with corpus size (finer cells split more boundary pairs —
+    * raise nprobe to compensate). The oracled fixtures pin k explicitly
+    * for determinism. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, k: Int = 16, nprobe: Int = 1,
-                    exact: Boolean = false): DataFrame = {
+                    exact: Boolean = false, targetCell: Int = 0): DataFrame = {
     val pairs =
       if (exact) embeddingNearDupPairs(df, idCol, vecCol, threshold, exact = true)
-      else ivfNearDupPairs(df, idCol, vecCol, threshold, k, nprobe)
+      else ivfNearDupPairs(df, idCol, vecCol, threshold, k, nprobe, targetCell)
     connectedComponents(df.select(col(idCol)), pairs.select(col("idA"), col("idB")),
         idCol)
       .select(col("id").as(idCol),
@@ -988,8 +998,12 @@ object Dedup {
     * Recall < 1 (pairs split across non-probed cells are missed) —
     * measured against the exact oracle in OperatorsSpec. */
   def ivfNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, k: Int = 16, nprobe: Int = 2): DataFrame = {
-    val model = IvfIndex.train(df, idCol, vecCol, k = k)
+                      threshold: Double, k: Int = 16, nprobe: Int = 2,
+                      targetCell: Int = 0): DataFrame = {
+    val kEff =
+      if (targetCell <= 0) k
+      else math.max(k, ((df.count() + targetCell - 1) / targetCell).toInt)
+    val model = IvfIndex.train(df, idCol, vecCol, k = kEff)
     val base = df.select(col(idCol), col(vecCol).cast("array<float>").as("v"))
       .withColumn("norm", Similarity.l2norm(col("v")))
       .localCheckpoint() // feeds probes and both verify sides
