@@ -554,6 +554,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING HTML→text extraction: pages arrive in micro-batches and
+    // are boilerplate-stripped on arrival — extraction is a pure per-row
+    // function, so the bounded stream shares the batch q_text_extract
+    // oracle VERBATIM (full hash gate, no tolerance).
+    "q_stream_text_extract" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_tx_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_tx_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamTextExtractBounded(s, src, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Block-level view of the same pages: every segmented block's tag,
     // normalized text, non-ws/link char counts, word count, and
     // jusText-lite label, hash-matched against the template anatomy the
@@ -767,6 +782,22 @@ object SparkEntry {
         slice(split(col("text"), " "), 2, 13).as("cand"),
         slice(split(col("text"), " "), 1, 12).as("ref"))
       operators.Eval.bleuUpTo4(pairs, "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Generation eval, chrF (β=2) over the same pairs as STRINGS:
+    // character n-grams (n=1..6, whitespace-stripped — sacrebleu's
+    // default), clipped multiset matches, per-n P/R ppm-floored first
+    // then integer-averaged over the included n, one more floor division
+    // for F. Completes the generation trio (precision-oriented BLEU,
+    // recall-oriented ROUGE, tokenization-robust chrF) on one fixture.
+    "q_eval_chrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 14)
+      val pairs = docs.select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 2, 13), " ").as("cand"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("ref"))
+      operators.Eval.chrF(pairs, "doc_id", "cand", "ref")
         .orderBy(col("doc_id"))
     }),
 
@@ -4460,6 +4491,15 @@ object SparkEntry {
       |  CAST(LEAST(8, (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END + doc_id % 100) // 100 + 1) AS BIGINT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Expected extraction of the synthetic crawl page — shared verbatim by
+    * the batch (q_text_extract) and streaming (q_stream_text_extract)
+    * paths: extraction is a pure per-row function, so stream ≡ batch. */
+  private val textExtractOracleSql: String =
+    """SELECT doc_id,
+      |  'Corpus document from the synthetic crawl corpus' || chr(10) ||
+      |  text || chr(10) || upper(text) AS extracted
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Delta-touching ngram-jaccard pair slice — shared verbatim by the
     * in-memory incremental path (q_dedup_incremental) and the
     * persisted-index twin (q_dedup_incremental_indexed). */
@@ -5406,11 +5446,11 @@ object SparkEntry {
     // content blocks, so the expected text is recomputed from the raw
     // column (the corpus is single-spaced with no markup chars — probed
     // at every SF — so whitespace normalization is also the identity).
-    "q_text_extract" ->
-      """SELECT doc_id,
-        |  'Corpus document from the synthetic crawl corpus' || chr(10) ||
-        |  text || chr(10) || upper(text) AS extracted
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_extract" -> textExtractOracleSql,
+
+    // extraction is stateless per-row ⇒ the streaming twin shares the
+    // batch oracle verbatim.
+    "q_stream_text_extract" -> textExtractOracleSql,
 
     // block oracle: the template's 7-block anatomy reconstructed per doc;
     // constant blocks carry hand-counted non-ws/link chars (nav 16/16,
@@ -6445,6 +6485,70 @@ object SparkEntry {
         |  CAST(CASE WHEN a1 = 0 OR a2 = 0 OR a3 = 0 OR a4 = 0 THEN 0
         |    ELSE root4 END AS BIGINT) AS bleu_milli
         |FROM rooted2 ORDER BY doc_id""".stripMargin,
+
+    // chrF oracle: char n-gram clip via unnest/count/join per n over the
+    // space-stripped pair strings; the fixed-point ladder (per-n ppm
+    // floors -> integer mean over included n -> one F floor division)
+    // replayed verbatim.
+    "q_eval_chrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 14),
+        |seqs AS (
+        |  SELECT doc_id,
+        |    replace(array_to_string(w[2:14], ' '), ' ', '') AS cs,
+        |    replace(array_to_string(w[1:12], ' '), ' ', '') AS rs
+        |  FROM base),
+        |grams AS (
+        |  SELECT doc_id, n,
+        |    [substr(cs, i, n) for i in range(1, greatest(len(cs)-n+2, 1))] AS cg,
+        |    [substr(rs, i, n) for i in range(1, greatest(len(rs)-n+2, 1))] AS rg
+        |  FROM seqs, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n)),
+        |cc AS (SELECT doc_id, n, g, count(*) AS c_cnt
+        |  FROM (SELECT doc_id, n, unnest(cg) AS g FROM grams) GROUP BY doc_id, n, g),
+        |rc AS (SELECT doc_id, n, g, count(*) AS r_cnt
+        |  FROM (SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY doc_id, n, g),
+        |mm AS (
+        |  SELECT cc.doc_id, cc.n,
+        |    CAST(sum(least(cc.c_cnt, coalesce(rc.r_cnt, 0))) AS BIGINT) AS m
+        |  FROM cc LEFT JOIN rc
+        |    ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
+        |  GROUP BY cc.doc_id, cc.n),
+        |tot AS (
+        |  SELECT g.doc_id, g.n, CAST(len(g.cg) AS BIGINT) AS c,
+        |    CAST(len(g.rg) AS BIGINT) AS r, CAST(coalesce(mm.m, 0) AS BIGINT) AS m
+        |  FROM grams g LEFT JOIN mm ON g.doc_id = mm.doc_id AND g.n = mm.n),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN c > 0 AND r > 0 THEN (1000000 * m) // c END) AS BIGINT) AS psum,
+        |    CAST(sum(CASE WHEN c > 0 AND r > 0 THEN (1000000 * m) // r END) AS BIGINT) AS rsum,
+        |    CAST(count(CASE WHEN c > 0 AND r > 0 THEN 1 END) AS BIGINT) AS inc,
+        |    CAST(max(CASE WHEN n = 1 THEN m END) AS BIGINT) AS m1,
+        |    CAST(max(CASE WHEN n = 1 THEN c END) AS BIGINT) AS c1,
+        |    CAST(max(CASE WHEN n = 1 THEN r END) AS BIGINT) AS r1,
+        |    CAST(max(CASE WHEN n = 2 THEN m END) AS BIGINT) AS m2,
+        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS c2,
+        |    CAST(max(CASE WHEN n = 2 THEN r END) AS BIGINT) AS r2,
+        |    CAST(max(CASE WHEN n = 3 THEN m END) AS BIGINT) AS m3,
+        |    CAST(max(CASE WHEN n = 3 THEN c END) AS BIGINT) AS c3,
+        |    CAST(max(CASE WHEN n = 3 THEN r END) AS BIGINT) AS r3,
+        |    CAST(max(CASE WHEN n = 4 THEN m END) AS BIGINT) AS m4,
+        |    CAST(max(CASE WHEN n = 4 THEN c END) AS BIGINT) AS c4,
+        |    CAST(max(CASE WHEN n = 4 THEN r END) AS BIGINT) AS r4,
+        |    CAST(max(CASE WHEN n = 5 THEN m END) AS BIGINT) AS m5,
+        |    CAST(max(CASE WHEN n = 5 THEN c END) AS BIGINT) AS c5,
+        |    CAST(max(CASE WHEN n = 5 THEN r END) AS BIGINT) AS r5,
+        |    CAST(max(CASE WHEN n = 6 THEN m END) AS BIGINT) AS m6,
+        |    CAST(max(CASE WHEN n = 6 THEN c END) AS BIGINT) AS c6,
+        |    CAST(max(CASE WHEN n = 6 THEN r END) AS BIGINT) AS r6
+        |  FROM tot GROUP BY doc_id)
+        |SELECT doc_id, m1, c1, r1, m2, c2, r2, m3, c3, r3, m4, c4, r4,
+        |  m5, c5, r5, m6, c6, r6,
+        |  CASE WHEN inc = 0 THEN NULL
+        |       WHEN (psum // inc) + (rsum // inc) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((5 * (psum // inc) * (rsum // inc))
+        |         // (4 * (psum // inc) + (rsum // inc)) AS BIGINT) END AS chrf_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // ROUGE-L oracle: LCS via recursive-CTE DP carrying one row per
     // step in prefix-max form — dp[i][j] = max(t[j], dp[i][j-1]) where

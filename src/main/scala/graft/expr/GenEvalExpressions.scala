@@ -119,6 +119,82 @@ object GenEvalOps {
     iroot4(aProd * 1000000000000L / bProd)
   }
 
+  /** chrF (Popović, WMT'15) stats over STRINGS: character n-grams for
+    * n = 1..6 on the whitespace-stripped text (sacrebleu's default),
+    * clipped multiset matches like BLEU. Returns InternalRow of
+    * (m1..m6, c1..c6, r1..r6, chrf_ppm) — matches, candidate-gram and
+    * reference-gram totals per n, plus the β=2 F-score in ppm under the
+    * frozen fixed-point contract: per-n precision/recall are ppm-floored
+    * FIRST, averaged over the n where BOTH sides have grams (integer
+    * division by the included count), and F = (1+β²)·P·R / (β²·P + R) is
+    * one more floor division. P = R = 0 (disjoint strings) scores 0 —
+    * defined total dissimilarity; the −1 sentinel (surfaced as NULL by
+    * the operator) means UNDEFINED: no n had grams on both sides. */
+  def chrfStats(cand: UTF8String, ref: UTF8String): InternalRow = {
+    val c = stripWs(cand)
+    val r = stripWs(ref)
+    val out = new Array[Any](19)
+    var pSumPpm = 0L
+    var rSumPpm = 0L
+    var included = 0
+    var n = 1
+    while (n <= 6) {
+      val cTotal = math.max(c.length - n + 1, 0)
+      val rTotal = math.max(r.length - n + 1, 0)
+      var m = 0L
+      if (cTotal > 0 && rTotal > 0) {
+        val refCounts = new java.util.HashMap[String, Int]()
+        var j = 0
+        while (j <= r.length - n) {
+          refCounts.merge(r.substring(j, j + n), 1, Integer.sum); j += 1
+        }
+        val used = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i <= c.length - n) {
+          val g = c.substring(i, i + n)
+          val avail = refCounts.getOrDefault(g, 0)
+          val u = used.getOrDefault(g, 0)
+          if (u < avail) { m += 1; used.put(g, u + 1) }
+          i += 1
+        }
+        pSumPpm += m * 1000000L / cTotal
+        rSumPpm += m * 1000000L / rTotal
+        included += 1
+      }
+      out(n - 1) = m
+      out(n + 5) = cTotal.toLong
+      out(n + 11) = rTotal.toLong
+      n += 1
+    }
+    out(18) =
+      if (included == 0) -1L
+      else {
+        val p = pSumPpm / included
+        val q = rSumPpm / included
+        if (p + q == 0) 0L else (5L * p * q) / (4L * p + q)
+      }
+    InternalRow(out: _*)
+  }
+
+  private def stripWs(s: UTF8String): String = {
+    if (s == null) return ""
+    val t = s.toString
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val ch = t.charAt(i)
+      if (!Character.isWhitespace(ch)) sb.append(ch)
+      i += 1
+    }
+    sb.toString
+  }
+
+  val chrfSchema: StructType = StructType(
+    (1 to 6).map(n => StructField(s"m$n", LongType, nullable = false)) ++
+      (1 to 6).map(n => StructField(s"c$n", LongType, nullable = false)) ++
+      (1 to 6).map(n => StructField(s"r$n", LongType, nullable = false)) :+
+      StructField("chrf_ppm", LongType, nullable = false))
+
   /** Longest common subsequence LENGTH between two token arrays — the
     * ROUGE-L core. Rolling single-row DP, O(|c|·|r|) time, O(|r|) space;
     * null arrays are empty. */
@@ -172,6 +248,33 @@ case class BleuStats(left: Expression, right: Expression) extends BinaryExpressi
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** `chrf_stats(cand, ref)` — struct(m1..m6, c1..c6, r1..r6, chrf_ppm). */
+case class ChrfStats(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = GenEvalOps.chrfSchema
+  override def nullable: Boolean = false
+  override def prettyName: String = "chrf_stats"
+
+  override def eval(input: InternalRow): Any =
+    GenEvalOps.chrfStats(left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        InternalRow ${ev.value} = graft.expr.GenEvalOps.chrfStats(
+          ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** `lcs_length(cand, ref)` — ROUGE-L's LCS as an int. */
 case class LcsLength(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -208,5 +311,9 @@ object GenEvalExpressions {
 
   def lcs_length(cand: Column, ref: Column): Column =
     ColumnBridge.column(LcsLength(ColumnBridge.expression(cand),
+      ColumnBridge.expression(ref)))
+
+  def chrf_stats(cand: Column, ref: Column): Column =
+    ColumnBridge.column(ChrfStats(ColumnBridge.expression(cand),
       ColumnBridge.expression(ref)))
 }

@@ -227,6 +227,28 @@ object Eval {
         col("bleu_milli"): _*)
   }
 
+  /** chrF (β = 2) over (candidate, reference) STRING columns — the third
+    * standard generation metric, completing BLEU's word-precision view
+    * with character-level recall (robust to tokenization and morphology).
+    * Character n-grams n = 1..6 on whitespace-stripped text, clipped
+    * multiset matches; the fixed-point contract (documented in
+    * [[graft.expr.GenEvalOps.chrfStats]]): per-n P/R ppm-floored FIRST,
+    * integer-averaged over the n included on both sides, one more floor
+    * division for F — every figure integer-exact cross-engine. Emits the
+    * per-n triples (m, c, r) so any β or n-range can be re-derived. */
+  def chrF(df: DataFrame, idCol: String, candCol: String,
+           refCol: String): DataFrame = {
+    val s = col("__s")
+    df.select(col(idCol),
+        graft.expr.GenEvalExpressions.chrf_stats(col(candCol), col(refCol))
+          .as("__s"))
+      .select(Seq(col(idCol)) ++
+        (1 to 6).flatMap(n => Seq(s.getField(s"m$n").as(s"m$n"),
+          s.getField(s"c$n").as(s"c$n"), s.getField(s"r$n").as(s"r$n"))) :+
+        when(s.getField("chrf_ppm") >= 0, s.getField("chrf_ppm"))
+          .as("chrf_ppm"): _*)
+  }
+
   /** ROUGE-L over the same (candidate, reference) token-array columns.
     * ROUGE-L is EXACTLY rational — P = L/c, R = L/r, and the β=1
     * F-measure collapses to 2L/(c+r) — so unlike BLEU the whole metric

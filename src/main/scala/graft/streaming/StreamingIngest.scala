@@ -812,6 +812,40 @@ object StreamingIngest {
     parts.reduce(_ unionByName _).dropDuplicates("media_id")
   }
 
+  /** Streaming HTML→text extraction — crawl pages arrive in micro-batches
+    * and are boilerplate-stripped on arrival (the front of a streaming
+    * curation pipeline). Extraction is a PURE per-row function
+    * ([[graft.operators.TextExtract]] / `expr.HtmlContentText`), so the
+    * bounded stream hash-matches the batch q_text_extract oracle
+    * VERBATIM — no state, no tolerance gate. */
+  def runStreamTextExtractBounded(spark: SparkSession, parquetPath: String,
+                                  idCol: String,
+                                  maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.TextExtract
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val results = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        results.put(bid, TextExtract.fromHtml(
+            batch.select(col(idCol),
+              TextExtract.syntheticHtml(col(idCol), col("text")).as("html")),
+            idCol, "html")
+          .localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = results.values.asScala.toSeq
+    require(parts.nonEmpty, "runStreamTextExtractBounded: stream produced no batches")
+    parts.reduce(_ unionByName _).dropDuplicates(idCol)
+  }
+
   /** Streaming ENTITY RESOLUTION — records arrive in micro-batches and
     * are linked incrementally: each batch's block-key table
     * ([[graft.operators.EntityResolution.blockKeys]]) is computed once,

@@ -269,6 +269,31 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("chrF: hand-computed char n-gram clip, inclusion rule, F floor") {
+    def strPair(c: String, r: String) =
+      Seq((1L, c, r)).toDF("id", "cand", "ref")
+    // cand "abab" vs ref "ab": n=1 m=2/c=4/r=2, n=2 m=1/c=3/r=1,
+    // n>=3 excluded (ref side empty). P=(500000+333333)/2=416666,
+    // R=(10^6+10^6)/2=10^6, F=5PR/(4P+R)=781249 (floor)
+    val row = Eval.chrF(strPair("abab", "ab"), "id", "cand", "ref").collect()(0)
+    assert(row.getAs[Long]("m1") === 2L && row.getAs[Long]("c1") === 4L &&
+      row.getAs[Long]("r1") === 2L)
+    assert(row.getAs[Long]("m2") === 1L && row.getAs[Long]("c2") === 3L &&
+      row.getAs[Long]("r2") === 1L)
+    assert(row.getAs[Long]("m3") === 0L && row.getAs[Long]("r3") === 0L)
+    assert(row.getAs[Long]("chrf_ppm") === 781249L)
+    // whitespace stripped before gramming: "a b ab" ≡ "abab"
+    val ws = Eval.chrF(strPair("a b ab", "\tab\n"), "id", "cand", "ref").collect()(0)
+    assert(ws.getAs[Long]("chrf_ppm") === 781249L)
+    // identical strings -> F = 10^6; disjoint -> 0; both empty -> NULL
+    assert(Eval.chrF(strPair("hello", "hello"), "id", "cand", "ref")
+      .collect()(0).getAs[Long]("chrf_ppm") === 1000000L)
+    assert(Eval.chrF(strPair("aaa", "bbb"), "id", "cand", "ref")
+      .collect()(0).getAs[Long]("chrf_ppm") === 0L)
+    val e = Eval.chrF(strPair("", ""), "id", "cand", "ref").collect()(0)
+    assert(e.isNullAt(e.fieldIndex("chrf_ppm")))
+  }
+
   test("ROUGE-L: hand-computed LCS and exactly-rational ppms") {
     // cand: a b c d e f ; ref: b a c e d f -> LCS = a c d f or b c d f = 4
     val r = Eval.rougeL(pairDf(Seq("a", "b", "c", "d", "e", "f"),
