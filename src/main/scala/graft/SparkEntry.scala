@@ -590,6 +590,47 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // URL blocklist gate (the C4/RefinedWeb front filter): drop documents
+    // whose synthesized crawl URL matches a blocked-domain or
+    // blocked-path regex — codegen'd disjunction, no join, pushes to the
+    // scan. Patterns are simple enough that Java and RE2 agree.
+    "q_url_blocklist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 25).cast("string"), lit("/?utm_source="), col("lang")))
+      operators.WebCuration.filterBlocked(docs, "url",
+          Seq("src1\\.example\\.com", "/docs/7/"))
+        .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain frequency cap (domain-skew fix): keep the best `cap`
+    // docs per domain by (n_chars DESC, doc_id ASC) — a top-k-per-group,
+    // one domain-hash shuffle, shuffle rows carry only (domain, rank
+    // key). The oracle reconstructs the domain from the synthesis rule
+    // and replays the window.
+    "q_domain_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 25).cast("string"), lit("/?utm_source="), col("lang")))
+      operators.WebCuration.capPerDomain(docs, "url",
+          col("n_chars").cast("long"), "doc_id", cap = 15)
+        .select(col("doc_id"), col("domain"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The curator's planning table: per-domain doc count, char volume,
+    // and kept-at-cap — one combining aggregate over the domain key.
+    "q_domain_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 25).cast("string"), lit("/?utm_source="), col("lang")))
+      operators.WebCuration.domainProfile(docs, "url",
+          col("n_chars").cast("long"), cap = 15)
+        .orderBy(col("domain"))
+    }),
+
     // Extraction feeding the curation ladder: html → extracted text →
     // exact dedup ON THE EXTRACTED TEXT (the constant h1 keeps extraction
     // a pure function of `text`, so exact-dup documents stay exact dups
@@ -5482,6 +5523,36 @@ object SparkEntry {
         |    'Terms Privacy ' || chr(169) || ' 2026 Example Corp', 28, 12, 6,
         |    'boilerplate' FROM d
         |) ORDER BY doc_id, idx""".stripMargin,
+
+    // blocklist oracle: same synthesized URL, same two regexes (RE2 and
+    // Java agree on these literal-ish patterns).
+    "q_url_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+        |  'https://www.' || source || '.example.com/docs/' ||
+        |  CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS url
+        |  FROM documents)
+        |SELECT doc_id, url FROM d
+        |WHERE NOT (regexp_matches(url, 'src1\.example\.com')
+        |        OR regexp_matches(url, '/docs/7/'))
+        |ORDER BY doc_id""".stripMargin,
+
+    // domain-cap oracle: domain reconstructed from the synthesis rule,
+    // rank window replayed with the same deterministic tie-break.
+    "q_domain_cap" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  source || '.example.com' AS domain FROM documents),
+        |r AS (SELECT doc_id, domain, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY domain
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rn FROM d)
+        |SELECT doc_id, domain, n_chars FROM r WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_profile" ->
+      """SELECT source || '.example.com' AS domain,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+        |  least(count(*), 15) AS kept_at_cap
+        |FROM documents GROUP BY source ORDER BY domain""".stripMargin,
 
     // pipeline oracle: extracted = h1const \n text \n upper(text) ⇒
     // tokens = 7 + 2·words(text); dedup groups by the extracted text

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level corpus curation — the C4/RefinedWeb front gate that
+  * runs before any text is even read: blocklist filtering and per-domain
+  * frequency caps (a handful of mega-domains otherwise dominate a crawl;
+  * capping is the standard fix for domain skew — it is a TOP-K-PER-GROUP,
+  * so the shuffle carries only (domain, rank key), never document text).
+  *
+  * Everything is codegen'd expressions + one window; no UDFs. Scale
+  * shape: `capPerDomain` is one hash shuffle on the domain key with a
+  * rank window whose frame is the domain's document count — for the
+  * pathological mega-domain, pre-aggregate with AQE skew split or raise
+  * the cap pre-filter (count ≤ cap domains pass untouched via the
+  * broadcast small-side of a skew-safe union) — documented, not built:
+  * the plain window is correct and the skew tooling ([[Skew]]) composes.
+  */
+object WebCuration {
+
+  /** Registrable host of a URL: scheme, leading `www.`, port, path, query
+    * and fragment stripped; lower-cased. Pure regexp, pushdown-friendly. */
+  def domainOf(url: Column): Column =
+    regexp_extract(lower(trim(url)), "^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^/:?#]+)", 1)
+
+  /** Drop documents whose URL matches any blocklist REGEX (adult/spam/
+    * boilerplate-domain lists in real pipelines). Patterns are literals
+    * compiled into the plan — one codegen'd disjunction, no join. */
+  def filterBlocked(df: DataFrame, urlCol: String,
+                    patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "empty blocklist: nothing to filter")
+    val blocked = patterns.map(p => col(urlCol).rlike(p)).reduce(_ || _)
+    df.filter(!coalesce(blocked, lit(false)))
+  }
+
+  /** Keep at most `cap` documents per domain, best-first by
+    * (`scoreCol` DESC, `idCol` ASC — the deterministic tie-break). Adds
+    * `domain`; survivors only. One shuffle on the domain hash. */
+  def capPerDomain(df: DataFrame, urlCol: String, scoreCol: Column,
+                   idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    df.withColumn("domain", domainOf(col(urlCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Per-domain crawl profile: doc count, total/mean chars, docs kept by
+    * a `cap` — the planning table a crawl curator reads before choosing
+    * caps. One combining aggregate. */
+  def domainProfile(df: DataFrame, urlCol: String, charsCol: Column,
+                    cap: Int): DataFrame =
+    df.withColumn("domain", domainOf(col(urlCol)))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(charsCol).cast("long").as("total_chars"),
+        least(count(lit(1)), lit(cap.toLong)).as("kept_at_cap"))
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WebCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domainOf: scheme/www/port/path/query/fragment/case stripped") {
+    val urls = Seq(
+      "https://www.Example.COM/a/b?q=1#f" -> "example.com",
+      "http://example.com:8080/x" -> "example.com",
+      "ftp://files.example.org/pub" -> "files.example.org",
+      "example.net/path" -> "example.net",
+      "www.example.net" -> "example.net",
+      " https://sub.domain.io " -> "sub.domain.io")
+    val got = urls.map(_._1).toDF("url")
+      .select(WebCuration.domainOf(col("url"))).as[String].collect().toSeq
+    assert(got === urls.map(_._2))
+  }
+
+  test("filterBlocked: any-pattern disjunction; NULL url survives") {
+    val df = Seq(Some("https://spam.example.com/x"), Some("https://ok.io/docs/7/y"),
+      Some("https://ok.io/fine"), None).toDF("url")
+    val kept = WebCuration.filterBlocked(df, "url",
+      Seq("spam\\.example\\.com", "/docs/7/")).collect().map(_.getString(0))
+    assert(kept.toSeq === Seq("https://ok.io/fine", null))
+  }
+
+  test("capPerDomain: best-first, deterministic tie-break, cap respected") {
+    val df = Seq(
+      (1L, "https://a.com/1", 10L), (2L, "https://a.com/2", 30L),
+      (3L, "https://www.a.com/3", 30L), (4L, "https://a.com/4", 5L),
+      (5L, "https://b.com/1", 1L))
+      .toDF("id", "url", "score")
+    val kept = WebCuration.capPerDomain(df, "url", col("score"), "id", cap = 2)
+      .select("id", "domain").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // a.com: scores 30(id2), 30(id3 — tie, higher id loses to none: both in top2), 10, 5
+    assert(kept.toSeq === Seq((2L, "a.com"), (3L, "a.com"), (5L, "b.com")))
+  }
+
+  test("domainProfile: counts, char volume, kept-at-cap clamp") {
+    val df = Seq(
+      ("https://a.com/1", 100L), ("https://a.com/2", 50L),
+      ("https://a.com/3", 25L), ("https://b.com/1", 7L))
+      .toDF("url", "chars")
+    val got = WebCuration.domainProfile(df, "url", col("chars"), cap = 2)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("a.com", 3L, 175L, 2L), ("b.com", 1L, 7L, 1L)))
+  }
+}
