@@ -96,6 +96,13 @@ val picks = Seq(
   ("q_pareto_front", "skyline: rows collapse to the x-domain frame, domain-sized running-max window, broadcast join back"),
   ("q_eval_map", "fixed-point AP: bounded per-query cumulative window + combining agg over the broadcast-cross ranking"),
   ("q_dedup_unicode", "NFC-folded exact dedup: native normalize projection, one combining shuffle on the folded key"),
+  ("q_text_extract", "HTML->text: ONE native-expression projection (single-pass parse+classify in codegen), only the output sort exchanges"),
+  ("q_text_extract_pipeline", "extract -> exact dedup on extracted -> profile token floor -> lang rollup: extraction stays map-side, two combining shuffles (dedup key, lang)"),
+  ("q_domain_cap", "per-domain cap: rank filter pushed into the shuffle as WindowGroupLimit on the domain hash; text never shuffles"),
+  ("q_eval_bleu", "BLEU: per-row codegen stats struct + ppm divisions, zero shuffle before the output sort"),
+  ("q_eval_chrf", "chrF: per-row codegen char-ngram clip + fixed-point ladder, zero shuffle before the output sort"),
+  ("q_video_decode", "MJPEG-in-MP4: per-row stbl walk + per-frame JPEG decode flatMap, zero shuffle before the output sort"),
+  ("q_dedup_incremental_indexed", "persisted band index: reloaded parquet sets feed the delta-side prefix join; corpus text never re-shingled"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
