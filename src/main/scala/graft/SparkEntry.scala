@@ -107,6 +107,34 @@ object SparkEntry {
 
   private val asOf: Column = lit("1998-12-01").cast("date")
 
+  /** Write-once-per-process synthetic WARC archives derived from the
+    * documents table: 4 buckets keyed by doc_id % 4, bucket 0 gzipped
+    * with per-record members, each file led by a warcinfo record, every
+    * response carrying the synthetic crawl page ([[operators.TextExtract
+    * .syntheticHtml]]) behind a real HTTP/1.1 200 message. Deterministic,
+    * so bench re-runs reuse the archives (the `_SUCCESS` marker is
+    * written only after a complete build; a crashed partial write has no
+    * marker and is rebuilt). */
+  private val warcFixtureLock = new Object
+  private def warcFixtureDir(s: SparkSession, dir: String): String =
+    warcFixtureLock.synchronized {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      sweepDeadScratch(tmp, Seq("graft_warc_"))
+      val out = new java.io.File(tmp, s"graft_warc_${runTag(dir)}")
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string")).as("uri"),
+          operators.TextExtract.syntheticHtml(col("doc_id"), col("text"))
+            .as("body"))
+        ingest.WarcIngest.writeSyntheticWarc(s, docs, "doc_id", "uri", "body",
+          out.getAbsolutePath, nFiles = 4)
+        marker.createNewFile()
+      }
+      out.getAbsolutePath
+    }
+
   /** Exact sum: decimal arithmetic, double surface. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -653,6 +681,62 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // WARC crawl-archive ingestion, record table: the corpus as it truly
+    // arrives at 100 TB (Common Crawl ships .warc/.warc.gz archives).
+    // Deterministic synthetic archives — 4 buckets, bucket 0 gzipped with
+    // per-record members, warcinfo-led files, real WARC + HTTP/1.1
+    // framing — are parsed back by the streaming record iterator (one
+    // task per archive, constant memory per record, no shuffle) and every
+    // header/length field is hash-matched against the oracle's from-
+    // scratch reconstruction of the framing arithmetic (octet lengths of
+    // the HTTP head + the full page template rebuilt in SQL).
+    "q_warc_records" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcFixtureDir(s, dir))
+      recs.select(
+          when(col("warc_type") === "warcinfo",
+            -regexp_extract(col("record_id"), "warcinfo:(\\d+)", 1)
+              .cast("long") - 1)
+            .otherwise(regexp_extract(col("record_id"), "doc:(\\d+)", 1)
+              .cast("long")).as("rec_key"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type"),
+          octet_length(col("body")).cast("long").as("body_octets"))
+        .orderBy(col("rec_key"))
+    }),
+
+    // WARC → HTTP body → HTML extraction: the full crawl front chained —
+    // archive parse, response/status/content-type gate, boilerplate
+    // removal — must land byte-identical to extracting from the pages
+    // directly, so this SHARES the q_text_extract oracle verbatim.
+    "q_warc_extract" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcFixtureDir(s, dir))
+      recs.filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          graft.expr.HtmlExpressions.html_content_text(col("body"))
+            .as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-archive rollup (the crawl operator's manifest view): record/
+    // response counts and payload/body octet volumes per bucket file —
+    // identical for the gzipped and plain buckets, which is the codec-
+    // transparency gate.
+    "q_warc_stats" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcFixtureDir(s, dir))
+      recs.groupBy(regexp_extract(col("file"), "warc-(\\d+)\\.warc", 1)
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+            .as("n_responses"),
+          sum(col("content_length")).as("payload_octets"),
+          sum(octet_length(col("body")).cast("long")).as("body_octets"))
+        .orderBy(col("bucket"))
+    }),
+
     // REAL subword tokenization under the FROZEN shipped-artifact merge
     // table (the production tokenizer shape — GPT-2-style BPE applies a
     // fixed published merge list, it never re-learns per corpus): the
@@ -854,6 +938,36 @@ object SparkEntry {
         slice(split(col("text"), " "), 2, 13).as("cand"),
         slice(split(col("text"), " "), 1, 12).as("ref"))
       operators.Eval.rougeL(pairs, "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Generation eval, WER over the same pairs: unit-cost token
+    // Levenshtein by per-row rolling DP (zero shuffle); exactly rational
+    // ⇒ one ppm floor. The oracle replays the DP as a recursive CTE in
+    // prefix-MIN form — the in-row dependency dp[i][j-1]+1 unrolls to
+    // dp[i][j] = j + min over k ≤ j of (t[k] − k), one parallel list
+    // comprehension plus a sliced list_min per step (the dual of the
+    // ROUGE-L oracle's prefix-max).
+    "q_eval_wer" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 14)
+      val pairs = docs.select(col("doc_id"),
+        slice(split(col("text"), " "), 2, 13).as("cand"),
+        slice(split(col("text"), " "), 1, 12).as("ref"))
+      operators.Eval.wer(pairs, "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Generation eval, CER over the same pairs as STRINGS: both engines'
+    // builtin char-level levenshtein (Spark codegen'd, DuckDB native) —
+    // the tokenization-free twin, one ppm floor.
+    "q_eval_cer" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 14)
+      val pairs = docs.select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 2, 13), " ").as("cand"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("ref"))
+      operators.Eval.cer(pairs, "doc_id", "cand", "ref")
         .orderBy(col("doc_id"))
     }),
 
@@ -4541,6 +4655,29 @@ object SparkEntry {
       |  text || chr(10) || upper(text) AS extracted
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The synthetic crawl page rebuilt in SQL — must mirror
+    * [[operators.TextExtract.syntheticHtml]] byte for byte, because the
+    * WARC oracles check the archive framing ARITHMETIC (Content-Length
+    * headers, payload/body octet counts) against this template's octet
+    * lengths. Emits (doc_id, html, uri); `uri` is the WARC fixture's
+    * target-URI rule. */
+  private val warcPageSql: String =
+    """SELECT doc_id,
+      |    '<!doctype html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10) ||
+      |    '<title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' || chr(10) ||
+      |    '<style>p { color: #222; }</style>' || chr(10) || '</head>' || chr(10) ||
+      |    '<body>' || chr(10) ||
+      |    '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' || chr(10) ||
+      |    '<h1>Corpus document from the synthetic crawl corpus</h1>' || chr(10) ||
+      |    '<p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>' || chr(10) ||
+      |    '<div class="ads"><a href="/buy">Buy now</a> <a href="/sale">Sale</a></div>' || chr(10) ||
+      |    '<blockquote>' || replace(replace(replace(upper(text), '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</blockquote>' || chr(10) ||
+      |    '<script>var t = "track";</script>' || chr(10) ||
+      |    '<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a> &#169; 2026 Example Corp</footer>' || chr(10) ||
+      |    '</body>' || chr(10) || '</html>' || chr(10) AS html,
+      |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS uri
+      |  FROM documents""".stripMargin
+
   /** Delta-touching ngram-jaccard pair slice — shared verbatim by the
     * in-memory incremental path (q_dedup_incremental) and the
     * persisted-index twin (q_dedup_incremental_indexed). */
@@ -5570,6 +5707,70 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok
         |FROM ded WHERE n_tok >= 32
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // WARC record-table oracle: every WARC/HTTP framing field recomputed
+    // from the page template — Content-Length of a response record is
+    // octets(HTTP head incl. the digits of the body's own Content-Length)
+    // + octets(html); warcinfo rows are the 4 constant file headers.
+    // strlen() is DuckDB's BYTE length (the corpus is ASCII, but the
+    // contract is octets).
+    "q_warc_records" ->
+      s"""WITH page AS ($warcPageSql),
+        |resp AS (
+        |  SELECT doc_id AS rec_key, 'response' AS warc_type, uri AS target_uri,
+        |    CAST(strlen('HTTP/1.1 200 OK') + 2
+        |      + strlen('Content-Type: text/html; charset=utf-8') + 2
+        |      + strlen('Content-Length: ' || CAST(strlen(html) AS VARCHAR)) + 2
+        |      + 2 + strlen(html) AS BIGINT) AS content_length,
+        |    CAST(200 AS BIGINT) AS http_status,
+        |    'text/html; charset=utf-8' AS http_content_type,
+        |    CAST(strlen(html) AS BIGINT) AS body_octets
+        |  FROM page),
+        |info AS (
+        |  SELECT CAST(-(b + 1) AS BIGINT) AS rec_key, 'warcinfo' AS warc_type,
+        |    CAST(NULL AS VARCHAR) AS target_uri,
+        |    CAST(strlen('software: graft-warc/1.0') + 2
+        |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS content_length,
+        |    CAST(NULL AS BIGINT) AS http_status,
+        |    CAST(NULL AS VARCHAR) AS http_content_type,
+        |    CAST(strlen('software: graft-warc/1.0') + 2
+        |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS body_octets
+        |  FROM (SELECT unnest(range(4)) AS b))
+        |SELECT * FROM info UNION ALL SELECT * FROM resp
+        |ORDER BY rec_key""".stripMargin,
+
+    // The crawl front end-to-end must equal extracting from the pages
+    // directly — the q_text_extract oracle verbatim.
+    "q_warc_extract" -> textExtractOracleSql,
+
+    // Per-bucket manifest rollup: responses grouped by doc_id % 4 plus
+    // each file's warcinfo record; identical arithmetic for the gzipped
+    // bucket 0 (codec transparency).
+    "q_warc_stats" ->
+      s"""WITH page AS ($warcPageSql),
+        |resp AS (
+        |  SELECT doc_id % 4 AS bucket, strlen(html) AS body_o,
+        |    strlen('HTTP/1.1 200 OK') + 2
+        |      + strlen('Content-Type: text/html; charset=utf-8') + 2
+        |      + strlen('Content-Length: ' || CAST(strlen(html) AS VARCHAR)) + 2
+        |      + 2 + strlen(html) AS pay_o
+        |  FROM page),
+        |agg AS (
+        |  SELECT bucket, count(*) AS nr, CAST(sum(pay_o) AS BIGINT) AS pay,
+        |    CAST(sum(body_o) AS BIGINT) AS body
+        |  FROM resp GROUP BY bucket),
+        |info AS (
+        |  SELECT b AS bucket,
+        |    strlen('software: graft-warc/1.0') + 2
+        |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS io
+        |  FROM (SELECT unnest(range(4)) AS b))
+        |SELECT i.bucket AS bucket,
+        |  CAST(coalesce(a.nr, 0) + 1 AS BIGINT) AS n_records,
+        |  CAST(coalesce(a.nr, 0) AS BIGINT) AS n_responses,
+        |  CAST(coalesce(a.pay, 0) + i.io AS BIGINT) AS payload_octets,
+        |  CAST(coalesce(a.body, 0) + i.io AS BIGINT) AS body_octets
+        |FROM info i LEFT JOIN agg a ON a.bucket = i.bucket
+        |ORDER BY bucket""".stripMargin,
 
     "q_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -6654,6 +6855,58 @@ object SparkEntry {
         |  CAST((1000000 * lcs) // len_r AS BIGINT) AS rouge_r_ppm,
         |  CAST((2000000 * lcs) // (len_c + len_r) AS BIGINT) AS rouge_f_ppm
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // WER oracle: Levenshtein via recursive-CTE DP in prefix-MIN form.
+    // Per step, t2[k+1] = min(up+1, diag+cost) with t2[1] = i (the new
+    // row's j=0 cell); the in-row insertion dependency unrolls to
+    // dp[i][j] = j + min over k ≤ j of (t2[k+1] − k), computed as a
+    // sliced list_min over u[x] = t2[x] − (x−1).
+    "q_eval_wer" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 14),
+        |seqs AS (SELECT doc_id, w[2:14] AS c, w[1:12] AS r FROM base),
+        |dp AS (
+        |  SELECT doc_id, 0 AS i,
+        |    [CAST(x AS BIGINT) for x in range(0, len(r) + 1)] AS row
+        |  FROM seqs
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    [CAST(list_min(u[1:p]) + (p - 1) AS BIGINT) for p in range(1, m + 2)] AS row
+        |  FROM (
+        |    SELECT doc_id, i, m, [t2[x] - (x - 1) for x in range(1, m + 2)] AS u
+        |    FROM (
+        |      SELECT d.doc_id, d.i AS i, len(s.r) AS m,
+        |        list_prepend(CAST(d.i + 1 AS BIGINT),
+        |          [least(d.row[k + 1] + 1,
+        |                 d.row[k] + CASE WHEN s.c[d.i + 1] = s.r[k] THEN 0 ELSE 1 END)
+        |           for k in range(1, len(s.r) + 1)]) AS t2
+        |      FROM dp d JOIN seqs s USING (doc_id)
+        |      WHERE d.i < len(s.c)) stepped) sliced),
+        |fin AS (
+        |  SELECT s.doc_id, CAST(len(s.c) AS BIGINT) AS len_c,
+        |    CAST(len(s.r) AS BIGINT) AS len_r, d.row[len(s.r) + 1] AS edit_dist
+        |  FROM dp d JOIN seqs s USING (doc_id)
+        |  WHERE d.i = len(s.c))
+        |SELECT doc_id, len_c, len_r, edit_dist,
+        |  CAST((1000000 * edit_dist) // len_r AS BIGINT) AS wer_ppm
+        |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // CER oracle: DuckDB's native char-level levenshtein — both engines
+    // run their builtin DP, the cross-check is exact.
+    "q_eval_cer" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 14),
+        |seqs AS (
+        |  SELECT doc_id, array_to_string(w[2:14], ' ') AS cs,
+        |    array_to_string(w[1:12], ' ') AS rs
+        |  FROM base)
+        |SELECT doc_id, CAST(length(cs) AS BIGINT) AS len_c,
+        |  CAST(length(rs) AS BIGINT) AS len_r,
+        |  CAST(levenshtein(cs, rs) AS BIGINT) AS edit_dist,
+        |  CAST((1000000 * levenshtein(cs, rs)) // length(rs) AS BIGINT) AS cer_ppm
+        |FROM seqs ORDER BY doc_id""".stripMargin,
 
     // Per-group dominance definition, grouped by source.
     "q_pareto_by_group" ->

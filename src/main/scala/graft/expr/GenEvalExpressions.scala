@@ -195,6 +195,39 @@ object GenEvalOps {
       (1 to 6).map(n => StructField(s"r$n", LongType, nullable = false)) :+
       StructField("chrf_ppm", LongType, nullable = false))
 
+  /** Unit-cost Levenshtein distance between two token arrays — the WER
+    * numerator (substitutions + insertions + deletions to turn candidate
+    * into reference). Rolling single-row DP like [[lcsLength]]:
+    * O(|c|·|r|) time, O(|r|) space; null arrays are empty (distance =
+    * the other side's length). */
+  def tokenEditDistance(cand: ArrayData, ref: ArrayData): Int = {
+    val c = if (cand == null) Array.empty[String] else toks(cand)
+    val r = if (ref == null) Array.empty[String] else toks(ref)
+    if (c.isEmpty) return r.length
+    if (r.isEmpty) return c.length
+    val row = new Array[Int](r.length + 1)
+    var j = 0
+    while (j <= r.length) { row(j) = j; j += 1 }
+    var i = 1
+    while (i <= c.length) {
+      var diag = row(0) // dp[i-1][j-1]
+      row(0) = i
+      j = 1
+      while (j <= r.length) {
+        val up = row(j) // dp[i-1][j]
+        val cost = if (c(i - 1) == r(j - 1)) 0 else 1
+        var v = diag + cost
+        if (up + 1 < v) v = up + 1
+        if (row(j - 1) + 1 < v) v = row(j - 1) + 1
+        row(j) = v
+        diag = up
+        j += 1
+      }
+      i += 1
+    }
+    row(r.length)
+  }
+
   /** Longest common subsequence LENGTH between two token arrays — the
     * ROUGE-L core. Rolling single-row DP, O(|c|·|r|) time, O(|r|) space;
     * null arrays are empty. */
@@ -302,8 +335,41 @@ case class LcsLength(left: Expression, right: Expression) extends BinaryExpressi
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** `token_edit_distance(cand, ref)` — WER's unit-cost Levenshtein over
+  * token arrays. */
+case class TokenEditDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "token_edit_distance"
+
+  override def eval(input: InternalRow): Any =
+    GenEvalOps.tokenEditDistance(left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        int ${ev.value} = graft.expr.GenEvalOps.tokenEditDistance(
+          ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object GenEvalExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def token_edit_distance(cand: Column, ref: Column): Column =
+    ColumnBridge.column(TokenEditDistance(ColumnBridge.expression(cand),
+      ColumnBridge.expression(ref)))
 
   def bleu_stats(cand: Column, ref: Column): Column =
     ColumnBridge.column(BleuStats(ColumnBridge.expression(cand),

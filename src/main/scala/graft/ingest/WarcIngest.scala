@@ -1,0 +1,325 @@
+package graft.ingest
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.SerializableWritable
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** WARC (ISO 28500) crawl-archive ingestion — the true FRONT of a web-scale
+  * training-data pipeline: before URL curation, before HTML extraction,
+  * before any dedup, the corpus arrives as WARC archives (Common Crawl
+  * ships ~100 TB/crawl exactly in this shape). Beyond-reference extension;
+  * the reference ingests CSV only (`main.py:30-62`).
+  *
+  * Scale design:
+  *  - **One partition per archive file** ([[readRecords]]): WARC archives
+  *    are the crawl's natural unit of parallelism (CC caps them ~1 GB);
+  *    100 TB ≈ 10⁵ files fans out as 10⁵ tasks with zero shuffle — record
+  *    parsing is embarrassingly parallel and every downstream operator
+  *    (extraction, curation, dedup) sees an ordinary DataFrame.
+  *  - **Constant memory per record**, never per file: the iterator streams
+  *    the Hadoop input stream record by record (version line → headers →
+  *    `Content-Length` payload bytes), so a 1 GB archive is parsed under a
+  *    buffered-reader footprint plus one payload at a time, with an
+  *    explicit `maxPayloadBytes` guard against a malformed length header.
+  *  - **Gzip-member transparency**: production archives are `.warc.gz`
+  *    with one gzip member per record (the CC convention);
+  *    `GZIPInputStream` consumes concatenated members natively, so the
+  *    same iterator handles plain and gzipped archives — the synthetic
+  *    fixture writes one bucket gzipped to keep that path exercised.
+  *  - The driver holds only the file list (one path per archive — the
+  *    same bounded metadata [[Harmonizer.groupByLayout]] collects; part of
+  *    the sanctioned-collect inventory).
+  *
+  * Parsing is tolerant the way crawl tooling must be: LF-only line ends
+  * are accepted where CRLF is specified, unknown record types pass
+  * through as rows (typed, non-HTTP payload kept verbatim), and a payload
+  * that is not an HTTP message simply leaves the HTTP columns null —
+  * malformed records fail the task loudly rather than silently skipping
+  * (a length desync would otherwise corrupt every later record in the
+  * file).
+  */
+object WarcIngest {
+
+  /** One parsed WARC record. `http_*` fields are present only when the
+    * payload is an HTTP response message; `body` is the HTTP body for
+    * responses and the raw payload text otherwise. */
+  final case class WarcRecord(
+      file: String,
+      rec_offset: Long,
+      warc_type: String,
+      record_id: String,
+      target_uri: Option[String],
+      warc_date: String,
+      content_length: Long,
+      http_status: Option[Int],
+      http_content_type: Option[String],
+      body: String)
+
+  /** Streaming record iterator over one archive's input stream. */
+  private final class RecordIterator(raw: InputStream, fileName: String,
+                                     maxPayloadBytes: Int)
+      extends Iterator[WarcRecord] {
+    private val in = new BufferedInputStream(raw, 1 << 16)
+    private var offset = 0L
+    private var nextRec: WarcRecord = _
+    private var eof = false
+
+    private def readByte(): Int = {
+      val b = in.read()
+      if (b != -1) offset += 1
+      b
+    }
+
+    /** One header line: bytes to LF, CR stripped, UTF-8; null at EOF. */
+    private def readLine(): String = {
+      var b = readByte()
+      if (b == -1) return null
+      val out = new ByteArrayOutputStream(96)
+      while (b != -1 && b != '\n') { out.write(b); b = readByte() }
+      val arr = out.toByteArray
+      val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1
+              else arr.length
+      new String(arr, 0, n, UTF_8)
+    }
+
+    private def readFully(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val r = in.read(buf, got, n - got)
+        if (r == -1) throw new java.io.EOFException(
+          s"$fileName: record payload truncated at $got/$n bytes (offset $offset)")
+        got += r; offset += r
+      }
+      buf
+    }
+
+    /** Advance to the next record; sets `eof` when the archive is done. */
+    private def advance(): Unit = {
+      // Skip the inter-record blank lines (the spec's trailing CRLFCRLF).
+      var line = readLine()
+      while (line != null && line.isEmpty) line = readLine()
+      if (line == null) { eof = true; return }
+      val recOffset = offset - line.length - 1 // approximate: pre-CR/LF math not needed downstream
+      if (!line.startsWith("WARC/")) throw new IllegalArgumentException(
+        s"$fileName: expected WARC version line at offset $recOffset, got: $line")
+      val headers = scala.collection.mutable.Map.empty[String, String]
+      var h = readLine()
+      while (h != null && h.nonEmpty) {
+        val i = h.indexOf(':')
+        if (i > 0) headers(h.substring(0, i).trim.toLowerCase) = h.substring(i + 1).trim
+        h = readLine()
+      }
+      val clen = headers.getOrElse("content-length", throw new IllegalArgumentException(
+        s"$fileName: record at offset $recOffset has no Content-Length")).toLong
+      require(clen >= 0 && clen <= maxPayloadBytes,
+        s"$fileName: payload of $clen bytes exceeds maxPayloadBytes=$maxPayloadBytes")
+      val payload = readFully(clen.toInt)
+      val warcType = headers.getOrElse("warc-type", "")
+      val (status, ctype, body) = parseHttp(payload)
+      nextRec = WarcRecord(fileName, recOffset, warcType,
+        headers.getOrElse("warc-record-id", ""), headers.get("warc-target-uri"),
+        headers.getOrElse("warc-date", ""), clen, status, ctype, body)
+    }
+
+    /** Split an `application/http` payload into (status, content-type,
+      * body); non-HTTP payloads come back whole with the HTTP fields
+      * empty. */
+    private def parseHttp(payload: Array[Byte])
+        : (Option[Int], Option[String], String) = {
+      val isHttp = payload.length >= 5 &&
+        payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
+        payload(3) == 'P' && payload(4) == '/'
+      if (!isHttp) return (None, None, new String(payload, UTF_8))
+      // Locate the header/body split: \r\n\r\n (or tolerant \n\n).
+      var split = -1
+      var bodyStart = -1
+      var i = 0
+      while (split < 0 && i < payload.length - 1) {
+        if (payload(i) == '\n') {
+          if (payload(i + 1) == '\n') { split = i; bodyStart = i + 2 }
+          else if (i + 2 < payload.length && payload(i + 1) == '\r' &&
+            payload(i + 2) == '\n') { split = i; bodyStart = i + 3 }
+        }
+        i += 1
+      }
+      if (split < 0) { split = payload.length; bodyStart = payload.length }
+      val head = new String(payload, 0, split, UTF_8)
+      val lines = head.split("\r?\n")
+      val status = lines.headOption.flatMap { sl =>
+        val parts = sl.split(" ")
+        if (parts.length >= 2) parts(1).toIntOption else None
+      }
+      val ctype = lines.drop(1).collectFirst {
+        case l if l.toLowerCase.startsWith("content-type:") =>
+          l.substring("content-type:".length).trim
+      }
+      (status, ctype, new String(payload, bodyStart, payload.length - bodyStart, UTF_8))
+    }
+
+    override def hasNext: Boolean = {
+      if (nextRec == null && !eof) {
+        try advance()
+        catch { case e: Throwable => in.close(); throw e }
+        if (eof) in.close()
+      }
+      nextRec != null
+    }
+
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException
+      val r = nextRec; nextRec = null; r
+    }
+  }
+
+  /** Read every record of every archive under `dir` matching `glob`
+    * (plain `.warc` and per-record-gzipped `.warc.gz` both accepted) as a
+    * DataFrame — one task per archive, streaming parse, no shuffle. */
+  def readRecords(spark: SparkSession, dir: String, glob: String = "*.warc*",
+                  maxPayloadBytes: Int = 64 << 20): DataFrame = {
+    import spark.implicits._
+    val globPath = new Path(s"$dir/$glob")
+    val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted.toSeq
+    if (files.isEmpty) return spark.emptyDataset[WarcRecord].toDF()
+    val confSer = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val cap = maxPayloadBytes
+    val rdd = spark.sparkContext.parallelize(files, files.length).flatMap { pStr =>
+      val p = new Path(pStr)
+      val base = p.getFileSystem(confSer.value).open(p)
+      val stream: InputStream =
+        if (pStr.endsWith(".gz")) new GZIPInputStream(base, 1 << 16) else base
+      val it = new RecordIterator(stream, pStr, cap)
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => stream.close()))
+      it
+    }
+    spark.createDataset(rdd).toDF()
+  }
+
+  private def crlf(sb: StringBuilder): StringBuilder = sb.append("\r\n")
+
+  /** Frame one response record: WARC headers + HTTP/1.1 200 message. */
+  private[ingest] def responseRecord(docId: Long, uri: String,
+                                     htmlBody: Array[Byte]): Array[Byte] = {
+    val http = new StringBuilder(96)
+    crlf(http.append("HTTP/1.1 200 OK"))
+    crlf(http.append("Content-Type: text/html; charset=utf-8"))
+    crlf(http.append("Content-Length: ").append(htmlBody.length))
+    crlf(http)
+    val httpHead = http.toString.getBytes(UTF_8)
+    val clen = httpHead.length + htmlBody.length
+    val warc = new StringBuilder(192)
+    crlf(warc.append("WARC/1.0"))
+    crlf(warc.append("WARC-Type: response"))
+    crlf(warc.append("WARC-Record-ID: <urn:graft:doc:").append(docId).append(">"))
+    crlf(warc.append("WARC-Date: 2026-01-01T00:00:00Z"))
+    crlf(warc.append("WARC-Target-URI: ").append(uri))
+    crlf(warc.append("Content-Type: application/http; msgtype=response"))
+    crlf(warc.append("Content-Length: ").append(clen))
+    crlf(warc)
+    val head = warc.toString.getBytes(UTF_8)
+    val out = new ByteArrayOutputStream(head.length + clen + 4)
+    out.write(head); out.write(httpHead); out.write(htmlBody)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Frame one file-leading warcinfo record. */
+  private[ingest] def warcinfoRecord(bucket: Long): Array[Byte] = {
+    val body = s"software: graft-warc/1.0\r\nbucket: $bucket\r\n".getBytes(UTF_8)
+    val warc = new StringBuilder(160)
+    crlf(warc.append("WARC/1.0"))
+    crlf(warc.append("WARC-Type: warcinfo"))
+    crlf(warc.append("WARC-Record-ID: <urn:graft:warcinfo:").append(bucket).append(">"))
+    crlf(warc.append("WARC-Date: 2026-01-01T00:00:00Z"))
+    crlf(warc.append("Content-Type: application/warc-fields"))
+    crlf(warc.append("Content-Length: ").append(body.length))
+    crlf(warc)
+    val out = new ByteArrayOutputStream(256)
+    out.write(warc.toString.getBytes(UTF_8)); out.write(body)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** One gzip member per record (the Common Crawl convention — a reader
+    * can split mid-archive on member boundaries). Compressed standalone
+    * so the Deflater is closed (and its native buffer released) per
+    * record instead of leaking until GC. */
+  private[ingest] def gzipMember(rec: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(rec.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    try { gz.write(rec); gz.finish() } finally gz.close()
+    bos.toByteArray
+  }
+
+  /** Build deterministic synthetic archives from `(doc_id, uri, body)`
+    * rows: `nFiles` buckets keyed by `doc_id % nFiles`, each file led by a
+    * warcinfo record then its bucket's response records in doc_id order.
+    * Bucket 0 is written `.warc.gz` with one gzip member per record to
+    * keep the compressed read path exercised. Fixture generator for the
+    * oracle gates (the synthetic-PNG playbook) — production archives come
+    * from the crawler. Runs as one distributed job: rows are hash-
+    * partitioned on the bucket key (a bucket never splits across
+    * partitions) and each task streams its buckets' files directly to the
+    * target filesystem. */
+  def writeSyntheticWarc(spark: SparkSession, docs: DataFrame, idCol: String,
+                         uriCol: String, bodyCol: String, outDir: String,
+                         nFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val outPath = new Path(outDir)
+    val fsDriver = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsDriver.exists(outPath)) fsDriver.delete(outPath, true)
+    fsDriver.mkdirs(outPath)
+    val confSer = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val n = nFiles
+    docs.select(col(idCol).cast("long"), col(uriCol).cast("string"),
+        col(bodyCol).cast("string"))
+      .withColumn("__b", pmod(col(idCol), lit(n.toLong)))
+      .repartition(n, col("__b"))
+      .sortWithinPartitions(col(idCol))
+      .select(col(idCol), col(uriCol), col(bodyCol), col("__b"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = new Path(outDir).getFileSystem(confSer.value)
+        // One open stream per bucket present in this partition (hash
+        // partitioning on __b keeps each bucket whole; ≤ nFiles streams).
+        val open = scala.collection.mutable.Map.empty[Long, (OutputStream, Boolean)]
+        def sinkFor(b: Long) = open.getOrElseUpdate(b, {
+          val gz = b == 0L
+          val name = if (gz) s"warc-$b.warc.gz" else s"warc-$b.warc"
+          val os = fs.create(new Path(outDir, name), true)
+          val info = warcinfoRecord(b)
+          os.write(if (gz) gzipMember(info) else info)
+          (os, gz)
+        })
+        try {
+          rows.foreach { r =>
+            val rec = responseRecord(r.getLong(0), r.getString(1),
+              r.getString(2).getBytes(UTF_8))
+            val (os, gz) = sinkFor(r.getLong(3))
+            os.write(if (gz) gzipMember(rec) else rec)
+          }
+        } finally open.values.foreach { case (os, _) => os.close() }
+      }
+    // Empty buckets (nFiles > distinct doc_id % nFiles) still get their
+    // warcinfo-only file so per-bucket rollups are total.
+    val present = docs.select(pmod(col(idCol).cast("long"), lit(n.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    (0L until n.toLong).filterNot(present).foreach { b =>
+      val gz = b == 0L
+      val name = if (gz) s"warc-$b.warc.gz" else s"warc-$b.warc"
+      val os = fsDriver.create(new Path(outDir, name), true)
+      try {
+        val info = warcinfoRecord(b)
+        os.write(if (gz) gzipMember(info) else info)
+      } finally os.close()
+    }
+  }
+}

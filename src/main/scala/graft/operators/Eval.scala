@@ -249,6 +249,38 @@ object Eval {
           .as("chrf_ppm"): _*)
   }
 
+  /** Word error rate over (candidate, reference) token-array columns —
+    * the ASR/translation workhorse: WER = editDistance(cand, ref) /
+    * |ref|, unit-cost Levenshtein over tokens (per-row rolling DP via
+    * [[graft.expr.TokenEditDistance]], zero shuffle). Exactly rational ⇒
+    * one floor division to ppm; NULL on an empty reference (undefined —
+    * note WER may exceed 1e6 ppm when the candidate is much longer than
+    * the reference, which is standard). */
+  def wer(df: DataFrame, idCol: String, candCol: String,
+          refCol: String): DataFrame =
+    df.select(col(idCol),
+        size(col(candCol)).cast("long").as("len_c"),
+        size(col(refCol)).cast("long").as("len_r"),
+        graft.expr.GenEvalExpressions.token_edit_distance(col(candCol),
+          col(refCol)).cast("long").as("edit_dist"))
+      .select(col(idCol), col("len_c"), col("len_r"), col("edit_dist"),
+        when(col("len_r") > 0, expr("(1000000 * edit_dist) div len_r"))
+          .as("wer_ppm"))
+
+  /** Character error rate over (candidate, reference) STRING columns:
+    * CER = levenshtein(cand, ref) / chars(ref), the tokenization-free
+    * twin of [[wer]] — Spark's builtin codegen'd `levenshtein` does the
+    * per-row DP. NULL on an empty reference. */
+  def cer(df: DataFrame, idCol: String, candCol: String,
+          refCol: String): DataFrame =
+    df.select(col(idCol),
+        length(col(candCol)).cast("long").as("len_c"),
+        length(col(refCol)).cast("long").as("len_r"),
+        levenshtein(col(candCol), col(refCol)).cast("long").as("edit_dist"))
+      .select(col(idCol), col("len_c"), col("len_r"), col("edit_dist"),
+        when(col("len_r") > 0, expr("(1000000 * edit_dist) div len_r"))
+          .as("cer_ppm"))
+
   /** ROUGE-L over the same (candidate, reference) token-array columns.
     * ROUGE-L is EXACTLY rational — P = L/c, R = L/r, and the β=1
     * F-measure collapses to 2L/(c+r) — so unlike BLEU the whole metric

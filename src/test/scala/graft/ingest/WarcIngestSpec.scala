@@ -1,0 +1,114 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WarcIngestSpec extends SparkSpec {
+
+  private def freshDir(name: String): String = {
+    val d = Files.createTempDirectory(s"graft_warcspec_$name").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("synthetic archives round-trip: framing, HTTP parse, gzip bucket") {
+    import spark.implicits._
+    val out = freshDir("rt")
+    val docs = (0L until 10L).map { i =>
+      // bodies exercise entities-in-waiting (&, <, >), CRLF-bearing text,
+      // and multi-byte UTF-8 — octet arithmetic must hold for all three
+      (i, s"https://example.org/d/$i", s"<html><p>body $i &<>\r\n café</p></html>")
+    }.toDF("doc_id", "uri", "body")
+    WarcIngest.writeSyntheticWarc(spark, docs, "doc_id", "uri", "body", out, nFiles = 3)
+
+    assert(new java.io.File(out, "warc-0.warc.gz").exists(), "bucket 0 must be gzipped")
+    assert(new java.io.File(out, "warc-1.warc").exists())
+    assert(new java.io.File(out, "warc-2.warc").exists())
+
+    val recs = WarcIngest.readRecords(spark, out).cache()
+    assert(recs.count() === 13) // 10 responses + 3 warcinfo
+    val resp = recs.filter($"warc_type" === "response")
+      .select(regexp_extract($"record_id", "doc:(\\d+)", 1).cast("long").as("doc_id"),
+        $"target_uri", $"http_status", $"http_content_type", $"body",
+        $"content_length")
+      .collect().sortBy(_.getLong(0))
+    assert(resp.length === 10)
+    resp.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i.toLong)
+      assert(r.getString(1) === s"https://example.org/d/$i")
+      assert(r.getInt(2) === 200)
+      assert(r.getString(3) === "text/html; charset=utf-8")
+      val expectedBody = s"<html><p>body $i &<>\r\n café</p></html>"
+      assert(r.getString(4) === expectedBody)
+      // WARC Content-Length = HTTP head octets + body octets
+      val bodyOctets = expectedBody.getBytes(UTF_8).length
+      val head = s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\nContent-Length: $bodyOctets\r\n\r\n"
+      assert(r.getLong(5) === head.getBytes(UTF_8).length + bodyOctets)
+    }
+    // warcinfo: non-HTTP payload passes through whole, HTTP columns null
+    val infos = recs.filter($"warc_type" === "warcinfo").collect()
+    assert(infos.length === 3)
+    infos.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("http_status")))
+      assert(r.isNullAt(r.fieldIndex("target_uri")))
+      assert(r.getString(r.fieldIndex("body")).startsWith("software: graft-warc/1.0"))
+    }
+    // the gzipped and plain buckets parse identically: every bucket holds
+    // its doc_id % 3 class
+    val byFile = recs.filter($"warc_type" === "response")
+      .select(regexp_extract($"file", "warc-(\\d+)\\.warc", 1).cast("long").as("b"),
+        regexp_extract($"record_id", "doc:(\\d+)", 1).cast("long").as("doc_id"))
+      .collect()
+    byFile.foreach(r => assert(r.getLong(1) % 3 === r.getLong(0)))
+    recs.unpersist()
+  }
+
+  test("LF-only line endings and unknown record types are tolerated") {
+    val out = freshDir("lf")
+    val body = "plain payload"
+    val rec = "WARC/1.0\nWARC-Type: metadata\n" +
+      "WARC-Record-ID: <urn:x:1>\nContent-Length: " +
+      body.getBytes(UTF_8).length + "\n\n" + body + "\n\n"
+    Files.write(Paths.get(out, "warc-9.warc"), rec.getBytes(UTF_8))
+    val rows = WarcIngest.readRecords(spark, out).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getString(r.fieldIndex("warc_type")) === "metadata")
+    assert(r.getString(r.fieldIndex("body")) === body)
+    assert(r.isNullAt(r.fieldIndex("http_status")))
+  }
+
+  test("truncated payload fails the task loudly, not silently") {
+    val out = freshDir("trunc")
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:x:2>\r\nContent-Length: 9999\r\n\r\nshort"
+    Files.write(Paths.get(out, "warc-0.warc"), rec.getBytes(UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcIngest.readRecords(spark, out).collect()
+    }
+    assert(e.getMessage.contains("truncated") ||
+      Option(e.getCause).exists(_.getMessage.contains("truncated")))
+  }
+
+  test("missing directory and empty directory both read as empty") {
+    assert(WarcIngest.readRecords(spark, "/nonexistent/graft/warcs").count() === 0)
+    assert(WarcIngest.readRecords(spark, freshDir("empty")).count() === 0)
+  }
+
+  test("payload cap guards a malformed length header") {
+    val out = freshDir("cap")
+    val body = "x" * 100
+    val rec = "WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Record-ID: <urn:x:3>\r\nContent-Length: 100\r\n\r\n" + body + "\r\n\r\n"
+    Files.write(Paths.get(out, "warc-0.warc"), rec.getBytes(UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcIngest.readRecords(spark, out, maxPayloadBytes = 10).collect()
+    }
+    assert(e.getMessage.contains("maxPayloadBytes") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxPayloadBytes")))
+  }
+}

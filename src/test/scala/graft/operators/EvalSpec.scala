@@ -326,4 +326,52 @@ class EvalSpec extends SparkSpec {
       assert(got === lcsRef(c, r).toLong, s"LCS mismatch on $c vs $r")
     }
   }
+
+  test("WER: hand-computed edit distance and ppm; empty-side conventions") {
+    // cand: a b c d ; ref: a x c -> sub(b->x) + del(d) = 2; wer = 2/3
+    val r = Eval.wer(pairDf(Seq("a", "b", "c", "d"), Seq("a", "x", "c")),
+      "id", "cand", "ref").collect()(0)
+    assert(r.getAs[Long]("edit_dist") === 2L)
+    assert(r.getAs[Long]("wer_ppm") === 666666L)
+    // identical -> 0; empty ref -> dist = |cand|, NULL ppm; empty cand -> |ref|
+    val z = Eval.wer(pairDf(Seq("a", "b"), Seq("a", "b")), "id", "cand", "ref")
+      .collect()(0)
+    assert(z.getAs[Long]("edit_dist") === 0L && z.getAs[Long]("wer_ppm") === 0L)
+    val er = Eval.wer(pairDf(Seq("a", "b"), Seq.empty), "id", "cand", "ref")
+      .collect()(0)
+    assert(er.getAs[Long]("edit_dist") === 2L &&
+      er.isNullAt(er.fieldIndex("wer_ppm")))
+    val ec = Eval.wer(pairDf(Seq.empty, Seq("a", "b", "c")), "id", "cand", "ref")
+      .collect()(0)
+    assert(ec.getAs[Long]("edit_dist") === 3L &&
+      ec.getAs[Long]("wer_ppm") === 1000000L)
+  }
+
+  test("token edit distance property: expression equals recursive reference") {
+    def edRef(a: List[String], b: List[String]): Int = (a, b) match {
+      case (Nil, ys) => ys.length
+      case (xs, Nil) => xs.length
+      case (x :: xs, y :: ys) =>
+        val sub = edRef(xs, ys) + (if (x == y) 0 else 1)
+        math.min(sub, math.min(edRef(xs, y :: ys) + 1, edRef(x :: xs, ys) + 1))
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c")
+    for (_ <- 1 to 40) {
+      val c = List.fill(rnd.nextInt(8))(vocab(rnd.nextInt(3)))
+      val r = List.fill(rnd.nextInt(8))(vocab(rnd.nextInt(3)))
+      val got = Eval.wer(pairDf(c, r), "id", "cand", "ref")
+        .collect()(0).getAs[Long]("edit_dist")
+      assert(got === edRef(c, r).toLong, s"edit distance mismatch on $c vs $r")
+    }
+  }
+
+  test("CER: builtin levenshtein wiring and ppm floor") {
+    import spark.implicits._
+    val df = Seq((1L, "kitten", "sitting")).toDF("id", "cand", "ref")
+    val r = Eval.cer(df, "id", "cand", "ref").collect()(0)
+    assert(r.getAs[Long]("edit_dist") === 3L)
+    assert(r.getAs[Long]("len_r") === 7L)
+    assert(r.getAs[Long]("cer_ppm") === 428571L) // (3*10^6) div 7
+  }
 }
