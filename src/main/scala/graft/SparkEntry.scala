@@ -1762,6 +1762,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MMR diversity re-rank over the exact top-12 candidates: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected with λ = 0.7, k = 5. The entire
+    // iterative selection is hash-oracled: relevance and pairwise sims
+    // are micro-quantized (round(cos·10⁶)) BEFORE the greedy, the
+    // objective is integer arithmetic, and the oracle replays the loop
+    // as a recursive CTE carrying (candidate lists, pairwise sim matrix,
+    // selected positions) per query.
+    "q_sim_mmr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 16), emb,
+          k = 5, topN = 12)
+        .orderBy(col("query_id"), col("step"))
+    }),
+
     "q_sim_topk_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
@@ -7129,6 +7143,64 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 16) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // MMR oracle: the greedy replayed as a recursive CTE. Each query
+    // carries its candidate id/rel lists and full pairwise sim matrix
+    // (micro-quantized like the Spark side); each step picks
+    // list_max over remaining positions of the struct (units, −id, …) —
+    // lexicographic struct comparison IS the (objective, smaller-id)
+    // tie-break — and appends the pick to the selected-positions list.
+    // Integer units throughout: no float comparison can diverge.
+    "q_sim_mmr" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT query_id, neighbor_id, rel_micro, emb FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      CAST(ROUND((list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 1000000) AS BIGINT) AS rel_micro,
+        |      c.embedding AS emb,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.embedding, c.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |    WHERE q.vec_id < 16
+        |      AND list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+        |      AND list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0) t
+        |  WHERE rank <= 12),
+        |packed AS (
+        |  SELECT query_id, list(neighbor_id ORDER BY rel_micro DESC, neighbor_id) AS ids,
+        |    list(rel_micro ORDER BY rel_micro DESC, neighbor_id) AS rels,
+        |    list(emb ORDER BY rel_micro DESC, neighbor_id) AS vecs
+        |  FROM cand GROUP BY query_id),
+        |simmat AS (
+        |  SELECT query_id, ids, rels,
+        |    [[CAST(ROUND((list_sum(list_transform(list_zip(vecs[i], vecs[j]), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(vecs[i], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(vecs[j], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) * 1000000) AS BIGINT)
+        |      for j in range(1, len(ids) + 1)] for i in range(1, len(ids) + 1)] AS sims
+        |  FROM packed),
+        |sel AS (
+        |  SELECT query_id, ids, rels, sims, 0 AS step,
+        |    CAST([] AS BIGINT[]) AS selp,
+        |    CAST([] AS STRUCT(st BIGINT, nid BIGINT, rel BIGINT, ms BIGINT, units BIGINT)[]) AS outp
+        |  FROM simmat
+        |  UNION ALL
+        |  SELECT query_id, ids, rels, sims, step + 1,
+        |    list_append(selp, best.p),
+        |    list_append(outp, {'st': step + 1, 'nid': ids[best.p], 'rel': rels[best.p],
+        |      'ms': best.ms, 'units': best.units})
+        |  FROM (
+        |    SELECT *, list_max(
+        |      [{'units': 700000 * rels[p] - 300000 * coalesce(list_max([sims[p][s] for s in selp]), 0),
+        |        'negid': -ids[p], 'p': p,
+        |        'ms': coalesce(list_max([sims[p][s] for s in selp]), 0)}
+        |       for p in range(1, len(ids) + 1) if NOT list_contains(selp, p)]) AS best
+        |    FROM sel WHERE step < 5 AND len(selp) < len(ids)) s)
+        |SELECT query_id, st AS step, nid AS neighbor_id, rel AS rel_micro,
+        |  ms AS maxsim_micro, units AS mmr_units
+        |FROM (SELECT query_id, unnest(outp, recursive := true) FROM sel WHERE step = 5)
+        |ORDER BY query_id, step""".stripMargin,
 
     // nprobe = k probes all lists ⇒ provably identical to exact top-k, so
     // the exact-cosine oracle applies verbatim.

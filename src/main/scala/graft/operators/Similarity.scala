@@ -162,6 +162,114 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** DuckDB-style ROUND half-away-from-zero — the cross-engine rounding
+    * contract for micro-quantization (Spark SQL `round` and DuckDB
+    * `round` both round halves away from zero; `Math.round` would round
+    * -0.5 toward positive infinity and silently diverge). */
+  private def microAway(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): from each query's exact top-`topN` cosine candidates,
+    * greedily select `k` maximizing
+    * `λ·rel(c) − (1−λ)·max over selected s of sim(c, s)` — the standard
+    * diversity re-rank for retrieval-augmented sampling (top-k alone
+    * returns near-duplicates; MMR trades relevance for coverage).
+    *
+    * Fixed-point contract: relevance and pairwise sims are quantized to
+    * integer MICRO units (round(cos·10⁶), half away from zero) BEFORE the
+    * greedy loop, and the objective is pure integer arithmetic
+    * (`mmr_units = λppm·rel_micro − (10⁶−λppm)·maxsim_micro`), so the
+    * selection is bit-reproducible and the whole iterative operator is
+    * hash-oracled (the oracle replays the greedy as a recursive CTE).
+    * Ties break on smaller neighbor_id.
+    *
+    * Scale shape: candidate generation is [[cosineTopK]]'s broadcast-
+    * bounded-queries plan (swap in IVF/LSH candidates at 100 TB — the
+    * re-rank stage is unchanged); the greedy runs inside one task per
+    * query over ≤ topN candidates (k·topN dot products of dim d), after
+    * one query-keyed shuffle of the bounded candidate structs.
+    *
+    * Output: (query_id, step 1..k, neighbor_id, rel_micro, maxsim_micro,
+    * mmr_units). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int, topN: Int,
+                lambdaPpm: Long = 700000L, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(topN >= k, s"topN ($topN) must be >= k ($k)")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<float>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val cands = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine") * 1000000).cast("long").as("rel_micro"),
+        col("cv"))
+    val kk = k
+    val lam = lambdaPpm
+    val mu = 1000000L - lambdaPpm
+    val greedy = udf { (rows: Seq[org.apache.spark.sql.Row]) =>
+      val cs = rows.map { r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray)
+      }.toArray
+      val n = cs.length
+      // per-candidate norms once (left-to-right double accumulation, the
+      // FloatVecDot contract)
+      val norms = cs.map { case (_, _, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      def simMicro(a: Int, b: Int): Long = {
+        val va = cs(a)._3; val vb = cs(b)._3
+        var s = 0.0; var i = 0
+        while (i < va.length) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+        microAway(s / (norms(a) * norms(b)) * 1000000.0)
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      var step = 1
+      while (step <= kk && selected.length < n) {
+        var bestIdx = -1; var bestUnits = 0L; var bestId = 0L; var bestMs = 0L
+        var p = 0
+        while (p < n) {
+          if (!selected.contains(p)) {
+            val ms = if (selected.isEmpty) 0L
+                     else selected.map(simMicro(p, _)).max
+            val units = lam * cs(p)._2 - mu * ms
+            val better = bestIdx < 0 || units > bestUnits ||
+              (units == bestUnits && cs(p)._1 < bestId)
+            if (better) { bestIdx = p; bestUnits = units; bestId = cs(p)._1; bestMs = ms }
+          }
+          p += 1
+        }
+        selected += bestIdx
+        out += ((step.toLong, cs(bestIdx)._1, cs(bestIdx)._2, bestMs, bestUnits))
+        step += 1
+      }
+      out.toSeq
+    }
+    cands.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("rel_micro"),
+        col("cv"))).as("__c"))
+      .select(col("query_id"), explode(greedy(col("__c"))).as("m"))
+      .select(col("query_id"), col("m._1").as("step"),
+        col("m._2").as("neighbor_id"), col("m._3").as("rel_micro"),
+        col("m._4").as("maxsim_micro"), col("m._5").as("mmr_units"))
+  }
+
   /** Hard-negative mining for embedding-model training: each query's top-k
     * most-similar corpus vectors with a DIFFERENT label — the
     * near-but-wrong examples contrastive training wants. [[cosineTopK]]'s

@@ -229,6 +229,53 @@ class OperatorsSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("MMR re-rank: greedy selection equals an independent in-JVM replay") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = Similarity.mmrRerank(queries, emb, k = 4, topN = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty)
+    // independent replay: brute-force candidates + greedy in plain Scala
+    val vecs = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def micro(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 8L).flatMap { qid =>
+      val qv = vecs(qid)
+      val cands = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (cos(qv, v), id, v) }
+        .sortBy(t => (-t._1, t._2)).take(8)
+        .map { case (c, id, v) => (id, micro(c * 1e6), v) }
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      (1 to 4).map { step =>
+        val scoredRemaining = cands.filterNot(c => sel.exists(_._1 == c._1))
+          .map { case (id, rel, v) =>
+            val ms = if (sel.isEmpty) 0L
+                     else sel.map(s => micro(cos(v, s._2) * 1e6)).max
+            (700000L * rel - 300000L * ms, id, rel, ms, v)
+          }
+        val best = scoredRemaining.minBy(t => (-t._1, t._2))
+        sel += ((best._2, best._5))
+        (qid, step.toLong, best._2, best._3, best._4, best._1)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected,
+      s"MMR divergence; first got=${got.take(2).toSeq} exp=${expected.take(2)}")
+    // step 1 is always the pure-relevance argmax (empty selected set)
+    got.filter(_._2 == 1L).foreach(t => assert(t._5 == 0L))
+  }
+
   test("hard negatives: labels always differ, ranks contiguous, subset of cross-label brute force") {
     val queries = emb.filter(col("vec_id") < 8)
     val got = Similarity.hardNegatives(queries, emb, k = 5).collect()
