@@ -751,6 +751,36 @@ object SparkEntry {
         "text", operators.BpeTokenizer.frozenMerges)
         .orderBy(col("doc_id"), col("pos"))),
 
+    // The SECOND production tokenizer family: SentencePiece-style
+    // unigram-LM segmentation (Kudo, ACL'18) under the frozen vocabulary
+    // trained (one Viterbi-EM round, integer milli-nat costs, required
+    // a-z0-9 coverage) from the same seed table as the BPE merges. The
+    // Spark side is a pure per-row Viterbi (zero shuffle); the oracle
+    // literalizes the (piece → cost) map and replays the DP as TWO
+    // recursive CTEs — forward best/backpointer over DISTINCT words,
+    // backward reconstruction — then joins segmentations back to word
+    // instances. Token streams hash-match exactly.
+    "q_unigram_tokenize" -> ((s, dir) =>
+      operators.UnigramTokenizer.tokenizeWith(t(s, dir, "documents"),
+        "doc_id", "text", operators.UnigramTokenizer.frozenVocab)
+        .orderBy(col("doc_id"), col("widx"), col("pidx"))),
+
+    // Persistence twin: the vocabulary round-trips a parquet artifact
+    // (piece, cost_milli) and the RELOADED model must reproduce the
+    // token stream bit-for-bit — same oracle verbatim.
+    "q_unigram_reload" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_unigram_"))
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_unigram_${runTag(dir)}"
+      operators.UnigramTokenizer.saveVocab(s,
+        operators.UnigramTokenizer.frozenVocab, path)
+      val reloaded = operators.UnigramTokenizer.loadVocab(s, path)
+      operators.UnigramTokenizer.tokenizeWith(t(s, dir, "documents"),
+        "doc_id", "text", reloaded)
+        .orderBy(col("doc_id"), col("widx"), col("pidx"))
+    }),
+
     // CORPUS-learned BPE (Sennrich ACL'16): merges learned from the input
     // corpus itself. The learning loop is not ANSI-expressible ->
     // rows-only here, driver-gated by the round-trip identity sibling.
@@ -4692,6 +4722,48 @@ object SparkEntry {
       |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS uri
       |  FROM documents""".stripMargin
 
+  /** Unigram-tokenizer oracle, shared verbatim by q_unigram_tokenize and
+    * the persistence twin: the frozen (piece → cost_milli) vocabulary is
+    * LITERALIZED into a DuckDB MAP (the frozen-BPE-merges idiom), the
+    * Viterbi DP runs forward over DISTINCT words as a recursive CTE
+    * (struct-min of ('c', 'nl' = −L) = min cost then longest piece — the
+    * exact Scala tie-break), a second recursion walks the backpointers to
+    * reconstruct pieces, and segmentations join back to word instances. */
+  private lazy val unigramOracleSql: String = {
+    val m = operators.UnigramTokenizer.frozenVocab
+      .map { case (p, c) => s"'$p': $c" }.mkString("MAP {", ", ", "}")
+    s"""WITH RECURSIVE words AS (
+      |  SELECT doc_id, i - 1 AS widx, lst[i] AS w
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS lst FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(lst) + 1)) AS i) r),
+      |vocab AS (SELECT $m AS m),
+      |dw AS (SELECT DISTINCT w FROM words),
+      |vit AS (
+      |  SELECT w, 0 AS i, CAST([0] AS BIGINT[]) AS best, CAST([] AS BIGINT[]) AS bp FROM dw
+      |  UNION ALL
+      |  SELECT w, i + 1, list_append(best, ch.c), list_append(bp, ch.l)
+      |  FROM (
+      |    SELECT v.w, v.i, v.best, v.bp, list_min(
+      |      [{'c': v.best[v.i - L + 2] + vocab.m[substr(v.w, CAST(v.i - L + 2 AS INTEGER), CAST(L AS INTEGER))][1],
+      |        'nl': -L, 'l': L}
+      |       for L in range(1, least(6, v.i + 1) + 1)
+      |       if len(vocab.m[substr(v.w, CAST(v.i - L + 2 AS INTEGER), CAST(L AS INTEGER))]) > 0]) AS ch
+      |    FROM vit v CROSS JOIN vocab WHERE v.i < len(v.w)) s),
+      |recon AS (
+      |  SELECT w, bp, CAST(len(w) AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS pieces
+      |  FROM vit WHERE i = len(w)
+      |  UNION ALL
+      |  SELECT w, bp, i - bp[i],
+      |    list_prepend(substr(w, CAST(i - bp[i] + 1 AS INTEGER), CAST(bp[i] AS INTEGER)), pieces)
+      |  FROM recon WHERE i > 0),
+      |seg AS (SELECT w, pieces FROM recon WHERE i = 0)
+      |SELECT words.doc_id, words.widx, CAST(j - 1 AS BIGINT) AS pidx, seg.pieces[j] AS piece,
+      |  vocab.m[seg.pieces[j]][1] AS score_milli
+      |FROM words JOIN seg USING (w) CROSS JOIN vocab,
+      |     LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
+      |ORDER BY doc_id, widx, pidx""".stripMargin
+  }
+
   /** Delta-touching ngram-jaccard pair slice — shared verbatim by the
     * in-memory incremental path (q_dedup_incremental) and the
     * persisted-index twin (q_dedup_incremental_indexed). */
@@ -6373,6 +6445,12 @@ object SparkEntry {
     // exceeds the ranks that formed its symbols. Distinct words encode
     // once; per-doc positions come from a word-offset prefix sum.
     "q_bpe_tokenize" -> bpeFrozenSql,
+
+    "q_unigram_tokenize" -> unigramOracleSql,
+
+    // load ∘ save = identity on (piece, cost_milli) parquet ⇒ the frozen
+    // oracle applies to the reloaded model verbatim.
+    "q_unigram_reload" -> unigramOracleSql,
 
     "q_bpe_learned_verify" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS issue
