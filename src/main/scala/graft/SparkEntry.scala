@@ -648,6 +648,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // robots.txt parsing (RFC 9309): one synthetic robots document per
+    // crawl domain — comments, mixed-case directive names, crawl-delay,
+    // a `*` group and a crawler-specific override group — parsed into
+    // the typed rule table by pure split/posexplode plus one running-
+    // count window (group id = running User-agent count). Hash-matched
+    // against the oracle's from-scratch reconstruction of the template's
+    // rule rows.
+    "q_robots_rules" -> ((s, dir) => {
+      val robots = t(s, dir, "documents").select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+        .select(col("domain"),
+          operators.RobotsTxt.syntheticRobots(col("domain"), col("k"))
+            .as("txt"))
+      operators.RobotsTxt.parseRules(robots, "domain", "txt")
+        .orderBy(col("domain"), col("agent"), col("line_no"))
+    }),
+
+    // The politeness gate itself: every document URL against its
+    // domain's parsed rules for agent "graftbot" — group override (the
+    // crawler group wins over `*`), longest-prefix match, Allow beating
+    // Disallow on ties, all decided by ONE broadcast join + combining
+    // struct-max aggregate. Blocked exactly when the doc's path slot
+    // equals the domain's Disallow slot.
+    "q_robots_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = docs.select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+        .select(col("domain"),
+          operators.RobotsTxt.syntheticRobots(col("domain"), col("k"))
+            .as("txt"))
+      val rules = operators.RobotsTxt.parseRules(robots, "domain", "txt")
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 25).cast("string"), lit("/?utm_source="),
+          col("lang")).as("url"))
+      operators.RobotsTxt.gate(urls, "url", rules, "graftbot")
+        .select(col("doc_id"), col("url"), col("domain"), col("path"),
+          col("allowed"), col("matched_path"), col("matched_allow"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The curator's planning table: per-domain doc count, char volume,
     // and kept-at-cap — one combining aggregate over the domain key.
     "q_domain_profile" -> ((s, dir) => {
@@ -5828,6 +5873,65 @@ object SparkEntry {
     // The crawl front end-to-end must equal extracting from the pages
     // directly — the q_text_extract oracle verbatim.
     "q_warc_extract" -> textExtractOracleSql,
+
+    // robots.txt rule-table oracle: the template's rule rows rebuilt
+    // per domain from the source→k rule — the parser must recover
+    // exactly these (comments, blank lines, the crawl-delay line, and
+    // the group structure all survive or are dropped correctly).
+    "q_robots_rules" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents)
+        |SELECT domain, r.agent AS agent, r.line_no AS line_no,
+        |  r.rtype AS rtype,
+        |  replace(r.value, '<K>', CAST(k AS VARCHAR)) AS value
+        |FROM src, UNNEST([
+        |  {'agent': '*', 'line_no': CAST(2 AS BIGINT), 'rtype': 'disallow', 'value': '/private/'},
+        |  {'agent': '*', 'line_no': CAST(3 AS BIGINT), 'rtype': 'disallow', 'value': '/docs/3/'},
+        |  {'agent': '*', 'line_no': CAST(4 AS BIGINT), 'rtype': 'allow', 'value': '/docs/3/open/'},
+        |  {'agent': '*', 'line_no': CAST(5 AS BIGINT), 'rtype': 'crawl-delay', 'value': '2'},
+        |  {'agent': 'graftbot', 'line_no': CAST(8 AS BIGINT), 'rtype': 'allow', 'value': '/docs/'},
+        |  {'agent': 'graftbot', 'line_no': CAST(9 AS BIGINT), 'rtype': 'disallow', 'value': '/docs/<K>/'},
+        |  {'agent': 'graftbot', 'line_no': CAST(10 AS BIGINT), 'rtype': 'disallow', 'value': '/tmp/'}
+        |]) AS t(r)
+        |ORDER BY domain, agent, line_no""".stripMargin,
+
+    // Gate oracle: the longest-match ladder replayed generically — the
+    // graftbot group's reconstructed rules joined to every URL on
+    // prefix match, winner = max lexicographic (len, is_allow, path,
+    // type) struct, exactly the Spark side's combining aggregate.
+    "q_robots_gate" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents),
+        |rules AS (
+        |  SELECT domain, r.rtype, replace(r.value, '<K>', CAST(k AS VARCHAR)) AS rule_path
+        |  FROM src, UNNEST([
+        |    {'rtype': 'allow', 'value': '/docs/'},
+        |    {'rtype': 'disallow', 'value': '/docs/<K>/'},
+        |    {'rtype': 'disallow', 'value': '/tmp/'}
+        |  ]) AS t(r)),
+        |urls AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com/docs/' ||
+        |      CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS url,
+        |    source || '.example.com' AS domain,
+        |    '/docs/' || CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS path
+        |  FROM documents),
+        |won AS (
+        |  SELECT u.doc_id, u.url, u.domain, u.path,
+        |    max(CASE WHEN starts_with(u.path, r.rule_path) THEN
+        |      {'l': strlen(r.rule_path), 'a': CASE WHEN r.rtype = 'allow' THEN 1 ELSE 0 END,
+        |       'p': r.rule_path, 't': r.rtype} END) AS win
+        |  FROM urls u LEFT JOIN rules r USING (domain)
+        |  GROUP BY u.doc_id, u.url, u.domain, u.path)
+        |SELECT doc_id, url, domain, path,
+        |  coalesce(win.t <> 'disallow', TRUE) AS allowed,
+        |  win.p AS matched_path,
+        |  CASE WHEN win IS NOT NULL THEN win.t = 'allow' END AS matched_allow
+        |FROM won ORDER BY doc_id""".stripMargin,
 
     // Per-bucket manifest rollup: responses grouped by doc_id % 4 plus
     // each file's warcinfo record; identical arithmetic for the gzipped

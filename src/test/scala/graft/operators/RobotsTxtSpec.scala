@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RobotsTxtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parser: groups, shared UA lines, comments, case, crawl-delay") {
+    val txt = Seq(
+      "# top comment",
+      "Disallow: /orphan/   # rule before any group: dropped",
+      "User-Agent: *",
+      "Disallow: /a/",
+      "",
+      "User-agent: botA",
+      "USER-AGENT: botB",
+      "Allow: /shared/  # two UA lines share the group",
+      "Crawl-Delay: 7",
+      "weird-noise-line",
+      "Disallow: /b/").mkString("\n")
+    val rules = RobotsTxt.parseRules(
+      Seq(("d.com", txt)).toDF("domain", "txt"), "domain", "txt")
+      .orderBy("agent", "line_no").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(rules.toSeq === Seq(
+      ("*", 3L, "disallow", "/a/"),
+      ("bota", 7L, "allow", "/shared/"),
+      ("bota", 8L, "crawl-delay", "7"),
+      ("bota", 10L, "disallow", "/b/"),
+      ("botb", 7L, "allow", "/shared/"),
+      ("botb", 8L, "crawl-delay", "7"),
+      ("botb", 10L, "disallow", "/b/")))
+  }
+
+  test("gate: longest match wins, Allow beats Disallow on ties, override") {
+    val txt = Seq(
+      "User-agent: *",
+      "Disallow: /",
+      "",
+      "User-agent: me",
+      "Disallow: /x/",
+      "Allow: /x/pub/",
+      "Allow: /y/",   // same length as the next line: Allow wins the tie
+      "Disallow: /y/").mkString("\n")
+    val rules = RobotsTxt.parseRules(
+      Seq(("d.com", txt)).toDF("domain", "txt"), "domain", "txt")
+    val urls = Seq(
+      (1L, "https://www.d.com/x/secret.html"),   // /x/ disallow
+      (2L, "https://www.d.com/x/pub/ok.html"),   // /x/pub/ allow (longer)
+      (3L, "https://www.d.com/y/page"),          // tie -> allow
+      (4L, "https://www.d.com/free"),            // no match -> allowed
+      (5L, "https://other.com/x/secret")         // no rules for domain
+    ).toDF("id", "url")
+    val got = RobotsTxt.gate(urls, "url", rules, "ME")
+      .orderBy("id")
+      .select("id", "allowed", "matched_path").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq(
+      (1L, false, Some("/x/")),
+      (2L, true, Some("/x/pub/")),
+      (3L, true, Some("/y/")),
+      (4L, true, None),
+      (5L, true, None)))
+  }
+
+  test("gate: falls back to the * group when the agent has no group") {
+    val txt = "User-agent: *\nDisallow: /all/\n"
+    val rules = RobotsTxt.parseRules(
+      Seq(("d.com", txt)).toDF("domain", "txt"), "domain", "txt")
+    val got = RobotsTxt.gate(
+      Seq((1L, "http://d.com/all/x"), (2L, "http://d.com/ok")).toDF("id", "url"),
+      "url", rules, "stranger").orderBy("id").collect()
+    assert(got.map(_.getBoolean(got.head.fieldIndex("allowed"))).toSeq ===
+      Seq(false, true))
+  }
+
+  test("synthetic template parses to the 7 expected rule rows per domain") {
+    val robots = Seq(("src7.example.com", 7L)).toDF("domain", "k")
+      .select(col("domain"),
+        RobotsTxt.syntheticRobots(col("domain"), col("k")).as("txt"))
+    val rules = RobotsTxt.parseRules(robots, "domain", "txt").collect()
+    assert(rules.length === 7)
+    assert(rules.count(_.getString(1) == "*") === 4)
+    assert(rules.count(_.getString(1) == "graftbot") === 3)
+    assert(rules.exists(r => r.getString(4) == "/docs/7/"))
+  }
+}
