@@ -810,6 +810,17 @@ object SparkEntry {
         "doc_id", "text", operators.UnigramTokenizer.frozenVocab)
         .orderBy(col("doc_id"), col("widx"), col("pidx"))),
 
+    // The tokenizer's free quality signal: per-document negative
+    // log-likelihood under the unigram LM (sum of piece costs,
+    // milli-nats; mean per piece ≈ log perplexity) — the classic
+    // LM-filter score for corpus curation, integer-exact. One narrow
+    // tokenize pass + one doc-keyed combining aggregate; the oracle
+    // aggregates its own Viterbi stream.
+    "q_unigram_ppl" -> ((s, dir) =>
+      operators.UnigramTokenizer.lmCost(t(s, dir, "documents"),
+        "doc_id", "text", operators.UnigramTokenizer.frozenVocab)
+        .orderBy(col("doc_id"))),
+
     // Persistence twin: the vocabulary round-trips a parquet artifact
     // (piece, cost_milli) and the RELOADED model must reproduce the
     // token stream bit-for-bit — same oracle verbatim.
@@ -4774,7 +4785,18 @@ object SparkEntry {
     * (struct-min of ('c', 'nl' = −L) = min cost then longest piece — the
     * exact Scala tie-break), a second recursion walks the backpointers to
     * reconstruct pieces, and segmentations join back to word instances. */
-  private lazy val unigramOracleSql: String = {
+  private lazy val unigramOracleSql: String =
+    unigramSqlWith(
+      """SELECT words.doc_id, words.widx, CAST(j - 1 AS BIGINT) AS pidx, seg.pieces[j] AS piece,
+        |  vocab.m[seg.pieces[j]][1] AS score_milli
+        |FROM words JOIN seg USING (w) CROSS JOIN vocab,
+        |     LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
+        |ORDER BY doc_id, widx, pidx""".stripMargin)
+
+  /** The unigram Viterbi machinery (words / vocab / vit / recon / seg
+    * CTEs) with a caller-chosen final SELECT — the token stream and the
+    * per-document LM-cost rollup share it. */
+  private def unigramSqlWith(finalSelect: String): String = {
     val m = operators.UnigramTokenizer.frozenVocab
       .map { case (p, c) => s"'$p': $c" }.mkString("MAP {", ", ", "}")
     s"""WITH RECURSIVE words AS (
@@ -4802,11 +4824,7 @@ object SparkEntry {
       |    list_prepend(substr(w, CAST(i - bp[i] + 1 AS INTEGER), CAST(bp[i] AS INTEGER)), pieces)
       |  FROM recon WHERE i > 0),
       |seg AS (SELECT w, pieces FROM recon WHERE i = 0)
-      |SELECT words.doc_id, words.widx, CAST(j - 1 AS BIGINT) AS pidx, seg.pieces[j] AS piece,
-      |  vocab.m[seg.pieces[j]][1] AS score_milli
-      |FROM words JOIN seg USING (w) CROSS JOIN vocab,
-      |     LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
-      |ORDER BY doc_id, widx, pidx""".stripMargin
+      |""".stripMargin + finalSelect
   }
 
   /** Delta-touching ngram-jaccard pair slice — shared verbatim by the
@@ -6551,6 +6569,16 @@ object SparkEntry {
     "q_bpe_tokenize" -> bpeFrozenSql,
 
     "q_unigram_tokenize" -> unigramOracleSql,
+
+    // Per-doc LM cost: the Viterbi stream aggregated by document.
+    "q_unigram_ppl" -> unigramSqlWith(
+      """SELECT words.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+        |  CAST(sum(vocab.m[seg.pieces[j]][1]) AS BIGINT) AS sum_cost_milli,
+        |  CAST(sum(vocab.m[seg.pieces[j]][1]) // count(*) AS BIGINT) AS mean_cost_milli
+        |FROM words JOIN seg USING (w) CROSS JOIN vocab,
+        |     LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
+        |GROUP BY words.doc_id
+        |ORDER BY doc_id""".stripMargin),
 
     // load ∘ save = identity on (piece, cost_milli) parquet ⇒ the frozen
     // oracle applies to the reloaded model verbatim.

@@ -162,6 +162,21 @@ object UnigramTokenizer {
         col("__p._1").as("piece"), col("__p._2").as("score_milli"))
   }
 
+  /** Per-document LM cost under the unigram model — the quality signal
+    * the tokenizer buys for free: sum of piece costs IS the document's
+    * negative log-likelihood in milli-nats (mean per piece ≈ log
+    * perplexity), the classic LM-filter score for corpus curation, here
+    * integer-exact. One narrow tokenize pass + one doc-keyed combining
+    * aggregate. Emits (id, n_pieces, sum_cost_milli, mean_cost_milli). */
+  def lmCost(df: DataFrame, idCol: String, textCol: String,
+             vocab: Seq[(String, Long)]): DataFrame =
+    tokenizeWith(df, idCol, textCol, vocab)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(col("score_milli")).as("sum_cost_milli"))
+      .withColumn("mean_cost_milli",
+        expr("sum_cost_milli div n_pieces"))
+
   // ------------------------------------------------------- persistence
 
   /** Persist a vocabulary as plain parquet (piece, cost_milli): strings
