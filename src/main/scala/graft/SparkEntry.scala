@@ -766,6 +766,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Manifest-driven incremental ingest — how the crawl warehouse
+    // actually grows: archives arrive in two waves (buckets 0-1, then
+    // 2-3), each run parses ONLY the un-ingested delta and appends
+    // records + manifest rows; a third run with nothing new must append
+    // nothing (file-granularity idempotence, asserted in-query). The
+    // accumulated warehouse must equal the one-shot read — the
+    // q_warc_records oracle verbatim.
+    "q_warc_incremental" -> ((s, dir) => {
+      val warc = warcFixtureDir(s, dir)
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_warcinc_"))
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_warcinc_${runTag(dir)}"
+      val wh = s"$base/warehouse"
+      val mf = s"$base/manifest"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val w1 = ingest.WarcIngest.ingestIncremental(s, warc, wh, mf,
+        glob = "warc-[01].warc*")
+      val w2 = ingest.WarcIngest.ingestIncremental(s, warc, wh, mf)
+      val w3 = ingest.WarcIngest.ingestIncremental(s, warc, wh, mf)
+      require(w1.size == 2 && w2.size == 2 && w3.isEmpty,
+        s"incremental waves wrong: ${w1.size}/${w2.size}/${w3.size}")
+      s.read.parquet(wh).select(
+          when(col("warc_type") === "warcinfo",
+            -regexp_extract(col("record_id"), "warcinfo:(\\d+)", 1)
+              .cast("long") - 1)
+            .otherwise(regexp_extract(col("record_id"), "doc:(\\d+)", 1)
+              .cast("long")).as("rec_key"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type"),
+          octet_length(col("body")).cast("long").as("body_octets"))
+        .orderBy(col("rec_key"))
+    }),
+
     // Per-archive rollup (the crawl operator's manifest view): record/
     // response counts and payload/body octet volumes per bucket file —
     // identical for the gzipped and plain buckets, which is the codec-
@@ -4827,6 +4862,35 @@ object SparkEntry {
       |""".stripMargin + finalSelect
   }
 
+  /** WARC record-table oracle — shared verbatim by the one-shot read
+    * (q_warc_records) and the two-wave manifest-driven incremental
+    * ingest (q_warc_incremental): every WARC/HTTP framing field is
+    * recomputed from the page template's octet arithmetic. */
+  private lazy val warcRecordsOracleSql: String =
+    s"""WITH page AS ($warcPageSql),
+      |resp AS (
+      |  SELECT doc_id AS rec_key, 'response' AS warc_type, uri AS target_uri,
+      |    CAST(strlen('HTTP/1.1 200 OK') + 2
+      |      + strlen('Content-Type: text/html; charset=utf-8') + 2
+      |      + strlen('Content-Length: ' || CAST(strlen(html) AS VARCHAR)) + 2
+      |      + 2 + strlen(html) AS BIGINT) AS content_length,
+      |    CAST(200 AS BIGINT) AS http_status,
+      |    'text/html; charset=utf-8' AS http_content_type,
+      |    CAST(strlen(html) AS BIGINT) AS body_octets
+      |  FROM page),
+      |info AS (
+      |  SELECT CAST(-(b + 1) AS BIGINT) AS rec_key, 'warcinfo' AS warc_type,
+      |    CAST(NULL AS VARCHAR) AS target_uri,
+      |    CAST(strlen('software: graft-warc/1.0') + 2
+      |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS content_length,
+      |    CAST(NULL AS BIGINT) AS http_status,
+      |    CAST(NULL AS VARCHAR) AS http_content_type,
+      |    CAST(strlen('software: graft-warc/1.0') + 2
+      |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS body_octets
+      |  FROM (SELECT unnest(range(4)) AS b))
+      |SELECT * FROM info UNION ALL SELECT * FROM resp
+      |ORDER BY rec_key""".stripMargin
+
   /** Delta-touching ngram-jaccard pair slice — shared verbatim by the
     * in-memory incremental path (q_dedup_incremental) and the
     * persisted-index twin (q_dedup_incremental_indexed). */
@@ -5863,30 +5927,11 @@ object SparkEntry {
     // + octets(html); warcinfo rows are the 4 constant file headers.
     // strlen() is DuckDB's BYTE length (the corpus is ASCII, but the
     // contract is octets).
-    "q_warc_records" ->
-      s"""WITH page AS ($warcPageSql),
-        |resp AS (
-        |  SELECT doc_id AS rec_key, 'response' AS warc_type, uri AS target_uri,
-        |    CAST(strlen('HTTP/1.1 200 OK') + 2
-        |      + strlen('Content-Type: text/html; charset=utf-8') + 2
-        |      + strlen('Content-Length: ' || CAST(strlen(html) AS VARCHAR)) + 2
-        |      + 2 + strlen(html) AS BIGINT) AS content_length,
-        |    CAST(200 AS BIGINT) AS http_status,
-        |    'text/html; charset=utf-8' AS http_content_type,
-        |    CAST(strlen(html) AS BIGINT) AS body_octets
-        |  FROM page),
-        |info AS (
-        |  SELECT CAST(-(b + 1) AS BIGINT) AS rec_key, 'warcinfo' AS warc_type,
-        |    CAST(NULL AS VARCHAR) AS target_uri,
-        |    CAST(strlen('software: graft-warc/1.0') + 2
-        |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS content_length,
-        |    CAST(NULL AS BIGINT) AS http_status,
-        |    CAST(NULL AS VARCHAR) AS http_content_type,
-        |    CAST(strlen('software: graft-warc/1.0') + 2
-        |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS body_octets
-        |  FROM (SELECT unnest(range(4)) AS b))
-        |SELECT * FROM info UNION ALL SELECT * FROM resp
-        |ORDER BY rec_key""".stripMargin,
+    "q_warc_records" -> warcRecordsOracleSql,
+
+    // Two-wave manifest-driven ingest accumulates exactly the one-shot
+    // record table — oracle shared verbatim.
+    "q_warc_incremental" -> warcRecordsOracleSql,
 
     // The crawl front end-to-end must equal extracting from the pages
     // directly — the q_text_extract oracle verbatim.

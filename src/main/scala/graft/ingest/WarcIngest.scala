@@ -177,16 +177,22 @@ object WarcIngest {
     }
   }
 
-  /** Read every record of every archive under `dir` matching `glob`
-    * (plain `.warc` and per-record-gzipped `.warc.gz` both accepted) as a
-    * DataFrame — one task per archive, streaming parse, no shuffle. */
-  def readRecords(spark: SparkSession, dir: String, glob: String = "*.warc*",
-                  maxPayloadBytes: Int = 64 << 20): DataFrame = {
-    import spark.implicits._
+  /** Enumerate archives under `dir` matching `glob` — one path per
+    * archive, the bounded driver metadata every ingest needs (the
+    * sanctioned-collect class of [[Harmonizer.groupByLayout]]). */
+  def listArchives(spark: SparkSession, dir: String,
+                   glob: String = "*.warc*"): Seq[String] = {
     val globPath = new Path(s"$dir/$glob")
     val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
+    Option(fs.globStatus(globPath)).getOrElse(Array.empty)
       .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Read every record of the given archive files — one task per
+    * archive, streaming parse, no shuffle. */
+  def readRecordFiles(spark: SparkSession, files: Seq[String],
+                      maxPayloadBytes: Int = 64 << 20): DataFrame = {
+    import spark.implicits._
     if (files.isEmpty) return spark.emptyDataset[WarcRecord].toDF()
     val confSer = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val cap = maxPayloadBytes
@@ -201,6 +207,44 @@ object WarcIngest {
       it
     }
     spark.createDataset(rdd).toDF()
+  }
+
+  /** Read every record of every archive under `dir` matching `glob`
+    * (plain `.warc` and per-record-gzipped `.warc.gz` both accepted). */
+  def readRecords(spark: SparkSession, dir: String, glob: String = "*.warc*",
+                  maxPayloadBytes: Int = 64 << 20): DataFrame =
+    readRecordFiles(spark, listArchives(spark, dir, glob), maxPayloadBytes)
+
+  /** Manifest-driven incremental ingest — how a crawl warehouse actually
+    * grows: each run parses only archives NOT yet in the manifest,
+    * appends their records to the parquet warehouse, then appends the
+    * file names to the manifest. Idempotent at FILE granularity (an
+    * archive is immutable once written — the WARC convention — so file
+    * identity is the exactly-once key; a re-run with no new archives
+    * writes nothing). The manifest is bounded driver metadata (one row
+    * per archive); the record append is the usual one-job distributed
+    * parse. Returns the newly ingested file names. The warehouse append
+    * is not atomic with the manifest append — a crash between the two
+    * re-ingests the delta's records on retry; callers needing
+    * exactly-once downstream dedup on (file, rec_offset), which the
+    * record table carries for exactly this purpose. */
+  def ingestIncremental(spark: SparkSession, warcDir: String,
+                        warehousePath: String, manifestPath: String,
+                        glob: String = "*.warc*",
+                        maxPayloadBytes: Int = 64 << 20): Seq[String] = {
+    import spark.implicits._
+    val all = listArchives(spark, warcDir, glob)
+    val seen: Set[String] =
+      try spark.read.parquet(manifestPath).select("file")
+        .collect().map(_.getString(0)).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+    val delta = all.filterNot(seen)
+    if (delta.nonEmpty) {
+      readRecordFiles(spark, delta, maxPayloadBytes)
+        .write.mode("append").parquet(warehousePath)
+      delta.toDF("file").write.mode("append").parquet(manifestPath)
+    }
+    delta
   }
 
   private def crlf(sb: StringBuilder): StringBuilder = sb.append("\r\n")

@@ -94,6 +94,32 @@ class WarcIngestSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("truncated")))
   }
 
+  test("incremental ingest: delta-only waves, idempotent re-run") {
+    import spark.implicits._
+    val warc = freshDir("inc_src")
+    val docs = (0L until 9L).map(i =>
+      (i, s"https://e.org/$i", s"<p>$i</p>")).toDF("doc_id", "uri", "body")
+    WarcIngest.writeSyntheticWarc(spark, docs, "doc_id", "uri", "body", warc,
+      nFiles = 3)
+    val base = freshDir("inc_wh")
+    val wh = s"$base/warehouse"
+    val mf = s"$base/manifest"
+    // wave 1: only bucket 0 visible to the glob
+    val w1 = WarcIngest.ingestIncremental(spark, warc, wh, mf,
+      glob = "warc-0.warc*")
+    assert(w1.size === 1)
+    assert(spark.read.parquet(wh).filter($"warc_type" === "response")
+      .count() === 3)
+    // wave 2: everything; only the two unseen buckets are parsed
+    val w2 = WarcIngest.ingestIncremental(spark, warc, wh, mf)
+    assert(w2.size === 2 && !w2.exists(_.contains("warc-0")))
+    // wave 3: nothing new; nothing appended
+    assert(WarcIngest.ingestIncremental(spark, warc, wh, mf).isEmpty)
+    val all = spark.read.parquet(wh)
+    assert(all.count() === 12) // 9 responses + 3 warcinfo, each exactly once
+    assert(all.select("record_id").distinct().count() === 12)
+  }
+
   test("missing directory and empty directory both read as empty") {
     assert(WarcIngest.readRecords(spark, "/nonexistent/graft/warcs").count() === 0)
     assert(WarcIngest.readRecords(spark, freshDir("empty")).count() === 0)
