@@ -693,6 +693,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING politeness gate: URLs arrive in micro-batches, decided
+    // on arrival against the static decision table — the gate is a
+    // stream-static broadcast join + row-local fold (no state, no
+    // stream-side shuffle), so the bounded stream shares the batch
+    // q_robots_gate oracle VERBATIM.
+    "q_stream_robots_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = docs.select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+        .select(col("domain"),
+          operators.RobotsTxt.syntheticRobots(col("domain"), col("k"))
+            .as("txt"))
+      val rules = operators.RobotsTxt.parseRules(robots, "domain", "txt")
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_rg_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_rg_src_${runTag(dir)}"
+      docs.select(col("doc_id"),
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+            (col("doc_id") % 25).cast("string"), lit("/?utm_source="),
+            col("lang")).as("url"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamRobotsGateBounded(s, src, "doc_id",
+          rules, "graftbot")
+        .select(col("doc_id"), col("url"), col("domain"), col("path"),
+          col("allowed"), col("matched_path"), col("matched_allow"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The curator's planning table: per-domain doc count, char volume,
     // and kept-at-cap — one combining aggregate over the domain key.
     "q_domain_profile" -> ((s, dir) => {
@@ -4862,6 +4893,42 @@ object SparkEntry {
       |""".stripMargin + finalSelect
   }
 
+  /** robots-gate oracle — shared verbatim by the batch gate
+    * (q_robots_gate) and its bounded streaming twin: the graftbot
+    * group's rules rebuilt from the template, longest-prefix/Allow-tie
+    * winner via lexicographic struct-max per URL. */
+  private val robotsGateOracleSql: String =
+    """WITH src AS (
+      |  SELECT DISTINCT source, source || '.example.com' AS domain,
+      |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+      |  FROM documents),
+      |rules AS (
+      |  SELECT domain, r.rtype, replace(r.value, '<K>', CAST(k AS VARCHAR)) AS rule_path
+      |  FROM src, UNNEST([
+      |    {'rtype': 'allow', 'value': '/docs/'},
+      |    {'rtype': 'disallow', 'value': '/docs/<K>/'},
+      |    {'rtype': 'disallow', 'value': '/tmp/'}
+      |  ]) AS t(r)),
+      |urls AS (
+      |  SELECT doc_id,
+      |    'https://www.' || source || '.example.com/docs/' ||
+      |      CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS url,
+      |    source || '.example.com' AS domain,
+      |    '/docs/' || CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS path
+      |  FROM documents),
+      |won AS (
+      |  SELECT u.doc_id, u.url, u.domain, u.path,
+      |    max(CASE WHEN starts_with(u.path, r.rule_path) THEN
+      |      {'l': strlen(r.rule_path), 'a': CASE WHEN r.rtype = 'allow' THEN 1 ELSE 0 END,
+      |       'p': r.rule_path, 't': r.rtype} END) AS win
+      |  FROM urls u LEFT JOIN rules r USING (domain)
+      |  GROUP BY u.doc_id, u.url, u.domain, u.path)
+      |SELECT doc_id, url, domain, path,
+      |  coalesce(win.t <> 'disallow', TRUE) AS allowed,
+      |  win.p AS matched_path,
+      |  CASE WHEN win IS NOT NULL THEN win.t = 'allow' END AS matched_allow
+      |FROM won ORDER BY doc_id""".stripMargin
+
   /** WARC record-table oracle — shared verbatim by the one-shot read
     * (q_warc_records) and the two-wave manifest-driven incremental
     * ingest (q_warc_incremental): every WARC/HTTP framing field is
@@ -5963,38 +6030,12 @@ object SparkEntry {
     // Gate oracle: the longest-match ladder replayed generically — the
     // graftbot group's reconstructed rules joined to every URL on
     // prefix match, winner = max lexicographic (len, is_allow, path,
-    // type) struct, exactly the Spark side's combining aggregate.
-    "q_robots_gate" ->
-      """WITH src AS (
-        |  SELECT DISTINCT source, source || '.example.com' AS domain,
-        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
-        |  FROM documents),
-        |rules AS (
-        |  SELECT domain, r.rtype, replace(r.value, '<K>', CAST(k AS VARCHAR)) AS rule_path
-        |  FROM src, UNNEST([
-        |    {'rtype': 'allow', 'value': '/docs/'},
-        |    {'rtype': 'disallow', 'value': '/docs/<K>/'},
-        |    {'rtype': 'disallow', 'value': '/tmp/'}
-        |  ]) AS t(r)),
-        |urls AS (
-        |  SELECT doc_id,
-        |    'https://www.' || source || '.example.com/docs/' ||
-        |      CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS url,
-        |    source || '.example.com' AS domain,
-        |    '/docs/' || CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS path
-        |  FROM documents),
-        |won AS (
-        |  SELECT u.doc_id, u.url, u.domain, u.path,
-        |    max(CASE WHEN starts_with(u.path, r.rule_path) THEN
-        |      {'l': strlen(r.rule_path), 'a': CASE WHEN r.rtype = 'allow' THEN 1 ELSE 0 END,
-        |       'p': r.rule_path, 't': r.rtype} END) AS win
-        |  FROM urls u LEFT JOIN rules r USING (domain)
-        |  GROUP BY u.doc_id, u.url, u.domain, u.path)
-        |SELECT doc_id, url, domain, path,
-        |  coalesce(win.t <> 'disallow', TRUE) AS allowed,
-        |  win.p AS matched_path,
-        |  CASE WHEN win IS NOT NULL THEN win.t = 'allow' END AS matched_allow
-        |FROM won ORDER BY doc_id""".stripMargin,
+    // type) struct, exactly the Spark side's row-local fold.
+    "q_robots_gate" -> robotsGateOracleSql,
+
+    // The gate is per-row over a static broadcast table ⇒ the bounded
+    // stream shares the batch oracle verbatim.
+    "q_stream_robots_gate" -> robotsGateOracleSql,
 
     // Per-bucket manifest rollup: responses grouped by doc_id % 4 plus
     // each file's warcinfo record; identical arithmetic for the gzipped

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * Everything is declarative Spark — the parser is split + posexplode +
   * one running-count window (a group is one or more User-agent lines
-  * followed by rules, so group id = running UA count), the gate is a
-  * broadcast join of the bounded per-domain rule table against the URL
-  * stream plus one longest-match window. No UDFs; the rule table for a
-  * whole crawl is ~rules×domains — broadcast-sized even at 100 TB of
-  * documents (robots.txt is per-ORIGIN metadata, not per-document).
+  * followed by rules, so group id = running UA count); the gate
+  * broadcast-joins a per-domain DECISION TABLE (the chosen group's rules
+  * packed into an array column) and decides each URL with a row-local
+  * higher-order fold — the URL stream never shuffles, which also makes
+  * the gate stream-safe (stream-static join + per-row functions). No
+  * UDFs; the rule table for a whole crawl is ~rules×domains —
+  * broadcast-sized even at 100 TB of documents (robots.txt is
+  * per-ORIGIN metadata, not per-document).
   *
   * Match semantics implemented (the classic REP subset of RFC 9309):
   * case-insensitive directive names, `#` comments, path-PREFIX matching
@@ -67,44 +70,51 @@ object RobotsTxt {
     * authority, INCLUDING query (the Googlebot convention). Group choice
     * per domain: the exact agent's group when present, else `*`; the
     * winning rule is the longest matching prefix, Allow beating Disallow
-    * on equal length; no match (or no rules) ⇒ allowed. `rules` is
-    * broadcast — per-origin metadata stays origin-sized. */
+    * on equal length (lexicographic struct-max over the row-local
+    * matching set); no match (or no rules) ⇒ allowed. The decision table
+    * is broadcast and the fold is per-row — zero shuffle on the URL
+    * side. */
   def gate(urls: DataFrame, urlCol: String, rules: DataFrame,
            userAgent: String): DataFrame = {
-    val ua = userAgent.toLowerCase
-    val dirRules = rules.filter(col("rtype").isin("allow", "disallow") &&
-      col("value") =!= "")
-    // per domain: does an exact-agent group exist?
-    val hasExact = dirRules.groupBy(col("domain"))
-      .agg(max((col("agent") === ua).cast("int")).as("__has_ua"))
-    val chosen = dirRules.join(hasExact, "domain")
-      .filter((col("__has_ua") === 1 && col("agent") === ua) ||
-        (col("__has_ua") === 0 && col("agent") === "*"))
-      .select(col("domain"), col("rtype"), col("value").as("rule_path"))
     val withPath = urls
       .withColumn("domain", WebCuration.domainOf(col(urlCol)))
       .withColumn("path", regexp_extract(col(urlCol),
         "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/]*(/.*)?$", 1))
-    val joined = withPath.join(broadcast(chosen), Seq("domain"), "left")
-      .withColumn("__match",
-        col("rule_path").isNotNull && col("path").startsWith(col("rule_path")))
-    // longest matching prefix wins, Allow beats Disallow on a length tie:
-    // ONE combining aggregate — max over the lexicographic struct
-    // (len, is_allow, path, type); no-match rows aggregate to NULL =
-    // allowed. (Same-length same-type ties fall to the path ordering —
-    // deterministic.) The groupBy keys are the caller's row identity, so
-    // `urls` rows must be distinct.
-    val winner = max(when(col("__match"),
-      struct(length(col("rule_path")).as("l"),
-        (col("rtype") === "allow").cast("int").as("a"),
-        col("rule_path").as("p"), col("rtype").as("t")))).as("__win")
-    joined.groupBy(withPath.columns.map(col): _*)
-      .agg(winner)
+    withPath.join(broadcast(decisionTable(rules, userAgent)),
+        Seq("domain"), "left")
+      .withColumn("__win", array_max(transform(
+        filter(coalesce(col("__rules"),
+          array().cast("array<struct<rtype:string,rule_path:string>>")),
+          r => col("path").startsWith(r.getField("rule_path"))),
+        r => struct(length(r.getField("rule_path")).as("l"),
+          (r.getField("rtype") === "allow").cast("int").as("a"),
+          r.getField("rule_path").as("p"), r.getField("rtype").as("t")))))
       .select(withPath.columns.map(col) ++ Seq(
         coalesce(col("__win.t") =!= "disallow", lit(true)).as("allowed"),
         col("__win.p").as("matched_path"),
         when(col("__win").isNotNull, col("__win.t") === "allow")
           .as("matched_allow")): _*)
+  }
+
+  /** The bounded per-domain decision table the gate broadcasts:
+    * `(domain, __rules array<(rtype, rule_path)>)` — the chosen group's
+    * directive rules packed per domain, so the per-URL decision is a
+    * pure row-local fold (filter matching prefixes → lexicographic
+    * struct-max = longest match, Allow wins ties) with NO shuffle on the
+    * URL stream. Stream-safe: a static broadcast side for stream-static
+    * joins. */
+  def decisionTable(rules: DataFrame, userAgent: String): DataFrame = {
+    val ua = userAgent.toLowerCase
+    val dirRules = rules.filter(col("rtype").isin("allow", "disallow") &&
+      col("value") =!= "")
+    val hasExact = dirRules.groupBy(col("domain"))
+      .agg(max((col("agent") === ua).cast("int")).as("__has_ua"))
+    dirRules.join(hasExact, "domain")
+      .filter((col("__has_ua") === 1 && col("agent") === ua) ||
+        (col("__has_ua") === 0 && col("agent") === "*"))
+      .groupBy(col("domain"))
+      .agg(collect_list(struct(col("rtype"),
+        col("value").as("rule_path"))).as("__rules"))
   }
 
   /** Deterministic synthetic robots.txt for the fixture domains (the

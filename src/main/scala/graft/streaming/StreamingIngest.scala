@@ -846,6 +846,40 @@ object StreamingIngest {
     parts.reduce(_ unionByName _).dropDuplicates(idCol)
   }
 
+  /** Streaming robots.txt politeness gate — discovered URLs arrive in
+    * micro-batches and are allow/disallow-decided on arrival against the
+    * STATIC per-domain decision table (robots.txt is origin metadata
+    * fetched out-of-band, not stream state): a stream-static broadcast
+    * join plus a row-local longest-match fold
+    * ([[graft.operators.RobotsTxt.gate]]), no state store, no shuffle on
+    * the stream side — so stream ≡ batch VERBATIM and the harness gates
+    * this twin with the batch query's full hash oracle. */
+  def runStreamRobotsGateBounded(spark: SparkSession, parquetPath: String,
+                                 idCol: String, rules: DataFrame,
+                                 userAgent: String,
+                                 maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.RobotsTxt
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val results = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        results.put(bid,
+          RobotsTxt.gate(batch, "url", rules, userAgent).localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = results.values.asScala.toSeq
+    require(parts.nonEmpty, "runStreamRobotsGateBounded: stream produced no batches")
+    parts.reduce(_ unionByName _).dropDuplicates(idCol)
+  }
+
   /** Streaming ENTITY RESOLUTION — records arrive in micro-batches and
     * are linked incrementally: each batch's block-key table
     * ([[graft.operators.EntityResolution.blockKeys]]) is computed once,
