@@ -103,6 +103,13 @@ val picks = Seq(
   ("q_eval_chrf", "chrF: per-row codegen char-ngram clip + fixed-point ladder, zero shuffle before the output sort"),
   ("q_video_decode", "MJPEG-in-MP4: per-row stbl walk + per-frame JPEG decode flatMap, zero shuffle before the output sort"),
   ("q_dedup_incremental_indexed", "persisted band index: reloaded parquet sets feed the delta-side prefix join; corpus text never re-shingled"),
+  ("q_warc_records", "WARC parse: one task per archive, streaming record iterator, zero shuffle before the output sort"),
+  ("q_warc_extract", "archive -> HTTP body -> boilerplate removal: the whole crawl front stays map-side"),
+  ("q_unigram_tokenize", "per-word Viterbi under the broadcast frozen vocab: narrow tokenize, only the output sort exchanges"),
+  ("q_unigram_ppl", "LM-cost rollup: tokenize feeds a doc-keyed combining aggregate (map-side partials, token text never shuffles whole)"),
+  ("q_robots_gate", "broadcast per-domain decision table + row-local longest-match fold: zero URL-side shuffle"),
+  ("q_sim_mmr", "exact top-N candidates (broadcast bounded queries) -> one query-keyed shuffle -> in-task integer greedy"),
+  ("q_eval_wer", "token edit distance: per-row codegen rolling DP, zero shuffle before the output sort"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
