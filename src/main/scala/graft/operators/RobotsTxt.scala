@@ -109,7 +109,7 @@ object RobotsTxt {
       col("value") =!= "")
     val hasExact = dirRules.groupBy(col("domain"))
       .agg(max((col("agent") === ua).cast("int")).as("__has_ua"))
-    dirRules.join(hasExact, "domain")
+    dirRules.join(broadcast(hasExact), "domain")
       .filter((col("__has_ua") === 1 && col("agent") === ua) ||
         (col("__has_ua") === 0 && col("agent") === "*"))
       .groupBy(col("domain"))

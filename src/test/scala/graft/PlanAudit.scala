@@ -24,6 +24,9 @@ object PlanAudit {
     * ONE-ROW percentile-threshold frames of the outlier gate and the
     * length-bucket boundary assignment. */
   val bnljAllowed: Set[String] = Set("q_sim_topk", "q_dedup_embedding_exact",
+    // MMR's candidate generation is cosineTopK's deliberate broadcast
+    // cross of the bounded query set into the corpus
+    "q_sim_mmr",
     "q_mine_hard_negatives", "q_text_unigram_lp", "q_vec_centroid_verify",
     "q_vec_outliers", "q_length_batches",
     // the dense branch is cosineTopK of a ONE-ROW query-vector frame

@@ -312,6 +312,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("slice("), "prefix slice missing — full postings on the probe side")
   }
 
+  test("warc parse and crawl front stay map-side") {
+    // one task per archive, streaming record iterator; the ONLY exchange
+    // either query pays is its output sort
+    for (q <- Seq("q_warc_records", "q_warc_extract")) {
+      val p = plan(q)
+      assert(!p.contains("HashAggregate") && !p.contains("Join") &&
+        !p.contains("Window"), s"$q: archive parse must stay narrow")
+    }
+  }
+
+  test("unigram tokenize: narrow Viterbi, only the output sort exchanges") {
+    val p = plan("q_unigram_tokenize")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Window"), "tokenization must be per-row")
+    // LM rollup: the 1M-row token stream combines map-side before the
+    // doc-keyed shuffle — whole token text never crosses the wire
+    val ppl = plan("q_unigram_ppl")
+    assert(ppl.contains("partial_sum"), "LM cost must partial-aggregate")
+  }
+
+  test("robots gate: broadcast decision table, zero URL-side shuffle") {
+    val p = plan("q_robots_gate")
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "the decision table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join anywhere: rules-side joins are broadcast too")
+    // the URL side must feed the broadcast join DIRECTLY from its scan —
+    // scan → projections → join, no exchange/window/agg on the stream
+    // (the parser's windows live on the tiny rules side, which is fine)
+    val motif = ("""(?s)BroadcastHashJoin LeftOuter BuildRight \(\d+\)\s*\n""" +
+      """\s*:- Project \(\d+\)\s*\n\s*:  \+- Project \(\d+\)\s*\n""" +
+      """\s*:     \+- Scan parquet""").r
+    assert(motif.findFirstIn(p).isDefined,
+      s"URL side must be scan→project straight into the broadcast join:\n$p")
+  }
+
+  test("mmr: one query-keyed shuffle feeds both the top-N window and the greedy collect") {
+    val p = plan("q_sim_mmr")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "top-N must prune map-side before the query shuffle")
+    assert(p.contains("ObjectHashAggregate"),
+      "the candidate collect must aggregate, not re-shuffle")
+    // exactly two SHUFFLE exchanges in the executed plan: the query-keyed
+    // window shuffle (whose partitioning the collect reuses) and the
+    // final sort — BroadcastExchange (the bounded query set) excluded
+    val exec = SparkEntry.queries("q_sim_mmr")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange (hash|range)partitioning".r.findAllIn(exec).size == 2,
+      s"MMR must pay exactly window + sort exchanges:\n$exec")
+  }
+
   test("global audit: no cartesian products or unexpected nested-loop joins anywhere") {
     // Lazily-planned queries audited here at build time; the EAGER
     // remainder (PlanAudit.eager) is audited by PlanAuditSpec, which
