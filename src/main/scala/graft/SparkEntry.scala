@@ -848,6 +848,61 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // JSONL export→import round-trip (the trainer handoff format): the
+    // corpus written as deterministic JSONL shards (one file per shard
+    // dir, rows sorted, field order = struct order) and read back as
+    // text — every LINE hash-matched against the oracle's character-
+    // exact reconstruction of Spark's to_json output, plus the shard
+    // assignment recovered from the directory layout.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_jsonl_"))
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${runTag(dir)}"
+      val docs = t(s, dir, "documents")
+      sink.Jsonl.writeShards(docs, out,
+        Seq(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+        shardKey = col("doc_id"), sortCol = col("doc_id"), nShards = 4)
+      sink.Jsonl.readShards(s, out)
+        .withColumn("doc_id",
+          get_json_object(col("value"), "$.doc_id").cast("long"))
+        .select(col("doc_id"), col("shard"), col("value").as("line"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dirty JSONL ingestion: a dump where every doc_id % 50 == 13 line is
+    // TRUNCATED mid-record (the classic interrupted-writer artifact).
+    // PERMISSIVE read under the expected schema: malformed lines survive
+    // as NULL fields + the raw line in _corrupt_record — never dropped
+    // silently, never failing the job — and the oracle reconstructs both
+    // the clean rows and the exact truncated raw strings.
+    "q_jsonl_source" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_jsonlsrc_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonlsrc_${runTag(dir)}"
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as("value"))
+        .select(
+          when(col("doc_id") % 50 === 13,
+            expr("substring(value, 1, length(value) - 8)"))
+            .otherwise(col("value")).as("value"))
+        .write.mode("overwrite").text(src)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("n_chars", "long")
+      sink.Jsonl.readJsonl(s, src, schema)
+        .select(
+          coalesce(col("doc_id"),
+            regexp_extract(col("_corrupt_record"), "\"doc_id\":(\\d+)", 1)
+              .cast("long")).as("rec_id"),
+          col("doc_id"), col("lang"), col("n_chars"),
+          col("_corrupt_record").isNotNull.as("is_corrupt"),
+          col("_corrupt_record").as("raw"))
+        .orderBy(col("rec_id"))
+    }),
+
     // REAL subword tokenization under the FROZEN shipped-artifact merge
     // table (the production tokenizer shape — GPT-2-style BPE applies a
     // fixed published merge list, it never re-learns per corpus): the
@@ -1107,6 +1162,19 @@ object SparkEntry {
         slice(split(col("text"), " "), 2, 13).as("cand"),
         slice(split(col("text"), " "), 1, 12).as("ref"))
       operators.Eval.wer(pairs, "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Generation eval, token-level F1 (the SQuAD/QA overlap metric) over
+    // the same pairs: clipped unigram matches (the BLEU a1 statistic,
+    // same codegen expression), exactly-rational P/R/F to ppm.
+    "q_eval_token_f1" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 14)
+      val pairs = docs.select(col("doc_id"),
+        slice(split(col("text"), " "), 2, 13).as("cand"),
+        slice(split(col("text"), " "), 1, 12).as("ref"))
+      operators.Eval.tokenF1(pairs, "doc_id", "cand", "ref")
         .orderBy(col("doc_id"))
     }),
 
@@ -6654,6 +6722,35 @@ object SparkEntry {
     // once; per-doc positions come from a word-offset prefix sum.
     "q_bpe_tokenize" -> bpeFrozenSql,
 
+    // JSONL round-trip oracle: Spark's to_json output rebuilt character-
+    // exact (no spaces, field order = struct order, plain integer
+    // rendering; the corpus is quote/backslash-free so no escaping
+    // applies); shard = doc_id % 4 from the writer's partition layout.
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, doc_id % 4 AS shard,
+        |  '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":' ||
+        |    n_chars || ',"text":"' || text || '"}' AS line
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Dirty-JSONL oracle: clean rows parse to their fields; the
+    // deterministically truncated lines (doc_id % 50 = 13, last 8 chars
+    // cut) come back all-NULL with the exact truncated raw string.
+    "q_jsonl_source" ->
+      """WITH lines AS (
+        |  SELECT doc_id AS rec_id, lang, n_chars,
+        |    '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":' ||
+        |      n_chars || '}' AS full_line,
+        |    doc_id % 50 = 13 AS corrupt
+        |  FROM documents)
+        |SELECT rec_id,
+        |  CASE WHEN corrupt THEN NULL ELSE rec_id END AS doc_id,
+        |  CASE WHEN corrupt THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN corrupt THEN NULL ELSE n_chars END AS n_chars,
+        |  corrupt AS is_corrupt,
+        |  CASE WHEN corrupt
+        |    THEN substring(full_line, 1, length(full_line) - 8) END AS raw
+        |FROM lines ORDER BY rec_id""".stripMargin,
+
     "q_unigram_tokenize" -> unigramOracleSql,
 
     // Per-doc LM cost: the Viterbi stream aggregated by document.
@@ -7201,6 +7298,31 @@ object SparkEntry {
         |SELECT doc_id, len_c, len_r, edit_dist,
         |  CAST((1000000 * edit_dist) // len_r AS BIGINT) AS wer_ppm
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // Token-F1 oracle: clipped unigram overlap via the BLEU oracle's
+    // n = 1 machinery, then the three exactly-rational ppm floors.
+    "q_eval_token_f1" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 14),
+        |seqs AS (SELECT doc_id, w[2:14] AS c, w[1:12] AS r FROM base),
+        |cc AS (SELECT doc_id, g, count(*) AS c_cnt
+        |  FROM (SELECT doc_id, unnest(c) AS g FROM seqs) GROUP BY doc_id, g),
+        |rc AS (SELECT doc_id, g, count(*) AS r_cnt
+        |  FROM (SELECT doc_id, unnest(r) AS g FROM seqs) GROUP BY doc_id, g),
+        |ov AS (
+        |  SELECT cc.doc_id,
+        |    CAST(sum(least(cc.c_cnt, coalesce(rc.r_cnt, 0))) AS BIGINT) AS o
+        |  FROM cc LEFT JOIN rc ON cc.doc_id = rc.doc_id AND cc.g = rc.g
+        |  GROUP BY cc.doc_id)
+        |SELECT s.doc_id, CAST(len(s.c) AS BIGINT) AS len_c,
+        |  CAST(len(s.r) AS BIGINT) AS len_r,
+        |  coalesce(ov.o, 0) AS overlap,
+        |  CAST((1000000 * coalesce(ov.o, 0)) // len(s.c) AS BIGINT) AS f1_p_ppm,
+        |  CAST((1000000 * coalesce(ov.o, 0)) // len(s.r) AS BIGINT) AS f1_r_ppm,
+        |  CAST((2000000 * coalesce(ov.o, 0)) // (len(s.c) + len(s.r)) AS BIGINT) AS f1_ppm
+        |FROM seqs s LEFT JOIN ov ON s.doc_id = ov.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     // CER oracle: DuckDB's native char-level levenshtein — both engines
     // run their builtin DP, the cross-check is exact.

@@ -249,6 +249,27 @@ object Eval {
           .as("chrf_ppm"): _*)
   }
 
+  /** Token-level F1 (the SQuAD/QA answer-overlap metric) over
+    * (candidate, reference) token-array columns: overlap = CLIPPED
+    * unigram matches (multiset intersection — the BLEU n=1 statistic,
+    * reused from the same codegen expression), P = o/|c|, R = o/|r|,
+    * F₁ = 2o/(|c|+|r|) — exactly rational like ROUGE-L, three ppm
+    * floors, NULL on an empty side (undefined). Zero shuffle. */
+  def tokenF1(df: DataFrame, idCol: String, candCol: String,
+              refCol: String): DataFrame =
+    df.select(col(idCol),
+        size(col(candCol)).cast("long").as("len_c"),
+        size(col(refCol)).cast("long").as("len_r"),
+        graft.expr.GenEvalExpressions.bleu_stats(col(candCol), col(refCol))
+          .getField("a1").as("overlap"))
+      .select(col(idCol), col("len_c"), col("len_r"), col("overlap"),
+        when(col("len_c") > 0, expr("(1000000 * overlap) div len_c"))
+          .as("f1_p_ppm"),
+        when(col("len_r") > 0, expr("(1000000 * overlap) div len_r"))
+          .as("f1_r_ppm"),
+        when(col("len_c") + col("len_r") > 0,
+          expr("(2000000 * overlap) div (len_c + len_r)")).as("f1_ppm"))
+
   /** Word error rate over (candidate, reference) token-array columns —
     * the ASR/translation workhorse: WER = editDistance(cand, ref) /
     * |ref|, unit-cost Levenshtein over tokens (per-row rolling DP via
