@@ -848,6 +848,24 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Temperature-based multilingual mixing (the mT5/XLM-R α-sampling
+    // recipe, α = 1/2): per-language token budgets ∝ isqrt(language token
+    // total) — upsampling low-resource langs relative to their natural
+    // share — then a deterministic Knuth-hash-order take per language
+    // until the budget fills. Integer-exact: the exact isqrt, floor-
+    // division budgets, running-sum window; the oracle replays all three
+    // (its isqrt is the BLEU oracle's float-seeded integer-corrected
+    // ladder).
+    "q_mix_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Sampling.temperatureMix(docs, "doc_id", "lang",
+          size(split(col("text"), " ")).cast("long"),
+          totalTokenBudget = 15000L)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("lang_budget"), col("running"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JSONL export→import round-trip (the trainer handoff format): the
     // corpus written as deterministic JSONL shards (one file per shard
     // dir, rows sorted, field order = struct order) and read back as
@@ -6721,6 +6739,39 @@ object SparkEntry {
     // exceeds the ranks that formed its symbols. Distinct words encode
     // once; per-doc positions come from a word-offset prefix sum.
     "q_bpe_tokenize" -> bpeFrozenSql,
+
+    // Temperature-mix oracle: per-lang exact isqrt weights (the BLEU
+    // oracle's seed-and-correct integer root), floor-division budgets,
+    // and the Knuth-hash-order running-sum take replayed verbatim.
+    "q_mix_temperature" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t FROM toks GROUP BY lang),
+        |wts AS (
+        |  SELECT lang, t, list_max([s for s in
+        |      [CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) + d for d in range(-4, 5)]
+        |      if s >= 0 AND s*s <= t]) AS w
+        |  FROM tot),
+        |bud AS (
+        |  SELECT lang,
+        |    CAST(15000 * w // (SELECT sum(w) FROM wts) AS BIGINT) AS lang_budget
+        |  FROM wts),
+        |ranked AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM (
+        |    SELECT doc_id, lang, n_tok,
+        |      ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |       + (doc_id % 65536) * 2654435761) % 4294967296 AS sk
+        |    FROM toks) k)
+        |SELECT r.doc_id, r.lang, r.n_tok, b.lang_budget,
+        |  CAST(r.running AS BIGINT) AS running
+        |FROM ranked r JOIN bud b USING (lang)
+        |WHERE r.running <= b.lang_budget
+        |ORDER BY r.doc_id""".stripMargin,
 
     // JSONL round-trip oracle: Spark's to_json output rebuilt character-
     // exact (no spaces, field order = struct order, plain integer

@@ -247,4 +247,50 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
       .drop("__n")
   }
+
+  /** Temperature-based multilingual mixing (the mT5/XLM-R α-sampling
+    * recipe): language budgets proportional to (language token total)^α —
+    * α < 1 upsamples low-resource languages relative to their natural
+    * share — then a deterministic per-language take in Knuth-hash order
+    * until the budget fills (admit while the INCLUSIVE running total
+    * stays ≤ budget). Integer-exact end to end: α ∈ {1/2, 1/4} via the
+    * exact integer roots ([[graft.expr.GenEvalOps.isqrt]]/`iroot4` —
+    * float-seeded, integer-corrected, the same primitive the BLEU oracle
+    * replays in SQL), budgets are floor divisions of the total budget by
+    * the weight share, and the take is a per-language running-sum window
+    * (|languages| partitions — bounded; swap in the distributed prefix
+    * sum [[PrefixSum]] at extreme per-language volume).
+    *
+    * The language totals are collected to the driver — one row per
+    * language, the bounded-model-collect class — so the per-row plan is
+    * a literal budget lookup plus the window: no second join. Output
+    * adds (n_tok, lang_budget, running). */
+  def temperatureMix(df: DataFrame, idCol: String, langCol: String,
+                     tokCol: Column, totalTokenBudget: Long,
+                     quarterRoot: Boolean = false): DataFrame = {
+    require(totalTokenBudget > 0, "totalTokenBudget must be positive")
+    val totals = df.groupBy(col(langCol))
+      .agg(sum(tokCol).cast("long").as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val weights = totals.map { case (l, t) =>
+      l -> (if (quarterRoot) graft.expr.GenEvalOps.iroot4(t)
+            else graft.expr.GenEvalOps.isqrt(t))
+    }
+    val wSum = weights.map(_._2).sum
+    require(wSum > 0, "temperatureMix: no tokens to mix")
+    val budgets: Map[String, Long] =
+      weights.map { case (l, w) => l -> totalTokenBudget * w / wSum }.toMap
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (l, b)) =>
+      when(col(langCol) === l, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(knuthSlot32(col(idCol)).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("n_tok", tokCol.cast("long"))
+      .withColumn("lang_budget", budgetCol)
+      .withColumn("running", sum(col("n_tok")).over(w))
+      .filter(col("running") <= col("lang_budget"))
+  }
 }

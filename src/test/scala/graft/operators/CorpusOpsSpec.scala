@@ -517,6 +517,34 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(viaDriver == viaIterative)
   }
 
+  test("temperature mix: isqrt budgets, hash-order take, budget never exceeded") {
+    import spark.implicits._
+    // hi: 9 docs x 100 tok = 900; lo: 4 docs x 25 tok = 100.
+    // alpha=1/2 weights: isqrt(900)=30, isqrt(100)=10 -> budgets of 400:
+    // hi 400*30/40 = 300 (3 docs), lo 400*10/40 = 100 (all 4 docs) —
+    // the low-resource lang is upsampled from a 10% natural share to 25%.
+    val docs = ((0L until 9L).map(i => (i, "hi", 100L)) ++
+      (100L until 104L).map(i => (i, "lo", 25L)))
+      .toDF("doc_id", "lang", "tok")
+    val got = Sampling.temperatureMix(docs, "doc_id", "lang", col("tok"),
+      totalTokenBudget = 400L).collect()
+    val byLang = got.groupBy(_.getString(1))
+    assert(byLang("hi").length === 3)
+    assert(byLang("lo").length === 4)
+    // inclusive running totals never exceed the budget
+    got.foreach(r => assert(
+      r.getAs[Long]("running") <= r.getAs[Long]("lang_budget")))
+    // deterministic: same selection on re-run
+    val again = Sampling.temperatureMix(docs, "doc_id", "lang", col("tok"),
+      totalTokenBudget = 400L).collect().map(_.getLong(0)).sorted
+    assert(again.toSeq === got.map(_.getLong(0)).sorted.toSeq)
+    // alpha = 1/4 upsamples harder: iroot4(900)=5, iroot4(100)=3 ->
+    // lo budget 400*3/8 = 150 — above its whole 100-token corpus
+    val q = Sampling.temperatureMix(docs, "doc_id", "lang", col("tok"),
+      totalTokenBudget = 400L, quarterRoot = true).collect()
+    assert(q.count(_.getString(1) == "lo") === 4)
+  }
+
   test("stream-stream interval join: inclusive 2h bound, no backwards match") {
     import spark.implicits._
     import graft.streaming.StreamingIngest
