@@ -848,6 +848,44 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // The CRAWL→TRAINER capstone: the entire front of the pipeline in one
+    // hash-gated chain — WARC archives parsed (streaming iterator) →
+    // HTTP 200 text/html gate → boilerplate-stripped extraction → URL
+    // blocklist → exact dedup ON THE EXTRACTED TEXT → token-count
+    // quality floor → deterministic JSONL shards for the trainer → read
+    // back. Every stage is an already-oracled operator; the composition
+    // oracle reconstructs the surviving documents and the exact JSONL
+    // lines (to_json's newline escaping included) from the source table.
+    "q_crawl_pipeline" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcFixtureDir(s, dir))
+      val pages = recs.filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("target_uri").as("url"),
+          graft.expr.HtmlExpressions.html_content_text(col("body"))
+            .as("extracted"))
+      val gated = operators.WebCuration.filterBlocked(pages, "url",
+        Seq("src1\\.example\\.com"))
+      val curated = operators.Dedup.exactDedup(gated, Seq("extracted"), "doc_id")
+        .withColumn("n_tok",
+          TextAnalysis.tokenCount(col("extracted")).cast("long"))
+        .filter(col("n_tok") >= 32)
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_crawlout_"))
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_crawlout_${runTag(dir)}"
+      sink.Jsonl.writeShards(curated, out,
+        Seq(col("doc_id"), col("n_tok"), col("extracted")),
+        shardKey = col("doc_id"), sortCol = col("doc_id"), nShards = 4)
+      sink.Jsonl.readShards(s, out)
+        .withColumn("doc_id",
+          get_json_object(col("value"), "$.doc_id").cast("long"))
+        .select(col("doc_id"), col("shard"), col("value").as("line"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-based multilingual mixing (the mT5/XLM-R α-sampling
     // recipe, α = 1/2): per-language token budgets ∝ isqrt(language token
     // total) — upsampling low-resource langs relative to their natural
@@ -6739,6 +6777,31 @@ object SparkEntry {
     // exceeds the ranks that formed its symbols. Distinct words encode
     // once; per-doc positions come from a word-offset prefix sum.
     "q_bpe_tokenize" -> bpeFrozenSql,
+
+    // Crawl-capstone oracle: survivors reconstructed stage by stage —
+    // extraction text (the q_text_extract formula), blocklist (url hits
+    // 'src1.example.com' iff source = 'src1'; src10..19 keep their dot-
+    // separated domain), exact dedup = min doc_id per extracted, token
+    // floor on the 7 + 2·words formula — then the trainer lines rebuilt
+    // character-exact incl. to_json's newline escaping.
+    "q_crawl_pipeline" ->
+      """WITH ext AS (
+        |  SELECT doc_id, source,
+        |    'Corpus document from the synthetic crawl corpus' || chr(10) ||
+        |      text || chr(10) || upper(text) AS extracted,
+        |    CAST(7 + 2 * (length(text) - length(replace(text, ' ', '')) + 1)
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |gated AS (SELECT * FROM ext WHERE source <> 'src1'),
+        |ded AS (
+        |  SELECT min(doc_id) AS doc_id, extracted,
+        |    arg_min(n_tok, doc_id) AS n_tok
+        |  FROM gated GROUP BY extracted),
+        |cur AS (SELECT * FROM ded WHERE n_tok >= 32)
+        |SELECT doc_id, doc_id % 4 AS shard,
+        |  '{"doc_id":' || doc_id || ',"n_tok":' || n_tok || ',"extracted":"'
+        |    || replace(extracted, chr(10), '\n') || '"}' AS line
+        |FROM cur ORDER BY doc_id""".stripMargin,
 
     // Temperature-mix oracle: per-lang exact isqrt weights (the BLEU
     // oracle's seed-and-correct integer root), floor-division budgets,
