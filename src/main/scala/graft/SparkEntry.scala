@@ -848,6 +848,20 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Curriculum ordering (easy→hard schedule): documents ranked by the
+    // unigram-LM mean piece cost (low perplexity first), cut into 4
+    // equal phases by the DISTRIBUTED rank (prefix-sum of ones over the
+    // composite key — no single-partition global window), Knuth-shuffled
+    // within each phase. The oracle replays rank, phase arithmetic, and
+    // the within-phase hash order on top of the shared Viterbi machinery.
+    "q_curriculum" -> ((s, dir) => {
+      val cost = operators.UnigramTokenizer.lmCost(t(s, dir, "documents"),
+        "doc_id", "text", operators.UnigramTokenizer.frozenVocab)
+      operators.TrainPipeline.curriculumOrder(cost, "doc_id",
+          col("mean_cost_milli"), phases = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // The CRAWL→TRAINER capstone: the entire front of the pipeline in one
     // hash-gated chain — WARC archives parsed (streaming iterator) →
     // HTTP 200 text/html gate → boilerplate-stripped extraction → URL
@@ -1218,6 +1232,19 @@ object SparkEntry {
         slice(split(col("text"), " "), 2, 13).as("cand"),
         slice(split(col("text"), " "), 1, 12).as("ref"))
       operators.Eval.wer(pairs, "doc_id", "cand", "ref")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Generation eval, ROUGE-1/ROUGE-2 recall over the same pairs: the
+    // n-gram-recall half of the summarization pair, from the BLEU
+    // clipped-count statistics over reference n-gram totals.
+    "q_eval_rouge_n" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(size(split(col("text"), " ")) >= 14)
+      val pairs = docs.select(col("doc_id"),
+        slice(split(col("text"), " "), 2, 13).as("cand"),
+        slice(split(col("text"), " "), 1, 12).as("ref"))
+      operators.Eval.rougeN(pairs, "doc_id", "cand", "ref")
         .orderBy(col("doc_id"))
     }),
 
@@ -6778,6 +6805,30 @@ object SparkEntry {
     // once; per-doc positions come from a word-offset prefix sum.
     "q_bpe_tokenize" -> bpeFrozenSql,
 
+    // Curriculum oracle: the per-doc LM difficulty from the shared
+    // Viterbi machinery, the global rank over the composite key, the
+    // (rank, N) phase arithmetic, and the within-phase Knuth order.
+    "q_curriculum" -> unigramSqlWith(
+      """, cost AS (
+        |  SELECT words.doc_id AS doc_id,
+        |    CAST(sum(vocab.m[seg.pieces[j]][1]) // count(*) AS BIGINT) AS difficulty
+        |  FROM words JOIN seg USING (w) CROSS JOIN vocab,
+        |       LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
+        |  GROUP BY words.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, difficulty,
+        |    CAST(row_number() OVER (ORDER BY difficulty * 10000000000 + doc_id) AS BIGINT) AS rk,
+        |    (SELECT count(*) FROM cost) AS n
+        |  FROM cost),
+        |phased AS (
+        |  SELECT doc_id, difficulty, CAST((rk - 1) * 4 // n AS BIGINT) AS phase,
+        |    ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (doc_id % 65536) * 2654435761) % 4294967296 AS sk
+        |  FROM ranked)
+        |SELECT doc_id, difficulty, phase,
+        |  CAST(row_number() OVER (PARTITION BY phase ORDER BY sk, doc_id) - 1 AS BIGINT) AS pos
+        |FROM phased ORDER BY doc_id""".stripMargin),
+
     // Crawl-capstone oracle: survivors reconstructed stage by stage —
     // extraction text (the q_text_extract formula), blocklist (url hits
     // 'src1.example.com' iff source = 'src1'; src10..19 keep their dot-
@@ -7412,6 +7463,40 @@ object SparkEntry {
         |SELECT doc_id, len_c, len_r, edit_dist,
         |  CAST((1000000 * edit_dist) // len_r AS BIGINT) AS wer_ppm
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    // ROUGE-N oracle: per-n clipped matches via the BLEU oracle's n-gram
+    // clip machinery for n in (1, 2), recalls over reference totals.
+    "q_eval_rouge_n" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 14),
+        |seqs AS (SELECT doc_id, w[2:14] AS c, w[1:12] AS r FROM base),
+        |grams AS (
+        |  SELECT doc_id, n,
+        |    [array_to_string(c[i:i+n-1], ' ') for i in range(1, len(c)-n+2)] AS cg,
+        |    [array_to_string(r[i:i+n-1], ' ') for i in range(1, len(r)-n+2)] AS rg
+        |  FROM seqs, (SELECT unnest([1, 2]) AS n)),
+        |cc AS (SELECT doc_id, n, g, count(*) AS c_cnt
+        |  FROM (SELECT doc_id, n, unnest(cg) AS g FROM grams) GROUP BY doc_id, n, g),
+        |rc AS (SELECT doc_id, n, g, count(*) AS r_cnt
+        |  FROM (SELECT doc_id, n, unnest(rg) AS g FROM grams) GROUP BY doc_id, n, g),
+        |ab AS (
+        |  SELECT cc.doc_id, cc.n,
+        |    CAST(sum(least(cc.c_cnt, coalesce(rc.r_cnt, 0))) AS BIGINT) AS a
+        |  FROM cc LEFT JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n AND cc.g = rc.g
+        |  GROUP BY cc.doc_id, cc.n),
+        |piv AS (
+        |  SELECT g.doc_id,
+        |    CAST(max(CASE WHEN g.n = 1 THEN coalesce(ab.a, 0) END) AS BIGINT) AS a1,
+        |    CAST(max(CASE WHEN g.n = 2 THEN coalesce(ab.a, 0) END) AS BIGINT) AS a2,
+        |    CAST(max(CASE WHEN g.n = 1 THEN len(g.rg) END) AS BIGINT) AS t1,
+        |    CAST(max(CASE WHEN g.n = 2 THEN len(g.rg) END) AS BIGINT) AS t2
+        |  FROM grams g LEFT JOIN ab ON g.doc_id = ab.doc_id AND g.n = ab.n
+        |  GROUP BY g.doc_id)
+        |SELECT doc_id, a1, t1,
+        |  CAST((1000000 * a1) // t1 AS BIGINT) AS rouge1_r_ppm,
+        |  a2, t2, CAST((1000000 * a2) // t2 AS BIGINT) AS rouge2_r_ppm
+        |FROM piv ORDER BY doc_id""".stripMargin,
 
     // Token-F1 oracle: clipped unigram overlap via the BLEU oracle's
     // n = 1 machinery, then the three exactly-rational ppm floors.

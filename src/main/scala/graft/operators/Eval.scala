@@ -270,6 +270,28 @@ object Eval {
         when(col("len_c") + col("len_r") > 0,
           expr("(2000000 * overlap) div (len_c + len_r)")).as("f1_ppm"))
 
+  /** ROUGE-N recall (n = 1, 2) over (candidate, reference) token-array
+    * columns — the n-gram-recall half of the summarization pair (ROUGE-L
+    * covers subsequence recall): clipped n-gram matches (the BLEU aₙ
+    * statistics, same codegen expression) over the REFERENCE n-gram
+    * totals |r|−n+1, ppm-floored. NULL when the reference has no n-gram
+    * of that order. */
+  def rougeN(df: DataFrame, idCol: String, candCol: String,
+             refCol: String): DataFrame = {
+    val b = graft.expr.GenEvalExpressions.bleu_stats(col(candCol), col(refCol))
+    df.select(col(idCol),
+        size(col(refCol)).cast("long").as("len_r"),
+        b.getField("a1").as("a1"), b.getField("a2").as("a2"))
+      .select(col(idCol), col("a1"),
+        greatest(col("len_r"), lit(0L)).as("t1"),
+        col("a2"),
+        greatest(col("len_r") - 1, lit(0L)).as("t2"))
+      .select(col(idCol), col("a1"), col("t1"),
+        when(col("t1") > 0, expr("(1000000 * a1) div t1")).as("rouge1_r_ppm"),
+        col("a2"), col("t2"),
+        when(col("t2") > 0, expr("(1000000 * a2) div t2")).as("rouge2_r_ppm"))
+  }
+
   /** Word error rate over (candidate, reference) token-array columns —
     * the ASR/translation workhorse: WER = editDistance(cand, ref) /
     * |ref|, unit-cost Levenshtein over tokens (per-row rolling DP via

@@ -366,6 +366,35 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("token F1: clipped unigram overlap, exactly-rational ppms") {
+    // cand: the cat the cat on the mat (7) ; ref: the cat sat on the mat (6)
+    // clipped overlap: the x3 clip 2, cat x2 clip 1, on 1, mat 1 -> 5
+    val r = Eval.tokenF1(
+      pairDf(Seq("the", "cat", "the", "cat", "on", "the", "mat"),
+        Seq("the", "cat", "sat", "on", "the", "mat")),
+      "id", "cand", "ref").collect()(0)
+    assert(r.getAs[Long]("overlap") === 5L)
+    assert(r.getAs[Long]("f1_p_ppm") === 714285L) // 5e6 div 7
+    assert(r.getAs[Long]("f1_r_ppm") === 833333L) // 5e6 div 6
+    assert(r.getAs[Long]("f1_ppm") === 769230L)   // 10e6 div 13
+    val e = Eval.tokenF1(pairDf(Seq.empty, Seq("x")), "id", "cand", "ref")
+      .collect()(0)
+    assert(e.isNullAt(e.fieldIndex("f1_p_ppm")) &&
+      e.getAs[Long]("f1_ppm") === 0L)
+  }
+
+  test("ROUGE-N recall: clipped matches over reference n-gram totals") {
+    val r = Eval.rougeN(
+      pairDf(Seq("the", "cat", "the", "cat", "on", "the", "mat"),
+        Seq("the", "cat", "sat", "on", "the", "mat")),
+      "id", "cand", "ref").collect()(0)
+    assert(r.getAs[Long]("a1") === 5L && r.getAs[Long]("t1") === 6L)
+    assert(r.getAs[Long]("rouge1_r_ppm") === 833333L)
+    // bigrams clipped: "the cat" x2 clip 1, "on the" 1, "the mat" 1 -> 3 of 5
+    assert(r.getAs[Long]("a2") === 3L && r.getAs[Long]("t2") === 5L)
+    assert(r.getAs[Long]("rouge2_r_ppm") === 600000L)
+  }
+
   test("CER: builtin levenshtein wiring and ppm floor") {
     import spark.implicits._
     val df = Seq((1L, "kitten", "sitting")).toDF("id", "cand", "ref")

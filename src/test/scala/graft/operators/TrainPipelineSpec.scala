@@ -53,4 +53,24 @@ class TrainPipelineSpec extends SparkSpec {
     val totTok = train.map(_.getLong(1)).sum
     assert(seqs.last <= totTok / 512)
   }
+
+  test("curriculum: phases slice the difficulty order, dense hash-shuffled positions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 12 docs, difficulty = id * 10 (strictly increasing): with 4 phases,
+    // phase = (rank-1)*4/12 puts ids 0-2 in phase 0, 3-5 in 1, ...
+    val df = (0L until 12L).map(i => (i, i * 10L)).toDF("doc_id", "d")
+    val got = TrainPipeline.curriculumOrder(df, "doc_id", col("d"), phases = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 12)
+    got.foreach { case (id, _, phase, _) => assert(phase === id / 3) }
+    // positions are dense 0..2 within each phase
+    for ((_, rows) <- got.groupBy(_._3))
+      assert(rows.map(_._4).sorted.toSeq === (0L until 3L).toSeq)
+    // ties in difficulty break on id: equal difficulties stay deterministic
+    val tied = (0L until 8L).map(i => (i, 5L)).toDF("doc_id", "d")
+    val t1 = TrainPipeline.curriculumOrder(tied, "doc_id", col("d"), phases = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    t1.foreach { case (id, phase) => assert(phase === id / 4) }
+  }
 }
