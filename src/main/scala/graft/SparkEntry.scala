@@ -693,6 +693,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The politeness FETCH SCHEDULE: allowed URLs queue per origin in
+    // Knuth-hash order, spaced by the origin's crawl-delay (the graftbot
+    // group's own delay here; the `*`-group and default fallbacks are
+    // spec-pinned) — fetch_at_ms = pos·delay, the fetcher fleet's plan.
+    "q_crawl_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = docs.select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+        .select(col("domain"),
+          operators.RobotsTxt.syntheticRobots(col("domain"), col("k"))
+            .as("txt"))
+      val rules = operators.RobotsTxt.parseRules(robots, "domain", "txt")
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+          (col("doc_id") % 25).cast("string"), lit("/?utm_source="),
+          col("lang")).as("url"))
+      operators.RobotsTxt.schedule(urls, "url", "doc_id", rules, "graftbot")
+        .select(col("doc_id"), col("domain"), col("delay_ms"), col("pos"),
+          col("fetch_at_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING politeness gate: URLs arrive in micro-batches, decided
     // on arrival against the static decision table — the gate is a
     // stream-static broadcast join + row-local fold (no state, no
@@ -6166,7 +6190,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT domain, r.agent AS agent, r.line_no AS line_no,
         |  r.rtype AS rtype,
-        |  replace(r.value, '<K>', CAST(k AS VARCHAR)) AS value
+        |  replace(replace(r.value, '<K>', CAST(k AS VARCHAR)),
+        |          '<D>', CAST(k % 3 + 1 AS VARCHAR)) AS value
         |FROM src, UNNEST([
         |  {'agent': '*', 'line_no': CAST(2 AS BIGINT), 'rtype': 'disallow', 'value': '/private/'},
         |  {'agent': '*', 'line_no': CAST(3 AS BIGINT), 'rtype': 'disallow', 'value': '/docs/3/'},
@@ -6174,7 +6199,8 @@ object SparkEntry {
         |  {'agent': '*', 'line_no': CAST(5 AS BIGINT), 'rtype': 'crawl-delay', 'value': '2'},
         |  {'agent': 'graftbot', 'line_no': CAST(8 AS BIGINT), 'rtype': 'allow', 'value': '/docs/'},
         |  {'agent': 'graftbot', 'line_no': CAST(9 AS BIGINT), 'rtype': 'disallow', 'value': '/docs/<K>/'},
-        |  {'agent': 'graftbot', 'line_no': CAST(10 AS BIGINT), 'rtype': 'disallow', 'value': '/tmp/'}
+        |  {'agent': 'graftbot', 'line_no': CAST(10 AS BIGINT), 'rtype': 'disallow', 'value': '/tmp/'},
+        |  {'agent': 'graftbot', 'line_no': CAST(11 AS BIGINT), 'rtype': 'crawl-delay', 'value': '<D>'}
         |]) AS t(r)
         |ORDER BY domain, agent, line_no""".stripMargin,
 
@@ -6187,6 +6213,29 @@ object SparkEntry {
     // The gate is per-row over a static broadcast table ⇒ the bounded
     // stream shares the batch oracle verbatim.
     "q_stream_robots_gate" -> robotsGateOracleSql,
+
+    // Schedule oracle: allowed = slot ≠ the domain's Disallow slot (the
+    // gate oracle's conclusion applied directly), delay = the graftbot
+    // group's (k % 3 + 1) seconds, queue position = Knuth-hash order
+    // within the domain.
+    "q_crawl_schedule" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents),
+        |allowed AS (
+        |  SELECT d.doc_id, s.domain, s.k,
+        |    ((d.doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (d.doc_id % 65536) * 2654435761) % 4294967296 AS sk
+        |  FROM documents d JOIN src s ON s.source = d.source
+        |  WHERE d.doc_id % 25 <> s.k)
+        |SELECT doc_id, domain,
+        |  CAST((k % 3 + 1) * 1000 AS BIGINT) AS delay_ms,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY sk, doc_id) - 1
+        |    AS BIGINT) AS pos,
+        |  CAST((row_number() OVER (PARTITION BY domain ORDER BY sk, doc_id) - 1)
+        |    * (k % 3 + 1) * 1000 AS BIGINT) AS fetch_at_ms
+        |FROM allowed ORDER BY doc_id""".stripMargin,
 
     // Per-bucket manifest rollup: responses grouped by doc_id % 4 plus
     // each file's warcinfo record; identical arithmetic for the gzipped

@@ -117,6 +117,42 @@ object RobotsTxt {
         col("value").as("rule_path"))).as("__rules"))
   }
 
+  /** Politeness fetch schedule — when each allowed URL may actually be
+    * fetched: per origin, URLs queue in deterministic Knuth-hash order
+    * and fetch times space out by the origin's crawl-delay (the chosen
+    * agent group's delay, falling back to the `*` group's, then to
+    * `defaultDelaySec` — crawl-delay is the de-facto extension most
+    * crawlers honor). `fetch_at_ms = pos · delay·1000` — the planning
+    * table a fetcher fleet consumes.
+    *
+    * Shape: the [[gate]] (broadcast + row-local) keeps allowed URLs, the
+    * per-origin delay table is one tiny aggregate broadcast back, and the
+    * queue position is one window over the domain hash — the same
+    * top-k-per-group shuffle class as [[WebCuration.capPerDomain]].
+    * Output adds (delay_ms, pos 0-based, fetch_at_ms). */
+  def schedule(urls: DataFrame, urlCol: String, idCol: String,
+               rules: DataFrame, userAgent: String,
+               defaultDelaySec: Long = 1L): DataFrame = {
+    val ua = userAgent.toLowerCase
+    val delays = rules.filter(col("rtype") === "crawl-delay")
+      .groupBy(col("domain"))
+      .agg(max(when(col("agent") === ua, col("value").cast("long"))).as("__dua"),
+        max(when(col("agent") === "*", col("value").cast("long"))).as("__dstar"))
+      .select(col("domain"),
+        coalesce(col("__dua"), col("__dstar")).as("__delay_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(Sampling.knuthSlot32(col(idCol)).asc, col(idCol).asc)
+    gate(urls, urlCol, rules, userAgent)
+      .filter(col("allowed"))
+      .join(broadcast(delays), Seq("domain"), "left")
+      .withColumn("delay_ms",
+        coalesce(col("__delay_s"), lit(defaultDelaySec)) * 1000L)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .withColumn("fetch_at_ms", col("pos") * col("delay_ms"))
+      .drop("__delay_s")
+  }
+
   /** Deterministic synthetic robots.txt for the fixture domains (the
     * synthetic-HTML playbook): a `*` group with constant rules, then a
     * crawler-specific group whose Disallow slot k varies per domain —
@@ -130,5 +166,7 @@ object RobotsTxt {
         "Allow: /docs/3/open/\ncrawl-delay: 2\n\n" +
         "User-agent: graftbot\nAllow: /docs/\nDisallow: /docs/"),
       k.cast("string"),
-      lit("/\nDisallow: /tmp/\n"))
+      lit("/\nDisallow: /tmp/\nCrawl-delay: "),
+      (k % 3 + 1).cast("string"),
+      lit("\n"))
 }

@@ -76,14 +76,49 @@ class RobotsTxtSpec extends SparkSpec {
       Seq(false, true))
   }
 
-  test("synthetic template parses to the 7 expected rule rows per domain") {
+  test("synthetic template parses to the 8 expected rule rows per domain") {
     val robots = Seq(("src7.example.com", 7L)).toDF("domain", "k")
       .select(col("domain"),
         RobotsTxt.syntheticRobots(col("domain"), col("k")).as("txt"))
     val rules = RobotsTxt.parseRules(robots, "domain", "txt").collect()
-    assert(rules.length === 7)
+    assert(rules.length === 8)
     assert(rules.count(_.getString(1) == "*") === 4)
-    assert(rules.count(_.getString(1) == "graftbot") === 3)
+    assert(rules.count(_.getString(1) == "graftbot") === 4)
     assert(rules.exists(r => r.getString(4) == "/docs/7/"))
+    assert(rules.exists(r =>
+      r.getString(1) == "graftbot" && r.getString(3) == "crawl-delay" &&
+        r.getString(4) == "2")) // 7 % 3 + 1
+  }
+
+  test("schedule: per-domain queue, delay fallback chain, fetch spacing") {
+    val txt = Seq(
+      "User-agent: *",
+      "crawl-delay: 5",
+      "Disallow: /blocked/",
+      "",
+      "User-agent: me",
+      "Allow: /").mkString("\n")
+    val rules = RobotsTxt.parseRules(
+      Seq(("a.com", txt), ("b.com", "User-agent: *\nAllow: /\n"))
+        .toDF("domain", "txt"), "domain", "txt")
+    val urls = Seq(
+      (1L, "https://a.com/p1"), (2L, "https://a.com/p2"),
+      (3L, "https://a.com/p3"), (4L, "https://b.com/q1"),
+      (5L, "https://b.com/q2")).toDF("id", "url")
+    val got = RobotsTxt.schedule(urls, "url", "id", rules, "me")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("domain"),
+        r.getAs[Long]("delay_ms"), r.getAs[Long]("pos"),
+        r.getAs[Long]("fetch_at_ms")))
+    // a.com: agent `me` group has no delay -> falls back to *'s 5s;
+    // b.com: no crawl-delay anywhere -> default 1s
+    assert(got.filter(_._2 == "a.com").forall(_._3 == 5000L))
+    assert(got.filter(_._2 == "b.com").forall(_._3 == 1000L))
+    // per-domain positions dense from 0; spacing = pos * delay
+    for (d <- Seq("a.com", "b.com")) {
+      val rows = got.filter(_._2 == d)
+      assert(rows.map(_._4).sorted.toSeq === (0L until rows.length).toSeq)
+      rows.foreach(r => assert(r._5 === r._4 * r._3))
+    }
   }
 }
