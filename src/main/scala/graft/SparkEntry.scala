@@ -997,6 +997,38 @@ object SparkEntry {
         .orderBy(col("rec_id"))
     }),
 
+    // STREAMING dirty-JSONL ingestion: the same truncated-line dump
+    // arrives file by file and is parsed ON THE STREAM by Spark's native
+    // JSON file source (PERMISSIVE, corrupt-record capture) — parsing is
+    // pure per-row, so the bounded stream shares the batch
+    // q_jsonl_source oracle VERBATIM.
+    "q_stream_jsonl_source" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_jsonlstr_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_jsonlstr_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+            .as("value"))
+        .select(
+          when(col("doc_id") % 50 === 13,
+            expr("substring(value, 1, length(value) - 8)"))
+            .otherwise(col("value")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(src)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("n_chars", "long")
+      streaming.StreamingIngest.runStreamJsonlBounded(s, src, schema)
+        .select(
+          coalesce(col("doc_id"),
+            regexp_extract(col("_corrupt_record"), "\"doc_id\":(\\d+)", 1)
+              .cast("long")).as("rec_id"),
+          col("doc_id"), col("lang"), col("n_chars"),
+          col("_corrupt_record").isNotNull.as("is_corrupt"),
+          col("_corrupt_record").as("raw"))
+        .orderBy(col("rec_id"))
+    }),
+
     // REAL subword tokenization under the FROZEN shipped-artifact merge
     // table (the production tokenizer shape — GPT-2-style BPE applies a
     // fixed published merge list, it never re-learns per corpus): the
@@ -5068,6 +5100,26 @@ object SparkEntry {
       |""".stripMargin + finalSelect
   }
 
+  /** Dirty-JSONL oracle — shared verbatim by the batch read
+    * (q_jsonl_source) and its streaming twin: clean rows parse to their
+    * fields; the deterministically truncated lines come back all-NULL
+    * with the exact truncated raw string. */
+  private val jsonlSourceOracleSql: String =
+    """WITH lines AS (
+      |  SELECT doc_id AS rec_id, lang, n_chars,
+      |    '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":' ||
+      |      n_chars || '}' AS full_line,
+      |    doc_id % 50 = 13 AS corrupt
+      |  FROM documents)
+      |SELECT rec_id,
+      |  CASE WHEN corrupt THEN NULL ELSE rec_id END AS doc_id,
+      |  CASE WHEN corrupt THEN NULL ELSE lang END AS lang,
+      |  CASE WHEN corrupt THEN NULL ELSE n_chars END AS n_chars,
+      |  corrupt AS is_corrupt,
+      |  CASE WHEN corrupt
+      |    THEN substring(full_line, 1, length(full_line) - 8) END AS raw
+      |FROM lines ORDER BY rec_id""".stripMargin
+
   /** robots-gate oracle — shared verbatim by the batch gate
     * (q_robots_gate) and its bounded streaming twin: the graftbot
     * group's rules rebuilt from the template, longest-prefix/Allow-tie
@@ -6949,21 +7001,11 @@ object SparkEntry {
     // Dirty-JSONL oracle: clean rows parse to their fields; the
     // deterministically truncated lines (doc_id % 50 = 13, last 8 chars
     // cut) come back all-NULL with the exact truncated raw string.
-    "q_jsonl_source" ->
-      """WITH lines AS (
-        |  SELECT doc_id AS rec_id, lang, n_chars,
-        |    '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":' ||
-        |      n_chars || '}' AS full_line,
-        |    doc_id % 50 = 13 AS corrupt
-        |  FROM documents)
-        |SELECT rec_id,
-        |  CASE WHEN corrupt THEN NULL ELSE rec_id END AS doc_id,
-        |  CASE WHEN corrupt THEN NULL ELSE lang END AS lang,
-        |  CASE WHEN corrupt THEN NULL ELSE n_chars END AS n_chars,
-        |  corrupt AS is_corrupt,
-        |  CASE WHEN corrupt
-        |    THEN substring(full_line, 1, length(full_line) - 8) END AS raw
-        |FROM lines ORDER BY rec_id""".stripMargin,
+    "q_jsonl_source" -> jsonlSourceOracleSql,
+
+    // Per-row PERMISSIVE parse ⇒ the bounded stream shares the batch
+    // oracle verbatim.
+    "q_stream_jsonl_source" -> jsonlSourceOracleSql,
 
     "q_unigram_tokenize" -> unigramOracleSql,
 

@@ -846,6 +846,40 @@ object StreamingIngest {
     parts.reduce(_ unionByName _).dropDuplicates(idCol)
   }
 
+  /** Streaming dirty-JSONL ingestion — the dump arrives file by file and
+    * is parsed ON THE STREAM by Spark's native JSON file source under
+    * the expected schema: PERMISSIVE mode, so a truncated line surfaces
+    * immediately as NULL fields + the verbatim raw in `_corrupt_record`
+    * instead of failing the micro-batch (the crawl-ops contract,
+    * [[graft.sink.Jsonl.readJsonl]]'s semantics applied to a stream).
+    * Parsing is pure per-row ⇒ stream ≡ batch verbatim and the harness
+    * gates the twin with the batch oracle. */
+  def runStreamJsonlBounded(spark: SparkSession, srcDir: String,
+                            schema: org.apache.spark.sql.types.StructType,
+                            maxFilesPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val stream = spark.readStream
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(streamGlob(srcDir))
+    val results = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        results.put(bid, batch.localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = results.values.asScala.toSeq
+    require(parts.nonEmpty, "runStreamJsonlBounded: stream produced no batches")
+    parts.reduce(_ unionByName _)
+  }
+
   /** Streaming robots.txt politeness gate — discovered URLs arrive in
     * micro-batches and are allow/disallow-decided on arrival against the
     * STATIC per-domain decision table (robots.txt is origin metadata
