@@ -693,6 +693,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Anchor-text aggregation (the web graph's text signal): a synthetic
+    // outlink graph — every doc links to 3 arithmetic targets with its
+    // leading trigram as the anchor — aggregated per target into anchor
+    // frequencies, inlink totals, and the top-2 anchors by (freq DESC,
+    // anchor ASC). One (dst, anchor) combining shuffle + a dst-keyed
+    // WindowGroupLimit; the raw link stream never shuffles whole.
+    "q_anchor_texts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val links = docs.select(col("doc_id").as("src"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("anchor"),
+          explode(array((0 until 3).map(j =>
+            (col("doc_id") * 7 + lit(j * 11)) % lit(n)): _*)).as("dst"))
+      operators.WebCuration.topAnchors(links, "src", "dst", "anchor", k = 2)
+        .select(col("dst"), col("rank"), col("anchor"), col("freq"),
+          col("n_srcs"), col("n_inlinks"))
+        .orderBy(col("dst"), col("rank"))
+    }),
+
     // The politeness FETCH SCHEDULE: allowed URLs queue per origin in
     // Knuth-hash order, spaced by the origin's crawl-delay (the graftbot
     // group's own delay here; the `*`-group and default fallbacks are
@@ -6265,6 +6284,32 @@ object SparkEntry {
     // The gate is per-row over a static broadcast table ⇒ the bounded
     // stream shares the batch oracle verbatim.
     "q_stream_robots_gate" -> robotsGateOracleSql,
+
+    // Anchor-text oracle: the same synthetic outlink graph (3 arithmetic
+    // targets per doc, leading-trigram anchors, self-links dropped),
+    // (dst, anchor) frequencies + distinct sources, inlink totals, and
+    // the (freq DESC, anchor ASC) top-2 window replayed.
+    "q_anchor_texts" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |links AS (
+        |  SELECT doc_id AS src,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS anchor,
+        |    (doc_id * 7 + j * 11) % n.n AS dst
+        |  FROM documents, n, (SELECT unnest([0, 1, 2]) AS j)
+        |  WHERE (doc_id * 7 + j * 11) % n.n <> doc_id),
+        |freqs AS (
+        |  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(count(DISTINCT src) AS BIGINT) AS n_srcs
+        |  FROM links GROUP BY dst, anchor),
+        |ranked AS (
+        |  SELECT dst, anchor, freq, n_srcs,
+        |    CAST(row_number() OVER (PARTITION BY dst
+        |      ORDER BY freq DESC, anchor ASC) AS BIGINT) AS rank,
+        |    CAST(sum(freq) OVER (PARTITION BY dst) AS BIGINT) AS n_inlinks
+        |  FROM freqs)
+        |SELECT dst, rank, anchor, freq, n_srcs, n_inlinks
+        |FROM ranked WHERE rank <= 2
+        |ORDER BY dst, rank""".stripMargin,
 
     // Schedule oracle: allowed = slot ≠ the domain's Disallow slot (the
     // gate oracle's conclusion applied directly), delay = the graftbot

@@ -49,6 +49,30 @@ object WebCuration {
       .drop("__rn")
   }
 
+  /** Anchor-text aggregation — the web graph's text signal: what OTHER
+    * pages call a page is a high-precision description (search engines
+    * have ranked on it since PageRank's era; corpus pipelines use it to
+    * title/enrich documents). Per link target: anchor frequencies, the
+    * top-k anchors by (freq DESC, anchor ASC), and the inlink count.
+    * Self-links excluded. Scale shape: one combining aggregate on
+    * (dst, anchor) — anchors combine map-side, the raw link stream never
+    * shuffles whole — then a top-k-per-group window on the dst hash
+    * whose input is already one row per distinct (dst, anchor). */
+  def topAnchors(links: DataFrame, srcCol: String, dstCol: String,
+                 anchorCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val freqs = links.filter(col(srcCol) =!= col(dstCol))
+      .groupBy(col(dstCol), col(anchorCol))
+      .agg(count(lit(1)).as("freq"),
+        countDistinct(col(srcCol)).as("n_srcs"))
+    val byDst = Window.partitionBy(col(dstCol))
+    val w = byDst.orderBy(col("freq").desc, col(anchorCol).asc)
+    freqs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n_inlinks", sum(col("freq")).over(byDst))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-domain crawl profile: doc count, total/mean chars, docs kept by
     * a `cap` — the planning table a crawl curator reads before choosing
     * caps. One combining aggregate. */

@@ -51,4 +51,23 @@ class WebCurationSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(("a.com", 3L, 175L, 2L), ("b.com", 1L, 7L, 1L)))
   }
+
+  test("anchor texts: self-links dropped, freq/tie ordering, inlink totals") {
+    import spark.implicits._
+    val links = Seq(
+      (1L, 9L, "best page"), (2L, 9L, "best page"), (3L, 9L, "a page"),
+      (4L, 9L, "z page"),                     // ties with "a page" at freq 1
+      (9L, 9L, "myself"),                     // self-link: dropped
+      (1L, 8L, "only one")
+    ).toDF("src", "dst", "anchor")
+    val got = WebCuration.topAnchors(links, "src", "dst", "anchor", k = 2)
+      .orderBy("dst", "rank").collect()
+      .map(r => (r.getAs[Long]("dst"), r.getAs[Long]("rank"),
+        r.getAs[String]("anchor"), r.getAs[Long]("freq"),
+        r.getAs[Long]("n_inlinks")))
+    assert(got.toSeq === Seq(
+      (8L, 1L, "only one", 1L, 1L),
+      (9L, 1L, "best page", 2L, 4L),
+      (9L, 2L, "a page", 1L, 4L))) // "a page" beats "z page" on the tie
+  }
 }
