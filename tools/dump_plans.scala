@@ -110,6 +110,12 @@ val picks = Seq(
   ("q_robots_gate", "broadcast per-domain decision table + row-local longest-match fold: zero URL-side shuffle"),
   ("q_sim_mmr", "exact top-N candidates (broadcast bounded queries) -> one query-keyed shuffle -> in-task integer greedy"),
   ("q_eval_wer", "token edit distance: per-row codegen rolling DP, zero shuffle before the output sort"),
+  ("q_mix_temperature", "alpha-sampling: driver-literal isqrt budgets, one lang-keyed running-sum window"),
+  ("q_crawl_pipeline", "crawl->trainer capstone: archive parse + extract + gates map-side; one dedup shuffle before the JSONL write"),
+  ("q_curriculum", "distributed difficulty rank via bucketed prefix sum -- no single-partition global window"),
+  ("q_crawl_schedule", "gate (broadcast fold) + tiny delay table + one domain-keyed queue window"),
+  ("q_anchor_texts", "one (dst,anchor) combining shuffle; window input is pre-deduplicated rows"),
+  ("q_jsonl_roundtrip", "deterministic shard export: one hash exchange pins each shard to one task"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
