@@ -1087,6 +1087,31 @@ object SparkEntry {
         "doc_id", "text", operators.UnigramTokenizer.frozenVocab)
         .orderBy(col("doc_id"))),
 
+    // Per-language tokenizer diagnostics: fertility (pieces per word —
+    // the cross-lingual tokenizer-equity metric; a language with 2×
+    // fertility pays 2× the sequence length for the same text) and mean
+    // piece length, both exactly-rational ppm. Pieces rebuild each word
+    // exactly, so piece chars = non-space chars — no re-tokenization for
+    // the char side.
+    "q_unigram_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val perDoc = operators.UnigramTokenizer.lmCost(docs, "doc_id", "text",
+        operators.UnigramTokenizer.frozenVocab)
+      perDoc.join(docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("__w"),
+          length(regexp_replace(col("text"), " ", "")).cast("long")
+            .as("__ch")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__w")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          sum(col("__ch")).as("n_piece_chars"))
+        .withColumn("fertility_ppm", expr("(1000000 * n_pieces) div n_words"))
+        .withColumn("chars_per_piece_ppm",
+          expr("(1000000 * n_piece_chars) div n_pieces"))
+        .orderBy(col("lang"))
+    }),
+
     // Persistence twin: the vocabulary round-trips a parquet artifact
     // (piece, cost_milli) and the RELOADED model must reproduce the
     // token stream bit-for-bit — same oracle verbatim.
@@ -7053,6 +7078,28 @@ object SparkEntry {
     "q_stream_jsonl_source" -> jsonlSourceOracleSql,
 
     "q_unigram_tokenize" -> unigramOracleSql,
+
+    // Fertility oracle: the Viterbi stream's per-doc piece counts joined
+    // to language + word/char counts, rolled up per language.
+    "q_unigram_fertility" -> unigramSqlWith(
+      """, perdoc AS (
+        |  SELECT words.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+        |  FROM words JOIN seg USING (w),
+        |       LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
+        |  GROUP BY words.doc_id),
+        |meta AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_piece_chars
+        |  FROM documents)
+        |SELECT m.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(m.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(p.n_pieces) AS BIGINT) AS n_pieces,
+        |  CAST(sum(m.n_piece_chars) AS BIGINT) AS n_piece_chars,
+        |  CAST((1000000 * sum(p.n_pieces)) // sum(m.n_words) AS BIGINT) AS fertility_ppm,
+        |  CAST((1000000 * sum(m.n_piece_chars)) // sum(p.n_pieces) AS BIGINT) AS chars_per_piece_ppm
+        |FROM perdoc p JOIN meta m USING (doc_id)
+        |GROUP BY m.lang ORDER BY lang""".stripMargin),
 
     // Per-doc LM cost: the Viterbi stream aggregated by document.
     "q_unigram_ppl" -> unigramSqlWith(
