@@ -712,6 +712,46 @@ object SparkEntry {
         .orderBy(col("dst"), col("rank"))
     }),
 
+    // The crawl FRONTIER: link targets beyond the crawled id range (the
+    // synthetic outlinks run UN-modded, so most targets are undiscovered
+    // pages), prioritized by inlink mass — one (dst) combining aggregate,
+    // an anti-join against the crawled set, and the distributed top-50
+    // (TakeOrdered, no global window; ranks assigned on the bounded
+    // result).
+    "q_crawl_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val links = docs.select(col("doc_id").as("src"),
+        explode(array((0 until 3).map(j =>
+          col("doc_id") * 7 + lit(j * 11)): _*)).as("dst"))
+      operators.WebCuration.frontier(links, "src", "dst",
+          docs.select(col("doc_id")), "doc_id", limit = 50)
+        .select(col("rank"), col("dst"), col("n_inlinks"), col("n_srcs"))
+        .orderBy(col("rank"))
+    }),
+
+    // STREAMING anchor aggregation: link records arrive in micro-batches
+    // and accumulate into the standing link set; anchor frequencies and
+    // inlink totals are pure aggregates of that set, so arrival order
+    // cannot matter and the bounded stream shares the batch oracle
+    // VERBATIM.
+    "q_stream_anchor_texts" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_anchor_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_anchor_src_${runTag(dir)}"
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      docs.select(col("doc_id").as("src"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("anchor"),
+          explode(array((0 until 3).map(j =>
+            (col("doc_id") * 7 + lit(j * 11)) % lit(n)): _*)).as("dst"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamAnchorsBounded(s, src, k = 2)
+        .select(col("dst"), col("rank"), col("anchor"), col("freq"),
+          col("n_srcs"), col("n_inlinks"))
+        .orderBy(col("dst"), col("rank"))
+    }),
+
     // The politeness FETCH SCHEDULE: allowed URLs queue per origin in
     // Knuth-hash order, spaced by the origin's crawl-delay (the graftbot
     // group's own delay here; the `*`-group and default fallbacks are
@@ -5144,6 +5184,31 @@ object SparkEntry {
       |""".stripMargin + finalSelect
   }
 
+  /** Anchor-aggregation oracle — shared verbatim by the batch query and
+    * its streaming twin (anchor stats are pure aggregates of the link
+    * set, so arrival order cannot matter). */
+  private val anchorOracleSql: String =
+    """WITH n AS (SELECT count(*) AS n FROM documents),
+      |links AS (
+      |  SELECT doc_id AS src,
+      |    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS anchor,
+      |    (doc_id * 7 + j * 11) % n.n AS dst
+      |  FROM documents, n, (SELECT unnest([0, 1, 2]) AS j)
+      |  WHERE (doc_id * 7 + j * 11) % n.n <> doc_id),
+      |freqs AS (
+      |  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(count(DISTINCT src) AS BIGINT) AS n_srcs
+      |  FROM links GROUP BY dst, anchor),
+      |ranked AS (
+      |  SELECT dst, anchor, freq, n_srcs,
+      |    CAST(row_number() OVER (PARTITION BY dst
+      |      ORDER BY freq DESC, anchor ASC) AS BIGINT) AS rank,
+      |    CAST(sum(freq) OVER (PARTITION BY dst) AS BIGINT) AS n_inlinks
+      |  FROM freqs)
+      |SELECT dst, rank, anchor, freq, n_srcs, n_inlinks
+      |FROM ranked WHERE rank <= 2
+      |ORDER BY dst, rank""".stripMargin
+
   /** Dirty-JSONL oracle — shared verbatim by the batch read
     * (q_jsonl_source) and its streaming twin: clean rows parse to their
     * fields; the deterministically truncated lines come back all-NULL
@@ -6314,27 +6379,31 @@ object SparkEntry {
     // targets per doc, leading-trigram anchors, self-links dropped),
     // (dst, anchor) frequencies + distinct sources, inlink totals, and
     // the (freq DESC, anchor ASC) top-2 window replayed.
-    "q_anchor_texts" ->
-      """WITH n AS (SELECT count(*) AS n FROM documents),
-        |links AS (
-        |  SELECT doc_id AS src,
-        |    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS anchor,
-        |    (doc_id * 7 + j * 11) % n.n AS dst
-        |  FROM documents, n, (SELECT unnest([0, 1, 2]) AS j)
-        |  WHERE (doc_id * 7 + j * 11) % n.n <> doc_id),
-        |freqs AS (
-        |  SELECT dst, anchor, CAST(count(*) AS BIGINT) AS freq,
+    "q_anchor_texts" -> anchorOracleSql,
+
+    // Anchor stats are pure aggregates of the link set ⇒ the bounded
+    // stream shares the batch oracle verbatim.
+    "q_stream_anchor_texts" -> anchorOracleSql,
+
+    // Frontier oracle: un-modded targets, inlink/distinct-source counts,
+    // crawled ids anti-joined away, the (n_inlinks DESC, dst) top-50.
+    "q_crawl_frontier" ->
+      """WITH links AS (
+        |  SELECT doc_id AS src, doc_id * 7 + j * 11 AS dst
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+        |  WHERE doc_id * 7 + j * 11 <> doc_id),
+        |agg AS (
+        |  SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
         |    CAST(count(DISTINCT src) AS BIGINT) AS n_srcs
-        |  FROM links GROUP BY dst, anchor),
-        |ranked AS (
-        |  SELECT dst, anchor, freq, n_srcs,
-        |    CAST(row_number() OVER (PARTITION BY dst
-        |      ORDER BY freq DESC, anchor ASC) AS BIGINT) AS rank,
-        |    CAST(sum(freq) OVER (PARTITION BY dst) AS BIGINT) AS n_inlinks
-        |  FROM freqs)
-        |SELECT dst, rank, anchor, freq, n_srcs, n_inlinks
-        |FROM ranked WHERE rank <= 2
-        |ORDER BY dst, rank""".stripMargin,
+        |  FROM links
+        |  WHERE dst NOT IN (SELECT doc_id FROM documents)
+        |  GROUP BY dst),
+        |top AS (
+        |  SELECT * FROM agg ORDER BY n_inlinks DESC, dst ASC LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY n_inlinks DESC, dst ASC)
+        |    AS BIGINT) AS rank,
+        |  dst, n_inlinks, n_srcs
+        |FROM top ORDER BY rank""".stripMargin,
 
     // Schedule oracle: allowed = slot ≠ the domain's Disallow slot (the
     // gate oracle's conclusion applied directly), delay = the graftbot

@@ -73,6 +73,30 @@ object WebCuration {
       .filter(col("rank") <= k)
   }
 
+  /** Crawl frontier — the discovery side of the crawl loop: link targets
+    * not yet crawled, prioritized by inlink mass (the OPIC/indegree
+    * heuristic every frontier scheduler starts from). One combining
+    * (dst) aggregate over the link stream, an anti-join against the
+    * crawled set (dst-keyed shuffle), then the distributed top-`limit`
+    * (TakeOrdered — no global window); ranks are assigned on the bounded
+    * result only. Ties break on smaller dst. Self-links excluded. */
+  def frontier(links: DataFrame, srcCol: String, dstCol: String,
+               crawled: DataFrame, crawledIdCol: String,
+               limit: Int): DataFrame = {
+    require(limit >= 1, s"limit must be >= 1, got $limit")
+    val agg = links.filter(col(srcCol) =!= col(dstCol))
+      .groupBy(col(dstCol))
+      .agg(count(lit(1)).as("n_inlinks"),
+        countDistinct(col(srcCol)).as("n_srcs"))
+    val un = agg.join(crawled.select(col(crawledIdCol).as(dstCol)),
+      Seq(dstCol), "left_anti")
+    val top = un.orderBy(col("n_inlinks").desc, col(dstCol).asc).limit(limit)
+    // rank over the ≤ limit surviving rows — bounded, so the single
+    // window partition here is by construction small
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_inlinks").desc, col(dstCol).asc)).cast("long"))
+  }
+
   /** Per-domain crawl profile: doc count, total/mean chars, docs kept by
     * a `cap` — the planning table a crawl curator reads before choosing
     * caps. One combining aggregate. */

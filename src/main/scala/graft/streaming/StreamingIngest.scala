@@ -880,6 +880,39 @@ object StreamingIngest {
     parts.reduce(_ unionByName _)
   }
 
+  /** Streaming anchor-text aggregation — link records arrive in
+    * micro-batches; each batch's slice is checkpointed and the
+    * aggregation ([[graft.operators.WebCuration.topAnchors]]) runs over
+    * the accumulated link set, so the final table equals the batch
+    * operator on the union (anchor frequencies and inlink totals are
+    * pure aggregates of the links — arrival order cannot matter) and the
+    * harness gates the twin with the batch oracle verbatim. The standing
+    * state is the per-batch link slices — the incremental-curation
+    * pattern; a production deployment would fold slices into the
+    * warehouse table the batch operator reads. */
+  def runStreamAnchorsBounded(spark: SparkSession, parquetPath: String,
+                              k: Int, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val slices = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        slices.put(bid, batch.localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = slices.values.asScala.toSeq
+    require(parts.nonEmpty, "runStreamAnchorsBounded: stream produced no batches")
+    graft.operators.WebCuration.topAnchors(
+      parts.reduce(_ unionByName _), "src", "dst", "anchor", k)
+  }
+
   /** Streaming robots.txt politeness gate — discovered URLs arrive in
     * micro-batches and are allow/disallow-decided on arrival against the
     * STATIC per-domain decision table (robots.txt is origin metadata

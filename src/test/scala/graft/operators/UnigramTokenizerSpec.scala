@@ -71,6 +71,25 @@ class UnigramTokenizerSpec extends SparkSpec {
     assert(UnigramTokenizer.loadVocab(spark, path) === vocab)
   }
 
+  test("viterbi property: optimal vs exhaustive on random words") {
+    def allSegs(w: String): Seq[Long] =
+      if (w.isEmpty) Seq(0L)
+      else (1 to math.min(UnigramTokenizer.MaxPieceLen, w.length)).flatMap { l =>
+        val (h, t) = w.splitAt(l)
+        if (cost.contains(h)) allSegs(t).map(cost(h) + _) else Seq.empty
+      }
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    for (_ <- 1 to 60) {
+      val w = (1 to (1 + rnd.nextInt(9)))
+        .map(_ => alpha(rnd.nextInt(26))).mkString
+      val got = UnigramTokenizer.viterbi(w, cost)
+      assert(got.map(_._1).mkString === w)
+      assert(got.map(_._2).sum === allSegs(w).min,
+        s"'$w': viterbi not optimal")
+    }
+  }
+
   test("training is deterministic and prunes unused multi-char candidates") {
     val again = UnigramTokenizer.trainFrozen(BpeTokenizer.seedWordCounts, 48)
     assert(again === vocab)

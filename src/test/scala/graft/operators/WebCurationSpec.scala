@@ -70,4 +70,22 @@ class WebCurationSpec extends SparkSpec {
       (9L, 1L, "best page", 2L, 4L),
       (9L, 2L, "a page", 1L, 4L))) // "a page" beats "z page" on the tie
   }
+
+  test("frontier: crawled targets excluded, inlink priority, bounded ranks") {
+    import spark.implicits._
+    val links = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), // 100: 3 inlinks, uncrawled
+      (1L, 200L), (2L, 200L),             // 200: 2 inlinks, uncrawled
+      (1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), // 5: crawled -> excluded
+      (7L, 300L), (7L, 300L),             // 300: 2 links, 1 distinct src
+      (9L, 9L)                            // self-link dropped
+    ).toDF("src", "dst")
+    val crawled = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("doc_id")
+    val got = WebCuration.frontier(links, "src", "dst", crawled, "doc_id",
+      limit = 2).orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("dst"),
+        r.getAs[Long]("n_inlinks"), r.getAs[Long]("n_srcs")))
+    // 100 (3 inlinks) first; the 200-vs-300 tie at 2 inlinks breaks on dst
+    assert(got.toSeq === Seq((1L, 100L, 3L, 3L), (2L, 200L, 2L, 2L)))
+  }
 }
