@@ -135,6 +135,31 @@ object SparkEntry {
       out.getAbsolutePath
     }
 
+  /** Write-once-per-process IMAGE archives: the same WARC framing with
+    * `image/png` responses whose bodies are the synthetic pixel PNGs
+    * ([[operators.Multimodal.syntheticPngPixelPayload]]) — crawls are
+    * mostly binary, and this fixture is what pins the reader's
+    * byte-exact `body_bytes` path. */
+  private def warcImageFixtureDir(s: SparkSession, dir: String): String =
+    warcFixtureLock.synchronized {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      sweepDeadScratch(tmp, Seq("graft_warcimg_"))
+      val out = new java.io.File(tmp, s"graft_warcimg_${runTag(dir)}")
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        val png = udf((id: Long) => Multimodal.syntheticPngPixelPayload(id))
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://img."), col("source"),
+            lit(".example.com/png/"), col("doc_id").cast("string"),
+            lit(".png")).as("uri"),
+          png(col("doc_id")).as("body"))
+        ingest.WarcIngest.writeSyntheticWarc(s, docs, "doc_id", "uri", "body",
+          out.getAbsolutePath, nFiles = 4, contentType = "image/png")
+        marker.createNewFile()
+      }
+      out.getAbsolutePath
+    }
+
   /** Exact sum: decimal arithmetic, double surface. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -913,6 +938,36 @@ object SparkEntry {
           col("http_content_type"),
           octet_length(col("body")).cast("long").as("body_octets"))
         .orderBy(col("rec_key"))
+    }),
+
+    // The BINARY crawl: image/png responses whose bodies must round-trip
+    // the archive BYTE-EXACT (real crawls are mostly binary) — WARC
+    // parse → image/png + 200 gate → real PNG pixel decode from
+    // body_bytes → plane checksums, hash-matched against the direct-
+    // decode formula oracle verbatim.
+    "q_warc_image_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      ingest.WarcIngest.readRecords(s, warcImageFixtureDir(s, dir))
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type") === "image/png")
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("media_id"),
+          col("body_bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val (w, h, plane) = Multimodal.decodePngPixels(bytes)
+            .getOrElse((0, 0, Array.emptyByteArray))
+          var lsum = 0L; var wsum = 0L; var i = 0
+          while (i < plane.length) {
+            val l = plane(i) & 0xff
+            lsum += l; wsum += l.toLong * (i % 97 + 1); i += 1
+          }
+          (id, w.toLong, h.toLong, plane.length.toLong, lsum, wsum)
+        }
+        .toDF("media_id", "width", "height", "n_pixels", "lum_sum", "lum_wsum")
+        .orderBy(col("media_id"))
     }),
 
     // Per-archive rollup (the crawl operator's manifest view): record/
@@ -5184,6 +5239,34 @@ object SparkEntry {
       |""".stripMargin + finalSelect
   }
 
+  /** PNG pixel-decode oracle — the plane checksums recomputed from the
+    * pixel formulas alone; shared verbatim by the direct decode
+    * (q_image_decode) and the decode-out-of-the-WARC chain
+    * (q_warc_image_decode), because binary payloads round-trip the
+    * archive byte-exact. */
+  private val imageDecodeOracleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 3) % 13 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, i,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN (doc_id * 7 + i * 13) % 251
+      |      WHEN 3 THEN (77 * ((doc_id + 3 * i) % 256)
+      |        + 150 * (((doc_id + 3 * i) % 256) * 7 % 256)
+      |        + 29 * (((doc_id + 3 * i) % 256) * 13 % 256)) // 256
+      |      ELSE (77 * ((doc_id + 2 * i) % 256)
+      |        + 150 * ((doc_id * 3 + 5 * i) % 256)
+      |        + 29 * ((doc_id * 5 + 7 * i) % 256)) // 256
+      |    END AS lum
+      |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r)
+      |SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(lum) AS BIGINT) AS lum_sum,
+      |  CAST(SUM(lum * (i % 97 + 1)) AS BIGINT) AS lum_wsum
+      |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** Anchor-aggregation oracle — shared verbatim by the batch query and
     * its streaming twin (anchor stats are pure aggregates of the link
     * set, so arrival order cannot matter). */
@@ -5784,28 +5867,12 @@ object SparkEntry {
     // 16+(id*3)%13, color branch t = id%4, luma = (77r+150g+29b)//256.
     // The Spark side must round-trip encoder → Inflater → de-filter →
     // luma to land on these exact integers.
-    "q_image_decode" ->
-      """WITH m AS (
-        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 3) % 13 AS h
-        |  FROM documents),
-        |px AS (
-        |  SELECT doc_id, w, h, i,
-        |    CASE doc_id % 4
-        |      WHEN 0 THEN (doc_id * 7 + i * 13) % 251
-        |      WHEN 3 THEN (77 * ((doc_id + 3 * i) % 256)
-        |        + 150 * (((doc_id + 3 * i) % 256) * 7 % 256)
-        |        + 29 * (((doc_id + 3 * i) % 256) * 13 % 256)) // 256
-        |      ELSE (77 * ((doc_id + 2 * i) % 256)
-        |        + 150 * ((doc_id * 3 + 5 * i) % 256)
-        |        + 29 * ((doc_id * 5 + 7 * i) % 256)) // 256
-        |    END AS lum
-        |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r)
-        |SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
-        |  CAST(COUNT(*) AS BIGINT) AS n_pixels,
-        |  CAST(SUM(lum) AS BIGINT) AS lum_sum,
-        |  CAST(SUM(lum * (i % 97 + 1)) AS BIGINT) AS lum_wsum
-        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    "q_image_decode" -> imageDecodeOracleSql,
+
+    // Binary payloads round-trip the archive byte-exact, so decoding the
+    // PNGs OUT OF THE WARC must equal decoding them directly — the
+    // q_image_decode oracle verbatim.
+    "q_warc_image_decode" -> imageDecodeOracleSql,
 
     // GIF plane checksums from the formulas alone: w = 16+id%15,
     // h = 12+(id*5)%11, color index j = (id*5+3i)%64, palette entry

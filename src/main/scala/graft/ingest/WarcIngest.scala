@@ -46,8 +46,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object WarcIngest {
 
   /** One parsed WARC record. `http_*` fields are present only when the
-    * payload is an HTTP response message; `body` is the HTTP body for
-    * responses and the raw payload text otherwise. */
+    * payload is an HTTP response message. The body ships twice: as the
+    * EXACT bytes (`body_bytes` — crawls are mostly binary: images,
+    * PDFs, media) and as its UTF-8 string view (`body` — what the text
+    * pipeline consumes); for responses both are the HTTP body, otherwise
+    * the raw payload. */
   final case class WarcRecord(
       file: String,
       rec_offset: Long,
@@ -58,7 +61,8 @@ object WarcIngest {
       content_length: Long,
       http_status: Option[Int],
       http_content_type: Option[String],
-      body: String)
+      body: String,
+      body_bytes: Array[Byte])
 
   /** Streaming record iterator over one archive's input stream. */
   private final class RecordIterator(raw: InputStream, fileName: String,
@@ -121,21 +125,22 @@ object WarcIngest {
         s"$fileName: payload of $clen bytes exceeds maxPayloadBytes=$maxPayloadBytes")
       val payload = readFully(clen.toInt)
       val warcType = headers.getOrElse("warc-type", "")
-      val (status, ctype, body) = parseHttp(payload)
+      val (status, ctype, bodyBytes) = parseHttp(payload)
       nextRec = WarcRecord(fileName, recOffset, warcType,
         headers.getOrElse("warc-record-id", ""), headers.get("warc-target-uri"),
-        headers.getOrElse("warc-date", ""), clen, status, ctype, body)
+        headers.getOrElse("warc-date", ""), clen, status, ctype,
+        new String(bodyBytes, UTF_8), bodyBytes)
     }
 
     /** Split an `application/http` payload into (status, content-type,
-      * body); non-HTTP payloads come back whole with the HTTP fields
-      * empty. */
+      * body bytes); non-HTTP payloads come back whole with the HTTP
+      * fields empty. */
     private def parseHttp(payload: Array[Byte])
-        : (Option[Int], Option[String], String) = {
+        : (Option[Int], Option[String], Array[Byte]) = {
       val isHttp = payload.length >= 5 &&
         payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
         payload(3) == 'P' && payload(4) == '/'
-      if (!isHttp) return (None, None, new String(payload, UTF_8))
+      if (!isHttp) return (None, None, payload)
       // Locate the header/body split: \r\n\r\n (or tolerant \n\n).
       var split = -1
       var bodyStart = -1
@@ -159,7 +164,8 @@ object WarcIngest {
         case l if l.toLowerCase.startsWith("content-type:") =>
           l.substring("content-type:".length).trim
       }
-      (status, ctype, new String(payload, bodyStart, payload.length - bodyStart, UTF_8))
+      (status, ctype,
+        java.util.Arrays.copyOfRange(payload, bodyStart, payload.length))
     }
 
     override def hasNext: Boolean = {
@@ -251,10 +257,12 @@ object WarcIngest {
 
   /** Frame one response record: WARC headers + HTTP/1.1 200 message. */
   private[ingest] def responseRecord(docId: Long, uri: String,
-                                     htmlBody: Array[Byte]): Array[Byte] = {
+                                     htmlBody: Array[Byte],
+                                     contentType: String =
+                                       "text/html; charset=utf-8"): Array[Byte] = {
     val http = new StringBuilder(96)
     crlf(http.append("HTTP/1.1 200 OK"))
-    crlf(http.append("Content-Type: text/html; charset=utf-8"))
+    crlf(http.append("Content-Type: ").append(contentType))
     crlf(http.append("Content-Length: ").append(htmlBody.length))
     crlf(http)
     val httpHead = http.toString.getBytes(UTF_8)
@@ -315,7 +323,8 @@ object WarcIngest {
     * target filesystem. */
   def writeSyntheticWarc(spark: SparkSession, docs: DataFrame, idCol: String,
                          uriCol: String, bodyCol: String, outDir: String,
-                         nFiles: Int = 4): Unit = {
+                         nFiles: Int = 4,
+                         contentType: String = "text/html; charset=utf-8"): Unit = {
     import org.apache.spark.sql.functions._
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val outPath = new Path(outDir)
@@ -324,8 +333,11 @@ object WarcIngest {
     fsDriver.mkdirs(outPath)
     val confSer = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val n = nFiles
+    val ct = contentType
+    // body cast to BINARY: string bodies become their UTF-8 bytes, binary
+    // bodies (images, media) pass through byte-exact
     docs.select(col(idCol).cast("long"), col(uriCol).cast("string"),
-        col(bodyCol).cast("string"))
+        col(bodyCol).cast("binary"))
       .withColumn("__b", pmod(col(idCol), lit(n.toLong)))
       .repartition(n, col("__b"))
       .sortWithinPartitions(col(idCol))
@@ -346,7 +358,7 @@ object WarcIngest {
         try {
           rows.foreach { r =>
             val rec = responseRecord(r.getLong(0), r.getString(1),
-              r.getString(2).getBytes(UTF_8))
+              r.getAs[Array[Byte]](2), ct)
             val (os, gz) = sinkFor(r.getLong(3))
             os.write(if (gz) gzipMember(rec) else rec)
           }

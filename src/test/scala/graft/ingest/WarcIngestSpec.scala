@@ -94,6 +94,28 @@ class WarcIngestSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("truncated")))
   }
 
+  test("binary payloads round-trip byte-exact through the archive") {
+    import spark.implicits._
+    val out = freshDir("bin")
+    // bytes that are NOT valid UTF-8 (0xFF, 0xFE) — a string round-trip
+    // would corrupt them; body_bytes must not
+    val payload = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0xff.toByte,
+      0xfe.toByte, 0x00, 0x0d, 0x0a, 0x1a)
+    val docs = Seq((7L, "https://img.example/x.png", payload))
+      .toDF("doc_id", "uri", "body")
+    WarcIngest.writeSyntheticWarc(spark, docs, "doc_id", "uri", "body", out,
+      nFiles = 2, contentType = "image/png")
+    val got = WarcIngest.readRecords(spark, out)
+      .filter($"warc_type" === "response").collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Array[Byte]]("body_bytes").toSeq === payload.toSeq)
+    assert(r.getAs[String]("http_content_type") === "image/png")
+    // the WARC content-length counted the raw octets, not a UTF-8 blowup
+    val head = s"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\nContent-Length: ${payload.length}\r\n\r\n"
+    assert(r.getAs[Long]("content_length") === head.length + payload.length)
+  }
+
   test("incremental ingest: delta-only waves, idempotent re-run") {
     import spark.implicits._
     val warc = freshDir("inc_src")
