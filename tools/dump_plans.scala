@@ -116,6 +116,8 @@ val picks = Seq(
   ("q_crawl_schedule", "gate (broadcast fold) + tiny delay table + one domain-keyed queue window"),
   ("q_anchor_texts", "one (dst,anchor) combining shuffle; window input is pre-deduplicated rows"),
   ("q_jsonl_roundtrip", "deterministic shard export: one hash exchange pins each shard to one task"),
+  ("q_crawl_frontier", "frontier: (dst) combining agg -> anti-join vs crawled -> distributed TakeOrdered, no global window"),
+  ("q_warc_image_decode", "binary crawl: archive parse + per-row PNG pixel decode, zero shuffle before the output sort"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
