@@ -970,6 +970,36 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // The WET loop (Common Crawl's extraction OUTPUT format): text-WARC
+    // parsed → boilerplate-stripped → written back as WET archives
+    // (`conversion` records, bare text/plain payload, bucketed + gz like
+    // the input) → re-read. Extraction must survive its own archive
+    // round-trip byte-exact, so this shares the q_text_extract oracle
+    // VERBATIM — the full WARC-in/WET-out cycle in one gate.
+    "q_warc_wet_roundtrip" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcFixtureDir(s, dir))
+      val extracted = recs.filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("target_uri").as("uri"),
+          graft.expr.HtmlExpressions.html_content_text(col("body"))
+            .as("extracted"))
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_wet_"))
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_wet_${runTag(dir)}"
+      ingest.WarcIngest.writeWet(s, extracted, "doc_id", "uri", "extracted",
+        out, nFiles = 4)
+      ingest.WarcIngest.readRecords(s, out)
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("body").as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-archive rollup (the crawl operator's manifest view): record/
     // response counts and payload/body octet volumes per bucket file —
     // identical for the gzipped and plain buckets, which is the codec-
@@ -6406,6 +6436,10 @@ object SparkEntry {
     // The crawl front end-to-end must equal extracting from the pages
     // directly — the q_text_extract oracle verbatim.
     "q_warc_extract" -> textExtractOracleSql,
+
+    // Extraction must survive its own WET archive round-trip — the same
+    // oracle once more.
+    "q_warc_wet_roundtrip" -> textExtractOracleSql,
 
     // robots.txt rule-table oracle: the template's rule rows rebuilt
     // per domain from the source→k rule — the parser must recover

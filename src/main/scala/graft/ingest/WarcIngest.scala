@@ -283,6 +283,81 @@ object WarcIngest {
     out.toByteArray
   }
 
+  /** Frame one WET-style `conversion` record (Common Crawl's extracted-
+    * text archives): the payload is the bare text — no HTTP wrapper. */
+  private[ingest] def conversionRecord(docId: Long, uri: String,
+                                       textBody: Array[Byte]): Array[Byte] = {
+    val warc = new StringBuilder(192)
+    crlf(warc.append("WARC/1.0"))
+    crlf(warc.append("WARC-Type: conversion"))
+    crlf(warc.append("WARC-Record-ID: <urn:graft:doc:").append(docId).append(">"))
+    crlf(warc.append("WARC-Date: 2026-01-01T00:00:00Z"))
+    crlf(warc.append("WARC-Target-URI: ").append(uri))
+    crlf(warc.append("Content-Type: text/plain"))
+    crlf(warc.append("Content-Length: ").append(textBody.length))
+    crlf(warc)
+    val out = new ByteArrayOutputStream(256 + textBody.length)
+    out.write(warc.toString.getBytes(UTF_8)); out.write(textBody)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Write extracted text as WET archives — the Common Crawl convention
+    * for the extraction stage's OUTPUT: `conversion` records (bare
+    * text/plain payload, no HTTP message) in the same bucketed layout as
+    * [[writeSyntheticWarc]] (bucket 0 gzipped per record), each file led
+    * by a warcinfo record. The same record iterator reads them back
+    * (non-HTTP payload ⇒ HTTP columns null, body = the text). */
+  def writeWet(spark: SparkSession, docs: DataFrame, idCol: String,
+               uriCol: String, textCol: String, outDir: String,
+               nFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val outPath = new Path(outDir)
+    val fsDriver = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsDriver.exists(outPath)) fsDriver.delete(outPath, true)
+    fsDriver.mkdirs(outPath)
+    val confSer = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val n = nFiles
+    docs.select(col(idCol).cast("long"), col(uriCol).cast("string"),
+        col(textCol).cast("binary"))
+      .withColumn("__b", pmod(col(idCol), lit(n.toLong)))
+      .repartition(n, col("__b"))
+      .sortWithinPartitions(col(idCol))
+      .select(col(idCol), col(uriCol), col(textCol), col("__b"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = new Path(outDir).getFileSystem(confSer.value)
+        val open = scala.collection.mutable.Map.empty[Long, (OutputStream, Boolean)]
+        def sinkFor(b: Long) = open.getOrElseUpdate(b, {
+          val gz = b == 0L
+          val name = if (gz) s"wet-$b.warc.gz" else s"wet-$b.warc"
+          val os = fs.create(new Path(outDir, name), true)
+          val info = warcinfoRecord(b)
+          os.write(if (gz) gzipMember(info) else info)
+          (os, gz)
+        })
+        try {
+          rows.foreach { r =>
+            val rec = conversionRecord(r.getLong(0), r.getString(1),
+              r.getAs[Array[Byte]](2))
+            val (os, gz) = sinkFor(r.getLong(3))
+            os.write(if (gz) gzipMember(rec) else rec)
+          }
+        } finally open.values.foreach { case (os, _) => os.close() }
+      }
+    val present = docs.select(pmod(col(idCol).cast("long"), lit(n.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    (0L until n.toLong).filterNot(present).foreach { b =>
+      val gz = b == 0L
+      val name = if (gz) s"wet-$b.warc.gz" else s"wet-$b.warc"
+      val os = fsDriver.create(new Path(outDir, name), true)
+      try {
+        val info = warcinfoRecord(b)
+        os.write(if (gz) gzipMember(info) else info)
+      } finally os.close()
+    }
+  }
+
   /** Frame one file-leading warcinfo record. */
   private[ingest] def warcinfoRecord(bucket: Long): Array[Byte] = {
     val body = s"software: graft-warc/1.0\r\nbucket: $bucket\r\n".getBytes(UTF_8)
