@@ -940,6 +940,33 @@ object SparkEntry {
         .orderBy(col("rec_key"))
     }),
 
+    // Crash-replay recovery: a crash between the warehouse append and
+    // the manifest append re-ingests the delta on retry — the failure
+    // mode [[ingest.WarcIngest.ingestIncremental]] documents. The fix it
+    // prescribes is exercised here: the delta is deliberately appended
+    // TWICE, and dedup on (file, rec_offset) — the archive-native
+    // exactly-once key every record carries — restores the clean table,
+    // hash-matched against the one-shot q_warc_records oracle verbatim.
+    "q_warc_dedup_replay" -> ((s, dir) => {
+      val warc = warcFixtureDir(s, dir)
+      val files = ingest.WarcIngest.listArchives(s, warc)
+      val once = ingest.WarcIngest.readRecordFiles(s, files)
+      val replayed = once.unionByName(
+        ingest.WarcIngest.readRecordFiles(s, files.take(2)))
+      replayed.dropDuplicates("file", "rec_offset")
+        .select(
+          when(col("warc_type") === "warcinfo",
+            -regexp_extract(col("record_id"), "warcinfo:(\\d+)", 1)
+              .cast("long") - 1)
+            .otherwise(regexp_extract(col("record_id"), "doc:(\\d+)", 1)
+              .cast("long")).as("rec_key"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type"),
+          octet_length(col("body")).cast("long").as("body_octets"))
+        .orderBy(col("rec_key"))
+    }),
+
     // The BINARY crawl: image/png responses whose bodies must round-trip
     // the archive BYTE-EXACT (real crawls are mostly binary) — WARC
     // parse → image/png + 200 gate → real PNG pixel decode from
@@ -6432,6 +6459,10 @@ object SparkEntry {
     // Two-wave manifest-driven ingest accumulates exactly the one-shot
     // record table — oracle shared verbatim.
     "q_warc_incremental" -> warcRecordsOracleSql,
+
+    // Replayed appends deduplicated on the archive-native
+    // (file, rec_offset) key restore exactly the one-shot table.
+    "q_warc_dedup_replay" -> warcRecordsOracleSql,
 
     // The crawl front end-to-end must equal extracting from the pages
     // directly — the q_text_extract oracle verbatim.

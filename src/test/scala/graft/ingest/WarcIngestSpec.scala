@@ -142,6 +142,46 @@ class WarcIngestSpec extends SparkSpec {
     assert(all.select("record_id").distinct().count() === 12)
   }
 
+  test("property: random record mixes round-trip plain and gzipped archives") {
+    val rnd = new scala.util.Random(42)
+    val out = freshDir("prop")
+    def randBody(): Array[Byte] = {
+      // bodies mixing text, CRLFs (must not desync record framing), and
+      // raw bytes incl. invalid UTF-8
+      val n = rnd.nextInt(200)
+      Array.fill(n)(rnd.nextInt(256).toByte)
+    }
+    val recs = (0 until 40).map { i =>
+      (i.toLong, s"https://p.example/$i", randBody())
+    }
+    // half the records through the HTTP response framing, half as raw
+    // conversion payloads; archive 0 gzipped per record, archive 1 plain
+    val streams = Seq(
+      new java.io.FileOutputStream(s"$out/warc-0.warc.gz"),
+      new java.io.FileOutputStream(s"$out/warc-1.warc"))
+    try {
+      recs.foreach { case (id, uri, body) =>
+        val framed =
+          if (id % 2 == 0) WarcIngest.responseRecord(id, uri, body)
+          else WarcIngest.conversionRecord(id, uri, body)
+        val b = (id % 2).toInt
+        streams(b).write(
+          if (b == 0) WarcIngest.gzipMember(framed) else framed)
+      }
+    } finally streams.foreach(_.close())
+    val got = WarcIngest.readRecords(spark, out).collect()
+      .map(r => (r.getAs[String]("record_id"),
+        r.getAs[String]("warc_type"),
+        r.getAs[Array[Byte]]("body_bytes").toSeq))
+      .toSet
+    val expected = recs.map { case (id, _, body) =>
+      (s"<urn:graft:doc:$id>",
+        if (id % 2 == 0) "response" else "conversion", body.toSeq)
+    }.toSet
+    assert(got === expected,
+      "every random record must round-trip byte-exact through both codecs")
+  }
+
   test("missing directory and empty directory both read as empty") {
     assert(WarcIngest.readRecords(spark, "/nonexistent/graft/warcs").count() === 0)
     assert(WarcIngest.readRecords(spark, freshDir("empty")).count() === 0)
