@@ -697,7 +697,10 @@ object SparkEntry {
     // crawler group wins over `*`), longest-prefix match, Allow beating
     // Disallow on ties, all decided by ONE broadcast join + combining
     // struct-max aggregate. Blocked exactly when the doc's path slot
-    // equals the domain's Disallow slot.
+    // equals the domain's Disallow slot. One PATHLESS root URL per domain
+    // (negative doc_id = -(domain number)-1) exercises the RFC 9309
+    // empty-path normalization: "https://domain" gates as path "/", so
+    // the k%5==0 domains' root Disallow blocks it — and only it.
     "q_robots_gate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val robots = docs.select(col("source")).distinct()
@@ -708,10 +711,16 @@ object SparkEntry {
           operators.RobotsTxt.syntheticRobots(col("domain"), col("k"))
             .as("txt"))
       val rules = operators.RobotsTxt.parseRules(robots, "domain", "txt")
+      val rootUrls = docs.select(col("source")).distinct()
+        .select((lit(-1L) - regexp_extract(col("source"), "(\\d+)", 1)
+            .cast("long")).as("doc_id"),
+          concat(lit("https://www."), col("source"), lit(".example.com"))
+            .as("url"))
       val urls = docs.select(col("doc_id"),
         concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
           (col("doc_id") % 25).cast("string"), lit("/?utm_source="),
           col("lang")).as("url"))
+        .unionByName(rootUrls)
       operators.RobotsTxt.gate(urls, "url", rules, "graftbot")
         .select(col("doc_id"), col("url"), col("domain"), col("path"),
           col("allowed"), col("matched_path"), col("matched_allow"))
@@ -824,6 +833,11 @@ object SparkEntry {
           concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
             (col("doc_id") % 25).cast("string"), lit("/?utm_source="),
             col("lang")).as("url"))
+        .unionByName(docs.select(col("source")).distinct()
+          .select((lit(-1L) - regexp_extract(col("source"), "(\\d+)", 1)
+              .cast("long")).as("doc_id"),
+            concat(lit("https://www."), col("source"), lit(".example.com"))
+              .as("url")))
         .repartition(4).write.mode("overwrite").parquet(src)
       streaming.StreamingIngest.runStreamRobotsGateBounded(s, src, "doc_id",
           rules, "graftbot")
@@ -5257,7 +5271,7 @@ object SparkEntry {
   private lazy val unigramOracleSql: String =
     unigramSqlWith(
       """SELECT words.doc_id, words.widx, CAST(j - 1 AS BIGINT) AS pidx, seg.pieces[j] AS piece,
-        |  vocab.m[seg.pieces[j]][1] AS score_milli
+        |  coalesce(vocab.m[seg.pieces[j]][1], CAST(20000 AS BIGINT)) AS score_milli
         |FROM words JOIN seg USING (w) CROSS JOIN vocab,
         |     LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
         |ORDER BY doc_id, widx, pidx""".stripMargin)
@@ -5279,11 +5293,14 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT w, i + 1, list_append(best, ch.c), list_append(bp, ch.l)
       |  FROM (
-      |    SELECT v.w, v.i, v.best, v.bp, list_min(
+      |    SELECT v.w, v.i, v.best, v.bp, list_min(list_append(
       |      [{'c': v.best[v.i - L + 2] + vocab.m[substr(v.w, CAST(v.i - L + 2 AS INTEGER), CAST(L AS INTEGER))][1],
       |        'nl': -L, 'l': L}
-      |       for L in range(1, least(6, v.i + 1) + 1)
-      |       if len(vocab.m[substr(v.w, CAST(v.i - L + 2 AS INTEGER), CAST(L AS INTEGER))]) > 0]) AS ch
+      |       for L in range(2, least(6, v.i + 1) + 1)
+      |       if len(vocab.m[substr(v.w, CAST(v.i - L + 2 AS INTEGER), CAST(L AS INTEGER))]) > 0],
+      |      {'c': v.best[v.i + 1] + coalesce(vocab.m[substr(v.w, CAST(v.i + 1 AS INTEGER), 1)][1],
+      |         CAST(${operators.UnigramTokenizer.UnknownCostMilli} AS BIGINT)),
+      |       'nl': CAST(-1 AS BIGINT), 'l': CAST(1 AS BIGINT)})) AS ch
       |    FROM vit v CROSS JOIN vocab WHERE v.i < len(v.w)) s),
       |recon AS (
       |  SELECT w, bp, CAST(len(w) AS BIGINT) AS i, CAST([] AS VARCHAR[]) AS pieces
@@ -5384,14 +5401,20 @@ object SparkEntry {
       |    {'rtype': 'allow', 'value': '/docs/'},
       |    {'rtype': 'disallow', 'value': '/docs/<K>/'},
       |    {'rtype': 'disallow', 'value': '/tmp/'}
-      |  ]) AS t(r)),
+      |  ]) AS t(r)
+      |  UNION ALL
+      |  SELECT domain, 'disallow', '/' FROM src WHERE k % 5 = 0),
       |urls AS (
       |  SELECT doc_id,
       |    'https://www.' || source || '.example.com/docs/' ||
       |      CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS url,
       |    source || '.example.com' AS domain,
       |    '/docs/' || CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=' || lang AS path
-      |  FROM documents),
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT -1 - CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT),
+      |    'https://www.' || source || '.example.com', domain, '/'
+      |  FROM src),
       |won AS (
       |  SELECT u.doc_id, u.url, u.domain, u.path,
       |    max(CASE WHEN starts_with(u.path, r.rule_path) THEN
@@ -6483,8 +6506,8 @@ object SparkEntry {
         |  FROM documents)
         |SELECT domain, r.agent AS agent, r.line_no AS line_no,
         |  r.rtype AS rtype,
-        |  replace(replace(r.value, '<K>', CAST(k AS VARCHAR)),
-        |          '<D>', CAST(k % 3 + 1 AS VARCHAR)) AS value
+        |  replace(replace(replace(r.value, '<K>', CAST(k AS VARCHAR)),
+        |          '<D>', CAST(k % 3 + 1 AS VARCHAR)), '<ROOT>', '/') AS value
         |FROM src, UNNEST([
         |  {'agent': '*', 'line_no': CAST(2 AS BIGINT), 'rtype': 'disallow', 'value': '/private/'},
         |  {'agent': '*', 'line_no': CAST(3 AS BIGINT), 'rtype': 'disallow', 'value': '/docs/3/'},
@@ -6493,8 +6516,10 @@ object SparkEntry {
         |  {'agent': 'graftbot', 'line_no': CAST(8 AS BIGINT), 'rtype': 'allow', 'value': '/docs/'},
         |  {'agent': 'graftbot', 'line_no': CAST(9 AS BIGINT), 'rtype': 'disallow', 'value': '/docs/<K>/'},
         |  {'agent': 'graftbot', 'line_no': CAST(10 AS BIGINT), 'rtype': 'disallow', 'value': '/tmp/'},
-        |  {'agent': 'graftbot', 'line_no': CAST(11 AS BIGINT), 'rtype': 'crawl-delay', 'value': '<D>'}
+        |  {'agent': 'graftbot', 'line_no': CAST(11 AS BIGINT), 'rtype': 'crawl-delay', 'value': '<D>'},
+        |  {'agent': 'graftbot', 'line_no': CAST(12 AS BIGINT), 'rtype': 'disallow', 'value': '<ROOT>'}
         |]) AS t(r)
+        |WHERE r.value <> '<ROOT>' OR k % 5 = 0
         |ORDER BY domain, agent, line_no""".stripMargin,
 
     // Gate oracle: the longest-match ladder replayed generically — the
@@ -7183,7 +7208,7 @@ object SparkEntry {
     "q_curriculum" -> unigramSqlWith(
       """, cost AS (
         |  SELECT words.doc_id AS doc_id,
-        |    CAST(sum(vocab.m[seg.pieces[j]][1]) // count(*) AS BIGINT) AS difficulty
+        |    CAST(sum(coalesce(vocab.m[seg.pieces[j]][1], 20000)) // count(*) AS BIGINT) AS difficulty
         |  FROM words JOIN seg USING (w) CROSS JOIN vocab,
         |       LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
         |  GROUP BY words.doc_id),
@@ -7305,8 +7330,8 @@ object SparkEntry {
     // Per-doc LM cost: the Viterbi stream aggregated by document.
     "q_unigram_ppl" -> unigramSqlWith(
       """SELECT words.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
-        |  CAST(sum(vocab.m[seg.pieces[j]][1]) AS BIGINT) AS sum_cost_milli,
-        |  CAST(sum(vocab.m[seg.pieces[j]][1]) // count(*) AS BIGINT) AS mean_cost_milli
+        |  CAST(sum(coalesce(vocab.m[seg.pieces[j]][1], 20000)) AS BIGINT) AS sum_cost_milli,
+        |  CAST(sum(coalesce(vocab.m[seg.pieces[j]][1], 20000)) // count(*) AS BIGINT) AS mean_cost_milli
         |FROM words JOIN seg USING (w) CROSS JOIN vocab,
         |     LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
         |GROUP BY words.doc_id

@@ -255,6 +255,63 @@ object WarcIngest {
 
   private def crlf(sb: StringBuilder): StringBuilder = sb.append("\r\n")
 
+  /** Per-partition bucket-file writer with a task-commit protocol: each
+    * task attempt streams its buckets into ATTEMPT-UNIQUE temp names and
+    * renames them into place only after the whole partition succeeded.
+    * Two racing attempts of the same task (speculative execution, a
+    * zombie attempt racing its retry) then each produce a complete
+    * archive and the last rename wins — instead of both appending into
+    * one shared `fs.create(overwrite)` stream and interleaving bytes
+    * into a corrupt file. A failed attempt deletes its temps and renames
+    * nothing, so a partial write is never visible under the final name. */
+  private def writeBucketPartition(outDir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      fileName: Long => String,
+      rows: Iterator[org.apache.spark.sql.Row],
+      record: org.apache.spark.sql.Row => Array[Byte],
+      bucketOf: org.apache.spark.sql.Row => Long): Unit = {
+    val fs = new Path(outDir).getFileSystem(conf)
+    val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+    // one open stream per bucket present in this partition (hash
+    // partitioning on the bucket key keeps each bucket whole; ≤ nFiles)
+    val open = scala.collection.mutable.Map
+      .empty[Long, (OutputStream, Boolean, Path, Path)]
+    def sinkFor(b: Long) = open.getOrElseUpdate(b, {
+      val gz = b == 0L
+      val name = fileName(b)
+      val dest = new Path(outDir, name)
+      // dots mangled so a hard-killed attempt's leftover temp can never
+      // match the readers' `*.warc*` glob
+      val tmp = new Path(outDir,
+        s".inprogress-$attempt-${name.replace('.', '_')}")
+      val os = fs.create(tmp, true)
+      val info = warcinfoRecord(b)
+      os.write(if (gz) gzipMember(info) else info)
+      (os, gz, tmp, dest)
+    })
+    var ok = false
+    try {
+      rows.foreach { r =>
+        val rec = record(r)
+        val (os, gz, _, _) = sinkFor(bucketOf(r))
+        os.write(if (gz) gzipMember(rec) else rec)
+      }
+      ok = true
+    } finally {
+      open.values.foreach { case (os, _, _, _) => os.close() }
+      if (ok) open.values.foreach { case (_, _, tmp, dest) =>
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(tmp, dest)) {
+          // the other attempt renamed between our delete and rename:
+          // replace its (also complete) file with ours
+          fs.delete(dest, false)
+          require(fs.rename(tmp, dest), s"commit rename $tmp -> $dest failed")
+        }
+      }
+      else open.values.foreach { case (_, _, tmp, _) => fs.delete(tmp, false) }
+    }
+  }
+
   /** Frame one response record: WARC headers + HTTP/1.1 200 message. */
   private[ingest] def responseRecord(docId: Long, uri: String,
                                      htmlBody: Array[Byte],
@@ -326,24 +383,12 @@ object WarcIngest {
       .sortWithinPartitions(col(idCol))
       .select(col(idCol), col(uriCol), col(textCol), col("__b"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val fs = new Path(outDir).getFileSystem(confSer.value)
-        val open = scala.collection.mutable.Map.empty[Long, (OutputStream, Boolean)]
-        def sinkFor(b: Long) = open.getOrElseUpdate(b, {
-          val gz = b == 0L
-          val name = if (gz) s"wet-$b.warc.gz" else s"wet-$b.warc"
-          val os = fs.create(new Path(outDir, name), true)
-          val info = warcinfoRecord(b)
-          os.write(if (gz) gzipMember(info) else info)
-          (os, gz)
-        })
-        try {
-          rows.foreach { r =>
-            val rec = conversionRecord(r.getLong(0), r.getString(1),
-              r.getAs[Array[Byte]](2))
-            val (os, gz) = sinkFor(r.getLong(3))
-            os.write(if (gz) gzipMember(rec) else rec)
-          }
-        } finally open.values.foreach { case (os, _) => os.close() }
+        writeBucketPartition(outDir, confSer.value,
+          b => if (b == 0L) s"wet-$b.warc.gz" else s"wet-$b.warc",
+          rows,
+          r => conversionRecord(r.getLong(0), r.getString(1),
+            r.getAs[Array[Byte]](2)),
+          _.getLong(3))
       }
     val present = docs.select(pmod(col(idCol).cast("long"), lit(n.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSet
@@ -418,26 +463,12 @@ object WarcIngest {
       .sortWithinPartitions(col(idCol))
       .select(col(idCol), col(uriCol), col(bodyCol), col("__b"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val fs = new Path(outDir).getFileSystem(confSer.value)
-        // One open stream per bucket present in this partition (hash
-        // partitioning on __b keeps each bucket whole; ≤ nFiles streams).
-        val open = scala.collection.mutable.Map.empty[Long, (OutputStream, Boolean)]
-        def sinkFor(b: Long) = open.getOrElseUpdate(b, {
-          val gz = b == 0L
-          val name = if (gz) s"warc-$b.warc.gz" else s"warc-$b.warc"
-          val os = fs.create(new Path(outDir, name), true)
-          val info = warcinfoRecord(b)
-          os.write(if (gz) gzipMember(info) else info)
-          (os, gz)
-        })
-        try {
-          rows.foreach { r =>
-            val rec = responseRecord(r.getLong(0), r.getString(1),
-              r.getAs[Array[Byte]](2), ct)
-            val (os, gz) = sinkFor(r.getLong(3))
-            os.write(if (gz) gzipMember(rec) else rec)
-          }
-        } finally open.values.foreach { case (os, _) => os.close() }
+        writeBucketPartition(outDir, confSer.value,
+          b => if (b == 0L) s"warc-$b.warc.gz" else s"warc-$b.warc",
+          rows,
+          r => responseRecord(r.getLong(0), r.getString(1),
+            r.getAs[Array[Byte]](2), ct),
+          _.getLong(3))
       }
     // Empty buckets (nFiles > distinct doc_id % nFiles) still get their
     // warcinfo-only file so per-bucket rollups are total.

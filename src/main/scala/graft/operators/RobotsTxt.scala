@@ -76,10 +76,14 @@ object RobotsTxt {
     * side. */
   def gate(urls: DataFrame, urlCol: String, rules: DataFrame,
            userAgent: String): DataFrame = {
+    // A URL with no path component ("https://example.com") normalizes to
+    // "/" — RFC 9309 rules all start with '/', so the raw empty string
+    // could never match and a root Disallow would silently under-block.
+    val rawPath = regexp_extract(col(urlCol),
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/]*(/.*)?$", 1)
     val withPath = urls
       .withColumn("domain", WebCuration.domainOf(col(urlCol)))
-      .withColumn("path", regexp_extract(col(urlCol),
-        "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/]*(/.*)?$", 1))
+      .withColumn("path", when(rawPath === "", lit("/")).otherwise(rawPath))
     withPath.join(broadcast(decisionTable(rules, userAgent)),
         Seq("domain"), "left")
       .withColumn("__win", array_max(transform(
@@ -107,7 +111,12 @@ object RobotsTxt {
     val ua = userAgent.toLowerCase
     val dirRules = rules.filter(col("rtype").isin("allow", "disallow") &&
       col("value") =!= "")
-    val hasExact = dirRules.groupBy(col("domain"))
+    // Group EXISTENCE is judged over the FULL rule table, not just the
+    // directive rows: per RFC 9309 the most specific matching group
+    // applies even when it carries no allow/disallow lines (e.g. only a
+    // Crawl-delay, or an empty-value Disallow meaning "allow all") — the
+    // exact-agent group must then shadow `*`, not fall back to it.
+    val hasExact = rules.groupBy(col("domain"))
       .agg(max((col("agent") === ua).cast("int")).as("__has_ua"))
     dirRules.join(broadcast(hasExact), "domain")
       .filter((col("__has_ua") === 1 && col("agent") === ua) ||
@@ -158,7 +167,10 @@ object RobotsTxt {
     * crawler-specific group whose Disallow slot k varies per domain —
     * exercising comments, case-insensitive keys, crawl-delay lines,
     * group override, and the longest-match/Allow-tie ladder. `k` must be
-    * SQL-reconstructable from the domain. */
+    * SQL-reconstructable from the domain. Domains with k % 5 == 0 append
+    * a root `Disallow: /` to the graftbot group — the rule that only a
+    * normalized empty path ("https://domain" → "/") can match, pinning
+    * the RFC 9309 pathless-URL case in the oracle gate. */
   def syntheticRobots(domain: Column, k: Column): Column =
     concat(
       lit("# robots.txt for "), domain,
@@ -168,5 +180,6 @@ object RobotsTxt {
       k.cast("string"),
       lit("/\nDisallow: /tmp/\nCrawl-delay: "),
       (k % 3 + 1).cast("string"),
-      lit("\n"))
+      lit("\n"),
+      when(k % 5 === 0, lit("Disallow: /\n")).otherwise(lit("")))
 }

@@ -278,8 +278,14 @@ object Sampling {
     }
     val wSum = weights.map(_._2).sum
     require(wSum > 0, "temperatureMix: no tokens to mix")
+    // BigInt product: at web scale (budget ~1e13 tokens, isqrt weights
+    // ~1e6+) totalTokenBudget * w overflows Long silently; the quotient
+    // itself is always ≤ totalTokenBudget, so only the product needs the
+    // wide intermediate.
     val budgets: Map[String, Long] =
-      weights.map { case (l, w) => l -> totalTokenBudget * w / wSum }.toMap
+      weights.map { case (l, w) =>
+        l -> (BigInt(totalTokenBudget) * w / wSum).toLong
+      }.toMap
     val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (l, b)) =>
       when(col(langCol) === l, lit(b)).otherwise(acc)
     }

@@ -545,6 +545,24 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(q.count(_.getString(1) == "lo") === 4)
   }
 
+  test("temperature mix: web-scale budgets do not overflow Long") {
+    import spark.implicits._
+    // budget 1e13 x isqrt weights ~3e6 would overflow a Long product
+    // (3e19 > 9.2e18); the BigInt intermediate must keep every
+    // per-language budget positive and <= the total
+    val docs = ((1L to 9L).map(i => (i, "hi", 1000000000000L)) :+ // sum 9e12, isqrt 3e6
+      (100L, "lo", 1000000000000L))                               // sum 1e12, isqrt 1e6
+      .toDF("doc_id", "lang", "tok")
+    val budget = 10000000000000L // 1e13
+    val got = Sampling.temperatureMix(docs, "doc_id", "lang", col("tok"),
+        totalTokenBudget = budget)
+      .select("lang", "lang_budget").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("hi") === budget * 3 / 4)
+    assert(got("lo") === budget / 4)
+    got.values.foreach(b => assert(b > 0 && b <= budget))
+  }
+
   test("stream-stream interval join: inclusive 2h bound, no backwards match") {
     import spark.implicits._
     import graft.streaming.StreamingIngest

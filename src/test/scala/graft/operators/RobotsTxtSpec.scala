@@ -76,6 +76,45 @@ class RobotsTxtSpec extends SparkSpec {
       Seq(false, true))
   }
 
+  test("gate: pathless URL normalizes to '/' so a root Disallow blocks it") {
+    val txt = "User-agent: *\nDisallow: /\nAllow: /pub/\n"
+    val rules = RobotsTxt.parseRules(
+      Seq(("d.com", txt)).toDF("domain", "txt"), "domain", "txt")
+    val urls = Seq(
+      (1L, "https://d.com"),           // no path at all -> "/" -> blocked
+      (2L, "https://d.com/"),          // explicit root -> blocked
+      (3L, "https://d.com/pub/x"),     // longer Allow wins
+      (4L, "https://nobots.com")       // no rules, no path -> allowed
+    ).toDF("id", "url")
+    val got = RobotsTxt.gate(urls, "url", rules, "anybot").orderBy("id")
+      .select("id", "path", "allowed").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, "/", false), (2L, "/", false), (3L, "/pub/x", true),
+      (4L, "/", true)))
+  }
+
+  test("gate: an exact-agent group with only crawl-delay still shadows *") {
+    // RFC 9309: the most specific matching group applies even when it
+    // carries no allow/disallow directives — 'me' gets allow-everything,
+    // NOT the * group's Disallow.
+    val txt = Seq(
+      "User-agent: *",
+      "Disallow: /",
+      "",
+      "User-agent: me",
+      "Crawl-delay: 3").mkString("\n")
+    val rules = RobotsTxt.parseRules(
+      Seq(("d.com", txt)).toDF("domain", "txt"), "domain", "txt")
+    val urls = Seq((1L, "https://d.com/page"), (2L, "https://d.com"))
+      .toDF("id", "url")
+    val me = RobotsTxt.gate(urls, "url", rules, "me").orderBy("id").collect()
+    assert(me.map(_.getAs[Boolean]("allowed")).toSeq === Seq(true, true))
+    // a bot with no group of its own still falls back to * (blocked)
+    val other = RobotsTxt.gate(urls, "url", rules, "other").orderBy("id").collect()
+    assert(other.map(_.getAs[Boolean]("allowed")).toSeq === Seq(false, false))
+  }
+
   test("synthetic template parses to the 8 expected rule rows per domain") {
     val robots = Seq(("src7.example.com", 7L)).toDF("domain", "k")
       .select(col("domain"),
@@ -88,6 +127,17 @@ class RobotsTxtSpec extends SparkSpec {
     assert(rules.exists(r =>
       r.getString(1) == "graftbot" && r.getString(3) == "crawl-delay" &&
         r.getString(4) == "2")) // 7 % 3 + 1
+  }
+
+  test("synthetic template: k % 5 == 0 domains add the root Disallow") {
+    val robots = Seq(("src10.example.com", 10L)).toDF("domain", "k")
+      .select(col("domain"),
+        RobotsTxt.syntheticRobots(col("domain"), col("k")).as("txt"))
+    val rules = RobotsTxt.parseRules(robots, "domain", "txt").collect()
+    assert(rules.length === 9)
+    assert(rules.exists(r => r.getString(1) == "graftbot" &&
+      r.getLong(2) == 12L && r.getString(3) == "disallow" &&
+      r.getString(4) == "/"))
   }
 
   test("schedule: per-domain queue, delay fallback chain, fetch spacing") {
