@@ -162,7 +162,30 @@ object Bench {
       if (neverSucceeded.isEmpty) ""
       else neverSucceeded.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"shuffle_top":$shJson,"queries_max":$qsMax$failedJson,"queries":$qs,"value":${fmt(total)},"agg":"min"}""")
+    val fullLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"shuffle_top":$shJson,"queries_max":$qsMax$failedJson,"queries":$qs,"value":${fmt(total)},"agg":"min"}"""
+    // The harness keeps only the last ~2000 characters of output and
+    // JSON-parses what it finds there; the full per-query line (288
+    // queries ≈ 7 KB) can never fit, and even a truncated fragment of it
+    // in the window could confuse the parse — so the full map goes ONLY
+    // to a stamp file, and stdout carries one COMPACT contract line:
+    // headline total plus the top-40 slowest queries, sized to fit the
+    // tail window whole.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "tools/stamps/bench_full_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(fullPath)
+      Option(p.getParent)
+        .foreach(d => { java.nio.file.Files.createDirectories(d); () })
+      java.nio.file.Files.write(p,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] full-json write failed: ${e.getMessage}")
+    }
+    val topQs = byCost.take(40)
+      .map(k => "\"" + k + "\":" + fmt(timeOf(k))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${names.length},"queries_note":"top-40 by min time; full map in $fullPath","queries":$topQs$failedJson,"value":${fmt(total)},"agg":"min"}""")
     spark.stop()
   }
 }
