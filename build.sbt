@@ -9,6 +9,9 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// the container's platform default is US-ASCII; pin source encoding so
+// non-ASCII string literals read correctly instead of as mojibake
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -160,6 +160,155 @@ object SparkEntry {
       out.getAbsolutePath
     }
 
+  /** The legacy-charset rotation for the charset-sniffing WARC fixture:
+    * (java charset name, non-ASCII marker appended to the page text).
+    * Every marker is encodable in its charset and survives the charset's
+    * encode→decode round-trip bit-exactly; the windows-1252 euro (0x80)
+    * and em-dash (0x97) distinguish cp1252 from ISO-8859-1. Shared by
+    * the fixture UDF and the oracle's CASE literal (\u escapes because
+    * the container's platform charset is US-ASCII). */
+  private val CharsetModes: IndexedSeq[(String, String)] = IndexedSeq(
+    ("UTF-8", "unicode üñî ✓ probe"),
+    ("ISO-8859-1", "café à la carte ±°"),
+    ("windows-1252", "€uro café — quote"),
+    ("GB2312", "中文编码测试"),
+    ("Shift_JIS", "日本語テキスト"),
+    ("UTF-16", "Ωmega ±π bom"))
+
+  /** Write-once-per-process LEGACY-CHARSET archives: each document's
+    * page re-encoded under the doc_id % 6 rotation and declared three
+    * different ways — Content-Type parameter (modes 1/3), `<meta>` in
+    * the head (modes 0/2/4: charset attr and http-equiv both), or a
+    * UTF-16 BOM (mode 5) — so every branch of
+    * [[ingest.WarcIngest.sniffCharset]]'s precedence ladder carries
+    * fixture rows. Pages are simple head+h1+p documents (no uppercase
+    * twin: non-ASCII case-mapping is locale-lore neither engine should
+    * be oracled on). */
+  private def warcCharsetFixtureDir(s: SparkSession, dir: String): String =
+    warcFixtureLock.synchronized {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      sweepDeadScratch(tmp, Seq("graft_warccs_"))
+      val out = new java.io.File(tmp, s"graft_warccs_${runTag(dir)}")
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        val modes = CharsetModes
+        val pageBytes = udf { (id: Long, text: String) =>
+          val mode = (id % 6).toInt
+          val (cs, mk) = modes(mode)
+          val meta = mode match {
+            case 0 => "<meta charset=\"utf-8\">\n"
+            case 2 => "<meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=windows-1252\">\n"
+            case 4 => "<meta charset=\"shift_jis\">\n"
+            case _ => ""
+          }
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val page = "<!doctype html>\n<html>\n<head>\n" + meta +
+            "<title>Doc " + id + "</title>\n</head>\n<body>\n" +
+            "<h1>Charset probe document about encodings</h1>\n<p>" +
+            esc + " " + mk + "</p>\n</body>\n</html>\n"
+          page.getBytes(java.nio.charset.Charset.forName(cs))
+        }
+        val ctOf = udf { (id: Long) =>
+          (id % 6).toInt match {
+            case 1 => "text/html; charset=iso-8859-1"
+            case 3 => "text/html; charset=gb2312"
+            case 5 => "text/html; charset=utf-16"
+            case _ => "text/html"
+          }
+        }
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://cs."), col("source"), lit(".example.com/p/"),
+            col("doc_id").cast("string")).as("uri"),
+          pageBytes(col("doc_id"), col("text")).as("body"),
+          ctOf(col("doc_id")).as("ct"))
+        ingest.WarcIngest.writeResponsesWarc(s, docs, "doc_id", "uri", "body",
+          "ct", out.getAbsolutePath, nFiles = 4)
+        marker.createNewFile()
+      }
+      out.getAbsolutePath
+    }
+
+  /** Write-once-per-process WIRE-ENCODING archives: each document's page
+    * framed under the doc_id % 5 rotation of HTTP transfer/content
+    * codings a Heritrix-style raw capture preserves — identity,
+    * chunked (16-byte chunks), gzip, gzip-then-chunked, zlib deflate.
+    * The reader must strip the framing before the body reaches the
+    * charset/extraction stages; the oracle recomputes the raw payload
+    * octets for the SQL-derivable modes (identity head arithmetic and
+    * the exact chunk-framing formula). */
+  private def warcEncodingsFixtureDir(s: SparkSession, dir: String): String =
+    warcFixtureLock.synchronized {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      sweepDeadScratch(tmp, Seq("graft_warcenc_"))
+      val out = new java.io.File(tmp, s"graft_warcenc_${runTag(dir)}")
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        val payload = udf { (id: Long, text: String) =>
+          val ascii = java.nio.charset.StandardCharsets.UTF_8
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val page = ("<html>\n<head>\n<title>E" + id + "</title>\n</head>\n" +
+            "<body>\n<h1>Encoding probe document headline</h1>\n<p>" + esc +
+            "</p>\n</body>\n</html>\n").getBytes(ascii)
+          def gz(b: Array[Byte]) = {
+            val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            try { g.write(b); g.finish() } finally g.close()
+            bos.toByteArray
+          }
+          def defl(b: Array[Byte]) = {
+            val d = new java.util.zip.Deflater()
+            d.setInput(b); d.finish()
+            val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+            val buf = new Array[Byte](4096)
+            while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+            d.end()
+            bos.toByteArray
+          }
+          def chunk(b: Array[Byte]) = {
+            val bos = new java.io.ByteArrayOutputStream(b.length + b.length / 4 + 16)
+            var i = 0
+            while (i < b.length) {
+              val k = math.min(16, b.length - i)
+              bos.write((java.lang.Long.toHexString(k.toLong) + "\r\n").getBytes(ascii))
+              bos.write(b, i, k)
+              bos.write("\r\n".getBytes(ascii))
+              i += k
+            }
+            bos.write("0\r\n\r\n".getBytes(ascii))
+            bos.toByteArray
+          }
+          val (codingHeaders, body) = (id % 5).toInt match {
+            case 0 => (s"Content-Length: ${page.length}\r\n", page)
+            case 1 => ("Transfer-Encoding: chunked\r\n", chunk(page))
+            case 2 =>
+              val g = gz(page)
+              (s"Content-Encoding: gzip\r\nContent-Length: ${g.length}\r\n", g)
+            case 3 =>
+              ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+                chunk(gz(page)))
+            case _ =>
+              val d = defl(page)
+              (s"Content-Encoding: deflate\r\nContent-Length: ${d.length}\r\n", d)
+          }
+          val head = ("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=utf-8\r\n" +
+            codingHeaders + "\r\n").getBytes(ascii)
+          head ++ body
+        }
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://enc."), col("source"), lit(".example.com/p/"),
+            col("doc_id").cast("string")).as("uri"),
+          payload(col("doc_id"), col("text")).as("payload"))
+        ingest.WarcIngest.writeHttpResponsesWarc(s, docs, "doc_id", "uri",
+          "payload", out.getAbsolutePath, nFiles = 4)
+        marker.createNewFile()
+      }
+      out.getAbsolutePath
+    }
+
   /** Exact sum: decimal arithmetic, double surface. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -916,6 +1065,56 @@ object SparkEntry {
             .as("doc_id"),
           graft.expr.HtmlExpressions.html_content_text(col("body"))
             .as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Charset-aware body decoding — the largest real-crawl correctness
+    // gap a UTF-8-only reader has: pages re-encoded under a 6-charset
+    // rotation (UTF-8, ISO-8859-1, windows-1252, GB2312, Shift_JIS,
+    // UTF-16) and declared via Content-Type parameter, <meta charset>,
+    // http-equiv, or BOM must decode to the EXACT original text —
+    // extraction output hash-matched against the oracle's from-scratch
+    // page reconstruction, non-ASCII markers included, plus the sniffed
+    // charset name itself.
+    "q_warc_charset" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcCharsetFixtureDir(s, dir))
+      recs.filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("charset"),
+          graft.expr.HtmlExpressions.html_content_text(col("body"))
+            .as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Wire-format decoding: chunked transfer framing de-chunked and
+    // gzip/deflate content codings decompressed before the body reaches
+    // extraction — else framing bytes and compressed garbage masquerade
+    // as page text. The raw WARC payload octets (the framing truth) are
+    // oracled exactly for the SQL-derivable modes (identity arithmetic,
+    // the 16-byte chunk formula); decompressed body octets + extraction
+    // are oracled for ALL five modes.
+    "q_warc_encodings" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcEncodingsFixtureDir(s, dir))
+      recs.filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("content_length"),
+          octet_length(col("body")).cast("long").as("body_octets"),
+          graft.expr.HtmlExpressions.html_content_text(col("body"))
+            .as("extracted"))
+        .withColumn("mode",
+          when(col("doc_id") % 5 === 0, "identity")
+            .when(col("doc_id") % 5 === 1, "chunked")
+            .when(col("doc_id") % 5 === 2, "gzip")
+            .when(col("doc_id") % 5 === 3, "gzip+chunked")
+            .otherwise("deflate"))
+        .withColumn("payload_octets",
+          when(col("doc_id") % 5 <= 1, col("content_length")))
+        .select(col("doc_id"), col("mode"), col("payload_octets"),
+          col("body_octets"), col("extracted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5261,6 +5460,23 @@ object SparkEntry {
       |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS uri
       |  FROM documents""".stripMargin
 
+  /** Charset-fixture oracle: sniffed charset name and extracted text
+    * (h1 + the marker-suffixed paragraph) reconstructed from the
+    * documents table and the [[CharsetModes]] rotation — both CASE
+    * ladders are generated from the same Scala constant the fixture UDF
+    * encodes with, so a decode under the wrong charset cannot match. */
+  private lazy val warcCharsetOracleSql: String = {
+    val csCase = CharsetModes.zipWithIndex
+      .map { case ((cs, _), i) => s"WHEN $i THEN '$cs'" }.mkString(" ")
+    val mkCase = CharsetModes.zipWithIndex
+      .map { case ((_, mk), i) => s"WHEN $i THEN '$mk'" }.mkString(" ")
+    s"""SELECT doc_id,
+       |  CASE doc_id % 6 $csCase END AS charset,
+       |  'Charset probe document about encodings' || chr(10) ||
+       |    text || ' ' || CASE doc_id % 6 $mkCase END AS extracted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Unigram-tokenizer oracle, shared verbatim by q_unigram_tokenize and
     * the persistence twin: the frozen (piece → cost_milli) vocabulary is
     * LITERALIZED into a DuckDB MAP (the frozen-BPE-merges idiom), the
@@ -6490,6 +6706,44 @@ object SparkEntry {
     // The crawl front end-to-end must equal extracting from the pages
     // directly — the q_text_extract oracle verbatim.
     "q_warc_extract" -> textExtractOracleSql,
+
+    // Charset round-trip: sniffed charset name + extracted text rebuilt
+    // from the documents table and the shared marker rotation — a page
+    // that decoded under the wrong charset can't reproduce its marker.
+    "q_warc_charset" -> warcCharsetOracleSql,
+
+    // Wire-encoding oracle: raw payload octets recomputed exactly for
+    // identity (head arithmetic) and chunked (22 octets per full
+    // 16-byte chunk = 2 hex + CRLF + data + CRLF; r+5 for the partial;
+    // +5 for the 0-chunk terminator); compressed modes pin the decoded
+    // octets and extraction instead (deflate streams aren't
+    // SQL-rebuildable).
+    "q_warc_encodings" ->
+      """WITH page AS (
+        |  SELECT doc_id, text,
+        |    '<html>' || chr(10) || '<head>' || chr(10) || '<title>E' ||
+        |    CAST(doc_id AS VARCHAR) || '</title>' || chr(10) || '</head>' || chr(10) ||
+        |    '<body>' || chr(10) || '<h1>Encoding probe document headline</h1>' || chr(10) ||
+        |    '<p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        |    '</p>' || chr(10) || '</body>' || chr(10) || '</html>' || chr(10) AS html
+        |  FROM documents),
+        |m AS (SELECT doc_id, text, doc_id % 5 AS md, strlen(html) AS n FROM page)
+        |SELECT doc_id,
+        |  CASE md WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
+        |    WHEN 2 THEN 'gzip' WHEN 3 THEN 'gzip+chunked' ELSE 'deflate' END AS mode,
+        |  CAST(CASE md
+        |    WHEN 0 THEN strlen('HTTP/1.1 200 OK') + 2
+        |      + strlen('Content-Type: text/html; charset=utf-8') + 2
+        |      + strlen('Content-Length: ' || CAST(n AS VARCHAR)) + 2 + 2 + n
+        |    WHEN 1 THEN strlen('HTTP/1.1 200 OK') + 2
+        |      + strlen('Content-Type: text/html; charset=utf-8') + 2
+        |      + strlen('Transfer-Encoding: chunked') + 2 + 2
+        |      + (n // 16) * 22
+        |      + CASE WHEN n % 16 > 0 THEN n % 16 + 5 ELSE 0 END + 5
+        |  END AS BIGINT) AS payload_octets,
+        |  CAST(n AS BIGINT) AS body_octets,
+        |  'Encoding probe document headline' || chr(10) || text AS extracted
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Extraction must survive its own WET archive round-trip — the same
     // oracle once more.

@@ -48,9 +48,15 @@ object WarcIngest {
   /** One parsed WARC record. `http_*` fields are present only when the
     * payload is an HTTP response message. The body ships twice: as the
     * EXACT bytes (`body_bytes` — crawls are mostly binary: images,
-    * PDFs, media) and as its UTF-8 string view (`body` — what the text
-    * pipeline consumes); for responses both are the HTTP body, otherwise
-    * the raw payload. */
+    * PDFs, media) and as its decoded string view (`body` — what the
+    * text pipeline consumes); for responses both are the HTTP body,
+    * otherwise the raw payload. For HTTP responses the string view is
+    * decoded under the SNIFFED charset ([[sniffCharset]]: BOM →
+    * Content-Type parameter → `<meta charset>` → UTF-8) and `charset`
+    * records the choice — real crawls are heavily legacy-charset
+    * (ISO-8859-1, windows-1252, GB2312, Shift_JIS) and a UTF-8-only
+    * view would hand the extractor mojibake; non-HTTP payloads stay
+    * UTF-8 (`charset` null). */
   final case class WarcRecord(
       file: String,
       rec_offset: Long,
@@ -61,8 +67,131 @@ object WarcIngest {
       content_length: Long,
       http_status: Option[Int],
       http_content_type: Option[String],
+      charset: Option[String],
       body: String,
       body_bytes: Array[Byte])
+
+  private val CharsetParam =
+    """charset\s*=\s*"?([a-zA-Z0-9._:-]+)"?""".r
+  private val MetaCharset =
+    ("""<meta\s+charset\s*=\s*["']?([a-z0-9._:-]+)""" +
+      """|<meta\s[^>]*?content\s*=\s*["'][^"']*?charset=([a-z0-9._:-]+)""").r
+
+  private def resolveCharset(name: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(name.trim))
+    catch { case _: Exception => None }
+
+  /** Charset for an HTTP response body's string view, WHATWG-ish
+    * precedence: (1) a byte-order mark is authoritative (UTF-8 BOM, or
+    * either UTF-16 BOM — Java's "UTF-16" decoder consumes both); (2) the
+    * `charset=` parameter of the Content-Type header; (3) for HTML-ish
+    * content only, a `<meta charset>` / `http-equiv` declaration inside
+    * the first 1024 bytes (scanned under ISO-8859-1, which is
+    * byte-transparent — and ASCII-safe for every charset this path can
+    * name, since the legacy encodings are ASCII-supersets); (4) UTF-8.
+    * Unknown/unsupported names fall through to UTF-8 rather than fail —
+    * crawl tooling tolerance. */
+  private[ingest] def sniffCharset(contentType: Option[String],
+                                   body: Array[Byte]): java.nio.charset.Charset = {
+    if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+        (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf) return UTF_8
+    if (body.length >= 2) {
+      val b0 = body(0) & 0xff
+      val b1 = body(1) & 0xff
+      if ((b0 == 0xfe && b1 == 0xff) || (b0 == 0xff && b1 == 0xfe))
+        return java.nio.charset.Charset.forName("UTF-16")
+    }
+    val ct = contentType.getOrElse("").toLowerCase(java.util.Locale.ROOT)
+    val fromHeader = CharsetParam.findFirstMatchIn(ct).map(_.group(1))
+    val fromMeta =
+      if (fromHeader.isEmpty &&
+          (ct.isEmpty || ct.startsWith("text/") || ct.contains("xhtml"))) {
+        val head = new String(body, 0, math.min(body.length, 1024),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+          .toLowerCase(java.util.Locale.ROOT)
+        MetaCharset.findFirstMatchIn(head)
+          .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+      } else None
+    fromHeader.orElse(fromMeta).flatMap(resolveCharset).getOrElse(UTF_8)
+  }
+
+  /** Decode an HTTP/1.1 chunked body (RFC 9112 §7.1): hex chunk-size
+    * lines (chunk extensions after ';' ignored), CRLF-delimited data,
+    * terminated by a 0-size chunk plus optional trailer fields. LF-only
+    * line ends tolerated like the rest of the parser. None on any
+    * framing violation — the caller keeps the raw bytes. */
+  private[ingest] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var i = 0
+    def line(): Option[String] = {
+      val start = i
+      while (i < b.length && b(i) != '\n') i += 1
+      if (i >= b.length) None
+      else {
+        val end = if (i > start && b(i - 1) == '\r') i - 1 else i
+        i += 1
+        Some(new String(b, start, end - start, UTF_8))
+      }
+    }
+    while (true) {
+      val sizeLine = line().getOrElse(return None)
+      val hexPart = sizeLine.takeWhile(_ != ';').trim
+      if (hexPart.isEmpty || !hexPart.forall(c => Character.digit(c, 16) >= 0))
+        return None
+      val size =
+        try java.lang.Long.parseLong(hexPart, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size == 0L) {
+        // optional trailers until a blank line (or clean end of input)
+        var t = line()
+        while (t.exists(_.nonEmpty)) t = line()
+        return Some(out.toByteArray)
+      }
+      if (size < 0 || i + size > b.length) return None
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      // the CRLF that closes the chunk data
+      if (i < b.length && b(i) == '\r') i += 1
+      if (i >= b.length || b(i) != '\n') return None
+      i += 1
+    }
+    None // unreachable
+  }
+
+  /** Gunzip, tolerating concatenated members; None when not valid gzip. */
+  private[ingest] def gunzip(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(b), 1 << 14)
+      val out = new ByteArrayOutputStream(b.length * 3 + 64)
+      val buf = new Array[Byte](1 << 14)
+      var r = in.read(buf)
+      while (r != -1) { out.write(buf, 0, r); r = in.read(buf) }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** Inflate a `deflate` body: zlib-wrapped per the RFC, falling back to
+    * raw deflate (the classic server bug the major browsers tolerate). */
+  private[ingest] def inflate(b: Array[Byte]): Option[Array[Byte]] = {
+    def run(nowrap: Boolean): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater(nowrap)
+        inf.setInput(b)
+        val out = new ByteArrayOutputStream(b.length * 3 + 64)
+        val buf = new Array[Byte](1 << 14)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) {
+            inf.end()
+            return None // needs more input/dict: truncated or not deflate
+          }
+          out.write(buf, 0, n)
+        }
+        inf.end()
+        Some(out.toByteArray)
+      } catch { case _: Exception => None }
+    run(nowrap = false).orElse(run(nowrap = true))
+  }
 
   /** Streaming record iterator over one archive's input stream. */
   private final class RecordIterator(raw: InputStream, fileName: String,
@@ -126,15 +255,24 @@ object WarcIngest {
       val payload = readFully(clen.toInt)
       val warcType = headers.getOrElse("warc-type", "")
       val (status, ctype, bodyBytes) = parseHttp(payload)
+      val cs = if (status.isDefined) sniffCharset(ctype, bodyBytes) else UTF_8
       nextRec = WarcRecord(fileName, recOffset, warcType,
         headers.getOrElse("warc-record-id", ""), headers.get("warc-target-uri"),
         headers.getOrElse("warc-date", ""), clen, status, ctype,
-        new String(bodyBytes, UTF_8), bodyBytes)
+        if (status.isDefined) Some(cs.name()) else None,
+        new String(bodyBytes, cs), bodyBytes)
     }
 
     /** Split an `application/http` payload into (status, content-type,
-      * body bytes); non-HTTP payloads come back whole with the HTTP
-      * fields empty. */
+      * ENTITY body bytes); non-HTTP payloads come back whole with the
+      * HTTP fields empty. Heritrix-style raw captures store the message
+      * exactly as it crossed the wire, so the body may still carry its
+      * transfer framing: `Transfer-Encoding: chunked` is de-chunked and
+      * `Content-Encoding: gzip/x-gzip/deflate` decompressed — in that
+      * order, the reverse of how the sender applied them. Unknown
+      * encodings (br, zstd, …) and undecodable payloads keep the raw
+      * bytes — crawl tolerance: a corrupt member must not kill the
+      * archive task, and the raw bytes remain inspectable downstream. */
     private def parseHttp(payload: Array[Byte])
         : (Option[Int], Option[String], Array[Byte]) = {
       val isHttp = payload.length >= 5 &&
@@ -160,12 +298,23 @@ object WarcIngest {
         val parts = sl.split(" ")
         if (parts.length >= 2) parts(1).toIntOption else None
       }
-      val ctype = lines.drop(1).collectFirst {
-        case l if l.toLowerCase.startsWith("content-type:") =>
-          l.substring("content-type:".length).trim
+      def header(name: String): Option[String] = lines.drop(1).collectFirst {
+        case l if l.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":") =>
+          l.substring(name.length + 1).trim
       }
-      (status, ctype,
-        java.util.Arrays.copyOfRange(payload, bodyStart, payload.length))
+      val ctype = header("content-type")
+      var body =
+        java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
+      if (header("transfer-encoding")
+          .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
+        body = dechunk(body).getOrElse(body)
+      header("content-encoding")
+        .map(_.toLowerCase(java.util.Locale.ROOT)).foreach {
+          case "gzip" | "x-gzip" => body = gunzip(body).getOrElse(body)
+          case "deflate" => body = inflate(body).getOrElse(body)
+          case _ => () // identity or an encoding we can't decode: keep raw
+        }
+      (status, ctype, body)
     }
 
     override def hasNext: Boolean = {
@@ -340,6 +489,70 @@ object WarcIngest {
     out.toByteArray
   }
 
+  /** Frame one response record around a CALLER-BUILT HTTP message —
+    * the fixture hook for wire-format variants (chunked transfer
+    * framing, gzip/deflate content codings, exotic headers) that
+    * [[responseRecord]]'s fixed head can't express. The payload goes in
+    * verbatim; Content-Length is its exact octet count. */
+  private[ingest] def rawHttpRecord(docId: Long, uri: String,
+                                    httpPayload: Array[Byte]): Array[Byte] = {
+    val warc = new StringBuilder(192)
+    crlf(warc.append("WARC/1.0"))
+    crlf(warc.append("WARC-Type: response"))
+    crlf(warc.append("WARC-Record-ID: <urn:graft:doc:").append(docId).append(">"))
+    crlf(warc.append("WARC-Date: 2026-01-01T00:00:00Z"))
+    crlf(warc.append("WARC-Target-URI: ").append(uri))
+    crlf(warc.append("Content-Type: application/http; msgtype=response"))
+    crlf(warc.append("Content-Length: ").append(httpPayload.length))
+    crlf(warc)
+    val head = warc.toString.getBytes(UTF_8)
+    val out = new ByteArrayOutputStream(head.length + httpPayload.length + 4)
+    out.write(head); out.write(httpPayload)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** [[writeResponsesWarc]] for pre-framed HTTP payload bytes: each row's
+    * `payloadCol` is written verbatim as one response record's payload —
+    * same bucketed layout, warcinfo-led files, bucket 0 gzipped. */
+  def writeHttpResponsesWarc(spark: SparkSession, docs: DataFrame,
+                             idCol: String, uriCol: String, payloadCol: String,
+                             outDir: String, nFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val outPath = new Path(outDir)
+    val fsDriver = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsDriver.exists(outPath)) fsDriver.delete(outPath, true)
+    fsDriver.mkdirs(outPath)
+    val confSer = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val n = nFiles
+    docs.select(col(idCol).cast("long"), col(uriCol).cast("string"),
+        col(payloadCol).cast("binary"))
+      .withColumn("__b", pmod(col(idCol), lit(n.toLong)))
+      .repartition(n, col("__b"))
+      .sortWithinPartitions(col(idCol))
+      .select(col(idCol), col(uriCol), col(payloadCol), col("__b"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        writeBucketPartition(outDir, confSer.value,
+          b => if (b == 0L) s"warc-$b.warc.gz" else s"warc-$b.warc",
+          rows,
+          r => rawHttpRecord(r.getLong(0), r.getString(1),
+            r.getAs[Array[Byte]](2)),
+          _.getLong(3))
+      }
+    val present = docs.select(pmod(col(idCol).cast("long"), lit(n.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    (0L until n.toLong).filterNot(present).foreach { b =>
+      val gz = b == 0L
+      val name = if (gz) s"warc-$b.warc.gz" else s"warc-$b.warc"
+      val os = fsDriver.create(new Path(outDir, name), true)
+      try {
+        val info = warcinfoRecord(b)
+        os.write(if (gz) gzipMember(info) else info)
+      } finally os.close()
+    }
+  }
+
   /** Frame one WET-style `conversion` record (Common Crawl's extracted-
     * text archives): the payload is the bare text — no HTTP wrapper. */
   private[ingest] def conversionRecord(docId: Long, uri: String,
@@ -446,6 +659,20 @@ object WarcIngest {
                          nFiles: Int = 4,
                          contentType: String = "text/html; charset=utf-8"): Unit = {
     import org.apache.spark.sql.functions._
+    writeResponsesWarc(spark,
+      docs.withColumn("__graft_ct", lit(contentType)),
+      idCol, uriCol, bodyCol, "__graft_ct", outDir, nFiles)
+  }
+
+  /** [[writeSyntheticWarc]] with a PER-RECORD Content-Type column — what
+    * a real capture stream has (one archive mixes text/html pages under
+    * many charsets with images, PDFs, media). Same bucketed layout,
+    * warcinfo-led files, bucket 0 gzipped per record, task-commit temp/
+    * rename protocol. */
+  def writeResponsesWarc(spark: SparkSession, docs: DataFrame, idCol: String,
+                         uriCol: String, bodyCol: String, ctCol: String,
+                         outDir: String, nFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val outPath = new Path(outDir)
     val fsDriver = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -453,22 +680,21 @@ object WarcIngest {
     fsDriver.mkdirs(outPath)
     val confSer = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val n = nFiles
-    val ct = contentType
     // body cast to BINARY: string bodies become their UTF-8 bytes, binary
-    // bodies (images, media) pass through byte-exact
+    // bodies (images, media, legacy-charset pages) pass through byte-exact
     docs.select(col(idCol).cast("long"), col(uriCol).cast("string"),
-        col(bodyCol).cast("binary"))
+        col(bodyCol).cast("binary"), col(ctCol).cast("string"))
       .withColumn("__b", pmod(col(idCol), lit(n.toLong)))
       .repartition(n, col("__b"))
       .sortWithinPartitions(col(idCol))
-      .select(col(idCol), col(uriCol), col(bodyCol), col("__b"))
+      .select(col(idCol), col(uriCol), col(bodyCol), col(ctCol), col("__b"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         writeBucketPartition(outDir, confSer.value,
           b => if (b == 0L) s"warc-$b.warc.gz" else s"warc-$b.warc",
           rows,
           r => responseRecord(r.getLong(0), r.getString(1),
-            r.getAs[Array[Byte]](2), ct),
-          _.getLong(3))
+            r.getAs[Array[Byte]](2), r.getString(3)),
+          _.getLong(4))
       }
     // Empty buckets (nFiles > distinct doc_id % nFiles) still get their
     // warcinfo-only file so per-bucket rollups are total.

@@ -182,6 +182,156 @@ class WarcIngestSpec extends SparkSpec {
       "every random record must round-trip byte-exact through both codecs")
   }
 
+  test("charset sniffing: BOM > Content-Type param > meta > UTF-8") {
+    def sniff(ct: Option[String], body: Array[Byte]): String =
+      WarcIngest.sniffCharset(ct, body).name()
+    val html = (cs: String) => s"""<html><head><meta charset="$cs"></head></html>"""
+    // header parameter
+    assert(sniff(Some("text/html; charset=ISO-8859-1"), "x".getBytes(UTF_8))
+      === "ISO-8859-1")
+    assert(sniff(Some("text/html;charset=\"gb2312\""), "x".getBytes(UTF_8))
+      === "GB2312")
+    // meta charset attr and http-equiv, only when the header has no param
+    assert(sniff(Some("text/html"), html("shift_jis").getBytes(UTF_8))
+      === "Shift_JIS")
+    val equiv = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"></head></html>"
+    assert(sniff(Some("text/html"), equiv.getBytes(UTF_8)) === "windows-1252")
+    assert(sniff(Some("text/html; charset=utf-8"),
+      html("shift_jis").getBytes(UTF_8)) === "UTF-8")
+    // BOM beats everything
+    assert(sniff(Some("text/html; charset=iso-8859-1"),
+      "page".getBytes("UTF-16")) === "UTF-16")
+    assert(sniff(Some("text/html; charset=iso-8859-1"),
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "x".getBytes(UTF_8))
+      === "UTF-8")
+    // binary content never meta-scans; unknown names fall through
+    assert(sniff(Some("image/png"), html("shift_jis").getBytes(UTF_8)) === "UTF-8")
+    assert(sniff(Some("text/html; charset=no-such-cs"), "x".getBytes(UTF_8))
+      === "UTF-8")
+    assert(sniff(None, "plain".getBytes(UTF_8)) === "UTF-8")
+  }
+
+  test("legacy-charset bodies decode to the exact original text") {
+    import spark.implicits._
+    val out = freshDir("cs")
+    val pages = Seq(
+      (0L, "ISO-8859-1", "text/html; charset=iso-8859-1", "café à ±°"),
+      (1L, "windows-1252", "text/html; charset=windows-1252", "€uro — café"),
+      (2L, "GB2312", "text/html; charset=gb2312", "中文编码测试 abc"),
+      (3L, "Shift_JIS", "text/html; charset=shift_jis", "日本語テキスト abc"),
+      (4L, "UTF-16", "text/html", "Ωmega ±π — BOM decides"))
+    val docs = pages.map { case (id, cs, ct, text) =>
+      (id, s"https://cs.example.org/$id",
+        text.getBytes(java.nio.charset.Charset.forName(cs)), ct)
+    }.toDF("doc_id", "uri", "body", "ct")
+    WarcIngest.writeResponsesWarc(spark, docs, "doc_id", "uri", "body", "ct",
+      out, nFiles = 2)
+    val got = WarcIngest.readRecords(spark, out)
+      .filter($"warc_type" === "response")
+      .select(regexp_extract($"record_id", "doc:(\\d+)", 1).cast("long"),
+        $"charset", $"body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    pages.zip(got).foreach { case ((id, cs, _, text), (gid, gcs, gbody)) =>
+      assert(gid === id)
+      assert(gcs === cs, s"doc $id sniffed wrong charset")
+      assert(gbody === text, s"doc $id body did not round-trip")
+    }
+    // per-record content types survive the archive
+    val cts = WarcIngest.readRecords(spark, out)
+      .filter($"warc_type" === "response")
+      .select(regexp_extract($"record_id", "doc:(\\d+)", 1).cast("long"),
+        $"http_content_type")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pages.foreach { case (id, _, ct, _) => assert(cts(id) === ct) }
+  }
+
+  test("dechunk/gunzip/inflate: framing variants and tolerance") {
+    def ck(s: String) = WarcIngest.dechunk(s.getBytes(UTF_8)).map(new String(_, UTF_8))
+    // basic chunks, hex sizes, chunk extension, trailers, LF-only lines
+    assert(ck("5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n") === Some("hello world"))
+    assert(ck("b;ext=1\r\nhello world\r\n0\r\nX-Trailer: v\r\n\r\n")
+      === Some("hello world"))
+    assert(ck("5\nhello\n0\n\n") === Some("hello"))
+    // framing violations: bad hex, size past end, missing chunk CRLF
+    assert(ck("zz\r\nhello\r\n0\r\n\r\n") === None)
+    assert(ck("ff\r\nshort\r\n0\r\n\r\n") === None)
+    assert(ck("5\r\nhelloXX0\r\n\r\n") === None)
+    // gzip/deflate round-trips + garbage tolerance
+    val txt = "compress me ten times over, compress me ten times over!"
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(txt.getBytes(UTF_8)); g.close(); bos.toByteArray
+    }
+    assert(WarcIngest.gunzip(gz).map(new String(_, UTF_8)) === Some(txt))
+    assert(WarcIngest.gunzip("not gzip".getBytes(UTF_8)) === None)
+    val zlib = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(txt.getBytes(UTF_8)); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    assert(WarcIngest.inflate(zlib).map(new String(_, UTF_8)) === Some(txt))
+    // raw deflate (the server bug): strip the 2-byte zlib head + 4-byte adler
+    val raw = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(txt.getBytes(UTF_8)); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    assert(WarcIngest.inflate(raw).map(new String(_, UTF_8)) === Some(txt))
+  }
+
+  test("chunked + compressed HTTP bodies decode out of the archive") {
+    import spark.implicits._
+    val out = freshDir("enc")
+    val text = "wire format survivors keep their exact page text intact"
+    def http(coding: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$coding\r\n")
+        .getBytes(UTF_8) ++ body
+    def chunk(b: Array[Byte], k: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < b.length) {
+        val n = math.min(k, b.length - i)
+        bos.write((java.lang.Long.toHexString(n.toLong) + "\r\n").getBytes(UTF_8))
+        bos.write(b, i, n); bos.write("\r\n".getBytes(UTF_8)); i += n
+      }
+      bos.write("0\r\n\r\n".getBytes(UTF_8)); bos.toByteArray
+    }
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(text.getBytes(UTF_8)); g.close(); bos.toByteArray
+    }
+    val rows = Seq(
+      (0L, http(s"Content-Length: ${text.length}\r\n", text.getBytes(UTF_8))),
+      (1L, http("Transfer-Encoding: chunked\r\n", chunk(text.getBytes(UTF_8), 7))),
+      (2L, http(s"Content-Encoding: gzip\r\nContent-Length: ${gz.length}\r\n", gz)),
+      (3L, http("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        chunk(gz, 11))),
+      // unknown coding: raw bytes must survive untouched
+      (4L, http(s"Content-Encoding: br\r\nContent-Length: ${text.length}\r\n",
+        text.getBytes(UTF_8))))
+      .toDF("doc_id", "payload")
+      .withColumn("uri", concat(lit("https://e.org/"), $"doc_id"))
+    WarcIngest.writeHttpResponsesWarc(spark, rows, "doc_id", "uri", "payload",
+      out, nFiles = 2)
+    val got = WarcIngest.readRecords(spark, out)
+      .filter($"warc_type" === "response")
+      .select(regexp_extract($"record_id", "doc:(\\d+)", 1).cast("long"), $"body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(0L, 1L, 2L, 3L, 4L).foreach(id => assert(got(id) === text,
+      s"mode $id body did not decode to the original text"))
+  }
+
   test("missing directory and empty directory both read as empty") {
     assert(WarcIngest.readRecords(spark, "/nonexistent/graft/warcs").count() === 0)
     assert(WarcIngest.readRecords(spark, freshDir("empty")).count() === 0)
