@@ -309,6 +309,52 @@ object SparkEntry {
       out.getAbsolutePath
     }
 
+  /** Write-once-per-process PDF archives: application/pdf responses
+    * whose bodies are the synthetic-invertible PDFs
+    * ([[graft.expr.PdfOps.syntheticPdf]]; odd doc_ids FlateDecode-
+    * compressed) — the second text modality decoded straight out of the
+    * crawl archive, like the PNG fixture pins the binary path. */
+  private def warcPdfFixtureDir(s: SparkSession, dir: String): String =
+    warcFixtureLock.synchronized {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      sweepDeadScratch(tmp, Seq("graft_warcpdf_"))
+      val out = new java.io.File(tmp, s"graft_warcpdf_${runTag(dir)}")
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        val pdf = udf { (id: Long, text: String) =>
+          graft.expr.PdfOps.syntheticPdf(id, text, flate = id % 2 == 1)
+        }
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://pdf."), col("source"), lit(".example.com/d/"),
+            col("doc_id").cast("string"), lit(".pdf")).as("uri"),
+          pdf(col("doc_id"), col("text")).as("body"),
+          lit("application/pdf").as("ct"))
+        ingest.WarcIngest.writeResponsesWarc(s, docs, "doc_id", "uri", "body",
+          "ct", out.getAbsolutePath, nFiles = 4)
+        marker.createNewFile()
+      }
+      out.getAbsolutePath
+    }
+
+  /** PDF-extraction oracle, shared verbatim by the direct decode
+    * (q_pdf_extract) and the decode-out-of-the-WARC chain (q_warc_pdf):
+    * the synthetic page lays `text` out 8 words per line, so extraction
+    * must return exactly that regrouping — rebuilt here from the words
+    * alone (uncompressed and FlateDecode streams must land identically,
+    * and the TJ kerning split must be invisible). */
+  private val pdfExtractOracleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, i - 1 AS wi, lst[i] AS w
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS lst
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(lst) + 1)) AS i) r),
+      |lines AS (
+      |  SELECT doc_id, wi // 8 AS g, string_agg(w, ' ' ORDER BY wi) AS line
+      |  FROM w GROUP BY doc_id, wi // 8)
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY g) AS extracted
+      |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Exact sum: decimal arithmetic, double surface. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -1115,6 +1161,38 @@ object SparkEntry {
           when(col("doc_id") % 5 <= 1, col("content_length")))
         .select(col("doc_id"), col("mode"), col("payload_octets"),
           col("body_octets"), col("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PDF text extraction (the crawl's second text modality): synthetic-
+    // invertible PDFs — real object/xref structure, Tj/TJ/Td/T* text
+    // operators, parens escaped, odd ids FlateDecode-compressed — parsed
+    // back by the codegen'd pdf_text expression; the 8-words-per-line
+    // layout must reconstruct exactly, kerned TJ splits invisible.
+    "q_pdf_extract" -> ((s, dir) => {
+      val pdf = udf { (id: Long, text: String) =>
+        graft.expr.PdfOps.syntheticPdf(id, text, flate = id % 2 == 1)
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), pdf(col("doc_id"), col("text")).as("body"))
+        .select(col("doc_id"),
+          graft.expr.PdfExpressions.pdf_text(col("body")).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The same decode chained out of the ARCHIVE: WARC parse →
+    // application/pdf + 200 gate → pdf_text over the byte-exact
+    // body_bytes — proving binary PDF payloads survive WARC framing and
+    // the charset/transfer decoding leaves them untouched. Shares the
+    // q_pdf_extract oracle verbatim.
+    "q_warc_pdf" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcPdfFixtureDir(s, dir))
+      recs.filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type") === "application/pdf")
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          graft.expr.PdfExpressions.pdf_text(col("body_bytes")).as("extracted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6706,6 +6784,11 @@ object SparkEntry {
     // The crawl front end-to-end must equal extracting from the pages
     // directly — the q_text_extract oracle verbatim.
     "q_warc_extract" -> textExtractOracleSql,
+
+    // PDF extraction: the 8-word line regrouping rebuilt from the words
+    // alone — shared by the direct and out-of-the-archive chains.
+    "q_pdf_extract" -> pdfExtractOracleSql,
+    "q_warc_pdf" -> pdfExtractOracleSql,
 
     // Charset round-trip: sniffed charset name + extracted text rebuilt
     // from the documents table and the shared marker rotation — a page

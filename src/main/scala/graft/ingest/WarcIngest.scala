@@ -172,7 +172,7 @@ object WarcIngest {
 
   /** Inflate a `deflate` body: zlib-wrapped per the RFC, falling back to
     * raw deflate (the classic server bug the major browsers tolerate). */
-  private[ingest] def inflate(b: Array[Byte]): Option[Array[Byte]] = {
+  private[graft] def inflate(b: Array[Byte]): Option[Array[Byte]] = {
     def run(nowrap: Boolean): Option[Array[Byte]] =
       try {
         val inf = new java.util.zip.Inflater(nowrap)

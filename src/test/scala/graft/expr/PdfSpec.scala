@@ -1,0 +1,76 @@
+package graft.expr
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PdfSpec extends SparkSpec {
+
+  private def textOf(pdf: Array[Byte]): Option[String] =
+    Option(PdfOps.extractText(pdf)).map(_.toString)
+
+  test("synthetic PDF round-trips: lines, TJ kerning, flate, escapes") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi " +
+      "rho sigma tau upsilon phi chi psi omega tail"
+    val expected = ("alpha beta gamma delta epsilon zeta eta theta\n" +
+      "iota kappa lambda mu nu xi omicron pi\n" +
+      "rho sigma tau upsilon phi chi psi omega\n" +
+      "tail")
+    // three full lines + remainder; line 3 (index 2) is the kerned TJ
+    assert(textOf(PdfOps.syntheticPdf(1L, text, flate = false))
+      === Some(expected))
+    assert(textOf(PdfOps.syntheticPdf(1L, text, flate = true))
+      === Some(expected))
+    // parens and backslashes survive escaping
+    val tricky = "open ( close ) back \\ slash (nested (deep)) done x y z"
+    val rt = textOf(PdfOps.syntheticPdf(2L, tricky, flate = true)).get
+    assert(rt.replace("\n", " ") === tricky)
+  }
+
+  test("parser tolerates hex strings, comments, quote operators, octal") {
+    def wrap(content: String): Array[Byte] = {
+      val c = content.getBytes(UTF_8)
+      (s"%PDF-1.4\n1 0 obj << /Length ${c.length} >>\nstream\n").getBytes(UTF_8) ++
+        c ++ "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+    }
+    // hex string: 68 65 78 = "hex"; odd digit pads; whitespace ignored
+    assert(textOf(wrap("BT <68 65 78> Tj ET")) === Some("hex"))
+    // ' operator = next line + show; octal \101 = 'A'; comment skipped
+    assert(textOf(wrap("BT (one) Tj % comment (not text)\n(\\101two) ' ET"))
+      === Some("one\nAtwo"))
+    // escapes: \n \t \( \) \\ and line continuation
+    assert(textOf(wrap("BT (a\\nb\\t\\(c\\)\\\\d\\\ne) Tj ET"))
+      === Some("a\nb\t(c)\\de"))
+  }
+
+  test("non-PDF, empty, and filtered-unknown streams degrade to null/skip") {
+    assert(textOf("not a pdf at all".getBytes(UTF_8)) === None)
+    assert(textOf(Array.emptyByteArray) === None)
+    assert(Option(PdfOps.extractText(null)) === None)
+    // an unsupported filter is skipped, not fatal: only the plain
+    // stream's text comes back
+    val c1 = "BT (visible) Tj ET".getBytes(UTF_8)
+    val mixed = ("%PDF-1.4\n1 0 obj << /Length 4 /Filter /DCTDecode >>\n" +
+      "stream\n\nendstream\nendobj\n" +
+      s"2 0 obj << /Length ${c1.length} >>\nstream\n").getBytes(UTF_8) ++
+      c1 ++ "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+    assert(textOf(mixed) === Some("visible"))
+  }
+
+  test("pdf_text expression: codegen path over a DataFrame, null for junk") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, PdfOps.syntheticPdf(1L, "one two three four five six seven eight nine", flate = false)),
+      (2L, PdfOps.syntheticPdf(2L, "a b c", flate = true)),
+      (3L, "garbage".getBytes(UTF_8)))
+      .toDF("id", "pdf")
+    val got = rows.select($"id", PdfExpressions.pdf_text($"pdf").as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === Some("one two three four five six seven eight\nnine"))
+    assert(got(2L) === Some("a b c"))
+    assert(got(3L) === None)
+  }
+}
