@@ -1196,6 +1196,148 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The crawl LOOP closed: discovery → politeness → fetch → archive →
+    // re-ingest, every stage an already-oracled operator. Frontier
+    // targets (top-50 undiscovered link dsts by inlink mass) resolve to
+    // candidate URLs on their host page's domain (dst % n — the
+    // simulated DNS+fetch of the synthetic web), pass the graftbot
+    // robots gate, queue on the per-origin crawl-delay schedule, and the
+    // first fetch wave (due before t = 5 s) is rendered and written out
+    // as fresh WARC archives — which the same reader ingests back, the
+    // oracle recomputing every WARC/HTTP framing field of the records
+    // the loop must have produced.
+    "q_crawl_loop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val links = docs.select(col("doc_id").as("src"),
+        explode(array((0 until 3).map(j =>
+          col("doc_id") * 7 + lit(j * 11)): _*)).as("dst"))
+      val frontier = operators.WebCuration.frontier(links, "src", "dst",
+        docs.select(col("doc_id")), "doc_id", limit = 50)
+      val pages = docs.select(col("doc_id").as("pid"), col("source"),
+        col("text"))
+      val cand = frontier.select(col("dst"))
+        .withColumn("pid", col("dst") % lit(n))
+        .join(pages, "pid")
+        .select(col("dst"),
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/docs/"), (col("dst") % 25).cast("string"),
+            lit("/")).as("url"),
+          col("text"))
+      val robots = docs.select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+        .select(col("domain"),
+          operators.RobotsTxt.syntheticRobots(col("domain"), col("k"))
+            .as("txt"))
+      val rules = operators.RobotsTxt.parseRules(robots, "domain", "txt")
+      val wave = operators.RobotsTxt
+        .schedule(cand, "url", "dst", rules, "graftbot")
+        .filter(col("fetch_at_ms") < 5000L)
+      val fetched = wave.select(col("dst").as("doc_id"), col("url"),
+        operators.TextExtract.syntheticHtml(col("dst"), col("text"))
+          .as("body"))
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_crawlloop_"))
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_crawlloop_${runTag(dir)}"
+      ingest.WarcIngest.writeSyntheticWarc(s, fetched, "doc_id", "url",
+        "body", out, nFiles = 2)
+      ingest.WarcIngest.readRecords(s, out)
+        .select(
+          when(col("warc_type") === "warcinfo",
+            -regexp_extract(col("record_id"), "warcinfo:(\\d+)", 1)
+              .cast("long") - 1)
+            .otherwise(regexp_extract(col("record_id"), "doc:(\\d+)", 1)
+              .cast("long")).as("rec_key"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type"),
+          octet_length(col("body")).cast("long").as("body_octets"))
+        .orderBy(col("rec_key"))
+    }),
+
+    // Rank-aware source weighting — link analysis finally FEEDING
+    // curation: the synthetic outlink graph aggregated to source level,
+    // 3-iteration integer PageRank over the source graph, isqrt(rank
+    // mass) budget weights (the α = 1/2 tempering of q_mix_temperature
+    // applied to authority instead of language size), then the same
+    // deterministic Knuth-hash take per source. The oracle replays the
+    // whole chain: source edges, the BIGINT PR recursion, the
+    // float-seeded integer-corrected isqrt ladder, floor-div budgets,
+    // and the running-sum window.
+    "q_mix_ranked" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+      val byId = docs.select(col("doc_id"), srcNum.as("sn"))
+      val links = docs.select(col("doc_id").as("src"),
+        explode(array((0 until 3).map(j =>
+          (col("doc_id") * 7 + lit(j * 11)) % lit(n)): _*)).as("dst"))
+      val edges = links
+        .join(byId.select(col("doc_id").as("src"), col("sn").as("ssn")), "src")
+        .join(byId.select(col("doc_id").as("dst"), col("sn").as("dsn")), "dst")
+        .filter(col("ssn") =!= col("dsn"))
+        .select(col("ssn").as("esrc"), col("dsn").as("edst"))
+      val ranks = operators.Graph.pageRank(edges, "esrc", "edst", iters = 3)
+        .select(concat(lit("src"), col("node").cast("string")).as("source"),
+          col("pr"))
+      operators.Sampling.rankWeightedMix(docs, "doc_id", "source",
+          size(split(col("text"), " ")).cast("long"), ranks, "source", "pr",
+          totalTokenBudget = 15000L)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("src_budget"), col("running"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // sitemaps.org discovery — the seed input next to robots.txt:
+    // <urlset> documents parsed to (loc, lastmod) entries, odd-k domains
+    // publishing a <sitemapindex> whose child sitemaps are reachable
+    // ONLY through the index→child join (an index parse failure loses
+    // exactly those domains' entries), already-crawled locations
+    // anti-joined away, survivors ranked newest-first per domain.
+    "q_sitemap_seeds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+      val roots = src.select(col("domain"),
+        concat(lit("https://www."), col("domain"), lit("/sitemap.xml"))
+          .as("url"),
+        when(col("k") % 2 === 0,
+          operators.Sitemap.syntheticUrlset(col("domain"), col("k"), 0, 10))
+          .otherwise(operators.Sitemap.syntheticIndex(col("domain")))
+          .as("xml"))
+      val children = src.select(col("domain"),
+          concat(lit("https://www."), col("domain"), lit("/sitemap-1.xml"))
+            .as("url"),
+          operators.Sitemap.syntheticUrlset(col("domain"), col("k"), 0, 5)
+            .as("xml"))
+        .unionByName(src.select(col("domain"),
+          concat(lit("https://www."), col("domain"), lit("/sitemap-2.xml"))
+            .as("url"),
+          operators.Sitemap.syntheticUrlset(col("domain"), col("k"), 5, 10)
+            .as("xml")))
+        .filter(regexp_extract(col("domain"), "(\\d+)", 1).cast("long")
+          % 25 % 2 === 1)
+      val rootEntries = operators.Sitemap.parseEntries(roots, "xml")
+      val childEntries = operators.Sitemap.parseEntries(
+        children.join(broadcast(rootEntries.filter(col("kind") === "sitemap")
+          .select(col("loc").as("url"))), Seq("url")), "xml")
+      val urlEntries = rootEntries.filter(col("kind") === "url")
+        .select(col("domain"), col("kind"), col("loc"), col("lastmod"))
+        .unionByName(childEntries.filter(col("kind") === "url")
+          .select(col("domain"), col("kind"), col("loc"), col("lastmod")))
+      val crawled = docs.select(concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), (col("doc_id") % 25).cast("string"))
+        .as("url")).distinct()
+      operators.Sitemap.seeds(urlEntries, "domain", crawled, "url")
+        .select(col("domain"), col("loc"), col("lastmod"), col("seed_rank"))
+        .orderBy(col("domain"), col("seed_rank"))
+    }),
+
     // Manifest-driven incremental ingest — how the crawl warehouse
     // actually grows: archives arrive in two waves (buckets 0-1, then
     // 2-3), each run parses ONLY the un-ingested delta and appends
@@ -5521,20 +5663,26 @@ object SparkEntry {
     * headers, payload/body octet counts) against this template's octet
     * lengths. Emits (doc_id, html, uri); `uri` is the WARC fixture's
     * target-URI rule. */
-  private val warcPageSql: String =
-    """SELECT doc_id,
-      |    '<!doctype html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10) ||
-      |    '<title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' || chr(10) ||
+  /** The page template as a SQL EXPRESSION over caller-chosen id/text —
+    * shared by [[warcPageSql]] and the crawl-loop oracle, which renders
+    * frontier targets under their host page's text. */
+  private def warcHtmlSqlExpr(idExpr: String, textExpr: String): String =
+    s"""'<!doctype html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10) ||
+      |    '<title>Doc ' || CAST($idExpr AS VARCHAR) || '</title>' || chr(10) ||
       |    '<style>p { color: #222; }</style>' || chr(10) || '</head>' || chr(10) ||
       |    '<body>' || chr(10) ||
       |    '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' || chr(10) ||
       |    '<h1>Corpus document from the synthetic crawl corpus</h1>' || chr(10) ||
-      |    '<p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>' || chr(10) ||
+      |    '<p>' || replace(replace(replace($textExpr, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p>' || chr(10) ||
       |    '<div class="ads"><a href="/buy">Buy now</a> <a href="/sale">Sale</a></div>' || chr(10) ||
-      |    '<blockquote>' || replace(replace(replace(upper(text), '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</blockquote>' || chr(10) ||
+      |    '<blockquote>' || replace(replace(replace(upper($textExpr), '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</blockquote>' || chr(10) ||
       |    '<script>var t = "track";</script>' || chr(10) ||
       |    '<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a> &#169; 2026 Example Corp</footer>' || chr(10) ||
-      |    '</body>' || chr(10) || '</html>' || chr(10) AS html,
+      |    '</body>' || chr(10) || '</html>' || chr(10)""".stripMargin
+
+  private lazy val warcPageSql: String =
+    s"""SELECT doc_id,
+      |    ${warcHtmlSqlExpr("doc_id", "text")} AS html,
       |    'https://www.' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS uri
       |  FROM documents""".stripMargin
 
@@ -6789,6 +6937,146 @@ object SparkEntry {
     // alone — shared by the direct and out-of-the-archive chains.
     "q_pdf_extract" -> pdfExtractOracleSql,
     "q_warc_pdf" -> pdfExtractOracleSql,
+
+    // Crawl-loop oracle: frontier top-50 → host-page resolution →
+    // slot ≠ k gate → Knuth-hash queue with (k%3+1)s spacing → the
+    // <5 s wave → the full WARC/HTTP framing arithmetic of exactly
+    // those records (plus both buckets' warcinfo rows).
+    "q_crawl_loop" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |links AS (
+        |  SELECT doc_id AS src, doc_id * 7 + j * 11 AS dst
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+        |  WHERE doc_id * 7 + j * 11 <> doc_id),
+        |agg AS (
+        |  SELECT dst, count(*) AS n_inlinks FROM links
+        |  WHERE dst NOT IN (SELECT doc_id FROM documents) GROUP BY dst),
+        |front AS (SELECT dst FROM agg ORDER BY n_inlinks DESC, dst ASC LIMIT 50),
+        |cand AS (
+        |  SELECT f.dst, d.source, d.text,
+        |    'https://www.' || d.source || '.example.com/docs/' ||
+        |      CAST(f.dst % 25 AS VARCHAR) || '/' AS url,
+        |    CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM front f CROSS JOIN nn
+        |  JOIN documents d ON d.doc_id = f.dst % nn.n),
+        |sched AS (
+        |  SELECT dst, source, text, url, k, (k % 3 + 1) * 1000 AS delay_ms,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ((dst % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |       + (dst % 65536) * 2654435761) % 4294967296, dst) - 1 AS pos
+        |  FROM cand WHERE dst % 25 <> k),
+        |wave AS (SELECT * FROM sched WHERE pos * delay_ms < 5000),
+        |page AS (
+        |  SELECT dst AS rec_key, url,
+        |    ${warcHtmlSqlExpr("dst", "text")} AS html
+        |  FROM wave),
+        |resp AS (
+        |  SELECT rec_key, 'response' AS warc_type, url AS target_uri,
+        |    CAST(strlen('HTTP/1.1 200 OK') + 2
+        |      + strlen('Content-Type: text/html; charset=utf-8') + 2
+        |      + strlen('Content-Length: ' || CAST(strlen(html) AS VARCHAR)) + 2
+        |      + 2 + strlen(html) AS BIGINT) AS content_length,
+        |    CAST(200 AS BIGINT) AS http_status,
+        |    'text/html; charset=utf-8' AS http_content_type,
+        |    CAST(strlen(html) AS BIGINT) AS body_octets
+        |  FROM page),
+        |info AS (
+        |  SELECT CAST(-(b + 1) AS BIGINT) AS rec_key, 'warcinfo' AS warc_type,
+        |    CAST(NULL AS VARCHAR) AS target_uri,
+        |    CAST(strlen('software: graft-warc/1.0') + 2
+        |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS content_length,
+        |    CAST(NULL AS BIGINT) AS http_status,
+        |    CAST(NULL AS VARCHAR) AS http_content_type,
+        |    CAST(strlen('software: graft-warc/1.0') + 2
+        |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS body_octets
+        |  FROM (SELECT unnest(range(2)) AS b))
+        |SELECT * FROM info UNION ALL SELECT * FROM resp
+        |ORDER BY rec_key""".stripMargin,
+
+    // Rank-weighted mix oracle: source-level edges from the outlink
+    // synthesis, the 3-iteration BIGINT PageRank recursion (the
+    // q_pagerank chain over the source graph), isqrt(rank) weights via
+    // the float-seeded integer-corrected ladder, floor-div budgets, and
+    // the Knuth-hash running take — every stage replayed from scratch.
+    "q_mix_ranked" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |sid AS (SELECT doc_id,
+        |  CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS sn
+        |  FROM documents),
+        |e AS (
+        |  SELECT DISTINCT a.sn AS src, b.sn AS dst
+        |  FROM documents d
+        |  CROSS JOIN nn
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js
+        |  JOIN sid a ON a.doc_id = d.doc_id
+        |  JOIN sid b ON b.doc_id = (d.doc_id * 7 + js.j * 11) % nn.n
+        |  WHERE a.sn <> b.sn),
+        |deg AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |c1 AS (SELECT e.dst, SUM(r0.pr // d.outd) AS s FROM e JOIN deg d ON e.src = d.src JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr FROM n LEFT JOIN c1 ON n.node = c1.dst),
+        |c2 AS (SELECT e.dst, SUM(r1.pr // d.outd) AS s FROM e JOIN deg d ON e.src = d.src JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr FROM n LEFT JOIN c2 ON n.node = c2.dst),
+        |c3 AS (SELECT e.dst, SUM(r2.pr // d.outd) AS s FROM e JOIN deg d ON e.src = d.src JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS pr FROM n LEFT JOIN c3 ON n.node = c3.dst),
+        |wts AS (
+        |  SELECT 'src' || CAST(node AS VARCHAR) AS source,
+        |    list_max([s for s in
+        |      [CAST(floor(sqrt(CAST(pr AS DOUBLE))) AS BIGINT) + d for d in range(-4, 5)]
+        |      if s >= 0 AND s*s <= pr]) AS w
+        |  FROM r3),
+        |bud AS (
+        |  SELECT source,
+        |    CAST(15000 * w // (SELECT sum(w) FROM wts) AS BIGINT) AS src_budget
+        |  FROM wts),
+        |toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY sk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM (
+        |    SELECT doc_id, source, n_tok,
+        |      ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |       + (doc_id % 65536) * 2654435761) % 4294967296 AS sk
+        |    FROM toks) k)
+        |SELECT r.doc_id, r.source, r.n_tok, b.src_budget,
+        |  CAST(r.running AS BIGINT) AS running
+        |FROM ranked r JOIN bud b USING (source)
+        |WHERE r.running <= b.src_budget
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // Sitemap-seed oracle: entries rebuilt from the slot/lastmod
+    // synthesis rule (even-k domains direct, odd-k through the index —
+    // same 10 entries either way once resolution works), crawled slots
+    // anti-joined, newest-first per-domain rank replayed.
+    "q_sitemap_seeds" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents),
+        |ent AS (
+        |  SELECT s.domain,
+        |    'https://www.' || s.domain || '/docs/' ||
+        |      CAST((s.k + ii.i) % 25 AS VARCHAR) AS loc,
+        |    CAST('2026-01-' ||
+        |      lpad(CAST((s.k + ii.i) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |      AS lastmod
+        |  FROM src s CROSS JOIN (SELECT unnest(range(10)) AS i) ii),
+        |crawled AS (
+        |  SELECT DISTINCT 'https://www.' || source || '.example.com/docs/' ||
+        |    CAST(doc_id % 25 AS VARCHAR) AS loc
+        |  FROM documents),
+        |seeds AS (
+        |  SELECT e.domain, e.loc, e.lastmod FROM ent e
+        |  LEFT JOIN crawled c ON c.loc = e.loc WHERE c.loc IS NULL)
+        |SELECT domain, loc, lastmod,
+        |  CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY lastmod DESC, loc ASC) AS BIGINT) AS seed_rank
+        |FROM seeds ORDER BY domain, seed_rank""".stripMargin,
 
     // Charset round-trip: sniffed charset name + extracted text rebuilt
     // from the documents table and the shared marker rotation — a page

@@ -276,8 +276,45 @@ object Sampling {
       l -> (if (quarterRoot) graft.expr.GenEvalOps.iroot4(t)
             else graft.expr.GenEvalOps.isqrt(t))
     }
+    budgetedTake(df, idCol, langCol, tokCol, weights, totalTokenBudget,
+      "lang_budget")
+  }
+
+  /** Authority-weighted corpus mixing — the link-analysis half of the
+    * curator finally feeding the budget stage: per-key token budgets
+    * proportional to isqrt(PageRank mass), so high-authority sources are
+    * upsampled sublinearly (the same α = 1/2 tempering
+    * [[temperatureMix]] applies to language size, applied to link
+    * authority instead), then the identical deterministic Knuth-hash
+    * take per key. `ranks` is (rankKeyCol, rankCol) — typically
+    * [[Graph.pageRank]] mass aggregated to the key — and is collected to
+    * the driver (one row per source: the bounded-model-collect class).
+    * Integer-exact end to end: exact isqrt weights, BigInt floor-div
+    * budgets, running-sum window. Output adds (n_tok, src_budget,
+    * running). */
+  def rankWeightedMix(df: DataFrame, idCol: String, keyCol: String,
+                      tokCol: Column, ranks: DataFrame, rankKeyCol: String,
+                      rankCol: String, totalTokenBudget: Long): DataFrame = {
+    require(totalTokenBudget > 0, "totalTokenBudget must be positive")
+    val weights = ranks
+      .select(col(rankKeyCol).cast("string"), col(rankCol).cast("long"))
+      .collect()
+      .map(r => r.getString(0) ->
+        graft.expr.GenEvalOps.isqrt(math.max(r.getLong(1), 0L)))
+      .toSeq.sortBy(_._1)
+    budgetedTake(df, idCol, keyCol, tokCol, weights, totalTokenBudget,
+      "src_budget")
+  }
+
+  /** The shared budget-and-take tail of the mixing operators: floor-div
+    * budgets from the given weights, then the per-key admit-while-the-
+    * inclusive-running-total-fits window in Knuth-hash order. */
+  private def budgetedTake(df: DataFrame, idCol: String, keyCol: String,
+                           tokCol: Column, weights: Seq[(String, Long)],
+                           totalTokenBudget: Long,
+                           budgetColName: String): DataFrame = {
     val wSum = weights.map(_._2).sum
-    require(wSum > 0, "temperatureMix: no tokens to mix")
+    require(wSum > 0, "budgetedTake: all weights are zero")
     // BigInt product: at web scale (budget ~1e13 tokens, isqrt weights
     // ~1e6+) totalTokenBudget * w overflows Long silently; the quotient
     // itself is always ≤ totalTokenBudget, so only the product needs the
@@ -287,16 +324,16 @@ object Sampling {
         l -> (BigInt(totalTokenBudget) * w / wSum).toLong
       }.toMap
     val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (l, b)) =>
-      when(col(langCol) === l, lit(b)).otherwise(acc)
+      when(col(keyCol) === l, lit(b)).otherwise(acc)
     }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(langCol))
+      .partitionBy(col(keyCol))
       .orderBy(knuthSlot32(col(idCol)).asc, col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("n_tok", tokCol.cast("long"))
-      .withColumn("lang_budget", budgetCol)
+      .withColumn(budgetColName, budgetCol)
       .withColumn("running", sum(col("n_tok")).over(w))
-      .filter(col("running") <= col("lang_budget"))
+      .filter(col("running") <= col(budgetColName))
   }
 }

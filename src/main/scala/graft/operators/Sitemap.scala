@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** sitemaps.org ingestion — the crawl's OTHER discovery input next to
+  * robots.txt: sites publish `<urlset>` documents (URL + optional
+  * lastmod) and `<sitemapindex>` documents pointing at child sitemaps;
+  * a crawler folds both into frontier seeds, newest-content-first.
+  * Beyond-reference extension composing with [[WebCuration.frontier]]
+  * and [[RobotsTxt]].
+  *
+  * Everything is declarative Spark: block extraction is
+  * `regexp_extract_all` + explode (the sitemap format is flat enough
+  * that a regex block walk IS the grammar — entries cannot nest), field
+  * pulls are per-row regexp_extract, the index→child hop is one join on
+  * the child's own URL, and seed ranking is a per-domain window. No
+  * UDFs; XML volume is one document per site — broadcast-scale metadata
+  * even for a 100 TB page corpus, like the robots rule table. */
+object Sitemap {
+
+  /** Parse sitemap XML documents into typed entries: one row per
+    * `<url>` (kind 'url') or `<sitemap>` (kind 'sitemap') block, adding
+    * (kind, loc, lastmod DATE — null when the optional tag is absent).
+    * All other input columns pass through; rows with an empty/missing
+    * `<loc>` are dropped (the spec makes loc mandatory). */
+  def parseEntries(df: DataFrame, xmlCol: String): DataFrame = {
+    val passThrough = df.columns.filterNot(_ == xmlCol).map(col).toSeq
+    def blocks(kind: String, tag: String) = df
+      .select(passThrough :+ explode(regexp_extract_all(col(xmlCol),
+        lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1))).as("__blk"): _*)
+      .withColumn("kind", lit(kind))
+    blocks("url", "url").unionByName(blocks("sitemap", "sitemap"))
+      .withColumn("loc",
+        regexp_extract(col("__blk"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))
+      .withColumn("lastmod", to_date(regexp_extract(col("__blk"),
+        "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)))
+      .filter(col("loc") =!= "")
+      .drop("__blk")
+  }
+
+  /** Frontier seeds from parsed url-entries: drop locations the crawl
+    * already holds (one left-anti join on the URL), then rank per
+    * domain newest-first (lastmod DESC NULLS LAST, loc ASC — the
+    * deterministic tie-break). Output adds `seed_rank` (1-based). */
+  def seeds(urlEntries: DataFrame, domainCol: String,
+            crawled: DataFrame, crawledUrlCol: String): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("lastmod").desc_nulls_last, col("loc").asc)
+    urlEntries.filter(col("kind") === "url")
+      .join(crawled.select(col(crawledUrlCol).as("loc")), Seq("loc"),
+        "left_anti")
+      .withColumn("seed_rank", row_number().over(w).cast("long"))
+  }
+
+  /** Deterministic synthetic `<urlset>` for the fixture domains: entries
+    * for slots `from until until`, loc = /docs/((k + i) % 25) with
+    * lastmod 2026-01-((k + i) % 28 + 1) — slot and date both
+    * SQL-reconstructable from the domain. */
+  def syntheticUrlset(domain: Column, k: Column, from: Int, until: Int): Column = {
+    val entries = (from until until).map { i =>
+      val slot = (k + lit(i)) % 25
+      val day = lpad(((k + lit(i)) % 28 + 1).cast("string"), 2, "0")
+      concat(lit("  <url>\n    <loc>https://www."), domain, lit("/docs/"),
+        slot.cast("string"),
+        lit("</loc>\n    <lastmod>2026-01-"), day,
+        lit("</lastmod>\n  </url>\n"))
+    }
+    concat(lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n") +:
+      entries :+ lit("</urlset>\n"): _*)
+  }
+
+  /** Deterministic synthetic `<sitemapindex>` naming the two child
+    * sitemaps [[syntheticUrlset]] fills for odd-k fixture domains. */
+  def syntheticIndex(domain: Column): Column =
+    concat(lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+      "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+      "  <sitemap>\n    <loc>https://www."), domain,
+      lit("/sitemap-1.xml</loc>\n  </sitemap>\n" +
+        "  <sitemap>\n    <loc>https://www."), domain,
+      lit("/sitemap-2.xml</loc>\n    <lastmod>2026-02-01</lastmod>\n" +
+        "  </sitemap>\n</sitemapindex>\n"))
+}
