@@ -10087,15 +10087,168 @@ object SparkEntry {
         |  CAST(NULL AS VARCHAR) AS issue
         |WHERE FALSE""".stripMargin,
 
-    // q_text_langid has its own oracle above. Still oracle-less by nature
-    // (driver rows-only check): q_dedup_minhash / q_dedup_simhash
-    // (MurmurHash3 signatures — engine-specific), q_dedup_embedding /
-    // q_sim_topk_ivf / q_dedup_semantic (approximate headline variants
-    // whose exact siblings q_dedup_embedding_exact / q_sim_topk_ivf_full /
-    // q_dedup_semantic_exact carry the hash-matched oracles), and
-    // q_approx_distinct (HLL++ sketch — engine-internal; exact sibling
-    // q_distinct_users is oracled). EVERY one of them is nonetheless
-    // driver-gated through its *_verify property oracle above, so no
-    // query's correctness rests on the rows-only check alone.
+    // ------------------------------------------------------------------
+    // Round-14 headliner folds: every formerly rows-only headliner now
+    // carries a value oracle. Two mechanisms:
+    //  (a) EXACT-REGIME PIN — the sketch is a merge-order-invariant set
+    //      function sized so the fixture sits in its exact regime
+    //      (CMS width 2048/8192 ≫ 150 keys: collision-free; KMV k=512 ≥
+    //      every set: nothing evicted; HLL small-range estimation exact
+    //      at 150 ≪ 2^lgK registers; LSH banding at the planted-dup
+    //      similarity: full recall, measured pair-set equality). The
+    //      oracle states the exact values; ANY regression in sketch,
+    //      merge, or banding arithmetic breaks the hash.
+    //  (b) CONTRACT FRAME — where the row set itself is engine-internal
+    //      (k-means cells, MG decrement schedules, GK/KLL compactions),
+    //      the headliner emits its deterministic CLAIM (enumerable keys,
+    //      exact side values, contract booleans), keeping the whole
+    //      approximate machinery in the measured plan.
+    // ------------------------------------------------------------------
+
+    // (a) minhash banding at the fixture's planted-dup similarities has
+    // full recall and candidates are exact-jaccard-filtered, so the pair
+    // set provably equals the exact trigram-jaccard pairs — the
+    // q_dedup_ngram oracle verbatim. A banding/signature regression
+    // surfaces as a missing pair here (and in the _verify sibling).
+    "q_dedup_minhash" -> incrementalNgramAllPairsSql,
+
+    // (a) CMS with width 2048 over 150 distinct users is collision-free:
+    // every estimate must equal the exact count, for the deterministic
+    // exact top-25 probe set.
+    "q_cms_native" -> cmsExactRegimeSql,
+    // elementwise-sum merge ⇒ the streaming sketch shares the pin.
+    "q_stream_cms" -> cmsExactRegimeSql,
+
+    // (a) 150 distinct values sit in HLL's small-range-exact regime (and
+    // the sketches are register-max set functions, merge-order
+    // invariant), so every rollup estimate equals the exact distinct.
+    "q_hll_rollup" ->
+      """SELECT CAST(event_type AS VARCHAR) AS segment,
+        |  COUNT(DISTINCT user_id) AS est_distinct
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |UNION ALL
+        |SELECT '__TOTAL__', COUNT(DISTINCT user_id)
+        |FROM events WHERE user_id IS NOT NULL
+        |ORDER BY segment""".stripMargin,
+    "q_hll_native" -> hllNativeExactRegimeSql,
+    "q_stream_hll" -> hllNativeExactRegimeSql,
+
+    // (a) KMV k=512 holds every distinct user hash (150 ≪ k): the theta
+    // sketch is in its exact regime and all overlap figures equal the
+    // exact set relations, integer-ppm arithmetic included.
+    "q_stream_kmv" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT CAST(event_type AS VARCHAR) AS segment,
+        |    CAST(user_id AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL),
+        |sizes AS (SELECT segment, COUNT(*) AS sz FROM sv GROUP BY 1),
+        |inter AS (
+        |  SELECT a.segment AS seg_a, b.segment AS seg_b, COUNT(*) AS i
+        |  FROM sv a JOIN sv b ON a.v = b.v AND a.segment < b.segment
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.segment AS seg_a, b.segment AS seg_b, a.sz AS sza, b.sz AS szb
+        |  FROM sizes a JOIN sizes b ON a.segment < b.segment)
+        |SELECT p.seg_a, p.seg_b,
+        |  CAST(p.sza + p.szb - COALESCE(i.i, 0) AS BIGINT) AS union_est,
+        |  CAST(COALESCE(i.i, 0) AS BIGINT) AS intersect_est,
+        |  CAST(p.sza - COALESCE(i.i, 0) AS BIGINT) AS diff_ab_est,
+        |  CAST((1000000 * COALESCE(i.i, 0))
+        |    // (p.sza + p.szb - COALESCE(i.i, 0)) AS BIGINT) AS jaccard_ppm
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.seg_a = p.seg_a AND i.seg_b = p.seg_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    // (a) CMS inner-product join-size estimate with width 8192 over 150
+    // keys: no colliding pair, so the AMS estimate equals the true
+    // self-join size exactly.
+    "q_join_size_est" ->
+      """WITH k AS (SELECT CAST(user_id AS BIGINT) AS k FROM events
+        |  WHERE user_id IS NOT NULL),
+        |c AS (SELECT k, COUNT(*) AS c FROM k GROUP BY k)
+        |SELECT (SELECT COUNT(*) FROM k) AS n_a,
+        |  (SELECT COUNT(*) FROM k) AS n_b,
+        |  CAST((SELECT SUM(c * c) FROM c) AS BIGINT) AS est""".stripMargin,
+
+    // (a) the fuzzy-curate statuses replayed from scratch: quality =
+    // fewer than 20 clean tokens; duplicate = the HIGHER id of any
+    // exact-trigram-jaccard ≥ 0.5 pair among gated docs (banding at the
+    // planted-dup similarity has full recall — same pin as
+    // q_dedup_minhash); else curated.
+    "q_stream_curate_fuzzy" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |gated AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 20),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' ||
+        |      list_extract(tk, i+2) AS s
+        |  FROM gated, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i) r
+        |  WHERE len(tk) >= 3
+        |  UNION
+        |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s
+        |  FROM gated WHERE len(tk) < 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+        |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |dups AS (
+        |  SELECT DISTINCT idB AS doc_id FROM common
+        |  JOIN sizes na ON na.doc_id = idA
+        |  JOIN sizes nb ON nb.doc_id = idB
+        |  WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.5)
+        |SELECT t.doc_id,
+        |  CASE WHEN len(t.tk) < 20 THEN 'quality'
+        |       WHEN d.doc_id IS NOT NULL THEN 'duplicate'
+        |       ELSE 'curated' END AS status
+        |FROM toks t LEFT JOIN dups d ON d.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
   )
+
+  /** Exact trigram-jaccard pairs over the WHOLE corpus (threshold 0.2) —
+    * q_dedup_ngram's oracle, shared verbatim by q_dedup_minhash (whose
+    * banded pair set provably equals it on this fixture). */
+  private val incrementalNgramAllPairsSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' || list_extract(tk, i+2) AS s
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) r
+      |  WHERE len(tk) >= 3
+      |  UNION
+      |  SELECT DISTINCT doc_id, array_to_string(tk, ' ') AS s FROM toks WHERE len(tk) < 3
+      |),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS idA, y.doc_id AS idB, count(*) AS c
+      |  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT idA, idB, ROUND(CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c), 6) AS jaccard
+      |FROM common
+      |JOIN sizes na ON na.doc_id = idA
+      |JOIN sizes nb ON nb.doc_id = idB
+      |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
+      |ORDER BY idA, idB""".stripMargin
+
+  /** Exact top-25 user frequencies with est = exact (the CMS
+    * collision-free regime) — shared by the batch probe and its
+    * bit-exact streaming twin. */
+  private val cmsExactRegimeSql: String =
+    """SELECT user_id AS item, COUNT(*) AS exact_cnt, COUNT(*) AS est_cnt
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY user_id ORDER BY exact_cnt DESC, item LIMIT 25""".stripMargin
+
+  /** Exact distinct rollup in the native-HLL output shape (n_rows +
+    * est_distinct, small-range-exact regime) — shared by the batch
+    * rollup and its bit-exact streaming twin. */
+  private val hllNativeExactRegimeSql: String =
+    """SELECT CAST(event_type AS VARCHAR) AS segment,
+      |  COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS est_distinct
+      |FROM events WHERE user_id IS NOT NULL GROUP BY 1
+      |UNION ALL
+      |SELECT '__TOTAL__', COUNT(*), COUNT(DISTINCT user_id)
+      |FROM events WHERE user_id IS NOT NULL
+      |ORDER BY segment""".stripMargin
 }
