@@ -388,6 +388,40 @@ object SparkEntry {
         greatest(lit(0L), lit(3L) - abs(col("__ql") - col("__cl"))))
   }
 
+  /** The rank-shape half of the retrieval contract, shared by the ANN
+    * verify siblings and the round-14 headliner folds: scores
+    * non-increasing in rank, ranks contiguous AND distinct (min==1 &&
+    * max==count alone would pass a duplicate-plus-gap pattern like
+    * {1,2,2,4}). Violations frame (query_id, rank, issue). */
+  private def rankShapeViolations(res: DataFrame, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val badOrder = res
+      .withColumn("__prev", lag(col(scoreCol), 1).over(w))
+      .filter(col("__prev").isNotNull && col(scoreCol) > col("__prev"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        lit("rank_not_monotone").as("issue"))
+    val badSeq = res.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__n"), min(col("rank")).as("__lo"),
+        max(col("rank")).as("__hi"), countDistinct(col("rank")).as("__d"))
+      .filter(!(col("__lo") === 1 && col("__hi") === col("__n") &&
+        col("__d") === col("__n")))
+      .select(col("query_id"), lit(null).cast("long").as("rank"),
+        lit("rank_gap").as("issue"))
+    badOrder.unionByName(badSeq)
+  }
+
+  /** Round-14 ANN headliner fold: per query, the result count plus
+    * "no contract violation touched this query" — WHICH neighbors the
+    * probes reach stays engine-internal (and in the API); what the
+    * driver gates is the deterministic retrieval contract. */
+  private def annContract(res: DataFrame, viol: DataFrame): DataFrame =
+    res.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+      .join(viol.select(col("query_id")).distinct()
+        .withColumn("__bad", lit(true)), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_results"),
+        col("__bad").isNull.as("contract_ok"))
+      .orderBy(col("query_id"))
+
   private def erRecords(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part").filter(col("p_partkey") < 300)
       .select(col("p_partkey"), col("p_name"))
@@ -2830,12 +2864,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("step"))
     }),
 
+    // Approximate IVF retrieval (nprobe = 4 of 16 cells): WHICH
+    // neighbors the probes reach is engine-internal, so the gated output
+    // is the per-query contract frame — k results, every emitted cosine
+    // equal to the builtin recompute, monotone contiguous ranks
+    // (round-14 fold; the neighbor lists stay in the API, the lossless
+    // nprobe=16 twin q_sim_topk_ivf_full keeps the full value oracle).
     "q_sim_topk_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val model = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
-      operators.IvfIndex.topK(emb.filter(col("vec_id") < 16), emb, model,
-        k = 10, nprobe = 4)
-        .orderBy(col("query_id"), col("rank"))
+      val embT = t(s, dir, "embeddings")
+      val emb = embT.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("v"))
+      val model = operators.IvfIndex.train(embT, "vec_id", "embedding", k = 16)
+      val res = operators.IvfIndex.topK(embT.filter(col("vec_id") < 16),
+        embT, model, k = 10, nprobe = 4).localCheckpoint()
+      val badScore = res
+        .join(emb.select(col("vec_id").as("query_id"), col("v").as("__q")),
+          Seq("query_id"), "left")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("__c")),
+          Seq("neighbor_id"), "left")
+        .withColumn("__rc", round(builtinCosine(col("__q"), col("__c")), 6))
+        .filter(col("__rc").isNull || col("__rc") =!= col("cosine") ||
+          col("query_id") === col("neighbor_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          lit("cosine_mismatch_or_self").as("issue"))
+      annContract(res, badScore.unionByName(rankShapeViolations(res, "cosine")))
     }),
 
     // Verification-property sibling for the approximate IVF top-k: (a) each
@@ -2868,37 +2920,42 @@ object SparkEntry {
           col("query_id") === col("neighbor_id"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           lit("cosine_mismatch_or_self").as("issue"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-      val badOrder = res
-        .withColumn("__prev", lag(col("cosine"), 1).over(w))
-        .filter(col("__prev").isNotNull && col("cosine") > col("__prev"))
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          lit("rank_not_monotone").as("issue"))
-      val badSeq = res.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("__n"), min(col("rank")).as("__lo"),
-          max(col("rank")).as("__hi"), countDistinct(col("rank")).as("__d"))
-        .filter(!(col("__lo") === 1 && col("__hi") === col("__n") &&
-          col("__d") === col("__n")))
-        .select(col("query_id"), lit(null).cast("long").as("rank"),
-          lit("rank_gap").as("issue"))
-      badScore.unionByName(badOrder).unionByName(badSeq)
+      badScore.unionByName(rankShapeViolations(res, "cosine"))
         .orderBy(col("query_id"), col("rank"), col("issue"))
     }),
 
     // Product-quantization ADC top-k (Jégou et al., TPAMI'11): the corpus
     // side streams 8-byte codes, not 256-byte vectors — the memory-
     // compression half of billion-scale ANN. Codebooks are engine-internal
-    // (per-block k-means) → rows-only; the *_verify sibling re-scores every
-    // emitted neighbor from DECODED vectors with the mirrored sub-block
-    // accumulation order and drives the driver gate; recall vs the oracled
-    // exact q_sim_topk is spec-asserted in PqSpec.
+    // (per-block k-means), so the gated output is the per-query contract
+    // frame (k results, ADC score ≡ decoded-vector recompute, monotone
+    // contiguous ranks) — round-14 fold; the neighbor lists stay in the
+    // API and recall vs the oracled exact q_sim_topk is spec-asserted in
+    // PqSpec.
     "q_sim_topk_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = operators.ProductQuantize.train(emb, "vec_id", "embedding",
         m = 16, k = 64)
-      operators.ProductQuantize.adcTopK(emb.filter(col("vec_id") < 16), emb,
-        model, k = 10)
-        .orderBy(col("query_id"), col("rank"))
+      val enc = operators.ProductQuantize.encode(
+        emb.select(col("vec_id"), col("embedding")), "embedding", model)
+        .localCheckpoint()
+      val res = operators.ProductQuantize.adcTopKEncoded(
+        emb.filter(col("vec_id") < 16),
+        enc.select(col("vec_id").as("neighbor_id"), col("pq_code")),
+        model, k = 10).localCheckpoint()
+      val dec = operators.ProductQuantize.decodeCol(enc, "pq_code", model)
+        .select(col("vec_id").as("neighbor_id"), col("pq_decoded").as("__dv"))
+      val badScore = res
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<float>").as("__q")), Seq("query_id"), "left")
+        .join(dec, Seq("neighbor_id"), "left")
+        .withColumn("__rc",
+          round(builtinBlockCosine(col("__q"), col("__dv"), model.m, model.dsub), 6))
+        .filter(col("__rc").isNull || col("__rc") =!= col("score") ||
+          col("query_id") === col("neighbor_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          lit("score_mismatch_or_self").as("issue"))
+      annContract(res, badScore.unionByName(rankShapeViolations(res, "score")))
     }),
 
     // Verification-property sibling: (a) each emitted score re-derived
@@ -2933,20 +2990,7 @@ object SparkEntry {
           col("query_id") === col("neighbor_id"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           lit("score_mismatch_or_self").as("issue"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-      val badOrder = res
-        .withColumn("__prev", lag(col("score"), 1).over(w))
-        .filter(col("__prev").isNotNull && col("score") > col("__prev"))
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          lit("rank_not_monotone").as("issue"))
-      val badSeq = res.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("__n"), min(col("rank")).as("__lo"),
-          max(col("rank")).as("__hi"), countDistinct(col("rank")).as("__d"))
-        .filter(!(col("__lo") === 1 && col("__hi") === col("__n") &&
-          col("__d") === col("__n")))
-        .select(col("query_id"), lit(null).cast("long").as("rank"),
-          lit("rank_gap").as("issue"))
-      badScore.unionByName(badOrder).unionByName(badSeq)
+      badScore.unionByName(rankShapeViolations(res, "score"))
         .orderBy(col("query_id"), col("rank"), col("issue"))
     }),
 
@@ -2965,17 +3009,31 @@ object SparkEntry {
     // IVF→PQ two-stage retrieval (Jégou TPAMI'11 IVFADC): probe nprobe
     // cells, ADC-score the probed CODES, exact-cosine re-rank only the
     // short list — the billion-scale serving shape composing the two
-    // verified halves. Emitted cosines are EXACT (re-rank reads raw
-    // vectors); which neighbors the probes reach is approximate →
-    // rows-only headline, gated by the _verify recall + score checks.
+    // verified halves. Which neighbors the probes reach is approximate,
+    // so the gated output is the per-query contract frame (k results,
+    // re-ranked cosines ≡ raw-vector recompute, monotone contiguous
+    // ranks) — round-14 fold; neighbor lists in the API, the recall
+    // floor stays in the _verify sibling.
     "q_sim_topk_ivfpq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val ivf = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
-      val pq = operators.ProductQuantize.train(emb, "vec_id", "embedding",
+      val embT = t(s, dir, "embeddings")
+      val emb = embT.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("v"))
+      val ivf = operators.IvfIndex.train(embT, "vec_id", "embedding", k = 16)
+      val pq = operators.ProductQuantize.train(embT, "vec_id", "embedding",
         m = 16, k = 64)
-      operators.IvfPq.topK(emb.filter(col("vec_id") < 16), emb, ivf, pq,
-        k = 10, nprobe = 4, shortlist = 32)
-        .orderBy(col("query_id"), col("rank"))
+      val res = operators.IvfPq.topK(embT.filter(col("vec_id") < 16), embT,
+        ivf, pq, k = 10, nprobe = 4, shortlist = 32).localCheckpoint()
+      val badScore = res
+        .join(emb.select(col("vec_id").as("query_id"), col("v").as("__q")),
+          Seq("query_id"), "left")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("__c")),
+          Seq("neighbor_id"), "left")
+        .withColumn("__rc", round(builtinCosine(col("__q"), col("__c")), 6))
+        .filter(col("__rc").isNull || col("__rc") =!= col("cosine") ||
+          col("query_id") === col("neighbor_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          lit("cosine_mismatch_or_self").as("issue"))
+      annContract(res, badScore.unionByName(rankShapeViolations(res, "cosine")))
     }),
 
     // Verification-property sibling: (a) every emitted cosine re-derived
@@ -3006,19 +3064,6 @@ object SparkEntry {
           col("query_id") === col("neighbor_id"))
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           lit("cosine_mismatch_or_self").as("issue"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-      val badOrder = res
-        .withColumn("__prev", lag(col("cosine"), 1).over(w))
-        .filter(col("__prev").isNotNull && col("cosine") > col("__prev"))
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          lit("rank_not_monotone").as("issue"))
-      val badSeq = res.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("__n"), min(col("rank")).as("__lo"),
-          max(col("rank")).as("__hi"), countDistinct(col("rank")).as("__d"))
-        .filter(!(col("__lo") === 1 && col("__hi") === col("__n") &&
-          col("__d") === col("__n")))
-        .select(col("query_id"), lit(null).cast("long").as("rank"),
-          lit("rank_gap").as("issue"))
       // recall gate: exact top-k recomputed in-engine (affordable at
       // oracle scale — shipping the two-stage path is what avoids this
       // brute force in production); one violation row iff the MEAN
@@ -3037,7 +3082,7 @@ object SparkEntry {
         .select(lit(null).cast("long").as("query_id"),
           lit(null).cast("long").as("rank"),
           lit("recall_below_floor").as("issue"))
-      badScore.unionByName(badOrder).unionByName(badSeq)
+      badScore.unionByName(rankShapeViolations(res, "cosine"))
         .unionByName(badRecall)
         .orderBy(col("query_id"), col("rank"), col("issue"))
     }),
@@ -3795,17 +3840,33 @@ object SparkEntry {
     // foreachBatch against the persisted-and-reloaded IVF+PQ models and
     // the once-built code index — train once, ship the artifact, serve
     // the stream. WHICH neighbors the probes reach is engine-internal
-    // (same as q_sim_topk_ivfpq) → no SQL oracle; gated by the STRICT
-    // equality sibling below (exact sibling: q_sim_topk).
+    // (same as q_sim_topk_ivfpq), so the gated output is the per-query
+    // claim: k served results, each equal to the batch twin under the
+    // same frozen models (per-query top-k is a pure function of (query,
+    // models, index) — no cross-batch state) — round-14 fold; the
+    // served lists stay in the API.
     "q_stream_ann" -> ((s, dir) => {
       sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
         Seq("graft_ann_src_", "graft_ann_model_"))
       val tmp = System.getProperty("java.io.tmpdir")
       val src = s"$tmp/graft_ann_src_${runTag(dir)}"
+      val modelPath = s"$tmp/graft_ann_model_${runTag(dir)}"
       t(s, dir, "embeddings").repartition(4).write.mode("overwrite").parquet(src)
-      streaming.StreamingIngest.runStreamAnnBounded(s, src,
-        s"$tmp/graft_ann_model_${runTag(dir)}")
-        .orderBy(col("query_id"), col("rank"))
+      val a = streaming.StreamingIngest.runStreamAnnBounded(s, src, modelPath)
+        .localCheckpoint()
+      val emb = s.read.parquet(src)
+      val (livf, lpq) = operators.IvfPq.loadModels(s, modelPath)
+      val b = operators.IvfPq.topKIndexed(
+        emb.filter(col("vec_id") < 16),
+        operators.IvfPq.index(emb, livf, lpq), emb, livf, lpq,
+        k = 10, nprobe = 4, shortlist = 32).localCheckpoint()
+      val drift = a.exceptAll(b).unionAll(b.exceptAll(a))
+        .select(col("query_id")).distinct().withColumn("__bad", lit(true))
+      a.groupBy(col("query_id")).agg(count(lit(1)).as("n_results"))
+        .join(drift, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_results"),
+          col("__bad").isNull.as("stream_eq_batch"))
+        .orderBy(col("query_id"))
     }),
 
     // Per-query top-k is a PURE function of (query, frozen models, frozen
@@ -10416,6 +10477,39 @@ object SparkEntry {
         |  TRUE AS component_exists
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // (b) retrieval contract frames: 16 fixture queries × k = 10 served
+    // results with every row-level contract check clean.
+    "q_sim_topk_ivf" -> annContractOracleSql("contract_ok"),
+    "q_sim_topk_pq" -> annContractOracleSql("contract_ok"),
+    "q_sim_topk_ivfpq" -> annContractOracleSql("contract_ok"),
+    "q_stream_ann" -> annContractOracleSql("stream_eq_batch"),
+
+    // (a) k-core peel replayed by bounded unroll: six explicit rounds of
+    // "drop alive nodes with < k alive neighbors" over the co-purchase
+    // graph (the fixture converges in round one — every node holds the
+    // 30-core — and a graph needing more than six rounds would surface
+    // as a hash mismatch, never a silent pass).
+    "q_kcore" -> kcoreOracleSql,
+
+    // (a) DOULION replayed end-to-end: the Knuth-multiplicative edge
+    // coin, the exact triangle count on the sampled canonical edges, and
+    // the ×(1/p)³ scale — all in BIGINT SQL.
+    "q_triangles_approx" ->
+      """WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |co AS (SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM pe x JOIN pe y ON x.ok = y.ok AND x.p < y.p),
+        |samp AS (SELECT u, v FROM co
+        |  WHERE ((u * 2654435761 + v * 40503) % 4294967296) % 100 < 50),
+        |tri AS (
+        |  SELECT count(*) AS t FROM samp e1
+        |  JOIN samp e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN samp e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT CAST(50 AS INTEGER) AS p_pct,
+        |  (SELECT count(*) FROM samp) AS sampled_edges,
+        |  tri.t AS sampled_triangles,
+        |  CAST(tri.t * 8 AS DOUBLE) AS est_triangles
+        |FROM tri""".stripMargin,
+
     // (a) the fuzzy-curate statuses replayed from scratch: quality =
     // fewer than 20 clean tokens; duplicate = the HIGHER id of any
     // exact-trigram-jaccard ≥ 0.5 pair among gated docs (banding at the
@@ -10477,6 +10571,53 @@ object SparkEntry {
       |JOIN sizes nb ON nb.doc_id = idB
       |WHERE CAST(c AS DOUBLE) / (na.n_sh + nb.n_sh - c) >= 0.2
       |ORDER BY idA, idB""".stripMargin
+
+  /** Retrieval contract frame: the 16 fixture queries, k = 10 results
+    * each, contract clean — shared by the three approximate-ANN folds
+    * and (as `stream_eq_batch`) the serving twin. */
+  private def annContractOracleSql(flagName: String): String =
+    s"""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+      |  TRUE AS $flagName
+      |FROM embeddings WHERE vec_id < 16 ORDER BY query_id""".stripMargin
+
+  /** k-core (k = 30) peel replayed by bounded unroll: alive₀ = every
+    * co-purchase node; round i removes alive nodes with fewer than k
+    * alive neighbors; survivors after the last unrolled round are the
+    * core (round −1). Six rounds is 6× the fixture's measured depth; a
+    * deeper graph mislabels survivors and FAILS the hash — loud, never a
+    * silent pass. */
+  private lazy val kcoreOracleSql: String = {
+    val rounds = 6
+    val sb = new StringBuilder(4096)
+    sb.append(
+      """WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |co AS (SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM pe x JOIN pe y ON x.ok = y.ok AND x.p < y.p),
+        |adj AS (SELECT u AS a, v AS b FROM co UNION ALL SELECT v AS a, u AS b FROM co),
+        |alive0 AS (SELECT DISTINCT a FROM adj),
+        |""".stripMargin)
+    for (i <- 0 until rounds) {
+      sb.append(
+        s"""deg$i AS (
+           |  SELECT adj.a AS a, count(*) AS d FROM adj
+           |  JOIN alive$i x ON adj.a = x.a
+           |  JOIN alive$i y ON adj.b = y.a
+           |  GROUP BY adj.a),
+           |alive${i + 1} AS (SELECT a FROM deg$i WHERE d >= 30),
+           |rem$i AS (SELECT a FROM alive$i EXCEPT SELECT a FROM alive${i + 1}),
+           |""".stripMargin)
+    }
+    val removed = (0 until rounds)
+      .map(i => s"SELECT a, CAST($i AS INTEGER) AS round FROM rem$i")
+      .mkString("\n  UNION ALL ")
+    sb.append(
+      s"""lastd AS (SELECT 1)
+         |SELECT a AS node, round FROM (
+         |  $removed
+         |  UNION ALL SELECT a, CAST(-1 AS INTEGER) AS round FROM alive$rounds
+         |) ORDER BY node""".stripMargin)
+    sb.toString
+  }
 
   /** Misra–Gries summary claim: exact stream length, capacity, zero
     * guarantee violations — shared by the batch and streaming MG folds. */

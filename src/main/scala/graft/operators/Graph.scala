@@ -174,22 +174,32 @@ object Graph {
     * edge) keeps the estimate gated against the exact sibling.
     *
     * The coin flip is a DETERMINISTIC hash of the canonical edge
-    * (`xxhash64(u, v, seed) mod 100 < pPct`), not a runtime RNG: the
-    * sample — hence the estimate and its driver-gated error check — is
-    * reproducible across runs, partitionings, and cluster sizes, and two
+    * ([[edgeCoinSlot]] mod 100 < pPct), not a runtime RNG: the sample —
+    * hence the estimate and its driver-gated error check — is
+    * reproducible across runs, partitionings, and cluster sizes, two
     * triangles sharing an edge share that edge's coin exactly as the
-    * variance model assumes.
+    * variance model assumes, and the Knuth-multiplicative form is
+    * replayable in plain integer SQL, which is what lets the DOULION
+    * headline carry a full value oracle (sample → exact count on the
+    * sample → ×(1/p)³, recomputed end-to-end by DuckDB).
     *
     * @param pPct keep-probability in percent (50 = DOULION's p = 0.5)
     * @return one row: (p_pct, sampled_edges, sampled_triangles,
     *         est_triangles = sampled/p³ as double)
     */
+  /** The DOULION edge coin: Knuth-multiplicative mix of the canonical
+    * pair, mod 2³², then mod 100 — deterministic, partition-invariant,
+    * and exactly reproducible in BIGINT SQL (`(u·2654435761 + v·40503)
+    * % 2^32 % 100`), the property the value oracle rests on. */
+  private[operators] def edgeCoinSlot(u: Column, v: Column): Column =
+    pmod(u * lit(2654435761L) + v * lit(40503L), lit(4294967296L)) % lit(100L)
+
   def triangleEstimate(edges: DataFrame, srcCol: String, dstCol: String,
                        pPct: Int = 50, seed: Long = 42L): DataFrame = {
     require(pPct > 0 && pPct <= 100, s"pPct must be in (0,100], got $pPct")
     val und = canonicalUndirected(edges, srcCol, dstCol)
     val sampled = und.filter(
-      pmod(xxhash64(col("u"), col("v"), lit(seed)), lit(100L)) < lit(pPct.toLong))
+      edgeCoinSlot(col("u"), col("v")) < lit(pPct.toLong))
     val scale = math.pow(100.0 / pPct, 3)
     triangleRowsOf(sampled)
       .agg(count(lit(1)).as("sampled_triangles"))
@@ -538,10 +548,9 @@ object Graph {
     val tRow = tris.agg(count(lit(1)).as("t"))
     // the estimate, re-derived from the SAME frame: a triangle survives
     // DOULION sparsification iff all three of its canonical edges pass
-    // the edge coin — the identical xxhash64 coin triangleEstimate flips
+    // the edge coin — the identical [[edgeCoinSlot]] triangleEstimate flips
     def coin(a: Column, b: Column): Column =
-      pmod(xxhash64(least(a, b), greatest(a, b), lit(seed)), lit(100L)) <
-        lit(pPct.toLong)
+      edgeCoinSlot(least(a, b), greatest(a, b)) < lit(pPct.toLong)
     val scale = math.pow(100.0 / pPct, 3)
     val estRow = tris
       .filter(coin(col("ta"), col("tb")) && coin(col("ta"), col("c")) &&

@@ -17,59 +17,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleContractSpec extends AnyFunSuite {
 
-  // the no-oracle headliners: approximate-by-design (engine-specific
-  // signatures, sketch internals, or partitioning-order-dependent
-  // estimates), plus corpus-LEARNED BPE whose merge-learning loop is
-  // EXACT but iterative (not ANSI-expressible — the frozen-merge
-  // q_bpe_tokenize, by contrast, IS oracled via the recursive-CTE
-  // replay); each exact/recall/round-trip-gated elsewhere and each
-  // driver-gated by its *_verify property sibling
-  private val approximateByDesign = Set(
-    "q_approx_distinct", "q_dedup_embedding", "q_dedup_minhash",
-    "q_dedup_simhash", "q_dedup_semantic", "q_sim_topk_ivf", "q_sim_topk_pq",
-    "q_bpe_learned", "q_quantile_approx", "q_heavy_hitters",
-    "q_stream_hotkeys", "q_hll_rollup", "q_hll_native", "q_stream_hll",
-    "q_cms_native", "q_stream_cms", "q_triangles_approx",
-    "q_quantile_native", "q_stream_quantile",
-    // KMV overlap estimates: exact sibling q_kmv_overlap_exact carries the
-    // oracle; q_kmv_overlap_verify bounds every figure + byte-exact merge;
-    // q_stream_kmv_verify pins stream ≡ batch bit-exact
-    "q_kmv_overlap", "q_stream_kmv",
-    // CMS join-size estimate: exact sibling q_join_size_exact carries the
-    // oracle; q_join_size_verify gates the no-undercount + bound contract
-    "q_join_size_est",
-    // k-core: exact + deterministic but iterative (not ANSI-expressible,
-    // like BPE); the _verify certificate gate re-proves the decomposition
-    // with pure joins, and GraphSpec pins it to brute-force peeling
-    "q_kcore",
-    // streamed Bloom bits: engine-specific XXH64 double hashing (like the
-    // sketch internals above); q_stream_bloom_verify pins stream ≡ batch
-    // byte-exact + the no-false-negative contract, and BloomIndexSpec
-    // re-proves both on a controlled multi-batch replay
-    "q_stream_bloom",
-    // per-group MG estimates: engine-internal decrement schedule (same as
-    // q_heavy_hitters); exact sibling q_hotkeys_by_group_exact carries the
-    // oracle, q_hotkeys_by_group_verify re-proves every per-group bound
-    "q_hotkeys_by_group",
-    // KMV sketch sibling of the source overlap matrix: estimates are
-    // sketch-internal (like q_kmv_overlap); exact sibling
-    // q_source_overlap carries the oracle, the _verify bounds every
-    // figure against the exact fingerprint sets in-engine
-    "q_source_overlap_est",
-    // IVF→PQ two-stage retrieval: emitted cosines are EXACT (short-list
-    // re-rank reads raw vectors) but WHICH neighbors the probes reach is
-    // engine-internal (k-means cells + codebooks, same as q_sim_topk_ivf
-    // / q_sim_topk_pq); exact sibling q_sim_topk carries the oracle and
-    // the _verify gates score equality, rank shape, AND a recall floor
-    "q_sim_topk_ivfpq",
-    // streamed ANN serving: same engine-internal probe reach as
-    // q_sim_topk_ivfpq (exact sibling q_sim_topk); the _verify pins the
-    // bounded stream ≡ batch topKIndexed EXACTLY under shared models
-    "q_stream_ann",
-    // streamed fuzzy curation: MinHash banding is engine-internal (like
-    // q_dedup_minhash, whose verified family is the exact relative); the
-    // _verify pins stream ≡ batch statuses verbatim, uncapped both sides
-    "q_stream_curate_fuzzy")
+  // Since round 14 the no-oracle set is EMPTY: every formerly rows-only
+  // headliner now carries a value oracle, by one of two mechanisms
+  // (documented at the round-14 block in SparkEntry.oracleSql):
+  //   (a) exact-regime pins — merge-order-invariant sketches sized so
+  //       the fixture sits in their exact regime (collision-free CMS,
+  //       k-complete KMV, small-range-exact HLL, full-recall minhash
+  //       banding, the SQL-replayable DOULION coin, the bounded-unroll
+  //       k-core peel);
+  //   (b) contract frames — where the row set is engine-internal
+  //       (k-means cells, MG decrement schedules, GK/KLL compactions,
+  //       learned BPE merges), the gated query emits enumerable keys +
+  //       exact side values + the guarantee as a boolean/violation
+  //       count, keeping the approximate machinery in the measured plan
+  //       while its raw output stays on the operator API.
+  private val approximateByDesign = Set.empty[String]
 
   test("every oracleSql key names an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -79,10 +41,11 @@ class OracleContractSpec extends AnyFunSuite {
   test("every query is driver-gated: an oracle, or _verify + exact sibling") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === approximateByDesign,
-      "the no-oracle set changed — a new approximate query MUST ship an " +
-        "exact oracled sibling (or recall spec) AND an empty-relation " +
-        "*_verify property oracle, then be added to approximateByDesign " +
-        s"here. Unexpected: ${noOracle -- approximateByDesign}; " +
+      "the no-oracle set changed — since round 14 EVERY query carries a " +
+        "value oracle (exact-regime pin or contract frame; see the " +
+        "round-14 block in SparkEntry.oracleSql). A new approximate " +
+        "query must ship one of those two shapes, not a rows-only " +
+        s"entry. Unexpected: ${noOracle -- approximateByDesign}; " +
         s"missing: ${approximateByDesign -- noOracle}")
     approximateByDesign.foreach { q =>
       assert(SparkEntry.queries.contains(s"${q}_verify"),

@@ -48,6 +48,12 @@ object PlanAudit {
     // the ONE-ROW n/sub summary-stats frame crossed into the exact
     // counts for the missing-heavy-item and global checks
     "q_heavy_hitters_verify",
+    // round-14 headliner folds: each headliner now runs its guarantee
+    // ledger in-query, inheriting its sibling's sanctioned ONE-ROW
+    // scalar crosses (MG summary stats, GK rank counts, the violation/
+    // corpus-count combination)
+    "q_heavy_hitters", "q_stream_hotkeys", "q_quantile_approx",
+    "q_dedup_embedding",
     // merged-total (1 row) crossed with the direct global sketch (1 row)
     // for the bit-exact merge-consistency check
     "q_hll_native_verify",
@@ -166,5 +172,9 @@ object PlanAudit {
     "q_dedup_embedding_verify", "q_reg_verify", "q_vec_pca_verify",
     "q_source_formats", "q_partition_pruning", "q_join_bucketed",
     "q_zonemap_skip", "q_bloom_index",
-    "q_dsir_weights", "q_dsir_select")
+    "q_dsir_weights", "q_dsir_select",
+    // round-14 folds that localCheckpoint their estimate/fingerprint
+    // frame at construction (a build-time plan read would see only the
+    // post-checkpoint stub)
+    "q_quantile_native", "q_source_overlap_est")
 }

@@ -127,8 +127,16 @@ class PlanSpec extends SparkSpec {
 
   test("embedding pairs headline: IVF-cell equi-join, no quadratic scan") {
     val p = plan("q_dedup_embedding")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+    // the round-14 contract fold adds ONE sanctioned scalar cross (two
+    // ONE-ROW count frames); the candidate machinery itself must still
+    // never go quadratic — no shuffled cartesian anywhere, and the only
+    // nested-loop join is that 1×1 combination
+    assert(!p.contains("CartesianProduct"),
       "headline near-dup must not run an all-pairs join — that dies at 100x corpus")
+    // plan() concatenates formatted + executed renderings, so one
+    // operator appears up to 3 times (tree, detail section, executed)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+      "only the 1x1 count combination may nested-loop")
     assert(p.contains("cell"),
       "candidates must come from the IVF cell equi-join")
     assert(p.contains("float_vec_dot"), "native expression missing from plan")
@@ -338,12 +346,16 @@ class PlanSpec extends SparkSpec {
       "the decision table must broadcast")
     assert(!p.contains("SortMergeJoin"),
       "no sort-merge join anywhere: rules-side joins are broadcast too")
-    // the URL side must feed the broadcast join DIRECTLY from its scan —
-    // scan → projections → join, no exchange/window/agg on the stream
-    // (the parser's windows live on the tiny rules side, which is fine)
+    // the DOCUMENT-URL stream must feed the broadcast join with no
+    // exchange/window/agg of its own: since round 14 the URL side is a
+    // Union of the doc stream (scan → projections) with the 20-row
+    // pathless-root fixture branch (a distinct, domain-count-sized), so
+    // the motif asserts the union's FIRST branch is the bare scan chain
+    // (the parser's windows still live on the tiny rules side)
     val motif = ("""(?s)BroadcastHashJoin LeftOuter BuildRight \(\d+\)\s*\n""" +
-      """\s*:- Project \(\d+\)\s*\n\s*:  \+- Project \(\d+\)\s*\n""" +
-      """\s*:     \+- Scan parquet""").r
+      """\s*:- Union \(\d+\)\s*\n""" +
+      """\s*:  :- Project \(\d+\)\s*\n\s*:  :  \+- Project \(\d+\)\s*\n""" +
+      """\s*:  :     \+- Scan parquet""").r
     assert(motif.findFirstIn(p).isDefined,
       s"URL side must be scan→project straight into the broadcast join:\n$p")
   }

@@ -138,14 +138,13 @@ class GraphSpec extends SparkSpec {
       val direct = Graph.triangleEstimate(df, "src", "dst", pPct = pp)
         .select($"sampled_triangles").as[Long].head()
       val und = Graph.canonicalUndirected(df, "src", "dst")
+      // the SAME Knuth-multiplicative coin the engine flips (and the
+      // DuckDB oracle replays in BIGINT SQL)
       val rederived = Graph.triangleRowsOf(und)
         .filter(
-          pmod(xxhash64(least($"ta", $"tb"), greatest($"ta", $"tb"), lit(42L)),
-            lit(100L)) < pp.toLong &&
-          pmod(xxhash64(least($"ta", $"c"), greatest($"ta", $"c"), lit(42L)),
-            lit(100L)) < pp.toLong &&
-          pmod(xxhash64(least($"tb", $"c"), greatest($"tb", $"c"), lit(42L)),
-            lit(100L)) < pp.toLong)
+          Graph.edgeCoinSlot(least($"ta", $"tb"), greatest($"ta", $"tb")) < pp.toLong &&
+          Graph.edgeCoinSlot(least($"ta", $"c"), greatest($"ta", $"c")) < pp.toLong &&
+          Graph.edgeCoinSlot(least($"tb", $"c"), greatest($"tb", $"c")) < pp.toLong)
         .count()
       assert(direct === rederived,
         s"p=$pp: coin-filtered exact triangles must equal the sampled count")
