@@ -355,6 +355,138 @@ object SparkEntry {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY g) AS extracted
       |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Write-once-per-process MISLABELED archives: every response's
+    * Content-Type header deliberately contradicts its payload (PNG as
+    * text/html, PDF as image/png, HTML as octet-stream, WAV as
+    * text/plain, plain text as application/pdf) — the real-crawl
+    * pathology the magic-byte sniffer exists for. */
+  private def warcMimeFixtureDir(s: SparkSession, dir: String): String =
+    warcFixtureLock.synchronized {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      sweepDeadScratch(tmp, Seq("graft_warcmime_"))
+      val out = new java.io.File(tmp, s"graft_warcmime_${runTag(dir)}")
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        val body = udf { (id: Long, text: String) =>
+          (id % 5).toInt match {
+            case 0 => Multimodal.syntheticPngPixelPayload(id)
+            case 1 => graft.expr.PdfOps.syntheticPdf(id, text, flate = true)
+            case 2 => ("<!doctype html>\n<html><body><p>" + text +
+              "</p></body></html>\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case 3 => Multimodal.syntheticWavPayload(id)
+            case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+        }
+        val declared = when(col("doc_id") % 5 === 0, "text/html")
+          .when(col("doc_id") % 5 === 1, "image/png")
+          .when(col("doc_id") % 5 === 2, "application/octet-stream")
+          .when(col("doc_id") % 5 === 3, "text/plain")
+          .otherwise("application/pdf")
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://mm."), col("source"), lit(".example.com/r/"),
+            col("doc_id").cast("string")).as("uri"),
+          body(col("doc_id"), col("text")).as("body"),
+          declared.as("ct"))
+        ingest.WarcIngest.writeResponsesWarc(s, docs, "doc_id", "uri", "body",
+          "ct", out.getAbsolutePath, nFiles = 4)
+        marker.createNewFile()
+      }
+      out.getAbsolutePath
+    }
+
+  /** Write-once-per-process REDIRECT archives: doc_id % 5 == 3 pages
+    * respond 301 → the mode-0 page three ids back; mode-4 pages respond
+    * 302 → the mode-3 page one id back (a two-hop chain 302→301→200);
+    * everything else serves the page. The chain targets live in the
+    * same archive — the loop a crawler actually has to resolve. */
+  private def warcRedirFixtureDir(s: SparkSession, dir: String): String =
+    warcFixtureLock.synchronized {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      sweepDeadScratch(tmp, Seq("graft_warcredir_"))
+      val out = new java.io.File(tmp, s"graft_warcredir_${runTag(dir)}")
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        def urlOf(idc: Column, srcc: Column): Column =
+          concat(lit("https://www."), srcc, lit(".example.com/docs/"),
+            idc.cast("string"))
+        val t3 = base.select(col("doc_id").as("t3_id"),
+          col("source").as("t3_src"))
+        val t1 = base.select(col("doc_id").as("t1_id"),
+          col("source").as("t1_src"))
+        val payload = udf { (id: Long, text: String, loc3: String,
+                             loc1: String) =>
+          val ascii = java.nio.charset.StandardCharsets.UTF_8
+          def redirect(code: Int, reason: String, loc: String) =
+            (s"HTTP/1.1 $code $reason\r\nLocation: $loc\r\n" +
+              "Content-Length: 0\r\n\r\n").getBytes(ascii)
+          (id % 5).toInt match {
+            case 3 if loc3 != null => redirect(301, "Moved Permanently", loc3)
+            case 4 if loc1 != null => redirect(302, "Found", loc1)
+            case _ =>
+              val page = ("<html><body><p>" + text.replace("&", "&amp;")
+                .replace("<", "&lt;").replace(">", "&gt;") +
+                "</p></body></html>\n").getBytes(ascii)
+              (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+                s"Content-Length: ${page.length}\r\n\r\n").getBytes(ascii) ++ page
+          }
+        }
+        val docs = base
+          .join(t3, col("doc_id") - 3 === col("t3_id"), "left")
+          .join(t1, col("doc_id") - 1 === col("t1_id"), "left")
+          .select(col("doc_id"),
+            urlOf(col("doc_id"), col("source")).as("uri"),
+            payload(col("doc_id"), col("text"),
+              urlOf(col("t3_id"), col("t3_src")),
+              urlOf(col("t1_id"), col("t1_src"))).as("payload"))
+        ingest.WarcIngest.writeHttpResponsesWarc(s, docs, "doc_id", "uri",
+          "payload", out.getAbsolutePath, nFiles = 4)
+        marker.createNewFile()
+      }
+      out.getAbsolutePath
+    }
+
+  /** The sitemap fixture's parsed url-entries (domain, kind, loc,
+    * lastmod), index→child resolution included — shared by the seeds
+    * and recrawl-plan queries: even-k domains publish one direct
+    * urlset, odd-k domains a sitemapindex whose two children are only
+    * reachable through the index join. */
+  private def sitemapUrlEntries(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(col("source")).distinct()
+      .withColumn("domain", concat(col("source"), lit(".example.com")))
+      .withColumn("k",
+        regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+    val roots = src.select(col("domain"),
+      concat(lit("https://www."), col("domain"), lit("/sitemap.xml"))
+        .as("url"),
+      when(col("k") % 2 === 0,
+        operators.Sitemap.syntheticUrlset(col("domain"), col("k"), 0, 10))
+        .otherwise(operators.Sitemap.syntheticIndex(col("domain")))
+        .as("xml"))
+    val children = src.select(col("domain"),
+        concat(lit("https://www."), col("domain"), lit("/sitemap-1.xml"))
+          .as("url"),
+        operators.Sitemap.syntheticUrlset(col("domain"), col("k"), 0, 5)
+          .as("xml"))
+      .unionByName(src.select(col("domain"),
+        concat(lit("https://www."), col("domain"), lit("/sitemap-2.xml"))
+          .as("url"),
+        operators.Sitemap.syntheticUrlset(col("domain"), col("k"), 5, 10)
+          .as("xml")))
+      .filter(regexp_extract(col("domain"), "(\\d+)", 1).cast("long")
+        % 25 % 2 === 1)
+    val rootEntries = operators.Sitemap.parseEntries(roots, "xml")
+    val childEntries = operators.Sitemap.parseEntries(
+      children.join(broadcast(rootEntries.filter(col("kind") === "sitemap")
+        .select(col("loc").as("url"))), Seq("url")), "xml")
+    rootEntries.filter(col("kind") === "url")
+      .select(col("domain"), col("kind"), col("loc"), col("lastmod"))
+      .unionByName(childEntries.filter(col("kind") === "url")
+        .select(col("domain"), col("kind"), col("loc"), col("lastmod")))
+  }
+
   /** Exact sum: decimal arithmetic, double surface. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -902,6 +1034,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // URL canonicalization (RFC 3986 §6 + crawl conventions) — the key
+    // normalizer BEFORE any url-keyed dedup/frontier/recrawl aggregate:
+    // eight spellings of the same resource (case-shifted authority,
+    // default port, fragment, dot-segments, over-percent-encoding,
+    // tracking params + unsorted query, duplicate slashes) must all
+    // collapse to ONE canonical fixed point — the invertible-fixture
+    // playbook: the mess generator starts FROM the canonical form, so
+    // the oracle is the clean construction, not an SQL re-implementation
+    // of the algorithm.
+    "q_url_canonicalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val slot = (col("doc_id") % 25).cast("string")
+      val host = concat(lit("www."), col("source"), lit(".example.com"))
+      val canon = concat(lit("https://"), host, lit("/docs/"), slot,
+        lit("/?id="), id, lit("&lang="), col("lang"))
+      val qs = concat(lit("?id="), id, lit("&lang="), col("lang"))
+      val messy = when(col("doc_id") % 8 === 1,
+          concat(lit("HTTPS://WWW."), upper(col("source")),
+            lit(".EXAMPLE.COM/docs/"), slot, lit("/"), qs))
+        .when(col("doc_id") % 8 === 2,
+          concat(lit("https://"), host, lit(":443/docs/"), slot, lit("/"), qs))
+        .when(col("doc_id") % 8 === 3,
+          concat(canon, lit("#section-2")))
+        .when(col("doc_id") % 8 === 4,
+          concat(lit("https://"), host, lit("/docs/../docs/"), slot,
+            lit("/./"), qs))
+        .when(col("doc_id") % 8 === 5,
+          concat(lit("https://"), host, lit("/d%6Fcs/"), slot,
+            lit("/?id="), id, lit("&l%61ng="), col("lang")))
+        .when(col("doc_id") % 8 === 6,
+          concat(lit("https://"), host, lit("/docs/"), slot,
+            lit("/?utm_source=news&lang="), col("lang"), lit("&id="), id,
+            lit("&fbclid=abc123")))
+        .when(col("doc_id") % 8 === 7,
+          concat(lit("https://"), host, lit("//docs//"), slot, lit("//"), qs))
+        .otherwise(canon)
+      docs.select(col("doc_id"), messy.as("__raw"),
+          graft.expr.UrlExpressions.url_canonicalize(messy).as("url_canon"))
+        .select(col("doc_id"), col("url_canon"),
+          (col("__raw") =!= col("url_canon")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // robots.txt parsing (RFC 9309): one synthetic robots document per
     // crawl domain — comments, mixed-case directive names, crawl-delay,
     // a `*` group and a crawler-specific override group — parsed into
@@ -1198,6 +1374,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Redirect-chain resolution out of the archive: 301/302 responses
+    // (Location parsed by the reader) resolved to their landing page by
+    // the bounded-hop iterative join — 302→301→200 two-hop chains
+    // included — so url-keyed accounting counts every moved page once,
+    // at its real home. Every hop count, landing id, and resolved flag
+    // recomputed by the oracle from the chain arithmetic.
+    "q_warc_redirects" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcRedirFixtureDir(s, dir))
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("target_uri").as("url"),
+          col("http_status").as("status"),
+          col("http_location").as("location"))
+      operators.WebCuration.resolveRedirects(recs, "url", "status",
+          "location", maxHops = 4)
+        .select(col("doc_id"), col("status").cast("long").as("status"),
+          regexp_extract(col("final_url"), "/docs/(\\d+)$", 1).cast("long")
+            .as("final_doc"),
+          col("n_hops"), col("resolved"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content-type sniffing over a deliberately MISLABELED archive: every
+    // response's Content-Type header contradicts its payload; the
+    // magic-byte sniffer must recover the true type for all five
+    // modalities straight from body_bytes — the routing layer that keeps
+    // mislabeled PDFs out of the HTML extractor at crawl scale.
+    "q_warc_mime_sniff" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcMimeFixtureDir(s, dir))
+      recs.filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("http_content_type").as("declared"),
+          graft.expr.MimeExpressions.mime_sniff(col("body_bytes"))
+            .as("sniffed"))
+        .withColumn("mislabeled", col("declared") =!= col("sniffed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PDF text extraction (the crawl's second text modality): synthetic-
     // invertible PDFs — real object/xref structure, Tj/TJ/Td/T* text
     // operators, parens escaped, odd ids FlateDecode-compressed — parsed
@@ -1333,43 +1550,34 @@ object SparkEntry {
     // anti-joined away, survivors ranked newest-first per domain.
     "q_sitemap_seeds" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val src = docs.select(col("source")).distinct()
-        .withColumn("domain", concat(col("source"), lit(".example.com")))
-        .withColumn("k",
-          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
-      val roots = src.select(col("domain"),
-        concat(lit("https://www."), col("domain"), lit("/sitemap.xml"))
-          .as("url"),
-        when(col("k") % 2 === 0,
-          operators.Sitemap.syntheticUrlset(col("domain"), col("k"), 0, 10))
-          .otherwise(operators.Sitemap.syntheticIndex(col("domain")))
-          .as("xml"))
-      val children = src.select(col("domain"),
-          concat(lit("https://www."), col("domain"), lit("/sitemap-1.xml"))
-            .as("url"),
-          operators.Sitemap.syntheticUrlset(col("domain"), col("k"), 0, 5)
-            .as("xml"))
-        .unionByName(src.select(col("domain"),
-          concat(lit("https://www."), col("domain"), lit("/sitemap-2.xml"))
-            .as("url"),
-          operators.Sitemap.syntheticUrlset(col("domain"), col("k"), 5, 10)
-            .as("xml")))
-        .filter(regexp_extract(col("domain"), "(\\d+)", 1).cast("long")
-          % 25 % 2 === 1)
-      val rootEntries = operators.Sitemap.parseEntries(roots, "xml")
-      val childEntries = operators.Sitemap.parseEntries(
-        children.join(broadcast(rootEntries.filter(col("kind") === "sitemap")
-          .select(col("loc").as("url"))), Seq("url")), "xml")
-      val urlEntries = rootEntries.filter(col("kind") === "url")
-        .select(col("domain"), col("kind"), col("loc"), col("lastmod"))
-        .unionByName(childEntries.filter(col("kind") === "url")
-          .select(col("domain"), col("kind"), col("loc"), col("lastmod")))
       val crawled = docs.select(concat(lit("https://www."), col("source"),
         lit(".example.com/docs/"), (col("doc_id") % 25).cast("string"))
         .as("url")).distinct()
-      operators.Sitemap.seeds(urlEntries, "domain", crawled, "url")
+      operators.Sitemap.seeds(sitemapUrlEntries(s, dir), "domain",
+          crawled, "url")
         .select(col("domain"), col("loc"), col("lastmod"), col("seed_rank"))
         .orderBy(col("domain"), col("seed_rank"))
+    }),
+
+    // The sitemap's SECOND job: the recrawl plan. Each advertised URL
+    // classified against the crawl warehouse — never-crawled slots are
+    // 'new', crawled slots whose sitemap lastmod postdates our (slot-
+    // derived) fetch date are 'refresh', current copies 'skip' — and the
+    // non-skip rows ranked newest-first per domain: the fetcher's work
+    // queue, with all three outcomes exercised by the date arithmetic.
+    "q_recrawl_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crawled = docs
+        .select(col("source"), (col("doc_id") % 25).as("slot")).distinct()
+        .select(concat(lit("https://www."), col("source"),
+            lit(".example.com/docs/"), col("slot").cast("string")).as("url"),
+          to_date(concat(lit("2026-01-"),
+            lpad(((col("slot") * 3) % 28 + 1).cast("string"), 2, "0")))
+            .as("fetched_at"))
+      operators.Sitemap.recrawlPlan(sitemapUrlEntries(s, dir), "domain",
+          crawled, "url", "fetched_at")
+        .select(col("domain"), col("loc"), col("action"), col("fetch_rank"))
+        .orderBy(col("domain"), col("loc"))
     }),
 
     // Manifest-driven incremental ingest — how the crawl warehouse
@@ -7168,6 +7376,32 @@ object SparkEntry {
     "q_pdf_extract" -> pdfExtractOracleSql,
     "q_warc_pdf" -> pdfExtractOracleSql,
 
+    // redirect oracle: statuses, landing ids, and hop counts from the
+    // chain rule (mode 3 → −3 in one hop; mode 4 → −1 → −4 in two).
+    "q_warc_redirects" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 5 WHEN 3 THEN 301 WHEN 4 THEN 302
+        |    ELSE 200 END AS BIGINT) AS status,
+        |  CASE doc_id % 5 WHEN 3 THEN doc_id - 3 WHEN 4 THEN doc_id - 4
+        |    ELSE doc_id END AS final_doc,
+        |  CAST(CASE doc_id % 5 WHEN 3 THEN 1 WHEN 4 THEN 2
+        |    ELSE 0 END AS BIGINT) AS n_hops,
+        |  TRUE AS resolved
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mime-sniff oracle: both the (wrong) declared label and the true
+    // type the magic bytes must recover, straight from the rotation.
+    "q_warc_mime_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'text/html' WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'application/octet-stream' WHEN 3 THEN 'text/plain'
+        |    ELSE 'application/pdf' END AS declared,
+        |  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'application/pdf'
+        |    WHEN 2 THEN 'text/html' WHEN 3 THEN 'audio/wav'
+        |    ELSE 'text/plain' END AS sniffed,
+        |  TRUE AS mislabeled
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Crawl-loop oracle: frontier top-50 → host-page resolution →
     // slot ≠ k gate → Knuth-hash queue with (k%3+1)s spacing → the
     // <5 s wave → the full WARC/HTTP framing arithmetic of exactly
@@ -7349,6 +7583,52 @@ object SparkEntry {
     // Extraction must survive its own WET archive round-trip — the same
     // oracle once more.
     "q_warc_wet_roundtrip" -> textExtractOracleSql,
+
+    // canonicalization oracle: the fixed point every mess mode must
+    // collapse back to (mode 0 is already canonical ⇒ changed = false).
+    "q_url_canonicalize" ->
+      """SELECT doc_id,
+        |  'https://www.' || source || '.example.com/docs/' ||
+        |    CAST(doc_id % 25 AS VARCHAR) || '/?id=' || CAST(doc_id AS VARCHAR) ||
+        |    '&lang=' || lang AS url_canon,
+        |  doc_id % 8 <> 0 AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // recrawl-plan oracle: action from the two date formulas — sitemap
+    // lastmod (k+i)%28+1 vs slot-derived fetch date (slot*3)%28+1 for
+    // crawled slots — and the per-domain newest-first queue over the
+    // non-skip rows.
+    "q_recrawl_plan" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents),
+        |ent AS (
+        |  SELECT s.source, s.domain, (s.k + ii.i) % 25 AS slot,
+        |    'https://www.' || s.domain || '/docs/' ||
+        |      CAST((s.k + ii.i) % 25 AS VARCHAR) AS loc,
+        |    CAST('2026-01-' ||
+        |      lpad(CAST((s.k + ii.i) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |      AS lastmod
+        |  FROM src s CROSS JOIN (SELECT unnest(range(10)) AS i) ii),
+        |crawled AS (SELECT DISTINCT source, doc_id % 25 AS slot FROM documents),
+        |plan AS (
+        |  SELECT e.domain, e.loc, e.lastmod,
+        |    CASE WHEN c.slot IS NULL THEN 'new'
+        |         WHEN e.lastmod > CAST('2026-01-' ||
+        |           lpad(CAST((e.slot * 3) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |           THEN 'refresh'
+        |         ELSE 'skip' END AS action
+        |  FROM ent e LEFT JOIN crawled c
+        |    ON c.source = e.source AND c.slot = e.slot),
+        |todo AS (
+        |  SELECT domain, loc,
+        |    CAST(row_number() OVER (PARTITION BY domain
+        |      ORDER BY lastmod DESC, loc ASC) AS BIGINT) AS fetch_rank
+        |  FROM plan WHERE action <> 'skip')
+        |SELECT p.domain, p.loc, p.action, t.fetch_rank
+        |FROM plan p LEFT JOIN todo t ON t.domain = p.domain AND t.loc = p.loc
+        |ORDER BY p.domain, p.loc""".stripMargin,
 
     // robots.txt rule-table oracle: the template's rule rows rebuilt
     // per domain from the source→k rule — the parser must recover

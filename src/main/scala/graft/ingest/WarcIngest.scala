@@ -67,6 +67,7 @@ object WarcIngest {
       content_length: Long,
       http_status: Option[Int],
       http_content_type: Option[String],
+      http_location: Option[String],
       charset: Option[String],
       body: String,
       body_bytes: Array[Byte])
@@ -254,11 +255,11 @@ object WarcIngest {
         s"$fileName: payload of $clen bytes exceeds maxPayloadBytes=$maxPayloadBytes")
       val payload = readFully(clen.toInt)
       val warcType = headers.getOrElse("warc-type", "")
-      val (status, ctype, bodyBytes) = parseHttp(payload)
+      val (status, ctype, location, bodyBytes) = parseHttp(payload)
       val cs = if (status.isDefined) sniffCharset(ctype, bodyBytes) else UTF_8
       nextRec = WarcRecord(fileName, recOffset, warcType,
         headers.getOrElse("warc-record-id", ""), headers.get("warc-target-uri"),
-        headers.getOrElse("warc-date", ""), clen, status, ctype,
+        headers.getOrElse("warc-date", ""), clen, status, ctype, location,
         if (status.isDefined) Some(cs.name()) else None,
         new String(bodyBytes, cs), bodyBytes)
     }
@@ -274,11 +275,11 @@ object WarcIngest {
       * bytes — crawl tolerance: a corrupt member must not kill the
       * archive task, and the raw bytes remain inspectable downstream. */
     private def parseHttp(payload: Array[Byte])
-        : (Option[Int], Option[String], Array[Byte]) = {
+        : (Option[Int], Option[String], Option[String], Array[Byte]) = {
       val isHttp = payload.length >= 5 &&
         payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
         payload(3) == 'P' && payload(4) == '/'
-      if (!isHttp) return (None, None, payload)
+      if (!isHttp) return (None, None, None, payload)
       // Locate the header/body split: \r\n\r\n (or tolerant \n\n).
       var split = -1
       var bodyStart = -1
@@ -303,6 +304,7 @@ object WarcIngest {
           l.substring(name.length + 1).trim
       }
       val ctype = header("content-type")
+      val location = header("location")
       var body =
         java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
       if (header("transfer-encoding")
@@ -314,7 +316,7 @@ object WarcIngest {
           case "deflate" => body = inflate(body).getOrElse(body)
           case _ => () // identity or an encoding we can't decode: keep raw
         }
-      (status, ctype, body)
+      (status, ctype, location, body)
     }
 
     override def hasNext: Boolean = {

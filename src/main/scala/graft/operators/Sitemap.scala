@@ -31,11 +31,16 @@ object Sitemap {
       .select(passThrough :+ explode(regexp_extract_all(col(xmlCol),
         lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1))).as("__blk"): _*)
       .withColumn("kind", lit(kind))
+    val lastmodRaw = regexp_extract(col("__blk"),
+      "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
     blocks("url", "url").unionByName(blocks("sitemap", "sitemap"))
       .withColumn("loc",
         regexp_extract(col("__blk"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))
-      .withColumn("lastmod", to_date(regexp_extract(col("__blk"),
-        "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)))
+      // lastmod is optional; ANSI to_date('') would throw, so the absent
+      // tag (empty extract) becomes a NULL date explicitly
+      .withColumn("lastmod",
+        when(lastmodRaw === "", lit(null).cast("date"))
+          .otherwise(to_date(lastmodRaw)))
       .filter(col("loc") =!= "")
       .drop("__blk")
   }
@@ -52,6 +57,35 @@ object Sitemap {
       .join(crawled.select(col(crawledUrlCol).as("loc")), Seq("loc"),
         "left_anti")
       .withColumn("seed_rank", row_number().over(w).cast("long"))
+  }
+
+  /** Recrawl planner — the sitemap's second job after seeding: decide,
+    * per advertised URL, whether to fetch at all. `new` = never crawled;
+    * `refresh` = crawled but the sitemap's lastmod postdates our fetch;
+    * `skip` = our copy is current (or the entry has no lastmod and we
+    * hold a copy — no evidence of change; conservative, documented).
+    * Non-skip rows get a per-domain `fetch_rank` (newest first, loc
+    * tie-break) — the fetcher's work queue. One left join against the
+    * crawl warehouse's (url, fetched_at) projection + one bounded
+    * window. */
+  def recrawlPlan(urlEntries: DataFrame, domainCol: String,
+                  crawled: DataFrame, crawledUrlCol: String,
+                  fetchedAtCol: String): DataFrame = {
+    val joined = urlEntries.filter(col("kind") === "url")
+      .join(crawled.select(col(crawledUrlCol).as("loc"),
+        col(fetchedAtCol).as("__fetched")), Seq("loc"), "left")
+      .withColumn("action",
+        when(col("__fetched").isNull, "new")
+          .when(col("lastmod").isNotNull &&
+            col("lastmod") > col("__fetched"), "refresh")
+          .otherwise("skip"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("lastmod").desc_nulls_last, col("loc").asc)
+    joined.filter(col("action") =!= "skip")
+      .withColumn("fetch_rank", row_number().over(w).cast("long"))
+      .unionByName(joined.filter(col("action") === "skip")
+        .withColumn("fetch_rank", lit(null).cast("long")))
+      .drop("__fetched")
   }
 
   /** Deterministic synthetic `<urlset>` for the fixture domains: entries

@@ -107,4 +107,45 @@ object WebCuration {
       .agg(count(lit(1)).as("n_docs"),
         sum(charsCol).cast("long").as("total_chars"),
         least(count(lit(1)), lit(cap.toLong)).as("kept_at_cap"))
+
+  /** HTTP 3xx statuses a crawler follows (303's method change and 307/
+    * 308's method preservation are fetcher concerns, not resolver
+    * ones — the TARGET is the same). */
+  private def isRedirect(status: Column): Column =
+    status.isin(301, 302, 303, 307, 308)
+
+  /** Resolve redirect chains to their landing URL — the step between
+    * fetching and url-keyed accounting: a crawl that counts 301 hulls as
+    * documents double-counts every moved page. Bounded-hop iterative
+    * join against the redirect map (redirect rows only — at web scale a
+    * few percent of responses, and each hop's join touches only the
+    * still-unresolved rows' final urls): `maxHops` left joins, never a
+    * recursive loop. Emits the input plus (final_url, n_hops, resolved);
+    * `resolved` = FALSE for a chain still pointing at a redirect after
+    * maxHops (loops and too-deep chains surface, never spin). A null
+    * Location on a 3xx row resolves to itself (malformed — crawl
+    * tolerance). */
+  def resolveRedirects(df: DataFrame, urlCol: String, statusCol: String,
+                       locationCol: String, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val hops = df.filter(isRedirect(col(statusCol)) &&
+        col(locationCol).isNotNull)
+      .select(col(urlCol).as("__from"), col(locationCol).as("__to"))
+      .distinct()
+    var res = df
+      .withColumn("final_url", col(urlCol))
+      .withColumn("n_hops", lit(0L))
+    for (_ <- 0 until maxHops) {
+      res = res.join(hops, res("final_url") === hops("__from"), "left")
+        .select(res.columns.map(res(_)) ++ Seq(col("__to")): _*)
+        .withColumn("n_hops",
+          col("n_hops") + when(col("__to").isNotNull, 1L).otherwise(0L))
+        .withColumn("final_url", coalesce(col("__to"), col("final_url")))
+        .drop("__to")
+    }
+    val sources = hops.select(col("__from")).distinct()
+    res.join(sources, res("final_url") === sources("__from"), "left")
+      .withColumn("resolved", col("__from").isNull)
+      .drop("__from")
+  }
 }

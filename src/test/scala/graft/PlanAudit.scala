@@ -53,7 +53,7 @@ object PlanAudit {
     // scalar crosses (MG summary stats, GK rank counts, the violation/
     // corpus-count combination)
     "q_heavy_hitters", "q_stream_hotkeys", "q_quantile_approx",
-    "q_dedup_embedding",
+    "q_dedup_embedding", "q_dedup_simhash",
     // merged-total (1 row) crossed with the direct global sketch (1 row)
     // for the bit-exact merge-consistency check
     "q_hll_native_verify",

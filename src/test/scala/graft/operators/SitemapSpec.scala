@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SitemapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseEntries: urlset, sitemapindex, optional lastmod, junk dropped") {
+    val urlset =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc> https://a.com/p1 </loc>
+        |    <lastmod>2026-03-05</lastmod>
+        |  </url>
+        |  <url><loc>https://a.com/p2</loc></url>
+        |  <url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex>
+        |  <sitemap><loc>https://a.com/s1.xml</loc></sitemap>
+        |  <sitemap>
+        |    <loc>https://a.com/s2.xml</loc><lastmod>2026-02-02</lastmod>
+        |  </sitemap>
+        |</sitemapindex>""".stripMargin
+    val got = Sitemap.parseEntries(
+      Seq(("a.com", urlset), ("a.com", index)).toDF("domain", "xml"), "xml")
+      .orderBy("kind", "loc").collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("loc"),
+        Option(r.getAs[Date]("lastmod")).map(_.toString)))
+    assert(got.toSeq === Seq(
+      ("sitemap", "https://a.com/s1.xml", None),
+      ("sitemap", "https://a.com/s2.xml", Some("2026-02-02")),
+      ("url", "https://a.com/p1", Some("2026-03-05")),
+      ("url", "https://a.com/p2", None)))
+  }
+
+  test("seeds: crawled anti-joined, newest-first rank, null lastmod last") {
+    val entries = Seq(
+      ("a.com", "url", "https://a.com/old", Date.valueOf("2026-01-01")),
+      ("a.com", "url", "https://a.com/new", Date.valueOf("2026-03-01")),
+      ("a.com", "url", "https://a.com/undated", null),
+      ("a.com", "url", "https://a.com/crawled", Date.valueOf("2026-02-01")),
+      ("b.com", "url", "https://b.com/x", Date.valueOf("2026-01-15")))
+      .toDF("domain", "kind", "loc", "lastmod")
+    val crawled = Seq("https://a.com/crawled").toDF("url")
+    val got = Sitemap.seeds(entries, "domain", crawled, "url")
+      .select("domain", "loc", "seed_rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("a.com", "https://a.com/new", 1L),
+      ("a.com", "https://a.com/old", 2L),
+      ("a.com", "https://a.com/undated", 3L),
+      ("b.com", "https://b.com/x", 1L)))
+  }
+
+  test("recrawlPlan: new / refresh / skip, rank over non-skip only") {
+    val entries = Seq(
+      ("a.com", "url", "https://a.com/stale", Date.valueOf("2026-03-01")),
+      ("a.com", "url", "https://a.com/current", Date.valueOf("2026-01-01")),
+      ("a.com", "url", "https://a.com/unseen", Date.valueOf("2026-02-01")),
+      ("a.com", "url", "https://a.com/undated-held", null))
+      .toDF("domain", "kind", "loc", "lastmod")
+    val crawled = Seq(
+      ("https://a.com/stale", Date.valueOf("2026-02-15")),
+      ("https://a.com/current", Date.valueOf("2026-02-15")),
+      ("https://a.com/undated-held", Date.valueOf("2026-02-15")))
+      .toDF("url", "fetched_at")
+    val got = Sitemap.recrawlPlan(entries, "domain", crawled, "url",
+        "fetched_at")
+      .select("loc", "action", "fetch_rank").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set(
+      ("https://a.com/stale", "refresh", Some(1L)),
+      ("https://a.com/unseen", "new", Some(2L)),
+      ("https://a.com/current", "skip", None),
+      ("https://a.com/undated-held", "skip", None)))
+  }
+}

@@ -88,4 +88,31 @@ class WebCurationSpec extends SparkSpec {
     // 100 (3 inlinks) first; the 200-vs-300 tie at 2 inlinks breaks on dst
     assert(got.toSeq === Seq((1L, 100L, 3L, 3L), (2L, 200L, 2L, 2L)))
   }
+
+  test("resolveRedirects: chains, loops, malformed Location, hop cap") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 200, null),       // plain page
+      ("b", 301, "c"),        // one hop -> c (200)
+      ("c", 200, null),
+      ("d", 302, "b"),        // two hops -> c
+      ("e", 307, "f"),        // loop e -> f -> e: must NOT resolve
+      ("f", 308, "e"),
+      ("g", 301, null),       // malformed: 3xx without Location -> itself
+      ("h", 303, "missing")   // target never crawled: resolves to it
+    ).toDF("url", "status", "location")
+    val got = WebCuration.resolveRedirects(rows, "url", "status",
+        "location", maxHops = 4)
+      .select("url", "final_url", "n_hops", "resolved").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("a") === (("a", 0L, true)))
+    assert(got("b") === (("c", 1L, true)))
+    assert(got("d") === (("c", 2L, true)))
+    // the loop burns the hop budget and stays unresolved
+    assert(got("e")._3 === false && got("f")._3 === false)
+    assert(got("e")._2 === 4L)
+    assert(got("g") === (("g", 0L, true)))
+    assert(got("h") === (("missing", 1L, true)))
+  }
 }
