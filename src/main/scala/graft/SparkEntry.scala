@@ -453,7 +453,10 @@ object SparkEntry {
     * and recrawl-plan queries: even-k domains publish one direct
     * urlset, odd-k domains a sitemapindex whose two children are only
     * reachable through the index join. */
-  private def sitemapUrlEntries(s: SparkSession, dir: String): DataFrame = {
+  /** The raw sitemap DOCUMENT frame (domain, url, xml): every domain's
+    * /sitemap.xml (even-k: a direct urlset; odd-k: a sitemapindex) plus
+    * the odd-k domains' two child urlsets at their own URLs. */
+  private def sitemapDocs(s: SparkSession, dir: String): DataFrame = {
     val src = t(s, dir, "documents").select(col("source")).distinct()
       .withColumn("domain", concat(col("source"), lit(".example.com")))
       .withColumn("k",
@@ -477,15 +480,69 @@ object SparkEntry {
           .as("xml")))
       .filter(regexp_extract(col("domain"), "(\\d+)", 1).cast("long")
         % 25 % 2 === 1)
+    roots.unionByName(children)
+  }
+
+  /** The fixture's parsed url-entries (domain, kind, loc, lastmod) from
+    * a given set of ROOT sitemap documents: index→child resolution via
+    * the join on the child's own URL. Shared by seeds / recrawl-plan /
+    * the robots-chain query. */
+  private def sitemapEntriesFrom(s: SparkSession, dir: String,
+                                 roots: DataFrame): DataFrame = {
+    val xmls = sitemapDocs(s, dir)
     val rootEntries = operators.Sitemap.parseEntries(roots, "xml")
     val childEntries = operators.Sitemap.parseEntries(
-      children.join(broadcast(rootEntries.filter(col("kind") === "sitemap")
+      xmls.join(broadcast(rootEntries.filter(col("kind") === "sitemap")
         .select(col("loc").as("url"))), Seq("url")), "xml")
     rootEntries.filter(col("kind") === "url")
       .select(col("domain"), col("kind"), col("loc"), col("lastmod"))
       .unionByName(childEntries.filter(col("kind") === "url")
         .select(col("domain"), col("kind"), col("loc"), col("lastmod")))
   }
+
+  private def sitemapUrlEntries(s: SparkSession, dir: String): DataFrame =
+    sitemapEntriesFrom(s, dir, sitemapDocs(s, dir)
+      .filter(col("url").endsWith("/sitemap.xml")))
+
+  /** Write-once-per-process TWO-CRAWL archives for the revisit story:
+    * crawl 1 (c1/) captures every page; crawl 2 (c2/) stores the
+    * unchanged third (doc_id % 3 == 0) as payload-free `revisit`
+    * records pointing at the c1 capture via WARC-Refers-To, and
+    * re-captures the rest with updated content (text + " v2") — the
+    * ISO 28500 mechanism consecutive crawls use to avoid re-storing the
+    * stable majority of the web. */
+  private def warcRevisitFixtureDir(s: SparkSession, dir: String): String =
+    warcFixtureLock.synchronized {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      sweepDeadScratch(tmp, Seq("graft_warcrev_"))
+      val out = new java.io.File(tmp, s"graft_warcrev_${runTag(dir)}")
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string")).as("uri"),
+          col("text"))
+        ingest.WarcIngest.writeSyntheticWarc(s,
+          docs.select(col("doc_id"), col("uri"),
+            operators.TextExtract.syntheticHtml(col("doc_id"), col("text"))
+              .as("body")),
+          "doc_id", "uri", "body", s"${out.getAbsolutePath}/c1", nFiles = 4)
+        val framed = udf { (id: Long, uri: String, html: Array[Byte]) =>
+          if (id % 3 == 0)
+            ingest.WarcIngest.revisitRecord(id, uri, s"<urn:graft:doc:$id>")
+          else ingest.WarcIngest.responseRecord(id, uri, html,
+            "text/html; charset=utf-8")
+        }
+        ingest.WarcIngest.writeFramedWarc(s,
+          docs.select(col("doc_id"),
+            framed(col("doc_id"), col("uri"),
+              operators.TextExtract.syntheticHtml(col("doc_id"),
+                concat(col("text"), lit(" v2"))).cast("binary")).as("rec")),
+          "doc_id", "rec", s"${out.getAbsolutePath}/c2", nFiles = 4)
+        marker.createNewFile()
+      }
+      out.getAbsolutePath
+    }
 
   /** Exact sum: decimal arithmetic, double surface. */
   private def dsum(c: Column, scale: Int = 2): Column =
@@ -1374,6 +1431,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Revisit resolution across CONSECUTIVE crawls (ISO 28500 §6.7.2):
+    // crawl 2 stores unchanged pages as payload-free revisit records
+    // pointing at crawl 1's captures; the resolver must hand downstream
+    // the complete crawl-2 corpus view — original bodies for the
+    // unchanged third, the updated "v2" bodies for the rest — via one
+    // record_id-keyed join on the revisit subset only.
+    "q_warc_revisit" -> ((s, dir) => {
+      val base = warcRevisitFixtureDir(s, dir)
+      val c1 = ingest.WarcIngest.readRecords(s, s"$base/c1")
+      val c2 = ingest.WarcIngest.readRecords(s, s"$base/c2")
+      ingest.WarcIngest.resolveRevisits(c2, c1)
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("is_revisit"), col("resolved"),
+          octet_length(col("body")).cast("long").as("body_octets"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Redirect-chain resolution out of the archive: 301/302 responses
     // (Location parsed by the reader) resolved to their landing page by
     // the bounded-hop iterative join — 302→301→200 two-hop chains
@@ -1557,6 +1632,38 @@ object SparkEntry {
           crawled, "url")
         .select(col("domain"), col("loc"), col("lastmod"), col("seed_rank"))
         .orderBy(col("domain"), col("seed_rank"))
+    }),
+
+    // The discovery chain CLOSED end-to-end: robots.txt's `Sitemap:`
+    // directive (group-independent, parsed by its own line walk) names
+    // each domain's sitemap; the crawler follows the directive (join on
+    // the document's own URL — a directive pointing nowhere yields
+    // nothing), resolves index→children where published, and counts the
+    // advertised URLs. Every domain must surface exactly its 10 entries,
+    // odd-k domains provably THROUGH the index hop.
+    "q_robots_sitemaps" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+      val robots = src.select(col("domain"),
+        operators.RobotsTxt.syntheticRobots(col("domain"), col("k"))
+          .as("txt"))
+      val directives = operators.RobotsTxt.sitemapDirectives(robots,
+        "domain", "txt")
+      val roots = sitemapDocs(s, dir).drop("domain")
+        .join(directives.select(col("domain"),
+          col("sitemap_url").as("url")), Seq("url"))
+      val viaIndex = operators.Sitemap.parseEntries(roots, "xml")
+        .groupBy(col("domain"))
+        .agg(max((col("kind") === "sitemap").cast("int")).as("__via"))
+      directives.select(col("domain"), col("sitemap_url"))
+        .join(sitemapEntriesFrom(s, dir, roots).groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_urls")), Seq("domain"))
+        .join(viaIndex, Seq("domain"))
+        .select(col("domain"), col("sitemap_url"), col("n_urls"),
+          (col("__via") === 1).as("via_index"))
+        .orderBy(col("domain"))
     }),
 
     // The sitemap's SECOND job: the recrawl plan. Each advertised URL
@@ -7376,6 +7483,20 @@ object SparkEntry {
     "q_pdf_extract" -> pdfExtractOracleSql,
     "q_warc_pdf" -> pdfExtractOracleSql,
 
+    // revisit oracle: unchanged third carries the CRAWL-1 template's
+    // octets, the rest the "v2" template's — both recomputed from the
+    // shared page expression.
+    "q_warc_revisit" ->
+      s"""WITH page AS (
+        |  SELECT doc_id,
+        |    ${warcHtmlSqlExpr("doc_id", "text")} AS h1,
+        |    ${warcHtmlSqlExpr("doc_id", "text || ' v2'")} AS h2
+        |  FROM documents)
+        |SELECT doc_id, doc_id % 3 = 0 AS is_revisit, TRUE AS resolved,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN strlen(h1) ELSE strlen(h2) END
+        |    AS BIGINT) AS body_octets
+        |FROM page ORDER BY doc_id""".stripMargin,
+
     // redirect oracle: statuses, landing ids, and hop counts from the
     // chain rule (mode 3 → −3 in one hop; mode 4 → −1 → −4 in two).
     "q_warc_redirects" ->
@@ -7593,6 +7714,20 @@ object SparkEntry {
         |    '&lang=' || lang AS url_canon,
         |  doc_id % 8 <> 0 AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // robots→sitemap chain oracle: one directive per domain, 10
+    // advertised URLs each, the odd-k domains' count reachable only
+    // through the index hop.
+    "q_robots_sitemaps" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents)
+        |SELECT domain,
+        |  'https://www.' || domain || '/sitemap.xml' AS sitemap_url,
+        |  CAST(10 AS BIGINT) AS n_urls,
+        |  k % 2 = 1 AS via_index
+        |FROM src ORDER BY domain""".stripMargin,
 
     // recrawl-plan oracle: action from the two date formulas — sitemap
     // lastmod (k+i)%28+1 vs slot-derived fetch date (slot*3)%28+1 for

@@ -69,6 +69,7 @@ object WarcIngest {
       http_content_type: Option[String],
       http_location: Option[String],
       charset: Option[String],
+      refers_to: Option[String],
       body: String,
       body_bytes: Array[Byte])
 
@@ -261,6 +262,7 @@ object WarcIngest {
         headers.getOrElse("warc-record-id", ""), headers.get("warc-target-uri"),
         headers.getOrElse("warc-date", ""), clen, status, ctype, location,
         if (status.isDefined) Some(cs.name()) else None,
+        headers.get("warc-refers-to"),
         new String(bodyBytes, cs), bodyBytes)
     }
 
@@ -464,7 +466,7 @@ object WarcIngest {
   }
 
   /** Frame one response record: WARC headers + HTTP/1.1 200 message. */
-  private[ingest] def responseRecord(docId: Long, uri: String,
+  private[graft] def responseRecord(docId: Long, uri: String,
                                      htmlBody: Array[Byte],
                                      contentType: String =
                                        "text/html; charset=utf-8"): Array[Byte] = {
@@ -553,6 +555,96 @@ object WarcIngest {
         os.write(if (gz) gzipMember(info) else info)
       } finally os.close()
     }
+  }
+
+  /** Frame one `revisit` record (ISO 28500 §6.7.2 — the
+    * identical-payload-digest profile): a re-fetch that found the page
+    * UNCHANGED stores no payload, only a pointer to the earlier capture
+    * via WARC-Refers-To — how consecutive crawls avoid re-storing the
+    * stable majority of the web. */
+  private[graft] def revisitRecord(docId: Long, uri: String,
+                                   refersTo: String): Array[Byte] = {
+    val warc = new StringBuilder(256)
+    crlf(warc.append("WARC/1.0"))
+    crlf(warc.append("WARC-Type: revisit"))
+    crlf(warc.append("WARC-Record-ID: <urn:graft:doc:").append(docId).append(">"))
+    crlf(warc.append("WARC-Refers-To: ").append(refersTo))
+    crlf(warc.append("WARC-Date: 2026-02-01T00:00:00Z"))
+    crlf(warc.append("WARC-Target-URI: ").append(uri))
+    crlf(warc.append("WARC-Profile: " +
+      "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+    crlf(warc.append("Content-Length: 0"))
+    crlf(warc)
+    val out = new ByteArrayOutputStream(320)
+    out.write(warc.toString.getBytes(UTF_8))
+    out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Bucketed writer of PRE-FRAMED record bytes — the fixture hook for
+    * record types the response framers don't cover (revisit pointers,
+    * mixed-type archives). Same layout contract as the other writers. */
+  def writeFramedWarc(spark: SparkSession, docs: DataFrame, idCol: String,
+                      framedCol: String, outDir: String,
+                      nFiles: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val outPath = new Path(outDir)
+    val fsDriver = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsDriver.exists(outPath)) fsDriver.delete(outPath, true)
+    fsDriver.mkdirs(outPath)
+    val confSer = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val n = nFiles
+    docs.select(col(idCol).cast("long"), col(framedCol).cast("binary"))
+      .withColumn("__b", pmod(col(idCol), lit(n.toLong)))
+      .repartition(n, col("__b"))
+      .sortWithinPartitions(col(idCol))
+      .select(col(idCol), col(framedCol), col("__b"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        writeBucketPartition(outDir, confSer.value,
+          b => if (b == 0L) s"warc-$b.warc.gz" else s"warc-$b.warc",
+          rows,
+          r => r.getAs[Array[Byte]](1),
+          _.getLong(2))
+      }
+    val present = docs.select(pmod(col(idCol).cast("long"), lit(n.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    (0L until n.toLong).filterNot(present).foreach { b =>
+      val gz = b == 0L
+      val name = if (gz) s"warc-$b.warc.gz" else s"warc-$b.warc"
+      val os = fsDriver.create(new Path(outDir, name), true)
+      try {
+        val info = warcinfoRecord(b)
+        os.write(if (gz) gzipMember(info) else info)
+      } finally os.close()
+    }
+  }
+
+  /** Resolve a crawl SNAPSHOT's revisit records against a reference
+    * archive: revisit rows (unchanged pages, payload-free by design)
+    * pull body/content-type from the capture their WARC-Refers-To names;
+    * response rows pass through. One record_id-keyed equi-join — the
+    * pointer side is the revisit subset only, never the whole snapshot.
+    * A dangling pointer keeps the row with a NULL body (`resolved` =
+    * false) — surfaced, never dropped. */
+  def resolveRevisits(snapshot: DataFrame, archive: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val originals = archive.filter(col("warc_type") === "response")
+      .select(col("record_id").as("__oid"),
+        col("http_content_type").as("__oct"),
+        col("body").as("__obody"),
+        col("body_bytes").as("__obytes"))
+    val fresh = snapshot.filter(col("warc_type") === "response")
+      .select(col("record_id"), col("target_uri"),
+        col("http_content_type"), col("body"), col("body_bytes"),
+        lit(false).as("is_revisit"), lit(true).as("resolved"))
+    val revisits = snapshot.filter(col("warc_type") === "revisit")
+      .join(originals, col("refers_to") === col("__oid"), "left")
+      .select(col("record_id"), col("target_uri"),
+        col("__oct").as("http_content_type"),
+        col("__obody").as("body"), col("__obytes").as("body_bytes"),
+        lit(true).as("is_revisit"), col("__oid").isNotNull.as("resolved"))
+    fresh.unionByName(revisits)
   }
 
   /** Frame one WET-style `conversion` record (Common Crawl's extracted-

@@ -126,6 +126,25 @@ object RobotsTxt {
         col("value").as("rule_path"))).as("__rules"))
   }
 
+  /** `Sitemap:` directives — robots.txt's discovery half (sitemaps.org
+    * §"informing search engine crawlers"): group-INDEPENDENT lines
+    * naming the site's sitemap URLs, the standard way a crawler finds
+    * them without guessing paths. Same declarative line-parse as
+    * [[parseRules]] (which deliberately drops these rows — they are not
+    * access rules); emits (domain, sitemap_url) in line order. */
+  def sitemapDirectives(df: DataFrame, domainCol: String,
+                        txtCol: String): DataFrame =
+    df.select(col(domainCol).as("domain"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("line_no", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(col("line") =!= "")
+      .withColumn("key", lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("sitemap_url",
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("key") === "sitemap" && col("sitemap_url") =!= "")
+      .select(col("domain"), col("line_no").cast("long").as("line_no"),
+        col("sitemap_url"))
+
   /** Politeness fetch schedule — when each allowed URL may actually be
     * fetched: per origin, URLs queue in deterministic Knuth-hash order
     * and fetch times space out by the origin's crawl-delay (the chosen
@@ -181,5 +200,8 @@ object RobotsTxt {
       lit("/\nDisallow: /tmp/\nCrawl-delay: "),
       (k % 3 + 1).cast("string"),
       lit("\n"),
-      when(k % 5 === 0, lit("Disallow: /\n")).otherwise(lit("")))
+      when(k % 5 === 0, lit("Disallow: /\n")).otherwise(lit("")),
+      // the discovery half, appended LAST so every rule row above keeps
+      // its line number (q_robots_rules pins them)
+      lit("Sitemap: https://www."), domain, lit("/sitemap.xml\n"))
 }

@@ -332,6 +332,44 @@ class WarcIngestSpec extends SparkSpec {
       s"mode $id body did not decode to the original text"))
   }
 
+  test("revisit records: resolution, dangling pointers surfaced") {
+    import spark.implicits._
+    val c1 = freshDir("rev1")
+    val c2 = freshDir("rev2")
+    WarcIngest.writeSyntheticWarc(spark,
+      Seq((0L, "https://e.com/0", "original zero"),
+        (1L, "https://e.com/1", "original one")).toDF("doc_id", "uri", "body"),
+      "doc_id", "uri", "body", c1, nFiles = 2)
+    // crawl 2: doc 0 unchanged (revisit -> c1), doc 1 updated, doc 2 a
+    // revisit whose pointer names a record that never existed
+    val frames = Seq(
+      (0L, WarcIngest.revisitRecord(0L, "https://e.com/0", "<urn:graft:doc:0>")),
+      (1L, WarcIngest.responseRecord(1L, "https://e.com/1",
+        "updated one".getBytes(UTF_8))),
+      (2L, WarcIngest.revisitRecord(2L, "https://e.com/2", "<urn:graft:doc:99>")))
+      .toDF("doc_id", "rec")
+    WarcIngest.writeFramedWarc(spark, frames, "doc_id", "rec", c2, nFiles = 2)
+    val got = WarcIngest.resolveRevisits(
+      WarcIngest.readRecords(spark, c2), WarcIngest.readRecords(spark, c1))
+      .select(regexp_extract($"record_id", "doc:(\\d+)", 1).cast("long"),
+        $"is_revisit", $"resolved", $"body")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), Option(r.getString(3)))))
+      .toMap
+    assert(got(0L) === ((true, true, Some("original zero"))))
+    assert(got(1L) === ((false, true, Some("updated one"))))
+    assert(got(2L) === ((true, false, None)), "dangling pointer must surface")
+    // the reader exposes the pointer itself
+    val refs = WarcIngest.readRecords(spark, c2)
+      .filter($"warc_type" === "revisit")
+      .select(regexp_extract($"record_id", "doc:(\\d+)", 1).cast("long"),
+        $"refers_to")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(refs(0L) === "<urn:graft:doc:0>")
+    assert(refs(2L) === "<urn:graft:doc:99>")
+  }
+
   test("missing directory and empty directory both read as empty") {
     assert(WarcIngest.readRecords(spark, "/nonexistent/graft/warcs").count() === 0)
     assert(WarcIngest.readRecords(spark, freshDir("empty")).count() === 0)

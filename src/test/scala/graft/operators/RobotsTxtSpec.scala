@@ -140,6 +140,28 @@ class RobotsTxtSpec extends SparkSpec {
       r.getString(4) == "/"))
   }
 
+  test("sitemap directives: group-independent, URL colon survives, comments") {
+    val txt = Seq(
+      "# header",
+      "Sitemap: https://d.com/a.xml",
+      "User-agent: *",
+      "Disallow: /x/",
+      "SITEMAP: https://d.com/b.xml   # case-insensitive key, comment",
+      "Sitemap:").mkString("\n") // empty value dropped
+    val got = RobotsTxt.sitemapDirectives(
+      Seq(("d.com", txt)).toDF("domain", "txt"), "domain", "txt")
+      .orderBy("line_no").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      ("d.com", 1L, "https://d.com/a.xml"),
+      ("d.com", 4L, "https://d.com/b.xml")))
+    // and parseRules never leaks sitemap lines as access rules
+    val rules = RobotsTxt.parseRules(
+      Seq(("d.com", txt)).toDF("domain", "txt"), "domain", "txt").collect()
+    assert(rules.forall(_.getString(3) != "sitemap"))
+    assert(rules.length === 1)
+  }
+
   test("schedule: per-domain queue, delay fallback chain, fetch spacing") {
     val txt = Seq(
       "User-agent: *",
