@@ -54,7 +54,7 @@ class PdfSpec extends SparkSpec {
     // stream's text comes back
     val c1 = "BT (visible) Tj ET".getBytes(UTF_8)
     val mixed = ("%PDF-1.4\n1 0 obj << /Length 4 /Filter /DCTDecode >>\n" +
-      "stream\n\nendstream\nendobj\n" +
+      "stream\n\u0001\u0002\u0003\u0004\nendstream\nendobj\n" +
       s"2 0 obj << /Length ${c1.length} >>\nstream\n").getBytes(UTF_8) ++
       c1 ++ "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
     assert(textOf(mixed) === Some("visible"))
