@@ -1091,6 +1091,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LINE-level corpus dedup (the C4 boilerplate rule): documents
+    // re-lined 8 words per row plus two per-source boilerplate lines
+    // (subscribe prompt, copyright footer) that repeat across every doc
+    // of the source; lines in ≥ 5 distinct docs drop, content lines —
+    // including those shared by planted near-dup pairs — survive, and
+    // each document reassembles in order. The oracle replays the lining
+    // rule, the distinct-doc frequencies, and the rebuild.
+    "q_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val contentLines = transform(
+        sequence(lit(0), ((size(words) + lit(7)) / lit(8)).cast("int") - 1),
+        i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+      val bp1 = concat(lit("subscribe to "), col("source"),
+        lit(" updates today"))
+      val bp2 = concat(lit("copyright 2026 "), col("source"),
+        lit(" all rights reserved"))
+      val lined = docs.select(col("doc_id"),
+        array_join(concat(contentLines, array(bp1, bp2)), "\n").as("text"))
+      Dedup.lineDedup(lined, "doc_id", "text", maxDocFreq = 5)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          col("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization (RFC 3986 §6 + crawl conventions) — the key
     // normalizer BEFORE any url-keyed dedup/frontier/recrawl aggregate:
     // eight spellings of the same resource (case-shifted authority,
@@ -1664,6 +1689,37 @@ object SparkEntry {
         .select(col("domain"), col("sitemap_url"), col("n_urls"),
           (col("__via") === 1).as("via_index"))
         .orderBy(col("domain"))
+    }),
+
+    // The FAST discovery input: RSS/Atom feeds, each format exercising
+    // a different extraction shape (RSS: link in element text, RFC-822
+    // pubDate; Atom: link in the href attribute, ISO-8601 updated),
+    // normalized into the sitemap url-entry shape so ONE seeds operator
+    // (anti-join + newest-first rank) serves all discovery inputs —
+    // feed kind carried through to prove both parsers fed the result.
+    "q_feed_seeds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+      val feeds = src.select(col("domain"),
+        when(col("k") % 2 === 0,
+          operators.Feeds.syntheticRss(col("domain"), col("k"), 0, 6))
+          .otherwise(
+            operators.Feeds.syntheticAtom(col("domain"), col("k"), 0, 6))
+          .as("xml"))
+      val entries = operators.Feeds.parseEntries(feeds, "xml")
+        .select(col("domain"), col("kind").as("feed_kind"),
+          lit("url").as("kind"), col("link").as("loc"),
+          col("published").as("lastmod"))
+      val crawled = docs.select(concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), (col("doc_id") % 25).cast("string"))
+        .as("url")).distinct()
+      operators.Sitemap.seeds(entries, "domain", crawled, "url")
+        .select(col("domain"), col("feed_kind"), col("loc"),
+          col("lastmod"), col("seed_rank"))
+        .orderBy(col("domain"), col("seed_rank"))
     }),
 
     // The sitemap's SECOND job: the recrawl plan. Each advertised URL
@@ -7705,6 +7761,40 @@ object SparkEntry {
     // oracle once more.
     "q_warc_wet_roundtrip" -> textExtractOracleSql,
 
+    // line-dedup oracle: the 8-word lining + boilerplate synthesis,
+    // distinct-doc line frequencies, and the ordered rebuild — all
+    // replayed; a fully-dropped doc would rebuild to '' on both sides.
+    "q_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, i - 1 AS wi, lst[i] AS w
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS lst
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(range(1, len(lst) + 1)) AS i) r),
+        |content AS (
+        |  SELECT doc_id, wi // 8 AS pos, string_agg(w, ' ' ORDER BY wi) AS line
+        |  FROM w GROUP BY doc_id, wi // 8),
+        |nl AS (SELECT doc_id, max(pos) + 1 AS n FROM content GROUP BY doc_id),
+        |alllines AS (
+        |  SELECT doc_id, pos, line FROM content
+        |  UNION ALL
+        |  SELECT d.doc_id, nl.n, 'subscribe to ' || d.source || ' updates today'
+        |  FROM documents d JOIN nl USING (doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id, nl.n + 1,
+        |    'copyright 2026 ' || d.source || ' all rights reserved'
+        |  FROM documents d JOIN nl USING (doc_id)),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df
+        |  FROM alllines GROUP BY line),
+        |j AS (SELECT a.doc_id, a.pos, a.line, f.df
+        |  FROM alllines a JOIN freq f USING (line))
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE df < 5) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE df >= 5) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE df < 5), '') AS clean_text
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // canonicalization oracle: the fixed point every mess mode must
     // collapse back to (mode 0 is already canonical ⇒ changed = false).
     "q_url_canonicalize" ->
@@ -7728,6 +7818,35 @@ object SparkEntry {
         |  CAST(10 AS BIGINT) AS n_urls,
         |  k % 2 = 1 AS via_index
         |FROM src ORDER BY domain""".stripMargin,
+
+    // feed-seed oracle: the slot/March-date synthesis replayed, feed
+    // kind from the domain parity, crawled slots anti-joined, the same
+    // newest-first rank as the sitemap seeds.
+    "q_feed_seeds" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents),
+        |ent AS (
+        |  SELECT s.source, s.domain,
+        |    CASE WHEN s.k % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+        |    'https://www.' || s.domain || '/docs/' ||
+        |      CAST((s.k + ii.i) % 25 AS VARCHAR) AS loc,
+        |    CAST('2026-03-' ||
+        |      lpad(CAST((s.k + ii.i) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |      AS lastmod
+        |  FROM src s CROSS JOIN (SELECT unnest(range(6)) AS i) ii),
+        |crawled AS (
+        |  SELECT DISTINCT 'https://www.' || source || '.example.com/docs/' ||
+        |    CAST(doc_id % 25 AS VARCHAR) AS loc
+        |  FROM documents),
+        |seeds AS (
+        |  SELECT e.domain, e.feed_kind, e.loc, e.lastmod FROM ent e
+        |  LEFT JOIN crawled c ON c.loc = e.loc WHERE c.loc IS NULL)
+        |SELECT domain, feed_kind, loc, lastmod,
+        |  CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY lastmod DESC, loc ASC) AS BIGINT) AS seed_rank
+        |FROM seeds ORDER BY domain, seed_rank""".stripMargin,
 
     // recrawl-plan oracle: action from the two date formulas — sitemap
     // lastmod (k+i)%28+1 vs slot-derived fetch date (slot*3)%28+1 for

@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** LINE-level corpus dedup (the C4 §2.2 boilerplate-line rule, doc-
+    * frequency form): drop every line that occurs in at least
+    * `maxDocFreq` DISTINCT documents — navigation chrome, cookie
+    * banners, subscribe prompts and copyright footers repeat across a
+    * site's every page, while real content lines don't — and reassemble
+    * each document from its surviving lines in order. Emits (idCol,
+    * clean_text, n_kept, n_dropped).
+    *
+    * Scale shape: one line-keyed combining aggregate for the
+    * doc-frequency table (partial distinct on (line, doc) first — the
+    * COUNT(DISTINCT) expansion) + one broadcast-or-shuffle join back +
+    * one doc-keyed rebuild aggregate whose state is the document's own
+    * lines. The rebuild uses sort_array over collected (pos, line)
+    * structs — per-document state, never a window over the corpus. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val freq = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    lines.join(freq, Seq("__line"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__df") < maxDocFreq,
+            struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), "\n").as("clean_text"),
+        sum(when(col("__df") < maxDocFreq, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__df") >= maxDocFreq, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Exact dedup: keep the lowest-id row per key (deterministic
     * `dropDuplicates`). One shuffle on the key. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
