@@ -1091,6 +1091,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sentence segmentation (the unit between documents and tokens):
+    // documents re-punctuated into 6-word sentences — first word
+    // capitalized, terminator rotating . ! ? with '..' hard stops every
+    // fifth and a leading "Dr. " abbreviation trap every fourth (which
+    // the single-period guard must NOT split despite the following
+    // capital) — then split back by the codegen rule-based segmenter.
+    // Round-trip exact: the oracle rebuilds every sentence string from
+    // the construction.
+    "q_text_sentences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val caps = transform(words, (w, i) =>
+        when(i % 6 === 0,
+          concat(upper(substring(w, 1, 1)), substring(w, 2, 100000)))
+          .otherwise(w))
+      val ng = ((size(words) + lit(5)) / lit(6)).cast("int")
+      val sentences = transform(sequence(lit(0), ng - 1), g =>
+        concat(
+          when(g % 4 === 0, lit("Dr. ")).otherwise(lit("")),
+          array_join(slice(caps, g * 6 + 1, lit(6)), " "),
+          when(g % 5 === 0, lit(".."))
+            .otherwise(element_at(array(lit("."), lit("!"), lit("?")),
+              pmod(col("doc_id") + g, lit(3)).cast("int") + 1))))
+      docs.select(col("doc_id"),
+          graft.expr.SentenceExpressions.split_sentences(
+            array_join(sentences, " ")).as("__s"))
+        .select(col("doc_id"),
+          posexplode(col("__s")).as(Seq("sidx", "sentence")))
+        .select(col("doc_id"), col("sidx").cast("long").as("sidx"),
+          col("sentence"))
+        .orderBy(col("doc_id"), col("sidx"))
+    }),
+
     // LINE-level corpus dedup (the C4 boilerplate rule): documents
     // re-lined 8 words per row plus two per-source boilerplate lines
     // (subscribe prompt, copyright footer) that repeat across every doc
@@ -7760,6 +7793,29 @@ object SparkEntry {
     // Extraction must survive its own WET archive round-trip — the same
     // oracle once more.
     "q_warc_wet_roundtrip" -> textExtractOracleSql,
+
+    // sentence oracle: every constructed sentence rebuilt — cap rule,
+    // Dr. trap, the '..'-beats-%3 terminator ladder — so a segmenter
+    // that splits at the trap or misses a boundary breaks the hash.
+    "q_text_sentences" ->
+      """WITH w AS (
+        |  SELECT doc_id, i - 1 AS wi,
+        |    CASE WHEN (i - 1) % 6 = 0
+        |      THEN upper(substr(lst[i], 1, 1)) || substr(lst[i], 2)
+        |      ELSE lst[i] END AS w
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS lst
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(range(1, len(lst) + 1)) AS i) r)
+        |SELECT doc_id, CAST(wi // 6 AS BIGINT) AS sidx,
+        |  CASE WHEN (wi // 6) % 4 = 0 THEN 'Dr. ' ELSE '' END ||
+        |  string_agg(w, ' ' ORDER BY wi) ||
+        |  CASE WHEN (wi // 6) % 5 = 0 THEN '..'
+        |       WHEN (doc_id + wi // 6) % 3 = 0 THEN '.'
+        |       WHEN (doc_id + wi // 6) % 3 = 1 THEN '!'
+        |       ELSE '?' END AS sentence
+        |FROM w GROUP BY doc_id, wi // 6
+        |ORDER BY doc_id, sidx""".stripMargin,
 
     // line-dedup oracle: the 8-word lining + boilerplate synthesis,
     // distinct-doc line frequencies, and the ordered rebuild — all
