@@ -1098,7 +1098,13 @@ object SparkEntry {
     // the single-period guard must NOT split despite the following
     // capital) — then split back by the codegen rule-based segmenter.
     // Round-trip exact: the oracle rebuilds every sentence string from
-    // the construction.
+    // the construction. The construction NEVER ends a sentence with a
+    // bare '.' after a guard-listed word (a group whose last word is an
+    // abbreviation gets '!' instead): the engine's guard would merge
+    // such a sentence into the next while the oracle's rebuild splits
+    // them, so at a scale factor whose vocabulary happens to land "no"/
+    // "st"/"fig" before a '.' terminator the round-trip would break —
+    // agreement is by construction, not by fixture luck.
     "q_text_sentences" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val words = filter(split(col("text"), " "), w => length(w) > 0)
@@ -1107,13 +1113,21 @@ object SparkEntry {
           concat(upper(substring(w, 1, 1)), substring(w, 2, 100000)))
           .otherwise(w))
       val ng = ((size(words) + lit(5)) / lit(6)).cast("int")
-      val sentences = transform(sequence(lit(0), ng - 1), g =>
+      val guardWords = Seq("dr", "mr", "mrs", "ms", "prof", "sr", "jr",
+        "st", "no", "vs", "etc", "eg", "ie", "fig", "al")
+      val sentences = transform(sequence(lit(0), ng - 1), g => {
+        val lastWord = element_at(caps,
+          least((g + 1) * lit(6), size(words)).cast("int"))
+        val guardHit = lower(regexp_extract(lastWord, "([A-Za-z]+)$", 1))
+          .isin(guardWords: _*)
         concat(
           when(g % 4 === 0, lit("Dr. ")).otherwise(lit("")),
           array_join(slice(caps, g * 6 + 1, lit(6)), " "),
           when(g % 5 === 0, lit(".."))
+            .when(pmod(col("doc_id") + g, lit(3)) === 0 && guardHit, lit("!"))
             .otherwise(element_at(array(lit("."), lit("!"), lit("?")),
-              pmod(col("doc_id") + g, lit(3)).cast("int") + 1))))
+              pmod(col("doc_id") + g, lit(3)).cast("int") + 1)))
+      })
       docs.select(col("doc_id"),
           graft.expr.SentenceExpressions.split_sentences(
             array_join(sentences, " ")).as("__s"))
@@ -7795,8 +7809,11 @@ object SparkEntry {
     "q_warc_wet_roundtrip" -> textExtractOracleSql,
 
     // sentence oracle: every constructed sentence rebuilt — cap rule,
-    // Dr. trap, the '..'-beats-%3 terminator ladder — so a segmenter
-    // that splits at the trap or misses a boundary breaks the hash.
+    // Dr. trap, the '..'-beats-%3 terminator ladder, and the by-
+    // construction abbreviation dodge (a group whose last word's
+    // trailing letter run is a guard-listed abbreviation takes '!'
+    // where the rotation would give '.') — so a segmenter that splits
+    // at the trap or misses a boundary breaks the hash.
     "q_text_sentences" ->
       """WITH w AS (
         |  SELECT doc_id, i - 1 AS wi,
@@ -7811,6 +7828,10 @@ object SparkEntry {
         |  CASE WHEN (wi // 6) % 4 = 0 THEN 'Dr. ' ELSE '' END ||
         |  string_agg(w, ' ' ORDER BY wi) ||
         |  CASE WHEN (wi // 6) % 5 = 0 THEN '..'
+        |       WHEN (doc_id + wi // 6) % 3 = 0
+        |            AND lower(regexp_extract(arg_max(w, wi), '([A-Za-z]+)$', 1))
+        |                IN ('dr','mr','mrs','ms','prof','sr','jr','st','no',
+        |                    'vs','etc','eg','ie','fig','al') THEN '!'
         |       WHEN (doc_id + wi // 6) % 3 = 0 THEN '.'
         |       WHEN (doc_id + wi // 6) % 3 = 1 THEN '!'
         |       ELSE '?' END AS sentence

@@ -52,9 +52,13 @@ object PdfOps {
       if (si < 0) ok = false
       else if (si >= 3 && s.regionMatches(si - 3, "end", 0, 3)) pos = si + 6
       else {
-        // the stream's dict: between the owning "obj" keyword and "stream"
+        // the stream's dict: between the owning "obj" keyword and
+        // "stream". A headerless stream (no "obj" anywhere before it —
+        // a torn fragment) gets NO dict rather than the whole document
+        // prefix: the prefix would mis-attribute an EARLIER object's
+        // /Filter entry to this stream and inflate/skip its bytes wrongly.
         val objAt = s.lastIndexOf("obj", si)
-        val dict = s.substring(math.max(objAt, 0), si)
+        val dict = if (objAt < 0) "" else s.substring(objAt, si)
         var ds = si + "stream".length
         if (ds < s.length && s.charAt(ds) == '\r') ds += 1
         if (ds < s.length && s.charAt(ds) == '\n') ds += 1

@@ -393,10 +393,17 @@ object WarcIngest {
                         maxPayloadBytes: Int = 64 << 20): Seq[String] = {
     import spark.implicits._
     val all = listArchives(spark, warcDir, glob)
+    // First run has no manifest yet: probe with a filesystem existence
+    // check, NOT read-and-catch — the caught AnalysisException would
+    // still print its stack trace into the job's stderr, polluting the
+    // log of every cold start (and of every bench pass).
+    val manifestFsPath = new org.apache.hadoop.fs.Path(manifestPath)
+    val manifestFs = manifestFsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val seen: Set[String] =
-      try spark.read.parquet(manifestPath).select("file")
+      if (!manifestFs.exists(manifestFsPath)) Set.empty
+      else spark.read.parquet(manifestPath).select("file")
         .collect().map(_.getString(0)).toSet
-      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
     val delta = all.filterNot(seen)
     if (delta.nonEmpty) {
       readRecordFiles(spark, delta, maxPayloadBytes)

@@ -187,15 +187,36 @@ object Graph {
     * @return one row: (p_pct, sampled_edges, sampled_triangles,
     *         est_triangles = sampled/p³ as double)
     */
+  /** `(x · m) mod 2³²` with every intermediate below 2⁶³ — the
+    * [[Sampling.knuthSlot32]] hi/lo split, parameterized by the
+    * multiplier: node ids are only bounded by Long, and a direct
+    * `x * 2654435761L` overflows (an ARITHMETIC_OVERFLOW error under
+    * ANSI mode) for ids above ~3.4e9 — exactly the ids a 100-TB web
+    * graph assigns. `pmod(x, 2³²)` first (mod-ring homomorphism), then
+    * 16-bit halves. */
+  private def mulMod32(x: Column, m: Long): Column = {
+    val r  = pmod(x, lit(4294967296L))
+    val hi = pmod(shiftright(r, 16) * lit(m), lit(65536L))
+    val lo = pmod(r, lit(65536L)) * lit(m)
+    pmod(hi * lit(65536L) + lo, lit(4294967296L))
+  }
+
   /** The DOULION edge coin: Knuth-multiplicative mix of the canonical
     * pair, mod 2³², then mod 100 — deterministic, partition-invariant,
     * and exactly reproducible in BIGINT SQL (`(u·2654435761 + v·40503)
-    * % 2^32 % 100`), the property the value oracle rests on. */
+    * % 2^32 % 100`, which the oracle may write directly because ITS
+    * fixture ids keep the products inside BIGINT; the engine side uses
+    * the overflow-free [[mulMod32]] split so the identity holds for ALL
+    * Long ids). The coin is deliberately PARAMETER-FREE — two consumers
+    * of the same graph always agree on which edges survived, and the
+    * published DOULION variance model assumes triangles sharing an edge
+    * share that edge's single coin. */
   private[operators] def edgeCoinSlot(u: Column, v: Column): Column =
-    pmod(u * lit(2654435761L) + v * lit(40503L), lit(4294967296L)) % lit(100L)
+    pmod(mulMod32(u, 2654435761L) + mulMod32(v, 40503L),
+      lit(4294967296L)) % lit(100L)
 
   def triangleEstimate(edges: DataFrame, srcCol: String, dstCol: String,
-                       pPct: Int = 50, seed: Long = 42L): DataFrame = {
+                       pPct: Int = 50): DataFrame = {
     require(pPct > 0 && pPct <= 100, s"pPct must be in (0,100], got $pPct")
     val und = canonicalUndirected(edges, srcCol, dstCol)
     val sampled = und.filter(
@@ -525,8 +546,7 @@ object Graph {
     * full exact wedge join per consumer plus the sampled one — measured
     * ~2× the cost of the exact query it gates. */
   def triangleEstimateViolations(edges: DataFrame, srcCol: String,
-                                 dstCol: String, pPct: Int = 50,
-                                 seed: Long = 42L): DataFrame = {
+                                 dstCol: String, pPct: Int = 50): DataFrame = {
     require(pPct > 0 && pPct <= 100, s"pPct must be in (0,100], got $pPct")
     val spark = edges.sparkSession
     val reliableCkpt = spark.sparkContext.getCheckpointDir.isDefined

@@ -290,14 +290,26 @@ object Sampling {
     * [[Graph.pageRank]] mass aggregated to the key — and is collected to
     * the driver (one row per source: the bounded-model-collect class).
     * Integer-exact end to end: exact isqrt weights, BigInt floor-div
-    * budgets, running-sum window. Output adds (n_tok, src_budget,
-    * running). */
+    * budgets, running-sum window — `rankCol` must therefore already BE
+    * integer mass (micro-units of PageRank, token counts, …): it is
+    * cast to long, and a fractional rank column would silently truncate,
+    * so the cast is guarded by an in-plan check. Rows with a null key or
+    * null rank are dropped before the collect (a null key cannot label a
+    * budget; a null rank is zero evidence). Output adds (n_tok,
+    * src_budget, running). */
   def rankWeightedMix(df: DataFrame, idCol: String, keyCol: String,
                       tokCol: Column, ranks: DataFrame, rankKeyCol: String,
                       rankCol: String, totalTokenBudget: Long): DataFrame = {
     require(totalTokenBudget > 0, "totalTokenBudget must be positive")
     val weights = ranks
-      .select(col(rankKeyCol).cast("string"), col(rankCol).cast("long"))
+      .filter(col(rankKeyCol).isNotNull && col(rankCol).isNotNull)
+      // fail loudly on fractional mass instead of truncating it: the
+      // guard lives inside the selected expression so it cannot prune
+      .select(col(rankKeyCol).cast("string"),
+        when(col(rankCol) === col(rankCol).cast("long"), col(rankCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("rankWeightedMix: rankCol must be integer mass, got "),
+            col(rankCol).cast("string")))))
       .collect()
       .map(r => r.getString(0) ->
         graft.expr.GenEvalOps.isqrt(math.max(r.getLong(1), 0L)))
