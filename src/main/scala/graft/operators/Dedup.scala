@@ -25,28 +25,48 @@ object Dedup {
     * each document from its surviving lines in order. Emits (idCol,
     * clean_text, n_kept, n_dropped).
     *
-    * Scale shape: one line-keyed combining aggregate for the
-    * doc-frequency table (partial distinct on (line, doc) first — the
-    * COUNT(DISTINCT) expansion) + one broadcast-or-shuffle join back +
-    * one doc-keyed rebuild aggregate whose state is the document's own
-    * lines. The rebuild uses sort_array over collected (pos, line)
-    * structs — per-document state, never a window over the corpus. */
+    * Scale shape — NO raw line text ever crosses an exchange (the
+    * [[SubstringDedup]] `hashKeys` discipline; boilerplate lines are the
+    * definition of hot keys, and shuffling their TEXT doubles shuffle
+    * bytes exactly where skew bites):
+    *  1. line occurrences shuffle as a 128-bit double-xxhash64 pair
+    *     (16 bytes/line, two independent salts — a false drop needs a
+    *     simultaneous collision in both, ~2^-128 per line pair) for the
+    *     doc-frequency aggregate;
+    *  2. the hot-line set (`__df >= maxDocFreq`) is filtered FIRST, so
+    *     the semi-join that marks droppable occurrences carries hash
+    *     keys against a boilerplate-sized build side (AQE broadcasts it
+    *     when small);
+    *  3. only per-doc DROP POSITIONS (ints) aggregate doc-keyed, and the
+    *     rebuild is a row-local indexed `filter` over the document's own
+    *     split — the text moves once, in the final doc-keyed join, and
+    *     never as a shuffle KEY. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
-    val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-    val freq = lines.groupBy(col("__line"))
+    // __h2 hashes (salt, line), not (line, salt): Spark chains
+    // multi-child xxhash64 with the running hash as the next seed, so
+    // only the (salt, line) order yields an independent 64-bit view
+    // (the SubstringDedup.anchors note).
+    val slim = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .select(col(idCol), col("__pos"),
+        xxhash64(col("__line")).as("__h1"),
+        xxhash64(lit(1), col("__line")).as("__h2"))
+    val hot = slim.groupBy(col("__h1"), col("__h2"))
       .agg(countDistinct(col(idCol)).as("__df"))
-    lines.join(freq, Seq("__line"))
+      .filter(col("__df") >= maxDocFreq)
+    val dropPos = slim.join(hot, Seq("__h1", "__h2"), "left_semi")
       .groupBy(col(idCol))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when(col("__df") < maxDocFreq,
-            struct(col("__pos"), col("__line"))))),
-          x => x.getField("__line")), "\n").as("clean_text"),
-        sum(when(col("__df") < maxDocFreq, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__df") >= maxDocFreq, 1L).otherwise(0L)).as("n_dropped"))
+      .agg(collect_list(col("__pos")).as("__drop"))
+    val drop = coalesce(col("__drop"), array().cast("array<int>"))
+    val lines = split(col(textCol), "\n")
+    df.join(dropPos, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(lines, (l, i) => !array_contains(drop, i)), "\n")
+          .as("clean_text"),
+        (size(lines) - size(drop)).cast("long").as("n_kept"),
+        size(drop).cast("long").as("n_dropped"))
   }
 
   /** Exact dedup: keep the lowest-id row per key (deterministic
