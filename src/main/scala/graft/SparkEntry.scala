@@ -842,6 +842,48 @@ object SparkEntry {
         "url", "text", "doc_id")
         .orderBy(col("url_key"), col("content_md5"))),
 
+    // Canonical keys FEEDING url dedup — the collapse proof: every doc
+    // is exploded into all EIGHT messy spellings of its resource (the
+    // q_url_canonicalize fixture shapes: case-shifted authority, :443,
+    // fragment, dot-segments, over-percent-encoding, tracking params +
+    // reshuffled query, duplicate slashes), and urlContentDedup's
+    // canonicalize-then-normalize key must pull each spelling family
+    // back to ONE survivor (n_dups = 8 per (doc, content) group; the
+    // raw normalizer alone leaves the :443 / dot-segment / %6F /
+    // double-slash spellings as 4 phantom "documents" each). The oracle
+    // never re-implements canonicalization: the collapse is BY
+    // CONSTRUCTION, so it groups the clean (source, slot, md5) key it
+    // built the mess from.
+    "q_dedup_url_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val slot = (col("doc_id") % 25).cast("string")
+      val host = concat(lit("www."), col("source"), lit(".example.com"))
+      val canon = concat(lit("https://"), host, lit("/docs/"), slot,
+        lit("/?id="), id, lit("&lang="), col("lang"))
+      val qs = concat(lit("?id="), id, lit("&lang="), col("lang"))
+      val variants = array(
+        canon,
+        concat(lit("HTTPS://WWW."), upper(col("source")),
+          lit(".EXAMPLE.COM/docs/"), slot, lit("/"), qs),
+        concat(lit("https://"), host, lit(":443/docs/"), slot, lit("/"), qs),
+        concat(canon, lit("#section-2")),
+        concat(lit("https://"), host, lit("/docs/../docs/"), slot,
+          lit("/./"), qs),
+        concat(lit("https://"), host, lit("/d%6Fcs/"), slot,
+          lit("/?id="), id, lit("&l%61ng="), col("lang")),
+        concat(lit("https://"), host, lit("/docs/"), slot,
+          lit("/?utm_source=news&lang="), col("lang"), lit("&id="), id,
+          lit("&fbclid=abc123")),
+        concat(lit("https://"), host, lit("//docs//"), slot, lit("//"), qs))
+      val rows = docs.select(col("doc_id"), col("text"),
+          posexplode(variants).as(Seq("v", "url")))
+        .select((col("doc_id") * 8 + col("v")).as("row_id"), col("url"),
+          col("text"))
+      Dedup.urlContentDedup(rows, "url", "text", "row_id")
+        .orderBy(col("url_key"), col("content_md5"))
+    }),
+
     // Exact repeated-substring dedup (Lee et al. ACL'22): maximal >=8-token
     // spans occurring >=2x anywhere in the corpus, via anchor k-grams +
     // island merge — no suffix array, no pairwise doc comparison; the
@@ -1294,6 +1336,58 @@ object SparkEntry {
       operators.WebCuration.frontier(links, "src", "dst",
           docs.select(col("doc_id")), "doc_id", limit = 50)
         .select(col("rank"), col("dst"), col("n_inlinks"), col("n_srcs"))
+        .orderBy(col("rank"))
+    }),
+
+    // CANONICAL-KEY frontier — spelling variants no longer fragment the
+    // vote: pages live on a 200-page synthetic web (canonical url a pure
+    // function of the page number), every link spells its endpoint in
+    // one of the EIGHT q_url_canonicalize mess shapes, and the crawled
+    // set (pages 0-99) is recorded under yet another spelling.
+    // urlFrontier must pool each target's inlink mass across spellings
+    // (raw keys would split every vote 8 ways and re-queue every crawled
+    // page), collapse distinct-src counting onto canonical source pages,
+    // drop self-links even when the two ends are spelled differently,
+    // and exclude crawled targets whatever their recorded spelling. The
+    // oracle replays the frontier over page NUMBERS (the collapse is by
+    // construction) and rebuilds the canonical strings only for output
+    // and tie-break order.
+    "q_frontier_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def messy(v: Column, k: Column): Column = {
+        val kStr = k.cast("string")
+        val host = concat(lit("www.w"), (k % 20).cast("string"),
+          lit(".example.com"))
+        val qs = concat(lit("?id="), kStr)
+        when(v === 1, concat(lit("HTTPS://"), upper(host), lit("/p/"), kStr,
+            lit("/"), qs))
+          .when(v === 2, concat(lit("https://"), host, lit(":443/p/"), kStr,
+            lit("/"), qs))
+          .when(v === 3, concat(lit("https://"), host, lit("/p/"), kStr,
+            lit("/"), qs, lit("#frag")))
+          .when(v === 4, concat(lit("https://"), host, lit("/p/../p/"), kStr,
+            lit("/./"), qs))
+          .when(v === 5, concat(lit("https://"), host, lit("/%70/"), kStr,
+            lit("/"), qs))
+          .when(v === 6, concat(lit("https://"), host, lit("/p/"), kStr,
+            lit("/?utm_source=news&id="), kStr, lit("&fbclid=x")))
+          .when(v === 7, concat(lit("https://"), host, lit("//p//"), kStr,
+            lit("//"), qs))
+          .otherwise(concat(lit("https://"), host, lit("/p/"), kStr,
+            lit("/"), qs))
+      }
+      val links = docs.select(col("doc_id"),
+          explode(array((0 until 3).map(j => lit(j)): _*)).as("j"))
+        .select(
+          messy(pmod(col("doc_id"), lit(8)), pmod(col("doc_id"), lit(100)))
+            .as("src_url"),
+          messy(pmod(col("doc_id") + col("j"), lit(8)),
+            pmod(col("doc_id") * 7 + col("j") * 11, lit(200))).as("dst_url"))
+      val crawled = s.range(100).select(
+        messy(pmod(col("id"), lit(8)), col("id")).as("url"))
+      operators.WebCuration.urlFrontier(links, "src_url", "dst_url",
+          crawled, "url", limit = 50)
+        .select(col("rank"), col("url"), col("n_inlinks"), col("n_srcs"))
         .orderBy(col("rank"))
     }),
 
@@ -6782,6 +6876,21 @@ object SparkEntry {
         |FROM norm GROUP BY url_key, content_md5
         |ORDER BY url_key, content_md5""".stripMargin,
 
+    // Collapse-by-construction oracle: the engine canonicalizes eight
+    // messy spellings per doc back to one key; the oracle just GROUPs
+    // the clean (source, slot, md5) key the mess was generated FROM —
+    // never re-implementing RFC 3986 — so any spelling that fails to
+    // collapse (or any over-collapse) breaks row count and hash alike.
+    "q_dedup_url_canon" ->
+      """WITH v AS (
+        |  SELECT d.doc_id * 8 + r.v AS row_id,
+        |    d.source || '.example.com/docs/' || CAST(d.doc_id % 25 AS VARCHAR) AS url_key,
+        |    md5(d.text) AS content_md5
+        |  FROM documents d, LATERAL (SELECT unnest(range(0, 8)) AS v) r)
+        |SELECT url_key, content_md5, MIN(row_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM v GROUP BY url_key, content_md5
+        |ORDER BY url_key, content_md5""".stripMargin,
+
     // Anchor-gram reconstruction of maximal repeated-coverage spans: k=8
     // grams, corpus-wide occurrence count, then the same consecutive-
     // anchor island merge (new island when pos > prev + 1) the Spark
@@ -8026,6 +8135,30 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY n_inlinks DESC, dst ASC)
         |    AS BIGINT) AS rank,
         |  dst, n_inlinks, n_srcs
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // Canonical-frontier oracle: the frontier replayed over page NUMBERS
+    // (spelling collapse is by construction — the engine's job), with
+    // the canonical strings rebuilt only for output and the url-string
+    // tie-break; crawled pages 0-99 drop as `td >= 100`, self-links as
+    // `sp <> td`, both regardless of spelling.
+    "q_frontier_canon" ->
+      """WITH l AS (
+        |  SELECT d.doc_id % 100 AS sp, (d.doc_id * 7 + r.j * 11) % 200 AS td
+        |  FROM documents d, LATERAL (SELECT unnest(range(0, 3)) AS j) r),
+        |agg AS (
+        |  SELECT td, CAST(count(*) AS BIGINT) AS n_inlinks,
+        |    CAST(count(DISTINCT sp) AS BIGINT) AS n_srcs
+        |  FROM l WHERE sp <> td AND td >= 100
+        |  GROUP BY td),
+        |top AS (
+        |  SELECT 'https://www.w' || CAST(td % 20 AS VARCHAR) || '.example.com/p/' ||
+        |    CAST(td AS VARCHAR) || '/?id=' || CAST(td AS VARCHAR) AS url,
+        |    n_inlinks, n_srcs
+        |  FROM agg ORDER BY n_inlinks DESC, url ASC LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY n_inlinks DESC, url ASC)
+        |    AS BIGINT) AS rank,
+        |  url, n_inlinks, n_srcs
         |FROM top ORDER BY rank""".stripMargin,
 
     // Schedule oracle: allowed = slot ≠ the domain's Disallow slot (the

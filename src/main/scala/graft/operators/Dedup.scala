@@ -137,15 +137,27 @@ object Dedup {
 
   /** URL + content-hash composite dedup — the cheap first pass a web-scale
     * pipeline runs before ANY text similarity (URL → exact → fuzzy →
-    * semantic): group by (normalized url, md5(content)), keep the lowest
-    * id, count the collapsed copies.
+    * semantic): group by (canonical url key, md5(content)), keep the
+    * lowest id, count the collapsed copies.
     *
-    * Scale shape: the md5 is computed map-side, so the shuffle carries a
-    * 32-hex-char key + normalized URL instead of document text; one hash
-    * shuffle with map-side partial combine, no driver state. */
+    * The key is [[graft.expr.UrlOps]] RFC 3986 canonicalization FIRST,
+    * then [[normalizeUrl]]'s corpus-key flattening on the canonical form
+    * — the normalize-before-dedup discipline (the reference applies the
+    * same idea to column names via its COLUMN_MAP, `constants.py:6-36` →
+    * `view_generator.py:42-45`): without the canonical step, case-shifted
+    * hosts, default ports, dot-segments, re-ordered queries and
+    * duplicate slashes each fragment the key and every such spelling
+    * survives as a "distinct" document.
+    *
+    * Scale shape: both normalizers and the md5 are per-row codegen
+    * computed map-side, so the shuffle carries a 32-hex-char hash + the
+    * canonical key instead of document text; one hash shuffle with
+    * map-side partial combine, no driver state. */
   def urlContentDedup(df: DataFrame, urlCol: String, textCol: String,
                       idCol: String): DataFrame =
-    df.select(normalizeUrl(col(urlCol)).as("url_key"),
+    df.select(
+        normalizeUrl(graft.expr.UrlExpressions.url_canonicalize(col(urlCol)))
+          .as("url_key"),
         md5(col(textCol)).as("content_md5"), col(idCol))
       .groupBy(col("url_key"), col("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))

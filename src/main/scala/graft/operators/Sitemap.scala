@@ -48,14 +48,22 @@ object Sitemap {
   /** Frontier seeds from parsed url-entries: drop locations the crawl
     * already holds (one left-anti join on the URL), then rank per
     * domain newest-first (lastmod DESC NULLS LAST, loc ASC — the
-    * deterministic tie-break). Output adds `seed_rank` (1-based). */
+    * deterministic tie-break). Output adds `seed_rank` (1-based).
+    *
+    * The anti-join keys on the CANONICAL url ([[graft.expr.UrlOps]], both
+    * sides): a sitemap's `<loc>` spelling and the warehouse's fetch
+    * record routinely disagree on case/port/trailing-slash details, and
+    * a raw-string anti-join would re-seed every such already-held page.
+    * `loc` in the output is the canonical spelling. */
   def seeds(urlEntries: DataFrame, domainCol: String,
             crawled: DataFrame, crawledUrlCol: String): DataFrame = {
+    import graft.expr.UrlExpressions.url_canonicalize
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col("lastmod").desc_nulls_last, col("loc").asc)
     urlEntries.filter(col("kind") === "url")
-      .join(crawled.select(col(crawledUrlCol).as("loc")), Seq("loc"),
-        "left_anti")
+      .withColumn("loc", url_canonicalize(col("loc")))
+      .join(crawled.select(url_canonicalize(col(crawledUrlCol)).as("loc")),
+        Seq("loc"), "left_anti")
       .withColumn("seed_rank", row_number().over(w).cast("long"))
   }
 
@@ -71,9 +79,17 @@ object Sitemap {
   def recrawlPlan(urlEntries: DataFrame, domainCol: String,
                   crawled: DataFrame, crawledUrlCol: String,
                   fetchedAtCol: String): DataFrame = {
+    import graft.expr.UrlExpressions.url_canonicalize
+    // canonical keys on both sides, the [[seeds]] discipline: a spelling
+    // mismatch here turns every held page into a spurious full re-fetch.
+    // Crawled copies whose spellings COLLAPSE under canonicalization
+    // fold to their latest fetch (max) — the copy that decides staleness
+    // — instead of fanning the plan out one row per spelling.
     val joined = urlEntries.filter(col("kind") === "url")
-      .join(crawled.select(col(crawledUrlCol).as("loc"),
-        col(fetchedAtCol).as("__fetched")), Seq("loc"), "left")
+      .withColumn("loc", url_canonicalize(col("loc")))
+      .join(crawled
+        .groupBy(url_canonicalize(col(crawledUrlCol)).as("loc"))
+        .agg(max(col(fetchedAtCol)).as("__fetched")), Seq("loc"), "left")
       .withColumn("action",
         when(col("__fetched").isNull, "new")
           .when(col("lastmod").isNotNull &&

@@ -97,6 +97,33 @@ object WebCuration {
         Window.orderBy(col("n_inlinks").desc, col(dstCol).asc)).cast("long"))
   }
 
+  /** URL-keyed [[frontier]] with CANONICAL keys — the form a real crawl
+    * runs: link targets and the crawled set both pass through
+    * [[graft.expr.UrlOps]] RFC 3986 canonicalization BEFORE the inlink
+    * aggregate and the anti-join, so the dozen spellings of one resource
+    * (case-shifted host, default port, fragment, dot-segments, tracking
+    * params, duplicate slashes) pool their inlink mass into ONE frontier
+    * candidate instead of fragmenting it — and a page whose crawled copy
+    * was recorded under a different spelling is not re-queued. Without
+    * this the frontier both under-ranks popular pages (split votes) and
+    * double-fetches crawled ones on day one. Canonicalization is a
+    * per-row codegen projection ahead of the same one-aggregate +
+    * anti-join + TakeOrdered plan; `url` in the output is the canonical
+    * spelling. */
+  def urlFrontier(links: DataFrame, srcUrlCol: String, dstUrlCol: String,
+                  crawled: DataFrame, crawledUrlCol: String,
+                  limit: Int): DataFrame = {
+    import graft.expr.UrlExpressions.url_canonicalize
+    // src is canonicalized too: the self-link exclusion and the distinct
+    // n_srcs count must both see one spelling per linking page
+    val canonLinks = links.select(
+      url_canonicalize(col(srcUrlCol)).as("__src"),
+      url_canonicalize(col(dstUrlCol)).as("url"))
+    val canonCrawled = crawled.select(
+      url_canonicalize(col(crawledUrlCol)).as("url"))
+    frontier(canonLinks, "__src", "url", canonCrawled, "url", limit)
+  }
+
   /** Per-domain crawl profile: doc count, total/mean chars, docs kept by
     * a `cap` — the planning table a crawl curator reads before choosing
     * caps. One combining aggregate. */
@@ -124,16 +151,25 @@ object WebCuration {
     * `resolved` = FALSE for a chain still pointing at a redirect after
     * maxHops (loops and too-deep chains surface, never spin). A null
     * Location on a 3xx row resolves to itself (malformed — crawl
-    * tolerance). */
+    * tolerance).
+    *
+    * Chain keys are CANONICAL ([[graft.expr.UrlOps]]): a Location header
+    * routinely re-spells its target (absolute vs host-case-shifted,
+    * trailing tracking params, default ports), and a raw-string match
+    * would miss the hop — the chain breaks exactly on the servers that
+    * need resolving most. `final_url` is therefore the canonical landing
+    * key by construction, ready for url-keyed accounting downstream. */
   def resolveRedirects(df: DataFrame, urlCol: String, statusCol: String,
                        locationCol: String, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    import graft.expr.UrlExpressions.url_canonicalize
     val hops = df.filter(isRedirect(col(statusCol)) &&
         col(locationCol).isNotNull)
-      .select(col(urlCol).as("__from"), col(locationCol).as("__to"))
+      .select(url_canonicalize(col(urlCol)).as("__from"),
+        url_canonicalize(col(locationCol)).as("__to"))
       .distinct()
     var res = df
-      .withColumn("final_url", col(urlCol))
+      .withColumn("final_url", url_canonicalize(col(urlCol)))
       .withColumn("n_hops", lit(0L))
     for (_ <- 0 until maxHops) {
       res = res.join(hops, res("final_url") === hops("__from"), "left")

@@ -89,6 +89,34 @@ class WebCurationSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 100L, 3L, 3L), (2L, 200L, 2L, 2L)))
   }
 
+  test("urlFrontier: spelling variants pool votes, crawled excluded, " +
+      "self-links canonical") {
+    import spark.implicits._
+    val links = Seq(
+      // page A linked under four spellings from three distinct sources
+      // (s1 twice, under two of ITS own spellings -> 1 distinct src)
+      ("https://s1.com/x", "https://www.A.com:443/p/1/"),
+      ("HTTPS://S1.COM/x", "https://www.a.com/p/../p/1/?utm_source=z"),
+      ("https://s2.com/y", "https://www.a.com//p//1//"),
+      ("https://s3.com/z", "https://www.a.com/p/1/#frag"),
+      // page B: two links, but crawled under a shifted spelling
+      ("https://s1.com/x", "https://www.b.com/p/2/"),
+      ("https://s2.com/y", "https://www.b.com/p/2/"),
+      // self-link spelled two different ways
+      ("https://www.c.com/p/3/", "https://WWW.C.COM:443/p/3/"),
+      // page D: one link
+      ("https://s3.com/z", "https://www.d.com/p/4/"))
+      .toDF("src_url", "dst_url")
+    val crawled = Seq("HTTPS://www.B.com:443/p/2/").toDF("url")
+    val got = WebCuration.urlFrontier(links, "src_url", "dst_url",
+        crawled, "url", limit = 10).orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("url"),
+        r.getAs[Long]("n_inlinks"), r.getAs[Long]("n_srcs")))
+    assert(got.toSeq === Seq(
+      (1L, "https://www.a.com/p/1/", 4L, 3L),
+      (2L, "https://www.d.com/p/4/", 1L, 1L)))
+  }
+
   test("resolveRedirects: chains, loops, malformed Location, hop cap") {
     import spark.implicits._
     val rows = Seq(
