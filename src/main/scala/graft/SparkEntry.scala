@@ -1438,6 +1438,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REGISTRABLE-DOMAIN politeness — subdomains share one queue: the
+    // sources are spread over four sites ({source}.market.co.uk /
+    // .deals.co.uk / .g2.example / .g3.example by k%4), robots gating
+    // and crawl-delay stay per HOST, but the fetch queue keys on the
+    // registrable domain (the co.uk pair pins the public-suffix rule —
+    // naive last-two-labels would merge market and deals into one
+    // phantom "co.uk" site and every pos would shift) and spaces by the
+    // most conservative member delay. The oracle replays the gate, the
+    // constructed site labels, the max-delay fold and the Knuth-hash
+    // queue order.
+    "q_crawl_schedule_host" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25
+      val hostSuffix = element_at(array(lit(".market.co.uk"),
+        lit(".deals.co.uk"), lit(".g2.example"), lit(".g3.example")),
+        (k % 4).cast("int") + 1)
+      val host = concat(col("source"), hostSuffix)
+      val robots = docs.select(col("source")).distinct()
+        .select(host.as("domain"),
+          operators.RobotsTxt.syntheticRobots(host, k).as("txt"))
+      val rules = operators.RobotsTxt.parseRules(robots, "domain", "txt")
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://"), host, lit("/docs/"),
+          (col("doc_id") % 25).cast("string"), lit("/?utm_source="),
+          col("lang")).as("url"))
+      operators.RobotsTxt.scheduleByRegistrableDomain(urls, "url", "doc_id",
+          rules, "graftbot")
+        .select(col("doc_id"), col("domain"), col("reg_domain"),
+          col("delay_ms"), col("queue_delay_ms"), col("pos"),
+          col("fetch_at_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING politeness gate: URLs arrive in micro-batches, decided
     // on arrival against the static decision table — the gate is a
     // stream-static broadcast join + row-local fold (no state, no
@@ -8182,6 +8215,40 @@ object SparkEntry {
         |    AS BIGINT) AS pos,
         |  CAST((row_number() OVER (PARTITION BY domain ORDER BY sk, doc_id) - 1)
         |    * (k % 3 + 1) * 1000 AS BIGINT) AS fetch_at_ms
+        |FROM allowed ORDER BY doc_id""".stripMargin,
+
+    // Registrable-domain schedule oracle: gate decision (slot <> k),
+    // per-host delay (graftbot's k%3+1), site labels rebuilt from the
+    // k%4 construction, queue delay = window max over the site's
+    // admitted rows, queue position = Knuth-hash order within the SITE.
+    "q_crawl_schedule_host" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, k,
+        |    source || CASE k % 4 WHEN 0 THEN '.market.co.uk'
+        |      WHEN 1 THEN '.deals.co.uk' WHEN 2 THEN '.g2.example'
+        |      ELSE '.g3.example' END AS domain,
+        |    CASE k % 4 WHEN 0 THEN 'market.co.uk' WHEN 1 THEN 'deals.co.uk'
+        |      WHEN 2 THEN 'g2.example' ELSE 'g3.example' END AS reg_domain
+        |  FROM src),
+        |allowed AS (
+        |  SELECT d.doc_id, h.domain, h.reg_domain, h.k,
+        |    ((d.doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |     + (d.doc_id % 65536) * 2654435761) % 4294967296 AS sk
+        |  FROM documents d JOIN h ON h.source = d.source
+        |  WHERE d.doc_id % 25 <> h.k)
+        |SELECT doc_id, domain, reg_domain,
+        |  CAST((k % 3 + 1) * 1000 AS BIGINT) AS delay_ms,
+        |  CAST(max((k % 3 + 1) * 1000) OVER (PARTITION BY reg_domain)
+        |    AS BIGINT) AS queue_delay_ms,
+        |  CAST(row_number() OVER (PARTITION BY reg_domain ORDER BY sk, doc_id)
+        |    - 1 AS BIGINT) AS pos,
+        |  CAST((row_number() OVER (PARTITION BY reg_domain ORDER BY sk, doc_id) - 1)
+        |    * max((k % 3 + 1) * 1000) OVER (PARTITION BY reg_domain)
+        |    AS BIGINT) AS fetch_at_ms
         |FROM allowed ORDER BY doc_id""".stripMargin,
 
     // Per-bucket manifest rollup: responses grouped by doc_id % 4 plus

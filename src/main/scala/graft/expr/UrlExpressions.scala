@@ -161,9 +161,75 @@ case class UrlCanonicalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Registrable-domain extraction — the politeness and ownership unit of
+  * a crawl: `a.example.com` and `b.example.com` are one SITE (one fetch
+  * queue, one rate budget), while `x.co.uk` and `y.co.uk` are two —
+  * which is exactly what naive "last two labels" gets wrong. Pure
+  * suffix rules over a FROZEN snapshot subset of the public-suffix
+  * conventions (publicsuffix.org): the widely-used two-label public
+  * suffixes are listed explicitly; everything else treats the last
+  * label as the suffix. No network, no state — a per-row codegen
+  * projection like [[UrlOps]], same result on every engine and at any
+  * scale. */
+object RegistrableDomainOps {
+
+  /** Frozen two-label public-suffix subset (country-code second-level
+    * registrations a crawler meets constantly). A full PSL sync is a
+    * data refresh, not a code change: the rule shape is identical. */
+  private val TwoLabelSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.tw", "com.hk",
+    "co.in", "net.in", "org.in", "co.nz", "net.nz", "org.nz",
+    "co.kr", "or.kr", "co.za", "org.za", "com.ua", "com.pl")
+
+  /** Registrable domain of a bare lowercase-able host (what
+    * [[graft.operators.WebCuration.domainOf]] emits). IPv4 literals and
+    * one/two-label hosts come back as themselves; unknown suffixes use
+    * the last-label rule. */
+  def registrable(host: String): String = {
+    if (host == null) return null
+    val h = host.trim.toLowerCase(java.util.Locale.ROOT)
+    if (h.isEmpty) return h
+    // IPv4 literal: politeness keys on the address itself
+    if (h.forall(c => (c >= '0' && c <= '9') || c == '.')) return h
+    val labels = h.split('.')
+    if (labels.length <= 2) return h
+    val last2 = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    if (TwoLabelSuffixes.contains(last2))
+      labels(labels.length - 3) + "." + last2
+    else last2
+  }
+
+  def eval(host: UTF8String): UTF8String =
+    if (host == null) null
+    else UTF8String.fromString(registrable(host.toString))
+}
+
+/** `registrable_domain(host)` — codegen frozen-PSL-subset suffix rule. */
+case class RegistrableDomain(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "registrable_domain"
+
+  override def nullSafeEval(input: Any): Any =
+    RegistrableDomainOps.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.RegistrableDomainOps.eval($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object UrlExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   def url_canonicalize(url: Column): Column =
     ColumnBridge.column(UrlCanonicalize(ColumnBridge.expression(url)))
+
+  def registrable_domain(host: Column): Column =
+    ColumnBridge.column(RegistrableDomain(ColumnBridge.expression(host)))
 }

@@ -181,6 +181,50 @@ object RobotsTxt {
       .drop("__delay_s")
   }
 
+  /** [[schedule]] with REGISTRABLE-DOMAIN politeness — the queue
+    * granularity a real crawler must use: `a.example.com` and
+    * `b.example.com` are one site behind one origin infrastructure, and
+    * per-HOSTNAME queues would hit it with one fetch per host per delay
+    * window (a subdomain-count multiple of the intended rate).
+    * Robots GATING stays per host (RFC 9309 is host-scoped, and each
+    * host's own crawl-delay is still reported as `delay_ms`), but the
+    * queue key is [[graft.expr.RegistrableDomainOps]] of the host and
+    * the queue spaces by the MOST CONSERVATIVE member delay present in
+    * it (max over the queue's admitted URLs — a site asking 3 s on one
+    * subdomain is not outrun via its 1 s sibling).
+    *
+    * Same shape as [[schedule]]: broadcast gate + broadcast delays, one
+    * window — now keyed by the registrable domain (a pure projection of
+    * the host, so the only change at 100 TB is a coarser, still
+    * hash-balanced partition key). Output adds (reg_domain,
+    * queue_delay_ms) next to schedule's columns. */
+  def scheduleByRegistrableDomain(urls: DataFrame, urlCol: String,
+                                  idCol: String, rules: DataFrame,
+                                  userAgent: String,
+                                  defaultDelaySec: Long = 1L): DataFrame = {
+    val ua = userAgent.toLowerCase
+    val delays = rules.filter(col("rtype") === "crawl-delay")
+      .groupBy(col("domain"))
+      .agg(max(when(col("agent") === ua, col("value").cast("long"))).as("__dua"),
+        max(when(col("agent") === "*", col("value").cast("long"))).as("__dstar"))
+      .select(col("domain"),
+        coalesce(col("__dua"), col("__dstar")).as("__delay_s"))
+    val byQueue = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("reg_domain"))
+    val w = byQueue.orderBy(Sampling.knuthSlot32(col(idCol)).asc, col(idCol).asc)
+    gate(urls, urlCol, rules, userAgent)
+      .filter(col("allowed"))
+      .join(broadcast(delays), Seq("domain"), "left")
+      .withColumn("delay_ms",
+        coalesce(col("__delay_s"), lit(defaultDelaySec)) * 1000L)
+      .withColumn("reg_domain",
+        graft.expr.UrlExpressions.registrable_domain(col("domain")))
+      .withColumn("queue_delay_ms", max(col("delay_ms")).over(byQueue))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .withColumn("fetch_at_ms", col("pos") * col("queue_delay_ms"))
+      .drop("__delay_s")
+  }
+
   /** Deterministic synthetic robots.txt for the fixture domains (the
     * synthetic-HTML playbook): a `*` group with constant rules, then a
     * crawler-specific group whose Disallow slot k varies per domain —

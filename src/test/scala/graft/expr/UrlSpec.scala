@@ -63,4 +63,31 @@ class UrlSpec extends SparkSpec {
     assert(got(0) === "https://e.com/b/c/?a=2&z=1")
     assert(got(1) === got(0), "canonical form must be a fixed point")
   }
+
+  test("registrable domain: subdomains fold, two-label suffixes honored") {
+    val r = RegistrableDomainOps.registrable _
+    assert(r("a.example.com") === "example.com")
+    assert(r("b.example.com") === "example.com")
+    assert(r("deep.a.b.example.com") === "example.com")
+    assert(r("example.com") === "example.com")
+    // two-label public suffix: one more label is the site
+    assert(r("x.market.co.uk") === "market.co.uk")
+    assert(r("deals.co.uk") === "deals.co.uk")
+    assert(r("a.shop.com.au") === "shop.com.au")
+    // NOT merged across sites under the same public suffix
+    assert(r("a.market.co.uk") !== r("a.deals.co.uk"))
+    // case/whitespace normalize; edge shapes pass through
+    assert(r(" A.Example.COM ") === "example.com")
+    assert(r("com") === "com")
+    assert(r("192.168.0.1") === "192.168.0.1")
+    assert(r(null) === null)
+  }
+
+  test("registrable_domain expression path: codegen over a DataFrame") {
+    import spark.implicits._
+    val got = Seq("a.example.com", "x.market.co.uk").toDF("h")
+      .select(UrlExpressions.registrable_domain($"h")).collect()
+      .map(_.getString(0))
+    assert(got.toSeq === Seq("example.com", "market.co.uk"))
+  }
 }
