@@ -2832,6 +2832,39 @@ object SparkEntry {
         .select(col("doc_id"), col("keep"), col("reasons"))
         .orderBy(col("doc_id"))),
 
+    // The Gopher STRUCTURAL gates fired on purpose: docs re-lined 6
+    // words per line, then one pathology per doc_id%5 slot — bullet
+    // chrome ("- " on every line), teaser ellipses ("..." on every line
+    // end, which also drives the '#'/'...'-per-word symbol ratio over
+    // threshold), hash stuffing (" #" per line), and a machine-repeated
+    // phrase whose deflate ratio (~0.04) trips the compression gate the
+    // token stats alone would see as merely repetitive. The oracle
+    // replays every SQL-expressible rule over the SAME reconstructed
+    // text; `compressible` is the planted doc_id%5=4 slot by
+    // construction (natural-text floor 0.38 vs threshold 0.25 vs
+    // planted 0.04 — the exact-regime pin of the q_quality_filter
+    // note, here with the rule actually firing).
+    "q_quality_filter_gopher" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val ng = ((size(words) + lit(5)) / lit(6)).cast("int")
+      val linesArr = transform(sequence(lit(0), ng - 1), g =>
+        array_join(slice(words, g * 6 + 1, lit(6)), " "))
+      val m = pmod(col("doc_id"), lit(5))
+      val constructed = docs.select(col("doc_id"),
+        when(m === 1,
+            array_join(transform(linesArr, l => concat(lit("- "), l)), "\n"))
+          .when(m === 2,
+            array_join(transform(linesArr, l => concat(l, lit("..."))), "\n"))
+          .when(m === 3,
+            array_join(transform(linesArr, l => concat(l, lit(" #"))), "\n"))
+          .when(m === 4, repeat(lit("lorem ipsum "), 40))
+          .otherwise(array_join(linesArr, "\n")).as("text"))
+      TextAnalysis.qualityFilter(constructed, "doc_id", "text")
+        .select(col("doc_id"), col("keep"), col("reasons"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Chunk-level exact dedup: boilerplate chunks duplicated across
     // otherwise-distinct documents, with the canonical first owner.
     "q_dedup_chunks" -> ((s, dir) =>
@@ -10046,7 +10079,15 @@ object SparkEntry {
 
     // Quality gate: stats formulas identical to q_text_stats /
     // q_text_repetition; concat_ws skips the NULL (passing) rules in both
-    // engines, so `reasons` is byte-identical.
+    // engines, so `reasons` is byte-identical. The Gopher structural
+    // rules are replayed generically (symbol ratio, bullet/ellipsis line
+    // fractions with the >=3-line guard); the COMPRESSIBLE rule is an
+    // exact-regime pin rather than a replay (DuckDB cannot deflate):
+    // every natural-text doc in the fixture corpus deflates to >= 0.38
+    // of its raw bytes (measured floor across sf0.001/0.01/0.1), the
+    // threshold sits at 0.25, so the rule provably never fires here —
+    // omitting it from the CASE ladder asserts exactly that, and a
+    // spurious engine-side fire breaks the hash.
     "q_quality_filter" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
         |bg AS (SELECT doc_id, len(tk) AS n_tok, list_extract(tk, i) || ' ' || list_extract(tk, i+1) AS b
@@ -10073,15 +10114,109 @@ object SparkEntry {
         |         ELSE CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by|from|that|this)\b')) AS DOUBLE) / n_tokens
         |    END AS stopr
         |  FROM st0),
+        |ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS syms
+        |  FROM documents),
+        |lf AS (SELECT doc_id, syms,
+        |    CASE WHEN len(ls) >= 3
+        |      THEN CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*] '))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END AS bulletf,
+        |    CASE WHEN len(ls) >= 3
+        |      THEN CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END AS ellipf
+        |  FROM ln),
         |r AS (SELECT st.doc_id,
         |    concat_ws(',',
+        |      CASE WHEN bulletf > 0.9 THEN 'bullet_lines' END,
+        |      CASE WHEN ellipf > 0.3 THEN 'ellipsis_lines' END,
         |      CASE WHEN ttr < 0.35 THEN 'low_diversity' END,
         |      CASE WHEN stopr < 0.02 THEN 'no_stopwords' END,
         |      CASE WHEN rep > 0.125 THEN 'repetitive' END,
+        |      CASE WHEN n_tokens > 0 AND syms / n_tokens > 0.1 THEN 'symbol_ratio' END,
         |      CASE WHEN mtl < 3.0 OR mtl > 8.0 THEN 'token_len' END,
         |      CASE WHEN n_tokens > 100000 THEN 'too_long' END,
         |      CASE WHEN n_tokens < 20 THEN 'too_short' END) AS reasons
-        |  FROM st JOIN rep USING (doc_id))
+        |  FROM st JOIN rep USING (doc_id) JOIN lf ON lf.doc_id = st.doc_id)
+        |SELECT doc_id, reasons = '' AS keep, reasons FROM r ORDER BY doc_id""".stripMargin,
+
+    // Gopher-gate oracle: the 6-word relining + per-slot pathology is
+    // reconstructed, every SQL-expressible rule is replayed over that
+    // SAME text, and `compressible` is the planted doc_id%5=4 slot (the
+    // deflate pin documented at q_quality_filter — 0.04 planted vs 0.25
+    // threshold vs 0.38 natural floor).
+    "q_quality_filter_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id, i - 1 AS wi, lst[i] AS wd
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS lst
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(range(1, len(lst) + 1)) AS i) r),
+        |lines0 AS (
+        |  SELECT doc_id, wi // 6 AS li, string_agg(wd, ' ' ORDER BY wi) AS line
+        |  FROM w GROUP BY doc_id, wi // 6),
+        |relined AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY li) AS t0,
+        |    string_agg('- ' || line, chr(10) ORDER BY li) AS t1,
+        |    string_agg(line || '...', chr(10) ORDER BY li) AS t2,
+        |    string_agg(line || ' #', chr(10) ORDER BY li) AS t3
+        |  FROM lines0 GROUP BY doc_id),
+        |txt AS (
+        |  SELECT d.doc_id,
+        |    CASE d.doc_id % 5 WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3
+        |      WHEN 4 THEN repeat('lorem ipsum ', 40) ELSE t0 END AS text
+        |  FROM documents d JOIN relined USING (doc_id)),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM txt),
+        |bg AS (SELECT doc_id, len(tk) AS n_tok, list_extract(tk, i) || ' ' || list_extract(tk, i+1) AS b
+        |       FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) r
+        |       WHERE len(tk) >= 2),
+        |m AS (SELECT doc_id, n_tok, max(c) AS maxc FROM (
+        |        SELECT doc_id, n_tok, b, count(*) AS c FROM bg GROUP BY 1, 2, 3) z
+        |      GROUP BY 1, 2),
+        |rep AS (SELECT t.doc_id, COALESCE(2.0 * m.maxc / m.n_tok, 0.0) AS rep
+        |        FROM txt t LEFT JOIN m USING (doc_id)),
+        |st0 AS (SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens
+        |  FROM txt),
+        |st AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / n_tokens
+        |    END AS mtl,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE) / n_tokens
+        |    END AS ttr,
+        |    CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by|from|that|this)\b')) AS DOUBLE) / n_tokens
+        |    END AS stopr
+        |  FROM st0),
+        |ln AS (SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS syms
+        |  FROM txt),
+        |lf AS (SELECT doc_id, syms,
+        |    CASE WHEN len(ls) >= 3
+        |      THEN CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*] '))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END AS bulletf,
+        |    CASE WHEN len(ls) >= 3
+        |      THEN CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS DOUBLE) / len(ls)
+        |      ELSE 0.0 END AS ellipf
+        |  FROM ln),
+        |r AS (SELECT st.doc_id,
+        |    concat_ws(',',
+        |      CASE WHEN bulletf > 0.9 THEN 'bullet_lines' END,
+        |      CASE WHEN st.doc_id % 5 = 4 THEN 'compressible' END,
+        |      CASE WHEN ellipf > 0.3 THEN 'ellipsis_lines' END,
+        |      CASE WHEN ttr < 0.35 THEN 'low_diversity' END,
+        |      CASE WHEN stopr < 0.02 THEN 'no_stopwords' END,
+        |      CASE WHEN rep > 0.125 THEN 'repetitive' END,
+        |      CASE WHEN n_tokens > 0 AND syms / n_tokens > 0.1 THEN 'symbol_ratio' END,
+        |      CASE WHEN mtl < 3.0 OR mtl > 8.0 THEN 'token_len' END,
+        |      CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+        |      CASE WHEN n_tokens < 20 THEN 'too_short' END) AS reasons
+        |  FROM st JOIN rep USING (doc_id) JOIN lf ON lf.doc_id = st.doc_id)
         |SELECT doc_id, reasons = '' AS keep, reasons FROM r ORDER BY doc_id""".stripMargin,
 
     // Same chunking arithmetic as q_text_chunks, then group-by-chunk with

@@ -207,6 +207,44 @@ case class PolyRollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** zlib DEFLATE length — the Gopher-style compression-ratio signal: text
+  * whose level-6 deflate collapses far below its raw size is machine-
+  * repetitive (keyword stuffing, tag soup, generated boilerplate) in a
+  * way token statistics can miss. Only the LENGTH is exposed, never the
+  * bytes: fixed level 6, default strategy, one-shot over the UTF-8
+  * encoding — a pure JVM-deterministic function of the text (the same
+  * determinism contract as the in-tree PNG Inflater path), cheap enough
+  * for the per-row hot path and embarrassingly parallel. */
+object DeflateOps {
+  def deflateLen(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(bytes)
+    d.finish()
+    var total = 0
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
+}
+
+/** `deflate_len(text)` — codegen zlib level-6 deflate byte length. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_len"
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateOps.deflateLen(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.DeflateOps.deflateLen($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Expression wrapper: stays inside whole-stage codegen (the generated code
   * calls the static [[TextOps.profile]] — no UDF boxing, no Row encoding). */
 case class TextProfile(child: Expression) extends UnaryExpression {
@@ -233,4 +271,7 @@ object TextExpressions {
 
   def poly_rolling_hash(text: Column): Column =
     ColumnBridge.column(PolyRollingHash(ColumnBridge.expression(text)))
+
+  def deflate_len(text: Column): Column =
+    ColumnBridge.column(DeflateLen(ColumnBridge.expression(text)))
 }

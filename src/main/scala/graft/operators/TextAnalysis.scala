@@ -271,7 +271,18 @@ object TextAnalysis {
                                 maxMeanTokenLen: Double = 8.0,
                                 minTypeTokenRatio: Double = 0.35,
                                 maxTopBigramFrac: Double = 0.125,
-                                minStopwordRatio: Double = 0.02)
+                                minStopwordRatio: Double = 0.02,
+                                // Gopher-style structural gates:
+                                maxSymbolToWordRatio: Double = 0.1,
+                                maxBulletLineFrac: Double = 0.9,
+                                maxEllipsisLineFrac: Double = 0.3,
+                                // line-shape rules need line structure to
+                                // judge; short docs pass them vacuously
+                                lineRulesMinLines: Int = 3,
+                                // compression gate: below this deflate/raw
+                                // byte ratio the text is machine-repetitive
+                                minCompressRatio: Double = 0.25,
+                                compressMinBytes: Int = 256)
 
   /** Composite corpus quality filter with EXPLAINABLE decisions — the
     * keep/drop gate of a web-scale cleaning pipeline, with the failing
@@ -282,17 +293,38 @@ object TextAnalysis {
     * length band), low_diversity (type-token ratio), repetitive (top
     * bigram token share — Gopher's repetition signal), no_stopwords
     * (natural-language prior; near-zero stopword mass is a strong
-    * markup/code/gibberish signal).
+    * markup/code/gibberish signal), plus the Gopher structural gates:
+    * symbol_ratio ('#'/'...' marks per word — forum markup, keyword
+    * stuffing), bullet_lines / ellipsis_lines (line-start bullet and
+    * line-end ellipsis fractions — list chrome and truncated teaser
+    * pages; applied only to docs with >= lineRulesMinLines lines, since
+    * line shape is meaningless on one line), and compressible (deflate/
+    * raw byte ratio below minCompressRatio — machine-repetitive text the
+    * token stats can miss; bytes-length only, the C4/Gopher zlib
+    * signal).
     *
     * Scale shape: everything except the repetition signal is ONE narrow
-    * fused-profile projection; [[topBigramFraction]] contributes its two
-    * doc-keyed partial aggregations; one doc-keyed join combines them.
-    * All arithmetic is plain double math in a fixed operation order —
-    * ANSI-expressible, so the whole gate is DuckDB-oracle-able. */
+    * fused-profile projection (the line fractions are row-local
+    * higher-order functions over the doc's own split; deflate_len is a
+    * per-row codegen expression); [[topBigramFraction]] contributes its
+    * two doc-keyed partial aggregations; one doc-keyed join combines
+    * them. All arithmetic except the deflate length is plain double math
+    * in a fixed operation order — ANSI-expressible, so the gate is
+    * DuckDB-oracle-able; the compression rule's oracle story is the
+    * exact-regime pin documented at q_quality_filter (natural text sits
+    * >= 0.38, the threshold at 0.25, planted repetition at ~0.04). */
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
                     rules: QualityRules = QualityRules()): DataFrame = {
     val p = profile(col(textCol))
     val toks = coalesce(p.getField("n_tokens"), lit(0)).cast("long")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => ltrim(l).rlike("^[-*] ")))
+    val nEllipsis = size(filter(lines, l => rtrim(l).rlike("\\.\\.\\.$")))
+    val nHash = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val nDots = size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0)))
+    val rawBytes = octet_length(col(textCol))
     val stats = df.select(col(idCol), col(textCol),
       toks.as("__toks"),
       when(toks > 0, p.getField("n_nonspace").cast("double") / toks)
@@ -301,7 +333,16 @@ object TextAnalysis {
         size(array_distinct(Dedup.tokens(col(textCol)))).cast("double") / toks)
         .otherwise(lit(0.0)).as("__ttr"),
       when(toks > 0, p.getField("n_stopwords").cast("double") / toks)
-        .otherwise(lit(0.0)).as("__stopr"))
+        .otherwise(lit(0.0)).as("__stopr"),
+      when(toks > 0, (nHash + nDots).cast("double") / toks)
+        .otherwise(lit(0.0)).as("__symr"),
+      when(nLines >= rules.lineRulesMinLines,
+        nBullet.cast("double") / nLines).otherwise(lit(0.0)).as("__bulletf"),
+      when(nLines >= rules.lineRulesMinLines,
+        nEllipsis.cast("double") / nLines).otherwise(lit(0.0)).as("__ellipf"),
+      when(rawBytes >= rules.compressMinBytes,
+        graft.expr.TextExpressions.deflate_len(col(textCol)).cast("double") /
+          rawBytes).otherwise(lit(1.0)).as("__compr"))
     val withRep = stats.join(
       topBigramFraction(df.select(col(idCol), col(textCol)), idCol, textCol),
       Seq(idCol))
@@ -310,9 +351,13 @@ object TextAnalysis {
     // concat_ws skips NULLs, so reasons is exactly the failing subset in
     // this fixed alphabetical order — byte-identical in ANSI SQL
     val reasons = concat_ws(",",
+      rule("bullet_lines", col("__bulletf") > rules.maxBulletLineFrac),
+      rule("compressible", col("__compr") < rules.minCompressRatio),
+      rule("ellipsis_lines", col("__ellipf") > rules.maxEllipsisLineFrac),
       rule("low_diversity", col("__ttr") < rules.minTypeTokenRatio),
       rule("no_stopwords", col("__stopr") < rules.minStopwordRatio),
       rule("repetitive", col("top_bigram_frac") > rules.maxTopBigramFrac),
+      rule("symbol_ratio", col("__symr") > rules.maxSymbolToWordRatio),
       rule("token_len", col("__mtl") < rules.minMeanTokenLen ||
         col("__mtl") > rules.maxMeanTokenLen),
       rule("too_long", col("__toks") > rules.maxTokens),

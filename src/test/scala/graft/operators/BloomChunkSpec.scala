@@ -36,7 +36,7 @@ class BloomChunkSpec extends graft.SparkSpec {
     val docs = Seq(
       (1L, clean),                                       // keep
       (2L, "short text only here"),                      // too_short (+no_stopwords? no: 0 stopwords of 4 -> fires too)
-      (3L, ("spam ham " * 30).trim),                     // repetitive + low_diversity + no_stopwords
+      (3L, ("spam ham " * 30).trim),                     // repetitive + low_diversity + no_stopwords (+compressible: 269 B deflates to ~0.07)
       (4L, (1 to 25).map(i => s"w$i w$i").mkString(" ")) // repetitive pairs but diverse
     ).toDF("doc_id", "text")
     val out = TextAnalysis.qualityFilter(docs, "doc_id", "text")
@@ -45,8 +45,46 @@ class BloomChunkSpec extends graft.SparkSpec {
     assert(!out(2L)._1 && out(2L)._2.contains("too_short"))
     assert(!out(3L)._1 && out(3L)._2.contains("repetitive")
       && out(3L)._2.contains("low_diversity") && out(3L)._2.contains("no_stopwords"))
-    // reasons are alphabetically ordered
-    assert(out(3L)._2 == "low_diversity,no_stopwords,repetitive")
+    // reasons are alphabetically ordered; the zlib gate joins the token
+    // gates on this doc (269 bytes of one repeated bigram)
+    assert(out(3L)._2 == "compressible,low_diversity,no_stopwords,repetitive")
+  }
+
+  test("qualityFilter Gopher structural gates: bullets, ellipses, symbols, " +
+      "compression; line rules vacuous under 3 lines") {
+    import spark.implicits._
+    // genuinely varied lines: a templated body would itself trip the
+    // compression / repetition gates and mask what this test pins
+    val body = Seq(
+      "the quick brown fox jumps over a lazy dog near the river",
+      "a small market opened early and sold warm bread to everyone",
+      "for the long winter they stored grain in the old cellar",
+      "this narrow road winds past the orchard and into town",
+      "it rained all night so the children stayed inside by the fire",
+      "an old sailor told stories of distant ports and strange tides",
+      "the museum displayed maps from voyages that charted unknown seas",
+      "with patience the gardener coaxed roses from the rocky soil")
+    val docs = Seq(
+      (1L, body.mkString("\n")),                            // clean multi-line
+      (2L, body.map("- " + _).mkString("\n")),              // bullet_lines
+      (3L, body.map(_ + "...").mkString("\n")),             // ellipsis_lines (1 '...' per ~11-word line stays under the symbol gate)
+      (4L, body.map(_ + " # # #").mkString("\n")),          // symbol_ratio (24 '#' / 96 tokens)
+      (5L, "- the only line has a bullet and the rest of these twenty " +
+        "words keep it from tripping the short gate ok"),   // 1 line: bullet rule vacuous
+      (6L, ("the words repeat here now so " * 12).trim)     // compressible (216B? no: 360B) + repetitive
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getString(1))).toMap
+    assert(out(1L)._1, s"clean multi-line doc dropped: ${out(1L)._2}")
+    assert(out(2L)._2.split(",").contains("bullet_lines"))
+    assert(out(3L)._2.split(",").contains("ellipsis_lines")
+      && !out(3L)._2.contains("symbol_ratio"),
+      s"one '...' per 11-word line must stay under the 0.1 symbol gate: ${out(3L)._2}")
+    assert(out(4L)._2.split(",").contains("symbol_ratio")
+      && !out(4L)._2.contains("bullet_lines"))
+    assert(!out(5L)._2.contains("bullet_lines"),
+      s"single-line doc must not trip line rules: ${out(5L)._2}")
+    assert(out(6L)._2.split(",").contains("compressible"))
   }
 
   test("quantize/dequantize: codes in [0,127], reconstruction within half-step") {
