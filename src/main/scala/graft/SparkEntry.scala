@@ -1731,6 +1731,86 @@ object SparkEntry {
     // as fresh WARC archives — which the same reader ingests back, the
     // oracle recomputing every WARC/HTTP framing field of the records
     // the loop must have produced.
+    // The crawl loop RUN TWICE against the standing manifest — the
+    // convergence step a one-wave capstone leaves open: wave 1 fetches
+    // its due frontier slice and lands in the warehouse via
+    // ingestIncremental; wave 2 rebuilds the crawled set FROM THE
+    // WAREHOUSE (docs ∪ wave-1 fetches, read back out of the record
+    // table), so its frontier provably excludes every wave-1 fetch and
+    // advances to the next 50 targets; a third ingest pass over wave 2's
+    // archives must append nothing (file-granularity idempotence,
+    // asserted in-query like q_warc_incremental). The accumulated
+    // warehouse must equal the union of both waves' records — the
+    // oracle replays frontier→gate→schedule→WARC framing for BOTH
+    // waves, the second over the wave-1-reduced candidate set.
+    "q_crawl_loop_waves" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val links = docs.select(col("doc_id").as("src"),
+        explode(array((0 until 3).map(j =>
+          col("doc_id") * 7 + lit(j * 11)): _*)).as("dst"))
+      val pages = docs.select(col("doc_id").as("pid"), col("source"),
+        col("text"))
+      val robots = docs.select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+        .select(col("domain"),
+          operators.RobotsTxt.syntheticRobots(col("domain"), col("k"))
+            .as("txt"))
+      val rules = operators.RobotsTxt.parseRules(robots, "domain", "txt")
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_crawlwaves_"))
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_crawlwaves_${runTag(dir)}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val wh = s"$base/warehouse"
+      val mf = s"$base/manifest"
+      def runWave(crawledIds: DataFrame, outDir: String): Unit = {
+        val frontier = operators.WebCuration.frontier(links, "src", "dst",
+          crawledIds, "doc_id", limit = 50)
+        val cand = frontier.select(col("dst"))
+          .withColumn("pid", col("dst") % lit(n))
+          .join(pages, "pid")
+          .select(col("dst"),
+            concat(lit("https://www."), col("source"),
+              lit(".example.com/docs/"), (col("dst") % 25).cast("string"),
+              lit("/")).as("url"),
+            col("text"))
+        val due = operators.RobotsTxt
+          .schedule(cand, "url", "dst", rules, "graftbot")
+          .filter(col("fetch_at_ms") < 5000L)
+        val fetched = due.select(col("dst").as("doc_id"), col("url"),
+          operators.TextExtract.syntheticHtml(col("dst"), col("text"))
+            .as("body"))
+        ingest.WarcIngest.writeSyntheticWarc(s, fetched, "doc_id", "url",
+          "body", outDir, nFiles = 2)
+      }
+      runWave(docs.select(col("doc_id")), s"$base/w1")
+      val i1 = ingest.WarcIngest.ingestIncremental(s, s"$base/w1", wh, mf)
+      val crawled2 = docs.select(col("doc_id")).unionByName(
+        s.read.parquet(wh).filter(col("warc_type") === "response")
+          .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1)
+            .cast("long").as("doc_id")))
+      runWave(crawled2, s"$base/w2")
+      val i2 = ingest.WarcIngest.ingestIncremental(s, s"$base/w2", wh, mf)
+      val i3 = ingest.WarcIngest.ingestIncremental(s, s"$base/w2", wh, mf)
+      require(i1.size == 2 && i2.size == 2 && i3.isEmpty,
+        s"crawl waves wrong: ${i1.size}/${i2.size}/${i3.size}")
+      s.read.parquet(wh).select(
+          when(col("file").contains("/w1/"), 1L).otherwise(2L).as("wave"),
+          when(col("warc_type") === "warcinfo",
+            -regexp_extract(col("record_id"), "warcinfo:(\\d+)", 1)
+              .cast("long") - 1)
+            .otherwise(regexp_extract(col("record_id"), "doc:(\\d+)", 1)
+              .cast("long")).as("rec_key"),
+          col("warc_type"), col("target_uri"), col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          col("http_content_type"),
+          octet_length(col("body")).cast("long").as("body_octets"))
+        .orderBy(col("wave"), col("rec_key"))
+    }),
+
     "q_crawl_loop" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val n = docs.count()
@@ -7855,6 +7935,85 @@ object SparkEntry {
         |  FROM (SELECT unnest(range(2)) AS b))
         |SELECT * FROM info UNION ALL SELECT * FROM resp
         |ORDER BY rec_key""".stripMargin,
+
+    // Two-wave crawl-loop oracle: wave 1 is the q_crawl_loop chain
+    // verbatim; wave 2 re-runs frontier selection over the SAME inlink
+    // aggregate minus wave-1 fetches (the warehouse-derived crawled
+    // set), then the same gate/schedule/framing. The union, tagged by
+    // wave, must equal the accumulated warehouse.
+    "q_crawl_loop_waves" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+        |links AS (
+        |  SELECT doc_id AS src, doc_id * 7 + j * 11 AS dst
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+        |  WHERE doc_id * 7 + j * 11 <> doc_id),
+        |agg AS (
+        |  SELECT dst, count(*) AS n_inlinks FROM links
+        |  WHERE dst NOT IN (SELECT doc_id FROM documents) GROUP BY dst),
+        |front1 AS (SELECT dst FROM agg ORDER BY n_inlinks DESC, dst ASC LIMIT 50),
+        |cand1 AS (
+        |  SELECT f.dst, d.source, d.text,
+        |    'https://www.' || d.source || '.example.com/docs/' ||
+        |      CAST(f.dst % 25 AS VARCHAR) || '/' AS url,
+        |    CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM front1 f CROSS JOIN nn
+        |  JOIN documents d ON d.doc_id = f.dst % nn.n),
+        |sched1 AS (
+        |  SELECT dst, source, text, url, k, (k % 3 + 1) * 1000 AS delay_ms,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ((dst % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |       + (dst % 65536) * 2654435761) % 4294967296, dst) - 1 AS pos
+        |  FROM cand1 WHERE dst % 25 <> k),
+        |wave1 AS (SELECT * FROM sched1 WHERE pos * delay_ms < 5000),
+        |front2 AS (
+        |  SELECT dst FROM agg WHERE dst NOT IN (SELECT dst FROM wave1)
+        |  ORDER BY n_inlinks DESC, dst ASC LIMIT 50),
+        |cand2 AS (
+        |  SELECT f.dst, d.source, d.text,
+        |    'https://www.' || d.source || '.example.com/docs/' ||
+        |      CAST(f.dst % 25 AS VARCHAR) || '/' AS url,
+        |    CAST(regexp_extract(d.source, '(\\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM front2 f CROSS JOIN nn
+        |  JOIN documents d ON d.doc_id = f.dst % nn.n),
+        |sched2 AS (
+        |  SELECT dst, source, text, url, k, (k % 3 + 1) * 1000 AS delay_ms,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ((dst % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |       + (dst % 65536) * 2654435761) % 4294967296, dst) - 1 AS pos
+        |  FROM cand2 WHERE dst % 25 <> k),
+        |wave2 AS (SELECT * FROM sched2 WHERE pos * delay_ms < 5000),
+        |page AS (
+        |  SELECT 1 AS wave, dst AS rec_key, url,
+        |    ${warcHtmlSqlExpr("dst", "text")} AS html
+        |  FROM wave1
+        |  UNION ALL
+        |  SELECT 2 AS wave, dst AS rec_key, url,
+        |    ${warcHtmlSqlExpr("dst", "text")} AS html
+        |  FROM wave2),
+        |resp AS (
+        |  SELECT CAST(wave AS BIGINT) AS wave, rec_key,
+        |    'response' AS warc_type, url AS target_uri,
+        |    CAST(strlen('HTTP/1.1 200 OK') + 2
+        |      + strlen('Content-Type: text/html; charset=utf-8') + 2
+        |      + strlen('Content-Length: ' || CAST(strlen(html) AS VARCHAR)) + 2
+        |      + 2 + strlen(html) AS BIGINT) AS content_length,
+        |    CAST(200 AS BIGINT) AS http_status,
+        |    'text/html; charset=utf-8' AS http_content_type,
+        |    CAST(strlen(html) AS BIGINT) AS body_octets
+        |  FROM page),
+        |info AS (
+        |  SELECT CAST(w AS BIGINT) AS wave,
+        |    CAST(-(b + 1) AS BIGINT) AS rec_key, 'warcinfo' AS warc_type,
+        |    CAST(NULL AS VARCHAR) AS target_uri,
+        |    CAST(strlen('software: graft-warc/1.0') + 2
+        |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS content_length,
+        |    CAST(NULL AS BIGINT) AS http_status,
+        |    CAST(NULL AS VARCHAR) AS http_content_type,
+        |    CAST(strlen('software: graft-warc/1.0') + 2
+        |      + strlen('bucket: ' || CAST(b AS VARCHAR)) + 2 AS BIGINT) AS body_octets
+        |  FROM (SELECT unnest(range(2)) AS b), (SELECT unnest([1, 2]) AS w))
+        |SELECT * FROM info UNION ALL SELECT * FROM resp
+        |ORDER BY wave, rec_key""".stripMargin,
 
     // Rank-weighted mix oracle: source-level edges from the outlink
     // synthesis, the 3-iteration BIGINT PageRank recursion (the
