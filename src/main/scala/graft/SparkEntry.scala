@@ -1976,6 +1976,40 @@ object SparkEntry {
         .orderBy(col("domain"), col("seed_rank"))
     }),
 
+    // STREAMING discovery: the same per-site feed documents arrive in
+    // micro-batches; each batch parses per-row and anti-joins the
+    // STATIC crawled set on arrival (stream-static, the robots-gate
+    // shape — no state store, no stream-side shuffle), and the
+    // per-domain seed rank is a pure window over the accumulated
+    // survivors, so the bounded stream shares the q_feed_seeds oracle
+    // VERBATIM.
+    "q_stream_seeds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("source")).distinct()
+        .withColumn("domain", concat(col("source"), lit(".example.com")))
+        .withColumn("k",
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 25)
+      val feeds = src.select(col("domain"),
+        when(col("k") % 2 === 0,
+          operators.Feeds.syntheticRss(col("domain"), col("k"), 0, 6))
+          .otherwise(
+            operators.Feeds.syntheticAtom(col("domain"), col("k"), 0, 6))
+          .as("xml"))
+      val crawled = docs.select(concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), (col("doc_id") % 25).cast("string"))
+        .as("url")).distinct()
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_seeds_src_"))
+      val srcPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_seeds_src_${runTag(dir)}"
+      feeds.repartition(4).write.mode("overwrite").parquet(srcPath)
+      streaming.StreamingIngest.runStreamSeedsBounded(s, srcPath, "xml",
+          "domain", crawled, "url")
+        .select(col("domain"), col("feed_kind"), col("loc"),
+          col("lastmod"), col("seed_rank"))
+        .orderBy(col("domain"), col("seed_rank"))
+    }),
+
     // The sitemap's SECOND job: the recrawl plan. Each advertised URL
     // classified against the crawl warehouse — never-crawled slots are
     // 'new', crawled slots whose sitemap lastmod postdates our (slot-
@@ -6716,6 +6750,37 @@ object SparkEntry {
       |    THEN substring(full_line, 1, length(full_line) - 8) END AS raw
       |FROM lines ORDER BY rec_id""".stripMargin
 
+  /** feed-seeds oracle — shared verbatim by the batch discovery query
+    * (q_feed_seeds) and its bounded streaming twin (q_stream_seeds):
+    * the per-batch anti-join is stream-static and the seed rank is a
+    * pure window over the accumulated survivors, so arrival order
+    * cannot matter. */
+  private val feedSeedsOracleSql: String =
+    """WITH src AS (
+      |  SELECT DISTINCT source, source || '.example.com' AS domain,
+      |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+      |  FROM documents),
+      |ent AS (
+      |  SELECT s.source, s.domain,
+      |    CASE WHEN s.k % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+      |    'https://www.' || s.domain || '/docs/' ||
+      |      CAST((s.k + ii.i) % 25 AS VARCHAR) AS loc,
+      |    CAST('2026-03-' ||
+      |      lpad(CAST((s.k + ii.i) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+      |      AS lastmod
+      |  FROM src s CROSS JOIN (SELECT unnest(range(6)) AS i) ii),
+      |crawled AS (
+      |  SELECT DISTINCT 'https://www.' || source || '.example.com/docs/' ||
+      |    CAST(doc_id % 25 AS VARCHAR) AS loc
+      |  FROM documents),
+      |seeds AS (
+      |  SELECT e.domain, e.feed_kind, e.loc, e.lastmod FROM ent e
+      |  LEFT JOIN crawled c ON c.loc = e.loc WHERE c.loc IS NULL)
+      |SELECT domain, feed_kind, loc, lastmod,
+      |  CAST(row_number() OVER (PARTITION BY domain
+      |    ORDER BY lastmod DESC, loc ASC) AS BIGINT) AS seed_rank
+      |FROM seeds ORDER BY domain, seed_rank""".stripMargin
+
   /** robots-gate oracle — shared verbatim by the batch gate
     * (q_robots_gate) and its bounded streaming twin: the graftbot
     * group's rules rebuilt from the template, longest-prefix/Allow-tie
@@ -8233,31 +8298,11 @@ object SparkEntry {
     // feed-seed oracle: the slot/March-date synthesis replayed, feed
     // kind from the domain parity, crawled slots anti-joined, the same
     // newest-first rank as the sitemap seeds.
-    "q_feed_seeds" ->
-      """WITH src AS (
-        |  SELECT DISTINCT source, source || '.example.com' AS domain,
-        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
-        |  FROM documents),
-        |ent AS (
-        |  SELECT s.source, s.domain,
-        |    CASE WHEN s.k % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
-        |    'https://www.' || s.domain || '/docs/' ||
-        |      CAST((s.k + ii.i) % 25 AS VARCHAR) AS loc,
-        |    CAST('2026-03-' ||
-        |      lpad(CAST((s.k + ii.i) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
-        |      AS lastmod
-        |  FROM src s CROSS JOIN (SELECT unnest(range(6)) AS i) ii),
-        |crawled AS (
-        |  SELECT DISTINCT 'https://www.' || source || '.example.com/docs/' ||
-        |    CAST(doc_id % 25 AS VARCHAR) AS loc
-        |  FROM documents),
-        |seeds AS (
-        |  SELECT e.domain, e.feed_kind, e.loc, e.lastmod FROM ent e
-        |  LEFT JOIN crawled c ON c.loc = e.loc WHERE c.loc IS NULL)
-        |SELECT domain, feed_kind, loc, lastmod,
-        |  CAST(row_number() OVER (PARTITION BY domain
-        |    ORDER BY lastmod DESC, loc ASC) AS BIGINT) AS seed_rank
-        |FROM seeds ORDER BY domain, seed_rank""".stripMargin,
+    "q_feed_seeds" -> feedSeedsOracleSql,
+
+    // The discovery twin is stream-static per batch + a pure rank over
+    // the accumulated survivors ⇒ shares the batch oracle verbatim.
+    "q_stream_seeds" -> feedSeedsOracleSql,
 
     // recrawl-plan oracle: action from the two date formulas — sitemap
     // lastmod (k+i)%28+1 vs slot-derived fetch date (slot*3)%28+1 for

@@ -56,15 +56,31 @@ object Sitemap {
     * a raw-string anti-join would re-seed every such already-held page.
     * `loc` in the output is the canonical spelling. */
   def seeds(urlEntries: DataFrame, domainCol: String,
-            crawled: DataFrame, crawledUrlCol: String): DataFrame = {
+            crawled: DataFrame, crawledUrlCol: String): DataFrame =
+    rankSeeds(seedSurvivors(urlEntries, domainCol, crawled, crawledUrlCol),
+      domainCol)
+
+  /** The stateless half of [[seeds]]: canonical-key anti-join against
+    * the crawled set — per-row parse + broadcast-scale static side, so
+    * the STREAMING twin applies it per micro-batch (stream-static, the
+    * robots-gate shape) with bit-identical results. */
+  def seedSurvivors(urlEntries: DataFrame, domainCol: String,
+                    crawled: DataFrame, crawledUrlCol: String): DataFrame = {
     import graft.expr.UrlExpressions.url_canonicalize
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(col("lastmod").desc_nulls_last, col("loc").asc)
     urlEntries.filter(col("kind") === "url")
       .withColumn("loc", url_canonicalize(col("loc")))
       .join(crawled.select(url_canonicalize(col(crawledUrlCol)).as("loc")),
         Seq("loc"), "left_anti")
-      .withColumn("seed_rank", row_number().over(w).cast("long"))
+  }
+
+  /** The ranking half of [[seeds]]: a pure window over whatever
+    * survivor set it is given (newest-first, loc tie-break) — arrival-
+    * order-invariant by construction, which is what lets the streaming
+    * twin share the batch oracle verbatim. */
+  def rankSeeds(survivors: DataFrame, domainCol: String): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("lastmod").desc_nulls_last, col("loc").asc)
+    survivors.withColumn("seed_rank", row_number().over(w).cast("long"))
   }
 
   /** Recrawl planner — the sitemap's second job after seeding: decide,

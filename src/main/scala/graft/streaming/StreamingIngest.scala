@@ -913,6 +913,48 @@ object StreamingIngest {
       parts.reduce(_ unionByName _), "src", "dst", "anchor", k)
   }
 
+  /** Streaming DISCOVERY seeds — feed documents (RSS/Atom XML polled
+    * per site) arrive in micro-batches; each batch is parsed per-row
+    * ([[graft.operators.Feeds.parseEntries]]), normalized to the
+    * url-entry shape, and anti-joined against the STATIC crawled set on
+    * arrival (stream-static with a broadcast-scale static side — the
+    * robots-gate shape: no state store, no stream-side shuffle). The
+    * per-domain seed rank is a pure window over the accumulated
+    * survivor set (newest-first, loc tie-break), so arrival order
+    * cannot matter and the bounded stream shares the batch q_feed_seeds
+    * oracle VERBATIM (the runStreamAnchorsBounded discipline for the
+    * rank, the robots-gate discipline for the join). */
+  def runStreamSeedsBounded(spark: SparkSession, parquetPath: String,
+                            xmlCol: String, domainCol: String,
+                            crawled: DataFrame, crawledUrlCol: String,
+                            maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.{Feeds, Sitemap}
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val results = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val entries = Feeds.parseEntries(batch, xmlCol)
+          .select(col(domainCol), col("kind").as("feed_kind"),
+            lit("url").as("kind"), col("link").as("loc"),
+            col("published").as("lastmod"))
+        results.put(bid,
+          Sitemap.seedSurvivors(entries, domainCol, crawled, crawledUrlCol)
+            .localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = results.values.asScala.toSeq
+    require(parts.nonEmpty, "runStreamSeedsBounded: stream produced no batches")
+    Sitemap.rankSeeds(parts.reduce(_ unionByName _), domainCol)
+  }
+
   /** Streaming robots.txt politeness gate — discovered URLs arrive in
     * micro-batches and are allow/disallow-decided on arrival against the
     * STATIC per-domain decision table (robots.txt is origin metadata
