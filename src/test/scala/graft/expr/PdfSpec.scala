@@ -60,6 +60,62 @@ class PdfSpec extends SparkSpec {
     assert(textOf(mixed) === Some("visible"))
   }
 
+  test("unicode PDF round-trips all three font decode paths") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi " +
+      "rho sigma tau upsilon phi chi psi omega tail"
+    val lines = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "iota kappa lambda mu nu xi omicron pi",
+      "rho sigma tau upsilon phi chi psi omega",
+      "tail")
+    val expected = lines.zipWithIndex
+      .map { case (l, i) => l + PdfOps.unicodeSuffix(i) }.mkString("\n")
+    assert(textOf(PdfOps.syntheticUnicodePdf(1L, text, flate = false))
+      === Some(expected))
+    assert(textOf(PdfOps.syntheticUnicodePdf(1L, text, flate = true))
+      === Some(expected))
+    // the suffixes really are the non-ASCII decode paths
+    assert(PdfOps.unicodeSuffix(0).exists(_ > 0x7F))
+    assert(PdfOps.unicodeSuffix(1).exists(_ > 0xFF))
+    assert(PdfOps.unicodeSuffix(2).exists(c => c >= 'α' && c <= 'ω'))
+  }
+
+  test("WinAnsi table, Differences override, and ToUnicode precedence") {
+    // CP1252 specials decode from their single bytes
+    def font(dict: String, content: String, extra: String = ""): Array[Byte] = {
+      val c = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      (s"%PDF-1.4\n1 0 obj << /Font << /G 2 0 R >> >>\nendobj\n" +
+        s"2 0 obj $dict\nendobj\n$extra" +
+        s"3 0 obj << /Length ${c.length} >>\nstream\n").getBytes(UTF_8) ++
+        c ++ "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+    }
+    // 0x96 = en dash, 0xE9 = e-acute under WinAnsi
+    assert(textOf(font("<< /Type /Font /Encoding /WinAnsiEncoding >>",
+      "BT /G 9 Tf (a\\226b\\351c) Tj ET")) === Some("a–béc"))
+    // Differences moves code 65 ('A') to /eacute; base keeps the rest
+    assert(textOf(font(
+      "<< /Type /Font /Encoding << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [65 /eacute] >> >>",
+      "BT /G 9 Tf (xAy) Tj ET")) === Some("xéy"))
+    // ToUnicode bfchar overrides the encoding table for its codes
+    val cmap = ("begincmap\n1 beginbfchar\n<0041> <0394>\nendbfchar\n" +
+      "endcmap").getBytes(UTF_8)
+    val toUni = (s"4 0 obj << /Length ${cmap.length} >>\nstream\n")
+      .getBytes(UTF_8) ++ cmap ++ "\nendstream\nendobj\n".getBytes(UTF_8)
+    assert(textOf(font(
+      "<< /Type /Font /Encoding /WinAnsiEncoding /ToUnicode 4 0 R >>",
+      "BT /G 9 Tf (A\\226) Tj ET",
+      new String(toUni, java.nio.charset.StandardCharsets.ISO_8859_1)))
+      === Some("Δ–"))
+    // a font with no encoding info keeps bytes-as-UTF-8 (é = C3 A9)
+    assert(textOf(font("<< /Type /Font /Subtype /Type1 >>",
+      "BT /G 9 Tf (caf\\303\\251) Tj ET")) === Some("café"))
+    // an unknown resource name falls back to UTF-8 passthrough
+    assert(textOf(font("<< /Type /Font /Encoding /WinAnsiEncoding >>",
+      "BT /H 9 Tf (plain) Tj ET")) === Some("plain"))
+  }
+
   test("pdf_text expression: codegen path over a DataFrame, null for junk") {
     import spark.implicits._
     val rows = Seq(
