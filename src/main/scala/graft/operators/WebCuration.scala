@@ -135,6 +135,62 @@ object WebCuration {
         sum(charsCol).cast("long").as("total_chars"),
         least(count(lit(1)), lit(cap.toLong)).as("kept_at_cap"))
 
+  /** URL → structural template: authority kept verbatim (hosts are
+    * identities, not patterns), path digit runs → `#`, path hex runs of
+    * 8+ → `*` (session tokens, uuids), query collapsed to its SORTED
+    * param names, fragment dropped. Two URLs sharing a template are
+    * "the same page shape" — the unit crawl-trap detection counts.
+    * Pure regexp projection, codegen'd, pushdown-friendly. */
+  def urlTemplate(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val authority = regexp_extract(noFrag, "^([a-z][a-z0-9+.-]*://[^/?]*)", 1)
+    val pathq = regexp_extract(noFrag, "^[a-z][a-z0-9+.-]*://[^/?]*(.*)$", 1)
+    val path = regexp_replace(pathq, "\\?.*$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val tpl = regexp_replace(
+      regexp_replace(path, "[0-9a-f]{8,}", "*"), "[0-9]+", "#")
+    val names = array_sort(transform(
+      filter(split(query, "&"), p => length(p) > 0),
+      p => regexp_extract(p, "^([^=]*)", 1)))
+    concat(authority, tpl,
+      when(size(names) > 0, concat(lit("?"), array_join(names, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** Crawl-trap detection — the frontier's self-defense: calendars,
+    * session-id mazes, and faceted listings mint unbounded URL spaces
+    * whose pages are near-identical, and a crawler that can't see the
+    * pattern fetches them forever (the classic trap taxonomy of the
+    * IRLbot/Heritrix literature). Group fetched pages by
+    * [[urlTemplate]]; a template with many distinct URLs but few
+    * distinct content fingerprints is a trap:
+    * `is_trap = n_urls >= minUrls && n_content/n_urls <= maxDiversity`.
+    * The output is the per-template ledger a frontier filter consumes
+    * (drop or down-rank candidates whose template is flagged).
+    *
+    * Scale shape: ONE combining aggregate keyed on the template string
+    * (two exact count-distincts → the standard Expand×2 plan, partial
+    * aggregation applies; the shuffle carries template+url / template+fp
+    * pairs, never page text). At 100 TB the exact counts swap for
+    * approx_count_distinct without changing the contract — the flag
+    * needs one significant digit, not an exact ledger. */
+  def crawlTraps(pages: DataFrame, urlCol: String, fingerprint: Column,
+                 minUrls: Int = 10, maxDiversity: Double = 0.2): DataFrame = {
+    require(minUrls >= 1, s"minUrls must be >= 1, got $minUrls")
+    require(maxDiversity > 0 && maxDiversity <= 1,
+      s"maxDiversity must be in (0,1], got $maxDiversity")
+    pages.select(urlTemplate(col(urlCol)).as("template"),
+        col(urlCol).as("__url"), fingerprint.as("__fp"))
+      .groupBy(col("template"))
+      .agg(countDistinct(col("__url")).as("n_urls"),
+        countDistinct(col("__fp")).as("n_content"))
+      .withColumn("diversity",
+        col("n_content").cast("double") / col("n_urls"))
+      .withColumn("is_trap",
+        col("n_urls") >= lit(minUrls.toLong) &&
+          col("diversity") <= lit(maxDiversity))
+  }
+
   /** HTTP 3xx statuses a crawler follows (303's method change and 307/
     * 308's method preservation are fetcher concerns, not resolver
     * ones — the TARGET is the same). */

@@ -143,4 +143,41 @@ class WebCurationSpec extends SparkSpec {
     assert(got("g") === (("g", 0L, true)))
     assert(got("h") === (("missing", 1L, true)))
   }
+
+  test("urlTemplate: digits, hex ids, sorted param names, fragment") {
+    import spark.implicits._
+    val got = Seq(
+      "https://www.a1.com/article/123-45",
+      "https://www.a1.com/u/deadbeef0042cafe/photo?b=2&a=1",
+      "https://www.a1.com/cal/2026/3/9?sid=00000000002a#frag",
+      "https://www.a1.com/plain")
+      .toDF("url")
+      .select(WebCuration.urlTemplate($"url")).as[String].collect()
+    assert(got.toSeq === Seq(
+      // authority digits stay (hosts are identities, not patterns)
+      "https://www.a1.com/article/#-#",
+      "https://www.a1.com/u/*/photo?a&b",
+      "https://www.a1.com/cal/#/#/#?sid",
+      "https://www.a1.com/plain"))
+  }
+
+  test("crawlTraps: low-diversity template flags, healthy one passes") {
+    import spark.implicits._
+    // 12 calendar URLs sharing ONE content fingerprint vs 12 articles
+    // with unique content vs 3 about pages (below minUrls either way)
+    val pages = ((0 until 12).map(i =>
+        (s"https://t.com/cal/2026/$i?sid=$i", 7L)) ++
+      (0 until 12).map(i => (s"https://t.com/article/$i", 100L + i)) ++
+      (0 until 3).map(i => (s"https://t.com/about/$i", 7L)))
+      .toDF("url", "fp")
+    val got = WebCuration.crawlTraps(pages, "url", $"fp",
+        minUrls = 10, maxDiversity = 0.2)
+      .collect().map(r => r.getAs[String]("template") ->
+        (r.getAs[Long]("n_urls"), r.getAs[Long]("n_content"),
+          r.getAs[Boolean]("is_trap"))).toMap
+    assert(got("https://t.com/cal/#/#?sid") === ((12L, 1L, true)))
+    assert(got("https://t.com/article/#") === ((12L, 12L, false)))
+    // too few URLs to call, even at zero diversity
+    assert(got("https://t.com/about/#") === ((3L, 1L, false)))
+  }
 }
