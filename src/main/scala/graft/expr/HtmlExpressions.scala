@@ -247,6 +247,113 @@ object HtmlOps {
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
+  val tableCellSchema: StructType = StructType(Seq(
+    StructField("t", IntegerType, nullable = false),
+    StructField("r", IntegerType, nullable = false),
+    StructField("c", IntegerType, nullable = false),
+    StructField("header", BooleanType, nullable = false),
+    StructField("cell", StringType, nullable = false)))
+
+  /** Extract table cells as (table_idx, row_idx, col_idx, is_header,
+    * text) — the structured-data sibling of [[blocks]]: HTML tables are
+    * where the web keeps its tabular facts, and a training-data pipeline
+    * flattens them into rows, not prose. Same single-pass scanner
+    * discipline: inline tags inside a cell are stripped, entities
+    * decoded, whitespace normalized; `<th>` marks header cells; a cell
+    * outside any `<tr>` opens row 0 (tag-soup tolerance); NESTED tables
+    * are skipped wholesale (their cells neither emit nor leak text into
+    * the outer cell — depth-1 extraction, documented); script/style
+    * subtrees are dropped as always. Empty cells emit empty strings —
+    * `<td></td>` is a real cell. */
+  def tableCells(html: String): IndexedSeq[(Int, Int, Int, Boolean, String)] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    val out = IndexedSeq.newBuilder[(Int, Int, Int, Boolean, String)]
+    val buf = new java.lang.StringBuilder(64)
+    val scratch = new java.lang.StringBuilder(8)
+    var t = -1; var r = -1; var c = -1
+    var inTable = false; var inCell = false; var cellIsTh = false
+    def closeCell(): Unit = if (inCell) {
+      out += ((t, r, c, cellIsTh, normalizeWs(buf.toString)))
+      buf.setLength(0); inCell = false
+    }
+    var i = 0
+    while (i < n) {
+      val ch = html.charAt(i)
+      if (ch == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
+            && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(html, i + 1)
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          if (j == nameStart) { // bare '<' — literal text
+            if (inCell) buf.append(ch)
+            i += 1
+          } else {
+            val name = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
+              sb.toString
+            }
+            val afterTag = skipToTagEnd(html, j)
+            if (!closing && SkipTags.contains(name)) {
+              i = skipSubtree(html, afterTag, name)
+            } else {
+              name match {
+                case "table" =>
+                  if (closing) { closeCell(); inTable = false; i = afterTag }
+                  else if (inTable) i = skipSubtree(html, afterTag, "table")
+                  else { t += 1; r = -1; c = -1; inTable = true; i = afterTag }
+                case "tr" =>
+                  if (inTable) { closeCell(); if (!closing) { r += 1; c = -1 } }
+                  i = afterTag
+                case "td" | "th" =>
+                  if (inTable) {
+                    closeCell()
+                    if (!closing) {
+                      if (r < 0) r = 0
+                      c += 1; inCell = true; cellIsTh = name == "th"
+                    }
+                  }
+                  i = afterTag
+                case _ => i = afterTag // inline/other tags: text continues
+              }
+            }
+          }
+        }
+      } else if (ch == '&') {
+        if (inCell) i = decodeEntity(html, i, buf)
+        else { scratch.setLength(0); i = decodeEntity(html, i, scratch) }
+      } else {
+        if (inCell) buf.append(ch)
+        i += 1
+      }
+    }
+    closeCell()
+    out.result()
+  }
+
+  /** Table cells as Catalyst rows (for [[HtmlTableCells]]). */
+  def tableCellsData(html: UTF8String): GenericArrayData = {
+    if (html == null) return new GenericArrayData(Array.empty[Any])
+    val cs = tableCells(html.toString)
+    val rows = new Array[Any](cs.length)
+    var i = 0
+    while (i < cs.length) {
+      val (t, r, c, h, cell) = cs(i)
+      rows(i) = InternalRow(t, r, c, h, UTF8String.fromString(cell))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   private def normalizeWs(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var inWs = false
@@ -331,6 +438,23 @@ case class HtmlBlocks(child: Expression, minLen: Int, maxLinkDensity: Double)
     copy(child = newChild)
 }
 
+/** `html_table_cells(html)` — codegen table-cell extraction. */
+case class HtmlTableCells(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(HtmlOps.tableCellSchema, containsNull = false)
+  override def prettyName: String = "html_table_cells"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.tableCellsData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.tableCellsData($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HtmlExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -343,4 +467,7 @@ object HtmlExpressions {
                   minLen: Int = HtmlOps.DefaultMinLen,
                   maxLinkDensity: Double = HtmlOps.DefaultMaxLinkDensity): Column =
     ColumnBridge.column(HtmlBlocks(ColumnBridge.expression(html), minLen, maxLinkDensity))
+
+  def html_table_cells(html: Column): Column =
+    ColumnBridge.column(HtmlTableCells(ColumnBridge.expression(html)))
 }

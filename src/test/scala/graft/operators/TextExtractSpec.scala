@@ -98,4 +98,45 @@ class TextExtractSpec extends SparkSpec {
     assert(content("<p>  spaced\t\tout\n\nwords   collapse to single separators  </p>")
       === "spaced out words collapse to single separators")
   }
+
+  test("tableCells: headers, inline strip, entities, two tables, empties") {
+    val html = "<html><body><p>prose outside tables never emits</p>" +
+      "<table><tr><th>Idx</th><th> Word </th></tr>" +
+      "<tr><td>0</td><td><b>alpha</b> &amp; <i>beta</i></td></tr>" +
+      "<tr><td></td><td>x &lt;3</td></tr></table>" +
+      "<table><tr><td>total</td><td>2</td></tr></table></body></html>"
+    assert(HtmlOps.tableCells(html) === Vector(
+      (0, 0, 0, true, "Idx"), (0, 0, 1, true, "Word"),
+      (0, 1, 0, false, "0"), (0, 1, 1, false, "alpha & beta"),
+      (0, 2, 0, false, ""), (0, 2, 1, false, "x <3"),
+      (1, 0, 0, false, "total"), (1, 0, 1, false, "2")))
+    // nested tables are opaque: neither their cells nor their text leak
+    val nested = "<table><tr><td>outer" +
+      "<table><tr><td>inner</td></tr></table></td>" +
+      "<td>after</td></tr></table>"
+    assert(HtmlOps.tableCells(nested) === Vector(
+      (0, 0, 0, false, "outer"), (0, 0, 1, false, "after")))
+    // tag soup: a cell before any <tr> opens row 0; script content drops
+    val soup = "<table><td>loose</td><script>var t = '<td>no</td>'</script>" +
+      "<tr><td>rowed</td></tr></table>"
+    assert(HtmlOps.tableCells(soup) === Vector(
+      (0, 0, 0, false, "loose"), (0, 1, 0, false, "rowed")))
+    assert(HtmlOps.tableCells(null) === Vector.empty)
+    assert(HtmlOps.tableCells("no tables here at all") === Vector.empty)
+  }
+
+  test("html_table_cells expression explodes to typed cell rows") {
+    val df = Seq((7L,
+      "<table><tr><th>H</th></tr><tr><td>v&#33;</td></tr></table>"))
+      .toDF("id", "html")
+    val got = df.select(col("id"),
+        explode(graft.expr.HtmlExpressions.html_table_cells(col("html")))
+          .as("cell"))
+      .select(col("id"), col("cell.t"), col("cell.r"), col("cell.c"),
+        col("cell.header"), col("cell.cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getBoolean(4), r.getString(5)))
+    assert(got.toSeq === Seq(
+      (7L, 0, 0, 0, true, "H"), (7L, 0, 1, 0, false, "v!")))
+  }
 }
