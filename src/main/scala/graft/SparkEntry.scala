@@ -355,6 +355,34 @@ object SparkEntry {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY g) AS extracted
       |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Font-decoding oracle (q_pdf_unicode): the unicode fixture shows
+    * line i through font i%3 (WinAnsi / MacRoman+Differences /
+    * Identity-H+ToUnicode) with [[graft.expr.PdfOps.unicodeSuffix]]
+    * appended — the expected suffixes are interpolated from the SAME
+    * Scala constants the generator encodes through its inverse tables,
+    * so engine and oracle agree by construction and any byte the
+    * decoder maps wrong breaks the hash. */
+  private val pdfUnicodeOracleSql: String = {
+    val sfx0 = graft.expr.PdfOps.WinSuffix
+    val sfx1 = graft.expr.PdfOps.DiffSuffix
+    val sfx2 = graft.expr.PdfOps.CidSuffix
+    s"""WITH w AS (
+       |  SELECT doc_id, i - 1 AS wi, lst[i] AS w
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> x <> '') AS lst
+       |        FROM documents),
+       |       LATERAL (SELECT unnest(range(1, len(lst) + 1)) AS i) r),
+       |lines AS (
+       |  SELECT doc_id, wi // 8 AS g, string_agg(w, ' ' ORDER BY wi) AS line
+       |  FROM w GROUP BY doc_id, wi // 8)
+       |SELECT doc_id,
+       |  string_agg(line || CASE g % 3 WHEN 0 THEN '$sfx0'
+       |                                WHEN 1 THEN '$sfx1'
+       |                                ELSE '$sfx2' END,
+       |             chr(10) ORDER BY g) AS extracted
+       |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Write-once-per-process MISLABELED archives: every response's
     * Content-Type header deliberately contradicts its payload (PNG as
     * text/html, PDF as image/png, HTML as octet-stream, WAV as
@@ -1103,6 +1131,39 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // HTML TABLE extraction — the structured-data path out of a page:
+    // each document renders a header row (<th>, one cell deliberately
+    // whitespace-padded), one data row per first-6 word (index / the
+    // word wrapped in an inline <b> that must strip / its length / an
+    // entity-bearing constant that must decode), and a second one-row
+    // totals table (depth-1 table indexing). The oracle rebuilds every
+    // (t, r, c, header, cell) tuple from the words alone — any leaked
+    // tag, undecoded entity, or mis-indexed cell breaks the hash.
+    "q_html_tables" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words6 = slice(filter(split(col("text"), " "),
+        w => length(w) > 0), 1, 6)
+      val dataRows = transform(words6, (w, i) => concat(
+        lit("<tr><td>"), i, lit("</td><td><b>"), w,
+        lit("</b></td><td>"), length(w),
+        lit("</td><td>a&amp;b</td></tr>")))
+      val html = concat(
+        lit("<html><body><p>intro prose outside any table</p>" +
+          "<table><tr><th>Idx</th><th> Word </th><th>Len</th>" +
+          "<th>Note</th></tr>"),
+        array_join(dataRows, ""),
+        lit("</table><table><tr><td>total</td><td>"), size(words6),
+        lit("</td></tr></table></body></html>"))
+      docs.select(col("doc_id"),
+          explode(graft.expr.HtmlExpressions.html_table_cells(html))
+            .as("cell"))
+        .select(col("doc_id"), col("cell.t").cast("long").as("t"),
+          col("cell.r").cast("long").as("r"),
+          col("cell.c").cast("long").as("c"),
+          col("cell.header").as("header"), col("cell.cell").as("cell"))
+        .orderBy(col("doc_id"), col("t"), col("r"), col("c"))
+    }),
+
     // URL blocklist gate (the C4/RefinedWeb front filter): drop documents
     // whose synthesized crawl URL matches a blocked-domain or
     // blocked-path regex — codegen'd disjunction, no join, pushes to the
@@ -1337,6 +1398,43 @@ object SparkEntry {
           docs.select(col("doc_id")), "doc_id", limit = 50)
         .select(col("rank"), col("dst"), col("n_inlinks"), col("n_srcs"))
         .orderBy(col("rank"))
+    }),
+
+    // CRAWL-TRAP detection: three URL shapes per document on its
+    // source's host — an /article/<id>-<id%97> page with unique
+    // content, a /cal/2026/<m>/<d>?sid=<hex12> calendar whose content
+    // is one boilerplate page per source (the classic infinite-calendar
+    // trap), and a /list?page=<p>&ref=<id> paginator whose content
+    // cycles over 40 variants (trap only once the corpus outgrows 200
+    // URLs per source). urlTemplate must collapse each shape to one
+    // template per source (digits→#, the 12-hex sid into the sorted
+    // param-name signature), and the per-template (n_urls, n_content,
+    // diversity, is_trap) ledger must equal the oracle's replay of the
+    // construction — both trap verdicts AND the healthy article rows.
+    "q_crawl_traps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val host = concat(lit("https://www."), col("source"),
+        lit(".example.com"))
+      val pages = docs.select(explode(array(
+          struct(
+            concat(host, lit("/article/"), col("doc_id"), lit("-"),
+              pmod(col("doc_id"), lit(97))).as("url"),
+            xxhash64(col("text")).as("fp")),
+          struct(
+            concat(host, lit("/cal/2026/"),
+              pmod(col("doc_id"), lit(12)) + 1, lit("/"),
+              pmod(col("doc_id"), lit(28)) + 1, lit("?sid="),
+              lower(lpad(hex(col("doc_id")), 12, "0"))).as("url"),
+            xxhash64(concat(col("source"), lit("#cal"))).as("fp")),
+          struct(
+            concat(host, lit("/list?page="), pmod(col("doc_id"), lit(40)),
+              lit("&ref="), col("doc_id")).as("url"),
+            xxhash64(concat(col("source"), lit("#page"),
+              pmod(col("doc_id"), lit(40)))).as("fp")))).as("p"))
+        .select(col("p.url").as("url"), col("p.fp").as("fp"))
+      operators.WebCuration.crawlTraps(pages, "url", col("fp"),
+          minUrls = 10, maxDiversity = 0.2)
+        .orderBy(col("template"))
     }),
 
     // CANONICAL-KEY frontier — spelling variants no longer fragment the
@@ -1697,6 +1795,28 @@ object SparkEntry {
     "q_pdf_extract" -> ((s, dir) => {
       val pdf = udf { (id: Long, text: String) =>
         graft.expr.PdfOps.syntheticPdf(id, text, flate = id % 2 == 1)
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), pdf(col("doc_id"), col("text")).as("body"))
+        .select(col("doc_id"),
+          graft.expr.PdfExpressions.pdf_text(col("body")).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PDF SIMPLE-FONT DECODING (PDF 32000-1 §9.6.6/Annex D): the same
+    // 8-word layout, but line i is shown through font i%3 — WinAnsi
+    // bytes, a MacRoman base with /Differences overrides, and a
+    // Type0/Identity-H font whose two-byte codes resolve through a
+    // /ToUnicode CMap (bfchar + bfrange) — each line carrying a
+    // non-ASCII suffix only that font's tables can decode. The fixture
+    // generator encodes through the INVERSE of the decoder's own
+    // tables (invertible-fixture playbook), and the oracle interpolates
+    // the same suffix constants, so every mojibake or mis-mapped byte
+    // breaks the hash. q_pdf_extract / q_warc_pdf stay byte-identical:
+    // fonts without encoding info keep the bytes-as-UTF-8 path.
+    "q_pdf_unicode" -> ((s, dir) => {
+      val pdf = udf { (id: Long, text: String) =>
+        graft.expr.PdfOps.syntheticUnicodePdf(id, text, flate = id % 2 == 1)
       }
       t(s, dir, "documents")
         .select(col("doc_id"), pdf(col("doc_id"), col("text")).as("body"))
@@ -7834,6 +7954,43 @@ object SparkEntry {
         |    'boilerplate' FROM d
         |) ORDER BY doc_id, idx""".stripMargin,
 
+    // html-tables oracle: every (t, r, c, header, cell) tuple rebuilt
+    // from the first-6 words — header literals ('Word' proves the
+    // whitespace normalize), per-word data rows (the <b> strip and the
+    // a&amp;b entity decode are the construction), and the one-row
+    // totals table at t=1 (depth-1 indexing).
+    "q_html_tables" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    least(len(list_filter(string_split(text, ' '), x -> x <> '')),
+        |      6) AS nw
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i - 1 AS wi, lst[i] AS w
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS lst
+        |        FROM documents),
+        |       LATERAL (SELECT unnest(range(1, least(len(lst), 6) + 1)) AS i) r),
+        |cells AS (
+        |  SELECT doc_id, 0 AS t, 0 AS r, h.cc AS c, TRUE AS header,
+        |    h.cell AS cell
+        |  FROM d, (VALUES (0, 'Idx'), (1, 'Word'), (2, 'Len'),
+        |           (3, 'Note')) AS h(cc, cell)
+        |  UNION ALL
+        |  SELECT doc_id, 0, wi + 1, k.cc, FALSE,
+        |    CASE k.cc WHEN 0 THEN CAST(wi AS VARCHAR)
+        |              WHEN 1 THEN w
+        |              WHEN 2 THEN CAST(len(w) AS VARCHAR)
+        |              ELSE 'a&b' END
+        |  FROM w, (VALUES (0), (1), (2), (3)) AS k(cc)
+        |  UNION ALL
+        |  SELECT doc_id, 1, 0, k.cc, FALSE,
+        |    CASE k.cc WHEN 0 THEN 'total' ELSE CAST(nw AS VARCHAR) END
+        |  FROM d, (VALUES (0), (1)) AS k(cc))
+        |SELECT doc_id, CAST(t AS BIGINT) AS t, CAST(r AS BIGINT) AS r,
+        |  CAST(c AS BIGINT) AS c, header, cell
+        |FROM cells ORDER BY doc_id, t, r, c""".stripMargin,
+
     // blocklist oracle: same synthesized URL, same two regexes (RE2 and
     // Java agree on these literal-ish patterns).
     "q_url_blocklist" ->
@@ -7904,6 +8061,7 @@ object SparkEntry {
     // PDF extraction: the 8-word line regrouping rebuilt from the words
     // alone — shared by the direct and out-of-the-archive chains.
     "q_pdf_extract" -> pdfExtractOracleSql,
+    "q_pdf_unicode" -> pdfUnicodeOracleSql,
     "q_warc_pdf" -> pdfExtractOracleSql,
 
     // revisit oracle: unchanged third carries the CRAWL-1 template's
@@ -8406,6 +8564,33 @@ object SparkEntry {
         |    AS BIGINT) AS rank,
         |  dst, n_inlinks, n_srcs
         |FROM top ORDER BY rank""".stripMargin,
+
+    // Crawl-trap oracle: the three fixture shapes collapse to three
+    // templates per source by construction — article/#-# with per-doc
+    // content, cal/#/#/#?sid with one boilerplate page per source,
+    // list?page&ref cycling 40 content variants — so the per-template
+    // ledger is rebuilt from per-source counts alone, and the verdict
+    // thresholds (n_urls >= 10, diversity <= 0.2) replay literally.
+    "q_crawl_traps" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT text) AS BIGINT) AS nt,
+        |    CAST(count(DISTINCT doc_id % 40) AS BIGINT) AS np
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT 'https://www.' || source || '.example.com/article/#-#'
+        |      AS template, n AS n_urls, nt AS n_content FROM per
+        |  UNION ALL
+        |  SELECT 'https://www.' || source || '.example.com/cal/#/#/#?sid',
+        |    n, 1 FROM per
+        |  UNION ALL
+        |  SELECT 'https://www.' || source || '.example.com/list?page&ref',
+        |    n, np FROM per)
+        |SELECT template, n_urls, n_content,
+        |  CAST(n_content AS DOUBLE) / n_urls AS diversity,
+        |  (n_urls >= 10 AND CAST(n_content AS DOUBLE) / n_urls <= 0.2)
+        |    AS is_trap
+        |FROM t ORDER BY template""".stripMargin,
 
     // Canonical-frontier oracle: the frontier replayed over page NUMBERS
     // (spelling collapse is by construction — the engine's job), with
