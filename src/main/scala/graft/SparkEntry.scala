@@ -1329,6 +1329,46 @@ object SparkEntry {
         .orderBy(col("domain"), col("agent"), col("line_no"))
     }),
 
+    // RFC 9309 WILDCARD rules — the `*`/`$` forms real sites lean on
+    // and a prefix-only matcher silently under-blocks: six URL shapes
+    // per document probe a session-id disallow (`/*?sid=`), an anchored
+    // extension disallow (`/*.pdf$` — the .pdfx shape proves the anchor
+    // does not over-block), an anchored Allow override inside a
+    // disallowed subtree (`/docs/*/open$` out-lengths `/docs/`), and a
+    // mid-path wildcard (`/cal/*/print`). Every (allowed, matched_path,
+    // matched_allow) verdict is pinned by the oracle per shape.
+    "q_robots_wildcards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("domain"))
+        .withColumn("txt", lit(
+          "User-agent: graftbot\n" +
+            "Disallow: /*?sid=\n" +
+            "Disallow: /*.pdf$\n" +
+            "Allow: /docs/*/open$\n" +
+            "Disallow: /docs/\n" +
+            "Disallow: /cal/*/print\n"))
+      val rules = operators.RobotsTxt.parseRules(robots, "domain", "txt")
+      val host = concat(lit("https://www."), col("source"),
+        lit(".example.com"))
+      val slot = (col("doc_id") % 25).cast("string")
+      val yr = (col("doc_id") % 30 + 2000).cast("string")
+      val id = col("doc_id").cast("string")
+      val urls = docs.select(col("doc_id"), posexplode(array(
+          concat(host, lit("/docs/"), slot, lit("/open")),
+          concat(host, lit("/docs/"), slot, lit("/page")),
+          concat(host, lit("/page/"), id, lit("?sid="), id),
+          concat(host, lit("/files/report"), id, lit(".pdf")),
+          concat(host, lit("/files/report"), id, lit(".pdfx")),
+          concat(host, lit("/cal/"), yr, lit("/print"))))
+        .as(Seq("shape", "url")))
+      operators.RobotsTxt.gate(urls, "url", rules, "graftbot")
+        .select(col("doc_id"), col("shape").cast("long").as("shape"),
+          col("url"), col("allowed"), col("matched_path"),
+          col("matched_allow"))
+        .orderBy(col("doc_id"), col("shape"))
+    }),
+
     // The politeness gate itself: every document URL against its
     // domain's parsed rules for agent "graftbot" — group override (the
     // crawler group wins over `*`), longest-prefix match, Allow beating
@@ -8530,6 +8570,40 @@ object SparkEntry {
     // prefix match, winner = max lexicographic (len, is_allow, path,
     // type) struct, exactly the Spark side's row-local fold.
     "q_robots_gate" -> robotsGateOracleSql,
+
+    // Wildcard-gate oracle: one fixed rule set, six URL shapes, every
+    // verdict pinned by construction — allowed/matched_path/matched_allow
+    // are literals per shape, so any wildcard mis-match (under-block,
+    // over-block past a $ anchor, or a precedence flip against the
+    // longer anchored Allow) breaks the hash.
+    "q_robots_wildcards" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com' AS host,
+        |    CAST(doc_id % 25 AS VARCHAR) AS slot,
+        |    CAST(doc_id % 30 + 2000 AS VARCHAR) AS yr,
+        |    CAST(doc_id AS VARCHAR) AS id
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, 0 AS shape,
+        |    host || '/docs/' || slot || '/open' AS url, TRUE AS allowed,
+        |    '/docs/*/open$' AS matched_path, TRUE AS matched_allow FROM u
+        |  UNION ALL SELECT doc_id, 1, host || '/docs/' || slot || '/page',
+        |    FALSE, '/docs/', FALSE FROM u
+        |  UNION ALL SELECT doc_id, 2,
+        |    host || '/page/' || id || '?sid=' || id, FALSE, '/*?sid=',
+        |    FALSE FROM u
+        |  UNION ALL SELECT doc_id, 3,
+        |    host || '/files/report' || id || '.pdf', FALSE, '/*.pdf$',
+        |    FALSE FROM u
+        |  UNION ALL SELECT doc_id, 4,
+        |    host || '/files/report' || id || '.pdfx', TRUE, NULL, NULL
+        |    FROM u
+        |  UNION ALL SELECT doc_id, 5, host || '/cal/' || yr || '/print',
+        |    FALSE, '/cal/*/print', FALSE FROM u)
+        |SELECT doc_id, CAST(shape AS BIGINT) AS shape, url, allowed,
+        |  matched_path, matched_allow
+        |FROM s ORDER BY doc_id, shape""".stripMargin,
 
     // The gate is per-row over a static broadcast table ⇒ the bounded
     // stream shares the batch oracle verbatim.

@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * broadcast-sized even at 100 TB of documents (robots.txt is
   * per-ORIGIN metadata, not per-document).
   *
-  * Match semantics implemented (the classic REP subset of RFC 9309):
-  * case-insensitive directive names, `#` comments, path-PREFIX matching
-  * against path+query, longest match wins, Allow wins length ties, no
+  * Match semantics implemented (RFC 9309): case-insensitive directive
+  * names, `#` comments, rule matching against path+query with `*`
+  * wildcards and trailing-`$` anchors (prefix semantics otherwise —
+  * [[graft.expr.RobotsMatchOps]]), longest match wins, Allow wins length
+  * ties, no
   * match ⇒ allowed, agent group selection = exact agent name if any
   * group has it, else the `*` group.
   */
@@ -68,12 +70,16 @@ object RobotsTxt {
     * emits the input plus (domain, path, allowed, matched_path,
     * matched_allow). Path = everything from the first `/` after the
     * authority, INCLUDING query (the Googlebot convention). Group choice
-    * per domain: the exact agent's group when present, else `*`; the
-    * winning rule is the longest matching prefix, Allow beating Disallow
-    * on equal length (lexicographic struct-max over the row-local
-    * matching set); no match (or no rules) ⇒ allowed. The decision table
-    * is broadcast and the fold is per-row — zero shuffle on the URL
-    * side. */
+    * per domain: the exact agent's group when present, else `*`; rule
+    * matching is full RFC 9309 §2.2.3 ([[graft.expr.RobotsMatchOps]]):
+    * `*` wildcards, trailing-`$` end anchors, prefix semantics otherwise
+    * (a plain rule path behaves exactly as the old prefix matcher did);
+    * the winning rule is the longest matching RULE STRING (wildcard
+    * characters count — the documented big-crawler convention), Allow
+    * beating Disallow on equal length (lexicographic struct-max over the
+    * row-local matching set); no match (or no rules) ⇒ allowed. The
+    * decision table is broadcast and the fold is per-row — zero shuffle
+    * on the URL side. */
   def gate(urls: DataFrame, urlCol: String, rules: DataFrame,
            userAgent: String): DataFrame = {
     // A URL with no path component ("https://example.com") normalizes to
@@ -89,7 +95,8 @@ object RobotsTxt {
       .withColumn("__win", array_max(transform(
         filter(coalesce(col("__rules"),
           array().cast("array<struct<rtype:string,rule_path:string>>")),
-          r => col("path").startsWith(r.getField("rule_path"))),
+          r => graft.expr.RobotsExpressions.robots_match(
+            col("path"), r.getField("rule_path"))),
         r => struct(length(r.getField("rule_path")).as("l"),
           (r.getField("rtype") === "allow").cast("int").as("a"),
           r.getField("rule_path").as("p"), r.getField("rtype").as("t")))))

@@ -193,4 +193,62 @@ class RobotsTxtSpec extends SparkSpec {
       rows.foreach(r => assert(r._5 === r._4 * r._3))
     }
   }
+
+  test("robots_match: RFC 9309 wildcards, anchors, prefix equivalence") {
+    def m(path: String, rule: String): Boolean =
+      graft.expr.RobotsMatchOps.matches(
+        org.apache.spark.unsafe.types.UTF8String.fromString(path),
+        org.apache.spark.unsafe.types.UTF8String.fromString(rule))
+    // plain rules keep exact prefix semantics
+    assert(m("/docs/3/open", "/docs/"))
+    assert(!m("/doc", "/docs/"))
+    assert(m("/a", "/"))
+    assert(m("/anything", "")) // empty rule matches everything
+    // * spans any run, including empty and across segments
+    assert(m("/page/7?sid=7", "/*?sid="))
+    assert(m("/x?sid=", "/*?sid="))
+    assert(!m("/page/7?id=7", "/*?sid="))
+    assert(m("/cal/2026/print", "/cal/*/print"))
+    assert(m("/cal/2026/printable", "/cal/*/print")) // prefix after glob
+    // needs "/cal/" + run + "/print": after "/cal/" nothing yields "/print"
+    assert(!m("/cal/print", "/cal/*/print"))
+    assert(m("/cal//print", "/cal/*/print")) // the run may be empty
+    // trailing $ anchors exactly at end-of-path
+    assert(m("/files/r1.pdf", "/*.pdf$"))
+    assert(!m("/files/r1.pdfx", "/*.pdf$"))
+    assert(m("/docs/17/open", "/docs/*/open$"))
+    assert(!m("/docs/17/opened", "/docs/*/open$"))
+    // $ elsewhere is a literal character
+    assert(m("/a$b/c", "/a$b"))
+    assert(!m("/ab/c", "/a$b"))
+    // backtracking: the star must find the LAST viable continuation
+    assert(m("/axxbxb", "/a*b$"))
+    assert(!m("/axxbxc", "/a*b$"))
+  }
+
+  test("gate applies wildcard rules with longest-rule precedence") {
+    import spark.implicits._
+    val rules = RobotsTxt.parseRules(Seq(("w.com",
+      Seq("User-agent: me",
+        "Disallow: /*?sid=",
+        "Disallow: /*.pdf$",
+        "Allow: /docs/*/open$",
+        "Disallow: /docs/").mkString("\n"))).toDF("domain", "txt"),
+      "domain", "txt")
+    val urls = Seq(
+      (0L, "https://w.com/docs/9/open"),
+      (1L, "https://w.com/docs/9/page"),
+      (2L, "https://w.com/p?sid=1"),
+      (3L, "https://w.com/r.pdf"),
+      (4L, "https://w.com/r.pdfx")).toDF("id", "url")
+    val got = RobotsTxt.gate(urls, "url", rules, "me").orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Boolean]("allowed"),
+        Option(r.getAs[String]("matched_path")))).toSeq
+    assert(got === Seq(
+      (0L, true, Some("/docs/*/open$")), // anchored Allow out-lengths /docs/
+      (1L, false, Some("/docs/")),
+      (2L, false, Some("/*?sid=")),
+      (3L, false, Some("/*.pdf$")),
+      (4L, true, None)))
+  }
 }
