@@ -2191,6 +2191,42 @@ object SparkEntry {
         .orderBy(col("domain"), col("loc"))
     }),
 
+    // CONDITIONAL refetch (RFC 9110 revalidation) — the recrawl plan's
+    // HTTP half and its bandwidth ledger: held copies carry an ETag on
+    // slot%3==0 (→ If-None-Match) and always a Last-Modified (→
+    // If-Modified-Since), `new` URLs fetch full; the simulated server
+    // 304s every even-slot conditional probe. The per-domain ledger
+    // (fetch counts by mode, 304s, bytes shipped vs bytes a 304 saved)
+    // must equal the oracle's replay of plan → validators → outcomes.
+    "q_recrawl_conditional" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crawled = docs
+        .select(col("source"), (col("doc_id") % 25).as("slot")).distinct()
+        .select(
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/docs/"), col("slot").cast("string"))
+            .as("url"),
+          to_date(concat(lit("2026-01-"),
+            lpad(((col("slot") * 3) % 28 + 1).cast("string"), 2, "0")))
+            .as("fetched_at"),
+          when(col("slot") % 3 === 0,
+            concat(lit("W/\""), col("slot").cast("string"), lit("\"")))
+            .as("etag"))
+      val plan = operators.Sitemap.recrawlPlan(sitemapUrlEntries(s, dir),
+        "domain", crawled, "url", "fetched_at")
+      val cond = operators.Sitemap.conditionalPlan(plan, crawled, "url",
+        "etag", "fetched_at")
+      val slot = regexp_extract(col("loc"), "/docs/(\\d+)$", 1).cast("long")
+      val outcomes = cond
+        .withColumn("status",
+          when(col("mode") === "full", lit(200))
+            .when(slot % 2 === 0, lit(304)).otherwise(lit(200)))
+        .withColumn("bytes", lit(1000L) + slot * 7)
+      operators.Sitemap.fetchLedger(outcomes, "domain", "mode", "status",
+          "bytes")
+        .orderBy(col("domain"))
+    }),
+
     // Manifest-driven incremental ingest — how the crawl warehouse
     // actually grows: archives arrive in two waves (buckets 0-1, then
     // 2-3), each run parses ONLY the un-ingested delta and appends
@@ -8537,6 +8573,56 @@ object SparkEntry {
         |SELECT p.domain, p.loc, p.action, t.fetch_rank
         |FROM plan p LEFT JOIN todo t ON t.domain = p.domain AND t.loc = p.loc
         |ORDER BY p.domain, p.loc""".stripMargin,
+
+    // Conditional-refetch oracle: the plan replay above, then validators
+    // (etag iff slot%3==0, Last-Modified always) pick each non-skip
+    // row's mode, the even-slot conditional probes 304, and the ledger
+    // aggregates per domain.
+    "q_recrawl_conditional" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents),
+        |ent AS (
+        |  SELECT s.source, s.domain, (s.k + ii.i) % 25 AS slot,
+        |    CAST('2026-01-' ||
+        |      lpad(CAST((s.k + ii.i) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |      AS lastmod
+        |  FROM src s CROSS JOIN (SELECT unnest(range(10)) AS i) ii),
+        |crawled AS (SELECT DISTINCT source, doc_id % 25 AS slot FROM documents),
+        |plan AS (
+        |  SELECT e.domain, e.slot,
+        |    CASE WHEN c.slot IS NULL THEN 'new'
+        |         WHEN e.lastmod > CAST('2026-01-' ||
+        |           lpad(CAST((e.slot * 3) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |           THEN 'refresh'
+        |         ELSE 'skip' END AS action
+        |  FROM ent e LEFT JOIN crawled c
+        |    ON c.source = e.source AND c.slot = e.slot),
+        |o AS (
+        |  SELECT domain, slot,
+        |    CASE WHEN action = 'new' THEN 'full'
+        |         WHEN slot % 3 = 0 THEN 'conditional_etag'
+        |         ELSE 'conditional_ims' END AS mode
+        |  FROM plan WHERE action <> 'skip'),
+        |f AS (
+        |  SELECT domain, mode,
+        |    CASE WHEN mode = 'full' THEN 200
+        |         WHEN slot % 2 = 0 THEN 304 ELSE 200 END AS status,
+        |    1000 + slot * 7 AS bytes
+        |  FROM o)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_fetches,
+        |  CAST(sum(CASE WHEN mode = 'full' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_full,
+        |  CAST(sum(CASE WHEN mode LIKE 'conditional%' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_conditional,
+        |  CAST(sum(CASE WHEN status = 304 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_304,
+        |  CAST(sum(CASE WHEN status = 200 THEN bytes ELSE 0 END) AS BIGINT)
+        |    AS bytes_transferred,
+        |  CAST(sum(CASE WHEN status = 304 THEN bytes ELSE 0 END) AS BIGINT)
+        |    AS bytes_saved
+        |FROM f GROUP BY domain ORDER BY domain""".stripMargin,
 
     // robots.txt rule-table oracle: the template's rule rows rebuilt
     // per domain from the source→k rule — the parser must recover

@@ -120,6 +120,60 @@ object Sitemap {
       .drop("__fetched")
   }
 
+  /** Conditional-fetch planner — [[recrawlPlan]]'s HTTP-aware half: a
+    * real crawler never blind-refetches a held page; it revalidates with
+    * the stored validators (RFC 9110 §13): `If-None-Match` when an ETag
+    * was stored, else `If-Modified-Since` from the stored
+    * Last-Modified, else an unconditional fetch. Takes the plan's
+    * non-skip rows and the warehouse's validator projection; emits the
+    * fetch queue with `mode ∈ full | conditional_etag | conditional_ims`
+    * plus the header values to send. `new` URLs are always `full` (no
+    * held copy to validate). Spellings that collapse under
+    * canonicalization fold to one validator row (max per column — the
+    * latest copy decides, the [[recrawlPlan]] discipline). One left
+    * join against a warehouse projection that is url-distinct by
+    * construction — broadcast-scale next to the page store. */
+  def conditionalPlan(plan: DataFrame, held: DataFrame, heldUrlCol: String,
+                      etagCol: String, lastModCol: String): DataFrame = {
+    import graft.expr.UrlExpressions.url_canonicalize
+    val v = held.groupBy(url_canonicalize(col(heldUrlCol)).as("loc"))
+      .agg(max(col(etagCol)).as("__etag"), max(col(lastModCol)).as("__lm"))
+    plan.filter(col("action") =!= "skip")
+      .join(v, Seq("loc"), "left")
+      .withColumn("mode",
+        when(col("action") === "new", "full")
+          .when(col("__etag").isNotNull, "conditional_etag")
+          .when(col("__lm").isNotNull, "conditional_ims")
+          .otherwise("full"))
+      .withColumn("if_none_match",
+        when(col("mode") === "conditional_etag", col("__etag")))
+      .withColumn("if_modified_since",
+        when(col("mode") === "conditional_ims", col("__lm")))
+      .drop("__etag", "__lm")
+  }
+
+  /** Post-fetch bandwidth ledger — what revalidation bought, per domain:
+    * fetch counts by mode, 304 (Not Modified) count, bytes actually
+    * transferred (200 responses), and bytes SAVED (the payload size a
+    * 304 avoided re-shipping — by convention `bytesCol` carries the
+    * would-be payload size on every row, so saved = the 304 rows' sum).
+    * The revisit-record WARC writer consumes the 304 rows; this frame is
+    * the planning/report surface. One combining aggregate on the domain
+    * key — domain-count-sized output. */
+  def fetchLedger(outcomes: DataFrame, domainCol: String, modeCol: String,
+                  statusCol: String, bytesCol: String): DataFrame =
+    outcomes.groupBy(col(domainCol))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        sum((col(modeCol) === "full").cast("long")).as("n_full"),
+        sum(col(modeCol).startsWith("conditional").cast("long"))
+          .as("n_conditional"),
+        sum((col(statusCol) === 304).cast("long")).as("n_304"),
+        sum(when(col(statusCol) === 200, col(bytesCol)).otherwise(0L))
+          .cast("long").as("bytes_transferred"),
+        sum(when(col(statusCol) === 304, col(bytesCol)).otherwise(0L))
+          .cast("long").as("bytes_saved"))
+
   /** Deterministic synthetic `<urlset>` for the fixture domains: entries
     * for slots `from until until`, loc = /docs/((k + i) % 25) with
     * lastmod 2026-01-((k + i) % 28 + 1) — slot and date both

@@ -81,4 +81,45 @@ class SitemapSpec extends SparkSpec {
       ("https://a.com/current", "skip", None),
       ("https://a.com/undated-held", "skip", None)))
   }
+
+  test("conditionalPlan: validator pick, new=full, skip dropped") {
+    val entries = Seq(
+      ("a.com", "url", "https://a.com/etagged", Date.valueOf("2026-03-01")),
+      ("a.com", "url", "https://a.com/dated", Date.valueOf("2026-03-01")),
+      ("a.com", "url", "https://a.com/unseen", Date.valueOf("2026-02-01")),
+      ("a.com", "url", "https://a.com/current", Date.valueOf("2026-01-01")))
+      .toDF("domain", "kind", "loc", "lastmod")
+    val held = Seq(
+      ("https://a.com/etagged", Date.valueOf("2026-02-15"), "W/\"7\""),
+      ("https://a.com/dated", Date.valueOf("2026-02-15"), null),
+      ("https://a.com/current", Date.valueOf("2026-02-15"), "W/\"9\""))
+      .toDF("url", "fetched_at", "etag")
+    val plan = Sitemap.recrawlPlan(entries, "domain", held, "url",
+      "fetched_at")
+    val got = Sitemap.conditionalPlan(plan, held, "url", "etag",
+        "fetched_at")
+      .select("loc", "mode", "if_none_match", "if_modified_since")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.get(3)).map(_.toString))).toSet
+    assert(got === Set(
+      ("https://a.com/etagged", "conditional_etag", Some("W/\"7\""), None),
+      ("https://a.com/dated", "conditional_ims", None, Some("2026-02-15")),
+      ("https://a.com/unseen", "full", None, None)))
+  }
+
+  test("fetchLedger: modes, 304 count, transferred vs saved bytes") {
+    val outcomes = Seq(
+      ("a.com", "full", 200, 100L),
+      ("a.com", "conditional_etag", 304, 70L),
+      ("a.com", "conditional_ims", 200, 30L),
+      ("b.com", "conditional_ims", 304, 11L))
+      .toDF("domain", "mode", "status", "bytes")
+    val got = Sitemap.fetchLedger(outcomes, "domain", "mode", "status",
+        "bytes")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got("a.com") === ((3L, 1L, 2L, 1L, 130L, 70L)))
+    assert(got("b.com") === ((1L, 0L, 1L, 1L, 0L, 11L)))
+  }
 }
