@@ -143,8 +143,11 @@ object WebCuration {
     * Pure regexp projection, codegen'd, pushdown-friendly. */
   def urlTemplate(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
+    // a schemeless string templatizes whole-string-as-path rather than
+    // collapsing every malformed URL into one empty-template group
     val authority = regexp_extract(noFrag, "^([a-z][a-z0-9+.-]*://[^/?]*)", 1)
-    val pathq = regexp_extract(noFrag, "^[a-z][a-z0-9+.-]*://[^/?]*(.*)$", 1)
+    val pathq = when(authority === "", noFrag)
+      .otherwise(regexp_extract(noFrag, "^[a-z][a-z0-9+.-]*://[^/?]*(.*)$", 1))
     val path = regexp_replace(pathq, "\\?.*$", "")
     val query = regexp_extract(pathq, "\\?(.*)$", 1)
     val tpl = regexp_replace(

@@ -150,7 +150,8 @@ class WebCurationSpec extends SparkSpec {
       "https://www.a1.com/article/123-45",
       "https://www.a1.com/u/deadbeef0042cafe/photo?b=2&a=1",
       "https://www.a1.com/cal/2026/3/9?sid=00000000002a#frag",
-      "https://www.a1.com/plain")
+      "https://www.a1.com/plain",
+      "/relative/42?z=1&a=2")
       .toDF("url")
       .select(WebCuration.urlTemplate($"url")).as[String].collect()
     assert(got.toSeq === Seq(
@@ -158,7 +159,9 @@ class WebCurationSpec extends SparkSpec {
       "https://www.a1.com/article/#-#",
       "https://www.a1.com/u/*/photo?a&b",
       "https://www.a1.com/cal/#/#/#?sid",
-      "https://www.a1.com/plain"))
+      "https://www.a1.com/plain",
+      // schemeless: whole string templatizes as a path
+      "/relative/#?a&z"))
   }
 
   test("crawlTraps: low-diversity template flags, healthy one passes") {
