@@ -118,6 +118,11 @@ val picks = Seq(
   ("q_jsonl_roundtrip", "deterministic shard export: one hash exchange pins each shard to one task"),
   ("q_crawl_frontier", "frontier: (dst) combining agg -> anti-join vs crawled -> distributed TakeOrdered, no global window"),
   ("q_warc_image_decode", "binary crawl: archive parse + per-row PNG pixel decode, zero shuffle before the output sort"),
+  ("q_crawl_traps", "trap ledger: ONE template-keyed combining aggregate (Expand x2 for the two exact distincts), page text never shuffles"),
+  ("q_html_tables", "table cells: per-row codegen scan + explode projection, only the output sort exchanges"),
+  ("q_pdf_unicode", "font-decoded PDFs: per-row build + font-dict scan + decode, zero shuffle before the output sort"),
+  ("q_robots_wildcards", "RFC 9309 glob gate: same broadcast decision table + row-local fold, wildcards cost zero extra exchange"),
+  ("q_recrawl_conditional", "revalidation ledger: plan join + validator join both on canonical loc, one domain-keyed combining agg"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
