@@ -194,6 +194,47 @@ object WebCuration {
           col("diversity") <= lit(maxDiversity))
   }
 
+  /** Pre-aggregation projection shared VERBATIM by the batch and
+    * streaming sketch ledgers: (template, url-hash, fingerprint-hash).
+    * Hashing map-side means template strings plus two longs are all
+    * that ever reaches an exchange or a state store. */
+  def trapKeyed(pages: DataFrame, urlCol: String,
+                fingerprint: Column): DataFrame =
+    pages.select(urlTemplate(col(urlCol)).as("template"),
+      xxhash64(col(urlCol)).as("__u"), xxhash64(fingerprint).as("__f"))
+
+  /** [[crawlTraps]] over KMV sketch state instead of exact distincts —
+    * the MERGEABLE form: per template the state is two k-smallest-hash
+    * sets (bounded, unionable), which is what a streaming ledger keeps
+    * in its state store and what a 100-TB batch keeps map-side instead
+    * of the Expand×2 exact plan. In the exact regime (distinct URLs per
+    * template < k) the estimates equal the exact ledger — the fixture
+    * oracles pin that equality; beyond k the standard KMV error bound
+    * applies and the flag needs one significant digit anyway. */
+  def crawlTrapsSketch(pages: DataFrame, urlCol: String,
+                       fingerprint: Column, k: Int = 4096, minUrls: Int = 10,
+                       maxDiversity: Double = 0.2): DataFrame =
+    trapLedgerFromSketches(
+      trapKeyed(pages, urlCol, fingerprint)
+        .groupBy(col("template"))
+        .agg(SetSketch.kmvSketch(col("__u"), k).as("__sku"),
+          SetSketch.kmvSketch(col("__f"), k).as("__skf")),
+      minUrls, maxDiversity)
+
+  /** Ledger derivation from per-template sketch state — shared verbatim
+    * by [[crawlTrapsSketch]] and the streaming twin, so stream ≡ batch
+    * bit-exactly (KMV state is a pure set function of the input). */
+  def trapLedgerFromSketches(sk: DataFrame, minUrls: Int,
+                             maxDiversity: Double): DataFrame =
+    sk.select(col("template"),
+        SetSketch.kmvEstimate(col("__sku")).getField("est").as("n_urls"),
+        SetSketch.kmvEstimate(col("__skf")).getField("est").as("n_content"))
+      .withColumn("diversity",
+        col("n_content").cast("double") / col("n_urls"))
+      .withColumn("is_trap",
+        col("n_urls") >= lit(minUrls.toLong) &&
+          col("diversity") <= lit(maxDiversity))
+
   /** HTTP 3xx statuses a crawler follows (303's method change and 307/
     * 308's method preservation are fetcher concerns, not resolver
     * ones — the TARGET is the same). */

@@ -1208,6 +1208,42 @@ object StreamingIngest {
     graft.operators.Profiler.rollupFromSketches(spark.table(queryName))
   }
 
+  /** Streaming crawl-trap ledger over KMV sketch state
+    * ([[graft.operators.WebCuration.crawlTrapsSketch]]'s twin): pages
+    * arrive in micro-batches (`build` maps the raw document stream to
+    * its (url, fingerprint) page frame — plain Column ops, no closure
+    * state), the per-template state is two bounded k-smallest-hash sets,
+    * and the final ledger derivation is shared VERBATIM with the batch
+    * form — KMV state is a set function, so the streaming ledger equals
+    * the batch one bit-exactly regardless of how the replay batched,
+    * and both share one oracle. `maxFilesPerTrigger=1` forces one
+    * micro-batch per input file so the state genuinely merges across
+    * batches. */
+  def runStreamTrapLedger(spark: SparkSession, parquetPath: String,
+                          build: DataFrame => DataFrame, urlCol: String,
+                          fingerprintCol: String, k: Int, minUrls: Int,
+                          maxDiversity: Double, queryName: String,
+                          maxFilesPerTrigger: Int = 1,
+                          statePartitions: Int = 8): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    withStatePartitions(spark, statePartitions) {
+      val q = graft.operators.WebCuration
+        .trapKeyed(build(stream), urlCol, col(fingerprintCol))
+        .groupBy(col("template"))
+        .agg(graft.operators.SetSketch.kmvSketch(col("__u"), k).as("__sku"),
+          graft.operators.SetSketch.kmvSketch(col("__f"), k).as("__skf"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    graft.operators.WebCuration.trapLedgerFromSketches(
+      spark.table(queryName), minUrls, maxDiversity)
+  }
+
   /** Streaming segment set-OVERLAP over the native KMV (theta) sketch
     * ([[graft.expr.KmvSketchAgg]]): per-segment k-smallest-hash sets as
     * streaming state, pairwise union/intersection/difference/Jaccard
