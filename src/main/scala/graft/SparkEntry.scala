@@ -355,6 +355,32 @@ object SparkEntry {
       |SELECT doc_id, string_agg(line, chr(10) ORDER BY g) AS extracted
       |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Crawl-trap ledger oracle, shared verbatim by the exact
+    * (q_crawl_traps), sketch (q_crawl_traps_sketch — KMV k=4096 exact
+    * regime), and streaming (q_stream_traps) forms: the three fixture
+    * shapes collapse to three templates per source by construction, so
+    * the ledger rebuilds from per-source counts alone. */
+  private val crawlTrapsOracleSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT text) AS BIGINT) AS nt,
+      |    CAST(count(DISTINCT doc_id % 40) AS BIGINT) AS np
+      |  FROM documents GROUP BY source),
+      |t AS (
+      |  SELECT 'https://www.' || source || '.example.com/article/#-#'
+      |      AS template, n AS n_urls, nt AS n_content FROM per
+      |  UNION ALL
+      |  SELECT 'https://www.' || source || '.example.com/cal/#/#/#?sid',
+      |    n, 1 FROM per
+      |  UNION ALL
+      |  SELECT 'https://www.' || source || '.example.com/list?page&ref',
+      |    n, np FROM per)
+      |SELECT template, n_urls, n_content,
+      |  CAST(n_content AS DOUBLE) / n_urls AS diversity,
+      |  (n_urls >= 10 AND CAST(n_content AS DOUBLE) / n_urls <= 0.2)
+      |    AS is_trap
+      |FROM t ORDER BY template""".stripMargin
+
   /** Font-decoding oracle (q_pdf_unicode): the unicode fixture shows
     * line i through font i%3 (WinAnsi / MacRoman+Differences /
     * Identity-H+ToUnicode) with [[graft.expr.PdfOps.unicodeSuffix]]
@@ -531,6 +557,34 @@ object SparkEntry {
   private def sitemapUrlEntries(s: SparkSession, dir: String): DataFrame =
     sitemapEntriesFrom(s, dir, sitemapDocs(s, dir)
       .filter(col("url").endsWith("/sitemap.xml")))
+
+  /** Crawl-trap fixture pages — three URL shapes per document on its
+    * source's host: a unique-content /article/<id>-<id%97>, an
+    * infinite-calendar /cal/2026/<m>/<d>?sid=<hex12> whose content is
+    * ONE boilerplate page per source, and a /list?page=<p>&ref=<id>
+    * paginator cycling 40 content variants. Pure Column ops so the
+    * streaming twin applies it to the document STREAM unchanged. */
+  private val trapFixturePages: DataFrame => DataFrame = docs => {
+    val host = concat(lit("https://www."), col("source"),
+      lit(".example.com"))
+    docs.select(explode(array(
+        struct(
+          concat(host, lit("/article/"), col("doc_id"), lit("-"),
+            pmod(col("doc_id"), lit(97))).as("url"),
+          xxhash64(col("text")).as("fp")),
+        struct(
+          concat(host, lit("/cal/2026/"),
+            pmod(col("doc_id"), lit(12)) + 1, lit("/"),
+            pmod(col("doc_id"), lit(28)) + 1, lit("?sid="),
+            lower(lpad(hex(col("doc_id")), 12, "0"))).as("url"),
+          xxhash64(concat(col("source"), lit("#cal"))).as("fp")),
+        struct(
+          concat(host, lit("/list?page="), pmod(col("doc_id"), lit(40)),
+            lit("&ref="), col("doc_id")).as("url"),
+          xxhash64(concat(col("source"), lit("#page"),
+            pmod(col("doc_id"), lit(40)))).as("fp")))).as("p"))
+      .select(col("p.url").as("url"), col("p.fp").as("fp"))
+  }
 
   /** Write-once-per-process TWO-CRAWL archives for the revisit story:
     * crawl 1 (c1/) captures every page; crawl 2 (c2/) stores the
@@ -1131,6 +1185,53 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // HTML LINK extraction + RFC 3986 resolution — the crawl loop's
+    // real discovery primitive (until now the loop's links came from
+    // fixture frames, not from parsing anchors): nine href shapes per
+    // document — absolute, relative, ../parent, root-relative,
+    // protocol-relative, query-only, fragment-only, mailto:, and a
+    // rel=nofollow — extract with anchor text (inline <b> stripped,
+    // &amp; decoded) and resolve+canonicalize against the page URL.
+    // Every (href, resolved, anchor, nofollow) tuple is pinned literally
+    // by the oracle.
+    "q_html_links" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val slot = pmod(col("doc_id"), lit(25)).cast("string")
+      val id = col("doc_id").cast("string")
+      val pageUrl = concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), slot, lit("/"))
+      val html = concat(
+        lit("<html><body><p>Intro text.</p>"),
+        lit("<a href=\"https://www."), col("source"),
+        lit(".example.com/article/"), id, lit("\">Read <b>more</b></a>"),
+        lit("<a href=\"sub/page-"), pmod(col("doc_id"), lit(7)),
+        lit("\">Sub page</a>"),
+        lit("<a href=\"../up-"), pmod(col("doc_id"), lit(5)),
+        lit("\">Up one</a>"),
+        lit("<a href=\"/top-"), pmod(col("doc_id"), lit(3)),
+        lit("\">Top</a>"),
+        lit("<a href=\"//cdn."), col("source"), lit(".example.com/lib-"),
+        pmod(col("doc_id"), lit(4)), lit("\">CDN</a>"),
+        lit("<a href=\"?page="), pmod(col("doc_id"), lit(6)),
+        lit("\">Next</a>"),
+        lit("<a href=\"#sec\">Same page</a>"),
+        lit("<a href=\"mailto:info@"), col("source"),
+        lit(".example.com\">Mail</a>"),
+        lit("<a rel=\"nofollow\" href=\"/out-"), pmod(col("doc_id"), lit(2)),
+        lit("\">Ad &amp; out</a>"),
+        lit("</body></html>"))
+      docs.select(col("doc_id"), pageUrl.as("page_url"),
+          posexplode(graft.expr.HtmlExpressions.html_links(html))
+            .as(Seq("idx", "l")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          col("l.href").as("href"),
+          graft.expr.UrlExpressions.url_canonicalize(
+            graft.expr.UrlExpressions.url_resolve(col("page_url"),
+              col("l.href"))).as("resolved"),
+          col("l.anchor").as("anchor"), col("l.nofollow").as("nofollow"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // HTML TABLE extraction — the structured-data path out of a page:
     // each document renders a header row (<th>, one cell deliberately
     // whitespace-padded), one data row per first-6 word (index / the
@@ -1452,28 +1553,33 @@ object SparkEntry {
     // diversity, is_trap) ledger must equal the oracle's replay of the
     // construction — both trap verdicts AND the healthy article rows.
     "q_crawl_traps" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val host = concat(lit("https://www."), col("source"),
-        lit(".example.com"))
-      val pages = docs.select(explode(array(
-          struct(
-            concat(host, lit("/article/"), col("doc_id"), lit("-"),
-              pmod(col("doc_id"), lit(97))).as("url"),
-            xxhash64(col("text")).as("fp")),
-          struct(
-            concat(host, lit("/cal/2026/"),
-              pmod(col("doc_id"), lit(12)) + 1, lit("/"),
-              pmod(col("doc_id"), lit(28)) + 1, lit("?sid="),
-              lower(lpad(hex(col("doc_id")), 12, "0"))).as("url"),
-            xxhash64(concat(col("source"), lit("#cal"))).as("fp")),
-          struct(
-            concat(host, lit("/list?page="), pmod(col("doc_id"), lit(40)),
-              lit("&ref="), col("doc_id")).as("url"),
-            xxhash64(concat(col("source"), lit("#page"),
-              pmod(col("doc_id"), lit(40)))).as("fp")))).as("p"))
-        .select(col("p.url").as("url"), col("p.fp").as("fp"))
-      operators.WebCuration.crawlTraps(pages, "url", col("fp"),
-          minUrls = 10, maxDiversity = 0.2)
+      operators.WebCuration.crawlTraps(trapFixturePages(t(s, dir,
+          "documents")), "url", col("fp"), minUrls = 10, maxDiversity = 0.2)
+        .orderBy(col("template"))
+    }),
+
+    // The same ledger over KMV SKETCH state — the mergeable form a
+    // 100-TB batch (map-side bounded state instead of the Expand×2
+    // exact plan) and the streaming twin both run. k=4096 keeps every
+    // fixture template in the exact regime, so this shares the exact
+    // ledger's oracle verbatim.
+    "q_crawl_traps_sketch" -> ((s, dir) => {
+      operators.WebCuration.crawlTrapsSketch(trapFixturePages(t(s, dir,
+          "documents")), "url", col("fp"), k = 4096, minUrls = 10,
+          maxDiversity = 0.2)
+        .orderBy(col("template"))
+    }),
+
+    // STREAMING twin: pages micro-batched one file per trigger, the
+    // per-template state two bounded k-smallest-hash sets, ledger
+    // derivation shared verbatim with the batch sketch form — KMV state
+    // is a set function, so stream ≡ batch bit-exactly and the batch
+    // oracle gates the stream.
+    "q_stream_traps" -> ((s, dir) => {
+      StreamingIngest.runStreamTrapLedger(s, s"$dir/documents.parquet",
+          trapFixturePages, "url", "fp", k = 4096, minUrls = 10,
+          maxDiversity = 0.2,
+          queryName = s"stream_traps_${streamCounter.incrementAndGet()}")
         .orderBy(col("template"))
     }),
 
@@ -8030,6 +8136,51 @@ object SparkEntry {
         |    'boilerplate' FROM d
         |) ORDER BY doc_id, idx""".stripMargin,
 
+    // html-links oracle: nine anchor shapes per document, every
+    // (href, resolved, anchor, nofollow) tuple literal-by-construction —
+    // a mis-merged relative path, an un-dropped fragment, a re-spelled
+    // mailto:, an undecoded &amp;, or a missed rel=nofollow breaks it.
+    "q_html_links" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    'https://www.' || source || '.example.com' AS host,
+        |    CAST(doc_id % 25 AS VARCHAR) AS slot,
+        |    CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(doc_id % 7 AS VARCHAR) AS m7,
+        |    CAST(doc_id % 5 AS VARCHAR) AS m5,
+        |    CAST(doc_id % 4 AS VARCHAR) AS m4,
+        |    CAST(doc_id % 3 AS VARCHAR) AS m3,
+        |    CAST(doc_id % 6 AS VARCHAR) AS m6,
+        |    CAST(doc_id % 2 AS VARCHAR) AS m2
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, 0 AS idx, host || '/article/' || id AS href,
+        |    host || '/article/' || id AS resolved,
+        |    'Read more' AS anchor, FALSE AS nofollow FROM u
+        |  UNION ALL SELECT doc_id, 1, 'sub/page-' || m7,
+        |    host || '/docs/' || slot || '/sub/page-' || m7, 'Sub page',
+        |    FALSE FROM u
+        |  UNION ALL SELECT doc_id, 2, '../up-' || m5,
+        |    host || '/docs/up-' || m5, 'Up one', FALSE FROM u
+        |  UNION ALL SELECT doc_id, 3, '/top-' || m3, host || '/top-' || m3,
+        |    'Top', FALSE FROM u
+        |  UNION ALL SELECT doc_id, 4,
+        |    '//cdn.' || source || '.example.com/lib-' || m4,
+        |    'https://cdn.' || source || '.example.com/lib-' || m4, 'CDN',
+        |    FALSE FROM u
+        |  UNION ALL SELECT doc_id, 5, '?page=' || m6,
+        |    host || '/docs/' || slot || '/?page=' || m6, 'Next', FALSE FROM u
+        |  UNION ALL SELECT doc_id, 6, '#sec',
+        |    host || '/docs/' || slot || '/', 'Same page', FALSE FROM u
+        |  UNION ALL SELECT doc_id, 7,
+        |    'mailto:info@' || source || '.example.com',
+        |    'mailto:info@' || source || '.example.com', 'Mail', FALSE FROM u
+        |  UNION ALL SELECT doc_id, 8, '/out-' || m2, host || '/out-' || m2,
+        |    'Ad & out', TRUE FROM u)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx, href, resolved, anchor,
+        |  nofollow
+        |FROM l ORDER BY doc_id, idx""".stripMargin,
+
     // html-tables oracle: every (t, r, c, header, cell) tuple rebuilt
     // from the first-6 words — header literals ('Word' proves the
     // whitespace normalize), per-word data rows (the <b> strip and the
@@ -8731,26 +8882,11 @@ object SparkEntry {
     // list?page&ref cycling 40 content variants — so the per-template
     // ledger is rebuilt from per-source counts alone, and the verdict
     // thresholds (n_urls >= 10, diversity <= 0.2) replay literally.
-    "q_crawl_traps" ->
-      """WITH per AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(count(DISTINCT text) AS BIGINT) AS nt,
-        |    CAST(count(DISTINCT doc_id % 40) AS BIGINT) AS np
-        |  FROM documents GROUP BY source),
-        |t AS (
-        |  SELECT 'https://www.' || source || '.example.com/article/#-#'
-        |      AS template, n AS n_urls, nt AS n_content FROM per
-        |  UNION ALL
-        |  SELECT 'https://www.' || source || '.example.com/cal/#/#/#?sid',
-        |    n, 1 FROM per
-        |  UNION ALL
-        |  SELECT 'https://www.' || source || '.example.com/list?page&ref',
-        |    n, np FROM per)
-        |SELECT template, n_urls, n_content,
-        |  CAST(n_content AS DOUBLE) / n_urls AS diversity,
-        |  (n_urls >= 10 AND CAST(n_content AS DOUBLE) / n_urls <= 0.2)
-        |    AS is_trap
-        |FROM t ORDER BY template""".stripMargin,
+    // Shared VERBATIM by the exact, sketch (KMV exact regime), and
+    // streaming forms.
+    "q_crawl_traps" -> crawlTrapsOracleSql,
+    "q_crawl_traps_sketch" -> crawlTrapsOracleSql,
+    "q_stream_traps" -> crawlTrapsOracleSql,
 
     // Canonical-frontier oracle: the frontier replayed over page NUMBERS
     // (spelling collapse is by construction — the engine's job), with

@@ -354,6 +354,164 @@ object HtmlOps {
     new GenericArrayData(rows)
   }
 
+  val linkSchema: StructType = StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("anchor", StringType, nullable = false),
+    StructField("nofollow", BooleanType, nullable = false)))
+
+  /** Parse tag attributes from `from` (just after the tag name) to the
+    * tag's closing '>': lowercased names, quoted or unquoted values,
+    * entities decoded inside values (hrefs routinely carry `&amp;`),
+    * valueless attributes map to "". Returns (attrs, index after '>'). */
+  private def parseAttrs(s: String, from: Int): (Map[String, String], Int) = {
+    val n = s.length
+    val m = Map.newBuilder[String, String]
+    var i = from
+    while (i < n && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == '/') i += 1
+      else {
+        val ns = i
+        while (i < n && !Character.isWhitespace(s.charAt(i)) &&
+          "=>/".indexOf(s.charAt(i)) < 0) i += 1
+        if (i == ns) i += 1 // stray delimiter
+        else {
+          val name = {
+            val sb = new java.lang.StringBuilder(i - ns)
+            var p = ns
+            while (p < i) { sb.append(lower(s.charAt(p))); p += 1 }
+            sb.toString
+          }
+          var j = i
+          while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+          if (j < n && s.charAt(j) == '=') {
+            j += 1
+            while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+            val out = new java.lang.StringBuilder(16)
+            if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+              val q = s.charAt(j)
+              j += 1
+              while (j < n && s.charAt(j) != q) {
+                if (s.charAt(j) == '&') j = decodeEntity(s, j, out)
+                else { out.append(s.charAt(j)); j += 1 }
+              }
+              if (j < n) j += 1 // past the closing quote
+            } else {
+              while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+                s.charAt(j) != '>') {
+                if (s.charAt(j) == '&') j = decodeEntity(s, j, out)
+                else { out.append(s.charAt(j)); j += 1 }
+              }
+            }
+            m += name -> out.toString
+            i = j
+          } else {
+            m += name -> ""
+            i = j
+          }
+        }
+      }
+    }
+    (m.result(), math.min(i + 1, n))
+  }
+
+  /** Extract anchors as (href, anchor_text, nofollow) — the crawl
+    * loop's discovery primitive: link targets for the frontier, anchor
+    * text for [[graft.operators.WebCuration.topAnchors]], rel=nofollow
+    * for politeness-aware link accounting. Single-pass scan: an `<a>`
+    * without an href emits nothing; a new `<a>` implicitly closes an
+    * unterminated one (tag-soup tolerance); anchor text strips inline
+    * tags, decodes entities, normalizes whitespace; script/style
+    * subtrees and comments drop as always. Hrefs are RAW references —
+    * compose with `url_resolve(page_url, href)` + `url_canonicalize`
+    * for fetchable keys. */
+  def links(html: String): IndexedSeq[(String, String, Boolean)] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    val out = IndexedSeq.newBuilder[(String, String, Boolean)]
+    val anchor = new java.lang.StringBuilder(64)
+    val scratch = new java.lang.StringBuilder(8)
+    var inA = false
+    var href: String = null
+    var nofollow = false
+    def closeA(): Unit = {
+      if (inA && href != null)
+        out += ((href, normalizeWs(anchor.toString), nofollow))
+      inA = false; href = null; nofollow = false; anchor.setLength(0)
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
+            && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(html, i + 1)
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          if (j == nameStart) {
+            if (inA) anchor.append(c)
+            i += 1
+          } else {
+            val name = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
+              sb.toString
+            }
+            if (!closing && SkipTags.contains(name)) {
+              i = skipSubtree(html, skipToTagEnd(html, j), name)
+            } else if (name == "a") {
+              if (closing) { closeA(); i = skipToTagEnd(html, j) }
+              else {
+                closeA()
+                val (attrs, after) = parseAttrs(html, j)
+                attrs.get("href").filter(_.nonEmpty) match {
+                  case Some(h) =>
+                    inA = true
+                    href = h
+                    nofollow = attrs.getOrElse("rel", "")
+                      .toLowerCase(java.util.Locale.ROOT)
+                      .split("\\s+").contains("nofollow")
+                  case None => ()
+                }
+                i = after
+              }
+            } else i = skipToTagEnd(html, j) // other tags: text continues
+          }
+        }
+      } else if (c == '&') {
+        if (inA) i = decodeEntity(html, i, anchor)
+        else { scratch.setLength(0); i = decodeEntity(html, i, scratch) }
+      } else {
+        if (inA) anchor.append(c)
+        i += 1
+      }
+    }
+    closeA()
+    out.result()
+  }
+
+  /** Links as Catalyst rows (for [[HtmlLinks]]). */
+  def linksData(html: UTF8String): GenericArrayData = {
+    if (html == null) return new GenericArrayData(Array.empty[Any])
+    val ls = links(html.toString)
+    val rows = new Array[Any](ls.length)
+    var i = 0
+    while (i < ls.length) {
+      val (h, a, nf) = ls(i)
+      rows(i) = InternalRow(UTF8String.fromString(h),
+        UTF8String.fromString(a), nf)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   private def normalizeWs(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var inWs = false
@@ -438,6 +596,23 @@ case class HtmlBlocks(child: Expression, minLen: Int, maxLinkDensity: Double)
     copy(child = newChild)
 }
 
+/** `html_links(html)` — codegen anchor extraction. */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(HtmlOps.linkSchema, containsNull = false)
+  override def prettyName: String = "html_links"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.linksData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.linksData($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `html_table_cells(html)` — codegen table-cell extraction. */
 case class HtmlTableCells(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
@@ -470,4 +645,7 @@ object HtmlExpressions {
 
   def html_table_cells(html: Column): Column =
     ColumnBridge.column(HtmlTableCells(ColumnBridge.expression(html)))
+
+  def html_links(html: Column): Column =
+    ColumnBridge.column(HtmlLinks(ColumnBridge.expression(html)))
 }

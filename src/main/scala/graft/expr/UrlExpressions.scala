@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -140,6 +140,80 @@ object UrlOps {
       normalizeQuery(rawQuery)
   }
 
+  /** RFC 3986 §5 reference resolution, the crawler subset — what turns
+    * an extracted `href` into a fetchable URL: absolute refs (any
+    * scheme, incl. mailto:/javascript:) pass through; `//host/...` takes
+    * the base scheme; `/rooted`, `?query-only`, `#fragment-only`, and
+    * relative paths resolve against the base's authority/path with
+    * dot-segment removal (§5.2.4 — empty segments collapse like
+    * [[normalizePath]], the documented house divergence; the composed
+    * [[canonicalize]] collapses them anyway). Fragments never survive
+    * (a crawler fetches resources, not positions). A base without
+    * `scheme://` can't anchor anything — the ref comes back unchanged
+    * (tolerant, never null). */
+  def resolve(base: String, ref0: String): String = {
+    if (ref0 == null) return base
+    val ref = ref0.trim
+    if (base == null) return ref
+    // absolute reference: scheme ':' before any '/', '?' or '#'
+    var k = 0
+    while (k < ref.length && (Character.isLetterOrDigit(ref.charAt(k)) ||
+      "+.-".indexOf(ref.charAt(k)) >= 0)) k += 1
+    if (k > 0 && k < ref.length && ref.charAt(k) == ':' &&
+      Character.isLetter(ref.charAt(0))) return ref
+    val schemeEnd = base.indexOf("://")
+    if (schemeEnd <= 0) return ref
+    val scheme = base.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    var rest = base.substring(schemeEnd + 3)
+    val hashAt = rest.indexOf('#')
+    if (hashAt >= 0) rest = rest.substring(0, hashAt)
+    val pathAt = rest.indexOf('/')
+    val qAt = rest.indexOf('?')
+    val authEnd =
+      if (pathAt < 0 && qAt < 0) rest.length
+      else if (pathAt < 0) qAt
+      else if (qAt < 0) pathAt
+      else math.min(pathAt, qAt)
+    val authority = rest.substring(0, authEnd)
+    val afterAuth = rest.substring(authEnd)
+    val basePath = {
+      val q = afterAuth.indexOf('?')
+      if (q < 0) afterAuth else afterAuth.substring(0, q)
+    }
+    if (ref.isEmpty) return scheme + "://" + authority + basePath
+    if (ref.startsWith("//")) return scheme + ":" + ref
+    if (ref.startsWith("#")) return scheme + "://" + authority + basePath
+    val (rpath, rquery) = {
+      val h = ref.indexOf('#')
+      val noFrag = if (h < 0) ref else ref.substring(0, h)
+      val q = noFrag.indexOf('?')
+      if (q < 0) (noFrag, "") else (noFrag.substring(0, q), noFrag.substring(q))
+    }
+    if (rpath.isEmpty) // query-only reference keeps the base path
+      return scheme + "://" + authority +
+        (if (basePath.isEmpty) "/" else basePath) + rquery
+    val merged =
+      if (rpath.startsWith("/")) rpath
+      else if (basePath.isEmpty) "/" + rpath
+      else basePath.substring(0, basePath.lastIndexOf('/') + 1) + rpath
+    scheme + "://" + authority + removeRefDotSegments(merged) + rquery
+  }
+
+  /** §5.2.4 dot-segment removal for [[resolve]] — percent-escapes kept
+    * intact (resolution must not re-encode), empty segments collapsed
+    * (the [[normalizePath]] house rule). */
+  private def removeRefDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val endsDir = path.endsWith("/") || path.endsWith("/.") ||
+      path.endsWith("/..")
+    path.split("/", -1).foreach {
+      case "" | "." => ()
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case s => out += s
+    }
+    "/" + out.mkString("/") + (if (endsDir && out.nonEmpty) "/" else "")
+  }
+
   def eval(url: UTF8String): UTF8String =
     if (url == null) null else UTF8String.fromString(canonicalize(url.toString))
 }
@@ -224,6 +298,33 @@ case class RegistrableDomain(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `url_resolve(base, ref)` — RFC 3986 §5 reference resolution
+  * ([[UrlOps.resolve]]). Null-TOLERANT on both sides (resolve(null, ref)
+  * = ref, resolve(base, null) = base — an anchor with a null href must
+  * not null the page row), so it evaluates its own children rather than
+  * inheriting null-safe shortcuts; CodegenFallback keeps that exact
+  * semantics in generated plans (link extraction is archive-side
+  * metadata work, not a hot inner loop). */
+case class UrlResolve(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_resolve"
+  override def nullable: Boolean = left.nullable && right.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = left.eval(input).asInstanceOf[UTF8String]
+    val r = right.eval(input).asInstanceOf[UTF8String]
+    val out = UrlOps.resolve(if (b == null) null else b.toString,
+      if (r == null) null else r.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object UrlExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -232,4 +333,8 @@ object UrlExpressions {
 
   def registrable_domain(host: Column): Column =
     ColumnBridge.column(RegistrableDomain(ColumnBridge.expression(host)))
+
+  def url_resolve(base: Column, ref: Column): Column =
+    ColumnBridge.column(UrlResolve(
+      ColumnBridge.expression(base), ColumnBridge.expression(ref)))
 }

@@ -90,4 +90,48 @@ class UrlSpec extends SparkSpec {
       .map(_.getString(0))
     assert(got.toSeq === Seq("example.com", "market.co.uk"))
   }
+
+  test("url_resolve: RFC 3986 reference resolution, crawler subset") {
+    val base = "https://www.a.com/docs/3/page"
+    def r(ref: String): String = UrlOps.resolve(base, ref)
+    // absolute refs (any scheme) pass through
+    assert(r("https://b.com/x") === "https://b.com/x")
+    assert(r("mailto:x@y.z") === "mailto:x@y.z")
+    assert(r("javascript:void(0)") === "javascript:void(0)")
+    // protocol-relative takes the base scheme
+    assert(r("//cdn.a.com/lib.js") === "https://cdn.a.com/lib.js")
+    // rooted, query-only, fragment-only, empty
+    assert(r("/top") === "https://www.a.com/top")
+    assert(r("?p=1") === "https://www.a.com/docs/3/page?p=1")
+    assert(r("#sec") === "https://www.a.com/docs/3/page")
+    assert(r("") === "https://www.a.com/docs/3/page")
+    // relative merge replaces the last segment; .. pops; trailing dir kept
+    assert(r("sub") === "https://www.a.com/docs/3/sub")
+    assert(r("sub/") === "https://www.a.com/docs/3/sub/")
+    assert(r("../up") === "https://www.a.com/docs/up")
+    assert(r("../../../over") === "https://www.a.com/over")
+    assert(r("./here?q=2#frag") === "https://www.a.com/docs/3/here?q=2")
+    // base with a trailing slash appends instead of replacing
+    assert(UrlOps.resolve("https://a.com/dir/", "leaf")
+      === "https://a.com/dir/leaf")
+    // pathless base roots the reference
+    assert(UrlOps.resolve("https://a.com", "x/y") === "https://a.com/x/y")
+    // unresolvable base: the reference comes back unchanged
+    assert(UrlOps.resolve("not a url", "x/y") === "x/y")
+    assert(UrlOps.resolve(null, "x") === "x")
+    assert(UrlOps.resolve(base, null) === base)
+  }
+
+  test("url_resolve expression: null-tolerant on both sides") {
+    import spark.implicits._
+    val got = Seq(
+      (Option("https://a.com/d/"), Option("x")),
+      (Option("https://a.com/d/"), None),
+      (None: Option[String], Option("https://b.com/y")))
+      .toDF("base", "ref")
+      .select(UrlExpressions.url_resolve($"base", $"ref")).collect()
+      .map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(Some("https://a.com/d/x"),
+      Some("https://a.com/d/"), Some("https://b.com/y")))
+  }
 }

@@ -125,6 +125,29 @@ class TextExtractSpec extends SparkSpec {
     assert(HtmlOps.tableCells("no tables here at all") === Vector.empty)
   }
 
+  test("links: hrefs, anchor text, nofollow, attr edges, tag soup") {
+    val html = "<html><body>" +
+      "<a href=\"https://a.com/x?b=2&amp;a=1\">Read <b>more</b></a>" +
+      "<a rel=\"ugc nofollow\" href='/out'>Ad &amp; out</a>" +
+      "<a href=unquoted>Bare</a>" +
+      "<a name=\"anchor-only\">no href, no link</a>" +
+      "<a href=\"/p1\">first<a href=\"/p2\">implicit close</a>" +
+      "<a href=\"/s\">keep <script>var x = '<a href=y>no</a>'</script>text</a>" +
+      "</body></html>"
+    assert(HtmlOps.links(html) === Vector(
+      ("https://a.com/x?b=2&a=1", "Read more", false),
+      ("/out", "Ad & out", true),
+      ("unquoted", "Bare", false),
+      ("/p1", "first", false),
+      ("/p2", "implicit close", false),
+      ("/s", "keep text", false)))
+    assert(HtmlOps.links(null) === Vector.empty)
+    assert(HtmlOps.links("no anchors at all") === Vector.empty)
+    // unterminated <a> still emits (tolerant)
+    assert(HtmlOps.links("<a href=\"/tail\">dangling")
+      === Vector(("/tail", "dangling", false)))
+  }
+
   test("html_table_cells expression explodes to typed cell rows") {
     val df = Seq((7L,
       "<table><tr><th>H</th></tr><tr><td>v&#33;</td></tr></table>"))
