@@ -1824,6 +1824,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC → HTTP body → LINK DISCOVERY: the crawl loop's real
+    // link-extraction chain — archive parse, 200/text-html gate,
+    // html_links over the stored page, references resolved against the
+    // record's OWN target URI and canonicalized. The synthetic page
+    // carries seven constant root-relative anchors, so every
+    // (doc_id, idx, resolved, anchor) tuple is literal-by-construction.
+    "q_warc_links" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcFixtureDir(s, dir))
+      recs.filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          col("target_uri"),
+          posexplode(graft.expr.HtmlExpressions.html_links(col("body")))
+            .as(Seq("idx", "l")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          graft.expr.UrlExpressions.url_canonicalize(
+            graft.expr.UrlExpressions.url_resolve(col("target_uri"),
+              col("l.href"))).as("resolved"),
+          col("l.anchor").as("anchor"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // Charset-aware body decoding — the largest real-crawl correctness
     // gap a UTF-8-only reader has: pages re-encoded under a 6-charset
     // rotation (UTF-8, ISO-8859-1, windows-1252, GB2312, Shift_JIS,
@@ -8284,6 +8308,27 @@ object SparkEntry {
     // The crawl front end-to-end must equal extracting from the pages
     // directly — the q_text_extract oracle verbatim.
     "q_warc_extract" -> textExtractOracleSql,
+
+    // warc-links oracle: the synthetic page's seven constant
+    // root-relative anchors resolved against each record's own target
+    // URI — any framing slip, un-resolved reference, or anchor-text leak
+    // (nav/ads/footer text around the <a>s) breaks it.
+    "q_warc_links" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com' AS host
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, 0 AS idx, host || '/' AS resolved,
+        |    'Home' AS anchor FROM u
+        |  UNION ALL SELECT doc_id, 1, host || '/about', 'About' FROM u
+        |  UNION ALL SELECT doc_id, 2, host || '/contact', 'Contact' FROM u
+        |  UNION ALL SELECT doc_id, 3, host || '/buy', 'Buy now' FROM u
+        |  UNION ALL SELECT doc_id, 4, host || '/sale', 'Sale' FROM u
+        |  UNION ALL SELECT doc_id, 5, host || '/tos', 'Terms' FROM u
+        |  UNION ALL SELECT doc_id, 6, host || '/priv', 'Privacy' FROM u)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx, resolved, anchor
+        |FROM l ORDER BY doc_id, idx""".stripMargin,
 
     // PDF extraction: the 8-word line regrouping rebuilt from the words
     // alone — shared by the direct and out-of-the-archive chains.
