@@ -1848,6 +1848,30 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // DISCOVERY CAPSTONE: the frontier built from links the crawler
+    // actually EXTRACTED — archive parse → html_links → nofollow filter
+    // → resolve against each page's own URI → canonical urlFrontier
+    // anti-joined against the crawled set. Until now the loop's
+    // frontier ran on fixture link frames; this runs it on parsed
+    // anchors end-to-end from storage.
+    "q_crawl_discover" -> ((s, dir) => {
+      val recs = ingest.WarcIngest.readRecords(s, warcFixtureDir(s, dir))
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+      val links = recs
+        .select(col("target_uri"),
+          explode(graft.expr.HtmlExpressions.html_links(col("body")))
+            .as("l"))
+        .filter(!col("l.nofollow"))
+        .select(col("target_uri").as("src_url"),
+          graft.expr.UrlExpressions.url_resolve(col("target_uri"),
+            col("l.href")).as("dst_url"))
+      operators.WebCuration.urlFrontier(links, "src_url", "dst_url",
+          recs.select(col("target_uri")), "target_uri", limit = 50)
+        .orderBy(col("rank"))
+    }),
+
     // Charset-aware body decoding — the largest real-crawl correctness
     // gap a UTF-8-only reader has: pages re-encoded under a 6-charset
     // rotation (UTF-8, ISO-8859-1, windows-1252, GB2312, Shift_JIS,
@@ -8329,6 +8353,27 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 6, host || '/priv', 'Privacy' FROM u)
         |SELECT doc_id, CAST(idx AS BIGINT) AS idx, resolved, anchor
         |FROM l ORDER BY doc_id, idx""".stripMargin,
+
+    // discovery-capstone oracle: every page links the same seven
+    // host-local paths, none of which is a crawled /docs/ page, so each
+    // host contributes seven frontier targets with inlink mass = its
+    // page count; top-50 by (mass DESC, url ASC) replayed literally.
+    "q_crawl_discover" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT 'https://www.' || source || '.example.com' || p.path AS url,
+        |    n
+        |  FROM per, (VALUES ('/'), ('/about'), ('/buy'), ('/contact'),
+        |    ('/priv'), ('/sale'), ('/tos')) AS p(path)),
+        |top AS (
+        |  SELECT url, n AS n_inlinks, n AS n_srcs
+        |  FROM t ORDER BY n DESC, url ASC LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY n_inlinks DESC, url ASC)
+        |    AS BIGINT) AS rank,
+        |  url, n_inlinks, n_srcs
+        |FROM top ORDER BY rank""".stripMargin,
 
     // PDF extraction: the 8-word line regrouping rebuilt from the words
     // alone — shared by the direct and out-of-the-archive chains.
