@@ -397,6 +397,8 @@ object HtmlOps {
               }
               if (j < n) j += 1 // past the closing quote
             } else {
+              // HTML5 §13.2.5.37: an unquoted value consumes '/' too —
+              // `href=x/>` reads as "x/", the slash is NOT a self-close
               while (j < n && !Character.isWhitespace(s.charAt(j)) &&
                 s.charAt(j) != '>') {
                 if (s.charAt(j) == '&') j = decodeEntity(s, j, out)
