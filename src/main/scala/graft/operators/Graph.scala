@@ -192,13 +192,16 @@ object Graph {
     * multiplier: node ids are only bounded by Long, and a direct
     * `x * 2654435761L` overflows (an ARITHMETIC_OVERFLOW error under
     * ANSI mode) for ids above ~3.4e9 — exactly the ids a 100-TB web
-    * graph assigns. `pmod(x, 2³²)` first (mod-ring homomorphism), then
-    * 16-bit halves. */
+    * graph assigns. All reductions are power-of-two, so every `mod` is
+    * a bitwise AND (identical to pmod on these operands, two's
+    * complement low bits — incl. negative x — and ~5× cheaper than the
+    * division pmod compiles to: the round-15 A/B clawed back the
+    * regression the pmod chain cost q_triangles_approx). */
   private def mulMod32(x: Column, m: Long): Column = {
-    val r  = pmod(x, lit(4294967296L))
-    val hi = pmod(shiftright(r, 16) * lit(m), lit(65536L))
-    val lo = pmod(r, lit(65536L)) * lit(m)
-    pmod(hi * lit(65536L) + lo, lit(4294967296L))
+    val r  = x.bitwiseAND(lit(4294967295L)) // = pmod(x, 2^32), non-negative
+    val hi = (shiftright(r, 16) * lit(m)).bitwiseAND(lit(65535L))
+    val lo = r.bitwiseAND(lit(65535L)) * lit(m)
+    (hi * lit(65536L) + lo).bitwiseAND(lit(4294967295L))
   }
 
   /** The DOULION edge coin: Knuth-multiplicative mix of the canonical
@@ -212,8 +215,8 @@ object Graph {
     * published DOULION variance model assumes triangles sharing an edge
     * share that edge's single coin. */
   private[operators] def edgeCoinSlot(u: Column, v: Column): Column =
-    pmod(mulMod32(u, 2654435761L) + mulMod32(v, 40503L),
-      lit(4294967296L)) % lit(100L)
+    (mulMod32(u, 2654435761L) + mulMod32(v, 40503L))
+      .bitwiseAND(lit(4294967295L)) % lit(100L)
 
   def triangleEstimate(edges: DataFrame, srcCol: String, dstCol: String,
                        pPct: Int = 50): DataFrame = {
