@@ -558,6 +558,33 @@ object SparkEntry {
     sitemapEntriesFrom(s, dir, sitemapDocs(s, dir)
       .filter(col("url").endsWith("/sitemap.xml")))
 
+  /** Head-directive fixture page: a `<base>` on every third document,
+    * a `rel=canonical` onto a shared /docs/c<id%5> target on evens, a
+    * robots `<meta>` rotating noindex+nofollow / nofollow / explicit
+    * index,follow / absent by id%4, and a two-anchor body (one rooted,
+    * one relative) for the gate's link-vote count. */
+  private def headFixtureHtml: Column = {
+    val host = concat(lit("https://www."), col("source"),
+      lit(".example.com"))
+    concat(
+      lit("<html><head><title>d</title>"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("<base href=\"/assets/\">")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("<link rel=\"canonical\" href=\""), host,
+          lit("/docs/c"), pmod(col("doc_id"), lit(5)), lit("\">")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          lit("<meta name=\"robots\" content=\"nofollow\">"))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .otherwise(lit("")),
+      lit("</head><body><p>Body.</p>" +
+        "<a href=\"/l1\">One</a><a href=\"l2\">Two</a></body></html>"))
+  }
+
   /** Crawl-trap fixture pages — three URL shapes per document on its
     * source's host: a unique-content /article/<id>-<id%97>, an
     * infinite-calendar /cal/2026/<m>/<d>?sid=<hex12> whose content is
@@ -1230,6 +1257,59 @@ object SparkEntry {
               col("l.href"))).as("resolved"),
           col("l.anchor").as("anchor"), col("l.nofollow").as("nofollow"))
         .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // PAGE-LEVEL curation directives: <base href> (first wins),
+    // <link rel="canonical"> (the author's dedup key), and the robots
+    // <meta> (noindex/nofollow/none tokens) — the head-side signals a
+    // corpus gate honors before any text is kept. Body-side directives
+    // are non-conforming and must be ignored (the scan stops at <body>).
+    "q_html_head" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          graft.expr.HtmlExpressions.html_head(headFixtureHtml).as("h"))
+        .select(col("doc_id"), col("h.base").as("base"),
+          col("h.canonical").as("canonical"),
+          col("h.noindex").as("noindex"), col("h.nofollow").as("nofollow"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CANONICAL-LINK dedup: pages grouped by their author-declared
+    // canonical target (resolved against the page URL, canonicalized;
+    // pages without one key on themselves) — the dedup signal that
+    // collapses print views, session variants, and mirrors BEFORE any
+    // content hashing runs. Even docs share /docs/c<id%5> per source,
+    // odds stay singletons; survivor = min doc_id.
+    "q_canonical_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val url = concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), col("doc_id").cast("string"))
+      docs.select(col("doc_id"), url.as("url"),
+          graft.expr.HtmlExpressions.html_head(headFixtureHtml)
+            .getField("canonical").as("canonical"))
+        .select(col("doc_id"),
+          graft.expr.UrlExpressions.url_canonicalize(
+            graft.expr.UrlExpressions.url_resolve(col("url"),
+              col("canonical"))).as("canon_key"))
+        .groupBy(col("canon_key"))
+        .agg(min(col("doc_id")).as("survivor"),
+          count(lit(1)).as("n_members"))
+        .orderBy(col("canon_key"))
+    }),
+
+    // ROBOTS-META gate ledger: noindex pages leave the corpus, links on
+    // nofollow pages vote for nothing — per source: pages, kept docs,
+    // and surviving link votes (2 anchors per follow page).
+    "q_meta_robots_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"),
+          graft.expr.HtmlExpressions.html_head(headFixtureHtml).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum((!col("h.noindex")).cast("long")).as("n_kept"),
+          sum(when(!col("h.nofollow"), 2L).otherwise(0L)).cast("long")
+            .as("n_link_votes"))
+        .orderBy(col("source"))
     }),
 
     // HTML TABLE extraction — the structured-data path out of a page:
@@ -8183,6 +8263,39 @@ object SparkEntry {
         |    'Terms Privacy ' || chr(169) || ' 2026 Example Corp', 28, 12, 6,
         |    'boilerplate' FROM d
         |) ORDER BY doc_id, idx""".stripMargin,
+
+    // head-directive oracles: every field literal-by-construction from
+    // the id%3/%2/%4 fixture rotations.
+    "q_html_head" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN '/assets/' END AS base,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'https://www.' || source ||
+        |    '.example.com/docs/c' || CAST(doc_id % 5 AS VARCHAR)
+        |  END AS canonical,
+        |  doc_id % 4 = 0 AS noindex,
+        |  doc_id % 4 <= 1 AS nofollow
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_canonical_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'https://www.' || source || '.example.com/docs/c' ||
+        |        CAST(doc_id % 5 AS VARCHAR)
+        |      ELSE 'https://www.' || source || '.example.com/docs/' ||
+        |        CAST(doc_id AS VARCHAR) END AS canon_key
+        |  FROM documents)
+        |SELECT canon_key, CAST(min(doc_id) AS BIGINT) AS survivor,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM k GROUP BY canon_key ORDER BY canon_key""".stripMargin,
+
+    "q_meta_robots_gate" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN doc_id % 4 >= 2 THEN 2 ELSE 0 END) AS BIGINT)
+        |    AS n_link_votes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // html-links oracle: nine anchor shapes per document, every
     // (href, resolved, anchor, nofollow) tuple literal-by-construction —

@@ -499,6 +499,98 @@ object HtmlOps {
     out.result()
   }
 
+  val headSchema: StructType = StructType(Seq(
+    StructField("base", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("noindex", BooleanType, nullable = false),
+    StructField("nofollow", BooleanType, nullable = false)))
+
+  /** Extract the page-level curation directives a corpus gate honors:
+    * `<base href>` (the resolution base for every relative reference on
+    * the page — FIRST one wins, per HTML), `<link rel="canonical">`
+    * (the author's dedup key — first wins), and the robots `<meta>`
+    * (`noindex` = do not keep this page, `nofollow` = this page's links
+    * vote for nothing; token list case-insensitive, comma/space
+    * separated, `none` = both). Scans to `</head>`/`<body>` only —
+    * directives in the body are non-conforming and ignored. */
+  def head(html: String): (String, String, Boolean, Boolean) = {
+    if (html == null) return (null, null, false, false)
+    val n = html.length
+    var base: String = null
+    var canonical: String = null
+    var noindex = false
+    var nofollow = false
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
+            && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(html, i + 1)
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          if (j == nameStart) i += 1
+          else {
+            val name = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
+              sb.toString
+            }
+            if (!closing && SkipTags.contains(name)) {
+              i = skipSubtree(html, skipToTagEnd(html, j), name)
+            } else if ((closing && name == "head") || name == "body") {
+              done = true
+            } else if (!closing &&
+              (name == "base" || name == "link" || name == "meta")) {
+              val (attrs, after) = parseAttrs(html, j)
+              name match {
+                case "base" =>
+                  if (base == null)
+                    attrs.get("href").filter(_.nonEmpty).foreach(base = _)
+                case "link" =>
+                  val rel = attrs.getOrElse("rel", "")
+                    .toLowerCase(java.util.Locale.ROOT)
+                  if (canonical == null &&
+                    rel.split("\\s+").contains("canonical"))
+                    attrs.get("href").filter(_.nonEmpty)
+                      .foreach(canonical = _)
+                case _ =>
+                  if (attrs.getOrElse("name", "")
+                      .equalsIgnoreCase("robots")) {
+                    attrs.getOrElse("content", "")
+                      .toLowerCase(java.util.Locale.ROOT)
+                      .split("[,\\s]+").foreach {
+                        case "noindex" => noindex = true
+                        case "nofollow" => nofollow = true
+                        case "none" => noindex = true; nofollow = true
+                        case _ => ()
+                      }
+                  }
+              }
+              i = after
+            } else i = skipToTagEnd(html, j)
+          }
+        }
+      } else i += 1
+    }
+    (base, canonical, noindex, nofollow)
+  }
+
+  /** Head directives as a Catalyst row (for [[HtmlHead]]). */
+  def headData(html: UTF8String): InternalRow = {
+    val (b, cn, ni, nf) = head(if (html == null) null else html.toString)
+    InternalRow(if (b == null) null else UTF8String.fromString(b),
+      if (cn == null) null else UTF8String.fromString(cn), ni, nf)
+  }
+
   /** Links as Catalyst rows (for [[HtmlLinks]]). */
   def linksData(html: UTF8String): GenericArrayData = {
     if (html == null) return new GenericArrayData(Array.empty[Any])
@@ -598,6 +690,23 @@ case class HtmlBlocks(child: Expression, minLen: Int, maxLinkDensity: Double)
     copy(child = newChild)
 }
 
+/** `html_head(html)` — codegen head-directive extraction:
+  * struct(base, canonical, noindex, nofollow). */
+case class HtmlHead(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlOps.headSchema
+  override def prettyName: String = "html_head"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.headData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.headData($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `html_links(html)` — codegen anchor extraction. */
 case class HtmlLinks(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
@@ -650,4 +759,7 @@ object HtmlExpressions {
 
   def html_links(html: Column): Column =
     ColumnBridge.column(HtmlLinks(ColumnBridge.expression(html)))
+
+  def html_head(html: Column): Column =
+    ColumnBridge.column(HtmlHead(ColumnBridge.expression(html)))
 }

@@ -148,6 +148,26 @@ class TextExtractSpec extends SparkSpec {
       === Vector(("/tail", "dangling", false)))
   }
 
+  test("head: base/canonical first-wins, robots tokens, body ignored") {
+    val h = "<html><head><base href=\"/a/\"><base href=\"/b/\">" +
+      "<link rel=\"stylesheet canonical\" href=\"/c1\">" +
+      "<link rel=\"canonical\" href=\"/c2\">" +
+      "<meta name=\"ROBOTS\" content=\"NOINDEX\">" +
+      "</head><body><meta name=\"robots\" content=\"nofollow\">" +
+      "<base href=\"/body-base/\"></body></html>"
+    assert(HtmlOps.head(h) === (("/a/", "/c1", true, false)))
+    // none = noindex + nofollow; no head directives at all
+    assert(HtmlOps.head("<head><meta name=robots content=none></head>")
+      === ((null, null, true, true)))
+    assert(HtmlOps.head("<p>plain</p>") === ((null, null, false, false)))
+    assert(HtmlOps.head(null) === ((null, null, false, false)))
+    // comma/space token split; unrelated meta ignored
+    assert(HtmlOps.head("<head><meta name=\"robots\" " +
+      "content=\"index, nofollow\"><meta name=\"viewport\" " +
+      "content=\"noindex\"></head>")
+      === ((null, null, false, true)))
+  }
+
   test("html_table_cells expression explodes to typed cell rows") {
     val df = Seq((7L,
       "<table><tr><th>H</th></tr><tr><td>v&#33;</td></tr></table>"))
