@@ -381,6 +381,23 @@ object SparkEntry {
       |    AS is_trap
       |FROM t ORDER BY template""".stripMargin
 
+  /** Mojibake-fixture suffixes (clean forms): one CP1252-repairable,
+    * one Greek (latin-1-fallback path), one symbol pair — shared by the
+    * query's corruption/repair chain and the oracle's clean rebuild. */
+  private val MojiSuffixes: Seq[String] =
+    Seq(" – café «ß»", " αβγδ", " ©2026 ™")
+
+  /** Mojibake oracle: repair must restore the CLEAN construction for
+    * every row — corrupted rows (UTF-8 bytes mis-decoded latin-1) must
+    * come back exactly, and the uncorrupted control rows (id%5==0) must
+    * pass through untouched (the strict-decode false-positive guard). */
+  private val mojibakeOracleSql: String =
+    s"""SELECT doc_id, text || CASE doc_id % 3
+       |    WHEN 0 THEN '${MojiSuffixes(0)}'
+       |    WHEN 1 THEN '${MojiSuffixes(1)}'
+       |    ELSE '${MojiSuffixes(2)}' END AS fixed
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Font-decoding oracle (q_pdf_unicode): the unicode fixture shows
     * line i through font i%3 (WinAnsi / MacRoman+Differences /
     * Identity-H+ToUnicode) with [[graft.expr.PdfOps.unicodeSuffix]]
@@ -1257,6 +1274,26 @@ object SparkEntry {
               col("l.href"))).as("resolved"),
           col("l.anchor").as("anchor"), col("l.nofollow").as("nofollow"))
         .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // MOJIBAKE repair (the ftfy core, deterministic): four of five
+    // documents arrive with their unicode suffix CORRUPTED the way real
+    // crawls corrupt it (UTF-8 bytes decoded as latin-1 — "Ã©" for é,
+    // "â‚¬"-style C1 salads); fix_mojibake must restore the clean
+    // construction bit-exactly via strict encode-back-and-decode, and
+    // the uncorrupted control rows (id%5==0) must pass through
+    // UNTOUCHED — the strict UTF-8 gate is what keeps legitimate
+    // accents safe from false repair.
+    "q_text_fix_mojibake" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sfx = element_at(array(MojiSuffixes.map(lit): _*),
+        pmod(col("doc_id"), lit(3)).cast("int") + 1)
+      val clean = concat(col("text"), sfx)
+      val corrupted = decode(encode(clean, "UTF-8"), "ISO-8859-1")
+      val input = when(col("doc_id") % 5 === 0, clean).otherwise(corrupted)
+      docs.select(col("doc_id"),
+          graft.expr.MojibakeExpressions.fix_mojibake(input).as("fixed"))
+        .orderBy(col("doc_id"))
     }),
 
     // PAGE-LEVEL curation directives: <base href> (first wins),
@@ -8263,6 +8300,8 @@ object SparkEntry {
         |    'Terms Privacy ' || chr(169) || ' 2026 Example Corp', 28, 12, 6,
         |    'boilerplate' FROM d
         |) ORDER BY doc_id, idx""".stripMargin,
+
+    "q_text_fix_mojibake" -> mojibakeOracleSql,
 
     // head-directive oracles: every field literal-by-construction from
     // the id%3/%2/%4 fixture rotations.
