@@ -566,9 +566,11 @@ object SparkEntry {
       xmls.join(broadcast(rootEntries.filter(col("kind") === "sitemap")
         .select(col("loc").as("url"))), Seq("url")), "xml")
     rootEntries.filter(col("kind") === "url")
-      .select(col("domain"), col("kind"), col("loc"), col("lastmod"))
+      .select(col("domain"), col("kind"), col("loc"), col("lastmod"),
+        col("changefreq"), col("priority"))
       .unionByName(childEntries.filter(col("kind") === "url")
-        .select(col("domain"), col("kind"), col("loc"), col("lastmod")))
+        .select(col("domain"), col("kind"), col("loc"), col("lastmod"),
+          col("changefreq"), col("priority")))
   }
 
   private def sitemapUrlEntries(s: SparkSession, dir: String): DataFrame =
@@ -2459,6 +2461,29 @@ object SparkEntry {
       operators.Sitemap.recrawlPlan(sitemapUrlEntries(s, dir), "domain",
           crawled, "url", "fetched_at")
         .select(col("domain"), col("loc"), col("action"), col("fetch_rank"))
+        .orderBy(col("domain"), col("loc"))
+    }),
+
+    // CHANGEFREQ-aware recrawl — unsticking the conservative branch:
+    // a held copy with no newer lastmod used to always skip; now the
+    // sitemap's advertised revisit period decides (always/daily → 1 day,
+    // weekly 7, monthly 30, yearly 365, never/unknown → still skip).
+    // As of 2026-02-15 the fixture's fetch dates make monthly split by
+    // elapsed days, yearly/never always skip, and the rest revisit —
+    // the oracle replays the whole ladder per slot.
+    "q_recrawl_changefreq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crawled = docs
+        .select(col("source"), (col("doc_id") % 25).as("slot")).distinct()
+        .select(concat(lit("https://www."), col("source"),
+            lit(".example.com/docs/"), col("slot").cast("string")).as("url"),
+          to_date(concat(lit("2026-01-"),
+            lpad(((col("slot") * 3) % 28 + 1).cast("string"), 2, "0")))
+            .as("fetched_at"))
+      operators.Sitemap.recrawlPlanFreq(sitemapUrlEntries(s, dir), "domain",
+          crawled, "url", "fetched_at", to_date(lit("2026-02-15")))
+        .select(col("domain"), col("loc"), col("changefreq"), col("action"),
+          col("fetch_rank"))
         .orderBy(col("domain"), col("loc"))
     }),
 
@@ -8964,6 +8989,50 @@ object SparkEntry {
         |      ORDER BY lastmod DESC, loc ASC) AS BIGINT) AS fetch_rank
         |  FROM plan WHERE action <> 'skip')
         |SELECT p.domain, p.loc, p.action, t.fetch_rank
+        |FROM plan p LEFT JOIN todo t ON t.domain = p.domain AND t.loc = p.loc
+        |ORDER BY p.domain, p.loc""".stripMargin,
+
+    // Changefreq-recrawl oracle: the q_recrawl_plan replay with the
+    // period ladder folded in — revisit iff held, not refreshed, a
+    // finite period advertised, and (2026-02-15 − fetched) ≥ period.
+    "q_recrawl_changefreq" ->
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents),
+        |ent AS (
+        |  SELECT s.source, s.domain, (s.k + ii.i) % 25 AS slot,
+        |    'https://www.' || s.domain || '/docs/' ||
+        |      CAST((s.k + ii.i) % 25 AS VARCHAR) AS loc,
+        |    CAST('2026-01-' ||
+        |      lpad(CAST((s.k + ii.i) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |      AS lastmod,
+        |    CASE (s.k + ii.i) % 6 WHEN 0 THEN 'always' WHEN 1 THEN 'daily'
+        |      WHEN 2 THEN 'weekly' WHEN 3 THEN 'monthly'
+        |      WHEN 4 THEN 'yearly' ELSE 'never' END AS changefreq,
+        |    CASE (s.k + ii.i) % 6 WHEN 0 THEN 1 WHEN 1 THEN 1
+        |      WHEN 2 THEN 7 WHEN 3 THEN 30 WHEN 4 THEN 365 END AS period
+        |  FROM src s CROSS JOIN (SELECT unnest(range(10)) AS i) ii),
+        |crawled AS (SELECT DISTINCT source, doc_id % 25 AS slot FROM documents),
+        |plan AS (
+        |  SELECT e.domain, e.loc, e.lastmod, e.changefreq,
+        |    CASE WHEN c.slot IS NULL THEN 'new'
+        |         WHEN e.lastmod > CAST('2026-01-' ||
+        |           lpad(CAST((e.slot * 3) % 28 + 1 AS VARCHAR), 2, '0')
+        |           AS DATE) THEN 'refresh'
+        |         WHEN e.period IS NOT NULL AND
+        |           DATE '2026-02-15' - CAST('2026-01-' ||
+        |             lpad(CAST((e.slot * 3) % 28 + 1 AS VARCHAR), 2, '0')
+        |             AS DATE) >= e.period THEN 'revisit'
+        |         ELSE 'skip' END AS action
+        |  FROM ent e LEFT JOIN crawled c
+        |    ON c.source = e.source AND c.slot = e.slot),
+        |todo AS (
+        |  SELECT domain, loc,
+        |    CAST(row_number() OVER (PARTITION BY domain
+        |      ORDER BY lastmod DESC, loc ASC) AS BIGINT) AS fetch_rank
+        |  FROM plan WHERE action <> 'skip')
+        |SELECT p.domain, p.loc, p.changefreq, p.action, t.fetch_rank
         |FROM plan p LEFT JOIN todo t ON t.domain = p.domain AND t.loc = p.loc
         |ORDER BY p.domain, p.loc""".stripMargin,
 

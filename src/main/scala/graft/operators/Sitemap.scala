@@ -22,9 +22,10 @@ object Sitemap {
 
   /** Parse sitemap XML documents into typed entries: one row per
     * `<url>` (kind 'url') or `<sitemap>` (kind 'sitemap') block, adding
-    * (kind, loc, lastmod DATE — null when the optional tag is absent).
-    * All other input columns pass through; rows with an empty/missing
-    * `<loc>` are dropped (the spec makes loc mandatory). */
+    * (kind, loc, lastmod DATE, changefreq lowercased token, priority
+    * DOUBLE — each null when its optional tag is absent). All other
+    * input columns pass through; rows with an empty/missing `<loc>` are
+    * dropped (the spec makes loc mandatory). */
   def parseEntries(df: DataFrame, xmlCol: String): DataFrame = {
     val passThrough = df.columns.filterNot(_ == xmlCol).map(col).toSeq
     def blocks(kind: String, tag: String) = df
@@ -33,6 +34,10 @@ object Sitemap {
       .withColumn("kind", lit(kind))
     val lastmodRaw = regexp_extract(col("__blk"),
       "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
+    val cfRaw = regexp_extract(col("__blk"),
+      "(?s)<changefreq>\\s*(.*?)\\s*</changefreq>", 1)
+    val prRaw = regexp_extract(col("__blk"),
+      "(?s)<priority>\\s*(.*?)\\s*</priority>", 1)
     blocks("url", "url").unionByName(blocks("sitemap", "sitemap"))
       .withColumn("loc",
         regexp_extract(col("__blk"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))
@@ -41,6 +46,12 @@ object Sitemap {
       .withColumn("lastmod",
         when(lastmodRaw === "", lit(null).cast("date"))
           .otherwise(to_date(lastmodRaw)))
+      .withColumn("changefreq",
+        when(cfRaw === "", lit(null).cast("string")).otherwise(lower(cfRaw)))
+      // numeric-guarded cast: a malformed priority is null, not an
+      // ANSI cast error mid-crawl
+      .withColumn("priority",
+        when(prRaw.rlike("^[0-9]*\\.?[0-9]+$"), prRaw.cast("double")))
       .filter(col("loc") =!= "")
       .drop("__blk")
   }
@@ -120,6 +131,47 @@ object Sitemap {
       .drop("__fetched")
   }
 
+  /** [[recrawlPlan]] with the `<changefreq>` signal folded in — the
+    * refinement that unsticks the conservative branch: a held copy with
+    * NO newer lastmod previously always skipped; with a changefreq, the
+    * advertised revisit period decides instead. Actions: `new` (never
+    * crawled), `refresh` (lastmod postdates our fetch — the strongest
+    * signal, changefreq ignored), `revisit` (no newer lastmod but the
+    * changefreq period has elapsed since our fetch as of `asOf`:
+    * always/hourly/daily → 1 day at crawl-batch granularity, weekly 7,
+    * monthly 30, yearly 365; `never` and unknown tokens never fire),
+    * `skip` otherwise. Non-skip rows rank per domain (lastmod DESC
+    * NULLS LAST, loc ASC). Same one-join + one-window shape. */
+  def recrawlPlanFreq(urlEntries: DataFrame, domainCol: String,
+                      crawled: DataFrame, crawledUrlCol: String,
+                      fetchedAtCol: String, asOf: Column): DataFrame = {
+    import graft.expr.UrlExpressions.url_canonicalize
+    val period =
+      when(col("changefreq").isin("always", "hourly", "daily"), 1L)
+        .when(col("changefreq") === "weekly", 7L)
+        .when(col("changefreq") === "monthly", 30L)
+        .when(col("changefreq") === "yearly", 365L)
+    val joined = urlEntries.filter(col("kind") === "url")
+      .withColumn("loc", url_canonicalize(col("loc")))
+      .join(crawled
+        .groupBy(url_canonicalize(col(crawledUrlCol)).as("loc"))
+        .agg(max(col(fetchedAtCol)).as("__fetched")), Seq("loc"), "left")
+      .withColumn("action",
+        when(col("__fetched").isNull, "new")
+          .when(col("lastmod").isNotNull &&
+            col("lastmod") > col("__fetched"), "refresh")
+          .when(period.isNotNull &&
+            datediff(asOf, col("__fetched")) >= period, "revisit")
+          .otherwise("skip"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("lastmod").desc_nulls_last, col("loc").asc)
+    joined.filter(col("action") =!= "skip")
+      .withColumn("fetch_rank", row_number().over(w).cast("long"))
+      .unionByName(joined.filter(col("action") === "skip")
+        .withColumn("fetch_rank", lit(null).cast("long")))
+      .drop("__fetched")
+  }
+
   /** Conditional-fetch planner — [[recrawlPlan]]'s HTTP-aware half: a
     * real crawler never blind-refetches a held page; it revalidates with
     * the stored validators (RFC 9110 §13): `If-None-Match` when an ETag
@@ -176,16 +228,24 @@ object Sitemap {
 
   /** Deterministic synthetic `<urlset>` for the fixture domains: entries
     * for slots `from until until`, loc = /docs/((k + i) % 25) with
-    * lastmod 2026-01-((k + i) % 28 + 1) — slot and date both
+    * lastmod 2026-01-((k + i) % 28 + 1), changefreq rotating the six
+    * spec tokens by (k + i) % 6 (`never` included so the null-period
+    * branch is exercised) and priority 0.((k + i) % 10) — every field
     * SQL-reconstructable from the domain. */
   def syntheticUrlset(domain: Column, k: Column, from: Int, until: Int): Column = {
+    val freqs = array(lit("always"), lit("daily"), lit("weekly"),
+      lit("monthly"), lit("yearly"), lit("never"))
     val entries = (from until until).map { i =>
       val slot = (k + lit(i)) % 25
       val day = lpad(((k + lit(i)) % 28 + 1).cast("string"), 2, "0")
       concat(lit("  <url>\n    <loc>https://www."), domain, lit("/docs/"),
         slot.cast("string"),
         lit("</loc>\n    <lastmod>2026-01-"), day,
-        lit("</lastmod>\n  </url>\n"))
+        lit("</lastmod>\n    <changefreq>"),
+        element_at(freqs, ((k + lit(i)) % 6).cast("int") + 1),
+        lit("</changefreq>\n    <priority>0."),
+        ((k + lit(i)) % 10).cast("string"),
+        lit("</priority>\n  </url>\n"))
     }
     concat(lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
       "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n") +:
