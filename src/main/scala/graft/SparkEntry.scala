@@ -604,6 +604,28 @@ object SparkEntry {
         "<a href=\"/l1\">One</a><a href=\"l2\">Two</a></body></html>"))
   }
 
+  /** Hreflang fixture page: en/de alternates on every document, fr on
+    * evens, and an x-default naming the cluster representative (the
+    * slot page's English variant) — so pages sharing doc_id%25 within a
+    * source form one language cluster. */
+  private def altFixtureHtml: Column = {
+    val host = concat(lit("https://www."), col("source"),
+      lit(".example.com"))
+    val slot = pmod(col("doc_id"), lit(25)).cast("string")
+    concat(
+      lit("<html><head>"),
+      lit("<link rel=\"alternate\" hreflang=\"en\" href=\""), host,
+      lit("/en/"), slot, lit("\">"),
+      lit("<link rel=\"alternate\" hreflang=\"de\" href=\""), host,
+      lit("/de/"), slot, lit("\">"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("<link rel=\"alternate\" hreflang=\"fr\" href=\""),
+          host, lit("/fr/"), slot, lit("\">"))).otherwise(lit("")),
+      lit("<link rel=\"alternate\" hreflang=\"x-default\" href=\""), host,
+      lit("/en/"), slot, lit("\">"),
+      lit("</head><body><p>Body.</p></body></html>"))
+  }
+
   /** Crawl-trap fixture pages — three URL shapes per document on its
     * source's host: a unique-content /article/<id>-<id%97>, an
     * infinite-calendar /cal/2026/<m>/<d>?sid=<hex12> whose content is
@@ -1276,6 +1298,42 @@ object SparkEntry {
               col("l.href"))).as("resolved"),
           col("l.anchor").as("anchor"), col("l.nofollow").as("nofollow"))
         .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // HREFLANG alternates — the multilingual-variant clustering signal
+    // (the mC4/CCAligned grouping key): each page advertises en/de
+    // variants, fr on evens, and an x-default naming the cluster
+    // representative; extraction order and every (hreflang, href) pair
+    // are pinned literally.
+    "q_html_alternates" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          posexplode(graft.expr.HtmlExpressions.html_alternates(
+            altFixtureHtml)).as(Seq("idx", "a")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          col("a.hreflang").as("hreflang"), col("a.href").as("href"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // LANGUAGE-VARIANT clusters: pages sharing one x-default target are
+    // one logical document across languages — the unit multilingual
+    // dedup and parallel-corpus mining operate on. Cluster ledger:
+    // member pages and distinct non-default languages; a cluster has 3
+    // langs iff any member page is even (advertises fr).
+    "q_lang_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ex = docs.select(col("doc_id"),
+        explode(graft.expr.HtmlExpressions.html_alternates(altFixtureHtml))
+          .as("a"))
+      val clusterOf = ex.filter(col("a.hreflang") === "x-default")
+        .select(col("doc_id"), col("a.href").as("cluster"))
+      ex.filter(col("a.hreflang") =!= "x-default")
+        .select(col("doc_id"), col("a.hreflang").as("hreflang"))
+        .join(clusterOf, Seq("doc_id"))
+        .groupBy(col("cluster"))
+        .agg(countDistinct(col("doc_id")).as("n_pages"),
+          countDistinct(col("hreflang")).as("n_langs"))
+        .orderBy(col("cluster"))
     }),
 
     // MOJIBAKE repair (the ftfy core, deterministic): four of five
@@ -8327,6 +8385,38 @@ object SparkEntry {
         |) ORDER BY doc_id, idx""".stripMargin,
 
     "q_text_fix_mojibake" -> mojibakeOracleSql,
+
+    // hreflang oracles: pairs and cluster ledgers rebuilt from the
+    // id%25 slot / id%2 fr rotation.
+    "q_html_alternates" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com' AS host,
+        |    CAST(doc_id % 25 AS VARCHAR) AS slot
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, 0 AS idx, 'en' AS hreflang,
+        |    host || '/en/' || slot AS href FROM u
+        |  UNION ALL SELECT doc_id, 1, 'de', host || '/de/' || slot FROM u
+        |  UNION ALL SELECT doc_id, 2, 'fr', host || '/fr/' || slot
+        |    FROM u WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END, 'x-default',
+        |    host || '/en/' || slot FROM u)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx, hreflang, href
+        |FROM l ORDER BY doc_id, idx""".stripMargin,
+
+    "q_lang_clusters" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, doc_id % 25 AS slot,
+        |    doc_id % 2 = 0 AS has_fr
+        |  FROM documents)
+        |SELECT 'https://www.' || source || '.example.com/en/' ||
+        |    CAST(slot AS VARCHAR) AS cluster,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(2 + max(CASE WHEN has_fr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_langs
+        |FROM d GROUP BY source, slot ORDER BY cluster""".stripMargin,
 
     // head-directive oracles: every field literal-by-construction from
     // the id%3/%2/%4 fixture rotations.

@@ -584,6 +584,80 @@ object HtmlOps {
     (base, canonical, noindex, nofollow)
   }
 
+  val alternateSchema: StructType = StructType(Seq(
+    StructField("hreflang", StringType, nullable = false),
+    StructField("href", StringType, nullable = false)))
+
+  /** Extract `<link rel="alternate" hreflang=...>` pairs, in document
+    * order — the signal that groups a page with its language variants
+    * (the mC4/CCAligned clustering key; `x-default` names the cluster
+    * representative). Head-only scan like [[head]]; entries missing
+    * either attribute are dropped; hreflang tokens lowercase. */
+  def alternates(html: String): IndexedSeq[(String, String)] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    val out = IndexedSeq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
+            && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(html, i + 1)
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          if (j == nameStart) i += 1
+          else {
+            val name = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
+              sb.toString
+            }
+            if (!closing && SkipTags.contains(name)) {
+              i = skipSubtree(html, skipToTagEnd(html, j), name)
+            } else if ((closing && name == "head") || name == "body") {
+              done = true
+            } else if (!closing && name == "link") {
+              val (attrs, after) = parseAttrs(html, j)
+              val rel = attrs.getOrElse("rel", "")
+                .toLowerCase(java.util.Locale.ROOT)
+              if (rel.split("\\s+").contains("alternate")) {
+                val hl = attrs.getOrElse("hreflang", "")
+                  .toLowerCase(java.util.Locale.ROOT)
+                val href = attrs.getOrElse("href", "")
+                if (hl.nonEmpty && href.nonEmpty) out += ((hl, href))
+              }
+              i = after
+            } else i = skipToTagEnd(html, j)
+          }
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Alternates as Catalyst rows (for [[HtmlAlternates]]). */
+  def alternatesData(html: UTF8String): GenericArrayData = {
+    if (html == null) return new GenericArrayData(Array.empty[Any])
+    val as = alternates(html.toString)
+    val rows = new Array[Any](as.length)
+    var i = 0
+    while (i < as.length) {
+      rows(i) = InternalRow(UTF8String.fromString(as(i)._1),
+        UTF8String.fromString(as(i)._2))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** Head directives as a Catalyst row (for [[HtmlHead]]). */
   def headData(html: UTF8String): InternalRow = {
     val (b, cn, ni, nf) = head(if (html == null) null else html.toString)
@@ -707,6 +781,23 @@ case class HtmlHead(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `html_alternates(html)` — codegen hreflang-alternate extraction. */
+case class HtmlAlternates(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(HtmlOps.alternateSchema, containsNull = false)
+  override def prettyName: String = "html_alternates"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.alternatesData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.alternatesData($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `html_links(html)` — codegen anchor extraction. */
 case class HtmlLinks(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
@@ -762,4 +853,7 @@ object HtmlExpressions {
 
   def html_head(html: Column): Column =
     ColumnBridge.column(HtmlHead(ColumnBridge.expression(html)))
+
+  def html_alternates(html: Column): Column =
+    ColumnBridge.column(HtmlAlternates(ColumnBridge.expression(html)))
 }

@@ -168,6 +168,20 @@ class TextExtractSpec extends SparkSpec {
       === ((null, null, false, true)))
   }
 
+  test("alternates: hreflang pairs in order, rel tokens, body ignored") {
+    val h = "<html><head>" +
+      "<link rel=\"alternate\" hreflang=\"EN\" href=\"/en\">" +
+      "<link rel=\"stylesheet alternate\" hreflang=\"de\" href=\"/de\">" +
+      "<link rel=\"alternate\" href=\"/no-lang\">" + // dropped: no hreflang
+      "<link rel=\"alternate\" hreflang=\"x-default\" href=\"/\">" +
+      "</head><body>" +
+      "<link rel=\"alternate\" hreflang=\"fr\" href=\"/fr\"></body></html>"
+    assert(HtmlOps.alternates(h) === Vector(
+      ("en", "/en"), ("de", "/de"), ("x-default", "/")))
+    assert(HtmlOps.alternates(null) === Vector.empty)
+    assert(HtmlOps.alternates("<p>none</p>") === Vector.empty)
+  }
+
   test("html_table_cells expression explodes to typed cell rows") {
     val df = Seq((7L,
       "<table><tr><th>H</th></tr><tr><td>v&#33;</td></tr></table>"))
