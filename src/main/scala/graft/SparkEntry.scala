@@ -1336,6 +1336,29 @@ object SparkEntry {
         .orderBy(col("cluster"))
     }),
 
+    // FENCED CODE extraction — the code/prose separation a Stack-style
+    // pipeline runs on markdown-ish text: documents rebuilt with two
+    // fenced blocks (one ```python-tagged, one bare), extraction via
+    // regexp_extract_all + per-block pulls (fully declarative — no
+    // custom expression needed for a regular grammar), every
+    // (idx, lang, code) pinned by the word-slice oracle.
+    "q_text_code_fences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val doc = concat(
+        array_join(slice(words, 1, 4), " "), lit(" ```python\n"),
+        array_join(slice(words, 5, 4), " "), lit("\n``` mid ```\n"),
+        array_join(slice(words, 9, 4), " "), lit("\n``` tail"))
+      docs.select(col("doc_id"),
+          posexplode(regexp_extract_all(doc,
+            lit("(?s)```[a-z]*\\n.*?\\n```"), lit(0)))
+            .as(Seq("idx", "blk")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          regexp_extract(col("blk"), "^```([a-z]*)", 1).as("lang"),
+          regexp_extract(col("blk"), "(?s)\\n(.*)\\n```$", 1).as("code"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // MOJIBAKE repair (the ftfy core, deterministic): four of five
     // documents arrive with their unicode suffix CORRUPTED the way real
     // crawls corrupt it (UTF-8 bytes decoded as latin-1 — "Ã©" for é,
@@ -8385,6 +8408,21 @@ object SparkEntry {
         |) ORDER BY doc_id, idx""".stripMargin,
 
     "q_text_fix_mojibake" -> mojibakeOracleSql,
+
+    // code-fence oracle: both blocks rebuilt from word slices (DuckDB
+    // 1-based inclusive list slicing mirrors Spark's slice(start,len)).
+    "q_text_code_fences" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS lst
+        |  FROM documents)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx, lang, code
+        |FROM (
+        |  SELECT doc_id, 0 AS idx, 'python' AS lang,
+        |    array_to_string(lst[5:8], ' ') AS code FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 1, '', array_to_string(lst[9:12], ' ') FROM w)
+        |ORDER BY doc_id, idx""".stripMargin,
 
     // hreflang oracles: pairs and cluster ledgers rebuilt from the
     // id%25 slot / id%2 fr rotation.
