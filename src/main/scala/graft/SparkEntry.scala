@@ -1300,6 +1300,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // OPENGRAPH metadata (ogp.me) — the enrichment row a corpus keeps
+    // next to the extracted text: og:title from the first three words,
+    // og:type/og:url constants, og:image on evens; a non-property
+    // description meta and a body-side og tag must both be ignored.
+    "q_html_og" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words3 = array_join(slice(filter(split(col("text"), " "),
+        w => length(w) > 0), 1, 3), " ")
+      val host = concat(lit("https://www."), col("source"),
+        lit(".example.com"))
+      val html = concat(
+        lit("<html><head>"),
+        lit("<meta property=\"og:title\" content=\""), words3, lit("\">"),
+        lit("<meta property=\"og:type\" content=\"article\">"),
+        lit("<meta property=\"og:url\" content=\""), host, lit("/docs/"),
+        col("doc_id").cast("string"), lit("\">"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("<meta property=\"og:image\" content=\""), host,
+            lit("/img/"), pmod(col("doc_id"), lit(9)), lit(".png\">")))
+          .otherwise(lit("")),
+        lit("<meta name=\"description\" content=\"not og\">" +
+          "</head><body>" +
+          "<meta property=\"og:late\" content=\"ignored\"></body></html>"))
+      docs.select(col("doc_id"),
+          posexplode(graft.expr.HtmlExpressions.html_og(html))
+            .as(Seq("idx", "m")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          col("m.key").as("key"), col("m.value").as("value"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // HREFLANG alternates — the multilingual-variant clustering signal
     // (the mC4/CCAligned grouping key): each page advertises en/de
     // variants, fr on evens, and an x-default naming the cluster
@@ -8423,6 +8454,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, 1, '', array_to_string(lst[9:12], ' ') FROM w)
         |ORDER BY doc_id, idx""".stripMargin,
+
+    // opengraph oracle: rows literal-by-construction (title from the
+    // first three words, image only on evens).
+    "q_html_og" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.com' AS host,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), x -> x <> '')[1:3],
+        |      ' ') AS t3
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, 0 AS idx, 'title' AS key, t3 AS value FROM u
+        |  UNION ALL SELECT doc_id, 1, 'type', 'article' FROM u
+        |  UNION ALL SELECT doc_id, 2, 'url',
+        |    host || '/docs/' || CAST(doc_id AS VARCHAR) FROM u
+        |  UNION ALL SELECT doc_id, 3, 'image',
+        |    host || '/img/' || CAST(doc_id % 9 AS VARCHAR) || '.png'
+        |    FROM u WHERE doc_id % 2 = 0)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx, key, value
+        |FROM l ORDER BY doc_id, idx""".stripMargin,
 
     // hreflang oracles: pairs and cluster ledgers rebuilt from the
     // id%25 slot / id%2 fr rotation.

@@ -658,6 +658,78 @@ object HtmlOps {
     new GenericArrayData(rows)
   }
 
+  val ogSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** Extract OpenGraph metadata — `<meta property="og:*" content=...>`
+    * pairs in document order (ogp.me) — the standard page-enrichment
+    * signal (title/description/type/image) a corpus keeps next to the
+    * extracted text. Head-only scan; keys lowercased with the `og:`
+    * prefix stripped; entries with an empty content are dropped;
+    * repeated keys all emit (og arrays are legal). */
+  def og(html: String): IndexedSeq[(String, String)] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    val out = IndexedSeq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
+            && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(html, i + 1)
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          if (j == nameStart) i += 1
+          else {
+            val name = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
+              sb.toString
+            }
+            if (!closing && SkipTags.contains(name)) {
+              i = skipSubtree(html, skipToTagEnd(html, j), name)
+            } else if ((closing && name == "head") || name == "body") {
+              done = true
+            } else if (!closing && name == "meta") {
+              val (attrs, after) = parseAttrs(html, j)
+              val prop = attrs.getOrElse("property", "")
+                .toLowerCase(java.util.Locale.ROOT)
+              val content = attrs.getOrElse("content", "")
+              if (prop.startsWith("og:") && content.nonEmpty)
+                out += ((prop.substring(3), content))
+              i = after
+            } else i = skipToTagEnd(html, j)
+          }
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** OpenGraph pairs as Catalyst rows (for [[HtmlOg]]). */
+  def ogData(html: UTF8String): GenericArrayData = {
+    if (html == null) return new GenericArrayData(Array.empty[Any])
+    val os = og(html.toString)
+    val rows = new Array[Any](os.length)
+    var i = 0
+    while (i < os.length) {
+      rows(i) = InternalRow(UTF8String.fromString(os(i)._1),
+        UTF8String.fromString(os(i)._2))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** Head directives as a Catalyst row (for [[HtmlHead]]). */
   def headData(html: UTF8String): InternalRow = {
     val (b, cn, ni, nf) = head(if (html == null) null else html.toString)
@@ -781,6 +853,23 @@ case class HtmlHead(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `html_og(html)` — codegen OpenGraph metadata extraction. */
+case class HtmlOg(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(HtmlOps.ogSchema, containsNull = false)
+  override def prettyName: String = "html_og"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.ogData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.ogData($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `html_alternates(html)` — codegen hreflang-alternate extraction. */
 case class HtmlAlternates(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
@@ -856,4 +945,7 @@ object HtmlExpressions {
 
   def html_alternates(html: Column): Column =
     ColumnBridge.column(HtmlAlternates(ColumnBridge.expression(html)))
+
+  def html_og(html: Column): Column =
+    ColumnBridge.column(HtmlOg(ColumnBridge.expression(html)))
 }
