@@ -182,6 +182,21 @@ class TextExtractSpec extends SparkSpec {
     assert(HtmlOps.alternates("<p>none</p>") === Vector.empty)
   }
 
+  test("og: property pairs in order, prefix strip, body/name ignored") {
+    val h = "<html><head>" +
+      "<meta property=\"og:title\" content=\"A &amp; B\">" +
+      "<meta property=\"OG:Type\" content=\"article\">" +
+      "<meta property=\"og:empty\" content=\"\">" + // dropped
+      "<meta name=\"og:name-not-property\" content=\"x\">" + // dropped
+      "<meta property=\"twitter:card\" content=\"y\">" + // not og
+      "</head><body>" +
+      "<meta property=\"og:late\" content=\"z\"></body></html>"
+    assert(HtmlOps.og(h) === Vector(
+      ("title", "A & B"), ("type", "article")))
+    assert(HtmlOps.og(null) === Vector.empty)
+    assert(HtmlOps.og("<p>none</p>") === Vector.empty)
+  }
+
   test("html_table_cells expression explodes to typed cell rows") {
     val df = Seq((7L,
       "<table><tr><th>H</th></tr><tr><td>v&#33;</td></tr></table>"))
