@@ -381,6 +381,49 @@ object SparkEntry {
       |    AS is_trap
       |FROM t ORDER BY template""".stripMargin
 
+  /** html-links oracle, shared verbatim by the batch extraction
+    * and its streaming twin (per-row purity => stream = batch). */
+  private val htmlLinksOracleSql: String =
+        """WITH u AS (
+      |  SELECT doc_id, source,
+      |    'https://www.' || source || '.example.com' AS host,
+      |    CAST(doc_id % 25 AS VARCHAR) AS slot,
+      |    CAST(doc_id AS VARCHAR) AS id,
+      |    CAST(doc_id % 7 AS VARCHAR) AS m7,
+      |    CAST(doc_id % 5 AS VARCHAR) AS m5,
+      |    CAST(doc_id % 4 AS VARCHAR) AS m4,
+      |    CAST(doc_id % 3 AS VARCHAR) AS m3,
+      |    CAST(doc_id % 6 AS VARCHAR) AS m6,
+      |    CAST(doc_id % 2 AS VARCHAR) AS m2
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, 0 AS idx, host || '/article/' || id AS href,
+      |    host || '/article/' || id AS resolved,
+      |    'Read more' AS anchor, FALSE AS nofollow FROM u
+      |  UNION ALL SELECT doc_id, 1, 'sub/page-' || m7,
+      |    host || '/docs/' || slot || '/sub/page-' || m7, 'Sub page',
+      |    FALSE FROM u
+      |  UNION ALL SELECT doc_id, 2, '../up-' || m5,
+      |    host || '/docs/up-' || m5, 'Up one', FALSE FROM u
+      |  UNION ALL SELECT doc_id, 3, '/top-' || m3, host || '/top-' || m3,
+      |    'Top', FALSE FROM u
+      |  UNION ALL SELECT doc_id, 4,
+      |    '//cdn.' || source || '.example.com/lib-' || m4,
+      |    'https://cdn.' || source || '.example.com/lib-' || m4, 'CDN',
+      |    FALSE FROM u
+      |  UNION ALL SELECT doc_id, 5, '?page=' || m6,
+      |    host || '/docs/' || slot || '/?page=' || m6, 'Next', FALSE FROM u
+      |  UNION ALL SELECT doc_id, 6, '#sec',
+      |    host || '/docs/' || slot || '/', 'Same page', FALSE FROM u
+      |  UNION ALL SELECT doc_id, 7,
+      |    'mailto:info@' || source || '.example.com',
+      |    'mailto:info@' || source || '.example.com', 'Mail', FALSE FROM u
+      |  UNION ALL SELECT doc_id, 8, '/out-' || m2, host || '/out-' || m2,
+      |    'Ad & out', TRUE FROM u)
+      |SELECT doc_id, CAST(idx AS BIGINT) AS idx, href, resolved, anchor,
+      |  nofollow
+      |FROM l ORDER BY doc_id, idx""".stripMargin
+
   /** Mojibake-fixture suffixes (clean forms): one CP1252-repairable,
     * one Greek (latin-1-fallback path), one symbol pair — shared by the
     * query's corruption/repair chain and the oracle's clean rebuild. */
@@ -602,6 +645,46 @@ object SparkEntry {
         .otherwise(lit("")),
       lit("</head><body><p>Body.</p>" +
         "<a href=\"/l1\">One</a><a href=\"l2\">Two</a></body></html>"))
+  }
+
+  /** The q_html_links computation (fixture page → extracted, resolved,
+    * canonicalized link rows) as a pure per-row projection over a
+    * (doc_id, source) frame — shared verbatim by the batch query and
+    * its streaming twin. */
+  private val htmlLinksRows: DataFrame => DataFrame = docs => {
+    val slot = pmod(col("doc_id"), lit(25)).cast("string")
+    val id = col("doc_id").cast("string")
+    val pageUrl = concat(lit("https://www."), col("source"),
+      lit(".example.com/docs/"), slot, lit("/"))
+    val html = concat(
+      lit("<html><body><p>Intro text.</p>"),
+      lit("<a href=\"https://www."), col("source"),
+      lit(".example.com/article/"), id, lit("\">Read <b>more</b></a>"),
+      lit("<a href=\"sub/page-"), pmod(col("doc_id"), lit(7)),
+      lit("\">Sub page</a>"),
+      lit("<a href=\"../up-"), pmod(col("doc_id"), lit(5)),
+      lit("\">Up one</a>"),
+      lit("<a href=\"/top-"), pmod(col("doc_id"), lit(3)),
+      lit("\">Top</a>"),
+      lit("<a href=\"//cdn."), col("source"), lit(".example.com/lib-"),
+      pmod(col("doc_id"), lit(4)), lit("\">CDN</a>"),
+      lit("<a href=\"?page="), pmod(col("doc_id"), lit(6)),
+      lit("\">Next</a>"),
+      lit("<a href=\"#sec\">Same page</a>"),
+      lit("<a href=\"mailto:info@"), col("source"),
+      lit(".example.com\">Mail</a>"),
+      lit("<a rel=\"nofollow\" href=\"/out-"), pmod(col("doc_id"), lit(2)),
+      lit("\">Ad &amp; out</a>"),
+      lit("</body></html>"))
+    docs.select(col("doc_id"), pageUrl.as("page_url"),
+        posexplode(graft.expr.HtmlExpressions.html_links(html))
+          .as(Seq("idx", "l")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        col("l.href").as("href"),
+        graft.expr.UrlExpressions.url_canonicalize(
+          graft.expr.UrlExpressions.url_resolve(col("page_url"),
+            col("l.href"))).as("resolved"),
+        col("l.anchor").as("anchor"), col("l.nofollow").as("nofollow"))
   }
 
   /** Hreflang fixture page: en/de alternates on every document, fr on
@@ -1262,41 +1345,22 @@ object SparkEntry {
     // &amp; decoded) and resolve+canonicalize against the page URL.
     // Every (href, resolved, anchor, nofollow) tuple is pinned literally
     // by the oracle.
-    "q_html_links" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val slot = pmod(col("doc_id"), lit(25)).cast("string")
-      val id = col("doc_id").cast("string")
-      val pageUrl = concat(lit("https://www."), col("source"),
-        lit(".example.com/docs/"), slot, lit("/"))
-      val html = concat(
-        lit("<html><body><p>Intro text.</p>"),
-        lit("<a href=\"https://www."), col("source"),
-        lit(".example.com/article/"), id, lit("\">Read <b>more</b></a>"),
-        lit("<a href=\"sub/page-"), pmod(col("doc_id"), lit(7)),
-        lit("\">Sub page</a>"),
-        lit("<a href=\"../up-"), pmod(col("doc_id"), lit(5)),
-        lit("\">Up one</a>"),
-        lit("<a href=\"/top-"), pmod(col("doc_id"), lit(3)),
-        lit("\">Top</a>"),
-        lit("<a href=\"//cdn."), col("source"), lit(".example.com/lib-"),
-        pmod(col("doc_id"), lit(4)), lit("\">CDN</a>"),
-        lit("<a href=\"?page="), pmod(col("doc_id"), lit(6)),
-        lit("\">Next</a>"),
-        lit("<a href=\"#sec\">Same page</a>"),
-        lit("<a href=\"mailto:info@"), col("source"),
-        lit(".example.com\">Mail</a>"),
-        lit("<a rel=\"nofollow\" href=\"/out-"), pmod(col("doc_id"), lit(2)),
-        lit("\">Ad &amp; out</a>"),
-        lit("</body></html>"))
-      docs.select(col("doc_id"), pageUrl.as("page_url"),
-          posexplode(graft.expr.HtmlExpressions.html_links(html))
-            .as(Seq("idx", "l")))
-        .select(col("doc_id"), col("idx").cast("long").as("idx"),
-          col("l.href").as("href"),
-          graft.expr.UrlExpressions.url_canonicalize(
-            graft.expr.UrlExpressions.url_resolve(col("page_url"),
-              col("l.href"))).as("resolved"),
-          col("l.anchor").as("anchor"), col("l.nofollow").as("nofollow"))
+    "q_html_links" -> ((s, dir) =>
+      htmlLinksRows(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("idx"))),
+
+    // STREAMING twin of the link extraction — anchors parsed per
+    // micro-batch (per-row projection, exploding): stream ≡ batch
+    // VERBATIM, so it shares q_html_links' oracle unchanged.
+    "q_stream_links" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_lk_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_lk_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamRowMapBounded(s, src,
+          htmlLinksRows, Seq("doc_id", "idx"))
         .orderBy(col("doc_id"), col("idx"))
     }),
 
@@ -8545,46 +8609,8 @@ object SparkEntry {
     // (href, resolved, anchor, nofollow) tuple literal-by-construction —
     // a mis-merged relative path, an un-dropped fragment, a re-spelled
     // mailto:, an undecoded &amp;, or a missed rel=nofollow breaks it.
-    "q_html_links" ->
-      """WITH u AS (
-        |  SELECT doc_id, source,
-        |    'https://www.' || source || '.example.com' AS host,
-        |    CAST(doc_id % 25 AS VARCHAR) AS slot,
-        |    CAST(doc_id AS VARCHAR) AS id,
-        |    CAST(doc_id % 7 AS VARCHAR) AS m7,
-        |    CAST(doc_id % 5 AS VARCHAR) AS m5,
-        |    CAST(doc_id % 4 AS VARCHAR) AS m4,
-        |    CAST(doc_id % 3 AS VARCHAR) AS m3,
-        |    CAST(doc_id % 6 AS VARCHAR) AS m6,
-        |    CAST(doc_id % 2 AS VARCHAR) AS m2
-        |  FROM documents),
-        |l AS (
-        |  SELECT doc_id, 0 AS idx, host || '/article/' || id AS href,
-        |    host || '/article/' || id AS resolved,
-        |    'Read more' AS anchor, FALSE AS nofollow FROM u
-        |  UNION ALL SELECT doc_id, 1, 'sub/page-' || m7,
-        |    host || '/docs/' || slot || '/sub/page-' || m7, 'Sub page',
-        |    FALSE FROM u
-        |  UNION ALL SELECT doc_id, 2, '../up-' || m5,
-        |    host || '/docs/up-' || m5, 'Up one', FALSE FROM u
-        |  UNION ALL SELECT doc_id, 3, '/top-' || m3, host || '/top-' || m3,
-        |    'Top', FALSE FROM u
-        |  UNION ALL SELECT doc_id, 4,
-        |    '//cdn.' || source || '.example.com/lib-' || m4,
-        |    'https://cdn.' || source || '.example.com/lib-' || m4, 'CDN',
-        |    FALSE FROM u
-        |  UNION ALL SELECT doc_id, 5, '?page=' || m6,
-        |    host || '/docs/' || slot || '/?page=' || m6, 'Next', FALSE FROM u
-        |  UNION ALL SELECT doc_id, 6, '#sec',
-        |    host || '/docs/' || slot || '/', 'Same page', FALSE FROM u
-        |  UNION ALL SELECT doc_id, 7,
-        |    'mailto:info@' || source || '.example.com',
-        |    'mailto:info@' || source || '.example.com', 'Mail', FALSE FROM u
-        |  UNION ALL SELECT doc_id, 8, '/out-' || m2, host || '/out-' || m2,
-        |    'Ad & out', TRUE FROM u)
-        |SELECT doc_id, CAST(idx AS BIGINT) AS idx, href, resolved, anchor,
-        |  nofollow
-        |FROM l ORDER BY doc_id, idx""".stripMargin,
+    "q_html_links" -> htmlLinksOracleSql,
+    "q_stream_links" -> htmlLinksOracleSql,
 
     // html-tables oracle: every (t, r, c, header, cell) tuple rebuilt
     // from the first-6 words — header literals ('Word' proves the

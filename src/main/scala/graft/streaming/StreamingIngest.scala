@@ -818,6 +818,36 @@ object StreamingIngest {
     * ([[graft.operators.TextExtract]] / `expr.HtmlContentText`), so the
     * bounded stream hash-matches the batch q_text_extract oracle
     * VERBATIM — no state, no tolerance gate. */
+  /** Generic per-row streaming twin: apply a PURE row-local projection
+    * (exploding allowed) to each micro-batch and union the results —
+    * per-row purity is what makes stream ≡ batch VERBATIM, so the twin
+    * shares the batch query's oracle unchanged. `keyCols` dedupe the
+    * file-overlap replays of a restarted stream. */
+  def runStreamRowMapBounded(spark: SparkSession, parquetPath: String,
+                             build: DataFrame => DataFrame,
+                             keyCols: Seq[String],
+                             maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        results.put(bid, build(batch).localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = results.values.asScala.toSeq
+    require(parts.nonEmpty, "runStreamRowMapBounded: stream produced no batches")
+    parts.reduce(_ unionByName _).dropDuplicates(keyCols)
+  }
+
   def runStreamTextExtractBounded(spark: SparkSession, parquetPath: String,
                                   idCol: String,
                                   maxFilesPerTrigger: Int = 1): DataFrame = {
