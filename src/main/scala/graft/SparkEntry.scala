@@ -424,6 +424,40 @@ object SparkEntry {
       |  nofollow
       |FROM l ORDER BY doc_id, idx""".stripMargin
 
+  /** html-tables oracle, shared verbatim by the batch extraction and
+    * its streaming twin. */
+  private val htmlTablesOracleSql: String =
+        """WITH d AS (
+      |  SELECT doc_id,
+      |    least(len(list_filter(string_split(text, ' '), x -> x <> '')),
+      |      6) AS nw
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, i - 1 AS wi, lst[i] AS w
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS lst
+      |        FROM documents),
+      |       LATERAL (SELECT unnest(range(1, least(len(lst), 6) + 1)) AS i) r),
+      |cells AS (
+      |  SELECT doc_id, 0 AS t, 0 AS r, h.cc AS c, TRUE AS header,
+      |    h.cell AS cell
+      |  FROM d, (VALUES (0, 'Idx'), (1, 'Word'), (2, 'Len'),
+      |           (3, 'Note')) AS h(cc, cell)
+      |  UNION ALL
+      |  SELECT doc_id, 0, wi + 1, k.cc, FALSE,
+      |    CASE k.cc WHEN 0 THEN CAST(wi AS VARCHAR)
+      |              WHEN 1 THEN w
+      |              WHEN 2 THEN CAST(len(w) AS VARCHAR)
+      |              ELSE 'a&b' END
+      |  FROM w, (VALUES (0), (1), (2), (3)) AS k(cc)
+      |  UNION ALL
+      |  SELECT doc_id, 1, 0, k.cc, FALSE,
+      |    CASE k.cc WHEN 0 THEN 'total' ELSE CAST(nw AS VARCHAR) END
+      |  FROM d, (VALUES (0), (1)) AS k(cc))
+      |SELECT doc_id, CAST(t AS BIGINT) AS t, CAST(r AS BIGINT) AS r,
+      |  CAST(c AS BIGINT) AS c, header, cell
+      |FROM cells ORDER BY doc_id, t, r, c""".stripMargin
+
   /** Mojibake-fixture suffixes (clean forms): one CP1252-repairable,
     * one Greek (latin-1-fallback path), one symbol pair — shared by the
     * query's corruption/repair chain and the oracle's clean rebuild. */
@@ -645,6 +679,32 @@ object SparkEntry {
         .otherwise(lit("")),
       lit("</head><body><p>Body.</p>" +
         "<a href=\"/l1\">One</a><a href=\"l2\">Two</a></body></html>"))
+  }
+
+  /** The q_html_tables computation (fixture page → typed cell rows) as
+    * a pure per-row projection over a (doc_id, text) frame — shared
+    * verbatim by the batch query and its streaming twin. */
+  private val htmlTableRows: DataFrame => DataFrame = docs => {
+      val words6 = slice(filter(split(col("text"), " "),
+      w => length(w) > 0), 1, 6)
+    val dataRows = transform(words6, (w, i) => concat(
+      lit("<tr><td>"), i, lit("</td><td><b>"), w,
+      lit("</b></td><td>"), length(w),
+      lit("</td><td>a&amp;b</td></tr>")))
+    val html = concat(
+      lit("<html><body><p>intro prose outside any table</p>" +
+        "<table><tr><th>Idx</th><th> Word </th><th>Len</th>" +
+        "<th>Note</th></tr>"),
+      array_join(dataRows, ""),
+      lit("</table><table><tr><td>total</td><td>"), size(words6),
+      lit("</td></tr></table></body></html>"))
+    docs.select(col("doc_id"),
+        explode(graft.expr.HtmlExpressions.html_table_cells(html))
+          .as("cell"))
+      .select(col("doc_id"), col("cell.t").cast("long").as("t"),
+        col("cell.r").cast("long").as("r"),
+        col("cell.c").cast("long").as("c"),
+        col("cell.header").as("header"), col("cell.cell").as("cell"))
   }
 
   /** The q_html_links computation (fixture page → extracted, resolved,
@@ -1535,28 +1595,22 @@ object SparkEntry {
     // totals table (depth-1 table indexing). The oracle rebuilds every
     // (t, r, c, header, cell) tuple from the words alone — any leaked
     // tag, undecoded entity, or mis-indexed cell breaks the hash.
-    "q_html_tables" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val words6 = slice(filter(split(col("text"), " "),
-        w => length(w) > 0), 1, 6)
-      val dataRows = transform(words6, (w, i) => concat(
-        lit("<tr><td>"), i, lit("</td><td><b>"), w,
-        lit("</b></td><td>"), length(w),
-        lit("</td><td>a&amp;b</td></tr>")))
-      val html = concat(
-        lit("<html><body><p>intro prose outside any table</p>" +
-          "<table><tr><th>Idx</th><th> Word </th><th>Len</th>" +
-          "<th>Note</th></tr>"),
-        array_join(dataRows, ""),
-        lit("</table><table><tr><td>total</td><td>"), size(words6),
-        lit("</td></tr></table></body></html>"))
-      docs.select(col("doc_id"),
-          explode(graft.expr.HtmlExpressions.html_table_cells(html))
-            .as("cell"))
-        .select(col("doc_id"), col("cell.t").cast("long").as("t"),
-          col("cell.r").cast("long").as("r"),
-          col("cell.c").cast("long").as("c"),
-          col("cell.header").as("header"), col("cell.cell").as("cell"))
+    "q_html_tables" -> ((s, dir) =>
+      htmlTableRows(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("t"), col("r"), col("c"))),
+
+    // STREAMING twin of the table extraction — cells parsed per
+    // micro-batch (pure row map): stream ≡ batch verbatim, shares
+    // q_html_tables' oracle unchanged.
+    "q_stream_tables" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_tb_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_tb_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamRowMapBounded(s, src,
+          htmlTableRows, Seq("doc_id", "t", "r", "c"))
         .orderBy(col("doc_id"), col("t"), col("r"), col("c"))
     }),
 
@@ -8617,37 +8671,8 @@ object SparkEntry {
     // whitespace normalize), per-word data rows (the <b> strip and the
     // a&amp;b entity decode are the construction), and the one-row
     // totals table at t=1 (depth-1 indexing).
-    "q_html_tables" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    least(len(list_filter(string_split(text, ' '), x -> x <> '')),
-        |      6) AS nw
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, i - 1 AS wi, lst[i] AS w
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split(text, ' '), x -> x <> '') AS lst
-        |        FROM documents),
-        |       LATERAL (SELECT unnest(range(1, least(len(lst), 6) + 1)) AS i) r),
-        |cells AS (
-        |  SELECT doc_id, 0 AS t, 0 AS r, h.cc AS c, TRUE AS header,
-        |    h.cell AS cell
-        |  FROM d, (VALUES (0, 'Idx'), (1, 'Word'), (2, 'Len'),
-        |           (3, 'Note')) AS h(cc, cell)
-        |  UNION ALL
-        |  SELECT doc_id, 0, wi + 1, k.cc, FALSE,
-        |    CASE k.cc WHEN 0 THEN CAST(wi AS VARCHAR)
-        |              WHEN 1 THEN w
-        |              WHEN 2 THEN CAST(len(w) AS VARCHAR)
-        |              ELSE 'a&b' END
-        |  FROM w, (VALUES (0), (1), (2), (3)) AS k(cc)
-        |  UNION ALL
-        |  SELECT doc_id, 1, 0, k.cc, FALSE,
-        |    CASE k.cc WHEN 0 THEN 'total' ELSE CAST(nw AS VARCHAR) END
-        |  FROM d, (VALUES (0), (1)) AS k(cc))
-        |SELECT doc_id, CAST(t AS BIGINT) AS t, CAST(r AS BIGINT) AS r,
-        |  CAST(c AS BIGINT) AS c, header, cell
-        |FROM cells ORDER BY doc_id, t, r, c""".stripMargin,
+    "q_html_tables" -> htmlTablesOracleSql,
+    "q_stream_tables" -> htmlTablesOracleSql,
 
     // blocklist oracle: same synthesized URL, same two regexes (RE2 and
     // Java agree on these literal-ish patterns).
