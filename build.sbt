@@ -14,6 +14,14 @@ libraryDependencies ++= Seq(
 ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 Test / fork := true
 run / fork := true
+// Forked `run` output normally flows through sbt's logger, which stamps
+// every stdout line with "[info] " — that prefix is what kept the
+// driver's JSON parse of the Bench contract line failing ("parsed":
+// null in BENCH_r14/r15). StdoutOutput hands the forked JVM's stdout
+// through verbatim, so the one-line JSON lands unprefixed and
+// machine-parseable in the output tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -185,7 +185,24 @@ object Bench {
     }
     val topQs = byCost.take(40)
       .map(k => "\"" + k + "\":" + fmt(timeOf(k))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${names.length},"queries_note":"top-40 by min time; full map in $fullPath","queries":$topQs$failedJson,"value":${fmt(total)},"agg":"min"}""")
+    val compactLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${names.length},"queries_note":"top-40 by min time; full map in $fullPath","queries":$topQs$failedJson,"value":${fmt(total)},"agg":"min"}"""
+    // Second landing spot for the contract line (belt to the stdout
+    // braces): the driver-facing compact JSON also goes to a fixed stamp
+    // path so the structured map survives even if some future harness
+    // truncates or re-prefixes stdout again.
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_DRIVER", "tools/stamps/bench_driver_latest.json"))
+      Option(p.getParent)
+        .foreach(d => { java.nio.file.Files.createDirectories(d); () })
+      java.nio.file.Files.write(p,
+        (compactLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] driver-json write failed: ${e.getMessage}")
+    }
+    println(compactLine)
     spark.stop()
   }
 }
