@@ -20,7 +20,6 @@ run / fork := true
 // null in BENCH_r14/r15). StdoutOutput hands the forked JVM's stdout
 // through verbatim, so the one-line JSON lands unprefixed and
 // machine-parseable in the output tail.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -2741,7 +2741,7 @@ object SparkEntry {
       val plan = operators.Sitemap.recrawlPlan(sitemapUrlEntries(s, dir),
         "domain", crawled, "url", "fetched_at")
       val cond = operators.Sitemap.conditionalPlan(plan, crawled, "url",
-        "etag", "fetched_at")
+        "etag", "fetched_at", "fetched_at")
       val slot = regexp_extract(col("loc"), "/docs/(\\d+)$", 1).cast("long")
       val outcomes = cond
         .withColumn("status",

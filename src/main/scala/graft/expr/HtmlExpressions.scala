@@ -101,6 +101,35 @@ object HtmlOps {
     n
   }
 
+  /** Depth-aware subtree skip for tags that may NEST (tables): counts
+    * matching opens/closes from depth 1 and returns the index after the
+    * close tag that balances (or n when unterminated). [[skipSubtree]]
+    * stops at the FIRST close and is only correct for tags whose
+    * content model forbids nesting (script/style/...); a table two
+    * levels deep would otherwise close the outer table early and
+    * misattribute the middle table's trailing cells. */
+  private def skipNestedSubtree(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    var i = from
+    var depth = 1
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        val closing = i + 1 < n && s.charAt(i + 1) == '/'
+        var j = i + (if (closing) 2 else 1)
+        var k = 0
+        while (j < n && k < name.length &&
+          lower(s.charAt(j)) == name.charAt(k)) { j += 1; k += 1 }
+        if (k == name.length && (j >= n || !isNameChar(s.charAt(j)))) {
+          val after = skipToTagEnd(s, j)
+          if (closing) { depth -= 1; if (depth == 0) return after }
+          else depth += 1
+          i = after
+        } else i += 1
+      } else i += 1
+    }
+    n
+  }
+
   /** Skip attributes to the tag's closing '>', honoring quoted values;
     * returns the index after '>'. */
   private def skipToTagEnd(s: String, from: Int): Int = {
@@ -261,8 +290,10 @@ object HtmlOps {
     * discipline: inline tags inside a cell are stripped, entities
     * decoded, whitespace normalized; `<th>` marks header cells; a cell
     * outside any `<tr>` opens row 0 (tag-soup tolerance); NESTED tables
-    * are skipped wholesale (their cells neither emit nor leak text into
-    * the outer cell — depth-1 extraction, documented); script/style
+    * are skipped wholesale at ANY depth (the skip counts open/close
+    * pairs, so their cells neither emit nor leak text into the outer
+    * cell and deeper nesting cannot close the outer table early —
+    * top-level extraction, documented); script/style
     * subtrees are dropped as always. Empty cells emit empty strings —
     * `<td></td>` is a real cell. */
   def tableCells(html: String): IndexedSeq[(Int, Int, Int, Boolean, String)] = {
@@ -309,7 +340,7 @@ object HtmlOps {
               name match {
                 case "table" =>
                   if (closing) { closeCell(); inTable = false; i = afterTag }
-                  else if (inTable) i = skipSubtree(html, afterTag, "table")
+                  else if (inTable) i = skipNestedSubtree(html, afterTag, "table")
                   else { t += 1; r = -1; c = -1; inTable = true; i = afterTag }
                 case "tr" =>
                   if (inTable) { closeCell(); if (!closing) { r += 1; c = -1 } }

@@ -142,7 +142,8 @@ object UrlOps {
 
   /** RFC 3986 §5 reference resolution, the crawler subset — what turns
     * an extracted `href` into a fetchable URL: absolute refs (any
-    * scheme, incl. mailto:/javascript:) pass through; `//host/...` takes
+    * scheme, incl. mailto:/javascript:) pass through minus any
+    * `#fragment`; `//host/...` takes
     * the base scheme; `/rooted`, `?query-only`, `#fragment-only`, and
     * relative paths resolve against the base's authority/path with
     * dot-segment removal (§5.2.4 — empty segments collapse like
@@ -155,12 +156,20 @@ object UrlOps {
     if (ref0 == null) return base
     val ref = ref0.trim
     if (base == null) return ref
+    // "fragments never survive" applies to EVERY branch: absolute and
+    // protocol-relative refs used to return verbatim, so a dedup or
+    // frontier key built on resolve alone (without the composed
+    // canonicalize) could retain '#...' — stripped here up front
+    def stripFragment(s: String): String = {
+      val h = s.indexOf('#')
+      if (h < 0) s else s.substring(0, h)
+    }
     // absolute reference: scheme ':' before any '/', '?' or '#'
     var k = 0
     while (k < ref.length && (Character.isLetterOrDigit(ref.charAt(k)) ||
       "+.-".indexOf(ref.charAt(k)) >= 0)) k += 1
     if (k > 0 && k < ref.length && ref.charAt(k) == ':' &&
-      Character.isLetter(ref.charAt(0))) return ref
+      Character.isLetter(ref.charAt(0))) return stripFragment(ref)
     val schemeEnd = base.indexOf("://")
     if (schemeEnd <= 0) return ref
     val scheme = base.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
@@ -181,7 +190,7 @@ object UrlOps {
       if (q < 0) afterAuth else afterAuth.substring(0, q)
     }
     if (ref.isEmpty) return scheme + "://" + authority + basePath
-    if (ref.startsWith("//")) return scheme + ":" + ref
+    if (ref.startsWith("//")) return scheme + ":" + stripFragment(ref)
     if (ref.startsWith("#")) return scheme + "://" + authority + basePath
     val (rpath, rquery) = {
       val h = ref.indexOf('#')

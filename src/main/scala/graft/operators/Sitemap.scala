@@ -181,15 +181,26 @@ object Sitemap {
     * fetch queue with `mode ∈ full | conditional_etag | conditional_ims`
     * plus the header values to send. `new` URLs are always `full` (no
     * held copy to validate). Spellings that collapse under
-    * canonicalization fold to one validator row (max per column — the
-    * latest copy decides, the [[recrawlPlan]] discipline). One left
-    * join against a warehouse projection that is url-distinct by
-    * construction — broadcast-scale next to the page store. */
+    * canonicalization fold to ONE validator row, both validators taken
+    * from the SAME held copy — the one with the max `fetchedAtCol`
+    * (ties broken on the validator pair itself, deterministic): a
+    * per-column max could pair one copy's ETag with another copy's
+    * Last-Modified, a header combination no copy ever carried, and a
+    * string Last-Modified's lexicographic max is not "latest" anyway
+    * (RFC 1123 dates don't sort as text). `fetchedAtCol` must be an
+    * orderable fetch timestamp (date/timestamp); `lastModCol` may be
+    * any type the origin returned — it is carried, never compared.
+    * One left join against a warehouse projection that is url-distinct
+    * by construction — broadcast-scale next to the page store. */
   def conditionalPlan(plan: DataFrame, held: DataFrame, heldUrlCol: String,
-                      etagCol: String, lastModCol: String): DataFrame = {
+                      etagCol: String, lastModCol: String,
+                      fetchedAtCol: String): DataFrame = {
     import graft.expr.UrlExpressions.url_canonicalize
     val v = held.groupBy(url_canonicalize(col(heldUrlCol)).as("loc"))
-      .agg(max(col(etagCol)).as("__etag"), max(col(lastModCol)).as("__lm"))
+      .agg(max(struct(col(fetchedAtCol).as("f"), col(etagCol).as("e"),
+        col(lastModCol).as("l"))).as("__v"))
+      .select(col("loc"), col("__v.e").as("__etag"),
+        col("__v.l").as("__lm"))
     plan.filter(col("action") =!= "skip")
       .join(v, Seq("loc"), "left")
       .withColumn("mode",

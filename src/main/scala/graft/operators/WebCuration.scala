@@ -144,14 +144,23 @@ object WebCuration {
   def urlTemplate(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     // a schemeless string templatizes whole-string-as-path rather than
-    // collapsing every malformed URL into one empty-template group
-    val authority = regexp_extract(noFrag, "^([a-z][a-z0-9+.-]*://[^/?]*)", 1)
+    // collapsing every malformed URL into one empty-template group;
+    // scheme match is case-insensitive ('HTTPS://' is a legal spelling
+    // of the same scheme) so un-canonicalized inputs still split into
+    // authority + path instead of templatizing whole-string-as-path
+    val authority =
+      regexp_extract(noFrag, "^((?i)[a-z][a-z0-9+.-]*://[^/?]*)", 1)
     val pathq = when(authority === "", noFrag)
-      .otherwise(regexp_extract(noFrag, "^[a-z][a-z0-9+.-]*://[^/?]*(.*)$", 1))
+      .otherwise(
+        regexp_extract(noFrag, "^(?i)[a-z][a-z0-9+.-]*://[^/?]*(.*)$", 1))
     val path = regexp_replace(pathq, "\\?.*$", "")
     val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    // hex-run collapse is case-insensitive too: uppercase/mixed-case
+    // session tokens and UUIDs are the COMMON spelling in the wild, and
+    // a trap that case-shifts its tokens would otherwise mint a fresh
+    // template per URL and evade the ledger entirely
     val tpl = regexp_replace(
-      regexp_replace(path, "[0-9a-f]{8,}", "*"), "[0-9]+", "#")
+      regexp_replace(path, "(?i)[0-9a-f]{8,}", "*"), "[0-9]+", "#")
     val names = array_sort(transform(
       filter(split(query, "&"), p => length(p) > 0),
       p => regexp_extract(p, "^([^=]*)", 1)))

@@ -94,12 +94,15 @@ class UrlSpec extends SparkSpec {
   test("url_resolve: RFC 3986 reference resolution, crawler subset") {
     val base = "https://www.a.com/docs/3/page"
     def r(ref: String): String = UrlOps.resolve(base, ref)
-    // absolute refs (any scheme) pass through
+    // absolute refs (any scheme) pass through — minus any fragment
+    // (fragments never survive, on EVERY branch)
     assert(r("https://b.com/x") === "https://b.com/x")
+    assert(r("https://b.com/x#sec") === "https://b.com/x")
     assert(r("mailto:x@y.z") === "mailto:x@y.z")
     assert(r("javascript:void(0)") === "javascript:void(0)")
     // protocol-relative takes the base scheme
     assert(r("//cdn.a.com/lib.js") === "https://cdn.a.com/lib.js")
+    assert(r("//cdn.a.com/lib.js#v2") === "https://cdn.a.com/lib.js")
     // rooted, query-only, fragment-only, empty
     assert(r("/top") === "https://www.a.com/top")
     assert(r("?p=1") === "https://www.a.com/docs/3/page?p=1")

@@ -97,7 +97,7 @@ class SitemapSpec extends SparkSpec {
     val plan = Sitemap.recrawlPlan(entries, "domain", held, "url",
       "fetched_at")
     val got = Sitemap.conditionalPlan(plan, held, "url", "etag",
-        "fetched_at")
+        "fetched_at", "fetched_at")
       .select("loc", "mode", "if_none_match", "if_modified_since")
       .collect().map(r => (r.getString(0), r.getString(1),
         Option(r.getString(2)), Option(r.get(3)).map(_.toString))).toSet
@@ -105,6 +105,33 @@ class SitemapSpec extends SparkSpec {
       ("https://a.com/etagged", "conditional_etag", Some("W/\"7\""), None),
       ("https://a.com/dated", "conditional_ims", None, Some("2026-02-15")),
       ("https://a.com/unseen", "full", None, None)))
+  }
+
+  test("conditionalPlan: collapsing spellings take the LATEST copy's " +
+    "validator pair, never a cross-copy mix") {
+    val entries = Seq(
+      ("a.com", "url", "https://a.com/page", Date.valueOf("2026-03-01")))
+      .toDF("domain", "kind", "loc", "lastmod")
+    // three spellings of one resource; the OLDEST copy has the
+    // lexicographically-largest etag, so a per-column max would emit
+    // (Z-old-etag, 02-20 date) — a pair no copy carried. The latest
+    // fetch (02-20, via the :443 spelling) has a NULL etag, so the
+    // plan must fall through to If-Modified-Since from that same row.
+    val held = Seq(
+      ("https://a.com/page", Date.valueOf("2026-01-05"), "Z/\"old\""),
+      ("HTTPS://A.COM/page", Date.valueOf("2026-02-01"), "W/\"mid\""),
+      ("https://a.com:443/page", Date.valueOf("2026-02-20"),
+        null.asInstanceOf[String]))
+      .toDF("url", "fetched_at", "etag")
+    val plan = Sitemap.recrawlPlan(entries, "domain", held, "url",
+      "fetched_at")
+    val got = Sitemap.conditionalPlan(plan, held, "url", "etag",
+        "fetched_at", "fetched_at")
+      .select("loc", "mode", "if_none_match", "if_modified_since")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), Option(r.get(3)).map(_.toString)))
+    assert(got.toSeq === Seq(
+      ("https://a.com/page", "conditional_ims", None, Some("2026-02-20"))))
   }
 
   test("fetchLedger: modes, 304 count, transferred vs saved bytes") {

@@ -116,6 +116,16 @@ class TextExtractSpec extends SparkSpec {
       "<td>after</td></tr></table>"
     assert(HtmlOps.tableCells(nested) === Vector(
       (0, 0, 0, false, "outer"), (0, 0, 1, false, "after")))
+    // TWO-level nesting: the skip is depth-aware, so the middle table's
+    // close must not end the skip early — the outer table's trailing
+    // cells still belong to the outer table
+    val nested2 = "<table><tr><td>outer" +
+      "<table><tr><td>mid<table><tr><td>deep</td></tr></table></td>" +
+      "<td>mid2</td></tr></table></td>" +
+      "<td>after</td></tr><tr><td>last</td></tr></table>"
+    assert(HtmlOps.tableCells(nested2) === Vector(
+      (0, 0, 0, false, "outer"), (0, 0, 1, false, "after"),
+      (0, 1, 0, false, "last")))
     // tag soup: a cell before any <tr> opens row 0; script content drops
     val soup = "<table><td>loose</td><script>var t = '<td>no</td>'</script>" +
       "<tr><td>rowed</td></tr></table>"

@@ -151,7 +151,13 @@ class WebCurationSpec extends SparkSpec {
       "https://www.a1.com/u/deadbeef0042cafe/photo?b=2&a=1",
       "https://www.a1.com/cal/2026/3/9?sid=00000000002a#frag",
       "https://www.a1.com/plain",
-      "/relative/42?z=1&a=2")
+      "/relative/42?z=1&a=2",
+      // uppercase/mixed-case hex tokens collapse too — a trap that
+      // case-shifts its session ids must not mint fresh templates
+      "https://www.a1.com/u/DEADBEEF0042CAFE/photo",
+      "https://www.a1.com/u/DeadBeef0042CaFe/photo",
+      // an uppercase scheme still splits authority from path
+      "HTTPS://www.a1.com/article/123-45")
       .toDF("url")
       .select(WebCuration.urlTemplate($"url")).as[String].collect()
     assert(got.toSeq === Seq(
@@ -161,7 +167,10 @@ class WebCurationSpec extends SparkSpec {
       "https://www.a1.com/cal/#/#/#?sid",
       "https://www.a1.com/plain",
       // schemeless: whole string templatizes as a path
-      "/relative/#?a&z"))
+      "/relative/#?a&z",
+      "https://www.a1.com/u/*/photo",
+      "https://www.a1.com/u/*/photo",
+      "HTTPS://www.a1.com/article/#-#"))
   }
 
   test("crawlTraps: low-diversity template flags, healthy one passes") {
