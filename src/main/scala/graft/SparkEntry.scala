@@ -160,6 +160,42 @@ object SparkEntry {
       out.getAbsolutePath
     }
 
+  /** Write-once-per-process PAGE archives whose HTML references the
+    * [[warcImageFixtureDir]] pixel PNGs — the image-text JOIN fixture:
+    * each page carries one `<figure>` img pointing at its document's
+    * synthetic PNG (absolute src on the img. host) plus alt text and a
+    * figcaption that names the image's true dimensions, so pair
+    * assembly must route extraction, resolution, and the
+    * archive-decoded pixels into one frame and the caption/pixel
+    * agreement is itself oracle-checkable. */
+  private def warcImgPageFixtureDir(s: SparkSession, dir: String): String =
+    warcFixtureLock.synchronized {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      sweepDeadScratch(tmp, Seq("graft_warcimgpg_"))
+      val out = new java.io.File(tmp, s"graft_warcimgpg_${runTag(dir)}")
+      val marker = new java.io.File(out, "_SUCCESS")
+      if (!marker.exists()) {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/docs/"), col("doc_id").cast("string"))
+            .as("uri"),
+          concat(
+            lit("<html><body><figure><img src=\"https://img."),
+            col("source"), lit(".example.com/png/"),
+            col("doc_id").cast("string"),
+            lit(".png\" alt=\"png "), pmod(col("doc_id"), lit(13)),
+            lit("\"><figcaption>Pixel grid "),
+            (lit(16) + pmod(col("doc_id"), lit(17))).cast("string"),
+            lit(" by "),
+            (lit(16) + pmod(col("doc_id") * 3, lit(13))).cast("string"),
+            lit("</figcaption></figure></body></html>")).as("body"))
+        ingest.WarcIngest.writeSyntheticWarc(s, docs, "doc_id", "uri",
+          "body", out.getAbsolutePath, nFiles = 4)
+        marker.createNewFile()
+      }
+      out.getAbsolutePath
+    }
+
   /** The legacy-charset rotation for the charset-sniffing WARC fixture:
     * (java charset name, non-ASCII marker appended to the page text).
     * Every marker is encodable in its charset and survives the charset's
@@ -423,6 +459,113 @@ object SparkEntry {
       |SELECT doc_id, CAST(idx AS BIGINT) AS idx, href, resolved, anchor,
       |  nofollow
       |FROM l ORDER BY doc_id, idx""".stripMargin
+
+  /** image-text-pairs oracle, shared verbatim by the batch extraction
+    * (q_image_text_pairs) and its streaming twin: the three fixture
+    * images rebuilt per document, with the figure src routed through
+    * the /media/ base on every third document. The trim() mirrors the
+    * scanner's whitespace normalization when a document's first-3-words
+    * slice comes back empty. */
+  private val htmlImagePairsOracleSql: String =
+        """WITH u AS (
+      |  SELECT doc_id, source,
+      |    'https://www.' || source || '.example.com' AS host,
+      |    CAST(doc_id % 25 AS VARCHAR) AS slot,
+      |    CAST(doc_id AS VARCHAR) AS id,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3), ' ')
+      |      AS w3
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, 0 AS idx, 'img/' || id || '.png' AS src,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN host || '/media/img/' || id || '.png'
+      |      ELSE host || '/docs/' || slot || '/img/' || id || '.png'
+      |      END AS resolved,
+      |    'fig-' || CAST(doc_id % 13 AS VARCHAR) AS alt,
+      |    't' || CAST(doc_id % 7 AS VARCHAR) AS title,
+      |    trim('Figure ' || slot || ': ' || w3) AS caption
+      |  FROM u
+      |  UNION ALL SELECT doc_id, 1,
+      |    '/abs/' || CAST(doc_id % 9 AS VARCHAR) || '.jpg',
+      |    host || '/abs/' || CAST(doc_id % 9 AS VARCHAR) || '.jpg',
+      |    'inline-' || CAST(doc_id % 5 AS VARCHAR) || ' & co', '',
+      |    'Context before context after.' FROM u
+      |  UNION ALL SELECT doc_id, 2,
+      |    '//cdn.' || source || '.example.com/c' ||
+      |      CAST(doc_id % 4 AS VARCHAR) || '.webp',
+      |    'https://cdn.' || source || '.example.com/c' ||
+      |      CAST(doc_id % 4 AS VARCHAR) || '.webp',
+      |    '', '', '' FROM u)
+      |SELECT doc_id, CAST(idx AS BIGINT) AS idx, src, resolved, alt,
+      |  title, caption
+      |FROM l ORDER BY doc_id, idx""".stripMargin
+
+  /** interleaved-docs oracle: the four emitted positions per document
+    * (content, image, image, content) — the nav run and its short
+    * successor must NOT appear at any position. */
+  private val interleavedDocsOracleSql: String =
+        """WITH u AS (
+      |  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS id,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ')
+      |      AS w5,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3), ' ')
+      |      AS w3
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, 0 AS pos, 'text' AS kind,
+      |    'Opening paragraph for document ' || id || ' about ' || w5 ||
+      |      ' with enough length.' AS text,
+      |    CAST(NULL AS VARCHAR) AS src, CAST(NULL AS VARCHAR) AS alt
+      |  FROM u
+      |  UNION ALL SELECT doc_id, 1, 'image', NULL,
+      |    '/img/' || id || '.png',
+      |    'one-' || CAST(doc_id % 13 AS VARCHAR) FROM u
+      |  UNION ALL SELECT doc_id, 2, 'image', NULL,
+      |    '//cdn.' || source || '.example.com/m' ||
+      |      CAST(doc_id % 7 AS VARCHAR) || '.webp', '' FROM u
+      |  UNION ALL SELECT doc_id, 3, 'text',
+      |    'Closing paragraph reciting ' || w3 ||
+      |      ' once more for position four.', NULL, NULL FROM u)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos, kind, text, src, alt
+      |FROM l ORDER BY doc_id, pos""".stripMargin
+
+  /** warc-image-pairs oracle: the page-side construction (src, alt,
+    * figcaption) joined to the direct-decode pixel formula of
+    * [[imageDecodeOracleSql]] — extraction, resolution, and the decoded
+    * planes must agree in one frame. */
+  private val warcImagePairsOracleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source, 16 + doc_id % 17 AS w,
+      |    16 + (doc_id * 3) % 13 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, i,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN (doc_id * 7 + i * 13) % 251
+      |      WHEN 3 THEN (77 * ((doc_id + 3 * i) % 256)
+      |        + 150 * (((doc_id + 3 * i) % 256) * 7 % 256)
+      |        + 29 * (((doc_id + 3 * i) % 256) * 13 % 256)) // 256
+      |      ELSE (77 * ((doc_id + 2 * i) % 256)
+      |        + 150 * ((doc_id * 3 + 5 * i) % 256)
+      |        + 29 * ((doc_id * 5 + 7 * i) % 256)) // 256
+      |    END AS lum
+      |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pixels,
+      |    CAST(SUM(lum) AS BIGINT) AS lum_sum
+      |  FROM px GROUP BY doc_id)
+      |SELECT m.doc_id,
+      |  'https://img.' || m.source || '.example.com/png/' ||
+      |    CAST(m.doc_id AS VARCHAR) || '.png' AS img_url,
+      |  'png ' || CAST(m.doc_id % 13 AS VARCHAR) AS alt,
+      |  'Pixel grid ' || CAST(m.w AS VARCHAR) || ' by ' ||
+      |    CAST(m.h AS VARCHAR) AS caption,
+      |  CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+      |  a.n_pixels, a.lum_sum
+      |FROM m JOIN agg a USING (doc_id) ORDER BY m.doc_id""".stripMargin
 
   /** html-tables oracle, shared verbatim by the batch extraction and
     * its streaming twin. */
@@ -745,6 +888,92 @@ object SparkEntry {
           graft.expr.UrlExpressions.url_resolve(col("page_url"),
             col("l.href"))).as("resolved"),
         col("l.anchor").as("anchor"), col("l.nofollow").as("nofollow"))
+  }
+
+  /** The q_image_text_pairs computation (fixture page → extracted,
+    * base-resolved, canonicalized image-text pairs) as a pure per-row
+    * projection over a (doc_id, source, text) frame — shared verbatim
+    * by the batch query and its streaming twin. Three `<img>` shapes
+    * per document: a figure image (relative src, figcaption caption),
+    * an inline image (rooted src, surrounding-block caption, entity in
+    * the alt), and a bare protocol-relative image (no alt/title/text —
+    * the empty-signal control). Every third document carries a
+    * `<base href="/media/">`, so resolution must route through the
+    * head parse, not the page URL alone. */
+  private val htmlImageRows: DataFrame => DataFrame = docs => {
+    val slot = pmod(col("doc_id"), lit(25)).cast("string")
+    val id = col("doc_id").cast("string")
+    val pageUrl = concat(lit("https://www."), col("source"),
+      lit(".example.com/docs/"), slot, lit("/"))
+    val words3 = array_join(slice(filter(split(col("text"), " "),
+      w => length(w) > 0), 1, 3), " ")
+    val html = concat(
+      lit("<html><head>"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("<base href=\"/media/\">")).otherwise(lit("")),
+      lit("</head><body>"),
+      lit("<figure><img src=\"img/"), id,
+      lit(".png\" alt=\"fig-"), pmod(col("doc_id"), lit(13)),
+      lit("\" title=\"t"), pmod(col("doc_id"), lit(7)), lit("\">"),
+      lit("<figcaption>Figure "), slot, lit(": "), words3,
+      lit("</figcaption></figure>"),
+      lit("<p>Context before <img src=\"/abs/"),
+      pmod(col("doc_id"), lit(9)),
+      lit(".jpg\" alt=\"inline-"), pmod(col("doc_id"), lit(5)),
+      lit(" &amp; co\"> context after.</p>"),
+      lit("<p><img src=\"//cdn."), col("source"),
+      lit(".example.com/c"), pmod(col("doc_id"), lit(4)),
+      lit(".webp\"></p>"),
+      lit("</body></html>"))
+    val head = graft.expr.HtmlExpressions.html_head(html).as("h")
+    docs.select(col("doc_id"), pageUrl.as("page_url"), head,
+        posexplode(graft.expr.HtmlExpressions.html_images(html))
+          .as(Seq("idx", "im")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        col("im.src").as("src"),
+        graft.expr.UrlExpressions.url_canonicalize(
+          graft.expr.UrlExpressions.url_resolve(
+            when(col("h.base").isNotNull,
+              graft.expr.UrlExpressions.url_resolve(col("page_url"),
+                col("h.base"))).otherwise(col("page_url")),
+            col("im.src"))).as("resolved"),
+        col("im.alt").as("alt"), col("im.title").as("title"),
+        col("im.caption").as("caption"))
+  }
+
+  /** The q_interleaved_docs computation (fixture page → ordered
+    * text/image item sequence) as a pure per-row projection — shared
+    * verbatim by the batch query and its streaming twin. The fixture
+    * alternates content paragraphs, image slots, a fully-linked nav
+    * run (boilerplate — dropped), and a short trailing run that
+    * inherits the boilerplate label (dropped), so the emitted sequence
+    * exercises every classification branch while staying replayable:
+    * positions 0..3 = text, image, image, text. */
+  private val htmlInterleavedRows: DataFrame => DataFrame = docs => {
+    val id = col("doc_id").cast("string")
+    val words5 = array_join(slice(filter(split(col("text"), " "),
+      w => length(w) > 0), 1, 5), " ")
+    val words3 = array_join(slice(filter(split(col("text"), " "),
+      w => length(w) > 0), 1, 3), " ")
+    val html = concat(
+      lit("<html><body>"),
+      lit("<p>Opening paragraph for document "), id, lit(" about "),
+      words5, lit(" with enough length.</p>"),
+      lit("<img src=\"/img/"), id, lit(".png\" alt=\"one-"),
+      pmod(col("doc_id"), lit(13)), lit("\">"),
+      lit("<p><a href=\"/nav\">site navigation menu</a></p>"),
+      lit("<img src=\"//cdn."), col("source"), lit(".example.com/m"),
+      pmod(col("doc_id"), lit(7)), lit(".webp\">"),
+      lit("<p>Tail.</p>"),
+      lit("<p>Closing paragraph reciting "), words3,
+      lit(" once more for position four.</p>"),
+      lit("</body></html>"))
+    docs.select(col("doc_id"),
+        explode(graft.expr.HtmlExpressions.html_interleaved(html))
+          .as("it"))
+      .select(col("doc_id"), col("it.pos").cast("long").as("pos"),
+        col("it.kind").as("kind"), col("it.text").as("text"),
+        col("it.src").as("src"), col("it.alt").as("alt"))
   }
 
   /** Hreflang fixture page: en/de alternates on every document, fr on
@@ -1423,6 +1652,40 @@ object SparkEntry {
           htmlLinksRows, Seq("doc_id", "idx"))
         .orderBy(col("doc_id"), col("idx"))
     }),
+
+    // IMAGE-TEXT PAIR extraction (the LAION shape) — the multimodal
+    // front door: three <img> shapes per page (figure + figcaption,
+    // inline + surrounding-block caption, bare protocol-relative), srcs
+    // resolved through the page's <base> when one is present (every
+    // third document) and canonicalized into joinable keys. Every
+    // (src, resolved, alt, title, caption) tuple is pinned literally by
+    // the oracle.
+    "q_image_text_pairs" -> ((s, dir) =>
+      htmlImageRows(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("idx"))),
+
+    // STREAMING twin of the pair extraction — per-row projection, so
+    // stream ≡ batch VERBATIM and it shares q_image_text_pairs' oracle.
+    "q_stream_images" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_im_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_im_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamRowMapBounded(s, src,
+          htmlImageRows, Seq("doc_id", "idx"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // INTERLEAVED image-text documents (the mmc4/OBELICS shape): one
+    // position-keyed sequence of content text runs and image slots per
+    // page — <img> tags split text runs, jusText labels drop the nav
+    // run and its short successor, and image slots always survive. The
+    // oracle pins all four emitted positions per document.
+    "q_interleaved_docs" -> ((s, dir) =>
+      htmlInterleavedRows(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("pos"))),
 
     // OPENGRAPH metadata (ogp.me) — the enrichment row a corpus keeps
     // next to the extracted text: og:title from the first three words,
@@ -2843,6 +3106,58 @@ object SparkEntry {
         }
         .toDF("media_id", "width", "height", "n_pixels", "lum_sum", "lum_wsum")
         .orderBy(col("media_id"))
+    }),
+
+    // IMAGE-TEXT PAIRS OUT OF THE ARCHIVE — the full multimodal chain
+    // the pieces were built for: HTML pages (one WARC) are parsed for
+    // <img> tags with alt + figcaption captions, srcs resolve and
+    // canonicalize into keys, and the IMAGE archive's byte-exact bodies
+    // decode to real PNG pixels — joined on the canonical URL into
+    // (page, alt, caption, width, height, pixels, checksum) training
+    // pairs. The caption names the true dimensions, so the oracle
+    // cross-checks extraction against the decoded planes in one gate.
+    // Scale shape: both sides are per-row codegen projections; the one
+    // shuffle is the URL-keyed join (sort-merge at corpus scale —
+    // neither side is broadcastable at 100 TB, and AQE handles skew).
+    "q_warc_image_pairs" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val pages = ingest.WarcIngest
+        .readRecords(s, warcImgPageFixtureDir(s, dir))
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(regexp_extract(col("record_id"), "doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"),
+          explode(graft.expr.HtmlExpressions.html_images(col("body")))
+            .as("im"))
+        .select(col("doc_id"),
+          graft.expr.UrlExpressions.url_canonicalize(
+            graft.expr.UrlExpressions.url_resolve(col("target_uri"),
+              col("im.src"))).as("img_url"),
+          col("im.alt").as("alt"), col("im.caption").as("caption"))
+      val pixels = ingest.WarcIngest
+        .readRecords(s, warcImageFixtureDir(s, dir))
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type") === "image/png")
+        .select(graft.expr.UrlExpressions.url_canonicalize(
+            col("target_uri")).as("img_url"),
+          col("body_bytes"))
+        .as[(String, Array[Byte])]
+        .map { case (u, bytes) =>
+          val (w, h, plane) = Multimodal.decodePngPixels(bytes)
+            .getOrElse((0, 0, Array.emptyByteArray))
+          var lsum = 0L; var i = 0
+          while (i < plane.length) { lsum += plane(i) & 0xff; i += 1 }
+          (u, w.toLong, h.toLong, plane.length.toLong, lsum)
+        }
+        .toDF("img_url", "width", "height", "n_pixels", "lum_sum")
+      pages.join(pixels, Seq("img_url"))
+        .select(col("doc_id"), col("img_url"), col("alt"), col("caption"),
+          col("width"), col("height"), col("n_pixels"), col("lum_sum"))
+        .orderBy(col("doc_id"))
     }),
 
     // The WET loop (Common Crawl's extraction OUTPUT format): text-WARC
@@ -8665,6 +8980,10 @@ object SparkEntry {
     // mailto:, an undecoded &amp;, or a missed rel=nofollow breaks it.
     "q_html_links" -> htmlLinksOracleSql,
     "q_stream_links" -> htmlLinksOracleSql,
+    "q_image_text_pairs" -> htmlImagePairsOracleSql,
+    "q_stream_images" -> htmlImagePairsOracleSql,
+    "q_interleaved_docs" -> interleavedDocsOracleSql,
+    "q_warc_image_pairs" -> warcImagePairsOracleSql,
 
     // html-tables oracle: every (t, r, c, header, cell) tuple rebuilt
     // from the first-6 words — header literals ('Word' proves the

@@ -747,6 +747,295 @@ object HtmlOps {
     out.result()
   }
 
+  val imageSchema: StructType = StructType(Seq(
+    StructField("src", StringType, nullable = false),
+    StructField("alt", StringType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("caption", StringType, nullable = false)))
+
+  /** Extract `<img>` tags as (src, alt, title, caption) in document
+    * order — the LAION-shape image-text front door: `alt`/`title` are
+    * the author's captions, `caption` is the page's CONTEXT for the
+    * image, and the pair (pixels later joined by src) is what a
+    * multimodal corpus trains on. Caption rule, deterministic:
+    *
+    *  - an image inside a `<figure>` takes the figure's `<figcaption>`
+    *    text (whitespace-normalized, entities decoded; "" when the
+    *    figure has none; the LAST figcaption in the figure wins —
+    *    nested figures are not tracked, a new `<figure>` simply resets
+    *    the scope);
+    *  - any other image takes the normalized text of its ENCLOSING
+    *    block (the text between the block-tag boundaries around the
+    *    img — surrounding context, before AND after the tag; "" when
+    *    the block has no text).
+    *
+    * Images with a missing/empty `src` are dropped; absent `alt`/
+    * `title` emit "" (absence and the empty caption are the same
+    * training signal). `src` is the RAW reference — compose with
+    * `url_resolve(coalesce(resolved <base>, page_url), src)` +
+    * `url_canonicalize` for joinable keys, the [[links]] discipline.
+    * Same single-pass scanner: comments and script/style subtrees drop;
+    * entities decode inside attribute values and caption text. */
+  def images(html: String): IndexedSeq[(String, String, String, String)] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    val imgs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    val caps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var blockPending: List[Int] = Nil // images awaiting this block's text
+    var figPending: List[Int] = Nil   // images awaiting this figure's cap
+    val blockBuf = new java.lang.StringBuilder(128)
+    val figCapBuf = new java.lang.StringBuilder(64)
+    var inFigure = false
+    var inFigCaption = false
+    var figCap: String = null
+
+    def closeBlock(): Unit = {
+      if (inFigCaption) { figCap = normalizeWs(figCapBuf.toString); inFigCaption = false }
+      if (blockPending.nonEmpty) {
+        val cap = normalizeWs(blockBuf.toString)
+        blockPending.foreach(caps(_) = cap)
+        blockPending = Nil
+      }
+      blockBuf.setLength(0)
+    }
+    def closeFigure(): Unit = {
+      closeBlock()
+      if (figPending.nonEmpty) {
+        val cap = if (figCap == null) "" else figCap
+        figPending.foreach(caps(_) = cap)
+        figPending = Nil
+      }
+      inFigure = false; figCap = null; figCapBuf.setLength(0)
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
+            && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(html, i + 1)
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          if (j == nameStart) { // bare '<': literal text
+            blockBuf.append(c); if (inFigCaption) figCapBuf.append(c)
+            i += 1
+          } else {
+            val name = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
+              sb.toString
+            }
+            if (!closing && SkipTags.contains(name)) {
+              i = skipSubtree(html, skipToTagEnd(html, j), name)
+            } else if (name == "img") {
+              val (attrs, after) = parseAttrs(html, j)
+              attrs.get("src").filter(_.nonEmpty).foreach { src =>
+                imgs += ((src, attrs.getOrElse("alt", ""),
+                  attrs.getOrElse("title", "")))
+                caps += ""
+                val idx = imgs.length - 1
+                if (inFigure) figPending ::= idx else blockPending ::= idx
+              }
+              i = after
+            } else if (name == "figure") {
+              if (closing) closeFigure()
+              else { closeFigure(); inFigure = true } // reset = new scope
+              i = skipToTagEnd(html, j)
+            } else if (name == "figcaption") {
+              closeBlock()
+              if (!closing && inFigure) { inFigCaption = true; figCapBuf.setLength(0) }
+              i = skipToTagEnd(html, j)
+            } else {
+              if (BlockTags.contains(name)) closeBlock()
+              i = skipToTagEnd(html, j)
+            }
+          }
+        }
+      } else if (c == '&') {
+        val before = blockBuf.length()
+        i = decodeEntity(html, i, blockBuf)
+        if (inFigCaption) figCapBuf.append(blockBuf, before, blockBuf.length())
+      } else {
+        blockBuf.append(c); if (inFigCaption) figCapBuf.append(c)
+        i += 1
+      }
+    }
+    closeFigure()
+    val out = new Array[(String, String, String, String)](imgs.length)
+    var k = 0
+    while (k < imgs.length) {
+      val (s, a, t) = imgs(k)
+      out(k) = (s, a, t, caps(k))
+      k += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Images as Catalyst rows (for [[HtmlImages]]). */
+  def imagesData(html: UTF8String): GenericArrayData = {
+    if (html == null) return new GenericArrayData(Array.empty[Any])
+    val is = images(html.toString)
+    val rows = new Array[Any](is.length)
+    var i = 0
+    while (i < is.length) {
+      val (s, a, t, c) = is(i)
+      rows(i) = InternalRow(UTF8String.fromString(s),
+        UTF8String.fromString(a), UTF8String.fromString(t),
+        UTF8String.fromString(c))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  val interleavedSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("src", StringType, nullable = true),
+    StructField("alt", StringType, nullable = true)))
+
+  /** Interleaved image-text document (the mmc4/OBELICS shape): ONE
+    * ordered sequence of content-text items and image slots per page,
+    * position-keyed — what an interleaved multimodal trainer consumes
+    * directly. Contract:
+    *
+    *  - an `<img>` (nonempty src) is an item AND a text-run boundary —
+    *    it finalizes the text accumulated so far, exactly like a block
+    *    tag, so document order is a strict alternation of runs and
+    *    slots;
+    *  - text runs are segmented at block-tag boundaries and classified
+    *    with the [[blocks]] jusText rules (link density, minLen, the
+    *    preceding-non-short neighbor rule over TEXT runs only — images
+    *    never influence a label); only `content` runs emit;
+    *  - EVERY image with a nonempty src emits (an interleaved corpus
+    *    keeps image slots even between boilerplate runs — the slot
+    *    position, not the neighbor prose, is the signal);
+    *  - `pos` is the 0-based index over EMITTED items, so downstream
+    *    packing can key on (doc, pos) with no holes. */
+  def interleaved(html: String, minLen: Int,
+                  maxLinkDensity: Double): IndexedSeq[(Int, String, String, String, String)] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    // ordered segments: text = (rawText, nonWs, linked), image = (src, alt)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[Either[(String, Int, Int), (String, String)]]
+    val buf = new java.lang.StringBuilder(256)
+    var nonWs = 0
+    var linked = 0
+    var linkDepth = 0
+    def finalizeRun(): Unit = {
+      if (nonWs > 0) segs += Left((buf.toString, nonWs, linked))
+      buf.setLength(0); nonWs = 0; linked = 0
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
+            && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(html, i + 1)
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          if (j == nameStart) {
+            buf.append(c); nonWs += 1; if (linkDepth > 0) linked += 1
+            i += 1
+          } else {
+            val name = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
+              sb.toString
+            }
+            if (!closing && SkipTags.contains(name)) {
+              i = skipSubtree(html, skipToTagEnd(html, j), name)
+            } else if (name == "img") {
+              val (attrs, after) = parseAttrs(html, j)
+              attrs.get("src").filter(_.nonEmpty).foreach { src =>
+                finalizeRun()
+                segs += Right((src, attrs.getOrElse("alt", "")))
+              }
+              i = after
+            } else {
+              if (name == "a") {
+                if (closing) linkDepth = math.max(0, linkDepth - 1)
+                else linkDepth += 1
+              }
+              if (BlockTags.contains(name)) finalizeRun()
+              i = skipToTagEnd(html, j)
+            }
+          }
+        }
+      } else if (c == '&') {
+        val before = buf.length()
+        i = decodeEntity(html, i, buf)
+        var p = before
+        while (p < buf.length()) {
+          if (!Character.isWhitespace(buf.charAt(p))) {
+            nonWs += 1; if (linkDepth > 0) linked += 1
+          }
+          p += 1
+        }
+      } else {
+        buf.append(c)
+        if (!Character.isWhitespace(c)) { nonWs += 1; if (linkDepth > 0) linked += 1 }
+        i += 1
+      }
+    }
+    finalizeRun()
+    // classify text runs with the blocks() rules, emit in order
+    val out = IndexedSeq.newBuilder[(Int, String, String, String, String)]
+    var lastLongLabel = ""
+    var pos = 0
+    segs.foreach {
+      case Left((rawText, nw, lk)) =>
+        val density = if (nw == 0) 0.0 else lk.toDouble / nw
+        val isContent =
+          if (density > maxLinkDensity) { lastLongLabel = "boilerplate"; false }
+          else if (nw < minLen) lastLongLabel == "content"
+          else { lastLongLabel = "content"; true }
+        if (isContent) {
+          out += ((pos, "text", normalizeWs(rawText), null, null))
+          pos += 1
+        }
+      case Right((src, alt)) =>
+        out += ((pos, "image", null, src, alt))
+        pos += 1
+    }
+    out.result()
+  }
+
+  /** Interleaved items as Catalyst rows (for [[HtmlInterleaved]]). */
+  def interleavedData(html: UTF8String, minLen: Int,
+                      maxLinkDensity: Double): GenericArrayData = {
+    if (html == null) return new GenericArrayData(Array.empty[Any])
+    val is = interleaved(html.toString, minLen, maxLinkDensity)
+    val rows = new Array[Any](is.length)
+    var i = 0
+    while (i < is.length) {
+      val (p, k, t, s, a) = is(i)
+      rows(i) = InternalRow(p, UTF8String.fromString(k),
+        if (t == null) null else UTF8String.fromString(t),
+        if (s == null) null else UTF8String.fromString(s),
+        if (a == null) null else UTF8String.fromString(a))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** OpenGraph pairs as Catalyst rows (for [[HtmlOg]]). */
   def ogData(html: UTF8String): GenericArrayData = {
     if (html == null) return new GenericArrayData(Array.empty[Any])
@@ -935,6 +1224,44 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `html_images(html)` — codegen `<img>` extraction:
+  * array(struct(src, alt, title, caption)). */
+case class HtmlImages(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(HtmlOps.imageSchema, containsNull = false)
+  override def prettyName: String = "html_images"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.imagesData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.imagesData($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `html_interleaved(html)` — codegen interleaved image-text document
+  * extraction: array(struct(pos, kind, text, src, alt)). */
+case class HtmlInterleaved(child: Expression, minLen: Int,
+                           maxLinkDensity: Double) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(HtmlOps.interleavedSchema, containsNull = false)
+  override def prettyName: String = "html_interleaved"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.interleavedData(input.asInstanceOf[UTF8String], minLen,
+      maxLinkDensity)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.interleavedData($a, $minLen, $maxLinkDensity);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `html_table_cells(html)` — codegen table-cell extraction. */
 case class HtmlTableCells(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
@@ -970,6 +1297,15 @@ object HtmlExpressions {
 
   def html_links(html: Column): Column =
     ColumnBridge.column(HtmlLinks(ColumnBridge.expression(html)))
+
+  def html_images(html: Column): Column =
+    ColumnBridge.column(HtmlImages(ColumnBridge.expression(html)))
+
+  def html_interleaved(html: Column,
+                       minLen: Int = HtmlOps.DefaultMinLen,
+                       maxLinkDensity: Double = HtmlOps.DefaultMaxLinkDensity): Column =
+    ColumnBridge.column(HtmlInterleaved(ColumnBridge.expression(html),
+      minLen, maxLinkDensity))
 
   def html_head(html: Column): Column =
     ColumnBridge.column(HtmlHead(ColumnBridge.expression(html)))

@@ -158,6 +158,63 @@ class TextExtractSpec extends SparkSpec {
       === Vector(("/tail", "dangling", false)))
   }
 
+  test("images: figcaption scope, block captions, attr edges") {
+    val html = "<html><body>" +
+      // figure with caption AFTER the img: figcaption still wins
+      "<figure><img src=\"/a.png\" alt=\"A &amp; a\" title=\"tA\">" +
+      "<figcaption>Figure <b>one</b> caption</figcaption></figure>" +
+      // figure without a figcaption: caption is ""
+      "<figure><img src=\"/b.png\"></figure>" +
+      // inline image: surrounding-block text, before AND after the tag
+      "<p>Before words <img src=\"c.png\" alt=\"inline\"> after words.</p>" +
+      // empty block: caption ""
+      "<p><img src=\"//cdn.e.com/d.webp\"></p>" +
+      // no src: dropped; script img: dropped
+      "<p><img alt=\"no src\"></p>" +
+      "<script>var s='<img src=\"x.png\">';</script>" +
+      "</body></html>"
+    assert(HtmlOps.images(html) === Vector(
+      ("/a.png", "A & a", "tA", "Figure one caption"),
+      ("/b.png", "", "", ""),
+      ("c.png", "inline", "", "Before words after words."),
+      ("//cdn.e.com/d.webp", "", "", "")))
+    assert(HtmlOps.images(null) === Vector.empty)
+    assert(HtmlOps.images("no images") === Vector.empty)
+    // unterminated figure at EOF still assigns its caption
+    assert(HtmlOps.images(
+      "<figure><img src=\"/t.png\"><figcaption>tail cap")
+      === Vector(("/t.png", "", "", "tail cap")))
+  }
+
+  test("interleaved: img boundaries, jusText labels, slots always kept") {
+    val html = "<html><body>" +
+      "<p>A long enough opening paragraph about corpora and pixels.</p>" +
+      "<img src=\"/i1.png\" alt=\"one\">" +
+      // fully-linked run: boilerplate, dropped — but the next image stays
+      "<p><a href=\"/nav\">navigation menu links only</a></p>" +
+      "<img src=\"/i2.png\">" +
+      // short run after boilerplate: inherits boilerplate, dropped
+      "<p>Fin.</p>" +
+      "<p>Another long closing paragraph with plenty of characters.</p>" +
+      "</body></html>"
+    assert(HtmlOps.interleaved(html, 20, 0.33) === Vector(
+      (0, "text", "A long enough opening paragraph about corpora and pixels.", null, null),
+      (1, "image", null, "/i1.png", "one"),
+      (2, "image", null, "/i2.png", ""),
+      (3, "text", "Another long closing paragraph with plenty of characters.", null, null)))
+    // an img splits a run mid-block: both halves classify independently
+    val split = "<p>First half long enough to stand as content alone" +
+      "<img src=\"/m.png\"> tail</p>" +
+      "<p>Second paragraph long enough to be content by itself.</p>"
+    assert(HtmlOps.interleaved(split, 20, 0.33) === Vector(
+      (0, "text", "First half long enough to stand as content alone", null, null),
+      (1, "image", null, "/m.png", ""),
+      // "tail" is short and follows a content run -> inherits content
+      (2, "text", "tail", null, null),
+      (3, "text", "Second paragraph long enough to be content by itself.", null, null)))
+    assert(HtmlOps.interleaved(null, 20, 0.33) === Vector.empty)
+  }
+
   test("head: base/canonical first-wins, robots tokens, body ignored") {
     val h = "<html><head><base href=\"/a/\"><base href=\"/b/\">" +
       "<link rel=\"stylesheet canonical\" href=\"/c1\">" +
