@@ -567,6 +567,82 @@ object SparkEntry {
       |  a.n_pixels, a.lum_sum
       |FROM m JOIN agg a USING (doc_id) ORDER BY m.doc_id""".stripMargin
 
+  /** sft-assembly oracle: the frozen ChatML template's length
+    * arithmetic replayed per turn — prefix-sum starts, whole-turn and
+    * content-only intervals, assistant-span train flags. The 12/1/11
+    * literals are length("<|im_start|>"), the "\n" after the role, and
+    * length("<|im_end|>\n") — frozen with the template. */
+  private val sftAssembleOracleSql: String =
+        """WITH tu AS (
+      |  SELECT doc_id // 4 AS conversation_id, doc_id % 4 AS turn_idx,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    'Turn ' || CAST(doc_id % 4 AS VARCHAR) || ': ' ||
+      |      array_to_string(list_slice(
+      |        list_filter(string_split(text, ' '), x -> x <> ''), 1, 4),
+      |        ' ') AS t
+      |  FROM documents),
+      |r AS (
+      |  SELECT conversation_id, turn_idx, role,
+      |    CAST(length('<|im_start|>' || role || chr(10) || t ||
+      |      '<|im_end|>' || chr(10)) AS BIGINT) AS rlen
+      |  FROM tu),
+      |sp AS (
+      |  SELECT conversation_id, turn_idx, role, rlen,
+      |    CAST(COALESCE(SUM(rlen) OVER (PARTITION BY conversation_id
+      |      ORDER BY turn_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_char,
+      |    CAST(COUNT(*) OVER (PARTITION BY conversation_id) AS BIGINT)
+      |      AS n_turns,
+      |    CAST(SUM(rlen) OVER (PARTITION BY conversation_id) AS BIGINT)
+      |      AS rendered_len
+      |  FROM r)
+      |SELECT CAST(conversation_id AS BIGINT) AS conversation_id, n_turns,
+      |  rendered_len, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+      |  start_char, start_char + rlen AS end_char,
+      |  start_char + 12 + length(role) + 1 AS content_start,
+      |  start_char + rlen - 11 AS content_end,
+      |  role = 'assistant' AS train
+      |FROM sp ORDER BY conversation_id, turn_idx""".stripMargin
+
+  /** sft-exact-dedup oracle: rendered conversations rebuilt in SQL and
+    * grouped — min-id survivor, copy count, 256-bit fingerprint. */
+  private val sftDedupOracleSql: String =
+        """WITH tu AS (
+      |  SELECT doc_id // 4 AS cid, doc_id % 4 AS k,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    'sft' || CAST((doc_id // 4) // 3 AS VARCHAR) || 'a sft' ||
+      |      CAST((doc_id // 4) // 3 AS VARCHAR) || 'b sft' ||
+      |      CAST((doc_id // 4) // 3 AS VARCHAR) || 'c turn' ||
+      |      CAST(doc_id % 4 AS VARCHAR) ||
+      |      CASE WHEN (doc_id // 4) % 3 = 2 AND doc_id % 4 = 3
+      |        THEN ' extra' ELSE '' END AS t
+      |  FROM documents),
+      |r AS (
+      |  SELECT cid, string_agg('<|im_start|>' || role || chr(10) || t ||
+      |    '<|im_end|>' || chr(10), '' ORDER BY k) AS rendered
+      |  FROM tu GROUP BY cid)
+      |SELECT sha256(rendered) AS fp, CAST(MIN(cid) AS BIGINT)
+      |    AS conversation_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_convs
+      |FROM r GROUP BY rendered ORDER BY conversation_id""".stripMargin
+
+  /** sft-fuzzy-dedup oracle: within each planted group of three
+    * full conversations, the lowercase-identical pair scores 1.0 and
+    * the one-token-appended sibling scores 11/12 against each — the
+    * banding must surface exactly these pairs and the exact re-score
+    * exactly these values. */
+  private val sftDedupFuzzyOracleSql: String =
+        """WITH convs AS (
+      |  SELECT doc_id // 4 AS cid FROM documents
+      |  GROUP BY 1 HAVING COUNT(*) = 4),
+      |g AS (SELECT cid, cid // 3 AS grp, cid % 3 AS v FROM convs)
+      |SELECT a.cid AS idA, b.cid AS idB,
+      |  CASE WHEN (a.v = 2) = (b.v = 2) THEN 1.0
+      |       ELSE round(11.0 / 12.0, 6) END AS jaccard
+      |FROM g a JOIN g b ON a.grp = b.grp AND a.cid < b.cid
+      |ORDER BY idA, idB""".stripMargin
+
   /** html-tables oracle, shared verbatim by the batch extraction and
     * its streaming twin. */
   private val htmlTablesOracleSql: String =
@@ -974,6 +1050,33 @@ object SparkEntry {
       .select(col("doc_id"), col("it.pos").cast("long").as("pos"),
         col("it.kind").as("kind"), col("it.text").as("text"),
         col("it.src").as("src"), col("it.alt").as("alt"))
+  }
+
+  /** SFT-dedup turn fixture: conversations of four turns (doc_id/4),
+    * grouped three-by-three (conv_id/3) onto a shared group-keyed token
+    * text, so each group plants one dedup cluster: conversations 0 and
+    * 1 of the group carry identical words (conversation 1 UPPERCASED
+    * when `caseVariant` — the normalization probe), conversation 2
+    * appends one trailing token to its last turn (the near-dup probe:
+    * 11 of 12 trigram shingles shared). Token streams are group-keyed
+    * in every 3-gram window, so cross-group shingle overlap is zero by
+    * construction. */
+  private def sftDedupTurns(s: SparkSession, dir: String,
+                            caseVariant: Boolean): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val convId = floor(col("doc_id") / 4).cast("long")
+    val k = pmod(col("doc_id"), lit(4))
+    val grp = floor(convId / 3).cast("long").cast("string")
+    val v = pmod(convId, lit(3))
+    val base = concat(lit("sft"), grp, lit("a sft"), grp, lit("b sft"),
+      grp, lit("c turn"), k.cast("string"),
+      when(v === 2 && k === 3, lit(" extra")).otherwise(lit("")))
+    val text = if (caseVariant) when(v === 1, upper(base)).otherwise(base)
+      else base
+    docs.select(convId.as("conv_id"), k.cast("long").as("turn_idx"),
+      when(pmod(col("doc_id"), lit(2)) === 0, "user")
+        .otherwise("assistant").as("role"),
+      text.as("text"))
   }
 
   /** Hreflang fixture page: en/de alternates on every document, fr on
@@ -1686,6 +1789,69 @@ object SparkEntry {
     "q_interleaved_docs" -> ((s, dir) =>
       htmlInterleavedRows(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("pos"))),
+
+    // SFT ASSEMBLY — the post-training corpus front door: flat
+    // (conversation, turn, role, text) rows become rendered ChatML
+    // documents with per-span LOSS-MASK offsets (whole-turn interval +
+    // the content sub-interval the mask actually covers; train only on
+    // assistant spans). The oracle replays the frozen template's length
+    // arithmetic per turn — a one-character template drift fails the
+    // hash. One shuffle (conversation key), per-row span math.
+    "q_sft_assemble" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words4 = array_join(slice(filter(split(col("text"), " "),
+        w => length(w) > 0), 1, 4), " ")
+      val turns = docs.select(
+        floor(col("doc_id") / 4).cast("long").as("conv_id"),
+        pmod(col("doc_id"), lit(4)).cast("long").as("turn_idx"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "user")
+          .otherwise("assistant").as("role"),
+        concat(lit("Turn "), pmod(col("doc_id"), lit(4)).cast("string"),
+          lit(": "), words4).as("text"))
+      operators.Sft.assemble(turns, "conv_id", "turn_idx", "role", "text")
+        .select(col("conversation_id"), col("n_turns"),
+          length(col("rendered")).cast("long").as("rendered_len"),
+          explode(col("spans")).as("sp"))
+        .select(col("conversation_id"), col("n_turns"), col("rendered_len"),
+          col("sp.turn_idx").as("turn_idx"), col("sp.role").as("role"),
+          col("sp.start_char").as("start_char"),
+          col("sp.end_char").as("end_char"),
+          col("sp.content_start").as("content_start"),
+          col("sp.content_end").as("content_end"),
+          col("sp.train").as("train"))
+        .orderBy(col("conversation_id"), col("turn_idx"))
+    }),
+
+    // CONVERSATION-level EXACT dedup: the fixture mints one canonical
+    // conversation per group of three (group-keyed token text, one
+    // copy uppercased — rendered bytes still differ, so exact dedup
+    // groups only the byte-identical pair), keyed on the 256-bit
+    // rendered hash — key-only shuffle, min-id survivor, copy count.
+    "q_sft_dedup" -> ((s, dir) => {
+      val turns = sftDedupTurns(s, dir, caseVariant = false)
+      val convs = operators.Sft.assemble(turns, "conv_id", "turn_idx",
+        "role", "text")
+      operators.Sft.dedupExact(convs, "conversation_id", "rendered")
+        .orderBy(col("conversation_id"))
+    }),
+
+    // CONVERSATION-level FUZZY dedup — the Dedup ladder on concatenated
+    // NORMALIZED turns: groups of three conversations where two are
+    // byte-identical after lowercasing (jaccard 1.0) and the third
+    // appends one trailing token (11 of 12 shingles shared). MinHash
+    // banding + exact re-score must surface exactly the within-group
+    // pairs at exactly those two similarity values.
+    "q_sft_dedup_fuzzy" -> ((s, dir) => {
+      val turns = sftDedupTurns(s, dir, caseVariant = true)
+      val convs = operators.Sft.normalizedConvText(turns, "conv_id",
+          "turn_idx", "text")
+        .filter(col("n_turns") === 4)
+      Dedup.minhashNearDupPairs(convs, "conversation_id", "conv_text",
+          n = 3, k = 64, bands = 16, threshold = 0.5)
+        .select(col("idA"), col("idB"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("idA"), col("idB"))
+    }),
 
     // OPENGRAPH metadata (ogp.me) — the enrichment row a corpus keeps
     // next to the extracted text: og:title from the first three words,
@@ -8980,6 +9146,9 @@ object SparkEntry {
     // mailto:, an undecoded &amp;, or a missed rel=nofollow breaks it.
     "q_html_links" -> htmlLinksOracleSql,
     "q_stream_links" -> htmlLinksOracleSql,
+    "q_sft_assemble" -> sftAssembleOracleSql,
+    "q_sft_dedup" -> sftDedupOracleSql,
+    "q_sft_dedup_fuzzy" -> sftDedupFuzzyOracleSql,
     "q_image_text_pairs" -> htmlImagePairsOracleSql,
     "q_stream_images" -> htmlImagePairsOracleSql,
     "q_interleaved_docs" -> interleavedDocsOracleSql,

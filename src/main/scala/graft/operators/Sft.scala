@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SFT / conversation data preparation — the post-training corpus
+  * family: instruction-tuning data arrives as flat (conversation, turn,
+  * role, text) rows and must leave as rendered training documents with
+  * per-span loss masks, deduplicated at the CONVERSATION level.
+  * Beyond-reference extension (the reference pipeline ends at
+  * pre-training-style curation); composes with the [[Dedup]] ladder.
+  *
+  * Everything is declarative Spark: assembly is ONE combining aggregate
+  * on the conversation key (turns sort in-array by index — no window,
+  * no second shuffle), template rendering and span arithmetic are
+  * higher-order array functions over the assembled turns (per-row,
+  * zero shuffle, codegen-friendly), and dedup keys are hashes so no
+  * rendered text crosses an exchange. At 100 TB the shape holds: one
+  * shuffle keyed on conversation_id, then per-row work.
+  */
+object Sft {
+
+  /** The frozen chat template (ChatML-style, the de-facto public
+    * format): `<|im_start|>ROLE\nTEXT<|im_end|>\n` per turn, turns
+    * concatenated in index order. Frozen LITERALS — span offsets are
+    * derived from these strings, and a drifting template silently
+    * corrupts every stored loss mask. */
+  val ImStart = "<|im_start|>"
+  val ImEnd = "<|im_end|>\n"
+
+  /** One turn rendered under the template. */
+  def renderTurn(role: Column, text: Column): Column =
+    concat(lit(ImStart), role, lit("\n"), text, lit(ImEnd))
+
+  /** Assemble conversations from turn rows: one row per conversation
+    * with `turns` (index-sorted structs), `rendered` (the full template
+    * string), `n_turns`, and `spans` — per turn the char interval
+    * [start_char, end_char) of its rendered form inside `rendered`,
+    * the [content_start, content_end) sub-interval of the turn TEXT
+    * alone (what a loss mask actually covers — template scaffolding is
+    * never trained on), and `train` = role == `trainRole`.
+    *
+    * Span starts are prefix sums of rendered-turn lengths, computed
+    * per row with `aggregate(slice(...))` — O(turns²) per conversation,
+    * which is the right trade: conversations are short (tens of turns)
+    * and the alternative struct-state aggregate breaks whole-stage
+    * codegen for every consumer downstream. Turn indices must be
+    * unique per conversation (the sort key). */
+  def assemble(turns: DataFrame, convCol: String, idxCol: String,
+               roleCol: String, textCol: String,
+               trainRole: String = "assistant"): DataFrame = {
+    val sortedTurns = array_sort(collect_list(struct(
+      col(idxCol).cast("long").as("turn_idx"), col(roleCol).as("role"),
+      col(textCol).as("text"))))
+    val rend = (t: Column) =>
+      renderTurn(t.getField("role"), t.getField("text"))
+    turns.groupBy(col(convCol).as("conversation_id"))
+      .agg(sortedTurns.as("turns"))
+      .withColumn("__lens",
+        transform(col("turns"), t => length(rend(t)).cast("long")))
+      .withColumn("rendered",
+        array_join(transform(col("turns"), rend), ""))
+      .withColumn("n_turns", size(col("turns")).cast("long"))
+      .withColumn("spans", transform(col("turns"), (t, i) => {
+        val start = aggregate(slice(col("__lens"), lit(1), i),
+          lit(0L), (a, x) => a + x)
+        val end = start + get(col("__lens"), i)
+        val cStart = start + lit(ImStart.length.toLong) +
+          length(t.getField("role")).cast("long") + lit(1L)
+        val cEnd = end - lit(ImEnd.length.toLong)
+        struct(t.getField("turn_idx").as("turn_idx"),
+          t.getField("role").as("role"),
+          start.as("start_char"), end.as("end_char"),
+          cStart.as("content_start"), cEnd.as("content_end"),
+          (t.getField("role") === lit(trainRole)).as("train"))
+      }))
+      .drop("__lens")
+  }
+
+  /** Conversation-level EXACT dedup over any conversation-text column:
+    * group on the 256-bit content hash (key-only shuffle — rendered
+    * text never crosses an exchange, the lineDedup discipline), keep
+    * the minimum id, count the copies. Output: (fp, conversation_id,
+    * n_convs). */
+  def dedupExact(convs: DataFrame, idCol: String,
+                 textCol: String): DataFrame =
+    convs.groupBy(sha2(col(textCol), 256).as("fp"))
+      .agg(min(col(idCol)).as("conversation_id"),
+        count(lit(1)).as("n_convs"))
+
+  /** Concatenated NORMALIZED turns — the conversation-level dedup key
+    * the fuzzy ladder runs on: turn texts sorted by index, joined with
+    * single spaces, lowercased (template scaffolding and role labels
+    * deliberately excluded — two conversations with the same words are
+    * duplicates no matter how they were rendered). Emits
+    * (conversation_id, n_turns, conv_text); feed `conv_text` to
+    * [[Dedup.minhashNearDupPairs]] / [[Dedup.ngramJaccardPairs]] for
+    * the near-dup pass and to [[dedupExact]] for the exact one. */
+  def normalizedConvText(turns: DataFrame, convCol: String,
+                         idxCol: String, textCol: String): DataFrame =
+    turns.groupBy(col(convCol).as("conversation_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        lower(array_join(transform(
+          array_sort(collect_list(struct(col(idxCol).as("i"),
+            col(textCol).as("t")))),
+          x => x.getField("t")), " ")).as("conv_text"))
+}

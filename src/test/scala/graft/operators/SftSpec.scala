@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val turns = Seq(
+    // conversation 1, out of order on purpose — assembly must sort
+    (1L, 1L, "assistant", "Hi there."),
+    (1L, 0L, "user", "Hello"),
+    (1L, 2L, "user", "Bye"),
+    // conversation 2, single turn
+    (2L, 0L, "assistant", "Solo"))
+    .toDF("conv", "idx", "role", "text")
+
+  test("assemble: template rendering, span offsets, train flags") {
+    val got = Sft.assemble(turns, "conv", "idx", "role", "text")
+      .orderBy("conversation_id")
+    val rows = got.select("conversation_id", "n_turns", "rendered")
+      .as[(Long, Long, String)].collect()
+    assert(rows(0) === ((1L, 3L,
+      "<|im_start|>user\nHello<|im_end|>\n" +
+        "<|im_start|>assistant\nHi there.<|im_end|>\n" +
+        "<|im_start|>user\nBye<|im_end|>\n")))
+    assert(rows(1) === ((2L, 1L, "<|im_start|>assistant\nSolo<|im_end|>\n")))
+
+    val spans = got.filter($"conversation_id" === 1L)
+      .select(explode($"spans").as("sp")).select("sp.*")
+      .as[(Long, String, Long, Long, Long, Long, Boolean)].collect()
+    // turn 0: "<|im_start|>user\nHello<|im_end|>\n" = 12+4+1+5+11 = 33
+    assert(spans(0) === ((0L, "user", 0L, 33L, 17L, 22L, false)))
+    // turn 1 starts at 33; rendered len 12+9+1+9+11 = 42; content 9 chars
+    assert(spans(1) === ((1L, "assistant", 33L, 75L, 55L, 64L, true)))
+    assert(spans(2) === ((2L, "user", 75L, 106L, 92L, 95L, false)))
+    // the content interval must slice back to the turn text exactly
+    val sliced = got.select(explode($"spans").as("sp"), $"rendered")
+      .select(expr("substring(rendered, sp.content_start + 1, " +
+        "sp.content_end - sp.content_start)").as("cut"),
+        $"sp.turn_idx", $"sp.role")
+      .as[(String, Long, String)].collect().map(_._1).toSet
+    assert(sliced === Set("Hello", "Hi there.", "Bye", "Solo"))
+  }
+
+  test("dedupExact: min-id survivor, copy counts, hash key") {
+    val convs = Seq((10L, "same words"), (7L, "same words"),
+      (3L, "other words"))
+      .toDF("conversation_id", "rendered")
+    val got = Sft.dedupExact(convs, "conversation_id", "rendered")
+      .select("conversation_id", "n_convs").as[(Long, Long)]
+      .collect().toSet
+    assert(got === Set((7L, 2L), (3L, 1L)))
+  }
+
+  test("normalizedConvText: index order, lowercase, template excluded") {
+    val got = Sft.normalizedConvText(turns, "conv", "idx", "text")
+      .orderBy("conversation_id")
+      .select("conversation_id", "n_turns", "conv_text")
+      .as[(Long, Long, String)].collect()
+    assert(got.toSeq === Seq((1L, 3L, "hello hi there. bye"),
+      (2L, 1L, "solo")))
+  }
+}
