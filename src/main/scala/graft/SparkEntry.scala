@@ -567,6 +567,34 @@ object SparkEntry {
       |  a.n_pixels, a.lum_sum
       |FROM m JOIN agg a USING (doc_id) ORDER BY m.doc_id""".stripMargin
 
+  /** sitemap-seeds oracle, shared verbatim by the text-path query
+    * (q_sitemap_seeds) and the gzipped/mixed binary path
+    * (q_sitemap_gz — codec transparency is the gate). */
+  private val sitemapSeedsOracleSql: String =
+      """WITH src AS (
+        |  SELECT DISTINCT source, source || '.example.com' AS domain,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
+        |  FROM documents),
+        |ent AS (
+        |  SELECT s.domain,
+        |    'https://www.' || s.domain || '/docs/' ||
+        |      CAST((s.k + ii.i) % 25 AS VARCHAR) AS loc,
+        |    CAST('2026-01-' ||
+        |      lpad(CAST((s.k + ii.i) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |      AS lastmod
+        |  FROM src s CROSS JOIN (SELECT unnest(range(10)) AS i) ii),
+        |crawled AS (
+        |  SELECT DISTINCT 'https://www.' || source || '.example.com/docs/' ||
+        |    CAST(doc_id % 25 AS VARCHAR) AS loc
+        |  FROM documents),
+        |seeds AS (
+        |  SELECT e.domain, e.loc, e.lastmod FROM ent e
+        |  LEFT JOIN crawled c ON c.loc = e.loc WHERE c.loc IS NULL)
+        |SELECT domain, loc, lastmod,
+        |  CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY lastmod DESC, loc ASC) AS BIGINT) AS seed_rank
+        |FROM seeds ORDER BY domain, seed_rank""".stripMargin
+
   /** sft-assembly oracle: the frozen ChatML template's length
     * arithmetic replayed per turn — prefix-sum starts, whole-turn and
     * content-only intervals, assistant-span train flags. The 12/1/11
@@ -848,6 +876,33 @@ object SparkEntry {
       .filter(regexp_extract(col("domain"), "(\\d+)", 1).cast("long")
         % 25 % 2 === 1)
     roots.unionByName(children)
+  }
+
+  /** Binary sitemap fixture: the [[sitemapDocs]] documents as BYTES
+    * with a deterministic codec mix — roots of k%3!=0 domains and every
+    * sitemap-1 child are GZIPPED (so gzipped `<urlset>`, gzipped
+    * `<sitemapindex>`, and gzipped children all carry rows), the rest
+    * plain UTF-8. Same URLs as the text fixture (no `.gz` suffix —
+    * detection must be by magic, the wild serves gzip under plain
+    * names), so the index→child join is unchanged and codec
+    * transparency is the only variable under test. */
+  private def sitemapDocsGz(s: SparkSession, dir: String): DataFrame = {
+    val gz = udf { (xml: String, doGz: Boolean) =>
+      if (!doGz) xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      else {
+        val bos = new java.io.ByteArrayOutputStream(xml.length / 2 + 64)
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        g.close()
+        bos.toByteArray
+      }
+    }
+    val k = regexp_extract(col("domain"), "(\\d+)", 1).cast("long") % 25
+    val doGz = when(col("url").endsWith("/sitemap.xml"), k % 3 =!= 0)
+      .when(col("url").endsWith("/sitemap-1.xml"), lit(true))
+      .otherwise(lit(false))
+    sitemapDocs(s, dir).select(col("domain"), col("url"),
+      gz(col("xml"), doGz).as("bytes"))
   }
 
   /** The fixture's parsed url-entries (domain, kind, loc, lastmod) from
@@ -3001,6 +3056,36 @@ object SparkEntry {
         .as("url")).distinct()
       operators.Sitemap.seeds(sitemapUrlEntries(s, dir), "domain",
           crawled, "url")
+        .select(col("domain"), col("loc"), col("lastmod"), col("seed_rank"))
+        .orderBy(col("domain"), col("seed_rank"))
+    }),
+
+    // GZIPPED sitemaps + index recursion over BYTES — the form a
+    // fetcher actually holds (sitemap.xml.gz is the common spelling;
+    // the wild also serves gzip under plain names, so detection is by
+    // MAGIC): a deterministic mix of gzipped/plain urlsets, indexes,
+    // and children routes through gunzip_text before the same parse +
+    // index→child join + seed ranking — and must produce the IDENTICAL
+    // seed table, hash-matched against q_sitemap_seeds' oracle
+    // verbatim. The codec-transparency gate, the q_warc_stats pattern.
+    "q_sitemap_gz" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crawled = docs.select(concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), (col("doc_id") % 25).cast("string"))
+        .as("url")).distinct()
+      val bs = sitemapDocsGz(s, dir)
+      val rootEntries = operators.Sitemap.parseEntriesBinary(
+        bs.filter(col("url").endsWith("/sitemap.xml")), "bytes")
+      val childEntries = operators.Sitemap.parseEntriesBinary(
+        bs.join(broadcast(rootEntries.filter(col("kind") === "sitemap")
+          .select(col("loc").as("url"))), Seq("url")), "bytes")
+      val entries = rootEntries.filter(col("kind") === "url")
+        .select(col("domain"), col("kind"), col("loc"), col("lastmod"),
+          col("changefreq"), col("priority"))
+        .unionByName(childEntries.filter(col("kind") === "url")
+          .select(col("domain"), col("kind"), col("loc"), col("lastmod"),
+            col("changefreq"), col("priority")))
+      operators.Sitemap.seeds(entries, "domain", crawled, "url")
         .select(col("domain"), col("loc"), col("lastmod"), col("seed_rank"))
         .orderBy(col("domain"), col("seed_rank"))
     }),
@@ -9511,30 +9596,12 @@ object SparkEntry {
     // synthesis rule (even-k domains direct, odd-k through the index —
     // same 10 entries either way once resolution works), crawled slots
     // anti-joined, newest-first per-domain rank replayed.
-    "q_sitemap_seeds" ->
-      """WITH src AS (
-        |  SELECT DISTINCT source, source || '.example.com' AS domain,
-        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 25 AS k
-        |  FROM documents),
-        |ent AS (
-        |  SELECT s.domain,
-        |    'https://www.' || s.domain || '/docs/' ||
-        |      CAST((s.k + ii.i) % 25 AS VARCHAR) AS loc,
-        |    CAST('2026-01-' ||
-        |      lpad(CAST((s.k + ii.i) % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
-        |      AS lastmod
-        |  FROM src s CROSS JOIN (SELECT unnest(range(10)) AS i) ii),
-        |crawled AS (
-        |  SELECT DISTINCT 'https://www.' || source || '.example.com/docs/' ||
-        |    CAST(doc_id % 25 AS VARCHAR) AS loc
-        |  FROM documents),
-        |seeds AS (
-        |  SELECT e.domain, e.loc, e.lastmod FROM ent e
-        |  LEFT JOIN crawled c ON c.loc = e.loc WHERE c.loc IS NULL)
-        |SELECT domain, loc, lastmod,
-        |  CAST(row_number() OVER (PARTITION BY domain
-        |    ORDER BY lastmod DESC, loc ASC) AS BIGINT) AS seed_rank
-        |FROM seeds ORDER BY domain, seed_rank""".stripMargin,
+    "q_sitemap_seeds" -> sitemapSeedsOracleSql,
+
+    // Codec-transparency gate: the SAME seed table must come out of the
+    // gzipped/mixed BINARY sitemap fixture — shares the text path's
+    // oracle verbatim.
+    "q_sitemap_gz" -> sitemapSeedsOracleSql,
 
     // Charset round-trip: sniffed charset name + extracted text rebuilt
     // from the documents table and the shared marker rotation — a page

@@ -160,8 +160,10 @@ object WarcIngest {
     None // unreachable
   }
 
-  /** Gunzip, tolerating concatenated members; None when not valid gzip. */
-  private[ingest] def gunzip(b: Array[Byte]): Option[Array[Byte]] =
+  /** Gunzip, tolerating concatenated members; None when not valid gzip.
+    * `private[graft]`: [[graft.expr.GzipOps]] reuses it for the
+    * gzip-transparent sitemap/text path. */
+  private[graft] def gunzip(b: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new GZIPInputStream(new java.io.ByteArrayInputStream(b), 1 << 14)
       val out = new ByteArrayOutputStream(b.length * 3 + 64)

@@ -56,6 +56,21 @@ object Sitemap {
       .drop("__blk")
   }
 
+  /** [[parseEntries]] over RAW BYTES — the form a fetcher actually
+    * holds: `sitemap.xml.gz` is the common spelling in the wild (and
+    * gzip bytes are also served under plain `.xml` names), so the
+    * payload routes through [[graft.expr.GzipExpressions.gunzip_text]]
+    * — gzip-magic sniffed, never extension-trusted — before the same
+    * regex block walk. A payload whose magic says gzip but whose stream
+    * is invalid decodes to null and the document vanishes at the block
+    * explode — poisoned-row semantics, not a task failure. */
+  def parseEntriesBinary(df: DataFrame, bytesCol: String): DataFrame =
+    parseEntries(
+      df.withColumn("__xml",
+        graft.expr.GzipExpressions.gunzip_text(col(bytesCol)))
+        .drop(bytesCol),
+      "__xml")
+
   /** Frontier seeds from parsed url-entries: drop locations the crawl
     * already holds (one left-anti join on the URL), then rank per
     * domain newest-first (lastmod DESC NULLS LAST, loc ASC — the

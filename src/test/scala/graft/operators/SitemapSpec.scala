@@ -82,6 +82,28 @@ class SitemapSpec extends SparkSpec {
       ("https://a.com/undated-held", "skip", None)))
   }
 
+  test("parseEntriesBinary: gzip by magic, plain UTF-8, bad gzip drops") {
+    def gzip(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val xml = "<urlset><url><loc>https://a.com/p1</loc></url></urlset>"
+    // gzip magic but truncated stream: the document must vanish, not throw
+    val bad = gzip(xml).take(6)
+    val docs = Seq(
+      ("a.com", gzip(xml)),
+      ("b.com", xml.replace("a.com", "b.com").getBytes("UTF-8")),
+      ("c.com", bad))
+      .toDF("domain", "bytes")
+    val got = Sitemap.parseEntriesBinary(docs, "bytes")
+      .select("domain", "kind", "loc").as[(String, String, String)]
+      .collect().toSet
+    assert(got === Set(("a.com", "url", "https://a.com/p1"),
+      ("b.com", "url", "https://b.com/p1")))
+  }
+
   test("conditionalPlan: validator pick, new=full, skip dropped") {
     val entries = Seq(
       ("a.com", "url", "https://a.com/etagged", Date.valueOf("2026-03-01")),
