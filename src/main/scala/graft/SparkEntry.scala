@@ -2958,6 +2958,106 @@ object SparkEntry {
         .orderBy(col("wave"), col("rec_key"))
     }),
 
+    // The POLITE crawl loop — the ledger and the revalidation plan
+    // finally composed IN FRONT of scheduling (until now the loop
+    // fetched every frontier candidate): wave candidates pass (1) the
+    // crawl-trap gate — templates the KMV sketch ledger flagged over
+    // the already-fetched corpus are anti-joined away (every planted
+    // calendar candidate must die here, require()d in-query), then
+    // (2) the recrawl plan — held pages whose advertised lastmod
+    // predates our fetch are `skip` and provably absent downstream
+    // (require()d), stale ones become `refresh`, unseen ones `new` —
+    // and (3) the RFC 9110 conditional-fetch planner assigns each
+    // survivor its revalidation mode + header values from the latest
+    // held copy. Output: the per-domain ranked polite fetch queue.
+    // Scale shape: the ledger and both plan joins are template-/
+    // URL-count-sized (broadcast), candidates stream through per-row.
+    "q_crawl_loop_polite" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val host = concat(lit("https://www."), col("source"),
+        lit(".example.com"))
+      val domain = concat(col("source"), lit(".example.com"))
+      // next-wave candidates: new articles (fetch), calendar-trap URLs
+      // (must die at the ledger gate — same template as the fetched
+      // /cal corpus), held-and-fresh slots (skip), held-and-stale docs
+      // (refresh + revalidate)
+      val aCand = docs.select(domain.as("domain"), lit("url").as("kind"),
+        concat(host, lit("/article/new-"), col("doc_id").cast("string"))
+          .as("loc"),
+        lit(null).cast("date").as("lastmod"))
+      val bCand = docs.select(domain.as("domain"), lit("url").as("kind"),
+        concat(host, lit("/cal/2027/"),
+          (pmod(col("doc_id"), lit(12)) + 1).cast("string"), lit("/"),
+          (pmod(col("doc_id"), lit(28)) + 1).cast("string"),
+          lit("?sid="), lower(lpad(hex(col("doc_id") * 7919), 16, "0")))
+          .as("loc"),
+        lit(null).cast("date").as("lastmod"))
+      val cCand = docs
+        .select(col("source"), pmod(col("doc_id"), lit(25)).as("slot"))
+        .distinct()
+        .select(concat(col("source"), lit(".example.com")).as("domain"),
+          lit("url").as("kind"),
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/docs/"), col("slot").cast("string")).as("loc"),
+          to_date(lit("2026-01-15")).as("lastmod"))
+      val dCand = docs
+        .select(col("source"), pmod(col("doc_id"), lit(10)).as("sl"))
+        .distinct()
+        .select(concat(col("source"), lit(".example.com")).as("domain"),
+          lit("url").as("kind"),
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/stale/"), col("sl").cast("string")).as("loc"),
+          to_date(lit("2026-02-10")).as("lastmod"))
+      val cands = aCand.unionByName(bCand).unionByName(cCand)
+        .unionByName(dCand)
+      // the crawl warehouse's held projection: fresh /docs copies
+      // (fetched after the advertised lastmod), stale /stale copies
+      // (fetched before it; ETag stored on even slots)
+      val held = docs
+        .select(col("source"), pmod(col("doc_id"), lit(25)).as("slot"))
+        .distinct()
+        .select(concat(lit("https://www."), col("source"),
+            lit(".example.com/docs/"), col("slot").cast("string")).as("url"),
+          to_date(lit("2026-02-01")).as("fetched_at"),
+          lit(null).cast("string").as("etag"))
+        .unionByName(docs
+          .select(col("source"), pmod(col("doc_id"), lit(10)).as("sl"))
+          .distinct()
+          .select(concat(lit("https://www."), col("source"),
+              lit(".example.com/stale/"), col("sl").cast("string"))
+              .as("url"),
+            to_date(lit("2026-01-05")).as("fetched_at"),
+            when(pmod(col("sl"), lit(2)) === 0,
+              concat(lit("W/\""), col("sl").cast("string"), lit("\"")))
+              .as("etag")))
+      // (1) trap gate: ledger from the ALREADY-FETCHED trap corpus
+      val trapped = operators.WebCuration.crawlTrapsSketch(
+          trapFixturePages(docs), "url", col("fp"), k = 4096,
+          minUrls = 10, maxDiversity = 0.2)
+        .filter(col("is_trap")).select(col("template"))
+      val keyed = cands.withColumn("template",
+        operators.WebCuration.urlTemplate(col("loc")))
+      val nDropped = keyed.join(broadcast(trapped), Seq("template")).count()
+      require(nDropped == docs.count(),
+        s"trap gate dropped $nDropped, expected one calendar candidate " +
+          "per document")
+      val survivors = keyed
+        .join(broadcast(trapped), Seq("template"), "left_anti")
+        .drop("template")
+      // (2) recrawl plan + (3) conditional revalidation
+      val plan = operators.Sitemap.recrawlPlan(survivors, "domain", held,
+        "url", "fetched_at")
+      val cond = operators.Sitemap.conditionalPlan(plan, held, "url",
+        "etag", "fetched_at", "fetched_at")
+      val freshLeak = cond
+        .join(cCand.select(col("loc")).distinct(), Seq("loc")).count()
+      require(freshLeak == 0,
+        s"$freshLeak unexpired held pages leaked into the fetch queue")
+      cond.select(col("domain"), col("loc"), col("action"), col("mode"),
+          col("if_none_match"), col("if_modified_since"), col("fetch_rank"))
+        .orderBy(col("domain"), col("fetch_rank"))
+    }),
+
     "q_crawl_loop" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val n = docs.count()
@@ -9456,6 +9556,43 @@ object SparkEntry {
         |  FROM (SELECT unnest(range(2)) AS b))
         |SELECT * FROM info UNION ALL SELECT * FROM resp
         |ORDER BY rec_key""".stripMargin,
+
+    // Polite-loop oracle: the surviving fetch queue rebuilt from the
+    // candidate construction — trap candidates and fresh held slots
+    // are absent BY CONSTRUCTION of the rebuild (the query require()s
+    // their exclusion in-engine), stale slots carry their revalidation
+    // mode/headers from the held copy, and ranks replay the
+    // lastmod-DESC-NULLS-LAST / loc-ASC window over the survivors.
+    "q_crawl_loop_polite" ->
+      """WITH a AS (
+        |  SELECT source || '.example.com' AS domain,
+        |    'https://www.' || source || '.example.com/article/new-' ||
+        |      CAST(doc_id AS VARCHAR) AS loc,
+        |    CAST(NULL AS DATE) AS lastmod, 'new' AS action,
+        |    'full' AS mode, CAST(NULL AS VARCHAR) AS if_none_match,
+        |    CAST(NULL AS DATE) AS if_modified_since
+        |  FROM documents),
+        |d AS (
+        |  SELECT DISTINCT source || '.example.com' AS domain,
+        |    'https://www.' || source || '.example.com/stale/' ||
+        |      CAST(doc_id % 10 AS VARCHAR) AS loc,
+        |    CAST('2026-02-10' AS DATE) AS lastmod, 'refresh' AS action,
+        |    CASE WHEN doc_id % 10 % 2 = 0 THEN 'conditional_etag'
+        |         ELSE 'conditional_ims' END AS mode,
+        |    CASE WHEN doc_id % 10 % 2 = 0
+        |      THEN 'W/"' || CAST(doc_id % 10 AS VARCHAR) || '"' END
+        |      AS if_none_match,
+        |    CASE WHEN doc_id % 10 % 2 = 1
+        |      THEN CAST('2026-01-05' AS DATE) END AS if_modified_since
+        |  FROM documents),
+        |q AS (SELECT * FROM a UNION ALL SELECT * FROM d),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY domain
+        |    ORDER BY lastmod DESC NULLS LAST, loc ASC) AS rk
+        |  FROM q)
+        |SELECT domain, loc, action, mode, if_none_match,
+        |  if_modified_since, CAST(rk AS BIGINT) AS fetch_rank
+        |FROM r ORDER BY domain, fetch_rank""".stripMargin,
 
     // Two-wave crawl-loop oracle: wave 1 is the q_crawl_loop chain
     // verbatim; wave 2 re-runs frontier selection over the SAME inlink
