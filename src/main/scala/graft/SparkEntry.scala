@@ -5536,6 +5536,28 @@ object SparkEntry {
           substringK = 4, semanticThreshold = 0.4))
         .orderBy(col("doc_id"))),
 
+    // MULTIMODAL curation — the image modality joins the guarantee
+    // chain: the v2 text ladder's survivors additionally pass banded
+    // pHash near-dup removal over each document's attached image
+    // (blank-image cliques and planted near-dup planes collapse to
+    // their min-id doc) BEFORE the token budget, so a re-encoded copy
+    // of one image cannot ship twice even when its text changed enough
+    // to clear every text stage. The oracle replays ladder + pHash
+    // synthesis + brute hamming pairs + CC + budget in one SQL chain.
+    "q_curate_multimodal" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.withPhash(
+        Multimodal.syntheticMediaRecords(t(s, dir, "documents"), "doc_id"))
+      operators.CorpusPipeline.curateMultimodal(
+        t(s, dir, "documents").withColumn("url",
+          concat(lit("https://www."), col("source"), lit(".example.com/docs/"),
+            (col("doc_id") % 25).cast("string"), lit("/?utm_source="), col("lang"))),
+        t(s, dir, "embeddings"), media,
+        operators.CorpusPipeline.Config(urlCol = Some("url"),
+          substringK = 4, semanticThreshold = 0.4))
+        .orderBy(col("doc_id"))
+    }),
+
     // Training-prep capstone: the curated set (full v2 ladder) driven
     // through the lineage-stable split, train-only sequence packing on
     // CLEANED token counts, and the deterministic shard shuffle — one
@@ -7658,7 +7680,7 @@ object SparkEntry {
   // corpus capstone and the train-prep capstone — one definition, so
   // the two oracles cannot drift. Consumers append their own final
   // SELECT (or further CTEs after a comma).
-  private val corpusLadderCtes: String =
+  private val corpusLadderCoreCtes: String =
     """WITH RECURSIVE
         |stats AS (SELECT doc_id, text,
         |  CASE WHEN trim(text) = '' OR text IS NULL THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
@@ -7755,10 +7777,46 @@ object SparkEntry {
         |ssurv AS (
         |  SELECT x.doc_id, x.n_tok, x.n_removed FROM fsurv x
         |  JOIN (SELECT id, MIN(label) AS lab FROM scc GROUP BY id) m
-        |    ON m.id = x.doc_id AND m.lab = x.doc_id),
+        |    ON m.id = x.doc_id AND m.lab = x.doc_id)""".stripMargin
+
+  private val corpusLadderCtes: String =
+    corpusLadderCoreCtes + """,
         |cum AS (SELECT doc_id, n_tok, n_removed,
         |  SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM ssurv)""".stripMargin
+
+  /** Multimodal-curation oracle: the full text ladder
+    * ([[corpusLadderCoreCtes]]) + the pHash synthesis
+    * ([[phashCteSql]]'s body) + the image near-dup stage over the
+    * ladder's survivors (brute hamming pairs — the oracle's quadratic
+    * sibling of the banded join) + the budget window over what remains.
+    * `lazy`: [[phashCteSql]] is declared later in this object, and a
+    * strict val here would read it as null during object init. */
+  private lazy val curateMultimodalOracleSql: String =
+    corpusLadderCoreCtes + ",\n" +
+      phashCteSql.stripPrefix("WITH ") + """,
+        |ihs AS (
+        |  SELECT p.media_id AS doc_id, p.phash
+        |  FROM ph p JOIN ssurv s ON s.doc_id = p.media_id),
+        |ipairs AS (
+        |  SELECT a.doc_id AS idA, b.doc_id AS idB FROM ihs a JOIN ihs b
+        |  ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+        |iedges AS (SELECT idA AS src, idB AS dst FROM ipairs
+        |  UNION ALL SELECT idB, idA FROM ipairs),
+        |icc(id, label) AS (
+        |  SELECT doc_id, doc_id FROM ssurv
+        |  UNION
+        |  SELECT e.dst, icc.label FROM iedges e JOIN icc ON icc.id = e.src),
+        |isurv AS (
+        |  SELECT x.doc_id, x.n_tok, x.n_removed FROM ssurv x
+        |  JOIN (SELECT id, MIN(label) AS lab FROM icc GROUP BY id) m2
+        |    ON m2.id = x.doc_id AND m2.lab = x.doc_id),
+        |icum AS (SELECT doc_id, n_tok, n_removed,
+        |  SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM isurv)
+        |SELECT doc_id, n_tok, n_removed FROM icum WHERE cum <= 10000
+        |ORDER BY doc_id""".stripMargin
 
   // Shared oracle fragments: ONE definition gates every variant that
   // claims the identical contract, so copies cannot drift apart.
@@ -10495,6 +10553,8 @@ object SparkEntry {
     "q_corpus_pipeline_v2" ->
       (corpusLadderCtes +
         "\nSELECT doc_id, n_tok, n_removed FROM cum WHERE cum <= 10000 ORDER BY doc_id"),
+
+    "q_curate_multimodal" -> curateMultimodalOracleSql,
 
     // Ladder CTEs + seeded double-Knuth split (q_corpus_split idiom) +
     // the q_pack_sequences prefix-sum over the TRAIN slice only + the

@@ -113,7 +113,19 @@ object CorpusPipeline {
   def curateV2(docs: DataFrame, embeddings: DataFrame,
                cfg: Config = Config(),
                embIdCol: String = "vec_id",
-               embVecCol: String = "embedding"): DataFrame = {
+               embVecCol: String = "embedding"): DataFrame =
+    PrefixSum.selectWithinBudget(
+      curateV2Survivors(docs, embeddings, cfg, embIdCol, embVecCol),
+      "doc_id", "n_tok", cfg.tokenBudget)
+
+  /** The [[curateV2]] ladder WITHOUT the final token-budget selection —
+    * the splice point for additional modality stages ([[curateMultimodal]]
+    * inserts image dedup here): (doc_id, n_tok, n_removed) of every
+    * document that survives URL/exact/substring/quality/fuzzy/semantic. */
+  def curateV2Survivors(docs: DataFrame, embeddings: DataFrame,
+                        cfg: Config = Config(),
+                        embIdCol: String = "vec_id",
+                        embVecCol: String = "embedding"): DataFrame = {
     val exactKept = exactStage(docs, cfg).select(col("doc_id"), col("text"))
       .localCheckpoint() // feeds the removal's anchor AND token scans once
     val cleaned = SubstringDedup.removeRepeatedSpans(
@@ -137,8 +149,37 @@ object CorpusPipeline {
       cfg.semanticThreshold, exact = cfg.semanticExact)
     val semKept = Dedup.nearDupSurvivors(withE, "doc_id", semPairs)
       .unionByName(joined.filter(col("__emb").isNull))
+    semKept.select(col("doc_id"), col("n_tok"), col("n_removed"))
+  }
+
+  /** [[curateV2]] with an IMAGE-modality stage — multimodal corpora get
+    * the same dedup guarantee chain as text: after the text ladder's
+    * survivors are known, documents whose attached image is a
+    * perceptual-hash near-duplicate of another SURVIVOR's image (banded
+    * pHash pairs, [[Multimodal.phashNearDupPairs]] — exact for
+    * `maxHamming` ≤ 6 by the 7×9-bit pigeonhole — then connected
+    * components, min-id survivor) drop before the token budget, so a
+    * re-encoded or resized copy of one image cannot ship twice even
+    * when its surrounding text changed enough to clear every text
+    * stage. `imageHashes` is (mediaIdCol = doc id, hashCol = 63-bit
+    * dHash); documents with no image row pass through unpaired, the
+    * no-embedding discipline. Restricting the pair join to survivors
+    * keeps the banding volume proportional to what the ladder kept. */
+  def curateMultimodal(docs: DataFrame, embeddings: DataFrame,
+                       imageHashes: DataFrame, cfg: Config = Config(),
+                       mediaIdCol: String = "media_id",
+                       hashCol: String = "phash",
+                       maxHamming: Int = 6): DataFrame = {
+    val surv = curateV2Survivors(docs, embeddings, cfg)
+      .localCheckpoint() // feeds the pair restriction AND the CC survivor join
+    val hs = imageHashes
+      .select(col(mediaIdCol).as("doc_id"), col(hashCol))
+      .join(surv.select(col("doc_id")), Seq("doc_id"))
+    val ipairs = Multimodal.phashNearDupPairs(hs, "doc_id", hashCol,
+      maxHamming)
+    val kept = Dedup.nearDupSurvivors(surv, "doc_id", ipairs)
     PrefixSum.selectWithinBudget(
-      semKept.select(col("doc_id"), col("n_tok"), col("n_removed")),
+      kept.select(col("doc_id"), col("n_tok"), col("n_removed")),
       "doc_id", "n_tok", cfg.tokenBudget)
   }
 }
