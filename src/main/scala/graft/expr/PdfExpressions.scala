@@ -362,8 +362,9 @@ object PdfOps {
   /** Build the resource-name → decoder map for the whole document:
     * every `/Font << /Fk N 0 R ... >>` resource entry resolved through
     * its font object's /Encoding + /Differences + /ToUnicode. Name
-    * collisions across pages resolve last-wins — the tolerance a
-    * whole-document scan (no per-page object graph) buys. */
+    * collisions across pages resolve last-wins — this map is only the
+    * FALLBACK for streams no page claims; [[parsePageFonts]] scopes
+    * resolution per page for every stream a `/Contents` entry names. */
   private[expr] def parseFonts(s: String,
       pdf: Array[Byte]): collection.Map[String, FontDec] = {
     val objAt = collection.mutable.HashMap.empty[Int, Int]
@@ -383,6 +384,108 @@ object PdfOps {
     refs.map { case (name, num) =>
       name -> fontDecoder(s, pdf, objAt, num)
     }
+  }
+
+  private val ContentsRefRe = """/Contents\s+(\d+)\s+\d+\s+R""".r
+  private val ResRefRe = """/Resources\s+(\d+)\s+\d+\s+R""".r
+  private val FontDictRefRe = """/Font\s+(\d+)\s+\d+\s+R""".r
+  private val BareRefRe = """(\d+)\s+\d+\s+R""".r
+
+  /** PER-PAGE font resolution — the fix for the whole-document map's
+    * real failure mode: multi-page PDFs routinely reuse `/F1..` per
+    * page with DIFFERENT encodings, and a last-wins global map decodes
+    * earlier pages through the last page's tables. Each object carrying
+    * `/Contents` (a page) has its `/Resources` (inline dict or indirect
+    * ref) `/Font` entries resolved into that page's own decoder map,
+    * keyed by the page's content-stream object number(s) — direct ref
+    * and array form both handled. Streams no page claims fall back to
+    * the [[parseFonts]] global map (torn fragments, tolerance). */
+  private[expr] def parsePageFonts(s: String, pdf: Array[Byte])
+      : collection.Map[Int, collection.Map[String, FontDec]] = {
+    val objAt = collection.mutable.HashMap.empty[Int, Int]
+    ObjRe.findAllMatchIn(s).foreach(mm => objAt.put(mm.group(1).toInt, mm.end))
+    val decCache = collection.mutable.HashMap.empty[Int, FontDec]
+    val out =
+      collection.mutable.HashMap.empty[Int, collection.Map[String, FontDec]]
+    objAt.keysIterator.toSeq.sorted.foreach { num =>
+      val dict = dictOf(s, objAt, num)
+      val ci = dict.indexOf("/Contents")
+      if (ci >= 0) {
+        // the page's resources: inline << >> or an indirect object
+        val resBody: Option[String] = {
+          val ri = dict.indexOf("/Resources")
+          if (ri < 0) None
+          else {
+            var q = ri + "/Resources".length
+            while (q < dict.length && Character.isWhitespace(dict.charAt(q)))
+              q += 1
+            if (q + 1 < dict.length && dict.charAt(q) == '<' &&
+              dict.charAt(q + 1) == '<')
+              Some(dict.substring(q, balancedDictEnd(dict, q)))
+            else ResRefRe.findFirstMatchIn(dict)
+              .map(mm => dictOf(s, objAt, mm.group(1).toInt))
+              .filter(_.nonEmpty)
+          }
+        }
+        resBody.foreach { res =>
+          val fi = res.indexOf("/Font")
+          if (fi >= 0) {
+            var q = fi + "/Font".length
+            while (q < res.length && Character.isWhitespace(res.charAt(q)))
+              q += 1
+            val fontBody =
+              if (q + 1 < res.length && res.charAt(q) == '<' &&
+                res.charAt(q + 1) == '<')
+                res.substring(q, balancedDictEnd(res, q))
+              else FontDictRefRe.findFirstMatchIn(res)
+                .map(mm => dictOf(s, objAt, mm.group(1).toInt))
+                .getOrElse("")
+            if (fontBody.nonEmpty) {
+              val pageMap =
+                collection.mutable.LinkedHashMap.empty[String, FontDec]
+              FontRefRe.findAllMatchIn(fontBody).foreach { mm =>
+                if (mm.group(1) != "Font")
+                  pageMap.put(mm.group(1), decCache.getOrElseUpdate(
+                    mm.group(2).toInt,
+                    fontDecoder(s, pdf, objAt, mm.group(2).toInt)))
+              }
+              if (pageMap.nonEmpty) {
+                // claim the page's content streams: "N 0 R" or [ ... ]
+                var q2 = ci + "/Contents".length
+                while (q2 < dict.length &&
+                  Character.isWhitespace(dict.charAt(q2))) q2 += 1
+                if (q2 < dict.length && dict.charAt(q2) == '[') {
+                  val rb = dict.indexOf(']', q2)
+                  val arr = dict.substring(q2 + 1,
+                    if (rb < 0) dict.length else rb)
+                  BareRefRe.findAllMatchIn(arr).foreach(mm =>
+                    out.put(mm.group(1).toInt, pageMap))
+                } else ContentsRefRe.findFirstMatchIn(dict).foreach(mm =>
+                  out.put(mm.group(1).toInt, pageMap))
+              }
+            }
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** The object NUMBER whose `obj` keyword ends at/around
+    * `objKeywordAt` (the index `lastIndexOf("obj", ...)` returned);
+    * -1 when the preceding tokens are not `<num> <gen> obj`. */
+  private def objNumAt(s: String, objKeywordAt: Int): Int = {
+    if (objKeywordAt < 0) return -1
+    var i = objKeywordAt - 1
+    while (i >= 0 && Character.isWhitespace(s.charAt(i))) i -= 1
+    val genEnd = i
+    while (i >= 0 && Character.isDigit(s.charAt(i))) i -= 1
+    if (i == genEnd) return -1
+    while (i >= 0 && Character.isWhitespace(s.charAt(i))) i -= 1
+    val numEnd = i
+    while (i >= 0 && Character.isDigit(s.charAt(i))) i -= 1
+    if (i == numEnd) return -1
+    s.substring(i + 1, numEnd + 1).toIntOption.getOrElse(-1)
   }
 
   private def fontDecoder(s: String, pdf: Array[Byte],
@@ -461,6 +564,11 @@ object PdfOps {
     val s = new String(pdf, ISO_8859_1)
     val fonts: collection.Map[String, FontDec] =
       if (s.contains("/Font")) parseFonts(s, pdf) else Map.empty
+    // page-scoped font maps keyed by content-stream object number —
+    // /F1 on page 1 and /F1 on page 3 may be DIFFERENT fonts
+    val pageFonts: collection.Map[Int, collection.Map[String, FontDec]] =
+      if (fonts.nonEmpty && s.contains("/Contents")) parsePageFonts(s, pdf)
+      else Map.empty
     val out = new java.lang.StringBuilder(256)
     var pos = 0
     var ok = true
@@ -494,7 +602,12 @@ object PdfOps {
             case None => usable = false // unsupported/corrupt: skip stream
           }
         } else if (dict.contains("/Filter")) usable = false
-        if (usable) appendTextOps(new String(data, ISO_8859_1), out, fonts)
+        if (usable) {
+          val owner = objNumAt(s, objAt)
+          val streamFonts =
+            if (owner >= 0) pageFonts.getOrElse(owner, fonts) else fonts
+          appendTextOps(new String(data, ISO_8859_1), out, streamFonts)
+        }
         pos = math.max(de, si + 6)
       }
     }

@@ -11,6 +11,33 @@ class PdfSpec extends SparkSpec {
   private def textOf(pdf: Array[Byte]): Option[String] =
     Option(PdfOps.extractText(pdf)).map(_.toString)
 
+  test("per-page /F1 scoping: same resource name, different encodings") {
+    // two pages both naming their font /F1 — WinAnsi on page 1,
+    // MacRoman on page 2. Byte 0x96 decodes '–' vs 'ñ', so a global
+    // last-wins font map would mojibake page 1 through page 2's table.
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    def page(n: Int, cs: Int, font: Int) =
+      obj(n, s"<< /Type /Page /Parent 2 0 R /Contents $cs 0 R " +
+        s"/Resources << /Font << /F1 $font 0 R >> >> >>")
+    def stream(n: Int, txt: String) = {
+      val c = s"BT\n/F1 12 Tf\n72 720 Td\n($txt) Tj\nET"
+      obj(n, s"<< /Length ${c.length} >>\nstream\n$c\nendstream")
+    }
+    val pdf = ("%PDF-1.4\n" +
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>") +
+      obj(2, "<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>") +
+      page(3, 4, 5) + stream(4, "AZ") +
+      obj(5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>") +
+      page(6, 7, 8) + stream(7, "BY") +
+      obj(8, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /MacRomanEncoding >>") +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // no separator between the streams: line state is per-stream and
+    // each page's leading Td precedes any shown text
+    assert(textOf(pdf) === Some("A–ZBñY"))
+  }
+
   test("synthetic PDF round-trips: lines, TJ kerning, flate, escapes") {
     val text = "alpha beta gamma delta epsilon zeta eta theta " +
       "iota kappa lambda mu nu xi omicron pi " +
