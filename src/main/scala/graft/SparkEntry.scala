@@ -633,6 +633,53 @@ object SparkEntry {
       |  role = 'assistant' AS train
       |FROM sp ORDER BY conversation_id, turn_idx""".stripMargin
 
+  /** sft-packing oracle: template lengths → conversation prefix sums →
+    * capacity-512 packing division → per-span global offset shifts, all
+    * replayed from the shared turn construction. */
+  private val sftPackOracleSql: String =
+        """WITH tu AS (
+      |  SELECT doc_id // 4 AS conversation_id, doc_id % 4 AS turn_idx,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    'Turn ' || CAST(doc_id % 4 AS VARCHAR) || ': ' ||
+      |      array_to_string(list_slice(
+      |        list_filter(string_split(text, ' '), x -> x <> ''), 1, 4),
+      |        ' ') AS t
+      |  FROM documents),
+      |r AS (
+      |  SELECT conversation_id, turn_idx, role,
+      |    CAST(length('<|im_start|>' || role || chr(10) || t ||
+      |      '<|im_end|>' || chr(10)) AS BIGINT) AS rlen
+      |  FROM tu),
+      |conv AS (
+      |  SELECT conversation_id, CAST(SUM(rlen) AS BIGINT) AS n_chars
+      |  FROM r GROUP BY conversation_id),
+      |packed AS (
+      |  SELECT conversation_id, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY conversation_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+      |      AS g0,
+      |    SUM(n_chars) OVER (ORDER BY conversation_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM conv),
+      |sp AS (
+      |  SELECT conversation_id, turn_idx, role, rlen,
+      |    CAST(COALESCE(SUM(rlen) OVER (PARTITION BY conversation_id
+      |      ORDER BY turn_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_char
+      |  FROM r)
+      |SELECT p.conversation_id, p.n_chars,
+      |  CAST(p.g0 // 512 AS BIGINT) AS seq_id,
+      |  (p.n_chars > 0 AND (p.cum - 1) // 512 <> p.g0 // 512) AS is_split,
+      |  CAST(s.turn_idx AS BIGINT) AS turn_idx, s.role,
+      |  p.g0 + s.start_char AS g_start,
+      |  p.g0 + s.start_char + s.rlen AS g_end,
+      |  p.g0 + s.start_char + 12 + length(s.role) + 1 AS g_content_start,
+      |  p.g0 + s.start_char + s.rlen - 11 AS g_content_end,
+      |  s.role = 'assistant' AS train
+      |FROM packed p JOIN sp s USING (conversation_id)
+      |ORDER BY p.conversation_id, s.turn_idx""".stripMargin
+
   /** sft-exact-dedup oracle: rendered conversations rebuilt in SQL and
     * grouped — min-id survivor, copy count, 256-bit fingerprint. */
   private val sftDedupOracleSql: String =
@@ -1105,6 +1152,22 @@ object SparkEntry {
       .select(col("doc_id"), col("it.pos").cast("long").as("pos"),
         col("it.kind").as("kind"), col("it.text").as("text"),
         col("it.src").as("src"), col("it.alt").as("alt"))
+  }
+
+  /** SFT-assembly turn fixture: conversations of four turns (doc_id/4),
+    * alternating user/assistant roles, turn text from each document's
+    * first four words — shared by the assembly query and the packing
+    * capstone so the oracle's length arithmetic is derived once. */
+  private def sftAssembleTurns(s: SparkSession, dir: String): DataFrame = {
+    val words4 = array_join(slice(filter(split(col("text"), " "),
+      w => length(w) > 0), 1, 4), " ")
+    t(s, dir, "documents").select(
+      floor(col("doc_id") / 4).cast("long").as("conv_id"),
+      pmod(col("doc_id"), lit(4)).cast("long").as("turn_idx"),
+      when(pmod(col("doc_id"), lit(2)) === 0, "user")
+        .otherwise("assistant").as("role"),
+      concat(lit("Turn "), pmod(col("doc_id"), lit(4)).cast("string"),
+        lit(": "), words4).as("text"))
   }
 
   /** SFT-dedup turn fixture: conversations of four turns (doc_id/4),
@@ -1845,6 +1908,21 @@ object SparkEntry {
       htmlInterleavedRows(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("pos"))),
 
+    // STREAMING twin of the interleaved extraction — per-row
+    // projection, so stream ≡ batch VERBATIM and it shares
+    // q_interleaved_docs' oracle.
+    "q_stream_interleaved" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_il_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_il_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamRowMapBounded(s, src,
+          htmlInterleavedRows, Seq("doc_id", "pos"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // SFT ASSEMBLY — the post-training corpus front door: flat
     // (conversation, turn, role, text) rows become rendered ChatML
     // documents with per-span LOSS-MASK offsets (whole-turn interval +
@@ -1853,17 +1931,8 @@ object SparkEntry {
     // arithmetic per turn — a one-character template drift fails the
     // hash. One shuffle (conversation key), per-row span math.
     "q_sft_assemble" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val words4 = array_join(slice(filter(split(col("text"), " "),
-        w => length(w) > 0), 1, 4), " ")
-      val turns = docs.select(
-        floor(col("doc_id") / 4).cast("long").as("conv_id"),
-        pmod(col("doc_id"), lit(4)).cast("long").as("turn_idx"),
-        when(pmod(col("doc_id"), lit(2)) === 0, "user")
-          .otherwise("assistant").as("role"),
-        concat(lit("Turn "), pmod(col("doc_id"), lit(4)).cast("string"),
-          lit(": "), words4).as("text"))
-      operators.Sft.assemble(turns, "conv_id", "turn_idx", "role", "text")
+      operators.Sft.assemble(sftAssembleTurns(s, dir), "conv_id",
+          "turn_idx", "role", "text")
         .select(col("conversation_id"), col("n_turns"),
           length(col("rendered")).cast("long").as("rendered_len"),
           explode(col("spans")).as("sp"))
@@ -1874,6 +1943,20 @@ object SparkEntry {
           col("sp.content_start").as("content_start"),
           col("sp.content_end").as("content_end"),
           col("sp.train").as("train"))
+        .orderBy(col("conversation_id"), col("turn_idx"))
+    }),
+
+    // SFT PACKING — the loss masks made trainer-consumable: assembled
+    // conversations pack into capacity-512 sequences via the
+    // distributed prefix sum (no global window) and every turn span
+    // lands at its GLOBAL offset in the packed character stream, with
+    // seq_id/is_split marking boundary-crossing conversations. The
+    // oracle replays template lengths → conversation prefix sums →
+    // packing division → per-span offset shifts in one chain.
+    "q_sft_pack" -> ((s, dir) => {
+      val assembled = operators.Sft.assemble(sftAssembleTurns(s, dir),
+        "conv_id", "turn_idx", "role", "text")
+      operators.Sft.packWithMasks(assembled, capacity = 512L)
         .orderBy(col("conversation_id"), col("turn_idx"))
     }),
 
@@ -9390,11 +9473,13 @@ object SparkEntry {
     "q_html_links" -> htmlLinksOracleSql,
     "q_stream_links" -> htmlLinksOracleSql,
     "q_sft_assemble" -> sftAssembleOracleSql,
+    "q_sft_pack" -> sftPackOracleSql,
     "q_sft_dedup" -> sftDedupOracleSql,
     "q_sft_dedup_fuzzy" -> sftDedupFuzzyOracleSql,
     "q_image_text_pairs" -> htmlImagePairsOracleSql,
     "q_stream_images" -> htmlImagePairsOracleSql,
     "q_interleaved_docs" -> interleavedDocsOracleSql,
+    "q_stream_interleaved" -> interleavedDocsOracleSql,
     "q_warc_image_pairs" -> warcImagePairsOracleSql,
 
     // html-tables oracle: every (t, r, c, header, cell) tuple rebuilt

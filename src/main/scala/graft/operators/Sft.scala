@@ -88,6 +88,39 @@ object Sft {
       .agg(min(col(idCol)).as("conversation_id"),
         count(lit(1)).as("n_convs"))
 
+  /** Pack [[assemble]]d conversations into fixed-capacity training
+    * sequences and carry every loss-mask span through to its GLOBAL
+    * position in the packed character stream — the step that makes the
+    * spans trainer-consumable: after packing, a span's in-sequence
+    * offset is `g_* - seq_id * capacity`, and a span crossing a
+    * sequence boundary belongs to a split conversation (`is_split`).
+    * Capacity counts CHARS of the rendered template (swap a fitted
+    * tokenizer's count upstream for token-exact packing — the
+    * arithmetic is identical). Distributed prefix sum, no global
+    * window; one explode after the per-row math. */
+  def packWithMasks(assembled: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val withLen = assembled.select(col("conversation_id"),
+      length(col("rendered")).cast("long").as("n_chars"), col("spans"))
+    val cum = PrefixSum.withPrefixSum(withLen, "conversation_id",
+      "n_chars", out = "__cum")
+    cum.withColumn("__g0", col("__cum") - col("n_chars"))
+      // `div` = long integer division, the packSequences discipline
+      .withColumn("seq_id", expr(s"__g0 div ${capacity}L"))
+      .withColumn("is_split", col("n_chars") > 0 &&
+        expr(s"(__cum - 1) div ${capacity}L") =!= col("seq_id"))
+      .select(col("conversation_id"), col("n_chars"), col("seq_id"),
+        col("is_split"), col("__g0"), explode(col("spans")).as("sp"))
+      .select(col("conversation_id"), col("n_chars"), col("seq_id"),
+        col("is_split"),
+        col("sp.turn_idx").as("turn_idx"), col("sp.role").as("role"),
+        (col("__g0") + col("sp.start_char")).as("g_start"),
+        (col("__g0") + col("sp.end_char")).as("g_end"),
+        (col("__g0") + col("sp.content_start")).as("g_content_start"),
+        (col("__g0") + col("sp.content_end")).as("g_content_end"),
+        col("sp.train").as("train"))
+  }
+
   /** Concatenated NORMALIZED turns — the conversation-level dedup key
     * the fuzzy ladder runs on: turn texts sorted by index, joined with
     * single spaces, lowercased (template scaffolding and role labels
