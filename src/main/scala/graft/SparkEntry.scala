@@ -672,13 +672,88 @@ object SparkEntry {
       |  CAST(p.g0 // 512 AS BIGINT) AS seq_id,
       |  (p.n_chars > 0 AND (p.cum - 1) // 512 <> p.g0 // 512) AS is_split,
       |  CAST(s.turn_idx AS BIGINT) AS turn_idx, s.role,
-      |  p.g0 + s.start_char AS g_start,
-      |  p.g0 + s.start_char + s.rlen AS g_end,
-      |  p.g0 + s.start_char + 12 + length(s.role) + 1 AS g_content_start,
-      |  p.g0 + s.start_char + s.rlen - 11 AS g_content_end,
+      |  CAST(p.g0 + s.start_char AS BIGINT) AS g_start,
+      |  CAST(p.g0 + s.start_char + s.rlen AS BIGINT) AS g_end,
+      |  CAST(p.g0 + s.start_char + 12 + length(s.role) + 1 AS BIGINT)
+      |    AS g_content_start,
+      |  CAST(p.g0 + s.start_char + s.rlen - 11 AS BIGINT) AS g_content_end,
       |  s.role = 'assistant' AS train
       |FROM packed p JOIN sp s USING (conversation_id)
       |ORDER BY p.conversation_id, s.turn_idx""".stripMargin
+
+  /** preference-pairs oracle: argmax/argmin per prompt via rank
+    * windows over the candidate construction; flat-spread prompts
+    * (every tenth) filtered — they must emit nothing. */
+  private val prefPairsOracleSql: String =
+        """WITH c AS (
+      |  SELECT doc_id // 5 AS prompt_id, doc_id AS cand_id,
+      |    'Cand ' || CAST(doc_id % 5 AS VARCHAR) || ': ' ||
+      |      array_to_string(list_slice(
+      |        list_filter(string_split(text, ' '), x -> x <> ''), 1, 5),
+      |        ' ') AS t,
+      |    CAST(CASE WHEN (doc_id // 5) % 10 = 0 THEN 50
+      |         ELSE (doc_id * 37) % 100 END AS BIGINT) AS s
+      |  FROM documents),
+      |r AS (
+      |  SELECT prompt_id, cand_id, t, s,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY s DESC, cand_id DESC) AS rmax,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY s ASC, cand_id ASC) AS rmin,
+      |    count(*) OVER (PARTITION BY prompt_id) AS n,
+      |    max(s) OVER (PARTITION BY prompt_id) AS smax,
+      |    min(s) OVER (PARTITION BY prompt_id) AS smin
+      |  FROM c)
+      |SELECT a.prompt_id, CAST(a.n AS BIGINT) AS n_candidates,
+      |  a.cand_id AS chosen_id, a.t AS chosen_text, a.s AS chosen_score,
+      |  b.cand_id AS rejected_id, b.t AS rejected_text,
+      |  b.s AS rejected_score
+      |FROM r a JOIN r b ON a.prompt_id = b.prompt_id
+      |WHERE a.rmax = 1 AND b.rmin = 1 AND a.smax > a.smin
+      |ORDER BY a.prompt_id""".stripMargin
+
+  /** sft-decontamination oracle: the q_decontaminate shingle chain over
+    * each conversation's concatenated (lowercased) assistant turns vs
+    * the benchmark slice's shingle set. */
+  private val sftDecontamOracleSql: String =
+        """WITH tu AS (
+      |  SELECT doc_id // 4 AS cid, doc_id % 4 AS k,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 8),
+      |      ' ') AS t
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |conv AS (
+      |  SELECT cid, lower(string_agg(t, ' ' ORDER BY k)) AS text
+      |  FROM tu GROUP BY cid),
+      |ctk AS (
+      |  SELECT cid, regexp_split_to_array(trim(text), '\s+') AS tk
+      |  FROM conv),
+      |csh AS (
+      |  SELECT DISTINCT cid,
+      |    list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' ||
+      |    list_extract(tk, i+2) || ' ' || list_extract(tk, i+3) || ' ' ||
+      |    list_extract(tk, i+4) AS s
+      |  FROM ctk, LATERAL (SELECT unnest(range(1, len(tk)-3)) AS i) r
+      |  WHERE len(tk) >= 5
+      |  UNION
+      |  SELECT DISTINCT cid, array_to_string(tk, ' ') AS s
+      |  FROM ctk WHERE len(tk) < 5),
+      |etk AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |esh AS (
+      |  SELECT DISTINCT
+      |    list_extract(tk, i) || ' ' || list_extract(tk, i+1) || ' ' ||
+      |    list_extract(tk, i+2) || ' ' || list_extract(tk, i+3) || ' ' ||
+      |    list_extract(tk, i+4) AS s
+      |  FROM etk, LATERAL (SELECT unnest(range(1, len(tk)-3)) AS i) r
+      |  WHERE len(tk) >= 5
+      |  UNION
+      |  SELECT DISTINCT array_to_string(tk, ' ') AS s
+      |  FROM etk WHERE len(tk) < 5)
+      |SELECT cid AS conversation_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM csh JOIN esh USING (s) GROUP BY 1
+      |ORDER BY conversation_id""".stripMargin
 
   /** sft-exact-dedup oracle: rendered conversations rebuilt in SQL and
     * grouped — min-id survivor, copy count, 256-bit fingerprint. */
@@ -1958,6 +2033,56 @@ object SparkEntry {
         "conv_id", "turn_idx", "role", "text")
       operators.Sft.packWithMasks(assembled, capacity = 512L)
         .orderBy(col("conversation_id"), col("turn_idx"))
+    }),
+
+    // PREFERENCE PAIRS (DPO/RLHF prep): five scored candidates per
+    // prompt collapse to one (chosen, rejected) row via struct min/max
+    // in a single aggregate — and every tenth prompt carries a FLAT
+    // score spread and must emit nothing (a no-signal pair would poison
+    // a DPO loss silently). The oracle replays the argmax/argmin with
+    // rank windows and the spread filter.
+    "q_pref_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words5 = array_join(slice(filter(split(col("text"), " "),
+        w => length(w) > 0), 1, 5), " ")
+      val promptId = floor(col("doc_id") / 5).cast("long")
+      val cands = docs.select(promptId.as("prompt_id"),
+        col("doc_id").as("cand_id"),
+        concat(lit("Cand "), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(": "), words5).as("text"),
+        when(pmod(promptId, lit(10)) === 0, lit(50L))
+          .otherwise(pmod(col("doc_id") * 37, lit(100)))
+          .cast("long").as("score"))
+      operators.Sft.preferencePairs(cands, "prompt_id", "cand_id",
+          "text", "score")
+        .orderBy(col("prompt_id"))
+    }),
+
+    // SFT DECONTAMINATION — the benchmark-leak gate applied to
+    // post-training data: each conversation's concatenated ASSISTANT
+    // turns (the spans a model would train on) are checked for shared
+    // 5-gram shingles against the benchmark slice (doc_id % 97 == 0),
+    // reusing the corpus decontamination operator verbatim.
+    // Conversations built on a benchmark document surface with their
+    // full shingle overlap; clean ones are absent.
+    "q_sft_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words8 = array_join(slice(filter(split(col("text"), " "),
+        w => length(w) > 0), 1, 8), " ")
+      val turns = docs.select(
+        floor(col("doc_id") / 4).cast("long").as("conv_id"),
+        pmod(col("doc_id"), lit(4)).cast("long").as("turn_idx"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "user")
+          .otherwise("assistant").as("role"),
+        words8.as("text"))
+      val convs = operators.Sft.normalizedConvText(
+          turns.filter(col("role") === "assistant"), "conv_id",
+          "turn_idx", "text")
+        .select(col("conversation_id"), col("conv_text").as("text"))
+      operators.Decontaminate.contaminationReport(convs,
+          docs.filter(col("doc_id") % 97 === 0), "conversation_id",
+          "text", n = 5)
+        .orderBy(col("conversation_id"))
     }),
 
     // CONVERSATION-level EXACT dedup: the fixture mints one canonical
@@ -9475,6 +9600,8 @@ object SparkEntry {
     "q_sft_assemble" -> sftAssembleOracleSql,
     "q_sft_pack" -> sftPackOracleSql,
     "q_sft_dedup" -> sftDedupOracleSql,
+    "q_pref_pairs" -> prefPairsOracleSql,
+    "q_sft_decontam" -> sftDecontamOracleSql,
     "q_sft_dedup_fuzzy" -> sftDedupFuzzyOracleSql,
     "q_image_text_pairs" -> htmlImagePairsOracleSql,
     "q_stream_images" -> htmlImagePairsOracleSql,

@@ -121,6 +121,30 @@ object Sft {
         col("sp.train").as("train"))
   }
 
+  /** Preference-pair assembly (DPO/RLHF prep): per prompt, CHOSEN is
+    * the (score, candidate_id)-lexicographic max and REJECTED the min —
+    * struct min/max in ONE combining aggregate on the prompt key, no
+    * window, deterministic ties. Prompts without a strict score spread
+    * (max score == min score) emit nothing: a pair with no preference
+    * signal trains nothing, and emitting chosen == rejected would
+    * poison a DPO loss silently. */
+  def preferencePairs(cands: DataFrame, promptCol: String,
+                      candIdCol: String, textCol: String,
+                      scoreCol: String): DataFrame =
+    cands.groupBy(col(promptCol).as("prompt_id"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), col(candIdCol).as("i"),
+          col(textCol).as("t"))).as("__c"),
+        min(struct(col(scoreCol).as("s"), col(candIdCol).as("i"),
+          col(textCol).as("t"))).as("__r"),
+        count(lit(1)).as("n_candidates"))
+      .filter(col("__c.s") > col("__r.s"))
+      .select(col("prompt_id"), col("n_candidates"),
+        col("__c.i").as("chosen_id"), col("__c.t").as("chosen_text"),
+        col("__c.s").as("chosen_score"),
+        col("__r.i").as("rejected_id"), col("__r.t").as("rejected_text"),
+        col("__r.s").as("rejected_score"))
+
   /** Concatenated NORMALIZED turns — the conversation-level dedup key
     * the fuzzy ladder runs on: turn texts sorted by index, joined with
     * single spaces, lowercased (template scaffolding and role labels

@@ -54,6 +54,27 @@ class SftSpec extends SparkSpec {
     assert(got === Set((7L, 2L), (3L, 1L)))
   }
 
+  test("preferencePairs: argmax/argmin, tie determinism, flat spread drops") {
+    val cands = Seq(
+      // prompt 1: clear spread
+      (1L, 10L, "weak", 2L), (1L, 11L, "strong", 9L), (1L, 12L, "mid", 5L),
+      // prompt 2: score tie at the top — larger cand_id wins chosen,
+      // smaller wins rejected (the struct tie-break)
+      (2L, 20L, "a", 7L), (2L, 21L, "b", 7L), (2L, 22L, "c", 1L),
+      // prompt 3: flat spread — must emit nothing
+      (3L, 30L, "x", 4L), (3L, 31L, "y", 4L))
+      .toDF("prompt_id", "cand_id", "text", "score")
+    val got = Sft.preferencePairs(cands, "prompt_id", "cand_id", "text",
+        "score")
+      .select("prompt_id", "n_candidates", "chosen_id", "chosen_text",
+        "chosen_score", "rejected_id", "rejected_score")
+      .as[(Long, Long, Long, String, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 11L, "strong", 9L, 10L, 2L),
+      (2L, 3L, 21L, "b", 7L, 22L, 1L)))
+  }
+
   test("normalizedConvText: index order, lowercase, template excluded") {
     val got = Sft.normalizedConvText(turns, "conv", "idx", "text")
       .orderBy("conversation_id")
