@@ -755,6 +755,62 @@ object SparkEntry {
       |FROM csh JOIN esh USING (s) GROUP BY 1
       |ORDER BY conversation_id""".stripMargin
 
+  /** png-metadata-strip oracle: decode checksums from the pixel
+    * formula, emitted twice and thereby pinned EQUAL (the lossless
+    * contract), plus the exact removed-chunk byte arithmetic
+    * (3 × 12 framing + the two planted text payloads + tIME's 7). */
+  private val imageStripMetaOracleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 3) % 13 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN (doc_id * 7 + i * 13) % 251
+      |      WHEN 3 THEN (77 * ((doc_id + 3 * i) % 256)
+      |        + 150 * (((doc_id + 3 * i) % 256) * 7 % 256)
+      |        + 29 * (((doc_id + 3 * i) % 256) * 13 % 256)) // 256
+      |      ELSE (77 * ((doc_id + 2 * i) % 256)
+      |        + 150 * ((doc_id * 3 + 5 * i) % 256)
+      |        + 29 * ((doc_id * 5 + 7 * i) % 256)) // 256
+      |    END AS lum
+      |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(lum) AS BIGINT) AS lum
+      |  FROM px GROUP BY doc_id)
+      |SELECT m.doc_id AS media_id, CAST(m.w AS BIGINT) AS width,
+      |  CAST(m.h AS BIGINT) AS height,
+      |  a.lum AS lum_before, a.lum AS lum_after,
+      |  CAST(3 AS BIGINT) AS n_removed,
+      |  CAST(36 + (12 + length(CAST(m.doc_id % 50 AS VARCHAR)))
+      |    + (13 + length(CAST(m.doc_id % 180 - 90 AS VARCHAR) || '.0,' ||
+      |        CAST(m.doc_id % 360 - 180 AS VARCHAR) || '.0'))
+      |    + 7 AS BIGINT) AS bytes_saved,
+      |  TRUE AS lossless
+      |FROM m JOIN agg a USING (doc_id) ORDER BY media_id""".stripMargin
+
+  /** text-chunks oracle: the same window-start generation, redundancy
+    * filter, tail arithmetic, and slice rebuild in SQL. */
+  private val textChunksOracleSql: String =
+        """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, tk, len(tk) AS n,
+      |    unnest(range(0, len(tk), 24)) AS s
+      |  FROM tk WHERE len(tk) > 0),
+      |keep AS (
+      |  SELECT doc_id, tk, n, s,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+      |      AS chunk_id
+      |  FROM st WHERE s = 0 OR s - 24 + 32 < n)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(s AS BIGINT) AS start_tok,
+      |  CAST(least(32, n - s) AS BIGINT) AS n_tok,
+      |  array_to_string(tk[s+1:s+32], ' ') AS chunk_text
+      |FROM keep ORDER BY doc_id, chunk_id""".stripMargin
+
   /** sft-exact-dedup oracle: rendered conversations rebuilt in SQL and
     * grouped — min-id survivor, copy count, 256-bit fingerprint. */
   private val sftDedupOracleSql: String =
@@ -2084,6 +2140,55 @@ object SparkEntry {
           "text", n = 5)
         .orderBy(col("conversation_id"))
     }),
+
+    // PNG METADATA STRIP — the privacy pass a multimodal corpus runs
+    // before shipping: planted tEXt author/GPS strings and a tIME
+    // timestamp are removed in one chunk walk (kept chunks copied
+    // verbatim, CRCs untouched), and the strip must be pixel-LOSSLESS —
+    // both decode checksums emitted and pinned equal by the oracle,
+    // alongside the exact removed-chunk byte arithmetic.
+    "q_image_strip_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = Multimodal.syntheticPngPixelPayload(id)
+          val ascii = java.nio.charset.StandardCharsets.US_ASCII
+          val author = ("Author user-" + (id % 50)).getBytes(ascii)
+          val gps = ("GPS Position " + (id % 180 - 90) + ".0," +
+            (id % 360 - 180) + ".0").getBytes(ascii)
+          val time = Array.tabulate[Byte](7)(k => ((id + k) % 100).toByte)
+          val tagged = Multimodal.withPngMetadata(base,
+            Seq(("tEXt", author), ("tEXt", gps), ("tIME", time)))
+          val (stripped, nRemoved, saved) =
+            Multimodal.stripPngMetadata(tagged)
+          def dec(b: Array[Byte]) = Multimodal.decodePngPixels(b)
+            .getOrElse((0, 0, Array.emptyByteArray))
+          val (w0, h0, p0) = dec(tagged)
+          val (w1, h1, p1) = dec(stripped)
+          def lum(p: Array[Byte]): Long = {
+            var t = 0L; var i = 0
+            while (i < p.length) { t += p(i) & 0xff; i += 1 }
+            t
+          }
+          (id, w1.toLong, h1.toLong, lum(p0), lum(p1), nRemoved.toLong,
+            saved, w0 == w1 && h0 == h1 && java.util.Arrays.equals(p0, p1))
+        }
+        .toDF("media_id", "width", "height", "lum_before", "lum_after",
+          "n_removed", "bytes_saved", "lossless")
+        .orderBy(col("media_id"))
+    }),
+
+    // Sliding-window RAG chunks: 32-token windows advancing by 24
+    // (8-token overlap), tail kept as a shorter final chunk, redundant
+    // trailing windows skipped — the embedding-prep layout. Original
+    // case preserved (chunks get quoted back to users). Per-row
+    // higher-order array ops, zero shuffle.
+    "q_text_chunks" -> ((s, dir) =>
+      operators.TextExtract.slidingChunks(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // CONVERSATION-level EXACT dedup: the fixture mints one canonical
     // conversation per group of three (group-keyed token text, one
@@ -9602,6 +9707,8 @@ object SparkEntry {
     "q_sft_dedup" -> sftDedupOracleSql,
     "q_pref_pairs" -> prefPairsOracleSql,
     "q_sft_decontam" -> sftDecontamOracleSql,
+    "q_image_strip_meta" -> imageStripMetaOracleSql,
+    "q_text_chunks" -> textChunksOracleSql,
     "q_sft_dedup_fuzzy" -> sftDedupFuzzyOracleSql,
     "q_image_text_pairs" -> htmlImagePairsOracleSql,
     "q_stream_images" -> htmlImagePairsOracleSql,

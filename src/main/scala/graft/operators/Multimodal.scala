@@ -1554,4 +1554,78 @@ object Multimodal {
              height = math.max(1, (m.height * scale).toInt))
     }
   }
+
+  // ------------------------------------------- metadata strip (privacy)
+
+  /** PNG ancillary-METADATA chunk types a privacy pass removes before a
+    * corpus ships: textual comments (tEXt/zTXt/iTXt — where camera
+    * serials, usernames, file paths, and GPS strings ride), EXIF
+    * (eXIf), and the capture timestamp (tIME). Structural and rendering
+    * chunks (IHDR/PLTE/tRNS/IDAT/IEND, gAMA/sRGB/…) are KEPT — the
+    * strip must be pixel-lossless by construction. */
+  private val PngMetaChunks = Set("tEXt", "zTXt", "iTXt", "eXIf", "tIME")
+
+  /** Strip metadata chunks from a PNG: one chunk walk, kept chunks
+    * copied VERBATIM (their CRCs stay valid — nothing re-encodes), so
+    * `decodePngPixels(strip(png)) == decodePngPixels(png)` bit-exactly.
+    * Returns (stripped bytes, chunks removed, bytes saved). Non-PNG
+    * input comes back unchanged with (0, 0); a malformed tail stops the
+    * walk and is copied through, the decoder's tolerance. */
+  def stripPngMetadata(bytes: Array[Byte]): (Array[Byte], Int, Long) = {
+    if (bytes == null || bytes.length < 8 || u8(bytes, 0) != 0x89 ||
+      !ascii(bytes, 1, "PNG")) return (bytes, 0, 0L)
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    out.write(bytes, 0, 8)
+    var i = 8
+    var removed = 0
+    var saved = 0L
+    var done = false
+    while (!done && i + 12 <= bytes.length) {
+      val clen = be32(bytes, i)
+      val typeOk = (i + 4 until i + 8).forall { j =>
+        val ch = u8(bytes, j)
+        (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')
+      }
+      if (clen < 0 || i.toLong + 12 + clen > bytes.length || !typeOk)
+        done = true
+      else {
+        val t = new String(bytes, i + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val total = 12 + clen
+        if (PngMetaChunks.contains(t)) { removed += 1; saved += total }
+        else out.write(bytes, i, total)
+        i += total
+      }
+    }
+    if (i < bytes.length) out.write(bytes, i, bytes.length - i)
+    (out.toByteArray, removed, saved)
+  }
+
+  /** Insert chunks right after IHDR with correct lengths and CRCs — the
+    * fixture side of the strip gate (the synthetic PNGs are born
+    * clean, so the gate plants the metadata it must remove). */
+  def withPngMetadata(png: Array[Byte],
+                      chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val cut = 33 // 8 sig + (4 len + 4 type + 13 data + 4 crc) IHDR
+    require(png.length >= cut && ascii(png, 12, "IHDR"),
+      "withPngMetadata expects a well-formed PNG (IHDR first)")
+    val out = new java.io.ByteArrayOutputStream(png.length + 64)
+    out.write(png, 0, cut)
+    chunks.foreach { case (t, data) =>
+      require(t.length == 4, s"chunk type must be 4 chars: $t")
+      val len = data.length
+      out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      val tb = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb, 0, 4)
+      out.write(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      val c = crc.getValue
+      out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
+      out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    }
+    out.write(png, cut, png.length - cut)
+    out.toByteArray
+  }
 }

@@ -66,4 +66,35 @@ object TextExtract {
       .select(col(idCol), col("b.idx"), col("b.tag"), col("b.text"),
         col("b.n_chars"), col("b.n_link_chars"), col("b.n_words"),
         col("b.stop_ratio"), col("b.label"))
+
+  /** Sliding-window token chunks — the RAG/embedding prep step: windows
+    * of `chunkSize` whitespace tokens advancing by `chunkSize - overlap`,
+    * the final window keeping the tail (a shorter last chunk, never
+    * dropped tokens), and a window whose predecessor already reached the
+    * end is skipped (no fully-redundant trailing chunk). Original case
+    * and spelling preserved — chunks are what gets embedded and quoted
+    * back to a user. Emits (idCol, chunk_id, start_tok, n_tok,
+    * chunk_text). Pure per-row higher-order array ops: sequence +
+    * filter + posexplode + slice — zero shuffle, SQL-replayable. */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    df.withColumn("__tk", toks)
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+      .withColumn("__starts", filter(
+        sequence(lit(0), col("__n") - 1, lit(stride)),
+        s => s === 0 || s - lit(stride) + lit(chunkSize) < col("__n")))
+      .select(col(idCol), col("__tk"), col("__n"),
+        posexplode(col("__starts")).as(Seq("chunk_id", "start_tok")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkSize.toLong), col("__n") - col("start_tok"))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("__tk"), col("start_tok") + 1,
+          lit(chunkSize)), " ").as("chunk_text"))
+  }
 }

@@ -386,4 +386,29 @@ class PhashSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
       "the inverted image must not pair with anything")
   }
+
+  test("stripPngMetadata: lossless, exact accounting, idempotent, non-PNG") {
+    val base = Multimodal.syntheticPngPixelPayload(42L)
+    val (w0, h0, p0) = Multimodal.decodePngPixels(base).get
+    val author = "Author me".getBytes("US-ASCII")
+    val exif = Array.tabulate[Byte](20)(_.toByte)
+    val tagged = Multimodal.withPngMetadata(base,
+      Seq(("tEXt", author), ("eXIf", exif), ("tIME", Array.fill[Byte](7)(1))))
+    assert(tagged.length === base.length + (12 + 9) + (12 + 20) + (12 + 7))
+    // decoder skips the planted chunks — tagged still decodes identically
+    val (wt, ht, pt) = Multimodal.decodePngPixels(tagged).get
+    assert((wt, ht) === ((w0, h0)) && java.util.Arrays.equals(pt, p0))
+    val (stripped, n, saved) = Multimodal.stripPngMetadata(tagged)
+    assert(n === 3 && saved === (21L + 32L + 19L))
+    assert(java.util.Arrays.equals(stripped, base),
+      "stripping the planted chunks must restore the original bytes")
+    // idempotent on a clean PNG
+    val (again, n2, saved2) = Multimodal.stripPngMetadata(stripped)
+    assert(n2 === 0 && saved2 === 0L &&
+      java.util.Arrays.equals(again, stripped))
+    // non-PNG input passes through unchanged
+    val junk = "not a png".getBytes("US-ASCII")
+    val (same, n3, _) = Multimodal.stripPngMetadata(junk)
+    assert(n3 === 0 && java.util.Arrays.equals(same, junk))
+  }
 }

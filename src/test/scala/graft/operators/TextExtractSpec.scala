@@ -215,6 +215,28 @@ class TextExtractSpec extends SparkSpec {
     assert(HtmlOps.interleaved(null, 20, 0.33) === Vector.empty)
   }
 
+  test("slidingChunks: windows, overlap, tail, redundancy skip, empties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map("w" + _).mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),                   // shorter than a window
+      (3L, "   "),                                 // whitespace-only: no chunks
+      (4L, (1 to 13).map("t" + _).mkString(" "))) // 13: starts 0,4,8,12 -> 12 redundant
+      .toDF("doc_id", "text")
+    val got = TextExtract.slidingChunks(docs, "doc_id", "text",
+        chunkSize = 8, overlap = 4)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 8L, (1 to 8).map("w" + _).mkString(" ")),
+      (1L, 1L, 4L, 6L, (5 to 10).map("w" + _).mkString(" ")),
+      (2L, 0L, 0L, 3L, "only three tokens"),
+      (4L, 0L, 0L, 8L, (1 to 8).map("t" + _).mkString(" ")),
+      (4L, 1L, 4L, 8L, (5 to 12).map("t" + _).mkString(" ")),
+      (4L, 2L, 8L, 5L, (9 to 13).map("t" + _).mkString(" "))))
+  }
+
   test("head: base/canonical first-wins, robots tokens, body ignored") {
     val h = "<html><head><base href=\"/a/\"><base href=\"/b/\">" +
       "<link rel=\"stylesheet canonical\" href=\"/c1\">" +
