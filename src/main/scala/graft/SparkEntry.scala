@@ -1301,6 +1301,23 @@ object SparkEntry {
         lit(": "), words4).as("text"))
   }
 
+  /** The q_sft_assemble computation (turns → per-turn span rows) as a
+    * projection over a turn frame — shared verbatim by the batch query
+    * and its streaming twin (conversation-complete micro-batches make
+    * the per-batch aggregate exact). */
+  private val sftAssembleProjected: DataFrame => DataFrame = turns =>
+    operators.Sft.assemble(turns, "conv_id", "turn_idx", "role", "text")
+      .select(col("conversation_id"), col("n_turns"),
+        length(col("rendered")).cast("long").as("rendered_len"),
+        explode(col("spans")).as("sp"))
+      .select(col("conversation_id"), col("n_turns"), col("rendered_len"),
+        col("sp.turn_idx").as("turn_idx"), col("sp.role").as("role"),
+        col("sp.start_char").as("start_char"),
+        col("sp.end_char").as("end_char"),
+        col("sp.content_start").as("content_start"),
+        col("sp.content_end").as("content_end"),
+        col("sp.train").as("train"))
+
   /** SFT-dedup turn fixture: conversations of four turns (doc_id/4),
     * grouped three-by-three (conv_id/3) onto a shared group-keyed token
     * text, so each group plants one dedup cluster: conversations 0 and
@@ -2061,19 +2078,25 @@ object SparkEntry {
     // assistant spans). The oracle replays the frozen template's length
     // arithmetic per turn — a one-character template drift fails the
     // hash. One shuffle (conversation key), per-row span math.
-    "q_sft_assemble" -> ((s, dir) => {
-      operators.Sft.assemble(sftAssembleTurns(s, dir), "conv_id",
-          "turn_idx", "role", "text")
-        .select(col("conversation_id"), col("n_turns"),
-          length(col("rendered")).cast("long").as("rendered_len"),
-          explode(col("spans")).as("sp"))
-        .select(col("conversation_id"), col("n_turns"), col("rendered_len"),
-          col("sp.turn_idx").as("turn_idx"), col("sp.role").as("role"),
-          col("sp.start_char").as("start_char"),
-          col("sp.end_char").as("end_char"),
-          col("sp.content_start").as("content_start"),
-          col("sp.content_end").as("content_end"),
-          col("sp.train").as("train"))
+    "q_sft_assemble" -> ((s, dir) =>
+      sftAssembleProjected(sftAssembleTurns(s, dir))
+        .orderBy(col("conversation_id"), col("turn_idx"))),
+
+    // STREAMING twin of the assembly — turns arrive in micro-batches
+    // whose files are RANGE-partitioned on the conversation key, so
+    // every conversation lands whole in one batch and the per-batch
+    // aggregation unions to the global result exactly (the
+    // group-complete-file contract of runStreamGroupedBounded). Shares
+    // q_sft_assemble's oracle verbatim.
+    "q_stream_sft" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_sft_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sft_src_${runTag(dir)}"
+      sftAssembleTurns(s, dir).repartitionByRange(4, col("conv_id"))
+        .write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamGroupedBounded(s, src,
+          sftAssembleProjected, Seq("conversation_id", "turn_idx"))
         .orderBy(col("conversation_id"), col("turn_idx"))
     }),
 
@@ -9703,6 +9726,7 @@ object SparkEntry {
     "q_html_links" -> htmlLinksOracleSql,
     "q_stream_links" -> htmlLinksOracleSql,
     "q_sft_assemble" -> sftAssembleOracleSql,
+    "q_stream_sft" -> sftAssembleOracleSql,
     "q_sft_pack" -> sftPackOracleSql,
     "q_sft_dedup" -> sftDedupOracleSql,
     "q_pref_pairs" -> prefPairsOracleSql,

@@ -848,6 +848,21 @@ object StreamingIngest {
     parts.reduce(_ unionByName _).dropDuplicates(keyCols)
   }
 
+  /** Streaming twin for GROUP-LOCAL aggregations — the contract one
+    * notch wider than [[runStreamRowMapBounded]]'s per-row purity: the
+    * per-batch `build` may aggregate, PROVIDED every group is file-local
+    * (the source was written `repartitionByRange` on the group key, so
+    * no group ever spans two files = two micro-batches). Batch-wise
+    * aggregation then unions to the global result exactly, and the twin
+    * still shares the batch query's oracle verbatim. The SFT assembly
+    * twin runs here: conversations arrive whole, per shard. */
+  def runStreamGroupedBounded(spark: SparkSession, parquetPath: String,
+                              build: DataFrame => DataFrame,
+                              keyCols: Seq[String],
+                              maxFilesPerTrigger: Int = 1): DataFrame =
+    runStreamRowMapBounded(spark, parquetPath, build, keyCols,
+      maxFilesPerTrigger)
+
   def runStreamTextExtractBounded(spark: SparkSession, parquetPath: String,
                                   idCol: String,
                                   maxFilesPerTrigger: Int = 1): DataFrame = {
