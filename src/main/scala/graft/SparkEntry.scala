@@ -2244,6 +2244,34 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // HTML → MARKDOWN — the structured-extraction product surface (a
+    // modern corpus keeps markdown, not stripped prose: headings,
+    // lists, links, and code fences are signal): heading prefix, bold
+    // and link inline marks, bullets, a blockquote, and an image line,
+    // every rendered character pinned by the oracle's string rebuild.
+    "q_html_markdown" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id").cast("string")
+      val words2 = array_join(slice(filter(split(col("text"), " "),
+        w => length(w) > 0), 1, 2), " ")
+      val words3 = array_join(slice(filter(split(col("text"), " "),
+        w => length(w) > 0), 1, 3), " ")
+      val html = concat(
+        lit("<html><body><h1>Doc "), id, lit("</h1>"),
+        lit("<p>Intro <b>"), words2, lit("</b> and <a href=\"/l/"),
+        pmod(col("doc_id"), lit(7)), lit("\">link "),
+        pmod(col("doc_id"), lit(5)), lit("</a>.</p>"),
+        lit("<ul><li>item "), pmod(col("doc_id"), lit(3)),
+        lit("</li><li>item b</li></ul>"),
+        lit("<blockquote>note "), words3, lit("</blockquote>"),
+        lit("<p><img src=\"/img/"), id, lit(".png\" alt=\"pic "),
+        pmod(col("doc_id"), lit(9)), lit("\"></p>"),
+        lit("</body></html>"))
+      docs.select(col("doc_id"),
+          graft.expr.HtmlExpressions.html_markdown(html).as("markdown"))
+        .orderBy(col("doc_id"))
+    }),
+
     // OPENGRAPH metadata (ogp.me) — the enrichment row a corpus keeps
     // next to the extracted text: og:title from the first three words,
     // og:type/og:url constants, og:image on evens; a non-property
@@ -9738,6 +9766,30 @@ object SparkEntry {
     "q_stream_images" -> htmlImagePairsOracleSql,
     "q_interleaved_docs" -> interleavedDocsOracleSql,
     "q_stream_interleaved" -> interleavedDocsOracleSql,
+
+    // html-markdown oracle: the rendered string rebuilt verbatim —
+    // every prefix, inline mark, bullet, and the image line.
+    "q_html_markdown" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+        |    array_to_string(list_slice(
+        |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 2),
+        |      ' ') AS w2,
+        |    array_to_string(list_slice(
+        |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3),
+        |      ' ') AS w3
+        |  FROM documents)
+        |SELECT doc_id,
+        |  '# Doc ' || id || chr(10) || chr(10) ||
+        |  'Intro **' || w2 || '** and [link ' ||
+        |    CAST(doc_id % 5 AS VARCHAR) || '](/l/' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || ').' || chr(10) || chr(10) ||
+        |  '- item ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10) ||
+        |  '- item b' || chr(10) || chr(10) ||
+        |  '> note ' || w3 || chr(10) || chr(10) ||
+        |  '![pic ' || CAST(doc_id % 9 AS VARCHAR) || '](/img/' || id ||
+        |    '.png)' AS markdown
+        |FROM u ORDER BY doc_id""".stripMargin,
     "q_warc_image_pairs" -> warcImagePairsOracleSql,
 
     // html-tables oracle: every (t, r, c, header, cell) tuple rebuilt

@@ -1072,6 +1072,152 @@ object HtmlOps {
     new GenericArrayData(rows)
   }
 
+  /** HTML → Markdown — the structured-extraction product surface (a
+    * training corpus increasingly keeps markdown, not stripped prose:
+    * headings, lists, links, and code fences are signal). Deterministic
+    * single-pass contract, hash-oracle-able like everything else here:
+    *
+    *  - blocks joined by a blank line; whitespace normalized per block;
+    *  - `h1..h6` → `#`×n prefix; `blockquote` → `> ` prefix (depth 1);
+    *  - `ul`/`ol` items → `- ` / `k. ` with 2-space indent per nesting
+    *    level (counters per list instance);
+    *  - `a href` → `[text](href)` (an `<a>` without href passes its
+    *    text through); `<img src>` → `![alt](src)`;
+    *  - `b`/`strong` → `**`, `i`/`em` → `*`, inline `code` → a
+    *    backtick, each emitted at BOTH tag edges as encountered —
+    *    tag-soup tolerance means an unclosed tag leaves its opening
+    *    marker, by design;
+    *  - `pre` → a fenced block with the raw (entity-decoded,
+    *    whitespace-preserved) content; inner tags are dropped;
+    *  - script/style/comments drop as always. */
+  def markdown(html: String): String = {
+    if (html == null) return null
+    val n = html.length
+    val blocksOut = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = new java.lang.StringBuilder(128)
+    var prefix = ""
+    // list context: (ordered, nextCounter) per open list
+    var lists = List.empty[(Boolean, Int)]
+    var href: String = null // innermost open <a>'s target
+    def finalizeBlock(nextPrefix: String): Unit = {
+      val norm = normalizeWs(buf.toString)
+      if (norm.nonEmpty) blocksOut += (prefix + norm)
+      buf.setLength(0)
+      prefix = nextPrefix
+    }
+    def listPrefix(): String = lists match {
+      case (ordered, k) :: rest =>
+        lists = (ordered, k + 1) :: rest
+        ("  " * rest.length) + (if (ordered) s"$k. " else "- ")
+      case Nil => "- " // stray <li>: tolerated as an unindented bullet
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
+            && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(html, i + 1)
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          if (j == nameStart) { buf.append(c); i += 1 }
+          else {
+            val name = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
+              sb.toString
+            }
+            if (!closing && SkipTags.contains(name)) {
+              i = skipSubtree(html, skipToTagEnd(html, j), name)
+            } else if (!closing && name == "pre") {
+              finalizeBlock("")
+              // raw capture to </pre>: entities decode, inner tags drop,
+              // whitespace preserved
+              var p = skipToTagEnd(html, j)
+              val raw = new java.lang.StringBuilder(64)
+              var open = true
+              while (open && p < n) {
+                val ch = html.charAt(p)
+                if (ch == '<') {
+                  val cl = p + 1 < n && html.charAt(p + 1) == '/'
+                  var q = p + (if (cl) 2 else 1)
+                  val qs = q
+                  while (q < n && isNameChar(html.charAt(q))) q += 1
+                  if (q == qs) { raw.append(ch); p += 1 }
+                  else {
+                    val nm = html.substring(qs, q)
+                      .toLowerCase(java.util.Locale.ROOT)
+                    if (cl && nm == "pre") { open = false; p = skipToTagEnd(html, q) }
+                    else p = skipToTagEnd(html, q)
+                  }
+                } else if (ch == '&') p = decodeEntity(html, p, raw)
+                else { raw.append(ch); p += 1 }
+              }
+              blocksOut += ("```\n" + raw.toString + "\n```")
+              i = p
+            } else {
+              name match {
+                case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+                  finalizeBlock(
+                    if (closing) "" else "#" * (name.charAt(1) - '0') + " ")
+                case "blockquote" =>
+                  finalizeBlock(if (closing) "" else "> ")
+                case "ul" | "ol" =>
+                  finalizeBlock("")
+                  if (closing) { if (lists.nonEmpty) lists = lists.tail }
+                  else lists = (name == "ol", 1) :: lists
+                case "li" =>
+                  finalizeBlock(if (closing) "" else listPrefix())
+                case "a" =>
+                  if (closing) {
+                    if (href != null) { buf.append("](").append(href).append(')'); href = null }
+                  } else {
+                    if (href != null) { buf.append("](").append(href).append(')'); href = null }
+                    val (attrs, _) = parseAttrs(html, j)
+                    attrs.get("href").filter(_.nonEmpty).foreach { h =>
+                      href = h; buf.append('[')
+                    }
+                  }
+                case "img" =>
+                  val (attrs, _) = parseAttrs(html, j)
+                  attrs.get("src").filter(_.nonEmpty).foreach { src =>
+                    buf.append("![").append(attrs.getOrElse("alt", ""))
+                      .append("](").append(src).append(')')
+                  }
+                case "b" | "strong" => buf.append("**")
+                case "i" | "em" => buf.append('*')
+                case "code" => buf.append('`')
+                case _ =>
+                  if (BlockTags.contains(name)) finalizeBlock("")
+              }
+              i = skipToTagEnd(html, j)
+            }
+          }
+        }
+      } else if (c == '&') {
+        i = decodeEntity(html, i, buf)
+      } else {
+        buf.append(c)
+        i += 1
+      }
+    }
+    finalizeBlock("")
+    blocksOut.mkString("\n\n")
+  }
+
+  /** Markdown as a Catalyst value (for [[HtmlMarkdown]]). */
+  def markdownData(html: UTF8String): UTF8String = {
+    if (html == null) return null
+    UTF8String.fromString(markdown(html.toString))
+  }
+
   private def normalizeWs(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var inWs = false
@@ -1262,6 +1408,22 @@ case class HtmlInterleaved(child: Expression, minLen: Int,
     copy(child = newChild)
 }
 
+/** `html_markdown(html)` — codegen HTML→Markdown rendering. */
+case class HtmlMarkdown(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_markdown"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.markdownData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.HtmlOps.markdownData($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `html_table_cells(html)` — codegen table-cell extraction. */
 case class HtmlTableCells(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
@@ -1300,6 +1462,9 @@ object HtmlExpressions {
 
   def html_images(html: Column): Column =
     ColumnBridge.column(HtmlImages(ColumnBridge.expression(html)))
+
+  def html_markdown(html: Column): Column =
+    ColumnBridge.column(HtmlMarkdown(ColumnBridge.expression(html)))
 
   def html_interleaved(html: Column,
                        minLen: Int = HtmlOps.DefaultMinLen,

@@ -237,6 +237,35 @@ class TextExtractSpec extends SparkSpec {
       (4L, 2L, 8L, 5L, (9 to 13).map("t" + _).mkString(" "))))
   }
 
+  test("markdown: headings, lists, links, inline marks, pre, images") {
+    val html = "<html><body>" +
+      "<h2>Title &amp; more</h2>" +
+      "<p>Intro with <b>bold</b>, <i>italic</i>, <code>x+1</code> and " +
+      "<a href=\"/l?a=1&amp;b=2\">a link</a>.</p>" +
+      "<ul><li>alpha</li><li><em>beta</em>" +
+      "<ol><li>one</li><li>two</li></ol></li></ul>" +
+      "<blockquote>quoted words</blockquote>" +
+      "<pre>raw  spaced\n  indented &lt;kept&gt;</pre>" +
+      "<p><img src=\"/i.png\" alt=\"pic\"></p>" +
+      "<script>var x = '<h1>no</h1>';</script>" +
+      "</body></html>"
+    assert(HtmlOps.markdown(html) ===
+      "## Title & more\n\n" +
+        "Intro with **bold**, *italic*, `x+1` and [a link](/l?a=1&b=2).\n\n" +
+        "- alpha\n\n" +
+        "- *beta*\n\n" +
+        "  1. one\n\n" +
+        "  2. two\n\n" +
+        "> quoted words\n\n" +
+        "```\nraw  spaced\n  indented <kept>\n```\n\n" +
+        "![pic](/i.png)")
+    // tolerance: anchor without href passes text; unclosed <b> leaves
+    // its opening marker; null in, null out
+    assert(HtmlOps.markdown("<p><a name=x>plain</a> <b>dangling</p>")
+      === "plain **dangling")
+    assert(HtmlOps.markdown(null) === null)
+  }
+
   test("head: base/canonical first-wins, robots tokens, body ignored") {
     val h = "<html><head><base href=\"/a/\"><base href=\"/b/\">" +
       "<link rel=\"stylesheet canonical\" href=\"/c1\">" +
