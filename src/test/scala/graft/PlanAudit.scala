@@ -121,8 +121,9 @@ object PlanAudit {
     "q_stream_hotkeys_verify", "q_stream_pmi", "q_stream_keywords",
     "q_stream_kmv", "q_stream_kmv_verify",
     // the capstone pipelines run the (broadcast) exact semantic cross +
-    // the ONE-ROW budget-threshold frames inside their ladders
-    "q_train_pipeline", "q_corpus_pipeline_v2",
+    // the ONE-ROW budget-threshold frames inside their ladders; the
+    // multimodal sibling shares the v2 ladder verbatim
+    "q_train_pipeline", "q_corpus_pipeline_v2", "q_curate_multimodal",
     // nDCG ranks via cosineTopK of the BOUNDED %25-split query frame
     // (20 rows at sf0.01) crossed into the corpus — the q_sim_topk
     // exact-search pattern feeding the metric; the rank-metric sibling
@@ -165,6 +166,10 @@ object PlanAudit {
     "q_kcore", "q_kcore_verify",
     "q_dedup_cc", "q_er_entities", "q_corpus_pipeline", "q_corpus_pipeline_v2",
     "q_train_pipeline",
+    // the multimodal curation capstone checkpoints the v2 survivors at
+    // build; the polite crawl loop executes its trap-gate and
+    // leak-proof counts (the in-query require()s) at construction
+    "q_curate_multimodal", "q_crawl_loop_polite",
     "q_dedup_semantic", "q_dedup_semantic_exact", "q_dedup_semantic_verify",
     "q_sim_topk_ivf", "q_sim_topk_ivf_full", "q_sim_topk_ivf_verify",
     "q_sim_topk_pq", "q_sim_topk_pq_verify",
