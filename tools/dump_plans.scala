@@ -28,6 +28,10 @@ val picks = Seq(
   ("q_join_salted", "salt-replicated build side; skew spread across salt partitions"),
   ("q_sql_scalar_subquery", "two correlated scalars merged into one outer agg join"),
   ("q_mine_hard_negatives", "broadcast bounded queries, cross-label filter pre-dot"),
+  ("q_image_text_pairs", "per-row codegen scanner + resolve: zero shuffle before the sort"),
+  ("q_warc_image_pairs", "two per-row decode sides joined once on the canonical URL"),
+  ("q_sft_assemble", "ONE conversation-keyed aggregate; span math per-row after it"),
+  ("q_crawl_loop_polite", "broadcast trap-gate anti-join + broadcast plan joins, ranked window"),
   ("q_text_unigram_lp", "vocab-sized prob table broadcast back; corpus never shuffles on bare term"),
   ("q_partition_pruning", "equality predicate lands in PartitionFilters: one dir scanned"),
   ("q_join_bucketed", "bucketed+sorted both sides (tiny SF broadcasts; the forced exchange-free SMJ shape is asserted in WarehouseOpsSpec)"),
