@@ -501,6 +501,63 @@ object SparkEntry {
       |  title, caption
       |FROM l ORDER BY doc_id, idx""".stripMargin
 
+  /** html-markdown oracle, shared verbatim by the batch rendering and
+    * its streaming twin: the rendered string rebuilt character by
+    * character. */
+  private val htmlMarkdownOracleSql: String =
+        """WITH u AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 2),
+      |      ' ') AS w2,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3),
+      |      ' ') AS w3
+      |  FROM documents)
+      |SELECT doc_id,
+      |  '# Doc ' || id || chr(10) || chr(10) ||
+      |  'Intro **' || w2 || '** and [link ' ||
+      |    CAST(doc_id % 5 AS VARCHAR) || '](/l/' ||
+      |    CAST(doc_id % 7 AS VARCHAR) || ').' || chr(10) || chr(10) ||
+      |  '- item ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10) ||
+      |  '- item b' || chr(10) || chr(10) ||
+      |  '> note ' || w3 || chr(10) || chr(10) ||
+      |  '![pic ' || CAST(doc_id % 9 AS VARCHAR) || '](/img/' || id ||
+      |    '.png)' AS markdown
+      |FROM u ORDER BY doc_id""".stripMargin
+
+  /** image-pair-quality oracle: the alt/caption word and char gates
+    * replayed over the pair construction. */
+  private val imagePairQualityOracleSql: String =
+        """WITH u AS (
+      |  SELECT doc_id, source,
+      |    CAST(doc_id % 25 AS VARCHAR) AS slot,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3), ' ')
+      |      AS w3
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, 0 AS idx,
+      |    'fig-' || CAST(doc_id % 13 AS VARCHAR) AS alt,
+      |    trim('Figure ' || slot || ': ' || w3) AS caption
+      |  FROM u
+      |  UNION ALL SELECT doc_id, 1,
+      |    'inline-' || CAST(doc_id % 5 AS VARCHAR) || ' & co',
+      |    'Context before context after.' FROM u
+      |  UNION ALL SELECT doc_id, 2, '', '' FROM u),
+      |q AS (
+      |  SELECT doc_id, idx,
+      |    len(list_filter(string_split(alt, ' '), x -> x <> '')) AS aw,
+      |    length(alt) AS al,
+      |    len(list_filter(string_split(caption, ' '), x -> x <> '')) AS cw
+      |  FROM l)
+      |SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+      |  (aw BETWEEN 2 AND 32 AND al BETWEEN 5 AND 200) AS alt_ok,
+      |  (cw >= 3) AS caption_ok,
+      |  ((aw BETWEEN 2 AND 32 AND al BETWEEN 5 AND 200) OR cw >= 3)
+      |    AS keep
+      |FROM q ORDER BY doc_id, idx""".stripMargin
+
   /** interleaved-docs oracle: the four emitted positions per document
     * (content, image, image, content) — the nav run and its short
     * successor must NOT appear at any position. */
@@ -1285,6 +1342,30 @@ object SparkEntry {
         col("it.src").as("src"), col("it.alt").as("alt"))
   }
 
+  /** The q_html_markdown computation (fixture page → rendered markdown)
+    * as a pure per-row projection over a (doc_id, text) frame — shared
+    * verbatim by the batch query and its streaming twin. */
+  private val htmlMarkdownRows: DataFrame => DataFrame = docs => {
+    val id = col("doc_id").cast("string")
+    val words2 = array_join(slice(filter(split(col("text"), " "),
+      w => length(w) > 0), 1, 2), " ")
+    val words3 = array_join(slice(filter(split(col("text"), " "),
+      w => length(w) > 0), 1, 3), " ")
+    val html = concat(
+      lit("<html><body><h1>Doc "), id, lit("</h1>"),
+      lit("<p>Intro <b>"), words2, lit("</b> and <a href=\"/l/"),
+      pmod(col("doc_id"), lit(7)), lit("\">link "),
+      pmod(col("doc_id"), lit(5)), lit("</a>.</p>"),
+      lit("<ul><li>item "), pmod(col("doc_id"), lit(3)),
+      lit("</li><li>item b</li></ul>"),
+      lit("<blockquote>note "), words3, lit("</blockquote>"),
+      lit("<p><img src=\"/img/"), id, lit(".png\" alt=\"pic "),
+      pmod(col("doc_id"), lit(9)), lit("\"></p>"),
+      lit("</body></html>"))
+    docs.select(col("doc_id"),
+      graft.expr.HtmlExpressions.html_markdown(html).as("markdown"))
+  }
+
   /** SFT-assembly turn fixture: conversations of four turns (doc_id/4),
     * alternating user/assistant roles, turn text from each document's
     * first four words — shared by the assembly query and the packing
@@ -2047,6 +2128,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // PAIR QUALITY GATE (the LAION caption filter): the extracted
+    // image-text pairs classified by text-side signal — the one-word
+    // figure alt fails the alt gate but its figcaption saves the pair,
+    // the inline pair passes both, and the bare CDN image (no alt, no
+    // caption) drops. Reason booleans emitted next to the verdict.
+    "q_image_pair_quality" -> ((s, dir) =>
+      Multimodal.pairQuality(htmlImageRows(t(s, dir, "documents")),
+          "alt", "caption")
+        .select(col("doc_id"), col("idx"), col("alt_ok"),
+          col("caption_ok"), col("keep"))
+        .orderBy(col("doc_id"), col("idx"))),
+
     // INTERLEAVED image-text documents (the mmc4/OBELICS shape): one
     // position-keyed sequence of content text runs and image slots per
     // page — <img> tags split text runs, jusText labels drop the nav
@@ -2249,26 +2342,21 @@ object SparkEntry {
     // lists, links, and code fences are signal): heading prefix, bold
     // and link inline marks, bullets, a blockquote, and an image line,
     // every rendered character pinned by the oracle's string rebuild.
-    "q_html_markdown" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val id = col("doc_id").cast("string")
-      val words2 = array_join(slice(filter(split(col("text"), " "),
-        w => length(w) > 0), 1, 2), " ")
-      val words3 = array_join(slice(filter(split(col("text"), " "),
-        w => length(w) > 0), 1, 3), " ")
-      val html = concat(
-        lit("<html><body><h1>Doc "), id, lit("</h1>"),
-        lit("<p>Intro <b>"), words2, lit("</b> and <a href=\"/l/"),
-        pmod(col("doc_id"), lit(7)), lit("\">link "),
-        pmod(col("doc_id"), lit(5)), lit("</a>.</p>"),
-        lit("<ul><li>item "), pmod(col("doc_id"), lit(3)),
-        lit("</li><li>item b</li></ul>"),
-        lit("<blockquote>note "), words3, lit("</blockquote>"),
-        lit("<p><img src=\"/img/"), id, lit(".png\" alt=\"pic "),
-        pmod(col("doc_id"), lit(9)), lit("\"></p>"),
-        lit("</body></html>"))
-      docs.select(col("doc_id"),
-          graft.expr.HtmlExpressions.html_markdown(html).as("markdown"))
+    "q_html_markdown" -> ((s, dir) =>
+      htmlMarkdownRows(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // STREAMING twin of the markdown rendering — per-row projection,
+    // stream ≡ batch VERBATIM, shared oracle.
+    "q_stream_markdown" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_md_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_md_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamRowMapBounded(s, src,
+          htmlMarkdownRows, Seq("doc_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -9764,32 +9852,15 @@ object SparkEntry {
     "q_sft_dedup_fuzzy" -> sftDedupFuzzyOracleSql,
     "q_image_text_pairs" -> htmlImagePairsOracleSql,
     "q_stream_images" -> htmlImagePairsOracleSql,
+    "q_image_pair_quality" -> imagePairQualityOracleSql,
+    "q_stream_markdown" -> htmlMarkdownOracleSql,
     "q_interleaved_docs" -> interleavedDocsOracleSql,
     "q_stream_interleaved" -> interleavedDocsOracleSql,
 
-    // html-markdown oracle: the rendered string rebuilt verbatim —
-    // every prefix, inline mark, bullet, and the image line.
-    "q_html_markdown" ->
-      """WITH u AS (
-        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
-        |    array_to_string(list_slice(
-        |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 2),
-        |      ' ') AS w2,
-        |    array_to_string(list_slice(
-        |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3),
-        |      ' ') AS w3
-        |  FROM documents)
-        |SELECT doc_id,
-        |  '# Doc ' || id || chr(10) || chr(10) ||
-        |  'Intro **' || w2 || '** and [link ' ||
-        |    CAST(doc_id % 5 AS VARCHAR) || '](/l/' ||
-        |    CAST(doc_id % 7 AS VARCHAR) || ').' || chr(10) || chr(10) ||
-        |  '- item ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) || chr(10) ||
-        |  '- item b' || chr(10) || chr(10) ||
-        |  '> note ' || w3 || chr(10) || chr(10) ||
-        |  '![pic ' || CAST(doc_id % 9 AS VARCHAR) || '](/img/' || id ||
-        |    '.png)' AS markdown
-        |FROM u ORDER BY doc_id""".stripMargin,
+    // html-markdown oracle (shared with the streaming twin): the
+    // rendered string rebuilt verbatim — every prefix, inline mark,
+    // bullet, and the image line.
+    "q_html_markdown" -> htmlMarkdownOracleSql,
     "q_warc_image_pairs" -> warcImagePairsOracleSql,
 
     // html-tables oracle: every (t, r, c, header, cell) tuple rebuilt

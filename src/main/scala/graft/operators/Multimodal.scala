@@ -1555,6 +1555,29 @@ object Multimodal {
     }
   }
 
+  // --------------------------------------- image-text pair quality gate
+
+  /** Image-text pair quality gate (the LAION-style caption filter): a
+    * pair trains only when its TEXT side carries signal. Keep when the
+    * alt text has 2..32 words AND 5..200 chars (one-word alts are file
+    * names, 200+ chars are keyword stuffing), OR the surrounding
+    * caption has >= 3 words. Both sub-verdicts are emitted next to
+    * `keep` so curation reports can break losses down by reason. Pure
+    * per-row Column arithmetic — zero shuffle, codegen-friendly. */
+  def pairQuality(pairs: DataFrame, altCol: String,
+                  captionCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val altWords = size(filter(split(col(altCol), "\\s+"), w => w =!= ""))
+    val capWords = size(filter(split(col(captionCol), "\\s+"),
+      w => w =!= ""))
+    val altOk = altWords.between(2, 32) &&
+      length(col(altCol)).between(5, 200)
+    val capOk = capWords >= 3
+    pairs.withColumn("alt_ok", altOk)
+      .withColumn("caption_ok", capOk)
+      .withColumn("keep", altOk || capOk)
+  }
+
   // ------------------------------------------- metadata strip (privacy)
 
   /** PNG ancillary-METADATA chunk types a privacy pass removes before a
