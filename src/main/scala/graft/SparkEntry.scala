@@ -2270,8 +2270,8 @@ object SparkEntry {
         .map { id =>
           val base = Multimodal.syntheticPngPixelPayload(id)
           val ascii = java.nio.charset.StandardCharsets.US_ASCII
-          val author = ("Author user-" + (id % 50)).getBytes(ascii)
-          val gps = ("GPS Position " + (id % 180 - 90) + ".0," +
+          val author = ("Author\u0000user-" + (id % 50)).getBytes(ascii)
+          val gps = ("GPS Position\u0000" + (id % 180 - 90) + ".0," +
             (id % 360 - 180) + ".0").getBytes(ascii)
           val time = Array.tabulate[Byte](7)(k => ((id + k) % 100).toByte)
           val tagged = Multimodal.withPngMetadata(base,
