@@ -855,7 +855,14 @@ object HtmlOps {
               if (!closing && inFigure) { inFigCaption = true; figCapBuf.setLength(0) }
               i = skipToTagEnd(html, j)
             } else {
-              if (BlockTags.contains(name)) closeBlock()
+              // a block tag INSIDE an open figcaption must not freeze
+              // the caption early — <br>/<p> inside figcaptions are
+              // routine; they read as whitespace and the caption runs
+              // to </figcaption>/</figure>/EOF as documented
+              if (BlockTags.contains(name)) {
+                if (inFigCaption) { figCapBuf.append(' '); blockBuf.append(' ') }
+                else closeBlock()
+              }
               i = skipToTagEnd(html, j)
             }
           }
@@ -1099,11 +1106,23 @@ object HtmlOps {
     // list context: (ordered, nextCounter) per open list
     var lists = List.empty[(Boolean, Int)]
     var href: String = null // innermost open <a>'s target
+    var linkStart = -1      // buf index of that link's '['
     def finalizeBlock(nextPrefix: String): Unit = {
+      // an <a> spanning a block boundary (the card-link pattern
+      // <a><div>Title</div></a>) must not strand '[' and '](url)' in
+      // different blocks: a link with text closes AT the boundary; a
+      // bare '[' is dropped here and re-opened in the next block, so
+      // the eventual text gets one well-formed [text](url)
+      if (href != null) {
+        if (buf.length() > linkStart + 1) {
+          buf.append("](").append(href).append(')'); href = null
+        } else buf.setLength(linkStart)
+      }
       val norm = normalizeWs(buf.toString)
       if (norm.nonEmpty) blocksOut += (prefix + norm)
       buf.setLength(0)
       prefix = nextPrefix
+      if (href != null) { buf.append('['); linkStart = 0 }
     }
     def listPrefix(): String = lists match {
       case (ordered, k) :: rest =>
@@ -1182,7 +1201,7 @@ object HtmlOps {
                     if (href != null) { buf.append("](").append(href).append(')'); href = null }
                     val (attrs, _) = parseAttrs(html, j)
                     attrs.get("href").filter(_.nonEmpty).foreach { h =>
-                      href = h; buf.append('[')
+                      href = h; linkStart = buf.length(); buf.append('[')
                     }
                   }
                 case "img" =>

@@ -151,19 +151,22 @@ object UrlOps {
     * [[canonicalize]] collapses them anyway). Fragments never survive
     * (a crawler fetches resources, not positions). A base without
     * `scheme://` can't anchor anything — the ref comes back unchanged
-    * (tolerant, never null). */
+    * except for its fragment (tolerant, never null; fragments never
+    * survive on ANY branch). */
   def resolve(base: String, ref0: String): String = {
-    if (ref0 == null) return base
-    val ref = ref0.trim
-    if (base == null) return ref
-    // "fragments never survive" applies to EVERY branch: absolute and
-    // protocol-relative refs used to return verbatim, so a dedup or
+    // "fragments never survive" applies to EVERY branch that returns a
+    // ref: absolute and protocol-relative refs used to return verbatim,
+    // and the null/unresolvable-base fallbacks did too — a dedup or
     // frontier key built on resolve alone (without the composed
-    // canonicalize) could retain '#...' — stripped here up front
+    // canonicalize) would otherwise retain '#...' only when a base
+    // happened to be missing, minting two keys for one resource
     def stripFragment(s: String): String = {
       val h = s.indexOf('#')
       if (h < 0) s else s.substring(0, h)
     }
+    if (ref0 == null) return base
+    val ref = ref0.trim
+    if (base == null) return stripFragment(ref)
     // absolute reference: scheme ':' before any '/', '?' or '#'
     var k = 0
     while (k < ref.length && (Character.isLetterOrDigit(ref.charAt(k)) ||
@@ -171,7 +174,7 @@ object UrlOps {
     if (k > 0 && k < ref.length && ref.charAt(k) == ':' &&
       Character.isLetter(ref.charAt(0))) return stripFragment(ref)
     val schemeEnd = base.indexOf("://")
-    if (schemeEnd <= 0) return ref
+    if (schemeEnd <= 0) return stripFragment(ref)
     val scheme = base.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
     var rest = base.substring(schemeEnd + 3)
     val hashAt = rest.indexOf('#')

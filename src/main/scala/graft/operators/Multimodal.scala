@@ -1567,11 +1567,15 @@ object Multimodal {
   def pairQuality(pairs: DataFrame, altCol: String,
                   captionCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val altWords = size(filter(split(col(altCol), "\\s+"), w => w =!= ""))
-    val capWords = size(filter(split(col(captionCol), "\\s+"),
-      w => w =!= ""))
-    val altOk = altWords.between(2, 32) &&
-      length(col(altCol)).between(5, 200)
+    // null text columns read as "" (absence is the SAME no-signal
+    // verdict as the empty string): a raw null would propagate into
+    // keep = NULL, and a report partitioning on keep vs !keep would
+    // lose the row from BOTH sides
+    val alt = coalesce(col(altCol), lit(""))
+    val cap = coalesce(col(captionCol), lit(""))
+    val altWords = size(filter(split(alt, "\\s+"), w => w =!= ""))
+    val capWords = size(filter(split(cap, "\\s+"), w => w =!= ""))
+    val altOk = altWords.between(2, 32) && length(alt).between(5, 200)
     val capOk = capWords >= 3
     pairs.withColumn("alt_ok", altOk)
       .withColumn("caption_ok", capOk)

@@ -49,9 +49,15 @@ object Sft {
   def assemble(turns: DataFrame, convCol: String, idxCol: String,
                roleCol: String, textCol: String,
                trainRole: String = "assistant"): DataFrame = {
+    // a NULL role/text would both vanish from the concatenated render
+    // (array_join skips nulls) AND null the length prefix sums — every
+    // later span offset in the conversation would silently corrupt. A
+    // null field reads as "" instead: the turn still renders (empty
+    // content span) and every offset stays exact.
     val sortedTurns = array_sort(collect_list(struct(
-      col(idxCol).cast("long").as("turn_idx"), col(roleCol).as("role"),
-      col(textCol).as("text"))))
+      col(idxCol).cast("long").as("turn_idx"),
+      coalesce(col(roleCol), lit("")).as("role"),
+      coalesce(col(textCol), lit("")).as("text"))))
     val rend = (t: Column) =>
       renderTurn(t.getField("role"), t.getField("text"))
     turns.groupBy(col(convCol).as("conversation_id"))
@@ -127,11 +133,16 @@ object Sft {
     * window, deterministic ties. Prompts without a strict score spread
     * (max score == min score) emit nothing: a pair with no preference
     * signal trains nothing, and emitting chosen == rejected would
-    * poison a DPO loss silently. */
+    * poison a DPO loss silently. UNSCORED candidates (null score) are
+    * dropped up front — a null would otherwise win min(struct) (nulls
+    * sort first) and null the spread filter, silently discarding a
+    * prompt whose scored candidates carry a perfectly good pair;
+    * `n_candidates` therefore counts SCORED candidates. */
   def preferencePairs(cands: DataFrame, promptCol: String,
                       candIdCol: String, textCol: String,
                       scoreCol: String): DataFrame =
-    cands.groupBy(col(promptCol).as("prompt_id"))
+    cands.filter(col(scoreCol).isNotNull)
+      .groupBy(col(promptCol).as("prompt_id"))
       .agg(
         max(struct(col(scoreCol).as("s"), col(candIdCol).as("i"),
           col(textCol).as("t"))).as("__c"),

@@ -826,7 +826,8 @@ object StreamingIngest {
   def runStreamRowMapBounded(spark: SparkSession, parquetPath: String,
                              build: DataFrame => DataFrame,
                              keyCols: Seq[String],
-                             maxFilesPerTrigger: Int = 1): DataFrame = {
+                             maxFilesPerTrigger: Int = 1,
+                             dedupe: Boolean = true): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -845,7 +846,8 @@ object StreamingIngest {
     import scala.jdk.CollectionConverters._
     val parts = results.values.asScala.toSeq
     require(parts.nonEmpty, "runStreamRowMapBounded: stream produced no batches")
-    parts.reduce(_ unionByName _).dropDuplicates(keyCols)
+    val unioned = parts.reduce(_ unionByName _)
+    if (dedupe) unioned.dropDuplicates(keyCols) else unioned
   }
 
   /** Streaming twin for GROUP-LOCAL aggregations — the contract one
@@ -859,9 +861,25 @@ object StreamingIngest {
   def runStreamGroupedBounded(spark: SparkSession, parquetPath: String,
                               build: DataFrame => DataFrame,
                               keyCols: Seq[String],
-                              maxFilesPerTrigger: Int = 1): DataFrame =
-    runStreamRowMapBounded(spark, parquetPath, build, keyCols,
-      maxFilesPerTrigger)
+                              maxFilesPerTrigger: Int = 1): DataFrame = {
+    val unioned = runStreamRowMapBounded(spark, parquetPath, build,
+      keyCols, maxFilesPerTrigger, dedupe = false)
+    // CONTRACT CHECK, loud not silent: a group that spanned two files
+    // produces DIFFERENT partial aggregates under the same key, and the
+    // replay-dedup below would keep an arbitrary one. Legitimate
+    // restart replays re-emit IDENTICAL rows, so "more than one
+    // distinct row per key" is exactly the violation signature.
+    import org.apache.spark.sql.functions.{col, countDistinct, struct}
+    val bad = unioned
+      .groupBy(keyCols.map(col): _*)
+      .agg(countDistinct(struct(unioned.columns.map(col): _*)).as("__n"))
+      .filter(col("__n") > 1).count()
+    require(bad == 0,
+      s"runStreamGroupedBounded: $bad keys aggregated differently " +
+        "across micro-batches — the source is not group-complete per " +
+        "file (write it repartitionByRange on the group key)")
+    unioned.dropDuplicates(keyCols)
+  }
 
   def runStreamTextExtractBounded(spark: SparkSession, parquetPath: String,
                                   idCol: String,

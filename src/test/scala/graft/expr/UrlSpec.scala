@@ -119,9 +119,13 @@ class UrlSpec extends SparkSpec {
       === "https://a.com/dir/leaf")
     // pathless base roots the reference
     assert(UrlOps.resolve("https://a.com", "x/y") === "https://a.com/x/y")
-    // unresolvable base: the reference comes back unchanged
+    // unresolvable base: the reference comes back unchanged — except
+    // its fragment (never-survives holds on EVERY ref-returning branch,
+    // so a missing base can't mint a second key for the same resource)
     assert(UrlOps.resolve("not a url", "x/y") === "x/y")
+    assert(UrlOps.resolve("not a url", "x/y#frag") === "x/y")
     assert(UrlOps.resolve(null, "x") === "x")
+    assert(UrlOps.resolve(null, "https://b.com/x#sec") === "https://b.com/x")
     assert(UrlOps.resolve(base, null) === base)
   }
 

@@ -387,6 +387,26 @@ class PhashSpec extends SparkSpec {
       "the inverted image must not pair with anything")
   }
 
+  test("pairQuality: gates, and NULL text is the same verdict as empty") {
+    val s = spark; import s.implicits._
+    val pairs = Seq(
+      (1L, Option("a clean two-word alt"), Option("and a caption here")),
+      (2L, Option("x"), Option("too short")),             // 1 word / 2 words
+      (3L, Option(""), Option("three caption words")),    // caption saves
+      (4L, None: Option[String], None: Option[String]))   // nulls drop
+      .toDF("id", "alt", "caption")
+    val got = Multimodal.pairQuality(pairs, "alt", "caption")
+      .select("id", "alt_ok", "caption_ok", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, true, true, true),
+      (2L, false, false, false),
+      (3L, false, true, true),
+      // a NULL must be a firm false on every verdict, never a vanished
+      // row (the decode to Boolean above would throw on null)
+      (4L, false, false, false)))
+  }
+
   test("stripPngMetadata: lossless, exact accounting, idempotent, non-PNG") {
     val base = Multimodal.syntheticPngPixelPayload(42L)
     val (w0, h0, p0) = Multimodal.decodePngPixels(base).get

@@ -75,6 +75,41 @@ class SftSpec extends SparkSpec {
       (2L, 3L, 21L, "b", 7L, 22L, 1L)))
   }
 
+  test("preferencePairs: unscored candidates drop, prompt survives") {
+    // a null score must not null the spread filter and discard the
+    // prompt's perfectly good scored pair
+    val cands = Seq(
+      (1L, 10L, "good", Some(9L)), (1L, 11L, "bad", Some(2L)),
+      (1L, 12L, "unscored", None))
+      .toDF("prompt_id", "cand_id", "text", "score")
+    val got = Sft.preferencePairs(cands, "prompt_id", "cand_id", "text",
+        "score")
+      .select("prompt_id", "n_candidates", "chosen_id", "rejected_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 10L, 11L)))
+  }
+
+  test("assemble: null turn text/role reads as empty, offsets stay exact") {
+    val withNull = Seq(
+      (1L, 0L, "user", Option("hi")),
+      (1L, 1L, "assistant", None: Option[String]),
+      (1L, 2L, "user", Option("bye")))
+      .toDF("conv", "idx", "role", "text")
+    val got = Sft.assemble(withNull, "conv", "idx", "role", "text")
+    val rendered = got.select("rendered").as[String].head()
+    assert(rendered ===
+      "<|im_start|>user\nhi<|im_end|>\n" +
+        "<|im_start|>assistant\n<|im_end|>\n" +
+        "<|im_start|>user\nbye<|im_end|>\n")
+    val spans = got.select(explode($"spans").as("sp")).select("sp.*")
+      .as[(Long, String, Long, Long, Long, Long, Boolean)].collect()
+    // the null turn renders empty: its content interval collapses to a
+    // point, and the FOLLOWING turn's offsets are exact, not null
+    // (the non-null Long decode above already proves no null offsets)
+    assert(spans(1)._5 === spans(1)._6) // content_start == content_end
+    assert(spans(2)._3 === spans(1)._4) // turn 2 starts where turn 1 ends
+  }
+
   test("normalizedConvText: index order, lowercase, template excluded") {
     val got = Sft.normalizedConvText(turns, "conv", "idx", "text")
       .orderBy("conversation_id")

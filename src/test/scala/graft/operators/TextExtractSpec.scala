@@ -184,6 +184,13 @@ class TextExtractSpec extends SparkSpec {
     assert(HtmlOps.images(
       "<figure><img src=\"/t.png\"><figcaption>tail cap")
       === Vector(("/t.png", "", "", "tail cap")))
+    // block tags inside a figcaption read as whitespace — <br> (and
+    // <p>) inside figcaptions are routine and must not freeze the
+    // caption early
+    assert(HtmlOps.images(
+      "<figure><img src=\"/b.png\">" +
+        "<figcaption>Line one<br>Line two<p>and three</figcaption></figure>")
+      === Vector(("/b.png", "", "", "Line one Line two and three")))
   }
 
   test("interleaved: img boundaries, jusText labels, slots always kept") {
@@ -264,6 +271,14 @@ class TextExtractSpec extends SparkSpec {
     assert(HtmlOps.markdown("<p><a name=x>plain</a> <b>dangling</p>")
       === "plain **dangling")
     assert(HtmlOps.markdown(null) === null)
+    // the card-link pattern: an <a> whose content is a block must still
+    // emit ONE well-formed [text](url), not stranded fragments
+    assert(HtmlOps.markdown(
+      "<a href=\"/x\"><div>Title</div></a><p>after</p>")
+      === "[Title](/x)\n\nafter")
+    // link with text split by a block boundary closes at the boundary
+    assert(HtmlOps.markdown("<p><a href=\"/y\">lead</p><p>rest</a></p>")
+      === "[lead](/y)\n\nrest")
   }
 
   test("head: base/canonical first-wins, robots tokens, body ignored") {

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The group-complete-file contract of
+  * [[StreamingIngest.runStreamGroupedBounded]] is CHECKED, not assumed:
+  * a source whose group spans two files produces different partial
+  * aggregates under one key, and the runner must fail loudly instead of
+  * letting the replay-dedup keep an arbitrary partial. */
+class GroupedRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def groupSum: DataFrame => DataFrame = batch =>
+    batch.groupBy("g").agg(sum($"v").as("total"))
+
+  private def tmp(tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_grptest_${tag}_" +
+      s"p${ProcessHandle.current().pid()}"
+
+  test("range-partitioned source: per-batch aggregates union exactly") {
+    val src = tmp("ok")
+    Seq((1L, 10L), (1L, 5L), (2L, 7L), (3L, 1L), (3L, 2L))
+      .toDF("g", "v")
+      .repartitionByRange(2, $"g")
+      .write.mode("overwrite").parquet(src)
+    val got = StreamingIngest.runStreamGroupedBounded(spark, src,
+        groupSum, Seq("g"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 15L), (2L, 7L), (3L, 3L)))
+  }
+
+  test("group spanning two files fails LOUDLY, never an arbitrary partial") {
+    val src = tmp("bad")
+    // two single-row files, same group: each micro-batch emits a
+    // different partial total for g=1
+    Seq((1L, 10L)).toDF("g", "v").write.mode("overwrite").parquet(src)
+    Seq((1L, 32L)).toDF("g", "v").write.mode("append").parquet(src)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.runStreamGroupedBounded(spark, src, groupSum,
+        Seq("g")).collect()
+    }
+    assert(ex.getMessage.contains("group-complete"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+}
