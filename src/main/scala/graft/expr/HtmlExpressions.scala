@@ -107,24 +107,49 @@ object HtmlOps {
     * stops at the FIRST close and is only correct for tags whose
     * content model forbids nesting (script/style/...); a table two
     * levels deep would otherwise close the outer table early and
-    * misattribute the middle table's trailing cells. */
+    * misattribute the middle table's trailing cells.
+    *
+    * The depth walk honors the same non-tag regions the main scanners
+    * do — `<!-- -->` comments, `<!doctype>`/`<?pi?>`, [[SkipTags]]
+    * subtrees, and quoted attribute values — so a commented-out
+    * `</table>`, a `document.write("</table>")` inside a script, or a
+    * `title="</table>"` attribute inside the skipped region can no
+    * longer close the outer table early and truncate its cells. */
   private def skipNestedSubtree(s: String, from: Int, name: String): Int = {
     val n = s.length
     var i = from
     var depth = 1
     while (i < n) {
       if (s.charAt(i) == '<') {
-        val closing = i + 1 < n && s.charAt(i + 1) == '/'
-        var j = i + (if (closing) 2 else 1)
-        var k = 0
-        while (j < n && k < name.length &&
-          lower(s.charAt(j)) == name.charAt(k)) { j += 1; k += 1 }
-        if (k == name.length && (j >= n || !isNameChar(s.charAt(j)))) {
-          val after = skipToTagEnd(s, j)
-          if (closing) { depth -= 1; if (depth == 0) return after }
-          else depth += 1
-          i = after
-        } else i += 1
+        if (i + 3 < n && s.charAt(i + 1) == '!' && s.charAt(i + 2) == '-' &&
+            s.charAt(i + 3) == '-') {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          i = skipToTagEnd(s, i + 1)
+        } else {
+          val closing = i + 1 < n && s.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && isNameChar(s.charAt(j))) j += 1
+          if (j == nameStart) i += 1 // bare '<': literal text
+          else {
+            val nm = {
+              val sb = new java.lang.StringBuilder(j - nameStart)
+              var p = nameStart
+              while (p < j) { sb.append(lower(s.charAt(p))); p += 1 }
+              sb.toString
+            }
+            val after = skipToTagEnd(s, j)
+            if (nm == name) {
+              if (closing) { depth -= 1; if (depth == 0) return after }
+              else depth += 1
+              i = after
+            } else if (!closing && SkipTags.contains(nm)) {
+              i = skipSubtree(s, after, nm)
+            } else i = after
+          }
+        }
       } else i += 1
     }
     n

@@ -30,11 +30,21 @@ import org.apache.spark.sql.functions._
   *  3. per-bucket ordered window (parallel across buckets) + offset.
   *
   * The order key must be unique (a total order) for the result to be
-  * well-defined; values are summed as longs. */
+  * well-defined, and NUMERIC — the approxQuantile range-bucketing in
+  * step 1 only supports numeric columns (a string key, e.g. a UUID
+  * conversation id, is rejected up front with a clear message instead
+  * of an obscure approxQuantile error mid-plan; hash or zip such keys
+  * to a numeric order key upstream). Values are summed as longs. */
 object PrefixSum {
 
   def withPrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                     out: String = "cumsum", buckets: Int = 32): DataFrame = {
+    val keyType = df.schema(orderCol).dataType
+    require(keyType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"withPrefixSum: order key '$orderCol' must be numeric (got " +
+        s"${keyType.simpleString}) — range bucketing uses approxQuantile, " +
+        "which only supports numeric columns; map string ids to a numeric " +
+        "key (e.g. xxhash64, or a dense zip) before the prefix sum")
     // null values count as 0 (a null-valued bucket would otherwise sum to
     // null and NPE the driver-side read)
     val v = coalesce(col(valueCol).cast("long"), lit(0L))

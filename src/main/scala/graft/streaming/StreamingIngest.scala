@@ -862,23 +862,45 @@ object StreamingIngest {
                               build: DataFrame => DataFrame,
                               keyCols: Seq[String],
                               maxFilesPerTrigger: Int = 1): DataFrame = {
-    val unioned = runStreamRowMapBounded(spark, parquetPath, build,
-      keyCols, maxFilesPerTrigger, dedupe = false)
-    // CONTRACT CHECK, loud not silent: a group that spanned two files
-    // produces DIFFERENT partial aggregates under the same key, and the
-    // replay-dedup below would keep an arbitrary one. Legitimate
-    // restart replays re-emit IDENTICAL rows, so "more than one
-    // distinct row per key" is exactly the violation signature.
-    import org.apache.spark.sql.functions.{col, countDistinct, struct}
+    import org.apache.spark.sql.functions.{col, countDistinct, lit}
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamGlob(parquetPath))
+    val results =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, DataFrame]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // tag each batch's aggregates with the micro-batch id — the
+        // contract check below keys on it
+        results.put(bid,
+          build(batch).withColumn("__graft_bid", lit(bid)).localCheckpoint())
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = results.values.asScala.toSeq
+    require(parts.nonEmpty, "runStreamGroupedBounded: stream produced no batches")
+    val unioned = parts.reduce(_ unionByName _)
+    // CONTRACT CHECK, loud not silent, keyed on the BATCH ID: in this
+    // bounded run every micro-batch is one source file processed exactly
+    // once (processAllAvailable, no restart), so a group-complete source
+    // puts each key's rows in EXACTLY one distinct batch. A key seen in
+    // two batches is a split group — even when the partial aggregates
+    // happen to be byte-identical (sum 5 in file A + sum 5 in file B),
+    // the false negative the earlier distinct-rows-per-key signature had.
     val bad = unioned
       .groupBy(keyCols.map(col): _*)
-      .agg(countDistinct(struct(unioned.columns.map(col): _*)).as("__n"))
+      .agg(countDistinct(col("__graft_bid")).as("__n"))
       .filter(col("__n") > 1).count()
     require(bad == 0,
-      s"runStreamGroupedBounded: $bad keys aggregated differently " +
-        "across micro-batches — the source is not group-complete per " +
-        "file (write it repartitionByRange on the group key)")
-    unioned.dropDuplicates(keyCols)
+      s"runStreamGroupedBounded: $bad keys appeared in more than one " +
+        "micro-batch — the source is not group-complete per file " +
+        "(write it repartitionByRange on the group key)")
+    unioned.drop("__graft_bid").dropDuplicates(keyCols)
   }
 
   def runStreamTextExtractBounded(spark: SparkSession, parquetPath: String,

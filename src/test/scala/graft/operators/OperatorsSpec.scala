@@ -976,6 +976,17 @@ class OperatorsSpec extends SparkSpec {
     assert(entries <= 8, s"offset map grew past 2·buckets: $entries entries")
   }
 
+  test("prefix sum rejects a STRING order key loudly, not via approxQuantile") {
+    // a UUID-style conversation id would otherwise die inside
+    // approxQuantile with an obscure type error mid-plan
+    val stringKeyed = docs.select(col("source").as("k"), lit(1L).as("v"))
+    val ex = intercept[IllegalArgumentException] {
+      PrefixSum.withPrefixSum(stringKeyed, "k", "v")
+    }
+    assert(ex.getMessage.contains("must be numeric"), ex.getMessage)
+    assert(ex.getMessage.contains("xxhash64"), ex.getMessage)
+  }
+
   test("streaming stateful dedup suppresses duplicate keys across micro-batches") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val inDir = java.nio.file.Files.createTempDirectory("graft-sdedup-in").toString

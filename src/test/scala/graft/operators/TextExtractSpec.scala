@@ -135,6 +135,32 @@ class TextExtractSpec extends SparkSpec {
     assert(HtmlOps.tableCells("no tables here at all") === Vector.empty)
   }
 
+  test("tableCells: nested-table skip survives decoy close tags") {
+    // a commented-out </table> inside the nested table must not close
+    // the outer table early (the depth walk skips comments like the
+    // main scanner does)
+    val commented = "<table><tr><td>outer" +
+      "<table><!-- </table> --><tr><td>inner</td></tr></table></td>" +
+      "<td>after</td></tr></table>"
+    assert(HtmlOps.tableCells(commented) === Vector(
+      (0, 0, 0, false, "outer"), (0, 0, 1, false, "after")))
+    // a </table> inside a script subtree of the nested table is data,
+    // not markup
+    val scripted = "<table><tr><td>outer" +
+      "<table><script>document.write('</table>')</script>" +
+      "<tr><td>inner</td></tr></table></td>" +
+      "<td>after</td></tr></table>"
+    assert(HtmlOps.tableCells(scripted) === Vector(
+      (0, 0, 0, false, "outer"), (0, 0, 1, false, "after")))
+    // a </table> inside a QUOTED attribute value of a tag in the nested
+    // region is data too — the walk skips attrs quote-aware
+    val quoted = "<table><tr><td>outer" +
+      "<table><tr><td><span title=\"</table>\">inner</span></td></tr>" +
+      "</table></td><td>after</td></tr></table>"
+    assert(HtmlOps.tableCells(quoted) === Vector(
+      (0, 0, 0, false, "outer"), (0, 0, 1, false, "after")))
+  }
+
   test("links: hrefs, anchor text, nofollow, attr edges, tag soup") {
     val html = "<html><body>" +
       "<a href=\"https://a.com/x?b=2&amp;a=1\">Read <b>more</b></a>" +

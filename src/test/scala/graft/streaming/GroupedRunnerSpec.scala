@@ -45,4 +45,20 @@ class GroupedRunnerSpec extends SparkSpec {
     assert(ex.getMessage.contains("group-complete"),
       s"wrong failure: ${ex.getMessage}")
   }
+
+  test("IDENTICAL partial aggregates across two files still fail loudly") {
+    val src = tmp("twin")
+    // the same (g, v) row in two files: each micro-batch emits the
+    // byte-identical partial (1, 5) — indistinguishable from a replay
+    // under a distinct-rows signature, but the batch-id check knows the
+    // key was aggregated in two micro-batches and the true total is 10
+    Seq((1L, 5L)).toDF("g", "v").write.mode("overwrite").parquet(src)
+    Seq((1L, 5L)).toDF("g", "v").write.mode("append").parquet(src)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.runStreamGroupedBounded(spark, src, groupSum,
+        Seq("g")).collect()
+    }
+    assert(ex.getMessage.contains("group-complete"),
+      s"wrong failure: ${ex.getMessage}")
+  }
 }
