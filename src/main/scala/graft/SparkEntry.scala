@@ -589,6 +589,65 @@ object SparkEntry {
       |SELECT doc_id, CAST(pos AS BIGINT) AS pos, kind, text, src, alt
       |FROM l ORDER BY doc_id, pos""".stripMargin
 
+  /** interleaved-packing oracle: the q_interleaved_docs item
+    * construction + the cost rule (image → 64, text → whitespace token
+    * count) + in-document and cross-document prefix sums + the
+    * capacity-512 division — the q_sft_pack chain re-based onto
+    * multimodal items. */
+  private val interleavedPackOracleSql: String =
+        """WITH u AS (
+      |  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS id,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ')
+      |      AS w5,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3), ' ')
+      |      AS w3
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, 0 AS pos, 'text' AS kind,
+      |    'Opening paragraph for document ' || id || ' about ' || w5 ||
+      |      ' with enough length.' AS text
+      |  FROM u
+      |  UNION ALL SELECT doc_id, 1, 'image', NULL FROM u
+      |  UNION ALL SELECT doc_id, 2, 'image', NULL FROM u
+      |  UNION ALL SELECT doc_id, 3, 'text',
+      |    'Closing paragraph reciting ' || w3 ||
+      |      ' once more for position four.' FROM u),
+      |c AS (
+      |  SELECT doc_id, pos, kind,
+      |    CAST(CASE WHEN kind = 'image' THEN 64
+      |         ELSE len(list_filter(string_split_regex(text, '\s+'),
+      |                   x -> x <> ''))
+      |    END AS BIGINT) AS n_tok
+      |  FROM l),
+      |doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |  FROM c GROUP BY doc_id),
+      |packed AS (
+      |  SELECT doc_id, n_items, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS g0,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM doc),
+      |it AS (
+      |  SELECT doc_id, pos, kind, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS st
+      |  FROM c)
+      |SELECT p.doc_id, p.n_items, p.n_tokens,
+      |  CAST(p.g0 // 512 AS BIGINT) AS seq_id,
+      |  (p.n_tokens > 0 AND (p.cum - 1) // 512 <> p.g0 // 512) AS is_split,
+      |  CAST(i.pos AS BIGINT) AS pos, i.kind, i.n_tok,
+      |  CAST(p.g0 + i.st AS BIGINT) AS g_start,
+      |  CAST(p.g0 + i.st + i.n_tok AS BIGINT) AS g_end
+      |FROM packed p JOIN it i USING (doc_id)
+      |ORDER BY p.doc_id, i.pos""".stripMargin
+
   /** warc-image-pairs oracle: the page-side construction (src, alt,
     * figcaption) joined to the direct-decode pixel formula of
     * [[imageDecodeOracleSql]] — extraction, resolution, and the decoded
@@ -738,6 +797,134 @@ object SparkEntry {
       |FROM packed p JOIN sp s USING (conversation_id)
       |ORDER BY p.conversation_id, s.turn_idx""".stripMargin
 
+  /** token-exact sft-packing oracle: the frozen-BPE recursive-CTE
+    * fixpoint (the q_bpe_tokenize oracle's engine, same literalized
+    * merge table) run over the TURN texts for per-turn token counts,
+    * composed with the q_sft_pack prefix-sum / packing-division chain
+    * in token units. The +5/+3/−2 literals are the frozen ChatML token
+    * overhead ([[operators.Sft.TurnOverheadTokens]] and its halves);
+    * span_text_ok replays as TRUE — the engine-side cross-path identity
+    * (packed token-span width == independent re-tokenization of the
+    * char-span substring, detokenization == cleaned words) must hold on
+    * every row or the hash fails. */
+  private def sftPackTokensOracleSql: String = {
+    def q(s: String): String = s.replace("'", "''")
+    val vals = operators.BpeTokenizer.frozenMerges.zipWithIndex
+      .map { case ((x, y), r) => s"($r, '${q(x)}', '${q(y)}')" }.mkString(", ")
+    val maxRank = operators.BpeTokenizer.frozenMerges.size
+    s"""WITH RECURSIVE
+       |mg(r, x, y) AS (SELECT * FROM (VALUES $vals) v(r, x, y)),
+       |tu AS (
+       |  SELECT doc_id // 4 AS conversation_id, doc_id % 4 AS turn_idx,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    'Turn ' || CAST(doc_id % 4 AS VARCHAR) || ': ' ||
+       |      array_to_string(list_slice(
+       |        list_filter(string_split(text, ' '), x -> x <> ''), 1, 4),
+       |        ' ') AS t
+       |  FROM documents),
+       |ttk AS (
+       |  SELECT conversation_id, turn_idx,
+       |    list_filter(string_split_regex(trim(lower(t)), '\\s+'),
+       |                x -> x <> '') AS tk
+       |  FROM tu),
+       |tw AS (
+       |  SELECT conversation_id, turn_idx, list_extract(tk, i) AS word
+       |  FROM ttk, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
+       |dw AS (SELECT DISTINCT word FROM tw),
+       |enc AS (
+       |  SELECT word,
+       |    chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substring(word, i, 1) ||
+       |        CASE WHEN i = length(word) THEN '</w>' ELSE '' END), chr(1))
+       |      || chr(1) AS seq,
+       |    0 AS r
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN np <> seq THEN np ELSE seq END,
+       |    CASE WHEN np <> seq THEN r ELSE r + 1 END
+       |  FROM (
+       |    SELECT e.word, e.seq, e.r,
+       |      replace(replace(e.seq,
+       |        chr(1) || m.x || chr(1) || m.y || chr(1),
+       |        chr(1) || m.x || m.y || chr(2)), chr(2), chr(1)) AS np
+       |    FROM enc e JOIN mg m ON m.r = e.r) s),
+       |wtok AS (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(seq, chr(1)), q -> q <> ''))
+       |      AS BIGINT) AS ntk
+       |  FROM enc WHERE r = $maxRank),
+       |tn AS (
+       |  SELECT conversation_id, turn_idx, CAST(SUM(ntk) AS BIGINT) AS k
+       |  FROM tw JOIN wtok USING (word) GROUP BY 1, 2),
+       |r2 AS (
+       |  SELECT tu.conversation_id, tu.turn_idx, tu.role,
+       |    COALESCE(tn.k, 0) + 5 AS rlen
+       |  FROM tu LEFT JOIN tn USING (conversation_id, turn_idx)),
+       |conv AS (
+       |  SELECT conversation_id, CAST(SUM(rlen) AS BIGINT) AS n_tokens
+       |  FROM r2 GROUP BY conversation_id),
+       |packed AS (
+       |  SELECT conversation_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY conversation_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS g0,
+       |    SUM(n_tokens) OVER (ORDER BY conversation_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM conv),
+       |sp AS (
+       |  SELECT conversation_id, turn_idx, role, rlen,
+       |    CAST(COALESCE(SUM(rlen) OVER (PARTITION BY conversation_id
+       |      ORDER BY turn_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
+       |  FROM r2)
+       |SELECT CAST(p.conversation_id AS BIGINT) AS conversation_id,
+       |  p.n_tokens,
+       |  CAST(p.g0 // 256 AS BIGINT) AS seq_id,
+       |  (p.n_tokens > 0 AND (p.cum - 1) // 256 <> p.g0 // 256) AS is_split,
+       |  CAST(s.turn_idx AS BIGINT) AS turn_idx, s.role,
+       |  CAST(p.g0 + s.start_tok AS BIGINT) AS g_start,
+       |  CAST(p.g0 + s.start_tok + s.rlen AS BIGINT) AS g_end,
+       |  CAST(p.g0 + s.start_tok + 3 AS BIGINT) AS g_content_start,
+       |  CAST(p.g0 + s.start_tok + s.rlen - 2 AS BIGINT) AS g_content_end,
+       |  s.role = 'assistant' AS train,
+       |  TRUE AS span_text_ok
+       |FROM packed p JOIN sp s USING (conversation_id)
+       |ORDER BY p.conversation_id, s.turn_idx""".stripMargin
+  }
+
+  /** best-of-n oracle: rank + lead + min/max windows over the shared
+    * candidate construction; top-3 ranks, flat-spread prompts emit
+    * nothing, margin_next NULL for each prompt's last scored
+    * candidate. */
+  private val sftBonOracleSql: String =
+        """WITH c AS (
+      |  SELECT doc_id // 5 AS prompt_id, doc_id AS cand_id,
+      |    'Cand ' || CAST(doc_id % 5 AS VARCHAR) || ': ' ||
+      |      array_to_string(list_slice(
+      |        list_filter(string_split(text, ' '), x -> x <> ''), 1, 5),
+      |        ' ') AS t,
+      |    CAST(CASE WHEN (doc_id // 5) % 10 = 0 THEN 50
+      |         ELSE (doc_id * 37) % 100 END AS BIGINT) AS s
+      |  FROM documents),
+      |r AS (
+      |  SELECT prompt_id, cand_id, t, s,
+      |    row_number() OVER (PARTITION BY prompt_id
+      |      ORDER BY s DESC, cand_id DESC) AS rk,
+      |    lead(s) OVER (PARTITION BY prompt_id
+      |      ORDER BY s DESC, cand_id DESC) AS nxt,
+      |    min(s) OVER (PARTITION BY prompt_id) AS smin,
+      |    max(s) OVER (PARTITION BY prompt_id) AS smax,
+      |    count(*) OVER (PARTITION BY prompt_id) AS n
+      |  FROM c)
+      |SELECT CAST(prompt_id AS BIGINT) AS prompt_id,
+      |  CAST(rk AS BIGINT) AS "rank", cand_id, t AS text, s AS score,
+      |  s - nxt AS margin_next, s - smin AS margin_worst,
+      |  CAST(n AS BIGINT) AS n_candidates
+      |FROM r WHERE rk <= 3 AND smax > smin
+      |ORDER BY prompt_id, "rank"""".stripMargin
+
   /** preference-pairs oracle: argmax/argmin per prompt via rank
     * windows over the candidate construction; flat-spread prompts
     * (every tenth) filtered — they must emit nothing. */
@@ -867,6 +1054,79 @@ object SparkEntry {
       |  CAST(least(32, n - s) AS BIGINT) AS n_tok,
       |  array_to_string(tk[s+1:s+32], ' ') AS chunk_text
       |FROM keep ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** rag-pipeline oracle: the full chain replayed — 32/24 sliding
+    * chunks, the fixed-arithmetic hashed embedding (integer components,
+    * so the double cosine is bit-identical cross-engine), exact top-10
+    * with (cosine desc, neighbor) ties, the key-derived relevance
+    * grades, and the frozen-ppm nDCG table. ann_ok replays TRUE — the
+    * engine-side IVF-PQ persistence + recall gate must hold or the hash
+    * fails. */
+  private val ragPipelineOracleSql: String =
+        """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, source, CAST(j AS BIGINT) AS chunk_id,
+      |    list_transform(
+      |      tk[24*j + 1:least(24*j + 32, len(tk))], w -> lower(w)) AS ctk
+      |  FROM tk, LATERAL (SELECT unnest(range(0, ((len(tk) - 1) // 24) + 1)) AS j) r
+      |  WHERE len(tk) > 0 AND (j = 0 OR 24*j + 8 < len(tk))),
+      |emb AS (
+      |  SELECT doc_id, source, chunk_id,
+      |    doc_id * 4096 + chunk_id AS vec_id,
+      |    list_transform(range(0, 16), b ->
+      |      list_sum(list_transform(ctk, t ->
+      |        CASE WHEN (3*length(t) + 7*unicode(t)
+      |                   + 13*unicode(substring(t, length(t), 1))) % 16 = b
+      |          THEN CASE WHEN (length(t) + unicode(t)) % 2 = 0
+      |               THEN 1.0 ELSE -1.0 END
+      |          ELSE 0.0 END))) AS v
+      |  FROM ch),
+      |scored AS (
+      |  SELECT q.vec_id AS query, q.doc_id AS qdoc, q.source AS qsrc,
+      |    c.vec_id AS neighbor_id, c.doc_id AS cdoc,
+      |    c.chunk_id AS cchunk, c.source AS csrc,
+      |    list_sum(list_transform(list_zip(q.v, c.v),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+      |         * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos
+      |  FROM emb q JOIN emb c
+      |    ON NOT (c.doc_id % 25 = 7 AND c.chunk_id = 0)
+      |  WHERE q.doc_id % 25 = 7 AND q.chunk_id = 0
+      |    AND list_sum(list_transform(q.v, x -> x * x)) > 0
+      |    AND list_sum(list_transform(c.v, x -> x * x)) > 0),
+      |ranked AS (
+      |  SELECT query, rank, rel FROM (
+      |    SELECT query, neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query
+      |        ORDER BY cos DESC, neighbor_id) AS rank,
+      |      CASE WHEN qdoc = cdoc THEN
+      |             (CASE WHEN cchunk = 1 THEN 3 ELSE 2 END)
+      |           WHEN qsrc = csrc THEN 1 ELSE 0 END AS rel
+      |    FROM scored) t
+      |  WHERE rank <= 10),
+      |disc(r, d) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+      |  (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+      |  (9, 301030), (10, 289065)),
+      |ideal AS (
+      |  SELECT query, rank, rel,
+      |    ROW_NUMBER() OVER (PARTITION BY query
+      |      ORDER BY rel DESC, rank ASC) AS irank
+      |  FROM ranked),
+      |agg AS (
+      |  SELECT query, COUNT(*) AS n_ranked,
+      |    CAST(SUM(rel * ds.d) AS BIGINT) AS dcg_ppm,
+      |    CAST(SUM(rel * di.d) AS BIGINT) AS idcg_ppm
+      |  FROM ideal JOIN disc ds ON ds.r = rank JOIN disc di ON di.r = irank
+      |  GROUP BY query)
+      |SELECT query, n_ranked, dcg_ppm, idcg_ppm,
+      |  CASE WHEN idcg_ppm > 0
+      |    THEN CAST((1000000 * dcg_ppm) // idcg_ppm AS BIGINT)
+      |    ELSE NULL END AS ndcg_ppm,
+      |  TRUE AS ann_ok
+      |FROM agg ORDER BY query""".stripMargin
 
   /** sft-exact-dedup oracle: rendered conversations rebuilt in SQL and
     * grouped — min-id survivor, copy count, 256-bit fingerprint. */
@@ -1380,6 +1640,25 @@ object SparkEntry {
         .otherwise("assistant").as("role"),
       concat(lit("Turn "), pmod(col("doc_id"), lit(4)).cast("string"),
         lit(": "), words4).as("text"))
+  }
+
+  /** Preference-candidate fixture: five scored candidates per prompt
+    * (doc_id/5), candidate text from each document's first five words,
+    * score = (doc_id·37) mod 100 — except every tenth prompt, whose
+    * candidates all score a FLAT 50 (the no-signal contract probe).
+    * Shared by the pair query, its streaming twin, and the best-of-n
+    * export so all three provably rank the same candidates. */
+  private def prefCandidates(s: SparkSession, dir: String): DataFrame = {
+    val words5 = array_join(slice(filter(split(col("text"), " "),
+      w => length(w) > 0), 1, 5), " ")
+    val promptId = floor(col("doc_id") / 5).cast("long")
+    t(s, dir, "documents").select(promptId.as("prompt_id"),
+      col("doc_id").as("cand_id"),
+      concat(lit("Cand "), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(": "), words5).as("text"),
+      when(pmod(promptId, lit(10)) === 0, lit(50L))
+        .otherwise(pmod(col("doc_id") * 37, lit(100)))
+        .cast("long").as("score"))
   }
 
   /** The q_sft_assemble computation (turns → per-turn span rows) as a
@@ -2149,6 +2428,21 @@ object SparkEntry {
       htmlInterleavedRows(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("pos"))),
 
+    // INTERLEAVED MULTIMODAL PACKING — the MMC4/OBELICS trainer step the
+    // interleaved extraction feeds: each image slot costs a constant 64
+    // placeholder tokens (the vision encoder's patch budget), each text
+    // run its whitespace token count; documents pack contiguously into
+    // capacity-512 sequences via the distributed prefix sum, every item
+    // landing at its GLOBAL token offset, with is_split flagging
+    // boundary-crossing documents. The oracle replays the fixture items,
+    // the cost rule, and both prefix-sum layers.
+    "q_interleaved_pack" -> ((s, dir) =>
+      operators.Packing.packInterleaved(
+          htmlInterleavedRows(t(s, dir, "documents")),
+          "doc_id", "pos", "kind", "text", imageBudget = 64L,
+          capacity = 512L)
+        .orderBy(col("doc_id"), col("pos"))),
+
     // STREAMING twin of the interleaved extraction — per-row
     // projection, so stream ≡ batch VERBATIM and it shares
     // q_interleaved_docs' oracle.
@@ -2207,28 +2501,89 @@ object SparkEntry {
         .orderBy(col("conversation_id"), col("turn_idx"))
     }),
 
+    // TOKEN-EXACT SFT packing — the masks land in the space a trainer
+    // actually consumes: frozen-BPE token counts (computed per TURN ROW
+    // before the conversation shuffle) drive the ChatML span layout
+    // ([im_start][role][nl][content…][im_end][nl]) and the capacity-256
+    // packing division. The oracle replays the recursive-CTE BPE
+    // fixpoint over the turn texts composed with the q_sft_pack prefix
+    // sums. span_text_ok is the cross-path identity gate: the packed
+    // content span's TOKEN width must equal an independent
+    // re-tokenization of the CHAR-space assembly's content substring,
+    // and that substring's detokenized tokens must equal its cleaned
+    // words — tying token masks, char masks, and the tokenizer
+    // round-trip together; one false anywhere fails the hash.
+    "q_sft_pack_tokens" -> ((s, dir) => {
+      val turns = sftAssembleTurns(s, dir)
+      val merges = operators.BpeTokenizer.frozenMerges
+      val packed = operators.Sft.packTokensWithMasks(
+        operators.Sft.assembleTokenSpans(turns, "conv_id", "turn_idx",
+          "role", "text", merges), capacity = 256L)
+      val spanText = operators.Sft.assemble(turns, "conv_id", "turn_idx",
+          "role", "text")
+        .select(col("conversation_id"), col("rendered"),
+          explode(col("spans")).as("sp"))
+        .select(col("conversation_id"), col("sp.turn_idx").as("turn_idx"),
+          col("rendered").substr(
+            (col("sp.content_start") + 1L).cast("int"),
+            (col("sp.content_end") - col("sp.content_start")).cast("int"))
+            .as("__span_text"))
+      packed.join(spanText, Seq("conversation_id", "turn_idx"))
+        .withColumn("__toks",
+          operators.BpeTokenizer.tokensColumn(merges, col("__span_text")))
+        .select(col("conversation_id"), col("n_tokens"), col("seq_id"),
+          col("is_split"), col("turn_idx"), col("role"), col("g_start"),
+          col("g_end"), col("g_content_start"), col("g_content_end"),
+          col("train"),
+          ((col("g_content_end") - col("g_content_start")) ===
+            size(col("__toks")).cast("long") &&
+            trim(replace(concat_ws("", col("__toks")),
+              lit(operators.BpeTokenizer.EndOfWord), lit(" "))) ===
+              concat_ws(" ", operators.Dedup.cleanTokens(col("__span_text"))))
+            .as("span_text_ok"))
+        .orderBy(col("conversation_id"), col("turn_idx"))
+    }),
+
     // PREFERENCE PAIRS (DPO/RLHF prep): five scored candidates per
     // prompt collapse to one (chosen, rejected) row via struct min/max
     // in a single aggregate — and every tenth prompt carries a FLAT
     // score spread and must emit nothing (a no-signal pair would poison
     // a DPO loss silently). The oracle replays the argmax/argmin with
     // rank windows and the spread filter.
-    "q_pref_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val words5 = array_join(slice(filter(split(col("text"), " "),
-        w => length(w) > 0), 1, 5), " ")
-      val promptId = floor(col("doc_id") / 5).cast("long")
-      val cands = docs.select(promptId.as("prompt_id"),
-        col("doc_id").as("cand_id"),
-        concat(lit("Cand "), pmod(col("doc_id"), lit(5)).cast("string"),
-          lit(": "), words5).as("text"),
-        when(pmod(promptId, lit(10)) === 0, lit(50L))
-          .otherwise(pmod(col("doc_id") * 37, lit(100)))
-          .cast("long").as("score"))
-      operators.Sft.preferencePairs(cands, "prompt_id", "cand_id",
-          "text", "score")
+    "q_pref_pairs" -> ((s, dir) =>
+      operators.Sft.preferencePairs(prefCandidates(s, dir), "prompt_id",
+          "cand_id", "text", "score")
+        .orderBy(col("prompt_id"))),
+
+    // STREAMING twin of the preference pairs — candidates arrive in
+    // micro-batches RANGE-partitioned on the prompt key, so every
+    // prompt's candidate set lands whole in one batch and the per-batch
+    // struct-min/max aggregate unions to the global result exactly
+    // (runStreamGroupedBounded's batch-id contract check fails loudly
+    // otherwise). Shares q_pref_pairs' oracle verbatim.
+    "q_stream_pref_pairs" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_pref_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pref_src_${runTag(dir)}"
+      prefCandidates(s, dir).repartitionByRange(4, col("prompt_id"))
+        .write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamGroupedBounded(s, src,
+          batch => operators.Sft.preferencePairs(batch, "prompt_id",
+            "cand_id", "text", "score"), Seq("prompt_id"))
         .orderBy(col("prompt_id"))
     }),
+
+    // BEST-OF-N ranking export (reward-model / rejection-sampling prep):
+    // the same scored candidates widen from one (chosen, rejected) pair
+    // to the top-3 ranked rows per prompt with reward margins — rank 1
+    // provably equals q_pref_pairs' chosen (same (score, id) order), and
+    // the flat-spread / null-score contracts carry over. One partitioned
+    // rank window; the oracle replays rank + lead + min/max windows.
+    "q_sft_bon" -> ((s, dir) =>
+      operators.Sft.bestOfN(prefCandidates(s, dir), "prompt_id",
+          "cand_id", "text", "score", k = 3)
+        .orderBy(col("prompt_id"), col("rank"))),
 
     // SFT DECONTAMINATION — the benchmark-leak gate applied to
     // post-training data: each conversation's concatenated ASSISTANT
@@ -2299,12 +2654,92 @@ object SparkEntry {
     // (8-token overlap), tail kept as a shorter final chunk, redundant
     // trailing windows skipped — the embedding-prep layout. Original
     // case preserved (chunks get quoted back to users). Per-row
-    // higher-order array ops, zero shuffle.
-    "q_text_chunks" -> ((s, dir) =>
+    // higher-order array ops, zero shuffle. (Round-17 rename: this
+    // entry used to collide with the chars-based q_text_chunks under
+    // ONE duplicated map key, which silently shadowed it out of the
+    // whole correctness sweep — Scala Map literals keep the last
+    // binding. The names are now distinct and both queries run.)
+    "q_rag_chunks" -> ((s, dir) =>
       operators.TextExtract.slidingChunks(
           t(s, dir, "documents").select(col("doc_id"), col("text")),
           "doc_id", "text", chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // RAG RETRIEVAL CAPSTONE — the front's pieces chained end-to-end the
+    // way q_crawl_pipeline caps the crawl: sliding-window chunks (32/8)
+    // → fixed-arithmetic hashed-feature embeddings (dim 16, integer
+    // components — SQL-replayable by construction) → EXACT cosine top-10
+    // per query chunk (docs %25==7, chunk 0) → graded relevance
+    // (same doc: adjacent 3 / other 2; same source 1) → frozen-ppm
+    // nDCG@10. The DuckDB oracle replays that whole chain
+    // value-for-value. ann_ok folds the SERVING path in: an IVF-PQ index
+    // trained on the same chunk embeddings, PERSISTED AND RELOADED, must
+    // return 10 results per query with mean recall@10 vs the exact
+    // ranking above the spec floor — at 100 TB the brute force is the
+    // eval-scale baseline and the cell-pruned two-stage path serves.
+    "q_rag_pipeline" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_rag_model_"))
+      val modelPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_rag_model_${runTag(dir)}"
+      val docs = t(s, dir, "documents")
+      // chunk keys pack (doc, chunk) into one numeric total order; the
+      // fixture corpus tops out far below 4096 chunks per document
+      val emb = operators.TextExtract.slidingChunks(
+          docs.select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkSize = 32, overlap = 8)
+        .select((col("doc_id") * 4096L + col("chunk_id")).as("vec_id"),
+          col("doc_id"), col("chunk_id"),
+          operators.Similarity.hashedEmbedding(col("chunk_text"), 16)
+            .as("embedding"))
+        .localCheckpoint() // five consumers: exact, 2×train, index, rerank
+      val isQ = pmod(col("doc_id"), lit(25)) === 7 && col("chunk_id") === 0L
+      val queries = emb.filter(isQ)
+      val corpus = emb.filter(!isQ)
+      val exact = operators.Similarity.cosineTopK(queries, corpus, k = 10)
+        .localCheckpoint() // feeds ndcg and the recall gate
+      val srcs = docs.select(col("doc_id"), col("source"))
+      val ranked = exact
+        .withColumn("qdoc", expr("query_id div 4096"))
+        .withColumn("cdoc", expr("neighbor_id div 4096"))
+        .withColumn("cchunk", pmod(col("neighbor_id"), lit(4096L)))
+        .join(broadcast(srcs.select(col("doc_id").as("qdoc"),
+          col("source").as("qsrc"))), Seq("qdoc"))
+        .join(broadcast(srcs.select(col("doc_id").as("cdoc"),
+          col("source").as("csrc"))), Seq("cdoc"))
+        .withColumn("rel",
+          when(col("qdoc") === col("cdoc"),
+            when(col("cchunk") === 1L, lit(3L)).otherwise(lit(2L)))
+            .when(col("qsrc") === col("csrc"), lit(1L)).otherwise(lit(0L)))
+        .select(col("query_id").as("query"), col("rank"), col("rel"))
+      val ndcg = operators.Eval.ndcgAtK(ranked, "query", "rank", "rel",
+        k = 10)
+      // serving path: train → persist → reload → retrieve → recall gate
+      val ivf = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+      val pq = operators.ProductQuantize.train(emb, "vec_id", "embedding",
+        m = 4, k = 16)
+      operators.IvfPq.saveModels(s, modelPath, ivf, pq)
+      val (livf, lpq) = operators.IvfPq.loadModels(s, modelPath)
+      val ann = operators.IvfPq.topK(queries, corpus, livf, lpq, k = 10,
+        nprobe = 4, shortlist = 32).localCheckpoint()
+      val annCnt = ann.groupBy(col("query_id")).agg(count(lit(1)).as("__n"))
+      val meanOk = exact.select(col("query_id"), col("neighbor_id"))
+        .join(ann.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") /
+          count(lit(1)).cast("double")).as("__recall"))
+        .agg(avg(col("__recall")).as("__m"))
+        .select((col("__m") >= lit(0.5)).as("__mean_ok"))
+      ndcg.join(annCnt.withColumnRenamed("query_id", "query"),
+          Seq("query"), "left")
+        .crossJoin(broadcast(meanOk)) // one-row total, the sanctioned shape
+        .select(col("query"), col("n_ranked"), col("dcg_ppm"),
+          col("idcg_ppm"), col("ndcg_ppm"),
+          (coalesce(col("__n"), lit(0L)) === 10L && col("__mean_ok"))
+            .as("ann_ok"))
+        .orderBy(col("query"))
+    }),
 
     // CONVERSATION-level EXACT dedup: the fixture mints one canonical
     // conversation per group of three (group-keyed token text, one
@@ -9844,17 +10279,22 @@ object SparkEntry {
     "q_sft_assemble" -> sftAssembleOracleSql,
     "q_stream_sft" -> sftAssembleOracleSql,
     "q_sft_pack" -> sftPackOracleSql,
+    "q_sft_pack_tokens" -> sftPackTokensOracleSql,
+    "q_stream_pref_pairs" -> prefPairsOracleSql,
+    "q_sft_bon" -> sftBonOracleSql,
     "q_sft_dedup" -> sftDedupOracleSql,
     "q_pref_pairs" -> prefPairsOracleSql,
     "q_sft_decontam" -> sftDecontamOracleSql,
     "q_image_strip_meta" -> imageStripMetaOracleSql,
-    "q_text_chunks" -> textChunksOracleSql,
+    "q_rag_chunks" -> textChunksOracleSql,
+    "q_rag_pipeline" -> ragPipelineOracleSql,
     "q_sft_dedup_fuzzy" -> sftDedupFuzzyOracleSql,
     "q_image_text_pairs" -> htmlImagePairsOracleSql,
     "q_stream_images" -> htmlImagePairsOracleSql,
     "q_image_pair_quality" -> imagePairQualityOracleSql,
     "q_stream_markdown" -> htmlMarkdownOracleSql,
     "q_interleaved_docs" -> interleavedDocsOracleSql,
+    "q_interleaved_pack" -> interleavedPackOracleSql,
     "q_stream_interleaved" -> interleavedDocsOracleSql,
 
     // html-markdown oracle (shared with the streaming twin): the

@@ -85,6 +85,59 @@ object Packing {
       .withColumn("waste", (col("batch_max") - col(tokenCol)).cast("long"))
   }
 
+  /** Interleaved multimodal packing (the MMC4/OBELICS trainer shape):
+    * position-keyed image/text items — [[graft.expr.HtmlOps.interleaved]]
+    * output — pack into fixed-capacity sequences where each IMAGE
+    * contributes a constant `imageBudget` of placeholder tokens (the
+    * patch-embedding slots a vision encoder will fill) and each TEXT run
+    * contributes its whitespace token count. Documents stay contiguous:
+    * per document one combining aggregate collects the (pos, kind, cost)
+    * items, in-array prefix sums place every item inside the document,
+    * the distributed prefix sum places documents in the global stream,
+    * and one explode emits per-item rows with GLOBAL token offsets —
+    * `seq_id` = the sequence the document STARTS in, `is_split` = it
+    * crosses a capacity cut (a non-splitting loader re-pads exactly
+    * these). Same one-shuffle shape as SFT packing; `docCol` must be a
+    * unique NUMERIC document key (the [[PrefixSum]] contract).
+    *
+    * Output: (doc_id, n_items, n_tokens, seq_id, is_split, pos, kind,
+    * n_tok, g_start, g_end). */
+  def packInterleaved(items: DataFrame, docCol: String, posCol: String,
+                      kindCol: String, textCol: String,
+                      imageBudget: Long, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(imageBudget > 0, "imageBudget must be positive")
+    val cost = when(col(kindCol) === "image", lit(imageBudget))
+      .otherwise(size(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
+        t => t =!= "")).cast("long"))
+    val sorted = array_sort(collect_list(struct(
+      col(posCol).cast("long").as("pos"), col(kindCol).as("kind"),
+      cost.as("cost"))))
+    val perDoc = items.groupBy(col(docCol).as("doc_id"))
+      .agg(sorted.as("its"))
+      .withColumn("__lens", transform(col("its"), t => t.getField("cost")))
+      .withColumn("n_items", size(col("its")).cast("long"))
+      .withColumn("n_tokens",
+        aggregate(col("__lens"), lit(0L), (a, x) => a + x))
+    val cum = PrefixSum.withPrefixSum(perDoc, "doc_id", "n_tokens",
+      out = "__cum")
+    cum.withColumn("__g0", col("__cum") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"__g0 div ${capacity}L"))
+      .withColumn("is_split", col("n_tokens") > 0 &&
+        expr(s"(__cum - 1) div ${capacity}L") =!= col("seq_id"))
+      .withColumn("sp", explode(transform(col("its"), (t, i) => {
+        val start = aggregate(slice(col("__lens"), lit(1), i),
+          lit(0L), (a, x) => a + x)
+        struct(t.getField("pos").as("pos"), t.getField("kind").as("kind"),
+          t.getField("cost").as("n_tok"), start.as("start"))
+      })))
+      .select(col("doc_id"), col("n_items"), col("n_tokens"), col("seq_id"),
+        col("is_split"), col("sp.pos").as("pos"), col("sp.kind").as("kind"),
+        col("sp.n_tok").as("n_tok"),
+        (col("__g0") + col("sp.start")).as("g_start"),
+        (col("__g0") + col("sp.start") + col("sp.n_tok")).as("g_end"))
+  }
+
   def packingStats(df: DataFrame, idCol: String, tokenCol: String,
                    capacity: Long): DataFrame =
     packSequences(df, idCol, tokenCol, capacity)

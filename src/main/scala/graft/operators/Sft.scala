@@ -83,6 +83,127 @@ object Sft {
       .drop("__lens")
   }
 
+  /** ChatML token-accounting constants for [[assembleTokenSpans]]:
+    * special tokens never merge with content (true of every real BPE —
+    * specials are added AFTER training and bypass the merge table), so
+    * a turn's token layout is
+    * `[<|im_start|>][role]["\n"][content tokens…][<|im_end|>]["\n"]` —
+    * 3 prefix + 2 suffix overhead tokens around the content span.
+    * FROZEN like the char template: span offsets derive from these, and
+    * a drifting constant corrupts every stored token mask. */
+  val TurnPrefixTokens = 3L
+  val TurnSuffixTokens = 2L
+  val TurnOverheadTokens: Long = TurnPrefixTokens + TurnSuffixTokens
+
+  /** Token-space assembly — [[assemble]]'s spans re-based from chars to
+    * TOKENS under a frozen BPE merge table, the units a trainer's loss
+    * mask actually uses: per turn the token interval
+    * [start_tok, end_tok) of its rendered form and the
+    * [content_start, content_end) sub-interval covering the turn TEXT's
+    * BPE tokens alone (scaffolding tokens — the
+    * [[TurnPrefixTokens]]/[[TurnSuffixTokens]] ChatML specials — are
+    * never trained on). Same one-shuffle shape as [[assemble]]: token
+    * counts are computed per TURN ROW before the conversation-keyed
+    * aggregate, so only (idx, role, count) structs cross the exchange —
+    * no text and no token streams. Output: (conversation_id, n_turns,
+    * n_tokens, spans). */
+  def assembleTokenSpans(turns: DataFrame, convCol: String, idxCol: String,
+                         roleCol: String, textCol: String,
+                         merges: Seq[(String, String)],
+                         trainRole: String = "assistant"): DataFrame = {
+    // null text reads as "" (zero content tokens, overhead still counts)
+    // for the same offset-integrity reason assemble() coalesces
+    val nTok = size(BpeTokenizer.tokensColumn(merges,
+      coalesce(col(textCol), lit("")))).cast("long")
+    val turnRows = turns.select(col(convCol).as("conversation_id"),
+      col(idxCol).cast("long").as("turn_idx"),
+      coalesce(col(roleCol), lit("")).as("role"),
+      nTok.as("n_tok"))
+    val sortedTurns = array_sort(collect_list(struct(
+      col("turn_idx"), col("role"), col("n_tok"))))
+    turnRows.groupBy(col("conversation_id"))
+      .agg(sortedTurns.as("turns"))
+      .withColumn("__lens", transform(col("turns"),
+        t => t.getField("n_tok") + lit(TurnOverheadTokens)))
+      .withColumn("n_turns", size(col("turns")).cast("long"))
+      .withColumn("n_tokens",
+        aggregate(col("__lens"), lit(0L), (a, x) => a + x))
+      .withColumn("spans", transform(col("turns"), (t, i) => {
+        val start = aggregate(slice(col("__lens"), lit(1), i),
+          lit(0L), (a, x) => a + x)
+        val end = start + get(col("__lens"), i)
+        struct(t.getField("turn_idx").as("turn_idx"),
+          t.getField("role").as("role"),
+          start.as("start_tok"), end.as("end_tok"),
+          (start + lit(TurnPrefixTokens)).as("content_start"),
+          (end - lit(TurnSuffixTokens)).as("content_end"),
+          (t.getField("role") === lit(trainRole)).as("train"))
+      }))
+      .drop("__lens")
+  }
+
+  /** Pack [[assembleTokenSpans]] output into fixed TOKEN-capacity
+    * training sequences — [[packWithMasks]]'s arithmetic with token
+    * counts driving capacity and offsets, so the emitted masks are in
+    * the space a trainer consumes. Same scale shape: distributed prefix
+    * sum on the (numeric) conversation key, per-row division, one
+    * explode. */
+  def packTokensWithMasks(assembled: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val cum = PrefixSum.withPrefixSum(
+      assembled.select(col("conversation_id"), col("n_tokens"), col("spans")),
+      "conversation_id", "n_tokens", out = "__cum")
+    cum.withColumn("__g0", col("__cum") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"__g0 div ${capacity}L"))
+      .withColumn("is_split", col("n_tokens") > 0 &&
+        expr(s"(__cum - 1) div ${capacity}L") =!= col("seq_id"))
+      .select(col("conversation_id"), col("n_tokens"), col("seq_id"),
+        col("is_split"), col("__g0"), explode(col("spans")).as("sp"))
+      .select(col("conversation_id"), col("n_tokens"), col("seq_id"),
+        col("is_split"),
+        col("sp.turn_idx").as("turn_idx"), col("sp.role").as("role"),
+        (col("__g0") + col("sp.start_tok")).as("g_start"),
+        (col("__g0") + col("sp.end_tok")).as("g_end"),
+        (col("__g0") + col("sp.content_start")).as("g_content_start"),
+        (col("__g0") + col("sp.content_end")).as("g_content_end"),
+        col("sp.train").as("train"))
+  }
+
+  /** Best-of-n / rejection-sampling prep — the n-way ranking export a
+    * reward-model trainer consumes, widening [[preferencePairs]]' single
+    * (max, min) pair: per prompt the top `k` SCORED candidates ranked by
+    * (score, candidate_id) descending — rank 1 is exactly the
+    * preferencePairs CHOSEN — each with its reward margins:
+    * `margin_next` = score − the NEXT-ranked scored candidate's score
+    * (emitted or not; NULL only for the prompt's last scored candidate)
+    * and `margin_worst` = score − the prompt's min score. Contracts
+    * carried over: unscored (null-score) candidates drop up front;
+    * flat-spread prompts (max == min) emit NOTHING — a ranking with no
+    * signal trains nothing. One rank window PARTITIONED BY the prompt
+    * key (never a global window) sharing its shuffle with the per-prompt
+    * min/count window aggregates. */
+  def bestOfN(cands: DataFrame, promptCol: String, candIdCol: String,
+              textCol: String, scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"bestOfN: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val byPrompt = Window.partitionBy(col(promptCol))
+    val ranked = Window.partitionBy(col(promptCol))
+      .orderBy(col(scoreCol).desc, col(candIdCol).desc)
+    cands.filter(col(scoreCol).isNotNull)
+      .withColumn("rank", row_number().over(ranked).cast("long"))
+      .withColumn("__next", lead(col(scoreCol), 1).over(ranked))
+      .withColumn("__min", min(col(scoreCol)).over(byPrompt))
+      .withColumn("__max", max(col(scoreCol)).over(byPrompt))
+      .withColumn("n_candidates", count(lit(1)).over(byPrompt))
+      .filter(col("rank") <= k && col("__max") > col("__min"))
+      .select(col(promptCol).as("prompt_id"), col("rank"),
+        col(candIdCol).as("cand_id"), col(textCol).as("text"),
+        col(scoreCol).as("score"),
+        (col(scoreCol) - col("__next")).as("margin_next"),
+        (col(scoreCol) - col("__min")).as("margin_worst"),
+        col("n_candidates"))
+  }
+
   /** Conversation-level EXACT dedup over any conversation-text column:
     * group on the 256-bit content hash (key-only shuffle — rendered
     * text never crosses an exchange, the lineDedup discipline), keep
@@ -103,7 +224,13 @@ object Sft {
     * Capacity counts CHARS of the rendered template (swap a fitted
     * tokenizer's count upstream for token-exact packing — the
     * arithmetic is identical). Distributed prefix sum, no global
-    * window; one explode after the per-row math. */
+    * window; one explode after the per-row math.
+    *
+    * `conversation_id` must be NUMERIC (the packing order runs through
+    * [[PrefixSum.withPrefixSum]], whose range bucketing is
+    * approxQuantile-based) — string ids (UUIDs) must be hashed or
+    * zipped to a numeric key upstream; the prefix sum rejects them
+    * loudly otherwise. */
   def packWithMasks(assembled: DataFrame, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val withLen = assembled.select(col("conversation_id"),

@@ -56,6 +56,38 @@ object Similarity {
       .select(outCols: _*)
   }
 
+  /** Hashed-feature text embedding ("hashing trick", Weinberger et al.
+    * ICML'09): tokens (lower/trim/whitespace — the [[Dedup.cleanTokens]]
+    * rule) hash into `dim` signed buckets by a FIXED arithmetic formula
+    * over (length, first/last code point), giving every engine the same
+    * vector with no model to ship — bucket
+    * `(3·len + 7·cp_first + 13·cp_last) mod dim`, sign
+    * `(len + cp_first) mod 2`. Components are small integers (exact in
+    * float), so cosine over these vectors is bit-replayable in SQL —
+    * what makes the RAG capstone hash-oracle-able end-to-end. Per-row
+    * HOF arithmetic, zero shuffle; the per-token (bucket, sign) pairs
+    * feed ONE aggregate pass whose state is the accumulating vector, so
+    * token hashing is evaluated once per row — not once per dimension
+    * (the bigramLogProb O(n²) re-evaluation trap). Spark's `ascii` and
+    * DuckDB's `unicode` both return the first code point (identical on
+    * any input; the test corpus is ASCII-pinned). */
+  def hashedEmbedding(text: Column, dim: Int): Column = {
+    require(dim > 0, s"hashedEmbedding: dim must be positive, got $dim")
+    val pairs = transform(Dedup.cleanTokens(text), t => {
+      val cpFirst = ascii(t).cast("long")
+      val cpLast = ascii(t.substr(length(t), lit(1))).cast("long")
+      val len = length(t).cast("long")
+      struct(
+        pmod(lit(3L) * len + lit(7L) * cpFirst + lit(13L) * cpLast,
+          lit(dim.toLong)).cast("int").as("b"),
+        when(pmod(len + cpFirst, lit(2L)) === 0L, lit(1.0))
+          .otherwise(lit(-1.0)).as("s"))
+    })
+    aggregate(pairs, array_repeat(lit(0.0), lit(dim)),
+      (acc, p) => transform(acc, (v, i) =>
+        v + when(p.getField("b") === i, p.getField("s")).otherwise(0.0)))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, rank, neighbor_id, cosine) — cosine rounded to 6dp
     * so double-summation-order differences vs other engines can't flip a

@@ -129,7 +129,13 @@ object PlanAudit {
     // exact-search pattern feeding the metric; the rank-metric sibling
     // shares that cross and adds the 10-row label-histogram theta join
     // for the corpus-side relevant totals
-    "q_eval_ndcg", "q_eval_rankmetrics", "q_eval_map")
+    "q_eval_ndcg", "q_eval_rankmetrics", "q_eval_map",
+    // the RAG capstone inherits BOTH sanctioned cross shapes: the
+    // bounded query-chunk frame broadcast into the chunk corpus (exact
+    // baseline + the IVF-PQ probe stage, the q_sim_topk / q_sim_topk_pq
+    // patterns) and the ONE-ROW mean-recall gate crossed into the
+    // per-query nDCG frame
+    "q_rag_pipeline")
 
   /** Queries whose CONSTRUCTION executes jobs (training collects,
     * iterative loops, scratch writes, streaming micro-batches) — a
@@ -181,5 +187,9 @@ object PlanAudit {
     // round-14 folds that localCheckpoint their estimate/fingerprint
     // frame at construction (a build-time plan read would see only the
     // post-checkpoint stub)
-    "q_quantile_native", "q_source_overlap_est")
+    "q_quantile_native", "q_source_overlap_est",
+    // round-17: the preference-pair streaming twin runs micro-batches at
+    // build; the RAG capstone trains/persists/reloads IVF-PQ models and
+    // localCheckpoints its chunk-embedding and retrieval frames
+    "q_stream_pref_pairs", "q_rag_pipeline")
 }

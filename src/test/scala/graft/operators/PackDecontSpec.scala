@@ -67,6 +67,33 @@ class PackDecontSpec extends graft.SparkSpec {
       (4L, 1L, false), (5L, 1L, true)))
   }
 
+  test("packInterleaved: image budget, item offsets, doc split flags") {
+    import spark.implicits._
+    val items = Seq(
+      // doc 1: text(3 tok) image text(2 tok) — 3 + 8 + 2 = 13 tokens
+      (1L, 0L, "text", "one two three"),
+      (1L, 1L, "image", null: String),
+      (1L, 2L, "text", "four five"),
+      // doc 2: image only — 8 tokens, starts at 13, crosses cap 16
+      (2L, 0L, "image", null: String),
+      // doc 3: empty text item — 0 tokens, never splits
+      (3L, 0L, "text", "   "))
+      .toDF("doc_id", "pos", "kind", "text")
+    val out = Packing.packInterleaved(items, "doc_id", "pos", "kind",
+        "text", imageBudget = 8L, capacity = 16L)
+      .orderBy("doc_id", "pos")
+      .select("doc_id", "n_items", "n_tokens", "seq_id", "is_split",
+        "pos", "kind", "n_tok", "g_start", "g_end")
+      .as[(Long, Long, Long, Long, Boolean, Long, String, Long, Long, Long)]
+      .collect()
+    assert(out.toSeq === Seq(
+      (1L, 3L, 13L, 0L, false, 0L, "text", 3L, 0L, 3L),
+      (1L, 3L, 13L, 0L, false, 1L, "image", 8L, 3L, 11L),
+      (1L, 3L, 13L, 0L, false, 2L, "text", 2L, 11L, 13L),
+      (2L, 1L, 8L, 0L, true, 0L, "image", 8L, 13L, 21L),
+      (3L, 1L, 0L, 1L, false, 0L, "text", 0L, 21L, 21L)))
+  }
+
   test("length-bucketed batches: dense chops, waste vs own batch max, length-monotone buckets") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, 10L + i * 3)).toDF("doc_id", "n_tok")

@@ -110,6 +110,123 @@ class SftSpec extends SparkSpec {
     assert(spans(2)._3 === spans(1)._4) // turn 2 starts where turn 1 ends
   }
 
+  test("assembleTokenSpans: ChatML token layout from frozen-BPE counts") {
+    val merges = BpeTokenizer.frozenMerges
+    val ranks = merges.zipWithIndex.toMap
+    // independent per-turn expected counts: driver-side encodeWord over
+    // the cleaned (lower/split) words — the same pure function the UDF
+    // broadcasts, applied outside Spark
+    def nTok(text: String): Long =
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => BpeTokenizer.encodeWord(w, ranks).length.toLong).sum
+    val got = Sft.assembleTokenSpans(turns, "conv", "idx", "role", "text",
+        merges)
+      .orderBy("conversation_id")
+    val conv1 = got.filter($"conversation_id" === 1L)
+      .select(explode($"spans").as("sp"), $"n_tokens", $"n_turns")
+    val spans = conv1.select("sp.*")
+      .as[(Long, String, Long, Long, Long, Long, Boolean)].collect()
+    val texts = Seq("Hello", "Hi there.", "Bye") // index order
+    var cursor = 0L
+    texts.zipWithIndex.foreach { case (txt, i) =>
+      val k = nTok(txt)
+      val (idx, role, st, en, cs, ce, train) = spans(i)
+      assert(idx === i.toLong)
+      assert(st === cursor, s"turn $i start")
+      assert(en === cursor + k + Sft.TurnOverheadTokens, s"turn $i end")
+      assert(cs === st + Sft.TurnPrefixTokens)
+      assert(ce === en - Sft.TurnSuffixTokens)
+      assert(ce - cs === k, s"turn $i content width == token count")
+      assert(train === (role == "assistant"))
+      cursor = en
+    }
+    val (nTokens, nTurns) = conv1.select("n_tokens", "n_turns")
+      .as[(Long, Long)].head()
+    assert(nTokens === cursor && nTurns === 3L)
+  }
+
+  test("packTokensWithMasks: capacity division, split flags, global offsets") {
+    val merges = BpeTokenizer.frozenMerges
+    val assembled = Sft.assembleTokenSpans(turns, "conv", "idx", "role",
+      "text", merges)
+    val lens = assembled.orderBy("conversation_id")
+      .select("conversation_id", "n_tokens").as[(Long, Long)].collect()
+    // capacity chosen to FORCE a split: conv 1 alone exceeds it
+    val cap = lens(0)._2 - 1
+    val got = Sft.packTokensWithMasks(assembled, cap)
+      .orderBy("conversation_id", "turn_idx")
+      .select("conversation_id", "seq_id", "is_split", "g_start", "g_end")
+      .as[(Long, Long, Boolean, Long, Long)].collect()
+    // conv 1 starts the stream at 0 → seq 0, split (crosses cap)
+    assert(got.filter(_._1 == 1L).forall(r => r._2 == 0L && r._3))
+    // conv 2 starts at conv 1's total
+    val c2 = got.filter(_._1 == 2L)
+    assert(c2.head._4 === lens(0)._2)
+    assert(c2.head._2 === lens(0)._2 / cap)
+    // global spans tile the stream: widths sum to total tokens
+    assert(got.map(r => r._5 - r._4).sum === lens.map(_._2).sum)
+  }
+
+  test("bestOfN: ranks, margins, flat/null contracts, pair agreement") {
+    val cands = Seq(
+      (1L, 10L, "weak", Some(2L)), (1L, 11L, "strong", Some(9L)),
+      (1L, 12L, "mid", Some(5L)), (1L, 13L, "unscored", None),
+      // prompt 2: top tie — larger cand_id ranks first (pair tie-break)
+      (2L, 20L, "a", Some(7L)), (2L, 21L, "b", Some(7L)),
+      (2L, 22L, "c", Some(1L)),
+      // prompt 3: flat spread — emits nothing
+      (3L, 30L, "x", Some(4L)), (3L, 31L, "y", Some(4L)))
+      .toDF("prompt_id", "cand_id", "text", "score")
+    val got = Sft.bestOfN(cands, "prompt_id", "cand_id", "text", "score",
+        k = 2)
+      .select("prompt_id", "rank", "cand_id", "score", "margin_next",
+        "margin_worst", "n_candidates")
+      .as[(Long, Long, Long, Long, Option[Long], Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 11L, 9L, Some(4L), 7L, 3L), // unscored dropped: n = 3
+      (1L, 2L, 12L, 5L, Some(3L), 3L, 3L),
+      (2L, 1L, 21L, 7L, Some(0L), 6L, 3L),
+      (2L, 2L, 20L, 7L, Some(6L), 6L, 3L)))
+    // rank 1 must equal preferencePairs' chosen on every emitted prompt
+    val chosen = Sft.preferencePairs(cands, "prompt_id", "cand_id", "text",
+        "score")
+      .select("prompt_id", "chosen_id").as[(Long, Long)].collect().toSet
+    assert(got.filter(_._2 == 1L).map(r => (r._1, r._3)).toSet === chosen)
+    // k past the candidate count: margin_next NULL on the last candidate
+    val deep = Sft.bestOfN(cands.filter($"prompt_id" === 1L), "prompt_id",
+        "cand_id", "text", "score", k = 10)
+      .orderBy("rank")
+      .select("rank", "margin_next").as[(Long, Option[Long])].collect()
+    assert(deep.length === 3 && deep.last._2.isEmpty)
+  }
+
+  test("hashedEmbedding: fixed arithmetic buckets/signs, case-folded, empty→zero") {
+    // independent driver-side replay of the documented formula
+    def expected(text: String, dim: Int): Seq[Double] = {
+      val v = Array.fill(dim)(0.0)
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val b = ((3L * t.length + 7L * t.head.toLong +
+          13L * t.last.toLong) % dim).toInt
+        v(b) += (if ((t.length + t.head.toLong) % 2 == 0) 1.0 else -1.0)
+      }
+      v.toSeq
+    }
+    val df = Seq("The quick brown fox", "aa AA aa", "  ", "x")
+      .toDF("text")
+      .select(col("text"),
+        Similarity.hashedEmbedding(col("text"), 16).as("v"))
+    val got = df.select("text", "v").as[(String, Seq[Double])].collect()
+    got.foreach { case (text, v) =>
+      assert(v === expected(text, 16), s"text=<$text>")
+    }
+    // case variants collide (cleanTokens lowers): three copies of "aa"
+    // land in ONE bucket with sign −1 ((2 + 97) % 2 == 1)
+    val vs = got.toMap
+    assert(vs("aa AA aa")(vs("aa AA aa").indexWhere(_ != 0.0)) === -3.0)
+    assert(vs("  ").forall(_ === 0.0))
+  }
+
   test("normalizedConvText: index order, lowercase, template excluded") {
     val got = Sft.normalizedConvText(turns, "conv", "idx", "text")
       .orderBy("conversation_id")
