@@ -201,23 +201,39 @@ object HtmlOps {
     else { out.append(decoded); semi + 1 }
   }
 
-  /** Parse + segment + classify. Null html → empty seq. */
-  def blocks(html: String, minLen: Int, maxLinkDensity: Double): IndexedSeq[Block] = {
-    if (html == null) return Vector.empty
+  /** Per-extractor event sink for [[scanTags]] — the ONE tag-walk
+    * skeleton all nine extractors share (blocks, tableCells, links,
+    * head, alternates, og, images, interleaved, markdown). Before
+    * round 17 each extractor carried its own copy of the comment /
+    * doctype / skip-subtree / name-parse walk, and the copies diverged
+    * (the round-16 figcaption block-tag bug hit exactly one copy);
+    * now divergence is structurally impossible — an extractor owns only
+    * its own state machine. */
+  private abstract class TagVisitor {
+    /** Tag event (comments, doctype/PI, and script/style/noscript/
+      * template subtrees never reach here — the core drops them).
+      * `nameEnd` is the index just after the lowercased tag name, where
+      * attribute parsing starts. Return the next scan index (visitors
+      * that parse attributes return [[parseAttrs]]' end; a visitor that
+      * is DONE returns the input length), or -1 to advance past the
+      * tag's attributes with [[skipToTagEnd]] — the common "tag is a
+      * boundary only" case. */
+    def tag(name: String, closing: Boolean, nameEnd: Int): Int = -1
+    /** One literal character of text — raw, entity-decoded, or a bare
+      * non-tag '<'. */
+    def text(c: Char): Unit = ()
+  }
+
+  /** The shared single-pass scanner: `<!-- -->` comments and
+    * `<!doctype>`/`<?pi?>` skip wholesale, [[SkipTags]] subtrees drop,
+    * a bare `<` that opens no tag is literal text, entities decode to
+    * [[TagVisitor.text]] characters (a non-entity `&` passes through
+    * literally), every other tag dispatches to [[TagVisitor.tag]].
+    * Tolerant of malformed input exactly as before: unterminated
+    * comments/tags/subtrees extend to end-of-input. */
+  private def scanTags(html: String, v: TagVisitor): Unit = {
     val n = html.length
-    val raw = IndexedSeq.newBuilder[(String, String, Int, Int)] // tag, rawText, nonWs, linked
-    var curTag = ""
-    val buf = new java.lang.StringBuilder(256)
-    var nonWs = 0
-    var linked = 0
-    var linkDepth = 0
-
-    def finalizeBlock(nextTag: String): Unit = {
-      if (nonWs > 0) raw += ((curTag, buf.toString, nonWs, linked))
-      buf.setLength(0); nonWs = 0; linked = 0
-      curTag = nextTag
-    }
-
+    val scratch = new java.lang.StringBuilder(8)
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -233,46 +249,71 @@ object HtmlOps {
           var j = i + (if (closing) 2 else 1)
           val nameStart = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
-          if (j == nameStart) { // bare '<' — literal text
-            buf.append(c); nonWs += 1; if (linkDepth > 0) linked += 1
-            i += 1
-          } else {
+          if (j == nameStart) { v.text(c); i += 1 } // bare '<': literal
+          else {
             val name = {
               val sb = new java.lang.StringBuilder(j - nameStart)
               var p = nameStart
               while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
               sb.toString
             }
-            val afterTag = skipToTagEnd(html, j)
             if (!closing && SkipTags.contains(name)) {
-              i = skipSubtree(html, afterTag, name)
+              i = skipSubtree(html, skipToTagEnd(html, j), name)
             } else {
-              if (name == "a") {
-                if (closing) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
-              }
-              if (BlockTags.contains(name))
-                finalizeBlock(if (closing) "" else name)
-              i = afterTag
+              val next = v.tag(name, closing, j)
+              i = if (next >= 0) next else skipToTagEnd(html, j)
             }
           }
         }
       } else if (c == '&') {
-        val before = buf.length()
-        i = decodeEntity(html, i, buf)
-        var p = before
-        while (p < buf.length()) {
-          if (!Character.isWhitespace(buf.charAt(p))) {
-            nonWs += 1; if (linkDepth > 0) linked += 1
-          }
-          p += 1
-        }
-      } else {
-        buf.append(c)
-        if (!Character.isWhitespace(c)) { nonWs += 1; if (linkDepth > 0) linked += 1 }
-        i += 1
-      }
+        scratch.setLength(0)
+        i = decodeEntity(html, i, scratch)
+        var p = 0
+        while (p < scratch.length()) { v.text(scratch.charAt(p)); p += 1 }
+      } else { v.text(c); i += 1 }
     }
-    finalizeBlock("")
+  }
+
+  /** Block segmentation state machine over [[scanTags]] — shared by
+    * [[blocks]] (whose classifier labels the raw segments) and, with
+    * image slots added, structurally mirrored by [[interleaved]]'s
+    * visitor. Collects (tag, rawText, nonWs, linked) segments. */
+  private final class BlockVisitor extends TagVisitor {
+    val raw = IndexedSeq.newBuilder[(String, String, Int, Int)]
+    private var curTag = ""
+    private val buf = new java.lang.StringBuilder(256)
+    private var nonWs = 0
+    private var linked = 0
+    private var linkDepth = 0
+
+    def finalizeBlock(nextTag: String): Unit = {
+      if (nonWs > 0) raw += ((curTag, buf.toString, nonWs, linked))
+      buf.setLength(0); nonWs = 0; linked = 0
+      curTag = nextTag
+    }
+
+    override def tag(name: String, closing: Boolean, nameEnd: Int): Int = {
+      if (name == "a") {
+        if (closing) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
+      }
+      if (BlockTags.contains(name))
+        finalizeBlock(if (closing) "" else name)
+      -1
+    }
+
+    override def text(c: Char): Unit = {
+      buf.append(c)
+      if (!Character.isWhitespace(c)) { nonWs += 1; if (linkDepth > 0) linked += 1 }
+    }
+  }
+
+  /** Parse + segment + classify. Null html → empty seq. */
+  def blocks(html: String, minLen: Int, maxLinkDensity: Double): IndexedSeq[Block] = {
+    if (html == null) return Vector.empty
+    val v = new BlockVisitor
+    scanTags(html, v)
+    v.finalizeBlock("")
+    val raw = v.raw
 
     // normalize + context-free classify, then the neighbor rule for shorts
     val segs = raw.result()
@@ -323,77 +364,43 @@ object HtmlOps {
     * `<td></td>` is a real cell. */
   def tableCells(html: String): IndexedSeq[(Int, Int, Int, Boolean, String)] = {
     if (html == null) return Vector.empty
-    val n = html.length
-    val out = IndexedSeq.newBuilder[(Int, Int, Int, Boolean, String)]
-    val buf = new java.lang.StringBuilder(64)
-    val scratch = new java.lang.StringBuilder(8)
-    var t = -1; var r = -1; var c = -1
-    var inTable = false; var inCell = false; var cellIsTh = false
-    def closeCell(): Unit = if (inCell) {
-      out += ((t, r, c, cellIsTh, normalizeWs(buf.toString)))
-      buf.setLength(0); inCell = false
-    }
-    var i = 0
-    while (i < n) {
-      val ch = html.charAt(i)
-      if (ch == '<') {
-        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
-            && html.charAt(i + 3) == '-') {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          i = skipToTagEnd(html, i + 1)
-        } else {
-          val closing = i + 1 < n && html.charAt(i + 1) == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && isNameChar(html.charAt(j))) j += 1
-          if (j == nameStart) { // bare '<' — literal text
-            if (inCell) buf.append(ch)
-            i += 1
-          } else {
-            val name = {
-              val sb = new java.lang.StringBuilder(j - nameStart)
-              var p = nameStart
-              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
-              sb.toString
-            }
-            val afterTag = skipToTagEnd(html, j)
-            if (!closing && SkipTags.contains(name)) {
-              i = skipSubtree(html, afterTag, name)
-            } else {
-              name match {
-                case "table" =>
-                  if (closing) { closeCell(); inTable = false; i = afterTag }
-                  else if (inTable) i = skipNestedSubtree(html, afterTag, "table")
-                  else { t += 1; r = -1; c = -1; inTable = true; i = afterTag }
-                case "tr" =>
-                  if (inTable) { closeCell(); if (!closing) { r += 1; c = -1 } }
-                  i = afterTag
-                case "td" | "th" =>
-                  if (inTable) {
-                    closeCell()
-                    if (!closing) {
-                      if (r < 0) r = 0
-                      c += 1; inCell = true; cellIsTh = name == "th"
-                    }
-                  }
-                  i = afterTag
-                case _ => i = afterTag // inline/other tags: text continues
+    val v = new TagVisitor {
+      val out = IndexedSeq.newBuilder[(Int, Int, Int, Boolean, String)]
+      private val buf = new java.lang.StringBuilder(64)
+      private var t = -1; private var r = -1; private var c = -1
+      private var inTable = false; private var inCell = false
+      private var cellIsTh = false
+      def closeCell(): Unit = if (inCell) {
+        out += ((t, r, c, cellIsTh, normalizeWs(buf.toString)))
+        buf.setLength(0); inCell = false
+      }
+      override def tag(name: String, closing: Boolean, nameEnd: Int): Int = {
+        name match {
+          case "table" =>
+            if (closing) { closeCell(); inTable = false; -1 }
+            else if (inTable) // nested tables are opaque at ANY depth
+              skipNestedSubtree(html, skipToTagEnd(html, nameEnd), "table")
+            else { t += 1; r = -1; c = -1; inTable = true; -1 }
+          case "tr" =>
+            if (inTable) { closeCell(); if (!closing) { r += 1; c = -1 } }
+            -1
+          case "td" | "th" =>
+            if (inTable) {
+              closeCell()
+              if (!closing) {
+                if (r < 0) r = 0 // tag soup: a cell before any <tr>
+                c += 1; inCell = true; cellIsTh = name == "th"
               }
             }
-          }
+            -1
+          case _ => -1 // inline/other tags: text continues
         }
-      } else if (ch == '&') {
-        if (inCell) i = decodeEntity(html, i, buf)
-        else { scratch.setLength(0); i = decodeEntity(html, i, scratch) }
-      } else {
-        if (inCell) buf.append(ch)
-        i += 1
       }
+      override def text(c0: Char): Unit = if (inCell) buf.append(c0)
     }
-    closeCell()
-    out.result()
+    scanTags(html, v)
+    v.closeCell()
+    v.out.result()
   }
 
   /** Table cells as Catalyst rows (for [[HtmlTableCells]]). */
@@ -485,74 +492,38 @@ object HtmlOps {
     * for fetchable keys. */
   def links(html: String): IndexedSeq[(String, String, Boolean)] = {
     if (html == null) return Vector.empty
-    val n = html.length
-    val out = IndexedSeq.newBuilder[(String, String, Boolean)]
-    val anchor = new java.lang.StringBuilder(64)
-    val scratch = new java.lang.StringBuilder(8)
-    var inA = false
-    var href: String = null
-    var nofollow = false
-    def closeA(): Unit = {
-      if (inA && href != null)
-        out += ((href, normalizeWs(anchor.toString), nofollow))
-      inA = false; href = null; nofollow = false; anchor.setLength(0)
-    }
-    var i = 0
-    while (i < n) {
-      val c = html.charAt(i)
-      if (c == '<') {
-        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
-            && html.charAt(i + 3) == '-') {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          i = skipToTagEnd(html, i + 1)
-        } else {
-          val closing = i + 1 < n && html.charAt(i + 1) == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && isNameChar(html.charAt(j))) j += 1
-          if (j == nameStart) {
-            if (inA) anchor.append(c)
-            i += 1
-          } else {
-            val name = {
-              val sb = new java.lang.StringBuilder(j - nameStart)
-              var p = nameStart
-              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
-              sb.toString
-            }
-            if (!closing && SkipTags.contains(name)) {
-              i = skipSubtree(html, skipToTagEnd(html, j), name)
-            } else if (name == "a") {
-              if (closing) { closeA(); i = skipToTagEnd(html, j) }
-              else {
-                closeA()
-                val (attrs, after) = parseAttrs(html, j)
-                attrs.get("href").filter(_.nonEmpty) match {
-                  case Some(h) =>
-                    inA = true
-                    href = h
-                    nofollow = attrs.getOrElse("rel", "")
-                      .toLowerCase(java.util.Locale.ROOT)
-                      .split("\\s+").contains("nofollow")
-                  case None => ()
-                }
-                i = after
-              }
-            } else i = skipToTagEnd(html, j) // other tags: text continues
-          }
-        }
-      } else if (c == '&') {
-        if (inA) i = decodeEntity(html, i, anchor)
-        else { scratch.setLength(0); i = decodeEntity(html, i, scratch) }
-      } else {
-        if (inA) anchor.append(c)
-        i += 1
+    val v = new TagVisitor {
+      val out = IndexedSeq.newBuilder[(String, String, Boolean)]
+      private val anchor = new java.lang.StringBuilder(64)
+      private var inA = false
+      private var href: String = null
+      private var nofollow = false
+      def closeA(): Unit = {
+        if (inA && href != null)
+          out += ((href, normalizeWs(anchor.toString), nofollow))
+        inA = false; href = null; nofollow = false; anchor.setLength(0)
       }
+      override def tag(name: String, closing: Boolean, nameEnd: Int): Int =
+        if (name == "a") {
+          closeA() // a new/closing <a> ends an unterminated one
+          if (closing) -1
+          else {
+            val (attrs, after) = parseAttrs(html, nameEnd)
+            attrs.get("href").filter(_.nonEmpty).foreach { h =>
+              inA = true
+              href = h
+              nofollow = attrs.getOrElse("rel", "")
+                .toLowerCase(java.util.Locale.ROOT)
+                .split("\\s+").contains("nofollow")
+            }
+            after
+          }
+        } else -1 // other tags: text continues
+      override def text(c: Char): Unit = if (inA) anchor.append(c)
     }
-    closeA()
-    out.result()
+    scanTags(html, v)
+    v.closeA()
+    v.out.result()
   }
 
   val headSchema: StructType = StructType(Seq(
@@ -571,73 +542,45 @@ object HtmlOps {
     * directives in the body are non-conforming and ignored. */
   def head(html: String): (String, String, Boolean, Boolean) = {
     if (html == null) return (null, null, false, false)
-    val n = html.length
-    var base: String = null
-    var canonical: String = null
-    var noindex = false
-    var nofollow = false
-    var i = 0
-    var done = false
-    while (i < n && !done) {
-      val c = html.charAt(i)
-      if (c == '<') {
-        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
-            && html.charAt(i + 3) == '-') {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          i = skipToTagEnd(html, i + 1)
-        } else {
-          val closing = i + 1 < n && html.charAt(i + 1) == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && isNameChar(html.charAt(j))) j += 1
-          if (j == nameStart) i += 1
-          else {
-            val name = {
-              val sb = new java.lang.StringBuilder(j - nameStart)
-              var p = nameStart
-              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
-              sb.toString
-            }
-            if (!closing && SkipTags.contains(name)) {
-              i = skipSubtree(html, skipToTagEnd(html, j), name)
-            } else if ((closing && name == "head") || name == "body") {
-              done = true
-            } else if (!closing &&
-              (name == "base" || name == "link" || name == "meta")) {
-              val (attrs, after) = parseAttrs(html, j)
-              name match {
-                case "base" =>
-                  if (base == null)
-                    attrs.get("href").filter(_.nonEmpty).foreach(base = _)
-                case "link" =>
-                  val rel = attrs.getOrElse("rel", "")
-                    .toLowerCase(java.util.Locale.ROOT)
-                  if (canonical == null &&
-                    rel.split("\\s+").contains("canonical"))
-                    attrs.get("href").filter(_.nonEmpty)
-                      .foreach(canonical = _)
-                case _ =>
-                  if (attrs.getOrElse("name", "")
-                      .equalsIgnoreCase("robots")) {
-                    attrs.getOrElse("content", "")
-                      .toLowerCase(java.util.Locale.ROOT)
-                      .split("[,\\s]+").foreach {
-                        case "noindex" => noindex = true
-                        case "nofollow" => nofollow = true
-                        case "none" => noindex = true; nofollow = true
-                        case _ => ()
-                      }
+    val v = new TagVisitor {
+      var base: String = null
+      var canonical: String = null
+      var noindex = false
+      var nofollow = false
+      override def tag(name: String, closing: Boolean, nameEnd: Int): Int =
+        if ((closing && name == "head") || name == "body") html.length // done
+        else if (!closing &&
+          (name == "base" || name == "link" || name == "meta")) {
+          val (attrs, after) = parseAttrs(html, nameEnd)
+          name match {
+            case "base" =>
+              if (base == null)
+                attrs.get("href").filter(_.nonEmpty).foreach(base = _)
+            case "link" =>
+              val rel = attrs.getOrElse("rel", "")
+                .toLowerCase(java.util.Locale.ROOT)
+              if (canonical == null &&
+                rel.split("\\s+").contains("canonical"))
+                attrs.get("href").filter(_.nonEmpty)
+                  .foreach(canonical = _)
+            case _ =>
+              if (attrs.getOrElse("name", "")
+                  .equalsIgnoreCase("robots")) {
+                attrs.getOrElse("content", "")
+                  .toLowerCase(java.util.Locale.ROOT)
+                  .split("[,\\s]+").foreach {
+                    case "noindex" => noindex = true
+                    case "nofollow" => nofollow = true
+                    case "none" => noindex = true; nofollow = true
+                    case _ => ()
                   }
               }
-              i = after
-            } else i = skipToTagEnd(html, j)
           }
-        }
-      } else i += 1
+          after
+        } else -1
     }
-    (base, canonical, noindex, nofollow)
+    scanTags(html, v)
+    (v.base, v.canonical, v.noindex, v.nofollow)
   }
 
   val alternateSchema: StructType = StructType(Seq(
@@ -651,53 +594,25 @@ object HtmlOps {
     * either attribute are dropped; hreflang tokens lowercase. */
   def alternates(html: String): IndexedSeq[(String, String)] = {
     if (html == null) return Vector.empty
-    val n = html.length
-    val out = IndexedSeq.newBuilder[(String, String)]
-    var i = 0
-    var done = false
-    while (i < n && !done) {
-      val c = html.charAt(i)
-      if (c == '<') {
-        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
-            && html.charAt(i + 3) == '-') {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          i = skipToTagEnd(html, i + 1)
-        } else {
-          val closing = i + 1 < n && html.charAt(i + 1) == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && isNameChar(html.charAt(j))) j += 1
-          if (j == nameStart) i += 1
-          else {
-            val name = {
-              val sb = new java.lang.StringBuilder(j - nameStart)
-              var p = nameStart
-              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
-              sb.toString
-            }
-            if (!closing && SkipTags.contains(name)) {
-              i = skipSubtree(html, skipToTagEnd(html, j), name)
-            } else if ((closing && name == "head") || name == "body") {
-              done = true
-            } else if (!closing && name == "link") {
-              val (attrs, after) = parseAttrs(html, j)
-              val rel = attrs.getOrElse("rel", "")
-                .toLowerCase(java.util.Locale.ROOT)
-              if (rel.split("\\s+").contains("alternate")) {
-                val hl = attrs.getOrElse("hreflang", "")
-                  .toLowerCase(java.util.Locale.ROOT)
-                val href = attrs.getOrElse("href", "")
-                if (hl.nonEmpty && href.nonEmpty) out += ((hl, href))
-              }
-              i = after
-            } else i = skipToTagEnd(html, j)
+    val v = new TagVisitor {
+      val out = IndexedSeq.newBuilder[(String, String)]
+      override def tag(name: String, closing: Boolean, nameEnd: Int): Int =
+        if ((closing && name == "head") || name == "body") html.length // done
+        else if (!closing && name == "link") {
+          val (attrs, after) = parseAttrs(html, nameEnd)
+          val rel = attrs.getOrElse("rel", "")
+            .toLowerCase(java.util.Locale.ROOT)
+          if (rel.split("\\s+").contains("alternate")) {
+            val hl = attrs.getOrElse("hreflang", "")
+              .toLowerCase(java.util.Locale.ROOT)
+            val href = attrs.getOrElse("href", "")
+            if (hl.nonEmpty && href.nonEmpty) out += ((hl, href))
           }
-        }
-      } else i += 1
+          after
+        } else -1
     }
-    out.result()
+    scanTags(html, v)
+    v.out.result()
   }
 
   /** Alternates as Catalyst rows (for [[HtmlAlternates]]). */
@@ -726,50 +641,22 @@ object HtmlOps {
     * repeated keys all emit (og arrays are legal). */
   def og(html: String): IndexedSeq[(String, String)] = {
     if (html == null) return Vector.empty
-    val n = html.length
-    val out = IndexedSeq.newBuilder[(String, String)]
-    var i = 0
-    var done = false
-    while (i < n && !done) {
-      val c = html.charAt(i)
-      if (c == '<') {
-        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
-            && html.charAt(i + 3) == '-') {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          i = skipToTagEnd(html, i + 1)
-        } else {
-          val closing = i + 1 < n && html.charAt(i + 1) == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && isNameChar(html.charAt(j))) j += 1
-          if (j == nameStart) i += 1
-          else {
-            val name = {
-              val sb = new java.lang.StringBuilder(j - nameStart)
-              var p = nameStart
-              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
-              sb.toString
-            }
-            if (!closing && SkipTags.contains(name)) {
-              i = skipSubtree(html, skipToTagEnd(html, j), name)
-            } else if ((closing && name == "head") || name == "body") {
-              done = true
-            } else if (!closing && name == "meta") {
-              val (attrs, after) = parseAttrs(html, j)
-              val prop = attrs.getOrElse("property", "")
-                .toLowerCase(java.util.Locale.ROOT)
-              val content = attrs.getOrElse("content", "")
-              if (prop.startsWith("og:") && content.nonEmpty)
-                out += ((prop.substring(3), content))
-              i = after
-            } else i = skipToTagEnd(html, j)
-          }
-        }
-      } else i += 1
+    val v = new TagVisitor {
+      val out = IndexedSeq.newBuilder[(String, String)]
+      override def tag(name: String, closing: Boolean, nameEnd: Int): Int =
+        if ((closing && name == "head") || name == "body") html.length // done
+        else if (!closing && name == "meta") {
+          val (attrs, after) = parseAttrs(html, nameEnd)
+          val prop = attrs.getOrElse("property", "")
+            .toLowerCase(java.util.Locale.ROOT)
+          val content = attrs.getOrElse("content", "")
+          if (prop.startsWith("og:") && content.nonEmpty)
+            out += ((prop.substring(3), content))
+          after
+        } else -1
     }
-    out.result()
+    scanTags(html, v)
+    v.out.result()
   }
 
   val imageSchema: StructType = StructType(Seq(
@@ -803,110 +690,81 @@ object HtmlOps {
     * entities decode inside attribute values and caption text. */
   def images(html: String): IndexedSeq[(String, String, String, String)] = {
     if (html == null) return Vector.empty
-    val n = html.length
-    val imgs = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, String)]
-    val caps = scala.collection.mutable.ArrayBuffer.empty[String]
-    var blockPending: List[Int] = Nil // images awaiting this block's text
-    var figPending: List[Int] = Nil   // images awaiting this figure's cap
-    val blockBuf = new java.lang.StringBuilder(128)
-    val figCapBuf = new java.lang.StringBuilder(64)
-    var inFigure = false
-    var inFigCaption = false
-    var figCap: String = null
+    val v = new TagVisitor {
+      val imgs = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, String)]
+      val caps = scala.collection.mutable.ArrayBuffer.empty[String]
+      private var blockPending: List[Int] = Nil // awaiting this block's text
+      private var figPending: List[Int] = Nil   // awaiting this figure's cap
+      private val blockBuf = new java.lang.StringBuilder(128)
+      private val figCapBuf = new java.lang.StringBuilder(64)
+      private var inFigure = false
+      private var inFigCaption = false
+      private var figCap: String = null
 
-    def closeBlock(): Unit = {
-      if (inFigCaption) { figCap = normalizeWs(figCapBuf.toString); inFigCaption = false }
-      if (blockPending.nonEmpty) {
-        val cap = normalizeWs(blockBuf.toString)
-        blockPending.foreach(caps(_) = cap)
-        blockPending = Nil
-      }
-      blockBuf.setLength(0)
-    }
-    def closeFigure(): Unit = {
-      closeBlock()
-      if (figPending.nonEmpty) {
-        val cap = if (figCap == null) "" else figCap
-        figPending.foreach(caps(_) = cap)
-        figPending = Nil
-      }
-      inFigure = false; figCap = null; figCapBuf.setLength(0)
-    }
-
-    var i = 0
-    while (i < n) {
-      val c = html.charAt(i)
-      if (c == '<') {
-        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
-            && html.charAt(i + 3) == '-') {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          i = skipToTagEnd(html, i + 1)
-        } else {
-          val closing = i + 1 < n && html.charAt(i + 1) == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && isNameChar(html.charAt(j))) j += 1
-          if (j == nameStart) { // bare '<': literal text
-            blockBuf.append(c); if (inFigCaption) figCapBuf.append(c)
-            i += 1
-          } else {
-            val name = {
-              val sb = new java.lang.StringBuilder(j - nameStart)
-              var p = nameStart
-              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
-              sb.toString
-            }
-            if (!closing && SkipTags.contains(name)) {
-              i = skipSubtree(html, skipToTagEnd(html, j), name)
-            } else if (name == "img") {
-              val (attrs, after) = parseAttrs(html, j)
-              attrs.get("src").filter(_.nonEmpty).foreach { src =>
-                imgs += ((src, attrs.getOrElse("alt", ""),
-                  attrs.getOrElse("title", "")))
-                caps += ""
-                val idx = imgs.length - 1
-                if (inFigure) figPending ::= idx else blockPending ::= idx
-              }
-              i = after
-            } else if (name == "figure") {
-              if (closing) closeFigure()
-              else { closeFigure(); inFigure = true } // reset = new scope
-              i = skipToTagEnd(html, j)
-            } else if (name == "figcaption") {
-              closeBlock()
-              if (!closing && inFigure) { inFigCaption = true; figCapBuf.setLength(0) }
-              i = skipToTagEnd(html, j)
-            } else {
-              // a block tag INSIDE an open figcaption must not freeze
-              // the caption early — <br>/<p> inside figcaptions are
-              // routine; they read as whitespace and the caption runs
-              // to </figcaption>/</figure>/EOF as documented
-              if (BlockTags.contains(name)) {
-                if (inFigCaption) { figCapBuf.append(' '); blockBuf.append(' ') }
-                else closeBlock()
-              }
-              i = skipToTagEnd(html, j)
-            }
-          }
+      def closeBlock(): Unit = {
+        if (inFigCaption) { figCap = normalizeWs(figCapBuf.toString); inFigCaption = false }
+        if (blockPending.nonEmpty) {
+          val cap = normalizeWs(blockBuf.toString)
+          blockPending.foreach(caps(_) = cap)
+          blockPending = Nil
         }
-      } else if (c == '&') {
-        val before = blockBuf.length()
-        i = decodeEntity(html, i, blockBuf)
-        if (inFigCaption) figCapBuf.append(blockBuf, before, blockBuf.length())
-      } else {
+        blockBuf.setLength(0)
+      }
+      def closeFigure(): Unit = {
+        closeBlock()
+        if (figPending.nonEmpty) {
+          val cap = if (figCap == null) "" else figCap
+          figPending.foreach(caps(_) = cap)
+          figPending = Nil
+        }
+        inFigure = false; figCap = null; figCapBuf.setLength(0)
+      }
+
+      override def tag(name: String, closing: Boolean, nameEnd: Int): Int =
+        name match {
+          case "img" =>
+            val (attrs, after) = parseAttrs(html, nameEnd)
+            attrs.get("src").filter(_.nonEmpty).foreach { src =>
+              imgs += ((src, attrs.getOrElse("alt", ""),
+                attrs.getOrElse("title", "")))
+              caps += ""
+              val idx = imgs.length - 1
+              if (inFigure) figPending ::= idx else blockPending ::= idx
+            }
+            after
+          case "figure" =>
+            if (closing) closeFigure()
+            else { closeFigure(); inFigure = true } // reset = new scope
+            -1
+          case "figcaption" =>
+            closeBlock()
+            if (!closing && inFigure) { inFigCaption = true; figCapBuf.setLength(0) }
+            -1
+          case _ =>
+            // a block tag INSIDE an open figcaption must not freeze the
+            // caption early — <br>/<p> inside figcaptions are routine;
+            // they read as whitespace and the caption runs to
+            // </figcaption>/</figure>/EOF as documented
+            if (BlockTags.contains(name)) {
+              if (inFigCaption) { figCapBuf.append(' '); blockBuf.append(' ') }
+              else closeBlock()
+            }
+            -1
+        }
+
+      override def text(c: Char): Unit = {
         blockBuf.append(c); if (inFigCaption) figCapBuf.append(c)
-        i += 1
       }
     }
-    closeFigure()
+    scanTags(html, v)
+    v.closeFigure()
+    val imgs = v.imgs
     val out = new Array[(String, String, String, String)](imgs.length)
     var k = 0
     while (k < imgs.length) {
       val (s, a, t) = imgs(k)
-      out(k) = (s, a, t, caps(k))
+      out(k) = (s, a, t, v.caps(k))
       k += 1
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
@@ -956,78 +814,42 @@ object HtmlOps {
   def interleaved(html: String, minLen: Int,
                   maxLinkDensity: Double): IndexedSeq[(Int, String, String, String, String)] = {
     if (html == null) return Vector.empty
-    val n = html.length
-    // ordered segments: text = (rawText, nonWs, linked), image = (src, alt)
-    val segs = scala.collection.mutable.ArrayBuffer.empty[Either[(String, Int, Int), (String, String)]]
-    val buf = new java.lang.StringBuilder(256)
-    var nonWs = 0
-    var linked = 0
-    var linkDepth = 0
-    def finalizeRun(): Unit = {
-      if (nonWs > 0) segs += Left((buf.toString, nonWs, linked))
-      buf.setLength(0); nonWs = 0; linked = 0
-    }
-    var i = 0
-    while (i < n) {
-      val c = html.charAt(i)
-      if (c == '<') {
-        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
-            && html.charAt(i + 3) == '-') {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          i = skipToTagEnd(html, i + 1)
+    val v = new TagVisitor {
+      // ordered segments: text = (rawText, nonWs, linked), image = (src, alt)
+      val segs = scala.collection.mutable.ArrayBuffer
+        .empty[Either[(String, Int, Int), (String, String)]]
+      private val buf = new java.lang.StringBuilder(256)
+      private var nonWs = 0
+      private var linked = 0
+      private var linkDepth = 0
+      def finalizeRun(): Unit = {
+        if (nonWs > 0) segs += Left((buf.toString, nonWs, linked))
+        buf.setLength(0); nonWs = 0; linked = 0
+      }
+      override def tag(name: String, closing: Boolean, nameEnd: Int): Int =
+        if (name == "img") {
+          val (attrs, after) = parseAttrs(html, nameEnd)
+          attrs.get("src").filter(_.nonEmpty).foreach { src =>
+            finalizeRun() // an image is a text-run boundary
+            segs += Right((src, attrs.getOrElse("alt", "")))
+          }
+          after
         } else {
-          val closing = i + 1 < n && html.charAt(i + 1) == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && isNameChar(html.charAt(j))) j += 1
-          if (j == nameStart) {
-            buf.append(c); nonWs += 1; if (linkDepth > 0) linked += 1
-            i += 1
-          } else {
-            val name = {
-              val sb = new java.lang.StringBuilder(j - nameStart)
-              var p = nameStart
-              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
-              sb.toString
-            }
-            if (!closing && SkipTags.contains(name)) {
-              i = skipSubtree(html, skipToTagEnd(html, j), name)
-            } else if (name == "img") {
-              val (attrs, after) = parseAttrs(html, j)
-              attrs.get("src").filter(_.nonEmpty).foreach { src =>
-                finalizeRun()
-                segs += Right((src, attrs.getOrElse("alt", "")))
-              }
-              i = after
-            } else {
-              if (name == "a") {
-                if (closing) linkDepth = math.max(0, linkDepth - 1)
-                else linkDepth += 1
-              }
-              if (BlockTags.contains(name)) finalizeRun()
-              i = skipToTagEnd(html, j)
-            }
+          if (name == "a") {
+            if (closing) linkDepth = math.max(0, linkDepth - 1)
+            else linkDepth += 1
           }
+          if (BlockTags.contains(name)) finalizeRun()
+          -1
         }
-      } else if (c == '&') {
-        val before = buf.length()
-        i = decodeEntity(html, i, buf)
-        var p = before
-        while (p < buf.length()) {
-          if (!Character.isWhitespace(buf.charAt(p))) {
-            nonWs += 1; if (linkDepth > 0) linked += 1
-          }
-          p += 1
-        }
-      } else {
+      override def text(c: Char): Unit = {
         buf.append(c)
         if (!Character.isWhitespace(c)) { nonWs += 1; if (linkDepth > 0) linked += 1 }
-        i += 1
       }
     }
-    finalizeRun()
+    scanTags(html, v)
+    v.finalizeRun()
+    val segs = v.segs
     // classify text runs with the blocks() rules, emit in order
     val out = IndexedSeq.newBuilder[(Int, String, String, String, String)]
     var lastLongLabel = ""
@@ -1125,135 +947,107 @@ object HtmlOps {
   def markdown(html: String): String = {
     if (html == null) return null
     val n = html.length
-    val blocksOut = scala.collection.mutable.ArrayBuffer.empty[String]
-    val buf = new java.lang.StringBuilder(128)
-    var prefix = ""
-    // list context: (ordered, nextCounter) per open list
-    var lists = List.empty[(Boolean, Int)]
-    var href: String = null // innermost open <a>'s target
-    var linkStart = -1      // buf index of that link's '['
-    def finalizeBlock(nextPrefix: String): Unit = {
-      // an <a> spanning a block boundary (the card-link pattern
-      // <a><div>Title</div></a>) must not strand '[' and '](url)' in
-      // different blocks: a link with text closes AT the boundary; a
-      // bare '[' is dropped here and re-opened in the next block, so
-      // the eventual text gets one well-formed [text](url)
-      if (href != null) {
-        if (buf.length() > linkStart + 1) {
-          buf.append("](").append(href).append(')'); href = null
-        } else buf.setLength(linkStart)
-      }
-      val norm = normalizeWs(buf.toString)
-      if (norm.nonEmpty) blocksOut += (prefix + norm)
-      buf.setLength(0)
-      prefix = nextPrefix
-      if (href != null) { buf.append('['); linkStart = 0 }
-    }
-    def listPrefix(): String = lists match {
-      case (ordered, k) :: rest =>
-        lists = (ordered, k + 1) :: rest
-        ("  " * rest.length) + (if (ordered) s"$k. " else "- ")
-      case Nil => "- " // stray <li>: tolerated as an unindented bullet
-    }
-    var i = 0
-    while (i < n) {
-      val c = html.charAt(i)
-      if (c == '<') {
-        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-'
-            && html.charAt(i + 3) == '-') {
-          val end = html.indexOf("-->", i + 4)
-          i = if (end < 0) n else end + 3
-        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
-          i = skipToTagEnd(html, i + 1)
-        } else {
-          val closing = i + 1 < n && html.charAt(i + 1) == '/'
-          var j = i + (if (closing) 2 else 1)
-          val nameStart = j
-          while (j < n && isNameChar(html.charAt(j))) j += 1
-          if (j == nameStart) { buf.append(c); i += 1 }
-          else {
-            val name = {
-              val sb = new java.lang.StringBuilder(j - nameStart)
-              var p = nameStart
-              while (p < j) { sb.append(lower(html.charAt(p))); p += 1 }
-              sb.toString
-            }
-            if (!closing && SkipTags.contains(name)) {
-              i = skipSubtree(html, skipToTagEnd(html, j), name)
-            } else if (!closing && name == "pre") {
-              finalizeBlock("")
-              // raw capture to </pre>: entities decode, inner tags drop,
-              // whitespace preserved
-              var p = skipToTagEnd(html, j)
-              val raw = new java.lang.StringBuilder(64)
-              var open = true
-              while (open && p < n) {
-                val ch = html.charAt(p)
-                if (ch == '<') {
-                  val cl = p + 1 < n && html.charAt(p + 1) == '/'
-                  var q = p + (if (cl) 2 else 1)
-                  val qs = q
-                  while (q < n && isNameChar(html.charAt(q))) q += 1
-                  if (q == qs) { raw.append(ch); p += 1 }
-                  else {
-                    val nm = html.substring(qs, q)
-                      .toLowerCase(java.util.Locale.ROOT)
-                    if (cl && nm == "pre") { open = false; p = skipToTagEnd(html, q) }
-                    else p = skipToTagEnd(html, q)
-                  }
-                } else if (ch == '&') p = decodeEntity(html, p, raw)
-                else { raw.append(ch); p += 1 }
-              }
-              blocksOut += ("```\n" + raw.toString + "\n```")
-              i = p
-            } else {
-              name match {
-                case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
-                  finalizeBlock(
-                    if (closing) "" else "#" * (name.charAt(1) - '0') + " ")
-                case "blockquote" =>
-                  finalizeBlock(if (closing) "" else "> ")
-                case "ul" | "ol" =>
-                  finalizeBlock("")
-                  if (closing) { if (lists.nonEmpty) lists = lists.tail }
-                  else lists = (name == "ol", 1) :: lists
-                case "li" =>
-                  finalizeBlock(if (closing) "" else listPrefix())
-                case "a" =>
-                  if (closing) {
-                    if (href != null) { buf.append("](").append(href).append(')'); href = null }
-                  } else {
-                    if (href != null) { buf.append("](").append(href).append(')'); href = null }
-                    val (attrs, _) = parseAttrs(html, j)
-                    attrs.get("href").filter(_.nonEmpty).foreach { h =>
-                      href = h; linkStart = buf.length(); buf.append('[')
-                    }
-                  }
-                case "img" =>
-                  val (attrs, _) = parseAttrs(html, j)
-                  attrs.get("src").filter(_.nonEmpty).foreach { src =>
-                    buf.append("![").append(attrs.getOrElse("alt", ""))
-                      .append("](").append(src).append(')')
-                  }
-                case "b" | "strong" => buf.append("**")
-                case "i" | "em" => buf.append('*')
-                case "code" => buf.append('`')
-                case _ =>
-                  if (BlockTags.contains(name)) finalizeBlock("")
-              }
-              i = skipToTagEnd(html, j)
-            }
-          }
+    val v = new TagVisitor {
+      val blocksOut = scala.collection.mutable.ArrayBuffer.empty[String]
+      private val buf = new java.lang.StringBuilder(128)
+      private var prefix = ""
+      // list context: (ordered, nextCounter) per open list
+      private var lists = List.empty[(Boolean, Int)]
+      private var href: String = null // innermost open <a>'s target
+      private var linkStart = -1      // buf index of that link's '['
+      def finalizeBlock(nextPrefix: String): Unit = {
+        // an <a> spanning a block boundary (the card-link pattern
+        // <a><div>Title</div></a>) must not strand '[' and '](url)' in
+        // different blocks: a link with text closes AT the boundary; a
+        // bare '[' is dropped here and re-opened in the next block, so
+        // the eventual text gets one well-formed [text](url)
+        if (href != null) {
+          if (buf.length() > linkStart + 1) {
+            buf.append("](").append(href).append(')'); href = null
+          } else buf.setLength(linkStart)
         }
-      } else if (c == '&') {
-        i = decodeEntity(html, i, buf)
-      } else {
-        buf.append(c)
-        i += 1
+        val norm = normalizeWs(buf.toString)
+        if (norm.nonEmpty) blocksOut += (prefix + norm)
+        buf.setLength(0)
+        prefix = nextPrefix
+        if (href != null) { buf.append('['); linkStart = 0 }
       }
+      private def listPrefix(): String = lists match {
+        case (ordered, k) :: rest =>
+          lists = (ordered, k + 1) :: rest
+          ("  " * rest.length) + (if (ordered) s"$k. " else "- ")
+        case Nil => "- " // stray <li>: tolerated as an unindented bullet
+      }
+      override def tag(name: String, closing: Boolean, nameEnd: Int): Int =
+        if (!closing && name == "pre") {
+          finalizeBlock("")
+          // raw capture to </pre>: entities decode, inner tags drop,
+          // whitespace preserved — a sub-scan with its own contract, so
+          // it stays a local loop rather than a TagVisitor
+          var p = skipToTagEnd(html, nameEnd)
+          val raw = new java.lang.StringBuilder(64)
+          var open = true
+          while (open && p < n) {
+            val ch = html.charAt(p)
+            if (ch == '<') {
+              val cl = p + 1 < n && html.charAt(p + 1) == '/'
+              var q = p + (if (cl) 2 else 1)
+              val qs = q
+              while (q < n && isNameChar(html.charAt(q))) q += 1
+              if (q == qs) { raw.append(ch); p += 1 }
+              else {
+                val nm = html.substring(qs, q)
+                  .toLowerCase(java.util.Locale.ROOT)
+                if (cl && nm == "pre") { open = false; p = skipToTagEnd(html, q) }
+                else p = skipToTagEnd(html, q)
+              }
+            } else if (ch == '&') p = decodeEntity(html, p, raw)
+            else { raw.append(ch); p += 1 }
+          }
+          blocksOut += ("```\n" + raw.toString + "\n```")
+          p
+        } else {
+          name match {
+            case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+              finalizeBlock(
+                if (closing) "" else "#" * (name.charAt(1) - '0') + " ")
+            case "blockquote" =>
+              finalizeBlock(if (closing) "" else "> ")
+            case "ul" | "ol" =>
+              finalizeBlock("")
+              if (closing) { if (lists.nonEmpty) lists = lists.tail }
+              else lists = (name == "ol", 1) :: lists
+            case "li" =>
+              finalizeBlock(if (closing) "" else listPrefix())
+            case "a" =>
+              if (closing) {
+                if (href != null) { buf.append("](").append(href).append(')'); href = null }
+              } else {
+                if (href != null) { buf.append("](").append(href).append(')'); href = null }
+                val (attrs, _) = parseAttrs(html, nameEnd)
+                attrs.get("href").filter(_.nonEmpty).foreach { h =>
+                  href = h; linkStart = buf.length(); buf.append('[')
+                }
+              }
+            case "img" =>
+              val (attrs, _) = parseAttrs(html, nameEnd)
+              attrs.get("src").filter(_.nonEmpty).foreach { src =>
+                buf.append("![").append(attrs.getOrElse("alt", ""))
+                  .append("](").append(src).append(')')
+              }
+            case "b" | "strong" => buf.append("**")
+            case "i" | "em" => buf.append('*')
+            case "code" => buf.append('`')
+            case _ =>
+              if (BlockTags.contains(name)) finalizeBlock("")
+          }
+          -1
+        }
+      override def text(c: Char): Unit = buf.append(c)
     }
-    finalizeBlock("")
-    blocksOut.mkString("\n\n")
+    scanTags(html, v)
+    v.finalizeBlock("")
+    v.blocksOut.mkString("\n\n")
   }
 
   /** Markdown as a Catalyst value (for [[HtmlMarkdown]]). */
