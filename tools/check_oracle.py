@@ -98,6 +98,21 @@ def main(sf_dir, out_dir):
            if v["status"] not in ("MATCH", "ROWS_ONLY")}
     print(json.dumps(results, indent=2, default=str))
     print(f"\n== {ok} MATCH, {rows_only} ROWS_ONLY, {len(bad)} PROBLEMS ==")
+    # Attestation stamp: mirror the full report to tools/stamps/ so a
+    # round's correctness is recorded on the tree itself even when the
+    # driver-side CORRECTNESS_r*.json artifact arrives empty (round 16's
+    # was `{}`) — the bench_driver_latest.json pattern. Only a FULL
+    # sweep stamps; filtered runs would otherwise shrink the attestation.
+    if ok + rows_only + len(bad) >= 300:
+        stamp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "stamps")
+        if os.path.isdir(stamp_dir):
+            with open(os.path.join(stamp_dir, "correctness_latest.json"),
+                      "w") as f:
+                json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                           "match": ok, "rows_only": rows_only,
+                           "problems": len(bad), "results": results},
+                          f, indent=1, default=str)
     return 1 if bad else 0
 
 

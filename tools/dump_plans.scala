@@ -31,6 +31,10 @@ val picks = Seq(
   ("q_image_text_pairs", "per-row codegen scanner + resolve: zero shuffle before the sort"),
   ("q_warc_image_pairs", "two per-row decode sides joined once on the canonical URL"),
   ("q_sft_assemble", "ONE conversation-keyed aggregate; span math per-row after it"),
+  ("q_sft_pack_tokens", "per-turn BPE counts BEFORE the conversation shuffle; prefix-sum packing; 1:1 span-identity join"),
+  ("q_sft_bon", "one prompt-partitioned window (rank + lead + min/max share the exchange)"),
+  ("q_interleaved_pack", "ONE doc-keyed aggregate, in-array item offsets, prefix-sum doc placement, one explode"),
+  ("q_rag_pipeline", "chunk embed per-row; broadcast bounded query frame (exact + probe); ONE-ROW recall gate cross"),
   ("q_crawl_loop_polite", "broadcast trap-gate anti-join + broadcast plan joins, ranked window"),
   ("q_text_unigram_lp", "vocab-sized prob table broadcast back; corpus never shuffles on bare term"),
   ("q_partition_pruning", "equality predicate lands in PartitionFilters: one dir scanned"),
