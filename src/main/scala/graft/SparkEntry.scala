@@ -807,22 +807,27 @@ object SparkEntry {
     * (packed token-span width == independent re-tokenization of the
     * char-span substring, detokenization == cleaned words) must hold on
     * every row or the hash fails. */
-  private def sftPackTokensOracleSql: String = {
+  /** The literalized frozen-merge VALUES table — one source of truth
+    * (the engine's [[operators.BpeTokenizer.frozenMerges]]) shared by
+    * every oracle that replays the BPE fixpoint. */
+  private def frozenMergeValues: String = {
     def q(s: String): String = s.replace("'", "''")
-    val vals = operators.BpeTokenizer.frozenMerges.zipWithIndex
+    operators.BpeTokenizer.frozenMerges.zipWithIndex
       .map { case ((x, y), r) => s"($r, '${q(x)}', '${q(y)}')" }.mkString(", ")
+  }
+
+  /** The shared BPE-fixpoint + ChatML token-packing oracle TAIL: given
+    * `mg(r, x, y)` (the frozen merges) and a
+    * `tu(conversation_id, turn_idx, role, t)` turn CTE already in
+    * scope, tokenizes every turn under the merges (recursive fixpoint),
+    * applies the +5/+3/−2 frozen ChatML token overhead, the
+    * per-conversation prefix sums, and the `capacity` packing division.
+    * `extraCols` appends engine-side gate columns (e.g.
+    * `, TRUE AS span_text_ok`). Shared verbatim by q_sft_pack_tokens
+    * and the q_sft_pipeline capstone. */
+  private def tokenPackOracleTail(capacity: Int, extraCols: String): String = {
     val maxRank = operators.BpeTokenizer.frozenMerges.size
-    s"""WITH RECURSIVE
-       |mg(r, x, y) AS (SELECT * FROM (VALUES $vals) v(r, x, y)),
-       |tu AS (
-       |  SELECT doc_id // 4 AS conversation_id, doc_id % 4 AS turn_idx,
-       |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-       |    'Turn ' || CAST(doc_id % 4 AS VARCHAR) || ': ' ||
-       |      array_to_string(list_slice(
-       |        list_filter(string_split(text, ' '), x -> x <> ''), 1, 4),
-       |        ' ') AS t
-       |  FROM documents),
-       |ttk AS (
+    s"""ttk AS (
        |  SELECT conversation_id, turn_idx,
        |    list_filter(string_split_regex(trim(lower(t)), '\\s+'),
        |                x -> x <> '') AS tk
@@ -881,18 +886,65 @@ object SparkEntry {
        |  FROM r2)
        |SELECT CAST(p.conversation_id AS BIGINT) AS conversation_id,
        |  p.n_tokens,
-       |  CAST(p.g0 // 256 AS BIGINT) AS seq_id,
-       |  (p.n_tokens > 0 AND (p.cum - 1) // 256 <> p.g0 // 256) AS is_split,
+       |  CAST(p.g0 // $capacity AS BIGINT) AS seq_id,
+       |  (p.n_tokens > 0 AND (p.cum - 1) // $capacity <> p.g0 // $capacity)
+       |    AS is_split,
        |  CAST(s.turn_idx AS BIGINT) AS turn_idx, s.role,
        |  CAST(p.g0 + s.start_tok AS BIGINT) AS g_start,
        |  CAST(p.g0 + s.start_tok + s.rlen AS BIGINT) AS g_end,
        |  CAST(p.g0 + s.start_tok + 3 AS BIGINT) AS g_content_start,
        |  CAST(p.g0 + s.start_tok + s.rlen - 2 AS BIGINT) AS g_content_end,
-       |  s.role = 'assistant' AS train,
-       |  TRUE AS span_text_ok
+       |  s.role = 'assistant' AS train$extraCols
        |FROM packed p JOIN sp s USING (conversation_id)
        |ORDER BY p.conversation_id, s.turn_idx""".stripMargin
   }
+
+  private def sftPackTokensOracleSql: String =
+    s"""WITH RECURSIVE
+       |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
+       |tu AS (
+       |  SELECT doc_id // 4 AS conversation_id, doc_id % 4 AS turn_idx,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    'Turn ' || CAST(doc_id % 4 AS VARCHAR) || ': ' ||
+       |      array_to_string(list_slice(
+       |        list_filter(string_split(text, ' '), x -> x <> ''), 1, 4),
+       |        ' ') AS t
+       |  FROM documents),
+       |""".stripMargin +
+      tokenPackOracleTail(256, ",\n  TRUE AS span_text_ok")
+
+  /** sft-pipeline capstone oracle: the survivor set replays the planted
+    * fixture's structure (the sftDedupFuzzyOracleSql discipline —
+    * each stage's OPERATOR is independently hash-gated by
+    * q_sft_dedup / q_sft_decontam; the capstone gates their
+    * COMPOSITION): per planted group of three conversations, the
+    * case-variant copy v1 exact-dedups away (min-id survivor v0), and
+    * any group containing a benchmark conversation (cid % 11 == 0)
+    * drops whole — group-keyed tokens make its three conversations
+    * shingle-overlap the benchmark text and nothing else. Survivors
+    * then run the REAL frozen-BPE token assembly + capacity-256 packing
+    * tail shared with q_sft_pack_tokens. */
+  private def sftPipelineOracleSql: String =
+    s"""WITH RECURSIVE
+       |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
+       |convs AS (SELECT DISTINCT doc_id // 4 AS cid FROM documents),
+       |surv AS (
+       |  SELECT cid FROM convs c
+       |  WHERE cid % 3 <> 1
+       |    AND NOT EXISTS (SELECT 1 FROM convs b
+       |                    WHERE b.cid % 11 = 0 AND b.cid // 3 = c.cid // 3)),
+       |tu AS (
+       |  SELECT doc_id // 4 AS conversation_id, doc_id % 4 AS turn_idx,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    'sft' || CAST((doc_id // 4) // 3 AS VARCHAR) || 'a sft' ||
+       |      CAST((doc_id // 4) // 3 AS VARCHAR) || 'b sft' ||
+       |      CAST((doc_id // 4) // 3 AS VARCHAR) || 'c turn' ||
+       |      CAST(doc_id % 4 AS VARCHAR) ||
+       |      CASE WHEN (doc_id // 4) % 3 = 2 AND doc_id % 4 = 3
+       |        THEN ' extra' ELSE '' END AS t
+       |  FROM documents JOIN surv ON surv.cid = doc_id // 4),
+       |""".stripMargin +
+      tokenPackOracleTail(256, "")
 
   /** best-of-n oracle: rank + lead + min/max windows over the shared
     * candidate construction; top-3 ranks, flat-spread prompts emit
@@ -2584,6 +2636,42 @@ object SparkEntry {
       operators.Sft.bestOfN(prefCandidates(s, dir), "prompt_id",
           "cand_id", "text", "score", k = 3)
         .orderBy(col("prompt_id"), col("rank"))),
+
+    // SFT PIPELINE CAPSTONE — the post-training front's stages chained
+    // the way q_train_pipeline caps pre-training prep: conversation
+    // turns → normalized conversation text → EXACT conversation dedup
+    // (min-id survivor; the planted case-variant copies drop) →
+    // benchmark DECONTAMINATION (5-gram shingles vs the cid%11==0
+    // benchmark slice; group-keyed tokens drop whole planted groups) →
+    // token-exact ChatML assembly + capacity-256 packing of the
+    // survivors under the frozen BPE. Each stage's operator is
+    // independently hash-gated (q_sft_dedup / q_sft_decontam /
+    // q_sft_pack_tokens); this query gates the COMPOSITION — the
+    // oracle replays the survivor set from the fixture's structure and
+    // the full BPE/packing tail value-for-value.
+    "q_sft_pipeline" -> ((s, dir) => {
+      val turns = sftDedupTurns(s, dir, caseVariant = true)
+      val norm = operators.Sft.normalizedConvText(turns, "conv_id",
+        "turn_idx", "text")
+      val kept = operators.Sft.dedupExact(norm, "conversation_id",
+        "conv_text").select(col("conversation_id"))
+      val bench = norm.filter(pmod(col("conversation_id"), lit(11)) === 0)
+        .select(col("conversation_id").as("doc_id"),
+          col("conv_text").as("text"))
+      val contaminated = operators.Decontaminate.contaminationReport(
+          norm.select(col("conversation_id"), col("conv_text").as("text")),
+          bench, "conversation_id", "text", n = 5)
+        .select(col("conversation_id"))
+      val survivors = kept.join(contaminated, Seq("conversation_id"),
+          "left_anti")
+        .withColumnRenamed("conversation_id", "conv_id")
+      val assembled = operators.Sft.assembleTokenSpans(
+        turns.join(survivors, Seq("conv_id")),
+        "conv_id", "turn_idx", "role", "text",
+        operators.BpeTokenizer.frozenMerges)
+      operators.Sft.packTokensWithMasks(assembled, capacity = 256L)
+        .orderBy(col("conversation_id"), col("turn_idx"))
+    }),
 
     // SFT DECONTAMINATION — the benchmark-leak gate applied to
     // post-training data: each conversation's concatenated ASSISTANT
@@ -10280,6 +10368,7 @@ object SparkEntry {
     "q_stream_sft" -> sftAssembleOracleSql,
     "q_sft_pack" -> sftPackOracleSql,
     "q_sft_pack_tokens" -> sftPackTokensOracleSql,
+    "q_sft_pipeline" -> sftPipelineOracleSql,
     "q_stream_pref_pairs" -> prefPairsOracleSql,
     "q_sft_bon" -> sftBonOracleSql,
     "q_sft_dedup" -> sftDedupOracleSql,
