@@ -899,6 +899,62 @@ object SparkEntry {
        |ORDER BY p.conversation_id, s.turn_idx""".stripMargin
   }
 
+  /** bpe-fertility oracle: the frozen-BPE fixpoint per distinct
+    * word, token counts joined back to word instances, per-source sums,
+    * and the two ppm fixed-point ratios. */
+  private def bpeFertilityOracleSql: String = {
+    val maxRank = operators.BpeTokenizer.frozenMerges.size
+    s"""WITH RECURSIVE
+       |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
+       |toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                t -> t <> '') AS tk
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, source, list_extract(tk, i) AS word
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
+       |dw AS (SELECT DISTINCT word FROM w),
+       |enc AS (
+       |  SELECT word,
+       |    chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substring(word, i, 1) ||
+       |        CASE WHEN i = length(word) THEN '</w>' ELSE '' END), chr(1))
+       |      || chr(1) AS seq,
+       |    0 AS r
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN np <> seq THEN np ELSE seq END,
+       |    CASE WHEN np <> seq THEN r ELSE r + 1 END
+       |  FROM (
+       |    SELECT e.word, e.seq, e.r,
+       |      replace(replace(e.seq,
+       |        chr(1) || m.x || chr(1) || m.y || chr(1),
+       |        chr(1) || m.x || m.y || chr(2)), chr(2), chr(1)) AS np
+       |    FROM enc e JOIN mg m ON m.r = e.r) s),
+       |wtok AS (
+       |  SELECT word,
+       |    CAST(len(list_filter(string_split(seq, chr(1)), q -> q <> ''))
+       |      AS BIGINT) AS ntk
+       |  FROM enc WHERE r = $maxRank),
+       |pw AS (
+       |  SELECT w.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(t.ntk) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(length(w.word)) AS BIGINT) AS n_chars
+       |  FROM w JOIN wtok t USING (word) GROUP BY w.source),
+       |nd AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY source)
+       |SELECT nd.source, nd.n_docs, pw.n_words, pw.n_tokens, pw.n_chars,
+       |  CAST((1000000 * pw.n_tokens) // pw.n_words AS BIGINT)
+       |    AS fertility_ppm,
+       |  CAST((1000000 * pw.n_chars) // pw.n_tokens AS BIGINT)
+       |    AS chars_per_token_ppm
+       |FROM nd JOIN pw ON pw.source = nd.source
+       |ORDER BY nd.source""".stripMargin
+  }
+
   private def sftPackTokensOracleSql: String =
     s"""WITH RECURSIVE
        |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
@@ -4702,6 +4758,33 @@ object SparkEntry {
       operators.BpeTokenizer.tokenizeWith(t(s, dir, "documents"), "doc_id",
         "text", operators.BpeTokenizer.frozenMerges)
         .orderBy(col("doc_id"), col("pos"))),
+
+    // BPE FERTILITY — the tokenizer-evaluation report under the REAL
+    // frozen BPE (q_tokenizer_fertility's sibling: that one counts
+    // regex "bpe-ish" pieces per LANG; this one counts actual merge-
+    // table tokens per SOURCE): tokens-per-word (fertility) and
+    // chars-per-token (compression) in exact ppm fixed point. Per-row
+    // HOF counting + ONE source-keyed combining aggregate; the oracle
+    // replays the BPE fixpoint per distinct word and re-aggregates.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val toks = operators.Dedup.cleanTokens(col("text"))
+      val bpe = operators.BpeTokenizer.tokensColumn(
+        operators.BpeTokenizer.frozenMerges, col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), size(toks).cast("long").as("__w"),
+          size(bpe).cast("long").as("__t"),
+          aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long"))
+            .as("__c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+          sum(col("__t")).as("n_tokens"), sum(col("__c")).as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_tokens"), col("n_chars"),
+          expr("(1000000 * n_tokens) div n_words").as("fertility_ppm"),
+          expr("(1000000 * n_chars) div n_tokens")
+            .as("chars_per_token_ppm"))
+        .orderBy(col("source"))
+    }),
 
     // The SECOND production tokenizer family: SentencePiece-style
     // unigram-LM segmentation (Kudo, ACL'18) under the frozen vocabulary
@@ -11874,6 +11957,7 @@ object SparkEntry {
     // exceeds the ranks that formed its symbols. Distinct words encode
     // once; per-doc positions come from a word-offset prefix sum.
     "q_bpe_tokenize" -> bpeFrozenSql,
+    "q_bpe_fertility" -> bpeFertilityOracleSql,
 
     // Curriculum oracle: the per-doc LM difficulty from the shared
     // Viterbi machinery, the global rank over the composite key, the

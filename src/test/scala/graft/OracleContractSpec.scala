@@ -55,6 +55,26 @@ class OracleContractSpec extends AnyFunSuite {
     }
   }
 
+  test("every query name is bound exactly twice in source (query + oracle)") {
+    // A Scala Map literal silently keeps the LAST binding for a
+    // duplicated key — round 17 found the sliding-window chunk query
+    // and its oracle SHADOWED out of the whole correctness sweep by a
+    // second `q_text_chunks` pair (dead since round 15, invisible at
+    // runtime because both halves vanished consistently). This is the
+    // source-level guard the runtime key-set checks above cannot be:
+    // every `"q_*" ->` binding must appear exactly twice — once in the
+    // queries map, once in the oracle map.
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Path.of("src/main/scala/graft/SparkEntry.scala"))
+    val names = "\"(q_[a-z0-9_]+)\" ->".r
+      .findAllMatchIn(src).map(_.group(1)).toSeq
+    val bad = names.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 != 2).toMap
+    assert(bad.isEmpty,
+      s"query names not bound exactly twice (queries map + oracle map) — " +
+        s"a count of 4 means a silently shadowed duplicate pair: $bad")
+  }
+
   test("no oracle surfaces a HUGEINT result column (driver-hash type drift)") {
     // DuckDB widens integer SUMs (plain, windowed, via CTE) to HUGEINT;
     // Spark has no INT128, and the driver canonicalizes HUGEINT differently
