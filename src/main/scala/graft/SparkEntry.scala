@@ -2682,6 +2682,23 @@ object SparkEntry {
         .orderBy(col("prompt_id"))
     }),
 
+    // STREAMING twin of the best-of-n export — the same grouped-runner
+    // contract as q_stream_pref_pairs: prompt-complete micro-batches
+    // make the per-batch rank window exact, and the batch-id check
+    // fails loudly on a split prompt. Shares q_sft_bon's oracle.
+    "q_stream_bon" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_bon_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_bon_src_${runTag(dir)}"
+      prefCandidates(s, dir).repartitionByRange(4, col("prompt_id"))
+        .write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamGroupedBounded(s, src,
+          batch => operators.Sft.bestOfN(batch, "prompt_id", "cand_id",
+            "text", "score", k = 3), Seq("prompt_id", "rank"))
+        .orderBy(col("prompt_id"), col("rank"))
+    }),
+
     // BEST-OF-N ranking export (reward-model / rejection-sampling prep):
     // the same scored candidates widen from one (chosen, rejected) pair
     // to the top-3 ranked rows per prompt with reward margins — rank 1
@@ -10454,6 +10471,7 @@ object SparkEntry {
     "q_sft_pipeline" -> sftPipelineOracleSql,
     "q_stream_pref_pairs" -> prefPairsOracleSql,
     "q_sft_bon" -> sftBonOracleSql,
+    "q_stream_bon" -> sftBonOracleSql,
     "q_sft_dedup" -> sftDedupOracleSql,
     "q_pref_pairs" -> prefPairsOracleSql,
     "q_sft_decontam" -> sftDecontamOracleSql,

@@ -188,8 +188,9 @@ object PlanAudit {
     // frame at construction (a build-time plan read would see only the
     // post-checkpoint stub)
     "q_quantile_native", "q_source_overlap_est",
-    // round-17: the preference-pair streaming twin runs micro-batches at
-    // build; the RAG capstone trains/persists/reloads IVF-PQ models and
-    // localCheckpoints its chunk-embedding and retrieval frames
-    "q_stream_pref_pairs", "q_rag_pipeline")
+    // round-17: the preference-pair and best-of-n streaming twins run
+    // micro-batches at build; the RAG capstone trains/persists/reloads
+    // IVF-PQ models and localCheckpoints its chunk-embedding and
+    // retrieval frames
+    "q_stream_pref_pairs", "q_stream_bon", "q_rag_pipeline")
 }
