@@ -825,18 +825,13 @@ object SparkEntry {
     * `extraCols` appends engine-side gate columns (e.g.
     * `, TRUE AS span_text_ok`). Shared verbatim by q_sft_pack_tokens
     * and the q_sft_pipeline capstone. */
-  private def tokenPackOracleTail(capacity: Int, extraCols: String): String = {
+  /** The frozen-BPE WORD-COUNT CTE pair: given `mg(r, x, y)` and a
+    * `dw(word)` CTE of distinct words in scope, emits `enc` (the
+    * rank-ordered replace-to-fixpoint recursion) and `wtok(word, ntk)`
+    * — the per-word token counts every token-budget oracle reuses. */
+  private def bpeWordCountCtes: String = {
     val maxRank = operators.BpeTokenizer.frozenMerges.size
-    s"""ttk AS (
-       |  SELECT conversation_id, turn_idx,
-       |    list_filter(string_split_regex(trim(lower(t)), '\\s+'),
-       |                x -> x <> '') AS tk
-       |  FROM tu),
-       |tw AS (
-       |  SELECT conversation_id, turn_idx, list_extract(tk, i) AS word
-       |  FROM ttk, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
-       |dw AS (SELECT DISTINCT word FROM tw),
-       |enc AS (
+    s"""enc AS (
        |  SELECT word,
        |    chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
        |      i -> substring(word, i, 1) ||
@@ -858,14 +853,61 @@ object SparkEntry {
        |  SELECT word,
        |    CAST(len(list_filter(string_split(seq, chr(1)), q -> q <> ''))
        |      AS BIGINT) AS ntk
-       |  FROM enc WHERE r = $maxRank),
+       |  FROM enc WHERE r = $maxRank)""".stripMargin
+  }
+
+  /** Per-turn frozen-BPE token lengths: given `mg` and a
+    * `tu(conversation_id, turn_idx, role, t)` CTE in scope, emits
+    * `r2(conversation_id, turn_idx, role, rlen)` — rlen = content
+    * tokens + the frozen ChatML overhead of 5. Shared by the packing
+    * and assembly oracle tails. */
+  private def turnTokenLenCtes: String =
+    s"""ttk AS (
+       |  SELECT conversation_id, turn_idx,
+       |    list_filter(string_split_regex(trim(lower(t)), '\\s+'),
+       |                x -> x <> '') AS tk
+       |  FROM tu),
+       |tw AS (
+       |  SELECT conversation_id, turn_idx, list_extract(tk, i) AS word
+       |  FROM ttk, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
+       |dw AS (SELECT DISTINCT word FROM tw),
+       |""".stripMargin + bpeWordCountCtes + s""",
        |tn AS (
        |  SELECT conversation_id, turn_idx, CAST(SUM(ntk) AS BIGINT) AS k
        |  FROM tw JOIN wtok USING (word) GROUP BY 1, 2),
        |r2 AS (
        |  SELECT tu.conversation_id, tu.turn_idx, tu.role,
        |    COALESCE(tn.k, 0) + 5 AS rlen
-       |  FROM tu LEFT JOIN tn USING (conversation_id, turn_idx)),
+       |  FROM tu LEFT JOIN tn USING (conversation_id, turn_idx))""".stripMargin
+
+  /** Token-space ASSEMBLY oracle tail (no packing): per-conversation
+    * span intervals in token units — the q_sft_assemble arithmetic
+    * re-based onto [[turnTokenLenCtes]]' rlen. */
+  private def tokenAssembleOracleTail: String =
+    turnTokenLenCtes + s""",
+       |nt AS (
+       |  SELECT conversation_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       |    CAST(SUM(rlen) AS BIGINT) AS n_tokens
+       |  FROM r2 GROUP BY conversation_id),
+       |sp AS (
+       |  SELECT conversation_id, turn_idx, role, rlen,
+       |    CAST(COALESCE(SUM(rlen) OVER (PARTITION BY conversation_id
+       |      ORDER BY turn_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_tok
+       |  FROM r2)
+       |SELECT CAST(s.conversation_id AS BIGINT) AS conversation_id,
+       |  n.n_turns, n.n_tokens,
+       |  CAST(s.turn_idx AS BIGINT) AS turn_idx, s.role, s.start_tok,
+       |  CAST(s.start_tok + s.rlen AS BIGINT) AS end_tok,
+       |  CAST(s.start_tok + 3 AS BIGINT) AS content_start,
+       |  CAST(s.start_tok + s.rlen - 2 AS BIGINT) AS content_end,
+       |  s.role = 'assistant' AS train
+       |FROM sp s JOIN nt n USING (conversation_id)
+       |ORDER BY conversation_id, turn_idx""".stripMargin
+
+  private def tokenPackOracleTail(capacity: Int, extraCols: String): String = {
+    turnTokenLenCtes + s""",
        |conv AS (
        |  SELECT conversation_id, CAST(SUM(rlen) AS BIGINT) AS n_tokens
        |  FROM r2 GROUP BY conversation_id),
@@ -903,7 +945,6 @@ object SparkEntry {
     * word, token counts joined back to word instances, per-source sums,
     * and the two ppm fixed-point ratios. */
   private def bpeFertilityOracleSql: String = {
-    val maxRank = operators.BpeTokenizer.frozenMerges.size
     s"""WITH RECURSIVE
        |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
        |toks AS (
@@ -915,29 +956,7 @@ object SparkEntry {
        |  SELECT doc_id, source, list_extract(tk, i) AS word
        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
        |dw AS (SELECT DISTINCT word FROM w),
-       |enc AS (
-       |  SELECT word,
-       |    chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
-       |      i -> substring(word, i, 1) ||
-       |        CASE WHEN i = length(word) THEN '</w>' ELSE '' END), chr(1))
-       |      || chr(1) AS seq,
-       |    0 AS r
-       |  FROM dw
-       |  UNION ALL
-       |  SELECT word,
-       |    CASE WHEN np <> seq THEN np ELSE seq END,
-       |    CASE WHEN np <> seq THEN r ELSE r + 1 END
-       |  FROM (
-       |    SELECT e.word, e.seq, e.r,
-       |      replace(replace(e.seq,
-       |        chr(1) || m.x || chr(1) || m.y || chr(1),
-       |        chr(1) || m.x || m.y || chr(2)), chr(2), chr(1)) AS np
-       |    FROM enc e JOIN mg m ON m.r = e.r) s),
-       |wtok AS (
-       |  SELECT word,
-       |    CAST(len(list_filter(string_split(seq, chr(1)), q -> q <> ''))
-       |      AS BIGINT) AS ntk
-       |  FROM enc WHERE r = $maxRank),
+       |""".stripMargin + bpeWordCountCtes + s""",
        |pw AS (
        |  SELECT w.source, CAST(COUNT(*) AS BIGINT) AS n_words,
        |    CAST(SUM(t.ntk) AS BIGINT) AS n_tokens,
@@ -968,6 +987,96 @@ object SparkEntry {
        |  FROM documents),
        |""".stripMargin +
       tokenPackOracleTail(256, ",\n  TRUE AS span_text_ok")
+
+  /** token-space assembly oracle: the shared turn fixture fed through
+    * [[tokenAssembleOracleTail]] — per-turn token-span intervals, no
+    * packing. Shared verbatim by the batch query and its streaming
+    * twin. */
+  private def sftAssembleTokensOracleSql: String =
+    s"""WITH RECURSIVE
+       |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
+       |tu AS (
+       |  SELECT doc_id // 4 AS conversation_id, doc_id % 4 AS turn_idx,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+       |    'Turn ' || CAST(doc_id % 4 AS VARCHAR) || ': ' ||
+       |      array_to_string(list_slice(
+       |        list_filter(string_split(text, ' '), x -> x <> ''), 1, 4),
+       |        ' ') AS t
+       |  FROM documents),
+       |""".stripMargin + tokenAssembleOracleTail
+
+  /** token-exact interleaved-packing oracle: the q_interleaved_pack
+    * chain with TEXT costs from the frozen-BPE fixpoint instead of
+    * whitespace counts (images keep the constant 64-token placeholder
+    * budget). */
+  private def interleavedPackTokensOracleSql: String =
+    s"""WITH RECURSIVE
+      |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
+      |u AS (
+      |  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS id,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ')
+      |      AS w5,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3), ' ')
+      |      AS w3
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, 0 AS pos, 'text' AS kind,
+      |    'Opening paragraph for document ' || id || ' about ' || w5 ||
+      |      ' with enough length.' AS text
+      |  FROM u
+      |  UNION ALL SELECT doc_id, 1, 'image', NULL FROM u
+      |  UNION ALL SELECT doc_id, 2, 'image', NULL FROM u
+      |  UNION ALL SELECT doc_id, 3, 'text',
+      |    'Closing paragraph reciting ' || w3 ||
+      |      ' once more for position four.' FROM u),
+      |it0 AS (
+      |  SELECT doc_id, pos, kind,
+      |    CASE WHEN kind = 'text' THEN
+      |      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      |                  x -> x <> '') END AS tk
+      |  FROM l),
+      |tw AS (
+      |  SELECT doc_id, pos, list_extract(tk, i) AS word
+      |  FROM it0, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r
+      |  WHERE tk IS NOT NULL),
+      |dw AS (SELECT DISTINCT word FROM tw),
+      |""".stripMargin + bpeWordCountCtes + s""",
+      |tcost AS (
+      |  SELECT doc_id, pos, CAST(SUM(ntk) AS BIGINT) AS c
+      |  FROM tw JOIN wtok USING (word) GROUP BY 1, 2),
+      |c AS (
+      |  SELECT i.doc_id, i.pos, i.kind,
+      |    CAST(CASE WHEN i.kind = 'image' THEN 64
+      |         ELSE COALESCE(t.c, 0) END AS BIGINT) AS n_tok
+      |  FROM it0 i LEFT JOIN tcost t USING (doc_id, pos)),
+      |doc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |  FROM c GROUP BY doc_id),
+      |packed AS (
+      |  SELECT doc_id, n_items, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS g0,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM doc),
+      |it AS (
+      |  SELECT doc_id, pos, kind, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS st
+      |  FROM c)
+      |SELECT p.doc_id, p.n_items, p.n_tokens,
+      |  CAST(p.g0 // 512 AS BIGINT) AS seq_id,
+      |  (p.n_tokens > 0 AND (p.cum - 1) // 512 <> p.g0 // 512) AS is_split,
+      |  CAST(i.pos AS BIGINT) AS pos, i.kind, i.n_tok,
+      |  CAST(p.g0 + i.st AS BIGINT) AS g_start,
+      |  CAST(p.g0 + i.st + i.n_tok AS BIGINT) AS g_end
+      |FROM packed p JOIN it i USING (doc_id)
+      |ORDER BY p.doc_id, i.pos""".stripMargin
 
   /** sft-pipeline capstone oracle: the survivor set replays the planted
     * fixture's structure (the sftDedupFuzzyOracleSql discipline —
@@ -1786,6 +1895,23 @@ object SparkEntry {
         col("sp.content_end").as("content_end"),
         col("sp.train").as("train"))
 
+  /** The q_sft_assemble_tokens computation (turns → per-turn TOKEN-span
+    * rows under the frozen BPE) as a projection over a turn frame —
+    * shared verbatim by the batch query and its streaming twin (the
+    * grouped-runner contract makes the per-batch aggregate exact). */
+  private val sftTokenAssembleProjected: DataFrame => DataFrame = turns =>
+    operators.Sft.assembleTokenSpans(turns, "conv_id", "turn_idx", "role",
+        "text", operators.BpeTokenizer.frozenMerges)
+      .select(col("conversation_id"), col("n_turns"), col("n_tokens"),
+        explode(col("spans")).as("sp"))
+      .select(col("conversation_id"), col("n_turns"), col("n_tokens"),
+        col("sp.turn_idx").as("turn_idx"), col("sp.role").as("role"),
+        col("sp.start_tok").as("start_tok"),
+        col("sp.end_tok").as("end_tok"),
+        col("sp.content_start").as("content_start"),
+        col("sp.content_end").as("content_end"),
+        col("sp.train").as("train"))
+
   /** SFT-dedup turn fixture: conversations of four turns (doc_id/4),
     * grouped three-by-three (conv_id/3) onto a shared group-keyed token
     * text, so each group plants one dedup cluster: conversations 0 and
@@ -2551,6 +2677,23 @@ object SparkEntry {
           capacity = 512L)
         .orderBy(col("doc_id"), col("pos"))),
 
+    // TOKEN-EXACT interleaved packing — the q_sft_pack_tokens upgrade
+    // applied to the multimodal trainer shape: text runs cost their
+    // frozen-BPE token counts (computed per item row, before the doc
+    // shuffle), images keep the constant 64-token placeholder budget.
+    // Same packing arithmetic, caller-supplied cost column.
+    "q_interleaved_pack_tokens" -> ((s, dir) => {
+      val items = htmlInterleavedRows(t(s, dir, "documents"))
+      val cost = when(col("kind") === "image", lit(64L))
+        .otherwise(size(operators.BpeTokenizer.tokensColumn(
+          operators.BpeTokenizer.frozenMerges,
+          coalesce(col("text"), lit("")))).cast("long"))
+      operators.Packing.packInterleavedCosted(
+          items.withColumn("__cost", cost),
+          "doc_id", "pos", "kind", "__cost", capacity = 512L)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // STREAMING twin of the interleaved extraction — per-row
     // projection, so stream ≡ batch VERBATIM and it shares
     // q_interleaved_docs' oracle.
@@ -2592,6 +2735,31 @@ object SparkEntry {
         .write.mode("overwrite").parquet(src)
       streaming.StreamingIngest.runStreamGroupedBounded(s, src,
           sftAssembleProjected, Seq("conversation_id", "turn_idx"))
+        .orderBy(col("conversation_id"), col("turn_idx"))
+    }),
+
+    // TOKEN-SPACE ASSEMBLY — q_sft_assemble's spans re-based to frozen-
+    // BPE token units (the q_sft_pack_tokens front door, exposed as its
+    // own surface): per turn the [start_tok, end_tok) interval and the
+    // content-token sub-interval, train flags on assistant spans. One
+    // conversation-keyed aggregate; token counts computed per turn row
+    // BEFORE the shuffle.
+    "q_sft_assemble_tokens" -> ((s, dir) =>
+      sftTokenAssembleProjected(sftAssembleTurns(s, dir))
+        .orderBy(col("conversation_id"), col("turn_idx"))),
+
+    // STREAMING twin of the token-space assembly — same grouped-runner
+    // contract as q_stream_sft (conversation-complete micro-batches,
+    // batch-id check). Shares q_sft_assemble_tokens' oracle verbatim.
+    "q_stream_sft_tokens" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_sftt_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sftt_src_${runTag(dir)}"
+      sftAssembleTurns(s, dir).repartitionByRange(4, col("conv_id"))
+        .write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamGroupedBounded(s, src,
+          sftTokenAssembleProjected, Seq("conversation_id", "turn_idx"))
         .orderBy(col("conversation_id"), col("turn_idx"))
     }),
 
@@ -10485,6 +10653,9 @@ object SparkEntry {
     "q_stream_markdown" -> htmlMarkdownOracleSql,
     "q_interleaved_docs" -> interleavedDocsOracleSql,
     "q_interleaved_pack" -> interleavedPackOracleSql,
+    "q_interleaved_pack_tokens" -> interleavedPackTokensOracleSql,
+    "q_sft_assemble_tokens" -> sftAssembleTokensOracleSql,
+    "q_stream_sft_tokens" -> sftAssembleTokensOracleSql,
     "q_stream_interleaved" -> interleavedDocsOracleSql,
 
     // html-markdown oracle (shared with the streaming twin): the

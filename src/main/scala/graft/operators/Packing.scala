@@ -105,14 +105,26 @@ object Packing {
   def packInterleaved(items: DataFrame, docCol: String, posCol: String,
                       kindCol: String, textCol: String,
                       imageBudget: Long, capacity: Long): DataFrame = {
-    require(capacity > 0, "capacity must be positive")
     require(imageBudget > 0, "imageBudget must be positive")
     val cost = when(col(kindCol) === "image", lit(imageBudget))
       .otherwise(size(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
         t => t =!= "")).cast("long"))
+    packInterleavedCosted(items.withColumn("__graft_cost", cost), docCol,
+      posCol, kindCol, "__graft_cost", capacity)
+  }
+
+  /** [[packInterleaved]] under a CALLER-SUPPLIED per-item cost column —
+    * the token-exact shape: drive text costs with a real tokenizer's
+    * counts (e.g. frozen-BPE via
+    * [[BpeTokenizer.tokensColumn]]) instead of whitespace counting,
+    * keeping the packing arithmetic identical. */
+  def packInterleavedCosted(items: DataFrame, docCol: String,
+                            posCol: String, kindCol: String,
+                            costCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
     val sorted = array_sort(collect_list(struct(
       col(posCol).cast("long").as("pos"), col(kindCol).as("kind"),
-      cost.as("cost"))))
+      col(costCol).cast("long").as("cost"))))
     val perDoc = items.groupBy(col(docCol).as("doc_id"))
       .agg(sorted.as("its"))
       .withColumn("__lens", transform(col("its"), t => t.getField("cost")))

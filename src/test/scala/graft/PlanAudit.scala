@@ -192,5 +192,6 @@ object PlanAudit {
     // micro-batches at build; the RAG capstone trains/persists/reloads
     // IVF-PQ models and localCheckpoints its chunk-embedding and
     // retrieval frames
-    "q_stream_pref_pairs", "q_stream_bon", "q_rag_pipeline")
+    "q_stream_pref_pairs", "q_stream_bon", "q_stream_sft_tokens",
+    "q_rag_pipeline")
 }
