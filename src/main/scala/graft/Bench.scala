@@ -185,12 +185,21 @@ object Bench {
     }
     val topQs = byCost.take(40)
       .map(k => "\"" + k + "\":" + fmt(timeOf(k))).mkString("{", ",", "}")
-    val compactLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${names.length},"queries_note":"top-40 by min time; full map in $fullPath","queries":$topQs$failedJson,"value":${fmt(total)},"agg":"min"}"""
+    val filtered = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+    // an honest note: a FILTERED local-iteration run is a spot stamp of
+    // exactly n_queries queries, not "the top-40 of the surface"
+    val note =
+      if (filtered) s"FILTERED run (${names.length} queries); full map in $fullPath"
+      else s"top-40 by min time; full map in $fullPath"
+    val compactLine = s"""{"metric":"total","unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${names.length},"queries_note":"$note","queries":$topQs$failedJson,"value":${fmt(total)},"agg":"min"}"""
     // Second landing spot for the contract line (belt to the stdout
     // braces): the driver-facing compact JSON also goes to a fixed stamp
     // path so the structured map survives even if some future harness
-    // truncates or re-prefixes stdout again.
-    try {
+    // truncates or re-prefixes stdout again. FILTERED runs do NOT
+    // overwrite it — the fixed path must always describe a full-surface
+    // run (the correctness_latest.json discipline); spot stamps land
+    // only where SPARK_GRAFT_BENCH_FULL points.
+    try if (!filtered) {
       val p = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BENCH_DRIVER", "tools/stamps/bench_driver_latest.json"))
       Option(p.getParent)

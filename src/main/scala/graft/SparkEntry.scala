@@ -561,8 +561,23 @@ object SparkEntry {
   /** interleaved-docs oracle: the four emitted positions per document
     * (content, image, image, content) — the nav run and its short
     * successor must NOT appear at any position. */
-  private val interleavedDocsOracleSql: String =
-        """WITH u AS (
+  /** The interleaved-page fixture replay (`u` + `l` CTEs) — ONE source
+    * of truth for the planted 4-item page shape, shared by all three
+    * interleaved oracles (extraction, packing, token packing).
+    * `withMedia` adds the src/alt columns only the extraction oracle
+    * reads. */
+  private def interleavedFixtureCtes(withMedia: Boolean): String = {
+    val mediaCols0 =
+      if (withMedia) ",\n    CAST(NULL AS VARCHAR) AS src, CAST(NULL AS VARCHAR) AS alt"
+      else ""
+    val media1 =
+      if (withMedia) ",\n    '/img/' || id || '.png',\n    'one-' || CAST(doc_id % 13 AS VARCHAR)"
+      else ""
+    val media2 =
+      if (withMedia) ",\n    '//cdn.' || source || '.example.com/m' ||\n      CAST(doc_id % 7 AS VARCHAR) || '.webp', ''"
+      else ""
+    val media3 = if (withMedia) ", NULL, NULL" else ""
+    s"""u AS (
       |  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS id,
       |    array_to_string(list_slice(
       |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ')
@@ -574,18 +589,17 @@ object SparkEntry {
       |l AS (
       |  SELECT doc_id, 0 AS pos, 'text' AS kind,
       |    'Opening paragraph for document ' || id || ' about ' || w5 ||
-      |      ' with enough length.' AS text,
-      |    CAST(NULL AS VARCHAR) AS src, CAST(NULL AS VARCHAR) AS alt
+      |      ' with enough length.' AS text$mediaCols0
       |  FROM u
-      |  UNION ALL SELECT doc_id, 1, 'image', NULL,
-      |    '/img/' || id || '.png',
-      |    'one-' || CAST(doc_id % 13 AS VARCHAR) FROM u
-      |  UNION ALL SELECT doc_id, 2, 'image', NULL,
-      |    '//cdn.' || source || '.example.com/m' ||
-      |      CAST(doc_id % 7 AS VARCHAR) || '.webp', '' FROM u
+      |  UNION ALL SELECT doc_id, 1, 'image', NULL$media1 FROM u
+      |  UNION ALL SELECT doc_id, 2, 'image', NULL$media2 FROM u
       |  UNION ALL SELECT doc_id, 3, 'text',
       |    'Closing paragraph reciting ' || w3 ||
-      |      ' once more for position four.', NULL, NULL FROM u)
+      |      ' once more for position four.'$media3 FROM u)""".stripMargin
+  }
+
+  private def interleavedDocsOracleSql: String =
+    "WITH " + interleavedFixtureCtes(withMedia = true) + """
       |SELECT doc_id, CAST(pos AS BIGINT) AS pos, kind, text, src, alt
       |FROM l ORDER BY doc_id, pos""".stripMargin
 
@@ -594,26 +608,8 @@ object SparkEntry {
     * count) + in-document and cross-document prefix sums + the
     * capacity-512 division — the q_sft_pack chain re-based onto
     * multimodal items. */
-  private val interleavedPackOracleSql: String =
-        """WITH u AS (
-      |  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS id,
-      |    array_to_string(list_slice(
-      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ')
-      |      AS w5,
-      |    array_to_string(list_slice(
-      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3), ' ')
-      |      AS w3
-      |  FROM documents),
-      |l AS (
-      |  SELECT doc_id, 0 AS pos, 'text' AS kind,
-      |    'Opening paragraph for document ' || id || ' about ' || w5 ||
-      |      ' with enough length.' AS text
-      |  FROM u
-      |  UNION ALL SELECT doc_id, 1, 'image', NULL FROM u
-      |  UNION ALL SELECT doc_id, 2, 'image', NULL FROM u
-      |  UNION ALL SELECT doc_id, 3, 'text',
-      |    'Closing paragraph reciting ' || w3 ||
-      |      ' once more for position four.' FROM u),
+  private def interleavedPackOracleSql: String =
+    "WITH " + interleavedFixtureCtes(withMedia = false) + """,
       |c AS (
       |  SELECT doc_id, pos, kind,
       |    CAST(CASE WHEN kind = 'image' THEN 64
@@ -816,15 +812,6 @@ object SparkEntry {
       .map { case ((x, y), r) => s"($r, '${q(x)}', '${q(y)}')" }.mkString(", ")
   }
 
-  /** The shared BPE-fixpoint + ChatML token-packing oracle TAIL: given
-    * `mg(r, x, y)` (the frozen merges) and a
-    * `tu(conversation_id, turn_idx, role, t)` turn CTE already in
-    * scope, tokenizes every turn under the merges (recursive fixpoint),
-    * applies the +5/+3/−2 frozen ChatML token overhead, the
-    * per-conversation prefix sums, and the `capacity` packing division.
-    * `extraCols` appends engine-side gate columns (e.g.
-    * `, TRUE AS span_text_ok`). Shared verbatim by q_sft_pack_tokens
-    * and the q_sft_pipeline capstone. */
   /** The frozen-BPE WORD-COUNT CTE pair: given `mg(r, x, y)` and a
     * `dw(word)` CTE of distinct words in scope, emits `enc` (the
     * rank-ordered replace-to-fixpoint recursion) and `wtok(word, ntk)`
@@ -906,6 +893,14 @@ object SparkEntry {
        |FROM sp s JOIN nt n USING (conversation_id)
        |ORDER BY conversation_id, turn_idx""".stripMargin
 
+  /** The shared BPE-fixpoint + ChatML token-PACKING oracle tail: given
+    * `mg(r, x, y)` (the frozen merges) and a
+    * `tu(conversation_id, turn_idx, role, t)` turn CTE already in
+    * scope, tokenizes every turn under the merges (via
+    * [[turnTokenLenCtes]]), applies the per-conversation prefix sums
+    * and the `capacity` packing division. `extraCols` appends
+    * engine-side gate columns (e.g. `, TRUE AS span_text_ok`). Shared
+    * verbatim by q_sft_pack_tokens and the q_sft_pipeline capstone. */
   private def tokenPackOracleTail(capacity: Int, extraCols: String): String = {
     turnTokenLenCtes + s""",
        |conv AS (
@@ -1012,25 +1007,7 @@ object SparkEntry {
   private def interleavedPackTokensOracleSql: String =
     s"""WITH RECURSIVE
       |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
-      |u AS (
-      |  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS id,
-      |    array_to_string(list_slice(
-      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ')
-      |      AS w5,
-      |    array_to_string(list_slice(
-      |      list_filter(string_split(text, ' '), x -> x <> ''), 1, 3), ' ')
-      |      AS w3
-      |  FROM documents),
-      |l AS (
-      |  SELECT doc_id, 0 AS pos, 'text' AS kind,
-      |    'Opening paragraph for document ' || id || ' about ' || w5 ||
-      |      ' with enough length.' AS text
-      |  FROM u
-      |  UNION ALL SELECT doc_id, 1, 'image', NULL FROM u
-      |  UNION ALL SELECT doc_id, 2, 'image', NULL FROM u
-      |  UNION ALL SELECT doc_id, 3, 'text',
-      |    'Closing paragraph reciting ' || w3 ||
-      |      ' once more for position four.' FROM u),
+      |""".stripMargin + interleavedFixtureCtes(withMedia = false) + s""",
       |it0 AS (
       |  SELECT doc_id, pos, kind,
       |    CASE WHEN kind = 'text' THEN
@@ -2685,9 +2662,9 @@ object SparkEntry {
     "q_interleaved_pack_tokens" -> ((s, dir) => {
       val items = htmlInterleavedRows(t(s, dir, "documents"))
       val cost = when(col("kind") === "image", lit(64L))
-        .otherwise(size(operators.BpeTokenizer.tokensColumn(
+        .otherwise(operators.BpeTokenizer.tokenCountColumn(
           operators.BpeTokenizer.frozenMerges,
-          coalesce(col("text"), lit("")))).cast("long"))
+          coalesce(col("text"), lit(""))).cast("long"))
       operators.Packing.packInterleavedCosted(
           items.withColumn("__cost", cost),
           "doc_id", "pos", "kind", "__cost", capacity = 512L)
@@ -4953,11 +4930,11 @@ object SparkEntry {
     // replays the BPE fixpoint per distinct word and re-aggregates.
     "q_bpe_fertility" -> ((s, dir) => {
       val toks = operators.Dedup.cleanTokens(col("text"))
-      val bpe = operators.BpeTokenizer.tokensColumn(
+      val bpe = operators.BpeTokenizer.tokenCountColumn(
         operators.BpeTokenizer.frozenMerges, col("text"))
       t(s, dir, "documents")
         .select(col("source"), size(toks).cast("long").as("__w"),
-          size(bpe).cast("long").as("__t"),
+          bpe.cast("long").as("__t"),
           aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long"))
             .as("__c"))
         .groupBy(col("source"))

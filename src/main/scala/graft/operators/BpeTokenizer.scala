@@ -137,17 +137,43 @@ object BpeTokenizer {
 
   /** Column of BPE tokens for `textCol` under the learned `merges`: the
     * concatenation of per-word encodings, in order. Broadcast-applied,
-    * shuffle-free; a per-partition memo caches repeated words. */
+    * shuffle-free; a PER-TASK word memo (@transient lazy in the
+    * deserialized closure — each Spark task gets its own instance, and
+    * tasks are single-threaded) caches repeated words across the whole
+    * task, not just one row. Memo size is bounded by the task's
+    * distinct-word count (vocabulary-shaped, not corpus-shaped). */
   def tokensColumn(merges: Seq[(String, String)], textCol: Column): Column = {
     val ranks = merges.zipWithIndex.toMap
-    val enc = udf { (words: Seq[String]) =>
-      if (words == null) Seq.empty[String]
-      else {
-        val memo = mutable.HashMap.empty[String, Array[String]]
-        words.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, ranks)))
-      }
+    val f = new (Seq[String] => Seq[String]) with Serializable {
+      @transient private lazy val memo =
+        mutable.HashMap.empty[String, Array[String]]
+      def apply(words: Seq[String]): Seq[String] =
+        if (words == null) Seq.empty[String]
+        else words.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, ranks)))
     }
-    enc(Dedup.cleanTokens(textCol))
+    udf(f).apply(Dedup.cleanTokens(textCol))
+  }
+
+  /** Token COUNT of `textCol` under the learned `merges` — the
+    * budgeting shape ([[Sft.assembleTokenSpans]] spans, interleaved
+    * packing costs): counts without materializing a token array per
+    * row, same per-task memo as [[tokensColumn]]. Value-identical to
+    * `size(tokensColumn(merges, textCol))` by construction (the memo
+    * stores each word's encoded LENGTH). */
+  def tokenCountColumn(merges: Seq[(String, String)], textCol: Column): Column = {
+    val ranks = merges.zipWithIndex.toMap
+    val f = new (Seq[String] => Int) with Serializable {
+      @transient private lazy val memo = mutable.HashMap.empty[String, Int]
+      def apply(words: Seq[String]): Int =
+        if (words == null) 0
+        else {
+          var n = 0
+          words.foreach(w =>
+            n += memo.getOrElseUpdate(w, encodeWord(w, ranks).length))
+          n
+        }
+    }
+    udf(f).apply(Dedup.cleanTokens(textCol))
   }
 
   /** (idCol, pos, token) exploded tokenization of the corpus under

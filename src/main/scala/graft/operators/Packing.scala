@@ -115,16 +115,18 @@ object Packing {
 
   /** [[packInterleaved]] under a CALLER-SUPPLIED per-item cost column —
     * the token-exact shape: drive text costs with a real tokenizer's
-    * counts (e.g. frozen-BPE via
-    * [[BpeTokenizer.tokensColumn]]) instead of whitespace counting,
-    * keeping the packing arithmetic identical. */
+    * counts (e.g. frozen-BPE via [[BpeTokenizer.tokenCountColumn]])
+    * instead of whitespace counting, keeping the packing arithmetic
+    * identical. A NULL cost reads as 0 (the [[PrefixSum]] null-as-zero
+    * discipline) — one null from a join-derived cost would otherwise
+    * poison every later offset in its document's prefix sums. */
   def packInterleavedCosted(items: DataFrame, docCol: String,
                             posCol: String, kindCol: String,
                             costCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val sorted = array_sort(collect_list(struct(
       col(posCol).cast("long").as("pos"), col(kindCol).as("kind"),
-      col(costCol).cast("long").as("cost"))))
+      coalesce(col(costCol).cast("long"), lit(0L)).as("cost"))))
     val perDoc = items.groupBy(col(docCol).as("doc_id"))
       .agg(sorted.as("its"))
       .withColumn("__lens", transform(col("its"), t => t.getField("cost")))

@@ -113,8 +113,8 @@ object Sft {
                          trainRole: String = "assistant"): DataFrame = {
     // null text reads as "" (zero content tokens, overhead still counts)
     // for the same offset-integrity reason assemble() coalesces
-    val nTok = size(BpeTokenizer.tokensColumn(merges,
-      coalesce(col(textCol), lit("")))).cast("long")
+    val nTok = BpeTokenizer.tokenCountColumn(merges,
+      coalesce(col(textCol), lit(""))).cast("long")
     val turnRows = turns.select(col(convCol).as("conversation_id"),
       col(idxCol).cast("long").as("turn_idx"),
       coalesce(col(roleCol), lit("")).as("role"),

@@ -193,5 +193,14 @@ object PlanAudit {
     // IVF-PQ models and localCheckpoints its chunk-embedding and
     // retrieval frames
     "q_stream_pref_pairs", "q_stream_bon", "q_stream_sft_tokens",
-    "q_rag_pipeline")
+    "q_rag_pipeline",
+    // round-17 audit-coverage fix: these r15/r16 bounded-runner twins
+    // also execute their micro-batches at CONSTRUCTION (and some write
+    // scratch), so the lazy global audit only ever saw their
+    // post-checkpoint stub unions — the exact gap this list exists to
+    // close; they were misclassified from the start
+    "q_stream_text_extract", "q_stream_links", "q_stream_images",
+    "q_stream_interleaved", "q_stream_sft", "q_stream_markdown",
+    "q_stream_tables", "q_stream_traps", "q_stream_anchor_texts",
+    "q_stream_robots_gate", "q_stream_seeds", "q_stream_jsonl_source")
 }

@@ -94,6 +94,27 @@ class PackDecontSpec extends graft.SparkSpec {
       (3L, 1L, 0L, 1L, false, 0L, "text", 0L, 21L, 21L)))
   }
 
+  test("packInterleavedCosted: caller cost column, NULL cost reads as 0") {
+    import spark.implicits._
+    val items = Seq(
+      (1L, 0L, "text", Some(5L)),
+      (1L, 1L, "image", Some(8L)),
+      // a join-derived NULL cost must not poison the later offsets
+      (1L, 2L, "text", None: Option[Long]),
+      (1L, 3L, "text", Some(3L)))
+      .toDF("doc_id", "pos", "kind", "cost")
+    val out = Packing.packInterleavedCosted(items, "doc_id", "pos",
+        "kind", "cost", capacity = 100L)
+      .orderBy("pos")
+      .select("pos", "n_tok", "g_start", "g_end", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (0L, 5L, 0L, 5L, 16L),
+      (1L, 8L, 5L, 13L, 16L),
+      (2L, 0L, 13L, 13L, 16L), // null → zero-width item, offsets exact
+      (3L, 3L, 13L, 16L, 16L)))
+  }
+
   test("length-bucketed batches: dense chops, waste vs own batch max, length-monotone buckets") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, 10L + i * 3)).toDF("doc_id", "n_tok")
