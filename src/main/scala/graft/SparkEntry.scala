@@ -1055,6 +1055,50 @@ object SparkEntry {
       |FROM packed p JOIN it i USING (doc_id)
       |ORDER BY p.doc_id, i.pos""".stripMargin
 
+  /** ffd-packing oracle: the whole per-shard first-fit-decreasing fold
+    * replayed — Knuth shard hash (the q_corpus_shuffle formula), docs
+    * ranked (tokens desc, id) per shard, and a recursive CTE whose
+    * state is the bin-fills LIST: each step first-fits via
+    * list_position over the fills, appending a new bin when nothing
+    * (including an oversize doc) can take the item. Every document's
+    * bin index and running fill hash-match the engine's fold. */
+  private val packFfdOracleSql: String =
+        """WITH RECURSIVE
+      |toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n,
+      |    ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+      |     + (doc_id % 65536) * 2654435761) % 4294967296 % 8 AS shard
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, n, shard,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY n DESC, doc_id)
+      |      AS rn
+      |  FROM toks),
+      |f AS (
+      |  SELECT shard, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+      |    CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS bin,
+      |    CAST(NULL AS BIGINT) AS fill_after,
+      |    CAST([] AS BIGINT[]) AS fills
+      |  FROM (SELECT DISTINCT shard FROM toks)
+      |  UNION ALL
+      |  SELECT f.shard, d.rn, d.doc_id, d.n,
+      |    CAST(CASE WHEN l.ix IS NULL OR l.ix = 0 THEN len(f.fills)
+      |         ELSE l.ix - 1 END AS BIGINT),
+      |    CAST(CASE WHEN l.ix IS NULL OR l.ix = 0 THEN d.n
+      |         ELSE f.fills[l.ix] + d.n END AS BIGINT),
+      |    CASE WHEN l.ix IS NULL OR l.ix = 0 THEN list_append(f.fills, d.n)
+      |         ELSE list_transform(range(1, len(f.fills) + 1),
+      |                i -> CASE WHEN i = l.ix THEN f.fills[i] + d.n
+      |                     ELSE f.fills[i] END) END
+      |  FROM f JOIN d ON d.shard = f.shard AND d.rn = f.rn + 1,
+      |  LATERAL (SELECT list_position(
+      |    list_transform(f.fills, x -> x + d.n <= 256), true) AS ix) l)
+      |SELECT doc_id, n AS n_tok, shard, bin, fill_after,
+      |  n > 256 AS oversize
+      |FROM f WHERE rn > 0 ORDER BY doc_id""".stripMargin
+
   /** sft-pipeline capstone oracle: the survivor set replays the planted
     * fixture's structure (the sftDedupFuzzyOracleSql discipline —
     * each stage's OPERATOR is independently hash-gated by
@@ -2653,6 +2697,22 @@ object SparkEntry {
           "doc_id", "pos", "kind", "text", imageBudget = 64L,
           capacity = 512L)
         .orderBy(col("doc_id"), col("pos"))),
+
+    // FIRST-FIT-DECREASING bin packing — the NO-TRUNCATION loader shape
+    // ("sample packing": whole documents only, capacity never crossed),
+    // complementing concat-and-split. Knuth-hash sharding (the
+    // SQL-replayable corpus-shuffle idiom), exact per-shard FFD fold;
+    // the oracle replays the ENTIRE fold per shard with a recursive CTE
+    // whose state is the bin-fills list — every document's bin
+    // assignment and running fill hash-match, not just summary claims.
+    "q_pack_ffd" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_tok"))
+      operators.Packing.ffdPack(docs, "doc_id", "n_tok", capacity = 256L,
+          shards = 8)
+        .orderBy(col("doc_id"))
+    }),
 
     // TOKEN-EXACT interleaved packing — the q_sft_pack_tokens upgrade
     // applied to the multimodal trainer shape: text runs cost their
@@ -10630,6 +10690,7 @@ object SparkEntry {
     "q_stream_markdown" -> htmlMarkdownOracleSql,
     "q_interleaved_docs" -> interleavedDocsOracleSql,
     "q_interleaved_pack" -> interleavedPackOracleSql,
+    "q_pack_ffd" -> packFfdOracleSql,
     "q_interleaved_pack_tokens" -> interleavedPackTokensOracleSql,
     "q_sft_assemble_tokens" -> sftAssembleTokensOracleSql,
     "q_stream_sft_tokens" -> sftAssembleTokensOracleSql,

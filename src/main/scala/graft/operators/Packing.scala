@@ -152,6 +152,58 @@ object Packing {
         (col("__g0") + col("sp.start") + col("sp.n_tok")).as("g_end"))
   }
 
+  /** First-fit-decreasing bin packing WITHOUT document truncation —
+    * the "sample packing" loader shape (every training sequence holds
+    * whole documents; the capacity is never crossed), complementing
+    * concat-and-split [[packSequences]] (which splits straddlers).
+    *
+    * True FFD is inherently sequential, so the distributed contract is
+    * EXPLICIT and deterministic: documents spread across `shards` by
+    * the SQL-replayable Knuth hash of their (long) id, each shard runs
+    * EXACT FFD over its own documents — sorted (tokens desc, id asc),
+    * one fold per shard inside `mapPartitions` — and bins never span
+    * shards. The classic FFD guarantees hold per shard (11/9·OPT+6/9
+    * bins; at most one bin under half full). A document larger than
+    * `capacity` takes a flagged singleton bin through the SAME code
+    * path (no bin can ever fit it, so first-fit appends).
+    *
+    * Scale: shard count is the parallelism knob — per-shard work is a
+    * single linear fold with an O(bins) first-fit scan, and the hash
+    * spreads documents evenly, so choose shards so one shard's
+    * documents fit one task comfortably. Output per document:
+    * (doc_id, n_tok, shard, bin, fill_after, oversize) — bin ids are
+    * shard-local. */
+  def ffdPack(df: DataFrame, idCol: String, tokenCol: String,
+              capacity: Long, shards: Int = 32): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(shards > 0, "shards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(idCol).cast("long").as("doc_id"),
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("n_tok"),
+        (Sampling.knuthSlot32(col(idCol).cast("long")) % shards)
+          .as("shard"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tok").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+    keyed.mapPartitions { it =>
+      // per-shard fold: rows arrive shard-grouped and (n desc, id)
+      // sorted; the fills buffer resets at each shard boundary
+      var curShard = Long.MinValue
+      var fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.map { case (id, n, shard) =>
+        if (shard != curShard) {
+          curShard = shard
+          fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        }
+        var b = 0
+        while (b < fills.length && fills(b) + n > capacity) b += 1
+        if (b == fills.length) fills += n else fills(b) += n
+        (id, n, shard, b.toLong, fills(b), n > capacity)
+      }
+    }.toDF("doc_id", "n_tok", "shard", "bin", "fill_after", "oversize")
+  }
+
   def packingStats(df: DataFrame, idCol: String, tokenCol: String,
                    capacity: Long): DataFrame =
     packSequences(df, idCol, tokenCol, capacity)

@@ -115,6 +115,37 @@ class PackDecontSpec extends graft.SparkSpec {
       (3L, 3L, 13L, 16L, 16L)))
   }
 
+  test("ffdPack: first-fit-decreasing order, oversize singletons, FFD half-full property") {
+    import spark.implicits._
+    // one shard (shards = 1) so the fold order is fully predictable:
+    // sorted desc = 300(oversize), 9, 7, 6, 5, 3 at capacity 10
+    val docs = Seq((1L, 9L), (2L, 7L), (3L, 6L), (4L, 5L), (5L, 3L),
+      (6L, 300L)).toDF("doc_id", "n_tok")
+    val out = Packing.ffdPack(docs, "doc_id", "n_tok", capacity = 10L,
+        shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "bin", "fill_after", "oversize")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // fold: 300 -> new bin0 (oversize); 9 -> bin1; 7 -> bin2; 6 -> bin3;
+    // 5 -> bin4 (7+5, 6+5 > 10); 3 -> bin2 (first fit: 7+3 = 10)
+    assert(out === Seq(
+      (1L, 1L, 9L, false), (2L, 2L, 7L, false), (3L, 3L, 6L, false),
+      (4L, 4L, 5L, false), (5L, 2L, 10L, false), (6L, 0L, 300L, true)))
+
+    // FFD property on real-ish data: per shard, at most ONE non-oversize
+    // bin ends under half full, and no bin ever crosses capacity
+    val rand = (1L to 400L).map(i => (i, 1L + (i * 37) % 200))
+      .toDF("doc_id", "n_tok")
+    val packed = Packing.ffdPack(rand, "doc_id", "n_tok", capacity = 256L,
+      shards = 4)
+    val fills = packed.filter(!$"oversize")
+      .groupBy($"shard", $"bin").agg(max($"fill_after").as("fill"))
+    assert(fills.filter($"fill" > 256L).count() === 0L)
+    val halfEmpty = fills.filter($"fill" * 2 < 256L)
+      .groupBy($"shard").count().filter($"count" > 1L).count()
+    assert(halfEmpty === 0L, "two under-half bins in one shard breaks first-fit")
+  }
+
   test("length-bucketed batches: dense chops, waste vs own batch max, length-monotone buckets") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, 10L + i * 3)).toDF("doc_id", "n_tok")
