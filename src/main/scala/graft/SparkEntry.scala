@@ -1099,6 +1099,17 @@ object SparkEntry {
       |  n > 256 AS oversize
       |FROM f WHERE rn > 0 ORDER BY doc_id""".stripMargin
 
+  /** ffd-manifest oracle: the full fold replay grouped per (shard,
+    * bin). `packFfdOracleSql` is reused verbatim as a subquery. */
+  private def packFfdStatsOracleSql: String =
+    s"""SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  bool_or(oversize) AS oversize,
+       |  CAST(CASE WHEN bool_or(oversize) THEN 0
+       |       ELSE 256 - SUM(n_tok) END AS BIGINT) AS waste
+       |FROM ($packFfdOracleSql) p
+       |GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+
   /** sft-pipeline capstone oracle: the survivor set replays the planted
     * fixture's structure (the sftDedupFuzzyOracleSql discipline —
     * each stage's OPERATOR is independently hash-gated by
@@ -2712,6 +2723,19 @@ object SparkEntry {
       operators.Packing.ffdPack(docs, "doc_id", "n_tok", capacity = 256L,
           shards = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-bin FFD manifest — the loader-facing view of q_pack_ffd:
+    // docs/tokens/waste per (shard, bin). The oracle wraps the full
+    // FFD fold replay in one GROUP BY.
+    "q_pack_ffd_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_tok"))
+      operators.Packing.ffdStats(
+          operators.Packing.ffdPack(docs, "doc_id", "n_tok",
+            capacity = 256L, shards = 8), capacity = 256L)
+        .orderBy(col("shard"), col("bin"))
     }),
 
     // TOKEN-EXACT interleaved packing — the q_sft_pack_tokens upgrade
@@ -10691,6 +10715,7 @@ object SparkEntry {
     "q_interleaved_docs" -> interleavedDocsOracleSql,
     "q_interleaved_pack" -> interleavedPackOracleSql,
     "q_pack_ffd" -> packFfdOracleSql,
+    "q_pack_ffd_stats" -> packFfdStatsOracleSql,
     "q_interleaved_pack_tokens" -> interleavedPackTokensOracleSql,
     "q_sft_assemble_tokens" -> sftAssembleTokensOracleSql,
     "q_stream_sft_tokens" -> sftAssembleTokensOracleSql,

@@ -204,6 +204,18 @@ object Packing {
     }.toDF("doc_id", "n_tok", "shard", "bin", "fill_after", "oversize")
   }
 
+  /** Per-bin manifest over [[ffdPack]] output — what a loader actually
+    * reads: documents and tokens per (shard, bin) and the padding
+    * (`waste`) each non-oversize bin burns. One combining aggregate on
+    * the already-assigned keys. */
+  def ffdStats(packed: DataFrame, capacity: Long): DataFrame =
+    packed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        max(col("oversize")).as("oversize"))
+      .withColumn("waste", when(col("oversize"), lit(0L))
+        .otherwise(lit(capacity) - col("n_tokens")))
+
   def packingStats(df: DataFrame, idCol: String, tokenCol: String,
                    capacity: Long): DataFrame =
     packSequences(df, idCol, tokenCol, capacity)
