@@ -35,6 +35,7 @@ val picks = Seq(
   ("q_sft_bon", "one prompt-partitioned window (rank + lead + min/max share the exchange)"),
   ("q_interleaved_pack", "ONE doc-keyed aggregate, in-array item offsets, prefix-sum doc placement, one explode"),
   ("q_rag_pipeline", "chunk embed per-row; broadcast bounded query frame (exact + probe); ONE-ROW recall gate cross"),
+  ("q_pack_ffd", "Knuth-hash shard repartition + one sorted per-shard mapPartitions fold; no shuffle after"),
   ("q_crawl_loop_polite", "broadcast trap-gate anti-join + broadcast plan joins, ranked window"),
   ("q_text_unigram_lp", "vocab-sized prob table broadcast back; corpus never shuffles on bare term"),
   ("q_partition_pruning", "equality predicate lands in PartitionFilters: one dir scanned"),
