@@ -2725,6 +2725,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING twin of the FFD manifest — shards are INDEPENDENT by
+    // construction (bins never span shards), so a source range-
+    // partitioned on the shard key gives shard-complete micro-batches
+    // and the per-batch fold equals the global per-shard fold exactly;
+    // the grouped runner's batch-id check fails loudly on a split
+    // shard. Shares q_pack_ffd_stats' oracle verbatim.
+    "q_stream_ffd" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_ffd_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ffd_src_${runTag(dir)}"
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+            .cast("long").as("n_tok"),
+          (operators.Sampling.knuthSlot32(col("doc_id")) % 8)
+            .as("shard"))
+        .repartitionByRange(4, col("shard"))
+        .write.mode("overwrite").parquet(src)
+      streaming.StreamingIngest.runStreamGroupedBounded(s, src,
+          batch => operators.Packing.ffdStats(
+            operators.Packing.ffdPack(batch.drop("shard"), "doc_id",
+              "n_tok", capacity = 256L, shards = 8), capacity = 256L),
+          Seq("shard", "bin"))
+        .orderBy(col("shard"), col("bin"))
+    }),
+
     // Per-bin FFD manifest — the loader-facing view of q_pack_ffd:
     // docs/tokens/waste per (shard, bin). The oracle wraps the full
     // FFD fold replay in one GROUP BY.
@@ -10716,6 +10743,7 @@ object SparkEntry {
     "q_interleaved_pack" -> interleavedPackOracleSql,
     "q_pack_ffd" -> packFfdOracleSql,
     "q_pack_ffd_stats" -> packFfdStatsOracleSql,
+    "q_stream_ffd" -> packFfdStatsOracleSql,
     "q_interleaved_pack_tokens" -> interleavedPackTokensOracleSql,
     "q_sft_assemble_tokens" -> sftAssembleTokensOracleSql,
     "q_stream_sft_tokens" -> sftAssembleTokensOracleSql,

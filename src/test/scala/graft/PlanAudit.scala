@@ -193,7 +193,7 @@ object PlanAudit {
     // IVF-PQ models and localCheckpoints its chunk-embedding and
     // retrieval frames
     "q_stream_pref_pairs", "q_stream_bon", "q_stream_sft_tokens",
-    "q_rag_pipeline",
+    "q_stream_ffd", "q_rag_pipeline",
     // round-17 audit-coverage fix: these r15/r16 bounded-runner twins
     // also execute their micro-batches at CONSTRUCTION (and some write
     // scratch), so the lazy global audit only ever saw their
