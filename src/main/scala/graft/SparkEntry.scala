@@ -960,12 +960,17 @@ object SparkEntry {
        |nd AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
        |  FROM documents GROUP BY source)
-       |SELECT nd.source, nd.n_docs, pw.n_words, pw.n_tokens, pw.n_chars,
-       |  CAST((1000000 * pw.n_tokens) // pw.n_words AS BIGINT)
+       |SELECT nd.source, nd.n_docs,
+       |  COALESCE(pw.n_words, 0) AS n_words,
+       |  COALESCE(pw.n_tokens, 0) AS n_tokens,
+       |  COALESCE(pw.n_chars, 0) AS n_chars,
+       |  CASE WHEN COALESCE(pw.n_words, 0) = 0 THEN NULL
+       |    ELSE CAST((1000000 * pw.n_tokens) // pw.n_words AS BIGINT) END
        |    AS fertility_ppm,
-       |  CAST((1000000 * pw.n_chars) // pw.n_tokens AS BIGINT)
+       |  CASE WHEN COALESCE(pw.n_tokens, 0) = 0 THEN NULL
+       |    ELSE CAST((1000000 * pw.n_chars) // pw.n_tokens AS BIGINT) END
        |    AS chars_per_token_ppm
-       |FROM nd JOIN pw ON pw.source = nd.source
+       |FROM nd LEFT JOIN pw ON pw.source = nd.source
        |ORDER BY nd.source""".stripMargin
   }
 

@@ -57,6 +57,12 @@ object Verify {
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     Files.writeString(Paths.get(s"$outDir/_failed.json"), jsonObject(failed))
+    // Full-surface manifest: EVERY registered query name, unfiltered —
+    // the oracle gate stamps its attestation only when the result dirs
+    // cover this whole set, so a filtered run can never overwrite the
+    // full-surface attestation (tools/check_oracle.py).
+    Files.writeString(Paths.get(s"$outDir/_registered.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     // Exit 0 even on failures — the driver must still compare the queries
     // that DID succeed; _failed.json + the stderr banner carry the signal.
     if (failed.nonEmpty)

@@ -135,13 +135,16 @@ object Packing {
         aggregate(col("__lens"), lit(0L), (a, x) => a + x))
     val cum = PrefixSum.withPrefixSum(perDoc, "doc_id", "n_tokens",
       out = "__cum")
+    // in-document offsets: ONE O(n) pass ([[PrefixSum
+    // .exclusiveArrayOffsets]]), not an O(n²) per-item slice re-fold —
+    // real interleaved web docs carry hundreds of items
     cum.withColumn("__g0", col("__cum") - col("n_tokens"))
       .withColumn("seq_id", expr(s"__g0 div ${capacity}L"))
       .withColumn("is_split", col("n_tokens") > 0 &&
         expr(s"(__cum - 1) div ${capacity}L") =!= col("seq_id"))
+      .withColumn("__offs", PrefixSum.exclusiveArrayOffsets(col("__lens")))
       .withColumn("sp", explode(transform(col("its"), (t, i) => {
-        val start = aggregate(slice(col("__lens"), lit(1), i),
-          lit(0L), (a, x) => a + x)
+        val start = get(col("__offs"), i)
         struct(t.getField("pos").as("pos"), t.getField("kind").as("kind"),
           t.getField("cost").as("n_tok"), start.as("start"))
       })))

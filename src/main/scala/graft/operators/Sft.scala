@@ -42,10 +42,11 @@ object Sft {
     *
     * Span starts are prefix sums of rendered-turn lengths, computed
     * per row with `aggregate(slice(...))` — O(turns²) per conversation,
-    * which is the right trade: conversations are short (tens of turns)
-    * and the alternative struct-state aggregate breaks whole-stage
-    * codegen for every consumer downstream. Turn indices must be
-    * unique per conversation (the sort key). */
+    * acceptable here because conversations are short (tens of turns);
+    * the unbounded-n siblings ([[assembleTokenSpans]],
+    * [[Packing.packInterleavedCosted]]) use the O(n)
+    * [[PrefixSum.exclusiveArrayOffsets]] pass instead. Turn indices
+    * must be unique per conversation (the sort key). */
   def assemble(turns: DataFrame, convCol: String, idxCol: String,
                roleCol: String, textCol: String,
                trainRole: String = "assistant"): DataFrame = {
@@ -128,9 +129,11 @@ object Sft {
       .withColumn("n_turns", size(col("turns")).cast("long"))
       .withColumn("n_tokens",
         aggregate(col("__lens"), lit(0L), (a, x) => a + x))
+      // start offsets in ONE O(n) pass (PrefixSum.exclusiveArrayOffsets)
+      // — not the O(n²) per-turn slice re-fold
+      .withColumn("__offs", PrefixSum.exclusiveArrayOffsets(col("__lens")))
       .withColumn("spans", transform(col("turns"), (t, i) => {
-        val start = aggregate(slice(col("__lens"), lit(1), i),
-          lit(0L), (a, x) => a + x)
+        val start = get(col("__offs"), i)
         val end = start + get(col("__lens"), i)
         struct(t.getField("turn_idx").as("turn_idx"),
           t.getField("role").as("role"),
@@ -139,7 +142,7 @@ object Sft {
           (end - lit(TurnSuffixTokens)).as("content_end"),
           (t.getField("role") === lit(trainRole)).as("train"))
       }))
-      .drop("__lens")
+      .drop("__lens", "__offs")
   }
 
   /** Pack [[assembleTokenSpans]] output into fixed TOKEN-capacity

@@ -68,9 +68,16 @@ object Similarity {
     * HOF arithmetic, zero shuffle; the per-token (bucket, sign) pairs
     * feed ONE aggregate pass whose state is the accumulating vector, so
     * token hashing is evaluated once per row — not once per dimension
-    * (the bigramLogProb O(n²) re-evaluation trap). Spark's `ascii` and
-    * DuckDB's `unicode` both return the first code point (identical on
-    * any input; the test corpus is ASCII-pinned). */
+    * (the bigramLogProb O(n²) re-evaluation trap).
+    *
+    * CONTRACT — BMP text only for cross-engine replay: Spark's
+    * `ascii`/`substr` index UTF-16 code units while DuckDB's
+    * `unicode`/`substring` index code points, so a token that starts or
+    * ends with a supplementary-plane character (emoji) hashes the
+    * surrogate here and the real code point in the oracle, silently
+    * diverging bucket and sign. On ASCII/BMP input (all graft fixtures)
+    * the two are identical; feed non-BMP text only where no SQL replay
+    * is required. */
   def hashedEmbedding(text: Column, dim: Int): Column = {
     require(dim > 0, s"hashedEmbedding: dim must be positive, got $dim")
     val pairs = transform(Dedup.cleanTokens(text), t => {

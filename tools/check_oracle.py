@@ -102,14 +102,45 @@ def main(sf_dir, out_dir):
     # round's correctness is recorded on the tree itself even when the
     # driver-side CORRECTNESS_r*.json artifact arrives empty (round 16's
     # was `{}`) — the bench_driver_latest.json pattern. Only a FULL
-    # sweep stamps; filtered runs would otherwise shrink the attestation.
-    if ok + rows_only + len(bad) >= 300:
+    # sweep stamps: Verify writes _registered.json listing EVERY query
+    # name in the engine's map regardless of filters, and the stamp fires
+    # only when the result dirs cover that whole set. No magic row-count
+    # threshold — a filtered run (even a large one) can never overwrite
+    # the full-surface attestation, and a legitimately smaller surface
+    # still stamps.
+    reg_path = os.path.join(out_dir, "_registered.json")
+    full = False
+    registered = None
+    if os.path.exists(reg_path):
+        with open(reg_path) as f:
+            registered = json.load(f)
+        full = set(registered) <= set(results)
+    if full:
+        import hashlib, subprocess
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        try:
+            sha = subprocess.run(["git", "-C", repo, "rev-parse", "HEAD"],
+                                 capture_output=True, text=True,
+                                 timeout=10).stdout.strip() or None
+            dirty = bool(subprocess.run(
+                ["git", "-C", repo, "status", "--porcelain"],
+                capture_output=True, text=True, timeout=10).stdout.strip())
+        except Exception:
+            sha, dirty = None, None
+        qmap_hash = hashlib.sha256(
+            "\n".join(sorted(registered)).encode()).hexdigest()
+        with open(f"{out_dir}/oracle_sql.json", "rb") as f:
+            oracle_hash = hashlib.sha256(f.read()).hexdigest()
         stamp_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "stamps")
         if os.path.isdir(stamp_dir):
             with open(os.path.join(stamp_dir, "correctness_latest.json"),
                       "w") as f:
                 json.dump({"sf_dir": sf_dir, "out_dir": out_dir,
+                           "git_sha": sha, "git_dirty": dirty,
+                           "n_registered": len(registered),
+                           "query_map_sha256": qmap_hash,
+                           "oracle_sql_sha256": oracle_hash,
                            "match": ok, "rows_only": rows_only,
                            "problems": len(bad), "results": results},
                           f, indent=1, default=str)
