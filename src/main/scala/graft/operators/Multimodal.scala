@@ -821,8 +821,36 @@ object Multimodal {
     * category codes; a one-code AC table — every block is DC-only + EOB),
     * genuine DC-delta Huffman entropy coding with sign-magnitude bits,
     * byte stuffing, the lot. Pixels per [[jpegExpectedLum]]. */
-  def syntheticJpegPayload(id: Long): Array[Byte] = {
-    val w = (8 * (2 + id % 3)).toInt; val h = (8 * (2 + (id * 3) % 3)).toInt
+  def syntheticJpegPayload(id: Long): Array[Byte] = syntheticJpegPayload(id, 1)
+
+  /** [[syntheticJpegPayload]] under a DC quantization step `quant` —
+    * the "re-encode" knob for video near-dup fixtures: a different
+    * quant table and different entropy bits (a genuinely different byte
+    * stream), yet EXACTLY the same decoded pixels, because the content
+    * is tile-constant and every DC value 8·(v−128) is divisible by the
+    * allowed quants, so coefficient·quant reproduces the identical
+    * dequantized coefficient. Only lossless steps are allowed. */
+  def syntheticJpegPayload(id: Long, quant: Int): Array[Byte] =
+    syntheticJpegPayloadDims(id,
+      (8 * (2 + id % 3)).toInt, (8 * (2 + (id * 3) % 3)).toInt, quant)
+
+  /** [[syntheticJpegPayload]] at caller-chosen dimensions (multiples of
+    * 8) — the video near-dup corpus uses 80×56: ten block-columns by
+    * seven block-rows, so every dHash grid cell samples ITS OWN tile
+    * ((gy·56/7)/8 = gy, (gx·80/10)/8 = gx) and the 63 hash bits are all
+    * informative — at the default 16..32-px dims the grid oversamples
+    * 2×2..4×2 tiles, leaving so few informative bits that every frame
+    * pair sits within hamming 6 of another. Same tile formulas, same
+    * lossless contract. */
+  def syntheticJpegPayloadDims(id: Long, w: Int, h: Int, quant: Int,
+                               tileValue: (Long, Int) => Int =
+                                 (i, t) => ((i * 7 + t.toLong * 13) % 251).toInt)
+      : Array[Byte] = {
+    require(quant == 1 || quant == 2 || quant == 4 || quant == 8,
+      s"syntheticJpegPayloadDims: quant must divide 8 for a lossless " +
+        s"re-encode of tile-constant content, got $quant")
+    require(w % 8 == 0 && h % 8 == 0 && w > 0 && h > 0,
+      s"syntheticJpegPayloadDims: dims must be positive multiples of 8")
     val bw = w / 8; val bh = h / 8
     val out = new java.io.ByteArrayOutputStream()
     def m(marker: Int, body: Array[Byte]): Unit = {
@@ -832,7 +860,7 @@ object Multimodal {
       out.write(body)
     }
     out.write(0xff); out.write(0xd8) // SOI
-    m(0xdb, Array(0.toByte) ++ Array.fill[Byte](64)(1)) // DQT id 0, all ones
+    m(0xdb, Array(0.toByte) ++ Array.fill[Byte](64)(quant.toByte)) // DQT id 0
     m(0xc0, Array[Byte](8, (h >> 8).toByte, (h & 0xff).toByte,
       (w >> 8).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0)) // SOF0, 1 comp
     // DHT: DC table 0 — twelve 4-bit codes for categories 0..11
@@ -860,8 +888,8 @@ object Multimodal {
     var pred = 0
     var t = 0
     while (t < bw * bh) {
-      val v = ((id * 7 + t.toLong * 13) % 251).toInt
-      val dc = 8 * (v - 128)
+      val v = tileValue(id, t)
+      val dc = 8 * (v - 128) / quant // exact: 8·(v−128) divisible by quant
       val diff = dc - pred
       pred = dc
       val mag = math.abs(diff)
@@ -1238,6 +1266,44 @@ object Multimodal {
     mp4WithSampleTable(id, frames.map(_.length), frames.flatten)
   }
 
+  /** The video NEAR-DUP corpus generator: MJPEG-in-MP4 like
+    * [[syntheticMjpegMp4Payload]] (same frame seeds id·8+k, same tile
+    * value formula) but every frame is 80×56 —
+    * [[syntheticJpegPayloadDims]]'s fully-informative dHash geometry —
+    * and `quant` is the RE-ENCODE knob: quant 4 yields a genuinely
+    * different byte stream whose decode is pixel-identical
+    * (tile-constant content is exactly invertible under any quant
+    * dividing 8), so the re-encode's per-frame dHashes equal the
+    * original's at hamming 0 — a duplicate a byte-level dedup can never
+    * catch. Frame-seed periodicity (lum pattern repeats at seed+251,
+    * dims constant) additionally gives the corpus genuine full- and
+    * partial-overlap near-dups between DISTINCT ids, so scores below
+    * 10⁶ arise naturally. */
+  /** Tile values for the near-dup corpus: a MULTIPLICATIVE scramble,
+    * v = ((seed%251 + 1) · (13t² + 29t + 1)) mod 251. Two designs were
+    * rejected for degenerate dHashes: the linear `+13·t` ramp of
+    * [[jpegExpectedLum]] makes "right neighbor brighter" true ~95% of
+    * the time (near-all-ones hashes, the whole corpus within hamming 6
+    * of itself), and an ADDITIVE seed term (7·seed + f(t)) leaves
+    * nearby seeds' hashes near-identical (a shifted pattern flips a
+    * neighbor comparison only when it straddles the mod-251 wrap).
+    * Multiplying the tile polynomial by a seed-dependent unit scrambles
+    * neighbor deltas independently per seed (~32-bit expected distance
+    * between unrelated frames), while seeds 251 apart still share the
+    * multiplier — the deliberate identical-frame near-dups. */
+  def richTileLum(seed: Long, t: Int): Int = {
+    val m = seed % 251 + 1
+    val g = (13L * t * t + 29L * t + 1) % 251
+    ((m * g) % 251).toInt
+  }
+
+  def syntheticMjpegMp4RichPayload(id: Long, quant: Int = 1): Array[Byte] = {
+    val n = (1 + id % 4).toInt
+    val frames = Array.tabulate(n)(k =>
+      syntheticJpegPayloadDims(id * 8 + k, 80, 56, quant, richTileLum))
+    mp4WithSampleTable(id, frames.map(_.length), frames.flatten)
+  }
+
   /** Shared box layout for the sample-table payloads: ftyp + moov(mvhd +
     * trak(tkhd, mdia(minf(stbl(stsz/stco/stsc))))) + mdat(body), every
     * box length and the one-chunk stco offset REAL file offsets. */
@@ -1517,6 +1583,66 @@ object Multimodal {
         bit_count(col("hashA").bitwiseXOR(col("hashB"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  /** VIDEO-level near-duplicate pairs from per-frame signatures (the
+    * last modality of the dedup ladder): feed it [[videoFrameDecode]]
+    * output — (video, frame dHash) rows — and get back every video pair
+    * sharing perceptually-matching frames, scored by the fraction of
+    * matching signatures.
+    *
+    * Design: per video the DISTINCT frame-signature SET (a re-encoded
+    * copy has the same set; frame multiplicity adds no near-dup
+    * evidence), then the [[phashNearDupPairs]] discipline at the FRAME
+    * level — 7 bands × 9 bits, so at `maxHamming` ≤ 6 any matching
+    * frame pair shares an untouched band by pigeonhole and banding is
+    * COMPLETE, never approximate — then one (videoA, videoB) rollup
+    * counting matched signatures on each side. `score_ppm` =
+    * 10⁶·(matchedA + matchedB)/(nA + nB), integer-exact: 10⁶ for a full
+    * re-encoded duplicate, proportionally less for partial overlap
+    * (shared intro/outro frames).
+    *
+    * Scale: candidates come from the (band, bucket) equi-join — never
+    * all-pairs across frames — and everything after the hamming filter
+    * is key-only aggregation; no pixels and no hashes wider than a long
+    * cross a shuffle. Output: (idA, idB, n_sig_a, n_sig_b, n_matched_a,
+    * n_matched_b, score_ppm), idA < idB, null-hash frames (undecodable
+    * samples) excluded up front. */
+  def videoNearDupPairs(frames: DataFrame, vidCol: String, hashCol: String,
+                        maxHamming: Int): DataFrame = {
+    require(maxHamming <= 6,
+      s"videoNearDupPairs: 7x9 banding is only pigeonhole-complete up " +
+        s"to hamming 6, got $maxHamming")
+    val sigs = frames.filter(col(hashCol).isNotNull)
+      .select(col(vidCol).cast("long").as("vid"),
+        col(hashCol).cast("long").as("h"))
+      .distinct()
+    val sizes = sigs.groupBy(col("vid")).agg(count(lit(1)).as("n_sig"))
+    val banded = sigs.select(col("vid"), col("h"),
+        explode(array((0 until 7).map(lit): _*)).as("band"))
+      .withColumn("bucket",
+        expr("shiftright(h, band * 9)").bitwiseAND(lit(511L)))
+    val cands = banded.select(col("band"), col("bucket"),
+        col("vid").as("vidA"), col("h").as("hA"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("vid").as("vidB"), col("h").as("hB")), Seq("band", "bucket"))
+      .filter(col("vidA") < col("vidB"))
+      .select("vidA", "hA", "vidB", "hB").distinct()
+      .withColumn("hamming",
+        bit_count(col("hA").bitwiseXOR(col("hB"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    cands.groupBy(col("vidA"), col("vidB"))
+      .agg(countDistinct(col("hA")).as("n_matched_a"),
+        countDistinct(col("hB")).as("n_matched_b"))
+      .join(sizes.select(col("vid").as("vidA"), col("n_sig").as("n_sig_a")),
+        "vidA")
+      .join(sizes.select(col("vid").as("vidB"), col("n_sig").as("n_sig_b")),
+        "vidB")
+      .select(col("vidA").as("idA"), col("vidB").as("idB"),
+        col("n_sig_a"), col("n_sig_b"),
+        col("n_matched_a"), col("n_matched_b"),
+        expr("(1000000 * (n_matched_a + n_matched_b)) div (n_sig_a + n_sig_b)")
+          .as("score_ppm"))
   }
 
   /** REAL pixel resize of a decoded luminance plane — nearest-neighbor

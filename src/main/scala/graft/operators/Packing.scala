@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing — lay documents end-to-end in a total order and cut the
@@ -102,16 +102,23 @@ object Packing {
     *
     * Output: (doc_id, n_items, n_tokens, seq_id, is_split, pos, kind,
     * n_tok, g_start, g_end). */
-  def packInterleaved(items: DataFrame, docCol: String, posCol: String,
-                      kindCol: String, textCol: String,
-                      imageBudget: Long, capacity: Long): DataFrame = {
+  /** The default interleaved cost model: a constant `imageBudget` of
+    * placeholder tokens per image (the patch-embedding slots a vision
+    * encoder fills), whitespace token count per text run. */
+  def interleavedCost(kindCol: String, textCol: String,
+                      imageBudget: Long): Column = {
     require(imageBudget > 0, "imageBudget must be positive")
-    val cost = when(col(kindCol) === "image", lit(imageBudget))
+    when(col(kindCol) === "image", lit(imageBudget))
       .otherwise(size(filter(split(coalesce(col(textCol), lit("")), "\\s+"),
         t => t =!= "")).cast("long"))
-    packInterleavedCosted(items.withColumn("__graft_cost", cost), docCol,
-      posCol, kindCol, "__graft_cost", capacity)
   }
+
+  def packInterleaved(items: DataFrame, docCol: String, posCol: String,
+                      kindCol: String, textCol: String,
+                      imageBudget: Long, capacity: Long): DataFrame =
+    packInterleavedCosted(items.withColumn("__graft_cost",
+        interleavedCost(kindCol, textCol, imageBudget)), docCol,
+      posCol, kindCol, "__graft_cost", capacity)
 
   /** [[packInterleaved]] under a CALLER-SUPPLIED per-item cost column —
     * the token-exact shape: drive text costs with a real tokenizer's
@@ -122,17 +129,40 @@ object Packing {
     * poison every later offset in its document's prefix sums. */
   def packInterleavedCosted(items: DataFrame, docCol: String,
                             posCol: String, kindCol: String,
-                            costCol: String, capacity: Long): DataFrame = {
-    require(capacity > 0, "capacity must be positive")
+                            costCol: String, capacity: Long): DataFrame =
+    placeInterleavedDocs(
+      collectInterleavedDocs(items, docCol, posCol, kindCol, costCol),
+      capacity)
+
+  /** Stage 1 of [[packInterleavedCosted]] — the GROUP-LOCAL half: one
+    * combining aggregate per document collecting its position-sorted
+    * (pos, kind, cost) items plus the item/token totals. Split out so a
+    * streaming ingest can run it per micro-batch (documents arriving
+    * whole — the grouped-runner contract) and defer only the global
+    * placement to [[placeInterleavedDocs]]. */
+  def collectInterleavedDocs(items: DataFrame, docCol: String,
+                             posCol: String, kindCol: String,
+                             costCol: String): DataFrame = {
     val sorted = array_sort(collect_list(struct(
       col(posCol).cast("long").as("pos"), col(kindCol).as("kind"),
       coalesce(col(costCol).cast("long"), lit(0L)).as("cost"))))
-    val perDoc = items.groupBy(col(docCol).as("doc_id"))
+    items.groupBy(col(docCol).as("doc_id"))
       .agg(sorted.as("its"))
       .withColumn("__lens", transform(col("its"), t => t.getField("cost")))
       .withColumn("n_items", size(col("its")).cast("long"))
       .withColumn("n_tokens",
         aggregate(col("__lens"), lit(0L), (a, x) => a + x))
+  }
+
+  /** Stage 2 of [[packInterleavedCosted]] — the GLOBAL half over
+    * [[collectInterleavedDocs]] output: the distributed prefix sum
+    * places documents in the token stream, per-row division assigns
+    * sequences, one explode emits per-item rows with global offsets.
+    * The only corpus-wide state is the prefix sum, which needs nothing
+    * but (doc_id, n_tokens) — why the streaming twin can run stage 1 on
+    * the stream and this as the bounded epilogue. */
+  def placeInterleavedDocs(perDoc: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
     val cum = PrefixSum.withPrefixSum(perDoc, "doc_id", "n_tokens",
       out = "__cum")
     // in-document offsets: ONE O(n) pass ([[PrefixSum

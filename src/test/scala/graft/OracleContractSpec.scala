@@ -64,8 +64,19 @@ class OracleContractSpec extends AnyFunSuite {
     // source-level guard the runtime key-set checks above cannot be:
     // every `"q_*" ->` binding must appear exactly twice — once in the
     // queries map, once in the oracle map.
-    val src = java.nio.file.Files.readString(
-      java.nio.file.Path.of("src/main/scala/graft/SparkEntry.scala"))
+    // Scan EVERY main-source file: since the round-18 split the maps
+    // live in per-family registry files, and a pair duplicated ACROSS
+    // files would last-win in the ++ composition exactly as it did in
+    // one literal (the composition-size guards in SparkEntry catch
+    // same-map cross-file duplicates; this catches a full shadowed PAIR,
+    // which those cannot).
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Files
+      .walk(java.nio.file.Path.of("src/main/scala"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(java.nio.file.Files.readString)
+      .mkString("\n")
     val names = "\"(q_[a-z0-9_]+)\" ->".r
       .findAllMatchIn(src).map(_.group(1)).toSeq
     val bad = names.groupBy(identity).view.mapValues(_.size)

@@ -23,6 +23,46 @@ class PhashSpec extends SparkSpec {
   private val base: Array[Byte] =
     Array.tabulate(70)(i => ((i * 37 + 11) % 251).toByte)
 
+  test("video near-dup: re-encoded twins collide at 10^6, distinct videos don't") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // Crafted corpus: ids 0..19 — frame seeds 0..163, far below the
+    // mod-753 frame-pattern period, so no cross-video pattern repeats —
+    // plus a RE-ENCODED twin (DC quant 4) for every id % 5 == 0.
+    val ids = 0L until 20L
+    // the re-encode is a genuinely different byte stream...
+    ids.filter(_ % 5 == 0).foreach { id =>
+      assert(!java.util.Arrays.equals(
+        Multimodal.syntheticMjpegMp4RichPayload(id),
+        Multimodal.syntheticMjpegMp4RichPayload(id, quant = 4)),
+        s"re-encoded twin of $id must differ byte-wise")
+    }
+    val media = ids.flatMap { id =>
+      val base = (id, Multimodal.syntheticMjpegMp4RichPayload(id))
+      if (id % 5 == 0)
+        Seq(base, (id + 100L, Multimodal.syntheticMjpegMp4RichPayload(id, quant = 4)))
+      else Seq(base)
+    }.toDF("doc_id", "payload")
+    val frames = Multimodal.videoFrameDecode(media, "doc_id", "payload")
+    // ...whose decoded per-frame dHashes are bit-identical to the base's
+    val byVid = frames.select("media_id", "frame_idx", "dhash").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    ids.filter(_ % 5 == 0).foreach { id =>
+      assert(byVid(id) == byVid(id + 100L),
+        s"twin of $id must decode to identical frame hashes")
+    }
+    val pairs = Multimodal
+      .videoNearDupPairs(frames, "media_id", "dhash", maxHamming = 6)
+      .select("idA", "idB", "score_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val twins = ids.filter(_ % 5 == 0).map(id => (id, id + 100L)).toSet
+    assert(pairs.map(p => (p._1, p._2)) === twins,
+      "exactly the re-encoded twins must surface as near-dup pairs")
+    pairs.foreach(p =>
+      assert(p._3 == 1000000L, s"full duplicate must score 10^6: $p"))
+  }
+
   test("mp4 box walk: synthetic round-trip, any box order, size encodings") {
     // synthetic round-trip across the arithmetic's period boundaries
     for (id <- Seq(0L, 1L, 2L, 9L, 49L, 499L, 500L, 12345L)) {

@@ -46,6 +46,30 @@ class GroupedRunnerSpec extends SparkSpec {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("interleaved-pack stage 1 on a split document fails loudly") {
+    // the q_stream_interleaved_pack shape: per-batch item collection
+    // under the doc-complete contract — a document whose items span two
+    // files would yield two partial item arrays under one doc_id, and
+    // the runner must refuse rather than pack either partial
+    val src = tmp("ilp")
+    Seq((1L, 0L, "text", "alpha beta"), (1L, 1L, "image", ""))
+      .toDF("doc_id", "pos", "kind", "text")
+      .write.mode("overwrite").parquet(src)
+    Seq((1L, 2L, "text", "gamma"))
+      .toDF("doc_id", "pos", "kind", "text")
+      .write.mode("append").parquet(src)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.runStreamGroupedBounded(spark, src,
+        batch => graft.operators.Packing.collectInterleavedDocs(
+          batch.withColumn("__c",
+            graft.operators.Packing.interleavedCost("kind", "text", 64L)),
+          "doc_id", "pos", "kind", "__c"),
+        Seq("doc_id")).collect()
+    }
+    assert(ex.getMessage.contains("group-complete"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("IDENTICAL partial aggregates across two files still fail loudly") {
     val src = tmp("twin")
     // the same (g, v) row in two files: each micro-batch emits the
