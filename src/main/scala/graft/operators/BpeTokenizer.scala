@@ -63,9 +63,11 @@ object BpeTokenizer {
   def learnMergesFromCounts(wordCounts: Seq[(String, Long)],
                             numMerges: Int): Seq[(String, String)] = {
     require(numMerges > 0, "learnMerges: numMerges must be positive")
-    // represent each word as its symbol sequence, last symbol marked </w>
+    // represent each word as its symbol sequence (byte fallback for
+    // non-ASCII, matching encodeWord — learning and application must
+    // share one symbol alphabet), last symbol marked </w>
     val words = mutable.ArrayBuffer.from(wordCounts.map { case (w, c) =>
-      val syms = w.map(_.toString).toArray
+      val syms = initialSymbols(w)
       if (syms.nonEmpty) syms(syms.length - 1) += EndOfWord
       (syms, c)
     })
@@ -103,12 +105,64 @@ object BpeTokenizer {
     merges.toSeq
   }
 
+  /** Initial symbol sequence of a word with BYTE FALLBACK
+    * (SentencePiece `byte_fallback`, the closed-vocabulary move GPT-2
+    * makes by construction): ASCII code points stay single-char
+    * symbols; any code point ≥ 128 expands to one literal token per
+    * UTF-8 byte — `<0xNN>`, uppercase hex — so every string tokenizes
+    * under any merge table instead of washing out as open-class unicode
+    * symbols. Walks CODE POINTS, not UTF-16 units, so supplementary-
+    * plane characters encode as their real 4-byte UTF-8 sequence, never
+    * CESU-8 surrogate halves. [[decodeByteFallback]] inverts it. */
+  private[operators] def initialSymbols(word: String): Array[String] = {
+    val buf = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      if (cp < 128) buf += word.substring(i, i + 1)
+      else new String(Character.toChars(cp), 0, Character.charCount(cp))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => buf += f"<0x${b & 0xff}%02X>")
+      i += Character.charCount(cp)
+    }
+    buf.toArray
+  }
+
+  /** Invert [[initialSymbols]]' byte fallback on a reassembled token
+    * string: every maximal `<0xNN>` run decodes as UTF-8; everything
+    * else passes through. Contract: the input text itself must not
+    * contain a literal `<0xNN>` substring (true of every graft
+    * fixture); production systems reserve those codepoints up front. */
+  def decodeByteFallback(s: String): String = {
+    if (s == null || !s.contains("<0x")) return s
+    val bytes = mutable.ArrayBuffer.empty[Byte]
+    val out = new StringBuilder
+    def flush(): Unit = if (bytes.nonEmpty) {
+      out.append(new String(bytes.toArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      bytes.clear()
+    }
+    var i = 0
+    while (i < s.length) {
+      if (i + 5 < s.length && s.startsWith("<0x", i) && s.charAt(i + 5) == '>' &&
+          Character.digit(s.charAt(i + 3), 16) >= 0 &&
+          Character.digit(s.charAt(i + 4), 16) >= 0) {
+        bytes += Integer.parseInt(s.substring(i + 3, i + 5), 16).toByte
+        i += 6
+      } else { flush(); out.append(s.charAt(i)); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
   /** Tokenize one word (already lowercased) with the given merge ranks:
-    * greedy repeated merging of the best-rank (lowest) pair present. */
+    * greedy repeated merging of the best-rank (lowest) pair present.
+    * Symbols start from [[initialSymbols]] (byte fallback for non-ASCII
+    * code points). */
   private[operators] def encodeWord(word: String,
       ranks: Map[(String, String), Int]): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var syms = word.map(_.toString).toArray
+    var syms = initialSymbols(word)
     syms(syms.length - 1) += EndOfWord
     var continue = syms.length >= 2
     while (continue) {

@@ -19,7 +19,73 @@ import SparkEntry._
   * [[SparkEntry.oracleSql]]. */
 private[graft] object TokenizerRegistry extends QueryRegistry {
 
+  /** The multilingual BYTE-FALLBACK fixture: the document's first three
+    * cleaned words plus one genuinely non-ASCII word keyed by lang —
+    * two-byte UTF-8 accents (é, ñ, ß, ï) and three-byte CJK — so the
+    * fallback exercises both expansion widths against the ASCII-only
+    * base corpus. */
+  private def bpeBytesText: Column =
+    concat_ws(" ",
+      array_join(slice(Dedup.cleanTokens(col("text")), 1, 3), " "),
+      when(col("lang") === "zh", lit("中文"))
+        .when(col("lang") === "es", lit("señor"))
+        .when(col("lang") === "de", lit("straße"))
+        .when(col("lang") === "fr", lit("café"))
+        .otherwise(lit("naïve")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BYTE-LEVEL FALLBACK (SentencePiece byte_fallback / GPT-2's closed
+    // vocabulary): code points >= 128 tokenize as literal <0xNN> UTF-8
+    // byte tokens instead of washing out as open-class unicode symbols,
+    // so the frozen-merge tokenizer covers ANY input. The emitted
+    // stream is gated token-for-token by the oracle (which replays the
+    // UTF-8 expansion arithmetically from each code point and runs the
+    // same merge fixpoint), and rt_ok carries the engine-side
+    // round-trip identity — detokenize(tokens) with byte-runs decoded
+    // must equal the cleaned input on EVERY row (oracle pins TRUE).
+    "q_bpe_bytes" -> ((s, dir) => {
+      val detok = udf((x: String) =>
+        operators.BpeTokenizer.decodeByteFallback(x))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), bpeBytesText.as("t2"))
+        .withColumn("__toks", operators.BpeTokenizer.tokensColumn(
+          operators.BpeTokenizer.frozenMerges, col("t2")))
+        .withColumn("__want", concat_ws(" ", Dedup.cleanTokens(col("t2"))))
+        .withColumn("__got", detok(trim(replace(
+          concat_ws("", col("__toks")),
+          lit(operators.BpeTokenizer.EndOfWord), lit(" ")))))
+        .withColumn("rt_ok", col("__want") <=> col("__got"))
+        .select(col("doc_id"), posexplode(col("__toks")).as(Seq("pos", "token")),
+          col("rt_ok"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token"), col("rt_ok"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+
+    // Fertility re-measured on the byte-fallback fixture — the equity
+    // number byte fallback changes: a CJK word pays 3 byte tokens per
+    // character, so zh fertility visibly exceeds the accent languages,
+    // which exceed plain-ASCII en. n_byte_tokens isolates the fallback's
+    // contribution exactly.
+    "q_bpe_bytes_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), bpeBytesText.as("t2"))
+        .select(col("lang"),
+          size(Dedup.cleanTokens(col("t2"))).cast("long").as("__w"),
+          operators.BpeTokenizer.tokensColumn(
+            operators.BpeTokenizer.frozenMerges, col("t2")).as("__tk"))
+        .select(col("lang"), col("__w"),
+          size(col("__tk")).cast("long").as("__t"),
+          size(filter(col("__tk"), x => x.startsWith("<0x")))
+            .cast("long").as("__b"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+          sum(col("__t")).as("n_tokens"), sum(col("__b")).as("n_byte_tokens"))
+        .withColumn("fertility_ppm",
+          expr("(1000000 * n_tokens) div n_words"))
+        .orderBy(col("lang"))),
 
     // Tokenizer fertility per lang: subword pieces per word + chars per
     // piece in ppm — ONE profile scan, one group-keyed agg, all-integer.
@@ -184,7 +250,110 @@ private[graft] object TokenizerRegistry extends QueryRegistry {
 
   )
 
+  /** Shared CTE body for the byte-fallback oracles: fixture text →
+    * word instances → per-word initial symbols with the UTF-8 byte
+    * expansion replayed ARITHMETICALLY from each code point (DuckDB's
+    * substring/unicode are code-point-indexed, so the walk is exact for
+    * any plane) → the frozen-merge fixpoint recursion → per-word token
+    * lists `tok(word, toks)` plus `w(doc_id, wpos, word)` and
+    * `base(doc_id, lang, t2)`. */
+  private def bpeBytesCtes: String = {
+    val maxRank = operators.BpeTokenizer.frozenMerges.size
+    s"""WITH RECURSIVE
+       |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
+       |base AS (
+       |  SELECT doc_id, lang,
+       |    concat_ws(' ',
+       |      array_to_string(list_slice(list_filter(
+       |        string_split_regex(trim(lower(text)), '\\s+'), t -> t <> ''),
+       |        1, 3), ' '),
+       |      CASE lang WHEN 'zh' THEN '中文' WHEN 'es' THEN 'señor'
+       |        WHEN 'de' THEN 'straße' WHEN 'fr' THEN 'café'
+       |        ELSE 'naïve' END) AS t2
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, lang, list_filter(
+       |    string_split_regex(trim(lower(t2)), '\\s+'), t -> t <> '') AS tk
+       |  FROM base),
+       |w AS (
+       |  SELECT doc_id, i AS wpos, list_extract(tk, i) AS word
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
+       |dw AS (SELECT DISTINCT word FROM w),
+       |cs AS (
+       |  SELECT word, i, unicode(substring(word, i, 1)) AS cp,
+       |    substring(word, i, 1) AS ch
+       |  FROM dw, LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) r),
+       |csx AS (
+       |  SELECT word, i,
+       |    CASE WHEN cp < 128 THEN [ch]
+       |      WHEN cp < 2048 THEN [printf('<0x%02X>', 192 + cp // 64),
+       |        printf('<0x%02X>', 128 + cp % 64)]
+       |      WHEN cp < 65536 THEN [printf('<0x%02X>', 224 + cp // 4096),
+       |        printf('<0x%02X>', 128 + (cp // 64) % 64),
+       |        printf('<0x%02X>', 128 + cp % 64)]
+       |      ELSE [printf('<0x%02X>', 240 + cp // 262144),
+       |        printf('<0x%02X>', 128 + (cp // 4096) % 64),
+       |        printf('<0x%02X>', 128 + (cp // 64) % 64),
+       |        printf('<0x%02X>', 128 + cp % 64)] END AS syms
+       |  FROM cs),
+       |wsym AS (
+       |  SELECT word, flatten(list(syms ORDER BY i)) AS ss
+       |  FROM csx GROUP BY word),
+       |seq0 AS (
+       |  SELECT word, chr(1) || array_to_string(
+       |    list_concat(list_slice(ss, 1, len(ss) - 1),
+       |      [list_extract(ss, len(ss)) || '</w>']), chr(1)) || chr(1) AS seq
+       |  FROM wsym),
+       |enc AS (
+       |  SELECT word, seq, 0 AS r FROM seq0
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN np <> seq THEN np ELSE seq END,
+       |    CASE WHEN np <> seq THEN r ELSE r + 1 END
+       |  FROM (
+       |    SELECT e.word, e.seq, e.r,
+       |      replace(replace(e.seq,
+       |        chr(1) || m.x || chr(1) || m.y || chr(1),
+       |        chr(1) || m.x || m.y || chr(2)), chr(2), chr(1)) AS np
+       |    FROM enc e JOIN mg m ON m.r = e.r) s),
+       |tok AS (
+       |  SELECT word, list_filter(string_split(seq, chr(1)), t -> t <> '') AS toks
+       |  FROM enc WHERE r = $maxRank)""".stripMargin
+  }
+
+  private def bpeBytesOracleSql: String =
+    bpeBytesCtes + s""",
+       |wt AS (
+       |  SELECT doc_id, wpos, toks, len(toks) AS n,
+       |    SUM(len(toks)) OVER (PARTITION BY doc_id ORDER BY wpos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+       |  FROM w JOIN tok USING (word))
+       |SELECT doc_id, CAST(COALESCE(off, 0) + i - 1 AS BIGINT) AS pos,
+       |  list_extract(toks, i) AS token, TRUE AS rt_ok
+       |FROM wt, LATERAL (SELECT unnest(range(1, n + 1)) AS i) r
+       |ORDER BY doc_id, pos""".stripMargin
+
+  private def bpeBytesFertilityOracleSql: String =
+    bpeBytesCtes + s""",
+       |pd AS (
+       |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+       |    CAST(SUM(len(t.toks)) AS BIGINT) AS nt,
+       |    CAST(SUM(len(list_filter(t.toks, q -> q LIKE '<0x%')))
+       |      AS BIGINT) AS nb
+       |  FROM w JOIN tok t USING (word) GROUP BY w.doc_id)
+       |SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(pd.nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(pd.nt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(pd.nb) AS BIGINT) AS n_byte_tokens,
+       |  CAST((1000000 * SUM(pd.nt)) // SUM(pd.nw) AS BIGINT) AS fertility_ppm
+       |FROM pd JOIN base b USING (doc_id)
+       |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    "q_bpe_bytes" -> bpeBytesOracleSql,
+
+    "q_bpe_bytes_fertility" -> bpeBytesFertilityOracleSql,
 
     // Fertility: the q_text_stats word/piece/char derivations rolled up
     // per lang; ppm ratios are BIGINT floor division on both engines.

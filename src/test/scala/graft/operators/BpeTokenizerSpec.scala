@@ -70,4 +70,29 @@ class BpeTokenizerSpec extends SparkSpec {
       numMerges = 100)
     assert(bad.count() === 0L)
   }
+
+  test("byte fallback: non-ASCII expands to UTF-8 byte tokens and inverts") {
+    // ASCII unaffected
+    assert(BpeTokenizer.initialSymbols("cat").toSeq === Seq("c", "a", "t"))
+    // 2-byte (é = U+00E9 → C3 A9), mixed with ASCII
+    assert(BpeTokenizer.initialSymbols("café").toSeq ===
+      Seq("c", "a", "f", "<0xC3>", "<0xA9>"))
+    // 3-byte CJK (中 = U+4E2D → E4 B8 AD)
+    assert(BpeTokenizer.initialSymbols("中").toSeq ===
+      Seq("<0xE4>", "<0xB8>", "<0xAD>"))
+    // supplementary plane walks CODE POINTS: 😀 = U+1F600 → F0 9F 98 80,
+    // never CESU-8 surrogate halves
+    assert(BpeTokenizer.initialSymbols("😀").toSeq ===
+      Seq("<0xF0>", "<0x9F>", "<0x98>", "<0x80>"))
+    // decode inverts through encodeWord + reassembly for every width
+    for (w <- Seq("café", "straße", "中文", "a😀b", "naïve")) {
+      val toks = BpeTokenizer.encodeWord(w,
+        BpeTokenizer.frozenMerges.zipWithIndex.toMap)
+      val got = BpeTokenizer.decodeByteFallback(
+        toks.mkString("").replace(BpeTokenizer.EndOfWord, ""))
+      assert(got === w, s"round trip failed for $w: $got")
+    }
+    // a token string with no byte runs passes through untouched
+    assert(BpeTokenizer.decodeByteFallback("plain") === "plain")
+  }
 }
