@@ -357,17 +357,26 @@ private[graft] object TrainPrepRegistry extends QueryRegistry {
     }),
 
 
-    // Curriculum ordering (easy→hard schedule): documents ranked by the
-    // unigram-LM mean piece cost (low perplexity first), cut into 4
+    // Curriculum ordering (easy→hard schedule): documents ranked by
+    // FROZEN-BPE fertility (tokens per word, exact ppm — rare/hard words
+    // split into more pieces, so higher fertility = harder), cut into 4
     // equal phases by the DISTRIBUTED rank (prefix-sum of ones over the
     // composite key — no single-partition global window), Knuth-shuffled
-    // within each phase. The oracle replays rank, phase arithmetic, and
-    // the within-phase hash order on top of the shared Viterbi machinery.
+    // within each phase. Round-18 consistency pass: difficulty now comes
+    // from the SAME tokenizer whose counts drive packing and budgets
+    // (q_sft_pack_tokens), not the unigram-LM sibling — every token
+    // number a trainer sees has one source. The oracle replays the BPE
+    // fixpoint, rank, phase arithmetic, and within-phase hash order.
     "q_curriculum" -> ((s, dir) => {
-      val cost = operators.UnigramTokenizer.lmCost(t(s, dir, "documents"),
-        "doc_id", "text", operators.UnigramTokenizer.frozenVocab)
+      val cost = t(s, dir, "documents").select(col("doc_id"),
+          size(Dedup.cleanTokens(col("text"))).cast("long").as("__w"),
+          operators.BpeTokenizer.tokenCountColumn(
+            operators.BpeTokenizer.frozenMerges, col("text"))
+            .cast("long").as("__t"))
+        .withColumn("difficulty", when(col("__w") === 0L, lit(0L))
+          .otherwise(expr("(1000000 * __t) div __w")))
       operators.TrainPipeline.curriculumOrder(cost, "doc_id",
-          col("mean_cost_milli"), phases = 4)
+          col("difficulty"), phases = 4)
         .orderBy(col("doc_id"))
     }),
 
@@ -376,14 +385,19 @@ private[graft] object TrainPrepRegistry extends QueryRegistry {
     // recipe, α = 1/2): per-language token budgets ∝ isqrt(language token
     // total) — upsampling low-resource langs relative to their natural
     // share — then a deterministic Knuth-hash-order take per language
-    // until the budget fills. Integer-exact: the exact isqrt, floor-
-    // division budgets, running-sum window; the oracle replays all three
-    // (its isqrt is the BLEU oracle's float-seeded integer-corrected
-    // ladder).
+    // until the budget fills. Round-18 consistency pass: totals,
+    // budgets, and the running take are all in FROZEN-BPE tokens (the
+    // counts packing already trusts), not whitespace splits — a mix
+    // budget in one unit and a packer in another silently misallocates.
+    // Integer-exact: the exact isqrt, floor-division budgets,
+    // running-sum window; the oracle replays the BPE fixpoint and all
+    // three (its isqrt is the BLEU oracle's float-seeded
+    // integer-corrected ladder).
     "q_mix_temperature" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       operators.Sampling.temperatureMix(docs, "doc_id", "lang",
-          size(split(col("text"), " ")).cast("long"),
+          operators.BpeTokenizer.tokenCountColumn(
+            operators.BpeTokenizer.frozenMerges, col("text")).cast("long"),
           totalTokenBudget = 15000L)
         .select(col("doc_id"), col("lang"), col("n_tok"),
           col("lang_budget"), col("running"))
@@ -882,16 +896,30 @@ private[graft] object TrainPrepRegistry extends QueryRegistry {
         |LIMIT 100""".stripMargin,
 
 
-    // Curriculum oracle: the per-doc LM difficulty from the shared
-    // Viterbi machinery, the global rank over the composite key, the
-    // (rank, N) phase arithmetic, and the within-phase Knuth order.
-    "q_curriculum" -> unigramSqlWith(
-      """, cost AS (
-        |  SELECT words.doc_id AS doc_id,
-        |    CAST(sum(coalesce(vocab.m[seg.pieces[j]][1], 20000)) // count(*) AS BIGINT) AS difficulty
-        |  FROM words JOIN seg USING (w) CROSS JOIN vocab,
-        |       LATERAL (SELECT unnest(range(1, len(seg.pieces) + 1)) AS j) r
-        |  GROUP BY words.doc_id),
+    // Curriculum oracle: per-doc frozen-BPE fertility (the shared
+    // bpeWordCountCtes fixpoint), the global rank over the composite
+    // key, the (rank, N) phase arithmetic, and the within-phase Knuth
+    // order.
+    "q_curriculum" ->
+      (s"""WITH RECURSIVE
+        |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
+        |toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_extract(tk, i) AS word
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
+        |dw AS (SELECT DISTINCT word FROM w),
+        |""".stripMargin + bpeWordCountCtes + """,
+        |cost AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN COALESCE(s.nw, 0) = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST((1000000 * s.nt) // s.nw AS BIGINT) END AS difficulty
+        |  FROM toks t LEFT JOIN (
+        |    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+        |      CAST(SUM(ntk) AS BIGINT) AS nt
+        |    FROM w JOIN wtok USING (word) GROUP BY w.doc_id) s USING (doc_id)),
         |ranked AS (
         |  SELECT doc_id, difficulty,
         |    CAST(row_number() OVER (ORDER BY difficulty * 10000000000 + doc_id) AS BIGINT) AS rk,
@@ -907,14 +935,28 @@ private[graft] object TrainPrepRegistry extends QueryRegistry {
         |FROM phased ORDER BY doc_id""".stripMargin),
 
 
-    // Temperature-mix oracle: per-lang exact isqrt weights (the BLEU
-    // oracle's seed-and-correct integer root), floor-division budgets,
-    // and the Knuth-hash-order running-sum take replayed verbatim.
+    // Temperature-mix oracle: per-doc frozen-BPE token counts (the
+    // shared bpeWordCountCtes fixpoint), per-lang exact isqrt weights
+    // (the BLEU oracle's seed-and-correct integer root), floor-division
+    // budgets, and the Knuth-hash-order running-sum take replayed
+    // verbatim.
     "q_mix_temperature" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      (s"""WITH RECURSIVE
+        |mg(r, x, y) AS (SELECT * FROM (VALUES $frozenMergeValues) v(r, x, y)),
+        |t0 AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
         |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_extract(tk, i) AS word
+        |  FROM t0, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) r),
+        |dw AS (SELECT DISTINCT word FROM w),
+        |""".stripMargin + bpeWordCountCtes + """,
+        |toks AS (
+        |  SELECT t0.doc_id, t0.lang, CAST(COALESCE(s.nt, 0) AS BIGINT) AS n_tok
+        |  FROM t0 LEFT JOIN (
+        |    SELECT w.doc_id, CAST(SUM(ntk) AS BIGINT) AS nt
+        |    FROM w JOIN wtok USING (word) GROUP BY w.doc_id) s USING (doc_id)),
         |tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t FROM toks GROUP BY lang),
         |wts AS (
         |  SELECT lang, t, list_max([s for s in
@@ -938,7 +980,7 @@ private[graft] object TrainPrepRegistry extends QueryRegistry {
         |  CAST(r.running AS BIGINT) AS running
         |FROM ranked r JOIN bud b USING (lang)
         |WHERE r.running <= b.lang_budget
-        |ORDER BY r.doc_id""".stripMargin,
+        |ORDER BY r.doc_id""".stripMargin),
 
 
     "q_sample_per_group" ->
