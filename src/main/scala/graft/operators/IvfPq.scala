@@ -92,6 +92,26 @@ object IvfPq {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Corpus-size-scaled serving knobs — (cells, nprobe, shortlist) for
+    * a corpus of `n` vectors. Fixed knobs do not survive a scale-up:
+    * the round-18 sweep measured 16 cells / nprobe 4 / shortlist 32 at
+    * mean recall@10 0.685 on the sf0.01 RAG corpus but 0.46 at sf0.1 —
+    * with ALL 16 cells probed it only reaches 0.63, because the
+    * residual approximation is the PQ shortlist, whose recall depends
+    * on its size RELATIVE to the corpus. Scaling rules (the FAISS
+    * guidance shape): cells ≈ √n (bounded below by 16), probe a fixed
+    * quarter of the cells, shortlist ≈ n/64 (≥ 64) — candidate volume
+    * then grows as √n per cell while the probed fraction and rerank
+    * cost stay a constant share, and measured recall holds as the
+    * corpus grows instead of decaying. */
+  def servingKnobs(n: Long): (Int, Int, Int) = {
+    require(n > 0, s"servingKnobs: corpus must be non-empty, got $n")
+    val cells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(4, cells / 4)
+    val shortlist = math.max(64, (n / 64).toInt)
+    (cells, nprobe, shortlist)
+  }
+
   /** Persist both trained models as plain parquet next to the index —
     * the production lifecycle: train ONCE at (re)build time, reuse the
     * same quantizers for every later search AND every later encode (new

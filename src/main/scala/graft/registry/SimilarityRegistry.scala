@@ -86,14 +86,23 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
         .select(col("query_id").as("query"), col("rank"), col("rel"))
       val ndcg = operators.Eval.ndcgAtK(ranked, "query", "rank", "rel",
         k = 10)
-      // serving path: train → persist → reload → retrieve → recall gate
-      val ivf = operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+      // serving path: train → persist → reload → retrieve → recall gate.
+      // Index and search knobs SCALE with the corpus
+      // ([[operators.IvfPq.servingKnobs]]: cells ≈ √n, probe a quarter,
+      // shortlist ≈ n/64) — the round-18 sweep showed the old fixed
+      // (16 cells, nprobe 4, shortlist 32) decaying from 0.685 recall at
+      // sf0.01 to 0.46 at sf0.1, while the scaled point holds ≥ 0.86 at
+      // both; the in-query floor is 0.8 accordingly (BASELINE.md table).
+      val (cells, nprobe, shortlist) =
+        operators.IvfPq.servingKnobs(emb.count())
+      val ivf = operators.IvfIndex.train(emb, "vec_id", "embedding",
+        k = cells)
       val pq = operators.ProductQuantize.train(emb, "vec_id", "embedding",
         m = 4, k = 16)
       operators.IvfPq.saveModels(s, modelPath, ivf, pq)
       val (livf, lpq) = operators.IvfPq.loadModels(s, modelPath)
       val ann = operators.IvfPq.topK(queries, corpus, livf, lpq, k = 10,
-        nprobe = 4, shortlist = 32).localCheckpoint()
+        nprobe = nprobe, shortlist = shortlist).localCheckpoint()
       val annCnt = ann.groupBy(col("query_id")).agg(count(lit(1)).as("__n"))
       val meanOk = exact.select(col("query_id"), col("neighbor_id"))
         .join(ann.select(col("query_id"), col("neighbor_id"),
@@ -102,7 +111,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
         .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") /
           count(lit(1)).cast("double")).as("__recall"))
         .agg(avg(col("__recall")).as("__m"))
-        .select((col("__m") >= lit(0.5)).as("__mean_ok"))
+        .select((col("__m") >= lit(0.8)).as("__mean_ok"))
       ndcg.join(annCnt.withColumnRenamed("query_id", "query"),
           Seq("query"), "left")
         .crossJoin(broadcast(meanOk)) // one-row total, the sanctioned shape
