@@ -19,6 +19,38 @@ import SparkEntry._
   * [[SparkEntry.oracleSql]]. */
 private[graft] object MultimodalRegistry extends QueryRegistry {
 
+  /** The video near-dup corpus: every base video (80×56 frames — the
+    * fully-informative dHash geometry) plus, for doc_id % 5 == 0, a
+    * RE-ENCODED twin (DC quant 4: different bytes, identical pixels) at
+    * media_id + 10⁷. Shared by the batch pair query, the CC survivor
+    * query, and the streaming twin. */
+  private[registry] def videoNearDupMedia(s: SparkSession,
+                                          docs: DataFrame): DataFrame = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val base = (id, Multimodal.syntheticMjpegMp4RichPayload(id))
+        if (id % 5 == 0)
+          Seq(base,
+            (id + 10000000L, Multimodal.syntheticMjpegMp4RichPayload(id, quant = 4)))
+        else Seq(base)
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-frame signatures of [[videoNearDupMedia]] — a PURE per-row
+    * projection (payload synthesis + full pixel decode + dHash), which
+    * is what lets the streaming twin run it per micro-batch under the
+    * row-map contract. */
+  private[registry] def videoFrameSigs(s: SparkSession,
+                                       docs: DataFrame): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.videoFrameDecode(videoNearDupMedia(s, docs),
+        "doc_id", "payload")
+      .select(col("media_id"), col("frame_idx"), col("dhash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // HTML LINK extraction + RFC 3986 resolution — the crawl loop's
@@ -322,6 +354,52 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     }),
 
 
+    // CROSS-MODAL pair alignment (the CLIP-score curation shape, on the
+    // graft gating discipline): image side = REAL PNG pixel decode →
+    // 4x4 region mean-luminance feature vector; text side = the
+    // caption's hashed embedding; score = 6dp cosine between them — the
+    // alignment number a LAION-style pair filter thresholds. The oracle
+    // replays the pixel formulas, the region means, the hashing trick,
+    // and the cosine value-for-value, so the whole
+    // decode→featurize→embed→score chain is hash-gated.
+    "q_pair_alignment" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val feats = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val (w, h, plane) = Multimodal
+            .decodePngPixels(Multimodal.syntheticPngPixelPayload(id))
+            .getOrElse((0, 0, Array.emptyByteArray))
+          val sums = new Array[Long](16); val cnts = new Array[Long](16)
+          var i = 0
+          while (i < plane.length) {
+            val y = i / w; val x = i % w
+            val r = (y * 4 / h) * 4 + (x * 4 / w)
+            sums(r) += plane(i) & 0xff; cnts(r) += 1; i += 1
+          }
+          (id, Array.tabulate(16)(r =>
+            if (cnts(r) == 0) 0.0 else (sums(r) / cnts(r)).toDouble))
+        }
+        .toDF("doc_id", "img_vec")
+      val cap = array_join(slice(Dedup.cleanTokens(col("text")), 1, 6), " ")
+      val txt = t(s, dir, "documents")
+        .select(col("doc_id"),
+          Similarity.hashedEmbedding(cap, 16).as("txt_vec"))
+      feats.join(txt, "doc_id")
+        // the native dot/norm expressions read array<float> — both
+        // vectors hold small integers, exact in float, so the cast is
+        // lossless and the double accumulation stays oracle-replayable
+        .withColumn("__iv", col("img_vec").cast("array<float>"))
+        .withColumn("__tv", col("txt_vec").cast("array<float>"))
+        .withColumn("__tn", Similarity.l2norm(col("__tv")))
+        .withColumn("score",
+          when(col("__tn") === 0.0, lit(null).cast("double"))
+            .otherwise(round(Similarity.cosine(col("__iv"), col("__tv")), 6)))
+        .select(col("doc_id"), col("score"), (col("score") >= 0.0).as("aligned"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     // REAL pixel decode, gated end-to-end: each doc becomes a fully valid
     // PNG (correct CRCs, zlib IDAT, row filters cycling None/Sub/Up/
     // Average/Paeth), the Spark side chunk-walks + inflates + de-filters
@@ -483,20 +561,35 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     // periodicity (lum pattern repeats at seed+251) yields genuine
     // full- and partial-overlap near-dups between distinct ids too.
     "q_video_neardup" -> ((s, dir) => {
-      implicit val sp: SparkSession = s
-      import sp.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .flatMap { id =>
-          val base = (id, Multimodal.syntheticMjpegMp4RichPayload(id))
-          if (id % 5 == 0)
-            Seq(base,
-              (id + 10000000L, Multimodal.syntheticMjpegMp4RichPayload(id, quant = 4)))
-          else Seq(base)
-        }
-        .toDF("doc_id", "payload")
-      val frames = Multimodal.videoFrameDecode(media, "doc_id", "payload")
+      val frames = videoFrameSigs(s, t(s, dir, "documents"))
       Multimodal.videoNearDupPairs(frames, "media_id", "dhash", maxHamming = 6)
         .orderBy(col("idA"), col("idB"))
+    }),
+
+
+    // Video near-dup CLUSTERING + survivor pick — the last rung of the
+    // video dedup ladder (the q_dedup_cc pattern on the new modality):
+    // pairs at score >= 0.5 become edges, connected components give
+    // duplicate clusters, the min-media-id member survives (singletons
+    // survive alone). The 0.5 floor keeps full re-encodes and the
+    // deliberate seed-periodic near-full overlaps while dropping
+    // single-shared-frame grazes. The oracle replays the whole chain —
+    // frame hashes from the tile formulas, ALL-PAIRS scoring, the
+    // recursive reachability closure, min-label survivors.
+    "q_video_cc" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = videoNearDupMedia(s, t(s, dir, "documents"))
+      val frames = Multimodal.videoFrameDecode(media, "doc_id", "payload")
+      val pairs = Multimodal
+        .videoNearDupPairs(frames, "media_id", "dhash", maxHamming = 6)
+        .filter(col("score_ppm") >= 500000L)
+        .select(col("idA"), col("idB"))
+      operators.Dedup.connectedComponents(
+          media.select(col("doc_id").as("vid")), pairs, "vid")
+        .select(col("id").as("media_id"),
+          col("component").cast("long").as("component"),
+          (col("component") === col("id")).as("survivor"))
+        .orderBy(col("media_id"))
     }),
 
 
@@ -516,6 +609,54 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     }),
 
   )
+
+  /** Shared oracle CTE chain for the video near-dup family: corpus
+    * (base + re-encoded twins) → per-frame dHash from the tile formulas
+    * → ALL-PAIRS frame matching at hamming ≤ 6 (no band terms — gates
+    * the engine banding's recall) → the per-video-pair
+    * matched-signature rollup, ending at `scored(idA, idB, n_sig_a,
+    * n_sig_b, n_matched_a, n_matched_b, score_ppm)`. `vids` stays in
+    * scope for node-set consumers (the CC closure). */
+  private[registry] val videoNearDupCtes: String =
+    """WITH RECURSIVE vids AS (
+      |  SELECT doc_id AS vid, doc_id AS src FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS vid, doc_id AS src FROM documents
+      |  WHERE doc_id % 5 = 0),
+      |f AS (
+      |  SELECT vid, src * 8 + k AS seed
+      |  FROM vids, LATERAL (SELECT unnest(range(0, 1 + src % 4)) AS k) r),
+      |g AS (
+      |  SELECT vid, seed, gy, gx,
+      |    ((seed % 251 + 1) * ((13 * (gy * 10 + gx) * (gy * 10 + gx)
+      |      + 29 * (gy * 10 + gx) + 1) % 251)) % 251 AS ll,
+      |    ((seed % 251 + 1) * ((13 * (gy * 10 + gx + 1) * (gy * 10 + gx + 1)
+      |      + 29 * (gy * 10 + gx + 1) + 1) % 251)) % 251 AS lr
+      |  FROM f, LATERAL (SELECT unnest(range(0, 7)) AS gy) a,
+      |          LATERAL (SELECT unnest(range(0, 9)) AS gx) b),
+      |dh AS (
+      |  SELECT vid, seed, CAST(SUM(CASE WHEN lr > ll
+      |    THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END) AS BIGINT) AS h
+      |  FROM g GROUP BY vid, seed),
+      |sig AS (SELECT DISTINCT vid, h FROM dh),
+      |sz AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_sig FROM sig GROUP BY vid),
+      |fp AS (
+      |  SELECT a.vid AS vidA, a.h AS hA, b.vid AS vidB, b.h AS hB
+      |  FROM sig a JOIN sig b ON a.vid < b.vid
+      |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+      |ro AS (
+      |  SELECT vidA, vidB,
+      |    CAST(COUNT(DISTINCT hA) AS BIGINT) AS n_matched_a,
+      |    CAST(COUNT(DISTINCT hB) AS BIGINT) AS n_matched_b
+      |  FROM fp GROUP BY vidA, vidB),
+      |scored AS (
+      |  SELECT ro.vidA AS idA, ro.vidB AS idB,
+      |    sa.n_sig AS n_sig_a, sb.n_sig AS n_sig_b,
+      |    ro.n_matched_a, ro.n_matched_b,
+      |    CAST((1000000 * (ro.n_matched_a + ro.n_matched_b))
+      |      // (sa.n_sig + sb.n_sig) AS BIGINT) AS score_ppm
+      |  FROM ro JOIN sz sa ON sa.vid = ro.vidA
+      |  JOIN sz sb ON sb.vid = ro.vidB)""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -772,6 +913,62 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
         |ORDER BY media_id, frame_idx""".stripMargin,
 
 
+    // Pair-alignment oracle: pixel luma from the PNG synthesis formulas
+    // (grayscale raw; palette and truecolor via the 601 luma ladder the
+    // q_image_decode / warc-pair oracles already pin), 4x4 region floor
+    // means ordered into the image vector, the hashing-trick text
+    // embedding over the first six cleaned tokens, and the 6dp cosine.
+    "q_pair_alignment" ->
+      """WITH m AS (
+        |  SELECT doc_id, 16 + doc_id % 17 AS w, 16 + (doc_id * 3) % 13 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, i,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN (doc_id * 7 + i * 13) % 251
+        |      WHEN 3 THEN (77 * ((doc_id + 3 * i) % 256)
+        |        + 150 * (((doc_id + 3 * i) % 256) * 7 % 256)
+        |        + 29 * (((doc_id + 3 * i) % 256) * 13 % 256)) // 256
+        |      ELSE (77 * ((doc_id + 2 * i) % 256)
+        |        + 150 * ((doc_id * 3 + 5 * i) % 256)
+        |        + 29 * ((doc_id * 5 + 7 * i) % 256)) // 256
+        |    END AS lum
+        |  FROM m, LATERAL (SELECT unnest(range(0, w * h)) AS i) r),
+        |reg AS (
+        |  SELECT doc_id,
+        |    ((i // w) * 4) // h * 4 + ((i % w) * 4) // w AS r,
+        |    CAST(CAST(SUM(lum) AS BIGINT) // COUNT(*) AS DOUBLE) AS mv
+        |  FROM px GROUP BY doc_id, ((i // w) * 4) // h * 4 + ((i % w) * 4) // w),
+        |imgv AS (
+        |  SELECT doc_id, list(mv ORDER BY r) AS iv FROM reg GROUP BY doc_id),
+        |ct AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')[1:6] AS ctk
+        |  FROM documents),
+        |txe AS (
+        |  SELECT doc_id, list_transform(range(0, 16), b ->
+        |    COALESCE(list_sum(list_transform(ctk, t ->
+        |      CASE WHEN (3*length(t) + 7*unicode(t)
+        |                 + 13*unicode(substring(t, length(t), 1))) % 16 = b
+        |        THEN CASE WHEN (length(t) + unicode(t)) % 2 = 0
+        |             THEN 1.0 ELSE -1.0 END
+        |        ELSE 0.0 END)), 0.0)) AS tv
+        |  FROM ct),
+        |sc AS (
+        |  SELECT i.doc_id,
+        |    CASE WHEN sqrt(list_sum(list_transform(t.tv, x -> x * x))) = 0
+        |      THEN NULL
+        |      ELSE ROUND(
+        |        list_sum(list_transform(list_zip(i.iv, t.tv),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(i.iv, x -> x * x)))
+        |           * sqrt(list_sum(list_transform(t.tv, x -> x * x)))), 6)
+        |    END AS score
+        |  FROM imgv i JOIN txe t USING (doc_id))
+        |SELECT doc_id, score, score >= 0.0 AS aligned
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+
     // Video near-dup oracle: per-frame dHash replayed from the tile
     // formulas for BOTH the base corpus and the re-encoded twins (same
     // seeds — a lossless re-encode has identical pixels, hence identical
@@ -782,44 +979,27 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     // samples exactly tile gy*10+gx ((gy*56//7)//8 = gy,
     // (gx*80//10)//8 = gx), so bit gy*9+gx compares tiles gx and gx+1.
     "q_video_neardup" ->
-      """WITH vids AS (
-        |  SELECT doc_id AS vid, doc_id AS src FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 10000000 AS vid, doc_id AS src FROM documents
-        |  WHERE doc_id % 5 = 0),
-        |f AS (
-        |  SELECT vid, src * 8 + k AS seed
-        |  FROM vids, LATERAL (SELECT unnest(range(0, 1 + src % 4)) AS k) r),
-        |g AS (
-        |  SELECT vid, seed, gy, gx,
-        |    ((seed % 251 + 1) * ((13 * (gy * 10 + gx) * (gy * 10 + gx)
-        |      + 29 * (gy * 10 + gx) + 1) % 251)) % 251 AS ll,
-        |    ((seed % 251 + 1) * ((13 * (gy * 10 + gx + 1) * (gy * 10 + gx + 1)
-        |      + 29 * (gy * 10 + gx + 1) + 1) % 251)) % 251 AS lr
-        |  FROM f, LATERAL (SELECT unnest(range(0, 7)) AS gy) a,
-        |          LATERAL (SELECT unnest(range(0, 9)) AS gx) b),
-        |dh AS (
-        |  SELECT vid, seed, CAST(SUM(CASE WHEN lr > ll
-        |    THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END) AS BIGINT) AS h
-        |  FROM g GROUP BY vid, seed),
-        |sig AS (SELECT DISTINCT vid, h FROM dh),
-        |sz AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_sig FROM sig GROUP BY vid),
-        |fp AS (
-        |  SELECT a.vid AS vidA, a.h AS hA, b.vid AS vidB, b.h AS hB
-        |  FROM sig a JOIN sig b ON a.vid < b.vid
-        |  WHERE bit_count(xor(a.h, b.h)) <= 6),
-        |ro AS (
-        |  SELECT vidA, vidB,
-        |    CAST(COUNT(DISTINCT hA) AS BIGINT) AS n_matched_a,
-        |    CAST(COUNT(DISTINCT hB) AS BIGINT) AS n_matched_b
-        |  FROM fp GROUP BY vidA, vidB)
-        |SELECT ro.vidA AS idA, ro.vidB AS idB,
-        |  sa.n_sig AS n_sig_a, sb.n_sig AS n_sig_b,
-        |  ro.n_matched_a, ro.n_matched_b,
-        |  CAST((1000000 * (ro.n_matched_a + ro.n_matched_b))
-        |    // (sa.n_sig + sb.n_sig) AS BIGINT) AS score_ppm
-        |FROM ro JOIN sz sa ON sa.vid = ro.vidA JOIN sz sb ON sb.vid = ro.vidB
-        |ORDER BY idA, idB""".stripMargin,
+      (videoNearDupCtes + """
+        |SELECT idA, idB, n_sig_a, n_sig_b, n_matched_a, n_matched_b,
+        |  score_ppm
+        |FROM scored ORDER BY idA, idB""".stripMargin),
+
+
+    // Video CC oracle: the shared scoring chain, edges at score >= 0.5,
+    // the recursive reachability closure over every video (twins
+    // included), min-label components, survivor = own label.
+    "q_video_cc" ->
+      (videoNearDupCtes + """,
+        |vp AS (SELECT idA, idB FROM scored WHERE score_ppm >= 500000),
+        |edges AS (SELECT idA AS src, idB AS dst FROM vp
+        |          UNION ALL SELECT idB AS src, idA AS dst FROM vp),
+        |cc(id, label) AS (
+        |  SELECT vid, vid FROM vids
+        |  UNION
+        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src)
+        |SELECT id AS media_id, CAST(MIN(label) AS BIGINT) AS component,
+        |  (MIN(label) = id) AS survivor
+        |FROM cc GROUP BY id ORDER BY media_id""".stripMargin),
 
 
     // The dHash grid replayed over the same pixel formulas: sample the

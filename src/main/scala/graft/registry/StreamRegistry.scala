@@ -154,6 +154,29 @@ private[graft] object StreamRegistry extends QueryRegistry {
     // STREAMING twin of the token-space assembly — same grouped-runner
     // contract as q_stream_sft (conversation-complete micro-batches,
     // batch-id check). Shares q_sft_assemble_tokens' oracle verbatim.
+    // STREAMING twin of the video near-dup — the two-stage shape applied
+    // to the new modality: the HEAVY half (payload synthesis + full
+    // pixel decode + per-frame dHash) is a pure per-row projection and
+    // runs per micro-batch under the row-map contract; only the banded
+    // pairing + rollup — whose input is the tiny (media_id, dhash)
+    // signature frame — runs as the bounded epilogue. Shares
+    // q_video_neardup's oracle verbatim.
+    "q_stream_video_neardup" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_vnd_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_vnd_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val frames = streaming.StreamingIngest.runStreamRowMapBounded(s, src,
+        batch => MultimodalRegistry.videoFrameSigs(s, batch),
+        Seq("media_id", "frame_idx"))
+      operators.Multimodal.videoNearDupPairs(frames, "media_id", "dhash",
+          maxHamming = 6)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+
     // STREAMING twin of the interleaved multimodal packing — the
     // two-stage shape: the GROUP-LOCAL half (per-document item
     // collection + in-document offsets) runs per micro-batch under the
@@ -1091,6 +1114,12 @@ private[graft] object StreamRegistry extends QueryRegistry {
     "q_stream_sft_tokens" -> sftAssembleTokensOracleSql,
 
     "q_stream_interleaved_pack" -> interleavedPackOracleSql,
+
+    "q_stream_video_neardup" ->
+      (MultimodalRegistry.videoNearDupCtes + """
+        |SELECT idA, idB, n_sig_a, n_sig_b, n_matched_a, n_matched_b,
+        |  score_ppm
+        |FROM scored ORDER BY idA, idB""".stripMargin),
 
     "q_stream_interleaved" -> interleavedDocsOracleSql,
 

@@ -132,6 +132,9 @@ val picks = Seq(
   ("q_pdf_unicode", "font-decoded PDFs: per-row build + font-dict scan + decode, zero shuffle before the output sort"),
   ("q_robots_wildcards", "RFC 9309 glob gate: same broadcast decision table + row-local fold, wildcards cost zero extra exchange"),
   ("q_recrawl_conditional", "revalidation ledger: plan join + validator join both on canonical loc, one domain-keyed combining agg"),
+  ("q_video_neardup", "video near-dup: per-row frame decode+dHash, (band,bucket) equi-join frame candidates, key-only pair rollup - no all-pairs"),
+  ("q_bpe_bytes", "byte-fallback BPE: broadcast rank map per row, posexplode; round-trip gate is a per-row compare column"),
+  ("q_triangles_approx_verify", "variance-bound gate over the SHARED checkpointed co-purchase frame (one join paid for the whole graph family)"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
