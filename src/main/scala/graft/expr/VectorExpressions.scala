@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for embedding math — the hot path of the
   * similarity/near-dup operators runs these once per candidate pair, so they
@@ -21,6 +22,20 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
+
+  // analysis-time guard: getFloat over a non-float array SILENTLY
+  // reinterprets the raw bytes (an array<double> input yields garbage
+  // norms, found live in round 18's pair-alignment query) — reject at
+  // resolution instead
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"float_vec_dot expects array<float> inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}; cast explicitly — " +
+          "reading other-width elements from ArrayData is silent garbage")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -57,6 +72,15 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_norm"
+
+  // same analysis-time guard as float_vec_dot (silent byte reinterpretation)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"float_vec_norm expects array<float> input, got " +
+          s"${other.simpleString}; cast explicitly")
+    }
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

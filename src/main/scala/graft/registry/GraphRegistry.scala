@@ -33,15 +33,22 @@ private[graft] object GraphRegistry extends QueryRegistry {
   private val coEdgeCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
+  /** The co-purchase edge plan BEFORE the checkpoint — split out so
+    * PlanSpec can audit that the lineitem scan prunes to the two
+    * co-purchase columns (after the checkpoint the consumers see only a
+    * `Scan ExistingRDD`, so the pruning is only visible here). */
+  private[graft] def coPurchaseEdgesPlan(s: SparkSession, dir: String): DataFrame = {
+    val pe = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    pe.as("x").join(pe.as("y"),
+        col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+  }
+
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     coEdgeCache.computeIfAbsent((s, dir), { key: (SparkSession, String) =>
-      val pe = t(key._1, key._2, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      pe.as("x").join(pe.as("y"),
-          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst"))
-        .localCheckpoint()
+      coPurchaseEdgesPlan(key._1, key._2).localCheckpoint()
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

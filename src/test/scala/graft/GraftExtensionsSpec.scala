@@ -120,4 +120,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("float_vec_dot expects 2 argument(s)")))
   }
+
+  test("non-float array input fails analysis instead of silently reinterpreting bytes") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // array<double> literal: getFloat over its ArrayData would read garbage
+    val eDot = intercept[Exception] {
+      spark.sql("SELECT float_vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head()
+    }
+    assert(messages(eDot).exists(_.contains("expects array<float> inputs")))
+    val eNorm = intercept[Exception] {
+      spark.sql("SELECT float_vec_norm(array(1.0d, 2.0d))").head()
+    }
+    assert(messages(eNorm).exists(_.contains("expects array<float> input")))
+  }
 }

@@ -279,9 +279,18 @@ class PlanSpec extends SparkSpec {
     // the per-corner count must partial-aggregate before its exchange
     assert(p.contains("partial_count"),
       "corner count must map-side combine")
-    // lineitem scan reads exactly the two co-purchase columns
-    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
-      "lineitem scan must prune to orderkey+partkey")
+    // the graph family shares one checkpointed co-purchase edge frame —
+    // consumers must read the materialized frame, not rebuild the
+    // lineitem self-join per query
+    assert(p.contains("Scan ExistingRDD"),
+      "q_triangles must consume the shared checkpointed edge frame")
+    // …and the pruning guard moves to the frame BUILDER's plan: the one
+    // lineitem scan that feeds the whole family reads exactly the two
+    // co-purchase columns
+    val builder = registry.GraphRegistry.coPurchaseEdgesPlan(spark, dir)
+    val bp = builder.queryExecution.explainString(FormattedMode)
+    assert(bp.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"),
+      "edge-frame lineitem scan must prune to orderkey+partkey")
   }
 
   test("label propagation: per-round argmax is an aggregation, never a window sort") {

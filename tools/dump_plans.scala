@@ -135,6 +135,9 @@ val picks = Seq(
   ("q_video_neardup", "video near-dup: per-row frame decode+dHash, (band,bucket) equi-join frame candidates, key-only pair rollup - no all-pairs"),
   ("q_bpe_bytes", "byte-fallback BPE: broadcast rank map per row, posexplode; round-trip gate is a per-row compare column"),
   ("q_triangles_approx_verify", "variance-bound gate over the SHARED checkpointed co-purchase frame (one join paid for the whole graph family)"),
+  ("q_video_cc", "video dedup capstone: banded pair edges -> pointer-jumping CC -> min-label survivors, signature frame only ever shuffles"),
+  ("q_pair_alignment", "cross-modal alignment: per-row pixel featurize + hashed caption embed, one doc_id join, native float_vec cosine"),
+  ("q_stream_interleaved_pack", "streaming interleaved packing: doc-complete micro-batches ride the sharded prefix sum, batch-id contract check"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
