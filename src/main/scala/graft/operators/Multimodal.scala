@@ -1085,6 +1085,110 @@ object Multimodal {
         "zero_crossings")
   }
 
+  // ------------------------------------------- audio fingerprint near-dup
+
+  /** Samples per fingerprint frame and frames per segment for
+    * [[audioFingerprints]] — 64 frame energies per segment yield 63
+    * delta-sign bits, matching the 63-bit signature lane the 7×9
+    * banding ([[signatureNearDupPairs]]) is pigeonhole-complete for. */
+  val FpFrameSamples = 8
+  val FpSegFrames = 64
+  val FpSegSamples: Int = FpFrameSamples * FpSegFrames
+
+  /** Synthetic 16-bit mono PCM WAV for the audio near-dup corpus:
+    * `3 + srcId % 4` segments of [[FpSegSamples]] samples, segment `s`
+    * generated from seed `srcId·8 + s` by the integer walk
+    * `amp = ((seed % 251)·13 + pos·7) % 181 − 90` (pos = in-segment
+    * sample index), then `(amp + pert)·gain` where `pert = 3` on every
+    * sample of frame `seed % 64` when perturbed, else 0. The mod-251
+    * seed periodicity makes distinct clips share whole segments
+    * (genuine partial overlaps), a ×`gain` twin is loudness-changed but
+    * fingerprint-IDENTICAL (energy order is scale-invariant), and a
+    * perturbed twin flips at most the two delta bits adjacent to the
+    * nudged frame — the hamming-1..6 band of the matcher. */
+  def syntheticAudioNearDupPayload(srcId: Long, gain: Int,
+                                   perturbed: Boolean): Array[Byte] = {
+    val nSegs = (3 + srcId % 4).toInt
+    val n = nSegs * FpSegSamples
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+    bb.put("WAVEfmt ".getBytes("US-ASCII"))
+    bb.putInt(16).putShort(1.toShort).putShort(1.toShort)
+    bb.putInt(8000).putInt(8000 * 2).putShort(2.toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var s = 0
+    while (s < nSegs) {
+      val seed = srcId * 8 + s
+      val pertFrame = (seed % 64).toInt
+      var pos = 0
+      while (pos < FpSegSamples) {
+        val base = (((seed % 251) * 13 + pos * 7) % 181 - 90).toInt
+        val pert = if (perturbed && pos / FpFrameSamples == pertFrame) 3 else 0
+        bb.putShort(((base + pert) * gain).toShort)
+        pos += 1
+      }
+      s += 1
+    }
+    bb.array()
+  }
+
+  /** Gain-invariant audio fingerprints — the energy-delta-sign family
+    * every practical audio fingerprinter (Shazam/Philips/Chromaprint)
+    * builds on, reduced to its oracle-replayable integer core: parse the
+    * WAV header for real, read signed LE16 samples, frame them
+    * ([[FpFrameSamples]] each), and per consecutive [[FpSegFrames]]-frame
+    * segment emit a 63-bit signature whose bit `f` is
+    * `energy(f+1) > energy(f)`. Energy ORDER survives any uniform gain
+    * change, so a re-levelled copy of a clip fingerprints identically —
+    * the property that makes this a dedup key rather than a checksum.
+    * A trailing partial segment (< [[FpSegSamples]] samples) carries no
+    * full bit vector and is dropped; non-WAV / non-16-bit payloads yield
+    * no rows (left to the clip-level stats surface to flag). */
+  def audioFingerprints(df: DataFrame, idCol: String, payloadCol: String)
+                       (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(payloadCol).cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val isWav = b != null && b.length >= 44 && ascii(b, 0, "RIFF") &&
+          ascii(b, 8, "WAVE") && ascii(b, 12, "fmt ")
+        val bits = if (isWav) decodeHeader(b).map(_._2).getOrElse(0) else 0
+        if (bits != 16) Iterator.empty
+        else {
+          val off = containerBodyOffset(b)
+          val nSamples = (b.length - off) / 2
+          val nSegs = nSamples / FpSegSamples
+          (0 until nSegs).iterator.map { s =>
+            val segOff = off + s * FpSegSamples * 2
+            val e = new Array[Long](FpSegFrames)
+            var f = 0
+            while (f < FpSegFrames) {
+              var sq = 0L
+              var j = 0
+              while (j < FpFrameSamples) {
+                val i = segOff + (f * FpFrameSamples + j) * 2
+                val a = (b(i + 1).toInt << 8) | (b(i) & 0xff)
+                sq += a.toLong * a
+                j += 1
+              }
+              e(f) = sq
+              f += 1
+            }
+            var h = 0L
+            var k = 0
+            while (k < FpSegFrames - 1) {
+              if (e(k + 1) > e(k)) h |= 1L << k
+              k += 1
+            }
+            (id, s.toLong, h)
+          }
+        }
+      }
+      .toDF("media_id", "seg_idx", "fp")
+  }
+
   private val mimes = Seq("image/png", "image/gif", "audio/wav")
 
   /** Dataset of synthetic media records keyed by an id column. */
@@ -1609,9 +1713,17 @@ object Multimodal {
     * n_matched_b, score_ppm), idA < idB, null-hash frames (undecodable
     * samples) excluded up front. */
   def videoNearDupPairs(frames: DataFrame, vidCol: String, hashCol: String,
-                        maxHamming: Int): DataFrame = {
+                        maxHamming: Int): DataFrame =
+    signatureNearDupPairs(frames, vidCol, hashCol, maxHamming)
+
+  /** Modality-agnostic core of [[videoNearDupPairs]]: the input is any
+    * (media id, 63-bit signature) frame — video frame dHashes, audio
+    * segment fingerprints ([[audioFingerprints]]) — and the banding/
+    * scoring contract is identical for all of them. */
+  def signatureNearDupPairs(frames: DataFrame, vidCol: String, hashCol: String,
+                            maxHamming: Int): DataFrame = {
     require(maxHamming <= 6,
-      s"videoNearDupPairs: 7x9 banding is only pigeonhole-complete up " +
+      s"signatureNearDupPairs: 7x9 banding is only pigeonhole-complete up " +
         s"to hamming 6, got $maxHamming")
     val sigs = frames.filter(col(hashCol).isNotNull)
       .select(col(vidCol).cast("long").as("vid"),

@@ -333,4 +333,70 @@ object Similarity {
         col("neighbor_id"), col("neighbor_label"),
         round(col("cosine"), 6).as("cosine")))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk ACL'19 — the
+    * CCMatrix/NLLB parallel-corpus shape): score every (src, tgt)
+    * candidate by its cosine RATIO to the average of each side's k
+    * nearest neighbors — raw cosine alone over-accepts hub vectors that
+    * are close to everything; the margin denominator cancels hubness —
+    * then keep each src's best-margin tgt, accepted iff the margin
+    * clears `minMarginPpm` (1.05 ≈ 1,050,000).
+    *
+    * Everything after the 6dp-stable cosine is micro-quantized integer
+    * arithmetic (the q_sim_mmr discipline): cosines become ppm longs,
+    * neighbor averages stay as (sum, count) pairs, and
+    * `margin_ppm = 10⁶·c·2·kA·kB / (A·kB + B·kA)` is one BIGINT
+    * truncating division with a positive numerator and denominator
+    * (negative-cosine or empty-neighborhood rows get a NULL margin and
+    * are never accepted) — so ranks, margins, and accept bits are
+    * hash-exact cross-engine.
+    *
+    * Scale: the exact S×T cross is the LABELED-oracle path, bounded by
+    * the mined src sample (the q_rag_pipeline discipline); an at-scale
+    * run swaps the cross for IVF-PQ shortlists per src and reuses the
+    * same margin arithmetic over the shortlist frame. Both window
+    * rankings and both aggregates ride the one bounded S×T frame; the
+    * src side broadcasts. */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int, minMarginPpm: Long,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"bitextMine: k must be positive, got $k")
+    require(minMarginPpm > 0,
+      s"bitextMine: minMarginPpm must be positive, got $minMarginPpm")
+    val q = src.select(col(idCol).cast("long").as("src_id"),
+        col(vecCol).cast("array<float>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = tgt.select(col(idCol).cast("long").as("tgt_id"),
+        col(vecCol).cast("array<float>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("c_ppm",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * 1e6)
+          .cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("c_ppm"))
+    val wS = Window.partitionBy(col("src_id"))
+      .orderBy(col("c_ppm").desc, col("tgt_id").asc)
+    val wT = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("c_ppm").desc, col("src_id").asc)
+    val nnS = scored.withColumn("r", row_number().over(wS))
+      .filter(col("r") <= k).groupBy("src_id")
+      .agg(sum("c_ppm").as("nn_src"), count(lit(1)).as("k_src"))
+    val nnT = scored.withColumn("r", row_number().over(wT))
+      .filter(col("r") <= k).groupBy("tgt_id")
+      .agg(sum("c_ppm").as("nn_tgt"), count(lit(1)).as("k_tgt"))
+    val margins = scored.join(nnS, "src_id").join(nnT, "tgt_id")
+      .withColumn("margin_ppm",
+        when(col("c_ppm") >= 0 &&
+            (col("nn_src") * col("k_tgt") + col("nn_tgt") * col("k_src")) > 0,
+          expr("(2000000 * c_ppm * k_src * k_tgt) div " +
+            "(nn_src * k_tgt + nn_tgt * k_src)")))
+    val wBest = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin_ppm").desc_nulls_last, col("tgt_id").asc)
+    margins.withColumn("__b", row_number().over(wBest))
+      .filter(col("__b") === 1)
+      .select(col("src_id"), col("tgt_id"), col("c_ppm").as("cos_ppm"),
+        col("margin_ppm"),
+        coalesce(col("margin_ppm") >= minMarginPpm, lit(false)).as("accepted"))
+  }
 }

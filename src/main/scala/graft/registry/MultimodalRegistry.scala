@@ -51,6 +51,45 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
       .select(col("media_id"), col("frame_idx"), col("dhash"))
   }
 
+  /** The audio near-dup corpus — every base clip PLUS, for
+    * doc_id % 5 == 0, a ×2-GAIN twin at +10⁷ (different bytes, identical
+    * energy ORDER — the loudness change a fingerprint must see through)
+    * and, for doc_id % 7 == 0, a PERTURBED twin at +2·10⁷ (one frame
+    * nudged per segment — signatures land in the hamming-1..6 band, the
+    * matcher's near-but-not-exact regime). */
+  private[registry] def audioNearDupMedia(s: SparkSession,
+                                          docs: DataFrame): DataFrame = {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val out = scala.collection.mutable.ArrayBuffer(
+          (id, Multimodal.syntheticAudioNearDupPayload(id, gain = 1,
+            perturbed = false)))
+        if (id % 5 == 0)
+          out += ((id + 10000000L,
+            Multimodal.syntheticAudioNearDupPayload(id, gain = 2,
+              perturbed = false)))
+        if (id % 7 == 0)
+          out += ((id + 20000000L,
+            Multimodal.syntheticAudioNearDupPayload(id, gain = 1,
+              perturbed = true)))
+        out
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-segment fingerprints of [[audioNearDupMedia]] — like
+    * [[videoFrameSigs]] a PURE per-row projection (payload synthesis +
+    * WAV parse + energy-delta fingerprint), so the streaming twin can
+    * run it per micro-batch under the row-map contract. */
+  private[registry] def audioSegSigs(s: SparkSession,
+                                     docs: DataFrame): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.audioFingerprints(audioNearDupMedia(s, docs),
+      "doc_id", "payload")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // HTML LINK extraction + RFC 3986 resolution — the crawl loop's
@@ -593,6 +632,36 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     }),
 
 
+    // AUDIO fingerprints — the modality's near-dup KEY, gated on its
+    // own: real WAV parse → signed LE16 samples → 8-sample frame
+    // energies → per-64-frame segment a 63-bit energy-delta-sign
+    // signature. The corpus includes ×2-gain twins whose BYTES all
+    // differ from their base clip but whose fingerprints must come out
+    // IDENTICAL (energy order is scale-invariant) — the oracle replays
+    // the sample walk at both gains, so a fingerprint that leaks
+    // amplitude (not just order) breaks the hash match.
+    "q_audio_fingerprint" -> ((s, dir) => {
+      audioSegSigs(s, t(s, dir, "documents"))
+        .orderBy(col("media_id"), col("seg_idx"))
+    }),
+
+
+    // AUDIO near-dup — the dedup ladder's last uncovered modality:
+    // banded signature pairs at the pigeonhole-exact threshold over the
+    // q_audio_fingerprint segments, scored by matched-signature
+    // fraction. The oracle pairs ALL-PAIRS with no band terms, gating
+    // the banding's recall. Gain twins MUST surface at score 10⁶;
+    // perturbed twins surface through nonzero-hamming matches (the ±2
+    // delta bits around the nudged frame); and the mod-251 seed
+    // periodicity yields genuine partial overlaps between distinct ids.
+    "q_audio_neardup" -> ((s, dir) => {
+      Multimodal.signatureNearDupPairs(
+        audioSegSigs(s, t(s, dir, "documents")),
+        "media_id", "fp", maxHamming = 6)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+
     // dHash over REAL decoded pixels (the round-10 upgrade from the
     // stub-luminance phash): same grid/bit-pack as q_image_phash but the
     // luminance samples come from the genuine PNG decode; the oracle
@@ -658,7 +727,87 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
       |  FROM ro JOIN sz sa ON sa.vid = ro.vidA
       |  JOIN sz sb ON sb.vid = ro.vidB)""".stripMargin
 
+  /** Shared oracle CTE chain for the audio near-dup family: corpus
+    * (base + gain twins + perturbed twins) → per-sample amplitude walk
+    * at the declared gain/perturbation → 8-sample frame energies →
+    * per-segment 63-bit delta-sign fingerprints → ALL-PAIRS signature
+    * matching at hamming ≤ 6 (no band terms — gates the engine
+    * banding's recall) → the per-clip-pair matched-signature rollup,
+    * ending at `scored(idA, idB, n_sig_a, n_sig_b, n_matched_a,
+    * n_matched_b, score_ppm)`. `fpt(aid, s, fp)` stays in scope for the
+    * fingerprint surface. */
+  private[registry] val audioNearDupCtes: String =
+    """WITH med AS (
+      |  SELECT doc_id AS aid, doc_id AS src, 1 AS gain, 0 AS pert
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS aid, doc_id AS src, 2 AS gain, 0 AS pert
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000 AS aid, doc_id AS src, 1 AS gain, 1 AS pert
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |segs AS (
+      |  SELECT aid, gain, pert, s, src * 8 + s AS seed
+      |  FROM med, LATERAL (SELECT unnest(range(0, 3 + src % 4)) AS s) r),
+      |amp AS (
+      |  SELECT aid, seed, s, f,
+      |    (((seed % 251) * 13 + (f * 8 + j) * 7) % 181 - 90
+      |      + CASE WHEN pert = 1 AND f = seed % 64 THEN 3 ELSE 0 END)
+      |      * gain AS a
+      |  FROM segs, LATERAL (SELECT unnest(range(0, 64)) AS f) x,
+      |       LATERAL (SELECT unnest(range(0, 8)) AS j) y),
+      |en AS (
+      |  SELECT aid, seed, s, f, SUM(CAST(a * a AS BIGINT)) AS e
+      |  FROM amp GROUP BY aid, seed, s, f),
+      |d AS (
+      |  SELECT aid, seed, s, f, e,
+      |    LEAD(e) OVER (PARTITION BY aid, seed ORDER BY f) AS ne
+      |  FROM en),
+      |fpt AS (
+      |  SELECT aid, s,
+      |    CAST(SUM(CASE WHEN ne > e THEN (CAST(1 AS BIGINT) << f)
+      |      ELSE 0 END) AS BIGINT) AS fp
+      |  FROM d WHERE ne IS NOT NULL GROUP BY aid, s),
+      |sig AS (SELECT DISTINCT aid, fp AS h FROM fpt),
+      |sz AS (SELECT aid, CAST(COUNT(*) AS BIGINT) AS n_sig
+      |       FROM sig GROUP BY aid),
+      |pr AS (
+      |  SELECT a.aid AS aidA, a.h AS hA, b.aid AS aidB, b.h AS hB
+      |  FROM sig a JOIN sig b ON a.aid < b.aid
+      |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+      |ro AS (
+      |  SELECT aidA, aidB,
+      |    CAST(COUNT(DISTINCT hA) AS BIGINT) AS n_matched_a,
+      |    CAST(COUNT(DISTINCT hB) AS BIGINT) AS n_matched_b
+      |  FROM pr GROUP BY aidA, aidB),
+      |scored AS (
+      |  SELECT ro.aidA AS idA, ro.aidB AS idB,
+      |    sa.n_sig AS n_sig_a, sb.n_sig AS n_sig_b,
+      |    ro.n_matched_a, ro.n_matched_b,
+      |    CAST((1000000 * (ro.n_matched_a + ro.n_matched_b))
+      |      // (sa.n_sig + sb.n_sig) AS BIGINT) AS score_ppm
+      |  FROM ro JOIN sz sa ON sa.aid = ro.aidA
+      |  JOIN sz sb ON sb.aid = ro.aidB)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    // The fingerprint surface: replays the amplitude walk at BOTH gains
+    // from the corpus formulas — the engine side must recover identical
+    // 63-bit signatures from the WAV bytes alone, so an amplitude-leaking
+    // fingerprint (or a sample-reader bug) diverges on every gain twin.
+    "q_audio_fingerprint" -> (audioNearDupCtes +
+      """
+        |SELECT aid AS media_id, CAST(s AS BIGINT) AS seg_idx, fp
+        |FROM fpt ORDER BY media_id, seg_idx""".stripMargin),
+
+    // ALL-PAIRS at hamming <= 6 with no band terms — the engine's
+    // (band, bucket) candidate generation must reach every qualifying
+    // pair (pigeonhole completeness) or rows go missing from the match.
+    "q_audio_neardup" -> (audioNearDupCtes +
+      """
+        |SELECT idA, idB, n_sig_a, n_sig_b, n_matched_a, n_matched_b,
+        |  score_ppm
+        |FROM scored ORDER BY idA, idB""".stripMargin),
 
     // Expected features recomputed from doc_id by the synthesis formulas —
     // the Spark side must recover them by PARSING the container bytes, so a

@@ -177,6 +177,28 @@ private[graft] object StreamRegistry extends QueryRegistry {
     }),
 
 
+    // STREAMING twin of the audio near-dup matcher — same split as the
+    // video twin: the heavy half (payload synthesis + WAV parse +
+    // energy-delta fingerprints) is a pure per-row projection and runs
+    // per micro-batch under the row-map contract; only the banded
+    // pairing over the tiny signature frame runs as the bounded
+    // epilogue. Shares q_audio_neardup's oracle verbatim.
+    "q_stream_audio_neardup" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_and_src_"))
+      val src =
+        s"${System.getProperty("java.io.tmpdir")}/graft_and_src_${runTag(dir)}"
+      t(s, dir, "documents").select(col("doc_id"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val sigs = streaming.StreamingIngest.runStreamRowMapBounded(s, src,
+        batch => MultimodalRegistry.audioSegSigs(s, batch),
+        Seq("media_id", "seg_idx"))
+      operators.Multimodal.signatureNearDupPairs(sigs, "media_id", "fp",
+          maxHamming = 6)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+
     // STREAMING twin of the interleaved multimodal packing — the
     // two-stage shape: the GROUP-LOCAL half (per-document item
     // collection + in-document offsets) runs per micro-batch under the
@@ -1117,6 +1139,12 @@ private[graft] object StreamRegistry extends QueryRegistry {
 
     "q_stream_video_neardup" ->
       (MultimodalRegistry.videoNearDupCtes + """
+        |SELECT idA, idB, n_sig_a, n_sig_b, n_matched_a, n_matched_b,
+        |  score_ppm
+        |FROM scored ORDER BY idA, idB""".stripMargin),
+
+    "q_stream_audio_neardup" ->
+      (MultimodalRegistry.audioNearDupCtes + """
         |SELECT idA, idB, n_sig_a, n_sig_b, n_matched_a, n_matched_b,
         |  score_ppm
         |FROM scored ORDER BY idA, idB""".stripMargin),
