@@ -1095,19 +1095,52 @@ object Multimodal {
   val FpSegFrames = 64
   val FpSegSamples: Int = FpFrameSamples * FpSegFrames
 
+  /** Remixed twins draw their fresh segments from
+    * `seed + AudioRemixOffset` — a region disjoint from every base seed
+    * below the [[audioAmp]] content period. */
+  val AudioRemixOffset = 5000003L
+
+  /** The audio sample-content formula: an affine walk SCRAMBLED by a
+    * square + xor-fold finalizer — `h = (seed·131 + pos·7 + 1) mod
+    * 65521; v = h²; amp = ((v ⊕ v≫13 ⊕ v≫27) mod 256) − 128`. Both
+    * stages earn their place (three failed designs in round 18): a
+    * plain affine-mod walk is the same sawtooth at every seed, only
+    * phase-shifted, so frame-energy DELTA SIGNS correlate across seeds
+    * and strangers collide at hamming ≤ 6; and even the SQUARED walk
+    * mod 256 keeps a constant second difference (a polynomial mod 2⁸
+    * is the same quadratic skeleton at every phase), which left ~270
+    * stranger pairs at sf0.01. The xor-fold is the standard hash
+    * finalizer: it is not polynomial, so the per-phase sequences
+    * decorrelate and stranger signatures measure ~uniform 63-bit
+    * (scan: 719,400 seed pairs, none under hamming 9). Two seeds share
+    * content iff equal mod 65521; with seeds = 8·id+s that means
+    * genuine shifted-segment overlaps appear only between ids ~8190
+    * apart (none at sf0.01, a few at sf0.1 — replayed by the oracle
+    * like everything else). Range [-128, 127], gain-scaled well inside
+    * 16-bit; SQL-replayable in plain integer arithmetic (xor and >>
+    * are BIGINT-native in both engines). */
+  def audioAmp(seed: Long, pos: Int): Int = {
+    val h = ((seed % 65521) * 131 + pos * 7 + 1) % 65521
+    val v = h * h
+    (((v ^ (v >> 13) ^ (v >> 27)) % 256) - 128).toInt
+  }
+
   /** Synthetic 16-bit mono PCM WAV for the audio near-dup corpus:
     * `3 + srcId % 4` segments of [[FpSegSamples]] samples, segment `s`
-    * generated from seed `srcId·8 + s` by the integer walk
-    * `amp = ((seed % 251)·13 + pos·7) % 181 − 90` (pos = in-segment
-    * sample index), then `(amp + pert)·gain` where `pert = 3` on every
-    * sample of frame `seed % 64` when perturbed, else 0. The mod-251
-    * seed periodicity makes distinct clips share whole segments
-    * (genuine partial overlaps), a ×`gain` twin is loudness-changed but
-    * fingerprint-IDENTICAL (energy order is scale-invariant), and a
-    * perturbed twin flips at most the two delta bits adjacent to the
-    * nudged frame — the hamming-1..6 band of the matcher. */
+    * generated from seed `srcId·8 + s` by [[audioAmp]] (pos =
+    * in-segment sample index), then `(amp + pert)·gain` where
+    * `pert = 3` on every sample of frame `seed % 64` when perturbed.
+    * Twin semantics:
+    *  - ×`gain`: every byte changes, the fingerprint must not (energy
+    *    ORDER is scale-invariant) — score 10⁶ through the matcher.
+    *  - `perturbed`: flips at most the two delta bits adjacent to the
+    *    nudged frame — the hamming-1..6 band of the matcher.
+    *  - `remixed`: ODD segments are replaced with fresh content
+    *    (seed + [[AudioRemixOffset]]) — the sampled/remixed-clip shape,
+    *    scoring ≈ 500k against its base (partial overlap). */
   def syntheticAudioNearDupPayload(srcId: Long, gain: Int,
-                                   perturbed: Boolean): Array[Byte] = {
+                                   perturbed: Boolean,
+                                   remixed: Boolean = false): Array[Byte] = {
     val nSegs = (3 + srcId % 4).toInt
     val n = nSegs * FpSegSamples
     val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
@@ -1119,11 +1152,12 @@ object Multimodal {
     bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
     var s = 0
     while (s < nSegs) {
-      val seed = srcId * 8 + s
+      val seed = srcId * 8 + s +
+        (if (remixed && s % 2 == 1) AudioRemixOffset else 0L)
       val pertFrame = (seed % 64).toInt
       var pos = 0
       while (pos < FpSegSamples) {
-        val base = (((seed % 251) * 13 + pos * 7) % 181 - 90).toInt
+        val base = audioAmp(seed, pos)
         val pert = if (perturbed && pos / FpFrameSamples == pertFrame) 3 else 0
         bb.putShort(((base + pert) * gain).toShort)
         pos += 1

@@ -53,10 +53,12 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
 
   /** The audio near-dup corpus — every base clip PLUS, for
     * doc_id % 5 == 0, a ×2-GAIN twin at +10⁷ (different bytes, identical
-    * energy ORDER — the loudness change a fingerprint must see through)
-    * and, for doc_id % 7 == 0, a PERTURBED twin at +2·10⁷ (one frame
-    * nudged per segment — signatures land in the hamming-1..6 band, the
-    * matcher's near-but-not-exact regime). */
+    * energy ORDER — the loudness change a fingerprint must see through),
+    * for doc_id % 7 == 0, a PERTURBED twin at +2·10⁷ (one frame nudged
+    * per segment — signatures land in the hamming-1..6 band, the
+    * matcher's near-but-not-exact regime), and for doc_id % 11 == 0, a
+    * REMIXED twin at +3·10⁷ (odd segments replaced with fresh content —
+    * the sampled/remixed-clip shape, a ≈500k partial-overlap score). */
   private[registry] def audioNearDupMedia(s: SparkSession,
                                           docs: DataFrame): DataFrame = {
     implicit val sp: SparkSession = s
@@ -74,6 +76,10 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
           out += ((id + 20000000L,
             Multimodal.syntheticAudioNearDupPayload(id, gain = 1,
               perturbed = true)))
+        if (id % 11 == 0)
+          out += ((id + 30000000L,
+            Multimodal.syntheticAudioNearDupPayload(id, gain = 1,
+              perturbed = false, remixed = true)))
         out
       }
       .toDF("doc_id", "payload")
@@ -652,8 +658,8 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     // fraction. The oracle pairs ALL-PAIRS with no band terms, gating
     // the banding's recall. Gain twins MUST surface at score 10⁶;
     // perturbed twins surface through nonzero-hamming matches (the ±2
-    // delta bits around the nudged frame); and the mod-251 seed
-    // periodicity yields genuine partial overlaps between distinct ids.
+    // delta bits around the nudged frame); remixed twins surface at
+    // ≈500k (odd segments replaced — genuine partial overlap).
     "q_audio_neardup" -> ((s, dir) => {
       Multimodal.signatureNearDupPairs(
         audioSegSigs(s, t(s, dir, "documents")),
@@ -738,24 +744,38 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     * fingerprint surface. */
   private[registry] val audioNearDupCtes: String =
     """WITH med AS (
-      |  SELECT doc_id AS aid, doc_id AS src, 1 AS gain, 0 AS pert
+      |  SELECT doc_id AS aid, doc_id AS src, 1 AS gain, 0 AS pert,
+      |    0 AS rmx
       |  FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000000 AS aid, doc_id AS src, 2 AS gain, 0 AS pert
+      |  SELECT doc_id + 10000000 AS aid, doc_id AS src, 2 AS gain,
+      |    0 AS pert, 0 AS rmx
       |  FROM documents WHERE doc_id % 5 = 0
       |  UNION ALL
-      |  SELECT doc_id + 20000000 AS aid, doc_id AS src, 1 AS gain, 1 AS pert
-      |  FROM documents WHERE doc_id % 7 = 0),
+      |  SELECT doc_id + 20000000 AS aid, doc_id AS src, 1 AS gain,
+      |    1 AS pert, 0 AS rmx
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 30000000 AS aid, doc_id AS src, 1 AS gain,
+      |    0 AS pert, 1 AS rmx
+      |  FROM documents WHERE doc_id % 11 = 0),
       |segs AS (
-      |  SELECT aid, gain, pert, s, src * 8 + s AS seed
+      |  SELECT aid, gain, pert, s,
+      |    src * 8 + s
+      |      + CASE WHEN rmx = 1 AND s % 2 = 1 THEN 5000003 ELSE 0 END AS seed
       |  FROM med, LATERAL (SELECT unnest(range(0, 3 + src % 4)) AS s) r),
       |amp AS (
       |  SELECT aid, seed, s, f,
-      |    (((seed % 251) * 13 + (f * 8 + j) * 7) % 181 - 90
+      |    (xor(xor(vq, vq >> 13), vq >> 27) % 256 - 128
       |      + CASE WHEN pert = 1 AND f = seed % 64 THEN 3 ELSE 0 END)
       |      * gain AS a
-      |  FROM segs, LATERAL (SELECT unnest(range(0, 64)) AS f) x,
-      |       LATERAL (SELECT unnest(range(0, 8)) AS j) y),
+      |  FROM (
+      |    SELECT aid, seed, s, f, gain, pert, hq * hq AS vq
+      |    FROM (
+      |      SELECT aid, seed, s, f, gain, pert,
+      |        ((seed % 65521) * 131 + (f * 8 + j) * 7 + 1) % 65521 AS hq
+      |      FROM segs, LATERAL (SELECT unnest(range(0, 64)) AS f) x,
+      |           LATERAL (SELECT unnest(range(0, 8)) AS j) y) h1) h2),
       |en AS (
       |  SELECT aid, seed, s, f, SUM(CAST(a * a AS BIGINT)) AS e
       |  FROM amp GROUP BY aid, seed, s, f),

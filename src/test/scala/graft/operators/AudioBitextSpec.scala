@@ -92,6 +92,34 @@ class AudioBitextSpec extends SparkSpec {
     }
   }
 
+  test("audio banded pairs: remixed twin scores partial overlap, strangers zero") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val ids = (0L until 12L).toSeq
+    val media = ids.map(id =>
+      (id, Multimodal.syntheticAudioNearDupPayload(id, 1, perturbed = false))) ++
+      ids.map(id =>
+        (id + 100L, Multimodal.syntheticAudioNearDupPayload(id, 1,
+          perturbed = false, remixed = true)))
+    val fps = Multimodal.audioFingerprints(
+      media.toDF("doc_id", "payload"), "doc_id", "payload")
+    val pairs = Multimodal.signatureNearDupPairs(fps, "media_id", "fp", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(6)).toMap
+    ids.foreach { id =>
+      val sc = pairs.get((id, id + 100L))
+      // even segments shared, odd segments fresh: ceil(n/2) of n match
+      // on each side -> score in [500000, 667000] depending on n (3..6)
+      assert(sc.exists(v => v >= 500000L && v <= 667000L),
+        s"remix twin of $id scored $sc")
+    }
+    // distinct base clips share no segment seeds in the widened space —
+    // no cross-clip pair may reach even half overlap
+    ids.combinations(2).foreach { case Seq(a, b) =>
+      assert(!pairs.get((a, b)).exists(_ >= 500000L),
+        s"strangers $a,$b scored ${pairs.get((a, b))}")
+    }
+  }
+
   test("bitext margin: true pair wins, hub is punished, junk rejected") {
     implicit val s: SparkSession = spark
     import s.implicits._
