@@ -668,6 +668,31 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     }),
 
 
+    // Audio near-dup CLUSTERING + survivor pick — the ladder's last
+    // rung on the modality (the q_video_cc pattern): pairs at score
+    // >= 0.5 become edges — the gain/perturbed/remixed twin family of
+    // each base clip, chained through their mutual overlaps — connected
+    // components give duplicate clusters, the min-media-id member
+    // (always the base clip) survives. The oracle replays the whole
+    // chain: sample walk, fingerprints, ALL-PAIRS scoring, the
+    // recursive reachability closure, min-label survivors.
+    "q_audio_cc" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = audioNearDupMedia(s, t(s, dir, "documents"))
+      val pairs = Multimodal.signatureNearDupPairs(
+          Multimodal.audioFingerprints(media, "doc_id", "payload"),
+          "media_id", "fp", maxHamming = 6)
+        .filter(col("score_ppm") >= 500000L)
+        .select(col("idA"), col("idB"))
+      operators.Dedup.connectedComponents(
+          media.select(col("doc_id").as("aid")), pairs, "aid")
+        .select(col("id").as("media_id"),
+          col("component").cast("long").as("component"),
+          (col("component") === col("id")).as("survivor"))
+        .orderBy(col("media_id"))
+    }),
+
+
     // dHash over REAL decoded pixels (the round-10 upgrade from the
     // stub-luminance phash): same grid/bit-pack as q_image_phash but the
     // luminance samples come from the genuine PNG decode; the oracle
@@ -743,7 +768,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     * n_matched_b, score_ppm)`. `fpt(aid, s, fp)` stays in scope for the
     * fingerprint surface. */
   private[registry] val audioNearDupCtes: String =
-    """WITH med AS (
+    """WITH RECURSIVE med AS (
       |  SELECT doc_id AS aid, doc_id AS src, 1 AS gain, 0 AS pert,
       |    0 AS rmx
       |  FROM documents
@@ -828,6 +853,20 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
         |SELECT idA, idB, n_sig_a, n_sig_b, n_matched_a, n_matched_b,
         |  score_ppm
         |FROM scored ORDER BY idA, idB""".stripMargin),
+
+    // The CC closure over the >= 0.5 pair edges, replayed recursively —
+    // node set = the whole corpus (singletons survive alone).
+    "q_audio_cc" -> (audioNearDupCtes + """,
+        |ap AS (SELECT idA, idB FROM scored WHERE score_ppm >= 500000),
+        |edges AS (SELECT idA AS src, idB AS dst FROM ap
+        |          UNION ALL SELECT idB AS src, idA AS dst FROM ap),
+        |cc(id, label) AS (
+        |  SELECT aid, aid FROM med
+        |  UNION
+        |  SELECT e.dst, cc.label FROM edges e JOIN cc ON cc.id = e.src)
+        |SELECT id AS media_id, CAST(MIN(label) AS BIGINT) AS component,
+        |  (MIN(label) = id) AS survivor
+        |FROM cc GROUP BY id ORDER BY media_id""".stripMargin),
 
     // Expected features recomputed from doc_id by the synthesis formulas —
     // the Spark side must recover them by PARSING the container bytes, so a

@@ -138,6 +138,8 @@ val picks = Seq(
   ("q_video_cc", "video dedup capstone: banded pair edges -> pointer-jumping CC -> min-label survivors, signature frame only ever shuffles"),
   ("q_pair_alignment", "cross-modal alignment: per-row pixel featurize + hashed caption embed, one doc_id join, native float_vec cosine"),
   ("q_stream_interleaved_pack", "streaming interleaved packing: doc-complete micro-batches ride the sharded prefix sum, batch-id contract check"),
+  ("q_audio_neardup", "audio near-dup: per-row WAV decode + energy-delta fingerprints, (band,bucket) equi-join candidates, key-only rollup"),
+  ("q_bitext_mine", "bitext margin mining: broadcast src cross, both k-NN rankings + margin on one bounded S*T frame"),
 )
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of the headline queries\n\n")
