@@ -1172,10 +1172,22 @@ object Multimodal {
     * builds on, reduced to its oracle-replayable integer core: parse the
     * WAV header for real, read signed LE16 samples, frame them
     * ([[FpFrameSamples]] each), and per consecutive [[FpSegFrames]]-frame
-    * segment emit a 63-bit signature whose bit `f` is
-    * `energy(f+1) > energy(f)`. Energy ORDER survives any uniform gain
-    * change, so a re-levelled copy of a clip fingerprints identically —
-    * the property that makes this a dedup key rather than a checksum.
+    * segment emit TWO 63-bit-lane signatures — `fp` with bit `f` =
+    * `energy(f+1) > energy(f)` (adjacent deltas) and `fp2` with bit
+    * `f` = `energy(f+2) > energy(f)` (skip deltas, 62 bits). Energy
+    * ORDER survives any uniform gain change, so a re-levelled copy of a
+    * clip fingerprints identically — the property that makes this a
+    * dedup key rather than a checksum.
+    *
+    * The second lane exists for SCALE, not discrimination: banding a
+    * single 63-bit signature for hamming ≤ 6 forces 7 bands × 9 bits —
+    * a 512-value bucket space, so banded candidates grow O(n²/512)
+    * once the corpus passes ~10⁵ signatures. Fusing 9 bits from EACH
+    * lane per band ([[signatureNearDupPairs2]]) gives 18-bit buckets
+    * (262,144 values) and pushes the quadratic knee out by 512× —
+    * widening the signature is THE standard banding scale knob, made
+    * explicit here.
+    *
     * A trailing partial segment (< [[FpSegSamples]] samples) carries no
     * full bit vector and is dropped; non-WAV / non-16-bit payloads yield
     * no rows (left to the clip-level stats surface to flag). */
@@ -1211,16 +1223,70 @@ object Multimodal {
               f += 1
             }
             var h = 0L
+            var h2 = 0L
             var k = 0
             while (k < FpSegFrames - 1) {
               if (e(k + 1) > e(k)) h |= 1L << k
+              if (k < FpSegFrames - 2 && e(k + 2) > e(k)) h2 |= 1L << k
               k += 1
             }
-            (id, s.toLong, h)
+            (id, s.toLong, h, h2)
           }
         }
       }
-      .toDF("media_id", "seg_idx", "fp")
+      .toDF("media_id", "seg_idx", "fp", "fp2")
+  }
+
+  /** Two-lane edition of [[signatureNearDupPairs]] — same contract
+    * (complete banding at `maxHamming` ≤ 6, matched-signature rollup),
+    * but each signature is a PAIR of 63-bit lanes and band `b`'s bucket
+    * fuses 9 bits from each: `((lo≫9b) & 511)·512 + ((hi≫9b) & 511)`.
+    * Completeness: the 7 fused bands partition all 126 bit positions,
+    * so ≤ 6 differing bits (hamming summed over both lanes) leave ≥ 1
+    * band untouched — pigeonhole-exact like the single-lane matcher,
+    * with a 262,144-value bucket space instead of 512: the banded
+    * self-join stays ~linear out to ~10⁷ signatures instead of ~10⁵. */
+  def signatureNearDupPairs2(frames: DataFrame, vidCol: String,
+                             loCol: String, hiCol: String,
+                             maxHamming: Int): DataFrame = {
+    require(maxHamming <= 6,
+      s"signatureNearDupPairs2: 7-band fusion is only pigeonhole-complete " +
+        s"up to hamming 6, got $maxHamming")
+    // one decode, not three: see the single-lane matcher's checkpoint note
+    val sigs = frames.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .select(col(vidCol).cast("long").as("vid"),
+        col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = sigs.groupBy(col("vid")).agg(count(lit(1)).as("n_sig"))
+    val banded = sigs.select(col("vid"), col("lo"), col("hi"),
+        explode(array((0 until 7).map(lit): _*)).as("band"))
+      .withColumn("bucket",
+        expr("shiftright(lo, band * 9)").bitwiseAND(lit(511L)) * 512L +
+          expr("shiftright(hi, band * 9)").bitwiseAND(lit(511L)))
+    val cands = banded.select(col("band"), col("bucket"),
+        col("vid").as("vidA"), col("lo").as("loA"), col("hi").as("hiA"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("vid").as("vidB"), col("lo").as("loB"), col("hi").as("hiB")),
+        Seq("band", "bucket"))
+      .filter(col("vidA") < col("vidB"))
+      .select("vidA", "loA", "hiA", "vidB", "loB", "hiB").distinct()
+      .withColumn("hamming",
+        (bit_count(col("loA").bitwiseXOR(col("loB"))) +
+          bit_count(col("hiA").bitwiseXOR(col("hiB")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    cands.groupBy(col("vidA"), col("vidB"))
+      .agg(countDistinct(struct(col("loA"), col("hiA"))).as("n_matched_a"),
+        countDistinct(struct(col("loB"), col("hiB"))).as("n_matched_b"))
+      .join(sizes.select(col("vid").as("vidA"), col("n_sig").as("n_sig_a")),
+        "vidA")
+      .join(sizes.select(col("vid").as("vidB"), col("n_sig").as("n_sig_b")),
+        "vidB")
+      .select(col("vidA").as("idA"), col("vidB").as("idB"),
+        col("n_sig_a"), col("n_sig_b"),
+        col("n_matched_a"), col("n_matched_b"),
+        expr("(1000000 * (n_matched_a + n_matched_b)) div (n_sig_a + n_sig_b)")
+          .as("score_ppm"))
   }
 
   private val mimes = Seq("image/png", "image/gif", "audio/wav")

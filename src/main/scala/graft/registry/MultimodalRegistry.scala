@@ -661,9 +661,9 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     // delta bits around the nudged frame); remixed twins surface at
     // ≈500k (odd segments replaced — genuine partial overlap).
     "q_audio_neardup" -> ((s, dir) => {
-      Multimodal.signatureNearDupPairs(
+      Multimodal.signatureNearDupPairs2(
         audioSegSigs(s, t(s, dir, "documents")),
-        "media_id", "fp", maxHamming = 6)
+        "media_id", "fp", "fp2", maxHamming = 6)
         .orderBy(col("idA"), col("idB"))
     }),
 
@@ -679,9 +679,9 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_audio_cc" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val media = audioNearDupMedia(s, t(s, dir, "documents"))
-      val pairs = Multimodal.signatureNearDupPairs(
+      val pairs = Multimodal.signatureNearDupPairs2(
           Multimodal.audioFingerprints(media, "doc_id", "payload"),
-          "media_id", "fp", maxHamming = 6)
+          "media_id", "fp", "fp2", maxHamming = 6)
         .filter(col("score_ppm") >= 500000L)
         .select(col("idA"), col("idB"))
       operators.Dedup.connectedComponents(
@@ -806,24 +806,28 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
       |  FROM amp GROUP BY aid, seed, s, f),
       |d AS (
       |  SELECT aid, seed, s, f, e,
-      |    LEAD(e) OVER (PARTITION BY aid, seed ORDER BY f) AS ne
+      |    LEAD(e) OVER (PARTITION BY aid, seed ORDER BY f) AS ne,
+      |    LEAD(e, 2) OVER (PARTITION BY aid, seed ORDER BY f) AS ne2
       |  FROM en),
       |fpt AS (
       |  SELECT aid, s,
       |    CAST(SUM(CASE WHEN ne > e THEN (CAST(1 AS BIGINT) << f)
-      |      ELSE 0 END) AS BIGINT) AS fp
+      |      ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN ne2 > e THEN (CAST(1 AS BIGINT) << f)
+      |      ELSE 0 END) AS BIGINT) AS fp2
       |  FROM d WHERE ne IS NOT NULL GROUP BY aid, s),
-      |sig AS (SELECT DISTINCT aid, fp AS h FROM fpt),
+      |sig AS (SELECT DISTINCT aid, fp AS h, fp2 AS h2 FROM fpt),
       |sz AS (SELECT aid, CAST(COUNT(*) AS BIGINT) AS n_sig
       |       FROM sig GROUP BY aid),
       |pr AS (
-      |  SELECT a.aid AS aidA, a.h AS hA, b.aid AS aidB, b.h AS hB
+      |  SELECT a.aid AS aidA, a.h AS hA, a.h2 AS h2A,
+      |         b.aid AS aidB, b.h AS hB, b.h2 AS h2B
       |  FROM sig a JOIN sig b ON a.aid < b.aid
-      |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+      |  WHERE bit_count(xor(a.h, b.h)) + bit_count(xor(a.h2, b.h2)) <= 6),
       |ro AS (
       |  SELECT aidA, aidB,
-      |    CAST(COUNT(DISTINCT hA) AS BIGINT) AS n_matched_a,
-      |    CAST(COUNT(DISTINCT hB) AS BIGINT) AS n_matched_b
+      |    CAST(COUNT(DISTINCT (hA, h2A)) AS BIGINT) AS n_matched_a,
+      |    CAST(COUNT(DISTINCT (hB, h2B)) AS BIGINT) AS n_matched_b
       |  FROM pr GROUP BY aidA, aidB),
       |scored AS (
       |  SELECT ro.aidA AS idA, ro.aidB AS idB,
@@ -842,7 +846,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     // fingerprint (or a sample-reader bug) diverges on every gain twin.
     "q_audio_fingerprint" -> (audioNearDupCtes +
       """
-        |SELECT aid AS media_id, CAST(s AS BIGINT) AS seg_idx, fp
+        |SELECT aid AS media_id, CAST(s AS BIGINT) AS seg_idx, fp, fp2
         |FROM fpt ORDER BY media_id, seg_idx""".stripMargin),
 
     // ALL-PAIRS at hamming <= 6 with no band terms — the engine's

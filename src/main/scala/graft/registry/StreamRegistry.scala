@@ -193,8 +193,8 @@ private[graft] object StreamRegistry extends QueryRegistry {
       val sigs = streaming.StreamingIngest.runStreamRowMapBounded(s, src,
         batch => MultimodalRegistry.audioSegSigs(s, batch),
         Seq("media_id", "seg_idx"))
-      operators.Multimodal.signatureNearDupPairs(sigs, "media_id", "fp",
-          maxHamming = 6)
+      operators.Multimodal.signatureNearDupPairs2(sigs, "media_id", "fp",
+          "fp2", maxHamming = 6)
         .orderBy(col("idA"), col("idB"))
     }),
 

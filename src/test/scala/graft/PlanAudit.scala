@@ -202,5 +202,13 @@ object PlanAudit {
     "q_stream_text_extract", "q_stream_links", "q_stream_images",
     "q_stream_interleaved", "q_stream_sft", "q_stream_markdown",
     "q_stream_tables", "q_stream_traps", "q_stream_anchor_texts",
-    "q_stream_robots_gate", "q_stream_seeds", "q_stream_jsonl_source")
+    "q_stream_robots_gate", "q_stream_seeds", "q_stream_jsonl_source",
+    // round-18: the video/audio near-dup matchers localCheckpoint their
+    // signature frame before the banded self-join (a build-time read
+    // would miss the decode stage), the CC rungs run the pointer-jumping
+    // loop at construction, and the three new streaming twins execute
+    // their micro-batches at build
+    "q_video_neardup", "q_audio_neardup", "q_video_cc", "q_audio_cc",
+    "q_stream_video_neardup", "q_stream_audio_neardup",
+    "q_stream_interleaved_pack")
 }
