@@ -1620,23 +1620,26 @@ object Multimodal {
                   val l = plane(i) & 0xff
                   lsum += l; wsum += l.toLong * (i % 97 + 1); i += 1
                 }
-                val dh = dHashGrid(w, h, (py, px) => plane((py * w + px).toInt) & 0xff)
+                val lum = (py: Long, px: Long) => plane((py * w + px).toInt) & 0xff
+                val dh = dHashGrid(w, h, lum)
+                val vh = vHashGrid(w, h, lum)
                 (id, k.toLong, w.toLong, h.toLong, plane.length.toLong,
-                  lsum, wsum, dh, true)
+                  lsum, wsum, dh, vh, true)
               case None =>
-                (id, k.toLong, 0L, 0L, 0L, 0L, 0L, 0L, false)
+                (id, k.toLong, 0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
             }
         }
       }
       .toDF("media_id", "frame_idx", "__w", "__h", "__np", "__ls", "__ws",
-        "__dh", "__ok")
+        "__dh", "__vh", "__ok")
       .select(col("media_id"), col("frame_idx"),
         when(col("__ok"), col("__w")).as("width"),
         when(col("__ok"), col("__h")).as("height"),
         when(col("__ok"), col("__np")).as("n_pixels"),
         when(col("__ok"), col("__ls")).as("lum_sum"),
         when(col("__ok"), col("__ws")).as("lum_wsum"),
-        when(col("__ok"), col("__dh")).as("dhash"))
+        when(col("__ok"), col("__dh")).as("dhash"),
+        when(col("__ok"), col("__vh")).as("vhash"))
   }
 
   /** Per-video metadata table from parsed headers: duration_ms is the
@@ -1735,6 +1738,29 @@ object Multimodal {
 
   /** The shared dHash grid geometry + bit pack: 10×7 sample grid, bit
     * gy·9+gx set iff the right neighbor is brighter. */
+  /** Vertical sibling of [[dHashGrid]]: bit gy·10+gx set iff the cell
+    * one grid row DOWN is brighter — 6 rows × 10 cols = 60 bits. The
+    * second lane of the widened video near-dup signature
+    * ([[signatureNearDupPairs2]]): real dHash implementations carry
+    * both gradients; here the vertical lane is also what buys the
+    * 18-bit fused band space at scale. */
+  private def vHashGrid(w: Int, h: Int, lum: (Long, Long) => Int): Long = {
+    var hash = 0L
+    var gy = 0
+    while (gy < 6) {
+      val py = gy.toLong * h / 7
+      val pyd = (gy + 1).toLong * h / 7
+      var gx = 0
+      while (gx < 10) {
+        val px = gx.toLong * w / 10
+        if (lum(pyd, px) > lum(py, px)) hash |= 1L << (gy * 10 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
   private def dHashGrid(w: Int, h: Int, lum: (Long, Long) => Int): Long = {
     var hash = 0L
     var gy = 0

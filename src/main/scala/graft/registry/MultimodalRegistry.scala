@@ -48,7 +48,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     implicit val sp: SparkSession = s
     Multimodal.videoFrameDecode(videoNearDupMedia(s, docs),
         "doc_id", "payload")
-      .select(col("media_id"), col("frame_idx"), col("dhash"))
+      .select(col("media_id"), col("frame_idx"), col("dhash"), col("vhash"))
   }
 
   /** The audio near-dup corpus — every base clip PLUS, for
@@ -607,7 +607,8 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     // full- and partial-overlap near-dups between distinct ids too.
     "q_video_neardup" -> ((s, dir) => {
       val frames = videoFrameSigs(s, t(s, dir, "documents"))
-      Multimodal.videoNearDupPairs(frames, "media_id", "dhash", maxHamming = 6)
+      Multimodal.signatureNearDupPairs2(frames, "media_id", "dhash", "vhash",
+          maxHamming = 6)
         .orderBy(col("idA"), col("idB"))
     }),
 
@@ -626,7 +627,8 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
       val media = videoNearDupMedia(s, t(s, dir, "documents"))
       val frames = Multimodal.videoFrameDecode(media, "doc_id", "payload")
       val pairs = Multimodal
-        .videoNearDupPairs(frames, "media_id", "dhash", maxHamming = 6)
+        .signatureNearDupPairs2(frames, "media_id", "dhash", "vhash",
+          maxHamming = 6)
         .filter(col("score_ppm") >= 500000L)
         .select(col("idA"), col("idB"))
       operators.Dedup.connectedComponents(
@@ -731,23 +733,31 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
       |    ((seed % 251 + 1) * ((13 * (gy * 10 + gx) * (gy * 10 + gx)
       |      + 29 * (gy * 10 + gx) + 1) % 251)) % 251 AS ll,
       |    ((seed % 251 + 1) * ((13 * (gy * 10 + gx + 1) * (gy * 10 + gx + 1)
-      |      + 29 * (gy * 10 + gx + 1) + 1) % 251)) % 251 AS lr
+      |      + 29 * (gy * 10 + gx + 1) + 1) % 251)) % 251 AS lr,
+      |    ((seed % 251 + 1) * ((13 * ((gy + 1) * 10 + gx) * ((gy + 1) * 10 + gx)
+      |      + 29 * ((gy + 1) * 10 + gx) + 1) % 251)) % 251 AS lb
       |  FROM f, LATERAL (SELECT unnest(range(0, 7)) AS gy) a,
-      |          LATERAL (SELECT unnest(range(0, 9)) AS gx) b),
+      |          LATERAL (SELECT unnest(range(0, 10)) AS gx) b),
       |dh AS (
-      |  SELECT vid, seed, CAST(SUM(CASE WHEN lr > ll
-      |    THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END) AS BIGINT) AS h
+      |  SELECT vid, seed,
+      |    CAST(SUM(CASE WHEN gx < 9 AND lr > ll
+      |      THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END)
+      |      AS BIGINT) AS h,
+      |    CAST(SUM(CASE WHEN gy < 6 AND lb > ll
+      |      THEN (CAST(1 AS BIGINT) << (gy * 10 + gx)) ELSE 0 END)
+      |      AS BIGINT) AS h2
       |  FROM g GROUP BY vid, seed),
-      |sig AS (SELECT DISTINCT vid, h FROM dh),
+      |sig AS (SELECT DISTINCT vid, h, h2 FROM dh),
       |sz AS (SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_sig FROM sig GROUP BY vid),
       |fp AS (
-      |  SELECT a.vid AS vidA, a.h AS hA, b.vid AS vidB, b.h AS hB
+      |  SELECT a.vid AS vidA, a.h AS hA, a.h2 AS h2A,
+      |         b.vid AS vidB, b.h AS hB, b.h2 AS h2B
       |  FROM sig a JOIN sig b ON a.vid < b.vid
-      |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+      |  WHERE bit_count(xor(a.h, b.h)) + bit_count(xor(a.h2, b.h2)) <= 6),
       |ro AS (
       |  SELECT vidA, vidB,
-      |    CAST(COUNT(DISTINCT hA) AS BIGINT) AS n_matched_a,
-      |    CAST(COUNT(DISTINCT hB) AS BIGINT) AS n_matched_b
+      |    CAST(COUNT(DISTINCT (hA, h2A)) AS BIGINT) AS n_matched_a,
+      |    CAST(COUNT(DISTINCT (hB, h2B)) AS BIGINT) AS n_matched_b
       |  FROM fp GROUP BY vidA, vidB),
       |scored AS (
       |  SELECT ro.vidA AS idA, ro.vidB AS idB,
@@ -1111,16 +1121,23 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
         |    (seed * 7 + ((((gy * h) // 7) // 8) * (w // 8)
         |      + (((gx * w) // 10) // 8)) * 13) % 251 AS ll,
         |    (seed * 7 + ((((gy * h) // 7) // 8) * (w // 8)
-        |      + ((((gx + 1) * w) // 10) // 8)) * 13) % 251 AS lr
+        |      + ((((gx + 1) * w) // 10) // 8)) * 13) % 251 AS lr,
+        |    (seed * 7 + (((((gy + 1) * h) // 7) // 8) * (w // 8)
+        |      + (((gx * w) // 10) // 8)) * 13) % 251 AS lb
         |  FROM f, LATERAL (SELECT unnest(range(0, 7)) AS gy) a,
-        |          LATERAL (SELECT unnest(range(0, 9)) AS gx) b),
+        |          LATERAL (SELECT unnest(range(0, 10)) AS gx) b),
         |dh AS (
-        |  SELECT doc_id, k, CAST(SUM(CASE WHEN lr > ll
-        |    THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END) AS BIGINT) AS dhash
+        |  SELECT doc_id, k,
+        |    CAST(SUM(CASE WHEN gx < 9 AND lr > ll
+        |      THEN (CAST(1 AS BIGINT) << (gy * 9 + gx)) ELSE 0 END)
+        |      AS BIGINT) AS dhash,
+        |    CAST(SUM(CASE WHEN gy < 6 AND lb > ll
+        |      THEN (CAST(1 AS BIGINT) << (gy * 10 + gx)) ELSE 0 END)
+        |      AS BIGINT) AS vhash
         |  FROM g GROUP BY doc_id, k)
         |SELECT CAST(s.doc_id AS BIGINT) AS media_id, CAST(s.k AS BIGINT) AS frame_idx,
         |  CAST(s.w AS BIGINT) AS width, CAST(s.h AS BIGINT) AS height,
-        |  s.n_pixels, s.lum_sum, s.lum_wsum, d.dhash
+        |  s.n_pixels, s.lum_sum, s.lum_wsum, d.dhash, d.vhash
         |FROM sums s JOIN dh d ON s.doc_id = d.doc_id AND s.k = d.k
         |ORDER BY media_id, frame_idx""".stripMargin,
 

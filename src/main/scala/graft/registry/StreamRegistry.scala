@@ -171,8 +171,8 @@ private[graft] object StreamRegistry extends QueryRegistry {
       val frames = streaming.StreamingIngest.runStreamRowMapBounded(s, src,
         batch => MultimodalRegistry.videoFrameSigs(s, batch),
         Seq("media_id", "frame_idx"))
-      operators.Multimodal.videoNearDupPairs(frames, "media_id", "dhash",
-          maxHamming = 6)
+      operators.Multimodal.signatureNearDupPairs2(frames, "media_id",
+          "dhash", "vhash", maxHamming = 6)
         .orderBy(col("idA"), col("idB"))
     }),
 

@@ -44,16 +44,20 @@ class PhashSpec extends SparkSpec {
       else Seq(base)
     }.toDF("doc_id", "payload")
     val frames = Multimodal.videoFrameDecode(media, "doc_id", "payload")
-    // ...whose decoded per-frame dHashes are bit-identical to the base's
-    val byVid = frames.select("media_id", "frame_idx", "dhash").collect()
+    // ...whose decoded per-frame hashes (BOTH gradient lanes) are
+    // bit-identical to the base's
+    val byVid = frames.select("media_id", "frame_idx", "dhash", "vhash")
+      .collect()
       .groupBy(_.getLong(0))
-      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+      .view.mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq).toMap
     ids.filter(_ % 5 == 0).foreach { id =>
       assert(byVid(id) == byVid(id + 100L),
         s"twin of $id must decode to identical frame hashes")
     }
     val pairs = Multimodal
-      .videoNearDupPairs(frames, "media_id", "dhash", maxHamming = 6)
+      .signatureNearDupPairs2(frames, "media_id", "dhash", "vhash",
+        maxHamming = 6)
       .select("idA", "idB", "score_ppm").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val twins = ids.filter(_ % 5 == 0).map(id => (id, id + 100L)).toSet
