@@ -375,6 +375,17 @@ object Similarity {
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * 1e6)
           .cast("long"))
       .select(col("src_id"), col("tgt_id"), col("c_ppm"))
+    marginMine(scored, k, minMarginPpm)
+  }
+
+  /** The margin arithmetic of [[bitextMine]] over ANY
+    * (src_id, tgt_id, c_ppm) candidate frame — shared between the exact
+    * miner (full S×T candidates) and the IVF-shortlist serving path
+    * (per-src ANN candidates only; each side's k-NN average is then
+    * taken over the VISIBLE candidates — the standard shortlist-margin
+    * approximation, agreement-gated against the exact miner by its
+    * caller). */
+  def marginMine(scored: DataFrame, k: Int, minMarginPpm: Long): DataFrame = {
     val wS = Window.partitionBy(col("src_id"))
       .orderBy(col("c_ppm").desc, col("tgt_id").asc)
     val wT = Window.partitionBy(col("tgt_id"))

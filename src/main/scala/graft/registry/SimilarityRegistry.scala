@@ -19,6 +19,19 @@ import SparkEntry._
   * [[SparkEntry.oracleSql]]. */
 private[graft] object SimilarityRegistry extends QueryRegistry {
 
+  /** The bitext "source language" side: a sampled, deterministically
+    * perturbed copy of the embedding corpus — component vec_id % dim
+    * clobbered to 1.0 (the translation-noise analogue: near its
+    * original, identical to nothing). Shared by the exact miner and the
+    * IVF serving gate so both paths mine the same frame. */
+  private def bitextSrc(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.filter(col("vec_id") % 17 === 0)
+      .withColumn("embedding",
+        transform(col("embedding").cast("array<float>"), (v, i) =>
+          when(i.cast("long") ===
+              pmod(col("vec_id"), size(col("embedding")).cast("long")),
+            lit(1.0f)).otherwise(v)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Sliding-window RAG chunks: 32-token windows advancing by 24
@@ -176,14 +189,59 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
     // for IVF-PQ shortlists feeding the same margin arithmetic.
     "q_bitext_mine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val src = emb.filter(col("vec_id") % 17 === 0)
-        .withColumn("embedding",
-          transform(col("embedding").cast("array<float>"), (v, i) =>
-            when(i.cast("long") ===
-                pmod(col("vec_id"), size(col("embedding")).cast("long")),
-              lit(1.0f)).otherwise(v)))
-      Similarity.bitextMine(src, emb, k = 4, minMarginPpm = 1050000L)
+      Similarity.bitextMine(bitextSrc(emb), emb, k = 4,
+          minMarginPpm = 1050000L)
         .orderBy(col("src_id"))
+    }),
+
+
+    // The miner's SERVING path, agreement-gated in-query: the same
+    // margin arithmetic (Similarity.marginMine — literally the shared
+    // code) runs over IVF-shortlist candidates instead of the full S×T
+    // cross — the shape an at-scale run ships, where the corpus side is
+    // too large to cross even against a sampled src side. Mined picks
+    // are engine-internal (which tgt the probes reach depends on the
+    // trained cells), so the gated output is the violation frame:
+    // (a) every exact-path src must survive into the IVF path;
+    // (b) best-tgt agreement with the exact miner must hold the
+    // spec-measured floor. Oracle = empty relation.
+    "q_bitext_ivf_verify" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val emb = t(s, dir, "embeddings")
+      val src = bitextSrc(emb)
+      val exact = Similarity.bitextMine(src, emb, k = 4,
+        minMarginPpm = 1050000L).localCheckpoint()
+      // corpus-SCALED serving knobs (the q_rag_pipeline lesson: fixed
+      // knobs decay with corpus growth; scaled ones hold — probed
+      // agreement 0.933 at sf0.01 / 0.949 at sf0.1 vs the 0.9 floor)
+      val (cells, nprobe, shortlist) =
+        operators.IvfPq.servingKnobs(emb.count())
+      val model = operators.IvfIndex.train(emb, "vec_id", "embedding",
+        k = cells)
+      // src ids collide with corpus ids (the true pair IS (i, i)) and
+      // topK excludes query_id == neighbor_id self-matches — shift the
+      // query ids out of the corpus id space, then map back
+      val short = operators.IvfIndex.topK(
+        src.withColumn("vec_id", col("vec_id") + lit(1000000L)),
+        emb, model, k = shortlist, nprobe = nprobe)
+      val scored = short.select(
+        (col("query_id") - lit(1000000L)).as("src_id"),
+        col("neighbor_id").as("tgt_id"),
+        round(col("cosine") * 1e6).cast("long").as("c_ppm"))
+      val mined = Similarity.marginMine(scored, k = 4,
+        minMarginPpm = 1050000L).localCheckpoint()
+      val badShape = exact.select(col("src_id"))
+        .except(mined.select(col("src_id")))
+        .select(col("src_id"), lit("src_missing_from_ivf_path").as("issue"))
+      val agree = exact.select(col("src_id"), col("tgt_id").as("__te"))
+        .join(mined.select(col("src_id"), col("tgt_id").as("__ti")),
+          Seq("src_id"), "left")
+        .agg(avg(when(col("__ti") === col("__te"), 1.0).otherwise(0.0))
+          .as("__a"))
+      val badAgree = agree.filter(col("__a") < 0.9)
+        .select(lit(null).cast("long").as("src_id"),
+          lit("agreement_below_floor").as("issue"))
+      badShape.unionByName(badAgree).orderBy(col("src_id"), col("issue"))
     }),
 
 
@@ -778,6 +836,11 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
         |  CAST(margin_ppm AS BIGINT) AS margin_ppm,
         |  COALESCE(margin_ppm >= 1050000, FALSE) AS accepted
         |FROM best WHERE pick = 1 ORDER BY src_id""".stripMargin,
+
+
+    "q_bitext_ivf_verify" ->
+      """SELECT CAST(NULL AS BIGINT) AS src_id, CAST(NULL AS VARCHAR) AS issue
+        |WHERE FALSE""".stripMargin,
 
 
     "q_vec_pca_reload_verify" ->

@@ -130,6 +130,11 @@ object PlanAudit {
     // shares that cross and adds the 10-row label-histogram theta join
     // for the corpus-side relevant totals
     "q_eval_ndcg", "q_eval_rankmetrics", "q_eval_map",
+    // bitext margin mining: the SAMPLED perturbed src side (30 rows at
+    // sf0.01) broadcasts and crosses the tgt corpus — the labeled-
+    // oracle path of the q_sim_topk exact-search pattern; the IVF
+    // serving gate reruns the same exact miner as its reference
+    "q_bitext_mine", "q_bitext_ivf_verify",
     // the RAG capstone inherits BOTH sanctioned cross shapes: the
     // bounded query-chunk frame broadcast into the chunk corpus (exact
     // baseline + the IVF-PQ probe stage, the q_sim_topk / q_sim_topk_pq
@@ -210,5 +215,7 @@ object PlanAudit {
     // their micro-batches at build
     "q_video_neardup", "q_audio_neardup", "q_video_cc", "q_audio_cc",
     "q_stream_video_neardup", "q_stream_audio_neardup",
-    "q_stream_interleaved_pack")
+    "q_stream_interleaved_pack",
+    // trains IVF + checkpoints both miner paths at construction
+    "q_bitext_ivf_verify")
 }
