@@ -1089,8 +1089,8 @@ object Multimodal {
 
   /** Samples per fingerprint frame and frames per segment for
     * [[audioFingerprints]] — 64 frame energies per segment yield 63
-    * delta-sign bits, matching the 63-bit signature lane the 7×9
-    * banding ([[signatureNearDupPairs]]) is pigeonhole-complete for. */
+    * delta-sign bits per lane, the signature width the fused banding
+    * ([[signatureNearDupPairs2]]) is pigeonhole-complete for. */
   val FpFrameSamples = 8
   val FpSegFrames = 64
   val FpSegSamples: Int = FpFrameSamples * FpSegFrames
@@ -1237,15 +1237,31 @@ object Multimodal {
       .toDF("media_id", "seg_idx", "fp", "fp2")
   }
 
-  /** Two-lane edition of [[signatureNearDupPairs]] — same contract
-    * (complete banding at `maxHamming` ≤ 6, matched-signature rollup),
-    * but each signature is a PAIR of 63-bit lanes and band `b`'s bucket
-    * fuses 9 bits from each: `((lo≫9b) & 511)·512 + ((hi≫9b) & 511)`.
-    * Completeness: the 7 fused bands partition all 126 bit positions,
-    * so ≤ 6 differing bits (hamming summed over both lanes) leave ≥ 1
-    * band untouched — pigeonhole-exact like the single-lane matcher,
-    * with a 262,144-value bucket space instead of 512: the banded
-    * self-join stays ~linear out to ~10⁷ signatures instead of ~10⁵. */
+  /** MEDIA-level near-duplicate pairs from per-item signatures — feed
+    * it (media id, two 63-bit signature lanes) rows ([[videoFrameDecode]]
+    * dhash+vhash, [[audioFingerprints]] fp+fp2) and get back every media
+    * pair sharing perceptually-matching signatures, scored by the
+    * fraction of matching signatures on each side:
+    * `score_ppm = 10⁶·(matchedA + matchedB)/(nA + nB)` — 10⁶ for a full
+    * re-encoded/re-levelled duplicate, proportionally less for partial
+    * overlap. Per media the DISTINCT signature SET (a re-encode has the
+    * same set; multiplicity adds no near-dup evidence); null-signature
+    * rows excluded up front; output (idA, idB, n_sig_a, n_sig_b,
+    * n_matched_a, n_matched_b, score_ppm), idA < idB.
+    *
+    * Banding: band `b`'s bucket fuses 9 bits from EACH lane —
+    * `((lo≫9b) & 511)·512 + ((hi≫9b) & 511)` — giving an 18-bit
+    * (262,144-value) bucket space. Completeness: the 7 fused bands
+    * partition all 126 bit positions, so ≤ 6 differing bits (hamming
+    * summed over both lanes) leave ≥ 1 band untouched —
+    * pigeonhole-exact. The predecessor single-lane matcher (9-bit
+    * buckets, 512 values) hit its quadratic knee at ~10⁵ signatures —
+    * candidates grow O(n²/bucket-space) — which is why both media
+    * modalities ship on the widened form; the same widening step
+    * (another lane, 27-bit fused buckets) is the knob if a corpus ever
+    * pushes past ~10⁷ signatures. Everything after the hamming filter
+    * is key-only aggregation; no payloads and nothing wider than two
+    * longs per signature cross a shuffle. */
   def signatureNearDupPairs2(frames: DataFrame, vidCol: String,
                              loCol: String, hiCol: String,
                              maxHamming: Int): DataFrame = {
@@ -1813,80 +1829,6 @@ object Multimodal {
         bit_count(col("hashA").bitwiseXOR(col("hashB"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
-  }
-
-  /** VIDEO-level near-duplicate pairs from per-frame signatures (the
-    * last modality of the dedup ladder): feed it [[videoFrameDecode]]
-    * output — (video, frame dHash) rows — and get back every video pair
-    * sharing perceptually-matching frames, scored by the fraction of
-    * matching signatures.
-    *
-    * Design: per video the DISTINCT frame-signature SET (a re-encoded
-    * copy has the same set; frame multiplicity adds no near-dup
-    * evidence), then the [[phashNearDupPairs]] discipline at the FRAME
-    * level — 7 bands × 9 bits, so at `maxHamming` ≤ 6 any matching
-    * frame pair shares an untouched band by pigeonhole and banding is
-    * COMPLETE, never approximate — then one (videoA, videoB) rollup
-    * counting matched signatures on each side. `score_ppm` =
-    * 10⁶·(matchedA + matchedB)/(nA + nB), integer-exact: 10⁶ for a full
-    * re-encoded duplicate, proportionally less for partial overlap
-    * (shared intro/outro frames).
-    *
-    * Scale: candidates come from the (band, bucket) equi-join — never
-    * all-pairs across frames — and everything after the hamming filter
-    * is key-only aggregation; no pixels and no hashes wider than a long
-    * cross a shuffle. Output: (idA, idB, n_sig_a, n_sig_b, n_matched_a,
-    * n_matched_b, score_ppm), idA < idB, null-hash frames (undecodable
-    * samples) excluded up front. */
-  def videoNearDupPairs(frames: DataFrame, vidCol: String, hashCol: String,
-                        maxHamming: Int): DataFrame =
-    signatureNearDupPairs(frames, vidCol, hashCol, maxHamming)
-
-  /** Modality-agnostic core of [[videoNearDupPairs]]: the input is any
-    * (media id, 63-bit signature) frame — video frame dHashes, audio
-    * segment fingerprints ([[audioFingerprints]]) — and the banding/
-    * scoring contract is identical for all of them. */
-  def signatureNearDupPairs(frames: DataFrame, vidCol: String, hashCol: String,
-                            maxHamming: Int): DataFrame = {
-    require(maxHamming <= 6,
-      s"signatureNearDupPairs: 7x9 banding is only pigeonhole-complete up " +
-        s"to hamming 6, got $maxHamming")
-    // checkpoint the signature frame BEFORE the banded self-join: Spark
-    // recomputes each side of a self-join (plus the sizes agg — 3× the
-    // upstream decode, measured 7.9 s vs 0.6 s for the fingerprints
-    // alone at sf0.1); the materialized frame is two longs per
-    // signature, so paying one decode + a tiny cache is strictly better
-    val sigs = frames.filter(col(hashCol).isNotNull)
-      .select(col(vidCol).cast("long").as("vid"),
-        col(hashCol).cast("long").as("h"))
-      .distinct()
-      .localCheckpoint()
-    val sizes = sigs.groupBy(col("vid")).agg(count(lit(1)).as("n_sig"))
-    val banded = sigs.select(col("vid"), col("h"),
-        explode(array((0 until 7).map(lit): _*)).as("band"))
-      .withColumn("bucket",
-        expr("shiftright(h, band * 9)").bitwiseAND(lit(511L)))
-    val cands = banded.select(col("band"), col("bucket"),
-        col("vid").as("vidA"), col("h").as("hA"))
-      .join(banded.select(col("band"), col("bucket"),
-        col("vid").as("vidB"), col("h").as("hB")), Seq("band", "bucket"))
-      .filter(col("vidA") < col("vidB"))
-      .select("vidA", "hA", "vidB", "hB").distinct()
-      .withColumn("hamming",
-        bit_count(col("hA").bitwiseXOR(col("hB"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-    cands.groupBy(col("vidA"), col("vidB"))
-      .agg(countDistinct(col("hA")).as("n_matched_a"),
-        countDistinct(col("hB")).as("n_matched_b"))
-      .join(sizes.select(col("vid").as("vidA"), col("n_sig").as("n_sig_a")),
-        "vidA")
-      .join(sizes.select(col("vid").as("vidB"), col("n_sig").as("n_sig_b")),
-        "vidB")
-      .select(col("vidA").as("idA"), col("vidB").as("idB"),
-        col("n_sig_a"), col("n_sig_b"),
-        col("n_matched_a"), col("n_matched_b"),
-        expr("(1000000 * (n_matched_a + n_matched_b)) div (n_sig_a + n_sig_b)")
-          .as("score_ppm"))
   }
 
   /** REAL pixel resize of a decoded luminance plane — nearest-neighbor
