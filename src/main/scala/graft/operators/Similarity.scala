@@ -363,19 +363,31 @@ object Similarity {
     require(k > 0, s"bitextMine: k must be positive, got $k")
     require(minMarginPpm > 0,
       s"bitextMine: minMarginPpm must be positive, got $minMarginPpm")
+    marginMine(bitextScore(src, tgt, idCol, vecCol), k, minMarginPpm)
+  }
+
+  /** The scoring half of [[bitextMine]]: broadcast the (bounded) src
+    * side against the tgt frame and emit micro-quantized candidate
+    * cosines (src_id, tgt_id, c_ppm). Per-tgt-row pure projection —
+    * each tgt row maps to its |S| candidate rows independently of every
+    * other tgt row — which is what lets the streaming twin score
+    * micro-batches of the corpus under the row-map contract and leave
+    * only [[marginMine]] as the bounded epilogue. */
+  def bitextScore(src: DataFrame, tgt: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     val q = src.select(col(idCol).cast("long").as("src_id"),
         col(vecCol).cast("array<float>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
     val c = tgt.select(col(idCol).cast("long").as("tgt_id"),
         col(vecCol).cast("array<float>").as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("c_ppm",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")) * 1e6)
           .cast("long"))
       .select(col("src_id"), col("tgt_id"), col("c_ppm"))
-    marginMine(scored, k, minMarginPpm)
   }
 
   /** The margin arithmetic of [[bitextMine]] over ANY

@@ -24,7 +24,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
     * clobbered to 1.0 (the translation-noise analogue: near its
     * original, identical to nothing). Shared by the exact miner and the
     * IVF serving gate so both paths mine the same frame. */
-  private def bitextSrc(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[registry] def bitextSrc(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     emb.filter(col("vec_id") % 17 === 0)
       .withColumn("embedding",
         transform(col("embedding").cast("array<float>"), (v, i) =>
@@ -716,6 +716,57 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
 
   )
 
+  /** Shared bitext-miner oracle — the streaming twin scores the same
+    * frame per micro-batch and runs the same margin epilogue, so it
+    * reuses this text verbatim. */
+  private[registry] val bitextMineOracleSql: String =
+    """WITH src AS (
+        |  SELECT vec_id AS src_id,
+        |    list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+        |      x -> CASE WHEN CAST(x[2] AS BIGINT) - 1 = vec_id % len(embedding)
+        |           THEN CAST(1.0 AS FLOAT) ELSE x[1] END) AS qv
+        |  FROM embeddings WHERE vec_id % 17 = 0),
+        |tgt AS (SELECT vec_id AS tgt_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT src_id, tgt_id,
+        |    CAST(ROUND((list_sum(list_transform(list_zip(qv, cv),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(cv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+        |      * 1000000) AS BIGINT) AS c_ppm
+        |  FROM src, tgt
+        |  WHERE list_sum(list_transform(qv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+        |    AND list_sum(list_transform(cv,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+        |rs AS (
+        |  SELECT src_id, tgt_id, c_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY src_id
+        |      ORDER BY c_ppm DESC, tgt_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY tgt_id
+        |      ORDER BY c_ppm DESC, src_id) AS rb
+        |  FROM scored),
+        |nns AS (SELECT src_id, SUM(c_ppm) AS nn_src, COUNT(*) AS k_src
+        |        FROM rs WHERE ra <= 4 GROUP BY src_id),
+        |nnt AS (SELECT tgt_id, SUM(c_ppm) AS nn_tgt, COUNT(*) AS k_tgt
+        |        FROM rs WHERE rb <= 4 GROUP BY tgt_id),
+        |m AS (
+        |  SELECT s.src_id, s.tgt_id, s.c_ppm,
+        |    CASE WHEN s.c_ppm >= 0
+        |           AND (a.nn_src * b.k_tgt + b.nn_tgt * a.k_src) > 0
+        |      THEN (2000000 * s.c_ppm * a.k_src * b.k_tgt)
+        |        // (a.nn_src * b.k_tgt + b.nn_tgt * a.k_src) END AS margin_ppm
+        |  FROM scored s JOIN nns a USING (src_id) JOIN nnt b USING (tgt_id)),
+        |best AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |    ORDER BY margin_ppm DESC NULLS LAST, tgt_id) AS pick FROM m)
+        |SELECT src_id, tgt_id, c_ppm AS cos_ppm,
+        |  CAST(margin_ppm AS BIGINT) AS margin_ppm,
+        |  COALESCE(margin_ppm >= 1050000, FALSE) AS accepted
+        |FROM best WHERE pick = 1 ORDER BY src_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
     // RRF: the full BM25 chain and the cosine rank chain replayed, fused
@@ -789,53 +840,9 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
     // Full value-for-value replay of the margin miner: perturbed src
     // copies, 6dp-stable cosines micro-quantized to ppm, BOTH k-NN
     // rankings, the integer margin division, and the per-src best pick.
-    "q_bitext_mine" ->
-      """WITH src AS (
-        |  SELECT vec_id AS src_id,
-        |    list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
-        |      x -> CASE WHEN CAST(x[2] AS BIGINT) - 1 = vec_id % len(embedding)
-        |           THEN CAST(1.0 AS FLOAT) ELSE x[1] END) AS qv
-        |  FROM embeddings WHERE vec_id % 17 = 0),
-        |tgt AS (SELECT vec_id AS tgt_id, embedding AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT src_id, tgt_id,
-        |    CAST(ROUND((list_sum(list_transform(list_zip(qv, cv),
-        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-        |      / (sqrt(list_sum(list_transform(qv,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |         * sqrt(list_sum(list_transform(cv,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
-        |      * 1000000) AS BIGINT) AS c_ppm
-        |  FROM src, tgt
-        |  WHERE list_sum(list_transform(qv,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
-        |    AND list_sum(list_transform(cv,
-        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
-        |rs AS (
-        |  SELECT src_id, tgt_id, c_ppm,
-        |    ROW_NUMBER() OVER (PARTITION BY src_id
-        |      ORDER BY c_ppm DESC, tgt_id) AS ra,
-        |    ROW_NUMBER() OVER (PARTITION BY tgt_id
-        |      ORDER BY c_ppm DESC, src_id) AS rb
-        |  FROM scored),
-        |nns AS (SELECT src_id, SUM(c_ppm) AS nn_src, COUNT(*) AS k_src
-        |        FROM rs WHERE ra <= 4 GROUP BY src_id),
-        |nnt AS (SELECT tgt_id, SUM(c_ppm) AS nn_tgt, COUNT(*) AS k_tgt
-        |        FROM rs WHERE rb <= 4 GROUP BY tgt_id),
-        |m AS (
-        |  SELECT s.src_id, s.tgt_id, s.c_ppm,
-        |    CASE WHEN s.c_ppm >= 0
-        |           AND (a.nn_src * b.k_tgt + b.nn_tgt * a.k_src) > 0
-        |      THEN (2000000 * s.c_ppm * a.k_src * b.k_tgt)
-        |        // (a.nn_src * b.k_tgt + b.nn_tgt * a.k_src) END AS margin_ppm
-        |  FROM scored s JOIN nns a USING (src_id) JOIN nnt b USING (tgt_id)),
-        |best AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
-        |    ORDER BY margin_ppm DESC NULLS LAST, tgt_id) AS pick FROM m)
-        |SELECT src_id, tgt_id, c_ppm AS cos_ppm,
-        |  CAST(margin_ppm AS BIGINT) AS margin_ppm,
-        |  COALESCE(margin_ppm >= 1050000, FALSE) AS accepted
-        |FROM best WHERE pick = 1 ORDER BY src_id""".stripMargin,
+    "q_bitext_mine" -> bitextMineOracleSql,
+
+
 
 
     "q_bitext_ivf_verify" ->

@@ -177,6 +177,29 @@ private[graft] object StreamRegistry extends QueryRegistry {
     }),
 
 
+    // STREAMING twin of the bitext margin miner: scoring is a per-
+    // tgt-row pure projection against the BROADCAST (bounded) src side
+    // — each corpus row maps to its |S| candidate cosines independently
+    // — so it runs per micro-batch under the row-map contract, and only
+    // the margin arithmetic over the tiny (src, tgt, c_ppm) candidate
+    // frame runs as the bounded epilogue. Shares q_bitext_mine's oracle
+    // verbatim.
+    "q_stream_bitext_mine" -> ((s, dir) => {
+      sweepDeadScratch(new java.io.File(System.getProperty("java.io.tmpdir")),
+        Seq("graft_btm_src_"))
+      val srcPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_btm_src_${runTag(dir)}"
+      t(s, dir, "embeddings").repartition(4)
+        .write.mode("overwrite").parquet(srcPath)
+      val srcSide = SimilarityRegistry.bitextSrc(t(s, dir, "embeddings"))
+      val scored = streaming.StreamingIngest.runStreamRowMapBounded(s, srcPath,
+        batch => operators.Similarity.bitextScore(srcSide, batch),
+        Seq("src_id", "tgt_id"))
+      operators.Similarity.marginMine(scored, k = 4, minMarginPpm = 1050000L)
+        .orderBy(col("src_id"))
+    }),
+
+
     // STREAMING twin of the audio near-dup matcher — same split as the
     // video twin: the heavy half (payload synthesis + WAV parse +
     // energy-delta fingerprints) is a pure per-row projection and runs
@@ -1142,6 +1165,8 @@ private[graft] object StreamRegistry extends QueryRegistry {
         |SELECT idA, idB, n_sig_a, n_sig_b, n_matched_a, n_matched_b,
         |  score_ppm
         |FROM scored ORDER BY idA, idB""".stripMargin),
+
+    "q_stream_bitext_mine" -> SimilarityRegistry.bitextMineOracleSql,
 
     "q_stream_audio_neardup" ->
       (MultimodalRegistry.audioNearDupCtes + """

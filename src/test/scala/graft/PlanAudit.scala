@@ -134,7 +134,7 @@ object PlanAudit {
     // sf0.01) broadcasts and crosses the tgt corpus — the labeled-
     // oracle path of the q_sim_topk exact-search pattern; the IVF
     // serving gate reruns the same exact miner as its reference
-    "q_bitext_mine", "q_bitext_ivf_verify",
+    "q_bitext_mine", "q_bitext_ivf_verify", "q_stream_bitext_mine",
     // the RAG capstone inherits BOTH sanctioned cross shapes: the
     // bounded query-chunk frame broadcast into the chunk corpus (exact
     // baseline + the IVF-PQ probe stage, the q_sim_topk / q_sim_topk_pq
@@ -216,6 +216,7 @@ object PlanAudit {
     "q_video_neardup", "q_audio_neardup", "q_video_cc", "q_audio_cc",
     "q_stream_video_neardup", "q_stream_audio_neardup",
     "q_stream_interleaved_pack",
-    // trains IVF + checkpoints both miner paths at construction
-    "q_bitext_ivf_verify")
+    // trains IVF + checkpoints both miner paths at construction; the
+    // streaming miner twin runs its micro-batches at build
+    "q_bitext_ivf_verify", "q_stream_bitext_mine")
 }
