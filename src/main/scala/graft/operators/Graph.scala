@@ -134,10 +134,31 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
 
   /** Every triangle of the canonical-undirected graph `und` exactly once,
-    * as a row (ta, tb, c) — the same degree-ordered orientation + wedge
-    * join + closure as [[triangleCounts]], exposed so consumers can count
-    * globally, list per-edge supports (the DOULION variance gate), or feed
-    * truss/closure analyses without re-deriving the orientation. */
+    * as a row (ta, tb, c) — degree-ordered orientation, then the
+    * EDGE-ITERATOR closure: per oriented edge x→y the common oriented
+    * out-neighborhood N⁺(x) ∩ N⁺(y), intersected in-task over compact
+    * adjacency arrays. Exposed so consumers can count globally, list
+    * per-edge supports (the DOULION variance gate), or feed truss/closure
+    * analyses without re-deriving the orientation.
+    *
+    * Row identity with the former wedge-join formulation (oracles depend
+    * on the SET of rows, so this is load-bearing): a triangle {a≺b≺c}
+    * orients as a→b, a→c, b→c and is emitted exactly once, at edge a→b
+    * with c ∈ N⁺(a) ∩ N⁺(b) — (ta=b, tb=c, c=a), i.e. center = the
+    * ≺-minimal corner and ta≺tb, exactly the wedge join's output. The
+    * other two edges find an empty intersection on the relevant side
+    * (b→c needs a ∈ N⁺(b): false; a→c needs b ∈ N⁺(c): false).
+    *
+    * Why this shape (guide §2.3, shuffle fewer bytes): the wedge join
+    * materialized Σ_v C(outdeg(v), 2) wedge ROWS through an exchange into
+    * the closure join — ~17M rows (≈400 MB shuffle write) on the sf0.1
+    * co-purchase graph, quadratic in the out-degree everywhere — then
+    * dropped all non-closing wedges. Here the only shuffles are
+    * |V|-sized (the adjacency build, checkpointed once) and |E|-sized
+    * (two edge⋈adjacency hash joins); the C(d,2) work happens as
+    * in-task hash-set probes and only ACTUAL triangle corners ever hit
+    * an exchange. The O(√m) oriented out-degree bound still caps both
+    * the array width and the per-edge probe cost. */
   def triangleRowsOf(und: DataFrame): DataFrame = {
     val deg = degreesOf(und)
     val withDeg = und
@@ -147,18 +168,22 @@ object Graph {
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-    val o1 = oriented.select(col("src").as("c"), col("dst").as("ta"),
-                             col("ddst").as("da"))
-    val o2 = oriented.select(col("src").as("c2"), col("dst").as("tb"),
-                             col("ddst").as("db"))
-    val wedges = o1.join(o2, col("c") === col("c2") &&
-        (col("da") < col("db") ||
-         (col("da") === col("db") && col("ta") < col("tb"))))
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    // one adjacency pass feeds the edge re-derivation AND both join
+    // sides — eagerly materialized so orientation runs once, not thrice
+    val adj = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("ns"))
+      .localCheckpoint()
+    val edges = adj.select(col("src"), explode(col("ns")).as("dst"))
+    edges
+      .join(adj.select(col("src").as("__au"), col("ns").as("__nu")),
+        col("src") === col("__au"))
+      .join(adj.select(col("src").as("__av"), col("ns").as("__nv")),
+        col("dst") === col("__av"))
+      .select(col("dst").as("ta"),
+        explode(array_intersect(col("__nu"), col("__nv"))).as("tb"),
+        col("src").as("c"))
       .select(col("ta"), col("tb"), col("c"))
-    val closing = oriented.select(col("src").as("ta"), col("dst").as("tb"))
-    wedges.join(closing, Seq("ta", "tb"))
   }
 
   /** DOULION-style approximate GLOBAL triangle count (Tsourakakis, Kang,

@@ -1286,11 +1286,15 @@ object Multimodal {
         col("vid").as("vidB"), col("lo").as("loB"), col("hi").as("hiB")),
         Seq("band", "bucket"))
       .filter(col("vidA") < col("vidB"))
+      // hamming gate BEFORE the distinct (guide §2.3 — filter before the
+      // exchange): the xor+popcount is a per-row codegen scalar, so
+      // running it on the banded candidates first means only true
+      // ≤ maxHamming matches pay the distinct's shuffle — band
+      // multiplicity AND all random bucket collisions above the
+      // threshold die map-side instead of crossing the exchange
+      .filter((bit_count(col("loA").bitwiseXOR(col("loB"))) +
+        bit_count(col("hiA").bitwiseXOR(col("hiB")))) <= maxHamming)
       .select("vidA", "loA", "hiA", "vidB", "loB", "hiB").distinct()
-      .withColumn("hamming",
-        (bit_count(col("loA").bitwiseXOR(col("loB"))) +
-          bit_count(col("hiA").bitwiseXOR(col("hiB")))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
     cands.groupBy(col("vidA"), col("vidB"))
       .agg(countDistinct(struct(col("loA"), col("hiA"))).as("n_matched_a"),
         countDistinct(struct(col("loB"), col("hiB"))).as("n_matched_b"))

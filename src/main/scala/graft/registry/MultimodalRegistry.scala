@@ -85,6 +85,31 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
       .toDF("doc_id", "payload")
   }
 
+  /** The media-id SETS of [[videoNearDupMedia]] / [[audioNearDupMedia]]
+    * as pure COLUMN arithmetic — no payload synthesis. The CC rungs need
+    * only the vertex ids, but `media.select("doc_id")` cannot prune the
+    * payload out of the typed flatMap (the closure is opaque to
+    * Catalyst, guide §2.3), so each vertex list was silently re-paying
+    * the full MP4/WAV byte synthesis. Twins of the flatMaps' id logic —
+    * a drifting branch here breaks the CC oracles loudly (vertex set ≠
+    * pair universe). */
+  private def videoNearDupIds(s: SparkSession, docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"))
+    base.unionAll(base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id")))
+  }
+
+  private def audioNearDupIds(s: SparkSession, docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"))
+    base
+      .unionAll(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id")))
+      .unionAll(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id")))
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id")))
+  }
+
   /** Per-segment fingerprints of [[audioNearDupMedia]] — like
     * [[videoFrameSigs]] a PURE per-row projection (payload synthesis +
     * WAV parse + energy-delta fingerprint), so the streaming twin can
@@ -624,15 +649,16 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     // recursive reachability closure, min-label survivors.
     "q_video_cc" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val media = videoNearDupMedia(s, t(s, dir, "documents"))
-      val frames = Multimodal.videoFrameDecode(media, "doc_id", "payload")
+      val docs = t(s, dir, "documents")
+      val frames = videoFrameSigs(s, docs)
       val pairs = Multimodal
         .signatureNearDupPairs2(frames, "media_id", "dhash", "vhash",
           maxHamming = 6)
         .filter(col("score_ppm") >= 500000L)
         .select(col("idA"), col("idB"))
       operators.Dedup.connectedComponents(
-          media.select(col("doc_id").as("vid")), pairs, "vid")
+          videoNearDupIds(s, docs).select(col("doc_id").as("vid")),
+          pairs, "vid")
         .select(col("id").as("media_id"),
           col("component").cast("long").as("component"),
           (col("component") === col("id")).as("survivor"))
@@ -680,14 +706,15 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     // recursive reachability closure, min-label survivors.
     "q_audio_cc" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val media = audioNearDupMedia(s, t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
       val pairs = Multimodal.signatureNearDupPairs2(
-          Multimodal.audioFingerprints(media, "doc_id", "payload"),
+          audioSegSigs(s, docs),
           "media_id", "fp", "fp2", maxHamming = 6)
         .filter(col("score_ppm") >= 500000L)
         .select(col("idA"), col("idB"))
       operators.Dedup.connectedComponents(
-          media.select(col("doc_id").as("aid")), pairs, "aid")
+          audioNearDupIds(s, docs).select(col("doc_id").as("aid")),
+          pairs, "aid")
         .select(col("id").as("media_id"),
           col("component").cast("long").as("component"),
           (col("component") === col("id")).as("survivor"))

@@ -245,17 +245,19 @@ private[graft] object TextRegistry extends QueryRegistry {
     // agreement is by construction, not by fixture luck.
     "q_text_sentences" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val words = filter(split(col("text"), " "), w => length(w) > 0)
-      val caps = transform(words, (w, i) =>
-        when(i % 6 === 0,
-          concat(upper(substring(w, 1, 1)), substring(w, 2, 100000)))
-          .otherwise(w))
-      val ng = ((size(words) + lit(5)) / lit(6)).cast("int")
       val guardWords = Seq("dr", "mr", "mrs", "ms", "prof", "sr", "jr",
         "st", "no", "vs", "etc", "eg", "ie", "fig", "al")
-      val sentences = transform(sequence(lit(0), ng - 1), g => {
+      // the capitalized-word array and word count are HOISTED into their
+      // own projection: referenced from inside the per-sentence-group
+      // lambda below they would re-evaluate PER GROUP — the whole O(W)
+      // transform re-run for each of the W/6 groups, O(W²) per document
+      // in interpreted-HOF land (guide §1.2 step 2: per-task work). As
+      // separate multi-referenced non-cheap aliases CollapseProject
+      // keeps the boundary, so each is computed once per row.
+      val caps = col("__caps")
+      val sentences = transform(sequence(lit(0), col("__ng") - 1), g => {
         val lastWord = element_at(caps,
-          least((g + 1) * lit(6), size(words)).cast("int"))
+          least((g + 1) * lit(6), col("__nw")).cast("int"))
         val guardHit = lower(regexp_extract(lastWord, "([A-Za-z]+)$", 1))
           .isin(guardWords: _*)
         concat(
@@ -266,9 +268,25 @@ private[graft] object TextRegistry extends QueryRegistry {
             .otherwise(element_at(array(lit("."), lit("!"), lit("?")),
               pmod(col("doc_id") + g, lit(3)).cast("int") + 1)))
       })
-      docs.select(col("doc_id"),
+      docs
+        .withColumn("__caps",
+          transform(filter(split(col("text"), " "), w => length(w) > 0),
+            (w, i) => when(i % 6 === 0,
+              concat(upper(substring(w, 1, 1)), substring(w, 2, 100000)))
+              .otherwise(w)))
+        .withColumn("__nw", size(col("__caps")))
+        .withColumn("__ng", ((col("__nw") + lit(5)) / lit(6)).cast("int"))
+        .select(col("doc_id"),
           graft.expr.SentenceExpressions.split_sentences(
             array_join(sentences, " ")).as("__s"))
+        // lineage cut before the explode: InferFiltersFromGenerate
+        // otherwise pushes a `size(__s) > 0` guard below the projection
+        // chain by SUBSTITUTING the whole sentence construction into the
+        // filter — the entire build evaluated twice per row. One
+        // materialization of the 2-column (doc_id, __s) frame is far
+        // cheaper (guide §3.3: materialize to truncate a plan the
+        // optimizer mangles).
+        .localCheckpoint()
         .select(col("doc_id"),
           posexplode(col("__s")).as(Seq("sidx", "sentence")))
         .select(col("doc_id"), col("sidx").cast("long").as("sidx"),

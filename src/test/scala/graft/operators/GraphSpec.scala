@@ -87,6 +87,25 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) === 3L && got(5L) === 0L && got(6L) === 0L && got(9L) === 0L)
   }
 
+  test("triangleRowsOf: edge-iterator rows keep the wedge-join contract") {
+    // each triangle exactly ONCE as (ta, tb, c) with c the ≺-minimal
+    // corner (deg-then-id order) and ta ≺ tb — the row identity the
+    // DOULION gate and the corner counts both lean on. Graph: K4 on 1-4
+    // plus a pendant 5 on node 4 (so degrees differ: d(1)=d(2)=d(3)=3,
+    // d(4)=4, and every K4 triangle orients away from its two smallest
+    // members).
+    val e = Seq[(Long, Long)](
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val und = Graph.canonicalUndirected(e.toDF("src", "dst"), "src", "dst")
+    val rows = Graph.triangleRowsOf(und)
+      .as[(Long, Long, Long)].collect().toSet
+    // ≺ order here: 5 (deg 1) ≺ 1 ≺ 2 ≺ 3 (deg 3, id ties) ≺ 4 (deg 4).
+    // Triangles {1,2,3}, {1,2,4}, {1,3,4}, {2,3,4}; each centered at its
+    // ≺-min corner with (ta, tb) in ≺ order:
+    assert(rows === Set((2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L),
+      (3L, 4L, 2L)))
+  }
+
   test("triangleCounts: direction, multi-edges and self-loops are ignored") {
     // triangle 1-2-3 given with mixed directions, a duplicate reversed
     // edge, and a self-loop; each triangle must count once per corner
