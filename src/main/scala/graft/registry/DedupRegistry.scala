@@ -153,8 +153,11 @@ private[graft] object DedupRegistry extends QueryRegistry {
     // each document reassembles in order. The oracle replays the lining
     // rule, the distinct-doc frequencies, and the rebuild.
     "q_line_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val docs = spread(t(s, dir, "documents"))
+      // the word array is HOISTED out of the per-line-group lambda —
+      // referenced inside it, the O(W) split re-evaluates per group,
+      // O(W²) per document (the q_text_sentences defect, same fix)
+      val words = col("__w")
       val contentLines = transform(
         sequence(lit(0), ((size(words) + lit(7)) / lit(8)).cast("int") - 1),
         i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
@@ -162,8 +165,10 @@ private[graft] object DedupRegistry extends QueryRegistry {
         lit(" updates today"))
       val bp2 = concat(lit("copyright 2026 "), col("source"),
         lit(" all rights reserved"))
-      val lined = docs.select(col("doc_id"),
-        array_join(concat(contentLines, array(bp1, bp2)), "\n").as("text"))
+      val lined = docs
+        .withColumn("__w", filter(split(col("text"), " "), w => length(w) > 0))
+        .select(col("doc_id"),
+          array_join(concat(contentLines, array(bp1, bp2)), "\n").as("text"))
       Dedup.lineDedup(lined, "doc_id", "text", maxDocFreq = 5)
         .select(col("doc_id"), col("n_kept"), col("n_dropped"),
           col("clean_text"))

@@ -28,7 +28,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
                                           docs: DataFrame): DataFrame = {
     implicit val sp: SparkSession = s
     import sp.implicits._
-    docs.select(col("doc_id")).as[Long]
+    spread(docs.select(col("doc_id"))).as[Long]
       .flatMap { id =>
         val base = (id, Multimodal.syntheticMjpegMp4RichPayload(id))
         if (id % 5 == 0)
@@ -63,7 +63,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
                                           docs: DataFrame): DataFrame = {
     implicit val sp: SparkSession = s
     import sp.implicits._
-    docs.select(col("doc_id")).as[Long]
+    spread(docs.select(col("doc_id"))).as[Long]
       .flatMap { id =>
         val out = scala.collection.mutable.ArrayBuffer(
           (id, Multimodal.syntheticAudioNearDupPayload(id, gain = 1,
@@ -171,7 +171,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_image_strip_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map { id =>
           val base = Multimodal.syntheticPngPixelPayload(id)
           val ascii = java.nio.charset.StandardCharsets.US_ASCII
@@ -297,7 +297,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
       val pdf = udf { (id: Long, text: String) =>
         graft.expr.PdfOps.syntheticPdf(id, text, flate = id % 2 == 1)
       }
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"), pdf(col("doc_id"), col("text")).as("body"))
         .select(col("doc_id"),
           graft.expr.PdfExpressions.pdf_text(col("body")).as("extracted"))
@@ -320,7 +320,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
       val pdf = udf { (id: Long, text: String) =>
         graft.expr.PdfOps.syntheticUnicodePdf(id, text, flate = id % 2 == 1)
       }
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"), pdf(col("doc_id"), col("text")).as("body"))
         .select(col("doc_id"),
           graft.expr.PdfExpressions.pdf_text(col("body")).as("extracted"))
@@ -335,7 +335,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_audio_stats" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val clips = spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map(id => (id, Multimodal.syntheticWavPayload(id)))
         .toDF("doc_id", "payload")
       Multimodal.audioStats(clips, "doc_id", "payload")
@@ -349,7 +349,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_audio_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val clips = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val clips = spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map(id => (id, Multimodal.syntheticWavPayload(id)))
         .toDF("doc_id", "payload")
       Multimodal.audioFrames(clips, "doc_id", "payload", frameSize = 16)
@@ -366,7 +366,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_video_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val vids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val vids = spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map(id => (id, Multimodal.syntheticMp4Payload(id)))
         .toDF("doc_id", "payload")
       Multimodal.videoMeta(vids, "doc_id", "payload")
@@ -379,7 +379,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     // oracle recomputes the expected features from doc_id by construction.
     "q_multimodal_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val media = Multimodal.syntheticMediaRecords(t(s, dir, "documents"), "doc_id")
+      val media = Multimodal.syntheticMediaRecords(spread(t(s, dir, "documents")), "doc_id")
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"),
           col("n_bytes").cast("long").as("n_bytes"),
@@ -400,7 +400,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_image_phash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.withPhash(
-        Multimodal.syntheticMediaRecords(t(s, dir, "documents"), "doc_id"))
+        Multimodal.syntheticMediaRecords(spread(t(s, dir, "documents")), "doc_id"))
         .orderBy(col("media_id"))
     }),
 
@@ -418,7 +418,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
       implicit val sp: SparkSession = s
       Multimodal.phashNearDupPairs(
         Multimodal.withPhash(
-          Multimodal.syntheticMediaRecords(t(s, dir, "documents"), "doc_id")),
+          Multimodal.syntheticMediaRecords(spread(t(s, dir, "documents")), "doc_id")),
         "media_id", "phash", maxHamming = 6)
         .orderBy(col("idA"), col("idB"))
     }),
@@ -435,7 +435,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_pair_alignment" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val feats = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val feats = spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map { id =>
           val (w, h, plane) = Multimodal
             .decodePngPixels(Multimodal.syntheticPngPixelPayload(id))
@@ -481,7 +481,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_image_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map { id =>
           val (w, h, plane) = Multimodal
             .decodePngPixels(Multimodal.syntheticPngPixelPayload(id))
@@ -508,7 +508,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_image_decode_gif" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map { id =>
           val (w, h, plane) = Multimodal
             .decodeGifPixels(Multimodal.syntheticGifPixelPayload(id))
@@ -534,7 +534,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_image_decode_jpeg" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map { id =>
           val (w, h, plane) = Multimodal
             .decodeJpegPixels(Multimodal.syntheticJpegPayload(id))
@@ -559,7 +559,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_image_resize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map { id =>
           val (w, h, plane) = Multimodal
             .decodePngPixels(Multimodal.syntheticPngPixelPayload(id))
@@ -588,7 +588,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_video_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      t(s, dir, "documents").select(col("doc_id")).as[Long]
+      spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .flatMap { id =>
           Multimodal.decodeMp4Samples(Multimodal.syntheticMp4SamplesPayload(id))
             .getOrElse(Seq.empty).zipWithIndex
@@ -610,7 +610,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_video_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map(id => (id, Multimodal.syntheticMjpegMp4Payload(id)))
         .toDF("doc_id", "payload")
       Multimodal.videoFrameDecode(media, "doc_id", "payload")
@@ -730,7 +730,7 @@ private[graft] object MultimodalRegistry extends QueryRegistry {
     "q_image_phash_real" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val media = spread(t(s, dir, "documents").select(col("doc_id"))).as[Long]
         .map(id =>
           operators.MediaRecord(id, Multimodal.syntheticPngPixelPayload(id),
             "image/png"))

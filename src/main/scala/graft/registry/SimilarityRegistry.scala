@@ -45,7 +45,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
     // binding. The names are now distinct and both queries run.)
     "q_rag_chunks" -> ((s, dir) =>
       operators.TextExtract.slidingChunks(
-          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          spread(t(s, dir, "documents")).select(col("doc_id"), col("text")),
           "doc_id", "text", chunkSize = 32, overlap = 8)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
@@ -67,7 +67,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
         Seq("graft_rag_model_"))
       val modelPath =
         s"${System.getProperty("java.io.tmpdir")}/graft_rag_model_${runTag(dir)}"
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       // chunk keys pack (doc, chunk) into one numeric total order; the
       // fixture corpus tops out far below 4096 chunks per document
       val emb = operators.TextExtract.slidingChunks(
@@ -331,7 +331,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
     // API and recall vs the oracled exact q_sim_topk is spec-asserted in
     // PqSpec.
     "q_sim_topk_pq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = spread(t(s, dir, "embeddings"))
       val model = operators.ProductQuantize.train(emb, "vec_id", "embedding",
         m = 16, k = 64)
       val enc = operators.ProductQuantize.encode(
@@ -364,7 +364,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
     // rank; (c) ranks contiguous AND distinct. Violations only; oracle =
     // empty relation.
     "q_sim_topk_pq_verify" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = spread(t(s, dir, "embeddings"))
       val model = operators.ProductQuantize.train(emb, "vec_id", "embedding",
         m = 16, k = 64)
       // ONE k-means-assignment pass over the corpus feeds both the search
@@ -531,7 +531,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
     // SQL. Per iteration: narrow codegen argmin + one (cluster,pos)-keyed
     // agg + a k·d-bounded driver collect (the MLlib shape).
     "q_kmeans_lloyd" -> ((s, dir) =>
-      operators.KMeansOp.lloyd(t(s, dir, "embeddings"), "vec_id", "embedding",
+      operators.KMeansOp.lloyd(spread(t(s, dir, "embeddings")), "vec_id", "embedding",
         k = 4, iters = 2)
         .orderBy(col("vec_id"))),
 
@@ -553,7 +553,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
     // to a long, long sums commute. All columns string-cast on both sides
     // (the q_vec_centroid lesson: leave no numeric repr to canonicalize).
     "q_vec_gram" -> ((s, dir) =>
-      operators.VectorStats.gramSums(t(s, dir, "embeddings"), "embedding")
+      operators.VectorStats.gramSums(spread(t(s, dir, "embeddings")), "embedding")
         .orderBy(col("i"), col("j"))
         .select(col("i").cast("string").as("i"), col("j").cast("string").as("j"),
           col("qsum").cast("string").as("qsum"), col("n").cast("string").as("n"))),
@@ -610,7 +610,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
     // doubles, emitted as sentinel-id violation rows).
     "q_vec_pca_verify" -> ((s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "embeddings")
+      val e = spread(t(s, dir, "embeddings"))
       val k = 8
       val (mean, _, comps) = operators.VectorStats.pcaComponents(e, "embedding", k)
       val d = mean.length
@@ -690,7 +690,7 @@ private[graft] object SimilarityRegistry extends QueryRegistry {
         Seq("graft_pca_model_"))
       val path =
         s"${System.getProperty("java.io.tmpdir")}/graft_pca_model_${runTag(dir)}"
-      val e = t(s, dir, "embeddings")
+      val e = spread(t(s, dir, "embeddings"))
       val (mean, _, comps) = operators.VectorStats.pcaComponents(e, "embedding", 8)
       operators.VectorStats.savePcaBasis(s, mean, comps, path)
       val (mean2, comps2) = operators.VectorStats.loadPcaBasis(s, path)

@@ -23,7 +23,7 @@ private[graft] object TextRegistry extends QueryRegistry {
 
     // All six stats project from ONE fused text_profile scan per row.
     "q_text_stats" -> ((s, dir) =>
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .withColumn("__p", TextAnalysis.profile(col("text")))
         .select(col("doc_id"),
           col("__p.n_chars").cast("long").as("n_chars_actual"),
@@ -117,7 +117,7 @@ private[graft] object TextRegistry extends QueryRegistry {
 
 
     "q_text_langid" -> ((s, dir) =>
-      TextAnalysis.withLangId(t(s, dir, "documents"))
+      TextAnalysis.withLangId(spread(t(s, dir, "documents")))
         .select(col("doc_id"), col("lang_pred"))
         .orderBy(col("doc_id"))),
 
@@ -130,7 +130,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // the source column directly, so parse/segment/classify/entity-decode
     // is hash-gated end-to-end (the synthetic-PNG playbook for text).
     "q_text_extract" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       operators.TextExtract.fromHtml(
         docs.select(col("doc_id"),
           operators.TextExtract.syntheticHtml(col("doc_id"), col("text"))
@@ -148,7 +148,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // not emitted here (stopword tokenization is not worth re-deriving
     // in SQL; the keep rule never consults it).
     "q_text_extract_blocks" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       operators.TextExtract.blocks(
         docs.select(col("doc_id"),
           operators.TextExtract.syntheticHtml(col("doc_id"), col("text"))
@@ -168,7 +168,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // member pages and distinct non-default languages; a cluster has 3
     // langs iff any member page is even (advertises fr).
     "q_lang_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val ex = docs.select(col("doc_id"),
         explode(graft.expr.HtmlExpressions.html_alternates(altFixtureHtml))
           .as("a"))
@@ -191,7 +191,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // custom expression needed for a regular grammar), every
     // (idx, lang, code) pinned by the word-slice oracle.
     "q_text_code_fences" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val words = filter(split(col("text"), " "), w => length(w) > 0)
       val doc = concat(
         array_join(slice(words, 1, 4), " "), lit(" ```python\n"),
@@ -217,7 +217,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // UNTOUCHED — the strict UTF-8 gate is what keeps legitimate
     // accents safe from false repair.
     "q_text_fix_mojibake" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val sfx = element_at(array(MojiSuffixes.map(lit): _*),
         pmod(col("doc_id"), lit(3)).cast("int") + 1)
       val clean = concat(col("text"), sfx)
@@ -244,7 +244,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // "st"/"fig" before a '.' terminator the round-trip would break —
     // agreement is by construction, not by fixture luck.
     "q_text_sentences" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val guardWords = Seq("dr", "mr", "mrs", "ms", "prof", "sr", "jr",
         "st", "no", "vs", "etc", "eg", "ie", "fig", "al")
       // the capitalized-word array and word count are HOISTED into their
@@ -302,7 +302,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // floor → per-lang rollup. One hash-gated chain across the
     // extract→curate interface.
     "q_text_extract_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val ext = docs.select(col("doc_id"), col("lang"),
         graft.expr.HtmlExpressions.html_content_text(
           operators.TextExtract.syntheticHtml(col("doc_id"), col("text")))
@@ -340,7 +340,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // canonical normalized form); the engine-specific xxhash64 of it is
     // determinism/stability-checked in OperatorsSpec.
     "q_text_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           TextAnalysis.fingerprintNormalized(col("text")).as("fp_norm"),
           length(TextAnalysis.fingerprintNormalized(col("text"))).cast("long").as("fp_len"))
@@ -348,7 +348,7 @@ private[graft] object TextRegistry extends QueryRegistry {
 
 
     "q_text_chunks" -> ((s, dir) =>
-      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+      TextAnalysis.chunkDocuments(spread(t(s, dir, "documents")), "doc_id", "text",
         chunkChars = 200, overlap = 50)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
@@ -368,7 +368,7 @@ private[graft] object TextRegistry extends QueryRegistry {
       val raw = concat(
         element_at(variants, (pmod(col("doc_id"), lit(8)) + 1).cast("int")),
         lit(" "), substring(col("text"), 1, 8))
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           TextAnalysis.normalizeUnicode(raw).as("nfc"),
           TextAnalysis.normalizeUnicode(raw, lower = true, stripMarks = true)
@@ -383,7 +383,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // keep/drop decision of a corpus-cleaning pipeline, fully oracled
     // (every rule is fixed-order double math over oracled stats).
     "q_quality_filter" -> ((s, dir) =>
-      TextAnalysis.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.qualityFilter(spread(t(s, dir, "documents")), "doc_id", "text")
         .select(col("doc_id"), col("keep"), col("reasons"))
         .orderBy(col("doc_id"))),
 
@@ -401,7 +401,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // planted 0.04 — the exact-regime pin of the q_quality_filter
     // note, here with the rule actually firing).
     "q_quality_filter_gopher" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = spread(t(s, dir, "documents"))
       val words = filter(split(col("text"), " "), w => length(w) > 0)
       val ng = ((size(words) + lit(5)) / lit(6)).cast("int")
       val linesArr = transform(sequence(lit(0), ng - 1), g =>
@@ -443,7 +443,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // oracle rebuilds the same PII text and redaction chain in SQL.
     "q_pii_redact" -> ((s, dir) => {
       val withPii = operators.PiiRedact.withSyntheticPii(
-        t(s, dir, "documents"), "doc_id", "text")
+        spread(t(s, dir, "documents")), "doc_id", "text")
       operators.PiiRedact.redact(withPii, "pii_text")
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
           col("redacted"))
@@ -454,7 +454,7 @@ private[graft] object TextRegistry extends QueryRegistry {
     // Fuzzy match: Levenshtein distance between neighboring docs' prefixes
     // — integer-exact in every engine, the classic fuzzy-dedup primitive.
     "q_text_levenshtein" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"),
+      val d = spread(t(s, dir, "documents")).select(col("doc_id"),
         substring(col("text"), 1, 30).as("p"))
       d.select(col("doc_id"), col("p"))
         .join(d.select((col("doc_id") - 1).as("doc_id"), col("p").as("p2")),

@@ -104,7 +104,7 @@ private[graft] object TokenizerRegistry extends QueryRegistry {
     // best-rank greedy because a pair's rank always exceeds the ranks
     // that formed its symbols) — token streams hash-match exactly.
     "q_bpe_tokenize" -> ((s, dir) =>
-      operators.BpeTokenizer.tokenizeWith(t(s, dir, "documents"), "doc_id",
+      operators.BpeTokenizer.tokenizeWith(spread(t(s, dir, "documents")), "doc_id",
         "text", operators.BpeTokenizer.frozenMerges)
         .orderBy(col("doc_id"), col("pos"))),
 
@@ -147,7 +147,7 @@ private[graft] object TokenizerRegistry extends QueryRegistry {
     // backward reconstruction — then joins segmentations back to word
     // instances. Token streams hash-match exactly.
     "q_unigram_tokenize" -> ((s, dir) =>
-      operators.UnigramTokenizer.tokenizeWith(t(s, dir, "documents"),
+      operators.UnigramTokenizer.tokenizeWith(spread(t(s, dir, "documents")),
         "doc_id", "text", operators.UnigramTokenizer.frozenVocab)
         .orderBy(col("doc_id"), col("widx"), col("pidx"))),
 
@@ -159,7 +159,7 @@ private[graft] object TokenizerRegistry extends QueryRegistry {
     // tokenize pass + one doc-keyed combining aggregate; the oracle
     // aggregates its own Viterbi stream.
     "q_unigram_ppl" -> ((s, dir) =>
-      operators.UnigramTokenizer.lmCost(t(s, dir, "documents"),
+      operators.UnigramTokenizer.lmCost(spread(t(s, dir, "documents")),
         "doc_id", "text", operators.UnigramTokenizer.frozenVocab)
         .orderBy(col("doc_id"))),
 
@@ -201,7 +201,7 @@ private[graft] object TokenizerRegistry extends QueryRegistry {
       operators.UnigramTokenizer.saveVocab(s,
         operators.UnigramTokenizer.frozenVocab, path)
       val reloaded = operators.UnigramTokenizer.loadVocab(s, path)
-      operators.UnigramTokenizer.tokenizeWith(t(s, dir, "documents"),
+      operators.UnigramTokenizer.tokenizeWith(spread(t(s, dir, "documents")),
         "doc_id", "text", reloaded)
         .orderBy(col("doc_id"), col("widx"), col("pidx"))
     }),
