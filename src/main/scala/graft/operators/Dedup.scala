@@ -783,7 +783,17 @@ object Dedup {
     * component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, idCol: String,
                           maxIter: Int = 25,
-                          maxDriverEdges: Long = 1L << 16): DataFrame = {
+                          // 2^20 pairs = 16 MB of longs — the same order as a
+                          // sanctioned broadcast build side, and far cheaper
+                          // than the ~10 distributed pointer-jumping rounds
+                          // (each 2 joins + checkpoint + convergence probe) it
+                          // replaces: the r18 video near-dup graph (176k
+                          // pairs at sf0.1) sat just above the old 2^16 cap
+                          // and paid ~90 quarter-second jobs for a loop a
+                          // driver union-find finishes in milliseconds. The
+                          // distributed path stays the fallback for anything
+                          // larger.
+                          maxDriverEdges: Long = 1L << 20): DataFrame = {
     // Materialize the pair list ONCE before symmetrizing: the union reads
     // it twice, and the upstream pair derivation (an LSH or set-similarity
     // join) is far too expensive to run once per direction. EAGER CHECKPOINT,
