@@ -41,9 +41,14 @@ object Graph {
     * @param base   integer mass of rank 1.0 (micro-units)
     * @return (node, pr) — one row per node with out-edges, `pr` in micro-units
     */
+  /** `edgesDeduped = true` asserts the caller's edge frame is ALREADY
+    * distinct (e.g. a shared checkpointed frame) and skips the internal
+    * dedup exchange — the output is identical by definition; passing a
+    * frame with duplicate edges under the flag corrupts out-degrees. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damp: Long = 85L, base: Long = 1000000L,
-               checkpointEvery: Int = 5): DataFrame = {
+               checkpointEvery: Int = 5,
+               edgesDeduped: Boolean = false): DataFrame = {
     require(iters >= 1 && damp >= 0 && damp <= 100 && base > 0)
     val spark = edges.sparkSession
     val reliableCkpt = spark.sparkContext.getCheckpointDir.isDefined
@@ -53,8 +58,9 @@ object Graph {
     // Edge list with the source's out-degree attached ONCE — reused by every
     // iteration, so materialize it (the distinct + degree agg should run one
     // time, not `iters` times).
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst")).distinct()
+    val eRaw = edges.select(col(srcCol).cast("long").as("src"),
+                            col(dstCol).cast("long").as("dst"))
+    val e = if (edgesDeduped) eRaw else eRaw.distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
     val eDeg = materialized(e.join(deg, "src"))
     val nodes = materialized(eDeg.select(col("src").as("node")).distinct())
@@ -287,18 +293,30 @@ object Graph {
     * @return (node, lab) — one row per node of the canonical undirected
     *         graph; `lab` is the surviving community representative id
     */
+  /** `edgesSymmetricDeduped = true` asserts the caller's frame is
+    * already the MATERIALIZED symmetric adjacency — distinct, both
+    * directions present, self-loop-free (e.g. a shared checkpointed
+    * bipartite frame) — and uses it directly: for such a frame the
+    * internal canonicalize + re-symmetrize + checkpoint reproduces the
+    * input exactly, so skipping it is identity, not approximation. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iters: Int = 3, checkpointEvery: Int = 5): DataFrame = {
+                       iters: Int = 3, checkpointEvery: Int = 5,
+                       edgesSymmetricDeduped: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = edges.sparkSession
     val reliableCkpt = spark.sparkContext.getCheckpointDir.isDefined
     def materialized(df: DataFrame): DataFrame =
       if (reliableCkpt) df.checkpoint() else df.localCheckpoint()
 
-    val und = canonicalUndirected(edges, srcCol, dstCol)
-    val adj = materialized(
-      und.select(col("u").as("a"), col("v").as("b"))
-        .unionAll(und.select(col("v").as("a"), col("u").as("b"))))
+    val adj = if (edgesSymmetricDeduped)
+      edges.select(col(srcCol).cast("long").as("a"),
+                   col(dstCol).cast("long").as("b"))
+    else {
+      val und = canonicalUndirected(edges, srcCol, dstCol)
+      materialized(
+        und.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(und.select(col("v").as("a"), col("u").as("b"))))
+    }
     var labels = adj.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
     for (i <- 1 to iters) {
@@ -339,18 +357,22 @@ object Graph {
     *                (deduplicated internally; seeds get dist 0)
     * @return (node, dist) — one row per node with hop-distance ≤ maxHops
     */
+  /** `edgesDeduped = true`: the caller's frame is already distinct AND
+    * materialized — use it as the per-hop join side directly (identical
+    * output; duplicate edges under the flag would only repeat identical
+    * min-relaxations, but the contract keeps the claim honest). */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, sourceCol: String,
-                   maxHops: Int): DataFrame = {
+                   maxHops: Int, edgesDeduped: Boolean = false): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val spark = edges.sparkSession
     val reliableCkpt = spark.sparkContext.getCheckpointDir.isDefined
     def materialized(df: DataFrame): DataFrame =
       if (reliableCkpt) df.checkpoint() else df.localCheckpoint()
 
-    val e = materialized(
-      edges.select(col(srcCol).cast("long").as("src"),
-                   col(dstCol).cast("long").as("dst")).distinct())
+    val eRaw = edges.select(col(srcCol).cast("long").as("src"),
+                            col(dstCol).cast("long").as("dst"))
+    val e = if (edgesDeduped) eRaw else materialized(eRaw.distinct())
     var dist = materialized(
       sources.select(col(sourceCol).cast("long").as("node")).distinct()
         .withColumn("dist", lit(0)))

@@ -51,6 +51,32 @@ private[graft] object GraphRegistry extends QueryRegistry {
       coPurchaseEdgesPlan(key._1, key._2).localCheckpoint()
     })
 
+  /** The DISTINCT symmetric part↔supplier bipartite edge frame —
+    * q_pagerank, q_label_prop and q_khop consume the IDENTICAL frame
+    * (node id = 2·partkey / 2·suppkey+1, both directions), so the
+    * lineitem double-scan + 1.2M-row distinct is built once per
+    * (session, dir) and localCheckpoint-ed, the [[coPurchaseEdges]]
+    * discipline extended to the second shared graph. The operators'
+    * own dedup then runs over a checkpointed already-unique frame
+    * (cheap) instead of the raw scans. q_weighted_paths keeps its own
+    * build — its edges carry the min-quantity weight. */
+  private val biEdgeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def bipartiteEdgesPlan(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val fwd = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    fwd.unionAll(li.select((col("l_suppkey") * 2 + 1).as("src"),
+      (col("l_partkey") * 2).as("dst"))).distinct()
+  }
+
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    biEdgeCache.computeIfAbsent((s, dir), { key: (SparkSession, String) =>
+      bipartiteEdgesPlan(key._1, key._2).localCheckpoint()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Link analysis: 3-iteration damped PageRank over the part↔supplier
@@ -60,15 +86,10 @@ private[graft] object GraphRegistry extends QueryRegistry {
     // bit-exact across engines — the oracle replays the same three
     // iterations in BIGINT `//` math. At scale: one edges⋈ranks join + one
     // dst-keyed sum per iteration, ranks side broadcastable (|V| ≪ |E|).
-    "q_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val fwd = li.select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      val edges = fwd.unionAll(li.select((col("l_suppkey") * 2 + 1).as("src"),
-        (col("l_partkey") * 2).as("dst")))
-      operators.Graph.pageRank(edges, "src", "dst", iters = 3)
-        .orderBy(col("node"))
-    }),
+    "q_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRank(bipartiteEdges(s, dir), "src", "dst",
+          iters = 3, edgesDeduped = true)
+        .orderBy(col("node"))),
 
 
     // Exact per-node triangle counts over the part co-purchase graph
@@ -159,15 +180,10 @@ private[graft] object GraphRegistry extends QueryRegistry {
     // as a pure function of the graph, so the oracle replays the same
     // rounds (QUALIFY row_number per node = the same argmax) and hashes
     // must match.
-    "q_label_prop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val fwd = li.select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      val edges = fwd.unionAll(li.select((col("l_suppkey") * 2 + 1).as("src"),
-        (col("l_partkey") * 2).as("dst")))
-      operators.Graph.labelPropagation(edges, "src", "dst", iters = 3)
-        .orderBy(col("node"))
-    }),
+    "q_label_prop" -> ((s, dir) =>
+      operators.Graph.labelPropagation(bipartiteEdges(s, dir), "src", "dst",
+          iters = 3, edgesSymmetricDeduped = true)
+        .orderBy(col("node"))),
 
 
     // Multi-source bounded-hop BFS over the part↔supplier bipartite graph
@@ -177,15 +193,10 @@ private[graft] object GraphRegistry extends QueryRegistry {
     // over real paths ⇒ hash-exact; the oracle unrolls 4 Bellman-Ford
     // relaxation rounds, which agree with frontier BFS at every horizon.
     "q_khop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val fwd = li.select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      val edges = fwd.unionAll(li.select((col("l_suppkey") * 2 + 1).as("src"),
-        (col("l_partkey") * 2).as("dst")))
       val seeds = t(s, dir, "part").filter(col("p_partkey") % 100 === 0)
         .select((col("p_partkey") * 2).as("seed"))
-      operators.Graph.bfsDistances(edges, "src", "dst", seeds, "seed",
-          maxHops = 4)
+      operators.Graph.bfsDistances(bipartiteEdges(s, dir), "src", "dst",
+          seeds, "seed", maxHops = 4, edgesDeduped = true)
         .orderBy(col("node"))
     }),
 

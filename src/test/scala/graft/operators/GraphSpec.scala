@@ -87,6 +87,31 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) === 3L && got(5L) === 0L && got(6L) === 0L && got(9L) === 0L)
   }
 
+  test("trusted-input flags are identity on distinct/symmetric frames") {
+    // the shared-frame registry path sets edgesDeduped /
+    // edgesSymmetricDeduped on pre-distinct symmetric frames; outputs
+    // must be bit-identical to the flag-off defaults
+    val raw = Seq.tabulate(60)(i => ((i % 10).toLong * 2, (i % 7).toLong * 2 + 1))
+    val sym = (raw ++ raw.map(_.swap)).distinct.toDF("src", "dst")
+      .localCheckpoint()
+    val pr0 = Graph.pageRank(sym, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val pr1 = Graph.pageRank(sym, "src", "dst", iters = 3,
+      edgesDeduped = true).as[(Long, Long)].collect().toMap
+    assert(pr0 === pr1)
+    val lp0 = Graph.labelPropagation(sym, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val lp1 = Graph.labelPropagation(sym, "src", "dst", iters = 3,
+      edgesSymmetricDeduped = true).as[(Long, Long)].collect().toMap
+    assert(lp0 === lp1)
+    val seeds = Seq(0L, 4L).toDF("seed")
+    val bf0 = Graph.bfsDistances(sym, "src", "dst", seeds, "seed", maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    val bf1 = Graph.bfsDistances(sym, "src", "dst", seeds, "seed",
+      maxHops = 3, edgesDeduped = true).as[(Long, Int)].collect().toMap
+    assert(bf0 === bf1)
+  }
+
   test("triangleRowsOf: edge-iterator rows keep the wedge-join contract") {
     // each triangle exactly ONCE as (ta, tb, c) with c the ≺-minimal
     // corner (deg-then-id order) and ta ≺ tb — the row identity the
